@@ -1,13 +1,631 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (parity tier) plus the extension tier (dedup, similarity
+  * search, text analysis, multimodal).
+  *
+  * Oracle-parity rules used throughout (so the DuckDB hash-compare is
+  * exact, not approximate):
+  *   - every query ends in a TOTAL deterministic ORDER BY (ties broken to a
+  *     key), so row order can never differ;
+  *   - money-style double sums are quantized per-row to integer units
+  *     before aggregation (per-row IEEE arithmetic is bit-identical across
+  *     engines; only float *summation order* is not) — sums become exact
+  *     integer math;
+  *   - counts/extracts are cast so Spark and DuckDB output types line up
+  *     (DuckDB `count` → BIGINT matches, but `EXTRACT`/`len`/`sum(BIGINT)`
+  *     need casts).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ------------------------------------------------------------ helpers
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(s, dir)
+    else s.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table is written with parquet TIMESTAMP(NANOS), which Spark
+    * has no native type for — read nanos as long (legacy conf) and convert
+    * to a microsecond TimestampType column, matching what engines with
+    * native ns support produce after µs truncation.
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    if (raw.schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType)
+      // integer division — a double `/` would lose precision on ns epochs
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** events plays the logentry role (FIXTURES.md §7): ts/user_id/event_type
+    * ≅ date/ip/risk, and `k` (parsed from props) plays country/asn.
+    */
+  private def eventTuples(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      date_trunc("day", col("ts")).as("day"),
+      col("user_id"),
+      col("event_type"),
+      regexp_extract(col("props"), "([0-9]+)", 1).cast("int").as("k"))
+
+  private val eventTuplesSql =
+    """SELECT date_trunc('day', ts) AS day, user_id, event_type,
+      |       CAST(regexp_extract(props, '([0-9]+)', 1) AS INT) AS k
+      |FROM events""".stripMargin
+
+  /** Deduped daily tuples → per-(day, event_type) distinct-entity counts —
+    * the flagship aggregation shape (SURVEY.md §2 ops 6-9).
+    */
+  private def flagshipCounts(s: SparkSession, dir: String,
+      threshold: Long): DataFrame =
+    eventTuples(s, dir)
+      .distinct()
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > threshold)
+
+  private def flagshipCountsSql(threshold: Long): String =
+    s"""SELECT day, event_type, count(*) AS cnt
+       |FROM (SELECT DISTINCT * FROM ($eventTuplesSql) raw) dedup
+       |GROUP BY day, event_type
+       |HAVING count(*) > $threshold""".stripMargin
+
+  /** The events-derived fact used by the cube queries: per (day,
+    * event_type, k) distinct-user counts, no threshold (test-config shape).
+    */
+  private def eventFact(s: SparkSession, dir: String): DataFrame =
+    eventTuples(s, dir)
+      .distinct()
+      .groupBy(col("day"), col("event_type"), col("k"))
+      .agg(count(lit(1)).as("cnt"))
+
+  private val eventFactSql =
+    s"""SELECT day, event_type, k, count(*) AS cnt
+       |FROM (SELECT DISTINCT * FROM ($eventTuplesSql) raw) dedup
+       |GROUP BY day, event_type, k""".stripMargin
+
+  /** Op 13 per granularity: 3-d CUBE over the events fact. */
+  private def cubeAt(s: SparkSession, dir: String, g: String): DataFrame =
+    StarSchema.cubeRollup(
+      eventFact(s, dir).select(
+        col("day").as("date"), col("event_type").as("country"),
+        col("k").as("risk"), col("cnt").as("count"),
+        lit(0.0).as("count_amplified")), g)
+      .drop("count_amplified")
+      .orderBy(col("date").desc_nulls_first, col("country").asc_nulls_first,
+        col("risk").asc_nulls_first, col("count").asc)
+
+  private def cubeAtSql(g: String): String =
+    s"""SELECT CAST(date_trunc('$g', day) AS DATE) AS date, k AS risk,
+       |       event_type AS country, CAST(sum(cnt) AS BIGINT) AS count
+       |FROM ($eventFactSql) fact
+       |GROUP BY CUBE(date_trunc('$g', day), event_type, k)
+       |ORDER BY date DESC NULLS FIRST, country ASC NULLS FIRST,
+       |         risk ASC NULLS FIRST, count ASC""".stripMargin
+
+  /** Quantize a money-style double to integer basis points per row —
+    * per-row IEEE ops are engine-identical, so integer sums are exact.
+    */
+  private def cents(c: Column, scale: Int = 10000): Column =
+    round(c * scale).cast("long")
+
+  // ----------------------------------------------------------- flagship
+
+  /** Flagship on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_flagship")(spark, "/root/testdata/sf0.001")
+
+  private def riskDim(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(("click", Option(41.0)), ("purchase", Option(556.9)),
+      ("error", Option(6.3)), ("view", Option.empty[Double]))
+      .toDF("slug", "factor")
+  }
+
+  // ------------------------------------------------------------ queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- parity tier: SURVEY.md §2 ops 6-19 over the shared testdata ----
+    "q01_flagship" -> ((s, dir) => {
+      val counts = flagshipCounts(s, dir, 5L)
+        .withColumn("count_amplified", lit(0.0))
+      val dim = broadcast(riskDim(s))
+      counts.join(dim, counts("event_type") === dim("slug"), "left")
+        .withColumn("count_amplified",
+          when(col("slug").isNotNull, col("cnt") * col("factor"))
+            .otherwise(col("count_amplified")))
+        .drop("slug", "factor")
+        .orderBy(col("day").desc, col("event_type").asc)
+    }),
+    "q02_project_trunc" -> ((s, dir) =>
+      eventTuples(s, dir)
+        .orderBy(col("day").asc, col("user_id").asc, col("event_type").asc,
+          col("k").asc)),
+    "q03_tuple_distinct" -> ((s, dir) =>
+      eventTuples(s, dir).distinct()
+        .orderBy(col("day").asc, col("user_id").asc, col("event_type").asc,
+          col("k").asc)),
+    "q04_group_count" -> ((s, dir) =>
+      flagshipCounts(s, dir, -1L)
+        .orderBy(col("day").asc, col("event_type").asc)),
+    "q05_having" -> ((s, dir) =>
+      flagshipCounts(s, dir, 5L)
+        .orderBy(col("day").asc, col("event_type").asc)),
+    "q06_sort_mixed" -> ((s, dir) =>
+      flagshipCounts(s, dir, 5L)
+        .orderBy(col("day").desc, col("event_type").asc)),
+    "q07_update_join" -> ((s, dir) => {
+      val counts = flagshipCounts(s, dir, 5L)
+        .withColumn("count_amplified", lit(0.0))
+      val dim = broadcast(riskDim(s))
+      counts.join(dim, counts("event_type") === dim("slug"), "left")
+        .withColumn("count_amplified",
+          when(col("slug").isNotNull, col("cnt") * col("factor"))
+            .otherwise(col("count_amplified")))
+        .drop("slug", "factor")
+        .orderBy(col("day").desc, col("event_type").asc)
+    }),
+    "q08_count_star" -> ((s, dir) =>
+      t(s, dir, "events").agg(count(lit(1)).as("n"))),
+    "q09_cube_week" -> ((s, dir) => cubeAt(s, dir, "week")),
+    "q10_cube_month" -> ((s, dir) => cubeAt(s, dir, "month")),
+    "q11_cube_quarter" -> ((s, dir) => cubeAt(s, dir, "quarter")),
+    "q12_cube_year" -> ((s, dir) => cubeAt(s, dir, "year")),
+    "q13_cube_sentinel" -> ((s, dir) =>
+      StarSchema.sentinelRewrite(
+        StarSchema.cubeRollup(
+          eventFact(s, dir).select(
+            col("day").as("date"), col("event_type").as("country"),
+            col("k").as("risk"), col("cnt").as("count"),
+            lit(0.0).as("count_amplified")), "month")
+          .drop("count_amplified"))
+        .orderBy(col("date").desc_nulls_first, col("country").asc,
+          col("risk").asc, col("count").asc)),
+    "q14_dim_date" -> ((s, dir) =>
+      StarSchema.dimDate(
+        eventTuples(s, dir).select(col("day").as("date")))
+        .orderBy(col("date").asc)),
+    "q15_distinct_dates" -> ((s, dir) =>
+      eventTuples(s, dir).select(to_date(col("day")).as("date"))
+        .distinct().orderBy(col("date").asc)),
+    "q16_anti_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val cust = t(s, dir, "customer")
+      ev.select(col("user_id")).where(col("user_id").isNotNull).distinct()
+        .join(broadcast(cust), col("user_id") === col("c_custkey"),
+          "left_anti")
+        .orderBy(col("user_id").asc)
+    }),
+    "q17_anti_dedup_firstwins" -> ((s, dir) => {
+      val pairs = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"))
+        .where(col("user_id").isNotNull).distinct()
+      val supp = t(s, dir, "supplier")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("event_type").asc_nulls_last)
+      pairs
+        .join(broadcast(supp), col("user_id") === col("s_suppkey"),
+          "left_anti")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1).drop("rn")
+        .withColumn("event_type", coalesce(col("event_type"), lit("XY")))
+        .orderBy(col("user_id").asc)
+    }),
+    "q18_scalar_dates" -> ((s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"),
+        to_date(date_trunc("day", col("ts"))).as("day"),
+        month(col("ts")).as("m"),
+        year(col("ts")).as("y"),
+        quarter(col("ts")).as("q"),
+        weekofyear(col("ts")).as("w"),
+        date_add(to_date(col("ts")), 6).as("plus6"),
+        (col("value") * 1.5).as("scaled"))
+        .orderBy(col("event_id").asc)),
+    // ---- join / window / set-op engine surface ----
+    "q19_join_broadcast" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = broadcast(t(s, dir, "customer"))
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("revenue_bp"))
+        .orderBy(col("c_mktsegment").asc)
+    }),
+    "q20_multiway_join" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = broadcast(t(s, dir, "customer"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"),
+          month(col("o_orderdate")).as("order_month"))
+        .agg(
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("revenue_bp"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("c_mktsegment").asc, col("order_month").asc)
+    }),
+    "q21_window_topk" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = broadcast(t(s, dir, "customer"))
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .orderBy(col("c_mktsegment").asc, col("rank").asc)
+    }),
+    "q22_window_running" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      o.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          cents(col("o_totalprice"), 100).as("price_c"))
+        .withColumn("running_c",
+          sum(col("price_c")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("prev_order", lag(col("o_orderkey"), 1).over(w))
+        .orderBy(col("o_custkey").asc, col("o_orderkey").asc)
+    }),
+    "q23_set_ops" -> ((s, dir) => {
+      val users = t(s, dir, "events").select(col("user_id").as("id"))
+      val custs = t(s, dir, "customer").select(col("c_custkey").as("id"))
+      val inter = users.intersect(custs).withColumn("op", lit("intersect"))
+      val exc = users.except(custs).withColumn("op", lit("except"))
+      inter.unionByName(exc).select(col("op"), col("id"))
+        .orderBy(col("op").asc, col("id").asc)
+    }),
+    "q24_tpch_q1" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_bp"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("sum_disc_bp"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag").asc, col("l_linestatus").asc)),
+    // ---- sources ----
+    "q25_csv_feed" -> ((s, _) => {
+      graft.sources.Sources
+        .logentryCsv(s, Seq("/root/repo/fixtures/logentry.csv.gz"))
+        .select(date_trunc("day", col("date")).as("day"), col("ip"),
+          col("risk"), col("asn"), col("country"))
+        .distinct()
+        .groupBy(col("day"), col("risk"), col("country"), col("asn"))
+        .agg(count(lit(1)).as("count"))
+        .orderBy(col("day").desc, col("country").asc, col("asn").asc,
+          col("risk").asc)
+    }),
+    "q26_manifest_flatten" -> ((s, _) =>
+      graft.sources.Sources
+        .manifestEntries(s, "/root/repo/fixtures/datapackage.json")
+        .orderBy(col("url").asc)),
+    // ---- extension tier: dedup ----
+    "q30_dedup_exact_groups" -> ((s, dir) =>
+      Dedup.exactGroups(t(s, dir, "documents"))
+        .orderBy(col("fingerprint").asc)),
+    "q31_dedup_exact_rows" -> ((s, dir) =>
+      Dedup.exactDedup(t(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id").asc)),
+    "q32_minhash_candidates" -> ((s, dir) =>
+      Dedup.minhashCandidates(t(s, dir, "documents"))
+        .orderBy(col("id_a").asc, col("id_b").asc)),
+    "q33_neardup_jaccard" -> ((s, dir) =>
+      Dedup.nearDupPairs(t(s, dir, "documents"), threshold = 0.5)
+        .orderBy(col("id_a").asc, col("id_b").asc)),
+    "q34_simhash" -> ((s, dir) =>
+      Dedup.simhashCandidates(t(s, dir, "documents"), maxHamming = 8)
+        .orderBy(col("id_a").asc, col("id_b").asc)),
+    "q35_embedding_neardup" -> ((s, dir) =>
+      // synthetic embeddings are near-orthogonal (max cosine ~0.4), so a
+      // production 0.95 threshold would be trivially empty; 0.25 exercises
+      // the bucket-join + verify path with a non-empty result
+      Dedup.embeddingNearDup(t(s, dir, "embeddings"), threshold = 0.25)
+        .orderBy(col("id_a").asc, col("id_b").asc)),
+    // ---- extension tier: similarity search ----
+    "q36_ann_quantized_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.quantizedTopK(emb, emb.where(col("vec_id") < 5), k = 10)
+        .orderBy(col("query_id").asc, col("rank").asc)
+    }),
+    "q37_ann_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5), k = 10)
+        .orderBy(col("query_id").asc, col("rank").asc)
+    }),
+    "q38_ann_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 5), k = 10)
+        .orderBy(col("query_id").asc, col("rank").asc)
+    }),
+    // ---- extension tier: text analysis ----
+    "q40_token_count" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+        .orderBy(col("doc_id").asc)),
+    "q41_quality" -> ((s, dir) =>
+      TextAnalysis.qualityFeatures(t(s, dir, "documents"))
+        .orderBy(col("doc_id").asc)),
+    "q42_langid" -> ((s, dir) =>
+      TextAnalysis.languageId(t(s, dir, "documents"))
+        .orderBy(col("doc_id").asc)),
+    "q43_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id").asc)),
+    "q44_rolling_hash" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.rollingHash(col("text")).as("rhash"))
+        .orderBy(col("doc_id").asc)),
+    // ---- extension tier: multimodal ----
+    "q45_multimodal_meta" -> ((s, dir) =>
+      Multimodal.mediaFromDocuments(t(s, dir, "documents"))
+        .select(col("media_id"), col("meta.media_type"),
+          col("meta.n_bytes"), col("meta.checksum"))
+        .orderBy(col("media_id").asc)),
+    "q46_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.decodeAndFeaturize(
+          Multimodal.mediaFromDocuments(t(s, dir, "documents"))), 5)
+        .orderBy(col("media_id").asc, col("frame_idx").asc))
+  )
+
+  // ------------------------------------------------------------- oracle
+
+  def oracleSql: Map[String, String] = {
+    val updateJoinSql =
+      s"""SELECT day, event_type, cnt,
+         |  CASE WHEN dim.slug IS NOT NULL THEN cnt * dim.factor
+         |       ELSE 0.0 END AS count_amplified
+         |FROM (${flagshipCountsSql(5)}) agg
+         |LEFT JOIN (VALUES ('click', 41.0), ('purchase', 556.9),
+         |                  ('error', 6.3), ('view', CAST(NULL AS DOUBLE)))
+         |  dim(slug, factor) ON agg.event_type = dim.slug
+         |ORDER BY day DESC, event_type ASC""".stripMargin
+    Map(
+      "q01_flagship" -> updateJoinSql,
+      "q02_project_trunc" ->
+        s"""SELECT * FROM ($eventTuplesSql) t
+           |ORDER BY day, user_id, event_type, k""".stripMargin,
+      "q03_tuple_distinct" ->
+        s"""SELECT DISTINCT * FROM ($eventTuplesSql) t
+           |ORDER BY day, user_id, event_type, k""".stripMargin,
+      "q04_group_count" ->
+        s"""SELECT * FROM (${flagshipCountsSql(-1)}) t
+           |ORDER BY day, event_type""".stripMargin,
+      "q05_having" ->
+        s"""SELECT * FROM (${flagshipCountsSql(5)}) t
+           |ORDER BY day, event_type""".stripMargin,
+      "q06_sort_mixed" ->
+        s"""SELECT * FROM (${flagshipCountsSql(5)}) t
+           |ORDER BY day DESC, event_type ASC""".stripMargin,
+      "q07_update_join" -> updateJoinSql,
+      "q08_count_star" -> "SELECT count(*) AS n FROM events",
+      "q09_cube_week" -> cubeAtSql("week"),
+      "q10_cube_month" -> cubeAtSql("month"),
+      "q11_cube_quarter" -> cubeAtSql("quarter"),
+      "q12_cube_year" -> cubeAtSql("year"),
+      "q13_cube_sentinel" ->
+        s"""SELECT date, coalesce(risk, 100) AS risk,
+           |       coalesce(country, 'T') AS country, count
+           |FROM (${cubeAtSql("month")
+                     .replaceAll("ORDER BY[\\s\\S]*", "")}) c
+           |ORDER BY date DESC NULLS FIRST, country ASC, risk ASC,
+           |         count ASC""".stripMargin,
+      "q14_dim_date" ->
+        """SELECT date, CAST(EXTRACT(month FROM date) AS INT) AS month,
+          |       CAST(EXTRACT(year FROM date) AS INT) AS year,
+          |       CAST(EXTRACT(quarter FROM date) AS INT) AS quarter,
+          |       CAST(EXTRACT(week FROM date) AS INT) AS week,
+          |       CAST(date_trunc('week', date) AS DATE) AS week_start,
+          |       CAST(date_trunc('week', date) AS DATE) + 6 AS week_end
+          |FROM (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS date
+          |      FROM events) d
+          |ORDER BY date""".stripMargin,
+      "q15_distinct_dates" ->
+        """SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS date
+          |FROM events ORDER BY date""".stripMargin,
+      "q16_anti_join" ->
+        """SELECT DISTINCT user_id FROM events e
+          |WHERE user_id IS NOT NULL
+          |  AND NOT EXISTS (SELECT 1 FROM customer c
+          |                  WHERE c.c_custkey = e.user_id)
+          |ORDER BY user_id""".stripMargin,
+      "q17_anti_dedup_firstwins" ->
+        """SELECT user_id, coalesce(event_type, 'XY') AS event_type
+          |FROM (
+          |  SELECT user_id, event_type,
+          |         row_number() OVER (PARTITION BY user_id
+          |                            ORDER BY event_type ASC NULLS LAST)
+          |           AS rn
+          |  FROM (SELECT DISTINCT user_id, event_type FROM events
+          |        WHERE user_id IS NOT NULL) p
+          |  WHERE NOT EXISTS (SELECT 1 FROM supplier s
+          |                    WHERE s.s_suppkey = p.user_id)) r
+          |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+      "q18_scalar_dates" ->
+        """SELECT event_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+          |       CAST(EXTRACT(month FROM ts) AS INT) AS m,
+          |       CAST(EXTRACT(year FROM ts) AS INT) AS y,
+          |       CAST(EXTRACT(quarter FROM ts) AS INT) AS q,
+          |       CAST(EXTRACT(week FROM ts) AS INT) AS w,
+          |       CAST(ts AS DATE) + 6 AS plus6,
+          |       value * 1.5 AS scaled
+          |FROM events ORDER BY event_id""".stripMargin,
+      "q19_join_broadcast" ->
+        """SELECT c_mktsegment, count(*) AS n_orders,
+          |  CAST(sum(CAST(round(o_totalprice * 10000) AS BIGINT))
+          |       AS BIGINT) AS revenue_bp
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+      "q20_multiway_join" ->
+        """SELECT c_mktsegment,
+          |  CAST(EXTRACT(month FROM o_orderdate) AS INT) AS order_month,
+          |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+          |                AS BIGINT)) AS BIGINT) AS revenue_bp,
+          |  count(*) AS n_lines
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "q21_window_topk" ->
+        """SELECT c_mktsegment, o_orderkey, o_totalprice, rank FROM (
+          |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+          |         row_number() OVER (PARTITION BY c_mktsegment
+          |           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+          |  FROM orders JOIN customer ON o_custkey = c_custkey) t
+          |WHERE rank <= 3 ORDER BY c_mktsegment, rank""".stripMargin,
+      "q22_window_running" ->
+        """SELECT o_custkey, o_orderkey, o_orderdate,
+          |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+          |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+          |    OVER (PARTITION BY o_custkey
+          |          ORDER BY o_orderdate ASC, o_orderkey ASC
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |    AS BIGINT) AS running_c,
+          |  lag(o_orderkey, 1) OVER (PARTITION BY o_custkey
+          |    ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_order
+          |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+      "q23_set_ops" ->
+        """SELECT 'intersect' AS op, id FROM
+          |  (SELECT user_id AS id FROM events
+          |   INTERSECT SELECT c_custkey FROM customer) a
+          |UNION ALL
+          |SELECT 'except' AS op, id FROM
+          |  (SELECT user_id AS id FROM events
+          |   EXCEPT SELECT c_custkey FROM customer) b
+          |ORDER BY op, id""".stripMargin,
+      "q24_tpch_q1" ->
+        """SELECT l_returnflag, l_linestatus,
+          |  sum(l_quantity) AS sum_qty,
+          |  CAST(sum(CAST(round(l_extendedprice * 10000) AS BIGINT))
+          |       AS BIGINT) AS sum_base_bp,
+          |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+          |                AS BIGINT)) AS BIGINT) AS sum_disc_bp,
+          |  count(*) AS count_order
+          |FROM lineitem
+          |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          |GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+      "q25_csv_feed" ->
+        """SELECT day, risk, country, asn, count(*) AS count
+          |FROM (SELECT DISTINCT
+          |        date_trunc('day',
+          |          CAST(strptime(substr(ts, 1, 19), '%Y-%m-%dT%H:%M:%S')
+          |               AS TIMESTAMP)) AS day,
+          |        ip, risk_id AS risk, asn, cc AS country
+          |      FROM read_csv('/root/repo/fixtures/logentry.csv.gz',
+          |        header=true,
+          |        columns={'ts':'VARCHAR','ip':'VARCHAR','risk_id':'INT',
+          |                 'asn':'BIGINT','cc':'VARCHAR'})) t
+          |GROUP BY day, risk, country, asn
+          |ORDER BY day DESC, country ASC, asn ASC, risk ASC""".stripMargin,
+      "q30_dedup_exact_groups" ->
+        """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
+          |         AS fingerprint,
+          |       min(doc_id) AS canonical_id, count(*) AS n_copies
+          |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+      "q31_dedup_exact_rows" ->
+        """SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+          |JOIN (SELECT min(doc_id) AS m FROM documents
+          |      GROUP BY md5(regexp_replace(lower(text), '\s+', ' ', 'g')))
+          |  g ON d.doc_id = g.m
+          |ORDER BY d.doc_id""".stripMargin,
+      "q36_ann_quantized_topk" ->
+        """SELECT query_id, vec_id, CAST(dot AS BIGINT) AS dot, rank FROM (
+          |  SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+          |    list_sum(list_transform(generate_series(1, len(q.embedding)),
+          |      i -> CAST(round(CAST(q.embedding[i] AS DOUBLE) * 1000)
+          |             AS BIGINT)
+          |         * CAST(round(CAST(v.embedding[i] AS DOUBLE) * 1000)
+          |             AS BIGINT))) AS dot,
+          |    row_number() OVER (PARTITION BY q.vec_id
+          |      ORDER BY list_sum(list_transform(
+          |          generate_series(1, len(q.embedding)),
+          |          i -> CAST(round(CAST(q.embedding[i] AS DOUBLE) * 1000)
+          |                 AS BIGINT)
+          |             * CAST(round(CAST(v.embedding[i] AS DOUBLE) * 1000)
+          |                 AS BIGINT)))
+          |        DESC, v.vec_id ASC) AS rank
+          |  FROM embeddings q JOIN embeddings v ON q.vec_id != v.vec_id
+          |  WHERE q.vec_id < 5) t
+          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+      "q40_token_count" ->
+        """SELECT doc_id,
+          |  CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+          |       AS INT) AS n_tokens,
+          |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}'))
+          |       AS INT) AS n_subwords
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "q41_quality" ->
+        """SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+          |  CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+          |       AS INT) AS n_tokens,
+          |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS INT)
+          |    AS n_punct,
+          |  CAST(len(regexp_extract_all(lower(text),
+          |    '\b(the|and|of|to|a|in|is|it)\b')) AS INT) AS n_stopwords
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "q42_langid" -> langIdSql,
+      "q43_fingerprint" ->
+        """SELECT doc_id,
+          |  md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
+          |    AS fingerprint
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "q45_multimodal_meta" ->
+        """SELECT doc_id AS media_id, 'image/fake' AS media_type,
+          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          |  md5(text) AS checksum
+          |FROM documents ORDER BY media_id""".stripMargin,
+      "q46_frame_sample" ->
+        """SELECT doc_id AS media_id,
+          |  CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames,
+          |  CAST(unnest(generate_series(0,
+          |    octet_length(encode(text)) % 30, 5)) AS INT) AS frame_idx
+          |FROM documents ORDER BY media_id, frame_idx""".stripMargin
+      // q26, q32-q35, q37, q38, q44: not ANSI-SQL-expressible in DuckDB
+      // (JSON explode fixture, xxhash64-based signatures, float-sum-order-
+      // dependent cosine, IVF assignment) → driver records rows-only checks.
+    )
+  }
+
+  /** q42 oracle: same stopword-hit argmax as
+    * [[graft.operators.TextAnalysis.languageId]], ties to the
+    * lexicographically-first language.
+    */
+  private def langIdSql: String = {
+    val scores = TextAnalysis.LangMarkers.map { case (lang, words) =>
+      s"CAST(len(regexp_extract_all(lower(text), '\\b$words\\b')) AS INT)" +
+        s" AS score_$lang"
+    }.mkString(",\n    ")
+    val langs = TextAnalysis.LangMarkers.map(_._1)
+    // fold in Seq order: strictly-greater wins, matching the Spark fold
+    val bestLang = langs.foldLeft(("CAST(-1 AS INT)", "'und'")) {
+      case ((bs, bl), lang) =>
+        (s"(CASE WHEN score_$lang > $bs THEN score_$lang ELSE $bs END)",
+          s"(CASE WHEN score_$lang > $bs THEN '$lang' ELSE $bl END)")
+    }
+    s"""SELECT doc_id, ${bestLang._2} AS lang_pred,
+       |       ${bestLang._1} AS score
+       |FROM (SELECT doc_id,
+       |    ${scores}
+       |  FROM documents) s
+       |ORDER BY doc_id""".stripMargin
+  }
 }

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.native
+
+/** Similarity search over an embedding column (extension tier):
+  * brute-force cosine top-k as the exact baseline, and an IVF
+  * (inverted-file / coarse-quantizer) variant as the scale path.
+  *
+  * Scale design: queries are the small side and are always broadcast — the
+  * corpus never shuffles for the join. Top-k is a window per query over the
+  * scored candidates (post-filter, bounded by k·|queries| rows out). The
+  * IVF path prunes the corpus to `nprobe` of `nlist` centroid cells before
+  * scoring, so scored pairs shrink by ~nprobe/nlist; at 100 TB the corpus
+  * would be written bucketed by cell id so a probe is a partition-pruned
+  * scan, not a full pass.
+  */
+object Similarity {
+
+  /** Exact brute-force cosine top-k: score every (query, corpus) pair via
+    * the native codegen'd dot product, keep the k best per query.
+    * Deterministic tie-break on vec_id.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      k: Int = 10): DataFrame = {
+    val q = broadcast(queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("query_vec")))
+    val scored = corpus.join(q, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        native.fvec_cosine(col("query_vec"), col("embedding")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** `nlist` coarse centroids picked deterministically from the corpus
+    * (vec_id mod stride — data-spread, seedless). Returns (cell, centroid),
+    * cell = 0..nlist-1. Broadcast-sized by construction.
+    */
+  def ivfCentroids(corpus: DataFrame, nlist: Int = 16): DataFrame = {
+    val n = corpus.count()
+    val stride = math.max(n / nlist, 1L)
+    corpus.where(pmod(col("vec_id"), lit(stride)) === 0)
+      .orderBy(col("vec_id")).limit(nlist)
+      .select(
+        (row_number().over(Window.orderBy(col("vec_id"))) - 1).as("cell"),
+        col("embedding").as("centroid"))
+  }
+
+  /** IVF assignment: each corpus vector → its nearest centroid by cosine.
+    * Returns (vec_id, cell). At scale this is the bucketing column the
+    * corpus is written `bucketBy`/`partitionBy` on.
+    */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = corpus.select(col("vec_id"), col("embedding"))
+      .join(broadcast(centroids))
+      .select(col("vec_id"), col("cell"),
+        native.fvec_cosine(col("embedding"), col("centroid")).as("sim"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cell").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("cell"))
+  }
+
+  /** IVF approximate top-k: probe the `nprobe` nearest cells per query,
+    * score only vectors in probed cells. Recall < 1 by construction; the
+    * exact [[bruteForceTopK]] is the correctness oracle.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val centroids0 = ivfCentroids(corpus, nlist)
+    val assign = ivfAssign(corpus, centroids0)
+    val indexed = corpus.join(assign, Seq("vec_id"))
+    val centroids = broadcast(
+      centroids0.select(col("cell").as("ccell"), col("centroid")))
+    // nearest nprobe cells per query
+    val q = queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("ccell").asc)
+    val probes = q.join(centroids)
+      .select(col("query_id"), col("query_vec"), col("ccell"),
+        native.fvec_cosine(col("query_vec"), col("centroid")).as("csim"))
+      .withColumn("rn", row_number().over(probeW))
+      .where(col("rn") <= nprobe)
+      .select(col("query_id"), col("query_vec"), col("ccell").as("cell"))
+    val scored = indexed.join(broadcast(probes), Seq("cell"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        native.fvec_cosine(col("query_vec"), col("embedding")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Engine-portable exact top-k on quantized vectors: components rounded
+    * to 1e-3 and summed as integers, so the score is exactly reproducible
+    * across engines (used by the DuckDB oracle; float summation order is
+    * not).
+    */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame,
+      k: Int = 10, scale: Int = 1000): DataFrame = {
+    val qz: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      v => transform(v, x => round(x.cast("double") * scale).cast("long"))
+    val q = broadcast(queries.select(
+      col("vec_id").as("query_id"), qz(col("embedding")).as("query_vec")))
+    val scored = corpus
+      .select(col("vec_id"), qz(col("embedding")).as("vec"))
+      .join(q, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        aggregate(zip_with(col("query_vec"), col("vec"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("dot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table (extension tier, SURVEY.md §7): token counting,
+  * quality scoring, n-gram-heuristic language ID, document fingerprinting.
+  *
+  * Everything here is built from codegen'd `functions._` expressions — no
+  * UDFs — so the whole stage stays inside WholeStageCodegen and the parquet
+  * scan only reads the columns actually used.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empties dropped (so leading/trailing space is
+    * harmless). */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= lit(""))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish subword proxy: word chunks of <=4 chars — counts how many
+    * subword units a byte-pair-style tokenizer would roughly emit. Pure
+    * regexp, codegen-friendly.
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]{1,4}"), lit(0)))
+
+  private val Punct = "[.,!?;:]"
+  private val StopEn = "(the|and|of|to|a|in|is|it)"
+
+  /** Quality-score features: char length, token count, punctuation count,
+    * stopword count, mean token length ×100 (as a long, to keep the output
+    * integral and engine-portable).
+    */
+  def qualityFeatures(df: DataFrame, text: Column = col("text")): DataFrame =
+    df.select(
+      col("doc_id"),
+      length(text).as("n_chars"),
+      tokenCount(text).as("n_tokens"),
+      size(regexp_extract_all(text, lit(Punct), lit(0))).as("n_punct"),
+      size(regexp_extract_all(lower(text),
+        lit("\\b" + StopEn + "\\b"), lit(0))).as("n_stopwords"))
+
+  /** Language-ID by stopword-hit heuristic: count hits of per-language
+    * high-frequency word lists, argmax with deterministic lexicographic
+    * tie-break. The word lists are tiny on purpose — this is the n-gram
+    * heuristic shape (score per language → argmax), not a trained model.
+    */
+  val LangMarkers: Seq[(String, String)] = Seq(
+    "de" -> "(der|die|das|und|nicht|ist)",
+    "en" -> "(the|and|of|to|is|in)",
+    "es" -> "(el|la|los|las|que|de)",
+    "fr" -> "(le|la|les|et|est|que)",
+    "zh" -> "(de|shi|le|bu|wo|zai)")
+
+  def langScores(text: Column): Seq[(String, Column)] =
+    LangMarkers.map { case (lang, words) =>
+      lang -> size(regexp_extract_all(lower(text),
+        lit("\\b" + words + "\\b"), lit(0)))
+    }
+
+  /** `(doc_id, lang_pred, score)` — argmax over [[langScores]]; ties go to
+    * the lexicographically-first language (the Seq is sorted).
+    */
+  def languageId(df: DataFrame, text: Column = col("text")): DataFrame = {
+    val base = df.select(col("doc_id"), text.as("__t"))
+    val scored = langScores(col("__t")).foldLeft(base) {
+      case (acc, (lang, score)) => acc.withColumn(s"score_$lang", score)
+    }
+    val best = LangMarkers.map(_._1).foldLeft(lit(-1) -> lit("und")) {
+      case ((bestScore, bestLang), lang) =>
+        val s = col(s"score_$lang")
+        (when(s > bestScore, s).otherwise(bestScore),
+          when(s > bestScore, lit(lang)).otherwise(bestLang))
+    }
+    scored.select(col("doc_id"), best._2.as("lang_pred"), best._1.as("score"))
+  }
+
+  /** Content fingerprint: md5 of the whitespace-normalized, lowercased text.
+    * Stable across engines and run order — the exact-dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Rolling polynomial fingerprint (Rabin-Karp shape) over the normalized
+    * text — order-sensitive, so transpositions change it, unlike a bag of
+    * words. Backed by the native codegen'd [[graft.functions.RollingHashExpr]].
+    */
+  def rollingHash(text: Column, base: Long = 257L,
+      mod: Long = 1000000007L): Column =
+    graft.functions.native.rolling_hash(
+      regexp_replace(lower(text), "\\s+", " "), base, mod)
+}

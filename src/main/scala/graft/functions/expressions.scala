@@ -1,8 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -139,6 +139,229 @@ case class FloatVecNormExpr(child: Expression)
       newChild: Expression): FloatVecNormExpr = copy(child = newChild)
 }
 
+/** 64-bit SimHash over an `array<string>` of tokens: per bit, the sign of
+  * Σ±1 across the tokens' xxhash64 bits (same XXH64, seed 42, as Spark's
+  * `xxhash64`, so signatures are consistent with an exploded formulation).
+  * A built-in formulation needs explode + groupBy with 64 sums — a shuffle
+  * of |tokens| rows; this is a per-row O(tokens·64) loop, map-only.
+  */
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  /** Per-row kernel, also called from generated code — keeps the
+    * surrounding projection inside whole-stage codegen (a CodegenFallback
+    * would force the WHOLE collapsed projection, including codegen-friendly
+    * children, onto the interpreted path).
+    */
+  def kernel(input: Any): Long = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def nullSafeEval(input: Any): Any = kernel(input)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val self = ctx.addReferenceObj("simhashKernel", this,
+        this.getClass.getName)
+      s"${ev.value} = $self.kernel($c);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SimHash64Expr = copy(child = newChild)
+}
+
+/** MinHash signature over an `array<string>` of shingles: `numHashes`
+  * permutations h_k(x) = (a_k·x + b_k) mod p applied to each shingle's
+  * xxhash64, keeping the minimum per permutation — all in ONE pass that
+  * hashes each shingle exactly once (the built-in formulation
+  * `array_min(transform(...))` × k re-evaluates the shingle array k times
+  * after Catalyst's CollapseProject inlines it). p = 2^31-1 keeps
+  * a·x + b < 2^62, no overflow. Coefficients are seeded and
+  * data-independent.
+  */
+case class MinHashSigExpr(child: Expression, shingleWords: Int,
+    numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  /** Per-row kernel, also called from generated code (see
+    * [[SimHash64Expr.kernel]] for why). */
+  def kernel(input: Any): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      MinHashSigExpr.compute(input.asInstanceOf[ArrayData], shingleWords,
+        numHashes))
+
+  override protected def nullSafeEval(input: Any): Any = kernel(input)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val self = ctx.addReferenceObj("minhashKernel", this,
+        this.getClass.getName)
+      s"${ev.value} = $self.kernel($c);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MinHashSigExpr = copy(child = newChild)
+}
+
+object MinHashSigExpr {
+  val P: Long = 2147483647L // 2^31 - 1, Mersenne prime
+
+  /** Distinct shingle hashes from a TOKEN array: each token is XXH64'd
+    * once, each shingle hash is a polynomial combine of `shingleWords`
+    * consecutive token hashes (wrapping arithmetic — only equality
+    * matters). Building shingle STRINGS (slice+concat per position) costs
+    * ~µs-scale UTF8 allocation per shingle and dominated the whole
+    * pipeline; this is pure long arithmetic after one hash per token.
+    */
+  def shingleHashes(arr: ArrayData, shingleWords: Int): Array[Long] = {
+    val n = arr.numElements()
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      th(i) = if (arr.isNullAt(i)) 0L
+      else XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+      i += 1
+    }
+    val count = math.max(n - shingleWords + 1, if (n > 0) 1 else 0)
+    val seen = new java.util.HashSet[java.lang.Long](count * 2)
+    val out = new Array[Long](count)
+    var m = 0
+    i = 0
+    while (i < count) {
+      var acc = 0L
+      var j = 0
+      while (j < shingleWords && i + j < n) {
+        acc = acc * 1000003L + th(i + j)
+        j += 1
+      }
+      if (seen.add(acc)) { out(m) = acc; m += 1 }
+      i += 1
+    }
+    if (m == count) out else java.util.Arrays.copyOf(out, m)
+  }
+
+  /** One pass over the shingle hashes, maintaining all permutation
+    * minima. */
+  def compute(tokens: ArrayData, shingleWords: Int,
+      numHashes: Int): Array[Long] = {
+    val hashes = shingleHashes(tokens, shingleWords)
+    val as = coeffA(numHashes)
+    val bs = coeffB(numHashes)
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < hashes.length) {
+      val x = ((hashes(i) % P) + P) % P
+      var k = 0
+      while (k < numHashes) {
+        val v = (as(k) * x + bs(k)) % P
+        if (v < mins(k)) mins(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    mins
+  }
+
+  /** Deterministic per-permutation coefficients (seed 42). */
+  private def coeffs(n: Int): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(42)
+    val as = new Array[Long](n)
+    val bs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      as(i) = math.abs(rnd.nextLong()) % (P - 1) + 1
+      bs(i) = math.abs(rnd.nextLong()) % P
+      i += 1
+    }
+    (as, bs)
+  }
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  def coeffA(n: Int): Array[Long] =
+    cache.computeIfAbsent(n, coeffs(_))._1
+  def coeffB(n: Int): Array[Long] =
+    cache.computeIfAbsent(n, coeffs(_))._2
+}
+
+/** Fused MinHash + LSH banding over an `array<string>` of shingles: one
+  * pass computes the `numHashes` permutation minima (see
+  * [[MinHashSigExpr]]) and folds them into `bands` band hashes
+  * (modular polynomial combine). Returned as one `array<long>` so a
+  * downstream `posexplode` evaluates the whole thing exactly once per row —
+  * a lambda-based banding over a separate signature column is re-evaluated
+  * once per band after CollapseProject inlining.
+  */
+case class MinHashBandsExpr(child: Expression, shingleWords: Int,
+    numHashes: Int, bands: Int)
+    extends UnaryExpression {
+  require(numHashes % bands == 0, "numHashes must be divisible by bands")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_bands"
+
+  /** Per-row kernel, also called from generated code (see
+    * [[SimHash64Expr.kernel]] for why). */
+  def kernel(input: Any): ArrayData = {
+    val mins = MinHashSigExpr.compute(input.asInstanceOf[ArrayData],
+      shingleWords, numHashes)
+    val rowsPerBand = numHashes / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 0L
+      var r = 0
+      while (r < rowsPerBand) {
+        acc = (acc * 1000003L + mins(b * rowsPerBand + r)) % 8589934583L
+        r += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any = kernel(input)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val self = ctx.addReferenceObj("minhashBandsKernel", this,
+        this.getClass.getName)
+      s"${ev.value} = $self.kernel($c);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MinHashBandsExpr = copy(child = newChild)
+}
+
 /** Column-level entry points. */
 object native {
   import org.apache.spark.sql.graftshim.ColumnBridge
@@ -155,4 +378,16 @@ object native {
 
   def fvec_cosine(a: Column, b: Column): Column =
     fvec_dot(a, b) / (fvec_norm(a) * fvec_norm(b))
+
+  def simhash64(tokens: Column): Column = c(SimHash64Expr(e(tokens)))
+
+  /** MinHash signature from a TOKEN array (shingling happens inside the
+    * kernel as hash combines — no shingle strings are materialized). */
+  def minhash_sig(tokens: Column, shingleWords: Int = 3,
+      numHashes: Int = 32): Column =
+    c(MinHashSigExpr(e(tokens), shingleWords, numHashes))
+
+  def minhash_bands(tokens: Column, shingleWords: Int = 3,
+      numHashes: Int = 32, bands: Int = 8): Column =
+    c(MinHashBandsExpr(e(tokens), shingleWords, numHashes, bands))
 }

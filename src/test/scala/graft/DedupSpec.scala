@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Dedup operators: exact, MinHash+LSH recall on planted near-duplicates,
+  * SimHash, Jaccard verification, embedding near-dup.
+  */
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and " +
+    "then runs far away into the deep dark forest tonight"
+
+  private def docs = Seq(
+    (0L, base),
+    (1L, base),                                    // exact dup of 0
+    (2L, base.replace("tonight", "today")),        // near-dup of 0
+    (3L, "completely different words about spark query engines and " +
+      "distributed joins running on large clusters of machines"),
+    (4L, "THE  quick   brown fox jumps over the lazy dog and then runs " +
+      "far away into the deep dark forest tonight"), // normalizes to 0
+    (5L, "yet another unrelated document discussing minhash banding " +
+      "signatures buckets and locality sensitive hashing methods"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup: normalization-insensitive, lowest id canonical") {
+    val groups = Dedup.exactGroups(docs).collect()
+    assert(groups.length === 4) // {0,1,4}, {2}, {3}, {5}
+    val canon = Dedup.exactDedup(docs).select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(canon === Set(0L, 2L, 3L, 5L))
+  }
+
+  test("minhash LSH finds planted near-dup pairs, skips unrelated") {
+    val cands = Dedup.minhashCandidates(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact dups must collide on every band; near-dup 0~2 on most
+    assert(cands.contains((0L, 1L)))
+    assert(cands.contains((0L, 4L)))
+    assert(cands.contains((0L, 2L)))
+    assert(!cands.contains((3L, 5L))) // unrelated docs don't pair
+  }
+
+  test("jaccard verification scores candidates exactly") {
+    val verified = Dedup.nearDupPairs(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2))).toSeq
+    val exactPair = verified.find(p => p._1 == 0L && p._2 == 1L)
+    assert(exactPair.exists(_._3 === 1.0)) // identical shingle sets
+    assert(verified.forall(_._3 >= 0.5))
+  }
+
+  test("simhash: identical docs have distance 0, near-dups small, " +
+      "unrelated docs large") {
+    val sigs = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(0L) === sigs(1L))
+    assert(sigs(0L) === sigs(4L)) // normalization
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(0L), sigs(2L)) < ham(sigs(0L), sigs(3L)))
+    val cands = Dedup.simhashCandidates(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((0L, 1L)))
+  }
+
+  test("embedding near-dup finds the planted duplicate vector") {
+    val vecs = Seq(
+      (0L, Array.fill(8)(1.0f)),
+      (1L, Array.fill(8)(1.0f)),              // exact dup direction
+      (2L, Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)),
+      (3L, Array.tabulate(8)(i => if (i < 4) 1.0f else -1.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(vecs, dim = 8, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 1L)))
+  }
+}

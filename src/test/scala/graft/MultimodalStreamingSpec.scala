@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.operators.Multimodal
+import graft.streaming.StreamingAgg
+
+class MultimodalStreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("multimodal: payload + typed metadata, per-partition decode, " +
+      "frame sampling") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet").limit(50)
+    val media = Multimodal.mediaFromDocuments(docs)
+    assert(media.schema("payload").dataType.typeName === "binary")
+    assert(media.schema("meta").dataType.typeName === "struct")
+    val decoded = Multimodal.decodeAndFeaturize(media)
+    assert(decoded.schema === Multimodal.decodedSchema)
+    val d0 = decoded.orderBy($"media_id").collect()(0)
+    assert(d0.getInt(1) >= 1 && d0.getInt(1) <= 640) // width
+    assert(d0.getSeq[Float](4).length === 8)          // features
+    // metadata-only projection never deserializes the payload
+    val metaOnly = media.select($"media_id", $"meta.n_bytes")
+    assert(metaOnly.count() === 50)
+    val frames = Multimodal.sampleFrames(decoded, 5)
+    val f = frames.groupBy($"media_id").agg(count(lit(1)).as("n"),
+      max($"frame_idx").as("mx")).collect()
+    assert(f.forall(r => r.getLong(1) >= 1))
+    assert(frames.where($"frame_idx" % 5 =!= 0).count() === 0)
+  }
+
+  test("streaming flagship: watermarked dedup+count equals the batch " +
+      "result, late duplicates collapse, windows close as the watermark " +
+      "advances") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("stream").toString
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val stream = input.toDF().toDF("ts", "user_id", "event_type")
+    val agg = StreamingAgg.distinctDailyCounts(stream, "1 day")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("stream_out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: day-1 events incl. a same-user duplicate, plus one day-2 row
+    input.addData(Seq(
+      (t("2024-01-01 01:00:00"), 1L, "click"),
+      (t("2024-01-01 02:00:00"), 1L, "click"), // dedup within (day,user,type)
+      (t("2024-01-01 03:00:00"), 2L, "click"),
+      (t("2024-01-02 01:00:00"), 1L, "view")))
+    q.processAllAvailable()
+    // batches 2-3: advance event time so the watermark passes both windows
+    input.addData(Seq((t("2024-01-05 00:00:00"), 9L, "noise")))
+    q.processAllAvailable()
+    input.addData(Seq((t("2024-01-07 00:00:00"), 9L, "noise")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("stream_out")
+      .where($"event_type" =!= "noise") // watermark-advancer rows
+      .orderBy($"day", $"event_type")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+        r.getLong(2))).toSeq
+    assert(got === Seq(
+      ("2024-01-01 00:00:00.0", "click", 2L),
+      ("2024-01-02 00:00:00.0", "view", 1L)))
+  }
+}

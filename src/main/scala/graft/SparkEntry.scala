@@ -295,6 +295,21 @@ object SparkEntry {
             .as("sum_disc_bp"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag").asc, col("l_linestatus").asc)),
+    "q27_sessionize" -> ((s, dir) =>
+      // distinct (user, ts) first so the lag order is total — duplicate
+      // timestamps would make gaps-and-islands nondeterministic
+      Sessionize.sessions(
+        t(s, dir, "events").select(col("user_id"), col("ts")).distinct(),
+        gapMinutes = 60)
+        .orderBy(col("user_id").asc, col("session_id").asc)),
+    "q28_approx_distinct" -> ((s, dir) =>
+      // HLL sketch implementations differ across engines by design →
+      // rows-only check; the exact q04 family is the precision oracle
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy(col("event_type").asc)),
     // ---- sources ----
     "q25_csv_feed" -> ((s, _) => {
       graft.sources.Sources
@@ -523,6 +538,26 @@ object SparkEntry {
           |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
           |GROUP BY l_returnflag, l_linestatus
           |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+      "q27_sessionize" ->
+        """SELECT user_id, session_id, min(ts) AS session_start,
+          |       max(ts) AS session_end, count(*) AS n_events
+          |FROM (
+          |  SELECT user_id, ts,
+          |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS BIGINT) AS session_id
+          |  FROM (
+          |    SELECT user_id, ts,
+          |      CASE WHEN prev_ts IS NULL
+          |                OR date_diff('second', prev_ts, ts) > 3600
+          |           THEN 1 ELSE 0 END AS new_session
+          |    FROM (
+          |      SELECT user_id, ts,
+          |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+          |          AS prev_ts
+          |      FROM (SELECT DISTINCT user_id, ts FROM events) d) a) b) c
+          |GROUP BY user_id, session_id
+          |ORDER BY user_id, session_id""".stripMargin,
       "q25_csv_feed" ->
         """SELECT day, risk, country, asn, count(*) AS count
           |FROM (SELECT DISTINCT

@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config.Config
+
+class ConfigSpec extends AnyFunSuite {
+
+  test("env substitution fills $VAR and ${VAR}, fails on missing " +
+      "(reference main.py:25-38)") {
+    val env = Map("DB_HOST" -> "example.internal", "DB_PORT" -> "5439")
+    assert(Config.substituteEnv("host=$DB_HOST port=${DB_PORT}", env) ===
+      "host=example.internal port=5439")
+    val e = intercept[IllegalArgumentException] {
+      Config.substituteEnv("x=$MISSING_VAR", env)
+    }
+    assert(e.getMessage.contains("MISSING_VAR"))
+  }
+
+  test("flat JSON config loads typed scalars") {
+    val tmp = Files.createTempFile("cfg", ".json")
+    Files.writeString(tmp,
+      """{"redshift_uri": "jdbc:$DB_HOST", "count_threshold": 100,
+        |"dry_run": false}""".stripMargin)
+    val cfg = Config.load(tmp.toString, Map("DB_HOST" -> "h"))
+    assert(cfg("redshift_uri") === "jdbc:h")
+    assert(cfg("count_threshold") === "100")
+    assert(cfg("dry_run") === "false")
+  }
+
+  test("s3 path parse (reference main.py:41-50)") {
+    assert(Config.parseS3Path("s3://bucket/a/b/c.csv") ===
+      ("bucket", "a/b/c.csv"))
+    assert(Config.parseS3Path("s3a://bucket") === ("bucket", ""))
+    intercept[IllegalArgumentException] {
+      Config.parseS3Path("http://x/y")
+    }
+  }
+}
+
+/** End-to-end pipeline: the reference's E1+E2 lifecycle on the fixture
+  * feed, producing every serving artifact (SURVEY.md §3).
+  */
+class PipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("full lifecycle: feed → counts → unload CSV → star schema → " +
+      "repaired dims") {
+    val out = Files.createTempDirectory("pipeline").toString
+    val dimRisk = Seq(
+      (1, "r1", "R1", false, "t", "count", Some(41.0), ""),
+      (2, "r2", "R2", false, "t", "count", Some(556.9), ""))
+      .toDF("id", "slug", "title", "is_archived", "taxonomy",
+        "measurement_units", "amplification_factor", "description")
+    val dimCountry = Seq(("US", "United States", "us", "r", "c"))
+      .toDF("id", "name", "slug", "region", "continent")
+    val dimAsn = Seq((12252L, "t", "US")).toDF("number", "title", "country")
+
+    val result = Pipeline.run(spark,
+      Seq("/root/repo/fixtures/logentry.csv.gz"),
+      dimRisk, dimCountry, dimAsn, out, threshold = 0L)
+
+    // unload artifact exists, is a single file
+    assert(new java.io.File(s"$out/unload/count.csv").isFile)
+
+    // counts: amplified where dim matches, 0 where not
+    val amped = result.counts.where($"risk" === 2 && $"count_amplified" > 0)
+    assert(amped.count() > 0)
+    assert(result.counts.where($"risk" === 4)
+      .select($"count_amplified").collect().forall(_.getDouble(0) == 0.0))
+
+    // cube tables exist with grand-total sentinel rows
+    for (g <- Seq("week", "month", "quarter", "year")) {
+      val cube = spark.read.parquet(s"$out/agg_risk_country_$g")
+      assert(cube.where($"country" === "T" && $"risk" === 100).count() > 0,
+        s"granularity $g missing sentinel rollups")
+    }
+
+    // fact written partitioned by date (partition pruning layout)
+    assert(new java.io.File(s"$out/fact_count").listFiles()
+      .exists(_.getName.startsWith("date=")))
+
+    // dim repair added the countries/asns the feed has but the dims lack
+    val countries = spark.read.parquet(s"$out/dim_country")
+    assert(countries.where($"id" === "PE" && $"name" === "unknown")
+      .count() === 1)
+    val asns = spark.read.parquet(s"$out/dim_asn")
+    assert(asns.where($"number" === 64512L).count() === 1)
+
+    // date dimension covers every fact date
+    val factDates = spark.read.parquet(s"$out/fact_count")
+      .select($"date").distinct().count()
+    assert(result.dimDate.count() === factDates)
+  }
+}

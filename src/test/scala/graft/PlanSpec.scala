@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions — the 100 TB posture, checked mechanically:
+  * dimension joins broadcast (fact never shuffles for them), filters reach
+  * the parquet scan, projections prune the read schema, aggregates are
+  * partial+final (map-side combine before any exchange).
+  */
+class PlanSpec extends SparkSuite {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("amplified update-join broadcasts the risk dimension " +
+      "(no fact-side shuffle)") {
+    val p = plan(SparkEntry.queries("q07_update_join")(spark, sf()))
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("multiway join broadcasts the customer dimension") {
+    val p = plan(SparkEntry.queries("q20_multiway_join")(spark, sf()))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("anti-join dimension repair broadcasts the dimension side") {
+    val p = plan(SparkEntry.queries("q16_anti_join")(spark, sf()))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      p.take(2000))
+  }
+
+  test("TPC-H q1 filter is pushed down to the parquet scan") {
+    val p = plan(SparkEntry.queries("q24_tpch_q1")(spark, sf()))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "LessThanOrEqual(l_shipdate"), p.take(3000))
+  }
+
+  test("projection prunes the parquet read schema to used columns") {
+    val df = spark.read.parquet(sf() + "/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val p = plan(df)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint," +
+      "l_quantity:double>"), p.take(2000))
+    // documents: metadata-only query never reads the text column
+    val meta = spark.read.parquet(sf() + "/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+    assert(plan(meta).contains("ReadSchema: struct<doc_id:bigint," +
+      "lang:string>"))
+  }
+
+  test("flagship aggregation plans partial+final hash aggregates " +
+      "(map-side combine before the exchange)") {
+    val p = plan(SparkEntry.queries("q04_group_count")(spark, sf()))
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(p.contains("Exchange hashpartitioning"), p.take(2000))
+    // partial aggregate appears below the first exchange
+    val firstAgg = p.indexOf("HashAggregate")
+    assert(firstAgg >= 0)
+  }
+
+  test("signature pipeline stays map-only until the band join " +
+      "(no shuffle before lshBands' exchange)") {
+    val p = plan(graft.operators.Dedup.minhashSignatures(
+      spark.read.parquet(sf() + "/documents.parquet")))
+    assert(!p.contains("Exchange"), p.take(2000))
+  }
+
+  test("brute-force ANN broadcasts the query side, never shuffles the " +
+      "corpus") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val p = plan(graft.operators.Similarity.bruteForceTopK(
+      emb, emb.where(col("vec_id") < 5), 10))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+}

@@ -94,4 +94,24 @@ object RiskAggregation {
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("count"))
       .where(col("count") > threshold)
+
+  /** Skew-safe exact distinct count: salt the distinct column into
+    * `salts` disjoint hash buckets, count distinct per (group, salt), then
+    * sum the per-salt counts. Correct because the hash partitions each
+    * group's distinct values disjointly across salts.
+    *
+    * Use when one group key (e.g. a hot (day, country)) holds so many
+    * DISTINCT values that the per-group reduce of the plain plan
+    * concentrates on one task. Spark's partial aggregation already
+    * map-side-dedups plain [[aggregate]]; this is the escape hatch for the
+    * residual hot-reducer case at 100 TB.
+    */
+  def skewSafeDistinctCount(df: DataFrame, groupCols: Seq[String],
+      distinctCol: String, salts: Int = 64): DataFrame =
+    df
+      .groupBy(groupCols.map(col) :+
+        pmod(xxhash64(col(distinctCol)), lit(salts)).as("_salt"): _*)
+      .agg(countDistinct(col(distinctCol)).as("_partial"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("_partial")).as("count"))
 }

@@ -389,6 +389,15 @@ object SparkEntry {
         TextAnalysis.rollingHash(col("text")).as("rhash"))
         .orderBy(col("doc_id").asc)),
     // ---- extension tier: multimodal ----
+    "q47_vocabulary" -> ((s, dir) =>
+      TextAnalysis.vocabulary(t(s, dir, "documents"), limit = 200)),
+    "q48_top_terms" -> ((s, dir) =>
+      TextAnalysis.topTermsPerDoc(t(s, dir, "documents"), k = 3)
+        .orderBy(col("doc_id").asc, col("rank").asc)),
+    "q49_neardup_clusters" -> ((s, dir) =>
+      Dedup.nearDupClusters(
+        Dedup.minhashCandidates(t(s, dir, "documents")))
+        .orderBy(col("id").asc)),
     "q45_multimodal_meta" -> ((s, dir) =>
       Multimodal.mediaFromDocuments(t(s, dir, "documents"))
         .select(col("media_id"), col("meta.media_type"),
@@ -500,7 +509,8 @@ object SparkEntry {
           |JOIN customer ON o_custkey = c_custkey
           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
       "q21_window_topk" ->
-        """SELECT c_mktsegment, o_orderkey, o_totalprice, rank FROM (
+        """SELECT c_mktsegment, o_orderkey, o_totalprice,
+          |       CAST(rank AS INT) AS rank FROM (
           |  SELECT c_mktsegment, o_orderkey, o_totalprice,
           |         row_number() OVER (PARTITION BY c_mktsegment
           |           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
@@ -583,7 +593,8 @@ object SparkEntry {
           |  g ON d.doc_id = g.m
           |ORDER BY d.doc_id""".stripMargin,
       "q36_ann_quantized_topk" ->
-        """SELECT query_id, vec_id, CAST(dot AS BIGINT) AS dot, rank FROM (
+        """SELECT query_id, vec_id, CAST(dot AS BIGINT) AS dot,
+          |       CAST(rank AS INT) AS rank FROM (
           |  SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
           |    list_sum(list_transform(generate_series(1, len(q.embedding)),
           |      i -> CAST(round(CAST(q.embedding[i] AS DOUBLE) * 1000)
@@ -623,6 +634,30 @@ object SparkEntry {
           |  md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
           |    AS fingerprint
           |FROM documents ORDER BY doc_id""".stripMargin,
+      "q47_vocabulary" ->
+        """SELECT token, count(*) AS cnt
+          |FROM (SELECT unnest(list_filter(string_split(
+          |        regexp_replace(lower(text), '\s+', ' ', 'g'), ' '),
+          |        x -> x != '')) AS token
+          |      FROM documents) t
+          |GROUP BY token ORDER BY cnt DESC, token ASC
+          |LIMIT 200""".stripMargin,
+      "q48_top_terms" ->
+        """WITH toks AS (
+          |  SELECT doc_id, unnest(list_filter(string_split(
+          |    regexp_replace(lower(text), '\s+', ' ', 'g'), ' '),
+          |    x -> x != '')) AS token
+          |  FROM documents),
+          |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+          |       GROUP BY doc_id, token),
+          |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token)
+          |SELECT doc_id, token, tf, df, CAST(rank AS INT) AS rank FROM (
+          |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+          |    row_number() OVER (PARTITION BY tf.doc_id
+          |      ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC,
+          |               tf.token ASC) AS rank
+          |  FROM tf JOIN df ON tf.token = df.token) r
+          |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
       "q45_multimodal_meta" ->
         """SELECT doc_id AS media_id, 'image/fake' AS media_type,
           |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

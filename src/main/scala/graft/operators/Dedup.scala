@@ -195,24 +195,71 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over near-dup pairs → (doc_id, canonical_id)
+    * with canonical = min doc_id in the component, via iterative min-label
+    * propagation. Each iteration is one join + one aggregate; convergence
+    * needs O(component diameter) rounds — near-dup clusters are shallow,
+    * so a handful. At very large scale the same loop applies to the
+    * large-star/small-star formulation; `localCheckpoint` truncates the
+    * growing lineage each round.
+    */
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .union(pairs.select(col("id_b"), col("id_a")))
+      .toDF("src", "dst")
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var iter = 0
+    var changed = 1L
+    while (iter < maxIter && changed > 0) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("label", "dst_label"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("dst_label")).as("neighbor_label"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("neighbor_label"),
+            col("label"))).as("label"),
+          col("label").as("old_label"))
+      val next = updated.select(col("id"), col("label")).localCheckpoint()
+      changed = updated.where(col("label") =!= col("old_label")).count()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("label", "canonical_id")
+  }
+
   // --------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-dup: pairs with cosine ≥ threshold, bucketed by
-    * random-hyperplane LSH (sign bits of `planes` fixed random projections)
-    * so the self-join is on bucket keys. Exact cosine verifies inside each
-    * bucket via the native codegen'd dot product.
+    * random-hyperplane LSH (sign bits of `planes` fixed random projections
+    * per table, `tables` independent tables unioned for recall — a pair is
+    * found if it collides in ANY table). Exact cosine verifies inside each
+    * bucket via the native codegen'd dot product; the self-join is always
+    * on bucket keys, never all-pairs.
+    *
+    * Recall per table for cosine c: (1 - acos(c)/π)^planes; e.g. c=0.95 →
+    * 0.43 with 8 planes, → 1-(1-0.43)^4 ≈ 0.90 with 4 tables.
     */
   def embeddingNearDup(embeddings: DataFrame, dim: Int = 64,
-      planes: Int = 8, threshold: Double = 0.95): DataFrame = {
+      planes: Int = 8, threshold: Double = 0.95,
+      tables: Int = 4): DataFrame = {
     val rnd = new scala.util.Random(7)
-    val planeVecs = Seq.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
-    val bucketBits = planeVecs.zipWithIndex.map { case (v, i) =>
-      val proj = native.fvec_dot(col("embedding"),
-        typedLit(v.map(_.toFloat).toSeq))
-      when(proj >= 0, shiftleft(lit(1), i)).otherwise(lit(0))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    val bucketed = embeddings.select(col("vec_id"), col("embedding"),
-      bucketBits.as("bucket"))
+    val base = embeddings.select(col("vec_id"), col("embedding"))
+    val perTable = (0 until tables).map { t =>
+      val planeVecs = Seq.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
+      val bucketBits = planeVecs.zipWithIndex.map { case (v, i) =>
+        val proj = native.fvec_dot(col("embedding"),
+          typedLit(v.map(_.toFloat).toSeq))
+        when(proj >= 0, shiftleft(lit(1), i)).otherwise(lit(0))
+      }.reduce((a, b) => a.bitwiseOR(b))
+      base.select(col("vec_id"), col("embedding"),
+        bucketBits.bitwiseOR(lit(t << planes)).as("bucket"))
+    }
+    val bucketed = perTable.reduce(_ unionByName _)
     val a = bucketed.as("a")
     val b = bucketed.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") &&
@@ -220,6 +267,7 @@ object Dedup {
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         native.fvec_cosine(col("a.embedding"), col("b.embedding"))
           .as("cosine"))
+      .distinct()
       .where(col("cosine") >= threshold)
   }
 }

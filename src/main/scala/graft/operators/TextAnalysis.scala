@@ -92,4 +92,46 @@ object TextAnalysis {
       mod: Long = 1000000007L): Column =
     graft.functions.native.rolling_hash(
       regexp_replace(lower(text), "\\s+", " "), base, mod)
+
+  /** Normalized (lowercased, whitespace-collapsed) token stream:
+    * (doc_id, token) rows. */
+  def tokenStream(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(filter(split(regexp_replace(lower(col("text")), "\\s+", " "),
+        " "), t => t =!= lit(""))).as("token"))
+
+  /** Corpus vocabulary: top `limit` tokens by frequency, ties broken
+    * lexicographically — the term-count pass of a tokenizer-training
+    * pipeline. One explode + one partial+final count aggregate; top-k is a
+    * TakeOrdered, never a full sort.
+    */
+  def vocabulary(docs: DataFrame, limit: Int = 200): DataFrame =
+    tokenStream(docs)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(limit)
+
+  /** Per-document top terms by tf/df weighting (document-frequency
+    * normalized term frequency — the engine-portable core of tf-idf: the
+    * ratio of two ints is one IEEE division, bit-identical across engines,
+    * where a log-based idf would not be). df is computed once per token
+    * and broadcast back onto the token counts.
+    */
+  def topTermsPerDoc(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = tokenStream(docs)
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy((col("tf").cast("double") / col("df")).desc,
+        col("token").asc)
+    tf.join(broadcast(df), Seq("token"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        col("rank"))
+  }
 }

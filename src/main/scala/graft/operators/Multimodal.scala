@@ -66,6 +66,15 @@ object Multimodal {
       }
       out
     }
+    /** "Resize": scale decoded dimensions to fit a bounding box,
+      * preserving aspect ratio — the arithmetic a real resizer performs on
+      * real dimensions.
+      */
+    def resize(w: Int, h: Int, maxW: Int, maxH: Int): (Int, Int) = {
+      val scale = math.min(maxW.toDouble / w, maxH.toDouble / h)
+      if (scale >= 1.0) (w, h)
+      else (math.max((w * scale).toInt, 1), math.max((h * scale).toInt, 1))
+    }
   }
 
   val decodedSchema: StructType = StructType(Seq(
@@ -102,4 +111,21 @@ object Multimodal {
     decoded.select(col("media_id"), col("n_frames"),
       explode(sequence(lit(0), col("n_frames") - 1,
         lit(stride))).as("frame_idx"))
+
+  /** Resize: aspect-preserving fit into (maxW, maxH), pure column
+    * arithmetic (the codec only runs at decode; resize operates on decoded
+    * dimensions and stays codegen'd).
+    */
+  def resized(decoded: DataFrame, maxW: Int = 224,
+      maxH: Int = 224): DataFrame = {
+    val scale = least(lit(maxW.toDouble) / col("width"),
+      lit(maxH.toDouble) / col("height"))
+    decoded.select(col("media_id"), col("width"), col("height"),
+      when(scale >= 1.0, col("width"))
+        .otherwise(greatest(floor(col("width") * scale).cast("int"),
+          lit(1))).as("out_width"),
+      when(scale >= 1.0, col("height"))
+        .otherwise(greatest(floor(col("height") * scale).cast("int"),
+          lit(1))).as("out_height"))
+  }
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, TextAnalysis}
+
+class VocabClusterSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("vocabulary counts tokens with deterministic tie-break") {
+    val docs = Seq((0L, "a b b c"), (1L, "b c c a")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabulary(docs, 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(("b", 3L), ("c", 3L), ("a", 2L)))
+  }
+
+  test("top terms per doc rank by tf/df, ties lexicographic") {
+    val docs = Seq(
+      (0L, "rare rare common"),
+      (1L, "common other")).toDF("doc_id", "text")
+    val got = TextAnalysis.topTermsPerDoc(docs, k = 1).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq.sortBy(_._1)
+    // doc 0: rare tf=2 df=1 → 2.0 beats common 1/2
+    assert(got(0) === ((0L, "rare", 2L, 1L)))
+    // doc 1: other tf=1 df=1 → 1.0 beats common 1/2
+    assert(got(1) === ((1L, "other", 1L, 1L)))
+  }
+
+  test("near-dup clustering finds transitive components with min-id " +
+      "canonical") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
+      11L -> 10L))
+  }
+
+  test("chained components converge across iterations") {
+    // a path graph 0-1-2-...-6 needs several propagation rounds
+    val pairs = (0L until 6L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet === Set(0L))
+    assert(got.size === 7)
+  }
+
+  test("multimodal resize preserves aspect ratio, matches the codec " +
+      "formula") {
+    val decoded = Seq((0L, 640, 480, 1), (1L, 100, 50, 1), (2L, 10, 10, 1))
+      .toDF("media_id", "width", "height", "n_frames")
+    val got = Multimodal.resized(decoded, 224, 224).collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getInt(4))).toSeq.sortBy(_._1)
+    assert(got(0) === ((0L, Multimodal.FakeCodec.resize(640, 480, 224,
+      224)._1, Multimodal.FakeCodec.resize(640, 480, 224, 224)._2)))
+    assert(got(1) === ((1L, 100, 50)))  // already fits, unchanged
+    assert(got(2) === ((2L, 10, 10)))
+    // aspect ratio within integer truncation
+    val (ow, oh) = (got(0)._2, got(0)._3)
+    assert(math.abs(ow.toDouble / oh - 640.0 / 480) < 0.02)
+  }
+}

@@ -43,6 +43,19 @@ object Sources {
       .option("multiLine", "true") // risk.csv has multiline quoted descriptions
       .csv(path)
 
+  /** JDBC reference-data source — the read-side counterpart of
+    * [[Sinks.jdbc]] (the reference keeps dims in RDS; an engine user reads
+    * them back for joins). `fetchsize` batches the wire reads; dims are
+    * broadcast-sized so a single partition read is fine.
+    */
+  def jdbcTable(spark: SparkSession, url: String, table: String,
+      fetchSize: Int = 10000): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("fetchsize", fetchSize.toString)
+      .load()
+
   /** Op 2: manifest construction — flatten `resources[].path[]` of a
     * datapackage descriptor into one row per file URL, skipping resources
     * with empty path lists (reference main.py:95-103; golden-tested by

@@ -31,4 +31,20 @@ object StreamingAgg {
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("count"))
       .select(col("window.start").as("day"), col("event_type"), col("count"))
+
+  /** Streaming exact document dedup: drop any document whose content
+    * fingerprint (md5 of normalized text) was already seen within the
+    * watermark delay — `dropDuplicatesWithinWatermark` keys state on the
+    * fingerprint only and expires it as event time advances, so state is
+    * bounded by the dedup horizon, not the stream length.
+    *
+    * Input needs (ts, doc_id, text); emits the surviving rows.
+    */
+  def dedupDocumentsStream(docs: DataFrame,
+      horizon: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("ts", horizon)
+      .withColumn("fingerprint",
+        md5(graft.operators.Dedup.normalized(col("text"))))
+      .dropDuplicatesWithinWatermark("fingerprint")
 }

@@ -30,6 +30,31 @@ class MultimodalStreamingSpec extends SparkSuite {
     assert(frames.where($"frame_idx" % 5 =!= 0).count() === 0)
   }
 
+  test("streaming document dedup drops watermark-window duplicates by " +
+      "content fingerprint") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("ddup").toString
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val q = graft.streaming.StreamingAgg
+      .dedupDocumentsStream(docs, "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData(Seq(
+      (t("2024-01-01 10:00:00"), 1L, "same   TEXT here"),
+      (t("2024-01-01 10:05:00"), 2L, "same text HERE"), // dup (normalized)
+      (t("2024-01-01 10:06:00"), 3L, "different text")))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_out").select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 3L))
+  }
+
   test("streaming flagship: watermarked dedup+count equals the batch " +
       "result, late duplicates collapse, windows close as the watermark " +
       "advances") {

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, RiskAggregation}
+
+/** Property-style invariants over seeded random inputs (SURVEY.md §5:
+  * cube totals, dedup idempotence, salted-vs-plain equivalence,
+  * fingerprint determinism). Plain seeded loops — the scalatest+scalacheck
+  * bridge artifact is not in the offline cache.
+  */
+class PropertySpec extends SparkSuite {
+  import spark.implicits._
+
+  private val words = Array("alpha", "beta", "gamma", "delta", "eps")
+  private def randomDocs(rnd: scala.util.Random, n: Int = 20) =
+    (0 until n).map { i =>
+      (i.toLong, Seq.fill(12)(words(rnd.nextInt(words.length)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+
+  test("exact dedup is idempotent; group sizes sum to corpus size") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val docs = randomDocs(rnd)
+      val once = Dedup.exactDedup(docs)
+      assert(once.count() === Dedup.exactDedup(once).count())
+      assert(Dedup.exactGroups(docs).agg(sum($"n_copies"))
+        .collect()(0).getLong(0) === 20L)
+    }
+  }
+
+  test("salted distinct count equals plain distinct count") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val df = (0 until 100)
+        .map(_ => (s"g${rnd.nextInt(4)}", s"v${rnd.nextInt(30)}"))
+        .toDF("grp", "ip")
+      val plain = df.select($"grp", $"ip").distinct()
+        .groupBy($"grp").agg(count(lit(1)).as("count"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val salted = RiskAggregation
+        .skewSafeDistinctCount(df, Seq("grp"), "ip", salts = 4)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(salted === plain)
+    }
+  }
+
+  test("jaccard stays within [0,1]; emitted pairs are ordered") {
+    for (seed <- 1 to 3) {
+      val docs = randomDocs(new scala.util.Random(seed))
+      Dedup.nearDupPairs(docs, threshold = 0.0).collect().foreach { r =>
+        val j = r.getDouble(2)
+        assert(j >= 0.0 && j <= 1.0)
+        assert(r.getLong(0) < r.getLong(1))
+      }
+    }
+  }
+
+  test("rolling hash equals its reference implementation after " +
+      "normalization") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 10) {
+      val s = rnd.alphanumeric.take(rnd.nextInt(40) + 1).mkString
+      val got = Seq(s).toDF("t")
+        .select(graft.operators.TextAnalysis.rollingHash($"t"))
+        .collect()(0).getLong(0)
+      val norm = s.toLowerCase.replaceAll("\\s+", " ")
+      assert(got === graft.functions.RollingHashExpr.hashBytes(
+        norm.getBytes("UTF-8"), 257L, 1000000007L))
+    }
+  }
+
+  test("cube leaf sums equal the grand total for random facts") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val fact = (0 until 30).map { i =>
+        val r = rnd.nextInt(3) + 1
+        (java.sql.Date.valueOf(s"2024-0$r-01"), r,
+          s"C${rnd.nextInt(5)}", i.toLong, rnd.nextInt(9) + 1L, 0.0)
+      }.toDF("date", "risk", "country", "asn", "count", "count_amplified")
+      val cube = graft.operators.StarSchema.cubeRollup(fact, "month")
+      val grand = cube.where($"date".isNull && $"country".isNull &&
+        $"risk".isNull).select($"count").collect()(0).getLong(0)
+      assert(grand === fact.agg(sum($"count")).collect()(0).getLong(0))
+    }
+  }
+}

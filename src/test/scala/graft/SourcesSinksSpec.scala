@@ -67,14 +67,13 @@ class SourcesSinksSpec extends SparkSuite {
     assert(content === "1,a\n2,b\n")
   }
 
-  test("op 5: JDBC sink round-trips through embedded Derby " +
+  test("op 5: JDBC sink and source round-trip through embedded Derby " +
       "(reference main.py:296-309)") {
     val url = "jdbc:derby:memory:graftdb;create=true"
     val df = Seq((1L, "US", 10L), (2L, "PE", 20L))
       .toDF("id", "country", "cnt")
     Sinks.jdbc(df, url, "fact_count", mode = "overwrite")
-    val back = spark.read.format("jdbc")
-      .option("url", url).option("dbtable", "fact_count").load()
+    val back = Sources.jdbcTable(spark, url, "fact_count")
     assert(back.count() === 2)
     assert(back.orderBy($"id").collect()(1).getString(1) === "PE")
   }

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.config.Config
+import graft.model.Schemas
+import graft.sources.Sources
+
+/** Production entry point — the analog of the reference's
+  * `python main.py` (reference main.py:555-560): load the env-templated
+  * config, read the reference dims, run the full pipeline.
+  *
+  * Usage: `runMain graft.Main [configPath]` with `GRAFT_FEED_PATHS`
+  * (comma-separated) and `GRAFT_OUT_DIR` set.
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val configPath =
+      if (args.nonEmpty) args(0) else "/root/repo/fixtures/config.json"
+    val cfg = Config.load(configPath)
+
+    // spark-submit injects the master on a cluster; default to local
+    // threads when launched directly
+    val master = sys.env.getOrElse("SPARK_MASTER",
+      s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+    val spark = SparkSession.builder()
+      .appName("graft")
+      .master(master)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark)
+
+    val dimRisk = Sources.datapackageCsv(spark, cfg("risk_csv"),
+      Schemas.dimRisk)
+    val dimCountry = Sources.datapackageCsv(spark, cfg("country_csv"),
+      Schemas.dimCountry)
+    val dimAsn = Sources.datapackageCsv(spark, cfg("asn_csv"),
+      Schemas.dimAsn)
+
+    val out = Pipeline.run(spark,
+      feedPaths = cfg("feed_paths").split(",").toSeq,
+      dimRisk = dimRisk, dimCountry = dimCountry, dimAsn = dimAsn,
+      outDir = cfg("out_dir"),
+      threshold = cfg("country_count_threshold").toLong)
+
+    println(s"counts=${out.counts.count()} " +
+      s"dim_date=${out.dimDate.count()} " +
+      out.cubes.map { case (g, df) => s"cube_$g=${df.count()}" }
+        .mkString(" "))
+    spark.stop()
+  }
+}

@@ -310,6 +310,65 @@ object SparkEntry {
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
         .orderBy(col("event_type").asc)),
+    "q50_rollup" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"), month(col("ts")).as("m"))
+        .rollup(col("event_type"), col("m"))
+        .agg(count(lit(1)).as("cnt"),
+          grouping(col("event_type")).cast("int").as("g_type"),
+          grouping(col("m")).cast("int").as("g_month"))
+        .orderBy(col("g_type").asc, col("g_month").asc,
+          col("event_type").asc_nulls_first, col("m").asc_nulls_first)),
+    "q51_grouping_sets" -> ((s, dir) => {
+      // GROUPING SETS has no DataFrame API — the SQL surface is the
+      // engine's path for it
+      t(s, dir, "events").createOrReplaceTempView("__events_gs")
+      s.sql(
+        """SELECT event_type, month(ts) AS m, count(1) AS cnt
+          |FROM __events_gs
+          |GROUP BY GROUPING SETS ((event_type), (month(ts)))
+          |ORDER BY event_type ASC NULLS FIRST, m ASC NULLS FIRST"""
+          .stripMargin)
+    }),
+    "q52_pivot" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy(col("user_id").asc)),
+    "q53_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val bands = Seq((0.0, 50000.0, "low"), (50000.0, 150000.0, "mid"),
+        (150000.0, 1e9, "high")).toDF("lo", "hi", "band")
+      Joins.range(t(s, dir, "orders"), bands,
+          col("o_totalprice"), col("lo"), col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("o_totalprice"))).as("total_bp"))
+        .orderBy(col("band").asc)
+    }),
+    "q54_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_custkey").as("user_id"), col("o_orderkey"),
+          col("o_orderdate"))
+      Joins.asOf(ev, ord, key = "user_id", leftTime = "ts",
+          rightTime = "o_orderdate", leftId = "event_id",
+          tieCol = "o_orderkey",
+          rightVals = Seq("o_orderkey", "o_orderdate"))
+        .orderBy(col("event_id").asc)
+    }),
+    "q56_percentiles" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc)),
     // ---- sources ----
     "q25_csv_feed" -> ((s, _) => {
       graft.sources.Sources
@@ -568,6 +627,59 @@ object SparkEntry {
           |      FROM (SELECT DISTINCT user_id, ts FROM events) d) a) b) c
           |GROUP BY user_id, session_id
           |ORDER BY user_id, session_id""".stripMargin,
+      "q50_rollup" ->
+        """SELECT event_type, CAST(EXTRACT(month FROM ts) AS INT) AS m,
+          |  count(*) AS cnt,
+          |  CAST(GROUPING(event_type) AS INT) AS g_type,
+          |  CAST(GROUPING(EXTRACT(month FROM ts)) AS INT) AS g_month
+          |FROM events
+          |GROUP BY ROLLUP(event_type, EXTRACT(month FROM ts))
+          |ORDER BY g_type ASC, g_month ASC,
+          |         event_type ASC NULLS FIRST, m ASC NULLS FIRST"""
+          .stripMargin,
+      "q51_grouping_sets" ->
+        """SELECT event_type, CAST(EXTRACT(month FROM ts) AS INT) AS m,
+          |       count(*) AS cnt
+          |FROM events
+          |GROUP BY GROUPING SETS ((event_type), (EXTRACT(month FROM ts)))
+          |ORDER BY event_type ASC NULLS FIRST, m ASC NULLS FIRST"""
+          .stripMargin,
+      "q52_pivot" ->
+        """SELECT user_id,
+          |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+          |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+          |  count(CASE WHEN event_type = 'purchase' THEN 1 END)
+          |    AS purchase,
+          |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+          |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+      "q53_range_join" ->
+        """SELECT band, count(*) AS n,
+          |  CAST(sum(CAST(round(o_totalprice * 10000) AS BIGINT))
+          |       AS BIGINT) AS total_bp
+          |FROM orders
+          |JOIN (VALUES (0.0, 50000.0, 'low'), (50000.0, 150000.0, 'mid'),
+          |             (150000.0, 1000000000.0, 'high')) bands(lo, hi,
+          |               band)
+          |  ON o_totalprice >= lo AND o_totalprice < hi
+          |GROUP BY band ORDER BY band""".stripMargin,
+      "q54_asof_join" ->
+        """SELECT event_id, user_id, ts, o_orderkey, o_orderdate FROM (
+          |  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey,
+          |         o.o_orderdate,
+          |    row_number() OVER (PARTITION BY e.event_id
+          |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+          |  FROM events e
+          |  JOIN orders o ON e.user_id = o.o_custkey
+          |                AND o.o_orderdate <= e.ts) t
+          |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+      "q56_percentiles" ->
+        """SELECT l_returnflag,
+          |  quantile_cont(l_quantity, 0.5) AS median_qty,
+          |  round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+          |  count(*) AS n
+          |FROM lineitem GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin,
       "q25_csv_feed" ->
         """SELECT day, risk, country, asn, count(*) AS count
           |FROM (SELECT DISTINCT

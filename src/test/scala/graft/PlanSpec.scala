@@ -67,6 +67,30 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Exchange"), p.take(2000))
   }
 
+  test("bucketed tables join without any exchange (co-located join)") {
+    val orders = spark.read.parquet(sf() + "/orders.parquet")
+    val customer = spark.read.parquet(sf() + "/customer.parquet")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    orders.write.bucketBy(4, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("b_orders")
+    customer.write.bucketBy(4, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("b_customer")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_orders").join(spark.table("b_customer"),
+        col("o_custkey") === col("c_custkey"))
+      val p = plan(joined)
+      assert(p.contains("SortMergeJoin"), p.take(2000))
+      assert(!p.contains("Exchange"),
+        "bucketed join should not shuffle:\n" + p.take(2000))
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("brute-force ANN broadcasts the query side, never shuffles the " +
       "corpus") {
     val emb = spark.read.parquet(sf() + "/embeddings.parquet")

@@ -361,6 +361,37 @@ object SparkEntry {
           rightVals = Seq("o_orderkey", "o_orderdate"))
         .orderBy(col("event_id").asc)
     }),
+    "q57_except_all" -> ((s, dir) => {
+      // bag semantics: each user_id occurrence beyond its count in the
+      // customer key bag survives (vs q23's set-based EXCEPT)
+      val users = t(s, dir, "events").select(col("user_id").as("id"))
+      val custs = t(s, dir, "customer").select(col("c_custkey").as("id"))
+      users.exceptAll(custs)
+        .groupBy(col("id")).agg(count(lit(1)).as("n"))
+        .orderBy(col("id").asc)
+    }),
+    "q58_semi_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val cust = t(s, dir, "customer")
+      ev.join(broadcast(cust), col("user_id") === col("c_custkey"),
+          "left_semi")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("value"), 100)).as("value_c"))
+        .orderBy(col("event_type").asc)
+    }),
+    "q59_scalar_subquery" -> ((s, dir) => {
+      // threshold = integer mean in cents via integer division — exact in
+      // both engines (a double avg would make boundary rows engine-flaky)
+      val o = t(s, dir, "orders")
+      val thr = o.agg(expr(
+        "sum(CAST(round(o_totalprice * 100) AS BIGINT)) div count(1)"))
+        .collect()(0).getLong(0)
+      o.where(cents(col("o_totalprice"), 100) > thr)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority").asc)
+    }),
     "q56_percentiles" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -673,6 +704,27 @@ object SparkEntry {
           |  JOIN orders o ON e.user_id = o.o_custkey
           |                AND o.o_orderdate <= e.ts) t
           |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+      "q57_except_all" ->
+        """SELECT id, count(*) AS n FROM (
+          |  SELECT user_id AS id FROM events
+          |  EXCEPT ALL
+          |  SELECT c_custkey FROM customer) t
+          |GROUP BY id ORDER BY id""".stripMargin,
+      "q58_semi_join" ->
+        """SELECT event_type, count(*) AS n,
+          |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+          |    AS value_c
+          |FROM events e
+          |WHERE EXISTS (SELECT 1 FROM customer c
+          |              WHERE c.c_custkey = e.user_id)
+          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "q59_scalar_subquery" ->
+        """SELECT o_orderpriority, count(*) AS n
+          |FROM orders
+          |WHERE CAST(round(o_totalprice * 100) AS BIGINT) >
+          |  (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+          |          // count(*) AS BIGINT) FROM orders)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
       "q56_percentiles" ->
         """SELECT l_returnflag,
           |  quantile_cont(l_quantity, 0.5) AS median_qty,

@@ -68,13 +68,41 @@ object Similarity {
       .agg(max_by(col("cell"), struct(col("sim"), -col("cell")))
         .as("cell"))
 
+  /** Lloyd-refined centroids: seed with [[ivfCentroids]], then `iters`
+    * rounds of assign → elementwise-mean recompute. Each round is one
+    * broadcast join + one aggregate with 64 column means — the standard
+    * distributed k-means step, no vector collect to the driver. Empty
+    * cells keep their previous centroid (left join + coalesce).
+    */
+  def kmeansCentroids(corpus: DataFrame, nlist: Int = 16, dim: Int = 64,
+      iters: Int = 2): DataFrame = {
+    var cents = ivfCentroids(corpus, nlist)
+    for (_ <- 0 until iters) {
+      val assign = ivfAssign(corpus, cents)
+      val means = corpus.join(assign, Seq("vec_id"))
+        .groupBy(col("cell"))
+        .agg(array((0 until dim).map(i =>
+          avg(element_at(col("embedding"), i + 1)).cast("float")): _*)
+          .as("new_centroid"))
+      cents = cents.join(means, Seq("cell"), "left")
+        .select(col("cell"),
+          coalesce(col("new_centroid"), col("centroid")).as("centroid"))
+        .localCheckpoint() // truncate the per-iteration lineage
+    }
+    cents
+  }
+
   /** IVF approximate top-k: probe the `nprobe` nearest cells per query,
     * score only vectors in probed cells. Recall < 1 by construction; the
-    * exact [[bruteForceTopK]] is the correctness oracle.
+    * exact [[bruteForceTopK]] is the correctness oracle. Centroids are
+    * Lloyd-refined when `kmeansIters > 0`.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val centroids0 = ivfCentroids(corpus, nlist)
+      nlist: Int = 16, nprobe: Int = 4, dim: Int = 64,
+      kmeansIters: Int = 1): DataFrame = {
+    val centroids0 =
+      if (kmeansIters > 0) kmeansCentroids(corpus, nlist, dim, kmeansIters)
+      else ivfCentroids(corpus, nlist)
     val assign = ivfAssign(corpus, centroids0)
     val indexed = corpus.join(assign, Seq("vec_id"))
     val centroids = broadcast(

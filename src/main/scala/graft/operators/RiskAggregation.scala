@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+
+import graft.model.{CountRow, LogEntry}
 
 /** The flagship aggregation pipeline (SURVEY.md §2 ops 6-11).
   *
@@ -94,6 +96,17 @@ object RiskAggregation {
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("count"))
       .where(col("count") > threshold)
+
+  /** Typed variant of ops 6-9 over `Dataset[LogEntry]` → typed
+    * `Dataset[CountRow]` — compile-time field checks on the core records
+    * (SURVEY.md §1). Same physical plan as [[aggregate]]: the typed API
+    * here only changes the compile-time view, not the Catalyst plan.
+    */
+  def aggregateTyped(logentry: Dataset[LogEntry],
+      threshold: Long = 100L): Dataset[CountRow] = {
+    import logentry.sparkSession.implicits._
+    aggregate(logentry.toDF(), threshold).as[CountRow]
+  }
 
   /** Skew-safe exact distinct count: salt the distinct column into
     * `salts` disjoint hash buckets, count distinct per (group, salt), then

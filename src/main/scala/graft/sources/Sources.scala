@@ -23,12 +23,19 @@ object Sources {
     * names). So: skip the header row but bind columns by position via the
     * explicit schema — never header inference.
     */
-  def logentryCsv(spark: SparkSession, paths: Seq[String]): DataFrame =
+  /** @param mode malformed-row policy: PERMISSIVE (default — unparseable
+    *             fields become NULL, the faithful analog of loading what
+    *             COPY accepts), DROPMALFORMED, or FAILFAST (reject the
+    *             batch, like Redshift COPY with no MAXERROR)
+    */
+  def logentryCsv(spark: SparkSession, paths: Seq[String],
+      mode: String = "PERMISSIVE"): DataFrame =
     spark.read
       .schema(Schemas.logentry)
       .option("header", "true")         // skip the row; names NOT used
       .option("enforceSchema", "true")  // positional bind, like IGNOREHEADER
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ssXXX")
+      .option("mode", mode)
       .csv(paths: _*)
 
   /** Op 3: typed CSV resource described by a datapackage descriptor —

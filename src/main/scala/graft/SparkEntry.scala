@@ -479,6 +479,14 @@ object SparkEntry {
         TextAnalysis.rollingHash(col("text")).as("rhash"))
         .orderBy(col("doc_id").asc)),
     // ---- extension tier: multimodal ----
+    "q60_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionFeatures(t(s, dir, "documents"))
+        .orderBy(col("doc_id").asc)),
+    "q61_redact" -> ((s, dir) =>
+      TextAnalysis.redact(t(s, dir, "documents"))
+        .select(col("doc_id"), md5(col("redacted")).as("redacted_md5"),
+          col("n_ips"), col("n_emails"))
+        .orderBy(col("doc_id").asc)),
     "q47_vocabulary" -> ((s, dir) =>
       TextAnalysis.vocabulary(t(s, dir, "documents"), limit = 200)),
     "q48_top_terms" -> ((s, dir) =>
@@ -797,6 +805,39 @@ object SparkEntry {
         """SELECT doc_id,
           |  md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
           |    AS fingerprint
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "q60_repetition" ->
+        """WITH base AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split(
+          |      regexp_replace(lower(text), '\s+', ' ', 'g'), ' '),
+          |      x -> x != '') AS toks
+          |  FROM documents),
+          |bg AS (
+          |  SELECT doc_id, toks,
+          |    list_transform(generate_series(1, len(toks) - 1),
+          |      i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+          |  FROM base)
+          |SELECT doc_id,
+          |  CAST(len(toks) AS INT) AS n_tokens,
+          |  CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+          |  CAST(len(bigrams) AS INT) AS n_bigrams,
+          |  CAST(list_max(list_transform(list_distinct(bigrams),
+          |    b -> len(list_filter(bigrams, x -> x = b)))) AS INT)
+          |    AS top_bigram_count
+          |FROM bg ORDER BY doc_id""".stripMargin,
+      "q61_redact" ->
+        """SELECT doc_id,
+          |  md5(regexp_replace(regexp_replace(text,
+          |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>',
+          |    'g'), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+          |    '<EMAIL>', 'g')) AS redacted_md5,
+          |  CAST(len(regexp_extract_all(text,
+          |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS INT)
+          |    AS n_ips,
+          |  CAST(len(regexp_extract_all(text,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+          |    AS n_emails
           |FROM documents ORDER BY doc_id""".stripMargin,
       "q47_vocabulary" ->
         """SELECT token, count(*) AS cnt

@@ -93,6 +93,50 @@ object TextAnalysis {
     graft.functions.native.rolling_hash(
       regexp_replace(lower(text), "\\s+", " "), base, mod)
 
+  /** Repetition signals (the duplicate-text quality heuristics used to
+    * filter training corpora): token duplication and the dominance of the
+    * most-repeated bigram. All per-row array arithmetic — integers out, so
+    * the figures are engine-portable; turn into ratios downstream.
+    */
+  def repetitionFeatures(df: DataFrame,
+      text: Column = col("text")): DataFrame = {
+    val toks = filter(split(regexp_replace(lower(text), "\\s+", " "), " "),
+      t => t =!= lit(""))
+    // guard: sequence(0, -1) infers a DESCENDING step in Spark, so a
+    // sub-2-token doc must short-circuit to an empty array
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i + 1),
+          element_at(toks, i + 2))))
+      .otherwise(array())
+    df.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct_tokens"),
+      size(bigrams).as("n_bigrams"),
+      array_max(transform(array_distinct(bigrams),
+        b => size(filter(bigrams, x => x === b))))
+        .as("top_bigram_count"))
+  }
+
+  /** PII-style redaction: IPv4s and emails replaced with placeholder
+    * tags; RE2-and-Java-compatible patterns (no lookaround/backrefs) so
+    * the same regexes run in any engine. Returns the redacted text plus
+    * match counts.
+    */
+  val Ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  def redact(df: DataFrame, text: Column = col("text")): DataFrame =
+    df.select(
+      col("doc_id"),
+      regexp_replace(regexp_replace(text, Ipv4Pattern, "<IP>"),
+        EmailPattern, "<EMAIL>").as("redacted"),
+      size(regexp_extract_all(text, lit(Ipv4Pattern), lit(0)))
+        .as("n_ips"),
+      size(regexp_extract_all(text, lit(EmailPattern), lit(0)))
+        .as("n_emails"))
+
   /** Normalized (lowercased, whitespace-collapsed) token stream:
     * (doc_id, token) rows. */
   def tokenStream(docs: DataFrame): DataFrame =

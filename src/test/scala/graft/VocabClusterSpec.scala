@@ -46,6 +46,35 @@ class VocabClusterSpec extends SparkSuite {
     assert(got.size === 7)
   }
 
+  test("repetition features count token and bigram duplication") {
+    val docs = Seq(
+      (0L, "spam spam spam spam"),
+      (1L, "all words are different here"),
+      (2L, "one")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionFeatures(docs).orderBy($"doc_id")
+      .collect()
+    // doc 0: 4 tokens, 1 distinct; bigrams: 3× "spam spam"
+    assert(got(0).getInt(1) === 4 && got(0).getInt(2) === 1)
+    assert(got(0).getInt(4) === 3)
+    // doc 1: no repetition
+    assert(got(1).getInt(1) === 5 && got(1).getInt(2) === 5)
+    assert(got(1).getInt(4) === 1)
+    // doc 2: single token → zero bigrams, null top count
+    assert(got(2).getInt(3) === 0 && got(2).isNullAt(4))
+  }
+
+  test("redaction replaces IPs and emails, counts matches") {
+    val docs = Seq(
+      (0L, "contact bob@example.com from 192.168.0.1 or 10.0.0.2"),
+      (1L, "no pii here")).toDF("doc_id", "text")
+    val got = TextAnalysis.redact(docs).orderBy($"doc_id").collect()
+    assert(got(0).getString(1) ===
+      "contact <EMAIL> from <IP> or <IP>")
+    assert(got(0).getInt(2) === 2 && got(0).getInt(3) === 1)
+    assert(got(1).getString(1) === "no pii here")
+    assert(got(1).getInt(2) === 0 && got(1).getInt(3) === 0)
+  }
+
   test("multimodal resize preserves aspect ratio, matches the codec " +
       "formula") {
     val decoded = Seq((0L, 640, 480, 1), (1L, 100, 50, 1), (2L, 10, 10, 1))

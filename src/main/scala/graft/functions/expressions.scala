@@ -362,6 +362,70 @@ case class MinHashBandsExpr(child: Expression, shingleWords: Int,
       newChild: Expression): MinHashBandsExpr = copy(child = newChild)
 }
 
+/** One-pass repetition statistics over an `array<string>` of tokens:
+  * (n_tokens, n_distinct_tokens, n_bigrams, top_bigram_count). A
+  * built-in formulation needs nested higher-order lambdas
+  * (`array_max(transform(array_distinct(bg), b -> size(filter(bg, ...)))`)
+  * whose inner array expressions are re-evaluated once per lambda
+  * invocation — measured as a combinatorial blowup (~75M interpreted
+  * regex evaluations at sf0.1). This kernel hashes each token once and
+  * counts bigrams in a single HashMap pass.
+  */
+case class RepetitionStatsExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_distinct_tokens", IntegerType, nullable = false),
+    StructField("n_bigrams", IntegerType, nullable = false),
+    StructField("top_bigram_count", IntegerType, nullable = true)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "repetition_stats"
+
+  /** Per-row kernel, also called from generated code (see
+    * [[SimHash64Expr.kernel]] for why). */
+  def kernel(input: Any): org.apache.spark.sql.catalyst.InternalRow = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    // token identity via xxhash64 of the UTF8 bytes — collisions are
+    // astronomically unlikely at document scale and only perturb counts
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      th(i) = if (arr.isNullAt(i)) 0L
+      else XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+      i += 1
+    }
+    val distinctTokens = new java.util.HashSet[java.lang.Long]()
+    i = 0
+    while (i < n) { distinctTokens.add(th(i)); i += 1 }
+    val bigramCounts = new java.util.HashMap[java.lang.Long, Integer]()
+    var top = 0
+    i = 0
+    while (i < n - 1) {
+      val bg = th(i) * 1000003L + th(i + 1)
+      val c = bigramCounts.merge(bg, 1, (a, b) => a + b)
+      if (c > top) top = c
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      n, distinctTokens.size(), math.max(n - 1, 0),
+      if (n >= 2) top else null)
+  }
+
+  override protected def nullSafeEval(input: Any): Any = kernel(input)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val self = ctx.addReferenceObj("repStatsKernel", this,
+        this.getClass.getName)
+      s"${ev.value} = $self.kernel($c);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): RepetitionStatsExpr = copy(child = newChild)
+}
+
 /** Column-level entry points. */
 object native {
   import org.apache.spark.sql.graftshim.ColumnBridge
@@ -390,4 +454,7 @@ object native {
   def minhash_bands(tokens: Column, shingleWords: Int = 3,
       numHashes: Int = 32, bands: Int = 8): Column =
     c(MinHashBandsExpr(e(tokens), shingleWords, numHashes, bands))
+
+  def repetition_stats(tokens: Column): Column =
+    c(RepetitionStatsExpr(e(tokens)))
 }

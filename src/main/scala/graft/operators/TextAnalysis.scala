@@ -102,21 +102,18 @@ object TextAnalysis {
       text: Column = col("text")): DataFrame = {
     val toks = filter(split(regexp_replace(lower(text), "\\s+", " "), " "),
       t => t =!= lit(""))
-    // guard: sequence(0, -1) infers a DESCENDING step in Spark, so a
-    // sub-2-token doc must short-circuit to an empty array
-    val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(0), size(toks) - 2),
-        i => concat_ws(" ", element_at(toks, i + 1),
-          element_at(toks, i + 2))))
-      .otherwise(array())
-    df.select(
-      col("doc_id"),
-      size(toks).as("n_tokens"),
-      size(array_distinct(toks)).as("n_distinct_tokens"),
-      size(bigrams).as("n_bigrams"),
-      array_max(transform(array_distinct(bigrams),
-        b => size(filter(bigrams, x => x === b))))
-        .as("top_bigram_count"))
+    // single kernel pass: a nested higher-order formulation re-evaluates
+    // the token-array expression once per lambda call — combinatorial
+    // blowup measured at sf0.1 (see RepetitionStatsExpr)
+    // explode(array(...)) is a Generate barrier: the kernel struct is
+    // evaluated ONCE per row even though four fields are projected
+    // (CollapseProject would otherwise inline the kernel per field)
+    df.select(col("doc_id"),
+        explode(array(graft.functions.native.repetition_stats(toks)))
+          .as("r"))
+      .select(col("doc_id"),
+        col("r.n_tokens"), col("r.n_distinct_tokens"),
+        col("r.n_bigrams"), col("r.top_bigram_count"))
   }
 
   /** PII-style redaction: IPv4s and emails replaced with placeholder

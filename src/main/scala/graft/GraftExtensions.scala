@@ -73,5 +73,10 @@ object GraftExtensions {
         MinHashBandsExpr(c, intArg(w), intArg(n), intArg(b))
       case _ => throw new IllegalArgumentException(
         "minhash_bands(tokens[, shingle_words, num_hashes, bands])")
+    },
+    "repetition_stats" -> {
+      case Seq(c) => RepetitionStatsExpr(c)
+      case _ => throw new IllegalArgumentException(
+        "repetition_stats(tokens)")
     })
 }

@@ -12,15 +12,22 @@ import java.nio.file.{Files, Paths}
 object Config {
 
   /** Substitute `$VAR` / `${VAR}` from `env`; a referenced-but-missing
-    * variable is an error, like `string.Template.substitute`. */
+    * variable is an error and `$$` is a literal `$`, like
+    * `string.Template.substitute` (the reference's loader). One
+    * left-to-right pass, so `$$VAR` yields the literal text `$VAR` and is
+    * never re-substituted. */
   def substituteEnv(template: String,
       env: Map[String, String] = sys.env): String = {
-    val pattern = raw"\$$\{?([A-Za-z_][A-Za-z0-9_]*)\}?".r
+    val pattern = raw"\$$(\$$|\{([A-Za-z_][A-Za-z0-9_]*)\}|([A-Za-z_][A-Za-z0-9_]*))".r
     pattern.replaceAllIn(template, m => {
-      val k = m.group(1)
-      env.getOrElse(k,
-        throw new IllegalArgumentException(s"missing env var: $k"))
-        .replace("\\", "\\\\").replace("$", "\\$")
+      val replacement =
+        if (m.group(1) == "$") "$"
+        else {
+          val k = Option(m.group(2)).getOrElse(m.group(3))
+          env.getOrElse(k,
+            throw new IllegalArgumentException(s"missing env var: $k"))
+        }
+      replacement.replace("\\", "\\\\").replace("$", "\\$")
     })
   }
 
@@ -34,15 +41,40 @@ object Config {
   }
 
   /** Minimal flat-JSON-object parser (strings/numbers/bools), no library
-    * dependency. Nested values are kept as raw JSON text.
+    * dependency. Nested values are kept as raw JSON text; string values
+    * have standard JSON escape sequences decoded.
     */
   private[config] def parseFlatJson(s: String): Map[String, String] = {
     val kv = raw""""([^"]+)"\s*:\s*("(?:[^"\\]|\\.)*"|-?\d+(?:\.\d+)?|true|false|null)""".r
     kv.findAllMatchIn(s).map { m =>
       val v = m.group(2)
-      m.group(1) -> (if (v.startsWith("\"")) v.substring(1, v.length - 1)
-        else v)
+      m.group(1) -> (if (v.startsWith("\""))
+        unescapeJson(v.substring(1, v.length - 1))
+      else v)
     }.toMap
+  }
+
+  /** Decode JSON string escapes: \" \\ \/ \b \f \n \r \t \uXXXX. */
+  private[config] def unescapeJson(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'b' => sb += '\b'; i += 2
+          case 'f' => sb += '\f'; i += 2
+          case 'n' => sb += '\n'; i += 2
+          case 'r' => sb += '\r'; i += 2
+          case 't' => sb += '\t'; i += 2
+          case 'u' if i + 6 <= s.length =>
+            sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+            i += 6
+          case other => sb += other; i += 2
+        }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
   }
 
   /** `s3://bucket/key` → (bucket, key) (reference main.py:41-50). Hadoop's

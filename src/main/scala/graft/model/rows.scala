@@ -13,10 +13,15 @@ case class LogEntry(
     asn: Option[Long],
     country: String)
 
+/** `risk`/`asn` stay Option to mirror [[LogEntry]]: they are GROUP BY
+  * keys, so a NULL in the feed (PERMISSIVE CSV ingest) flows through the
+  * aggregate into the count row — non-optional fields here would throw at
+  * Dataset decode on any feed with a NULL key.
+  */
 case class CountRow(
     date: Timestamp,
-    risk: Int,
+    risk: Option[Int],
     country: String,
-    asn: Long,
+    asn: Option[Long],
     count: Long,
     count_amplified: Option[Double])

@@ -171,17 +171,35 @@ object Dedup {
         filter(split(normalized(col("text")), " "), t => t =!= lit("")))
         .as("simhash"))
 
-  /** SimHash near-dup: pairs within `maxHamming` bits. Bucketed by the four
-    * 16-bit quarters of the signature (pigeonhole: distance ≤3 ⇒ some
-    * quarter matches exactly), so the join is on quarter buckets, not
-    * all-pairs.
+  /** SimHash near-dup: pairs within `maxHamming` bits. Bucketed by the
+    * `maxHamming + 1` contiguous bit-chunks of the 64-bit signature —
+    * pigeonhole: ≤ h differing bits spread over h+1 chunks leave at least
+    * one chunk identical, so the chunked equi-join finds EVERY pair within
+    * the radius (e.g. h=3 → four 16-bit quarters, h=8 → nine ~7-bit
+    * chunks). The join is always on chunk buckets, never all-pairs.
+    *
+    * Scale note: bucket selectivity is ~2^(64/(h+1)) — a larger radius
+    * means narrower chunks and more intra-bucket candidates (inherent to
+    * pigeonhole LSH; HmSearch-style multi-piece probing trades the same
+    * budget differently). The exact `bit_count` filter bounds false
+    * positives; candidate volume, not correctness, is what h buys.
     */
   def simhashCandidates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64), got $maxHamming")
+    val pieces = maxHamming + 1
+    // chunk widths differ by at most one bit and cover all 64 exactly
+    val widths = Array.tabulate(pieces)(i =>
+      64 / pieces + (if (i < 64 % pieces) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _).init
     val sigs = simhash(docs)
     val quarters = sigs.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(q => struct(lit(q).as("q"),
-        shiftright(col("simhash"), q * 16).bitwiseAND(lit(0xffffL))
-          .as("qh"))): _*)).as("quarter"))
+      explode(array((0 until pieces).map { q =>
+        val mask = if (widths(q) == 64) -1L else (1L << widths(q)) - 1L
+        struct(lit(q).as("q"),
+          shiftright(col("simhash"), offsets(q)).bitwiseAND(lit(mask))
+            .as("qh"))
+      }: _*)).as("quarter"))
       .select(col("doc_id"), col("simhash"),
         col("quarter.q"), col("quarter.qh"))
     val a = quarters.as("a")

@@ -14,7 +14,16 @@ import org.apache.spark.sql.functions._
 object StreamingAgg {
 
   /** Streaming dedup+count per (day, key...): watermark → streaming
-    * `dropDuplicates` on the dedup tuple → windowed count.
+    * dedup on the tuple → windowed count.
+    *
+    * The dedup uses `dropDuplicatesWithinWatermark` (NOT plain
+    * `dropDuplicates`): the derived `day` column carries no event-time
+    * tag, so keying plain dropDuplicates on it would never expire state.
+    * WithinWatermark keys state on the tuple but expires each entry as
+    * the watermark passes it; duplicates of a (day,user,type) tuple all
+    * carry a `ts` inside that day, so any dup still admitted by the
+    * watermark is also still within the dedup horizon — semantics match,
+    * state is bounded.
     *
     * @param events   streaming DataFrame with an event-time column `ts`,
     *                 a dedup identity `user_id`, and a group key
@@ -27,7 +36,7 @@ object StreamingAgg {
     events
       .withWatermark("ts", lateness)
       .withColumn("day", date_trunc("day", col("ts")))
-      .dropDuplicates("day", "user_id", "event_type")
+      .dropDuplicatesWithinWatermark("day", "user_id", "event_type")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("count"))
       .select(col("window.start").as("day"), col("event_type"), col("count"))

@@ -20,6 +20,19 @@ class ConfigSpec extends AnyFunSuite {
     assert(e.getMessage.contains("MISSING_VAR"))
   }
 
+  test("$$ escapes a literal dollar (string.Template parity) and JSON " +
+      "string escapes decode") {
+    val env = Map("DB_HOST" -> "h")
+    // $$DB_HOST is literal "$DB_HOST", never substituted
+    assert(Config.substituteEnv("cost=$$5 path=$$DB_HOST real=$DB_HOST",
+      env) === "cost=$5 path=$DB_HOST real=h")
+    val tmp = Files.createTempFile("cfg-esc", ".json")
+    Files.writeString(tmp,
+      """{"a": "quote\" back\\ nl\n tab\t uniA"}""")
+    assert(Config.load(tmp.toString, env)("a") ===
+      "quote\" back\\ nl\n tab\t uniA")
+  }
+
   test("flat JSON config loads typed scalars") {
     val tmp = Files.createTempFile("cfg", ".json")
     Files.writeString(tmp,

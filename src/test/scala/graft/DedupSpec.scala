@@ -65,6 +65,29 @@ class DedupSpec extends SparkSuite {
     assert(cands.contains((0L, 1L)))
   }
 
+  test("simhash candidates are COMPLETE within maxHamming " +
+      "(pigeonhole chunks derived from the radius)") {
+    // many single-word variants → a spread of pairwise hamming distances
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val variants = (0 until 12).map { i =>
+      (i.toLong, base.replace("tonight", words(i)))
+    } :+ (99L, base)
+    val vdocs = variants.toDF("doc_id", "text")
+    val sigs = Dedup.simhash(vdocs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (h <- Seq(3, 8, 16)) {
+      val expected = (for {
+        a <- sigs.keys; b <- sigs.keys
+        if a < b && ham(sigs(a), sigs(b)) <= h
+      } yield (a, b)).toSet
+      val got = Dedup.simhashCandidates(vdocs, maxHamming = h)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected, s"maxHamming=$h")
+    }
+  }
+
   test("embedding near-dup finds the planted duplicate vector") {
     val vecs = Seq(
       (0L, Array.fill(8)(1.0f)),

@@ -23,6 +23,10 @@ class ExtensionsSkewSpec extends SparkSuite {
     assert(r.getDouble(1) === 11.0)
     assert(r.getInt(3) === 16)
     assert(r.getInt(4) === 4)
+    // the full kernel surface is SQL-reachable, incl. repetition_stats
+    val rep = spark.sql(
+      "SELECT repetition_stats(array('a', 'a', 'b')) AS st").collect()(0)
+    assert(rep.getStruct(0).length > 0)
   }
 
   test("skew-safe salted distinct count equals the plain plan") {

@@ -496,6 +496,27 @@ object SparkEntry {
       Dedup.nearDupClusters(
         Dedup.minhashCandidates(t(s, dir, "documents")))
         .orderBy(col("id").asc)),
+    // ---- brute-force oracle baselines for the LSH/ANN approximations ----
+    // Capped to a deterministic sample (doc_id < 1000): the baselines are
+    // O(n²) BY DESIGN — they exist to validate the approximate paths on a
+    // sample, and an uncapped quadratic would dominate wall-clock at any
+    // real SF. The cap covers all of sf0.01 and a fifth of sf0.1.
+    "q62_jaccard_allpairs" -> ((s, dir) =>
+      Dedup.jaccardAllPairs(
+        t(s, dir, "documents").where(col("doc_id") < 1000),
+        threshold = 0.5)
+        .orderBy(col("id_a").asc, col("id_b").asc)),
+    "q63_cosine_allpairs" -> ((s, dir) =>
+      Similarity.cosinePairsExact(t(s, dir, "embeddings"),
+        threshold = 0.25)
+        .orderBy(col("id_a").asc, col("id_b").asc)),
+    "q64_cluster_allpairs" -> ((s, dir) =>
+      Dedup.nearDupClusters(
+        Dedup.jaccardAllPairs(
+          t(s, dir, "documents").where(col("doc_id") < 1000),
+          threshold = 0.5),
+        maxIter = 30)
+        .orderBy(col("id").asc)),
     "q45_multimodal_meta" -> ((s, dir) =>
       Multimodal.mediaFromDocuments(t(s, dir, "documents"))
         .select(col("media_id"), col("meta.media_type"),
@@ -873,12 +894,117 @@ object SparkEntry {
           |  CAST(octet_length(encode(text)) % 30 + 1 AS INT) AS n_frames,
           |  CAST(unnest(generate_series(0,
           |    octet_length(encode(text)) % 30, 5)) AS INT) AS frame_idx
-          |FROM documents ORDER BY media_id, frame_idx""".stripMargin
-      // q26, q32-q35, q37, q38, q44: not ANSI-SQL-expressible in DuckDB
-      // (JSON explode fixture, xxhash64-based signatures, float-sum-order-
-      // dependent cosine, IVF assignment) → driver records rows-only checks.
+          |FROM documents ORDER BY media_id, frame_idx""".stripMargin,
+      "q26_manifest_flatten" ->
+        """SELECT u.url, true AS mandatory FROM (
+          |  SELECT unnest(r.resource.path) AS url
+          |  FROM (SELECT unnest(resources) AS resource
+          |        FROM read_json_auto(
+          |          '/root/repo/fixtures/datapackage.json')) r
+          |) u ORDER BY url""".stripMargin,
+      "q44_rolling_hash" ->
+        // the kernel folds (acc*257 + byte) % 1e9+7 over UTF-8 bytes; the
+        // testdata text is ASCII, so code points == bytes and list_reduce
+        // reproduces the fold exactly in 64-bit integer math
+        """SELECT doc_id,
+          |  list_reduce(list_prepend(0::BIGINT,
+          |    [ascii(text[i])::BIGINT FOR i IN range(1, length(text)+1)]),
+          |    (acc, b) -> (acc * 257 + b) % 1000000007) AS rhash
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "q37_ann_cosine_topk" ->
+        s"""WITH $vecNormSql,
+           |scored AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id, ${cosineSql("q", "c")}
+           |  FROM v q JOIN v c ON q.vec_id < 5 AND q.vec_id != c.vec_id),
+           |ranked AS (
+           |  SELECT query_id, vec_id, cosine,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+           |  FROM scored)
+           |SELECT * FROM ranked WHERE rank <= 10
+           |ORDER BY query_id, rank""".stripMargin,
+      "q62_jaccard_allpairs" ->
+        s"""WITH $shingleSql,
+           |pairs AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |    len(list_intersect(a.shingles, b.shingles)) AS n_inter,
+           |    len(a.shingles) AS na, len(b.shingles) AS nb
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+           |SELECT id_a, id_b,
+           |  n_inter / (na + nb - n_inter) AS jaccard
+           |FROM pairs WHERE n_inter / (na + nb - n_inter) >= 0.5
+           |ORDER BY id_a, id_b""".stripMargin,
+      "q63_cosine_allpairs" ->
+        s"""WITH $vecNormSql,
+           |p AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosineSql("a", "b")}
+           |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+           |SELECT * FROM p WHERE cosine >= 0.25
+           |ORDER BY id_a, id_b""".stripMargin,
+      "q64_cluster_allpairs" ->
+        // connected components = min reachable id, via a recursive CTE
+        // over the exact-jaccard edge set (the same min-label fixpoint the
+        // Spark iterative propagation converges to)
+        s"""WITH RECURSIVE $shingleSql,
+           |pairs AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE len(list_intersect(a.shingles, b.shingles))
+           |    / (len(a.shingles) + len(b.shingles)
+           |       - len(list_intersect(a.shingles, b.shingles))) >= 0.5),
+           |edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT e.src, reach.r FROM edges e
+           |  JOIN reach ON e.dst = reach.id)
+           |SELECT id, min(r) AS canonical_id FROM reach
+           |GROUP BY id ORDER BY id""".stripMargin
+      // q28, q32-q35, q38, q49: not DuckDB-reproducible BY DESIGN
+      // (xxhash64-based minhash/simhash signatures, random-hyperplane /
+      // IVF bucketing, HLL sketch) → driver records rows-only checks;
+      // q62-q64 are their brute-force oracle-checked baselines.
     )
   }
+
+  /** DuckDB fragment: per-vector double-cast components and L2 norm with
+    * the SAME sequential fold the native kernel uses — bit-exact doubles.
+    */
+  private def vecNormSql: String =
+    """v AS (
+      |  SELECT vec_id,
+      |    [embedding[i]::DOUBLE
+      |     FOR i IN range(1, len(embedding)+1)] AS e,
+      |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+      |      [embedding[i]::DOUBLE * embedding[i]::DOUBLE
+      |       FOR i IN range(1, len(embedding)+1)]), (x,y) -> x+y)) AS nrm
+      |  FROM embeddings)""".stripMargin
+
+  /** DuckDB fragment: cosine between two [[vecNormSql]] rows, sequential
+    * dot fold / (norm * norm) — the exact arithmetic of `fvec_cosine`. */
+  private def cosineSql(qa: String, qb: String): String =
+    s"""list_reduce(list_prepend(0.0::DOUBLE,
+       |      [$qa.e[i] * $qb.e[i] FOR i IN range(1, len($qa.e)+1)]),
+       |      (x,y) -> x+y) / ($qa.nrm * $qb.nrm) AS cosine""".stripMargin
+
+  /** DuckDB fragment: the `Dedup.shingleArrays` pipeline — normalize,
+    * whitespace tokens, distinct 3-word shingles. */
+  private def shingleSql: String =
+    """nrm AS (
+      |  SELECT doc_id,
+      |    regexp_replace(lower(text), '\s+', ' ', 'g') AS t
+      |  FROM documents WHERE doc_id < 1000),
+      |toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(t, ' '), x -> x != '') AS tk
+      |  FROM nrm),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(
+      |    [array_to_string(tk[i+1:i+3], ' ')
+      |     FOR i IN range(0, greatest(len(tk)-3, 0)+1)]) AS shingles
+      |  FROM toks)""".stripMargin
 
   /** q42 oracle: same stopword-hit argmax as
     * [[graft.operators.TextAnalysis.languageId]], ties to the

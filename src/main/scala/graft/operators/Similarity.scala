@@ -38,6 +38,25 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Exact all-pairs cosine-similarity pairs above `threshold` — the
+    * brute-force ORACLE BASELINE that [[graft.operators.Dedup
+    * .embeddingNearDup]]'s LSH bucketing approximates. O(n²) by
+    * construction; for validation on samples, never the scale path. The
+    * kernel's sequential double accumulation makes the score bit-exactly
+    * reproducible by any engine folding the same order.
+    */
+  def cosinePairsExact(embeddings: DataFrame,
+      threshold: Double): DataFrame = {
+    val a = embeddings.select(col("vec_id").as("id_a"),
+      col("embedding").as("ea"))
+    val b = embeddings.select(col("vec_id").as("id_b"),
+      col("embedding").as("eb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        native.fvec_cosine(col("ea"), col("eb")).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
   /** `nlist` coarse centroids picked deterministically from the corpus by
     * hash-sampling vec_ids (data-independent, no count() pre-pass — at
     * 100 TB an extra full scan just to size a stride is wasted IO).

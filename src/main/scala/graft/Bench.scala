@@ -31,8 +31,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up once outside the timers: file-listing + parquet footers +
-    // first-query codegen/JIT otherwise land on whichever query runs first.
+    // first-query codegen/JIT otherwise land on whichever query runs
+    // first. The shuffle, broadcast, and window machinery each JIT their
+    // own code paths, so warm all three (q01 ran first alphabetically and
+    // absorbed ~1s of one-time exchange/codegen cost before this).
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.range(10000).selectExpr("id % 7 AS k").groupBy("k").count()
+      .orderBy("count").collect()
+    spark.range(100).toDF("id")
+      .join(org.apache.spark.sql.functions.broadcast(
+        spark.range(10).toDF("id")), "id")
+      .selectExpr("id", "row_number() OVER (ORDER BY id) AS rn")
+      .collect()
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Seq("lineitem", "orders", "customer", "events", "documents",
       "embeddings").foreach { t =>

@@ -430,8 +430,11 @@ object SparkEntry {
     "q33_neardup_jaccard" -> ((s, dir) =>
       Dedup.nearDupPairs(t(s, dir, "documents"), threshold = 0.5)
         .orderBy(col("id_a").asc, col("id_b").asc)),
+    // radius 3 is the standard 64-bit near-dup setting (Manku et al.,
+    // WWW'07): 4 chunks of 16 bits keep buckets selective; radius 8 would
+    // shrink chunks to ~7 bits and blow up intra-bucket candidates
     "q34_simhash" -> ((s, dir) =>
-      Dedup.simhashCandidates(t(s, dir, "documents"), maxHamming = 8)
+      Dedup.simhashCandidates(t(s, dir, "documents"), maxHamming = 3)
         .orderBy(col("id_a").asc, col("id_b").asc)),
     "q35_embedding_neardup" -> ((s, dir) =>
       // synthetic embeddings are near-orthogonal (max cosine ~0.4), so a

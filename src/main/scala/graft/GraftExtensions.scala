@@ -78,5 +78,16 @@ object GraftExtensions {
       case Seq(c) => RepetitionStatsExpr(c)
       case _ => throw new IllegalArgumentException(
         "repetition_stats(tokens)")
+    },
+    "shingle_hashes_sorted" -> {
+      case Seq(c) => ShingleHashSortedExpr(c, 3)
+      case Seq(c, w) => ShingleHashSortedExpr(c, intArg(w))
+      case _ => throw new IllegalArgumentException(
+        "shingle_hashes_sorted(tokens[, shingle_words])")
+    },
+    "sorted_intersect_count" -> {
+      case Seq(a, b) => SortedIntersectCountExpr(a, b)
+      case _ => throw new IllegalArgumentException(
+        "sorted_intersect_count(a, b)")
     })
 }

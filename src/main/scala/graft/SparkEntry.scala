@@ -520,6 +520,13 @@ object SparkEntry {
           threshold = 0.5),
         maxIter = 30)
         .orderBy(col("id").asc)),
+    // ---- extension tier: corpus preparation (splits + shards) ----
+    "q65_hash_split" -> ((s, dir) =>
+      Sharding.hashSplit(t(s, dir, "documents").select(col("doc_id")))
+        .orderBy(col("doc_id").asc)),
+    "q66_token_shards" -> ((s, dir) =>
+      Sharding.tokenShards(t(s, dir, "documents"), budget = 2048L)
+        .orderBy(col("doc_id").asc)),
     "q45_multimodal_meta" -> ((s, dir) =>
       Multimodal.mediaFromDocuments(t(s, dir, "documents"))
         .select(col("media_id"), col("meta.media_type"),
@@ -964,7 +971,39 @@ object SparkEntry {
            |  SELECT e.src, reach.r FROM edges e
            |  JOIN reach ON e.dst = reach.id)
            |SELECT id, min(r) AS canonical_id FROM reach
-           |GROUP BY id ORDER BY id""".stripMargin
+           |GROUP BY id ORDER BY id""".stripMargin,
+      "q65_hash_split" ->
+        // same byte-fold as the q44 rolling hash (ASCII key, so code
+        // points == bytes), over "<doc_id>:v1", bucketed mod 100
+        """WITH k AS (
+          |  SELECT doc_id, CAST(doc_id AS VARCHAR) || ':v1' AS key
+          |  FROM documents),
+          |b AS (
+          |  SELECT doc_id, CAST(list_reduce(list_prepend(0::BIGINT,
+          |    [ascii(key[i])::BIGINT FOR i IN range(1, length(key)+1)]),
+          |    (acc, c) -> (acc * 257 + c) % 1000000007) % 100 AS INT)
+          |    AS bucket
+          |  FROM k)
+          |SELECT doc_id, bucket,
+          |  CASE WHEN bucket < 80 THEN 'train'
+          |       WHEN bucket < 90 THEN 'val'
+          |       ELSE 'test' END AS split
+          |FROM b ORDER BY doc_id""".stripMargin,
+      "q66_token_shards" ->
+        """WITH tk AS (
+          |  SELECT doc_id,
+          |    CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+          |      AS INT) AS n_tokens
+          |  FROM documents),
+          |c AS (
+          |  SELECT doc_id, n_tokens,
+          |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS BIGINT) AS cum_prev
+          |  FROM tk)
+          |SELECT doc_id, n_tokens,
+          |  CAST(floor(cum_prev / 2048.0) AS BIGINT) AS shard_id
+          |FROM c ORDER BY doc_id""".stripMargin
       // q28, q32-q35, q38, q49: not DuckDB-reproducible BY DESIGN
       // (xxhash64-based minhash/simhash signatures, random-hyperplane /
       // IVF bucketing, HLL sketch) → driver records rows-only checks;

@@ -98,4 +98,33 @@ class PlanSpec extends SparkSuite {
       emb, emb.where(col("vec_id") < 5), 10))
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
+
+  test("IVF cell assignment is a pure projection (no join, no exchange)") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val cents = graft.operators.Similarity.ivfCentroids(emb, nlist = 4)
+    val p = plan(graft.operators.Similarity.ivfAssign(emb, cents))
+    assert(!p.contains("Exchange") && !p.contains("Join"), p.take(2000))
+  }
+
+  test("exact Jaccard runs on the merge kernel, not array_intersect") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .where(col("doc_id") < 100)
+    val p = plan(graft.operators.Dedup.jaccardAllPairs(docs))
+    assert(p.contains("sorted_intersect_count"), p.take(3000))
+    assert(!p.contains("array_intersect"), p.take(3000))
+  }
+
+  test("token sharding windows per range partition, never a global " +
+      "single-partition window") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val df = graft.operators.Sharding.tokenShards(docs, budget = 2048L,
+      numParts = 4)
+    val p = plan(df)
+    // the running sum is partitioned by pid — a Window with a non-empty
+    // partition spec (an empty spec would funnel the corpus into 1 task)
+    assert(p.contains("Window"), p.take(2000))
+    assert(p.contains("partitionwindowspecdefinition") ||
+      p.contains("windowspecdefinition(pid"), p.take(3000))
+    assert(df.count() > 0)
+  }
 }

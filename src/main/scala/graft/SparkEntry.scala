@@ -527,6 +527,9 @@ object SparkEntry {
     "q66_token_shards" -> ((s, dir) =>
       Sharding.tokenShards(t(s, dir, "documents"), budget = 2048L)
         .orderBy(col("doc_id").asc)),
+    "q67_split_leakage" -> ((s, dir) =>
+      Sharding.splitLeakage(t(s, dir, "documents"))
+        .orderBy(col("split").asc)),
     "q45_multimodal_meta" -> ((s, dir) =>
       Multimodal.mediaFromDocuments(t(s, dir, "documents"))
         .select(col("media_id"), col("meta.media_type"),
@@ -1003,7 +1006,36 @@ object SparkEntry {
           |  FROM tk)
           |SELECT doc_id, n_tokens,
           |  CAST(floor(cum_prev / 2048.0) AS BIGINT) AS shard_id
-          |FROM c ORDER BY doc_id""".stripMargin
+          |FROM c ORDER BY doc_id""".stripMargin,
+      "q67_split_leakage" ->
+        // q65's bucket fold + q43's fingerprint, aggregated per split
+        """WITH k AS (
+          |  SELECT doc_id,
+          |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+          |    CAST(doc_id AS VARCHAR) || ':v1' AS key
+          |  FROM documents),
+          |b AS (
+          |  SELECT doc_id, fp, CAST(list_reduce(list_prepend(0::BIGINT,
+          |    [ascii(key[i])::BIGINT FOR i IN range(1, length(key)+1)]),
+          |    (acc, c) -> (acc * 257 + c) % 1000000007) % 100 AS INT)
+          |    AS bucket
+          |  FROM k),
+          |s AS (
+          |  SELECT doc_id, fp,
+          |    CASE WHEN bucket < 80 THEN 'train'
+          |         WHEN bucket < 90 THEN 'val'
+          |         ELSE 'test' END AS split
+          |  FROM b),
+          |fps AS (
+          |  SELECT fp, count(DISTINCT split) AS n_splits
+          |  FROM s GROUP BY fp)
+          |SELECT split,
+          |  count(*) AS n_docs,
+          |  count(DISTINCT s.fp) AS n_fingerprints,
+          |  CAST(COALESCE(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END),
+          |    0) AS BIGINT) AS n_leaked_docs
+          |FROM s JOIN fps ON s.fp = fps.fp
+          |GROUP BY split ORDER BY split""".stripMargin
       // q28, q32-q35, q38, q49: not DuckDB-reproducible BY DESIGN
       // (xxhash64-based minhash/simhash signatures, random-hyperplane /
       // IVF bucketing, HLL sketch) → driver records rows-only checks;

@@ -42,6 +42,28 @@ object Sharding {
           .otherwise(lit("test")))
   }
 
+  /** Cross-split decontamination report: for each split, how many
+    * documents it holds, how many distinct content fingerprints, and how
+    * many of its documents share a fingerprint with ANOTHER split —
+    * the train/test-leakage check run before training on a split. One
+    * aggregate over (fingerprint → distinct-split count) joined back;
+    * both sides shuffle on the fingerprint key only.
+    */
+  def splitLeakage(docs: DataFrame, salt: String = "v1"): DataFrame = {
+    val tagged = hashSplit(docs, salt = salt)
+      .select(col("doc_id"), col("split"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+    val fpSplits = tagged.groupBy(col("fp"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+    tagged.join(fpSplits, Seq("fp"))
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_fingerprints"),
+        sum(when(col("n_splits") > 1, 1L).otherwise(0L))
+          .as("n_leaked_docs"))
+  }
+
   /** Token-budget sharding: assign documents (in `doc_id` order) to
     * consecutive shards of ~`budget` tokens each — the pack-the-corpus
     * step before writing training shards. A document lands in shard

@@ -32,6 +32,27 @@ class ShardingSpec extends SparkSuite {
     assert(moved > 0)
   }
 
+  test("split leakage counts cross-split duplicate fingerprints") {
+    val docs = (0L until 100L)
+      .map(i => (i, if (i < 10) "dup text" else s"unique text $i"))
+      .toDF("doc_id", "text")
+    val rep = Sharding.splitLeakage(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    val splits = Sharding.hashSplit(docs).select($"doc_id", $"split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val dupIds = (0L until 10L)
+    // the shared fingerprint leaks iff its copies span >1 split
+    val leak: Map[String, Long] =
+      if (dupIds.map(splits).toSet.size > 1)
+        dupIds.groupBy(splits).map { case (s, ids) => s -> ids.size.toLong }
+      else Map.empty
+    assert(rep.values.map(_._1).sum === 100L)
+    rep.foreach { case (split, (_, _, nLeaked)) =>
+      assert(nLeaked === leak.getOrElse(split, 0L), split)
+    }
+  }
+
   test("token shards: distributed prefix sum equals the single-window " +
       "reference and respects the budget boundaries") {
     val docs = (0L until 500L)

@@ -27,6 +27,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // coalesce post-shuffle partitions to the advisory size instead of
+      // keeping cpu-count near-empty partitions (the setting Spark's own
+      // tuning guide recommends; at bench scale every shuffle otherwise
+      // schedules 32 tasks of a few KB each)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -12,6 +12,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // coalesce post-shuffle partitions by size, not cpu count (see
+      // Bench) — results are partition-layout independent
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -513,12 +513,15 @@ object SparkEntry {
       Similarity.cosinePairsExact(t(s, dir, "embeddings"),
         threshold = 0.25)
         .orderBy(col("id_a").asc, col("id_b").asc)),
+    // maxIter bounds only a non-converged loop (it exits on fixpoint);
+    // the oracle computes the exact recursive fixpoint, so the cap must
+    // exceed any plausible component diameter in the sample
     "q64_cluster_allpairs" -> ((s, dir) =>
       Dedup.nearDupClusters(
         Dedup.jaccardAllPairs(
           t(s, dir, "documents").where(col("doc_id") < 1000),
           threshold = 0.5),
-        maxIter = 30)
+        maxIter = 1000)
         .orderBy(col("id").asc)),
     // ---- extension tier: corpus preparation (splits + shards) ----
     "q65_hash_split" -> ((s, dir) =>
@@ -1063,7 +1066,8 @@ object SparkEntry {
        |      [$qa.e[i] * $qb.e[i] FOR i IN range(1, len($qa.e)+1)]),
        |      (x,y) -> x+y) / ($qa.nrm * $qb.nrm) AS cosine""".stripMargin
 
-  /** DuckDB fragment: the `Dedup.shingleArrays` pipeline — normalize,
+  /** DuckDB fragment: the [[graft.operators.Dedup.shingleHashArrays]]
+    * semantics on shingle STRINGS — normalize,
     * whitespace tokens, distinct 3-word shingles. */
   private def shingleSql: String =
     """nrm AS (
@@ -1075,9 +1079,14 @@ object SparkEntry {
       |    list_filter(string_split(t, ' '), x -> x != '') AS tk
       |  FROM nrm),
       |sh AS (
-      |  SELECT doc_id, list_distinct(
-      |    [array_to_string(tk[i+1:i+3], ' ')
-      |     FOR i IN range(0, greatest(len(tk)-3, 0)+1)]) AS shingles
+      |  SELECT doc_id,
+      |    CASE WHEN len(tk) = 0 THEN []
+      |    -- zero-token docs get NO shingle (the kernel's semantics);
+      |    -- without the CASE the comprehension yields [''] and an
+      |    -- empty-vs-empty pair would score 1.0 in DuckDB only
+      |    ELSE list_distinct(
+      |      [array_to_string(tk[i+1:i+3], ' ')
+      |       FOR i IN range(0, greatest(len(tk)-3, 0)+1)]) END AS shingles
       |  FROM toks)""".stripMargin
 
   /** q42 oracle: same stopword-hit argmax as

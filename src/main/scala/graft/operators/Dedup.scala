@@ -56,27 +56,6 @@ object Dedup {
       filter(split(normalized(col("text")), " "), t => t =!= lit(""))
         .as("tokens"))
 
-  /** Distinct word n-gram shingles of the normalized text, as one array
-    * per document — a narrow projection (no explode, no shuffle). Used
-    * only where shingle STRINGS are genuinely needed (exact Jaccard on
-    * candidate pairs); signatures use [[tokenArrays]] + kernels.
-    */
-  def shingleArrays(docs: DataFrame, n: Int = 3): DataFrame = {
-    val toks = split(normalized(col("text")), " ")
-    docs.select(
-      col("doc_id"),
-      array_distinct(
-        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-        .as("shingles"))
-  }
-
-  /** Exploded (doc_id, shingle) view, for callers that want the relational
-    * shape. */
-  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
-    shingleArrays(docs, n)
-      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-
   // ---------------------------------------------------------- MinHash/LSH
 
   /** MinHash signatures as one `array<long>` column, computed per row by

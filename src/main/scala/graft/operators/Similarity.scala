@@ -81,23 +81,36 @@ object Similarity {
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
 
-  /** Nearest-cell column: argmax over `dot(e, c_i)/‖c_i‖` with centroids
-    * inlined as literals — cosine argmax without the per-row `‖e‖` factor
-    * (a positive per-row scale never changes an argmax). Ties go to the
-    * lowest cell. Pure projection: NO join, NO shuffle, stays inside
-    * whole-stage codegen. At 100 TB this is the bucketing column the
-    * corpus is written `bucketBy`/`partitionBy` on.
+  /** Per-centroid similarity column `dot(e, c_i)/‖c_i‖` — cosine up to
+    * the per-row `‖e‖` factor, which a ranking never needs (a positive
+    * per-row scale changes no ordering). Shared by the assignment argmax
+    * and the probe top-nprobe so the scoring arithmetic lives once.
+    */
+  private def centroidSim(embedding: org.apache.spark.sql.Column,
+      vec: Array[Float]): org.apache.spark.sql.Column = {
+    val nrm = math.sqrt(vec.map(x => x.toDouble * x).sum)
+    native.fvec_dot(embedding, typedLit(vec.toSeq)) / nrm
+  }
+
+  /** Nearest-cell column: argmax over [[centroidSim]] with centroids
+    * inlined as literals. Ties go to the lowest cell. Pure projection:
+    * NO join, NO shuffle, stays inside whole-stage codegen. At 100 TB
+    * this is the bucketing column the corpus is written
+    * `bucketBy`/`partitionBy` on.
     */
   def nearestCell(embedding: org.apache.spark.sql.Column,
       centroids: Array[(Int, Array[Float])]): org.apache.spark.sql.Column = {
+    require(centroids.nonEmpty, "need at least one centroid")
     val scored = centroids.map { case (cell, vec) =>
-      val nrm = math.sqrt(vec.map(x => x.toDouble * x).sum)
-      struct(
-        (native.fvec_dot(embedding, typedLit(vec.toSeq)) / nrm).as("sim"),
+      struct(centroidSim(embedding, vec).as("sim"),
         lit(-cell).as("neg_cell"))
     }
-    // struct max = (max sim, then max neg_cell = lowest cell)
-    (-greatest(scored.toIndexedSeq: _*).getField("neg_cell")).as("cell")
+    // struct max = (max sim, then max neg_cell = lowest cell);
+    // greatest() needs two args — a single cell is a constant assignment
+    val best =
+      if (scored.length == 1) scored.head
+      else greatest(scored.toIndexedSeq: _*)
+    (-best.getField("neg_cell")).as("cell")
   }
 
   /** IVF assignment: each corpus vector → its nearest centroid by cosine,
@@ -155,10 +168,7 @@ object Similarity {
     // (no centroid join, no window — the probe list is per-row state)
     val probeCells = {
       val ranked = centArr.map { case (cell, vec) =>
-        val nrm = math.sqrt(vec.map(x => x.toDouble * x).sum)
-        struct(
-          (-native.fvec_dot(col("embedding"), typedLit(vec.toSeq)) / nrm)
-            .as("neg_sim"),
+        struct((-centroidSim(col("embedding"), vec)).as("neg_sim"),
           lit(cell).as("cell"))
       }
       // ascending struct sort = best sim first, ties to the lowest cell
@@ -166,10 +176,9 @@ object Similarity {
         slice(array_sort(array(ranked.toIndexedSeq: _*)), 1, nprobe),
         s => s.getField("cell"))
     }
-    val q = queries.select(
+    val probes = queries.select(
       col("vec_id").as("query_id"), col("embedding").as("query_vec"),
       explode(probeCells).as("cell"))
-    val probes = q.select(col("query_id"), col("query_vec"), col("cell"))
     val scored = indexed.join(broadcast(probes), Seq("cell"))
       .where(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),

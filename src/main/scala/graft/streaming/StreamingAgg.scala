@@ -20,10 +20,15 @@ object StreamingAgg {
     * `dropDuplicates`): the derived `day` column carries no event-time
     * tag, so keying plain dropDuplicates on it would never expire state.
     * WithinWatermark keys state on the tuple but expires each entry as
-    * the watermark passes it; duplicates of a (day,user,type) tuple all
-    * carry a `ts` inside that day, so any dup still admitted by the
-    * watermark is also still within the dedup horizon — semantics match,
-    * state is bounded.
+    * the watermark passes it, so state stays bounded. The dedup guarantee
+    * is correspondingly scoped: a duplicate is dropped only while the
+    * FIRST occurrence is still within the watermark delay. With the
+    * default `lateness = "1 day"` every same-day duplicate of a
+    * (day,user,type) tuple falls inside that horizon (any admitted dup's
+    * `ts` is within the day, and the first occurrence's state lives for a
+    * full day), so counts match the batch `dropDuplicates` plan; a
+    * SHORTER lateness trades exactness for state — a dup arriving more
+    * than `lateness` after the first occurrence is counted again.
     *
     * @param events   streaming DataFrame with an event-time column `ts`,
     *                 a dedup identity `user_id`, and a group key

@@ -47,13 +47,20 @@ object Similarity {
     */
   def cosinePairsExact(embeddings: DataFrame,
       threshold: Double): DataFrame = {
-    val a = embeddings.select(col("vec_id").as("id_a"),
-      col("embedding").as("ea"))
-    val b = embeddings.select(col("vec_id").as("id_b"),
-      col("embedding").as("eb"))
+    // materialize per-row norms BEFORE the self-join: computed inside the
+    // pair projection they cost two O(d) loops per PAIR instead of one
+    // per row (2/3 of all-pairs compute). dot/(na·nb) is the exact
+    // arithmetic of fvec_cosine, so scores are bit-identical.
+    val sides = embeddings.select(col("vec_id"), col("embedding"),
+      native.fvec_norm(col("embedding")).as("nrm")).localCheckpoint()
+    val a = sides.select(col("vec_id").as("id_a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = sides.select(col("vec_id").as("id_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        native.fvec_cosine(col("ea"), col("eb")).as("cosine"))
+        (native.fvec_dot(col("ea"), col("eb")) /
+          (col("na") * col("nb"))).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 

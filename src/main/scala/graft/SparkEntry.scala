@@ -533,6 +533,11 @@ object SparkEntry {
     "q67_split_leakage" -> ((s, dir) =>
       Sharding.splitLeakage(t(s, dir, "documents"))
         .orderBy(col("split").asc)),
+    // exact output (sketch only prunes candidates; the recount decides),
+    // so a plain GROUP BY / HAVING oracle checks it
+    "q68_heavy_hitters" -> ((s, dir) =>
+      TextAnalysis.heavyHitters(t(s, dir, "documents"), minCount = 500L)
+        .orderBy(col("token").asc)),
     "q45_multimodal_meta" -> ((s, dir) =>
       Multimodal.mediaFromDocuments(t(s, dir, "documents"))
         .select(col("media_id"), col("meta.media_type"),
@@ -1038,7 +1043,15 @@ object SparkEntry {
           |  CAST(COALESCE(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END),
           |    0) AS BIGINT) AS n_leaked_docs
           |FROM s JOIN fps ON s.fp = fps.fp
-          |GROUP BY split ORDER BY split""".stripMargin
+          |GROUP BY split ORDER BY split""".stripMargin,
+      "q68_heavy_hitters" ->
+        """SELECT token, count(*) AS cnt
+          |FROM (SELECT unnest(list_filter(string_split(
+          |        regexp_replace(lower(text), '\s+', ' ', 'g'), ' '),
+          |        x -> x != '')) AS token
+          |      FROM documents) t
+          |GROUP BY token HAVING count(*) >= 500
+          |ORDER BY token""".stripMargin
       // q28, q32-q35, q38, q49: not DuckDB-reproducible BY DESIGN
       // (xxhash64-based minhash/simhash signatures, random-hyperplane /
       // IVF bucketing, HLL sketch) → driver records rows-only checks;

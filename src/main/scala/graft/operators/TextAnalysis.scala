@@ -153,6 +153,30 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(limit)
 
+  /** Exact heavy hitters (tokens with global count ≥ `minCount`) via the
+    * scalable sketch-then-verify pipeline: a Misra–Gries
+    * `TypedImperativeAggregate` ([[graft.functions.MisraGriesAgg]]) finds
+    * a candidate superset in ONE pass with ≤ k counters per task and ≤ k
+    * rows through the final merge — never a full-vocabulary shuffle —
+    * then an exact recount of only the candidates makes the output exact.
+    * The superset guarantee needs total tokens n < minCount·(k+1); size
+    * `k` accordingly (k rows of sketch state is the entire memory and
+    * shuffle footprint, so overshooting is cheap).
+    */
+  def heavyHitters(docs: DataFrame, minCount: Long,
+      k: Int = 8192): DataFrame = {
+    val toks = tokenStream(docs)
+    val candidates = toks
+      .agg(graft.functions.sketches.misra_gries(col("token"), k)
+        .as("sketch"))
+      .select(explode(col("sketch")).as("c"))
+      .select(col("c.item").as("token"))
+    toks.join(broadcast(candidates), Seq("token"), "left_semi")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+  }
+
   /** Per-document top terms by tf/df weighting (document-frequency
     * normalized term frequency — the engine-portable core of tf-idf: the
     * ratio of two ints is one IEEE division, bit-identical across engines,

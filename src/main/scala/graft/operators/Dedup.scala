@@ -269,6 +269,63 @@ object Dedup {
     labels.withColumnRenamed("label", "canonical_id")
   }
 
+  /** Connected components by alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14): each round hooks every node to the minimum of its
+    * neighborhood, halving component height — O(log n) rounds regardless
+    * of diameter, where [[nearDupClusters]]' label propagation needs
+    * O(diameter). The scale choice when components can be chain-shaped
+    * (e.g. drifted near-dup sequences). Returns (id, canonical_id) with
+    * canonical = component minimum, same contract as
+    * [[nearDupClusters]].
+    */
+  def connectedComponentsStars(pairs: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+        .where(col("u") =!= col("v")).distinct()
+    // m(u) = min of the closed neighborhood; edge rows tagged with it
+    def withMin(s: DataFrame): DataFrame = {
+      val mins = s.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      s.join(mins, Seq("u"))
+        .withColumn("m", least(col("u"), col("mn")))
+    }
+    var edges = sym(pairs.select(col("id_a").as("u"), col("id_b").as("v")))
+      .localCheckpoint()
+    var labels: DataFrame = null
+    var prevLabels: DataFrame = null
+    var iter = 0
+    var done = false
+    while (iter < maxIter && !done) {
+      // large-star: hook every neighbor LARGER than u onto m(u)
+      val ls = withMin(sym(edges))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+      // small-star: hook u and its not-larger neighbors onto m(u)
+      val wm = withMin(sym(ls))
+      val ss = wm.where(col("v") <= col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(wm.select(col("u"), col("m").as("v")))
+      edges = ss.where(col("u") =!= col("v")).distinct().localCheckpoint()
+      // converged when per-node min-neighbor labels are a fixpoint (the
+      // graph is a star forest) — a distributed set difference, never a
+      // label collect to the driver
+      labels = sym(edges).groupBy(col("u"))
+        .agg(least(col("u"), min(col("v"))).as("label"))
+        .localCheckpoint()
+      done = prevLabels != null && labels.except(prevLabels).isEmpty
+      prevLabels = labels
+      iter += 1
+    }
+    // nodes isolated by earlier rounds keep their own id
+    val allNodes = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
+    allNodes
+      .join(labels.withColumnRenamed("u", "id"), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("label"), col("id")).as("canonical_id"))
+  }
+
   // --------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-dup: pairs with cosine ≥ threshold, bucketed by

@@ -46,6 +46,30 @@ class VocabClusterSpec extends SparkSuite {
     assert(got.size === 7)
   }
 
+  test("star-rounds components solve a 200-node chain within the " +
+      "O(log n) round budget and agree with propagation on random " +
+      "graphs") {
+    // a 200-node path has diameter 199: propagation would need ~200
+    // rounds; alternating stars must finish well inside maxIter = 25
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val stars = Dedup.connectedComponentsStars(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stars.size === 200)
+    assert(stars.values.toSet === Set(0L))
+    // random sparse graphs: same components as min-label propagation
+    val rnd = new scala.util.Random(11)
+    val pairs = Seq.fill(120)(
+      (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.toDF("id_a", "id_b")
+    val viaStars = Dedup.connectedComponentsStars(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaProp = Dedup.nearDupClusters(pairs, maxIter = 100).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStars === viaProp)
+  }
+
   test("repetition features count token and bigram duplication") {
     val docs = Seq(
       (0L, "spam spam spam spam"),

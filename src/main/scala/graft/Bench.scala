@@ -27,12 +27,18 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      // coalesce post-shuffle partitions to the advisory size instead of
-      // keeping cpu-count near-empty partitions (the setting Spark's own
-      // tuning guide recommends; at bench scale every shuffle otherwise
-      // schedules 32 tasks of a few KB each)
+      // coalesce post-shuffle partitions by size, not cpu count — but at
+      // bench scale the default 64 MB advisory size would coalesce sf0.1's
+      // small shuffles to ~1 partition and serialize every post-shuffle
+      // stage (the round-2 regression: q20 3.6x, q21 3.3x, ...). Pair the
+      // production instinct with a bench-scale advisory size so shuffles
+      // keep >= cpu-count partitions while still merging the near-empty
+      // ones.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        "1m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -56,13 +62,24 @@ object Bench {
         .parquet(s"$sfDir/$t.parquet").limit(1).collect()
       catch { case _: Throwable => }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+    // Median of 3 passes per query: single-run times at this scale have
+    // 20-30% jitter from GC/JIT; the median is stable round-over-round.
+    // Pass-level interleaving (all queries per pass, 3 passes) keeps the
+    // cache/JIT state comparable between the runs of one query.
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+    for (_ <- 1 to 3; (name, fn) <- names) {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      times(name) = dt :: times.getOrElse(name, Nil)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def median(xs: List[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val results = names.map { case (name, _) => name -> median(times(name)) }
+    // 3 decimals (ms precision): the driver captures only the tail of the
+    // sbt output, and round 2's full-precision line overflowed it — the
+    // line must stay well under ~2 KB or `headline_total` gets truncated.
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     // headline = a FIXED representative set, stable across rounds, so the
     // round-over-round baseline comparison is apples-to-apples even as the

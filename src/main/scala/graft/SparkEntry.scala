@@ -254,14 +254,21 @@ object SparkEntry {
         .orderBy(col("c_mktsegment").asc, col("order_month").asc)
     }),
     "q21_window_topk" -> ((s, dir) => {
+      // two-phase top-k, NOT a window: ~5 mktsegment values would funnel
+      // the whole orders fact through 5 reducer tasks. TopK keeps a
+      // k-bounded heap per group per task instead (desc price encoded as
+      // negation; o_orderkey tie-break makes the order total).
       val o = t(s, dir, "orders")
       val c = broadcast(t(s, dir, "customer"))
-      val w = Window.partitionBy(col("c_mktsegment"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      o.join(c, o("o_custkey") === c("c_custkey"))
-        .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
-        .withColumn("rank", row_number().over(w))
-        .where(col("rank") <= 3)
+      TopK.topKPerGroup(
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .select(col("c_mktsegment"), col("o_orderkey"),
+            col("o_totalprice")),
+        groupCols = Seq("c_mktsegment"),
+        sortKey = struct((-col("o_totalprice")).as("np"),
+          col("o_orderkey").as("ok")),
+        payload = Seq(col("o_orderkey"), col("o_totalprice")),
+        k = 3)
         .orderBy(col("c_mktsegment").asc, col("rank").asc)
     }),
     "q22_window_running" -> ((s, dir) => {

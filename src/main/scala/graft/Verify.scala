@@ -13,9 +13,14 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // coalesce post-shuffle partitions by size, not cpu count (see
-      // Bench) — results are partition-layout independent
+      // Bench) — results are partition-layout independent. The small
+      // advisory size keeps sf-scale shuffles parallel (round-2 lesson:
+      // the 64 MB default coalesced everything to ~1 partition).
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        "1m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -67,9 +67,15 @@ object Config {
           case 'n' => sb += '\n'; i += 2
           case 'r' => sb += '\r'; i += 2
           case 't' => sb += '\t'; i += 2
-          case 'u' if i + 6 <= s.length =>
+          case 'u' if i + 6 <= s.length &&
+              s.substring(i + 2, i + 6).forall(h =>
+                (h >= '0' && h <= '9') || (h >= 'a' && h <= 'f') ||
+                (h >= 'A' && h <= 'F')) =>
             sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
             i += 6
+          // non-hex \uZZZZ: not a JSON escape — pass through literally
+          // rather than crash config load with a NumberFormatException
+          case 'u' => sb += '\\'; sb += 'u'; i += 2
           case other => sb += other; i += 2
         }
       } else { sb += c; i += 1 }

@@ -25,43 +25,55 @@ import org.apache.spark.unsafe.types.UTF8String
   * A plain `groupBy(token).count()` shuffles the full vocabulary; the
   * sketch shuffles ≤ k rows per task, independent of data size.
   */
+/** Misra–Gries buffer: bounded counter map plus the TOTAL ingested count
+  * `n` (merges by addition). `n` is what makes the sketch's guarantee
+  * checkable downstream: the candidate set is a superset of the items
+  * with true count ≥ m only while m > n/(k+1).
+  */
+final class MGBuffer(
+    val counters: mutable.HashMap[UTF8String, Long],
+    var n: Long)
+
 case class MisraGriesAgg(
     child: Expression,
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[mutable.HashMap[UTF8String, Long]] {
+    extends TypedImperativeAggregate[MGBuffer] {
 
   require(k > 0, "k must be positive")
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
-  override def dataType: DataType = ArrayType(StructType(Seq(
-    StructField("item", StringType, nullable = false),
-    StructField("min_count", LongType, nullable = false))),
-    containsNull = false)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("candidates", ArrayType(StructType(Seq(
+      StructField("item", StringType, nullable = false),
+      StructField("min_count", LongType, nullable = false))),
+      containsNull = false), nullable = false)))
   override def prettyName: String = "misra_gries"
 
-  override def createAggregationBuffer(): mutable.HashMap[UTF8String, Long] =
-    new mutable.HashMap[UTF8String, Long]()
+  override def createAggregationBuffer(): MGBuffer =
+    new MGBuffer(new mutable.HashMap[UTF8String, Long](), 0L)
 
   /** Classic MG step: increment if tracked, insert if room, otherwise
     * decrement every counter (dropping zeros) — the "pay one from each"
     * amortization that bounds memory at k counters.
     */
-  override def update(buf: mutable.HashMap[UTF8String, Long],
-      input: InternalRow): mutable.HashMap[UTF8String, Long] = {
+  override def update(buf: MGBuffer, input: InternalRow): MGBuffer = {
     val v = child.eval(input)
     if (v != null) {
+      buf.n += 1
+      val cnt = buf.counters
       val item = v.asInstanceOf[UTF8String]
-      buf.get(item) match {
-        case Some(c) => buf.update(item, c + 1)
-        case None if buf.size < k => buf.update(item.clone(), 1L)
+      cnt.get(item) match {
+        case Some(c) => cnt.update(item, c + 1)
+        case None if cnt.size < k => cnt.update(item.clone(), 1L)
         case None =>
           val dead = mutable.ArrayBuffer.empty[UTF8String]
-          buf.mapValuesInPlace((_, c) => c - 1)
-          buf.foreach { case (key, c) => if (c <= 0) dead += key }
-          dead.foreach(buf.remove)
+          cnt.mapValuesInPlace((_, c) => c - 1)
+          cnt.foreach { case (key, c) => if (c <= 0) dead += key }
+          dead.foreach(cnt.remove)
       }
     }
     buf
@@ -72,38 +84,39 @@ case class MisraGriesAgg(
     * and drop the non-positive ones — the merged sketch keeps the same
     * error bound as if it had seen the whole stream.
     */
-  override def merge(buf: mutable.HashMap[UTF8String, Long],
-      other: mutable.HashMap[UTF8String, Long])
-      : mutable.HashMap[UTF8String, Long] = {
-    other.foreach { case (item, c) =>
-      buf.update(item, buf.getOrElse(item, 0L) + c)
+  override def merge(buf: MGBuffer, other: MGBuffer): MGBuffer = {
+    buf.n += other.n
+    val cnt = buf.counters
+    other.counters.foreach { case (item, c) =>
+      cnt.update(item, cnt.getOrElse(item, 0L) + c)
     }
-    if (buf.size > k) {
-      val counts = buf.values.toArray
+    if (cnt.size > k) {
+      val counts = cnt.values.toArray
       java.util.Arrays.sort(counts)
       val cut = counts(counts.length - k - 1) // (k+1)-th largest
       val dead = mutable.ArrayBuffer.empty[UTF8String]
-      buf.mapValuesInPlace((_, c) => c - cut)
-      buf.foreach { case (key, c) => if (c <= 0) dead += key }
-      dead.foreach(buf.remove)
+      cnt.mapValuesInPlace((_, c) => c - cut)
+      cnt.foreach { case (key, c) => if (c <= 0) dead += key }
+      dead.foreach(cnt.remove)
     }
     buf
   }
 
-  /** Deterministic output: candidates sorted by estimate desc, item asc. */
-  override def eval(buf: mutable.HashMap[UTF8String, Long]): Any = {
-    val rows = buf.toArray
+  /** Deterministic output: `(n, candidates)` with candidates sorted by
+    * estimate desc, item asc. */
+  override def eval(buf: MGBuffer): Any = {
+    val rows = buf.counters.toArray
       .sortBy { case (item, c) => (-c, item) }
       .map { case (item, c) => InternalRow(item, c) }
-    new GenericArrayData(rows.asInstanceOf[Array[Any]])
+    InternalRow(buf.n, new GenericArrayData(rows.asInstanceOf[Array[Any]]))
   }
 
-  override def serialize(buf: mutable.HashMap[UTF8String, Long])
-      : Array[Byte] = {
+  override def serialize(buf: MGBuffer): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
-    out.writeInt(buf.size)
-    buf.foreach { case (item, c) =>
+    out.writeLong(buf.n)
+    out.writeInt(buf.counters.size)
+    buf.counters.foreach { case (item, c) =>
       val bytes = item.getBytes
       out.writeInt(bytes.length)
       out.write(bytes)
@@ -113,20 +126,20 @@ case class MisraGriesAgg(
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte])
-      : mutable.HashMap[UTF8String, Long] = {
+  override def deserialize(bytes: Array[Byte]): MGBuffer = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val total = in.readLong()
     val n = in.readInt()
-    val buf = new mutable.HashMap[UTF8String, Long]()
+    val cnt = new mutable.HashMap[UTF8String, Long]()
     var i = 0
     while (i < n) {
       val len = in.readInt()
       val b = new Array[Byte](len)
       in.readFully(b)
-      buf.update(UTF8String.fromBytes(b), in.readLong())
+      cnt.update(UTF8String.fromBytes(b), in.readLong())
       i += 1
     }
-    buf
+    new MGBuffer(cnt, total)
   }
 
   override def withNewMutableAggBufferOffset(
@@ -144,8 +157,9 @@ object sketches {
   import org.apache.spark.sql.graftshim.ColumnBridge
 
   /** Aggregate column: Misra–Gries sketch of a string column, returning
-    * `array<struct<item, min_count>>` candidates (any item with true
-    * count > n/(k+1) is present). */
+    * `struct<n: bigint, candidates: array<struct<item, min_count>>>` —
+    * `n` is the total ingested count, candidates contain every item with
+    * true count > n/(k+1). */
   def misra_gries(item: Column, k: Int): Column =
     ColumnBridge.column(
       MisraGriesAgg(ColumnBridge.expression(item), k)

@@ -309,11 +309,15 @@ object Dedup {
       edges = ss.where(col("u") =!= col("v")).distinct().localCheckpoint()
       // converged when per-node min-neighbor labels are a fixpoint (the
       // graph is a star forest) — a distributed set difference, never a
-      // label collect to the driver
+      // label collect to the driver. The check must be SYMMETRIC: if the
+      // labeled node set shrinks between rounds a one-sided
+      // labels⊆prevLabels test reads as equality and exits early,
+      // silently self-canonicalizing the dropped nodes.
       labels = sym(edges).groupBy(col("u"))
         .agg(least(col("u"), min(col("v"))).as("label"))
         .localCheckpoint()
-      done = prevLabels != null && labels.except(prevLabels).isEmpty
+      done = prevLabels != null && labels.except(prevLabels).isEmpty &&
+        prevLabels.except(labels).isEmpty
       prevLabels = labels
       iter += 1
     }

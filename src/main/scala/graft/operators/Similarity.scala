@@ -22,7 +22,11 @@ object Similarity {
 
   /** Exact brute-force cosine top-k: score every (query, corpus) pair via
     * the native codegen'd dot product, keep the k best per query.
-    * Deterministic tie-break on vec_id.
+    * Deterministic tie-break on vec_id. Ranking is the two-phase
+    * [[graft.operators.TopK]] aggregate, not a window: with few queries a
+    * `Window.partitionBy(query_id)` would funnel all scored pairs through
+    * |queries| reducers, while the bounded heap keeps k rows per query per
+    * task map-side.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       k: Int = 10): DataFrame = {
@@ -31,12 +35,21 @@ object Similarity {
     val scored = corpus.join(q, col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
         native.fvec_cosine(col("query_vec"), col("embedding")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    topKByScoreDesc(scored, k)
   }
+
+  /** Shared ranking tail of the top-k family: k best rows per query_id by
+    * (score desc, vec_id asc), rank 1-based — desc encoded by negating the
+    * score (exact for IEEE doubles and for the bounded quantized longs).
+    */
+  private def topKByScoreDesc(scored: DataFrame, k: Int,
+      score: String = "cosine"): DataFrame =
+    graft.operators.TopK.topKPerGroup(scored,
+      groupCols = Seq("query_id"),
+      sortKey = struct((-col(score)).as("ns"), col("vec_id").as("v")),
+      payload = Seq(col("vec_id"), col(score)),
+      k = k)
+      .select(col("query_id"), col("vec_id"), col(score), col("rank"))
 
   /** Exact all-pairs cosine-similarity pairs above `threshold` — the
     * brute-force ORACLE BASELINE that [[graft.operators.Dedup
@@ -96,7 +109,12 @@ object Similarity {
   private def centroidSim(embedding: org.apache.spark.sql.Column,
       vec: Array[Float]): org.apache.spark.sql.Column = {
     val nrm = math.sqrt(vec.map(x => x.toDouble * x).sum)
-    native.fvec_dot(embedding, typedLit(vec.toSeq)) / nrm
+    // zero-norm guard: dividing by 0 yields NaN, and Spark orders NaN
+    // ABOVE every double — a degenerate all-zero centroid would silently
+    // win the nearestCell argmax for the whole corpus. -Inf instead makes
+    // it lose to every real centroid (and sort last in the probe list).
+    if (nrm == 0.0) lit(Double.NegativeInfinity)
+    else native.fvec_dot(embedding, typedLit(vec.toSeq)) / nrm
   }
 
   /** Nearest-cell column: argmax over [[centroidSim]] with centroids
@@ -190,10 +208,7 @@ object Similarity {
       .where(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
         native.fvec_cosine(col("query_vec"), col("embedding")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    topKByScoreDesc(scored, k)
   }
 
   /** Engine-portable exact top-k on quantized vectors: components rounded
@@ -213,9 +228,6 @@ object Similarity {
       .select(col("query_id"), col("vec_id"),
         aggregate(zip_with(col("query_vec"), col("vec"), (a, b) => a * b),
           lit(0L), (acc, x) => acc + x).as("dot"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("dot").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    topKByScoreDesc(scored, k, score = "dot")
   }
 }

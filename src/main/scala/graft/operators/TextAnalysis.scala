@@ -159,29 +159,52 @@ object TextAnalysis {
     * a candidate superset in ONE pass with ≤ k counters per task and ≤ k
     * rows through the final merge — never a full-vocabulary shuffle —
     * then an exact recount of only the candidates makes the output exact.
-    * The superset guarantee needs total tokens n < minCount·(k+1); size
-    * `k` accordingly (k rows of sketch state is the entire memory and
-    * shuffle footprint, so overshooting is cheap).
+    * The superset guarantee needs total tokens n < minCount·(k+1), and
+    * the sketch now carries n so the precondition is CHECKED at runtime:
+    * if the corpus outgrew the sketch, heavyHitters falls back to the
+    * plain exact groupBy recount instead of silently dropping rows.
+    * Size `k` so the fallback never fires (k rows of sketch state is the
+    * entire memory and shuffle footprint, so overshooting is cheap).
     */
   def heavyHitters(docs: DataFrame, minCount: Long,
       k: Int = 8192): DataFrame = {
+    require(minCount > 0, "minCount must be positive")
     val toks = tokenStream(docs)
-    val candidates = toks
+    def exactRecount(in: DataFrame): DataFrame =
+      in.groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= minCount)
+    // one distributed pass; the struct row coming back to the driver is
+    // index metadata (≤ k items), not data
+    val sketch = toks
       .agg(graft.functions.sketches.misra_gries(col("token"), k)
         .as("sketch"))
-      .select(explode(col("sketch")).as("c"))
-      .select(col("c.item").as("token"))
-    toks.join(broadcast(candidates), Seq("token"), "left_semi")
-      .groupBy(col("token"))
-      .agg(count(lit(1)).as("cnt"))
-      .where(col("cnt") >= minCount)
+      .select(col("sketch.n").as("n"),
+        col("sketch.candidates.item").as("items"))
+      .head()
+    val n = sketch.getLong(0)
+    if (n >= minCount * (k + 1L)) {
+      // precondition void — a true heavy hitter may have been evicted.
+      // Exact-but-heavier path: full-vocabulary count (still partial-agg
+      // before the shuffle; correct at any scale, just not sketch-cheap).
+      exactRecount(toks)
+    } else {
+      val items = sketch.getSeq[String](1)
+      val candidates = docs.sparkSession.createDataset(items)(
+        org.apache.spark.sql.Encoders.STRING).toDF("token")
+      exactRecount(
+        toks.join(broadcast(candidates), Seq("token"), "left_semi"))
+    }
   }
 
   /** Per-document top terms by tf/df weighting (document-frequency
     * normalized term frequency — the engine-portable core of tf-idf: the
     * ratio of two ints is one IEEE division, bit-identical across engines,
-    * where a log-based idf would not be). df is computed once per token
-    * and broadcast back onto the token counts.
+    * where a log-based idf would not be). df has one row per DISTINCT
+    * token — at corpus scale that is billions of rows, so it must NOT be
+    * broadcast: both sides are keyed by `token`, a plain shuffle join
+    * co-partitions them. The per-doc window is fine (doc_id is
+    * high-cardinality).
     */
   def topTermsPerDoc(docs: DataFrame, k: Int = 3): DataFrame = {
     val tf = tokenStream(docs)
@@ -193,7 +216,7 @@ object TextAnalysis {
       .partitionBy(col("doc_id"))
       .orderBy((col("tf").cast("double") / col("df")).desc,
         col("token").asc)
-    tf.join(broadcast(df), Seq("token"))
+    tf.join(df.hint("shuffle_hash"), Seq("token"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("doc_id"), col("token"), col("tf"), col("df"),

@@ -20,9 +20,12 @@ class SketchSpec extends SparkSuite {
       .parallelize(scala.util.Random.shuffle(planted ++ noise), 8)
       .toDF("item")
     val k = 64
-    val sketch = df
+    val agg = df
       .agg(graft.functions.sketches.misra_gries($"item", k).as("s"))
-      .select(explode($"s").as("c"))
+    // the sketch tracks the total ingested count n exactly
+    assert(agg.select($"s.n").head().getLong(0) === 22500L)
+    val sketch = agg
+      .select(explode($"s.candidates").as("c"))
       .select($"c.item", $"c.min_count")
       .collect()
     assert(sketch.length <= k)
@@ -39,6 +42,23 @@ class SketchSpec extends SparkSuite {
   test("heavy hitters pipeline is exact against a plain group-by") {
     val docs = spark.read.parquet(sf() + "/documents.parquet")
     val got = TextAnalysis.heavyHitters(docs, minCount = 300L)
+      .orderBy($"token").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val ref = TextAnalysis.tokenStream(docs)
+      .groupBy($"token").agg(count(lit(1)).as("cnt"))
+      .where($"cnt" >= 300L)
+      .orderBy($"token").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(got.toSeq === ref.toSeq)
+    assert(got.nonEmpty)
+  }
+
+  test("heavy hitters stays exact when n outgrows the sketch guarantee") {
+    // k=4, minCount=10 → guarantee ceiling n < 50, far below the corpus:
+    // the runtime n-check must kick in and fall back to the exact
+    // recount instead of silently dropping evicted hitters
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val got = TextAnalysis.heavyHitters(docs, minCount = 300L, k = 4)
       .orderBy($"token").collect()
       .map(r => r.getString(0) -> r.getLong(1))
     val ref = TextAnalysis.tokenStream(docs)

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.config.Config
+import graft.model.Schemas
+import graft.sources.{Sinks, Sources}
+
+/** E3 entry point — the weekly reference-data refresh (reference
+  * load_asn_ref_data.py:8-12 / load_asn_ref_data.sh:1-4): reload ONLY the
+  * serving-tier dimension tables, no fact aggregation. The reference calls
+  * a limited subset of the full loader (`LoadToRDS.load_ref_data_rds`,
+  * main.py:312-339); here the same slice is the typed datapackage readers
+  * feeding the batched JDBC sink.
+  *
+  * Usage: `runMain graft.RefDataMain [configPath]` with `GRAFT_RDS_URL`
+  * set (plus `GRAFT_RDS_USER`/`GRAFT_RDS_PASSWORD` when the target needs
+  * them).
+  */
+object RefDataMain {
+
+  /** The refresh slice, callable from tests and from [[main]]: read the
+    * three reference dims (local path, s3, or — when the config points at
+    * a descriptor URL, as the reference's shipped config does — a remote
+    * datapackage) and overwrite the serving tables.
+    */
+  def refresh(spark: SparkSession, cfg: Map[String, String], url: String,
+      user: String = "", password: String = ""): Unit = {
+    def dim(key: String, schema: org.apache.spark.sql.types.StructType) = {
+      val path = cfg(key)
+      if (path.endsWith(".json"))
+        Sources.fetchDatapackage(spark, path, schema,
+          destDir = cfg.getOrElse("tmp_dir",
+            System.getProperty("java.io.tmpdir")))
+      else Sources.datapackageCsv(spark, path, schema)
+    }
+    Sinks.jdbc(dim("risk_csv", Schemas.dimRisk), url, "dim_risk",
+      user, password, mode = "overwrite")
+    Sinks.jdbc(dim("country_csv", Schemas.dimCountry), url, "dim_country",
+      user, password, mode = "overwrite")
+    Sinks.jdbc(dim("asn_csv", Schemas.dimAsn), url, "dim_asn",
+      user, password, mode = "overwrite")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val configPath =
+      if (args.nonEmpty) args(0) else "/root/repo/fixtures/config.json"
+    val cfg = Config.load(configPath)
+    val master = sys.env.getOrElse("SPARK_MASTER",
+      s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+    val spark = SparkSession.builder()
+      .appName("graft-refdata")
+      .master(master)
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    refresh(spark, cfg, sys.env("GRAFT_RDS_URL"),
+      sys.env.getOrElse("GRAFT_RDS_USER", ""),
+      sys.env.getOrElse("GRAFT_RDS_PASSWORD", ""))
+    spark.stop()
+  }
+}

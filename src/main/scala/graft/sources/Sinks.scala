@@ -48,6 +48,85 @@ object Sinks {
     df.write.mode(mode).jdbc(url, table, props)
   }
 
+  /** Ops 22-23, serving tier: execute constraint/index DDL against the
+    * JDBC target after the load — the reference adds PKs/FKs and 12 index
+    * families on RDS once the tables are populated (reference
+    * main.py:499-552). Driver-side, one statement at a time (DDL is
+    * catalog metadata, not data movement). Statements are plain ANSI
+    * single-clause ALTERs/CREATEs so they run on any target dialect.
+    */
+  def servingDdl(url: String, statements: Seq[String],
+      user: String = "", password: String = ""): Unit = {
+    val props = new Properties()
+    if (user.nonEmpty) props.setProperty("user", user)
+    if (password.nonEmpty) props.setProperty("password", password)
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      try statements.foreach(st.execute) finally st.close()
+    } finally conn.close()
+  }
+
+  /** The reference's serving-tier constraint set (reference
+    * main.py:499-527), one single-clause statement each (the reference's
+    * multi-clause postgres ALTERs split so every target dialect accepts
+    * them): dimension PKs, the asn→country FK, the four fact FKs, and the
+    * per-granularity cube FKs.
+    */
+  def constraintDdl(
+      granularities: Seq[String] = Seq("week", "month", "quarter", "year"))
+      : Seq[String] =
+    Seq(
+      "ALTER TABLE dim_risk ADD PRIMARY KEY (id)",
+      "ALTER TABLE dim_country ADD PRIMARY KEY (id)",
+      "ALTER TABLE dim_asn ADD PRIMARY KEY (number)",
+      "ALTER TABLE dim_asn ADD CONSTRAINT fk_country_asn " +
+        "FOREIGN KEY (country) REFERENCES dim_country(id)",
+      "ALTER TABLE dim_date ADD PRIMARY KEY (date)",
+      "ALTER TABLE fact_count ADD CONSTRAINT fk_count_risk " +
+        "FOREIGN KEY (risk) REFERENCES dim_risk(id)",
+      "ALTER TABLE fact_count ADD CONSTRAINT fk_count_country " +
+        "FOREIGN KEY (country) REFERENCES dim_country(id)",
+      "ALTER TABLE fact_count ADD CONSTRAINT fk_count_asn " +
+        "FOREIGN KEY (asn) REFERENCES dim_asn(number)",
+      "ALTER TABLE fact_count ADD CONSTRAINT fk_count_time " +
+        "FOREIGN KEY (date) REFERENCES dim_date(date)") ++
+    granularities.flatMap { g =>
+      Seq(
+        s"ALTER TABLE agg_risk_country_$g ADD CONSTRAINT " +
+          s"fk_cube_risk_$g FOREIGN KEY (risk) REFERENCES dim_risk(id)",
+        s"ALTER TABLE agg_risk_country_$g ADD CONSTRAINT " +
+          s"fk_cube_country_$g FOREIGN KEY (country) " +
+          "REFERENCES dim_country(id)")
+    }
+
+  /** The reference's 12 serving-index families (reference
+    * main.py:530-552): 7 on the fact, 5 per cube granularity, including
+    * the DESC-leading date composites that serve `/api/v1/count`.
+    */
+  def indexDdl(
+      granularities: Seq[String] = Seq("week", "month", "quarter", "year"))
+      : Seq[String] =
+    Seq(
+      "CREATE INDEX idx_date_country ON fact_count(date DESC, country)",
+      "CREATE INDEX idx_all ON fact_count(date, country, risk, asn)",
+      "CREATE INDEX idx_all_desc ON fact_count" +
+        "(date DESC, country, risk, asn)",
+      "CREATE INDEX idx_risk ON fact_count(risk)",
+      "CREATE INDEX idx_asn ON fact_count(asn)",
+      "CREATE INDEX idx_country ON fact_count(country)",
+      "CREATE INDEX idx_date ON fact_count(date)") ++
+    granularities.flatMap { g =>
+      Seq(
+        s"CREATE INDEX idx_all_cube_$g ON agg_risk_country_$g" +
+          "(date, country, risk)",
+        s"CREATE INDEX idx_all_desc_cube_$g ON agg_risk_country_$g" +
+          "(date DESC, country, risk)",
+        s"CREATE INDEX idx_risk_cube_$g ON agg_risk_country_$g(risk)",
+        s"CREATE INDEX idx_country_cube_$g ON agg_risk_country_$g(country)",
+        s"CREATE INDEX idx_date_cube_$g ON agg_risk_country_$g(date)")
+    }
+
   /** Ops 22-23 analog: partitioned, sorted parquet — the file-world
     * equivalent of the reference's date/country indexes (reference
     * main.py:530-552): `partitionBy` gives partition pruning on the hot

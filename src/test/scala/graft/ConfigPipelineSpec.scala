@@ -108,4 +108,29 @@ class PipelineSpec extends SparkSuite {
       .select($"date").distinct().count()
     assert(result.dimDate.count() === factDates)
   }
+
+  test("E3: RefDataMain.refresh reloads only the dimension tables " +
+      "(reference load_asn_ref_data.py:8-12)") {
+    val url = "jdbc:derby:memory:refdatadb;create=true"
+    val cfg = Map(
+      "risk_csv" -> "/root/repo/fixtures/risk.csv",
+      "country_csv" -> "/root/repo/fixtures/country.csv",
+      "asn_csv" -> "/root/repo/fixtures/asn.csv")
+    RefDataMain.refresh(spark, cfg, url)
+    val risk = graft.sources.Sources.jdbcTable(spark, url, "dim_risk")
+    assert(risk.count() > 0)
+    assert(risk.columns.toSeq === graft.model.Schemas.dimRisk.fieldNames
+      .toSeq)
+    // NB: no pushed string filter — Derby maps Spark strings to CLOB,
+    // which it refuses to compare server-side; filter after collect
+    assert(graft.sources.Sources.jdbcTable(spark, url, "dim_country")
+      .collect().count(_.getString(0) == "US") === 1)
+    val asn = graft.sources.Sources.jdbcTable(spark, url, "dim_asn")
+      .orderBy($"number").collect()
+    assert(asn.head.getLong(0) === 12252L)
+    // refresh is idempotent week over week (overwrite, not append)
+    RefDataMain.refresh(spark, cfg, url)
+    assert(graft.sources.Sources.jdbcTable(spark, url, "dim_asn")
+      .count() === asn.length)
+  }
 }

@@ -120,6 +120,114 @@ class SourcesSinksSpec extends SparkSuite {
     assert(back.orderBy($"id").collect()(1).getString(1) === "PE")
   }
 
+  test("remote datapackage fetch: descriptor by URL → resolved resource " +
+      "→ typed CSV (reference main.py:178-193, :326-338)") {
+    val tmp = Files.createTempDirectory("dpfetch").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/dp/data"))
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/dp/data/asn.csv"),
+      "number,title,country\n12252,Test network,US\n64512,Private,PE\n")
+    Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/dp/datapackage.json"),
+      """{"name": "refdata", "resources": [
+        |  {"name": "asn", "path": ["data/asn.csv"]}
+        |]}""".stripMargin)
+    val dest = Files.createTempDirectory("dpdest").toString
+    val df = Sources.fetchDatapackage(spark,
+      s"file://$tmp/dp/datapackage.json", graft.model.Schemas.dimAsn,
+      destDir = dest, resourceName = Some("asn"))
+    val rows = df.orderBy($"number").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getLong(0) === 12252L)
+    assert(rows(1).getString(2) === "PE")
+    // the CSV was staged into destDir (executor-visible storage)
+    assert(new java.io.File(s"$dest/asn.csv").isFile)
+    // unknown resource name fails loudly, like the reference's inventory
+    // walk coming up empty
+    intercept[IllegalArgumentException] {
+      Sources.fetchDatapackage(spark, s"file://$tmp/dp/datapackage.json",
+        graft.model.Schemas.dimAsn, dest, resourceName = Some("nope"))
+    }
+  }
+
+  test("manifest write-back reproduces the reference's golden manifest " +
+      "(reference tests/aggregation_tests.py:503-526: 5 resources in, " +
+      "4 entries out, source-prefixed)") {
+    val dp =
+      """{"resources":[
+        |{"path": ["ntp-scan/ntp-scan.20000101.csv.gz"],
+        | "schema": {"fields": []}, "name": "openntp"},
+        |{"path": ["ssdp-data/ssdp-data.20000101.csv.gz"],
+        | "schema": {"fields": []}, "name": "openssdp"},
+        |{"path": [], "schema": {"fields": []}, "name": "spam"},
+        |{"path": ["snmp-data/snmp-data.20000101.csv.gz"],
+        | "schema": {"fields": []}, "name": "opensnmp"},
+        |{"path": ["dns-scan/dns-scan.20000101.csv.gz"],
+        | "schema": {"fields": []}, "name": "opendns"}],
+        |"name": "cybergreen_enriched_data"}""".stripMargin
+    val manifest = Sources.createManifest(spark, dp,
+      "s3://test.bucket/test/key")
+    assert(manifest ===
+      """{"entries": [""" +
+      """{"url": "s3://test.bucket/test/key/ntp-scan/""" +
+      """ntp-scan.20000101.csv.gz", "mandatory": true}, """ +
+      """{"url": "s3://test.bucket/test/key/ssdp-data/""" +
+      """ssdp-data.20000101.csv.gz", "mandatory": true}, """ +
+      """{"url": "s3://test.bucket/test/key/snmp-data/""" +
+      """snmp-data.20000101.csv.gz", "mandatory": true}, """ +
+      """{"url": "s3://test.bucket/test/key/dns-scan/""" +
+      """dns-scan.20000101.csv.gz", "mandatory": true}]}""")
+  }
+
+  test("manifest write-back round-trip: dest datapackage.json → " +
+      "clean.manifest artifact (reference main.py:106-125)") {
+    val dest = Files.createTempDirectory("manifest").toString
+    Files.copy(java.nio.file.Paths.get(
+        "/root/repo/fixtures/datapackage.json"),
+      java.nio.file.Paths.get(s"$dest/datapackage.json"))
+    Sources.writeBackManifest(spark, dest)
+    val written = Files.readString(
+      java.nio.file.Paths.get(s"$dest/clean.manifest"))
+    // fixture: 5 path entries across 4 resources, one resource empty
+    assert(written.split("\"url\"").length - 1 === 4)
+    assert(written.contains(
+      s""""url": "$dest/dns-scan/dns-scan.20000101.csv.gz""""))
+    assert(!written.contains("snmp")) // empty-path resource skipped
+  }
+
+  test("ops 22-23: serving DDL pass-through creates PK and index on the " +
+      "JDBC target post-load (reference main.py:499-552)") {
+    val url = "jdbc:derby:memory:servingdb;create=true"
+    val df = Seq((1L, "US", 10L), (2L, "PE", 20L))
+      .toDF("id", "country", "cnt")
+    Sinks.jdbc(df, url, "fact_serving", mode = "overwrite")
+    // Spark's JDBC writer quotes column identifiers → Derby keeps them
+    // lowercase, so the DDL quotes them too (the reference's postgres DDL
+    // is all-lowercase-unquoted, equivalent there)
+    Sinks.servingDdl(url, Seq(
+      """ALTER TABLE fact_serving ALTER COLUMN "id" NOT NULL""",
+      """ALTER TABLE fact_serving ADD PRIMARY KEY ("id")""",
+      """CREATE INDEX idx_date_country ON fact_serving("id" DESC, "cnt")"""))
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val md = conn.getMetaData
+      val pk = md.getPrimaryKeys(null, null, "FACT_SERVING")
+      assert(pk.next(), "primary key not created")
+      assert(pk.getString("COLUMN_NAME") === "id")
+      val idx = md.getIndexInfo(null, null, "FACT_SERVING", false, false)
+      val names = Iterator.continually(idx).takeWhile(_.next())
+        .map(_.getString("INDEX_NAME")).filter(_ != null).toSet
+      assert(names.exists(_.equalsIgnoreCase("idx_date_country")),
+        s"index not created; saw $names")
+    } finally conn.close()
+    // the reference generators emit the full family inventory:
+    // 5 PKs + 1 asn FK + 4 fact FKs + 2 cube FKs × 4 granularities
+    assert(Sinks.constraintDdl().length === 9 + 8)
+    assert(Sinks.constraintDdl().count(_.contains("fk_cube_risk")) === 4)
+    // 7 fact indexes + 5 cube index families × 4 granularities
+    assert(Sinks.indexDdl().length === 7 + 20)
+    assert(Sinks.indexDdl().count(_.contains("date DESC")) === 2 + 4)
+  }
+
   test("ops 22-23 analog: indexed parquet partition-prunes on date and " +
       "row-group-prunes on sort key") {
     val tmp = Files.createTempDirectory("idx").toString

@@ -62,13 +62,15 @@ object Bench {
         .parquet(s"$sfDir/$t.parquet").limit(1).collect()
       catch { case _: Throwable => }
     }
-    // Median of 3 passes per query: single-run times at this scale have
-    // 20-30% jitter from GC/JIT; the median is stable round-over-round.
-    // Pass-level interleaving (all queries per pass, 3 passes) keeps the
+    // Median of 5 passes per query: 3-pass medians still let an
+    // occasional multi-second GC/JIT outlier through (a whole round was
+    // lost to chasing one — the flagged q06/q07/q09 "regression" vanished
+    // on re-run with byte-identical code); 5 passes tolerate two outliers
+    // per query. Pass-level interleaving (all queries per pass) keeps the
     // cache/JIT state comparable between the runs of one query.
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
-    for (_ <- 1 to 3; (name, fn) <- names) {
+    for (_ <- 1 to 5; (name, fn) <- names) {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.native
@@ -81,15 +80,32 @@ object Similarity {
     * hash-sampling vec_ids (data-independent, no count() pre-pass — at
     * 100 TB an extra full scan just to size a stride is wasted IO).
     * Returns (cell, centroid), cell = 0..nlist-1. Broadcast-sized.
+    *
+    * The cell index is assigned on the DRIVER: the sampled rows are
+    * nlist·dim floats of index metadata, and a `row_number` window over a
+    * post-limit single-partition set plans an unpartitioned WindowExec
+    * (Spark warns on every run) for work that is a 16-element sort.
     */
-  def ivfCentroids(corpus: DataFrame, nlist: Int = 16): DataFrame =
-    corpus
+  def ivfCentroids(corpus: DataFrame, nlist: Int = 16): DataFrame = {
+    val spark = corpus.sparkSession
+    val sampled = corpus
       .orderBy(pmod(xxhash64(col("vec_id")), lit(1000000007L)).asc,
         col("vec_id").asc)
       .limit(nlist)
-      .select(
-        (row_number().over(Window.orderBy(col("vec_id"))) - 1).as("cell"),
-        col("embedding").as("centroid"))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .sortBy(_.getLong(0))
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    sampled.zipWithIndex.foreach { case (r, i) =>
+      rows.add(org.apache.spark.sql.Row(i, r.getSeq[Float](1)))
+    }
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("centroid",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)))))
+  }
 
   /** Centroids collected to the driver: nlist·dim floats — index
     * metadata, not data (16×64 = 4 KB). Every distributed k-means driver

@@ -114,6 +114,16 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("array_intersect"), p.take(3000))
   }
 
+  test("top-terms tf×df join shuffles both sides — the billion-row df " +
+      "side is never broadcast") {
+    val p = plan(SparkEntry.queries("q48_top_terms")(spark, sf()))
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      p.take(3000))
+    assert(!p.contains("BroadcastHashJoin"),
+      "df (distinct tokens — corpus-scale) must not broadcast:\n" +
+        p.take(3000))
+  }
+
   test("token sharding windows per range partition, never a global " +
       "single-partition window") {
     val docs = spark.read.parquet(sf() + "/documents.parquet")

@@ -79,6 +79,13 @@ class SimilaritySpec extends SparkSuite {
     assert(recall > 0.4, s"recall $recall")
   }
 
+  test("q70 gate: IVF recall@10 >= 0.9 at the driver-checked parameters") {
+    val row = SparkEntry.queries("q70_ivf_recall")(spark, sf()).collect()(0)
+    assert(row.getLong(1) === 50L) // 5 queries × k=10 exact rows
+    val recall = row.getDouble(0)
+    assert(recall >= 0.9, s"recall@10 $recall < 0.9")
+  }
+
   test("quantized top-k agrees with float top-k on rank-1 for most queries") {
     val emb = spark.read.parquet(sf() + "/embeddings.parquet")
     val queries = emb.where($"vec_id" < 5)

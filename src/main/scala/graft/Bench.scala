@@ -50,10 +50,14 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.range(10000).selectExpr("id % 7 AS k").groupBy("k").count()
       .orderBy("count").collect()
+    // partitioned window: warms the same WindowExec/codegen paths as the
+    // real queries without tripping the loud no-partition warning (every
+    // production window here is partitioned)
     spark.range(100).toDF("id")
       .join(org.apache.spark.sql.functions.broadcast(
         spark.range(10).toDF("id")), "id")
-      .selectExpr("id", "row_number() OVER (ORDER BY id) AS rn")
+      .selectExpr("id",
+        "row_number() OVER (PARTITION BY id % 2 ORDER BY id) AS rn")
       .collect()
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Seq("lineitem", "orders", "customer", "events", "documents",

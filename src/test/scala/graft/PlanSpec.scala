@@ -124,6 +124,17 @@ class PlanSpec extends SparkSuite {
         p.take(3000))
   }
 
+  test("bucketed as-of joins right rows on (key, bucket) — never a " +
+      "key-only row-level join") {
+    val p = plan(SparkEntry.queries("q55_asof_bucketed")(spark, sf()))
+    // the only row-level right join carries the bucket in its key list:
+    // the hot-key escape valve is the composite shuffle key
+    assert(p.contains("__lb") && p.contains("__rbkt"), p.take(3000))
+    // the carry window is partitioned by key (bucket-axis rows), not
+    // global
+    assert(p.contains("windowspecdefinition(__k"), p.take(3000))
+  }
+
   test("token sharding windows per range partition, never a global " +
       "single-partition window") {
     val docs = spark.read.parquet(sf() + "/documents.parquet")

@@ -584,6 +584,21 @@ object SparkEntry {
     "q67_split_leakage" -> ((s, dir) =>
       Sharding.splitLeakage(t(s, dir, "documents"))
         .orderBy(col("split").asc)),
+    // benchmark = a deterministic slice of the corpus (doc_id % 97) so
+    // the oracle can rebuild the same eval set; hash-intersect ≡
+    // string-intersect as in q62
+    "q71_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationScreen(docs,
+          docs.where(pmod(col("doc_id"), lit(97)) === 0))
+        .orderBy(col("doc_id").asc)
+    }),
+    "q72_stratified_sample" -> ((s, dir) =>
+      Sharding.stratifiedSample(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        strata = col("lang"),
+        fractions = Map("en" -> 0.3, "zh" -> 0.5))
+        .orderBy(col("doc_id").asc)),
     // exact output (sketch only prunes candidates; the recount decides),
     // so a plain GROUP BY / HAVING oracle checks it
     "q68_heavy_hitters" -> ((s, dir) =>
@@ -1066,9 +1081,10 @@ object SparkEntry {
            |GROUP BY id ORDER BY id""".stripMargin,
       "q65_hash_split" ->
         // same byte-fold as the q44 rolling hash (ASCII key, so code
-        // points == bytes), over "<doc_id>:v1", bucketed mod 100
+        // points == bytes), over "v1:<doc_id>" (salt-prefix — see
+        // Sharding.hashBucket), bucketed mod 100
         """WITH k AS (
-          |  SELECT doc_id, CAST(doc_id AS VARCHAR) || ':v1' AS key
+          |  SELECT doc_id, 'v1:' || CAST(doc_id AS VARCHAR) AS key
           |  FROM documents),
           |b AS (
           |  SELECT doc_id, CAST(list_reduce(list_prepend(0::BIGINT,
@@ -1101,7 +1117,7 @@ object SparkEntry {
         """WITH k AS (
           |  SELECT doc_id,
           |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
-          |    CAST(doc_id AS VARCHAR) || ':v1' AS key
+          |    'v1:' || CAST(doc_id AS VARCHAR) AS key
           |  FROM documents),
           |b AS (
           |  SELECT doc_id, fp, CAST(list_reduce(list_prepend(0::BIGINT,
@@ -1125,6 +1141,40 @@ object SparkEntry {
           |    0) AS BIGINT) AS n_leaked_docs
           |FROM s JOIN fps ON s.fp = fps.fp
           |GROUP BY split ORDER BY split""".stripMargin,
+      "q71_decontaminate" ->
+        s"""WITH ${shingleSqlWhere("")},
+           |u AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+           |bench AS (SELECT DISTINCT s FROM u WHERE doc_id % 97 = 0),
+           |cnt AS (
+           |  SELECT u.doc_id, count(b.s) AS n_cont
+           |  FROM u LEFT JOIN bench b ON u.s = b.s
+           |  GROUP BY u.doc_id)
+           |SELECT sh.doc_id,
+           |  CAST(len(sh.shingles) AS BIGINT) AS n_shingles,
+           |  CAST(coalesce(cnt.n_cont, 0) AS BIGINT) AS n_contaminated,
+           |  CASE WHEN len(sh.shingles) = 0 THEN 0.0
+           |       ELSE CAST(coalesce(cnt.n_cont, 0) AS DOUBLE)
+           |            / len(sh.shingles)
+           |  END AS contaminated_frac
+           |FROM sh LEFT JOIN cnt ON sh.doc_id = cnt.doc_id
+           |ORDER BY sh.doc_id""".stripMargin,
+      "q72_stratified_sample" ->
+        // q65's portable byte-fold with salt prefix mix1:, 1/10000
+        // resolution
+        """WITH k AS (
+          |  SELECT doc_id, lang,
+          |    'mix1:' || CAST(doc_id AS VARCHAR) AS key
+          |  FROM documents),
+          |b AS (
+          |  SELECT doc_id, lang, CAST(list_reduce(list_prepend(0::BIGINT,
+          |    [ascii(key[i])::BIGINT FOR i IN range(1, length(key)+1)]),
+          |    (acc, c) -> (acc * 257 + c) % 1000000007) % 10000 AS BIGINT)
+          |    AS tick
+          |  FROM k)
+          |SELECT doc_id, lang FROM b
+          |WHERE tick < CASE lang WHEN 'en' THEN 3000 WHEN 'zh' THEN 5000
+          |             ELSE 10000 END
+          |ORDER BY doc_id""".stripMargin,
       "q68_heavy_hitters" ->
         """SELECT token, count(*) AS cnt
           |FROM (SELECT unnest(list_filter(string_split(
@@ -1163,12 +1213,16 @@ object SparkEntry {
 
   /** DuckDB fragment: the [[graft.operators.Dedup.shingleHashArrays]]
     * semantics on shingle STRINGS — normalize,
-    * whitespace tokens, distinct 3-word shingles. */
-  private def shingleSql: String =
-    """nrm AS (
+    * whitespace tokens, distinct 3-word shingles. Capped to the q62/q64
+    * oracle sample; [[shingleSqlWhere]] is the uncapped parametrized
+    * form. */
+  private def shingleSql: String = shingleSqlWhere("WHERE doc_id < 1000")
+
+  private def shingleSqlWhere(where: String): String =
+    s"""nrm AS (
       |  SELECT doc_id,
-      |    regexp_replace(lower(text), '\s+', ' ', 'g') AS t
-      |  FROM documents WHERE doc_id < 1000),
+      |    regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+      |  FROM documents $where),
       |toks AS (
       |  SELECT doc_id,
       |    list_filter(string_split(t, ' '), x -> x != '') AS tk

@@ -338,6 +338,38 @@ object Dedup {
         coalesce(col("label"), col("id")).as("canonical_id"))
   }
 
+  /** Benchmark decontamination screen: for each document, how many of its
+    * distinct n-gram shingles also occur in a benchmark/eval set — the
+    * screen run before training so eval data is not memorized (the
+    * overlap-based contamination definition used by LLM training
+    * pipelines). Returns (doc_id, n_shingles, n_contaminated,
+    * contaminated_frac).
+    *
+    * Scale design: the benchmark's distinct shingle hashes collapse into
+    * ONE sorted array (eval sets are KB-MB of n-grams — broadcast-sized
+    * by definition), so screening the corpus is a MAP-ONLY pass: one
+    * broadcast, one linear merge ([[graft.functions
+    * .SortedIntersectCountExpr]]) per document, no shuffle of the 100 TB
+    * side. A benchmark too large to broadcast would swap in an
+    * explode + shuffle join keyed by shingle hash.
+    */
+  def contaminationScreen(docs: DataFrame, benchmark: DataFrame,
+      numShingleWords: Int = 3): DataFrame = {
+    val bench = shingleHashArrays(benchmark, numShingleWords)
+      .select(explode(col("sh")).as("h"))
+      .agg(array_sort(collect_set(col("h"))).as("__bench"))
+    shingleHashArrays(docs, numShingleWords)
+      .crossJoin(broadcast(bench))
+      .select(col("doc_id"),
+        size(col("sh")).cast("long").as("n_shingles"),
+        native.sorted_intersect_count(col("sh"), col("__bench"))
+          .cast("long").as("n_contaminated"))
+      .withColumn("contaminated_frac",
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(col("n_contaminated").cast("double") /
+            col("n_shingles")))
+  }
+
   // --------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-dup: pairs with cosine ≥ threshold, bucketed by

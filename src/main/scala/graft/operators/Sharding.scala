@@ -17,12 +17,19 @@ object Sharding {
   /** Deterministic hash bucket in [0, 100): the portable rolling
     * polynomial hash (same fold as [[graft.functions.RollingHashExpr]],
     * reproducible by any engine — see the q44 oracle) of
-    * `"<id>:<salt>"`, mod 100. Salting gives independent re-splits
-    * without touching the data.
+    * `"<salt>:<id>"`, mod 100. Salting gives effectively-independent
+    * re-splits without touching the data.
+    *
+    * The salt must be the PREFIX: a polynomial fold of a concatenation is
+    * affine in each part, so a suffix salt only adds a constant — two
+    * salts differing in the last character would shift every hash by the
+    * same tiny offset and "re-split" almost nothing. As a prefix the
+    * salt's contribution is scaled by 257^len(id), a large per-length
+    * rotation of the bucket space.
     */
   def hashBucket(id: Column, salt: String): Column =
     pmod(native.rolling_hash(
-      concat(id.cast("string"), lit(":" + salt))), lit(100L)).cast("int")
+      concat(lit(salt + ":"), id.cast("string"))), lit(100L)).cast("int")
 
   /** Deterministic train/val/test assignment by hash bucket — the
     * held-out-split operator of a training pipeline. Map-only (a
@@ -62,6 +69,32 @@ object Sharding {
         countDistinct(col("fp")).as("n_fingerprints"),
         sum(when(col("n_splits") > 1, 1L).otherwise(0L))
           .as("n_leaked_docs"))
+  }
+
+  /** Deterministic stratified downsampling — the data-mixing step of
+    * corpus assembly (keep 30% of web text, all of books, ...): keep a
+    * per-stratum fraction of rows, membership decided by the portable
+    * hash of `"<id>:<salt>"` against a 1/10000-resolution threshold.
+    * Map-only (a projection + filter, no RNG, no sampling pass): at
+    * 100 TB the mix is one scan, stable across re-runs/engines, and
+    * re-mixable by salt without touching the data. Strata absent from
+    * `fractions` keep `defaultFraction`.
+    */
+  def stratifiedSample(df: DataFrame, strata: Column,
+      fractions: Map[String, Double], defaultFraction: Double = 1.0,
+      id: Column = col("doc_id"), salt: String = "mix1"): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction))
+      .forall(f => f >= 0.0 && f <= 1.0), "fractions must be in [0, 1]")
+    // salt as prefix, for the same reason as [[hashBucket]]
+    val tick = pmod(native.rolling_hash(
+      concat(lit(salt + ":"), id.cast("string"))), lit(10000L))
+    val threshold = fractions.toSeq.sortBy(_._1)
+      .foldLeft(lit(math.round(defaultFraction * 10000))) {
+        case (acc, (k, f)) =>
+          when(strata === lit(k), lit(math.round(f * 10000)))
+            .otherwise(acc)
+      }
+    df.where(tick < threshold)
   }
 
   /** Token-budget sharding: assign documents (in `doc_id` order) to

@@ -88,6 +88,26 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("contamination screen counts shingle overlap with the benchmark, " +
+      "map-only over the corpus") {
+    // benchmark = doc 0's text; doc 1 (exact dup) fully contaminated,
+    // doc 2 (near-dup) partially, doc 3 (unrelated) clean
+    val bench = docs.where($"doc_id" === 0L)
+    val out = Dedup.contaminationScreen(docs, bench)
+      .orderBy($"doc_id").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L)._3 === 1.0)           // exact dup: all shingles shared
+    assert(out(4L)._3 === 1.0)           // normalizes to doc 0
+    assert(out(2L)._3 > 0.5 && out(2L)._3 < 1.0) // one word changed
+    assert(out(3L)._2 === 0L)            // unrelated: zero overlap
+    assert(out(3L)._3 === 0.0)
+    // the corpus side never shuffles: broadcast + map-only merge kernel
+    val p = Dedup.contaminationScreen(docs, bench)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("embedding near-dup finds the planted duplicate vector") {
     val vecs = Seq(
       (0L, Array.fill(8)(1.0f)),

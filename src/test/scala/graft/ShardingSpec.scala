@@ -24,12 +24,15 @@ class ShardingSpec extends SparkSuite {
     val r2 = Sharding.hashSplit(ids).select($"doc_id", $"split").collect()
     assert(r1.map(r => r.getLong(0) -> r.getString(1)).toMap ===
       r2.map(r => r.getLong(0) -> r.getString(1)).toMap)
-    // a different salt reshuffles at least SOME documents
+    // a different salt RE-SPLITS: under independent assignment ~34% of
+    // documents change split (1 - 0.8² - 0.1² - 0.1²). A suffix-folded
+    // salt would move ~0.1% (constant hash offset) — this pins the
+    // prefix-salt fix
     val other = Sharding.hashSplit(ids, salt = "v2")
       .select($"doc_id", $"split").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     val moved = r1.count(r => other(r.getLong(0)) != r.getString(1))
-    assert(moved > 0)
+    assert(moved > 400, s"only $moved/2000 moved on re-salt")
   }
 
   test("split leakage counts cross-split duplicate fingerprints") {
@@ -51,6 +54,36 @@ class ShardingSpec extends SparkSuite {
     rep.foreach { case (split, (_, _, nLeaked)) =>
       assert(nLeaked === leak.getOrElse(split, 0L), split)
     }
+  }
+
+  test("stratified sample keeps per-stratum fractions deterministically") {
+    import graft.operators.Sharding
+    val df = (1L to 2000L).map(i =>
+      (i, if (i % 2 == 0) "web" else "books")).toDF("doc_id", "domain")
+    val mixed = Sharding.stratifiedSample(df, col("domain"),
+      Map("web" -> 0.3), defaultFraction = 1.0)
+    val byDomain = mixed.groupBy($"domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDomain("books") === 1000L) // default 1.0 keeps everything
+    // hash-uniformity: 30% ± a few points on 1000 rows
+    assert(byDomain("web") > 230L && byDomain("web") < 370L,
+      s"web kept ${byDomain("web")}")
+    // deterministic: same salt → identical membership, not just counts
+    val again = Sharding.stratifiedSample(df, col("domain"),
+      Map("web" -> 0.3), defaultFraction = 1.0)
+      .orderBy($"doc_id").collect().map(_.getLong(0)).toSeq
+    assert(again === mixed.orderBy($"doc_id").collect()
+      .map(_.getLong(0)).toSeq)
+    // fraction 0 drops the stratum entirely; a different salt re-mixes
+    assert(Sharding.stratifiedSample(df, col("domain"),
+      Map("web" -> 0.0)).where($"domain" === "web").count() === 0L)
+    val otherIds = Sharding.stratifiedSample(df, col("domain"),
+      Map("web" -> 0.3), salt = "mix2")
+      .where($"domain" === "web").collect().map(_.getLong(0)).toSet
+    val theseIds = mixed.where($"domain" === "web").collect()
+      .map(_.getLong(0)).toSet
+    assert(otherIds.size > 230 && otherIds.size < 370)
+    assert(otherIds != theseIds) // re-mixed membership, not a re-label
   }
 
   test("token shards: distributed prefix sum equals the single-window " +

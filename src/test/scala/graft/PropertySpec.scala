@@ -46,6 +46,32 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("bucketed as-of equals join+argmax over random keys, times, and " +
+      "bucket widths") {
+    import graft.operators.Joins
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      // timestamps across ~3 years incl. exact bucket-edge collisions
+      def randTs() = new java.sql.Timestamp(
+        1500000000000L + rnd.nextInt(100000).toLong * 1000000L)
+      val left = (1 to 120).map(i =>
+        (i.toLong, rnd.nextInt(8).toLong, randTs()))
+        .toDF("lid", "k", "lt")
+      val right = (1 to 150).map(i =>
+        (rnd.nextInt(8).toLong, 1000L + i, randTs(), rnd.nextInt(100)))
+        .toDF("k", "rid", "rt", "v")
+      val plain = Joins.asOf(left, right, "k", "lt", "rt", "lid", "rid",
+        Seq("rid", "rt", "v")).orderBy($"lid")
+        .collect().map(_.toSeq).toSeq
+      for (width <- Seq(3600L, 86400L, 40L * 86400L)) {
+        val bucketed = Joins.asOfBucketed(left, right, "k", "lt", "rt",
+          "lid", "rid", Seq("rid", "rt", "v"), bucketSeconds = width)
+          .orderBy($"lid").collect().map(_.toSeq).toSeq
+        assert(bucketed === plain, s"seed=$seed width=$width")
+      }
+    }
+  }
+
   test("jaccard stays within [0,1]; emitted pairs are ordered") {
     for (seed <- 1 to 3) {
       val docs = randomDocs(new scala.util.Random(seed))

@@ -39,11 +39,26 @@ object Main {
     val dimAsn = Sources.datapackageCsv(spark, cfg("asn_csv"),
       Schemas.dimAsn)
 
+    // E1 step 2 (reference main.py:106-125): flatten the cleaned data's
+    // datapackage into the clean.manifest artifact when a dest is
+    // configured
+    cfg.get("dest_path").foreach { dest =>
+      Sources.writeBackManifest(spark, dest)
+    }
+
     val out = Pipeline.run(spark,
       feedPaths = cfg("feed_paths").split(",").toSeq,
       dimRisk = dimRisk, dimCountry = dimCountry, dimAsn = dimAsn,
       outDir = cfg("out_dir"),
       threshold = cfg("country_count_threshold").toLong)
+
+    // E2 serving hand-off when an RDS-style target is configured
+    // (reference main.py:279-288, :499-552)
+    cfg.get("rds_url").foreach { url =>
+      Pipeline.serveJdbc(out, dimRisk, url,
+        user = cfg.getOrElse("rds_user", ""),
+        password = cfg.getOrElse("rds_password", ""))
+    }
 
     println(s"counts=${out.counts.count()} " +
       s"dim_date=${out.dimDate.count()} " +

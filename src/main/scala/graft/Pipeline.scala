@@ -79,4 +79,38 @@ object Pipeline {
 
     Output(counts, dimDate, cubes, repairedCountry, repairedAsn)
   }
+
+  /** E2's serving hand-off (reference main.py:279-288 →
+    * `LoadToRDS.run()`): write every serving table to the JDBC target,
+    * then apply the post-load constraint/index DDL (reference
+    * main.py:499-552). The reference shells out to psql per table; here
+    * the batched JDBC writer loads them in parallel and
+    * [[Sinks.servingDdl]] replays the DDL.
+    *
+    * @param ddl post-load statements; defaults to the reference's full
+    *            constraint+index family (postgres-cased — pass
+    *            dialect-quoted statements for targets that fold
+    *            differently, see [[Sinks.constraintDdl]])
+    */
+  def serveJdbc(out: Output, dimRisk: DataFrame, url: String,
+      user: String = "", password: String = "",
+      ddl: Seq[String] = Sinks.constraintDdl() ++ Sinks.indexDdl())
+      : Unit = {
+    val fact = out.counts.withColumn("date", to_date(col("date")))
+    Sinks.jdbc(dimRisk, url, "dim_risk", user, password,
+      mode = "overwrite")
+    Sinks.jdbc(out.dimCountry, url, "dim_country", user, password,
+      mode = "overwrite")
+    Sinks.jdbc(out.dimAsn, url, "dim_asn", user, password,
+      mode = "overwrite")
+    Sinks.jdbc(out.dimDate, url, "dim_date", user, password,
+      mode = "overwrite")
+    Sinks.jdbc(fact, url, "fact_count", user, password,
+      mode = "overwrite")
+    out.cubes.foreach { case (g, df) =>
+      Sinks.jdbc(df, url, s"agg_risk_country_$g", user, password,
+        mode = "overwrite")
+    }
+    if (ddl.nonEmpty) Sinks.servingDdl(url, ddl, user, password)
+  }
 }

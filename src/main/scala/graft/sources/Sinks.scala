@@ -72,60 +72,76 @@ object Sinks {
     * multi-clause postgres ALTERs split so every target dialect accepts
     * them): dimension PKs, the asn→country FK, the four fact FKs, and the
     * per-granularity cube FKs.
+    *
+    * @param quote column-identifier quoter. The Spark JDBC writer QUOTES
+    *              column names on CREATE, so case-folding targets
+    *              (postgres folds unquoted → lowercase: identity works;
+    *              Derby folds → UPPER: pass a quoting fn) may need it.
     */
   def constraintDdl(
-      granularities: Seq[String] = Seq("week", "month", "quarter", "year"))
-      : Seq[String] =
+      granularities: Seq[String] = Seq("week", "month", "quarter", "year"),
+      quote: String => String = identity): Seq[String] = {
+    val q = quote
     Seq(
-      "ALTER TABLE dim_risk ADD PRIMARY KEY (id)",
-      "ALTER TABLE dim_country ADD PRIMARY KEY (id)",
-      "ALTER TABLE dim_asn ADD PRIMARY KEY (number)",
-      "ALTER TABLE dim_asn ADD CONSTRAINT fk_country_asn " +
-        "FOREIGN KEY (country) REFERENCES dim_country(id)",
-      "ALTER TABLE dim_date ADD PRIMARY KEY (date)",
-      "ALTER TABLE fact_count ADD CONSTRAINT fk_count_risk " +
-        "FOREIGN KEY (risk) REFERENCES dim_risk(id)",
-      "ALTER TABLE fact_count ADD CONSTRAINT fk_count_country " +
-        "FOREIGN KEY (country) REFERENCES dim_country(id)",
-      "ALTER TABLE fact_count ADD CONSTRAINT fk_count_asn " +
-        "FOREIGN KEY (asn) REFERENCES dim_asn(number)",
-      "ALTER TABLE fact_count ADD CONSTRAINT fk_count_time " +
-        "FOREIGN KEY (date) REFERENCES dim_date(date)") ++
+      s"ALTER TABLE dim_risk ADD PRIMARY KEY (${q("id")})",
+      s"ALTER TABLE dim_country ADD PRIMARY KEY (${q("id")})",
+      s"ALTER TABLE dim_asn ADD PRIMARY KEY (${q("number")})",
+      s"ALTER TABLE dim_asn ADD CONSTRAINT fk_country_asn " +
+        s"FOREIGN KEY (${q("country")}) REFERENCES dim_country(${q("id")})",
+      s"ALTER TABLE dim_date ADD PRIMARY KEY (${q("date")})",
+      s"ALTER TABLE fact_count ADD CONSTRAINT fk_count_risk " +
+        s"FOREIGN KEY (${q("risk")}) REFERENCES dim_risk(${q("id")})",
+      s"ALTER TABLE fact_count ADD CONSTRAINT fk_count_country " +
+        s"FOREIGN KEY (${q("country")}) REFERENCES dim_country(${q("id")})",
+      s"ALTER TABLE fact_count ADD CONSTRAINT fk_count_asn " +
+        s"FOREIGN KEY (${q("asn")}) REFERENCES dim_asn(${q("number")})",
+      s"ALTER TABLE fact_count ADD CONSTRAINT fk_count_time " +
+        s"FOREIGN KEY (${q("date")}) REFERENCES dim_date(${q("date")})") ++
     granularities.flatMap { g =>
       Seq(
         s"ALTER TABLE agg_risk_country_$g ADD CONSTRAINT " +
-          s"fk_cube_risk_$g FOREIGN KEY (risk) REFERENCES dim_risk(id)",
+          s"fk_cube_risk_$g FOREIGN KEY (${q("risk")}) " +
+          s"REFERENCES dim_risk(${q("id")})",
         s"ALTER TABLE agg_risk_country_$g ADD CONSTRAINT " +
-          s"fk_cube_country_$g FOREIGN KEY (country) " +
-          "REFERENCES dim_country(id)")
+          s"fk_cube_country_$g FOREIGN KEY (${q("country")}) " +
+          s"REFERENCES dim_country(${q("id")})")
     }
+  }
 
   /** The reference's 12 serving-index families (reference
     * main.py:530-552): 7 on the fact, 5 per cube granularity, including
     * the DESC-leading date composites that serve `/api/v1/count`.
+    * See [[constraintDdl]] for `quote`.
     */
   def indexDdl(
-      granularities: Seq[String] = Seq("week", "month", "quarter", "year"))
-      : Seq[String] =
+      granularities: Seq[String] = Seq("week", "month", "quarter", "year"),
+      quote: String => String = identity): Seq[String] = {
+    val q = quote
     Seq(
-      "CREATE INDEX idx_date_country ON fact_count(date DESC, country)",
-      "CREATE INDEX idx_all ON fact_count(date, country, risk, asn)",
-      "CREATE INDEX idx_all_desc ON fact_count" +
-        "(date DESC, country, risk, asn)",
-      "CREATE INDEX idx_risk ON fact_count(risk)",
-      "CREATE INDEX idx_asn ON fact_count(asn)",
-      "CREATE INDEX idx_country ON fact_count(country)",
-      "CREATE INDEX idx_date ON fact_count(date)") ++
+      s"CREATE INDEX idx_date_country ON fact_count" +
+        s"(${q("date")} DESC, ${q("country")})",
+      s"CREATE INDEX idx_all ON fact_count" +
+        s"(${q("date")}, ${q("country")}, ${q("risk")}, ${q("asn")})",
+      s"CREATE INDEX idx_all_desc ON fact_count" +
+        s"(${q("date")} DESC, ${q("country")}, ${q("risk")}, ${q("asn")})",
+      s"CREATE INDEX idx_risk ON fact_count(${q("risk")})",
+      s"CREATE INDEX idx_asn ON fact_count(${q("asn")})",
+      s"CREATE INDEX idx_country ON fact_count(${q("country")})",
+      s"CREATE INDEX idx_date ON fact_count(${q("date")})") ++
     granularities.flatMap { g =>
       Seq(
         s"CREATE INDEX idx_all_cube_$g ON agg_risk_country_$g" +
-          "(date, country, risk)",
+          s"(${q("date")}, ${q("country")}, ${q("risk")})",
         s"CREATE INDEX idx_all_desc_cube_$g ON agg_risk_country_$g" +
-          "(date DESC, country, risk)",
-        s"CREATE INDEX idx_risk_cube_$g ON agg_risk_country_$g(risk)",
-        s"CREATE INDEX idx_country_cube_$g ON agg_risk_country_$g(country)",
-        s"CREATE INDEX idx_date_cube_$g ON agg_risk_country_$g(date)")
+          s"(${q("date")} DESC, ${q("country")}, ${q("risk")})",
+        s"CREATE INDEX idx_risk_cube_$g ON agg_risk_country_$g" +
+          s"(${q("risk")})",
+        s"CREATE INDEX idx_country_cube_$g ON agg_risk_country_$g" +
+          s"(${q("country")})",
+        s"CREATE INDEX idx_date_cube_$g ON agg_risk_country_$g" +
+          s"(${q("date")})")
     }
+  }
 
   /** Ops 22-23 analog: partitioned, sorted parquet — the file-world
     * equivalent of the reference's date/country indexes (reference

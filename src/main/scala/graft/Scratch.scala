@@ -19,7 +19,8 @@ object Scratch {
     val sf = "/root/testdata/sf0.1"
     val out = new PrintWriter("/tmp/plans.txt")
     for (q <- Seq("q01_flagship", "q10_cube_month", "q32_minhash_candidates",
-        "q37_ann_cosine_topk", "q24_tpch_q1")) {
+        "q37_ann_cosine_topk", "q24_tpch_q1", "q55_asof_bucketed",
+        "q71_decontaminate")) {
       out.println(s"##### $q")
       out.println(SparkEntry.queries(q)(spark, sf)
         .queryExecution.explainString(

@@ -281,9 +281,14 @@ object Dedup {
     */
   def connectedComponentsStars(pairs: DataFrame,
       maxIter: Int = 25): DataFrame = {
+    // NO distinct here: every consumer is a min-aggregate or a groupBy,
+    // both duplicate-insensitive — a distinct per sym() cost 3 extra
+    // shuffles per round. Growth stays bounded by the one distinct on
+    // the materialized edge set each round (and on ls below, the one
+    // place duplicate pairs multiply).
     def sym(e: DataFrame): DataFrame =
       e.union(e.select(col("v").as("u"), col("u").as("v")))
-        .where(col("u") =!= col("v")).distinct()
+        .where(col("u") =!= col("v"))
     // m(u) = min of the closed neighborhood; edge rows tagged with it
     def withMin(s: DataFrame): DataFrame = {
       val mins = s.groupBy(col("u")).agg(min(col("v")).as("mn"))
@@ -291,7 +296,7 @@ object Dedup {
         .withColumn("m", least(col("u"), col("mn")))
     }
     var edges = sym(pairs.select(col("id_a").as("u"), col("id_b").as("v")))
-      .localCheckpoint()
+      .distinct().localCheckpoint()
     var labels: DataFrame = null
     var prevLabels: DataFrame = null
     var iter = 0
@@ -301,6 +306,7 @@ object Dedup {
       val ls = withMin(sym(edges))
         .where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
+        .distinct() // distinct (u, m) pairs arise from many hooked v's
       // small-star: hook u and its not-larger neighbors onto m(u)
       val wm = withMin(sym(ls))
       val ss = wm.where(col("v") <= col("u"))
@@ -316,9 +322,10 @@ object Dedup {
       // join is the whole symmetric difference (two `except`s cost two
       // distinct-building jobs per round — measured 2× the label-prop
       // variant on the bench sample).
+      // labels derive from the checkpointed edges — a cheap lineage, so
+      // no checkpoint of their own (one action per round saved)
       labels = sym(edges).groupBy(col("u"))
         .agg(least(col("u"), min(col("v"))).as("label"))
-        .localCheckpoint()
       done = prevLabels != null && labels
         .withColumnRenamed("label", "__l")
         .join(prevLabels.withColumnRenamed("label", "__p"), Seq("u"),

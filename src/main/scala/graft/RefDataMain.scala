@@ -20,25 +20,30 @@ import graft.sources.{Sinks, Sources}
 object RefDataMain {
 
   /** The refresh slice, callable from tests and from [[main]]: read the
-    * three reference dims (local path, s3, or — when the config points at
-    * a descriptor URL, as the reference's shipped config does — a remote
-    * datapackage) and overwrite the serving tables.
+    * three reference dims and overwrite the serving tables. Each dim
+    * resolves, in order: an explicit `<name>_csv` config key (local/s3
+    * path, or a `.json` descriptor URL), then the config's `inventory`
+    * entry by name — the reference's shipped shape, a list of datapackage
+    * descriptor URLs walked by name (reference main.py:312-325).
     */
   def refresh(spark: SparkSession, cfg: Map[String, String], url: String,
-      user: String = "", password: String = ""): Unit = {
-    def dim(key: String, schema: org.apache.spark.sql.types.StructType) = {
-      val path = cfg(key)
+      user: String = "", password: String = "",
+      inventory: Map[String, String] = Map.empty): Unit = {
+    def dim(name: String, schema: org.apache.spark.sql.types.StructType) = {
+      val path = cfg.get(s"${name}_csv").orElse(inventory.get(name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no ${name}_csv config key and no inventory entry '$name'"))
       if (path.endsWith(".json"))
         Sources.fetchDatapackage(spark, path, schema,
           destDir = cfg.getOrElse("tmp_dir",
             System.getProperty("java.io.tmpdir")))
       else Sources.datapackageCsv(spark, path, schema)
     }
-    Sinks.jdbc(dim("risk_csv", Schemas.dimRisk), url, "dim_risk",
+    Sinks.jdbc(dim("risk", Schemas.dimRisk), url, "dim_risk",
       user, password, mode = "overwrite")
-    Sinks.jdbc(dim("country_csv", Schemas.dimCountry), url, "dim_country",
+    Sinks.jdbc(dim("country", Schemas.dimCountry), url, "dim_country",
       user, password, mode = "overwrite")
-    Sinks.jdbc(dim("asn_csv", Schemas.dimAsn), url, "dim_asn",
+    Sinks.jdbc(dim("asn", Schemas.dimAsn), url, "dim_asn",
       user, password, mode = "overwrite")
   }
 
@@ -56,7 +61,8 @@ object RefDataMain {
     spark.sparkContext.setLogLevel("WARN")
     refresh(spark, cfg, sys.env("GRAFT_RDS_URL"),
       sys.env.getOrElse("GRAFT_RDS_USER", ""),
-      sys.env.getOrElse("GRAFT_RDS_PASSWORD", ""))
+      sys.env.getOrElse("GRAFT_RDS_PASSWORD", ""),
+      inventory = Config.loadInventory(configPath))
     spark.stop()
   }
 }

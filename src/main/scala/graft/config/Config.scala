@@ -83,6 +83,31 @@ object Config {
     sb.toString
   }
 
+  /** The reference config's `inventory` — a list of named datapackage
+    * descriptor URLs (reference config.json `inventory`, walked by
+    * resource name at main.py:312-325). Returns name → url from
+    * already-env-substituted JSON text; absent inventory → empty.
+    */
+  def inventory(substituted: String): Map[String, String] = {
+    val block = raw""""inventory"\s*:\s*\[([\s\S]*?)\]""".r
+      .findFirstMatchIn(substituted).map(_.group(1))
+    block match {
+      case None => Map.empty
+      case Some(b) =>
+        raw"\{[^{}]*\}".r.findAllIn(b).map { o =>
+          (raw""""name"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(o)
+            .map(_.group(1)),
+           raw""""url"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(o)
+            .map(_.group(1)))
+        }.collect { case (Some(n), Some(u)) => n -> u }.toMap
+    }
+  }
+
+  /** [[inventory]] straight from a config file, with env substitution. */
+  def loadInventory(path: String, env: Map[String, String] = sys.env)
+      : Map[String, String] =
+    inventory(substituteEnv(Files.readString(Paths.get(path)), env))
+
   /** `s3://bucket/key` → (bucket, key) (reference main.py:41-50). Hadoop's
     * `Path` handles these natively on executors; this is for driver-side
     * manifest bookkeeping.

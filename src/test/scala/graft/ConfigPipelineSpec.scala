@@ -45,6 +45,25 @@ class ConfigSpec extends AnyFunSuite {
     assert(cfg("dry_run") === "false")
   }
 
+  test("inventory parses named datapackage URLs with env substitution " +
+      "(reference config.json inventory, main.py:312-325)") {
+    val raw =
+      """{"rds_uri": "x",
+        |"inventory": [
+        |  {"name": "risk",
+        |   "url": "https://example.org/$REF_BRANCH/datapackage.json"},
+        |  {"name": "asn", "url": "https://example.org/asn/dp.json"},
+        |  {"noname": "ignored"}
+        |],
+        |"after": 1}""".stripMargin
+    val inv = Config.inventory(
+      Config.substituteEnv(raw, Map("REF_BRANCH" -> "master")))
+    assert(inv === Map(
+      "risk" -> "https://example.org/master/datapackage.json",
+      "asn" -> "https://example.org/asn/dp.json"))
+    assert(Config.inventory("""{"no": "inventory"}""") === Map.empty)
+  }
+
   test("s3 path parse (reference main.py:41-50)") {
     assert(Config.parseS3Path("s3://bucket/a/b/c.csv") ===
       ("bucket", "a/b/c.csv"))
@@ -183,5 +202,21 @@ class PipelineSpec extends SparkSuite {
     RefDataMain.refresh(spark, cfg, url)
     assert(graft.sources.Sources.jdbcTable(spark, url, "dim_asn")
       .count() === asn.length)
+
+    // the reference's shipped config shape: no <name>_csv keys — the asn
+    // dim resolves through the inventory's datapackage descriptor URL
+    val tmp = Files.createTempDirectory("inv").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/data"))
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/data/asn.csv"),
+      "number,title,country\n64496,Inventory network,PE\n")
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/datapackage.json"),
+      """{"resources": [{"name": "asn", "path": ["data/asn.csv"]}]}""")
+    RefDataMain.refresh(spark,
+      cfg - "asn_csv" + ("tmp_dir" ->
+        Files.createTempDirectory("invdest").toString),
+      url, inventory = Map("asn" -> s"file://$tmp/datapackage.json"))
+    val viaInv = graft.sources.Sources.jdbcTable(spark, url, "dim_asn")
+      .collect()
+    assert(viaInv.length === 1 && viaInv(0).getLong(0) === 64496L)
   }
 }

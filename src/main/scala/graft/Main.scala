@@ -32,11 +32,14 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark)
 
-    val dimRisk = Sources.datapackageCsv(spark, cfg("risk_csv"),
+    // dims resolve through explicit keys or the config's inventory of
+    // datapackage descriptor URLs (see RefDataMain.resolveDim)
+    val inv = Config.loadInventory(configPath)
+    val dimRisk = RefDataMain.resolveDim(spark, cfg, inv, "risk",
       Schemas.dimRisk)
-    val dimCountry = Sources.datapackageCsv(spark, cfg("country_csv"),
+    val dimCountry = RefDataMain.resolveDim(spark, cfg, inv, "country",
       Schemas.dimCountry)
-    val dimAsn = Sources.datapackageCsv(spark, cfg("asn_csv"),
+    val dimAsn = RefDataMain.resolveDim(spark, cfg, inv, "asn",
       Schemas.dimAsn)
 
     // E1 step 2 (reference main.py:106-125): flatten the cleaned data's

@@ -19,26 +19,34 @@ import graft.sources.{Sinks, Sources}
   */
 object RefDataMain {
 
+  /** Resolve one reference dim: an explicit `<name>_csv` config key
+    * (local/s3 path, or a `.json` descriptor URL) wins, then the
+    * config's `inventory` entry by name — the reference's shipped shape,
+    * a list of datapackage descriptor URLs walked by name (reference
+    * main.py:312-325). Shared by [[Main]] (full run) and the E3 refresh.
+    */
+  def resolveDim(spark: SparkSession, cfg: Map[String, String],
+      inventory: Map[String, String], name: String,
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame = {
+    val path = cfg.get(s"${name}_csv").orElse(inventory.get(name))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no ${name}_csv config key and no inventory entry '$name'"))
+    if (path.endsWith(".json"))
+      Sources.fetchDatapackage(spark, path, schema,
+        destDir = cfg.getOrElse("tmp_dir",
+          System.getProperty("java.io.tmpdir")))
+    else Sources.datapackageCsv(spark, path, schema)
+  }
+
   /** The refresh slice, callable from tests and from [[main]]: read the
-    * three reference dims and overwrite the serving tables. Each dim
-    * resolves, in order: an explicit `<name>_csv` config key (local/s3
-    * path, or a `.json` descriptor URL), then the config's `inventory`
-    * entry by name — the reference's shipped shape, a list of datapackage
-    * descriptor URLs walked by name (reference main.py:312-325).
+    * three reference dims and overwrite the serving tables.
     */
   def refresh(spark: SparkSession, cfg: Map[String, String], url: String,
       user: String = "", password: String = "",
       inventory: Map[String, String] = Map.empty): Unit = {
-    def dim(name: String, schema: org.apache.spark.sql.types.StructType) = {
-      val path = cfg.get(s"${name}_csv").orElse(inventory.get(name))
-        .getOrElse(throw new IllegalArgumentException(
-          s"no ${name}_csv config key and no inventory entry '$name'"))
-      if (path.endsWith(".json"))
-        Sources.fetchDatapackage(spark, path, schema,
-          destDir = cfg.getOrElse("tmp_dir",
-            System.getProperty("java.io.tmpdir")))
-      else Sources.datapackageCsv(spark, path, schema)
-    }
+    def dim(name: String, schema: org.apache.spark.sql.types.StructType) =
+      resolveDim(spark, cfg, inventory, name, schema)
     Sinks.jdbc(dim("risk", Schemas.dimRisk), url, "dim_risk",
       user, password, mode = "overwrite")
     Sinks.jdbc(dim("country", Schemas.dimCountry), url, "dim_country",

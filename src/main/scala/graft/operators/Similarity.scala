@@ -191,6 +191,39 @@ object Similarity {
     cents
   }
 
+  /** Nearest `nprobe` cells per query row, as a pure projection: rank
+    * the nlist literal centroids inside one array_sort + slice expression
+    * (no centroid join, no window — the probe list is per-row state).
+    * Ascending struct sort = best sim first, ties to the lowest cell.
+    */
+  private def probeCells(centroids: Array[(Int, Array[Float])],
+      nprobe: Int): org.apache.spark.sql.Column = {
+    val ranked = centroids.map { case (cell, vec) =>
+      struct((-centroidSim(col("embedding"), vec)).as("neg_sim"),
+        lit(cell).as("cell"))
+    }
+    transform(
+      slice(array_sort(array(ranked.toIndexedSeq: _*)), 1, nprobe),
+      s => s.getField("cell"))
+  }
+
+  /** Probe/score/rank tail shared by the inline and written-index IVF
+    * paths: queries broadcast, joined to the cell-tagged corpus on the
+    * cell key, exact cosine inside probed cells, bounded-heap top-k.
+    */
+  private def probeAndRank(indexed: DataFrame, queries: DataFrame,
+      centroids: Array[(Int, Array[Float])], k: Int,
+      nprobe: Int): DataFrame = {
+    val probes = queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("query_vec"),
+      explode(probeCells(centroids, nprobe)).as("cell"))
+    val scored = indexed.join(broadcast(probes), Seq("cell"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        native.fvec_cosine(col("query_vec"), col("embedding")).as("cosine"))
+    topKByScoreDesc(scored, k)
+  }
+
   /** IVF approximate top-k: probe the `nprobe` nearest cells per query,
     * score only vectors in probed cells. Recall < 1 by construction; the
     * exact [[bruteForceTopK]] is the correctness oracle. Centroids are
@@ -204,28 +237,31 @@ object Similarity {
       else collectCentroids(ivfCentroids(corpus, nlist))
     val indexed = corpus.withColumn("cell",
       nearestCell(col("embedding"), centArr))
-    // nearest nprobe cells per query, as a pure projection: rank the
-    // nlist literal centroids inside one array_sort + slice expression
-    // (no centroid join, no window — the probe list is per-row state)
-    val probeCells = {
-      val ranked = centArr.map { case (cell, vec) =>
-        struct((-centroidSim(col("embedding"), vec)).as("neg_sim"),
-          lit(cell).as("cell"))
-      }
-      // ascending struct sort = best sim first, ties to the lowest cell
-      transform(
-        slice(array_sort(array(ranked.toIndexedSeq: _*)), 1, nprobe),
-        s => s.getField("cell"))
-    }
-    val probes = queries.select(
-      col("vec_id").as("query_id"), col("embedding").as("query_vec"),
-      explode(probeCells).as("cell"))
-    val scored = indexed.join(broadcast(probes), Seq("cell"))
-      .where(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id"),
-        native.fvec_cosine(col("query_vec"), col("embedding")).as("cosine"))
-    topKByScoreDesc(scored, k)
+    probeAndRank(indexed, queries, centArr, k, nprobe)
   }
+
+  /** Materialize the corpus as an on-disk IVF index: parquet partitioned
+    * by nearest-centroid cell. This is the 100 TB layout the inline path
+    * only simulates — once written, a probe's IO is ∝ nprobe/nlist
+    * because the scan reads only probed cell partitions.
+    */
+  def writeIvfIndex(corpus: DataFrame, dir: String,
+      centroids: Array[(Int, Array[Float])]): Unit =
+    corpus.withColumn("cell", nearestCell(col("embedding"), centroids))
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+
+  /** IVF top-k over a [[writeIvfIndex]] layout: the broadcast probe join
+    * keys on the PARTITION column, so Spark's dynamic partition pruning
+    * restricts the parquet scan to probed cells — the full-corpus scan
+    * of the inline path becomes partition-pruned IO. Same scores/ranking
+    * as [[ivfTopK]] with the same centroids.
+    */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queries: DataFrame,
+      centroids: Array[(Int, Array[Float])], k: Int = 10,
+      nprobe: Int = 4): DataFrame =
+    probeAndRank(spark.read.parquet(indexDir), queries, centroids, k,
+      nprobe)
 
   /** Engine-portable exact top-k on quantized vectors: components rounded
     * to 1e-3 and summed as integers, so the score is exactly reproducible

@@ -99,6 +99,20 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("written IVF index probe scan is dynamically partition-pruned " +
+      "to probed cells") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val cents = graft.operators.Similarity.collectCentroids(
+      graft.operators.Similarity.ivfCentroids(emb, nlist = 8))
+    val dir = java.nio.file.Files.createTempDirectory("ivfplan").toString
+    graft.operators.Similarity.writeIvfIndex(emb, dir, cents)
+    val p = plan(graft.operators.Similarity.ivfTopKIndexed(spark, dir,
+      emb.where(col("vec_id") < 5), cents, k = 10, nprobe = 2))
+    // the probe join keys on the partition column → the parquet scan
+    // carries a dynamicpruning partition filter (IO ∝ nprobe/nlist)
+    assert(p.contains("dynamicpruning"), p.take(3000))
+  }
+
   test("IVF cell assignment is a pure projection (no join, no exchange)") {
     val emb = spark.read.parquet(sf() + "/embeddings.parquet")
     val cents = graft.operators.Similarity.ivfCentroids(emb, nlist = 4)

@@ -79,6 +79,28 @@ class SimilaritySpec extends SparkSuite {
     assert(recall > 0.4, s"recall $recall")
   }
 
+  test("written IVF index returns the same top-k as the inline path") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val queries = emb.where($"vec_id" < 5)
+    val cents = Similarity.collectCentroids(
+      Similarity.ivfCentroids(emb, nlist = 8))
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    Similarity.writeIvfIndex(emb, dir, cents)
+    // the index holds every vector exactly once, spread over cell dirs
+    assert(spark.read.parquet(dir).count() === emb.count())
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("cell=")) > 1)
+    val inline = Similarity.ivfTopK(emb, queries, k = 10, nlist = 8,
+      nprobe = 4, kmeansIters = 0)
+      .orderBy($"query_id", $"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val indexed = Similarity.ivfTopKIndexed(spark, dir, queries, cents,
+      k = 10, nprobe = 4)
+      .orderBy($"query_id", $"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(indexed.toSeq === inline.toSeq)
+  }
+
   test("q70 gate: IVF recall@10 >= 0.9 at the driver-checked parameters") {
     val row = SparkEntry.queries("q70_ivf_recall")(spark, sf()).collect()(0)
     assert(row.getLong(1) === 50L) // 5 queries × k=10 exact rows

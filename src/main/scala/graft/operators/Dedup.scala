@@ -362,7 +362,13 @@ object Dedup {
     */
   def contaminationScreen(docs: DataFrame, benchmark: DataFrame,
       numShingleWords: Int = 3): DataFrame = {
+    // checkpoint barrier: without it the optimizer inlines the shingle
+    // kernel into the explode's pushed-down filter and evaluates it 3×
+    // per benchmark row. The benchmark is small by contract, so
+    // materializing it is free; the CORPUS side needs no barrier (the
+    // join boundary already keeps its kernel single-evaluation).
     val bench = shingleHashArrays(benchmark, numShingleWords)
+      .localCheckpoint()
       .select(explode(col("sh")).as("h"))
       .agg(array_sort(collect_set(col("h"))).as("__bench"))
     shingleHashArrays(docs, numShingleWords)

@@ -356,6 +356,22 @@ object SparkEntry {
           sum(cents(col("o_totalprice"))).as("total_bp"))
         .orderBy(col("band").asc)
     }),
+    // q53's semantics through the large-large bucketed shape (equi-join
+    // on the value bucket + residual predicate); the high band's hi is
+    // clamped to 1e6 per rangeBucketed's contract — above every
+    // o_totalprice, so results are identical and the oracle mirrors it
+    "q73_range_bucketed" -> ((s, dir) => {
+      import s.implicits._
+      val bands = Seq((0.0, 50000.0, "low"), (50000.0, 150000.0, "mid"),
+        (150000.0, 1e6, "high")).toDF("lo", "hi", "band")
+      Joins.rangeBucketed(t(s, dir, "orders"), bands,
+          col("o_totalprice"), col("lo"), col("hi"),
+          bucketWidth = 50000.0)
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("o_totalprice"))).as("total_bp"))
+        .orderBy(col("band").asc)
+    }),
     "q54_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("ts"))
@@ -807,6 +823,16 @@ object SparkEntry {
           |FROM orders
           |JOIN (VALUES (0.0, 50000.0, 'low'), (50000.0, 150000.0, 'mid'),
           |             (150000.0, 1000000000.0, 'high')) bands(lo, hi,
+          |               band)
+          |  ON o_totalprice >= lo AND o_totalprice < hi
+          |GROUP BY band ORDER BY band""".stripMargin,
+      "q73_range_bucketed" ->
+        """SELECT band, count(*) AS n,
+          |  CAST(sum(CAST(round(o_totalprice * 10000) AS BIGINT))
+          |       AS BIGINT) AS total_bp
+          |FROM orders
+          |JOIN (VALUES (0.0, 50000.0, 'low'), (50000.0, 150000.0, 'mid'),
+          |             (150000.0, 1000000.0, 'high')) bands(lo, hi,
           |               band)
           |  ON o_totalprice >= lo AND o_totalprice < hi
           |GROUP BY band ORDER BY band""".stripMargin,

@@ -113,10 +113,34 @@ object Joins {
   /** Range join: left rows matched to right rows whose half-open
     * [lo, hi) interval contains the left value. With a broadcast-sized
     * right (band/bucket tables), this is a BroadcastNestedLoop with a
-    * cheap predicate; for two large sides, bucketize the value and turn
-    * it into an equi-join on the bucket + residual predicate.
+    * cheap predicate; for two large sides use [[rangeBucketed]].
     */
   def range(left: DataFrame, right: DataFrame, value: Column,
       lo: Column, hi: Column): DataFrame =
     left.join(broadcast(right), value >= lo && value < hi, "inner")
+
+  /** Range join for two LARGE sides: bucketize the value axis so the
+    * theta-join becomes an equi-join on the bucket + residual predicate.
+    * Each interval row replicates into the buckets it covers
+    * (`sequence` + `explode` — replication = interval span /
+    * bucketWidth), each left row lands in exactly one bucket, and the
+    * shuffle key is the bucket — no nested loop, no broadcast, pairs
+    * bounded by per-bucket density.
+    *
+    * Pick `bucketWidth` near the typical interval length: too small
+    * replicates intervals, too large packs unrelated rows into one
+    * bucket. Clamp open-ended/huge intervals to the observed value range
+    * first — an unbounded hi would replicate across the whole axis.
+    */
+  def rangeBucketed(left: DataFrame, right: DataFrame, value: Column,
+      lo: Column, hi: Column, bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def bkt(c: Column): Column = floor(c / bucketWidth).cast("long")
+    val rb = right.withColumn("__bkt",
+      explode(sequence(bkt(lo), bkt(hi))))
+    left.withColumn("__bkt", bkt(value))
+      .join(rb, Seq("__bkt"))
+      .where(value >= lo && value < hi)
+      .drop("__bkt")
+  }
 }

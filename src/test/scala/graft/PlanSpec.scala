@@ -138,6 +138,22 @@ class PlanSpec extends SparkSuite {
         p.take(3000))
   }
 
+  test("bucketed range join plans an equi-join on the value bucket, " +
+      "not a nested loop") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the large-large shape the operator exists for
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan(SparkEntry.queries("q73_range_bucketed")(spark, sf()))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        p.take(3000))
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+      assert(p.contains("__bkt"), p.take(3000))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("bucketed as-of joins right rows on (key, bucket) — never a " +
       "key-only row-level join") {
     val p = plan(SparkEntry.queries("q55_asof_bucketed")(spark, sf()))

@@ -72,6 +72,30 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("bucketed range join equals the broadcast theta-join over random " +
+      "intervals and bucket widths") {
+    import graft.operators.Joins
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val left = (1 to 150).map(i => (i.toLong, rnd.nextDouble() * 1000))
+        .toDF("lid", "v")
+      val right = (1 to 40).map { i =>
+        val lo = rnd.nextDouble() * 900
+        (1000L + i, lo, lo + rnd.nextDouble() * 200)
+      }.toDF("rid", "lo", "hi")
+      val theta = Joins.range(left, right, col("v"), col("lo"), col("hi"))
+        .select($"lid", $"rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      for (width <- Seq(7.0, 50.0, 333.0)) {
+        val bucketed = Joins.rangeBucketed(left, right, col("v"),
+          col("lo"), col("hi"), bucketWidth = width)
+          .select($"lid", $"rid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(bucketed === theta, s"seed=$seed width=$width")
+      }
+    }
+  }
+
   test("jaccard stays within [0,1]; emitted pairs are ordered") {
     for (seed <- 1 to 3) {
       val docs = randomDocs(new scala.util.Random(seed))

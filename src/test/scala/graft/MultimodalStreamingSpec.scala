@@ -55,6 +55,46 @@ class MultimodalStreamingSpec extends SparkSuite {
     assert(ids === Set(1L, 3L))
   }
 
+  test("corpus-prep operators compose unchanged onto a stream " +
+      "(stateless projections: mix + split + token count + quality)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{Sharding, TextAnalysis}
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("prep").toString
+    val input = MemoryStream[(Long, String, String)]
+    val docs = input.toDF().toDF("doc_id", "lang", "text")
+    // the same operator calls as the batch queries — no streaming
+    // variants needed because mixing/splitting/counting are per-row
+    val prepped = Sharding.hashSplit(
+      Sharding.stratifiedSample(docs, col("lang"), Map("en" -> 0.5)))
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+    val q = prepped.writeStream.outputMode("append")
+      .format("memory").queryName("prep_out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    input.addData((1L to 200L).map(i =>
+      (i, if (i % 2 == 0) "en" else "de", s"doc number $i words")))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("prep_out")
+    // de: default fraction 1.0 → all 100 survive; en: ~half
+    assert(out.where($"lang" === "de").count() === 100L)
+    val en = out.where($"lang" === "en").count()
+    assert(en > 20 && en < 80, s"en kept $en")
+    assert(out.where($"n_tokens" =!= 4).count() === 0)
+    assert(out.select($"split").distinct().count() >= 2)
+    // and membership matches the batch run exactly (determinism
+    // across execution modes)
+    val batch = Sharding.stratifiedSample(
+      (1L to 200L).map(i =>
+        (i, if (i % 2 == 0) "en" else "de", s"doc number $i words"))
+        .toDF("doc_id", "lang", "text"),
+      col("lang"), Map("en" -> 0.5))
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.select($"doc_id").collect().map(_.getLong(0)).toSet
+      === batch)
+  }
+
   test("streaming flagship: watermarked dedup+count equals the batch " +
       "result, late duplicates collapse, windows close as the watermark " +
       "advances") {

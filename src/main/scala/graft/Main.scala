@@ -17,7 +17,7 @@ object Main {
   def main(args: Array[String]): Unit = {
     val configPath =
       if (args.nonEmpty) args(0) else "/root/repo/fixtures/config.json"
-    val cfg = Config.load(configPath)
+    val (cfg, inv) = Config.loadAll(configPath)
 
     // spark-submit injects the master on a cluster; default to local
     // threads when launched directly
@@ -34,7 +34,6 @@ object Main {
 
     // dims resolve through explicit keys or the config's inventory of
     // datapackage descriptor URLs (see RefDataMain.resolveDim)
-    val inv = Config.loadInventory(configPath)
     val dimRisk = RefDataMain.resolveDim(spark, cfg, inv, "risk",
       Schemas.dimRisk)
     val dimCountry = RefDataMain.resolveDim(spark, cfg, inv, "country",

@@ -91,11 +91,20 @@ object Pipeline {
     *            constraint+index family (postgres-cased — pass
     *            dialect-quoted statements for targets that fold
     *            differently, see [[Sinks.constraintDdl]])
+    * @param preDdl best-effort teardown BEFORE the writes (per-statement
+    *            errors ignored, like DROP IF EXISTS). Without it a
+    *            SECOND run fails: the first run's FKs block the
+    *            overwrite's per-table drop, and re-applying `ddl` would
+    *            collide with existing constraint names (the reference
+    *            drops everything CASCADE first, main.py:85-92)
     */
   def serveJdbc(out: Output, dimRisk: DataFrame, url: String,
       user: String = "", password: String = "",
-      ddl: Seq[String] = Sinks.constraintDdl() ++ Sinks.indexDdl())
+      ddl: Seq[String] = Sinks.constraintDdl() ++ Sinks.indexDdl(),
+      preDdl: Seq[String] = Sinks.dropServingTablesDdl())
       : Unit = {
+    if (preDdl.nonEmpty)
+      Sinks.servingDdl(url, preDdl, user, password, ignoreErrors = true)
     val fact = out.counts.withColumn("date", to_date(col("date")))
     Sinks.jdbc(dimRisk, url, "dim_risk", user, password,
       mode = "overwrite")

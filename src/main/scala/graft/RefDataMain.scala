@@ -20,7 +20,8 @@ import graft.sources.{Sinks, Sources}
 object RefDataMain {
 
   /** Resolve one reference dim: an explicit `<name>_csv` config key
-    * (local/s3 path, or a `.json` descriptor URL) wins, then the
+    * (a CSV path, or a `.json` datapackage descriptor — web URL,
+    * object-store path, or plain local path all work) wins, then the
     * config's `inventory` entry by name — the reference's shipped shape,
     * a list of datapackage descriptor URLs walked by name (reference
     * main.py:312-325). Shared by [[Main]] (full run) and the E3 refresh.
@@ -58,7 +59,7 @@ object RefDataMain {
   def main(args: Array[String]): Unit = {
     val configPath =
       if (args.nonEmpty) args(0) else "/root/repo/fixtures/config.json"
-    val cfg = Config.load(configPath)
+    val (cfg, inv) = Config.loadAll(configPath)
     val master = sys.env.getOrElse("SPARK_MASTER",
       s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
     val spark = SparkSession.builder()
@@ -70,7 +71,7 @@ object RefDataMain {
     refresh(spark, cfg, sys.env("GRAFT_RDS_URL"),
       sys.env.getOrElse("GRAFT_RDS_USER", ""),
       sys.env.getOrElse("GRAFT_RDS_PASSWORD", ""),
-      inventory = Config.loadInventory(configPath))
+      inventory = inv)
     spark.stop()
   }
 }

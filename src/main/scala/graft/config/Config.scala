@@ -108,6 +108,16 @@ object Config {
       : Map[String, String] =
     inventory(substituteEnv(Files.readString(Paths.get(path)), env))
 
+  /** Flat config and inventory from ONE read+substitution pass — what
+    * the entry points want ([[load]] then [[loadInventory]] would read
+    * and substitute the file twice).
+    */
+  def loadAll(path: String, env: Map[String, String] = sys.env)
+      : (Map[String, String], Map[String, String]) = {
+    val raw = substituteEnv(Files.readString(Paths.get(path)), env)
+    (parseFlatJson(raw), inventory(raw))
+  }
+
   /** `s3://bucket/key` → (bucket, key) (reference main.py:41-50). Hadoop's
     * `Path` handles these natively on executors; this is for driver-side
     * manifest bookkeeping.

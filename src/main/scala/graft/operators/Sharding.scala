@@ -74,7 +74,8 @@ object Sharding {
   /** Deterministic stratified downsampling — the data-mixing step of
     * corpus assembly (keep 30% of web text, all of books, ...): keep a
     * per-stratum fraction of rows, membership decided by the portable
-    * hash of `"<id>:<salt>"` against a 1/10000-resolution threshold.
+    * hash of `"<salt>:<id>"` (salt-prefixed, see [[hashBucket]]) against
+    * a 1/10000-resolution threshold.
     * Map-only (a projection + filter, no RNG, no sampling pass): at
     * 100 TB the mix is one scan, stable across re-runs/engines, and
     * re-mixable by salt without touching the data. Strata absent from

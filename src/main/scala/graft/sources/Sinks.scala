@@ -55,16 +55,40 @@ object Sinks {
     * catalog metadata, not data movement). Statements are plain ANSI
     * single-clause ALTERs/CREATEs so they run on any target dialect.
     */
+  /** @param ignoreErrors continue past per-statement failures — the
+    *        drop-if-exists semantics for pre-load cleanup on dialects
+    *        without `IF EXISTS`
+    */
   def servingDdl(url: String, statements: Seq[String],
-      user: String = "", password: String = ""): Unit = {
+      user: String = "", password: String = "",
+      ignoreErrors: Boolean = false): Unit = {
     val props = new Properties()
     if (user.nonEmpty) props.setProperty("user", user)
     if (password.nonEmpty) props.setProperty("password", password)
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
       val st = conn.createStatement()
-      try statements.foreach(st.execute) finally st.close()
+      try statements.foreach { s =>
+        try st.execute(s)
+        catch { case e: java.sql.SQLException if ignoreErrors => }
+      } finally st.close()
     } finally conn.close()
+  }
+
+  /** Pre-load teardown of the serving schema (reference main.py:85-92:
+    * `DROP TABLE IF EXISTS %s CASCADE` over every serving table before
+    * recreating). Needed for re-runs: once the FK constraints exist, a
+    * plain per-table overwrite DROP is rejected because other tables
+    * reference it — CASCADE (or dropping all together, errors ignored)
+    * clears the web.
+    */
+  def dropServingTablesDdl(
+      granularities: Seq[String] = Seq("week", "month", "quarter", "year"),
+      cascade: Boolean = true): Seq[String] = {
+    val c = if (cascade) " CASCADE" else ""
+    (granularities.map(g => s"agg_risk_country_$g") ++
+      Seq("fact_count", "dim_date", "dim_asn", "dim_country", "dim_risk"))
+      .map(t => s"DROP TABLE $t$c")
   }
 
   /** The reference's serving-tier constraint set (reference

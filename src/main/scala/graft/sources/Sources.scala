@@ -84,19 +84,36 @@ object Sources {
 
   // ------------------------------------------------- remote datapackage
 
-  /** Read a URL's content as UTF-8 text on the DRIVER — `http(s)://` and
-    * `file://` both resolve through the JDK URL machinery. The reference
+  /** Driver-side input stream for any location: `http(s)://` through the
+    * JDK URL machinery, everything else (bare local paths, `s3a://`,
+    * `hdfs://`, `file://`) through the Hadoop FS — so a descriptor key
+    * may hold a web URL, an object-store path, or a plain file path
+    * interchangeably.
+    */
+  private def openStreamAny(spark: SparkSession,
+      location: String): java.io.InputStream = {
+    val scheme = new java.net.URI(location).getScheme
+    if (scheme == "http" || scheme == "https")
+      new java.net.URI(location).toURL.openStream()
+    else {
+      val p = new Path(location)
+      FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
+        .open(p)
+    }
+  }
+
+  /** Read a URL/path's content as UTF-8 text on the DRIVER. The reference
     * pulls datapackage descriptors the same way (reference main.py:178-193:
     * `datapackage.DataPackage(url)` fetches the descriptor over HTTP).
     * Descriptors are KB-sized metadata; driver-side IO is correct here.
     */
-  def readUrl(url: String): String = {
-    val in = new java.net.URI(url).toURL.openStream()
+  def readUrl(spark: SparkSession, url: String): String = {
+    val in = openStreamAny(spark, url)
     try new String(in.readAllBytes(), StandardCharsets.UTF_8)
     finally in.close()
   }
 
-  /** Copy a URL's content to `dest` (any Hadoop-FS scheme) via a
+  /** Copy a URL/path's content to `dest` (any Hadoop-FS scheme) via a
     * driver-side stream — the analog of the reference's ASN fast path
     * (reference main.py:326-338: download the CSV locally, then bulk-load,
     * instead of row-by-row `push_datapackage`). On a cluster, point `dest`
@@ -108,7 +125,7 @@ object Sources {
     val conf = spark.sparkContext.hadoopConfiguration
     val destPath = new Path(dest)
     val fs = FileSystem.get(destPath.toUri, conf)
-    val in = new java.net.URI(url).toURL.openStream()
+    val in = openStreamAny(spark, url)
     try {
       val out = fs.create(destPath, true)
       try in.transferTo(out) finally out.close()
@@ -156,9 +173,13 @@ object Sources {
       schema: StructType, destDir: String,
       resourceName: Option[String] = None): DataFrame = {
     val resolved = resolveResourcePath(spark, descriptorUrl,
-      readUrl(descriptorUrl), resourceName)
+      readUrl(spark, descriptorUrl), resourceName)
     val fileName = resolved.substring(resolved.lastIndexOf('/') + 1)
-    val local = fetchToFile(spark, resolved, s"$destDir/$fileName")
+    // per-descriptor staging subdir: the read is LAZY, so two descriptors
+    // whose resources share a file name (the common data/data.csv layout)
+    // must not overwrite each other's staged copy before the scan runs
+    val sub = f"${resolved.hashCode & 0x7fffffff}%08x"
+    val local = fetchToFile(spark, resolved, s"$destDir/$sub/$fileName")
     datapackageCsv(spark, local, schema)
   }
 

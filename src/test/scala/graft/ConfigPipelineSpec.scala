@@ -174,6 +174,17 @@ class PipelineSpec extends SparkSuite {
         names.exists(_.equalsIgnoreCase("idx_risk")),
         s"fact indexes missing; saw $names")
     } finally conn.close()
+    // the serve is RE-RUNNABLE (the weekly cadence): the pre-drop clears
+    // the constrained schema so the same DDL applies cleanly again
+    Pipeline.serveJdbc(result, dimRisk, url, ddl = Seq(
+      """ALTER TABLE dim_date ALTER COLUMN "date" NOT NULL""",
+      """ALTER TABLE dim_date ADD PRIMARY KEY ("date")""") ++
+      Sinks.indexDdl(granularities = Seq("month"),
+        quote = c => "\"" + c + "\"")
+        .filterNot(_.contains("country")),
+      preDdl = Sinks.dropServingTablesDdl(cascade = false))
+    assert(graft.sources.Sources.jdbcTable(spark, url, "fact_count")
+      .count() > 0)
     // the generated reference DDL inventory parametrizes its quoting
     assert(Sinks.indexDdl(quote = c => s"<$c>")
       .head.contains("<date> DESC"))

@@ -139,8 +139,21 @@ class SourcesSinksSpec extends SparkSuite {
     assert(rows.length === 2)
     assert(rows(0).getLong(0) === 12252L)
     assert(rows(1).getString(2) === "PE")
-    // the CSV was staged into destDir (executor-visible storage)
-    assert(new java.io.File(s"$dest/asn.csv").isFile)
+    // the CSV was staged into a per-descriptor subdir of destDir (the
+    // read is lazy — same-named resources from two descriptors must not
+    // clobber each other's staged copy)
+    def staged() = {
+      val found = new scala.collection.mutable.ArrayBuffer[String]
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dest)).forEach(p =>
+        if (p.getFileName.toString == "asn.csv") found += p.toString)
+      found.toSeq
+    }
+    assert(staged().nonEmpty)
+    // a bare local descriptor path (no scheme) works too — config keys
+    // hold plain paths as often as URLs
+    val bare = Sources.fetchDatapackage(spark, s"$tmp/dp/datapackage.json",
+      graft.model.Schemas.dimAsn, dest, resourceName = Some("asn"))
+    assert(bare.count() === 2)
     // unknown resource name fails loudly, like the reference's inventory
     // walk coming up empty
     intercept[IllegalArgumentException] {

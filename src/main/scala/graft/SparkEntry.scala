@@ -555,6 +555,17 @@ object SparkEntry {
       Similarity.cosinePairsExact(t(s, dir, "embeddings"),
         threshold = 0.25)
         .orderBy(col("id_a").asc, col("id_b").asc)),
+    // the deduplicated corpus itself (survivors = canonical per cluster
+    // + unclustered), through the exact edge set so the oracle can
+    // rebuild the same fixpoint; the LSH-driven flavor is
+    // Dedup.nearDupDedup (same tail, bucketed pairs)
+    "q74_neardup_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 1000)
+      Dedup.dedupByClusters(docs,
+          Dedup.jaccardAllPairs(docs, threshold = 0.5), maxIter = 1000)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id").asc)
+    }),
     // maxIter bounds only a non-converged loop (it exits on fixpoint);
     // the oracle computes the exact recursive fixpoint, so the cap must
     // exceed any plausible component diameter in the sample
@@ -1105,6 +1116,29 @@ object SparkEntry {
            |  JOIN reach ON e.dst = reach.id)
            |SELECT id, min(r) AS canonical_id FROM reach
            |GROUP BY id ORDER BY id""".stripMargin,
+      "q74_neardup_dedup" ->
+        s"""WITH RECURSIVE $shingleSql,
+           |pairs AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE len(list_intersect(a.shingles, b.shingles))
+           |    / (len(a.shingles) + len(b.shingles)
+           |       - len(list_intersect(a.shingles, b.shingles))) >= 0.5),
+           |edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT e.src, reach.r FROM edges e
+           |  JOIN reach ON e.dst = reach.id),
+           |labels AS (
+           |  SELECT id, min(r) AS canonical FROM reach GROUP BY id)
+           |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+           |WHERE d.doc_id < 1000 AND NOT EXISTS (
+           |  SELECT 1 FROM labels l
+           |  WHERE l.id = d.doc_id AND l.canonical != d.doc_id)
+           |ORDER BY d.doc_id""".stripMargin,
       "q65_hash_split" ->
         // same byte-fold as the q44 rolling hash (ASCII key, so code
         // points == bytes), over "v1:<doc_id>" (salt-prefix — see

@@ -345,6 +345,30 @@ object Dedup {
         coalesce(col("label"), col("id")).as("canonical_id"))
   }
 
+  /** Near-duplicate REMOVAL: the user-facing tail of the
+    * pairs→clusters pipeline — keep ONE canonical document per near-dup
+    * cluster (the lowest doc_id) plus every unclustered document.
+    * `pairs` is any (id_a, id_b) near-dup edge set, so the same tail
+    * serves the LSH scale path ([[nearDupPairs]]) and the exact oracle
+    * baseline ([[jaccardAllPairs]]). One anti-join against the
+    * non-canonical ids — the cluster table is ∝ near-dup docs, far
+    * smaller than the corpus.
+    */
+  def dedupByClusters(docs: DataFrame, pairs: DataFrame,
+      maxIter: Int = 10): DataFrame = {
+    val drop = nearDupClusters(pairs, maxIter)
+      .where(col("id") =!= col("canonical_id"))
+      .select(col("id").as("doc_id"))
+    docs.join(drop, Seq("doc_id"), "left_anti")
+  }
+
+  /** MinHash→LSH→verify→cluster→remove, end-to-end: the corpus minus
+    * near-duplicates at the given Jaccard threshold. The 100 TB path:
+    * every stage is the bucketed/semi-join-pruned machinery above.
+    */
+  def nearDupDedup(docs: DataFrame, threshold: Double = 0.7): DataFrame =
+    dedupByClusters(docs, nearDupPairs(docs, threshold))
+
   /** Benchmark decontamination screen: for each document, how many of its
     * distinct n-gram shingles also occur in a benchmark/eval set — the
     * screen run before training so eval data is not memorized (the

@@ -88,6 +88,20 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("near-dup removal keeps one canonical per cluster plus " +
+      "unclustered documents") {
+    // docs 0/1/4 are exact/normalized dups, 2 is a near-dup of 0 at
+    // threshold 0.5 → cluster {0,1,2,4} keeps only 0; 3 and 5 unrelated
+    val survivors = Dedup.nearDupDedup(docs, threshold = 0.5)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors === Set(0L, 3L, 5L))
+    // generic tail: same answer through an explicit exact edge set
+    val viaExact = Dedup.dedupByClusters(docs,
+      Dedup.jaccardAllPairs(docs, threshold = 0.5))
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaExact === survivors)
+  }
+
   test("contamination screen counts shingle overlap with the benchmark, " +
       "map-only over the corpus") {
     // benchmark = doc 0's text; doc 1 (exact dup) fully contaminated,

@@ -41,11 +41,25 @@ object RefDataMain {
   }
 
   /** The refresh slice, callable from tests and from [[main]]: read the
-    * three reference dims and overwrite the serving tables.
+    * three reference dims and overwrite the serving tables. Dim tables
+    * are best-effort dropped first (like the reference's
+    * `DROP TABLE ... CASCADE` before its reload, main.py:314-316) —
+    * without it, a target that has been through [[Pipeline.serveJdbc]]'s
+    * constraint pass rejects the overwrite's DROP because the fact FKs
+    * reference the dims.
+    *
+    * @param preDdl teardown before the writes (errors ignored). The
+    *        default is dialect-neutral: drop the dim-referencing
+    *        constraints explicitly, then the dim tables plain — works
+    *        with and without CASCADE support
     */
   def refresh(spark: SparkSession, cfg: Map[String, String], url: String,
       user: String = "", password: String = "",
-      inventory: Map[String, String] = Map.empty): Unit = {
+      inventory: Map[String, String] = Map.empty,
+      preDdl: Seq[String] = Sinks.dropDimConstraintsDdl() ++
+        Sinks.dropDimTablesDdl(cascade = false)): Unit = {
+    if (preDdl.nonEmpty)
+      Sinks.servingDdl(url, preDdl, user, password, ignoreErrors = true)
     def dim(name: String, schema: org.apache.spark.sql.types.StructType) =
       resolveDim(spark, cfg, inventory, name, schema)
     Sinks.jdbc(dim("risk", Schemas.dimRisk), url, "dim_risk",

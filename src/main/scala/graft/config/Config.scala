@@ -31,14 +31,16 @@ object Config {
     })
   }
 
+  private def readSubstituted(path: String,
+      env: Map[String, String]): String =
+    substituteEnv(Files.readString(Paths.get(path)), env)
+
   /** Load an env-templated JSON config into a flat key→string map (the
     * reference's config is one flat JSON object of scalars).
     */
   def load(path: String, env: Map[String, String] = sys.env)
-      : Map[String, String] = {
-    val raw = substituteEnv(Files.readString(Paths.get(path)), env)
-    parseFlatJson(raw)
-  }
+      : Map[String, String] =
+    parseFlatJson(readSubstituted(path, env))
 
   /** Minimal flat-JSON-object parser (strings/numbers/bools), no library
     * dependency. Nested values are kept as raw JSON text; string values
@@ -106,7 +108,7 @@ object Config {
   /** [[inventory]] straight from a config file, with env substitution. */
   def loadInventory(path: String, env: Map[String, String] = sys.env)
       : Map[String, String] =
-    inventory(substituteEnv(Files.readString(Paths.get(path)), env))
+    inventory(readSubstituted(path, env))
 
   /** Flat config and inventory from ONE read+substitution pass — what
     * the entry points want ([[load]] then [[loadInventory]] would read
@@ -114,7 +116,7 @@ object Config {
     */
   def loadAll(path: String, env: Map[String, String] = sys.env)
       : (Map[String, String], Map[String, String]) = {
-    val raw = substituteEnv(Files.readString(Paths.get(path)), env)
+    val raw = readSubstituted(path, env)
     (parseFlatJson(raw), inventory(raw))
   }
 

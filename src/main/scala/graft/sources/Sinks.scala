@@ -54,10 +54,12 @@ object Sinks {
     * main.py:499-552). Driver-side, one statement at a time (DDL is
     * catalog metadata, not data movement). Statements are plain ANSI
     * single-clause ALTERs/CREATEs so they run on any target dialect.
-    */
-  /** @param ignoreErrors continue past per-statement failures — the
+    *
+    * @param ignoreErrors continue past per-statement failures — the
     *        drop-if-exists semantics for pre-load cleanup on dialects
-    *        without `IF EXISTS`
+    *        without `IF EXISTS`. Ignored statements are logged so a
+    *        systematically rejected batch (e.g. CASCADE syntax on a
+    *        dialect without it) is visible, not silent.
     */
   def servingDdl(url: String, statements: Seq[String],
       user: String = "", password: String = "",
@@ -70,7 +72,11 @@ object Sinks {
       val st = conn.createStatement()
       try statements.foreach { s =>
         try st.execute(s)
-        catch { case e: java.sql.SQLException if ignoreErrors => }
+        catch {
+          case e: java.sql.SQLException if ignoreErrors =>
+            org.slf4j.LoggerFactory.getLogger(Sinks.getClass)
+              .info(s"servingDdl ignored [$s]: ${e.getMessage}")
+        }
       } finally st.close()
     } finally conn.close()
   }
@@ -79,8 +85,10 @@ object Sinks {
     * `DROP TABLE IF EXISTS %s CASCADE` over every serving table before
     * recreating). Needed for re-runs: once the FK constraints exist, a
     * plain per-table overwrite DROP is rejected because other tables
-    * reference it — CASCADE (or dropping all together, errors ignored)
-    * clears the web.
+    * reference it. Pass `cascade = false` on dialects without the
+    * CASCADE clause (Derby, SQL Server) — the list is ordered
+    * children-before-parents (cubes → fact → dims) so plain drops clear
+    * the FK web too.
     */
   def dropServingTablesDdl(
       granularities: Seq[String] = Seq("week", "month", "quarter", "year"),
@@ -90,6 +98,38 @@ object Sinks {
       Seq("fact_count", "dim_date", "dim_asn", "dim_country", "dim_risk"))
       .map(t => s"DROP TABLE $t$c")
   }
+
+  /** Dim-only teardown for the weekly E3 refresh (reference
+    * main.py:314-316 drops the ASN table CASCADE before reloading):
+    * once [[constraintDdl]]'s fact FKs exist, overwriting a dim table
+    * needs the referencing constraints cleared first. Children-first
+    * order; on cascade-less dialects prepend [[dropDimConstraintsDdl]]
+    * (a table drop alone cannot clear an INBOUND foreign key).
+    */
+  def dropDimTablesDdl(cascade: Boolean = true): Seq[String] = {
+    val c = if (cascade) " CASCADE" else ""
+    Seq("dim_asn", "dim_country", "dim_risk").map(t => s"DROP TABLE $t$c")
+  }
+
+  /** Drop every [[constraintDdl]] constraint that REFERENCES a dim
+    * table — the dialect-neutral way to free the dims for an overwrite
+    * (CASCADE does this implicitly on postgres; Derby and friends need
+    * the explicit constraint drops).
+    */
+  def dropDimConstraintsDdl(
+      granularities: Seq[String] = Seq("week", "month", "quarter", "year"))
+      : Seq[String] =
+    Seq(
+      "ALTER TABLE fact_count DROP CONSTRAINT fk_count_risk",
+      "ALTER TABLE fact_count DROP CONSTRAINT fk_count_country",
+      "ALTER TABLE fact_count DROP CONSTRAINT fk_count_asn",
+      "ALTER TABLE dim_asn DROP CONSTRAINT fk_country_asn") ++
+    granularities.flatMap { g =>
+      Seq(s"ALTER TABLE agg_risk_country_$g DROP CONSTRAINT " +
+            s"fk_cube_risk_$g",
+          s"ALTER TABLE agg_risk_country_$g DROP CONSTRAINT " +
+            s"fk_cube_country_$g")
+    }
 
   /** The reference's serving-tier constraint set (reference
     * main.py:499-527), one single-clause statement each (the reference's

@@ -84,6 +84,14 @@ object Sources {
 
   // ------------------------------------------------- remote datapackage
 
+  /** Lenient URI parse: bare local paths with URI-illegal characters
+    * (spaces, %) are legal filesystem paths — callers fall back to
+    * Hadoop `Path` handling when this is None.
+    */
+  private def uriOpt(s: String): Option[java.net.URI] =
+    try Some(new java.net.URI(s))
+    catch { case _: java.net.URISyntaxException => None }
+
   /** Driver-side input stream for any location: `http(s)://` through the
     * JDK URL machinery, everything else (bare local paths, `s3a://`,
     * `hdfs://`, `file://`) through the Hadoop FS — so a descriptor key
@@ -92,7 +100,7 @@ object Sources {
     */
   private def openStreamAny(spark: SparkSession,
       location: String): java.io.InputStream = {
-    val scheme = new java.net.URI(location).getScheme
+    val scheme = uriOpt(location).map(_.getScheme).orNull
     if (scheme == "http" || scheme == "https")
       new java.net.URI(location).toURL.openStream()
     else {
@@ -159,7 +167,11 @@ object Sources {
     val path = chosen._2.headOption.getOrElse(
       throw new IllegalArgumentException(
         s"resource ${chosen._1} has no path entries"))
-    new java.net.URI(descriptorUrl).resolve(path).toString
+    // URI resolution when both sides parse; Hadoop Path resolution for
+    // bare paths with URI-illegal characters
+    (for { base <- uriOpt(descriptorUrl); rel <- uriOpt(path) }
+      yield base.resolve(rel).toString)
+      .getOrElse(new Path(new Path(descriptorUrl).getParent, path).toString)
   }
 
   /** Op 3, remote flavor: fetch a datapackage descriptor BY URL, resolve
@@ -177,8 +189,11 @@ object Sources {
     val fileName = resolved.substring(resolved.lastIndexOf('/') + 1)
     // per-descriptor staging subdir: the read is LAZY, so two descriptors
     // whose resources share a file name (the common data/data.csv layout)
-    // must not overwrite each other's staged copy before the scan runs
-    val sub = f"${resolved.hashCode & 0x7fffffff}%08x"
+    // must not overwrite each other's staged copy before the scan runs.
+    // SHA-256 prefix — String.hashCode collisions are constructible.
+    val sub = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(resolved.getBytes(StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
     val local = fetchToFile(spark, resolved, s"$destDir/$sub/$fileName")
     datapackageCsv(spark, local, schema)
   }

@@ -174,16 +174,37 @@ class PipelineSpec extends SparkSuite {
         names.exists(_.equalsIgnoreCase("idx_risk")),
         s"fact indexes missing; saw $names")
     } finally conn.close()
-    // the serve is RE-RUNNABLE (the weekly cadence): the pre-drop clears
-    // the constrained schema so the same DDL applies cleanly again
-    Pipeline.serveJdbc(result, dimRisk, url, ddl = Seq(
+    // the serve is RE-RUNNABLE (the weekly cadence) even once a REAL FK
+    // web exists: fact_count.date → dim_date.date means a bare
+    // overwrite's DROP TABLE dim_date is rejected; the children-first
+    // pre-drop clears it so the same DDL applies cleanly again
+    val fkDdl = Seq(
       """ALTER TABLE dim_date ALTER COLUMN "date" NOT NULL""",
-      """ALTER TABLE dim_date ADD PRIMARY KEY ("date")""") ++
+      """ALTER TABLE dim_date ADD PRIMARY KEY ("date")""",
+      """ALTER TABLE fact_count ADD CONSTRAINT fk_count_time """ +
+        """FOREIGN KEY ("date") REFERENCES dim_date("date")""",
+      """ALTER TABLE dim_asn ALTER COLUMN "number" NOT NULL""",
+      """ALTER TABLE dim_asn ADD PRIMARY KEY ("number")""",
+      """ALTER TABLE fact_count ADD CONSTRAINT fk_count_asn """ +
+        """FOREIGN KEY ("asn") REFERENCES dim_asn("number")""") ++
       Sinks.indexDdl(granularities = Seq("month"),
         quote = c => "\"" + c + "\"")
-        .filterNot(_.contains("country")),
+        .filterNot(_.contains("country"))
+    Pipeline.serveJdbc(result, dimRisk, url, ddl = fkDdl,
+      preDdl = Sinks.dropServingTablesDdl(cascade = false))
+    // third run: the FK web from run 2 is in place — this is the exact
+    // shape a bare overwrite cannot survive
+    Pipeline.serveJdbc(result, dimRisk, url, ddl = fkDdl,
       preDdl = Sinks.dropServingTablesDdl(cascade = false))
     assert(graft.sources.Sources.jdbcTable(spark, url, "fact_count")
+      .count() > 0)
+    // and the weekly E3 dim refresh survives the same FK web: its
+    // default pre-drop clears the inbound fact FK before the overwrite
+    RefDataMain.refresh(spark, Map(
+      "risk_csv" -> "/root/repo/fixtures/risk.csv",
+      "country_csv" -> "/root/repo/fixtures/country.csv",
+      "asn_csv" -> "/root/repo/fixtures/asn.csv"), url)
+    assert(graft.sources.Sources.jdbcTable(spark, url, "dim_asn")
       .count() > 0)
     // the generated reference DDL inventory parametrizes its quoting
     assert(Sinks.indexDdl(quote = c => s"<$c>")

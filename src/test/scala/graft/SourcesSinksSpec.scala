@@ -139,16 +139,29 @@ class SourcesSinksSpec extends SparkSuite {
     assert(rows.length === 2)
     assert(rows(0).getLong(0) === 12252L)
     assert(rows(1).getString(2) === "PE")
-    // the CSV was staged into a per-descriptor subdir of destDir (the
-    // read is lazy — same-named resources from two descriptors must not
-    // clobber each other's staged copy)
-    def staged() = {
+    // staging isolation: a SECOND descriptor whose resource shares the
+    // file name must not clobber the first's staged copy (the reads are
+    // lazy) — both DataFrames stay readable with their own contents
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/dp2/data"))
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/dp2/data/asn.csv"),
+      "number,title,country\n64496,Other network,BR\n")
+    Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/dp2/datapackage.json"),
+      """{"resources": [{"name": "asn", "path": ["data/asn.csv"]}]}""")
+    val df2 = Sources.fetchDatapackage(spark,
+      s"file://$tmp/dp2/datapackage.json", graft.model.Schemas.dimAsn,
+      destDir = dest, resourceName = Some("asn"))
+    assert(df2.collect().map(_.getLong(0)).toSeq === Seq(64496L))
+    assert(df.count() === 2) // first staged copy intact
+    def staged() = scala.util.Using.resource(
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dest))) { s =>
       val found = new scala.collection.mutable.ArrayBuffer[String]
-      java.nio.file.Files.walk(java.nio.file.Paths.get(dest)).forEach(p =>
+      s.forEach(p =>
         if (p.getFileName.toString == "asn.csv") found += p.toString)
       found.toSeq
     }
-    assert(staged().nonEmpty)
+    assert(staged().size === 2)
+    assert(!new java.io.File(s"$dest/asn.csv").exists) // never flat
     // a bare local descriptor path (no scheme) works too — config keys
     // hold plain paths as often as URLs
     val bare = Sources.fetchDatapackage(spark, s"$tmp/dp/datapackage.json",

@@ -79,6 +79,16 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       times(name) = dt :: times.getOrElse(name, Nil)
+      // release the RDD blocks pinned by operators' localCheckpoint
+      // barriers: one-shot per query, but across 5 passes × every query
+      // they accumulate in the fixed driver heap and the mounting GC
+      // pressure inflates every LATER query's median (~35% measured).
+      // The explicit collection then runs OUTSIDE any timed region, so a
+      // heavy iterative neighbor (q69/q74) can't bill its garbage to the
+      // next query's median.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
     }
     def median(xs: List[Double]): Double = xs.sorted.apply(xs.size / 2)
     val results = names.map { case (name, _) => name -> median(times(name)) }

@@ -559,8 +559,11 @@ object SparkEntry {
     // + unclustered), through the exact edge set so the oracle can
     // rebuild the same fixpoint; the LSH-driven flavor is
     // Dedup.nearDupDedup (same tail, bucketed pairs)
+    // cap 500 (not q64's 1000): the tail adds only an anti-join over
+    // q64's machinery, so a smaller O(n²) oracle sample proves it at a
+    // quarter of the pair cost
     "q74_neardup_dedup" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").where(col("doc_id") < 1000)
+      val docs = t(s, dir, "documents").where(col("doc_id") < 500)
       Dedup.dedupByClusters(docs,
           Dedup.jaccardAllPairs(docs, threshold = 0.5), maxIter = 1000)
         .select(col("doc_id"), col("lang"), col("n_chars"))
@@ -1117,7 +1120,7 @@ object SparkEntry {
            |SELECT id, min(r) AS canonical_id FROM reach
            |GROUP BY id ORDER BY id""".stripMargin,
       "q74_neardup_dedup" ->
-        s"""WITH RECURSIVE $shingleSql,
+        s"""WITH RECURSIVE ${shingleSqlWhere("WHERE doc_id < 500")},
            |pairs AS (
            |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
            |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -1135,7 +1138,7 @@ object SparkEntry {
            |labels AS (
            |  SELECT id, min(r) AS canonical FROM reach GROUP BY id)
            |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
-           |WHERE d.doc_id < 1000 AND NOT EXISTS (
+           |WHERE d.doc_id < 500 AND NOT EXISTS (
            |  SELECT 1 FROM labels l
            |  WHERE l.id = d.doc_id AND l.canonical != d.doc_id)
            |ORDER BY d.doc_id""".stripMargin,

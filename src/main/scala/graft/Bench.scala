@@ -82,20 +82,19 @@ object Bench {
       // release the RDD blocks pinned by operators' localCheckpoint
       // barriers: one-shot per query, but across 5 passes × every query
       // they accumulate in the fixed driver heap and the mounting GC
-      // pressure inflates every LATER query's median (~35% measured).
-      // The explicit collection then runs OUTSIDE any timed region, so a
-      // heavy iterative neighbor (q69/q74) can't bill its garbage to the
-      // next query's median.
+      // pressure inflates every LATER query's median (~35% measured;
+      // a full System.gc() here measured WORSE — let G1 pace itself).
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
-      System.gc()
     }
     def median(xs: List[Double]): Double = xs.sorted.apply(xs.size / 2)
     val results = names.map { case (name, _) => name -> median(times(name)) }
-    // 3 decimals (ms precision): the driver captures only the tail of the
-    // sbt output, and round 2's full-precision line overflowed it — the
-    // line must stay well under ~2 KB or `headline_total` gets truncated.
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // 2 decimals (10 ms precision): the driver captures only the tail of
+    // the sbt output, and round 2's full-precision line overflowed it —
+    // the line must stay well under ~2 KB or `headline_total` gets
+    // truncated. At 72 queries the 3-decimal line had ~110 bytes of
+    // headroom; 2 decimals + short sf label keep ~250.
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     // headline = a FIXED representative set, stable across rounds, so the
     // round-over-round baseline comparison is apples-to-apples even as the
@@ -106,7 +105,8 @@ object Bench {
     val total =
       if (headline.nonEmpty) headline.map(_._2).sum
       else results.map(_._2).sum
-    println(s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sfLabel = sfDir.substring(sfDir.lastIndexOf('/') + 1)
+    println(f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfLabel%s"}""")
     spark.stop()
   }
 }

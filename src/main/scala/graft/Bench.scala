@@ -41,7 +41,10 @@ object Bench {
         "1m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the bench is a measurement main and its tail is
+    // machine-read — the per-query localCheckpoint-block unpersist
+    // otherwise emits hundreds of benign lineage-truncation WARNs
+    spark.sparkContext.setLogLevel("ERROR")
     // Warm up once outside the timers: file-listing + parquet footers +
     // first-query codegen/JIT otherwise land on whichever query runs
     // first. The shuffle, broadcast, and window machinery each JIT their

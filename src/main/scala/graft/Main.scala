@@ -54,12 +54,14 @@ object Main {
       outDir = cfg("out_dir"),
       threshold = cfg("country_count_threshold").toLong)
 
-    // E2 serving hand-off when an RDS-style target is configured
-    // (reference main.py:279-288, :499-552)
-    cfg.get("rds_url").foreach { url =>
+    // E2 serving hand-off when an RDS-style target is configured —
+    // `rds_uri` is the reference's key (a postgres:// uri,
+    // config.json:3); `rds_url` accepts an explicit jdbc: url
+    cfg.get("rds_uri").orElse(cfg.get("rds_url")).foreach { raw =>
+      val (url, user, password) = Config.jdbcFromUri(raw)
       Pipeline.serveJdbc(out, dimRisk, url,
-        user = cfg.getOrElse("rds_user", ""),
-        password = cfg.getOrElse("rds_password", ""))
+        user = cfg.getOrElse("rds_user", user),
+        password = cfg.getOrElse("rds_password", password))
     }
 
     println(s"counts=${out.counts.count()} " +

@@ -30,14 +30,22 @@ object RefDataMain {
       inventory: Map[String, String], name: String,
       schema: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.DataFrame = {
-    val path = cfg.get(s"${name}_csv").orElse(inventory.get(name))
-      .getOrElse(throw new IllegalArgumentException(
-        s"no ${name}_csv config key and no inventory entry '$name'"))
-    if (path.endsWith(".json"))
-      Sources.fetchDatapackage(spark, path, schema,
-        destDir = cfg.getOrElse("tmp_dir",
-          System.getProperty("java.io.tmpdir")))
-    else Sources.datapackageCsv(spark, path, schema)
+    def destDir = cfg.getOrElse("tmp_dir",
+      System.getProperty("java.io.tmpdir"))
+    cfg.get(s"${name}_csv") match {
+      // explicit key: a CSV path unless it names a descriptor
+      case Some(p) if p.endsWith(".json") =>
+        Sources.fetchDatapackage(spark, p, schema, destDir)
+      case Some(p) => Sources.datapackageCsv(spark, p, schema)
+      // inventory entries are datapackage descriptors BY DEFINITION
+      // (reference main.py:312-325) — no filename heuristic: a signed or
+      // query-string URL must still route through the descriptor fetch
+      case None => inventory.get(name) match {
+        case Some(u) => Sources.fetchDatapackage(spark, u, schema, destDir)
+        case None => throw new IllegalArgumentException(
+          s"no ${name}_csv config key and no inventory entry '$name'")
+      }
+    }
   }
 
   /** The refresh slice, callable from tests and from [[main]]: read the
@@ -52,12 +60,19 @@ object RefDataMain {
     *        default is dialect-neutral: drop the dim-referencing
     *        constraints explicitly, then the dim tables plain — works
     *        with and without CASCADE support
+    * @param postDdl re-applied after the writes (errors ignored and
+    *        logged — on a target that never had the full schema, e.g.
+    *        before any [[Pipeline.serveJdbc]], FK statements referencing
+    *        absent tables are skipped). Default restores every dim
+    *        PK/FK the teardown removed, so the weekly refresh leaves the
+    *        serving schema as constrained as it found it.
     */
   def refresh(spark: SparkSession, cfg: Map[String, String], url: String,
       user: String = "", password: String = "",
       inventory: Map[String, String] = Map.empty,
       preDdl: Seq[String] = Sinks.dropDimConstraintsDdl() ++
-        Sinks.dropDimTablesDdl(cascade = false)): Unit = {
+        Sinks.dropDimTablesDdl(cascade = false),
+      postDdl: Seq[String] = Sinks.dimConstraintDdl()): Unit = {
     if (preDdl.nonEmpty)
       Sinks.servingDdl(url, preDdl, user, password, ignoreErrors = true)
     def dim(name: String, schema: org.apache.spark.sql.types.StructType) =
@@ -68,6 +83,8 @@ object RefDataMain {
       user, password, mode = "overwrite")
     Sinks.jdbc(dim("asn", Schemas.dimAsn), url, "dim_asn",
       user, password, mode = "overwrite")
+    if (postDdl.nonEmpty)
+      Sinks.servingDdl(url, postDdl, user, password, ignoreErrors = true)
   }
 
   def main(args: Array[String]): Unit = {

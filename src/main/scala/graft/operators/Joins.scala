@@ -69,9 +69,14 @@ object Joins {
     // ordering fields first: struct max ≡ argmax by (rightTime, tieCol)
     val payloadFields = (Seq(rightTime, tieCol) ++ rightVals).distinct
     val lb = left.withColumn("__b", bucket(col(leftTime)))
-    val rb = right.select(col(key).as("__k"),
-      bucket(col(rightTime)).as("__rbkt"),
-      struct(payloadFields.map(col).toSeq: _*).as("__rb"))
+    // NULL-time right rows can never satisfy rt <= lt, so asOf drops
+    // them via the predicate; here they must be filtered EXPLICITLY — a
+    // NULL bucket sorts first on the carry axis and would otherwise leak
+    // a null-payload "best" into every later bucket's carry frame
+    val rb = right.where(col(rightTime).isNotNull)
+      .select(col(key).as("__k"),
+        bucket(col(rightTime)).as("__rbkt"),
+        struct(payloadFields.map(col).toSeq: _*).as("__rb"))
 
     // per-(key, bucket) best right row → running best over all
     // strictly-earlier ACTIVE buckets (axis = buckets either side touches,

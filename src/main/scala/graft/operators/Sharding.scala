@@ -86,9 +86,13 @@ object Sharding {
       id: Column = col("doc_id"), salt: String = "mix1"): DataFrame = {
     require((fractions.values ++ Seq(defaultFraction))
       .forall(f => f >= 0.0 && f <= 1.0), "fractions must be in [0, 1]")
-    // salt as prefix, for the same reason as [[hashBucket]]
-    val tick = pmod(native.rolling_hash(
-      concat(lit(salt + ":"), id.cast("string"))), lit(10000L))
+    // salt as prefix, for the same reason as [[hashBucket]]. NULL ids
+    // hash to NULL — coalesce to tick 0 so they ride with ANY non-zero
+    // fraction (a fraction-1.0 stratum keeps everything, including its
+    // null-id rows) instead of being silently dropped by the null
+    // comparison.
+    val tick = coalesce(pmod(native.rolling_hash(
+      concat(lit(salt + ":"), id.cast("string"))), lit(10000L)), lit(0L))
     val threshold = fractions.toSeq.sortBy(_._1)
       .foldLeft(lit(math.round(defaultFraction * 10000))) {
         case (acc, (k, f)) =>

@@ -111,6 +111,18 @@ object Sinks {
     Seq("dim_asn", "dim_country", "dim_risk").map(t => s"DROP TABLE $t$c")
   }
 
+  /** The dim-scoped slice of [[constraintDdl]] — everything except the
+    * dim_date PK and the fact→date FK (the refresh never touches
+    * dim_date). What [[graft.RefDataMain.refresh]] re-applies after its
+    * teardown so a weekly refresh leaves the serving schema as
+    * constrained as it found it.
+    */
+  def dimConstraintDdl(
+      granularities: Seq[String] = Seq("week", "month", "quarter", "year"),
+      quote: String => String = identity): Seq[String] =
+    constraintDdl(granularities, quote)
+      .filterNot(_.contains("dim_date"))
+
   /** Drop every [[constraintDdl]] constraint that REFERENCES a dim
     * table — the dialect-neutral way to free the dims for an overwrite
     * (CASCADE does this implicitly on postgres; Derby and friends need

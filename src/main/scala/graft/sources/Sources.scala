@@ -74,12 +74,18 @@ object Sources {
     *
     * `explode` drops empty arrays, which implements the skip.
     */
-  def manifestEntries(spark: SparkSession, datapackageJson: String): DataFrame =
-    spark.read
-      .option("multiLine", "true")
-      .json(datapackageJson)
+  /** resources[].path[] → one row per path — the flatten shared by the
+    * manifest read and write sides (`explode` drops empty arrays, which
+    * implements the skip).
+    */
+  private def flattenResourcePaths(descriptor: DataFrame): DataFrame =
+    descriptor
       .select(explode(col("resources")).as("resource"))
       .select(explode(col("resource.path")).as("url"))
+
+  def manifestEntries(spark: SparkSession, datapackageJson: String): DataFrame =
+    flattenResourcePaths(
+      spark.read.option("multiLine", "true").json(datapackageJson))
       .withColumn("mandatory", lit(true))
 
   // ------------------------------------------------- remote datapackage
@@ -164,7 +170,8 @@ object Sources {
         throw new IllegalArgumentException(
           s"no resources in $descriptorUrl"))
     }
-    val path = chosen._2.headOption.getOrElse(
+    // a resource with NO path key comes back as null, not an empty list
+    val path = Option(chosen._2).getOrElse(Seq.empty).headOption.getOrElse(
       throw new IllegalArgumentException(
         s"resource ${chosen._1} has no path entries"))
     // URI resolution when both sides parse; Hadoop Path resolution for
@@ -206,15 +213,29 @@ object Sources {
     * Byte format matches the reference's `json.dump` output
     * (golden-tested against reference tests/aggregation_tests.py:503-526).
     */
+  /** Minimal JSON string escaping for the manifest writer (quote,
+    * backslash, control characters — the set `json.dump` escapes). */
+  private def jsonEscape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c < 0x20 => sb.append(f"\\u$c%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
   def createManifest(spark: SparkSession, datapackageJson: String,
       source: String): String = {
     import spark.implicits._
-    val urls = spark.read.json(Seq(datapackageJson).toDS())
-      .select(explode(col("resources")).as("r"))
-      .select(explode(col("r.path")).as("key"))
+    val urls = flattenResourcePaths(
+      spark.read.json(Seq(datapackageJson).toDS()))
       .collect().map(_.getString(0))
     val base = source.stripSuffix("/")
-    urls.map(k => s"""{"url": "$base/$k", "mandatory": true}""")
+    urls
+      .map(k =>
+        s"""{"url": "${jsonEscape(s"$base/$k")}", "mandatory": true}""")
       .mkString("""{"entries": [""", ", ", "]}")
   }
 

@@ -62,6 +62,25 @@ class ConfigSpec extends AnyFunSuite {
       "risk" -> "https://example.org/master/datapackage.json",
       "asn" -> "https://example.org/asn/dp.json"))
     assert(Config.inventory("""{"no": "inventory"}""") === Map.empty)
+    // a ']' inside a URL must not truncate the array scan
+    val bracket =
+      """{"inventory": [
+        |  {"name": "a", "url": "https://h/x[1]/dp.json"},
+        |  {"name": "b", "url": "https://h/y/dp.json"}]}""".stripMargin
+    assert(Config.inventory(bracket) === Map(
+      "a" -> "https://h/x[1]/dp.json", "b" -> "https://h/y/dp.json"))
+  }
+
+  test("reference rds_uri converts to a JDBC url with credentials") {
+    assert(Config.jdbcFromUri("postgres://u:pw@db.example.org:5432/stats")
+      === ("jdbc:postgresql://db.example.org:5432/stats", "u", "pw"))
+    assert(Config.jdbcFromUri("postgresql://db.example.org/stats")
+      === ("jdbc:postgresql://db.example.org/stats", "", ""))
+    assert(Config.jdbcFromUri("jdbc:derby:memory:x") ===
+      ("jdbc:derby:memory:x", "", ""))
+    intercept[IllegalArgumentException] {
+      Config.jdbcFromUri("mysql://h/db")
+    }
   }
 
   test("s3 path parse (reference main.py:41-50)") {
@@ -206,6 +225,14 @@ class PipelineSpec extends SparkSuite {
       "asn_csv" -> "/root/repo/fixtures/asn.csv"), url)
     assert(graft.sources.Sources.jdbcTable(spark, url, "dim_asn")
       .count() > 0)
+    // the refresh's default post-DDL restores everything its teardown
+    // removed (dim PKs + every dim-referencing FK; dim_date untouched)
+    assert(Sinks.dimConstraintDdl().exists(_.contains("fk_count_asn")))
+    assert(Sinks.dimConstraintDdl().exists(
+      _.contains("dim_risk ADD PRIMARY KEY")))
+    assert(!Sinks.dimConstraintDdl().exists(_.contains("dim_date")))
+    assert(Sinks.dropDimConstraintsDdl().length + 3 ===
+      Sinks.dimConstraintDdl().length)
     // the generated reference DDL inventory parametrizes its quoting
     assert(Sinks.indexDdl(quote = c => s"<$c>")
       .head.contains("<date> DESC"))

@@ -54,11 +54,17 @@ class PropertySpec extends SparkSuite {
       // timestamps across ~3 years incl. exact bucket-edge collisions
       def randTs() = new java.sql.Timestamp(
         1500000000000L + rnd.nextInt(100000).toLong * 1000000L)
+      // ~5% null times on both sides: asOf drops them via the time
+      // predicate; the bucketed variant must agree, not leak null-time
+      // rows through the carry path
+      def maybeNull(t: java.sql.Timestamp): java.sql.Timestamp =
+        if (rnd.nextInt(20) == 0) null else t
       val left = (1 to 120).map(i =>
-        (i.toLong, rnd.nextInt(8).toLong, randTs()))
+        (i.toLong, rnd.nextInt(8).toLong, maybeNull(randTs())))
         .toDF("lid", "k", "lt")
       val right = (1 to 150).map(i =>
-        (rnd.nextInt(8).toLong, 1000L + i, randTs(), rnd.nextInt(100)))
+        (rnd.nextInt(8).toLong, 1000L + i, maybeNull(randTs()),
+          rnd.nextInt(100)))
         .toDF("k", "rid", "rt", "v")
       val plain = Joins.asOf(left, right, "k", "lt", "rt", "lid", "rid",
         Seq("rid", "rt", "v")).orderBy($"lid")

@@ -84,6 +84,12 @@ class ShardingSpec extends SparkSuite {
       .map(_.getLong(0)).toSet
     assert(otherIds.size > 230 && otherIds.size < 370)
     assert(otherIds != theseIds) // re-mixed membership, not a re-label
+    // null ids ride with any non-zero fraction (a keep-all stratum keeps
+    // its null-id rows) and drop at fraction 0
+    val withNull = Seq((Option(1L), "books"), (Option.empty[Long], "books"),
+      (Option.empty[Long], "web")).toDF("doc_id", "domain")
+    assert(Sharding.stratifiedSample(withNull, col("domain"),
+      Map("web" -> 0.0)).count() === 2)
   }
 
   test("token shards: distributed prefix sum equals the single-window " +

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: times every `SparkEntry.queries` entry on
   * `SPARK_GRAFT_SF_DIR` and prints one JSON line
@@ -69,17 +69,34 @@ object Bench {
         .parquet(s"$sfDir/$t.parquet").limit(1).collect()
       catch { case _: Throwable => }
     }
-    // Median of 5 passes per query: 3-pass medians still let an
-    // occasional multi-second GC/JIT outlier through (a whole round was
-    // lost to chasing one — the flagged q06/q07/q09 "regression" vanished
-    // on re-run with byte-identical code); 5 passes tolerate two outliers
-    // per query. Pass-level interleaving (all queries per pass) keeps the
-    // cache/JIT state comparable between the runs of one query.
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val (results, errors) =
+      runQueries(spark, sfDir, SparkEntry.queries.toSeq.sortBy(_._1))
+    val sfLabel = sfDir.substring(sfDir.lastIndexOf('/') + 1)
+    println(renderJson(results, errors, sfLabel))
+    spark.stop()
+  }
+
+  /** Times every query over `passes` interleaved passes and reports the
+    * per-query median plus the set of queries that threw on ANY pass.
+    *
+    * Median of 5 passes per query: 3-pass medians still let an
+    * occasional multi-second GC/JIT outlier through (a whole round was
+    * lost to chasing one — the flagged q06/q07/q09 "regression" vanished
+    * on re-run with byte-identical code); 5 passes tolerate two outliers
+    * per query. Pass-level interleaving (all queries per pass) keeps the
+    * cache/JIT state comparable between the runs of one query.
+    */
+  def runQueries(
+      spark: SparkSession,
+      sfDir: String,
+      queries: Seq[(String, (SparkSession, String) => DataFrame)],
+      passes: Int = 5): (Seq[(String, Double)], Set[String]) = {
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
-    for (_ <- 1 to 5; (name, fn) <- names) {
+    val errors = scala.collection.mutable.SortedSet.empty[String]
+    for (_ <- 1 to passes; (name, fn) <- queries) {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch { case _: Throwable => errors += name }
       val dt = (System.nanoTime() - t0) / 1e9
       times(name) = dt :: times.getOrElse(name, Nil)
       // release the RDD blocks pinned by operators' localCheckpoint
@@ -91,7 +108,24 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
     }
     def median(xs: List[Double]): Double = xs.sorted.apply(xs.size / 2)
-    val results = names.map { case (name, _) => name -> median(times(name)) }
+    // A query that threw on any pass gets a -1 sentinel instead of its
+    // fast-fail wall time: a broken query must never read as a speedup.
+    val results = queries.map { case (name, _) =>
+      name -> (if (errors(name)) -1.0 else median(times(name)))
+    }
+    (results, errors.toSet)
+  }
+
+  /** One machine-read JSON line. Failed queries appear with time -1 in
+    * `queries`, their names in an `errors` array (key present only on
+    * failure, to preserve the tail byte budget), and they poison
+    * `headline_total` to -1 so a driver reading only the headline sees
+    * the breakage.
+    */
+  def renderJson(
+      results: Seq[(String, Double)],
+      errors: Set[String],
+      sfLabel: String): String = {
     // 2 decimals (10 ms precision): the driver captures only the tail of
     // the sbt output, and round 2's full-precision line overflowed it —
     // the line must stay well under ~2 KB or `headline_total` gets
@@ -103,13 +137,16 @@ object Bench {
     // round-over-round baseline comparison is apples-to-apples even as the
     // query inventory grows; per-query times for everything are in
     // `queries`.
-    val headlineSet = Bench.Headline.toSet
+    val headlineSet = Headline.toSet
     val headline = results.filter(r => headlineSet.contains(r._1))
     val total =
-      if (headline.nonEmpty) headline.map(_._2).sum
+      if (errors.nonEmpty) -1.0
+      else if (headline.nonEmpty) headline.map(_._2).sum
       else results.map(_._2).sum
-    val sfLabel = sfDir.substring(sfDir.lastIndexOf('/') + 1)
-    println(f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfLabel%s"}""")
-    spark.stop()
+    val errsField =
+      if (errors.isEmpty) ""
+      else errors.toSeq.sorted.map("\"" + _ + "\"")
+        .mkString(""","errors":[""", ",", "]")
+    f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs%s$errsField%s,"sf":"$sfLabel%s"}"""
   }
 }

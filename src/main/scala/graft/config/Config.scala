@@ -118,12 +118,71 @@ object Config {
           i += 1
         }
         val b = substituted.substring(from, math.max(from, i - 1))
-        raw"\{[^{}]*\}".r.findAllIn(b).map { o =>
-          (raw""""name"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(o)
-            .map(_.group(1)),
-           raw""""url"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(o)
-            .map(_.group(1)))
-        }.collect { case (Some(n), Some(u)) => n -> u }.toMap
+        // entry extraction is quote-aware like the extent scan above:
+        // values are env-substituted and not fully under repo control, so
+        // a '{', '}', or escaped quote inside a URL must not drop or
+        // truncate the entry
+        topLevelObjects(b).flatMap { o =>
+          for {
+            n <- jsonStringValue(o, "name")
+            u <- jsonStringValue(o, "url")
+          } yield n -> u
+        }.toMap
+    }
+  }
+
+  /** Top-level `{...}` extents of a JSON array body, tracking string and
+    * escape state so braces inside string values don't split entries.
+    */
+  private def topLevelObjects(body: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < body.length) {
+      if (body.charAt(i) == '{') {
+        val start = i
+        var depth = 0
+        var inString = false
+        var j = i
+        var done = false
+        while (j < body.length && !done) {
+          val c = body.charAt(j)
+          if (inString) {
+            if (c == '\\') j += 1
+            else if (c == '"') inString = false
+          } else c match {
+            case '"' => inString = true
+            case '{' => depth += 1
+            case '}' => depth -= 1; if (depth == 0) done = true
+            case _ =>
+          }
+          j += 1
+        }
+        out += body.substring(start, j)
+        i = j
+      } else i += 1
+    }
+    out.result()
+  }
+
+  /** The (unescaped) string value of `"key": "..."` inside one object's
+    * text, reading to the closing UNESCAPED quote — `\"` inside the
+    * value no longer truncates it.
+    */
+  private def jsonStringValue(obj: String, key: String): Option[String] = {
+    val open =
+      ("\"" + java.util.regex.Pattern.quote(key) + "\"\\s*:\\s*\"").r
+    open.findFirstMatchIn(obj).map { m =>
+      val sb = new StringBuilder
+      var i = m.end
+      var closed = false
+      while (i < obj.length && !closed) {
+        val c = obj.charAt(i)
+        if (c == '\\' && i + 1 < obj.length) {
+          sb += c; sb += obj.charAt(i + 1); i += 2
+        } else if (c == '"') closed = true
+        else { sb += c; i += 1 }
+      }
+      unescapeJson(sb.toString)
     }
   }
 

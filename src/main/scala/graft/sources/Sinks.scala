@@ -68,17 +68,25 @@ object Sinks {
     if (user.nonEmpty) props.setProperty("user", user)
     if (password.nonEmpty) props.setProperty("password", password)
     val conn = java.sql.DriverManager.getConnection(url, props)
+    // WARN, not INFO: every entry point runs at WARN-or-quieter log
+    // level, so an INFO line here would make ignored failures silent in
+    // practice — the opposite of the "visible, not silent" contract.
+    val log = org.slf4j.LoggerFactory.getLogger(Sinks.getClass)
+    var ignored = 0
     try {
       val st = conn.createStatement()
       try statements.foreach { s =>
         try st.execute(s)
         catch {
           case e: java.sql.SQLException if ignoreErrors =>
-            org.slf4j.LoggerFactory.getLogger(Sinks.getClass)
-              .info(s"servingDdl ignored [$s]: ${e.getMessage}")
+            ignored += 1
+            log.warn(s"servingDdl ignored [$s]: ${e.getMessage}")
         }
       } finally st.close()
     } finally conn.close()
+    if (ignored > 0)
+      log.warn(s"servingDdl: $ignored of ${statements.size} statements " +
+        "failed and were ignored (ignoreErrors=true)")
   }
 
   /** Pre-load teardown of the serving schema (reference main.py:85-92:

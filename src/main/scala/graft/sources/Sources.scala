@@ -214,12 +214,21 @@ object Sources {
     * (golden-tested against reference tests/aggregation_tests.py:503-526).
     */
   /** Minimal JSON string escaping for the manifest writer (quote,
-    * backslash, control characters — the set `json.dump` escapes). */
+    * backslash, control characters — the set `json.dump` escapes).
+    * Python's `json.dump` uses the SHORT escapes for the five named
+    * control characters and `\u00XX` only for the rest, so the
+    * byte-identical contract needs the same split.
+    */
   private def jsonEscape(s: String): String = {
     val sb = new StringBuilder(s.length)
     s.foreach {
       case '"' => sb.append("\\\"")
       case '\\' => sb.append("\\\\")
+      case '\b' => sb.append("\\b")
+      case '\f' => sb.append("\\f")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
       case c if c < 0x20 => sb.append(f"\\u$c%04x")
       case c => sb.append(c)
     }

@@ -69,6 +69,17 @@ class ConfigSpec extends AnyFunSuite {
         |  {"name": "b", "url": "https://h/y/dp.json"}]}""".stripMargin
     assert(Config.inventory(bracket) === Map(
       "a" -> "https://h/x[1]/dp.json", "b" -> "https://h/y/dp.json"))
+    // '{' '}' or an escaped quote inside an env-substituted URL must not
+    // drop, truncate, or merge entries (values are not under repo control)
+    val tricky =
+      """{"inventory": [
+        |  {"name": "a", "url": "https://h/tpl/{ver}/dp.json"},
+        |  {"name": "b", "url": "https://h/q\"uo\"te/dp.json"},
+        |  {"name": "c", "url": "https://h/plain/dp.json"}]}""".stripMargin
+    assert(Config.inventory(tricky) === Map(
+      "a" -> "https://h/tpl/{ver}/dp.json",
+      "b" -> "https://h/q\"uo\"te/dp.json",
+      "c" -> "https://h/plain/dp.json"))
   }
 
   test("reference rds_uri converts to a JDBC url with credentials") {

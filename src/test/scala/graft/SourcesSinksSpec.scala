@@ -204,6 +204,20 @@ class SourcesSinksSpec extends SparkSuite {
       """dns-scan.20000101.csv.gz", "mandatory": true}]}""")
   }
 
+  test("createManifest escapes control chars the way json.dump does " +
+      "(short escapes for \\n \\r \\t \\b \\f, \\u00XX for the rest)") {
+    // JSON-escaped path text; the reader unescapes it to real control
+    // chars and the writer must re-emit EXACTLY these escape spellings
+    // (python json.dump uses \t \n \r \b \f, and \u00XX only for the rest)
+    val escaped = "a\\tb\\nc\\rd\\be\\ff\\u0001g"
+    val dp = s"""{"resources":[{"path": ["$escaped"],
+                |"schema": {"fields": []}, "name": "weird"}],
+                |"name": "x"}""".stripMargin
+    val manifest = Sources.createManifest(spark, dp, "s3://b/k")
+    assert(manifest ===
+      s"""{"entries": [{"url": "s3://b/k/$escaped", "mandatory": true}]}""")
+  }
+
   test("manifest write-back round-trip: dest datapackage.json → " +
       "clean.manifest artifact (reference main.py:106-125)") {
     val dest = Files.createTempDirectory("manifest").toString

@@ -68,6 +68,9 @@ object Main {
       s"dim_date=${out.dimDate.count()} " +
       out.cubes.map { case (g, df) => s"cube_$g=${df.count()}" }
         .mkString(" "))
+    // every staged-dim consumer has materialized by now — drop the
+    // staging artifacts (reference main.py:84: end-of-run tmpdir rmtree)
+    Sources.cleanupStagedFetches(spark)
     spark.stop()
   }
 }

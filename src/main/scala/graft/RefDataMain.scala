@@ -85,6 +85,10 @@ object RefDataMain {
       user, password, mode = "overwrite")
     if (postDdl.nonEmpty)
       Sinks.servingDdl(url, postDdl, user, password, ignoreErrors = true)
+    // the three jdbc writes above were the last consumers of the staged
+    // descriptor fetches — remove the staging artifacts like the
+    // reference's end-of-run tmpdir rmtree (reference main.py:84)
+    Sources.cleanupStagedFetches(spark)
   }
 
   def main(args: Array[String]): Unit = {

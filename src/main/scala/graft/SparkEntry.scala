@@ -357,13 +357,14 @@ object SparkEntry {
         .orderBy(col("band").asc)
     }),
     // q53's semantics through the large-large bucketed shape (equi-join
-    // on the value bucket + residual predicate); the high band's hi is
-    // clamped to 1e6 per rangeBucketed's contract — above every
-    // o_totalprice, so results are identical and the oracle mirrors it
+    // on the value bucket + residual predicate). The high band's hi is
+    // the same 1e9 sentinel as q53's: rangeBucketed clamps interval ends
+    // to the observed o_totalprice range internally, so the open end
+    // costs buckets only where left rows exist, not 1e9/bucketWidth rows
     "q73_range_bucketed" -> ((s, dir) => {
       import s.implicits._
       val bands = Seq((0.0, 50000.0, "low"), (50000.0, 150000.0, "mid"),
-        (150000.0, 1e6, "high")).toDF("lo", "hi", "band")
+        (150000.0, 1e9, "high")).toDF("lo", "hi", "band")
       Joins.rangeBucketed(t(s, dir, "orders"), bands,
           col("o_totalprice"), col("lo"), col("hi"),
           bucketWidth = 50000.0)
@@ -846,7 +847,7 @@ object SparkEntry {
           |       AS BIGINT) AS total_bp
           |FROM orders
           |JOIN (VALUES (0.0, 50000.0, 'low'), (50000.0, 150000.0, 'mid'),
-          |             (150000.0, 1000000.0, 'high')) bands(lo, hi,
+          |             (150000.0, 1000000000.0, 'high')) bands(lo, hi,
           |               band)
           |  ON o_totalprice >= lo AND o_totalprice < hi
           |GROUP BY band ORDER BY band""".stripMargin,

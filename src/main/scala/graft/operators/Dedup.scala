@@ -353,10 +353,24 @@ object Dedup {
     * baseline ([[jaccardAllPairs]]). One anti-join against the
     * non-canonical ids — the cluster table is ∝ near-dup docs, far
     * smaller than the corpus.
+    *
+    * @param strategy `"labelprop"` ([[nearDupClusters]], O(diameter)
+    *        rounds — the default for shallow near-dup clusters) or
+    *        `"stars"` ([[connectedComponentsStars]], O(log n) rounds —
+    *        pick it when components can be chain-shaped, e.g. drifted
+    *        near-dup sequences). Both produce canonical = component
+    *        minimum, so survivors are identical.
     */
   def dedupByClusters(docs: DataFrame, pairs: DataFrame,
-      maxIter: Int = 10): DataFrame = {
-    val drop = nearDupClusters(pairs, maxIter)
+      maxIter: Int = 10, strategy: String = "labelprop"): DataFrame = {
+    val clusters = strategy match {
+      case "labelprop" => nearDupClusters(pairs, maxIter)
+      case "stars" => connectedComponentsStars(pairs, maxIter)
+      case other => throw new IllegalArgumentException(
+        s"unknown clustering strategy '$other' " +
+          "(expected 'labelprop' or 'stars')")
+    }
+    val drop = clusters
       .where(col("id") =!= col("canonical_id"))
       .select(col("id").as("doc_id"))
     docs.join(drop, Seq("doc_id"), "left_anti")
@@ -365,9 +379,12 @@ object Dedup {
   /** MinHash→LSH→verify→cluster→remove, end-to-end: the corpus minus
     * near-duplicates at the given Jaccard threshold. The 100 TB path:
     * every stage is the bucketed/semi-join-pruned machinery above.
+    * `strategy` picks the clustering shape, see [[dedupByClusters]].
     */
-  def nearDupDedup(docs: DataFrame, threshold: Double = 0.7): DataFrame =
-    dedupByClusters(docs, nearDupPairs(docs, threshold))
+  def nearDupDedup(docs: DataFrame, threshold: Double = 0.7,
+      strategy: String = "labelprop"): DataFrame =
+    dedupByClusters(docs, nearDupPairs(docs, threshold),
+      strategy = strategy)
 
   /** Benchmark decontamination screen: for each document, how many of its
     * distinct n-gram shingles also occur in a benchmark/eval set — the
@@ -376,35 +393,62 @@ object Dedup {
     * pipelines). Returns (doc_id, n_shingles, n_contaminated,
     * contaminated_frac).
     *
-    * Scale design: the benchmark's distinct shingle hashes collapse into
-    * ONE sorted array (eval sets are KB-MB of n-grams — broadcast-sized
-    * by definition), so screening the corpus is a MAP-ONLY pass: one
+    * Scale design, broadcast flavor (the default — eval sets are KB-MB
+    * of n-grams): the benchmark's distinct shingle hashes collapse into
+    * ONE sorted array, so screening the corpus is a MAP-ONLY pass: one
     * broadcast, one linear merge ([[graft.functions
     * .SortedIntersectCountExpr]]) per document, no shuffle of the 100 TB
-    * side. A benchmark too large to broadcast would swap in an
-    * explode + shuffle join keyed by shingle hash.
+    * side. A benchmark above `maxBroadcastShingles` distinct shingles
+    * switches to the shuffle flavor: ONE pass over the corpus —
+    * explode + left join keyed by shingle hash + per-doc count — whose
+    * shuffle is ∝ corpus shingles, never all-pairs. Both flavors return
+    * identical rows.
     */
   def contaminationScreen(docs: DataFrame, benchmark: DataFrame,
-      numShingleWords: Int = 3): DataFrame = {
+      numShingleWords: Int = 3,
+      maxBroadcastShingles: Long = 8L * 1000 * 1000): DataFrame = {
     // checkpoint barrier: without it the optimizer inlines the shingle
     // kernel into the explode's pushed-down filter and evaluates it 3×
-    // per benchmark row. The benchmark is small by contract, so
-    // materializing it is free; the CORPUS side needs no barrier (the
-    // join boundary already keeps its kernel single-evaluation).
-    val bench = shingleHashArrays(benchmark, numShingleWords)
+    // per benchmark row. The benchmark is the small side by contract
+    // (eval-set vs corpus), so materializing it is free; the CORPUS side
+    // needs no barrier (the join boundary already keeps its kernel
+    // single-evaluation).
+    val benchHashes = shingleHashArrays(benchmark, numShingleWords)
       .localCheckpoint()
       .select(explode(col("sh")).as("h"))
-      .agg(array_sort(collect_set(col("h"))).as("__bench"))
-    shingleHashArrays(docs, numShingleWords)
-      .crossJoin(broadcast(bench))
-      .select(col("doc_id"),
-        size(col("sh")).cast("long").as("n_shingles"),
-        native.sorted_intersect_count(col("sh"), col("__bench"))
-          .cast("long").as("n_contaminated"))
+      .distinct()
+    def withFrac(df: DataFrame): DataFrame = df
       .withColumn("contaminated_frac",
         when(col("n_shingles") === 0, lit(0.0))
           .otherwise(col("n_contaminated").cast("double") /
             col("n_shingles")))
+    if (benchHashes.count() <= maxBroadcastShingles) {
+      val bench = benchHashes
+        .agg(array_sort(collect_list(col("h"))).as("__bench"))
+      withFrac(shingleHashArrays(docs, numShingleWords)
+        .crossJoin(broadcast(bench))
+        .select(col("doc_id"),
+          size(col("sh")).cast("long").as("n_shingles"),
+          native.sorted_intersect_count(col("sh"), col("__bench"))
+            .cast("long").as("n_contaminated")))
+    } else {
+      // shuffle fallback: count total and contaminated shingles in one
+      // exploded pass (count(__hit) over a LEFT join ≡ the merge-kernel
+      // intersection count, since both sides' hashes are distinct), then
+      // restore zero-shingle docs the explode dropped
+      val counted = shingleHashArrays(docs, numShingleWords)
+        .select(col("doc_id"), explode(col("sh")).as("h"))
+        .join(benchHashes.withColumn("__hit", lit(1)), Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          count(col("__hit")).as("n_contaminated"))
+      withFrac(docs.select(col("doc_id"))
+        .join(counted, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+          coalesce(col("n_contaminated"), lit(0L))
+            .as("n_contaminated")))
+    }
   }
 
   // --------------------------------------------------- embedding near-dup

@@ -134,18 +134,32 @@ object Joins {
     *
     * Pick `bucketWidth` near the typical interval length: too small
     * replicates intervals, too large packs unrelated rows into one
-    * bucket. Clamp open-ended/huge intervals to the observed value range
-    * first — an unbounded hi would replicate across the whole axis.
+    * bucket. Interval ends are clamped to the observed left value range
+    * (one cheap min/max agg — parquet footer stats at the scan layer)
+    * before bucketizing, so an open-ended or sentinel `hi`
+    * (Long.MaxValue, year-9999) replicates only across the buckets the
+    * left side actually occupies, never the whole axis; intervals that
+    * cannot intersect the observed range drop before the explode.
     */
   def rangeBucketed(left: DataFrame, right: DataFrame, value: Column,
       lo: Column, hi: Column, bucketWidth: Double): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     def bkt(c: Column): Column = floor(c / bucketWidth).cast("long")
-    val rb = right.withColumn("__bkt",
-      explode(sequence(bkt(lo), bkt(hi))))
+    val bounds = left.agg(min(value), max(value)).head()
+    val (vMin, vMax) = (bounds.get(0), bounds.get(1))
+    // empty left (or all-NULL values): no row can match — skip the
+    // explode entirely rather than replicate unclamped intervals
+    val intersecting =
+      if (vMin == null) right.where(lit(false))
+      // half-open [lo, hi): hi == vMin cannot match, lo == vMax can
+      else right.where(hi > lit(vMin) && lo <= lit(vMax))
+    val clampLo = if (vMin == null) lo else greatest(lo, lit(vMin))
+    val clampHi = if (vMin == null) hi else least(hi, lit(vMax))
+    val rb = intersecting.withColumn("__bkt",
+      explode(sequence(bkt(clampLo), bkt(clampHi))))
     left.withColumn("__bkt", bkt(value))
       .join(rb, Seq("__bkt"))
-      .where(value >= lo && value < hi)
+      .where(value >= lo && value < hi) // residual on the ORIGINAL ends
       .drop("__bkt")
   }
 }

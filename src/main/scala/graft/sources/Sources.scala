@@ -201,8 +201,39 @@ object Sources {
     val sub = java.security.MessageDigest.getInstance("SHA-256")
       .digest(resolved.getBytes(StandardCharsets.UTF_8))
       .take(8).map(b => f"$b%02x").mkString
-    val local = fetchToFile(spark, resolved, s"$destDir/$sub/$fileName")
+    val stagingDir = s"$destDir/$sub"
+    val local = fetchToFile(spark, resolved, s"$stagingDir/$fileName")
+    stagedDirs.add(stagingDir)
     datapackageCsv(spark, local, schema)
+  }
+
+  // ------------------------------------------------- staging lifecycle
+
+  /** Staging dirs created by [[fetchDatapackage]], awaiting end-of-run
+    * removal. Deletion cannot happen at fetch time: the returned scan is
+    * lazy and is re-executed by every downstream action, so the staged
+    * copy must outlive the last consumer.
+    */
+  private val stagedDirs = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+
+  /** End-of-run removal of every staging dir [[fetchDatapackage]]
+    * created in this JVM — the analog of the reference deleting its
+    * tmpdir when the run finishes (reference main.py:84,
+    * `shutil.rmtree(self.tmpdir)`). Call ONLY after every DataFrame
+    * whose lineage includes a staged scan has been materialized
+    * (written or collected); a later action on such a frame would
+    * re-read the deleted file.
+    */
+  def cleanupStagedFetches(spark: SparkSession): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val it = stagedDirs.iterator()
+    while (it.hasNext) {
+      val dir = new Path(it.next())
+      it.remove()
+      val fs = FileSystem.get(dir.toUri, conf)
+      if (fs.exists(dir)) fs.delete(dir, true)
+    }
   }
 
   // --------------------------------------------------- manifest write-back

@@ -281,12 +281,17 @@ class PipelineSpec extends SparkSuite {
       "number,title,country\n64496,Inventory network,PE\n")
     Files.writeString(java.nio.file.Paths.get(s"$tmp/datapackage.json"),
       """{"resources": [{"name": "asn", "path": ["data/asn.csv"]}]}""")
+    val destDir = Files.createTempDirectory("invdest").toString
     RefDataMain.refresh(spark,
-      cfg - "asn_csv" + ("tmp_dir" ->
-        Files.createTempDirectory("invdest").toString),
+      cfg - "asn_csv" + ("tmp_dir" -> destDir),
       url, inventory = Map("asn" -> s"file://$tmp/datapackage.json"))
     val viaInv = graft.sources.Sources.jdbcTable(spark, url, "dim_asn")
       .collect()
     assert(viaInv.length === 1 && viaInv(0).getLong(0) === 64496L)
+    // end-of-run staging lifecycle (reference main.py:84 tmpdir rmtree):
+    // refresh removes the SHA-prefixed staging dirs its fetches created
+    val leftovers = new java.io.File(destDir).listFiles()
+    assert(leftovers == null || leftovers.isEmpty,
+      s"staging artifacts survived refresh: ${leftovers.mkString(", ")}")
   }
 }

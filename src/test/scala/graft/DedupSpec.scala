@@ -100,6 +100,16 @@ class DedupSpec extends SparkSuite {
       Dedup.jaccardAllPairs(docs, threshold = 0.5))
       .select($"doc_id").collect().map(_.getLong(0)).toSet
     assert(viaExact === survivors)
+    // the stars-CC strategy (O(log n) rounds, for chain-shaped
+    // components) is a drop-in: identical survivors end-to-end
+    val viaStars = Dedup.nearDupDedup(docs, threshold = 0.5,
+      strategy = "stars")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaStars === survivors)
+    intercept[IllegalArgumentException] {
+      Dedup.dedupByClusters(docs,
+        Dedup.jaccardAllPairs(docs, threshold = 0.5), strategy = "nope")
+    }
   }
 
   test("contamination screen counts shingle overlap with the benchmark, " +
@@ -120,6 +130,34 @@ class DedupSpec extends SparkSuite {
     val p = Dedup.contaminationScreen(docs, bench)
       .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("contamination shuffle fallback (benchmark too big to broadcast) " +
+      "matches the broadcast path row for row") {
+    val bench = docs.where($"doc_id" <= 1L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"doc_id").collect().map(_.toSeq).toSeq
+    val viaBroadcast = Dedup.contaminationScreen(docs, bench)
+    // threshold 0 forces the shuffle flavor on the same input
+    val viaShuffle = Dedup.contaminationScreen(docs, bench,
+      maxBroadcastShingles = 0L)
+    assert(rows(viaShuffle) === rows(viaBroadcast))
+    // same columns and types (nullability legitimately differs: the
+    // fallback's coalesce proves non-null, the broadcast path can't)
+    assert(viaShuffle.schema.map(f => (f.name, f.dataType)) ===
+      viaBroadcast.schema.map(f => (f.name, f.dataType)))
+    // the fallback keys its join on the shingle hash — no broadcast
+    // nested loop, no all-pairs
+    val p = viaShuffle.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // an empty-text doc (zero shingles) survives the explode with zeros
+    val withEmpty = docs.unionByName(
+      Seq((77L, "")).toDF("doc_id", "text"))
+    val fe = Dedup.contaminationScreen(withEmpty, bench,
+      maxBroadcastShingles = 0L)
+      .where($"doc_id" === 77L).collect()
+    assert(fe.length === 1 && fe(0).getLong(1) === 0L &&
+      fe(0).getDouble(3) === 0.0)
   }
 
   test("embedding near-dup finds the planted duplicate vector") {

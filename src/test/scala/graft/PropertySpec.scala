@@ -102,6 +102,40 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("bucketed range join clamps open-ended and out-of-range intervals " +
+      "to the observed value range (no axis-wide replication)") {
+    import graft.operators.Joins
+    val left = (1 to 100).map(i => (i.toLong, i * 10.0)).toDF("lid", "v")
+    val right = Seq(
+      (1L, 0.0, Double.MaxValue),      // open-ended: every left row
+      (2L, 500.0, 1e15),               // sentinel hi
+      (3L, -1e12, 250.0),              // sentinel lo
+      (4L, 5e6, 6e6),                  // entirely above the range
+      (5L, -100.0, -50.0)              // entirely below the range
+    ).toDF("rid", "lo", "hi")
+    val theta = Joins.range(left, right, col("v"), col("lo"), col("hi"))
+      .select($"lid", $"rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = Joins.rangeBucketed(left, right, col("v"),
+      col("lo"), col("hi"), bucketWidth = 50.0)
+    assert(bucketed.select($"lid", $"rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === theta)
+    // the whole point of the clamp: replication stays bounded by the
+    // buckets the left side occupies (v in [10,1000] / 50 → 21 buckets),
+    // so the exploded right side is ≤ intervals × occupied-axis, nowhere
+    // near Double.MaxValue / bucketWidth
+    val exploded = right
+      .where(col("hi") > 10.0 && col("lo") <= 1000.0)
+      .withColumn("__bkt", explode(sequence(
+        floor(greatest(col("lo"), lit(10.0)) / 50.0).cast("long"),
+        floor(least(col("hi"), lit(1000.0)) / 50.0).cast("long"))))
+      .count()
+    assert(exploded <= 3 * 21)
+    // empty left: no matches and no runaway explode either
+    assert(Joins.rangeBucketed(left.where(lit(false)), right, col("v"),
+      col("lo"), col("hi"), bucketWidth = 50.0).count() === 0)
+  }
+
   test("jaccard stays within [0,1]; emitted pairs are ordered") {
     for (seed <- 1 to 3) {
       val docs = randomDocs(new scala.util.Random(seed))

@@ -591,20 +591,19 @@ object SparkEntry {
         .orderBy(col("id").asc)),
     // recall@10 of the IVF probe path against the exact brute-force
     // baseline, as ONE aggregated row (rows-only: the IVF bucketing is
-    // engine-specific by design; the recall floor is SimilaritySpec-tested)
-    "q70_ivf_recall" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val q = emb.where(col("vec_id") < 5)
-      val exact = Similarity.bruteForceTopK(emb, q, k = 10)
-        .select(col("query_id"), col("vec_id"))
-      val approx = Similarity.ivfTopK(emb, q, k = 10, nprobe = 12)
-        .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
-      exact.join(approx, Seq("query_id", "vec_id"), "left")
-        .agg(
-          (sum(coalesce(col("hit"), lit(0))) / count(lit(1)))
-            .as("recall_at_10"),
-          count(lit(1)).as("n_exact"))
-    }),
+    // engine-specific by design; the recall floor is SimilaritySpec-
+    // tested). nprobe/nlist = 8/64 — the partition-pruning ratio a
+    // written index reads, 1/8 of cells. The testdata embeddings are
+    // isotropic (no cluster structure), the ANN worst case, so earning
+    // recall >= 0.9 at that ratio needs multiAssign = 8 boundary
+    // replication; the row's scan_frac column discloses exactly what
+    // that costs (~0.65 of pairs scored) instead of hiding it. On
+    // clustered corpora the same gate passes at multiAssign = 1 with
+    // scan_frac ~ probe_frac — SimilaritySpec proves both regimes.
+    "q70_ivf_recall" -> ((s, dir) =>
+      Similarity.ivfRecallStats(t(s, dir, "embeddings"),
+        t(s, dir, "embeddings").where(col("vec_id") < 5),
+        k = 10, nlist = 64, nprobe = 8, multiAssign = 8)),
     // ---- extension tier: corpus preparation (splits + shards) ----
     "q65_hash_split" -> ((s, dir) =>
       Sharding.hashSplit(t(s, dir, "documents").select(col("doc_id")))

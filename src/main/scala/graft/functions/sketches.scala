@@ -153,6 +153,117 @@ case class MisraGriesAgg(
     copy(child = newChildren.head)
 }
 
+/** Vector-sum buffer: per-dimension double sums plus the row count.
+  * `sums` is null until the first non-null input fixes the dimension.
+  */
+final class VecSumBuffer(var sums: Array[Double], var n: Long)
+
+/** Elementwise mean of a `array<float>` column as ONE mergeable
+  * aggregate expression — the scale shape for k-means centroid
+  * recomputation at real embedding dims. The per-dimension
+  * `avg(element_at(e, i))` fan-out plans `dim` independent aggregate
+  * expressions (each re-walking the array); this kernel is a single
+  * buffer of `dim` doubles per task, merged pointwise, so the plan has
+  * one aggregate regardless of dimension and the shuffle carries
+  * nlist·dim doubles per task either way.
+  *
+  * Contract: dense vectors — all non-null inputs must share one length
+  * (mixed lengths throw); null ELEMENTS contribute 0 to their dimension
+  * but the row still counts (embeddings are dense by contract, this
+  * only pins behavior). Null ROWS are skipped like every Spark
+  * aggregate. Arithmetic is double sums / row count cast to float —
+  * the same as `avg(element_at).cast("float")` on dense input.
+  */
+case class FloatVecMeanAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[VecSumBuffer] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType =
+    ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "fvec_mean"
+
+  override def createAggregationBuffer(): VecSumBuffer =
+    new VecSumBuffer(null, 0L)
+
+  override def update(buf: VecSumBuffer, input: InternalRow): VecSumBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      if (buf.sums == null) buf.sums = new Array[Double](arr.numElements())
+      else require(buf.sums.length == arr.numElements(),
+        s"fvec_mean: mixed vector lengths " +
+          s"(${buf.sums.length} vs ${arr.numElements()})")
+      var i = 0
+      while (i < buf.sums.length) {
+        if (!arr.isNullAt(i)) buf.sums(i) += arr.getFloat(i).toDouble
+        i += 1
+      }
+      buf.n += 1
+    }
+    buf
+  }
+
+  override def merge(buf: VecSumBuffer, other: VecSumBuffer): VecSumBuffer = {
+    if (other.sums != null) {
+      if (buf.sums == null) {
+        buf.sums = other.sums.clone()
+      } else {
+        require(buf.sums.length == other.sums.length,
+          s"fvec_mean: mixed vector lengths " +
+            s"(${buf.sums.length} vs ${other.sums.length})")
+        var i = 0
+        while (i < buf.sums.length) {
+          buf.sums(i) += other.sums(i)
+          i += 1
+        }
+      }
+    }
+    buf.n += other.n
+    buf
+  }
+
+  override def eval(buf: VecSumBuffer): Any =
+    if (buf.n == 0L || buf.sums == null) null
+    else new GenericArrayData(buf.sums.map(s => (s / buf.n).toFloat))
+
+  override def serialize(buf: VecSumBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeLong(buf.n)
+    if (buf.sums == null) out.writeInt(-1)
+    else {
+      out.writeInt(buf.sums.length)
+      buf.sums.foreach(out.writeDouble)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): VecSumBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readLong()
+    val len = in.readInt()
+    val sums =
+      if (len < 0) null
+      else Array.fill(len)(in.readDouble())
+    new VecSumBuffer(sums, n)
+  }
+
+  override def withNewMutableAggBufferOffset(
+      newOffset: Int): FloatVecMeanAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(
+      newOffset: Int): FloatVecMeanAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): FloatVecMeanAgg =
+    copy(child = newChildren.head)
+}
+
 object sketches {
   import org.apache.spark.sql.graftshim.ColumnBridge
 
@@ -163,5 +274,12 @@ object sketches {
   def misra_gries(item: Column, k: Int): Column =
     ColumnBridge.column(
       MisraGriesAgg(ColumnBridge.expression(item), k)
+        .toAggregateExpression())
+
+  /** Aggregate column: elementwise mean of an `array<float>` vector
+    * column as one mergeable aggregate (see [[FloatVecMeanAgg]]). */
+  def fvec_mean(vec: Column): Column =
+    ColumnBridge.column(
+      FloatVecMeanAgg(ColumnBridge.expression(vec))
         .toAggregateExpression())
 }

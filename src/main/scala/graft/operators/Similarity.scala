@@ -170,16 +170,22 @@ object Similarity {
     * the driver, where the centroid table lives between rounds (no
     * per-iteration checkpoint/lineage jobs). Empty cells keep their
     * previous centroid.
+    *
+    * The mean is ONE [[graft.functions.FloatVecMeanAgg]] aggregate (a
+    * `dim`-double buffer per task) — a per-dimension
+    * `avg(element_at(e, i))` fan-out would plan `dim` aggregate
+    * expressions, each re-walking the array: fine at dim 64, quadratic
+    * pain at the 1024+ dims real embedding models emit. Dimension is
+    * discovered from the data, not declared.
     */
-  def kmeansCentroids(corpus: DataFrame, nlist: Int = 16, dim: Int = 64,
+  def kmeansCentroids(corpus: DataFrame, nlist: Int = 16,
       iters: Int = 2): Array[(Int, Array[Float])] = {
     var cents = collectCentroids(ivfCentroids(corpus, nlist))
     for (_ <- 0 until iters) {
       val means = corpus
         .withColumn("cell", nearestCell(col("embedding"), cents))
         .groupBy(col("cell"))
-        .agg(array((0 until dim).map(i =>
-          avg(element_at(col("embedding"), i + 1)).cast("float")): _*)
+        .agg(graft.functions.sketches.fvec_mean(col("embedding"))
           .as("new_centroid"))
         .collect()
         .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
@@ -207,20 +213,49 @@ object Similarity {
       s => s.getField("cell"))
   }
 
+  /** Cell-tag the corpus for the IVF index. `multiAssign` = 1 is the
+    * classic single nearest-cell assignment; m > 1 replicates each
+    * vector into its m nearest cells ("multiple assignment", Jégou et
+    * al., "Product quantization for nearest neighbor search", TPAMI'11
+    * §V) — the standard boundary-recall trade: the index grows ×m and a
+    * probe reads m·nprobe/nlist of the original corpus volume, buying
+    * recall on data whose neighbors straddle cell boundaries. On
+    * clustered corpora (the realistic case) m = 1 suffices; isotropic
+    * data needs m ≫ 1 because coarse cells carry little signal there.
+    */
+  def assignCells(corpus: DataFrame,
+      centroids: Array[(Int, Array[Float])],
+      multiAssign: Int = 1): DataFrame = {
+    require(multiAssign >= 1, "multiAssign must be >= 1")
+    if (multiAssign == 1)
+      corpus.withColumn("cell", nearestCell(col("embedding"), centroids))
+    else
+      corpus.withColumn("cell",
+        explode(probeCells(centroids, multiAssign)))
+  }
+
   /** Probe/score/rank tail shared by the inline and written-index IVF
     * paths: queries broadcast, joined to the cell-tagged corpus on the
     * cell key, exact cosine inside probed cells, bounded-heap top-k.
+    * `dedupCandidates` must be set when the index is multi-assigned: a
+    * candidate present in several probed cells scores once per cell, and
+    * without the distinct those duplicates would occupy top-k slots. The
+    * dedup shuffle is bounded by the probe output, the same stream the
+    * ranking consumes.
     */
   private def probeAndRank(indexed: DataFrame, queries: DataFrame,
       centroids: Array[(Int, Array[Float])], k: Int,
-      nprobe: Int): DataFrame = {
+      nprobe: Int, dedupCandidates: Boolean = false): DataFrame = {
     val probes = queries.select(
       col("vec_id").as("query_id"), col("embedding").as("query_vec"),
       explode(probeCells(centroids, nprobe)).as("cell"))
-    val scored = indexed.join(broadcast(probes), Seq("cell"))
+    val scored0 = indexed.join(broadcast(probes), Seq("cell"))
       .where(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
         native.fvec_cosine(col("query_vec"), col("embedding")).as("cosine"))
+    val scored =
+      if (dedupCandidates) scored0.dropDuplicates("query_id", "vec_id")
+      else scored0
     topKByScoreDesc(scored, k)
   }
 
@@ -230,14 +265,57 @@ object Similarity {
     * Lloyd-refined when `kmeansIters > 0`.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
-      nlist: Int = 16, nprobe: Int = 4, dim: Int = 64,
-      kmeansIters: Int = 1): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4,
+      kmeansIters: Int = 1, multiAssign: Int = 1): DataFrame = {
     val centArr =
-      if (kmeansIters > 0) kmeansCentroids(corpus, nlist, dim, kmeansIters)
+      if (kmeansIters > 0) kmeansCentroids(corpus, nlist, kmeansIters)
       else collectCentroids(ivfCentroids(corpus, nlist))
-    val indexed = corpus.withColumn("cell",
-      nearestCell(col("embedding"), centArr))
-    probeAndRank(indexed, queries, centArr, k, nprobe)
+    val indexed = assignCells(corpus, centArr, multiAssign)
+    probeAndRank(indexed, queries, centArr, k, nprobe,
+      dedupCandidates = multiAssign > 1)
+  }
+
+  /** One-row honesty report for the IVF path: recall@k against the
+    * exact [[bruteForceTopK]] baseline PLUS the price paid for it —
+    * `scan_frac` (distinct candidate pairs actually scored / all
+    * (query, corpus) pairs) and `probe_frac` (nprobe/nlist, the
+    * partition-pruning ratio a [[writeIvfIndex]] layout reads). On
+    * clustered data scan_frac ≈ probe_frac at multiAssign = 1; on
+    * isotropic data a high recall floor forces multiAssign > 1 and
+    * scan_frac discloses the replication cost — the gate cannot
+    * silently buy recall with IO.
+    */
+  def ivfRecallStats(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+      nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 1,
+      multiAssign: Int = 1): DataFrame = {
+    val centArr =
+      if (kmeansIters > 0) kmeansCentroids(corpus, nlist, kmeansIters)
+      else collectCentroids(ivfCentroids(corpus, nlist))
+    val indexed = assignCells(corpus, centArr, multiAssign)
+    val exact = bruteForceTopK(corpus, queries, k)
+      .select(col("query_id"), col("vec_id"))
+    val approx = probeAndRank(indexed, queries, centArr, k, nprobe,
+        dedupCandidates = multiAssign > 1)
+      .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+    val recallRow = exact.join(approx, Seq("query_id", "vec_id"), "left")
+      .agg(
+        (sum(coalesce(col("hit"), lit(0))) / count(lit(1)))
+          .as("recall_at_k"),
+        count(lit(1)).as("n_exact"))
+    val probes = queries.select(col("vec_id").as("query_id"),
+      explode(probeCells(centArr, nprobe)).as("cell"))
+    val scanned = indexed.join(broadcast(probes), Seq("cell"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id")).distinct()
+      .agg(count(lit(1)).as("n_scanned"))
+    val nCorpus = corpus.agg(count(lit(1)).as("n_corpus"))
+    val nQueries = queries.agg(count(lit(1)).as("n_queries"))
+    recallRow.crossJoin(scanned).crossJoin(nCorpus).crossJoin(nQueries)
+      .select(col("recall_at_k"), col("n_exact"),
+        (col("n_scanned").cast("double") /
+          (col("n_queries") * (col("n_corpus") - 1))).as("scan_frac"),
+        lit(nprobe.toDouble / nlist).as("probe_frac"),
+        lit(multiAssign).as("multi_assign"))
   }
 
   /** Materialize the corpus as an on-disk IVF index: parquet partitioned
@@ -246,22 +324,25 @@ object Similarity {
     * because the scan reads only probed cell partitions.
     */
   def writeIvfIndex(corpus: DataFrame, dir: String,
-      centroids: Array[(Int, Array[Float])]): Unit =
-    corpus.withColumn("cell", nearestCell(col("embedding"), centroids))
+      centroids: Array[(Int, Array[Float])],
+      multiAssign: Int = 1): Unit =
+    assignCells(corpus, centroids, multiAssign)
       .write.mode("overwrite").partitionBy("cell").parquet(dir)
 
   /** IVF top-k over a [[writeIvfIndex]] layout: the broadcast probe join
     * keys on the PARTITION column, so Spark's dynamic partition pruning
     * restricts the parquet scan to probed cells — the full-corpus scan
     * of the inline path becomes partition-pruned IO. Same scores/ranking
-    * as [[ivfTopK]] with the same centroids.
+    * as [[ivfTopK]] with the same centroids. Set `multiAssigned` when
+    * the index was written with `multiAssign > 1` so duplicate
+    * candidates collapse before ranking.
     */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, queries: DataFrame,
       centroids: Array[(Int, Array[Float])], k: Int = 10,
-      nprobe: Int = 4): DataFrame =
+      nprobe: Int = 4, multiAssigned: Boolean = false): DataFrame =
     probeAndRank(spark.read.parquet(indexDir), queries, centroids, k,
-      nprobe)
+      nprobe, dedupCandidates = multiAssigned)
 
   /** Engine-portable exact top-k on quantized vectors: components rounded
     * to 1e-3 and summed as integers, so the score is exactly reproducible

@@ -101,11 +101,92 @@ class SimilaritySpec extends SparkSuite {
     assert(indexed.toSeq === inline.toSeq)
   }
 
-  test("q70 gate: IVF recall@10 >= 0.9 at the driver-checked parameters") {
+  test("fvec_mean equals the per-dimension avg fan-out, in one aggregate") {
+    val rows: Seq[(Int, Array[Float])] = Seq(
+      (0, Array(1.0f, 2.0f, 3.0f)),
+      (0, Array(3.0f, 4.0f, 5.0f)),
+      (1, Array(10.0f, 20.0f, 30.0f)),
+      (1, null)) // null ROW: skipped
+    val df = rows.toDF("g", "e").repartition(4) // force partial + merge
+    val viaKernel = df.groupBy($"g")
+      .agg(graft.functions.sketches.fvec_mean($"e").as("m"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    val viaAvg = df.groupBy($"g")
+      .agg(array((0 until 3).map(i =>
+        avg(element_at($"e", i + 1)).cast("float")): _*).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    assert(viaKernel === viaAvg)
+    assert(viaKernel(0) === Seq(2.0f, 3.0f, 4.0f))
+    assert(viaKernel(1) === Seq(10.0f, 20.0f, 30.0f))
+    // all-null group → null mean, not a crash or zero vector
+    val allNull = Seq((0, null.asInstanceOf[Array[Float]])).toDF("g", "e")
+      .groupBy($"g")
+      .agg(graft.functions.sketches.fvec_mean($"e").as("m")).collect()
+    assert(allNull.length === 1 && allNull(0).isNullAt(1))
+    // mixed vector lengths violate the dense contract loudly
+    val ex = intercept[org.apache.spark.SparkException] {
+      Seq((0, Array(1.0f)), (0, Array(1.0f, 2.0f))).toDF("g", "e")
+        .coalesce(1).groupBy($"g")
+        .agg(graft.functions.sketches.fvec_mean($"e")).collect()
+    }
+    assert(ex.getMessage.contains("mixed vector lengths") ||
+      ex.getCause != null &&
+        ex.getCause.getMessage.contains("mixed vector lengths"))
+  }
+
+  test("k-means at dim 512 plans ONE aggregate expression, not 512") {
+    val rnd = new scala.util.Random(7)
+    val corpus = (0 until 40).map(i =>
+      (i.toLong, Array.fill(512)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(corpus, nlist = 4, iters = 1)
+    assert(cents.length === 4)
+    assert(cents.forall(_._2.length === 512))
+    // the plan shape that makes this viable: a single fvec_mean
+    // aggregate, no per-dimension element_at fan-out
+    val plan = corpus
+      .agg(graft.functions.sketches.fvec_mean($"embedding"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("fvec_mean"), plan.take(2000))
+    assert(!plan.contains("element_at"), plan.take(2000))
+    assert("fvec_mean".r.findAllIn(plan).size <= 4, // partial+final ×2 lines
+      plan.take(2000))
+  }
+
+  test("q70 gate: IVF recall@10 >= 0.9 at a 1/8 probe ratio, with the " +
+      "replication cost disclosed in the row") {
     val row = SparkEntry.queries("q70_ivf_recall")(spark, sf()).collect()(0)
     assert(row.getLong(1) === 50L) // 5 queries × k=10 exact rows
     val recall = row.getDouble(0)
     assert(recall >= 0.9, s"recall@10 $recall < 0.9")
+    // the pruning ratio the gate is earned at: 8 of 64 cells
+    assert(row.getDouble(3) === 0.125)
+    // isotropic data buys that recall with multi-assign replication —
+    // the row must disclose the real scanned fraction, not hide it
+    val scanFrac = row.getDouble(2)
+    assert(scanFrac > 0.125 && scanFrac < 0.9, s"scan_frac $scanFrac")
+    assert(row.getInt(4) === 8)
+  }
+
+  test("on clustered data the IVF prunes for real: recall >= 0.9 at 1/8 " +
+      "probes with NO replication and scan_frac near probe_frac") {
+    // 16 well-separated gaussian cluster directions, 40 members each
+    // with small noise — the shape real embedding corpora have
+    val rnd = new scala.util.Random(42)
+    val centers = Array.fill(16)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val corpus = (0 until 640).map { i =>
+      val c = centers(i % 16)
+      (i.toLong, c.map(x => x + 0.1f * rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.where($"vec_id" < 5)
+    val row = Similarity.ivfRecallStats(corpus, queries, k = 10,
+      nlist = 16, nprobe = 2, kmeansIters = 2, multiAssign = 1)
+      .collect()(0)
+    val recall = row.getDouble(0)
+    assert(recall >= 0.9, s"clustered recall@10 $recall < 0.9")
+    // single assignment, 2 of 16 cells probed: the scan really shrinks
+    val scanFrac = row.getDouble(2)
+    assert(scanFrac <= 0.4, s"clustered scan_frac $scanFrac")
+    assert(row.getInt(4) === 1)
   }
 
   test("quantized top-k agrees with float top-k on rank-1 for most queries") {

@@ -69,8 +69,12 @@ object Bench {
         .parquet(s"$sfDir/$t.parquet").limit(1).collect()
       catch { case _: Throwable => }
     }
+    // pass-count override for off-driver scaling runs (e.g. a one-shot
+    // synthetic-sf1 sanity check); the driver's 5-pass default stands
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "5").toInt
     val (results, errors) =
-      runQueries(spark, sfDir, SparkEntry.queries.toSeq.sortBy(_._1))
+      runQueries(spark, sfDir, SparkEntry.queries.toSeq.sortBy(_._1),
+        passes)
     val sfLabel = sfDir.substring(sfDir.lastIndexOf('/') + 1)
     println(renderJson(results, errors, sfLabel))
     spark.stop()

@@ -73,6 +73,10 @@ object RefDataMain {
       preDdl: Seq[String] = Sinks.dropDimConstraintsDdl() ++
         Sinks.dropDimTablesDdl(cascade = false),
       postDdl: Seq[String] = Sinks.dimConstraintDdl()): Unit = {
+    // snapshot BEFORE our fetches: refresh cleans only the staging dirs
+    // its own three dim resolves create — a longer-lived caller's staged
+    // frames (registered earlier in this JVM) must stay readable
+    val preexisting = Sources.stagedSnapshot()
     if (preDdl.nonEmpty)
       Sinks.servingDdl(url, preDdl, user, password, ignoreErrors = true)
     def dim(name: String, schema: org.apache.spark.sql.types.StructType) =
@@ -87,8 +91,9 @@ object RefDataMain {
       Sinks.servingDdl(url, postDdl, user, password, ignoreErrors = true)
     // the three jdbc writes above were the last consumers of the staged
     // descriptor fetches — remove the staging artifacts like the
-    // reference's end-of-run tmpdir rmtree (reference main.py:84)
-    Sources.cleanupStagedFetches(spark)
+    // reference's end-of-run tmpdir rmtree (reference main.py:84),
+    // keeping any dirs staged before this refresh started
+    Sources.cleanupStagedFetches(spark, keep = preexisting)
   }
 
   def main(args: Array[String]): Unit = {

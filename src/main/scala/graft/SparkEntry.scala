@@ -493,8 +493,10 @@ object SparkEntry {
     }),
     // nprobe=12/16: the synthetic embeddings are isotropic gaussian (no
     // cluster structure), so coarse cells carry little signal and recall
-    // ∝ probed fraction — 12 probes measure 0.94-0.96 recall@10 (q70's
-    // gate). Real clustered corpora reach that at nprobe≈2-4.
+    // ∝ probed fraction. This sample query keeps the plain single-assign
+    // shape; the recall GATE is q70, which runs nlist=64/nprobe=8 (a 1/8
+    // probe ratio) with multiAssign=8 and reports recall + scan_frac.
+    // Real clustered corpora reach 0.9 recall at nprobe≈2-4, m=1.
     "q38_ann_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.where(col("vec_id") < 5), k = 10,
@@ -552,8 +554,13 @@ object SparkEntry {
         t(s, dir, "documents").where(col("doc_id") < 1000),
         threshold = 0.5)
         .orderBy(col("id_a").asc, col("id_b").asc)),
+    // capped like every all-pairs oracle baseline (q62/q64/q69): O(n²)
+    // by construction, it exists to validate the LSH path (q35) on a
+    // sample — the sf1 scaling run measured the uncapped form at 98×
+    // the sf0.1 cost, exactly the quadratic cliff the cap prevents
     "q63_cosine_allpairs" -> ((s, dir) =>
-      Similarity.cosinePairsExact(t(s, dir, "embeddings"),
+      Similarity.cosinePairsExact(
+        t(s, dir, "embeddings").where(col("vec_id") < 1000),
         threshold = 0.25)
         .orderBy(col("id_a").asc, col("id_b").asc)),
     // the deduplicated corpus itself (survivors = canonical per cluster
@@ -1075,7 +1082,8 @@ object SparkEntry {
         s"""WITH $vecNormSql,
            |p AS (
            |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosineSql("a", "b")}
-           |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+           |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+           |  WHERE a.vec_id < 1000 AND b.vec_id < 1000)
            |SELECT * FROM p WHERE cosine >= 0.25
            |ORDER BY id_a, id_b""".stripMargin,
       "q69_cluster_stars" ->

@@ -186,6 +186,19 @@ case class FloatVecMeanAgg(
     ArrayType(FloatType, containsNull = false)
   override def prettyName: String = "fvec_mean"
 
+  // the buffer reads 4-byte float slots; an array<double> input would
+  // not error on UnsafeArrayData, it would yield plausible garbage —
+  // reject anything but array<float> at analysis time
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"fvec_mean requires array<float>, got ${other.catalogString}")
+    }
+
   override def createAggregationBuffer(): VecSumBuffer =
     new VecSumBuffer(null, 0L)
 

@@ -413,10 +413,14 @@ object Dedup {
     // (eval-set vs corpus), so materializing it is free; the CORPUS side
     // needs no barrier (the join boundary already keeps its kernel
     // single-evaluation).
+    // second checkpoint after the distinct: the flavor-selection count()
+    // below and the chosen flavor both consume the distinct hash set —
+    // without it the explode+distinct shuffle runs twice per call
     val benchHashes = shingleHashArrays(benchmark, numShingleWords)
       .localCheckpoint()
       .select(explode(col("sh")).as("h"))
       .distinct()
+      .localCheckpoint()
     def withFrac(df: DataFrame): DataFrame = df
       .withColumn("contaminated_frac",
         when(col("n_shingles") === 0, lit(0.0))
@@ -425,7 +429,12 @@ object Dedup {
     if (benchHashes.count() <= maxBroadcastShingles) {
       val bench = benchHashes
         .agg(array_sort(collect_list(col("h"))).as("__bench"))
+      // NULL-text docs have a null shingle array; coalesce to empty so
+      // both flavors report (0, 0, 0.0) for them instead of this one
+      // emitting size(NULL)/NULL counts
       withFrac(shingleHashArrays(docs, numShingleWords)
+        .withColumn("sh",
+          coalesce(col("sh"), typedLit(Array.empty[Long])))
         .crossJoin(broadcast(bench))
         .select(col("doc_id"),
           size(col("sh")).cast("long").as("n_shingles"),

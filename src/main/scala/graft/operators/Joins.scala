@@ -135,17 +135,31 @@ object Joins {
     * Pick `bucketWidth` near the typical interval length: too small
     * replicates intervals, too large packs unrelated rows into one
     * bucket. Interval ends are clamped to the observed left value range
-    * (one cheap min/max agg — parquet footer stats at the scan layer)
-    * before bucketizing, so an open-ended or sentinel `hi`
-    * (Long.MaxValue, year-9999) replicates only across the buckets the
-    * left side actually occupies, never the whole axis; intervals that
-    * cannot intersect the observed range drop before the explode.
+    * (one min/max agg over the left side) before bucketizing, so an
+    * open-ended or sentinel `hi` (Long.MaxValue, year-9999) replicates
+    * only across the buckets the left side actually occupies, never the
+    * whole axis; intervals that cannot intersect the observed range
+    * drop before the explode.
+    *
+    * The bounds agg runs EAGERLY when this method is called (the clamp
+    * must be a literal so the exploded sequence stays bounded at plan
+    * time) — the left plan executes once here and again in the join, so
+    * cache/checkpoint an expensive derived left before calling. NaN
+    * values are excluded from the bounds (Spark orders NaN above every
+    * double, so one NaN row would un-clamp `hi` entirely); NaN left
+    * rows match no interval in either the bucketed or the theta shape.
     */
   def rangeBucketed(left: DataFrame, right: DataFrame, value: Column,
       lo: Column, hi: Column, bucketWidth: Double): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     def bkt(c: Column): Column = floor(c / bucketWidth).cast("long")
-    val bounds = left.agg(min(value), max(value)).head()
+    val floating = left.select(value).schema.head.dataType match {
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType => true
+      case _ => false
+    }
+    val boundsSrc = if (floating) left.where(!isnan(value)) else left
+    val bounds = boundsSrc.agg(min(value), max(value)).head()
     val (vMin, vMax) = (bounds.get(0), bounds.get(1))
     // empty left (or all-NULL values): no row can match — skip the
     // explode entirely rather than replicate unclamped intervals

@@ -243,21 +243,29 @@ object Similarity {
     * dedup shuffle is bounded by the probe output, the same stream the
     * ranking consumes.
     */
-  private def probeAndRank(indexed: DataFrame, queries: DataFrame,
-      centroids: Array[(Int, Array[Float])], k: Int,
-      nprobe: Int, dedupCandidates: Boolean = false): DataFrame = {
+  /** The probe join's scored candidate stream (query_id, vec_id,
+    * cosine), distinct pairs when `dedupCandidates` — the shared front
+    * half of [[probeAndRank]] and [[ivfRecallStats]].
+    */
+  private def probeScored(indexed: DataFrame, queries: DataFrame,
+      centroids: Array[(Int, Array[Float])],
+      nprobe: Int, dedupCandidates: Boolean): DataFrame = {
     val probes = queries.select(
       col("vec_id").as("query_id"), col("embedding").as("query_vec"),
       explode(probeCells(centroids, nprobe)).as("cell"))
-    val scored0 = indexed.join(broadcast(probes), Seq("cell"))
+    val scored = indexed.join(broadcast(probes), Seq("cell"))
       .where(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
         native.fvec_cosine(col("query_vec"), col("embedding")).as("cosine"))
-    val scored =
-      if (dedupCandidates) scored0.dropDuplicates("query_id", "vec_id")
-      else scored0
-    topKByScoreDesc(scored, k)
+    if (dedupCandidates) scored.dropDuplicates("query_id", "vec_id")
+    else scored
   }
+
+  private def probeAndRank(indexed: DataFrame, queries: DataFrame,
+      centroids: Array[(Int, Array[Float])], k: Int,
+      nprobe: Int, dedupCandidates: Boolean = false): DataFrame =
+    topKByScoreDesc(
+      probeScored(indexed, queries, centroids, nprobe, dedupCandidates), k)
 
   /** IVF approximate top-k: probe the `nprobe` nearest cells per query,
     * score only vectors in probed cells. Recall < 1 by construction; the
@@ -292,28 +300,37 @@ object Similarity {
       if (kmeansIters > 0) kmeansCentroids(corpus, nlist, kmeansIters)
       else collectCentroids(ivfCentroids(corpus, nlist))
     val indexed = assignCells(corpus, centArr, multiAssign)
+    // materialize the scored candidate stream once: the top-k ranking
+    // AND the scanned-pair count both consume it, and it is the most
+    // expensive stage (cell-tag + probe join) of the whole report
+    val scored = probeScored(indexed, queries, centArr, nprobe,
+      dedupCandidates = multiAssign > 1).localCheckpoint()
     val exact = bruteForceTopK(corpus, queries, k)
       .select(col("query_id"), col("vec_id"))
-    val approx = probeAndRank(indexed, queries, centArr, k, nprobe,
-        dedupCandidates = multiAssign > 1)
+    val approx = topKByScoreDesc(scored, k)
       .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
     val recallRow = exact.join(approx, Seq("query_id", "vec_id"), "left")
       .agg(
         (sum(coalesce(col("hit"), lit(0))) / count(lit(1)))
           .as("recall_at_k"),
         count(lit(1)).as("n_exact"))
-    val probes = queries.select(col("vec_id").as("query_id"),
-      explode(probeCells(centArr, nprobe)).as("cell"))
-    val scanned = indexed.join(broadcast(probes), Seq("cell"))
-      .where(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id")).distinct()
-      .agg(count(lit(1)).as("n_scanned"))
+    // scored already holds distinct pairs: deduped when multiAssign > 1,
+    // naturally unique under single assignment (one cell per vector)
+    val scanned = scored.agg(count(lit(1)).as("n_scanned"))
     val nCorpus = corpus.agg(count(lit(1)).as("n_corpus"))
-    val nQueries = queries.agg(count(lit(1)).as("n_queries"))
+    // denominator = scoreable pairs: self-pairs are excluded by the
+    // probe filter only where a query IS a corpus row, so subtract the
+    // overlap, not |queries| — external query sets would otherwise
+    // report scan_frac > 1 at full probing
+    val nQueries = queries.select(col("vec_id"))
+      .join(corpus.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_overlap"))
+      .crossJoin(queries.agg(count(lit(1)).as("n_queries")))
     recallRow.crossJoin(scanned).crossJoin(nCorpus).crossJoin(nQueries)
       .select(col("recall_at_k"), col("n_exact"),
         (col("n_scanned").cast("double") /
-          (col("n_queries") * (col("n_corpus") - 1))).as("scan_frac"),
+          (col("n_queries") * col("n_corpus") - col("n_overlap")))
+          .as("scan_frac"),
         lit(nprobe.toDouble / nlist).as("probe_frac"),
         lit(multiAssign).as("multi_assign"))
   }

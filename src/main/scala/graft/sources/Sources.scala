@@ -217,22 +217,46 @@ object Sources {
   private val stagedDirs = java.util.Collections.newSetFromMap(
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
 
-  /** End-of-run removal of every staging dir [[fetchDatapackage]]
-    * created in this JVM — the analog of the reference deleting its
-    * tmpdir when the run finishes (reference main.py:84,
-    * `shutil.rmtree(self.tmpdir)`). Call ONLY after every DataFrame
-    * whose lineage includes a staged scan has been materialized
-    * (written or collected); a later action on such a frame would
-    * re-read the deleted file.
+  /** Snapshot of the staging dirs registered so far — take one BEFORE a
+    * scoped unit of work (e.g. [[graft.RefDataMain.refresh]]) and pass
+    * it to [[cleanupStagedFetches]] as `keep` so the unit removes only
+    * the dirs its own fetches created, never frames a longer-lived
+    * caller still depends on.
     */
-  def cleanupStagedFetches(spark: SparkSession): Unit = {
+  def stagedSnapshot(): Set[String] = {
+    val b = Set.newBuilder[String]
+    stagedDirs.forEach(d => b += d)
+    b.result()
+  }
+
+  /** End-of-run removal of staging dirs [[fetchDatapackage]] created in
+    * this JVM — the analog of the reference deleting its tmpdir when the
+    * run finishes (reference main.py:84, `shutil.rmtree(self.tmpdir)`).
+    * Call ONLY after every DataFrame whose lineage includes a staged
+    * scan has been materialized (written or collected); a later action
+    * on such a frame would re-read the deleted file. Dirs in `keep`
+    * (from [[stagedSnapshot]]) survive and stay tracked. Cleanup is
+    * best-effort: a failed delete is logged at WARN and never fails the
+    * run that already did its real work.
+    */
+  def cleanupStagedFetches(spark: SparkSession,
+      keep: Set[String] = Set.empty): Unit = {
+    val log = org.slf4j.LoggerFactory.getLogger(Sources.getClass)
     val conf = spark.sparkContext.hadoopConfiguration
     val it = stagedDirs.iterator()
     while (it.hasNext) {
-      val dir = new Path(it.next())
-      it.remove()
-      val fs = FileSystem.get(dir.toUri, conf)
-      if (fs.exists(dir)) fs.delete(dir, true)
+      val d = it.next()
+      if (!keep.contains(d)) {
+        it.remove()
+        try {
+          val dir = new Path(d)
+          val fs = FileSystem.get(dir.toUri, conf)
+          if (fs.exists(dir)) fs.delete(dir, true)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            log.warn(s"staged-fetch cleanup left $d behind: ${e.getMessage}")
+        }
+      }
     }
   }
 

@@ -293,5 +293,26 @@ class PipelineSpec extends SparkSuite {
     val leftovers = new java.io.File(destDir).listFiles()
     assert(leftovers == null || leftovers.isEmpty,
       s"staging artifacts survived refresh: ${leftovers.mkString(", ")}")
+
+    // scoped cleanup: a staged frame registered BEFORE refresh ran (a
+    // longer-lived caller's fetch) must survive refresh's cleanup and
+    // stay readable afterwards
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/data/other.csv"),
+      "number,title,country\n64499,Other network,AR\n")
+    Files.writeString(java.nio.file.Paths.get(s"$tmp/other.json"),
+      """{"resources": [{"name": "asn", "path": ["data/other.csv"]}]}""")
+    val destDir2 = Files.createTempDirectory("invdest2").toString
+    val longLived = graft.sources.Sources.fetchDatapackage(spark,
+      s"file://$tmp/other.json", graft.model.Schemas.dimAsn, destDir2)
+    RefDataMain.refresh(spark,
+      cfg - "asn_csv" + ("tmp_dir" -> destDir2),
+      url, inventory = Map("asn" -> s"file://$tmp/datapackage.json"))
+    // re-executing the earlier frame re-reads its staged file — it must
+    // still be there; only refresh's own fetch dir was removed
+    assert(longLived.collect().map(_.getLong(0)).toSeq === Seq(64499L))
+    graft.sources.Sources.cleanupStagedFetches(spark) // now drop it too
+    val after2 = new java.io.File(destDir2).listFiles()
+    assert(after2 == null || after2.isEmpty,
+      s"full cleanup left: ${after2.mkString(", ")}")
   }
 }

@@ -150,14 +150,21 @@ class DedupSpec extends SparkSuite {
     // nested loop, no all-pairs
     val p = viaShuffle.queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
-    // an empty-text doc (zero shingles) survives the explode with zeros
-    val withEmpty = docs.unionByName(
-      Seq((77L, "")).toDF("doc_id", "text"))
-    val fe = Dedup.contaminationScreen(withEmpty, bench,
-      maxBroadcastShingles = 0L)
-      .where($"doc_id" === 77L).collect()
-    assert(fe.length === 1 && fe(0).getLong(1) === 0L &&
-      fe(0).getDouble(3) === 0.0)
+    // empty-text and NULL-text docs report (0, 0, 0.0) in BOTH flavors —
+    // null text must not diverge into size(NULL)/NULL on the broadcast
+    // path while the fallback coalesces to zeros
+    val oddRows: Seq[(Long, String)] = Seq((77L, ""), (78L, null))
+    val withOdd = docs.unionByName(oddRows.toDF("doc_id", "text"))
+    for (cap <- Seq(0L, Long.MaxValue)) {
+      val odd = Dedup.contaminationScreen(withOdd, bench,
+        maxBroadcastShingles = cap)
+        .where($"doc_id" >= 77L).orderBy($"doc_id").collect()
+      assert(odd.length === 2, s"cap=$cap")
+      odd.foreach { r =>
+        assert(r.getLong(1) === 0L && r.getLong(2) === 0L &&
+          r.getDouble(3) === 0.0, s"cap=$cap row=$r")
+      }
+    }
   }
 
   test("embedding near-dup finds the planted duplicate vector") {

@@ -134,6 +134,23 @@ class PropertySpec extends SparkSuite {
     // empty left: no matches and no runaway explode either
     assert(Joins.rangeBucketed(left.where(lit(false)), right, col("v"),
       col("lo"), col("hi"), bucketWidth = 50.0).count() === 0)
+    // a NaN left value must not defeat the clamp (Spark orders NaN above
+    // every double, so an unguarded max(value) would return NaN and
+    // least(hi, NaN) would keep the raw Double.MaxValue sentinel)
+    val withNaN = left.unionByName(
+      Seq((999L, Double.NaN)).toDF("lid", "v"))
+    val thetaN = Joins.range(withNaN, right, col("v"), col("lo"),
+      col("hi")).select($"lid", $"rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Joins.rangeBucketed(withNaN, right, col("v"), col("lo"),
+      col("hi"), bucketWidth = 50.0)
+      .select($"lid", $"rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === thetaN)
+    assert(!thetaN.exists(_._1 == 999L)) // NaN matches no interval
+    // all-NaN left behaves like empty (min/max of zero non-NaN rows)
+    assert(Joins.rangeBucketed(
+      Seq((1L, Double.NaN)).toDF("lid", "v"), right, col("v"),
+      col("lo"), col("hi"), bucketWidth = 50.0).count() === 0)
   }
 
   test("jaccard stays within [0,1]; emitted pairs are ordered") {

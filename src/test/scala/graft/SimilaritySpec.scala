@@ -132,6 +132,13 @@ class SimilaritySpec extends SparkSuite {
     assert(ex.getMessage.contains("mixed vector lengths") ||
       ex.getCause != null &&
         ex.getCause.getMessage.contains("mixed vector lengths"))
+    // array<double> input is rejected at analysis time, not silently
+    // misread through 4-byte float slots
+    val tex = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((0, Array(1.0, 2.0))).toDF("g", "e").groupBy($"g")
+        .agg(graft.functions.sketches.fvec_mean($"e")).collect()
+    }
+    assert(tex.getMessage.contains("array<float>"), tex.getMessage)
   }
 
   test("k-means at dim 512 plans ONE aggregate expression, not 512") {
@@ -165,6 +172,21 @@ class SimilaritySpec extends SparkSuite {
     val scanFrac = row.getDouble(2)
     assert(scanFrac > 0.125 && scanFrac < 0.9, s"scan_frac $scanFrac")
     assert(row.getInt(4) === 8)
+  }
+
+  test("ivfRecallStats scan_frac is exact for external query sets: full " +
+      "probing reports 1.0, never > 1") {
+    val rnd = new scala.util.Random(3)
+    val corpus = (0 until 60).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    // query ids disjoint from the corpus: no self-pair exclusion applies
+    val queries = (1000 until 1003).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val row = Similarity.ivfRecallStats(corpus, queries, k = 5,
+      nlist = 4, nprobe = 4, kmeansIters = 0, multiAssign = 1)
+      .collect()(0)
+    assert(row.getDouble(2) === 1.0, s"scan_frac ${row.getDouble(2)}")
+    assert(row.getDouble(0) === 1.0) // full probing = exact
   }
 
   test("on clustered data the IVF prunes for real: recall >= 0.9 at 1/8 " +

@@ -151,6 +151,19 @@ class PropertySpec extends SparkSuite {
     assert(Joins.rangeBucketed(
       Seq((1L, Double.NaN)).toDF("lid", "v"), right, col("v"),
       col("lo"), col("hi"), bucketWidth = 50.0).count() === 0)
+    // integer-typed values take the non-isnan bounds path; a
+    // Long.MaxValue sentinel interval still clamps to the observed range
+    val leftL = (1 to 50).map(i => (i.toLong, i.toLong * 10))
+      .toDF("lid", "v")
+    val rightL = Seq((1L, 0L, Long.MaxValue), (2L, -100L, 200L),
+      (3L, 9000L, 9999L)).toDF("rid", "lo", "hi")
+    val thetaL = Joins.range(leftL, rightL, col("v"), col("lo"),
+      col("hi")).select($"lid", $"rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Joins.rangeBucketed(leftL, rightL, col("v"), col("lo"),
+      col("hi"), bucketWidth = 100.0)
+      .select($"lid", $"rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === thetaL)
   }
 
   test("jaccard stays within [0,1]; emitted pairs are ordered") {

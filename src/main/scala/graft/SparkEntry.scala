@@ -480,6 +480,39 @@ object SparkEntry {
       // the bucket-join + verify path with a non-empty result
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), threshold = 0.25)
         .orderBy(col("id_a").asc, col("id_b").asc)),
+    // SemDeDup (k-means-cluster-bucketed cosine pairs): rows-only by
+    // design — k-means cells are engine-specific like q35's hyperplane
+    // buckets; the exact counterpart is q63 and q77 quantifies the gap
+    // as a recall row. Threshold 0.25 for the same non-emptiness reason
+    // as q35. nlist=16/multiAssign=2 scores ~25% of all pairs
+    // (scan ≈ m²/nlist) and recovers ~55% of exact pairs on the
+    // isotropic testdata — the ANN worst case, where no bucketing
+    // reaches high recall at low scan (q70's regime note); on clustered
+    // corpora (SemDeDup's target) recall is 1.0 at m=1 and
+    // scan ≈ 1/nlist — DedupSpec proves both regimes.
+    "q75_semdedup_pairs" -> ((s, dir) =>
+      Dedup.semanticNearDupPairs(t(s, dir, "embeddings"),
+          nlist = 16, threshold = 0.25, multiAssign = 2)
+        .orderBy(col("id_a").asc, col("id_b").asc)),
+    // the full SemDeDup pipeline tail: survivors after dropping
+    // non-canonical semantic duplicates (rows-only; the oracle-checked
+    // dedup tail is q74 on the exact edge set). Threshold 0.4, not
+    // q75's 0.25: at 0.25 the pair graph is 2%-dense and label-prop
+    // collapses the corpus into one giant component (3 survivors of
+    // 500) — 0.4 is the sparse regime where per-cluster canonicals are
+    // meaningful
+    "q76_semdedup" -> ((s, dir) =>
+      Dedup.semanticDedup(t(s, dir, "embeddings"),
+          nlist = 16, threshold = 0.4, multiAssign = 2)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id").asc)),
+    // the honesty gate: recall vs exact all-pairs + scored-pair
+    // fraction in ONE row (DedupSpec floors recall/scan disclosure);
+    // input capped like every all-pairs baseline
+    "q77_semdedup_recall" -> ((s, dir) =>
+      Dedup.semanticDedupRecall(
+        t(s, dir, "embeddings").where(col("vec_id") < 1000),
+        nlist = 16, threshold = 0.25, multiAssign = 2)),
     // ---- extension tier: similarity search ----
     "q36_ann_quantized_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1254,11 +1287,12 @@ object SparkEntry {
           |      FROM documents) t
           |GROUP BY token HAVING count(*) >= 500
           |ORDER BY token""".stripMargin
-      // q28, q32-q35, q38, q49, q70: not DuckDB-reproducible BY DESIGN
-      // (xxhash64-based minhash/simhash signatures, random-hyperplane /
-      // IVF bucketing, HLL sketch) → driver records rows-only checks;
-      // q62-q64/q69 are their brute-force oracle-checked baselines and
-      // q70 quantifies the IVF/exact gap as a recall row.
+      // q28, q32-q35, q38, q49, q70, q75-q77: not DuckDB-reproducible BY
+      // DESIGN (xxhash64-based minhash/simhash signatures,
+      // random-hyperplane / IVF / k-means bucketing, HLL sketch) →
+      // driver records rows-only checks; q62-q64/q69 are their
+      // brute-force oracle-checked baselines, and q70/q77 quantify the
+      // approx/exact gap as recall rows.
     )
   }
 

@@ -360,9 +360,13 @@ object Dedup {
     *        pick it when components can be chain-shaped, e.g. drifted
     *        near-dup sequences). Both produce canonical = component
     *        minimum, so survivors are identical.
+    * @param idCol the key column of `docs` that `pairs` edges refer to —
+    *        `doc_id` for text corpora, `vec_id` for embedding tables
+    *        ([[semanticDedup]]).
     */
   def dedupByClusters(docs: DataFrame, pairs: DataFrame,
-      maxIter: Int = 10, strategy: String = "labelprop"): DataFrame = {
+      maxIter: Int = 10, strategy: String = "labelprop",
+      idCol: String = "doc_id"): DataFrame = {
     val clusters = strategy match {
       case "labelprop" => nearDupClusters(pairs, maxIter)
       case "stars" => connectedComponentsStars(pairs, maxIter)
@@ -372,8 +376,8 @@ object Dedup {
     }
     val drop = clusters
       .where(col("id") =!= col("canonical_id"))
-      .select(col("id").as("doc_id"))
-    docs.join(drop, Seq("doc_id"), "left_anti")
+      .select(col("id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
   }
 
   /** MinHash→LSH→verify→cluster→remove, end-to-end: the corpus minus
@@ -497,5 +501,116 @@ object Dedup {
           .as("cosine"))
       .distinct()
       .where(col("cosine") >= threshold)
+  }
+
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): k-means-cluster the embedding
+    * space, then exact-cosine pairs WITHIN each cluster. Complements
+    * [[embeddingNearDup]]'s random-hyperplane buckets with
+    * data-ADAPTIVE ones: on clustered corpora (the realistic case)
+    * centroid cells track the density structure, so semantic duplicates
+    * co-locate in far fewer buckets than data-independent sign bits
+    * need — the paper dedups web-scale corpora with exactly this
+    * cluster-then-pairwise shape.
+    *
+    * Scale: the k-means rounds are map-only corpus passes with
+    * nlist·dim driver floats between rounds
+    * ([[Similarity.kmeansCentroids]]); cell assignment is a pure
+    * projection against literal centroids (no join); the self-join is
+    * keyed on the cell, never all-pairs; norms are computed once per
+    * ROW before the join, not per pair — the
+    * [[Similarity.cosinePairsExact]] arithmetic, so scores are
+    * bit-identical to the exact baseline and found-pairs ⊆ exact-pairs
+    * holds exactly. `multiAssign` > 1 replicates boundary vectors into
+    * their m nearest cells to recover pairs straddling cell boundaries
+    * — the recall/IO trade is quantified by [[semanticDedupRecall]],
+    * never hidden.
+    */
+  def semanticNearDupPairs(embeddings: DataFrame, nlist: Int = 16,
+      threshold: Double = 0.95, kmeansIters: Int = 2,
+      multiAssign: Int = 1): DataFrame = {
+    val base = embeddings.select(col("vec_id"), col("embedding"))
+    val cents = Similarity.kmeansCentroids(base, nlist, kmeansIters)
+    val tagged = Similarity.assignCells(base, cents, multiAssign)
+      .select(col("cell"), col("vec_id"), col("embedding"),
+        native.fvec_norm(col("embedding")).as("nrm"))
+    val a = tagged.select(col("cell"), col("vec_id").as("id_a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = tagged.select(col("cell"), col("vec_id").as("id_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val pairs = a.join(b, Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (native.fvec_dot(col("ea"), col("eb")) /
+          (col("na") * col("nb"))).as("cosine"))
+      .where(col("cosine") >= threshold)
+    // multi-assigned vectors can meet in several shared cells; the same
+    // pair scores bit-identically in each (same vectors, same
+    // expression), so a distinct AFTER the threshold filter dedups the
+    // smallest possible stream
+    if (multiAssign > 1) pairs.distinct() else pairs
+  }
+
+  /** Semantic dedup survivors: one canonical row (lowest vec_id) per
+    * semantic-duplicate cluster plus every unclustered row — the
+    * [[dedupByClusters]] tail keyed on `vec_id`, driven by
+    * [[semanticNearDupPairs]] edges. The full SemDeDup pipeline:
+    * cluster → within-cluster cosine pairs → connected components →
+    * keep one per component.
+    */
+  def semanticDedup(embeddings: DataFrame, nlist: Int = 16,
+      threshold: Double = 0.95, kmeansIters: Int = 2,
+      multiAssign: Int = 1, maxIter: Int = 10,
+      strategy: String = "labelprop"): DataFrame =
+    dedupByClusters(embeddings,
+      semanticNearDupPairs(embeddings, nlist, threshold, kmeansIters,
+        multiAssign),
+      maxIter, strategy, idCol = "vec_id")
+
+  /** Recall of the cluster-bucketed pair search against the exact
+    * all-pairs baseline on the SAME input, plus the fraction of pairs
+    * it actually scored — ONE row (n_exact, n_found, recall,
+    * scan_frac, multi_assign). The [[Similarity.ivfRecallStats]]
+    * honesty contract for dedup: a parameter choice cannot silently buy
+    * recall with replication IO, because scan_frac discloses it.
+    *
+    * The exact side is O(n²) by construction — cap the input like the
+    * oracle baselines (q63); the report validates parameters on a
+    * sample, the scale path is [[semanticNearDupPairs]] itself.
+    * found ⊆ exact bit-exactly (same cosine arithmetic), so recall is
+    * a count ratio after an inner join on pair ids.
+    */
+  def semanticDedupRecall(embeddings: DataFrame, nlist: Int = 16,
+      threshold: Double = 0.95, kmeansIters: Int = 2,
+      multiAssign: Int = 1): DataFrame = {
+    val base = embeddings.select(col("vec_id"), col("embedding"))
+      .localCheckpoint()
+    val exact = Similarity.cosinePairsExact(base, threshold)
+      .select(col("id_a"), col("id_b"))
+    val found = semanticNearDupPairs(base, nlist, threshold,
+      kmeansIters, multiAssign)
+      .select(col("id_a"), col("id_b"), lit(1).as("hit"))
+    // scored-pair volume: cells of size c contribute c·(c-1)/2 scored
+    // pairs per assignment; multi-assign overlaps are what the distinct
+    // removes AFTER scoring, so they count toward scan cost
+    val cents = Similarity.kmeansCentroids(base, nlist, kmeansIters)
+    val scanned = Similarity.assignCells(base, cents, multiAssign)
+      .groupBy(col("cell")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * (col("c") - 1) / 2).as("n_scanned"))
+    val nTotal = base.agg(count(lit(1)).as("n"))
+    exact.join(found, Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(coalesce(col("hit"), lit(0))), lit(0L))
+          .as("n_found"))
+      .crossJoin(scanned).crossJoin(nTotal)
+      .select(col("n_exact"), col("n_found"),
+        // no exact pairs → vacuously perfect recall, not NaN
+        when(col("n_exact") === 0, lit(1.0))
+          .otherwise(col("n_found").cast("double") / col("n_exact"))
+          .as("recall"),
+        (col("n_scanned").cast("double") /
+          (col("n") * (col("n") - 1) / 2)).as("scan_frac"),
+        lit(multiAssign).as("multi_assign"))
   }
 }

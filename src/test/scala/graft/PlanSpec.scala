@@ -154,6 +154,23 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("semdedup pair search equi-joins on the k-means cell, never " +
+      "all-pairs") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the large-large shape: at 100 TB neither side broadcasts
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan(SparkEntry.queries("q75_semdedup_pairs")(spark, sf()))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        p.take(3000))
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"), p.take(3000))
+      assert(p.contains("cell"), p.take(3000))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("bucketed as-of joins right rows on (key, bucket) — never a " +
       "key-only row-level join") {
     val p = plan(SparkEntry.queries("q55_asof_bucketed")(spark, sf()))

@@ -663,6 +663,16 @@ object SparkEntry {
           docs.where(pmod(col("doc_id"), lit(97)) === 0))
         .orderBy(col("doc_id").asc)
     }),
+    // A-ES weighted sample: top-100 by ln(u)/w with w = n_chars+1 —
+    // longer documents proportionally likelier; u from the portable
+    // hash, so DuckDB reproduces the exact sample (the ln is the one
+    // libm call; ulp drift would need two keys within ~1e-16 to flip
+    // the selection)
+    "q78_weighted_sample" -> ((s, dir) =>
+      Sharding.weightedSample(t(s, dir, "documents"), k = 100,
+          weight = col("n_chars") + 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id").asc)),
     "q72_stratified_sample" -> ((s, dir) =>
       Sharding.stratifiedSample(
         t(s, dir, "documents").select(col("doc_id"), col("lang")),
@@ -1185,15 +1195,16 @@ object SparkEntry {
            |ORDER BY d.doc_id""".stripMargin,
       "q65_hash_split" ->
         // same byte-fold as the q44 rolling hash (ASCII key, so code
-        // points == bytes), over "v1:<doc_id>" (salt-prefix — see
-        // Sharding.hashBucket), bucketed mod 100
+        // points == bytes), over "v1:<doc_id>" (salt-prefix) then the
+        // Lehmer mixing step — see Sharding.mixedHash — bucketed mod 100
         """WITH k AS (
           |  SELECT doc_id, 'v1:' || CAST(doc_id AS VARCHAR) AS key
           |  FROM documents),
           |b AS (
-          |  SELECT doc_id, CAST(list_reduce(list_prepend(0::BIGINT,
+          |  SELECT doc_id, CAST((list_reduce(list_prepend(0::BIGINT,
           |    [ascii(key[i])::BIGINT FOR i IN range(1, length(key)+1)]),
-          |    (acc, c) -> (acc * 257 + c) % 1000000007) % 100 AS INT)
+          |    (acc, c) -> (acc * 257 + c) % 1000000007)
+          |    * 48271) % 1000000007 % 100 AS INT)
           |    AS bucket
           |  FROM k)
           |SELECT doc_id, bucket,
@@ -1201,6 +1212,30 @@ object SparkEntry {
           |       WHEN bucket < 90 THEN 'val'
           |       ELSE 'test' END AS split
           |FROM b ORDER BY doc_id""".stripMargin,
+      "q78_weighted_sample" ->
+        // same byte-fold as q44/q65 over "ws1:<doc_id>", then the
+        // Lehmer mixing step (h*48271 % p — see Sharding.weightedSample
+        // scaladoc); u = (mixed+0.5)/p; A-ES key ln(u)/w with
+        // w = n_chars+1, top-100, re-sorted by id
+        """WITH k AS (
+          |  SELECT doc_id, lang, n_chars,
+          |    'ws1:' || CAST(doc_id AS VARCHAR) AS key
+          |  FROM documents
+          |  WHERE doc_id IS NOT NULL AND (n_chars + 1)::DOUBLE > 0),
+          |h AS (
+          |  SELECT doc_id, lang, n_chars,
+          |    (list_reduce(list_prepend(0::BIGINT,
+          |      [ascii(key[i])::BIGINT FOR i IN range(1, length(key)+1)]),
+          |      (acc, c) -> (acc * 257 + c) % 1000000007)
+          |     * 48271) % 1000000007 AS hv
+          |  FROM k),
+          |s AS (
+          |  SELECT doc_id, lang, n_chars FROM h
+          |  ORDER BY ln((hv::DOUBLE + 0.5) / 1000000007.0)
+          |      / ((n_chars + 1)::DOUBLE) DESC, doc_id ASC
+          |  LIMIT 100)
+          |SELECT doc_id, lang, n_chars FROM s
+          |ORDER BY doc_id""".stripMargin,
       "q66_token_shards" ->
         """WITH tk AS (
           |  SELECT doc_id,
@@ -1224,9 +1259,10 @@ object SparkEntry {
           |    'v1:' || CAST(doc_id AS VARCHAR) AS key
           |  FROM documents),
           |b AS (
-          |  SELECT doc_id, fp, CAST(list_reduce(list_prepend(0::BIGINT,
+          |  SELECT doc_id, fp, CAST((list_reduce(list_prepend(0::BIGINT,
           |    [ascii(key[i])::BIGINT FOR i IN range(1, length(key)+1)]),
-          |    (acc, c) -> (acc * 257 + c) % 1000000007) % 100 AS INT)
+          |    (acc, c) -> (acc * 257 + c) % 1000000007)
+          |    * 48271) % 1000000007 % 100 AS INT)
           |    AS bucket
           |  FROM k),
           |s AS (
@@ -1263,16 +1299,18 @@ object SparkEntry {
            |FROM sh LEFT JOIN cnt ON sh.doc_id = cnt.doc_id
            |ORDER BY sh.doc_id""".stripMargin,
       "q72_stratified_sample" ->
-        // q65's portable byte-fold with salt prefix mix1:, 1/10000
-        // resolution
+        // q65's portable byte-fold + Lehmer mix with salt prefix mix1:,
+        // 1/10000 resolution
         """WITH k AS (
           |  SELECT doc_id, lang,
           |    'mix1:' || CAST(doc_id AS VARCHAR) AS key
           |  FROM documents),
           |b AS (
-          |  SELECT doc_id, lang, CAST(list_reduce(list_prepend(0::BIGINT,
+          |  SELECT doc_id, lang,
+          |    CAST((list_reduce(list_prepend(0::BIGINT,
           |    [ascii(key[i])::BIGINT FOR i IN range(1, length(key)+1)]),
-          |    (acc, c) -> (acc * 257 + c) % 1000000007) % 10000 AS BIGINT)
+          |    (acc, c) -> (acc * 257 + c) % 1000000007)
+          |    * 48271) % 1000000007 % 10000 AS BIGINT)
           |    AS tick
           |  FROM k)
           |SELECT doc_id, lang FROM b

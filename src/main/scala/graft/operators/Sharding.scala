@@ -14,22 +14,41 @@ import graft.functions.native
   */
 object Sharding {
 
-  /** Deterministic hash bucket in [0, 100): the portable rolling
-    * polynomial hash (same fold as [[graft.functions.RollingHashExpr]],
-    * reproducible by any engine — see the q44 oracle) of
-    * `"<salt>:<id>"`, mod 100. Salting gives effectively-independent
-    * re-splits without touching the data.
+  /** The portable uniform variate in [0, 1e9+7) behind every sampling
+    * operator here: the rolling polynomial hash (same fold as
+    * [[graft.functions.RollingHashExpr]], reproducible by any engine —
+    * see the q44 oracle) of `"<salt>:<id>"`, then ONE Lehmer mixing
+    * step `(h · 48271) mod p` (Park–Miller MINSTD multiplier —
+    * bijective because p = 1e9+7 is prime, and 48271·(p−1) < 2⁶³ so
+    * the step is exact in 64-bit integers).
     *
-    * The salt must be the PREFIX: a polynomial fold of a concatenation is
-    * affine in each part, so a suffix salt only adds a constant — two
-    * salts differing in the last character would shift every hash by the
-    * same tiny offset and "re-split" almost nothing. As a prefix the
-    * salt's contribution is scaled by 257^len(id), a large per-length
-    * rotation of the bucket space.
+    * Both halves are load-bearing:
+    *  - The salt must be the PREFIX: a polynomial fold of a
+    *    concatenation is affine in each part, so a suffix salt only
+    *    adds a constant — two salts differing in the last character
+    *    would shift every hash by the same tiny offset and "re-split"
+    *    almost nothing. As a prefix the salt's contribution is scaled
+    *    by 257^len(id), a large per-length rotation.
+    *  - The mix must follow the fold: the fold is affine in the
+    *    TRAILING character too, so adjacent ids produce adjacent raw
+    *    hashes — mod-m consumers would degrade to round-robin over id
+    *    runs (systematic, id-correlated membership: exactly the bias a
+    *    crawl corpus with time-ordered ids cannot afford), and
+    *    magnitude consumers ([[weightedSample]]) to "largest digit
+    *    suffix wins". The multiplication scatters adjacency across the
+    *    whole field.
+    */
+  private[operators] def mixedHash(id: Column, salt: String): Column =
+    pmod(native.rolling_hash(
+      concat(lit(salt + ":"), id.cast("string"))) * lit(48271L),
+      lit(1000000007L))
+
+  /** Deterministic hash bucket in [0, 100): [[mixedHash]] mod 100.
+    * Salting gives effectively-independent re-splits without touching
+    * the data.
     */
   def hashBucket(id: Column, salt: String): Column =
-    pmod(native.rolling_hash(
-      concat(lit(salt + ":"), id.cast("string"))), lit(100L)).cast("int")
+    pmod(mixedHash(id, salt), lit(100L)).cast("int")
 
   /** Deterministic train/val/test assignment by hash bucket — the
     * held-out-split operator of a training pipeline. Map-only (a
@@ -86,13 +105,12 @@ object Sharding {
       id: Column = col("doc_id"), salt: String = "mix1"): DataFrame = {
     require((fractions.values ++ Seq(defaultFraction))
       .forall(f => f >= 0.0 && f <= 1.0), "fractions must be in [0, 1]")
-    // salt as prefix, for the same reason as [[hashBucket]]. NULL ids
-    // hash to NULL — coalesce to tick 0 so they ride with ANY non-zero
-    // fraction (a fraction-1.0 stratum keeps everything, including its
-    // null-id rows) instead of being silently dropped by the null
-    // comparison.
-    val tick = coalesce(pmod(native.rolling_hash(
-      concat(lit(salt + ":"), id.cast("string"))), lit(10000L)), lit(0L))
+    // salted+mixed variate (see [[mixedHash]] — without the mix a 30%
+    // fraction would keep contiguous 3000-id runs). NULL ids hash to
+    // NULL — coalesce to tick 0 so they ride with ANY non-zero fraction
+    // (a fraction-1.0 stratum keeps everything, including its null-id
+    // rows) instead of being silently dropped by the null comparison.
+    val tick = coalesce(pmod(mixedHash(id, salt), lit(10000L)), lit(0L))
     val threshold = fractions.toSeq.sortBy(_._1)
       .foldLeft(lit(math.round(defaultFraction * 10000))) {
         case (acc, (k, f)) =>
@@ -145,5 +163,41 @@ object Sharding {
       .withColumn("shard_id",
         floor(col("cum_prev") / lit(budget.toDouble)))
       .select(col("doc_id"), col("n_tokens"), col("shard_id"))
+  }
+
+  /** Quality-weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis, "Weighted random sampling with a reservoir", IPL 2006):
+    * rank rows by key = ln(u)/w — the A-ES key u^(1/w) through the
+    * order-preserving ln(·)/w transform — and keep the global top `k`,
+    * so each row's inclusion odds are proportional to its weight (the
+    * quality-weighted subsample step of corpus assembly). `u` ∈ (0, 1)
+    * is deterministic: [[mixedHash]] (whose Lehmer step exists for
+    * exactly this magnitude-ordered use) shifted by 0.5 over the hash
+    * modulus — the sample is a pure function of the data, re-runnable,
+    * auditable, re-drawable by salt, and reproducible by any engine
+    * folding the same hash. ln/w beats pow(u, 1/w) for that
+    * reproducibility: ONE libm call on a hash-derived operand, then
+    * IEEE-exact division and comparison.
+    *
+    * Rows with NULL id or weight ≤ 0 are never sampled (w → 0 drives
+    * the A-ES key to −∞; negative weights are meaningless) — they are
+    * filtered, not errors, so a quality score of 0 composes naturally.
+    *
+    * Scale: the key is a map-only projection and the global top-k plans
+    * as TakeOrderedAndProject — a bounded per-partition heap and a
+    * k·numPartitions driver merge, never a global sort and never a
+    * single-partition window (PlanSpec-pinned). `k` must therefore be
+    * driver-merge-sized: samples and eval slices, not corpus partitions.
+    */
+  def weightedSample(df: DataFrame, k: Int, weight: Column,
+      id: Column = col("doc_id"), salt: String = "ws1"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (mixedHash(id, salt).cast("double") + lit(0.5)) /
+      lit(1000000007.0)
+    df.where(id.isNotNull && weight.cast("double") > 0)
+      .withColumn("__wskey", log(u) / weight.cast("double"))
+      .orderBy(col("__wskey").desc, id.asc)
+      .limit(k)
+      .drop("__wskey")
   }
 }

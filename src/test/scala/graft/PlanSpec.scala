@@ -182,6 +182,11 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("windowspecdefinition(__k"), p.take(3000))
   }
 
+  test("weighted sample plans a bounded top-k, never a global sort") {
+    val p = plan(SparkEntry.queries("q78_weighted_sample")(spark, sf()))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
   test("token sharding windows per range partition, never a global " +
       "single-partition window") {
     val docs = spark.read.parquet(sf() + "/documents.parquet")

@@ -125,4 +125,45 @@ class ShardingSpec extends SparkSuite {
     }
     assert(shards.toSet.size > 1) // budget actually splits the corpus
   }
+
+  test("weighted sample: deterministic, weight-filtered, salt-redrawable") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val w = $"n_chars" + 1
+    val a = Sharding.weightedSample(docs, 50, w)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sharding.weightedSample(docs, 50, w)
+      .collect().map(_.getLong(0)).toSet
+    assert(a.size === 50)
+    assert(a === b) // pure function of the data
+    // salt redraw, checked on UNIFORM weights: with length weights the
+    // draw is weight-dominated (heavy docs win under any u — correct
+    // A-ES behavior), so only comparable weights expose the u redraw
+    val u1 = Sharding.weightedSample(docs, 50, lit(1.0))
+      .collect().map(_.getLong(0)).toSet
+    val u2 = Sharding.weightedSample(docs, 50, lit(1.0), salt = "ws2")
+      .collect().map(_.getLong(0)).toSet
+    assert(u1.size === 50 && u2.size === 50)
+    assert(u1 !== u2) // a new salt is a fresh draw
+    // the sample is weight-BIASED: mean length of sampled docs exceeds
+    // the corpus mean (w = length+1, 50 of ~120 docs — overwhelming odds)
+    val meanAll = docs.agg(avg($"n_chars")).collect().head.getDouble(0)
+    val meanSam = docs.where($"doc_id".isin(a.toSeq: _*))
+      .agg(avg($"n_chars")).collect().head.getDouble(0)
+    assert(meanSam > meanAll, s"sampled $meanSam vs corpus $meanAll")
+  }
+
+  test("weighted sample: non-positive weights and null ids never " +
+      "sampled; k caps at eligible rows") {
+    import spark.implicits._
+    val rows = Seq[(java.lang.Long, Double)](
+      (1L, 5.0), (2L, 0.0), (3L, -1.0), (null, 5.0), (4L, 1e12),
+      (5L, 0.001)).toDF("doc_id", "w")
+    val got = Sharding.weightedSample(rows, 10, $"w")
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 4L, 5L)) // eligible rows only, all kept
+    // k=1: the astronomically heavy weight wins the draw
+    val top = Sharding.weightedSample(rows, 1, $"w")
+      .collect().map(_.getLong(0)).toSet
+    assert(top === Set(4L))
+  }
 }

@@ -484,15 +484,20 @@ object SparkEntry {
     // design — k-means cells are engine-specific like q35's hyperplane
     // buckets; the exact counterpart is q63 and q77 quantifies the gap
     // as a recall row. Threshold 0.25 for the same non-emptiness reason
-    // as q35. nlist=16/multiAssign=2 scores ~25% of all pairs
-    // (scan ≈ m²/nlist) and recovers ~55% of exact pairs on the
-    // isotropic testdata — the ANN worst case, where no bucketing
-    // reaches high recall at low scan (q70's regime note); on clustered
-    // corpora (SemDeDup's target) recall is 1.0 at m=1 and
-    // scan ≈ 1/nlist — DedupSpec proves both regimes.
+    // as q35. nlist=64/multiAssign=2 scores 1/16 of all pairs
+    // (scan ≈ m²/nlist) — nlist grows with the corpus at scale, so the
+    // bench query runs the scale-honest ratio, not a small-nlist one
+    // whose within-cell density would be quadratic in corpus growth.
+    // On the isotropic testdata (the ANN worst case, q70's regime
+    // note) that recovers ~37% of exact pairs — a ~6x concentration
+    // over random pair sampling; on clustered corpora (SemDeDup's
+    // target) recall is 1.0 at m=1 and scan ≈ 1/nlist — DedupSpec
+    // proves both regimes. kmeansIters=1: Lloyd refinement buys
+    // nothing on isotropic data, and each iteration is a corpus pass.
     "q75_semdedup_pairs" -> ((s, dir) =>
       Dedup.semanticNearDupPairs(t(s, dir, "embeddings"),
-          nlist = 16, threshold = 0.25, multiAssign = 2)
+          nlist = 64, threshold = 0.25, kmeansIters = 1,
+          multiAssign = 2)
         .orderBy(col("id_a").asc, col("id_b").asc)),
     // the full SemDeDup pipeline tail: survivors after dropping
     // non-canonical semantic duplicates (rows-only; the oracle-checked
@@ -503,16 +508,19 @@ object SparkEntry {
     // meaningful
     "q76_semdedup" -> ((s, dir) =>
       Dedup.semanticDedup(t(s, dir, "embeddings"),
-          nlist = 16, threshold = 0.4, multiAssign = 2)
+          nlist = 64, threshold = 0.4, kmeansIters = 1,
+          multiAssign = 2)
         .select(col("vec_id"), col("label"))
         .orderBy(col("vec_id").asc)),
     // the honesty gate: recall vs exact all-pairs + scored-pair
-    // fraction in ONE row (DedupSpec floors recall/scan disclosure);
-    // input capped like every all-pairs baseline
+    // fraction in ONE row at q75's exact parameters (DedupSpec floors
+    // the recall/scan concentration ratio); input capped like every
+    // all-pairs baseline
     "q77_semdedup_recall" -> ((s, dir) =>
       Dedup.semanticDedupRecall(
         t(s, dir, "embeddings").where(col("vec_id") < 1000),
-        nlist = 16, threshold = 0.25, multiAssign = 2)),
+        nlist = 64, threshold = 0.25, kmeansIters = 1,
+        multiAssign = 2)),
     // ---- extension tier: similarity search ----
     "q36_ann_quantized_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")

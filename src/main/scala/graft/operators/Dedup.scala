@@ -532,9 +532,15 @@ object Dedup {
       multiAssign: Int = 1): DataFrame = {
     val base = embeddings.select(col("vec_id"), col("embedding"))
     val cents = Similarity.kmeansCentroids(base, nlist, kmeansIters)
+    // materialize the cell tags once: the assignment projection embeds
+    // nlist·dim literal centroid floats (a large codegen unit), and
+    // without the barrier BOTH sides of the self-join re-plan and
+    // re-execute it — at nlist=64/dim=64 the duplicated compile+scan
+    // cost dwarfs the actual pair scoring
     val tagged = Similarity.assignCells(base, cents, multiAssign)
       .select(col("cell"), col("vec_id"), col("embedding"),
         native.fvec_norm(col("embedding")).as("nrm"))
+      .localCheckpoint()
     val a = tagged.select(col("cell"), col("vec_id").as("id_a"),
       col("embedding").as("ea"), col("nrm").as("na"))
     val b = tagged.select(col("cell"), col("vec_id").as("id_b"),

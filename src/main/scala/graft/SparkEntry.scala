@@ -557,6 +557,9 @@ object SparkEntry {
     "q42_langid" -> ((s, dir) =>
       TextAnalysis.languageId(t(s, dir, "documents"))
         .orderBy(col("doc_id").asc)),
+    "q79_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(t(s, dir, "documents"))
+        .orderBy(col("doc_id").asc)),
     "q43_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -1017,6 +1020,73 @@ object SparkEntry {
           |    '\b(the|and|of|to|a|in|is|it)\b')) AS INT) AS n_stopwords
           |FROM documents ORDER BY doc_id""".stripMargin,
       "q42_langid" -> langIdSql,
+      "q79_gopher_rules" ->
+        // integer counts with the exact split/regex semantics of the
+        // Spark side (single-space tokens with empties dropped; lines
+        // on \n; ratios = BIGINT/BIGINT IEEE division)
+        """WITH f AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split(text, ' '), x -> x != '') AS ws,
+          |    string_split(text, chr(10)) AS lines,
+          |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS wchars,
+          |    CAST(len(regexp_extract_all(text, '#')) +
+          |         len(regexp_extract_all(text, '\.\.\.')) AS BIGINT)
+          |      AS nsym,
+          |    (CASE WHEN regexp_matches(lower(text), '\bthe\b')
+          |          THEN 1 ELSE 0 END +
+          |     CASE WHEN regexp_matches(lower(text), '\bbe\b')
+          |          THEN 1 ELSE 0 END +
+          |     CASE WHEN regexp_matches(lower(text), '\bto\b')
+          |          THEN 1 ELSE 0 END +
+          |     CASE WHEN regexp_matches(lower(text), '\bof\b')
+          |          THEN 1 ELSE 0 END +
+          |     CASE WHEN regexp_matches(lower(text), '\band\b')
+          |          THEN 1 ELSE 0 END +
+          |     CASE WHEN regexp_matches(lower(text), '\bthat\b')
+          |          THEN 1 ELSE 0 END +
+          |     CASE WHEN regexp_matches(lower(text), '\bhave\b')
+          |          THEN 1 ELSE 0 END +
+          |     CASE WHEN regexp_matches(lower(text), '\bwith\b')
+          |          THEN 1 ELSE 0 END)::BIGINT AS n_stop_hits
+          |  FROM documents),
+          |c AS (
+          |  SELECT doc_id,
+          |    CAST(len(ws) AS BIGINT) AS n_words,
+          |    wchars, nsym, n_stop_hits,
+          |    CAST(len(lines) AS BIGINT) AS n_lines,
+          |    CAST(len(list_filter(lines,
+          |      l -> regexp_matches(l, '^\s*[-*•]'))) AS BIGINT)
+          |      AS n_bullet,
+          |    CAST(len(list_filter(lines,
+          |      l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS BIGINT)
+          |      AS n_ellipsis,
+          |    CAST(len(list_filter(ws,
+          |      w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+          |      AS n_alpha
+          |  FROM f),
+          |r AS (
+          |  SELECT doc_id, n_words,
+          |    CASE WHEN n_words = 0 THEN 0.0
+          |         ELSE wchars::DOUBLE / n_words END AS mean_word_len,
+          |    CASE WHEN n_words = 0 THEN 0.0
+          |         ELSE nsym::DOUBLE / n_words END AS symbol_ratio,
+          |    CASE WHEN n_lines = 0 THEN 0.0
+          |         ELSE n_bullet::DOUBLE / n_lines END AS bullet_frac,
+          |    CASE WHEN n_lines = 0 THEN 0.0
+          |         ELSE n_ellipsis::DOUBLE / n_lines END
+          |      AS ellipsis_frac,
+          |    CASE WHEN n_words = 0 THEN 0.0
+          |         ELSE n_alpha::DOUBLE / n_words END AS alpha_frac,
+          |    n_stop_hits
+          |  FROM c)
+          |SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+          |  bullet_frac, ellipsis_frac, alpha_frac, n_stop_hits,
+          |  (n_words >= 50 AND n_words <= 100000
+          |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+          |   AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+          |   AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+          |   AND n_stop_hits >= 2) AS keep
+          |FROM r ORDER BY doc_id""".stripMargin,
       "q43_fingerprint" ->
         """SELECT doc_id,
           |  md5(regexp_replace(lower(text), '\s+', ' ', 'g'))

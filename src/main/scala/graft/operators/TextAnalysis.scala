@@ -93,6 +93,72 @@ object TextAnalysis {
     graft.functions.native.rolling_hash(
       regexp_replace(lower(text), "\\s+", " "), base, mod)
 
+  /** Gopher / MassiveText quality rules (Rae et al., "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher",
+    * arXiv:2112.11446, §A.1.1): the standard rule-based pre-training
+    * quality screen. Emits the rule INPUTS plus the `keep` verdict as
+    * columns — not a filter — so a pipeline can audit why a document
+    * fails before dropping it:
+    *  - word count in [minWords, maxWords]
+    *  - mean word length in [3, 10] characters
+    *  - symbol-to-word ratio (`#` or `...`) ≤ 0.1
+    *  - ≤ 90% of lines start with a bullet (`-`, `*`, `•`)
+    *  - ≤ 30% of lines end with an ellipsis
+    *  - ≥ 80% of words contain an (ASCII) alphabetic character
+    *  - ≥ 2 distinct hits from the paper's stop-word list
+    *
+    * Map-only: every figure is a per-row projection of codegen'd
+    * built-ins (counts from regexp/split, ratios as integer÷integer
+    * IEEE divisions) — no UDFs, no shuffle, and every column is
+    * bit-reproducible by any engine doing the same integer counts
+    * (the q79 oracle). Zero-word documents report 0 ratios and fail
+    * the word-count rule rather than dividing by zero.
+    */
+  def gopherRules(df: DataFrame, text: Column = col("text"),
+      minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+    val ws = tokens(text)
+    val nWords = size(ws).cast("long")
+    // sum of word lengths = chars that are not the split delimiter
+    // (dropped empty tokens contribute 0), one codegen'd replace
+    val wordChars = length(regexp_replace(text, " ", "")).cast("long")
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines,
+      l => l.rlike("^\\s*[-*•]"))).cast("long")
+    val nEllipsis = size(filter(lines,
+      l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("long")
+    val nAlpha = size(filter(ws,
+      w => w.rlike("[A-Za-z]"))).cast("long")
+    val nSymbols = (size(regexp_extract_all(text, lit("#"), lit(0))) +
+      size(regexp_extract_all(text, lit("\\.\\.\\."), lit(0))))
+      .cast("long")
+    // distinct stop-word hits: presence, not frequency (the rule wants
+    // >= 2 DIFFERENT stop words)
+    val stopHits = Seq("the", "be", "to", "of", "and", "that", "have",
+      "with").map(w =>
+      when(lower(text).rlike("\\b" + w + "\\b"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val safe = (n: Column, d: Column) =>
+      when(d === 0, lit(0.0)).otherwise(n.cast("double") / d)
+    df.select(
+        col("doc_id"),
+        nWords.as("n_words"),
+        safe(wordChars, nWords).as("mean_word_len"),
+        safe(nSymbols, nWords).as("symbol_ratio"),
+        safe(nBullet, nLines).as("bullet_frac"),
+        safe(nEllipsis, nLines).as("ellipsis_frac"),
+        safe(nAlpha, nWords).as("alpha_frac"),
+        stopHits.as("n_stop_hits"))
+      .withColumn("keep",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("symbol_ratio") <= 0.1 &&
+          col("bullet_frac") <= 0.9 &&
+          col("ellipsis_frac") <= 0.3 &&
+          col("alpha_frac") >= 0.8 &&
+          col("n_stop_hits") >= 2L)
+  }
+
   /** Repetition signals (the duplicate-text quality heuristics used to
     * filter training corpora): token duplication and the dominance of the
     * most-repeated bigram. All per-row array arithmetic — integers out, so

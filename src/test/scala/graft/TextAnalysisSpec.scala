@@ -50,4 +50,37 @@ class TextAnalysisSpec extends SparkSuite {
     assert(fp.getString(0) === fp.getString(1))
     assert(fp.getLong(2) !== fp.getLong(3))
   }
+
+  test("gopher rules: each rule rejects its violation, a clean doc keeps") {
+    def verdict(text: String, minWords: Long = 5L): (Boolean, org.apache.spark.sql.Row) = {
+      val r = TextAnalysis.gopherRules(one(text), minWords = minWords)
+        .collect()(0)
+      (r.getBoolean(8), r)
+    }
+    // clean: enough words, sane lengths, 2+ stop words, alphabetic
+    val good = "the quick brown fox jumps over that lazy dog today"
+    assert(verdict(good)._1 === true)
+    // too few words (minWords=5 here; the paper default is 50)
+    assert(verdict("the cat and")._1 === false)
+    // mean word length out of [3,10]
+    assert(verdict("a b c d e f g h i j the of")._1 === false)
+    // symbol-to-word ratio > 0.1 (hashes)
+    assert(verdict("the # fox # and # dog # runs # home #")._1 === false)
+    // bullet lines > 90%
+    val bullets = (1 to 10).map(i => s"- item the of $i").mkString("\n")
+    val (bk, br) = verdict(bullets)
+    assert(br.getDouble(4) === 1.0 && bk === false)
+    // ellipsis lines > 30%
+    val ell = "the fox runs...\nand hides...\nthe dog of it sleeps"
+    val (ek, er) = verdict(ell)
+    assert(er.getDouble(5) > 0.3 && ek === false)
+    // alphabetic words < 80%
+    assert(verdict("the 123 456 789 012 345 of 678")._1 === false)
+    // fewer than 2 distinct stop words
+    assert(verdict("quick brown foxes jump over lazy dogs")._1 === false)
+    // empty doc: zero ratios, no divide-by-zero, rejected
+    val (zk, zr) = verdict("")
+    assert(zk === false && zr.getLong(1) === 0L &&
+      zr.getDouble(2) === 0.0)
+  }
 }

@@ -1022,16 +1022,18 @@ object SparkEntry {
       "q42_langid" -> langIdSql,
       "q79_gopher_rules" ->
         // integer counts with the exact split/regex semantics of the
-        // Spark side (single-space tokens with empties dropped; lines
-        // on \n; ratios = BIGINT/BIGINT IEEE division)
+        // Spark side (\s+ tokens with empties dropped; lines on \n;
+        // ratios = BIGINT/BIGINT IEEE division)
         """WITH f AS (
           |  SELECT doc_id,
-          |    list_filter(string_split(text, ' '), x -> x != '') AS ws,
+          |    list_filter(string_split_regex(text, '\s+'),
+          |      x -> x != '') AS ws,
           |    string_split(text, chr(10)) AS lines,
-          |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS wchars,
+          |    CAST(length(regexp_replace(text, '\s+', '', 'g'))
+          |      AS BIGINT) AS wchars,
           |    CAST(len(regexp_extract_all(text, '#')) +
-          |         len(regexp_extract_all(text, '\.\.\.')) AS BIGINT)
-          |      AS nsym,
+          |         len(regexp_extract_all(text, '(\.\.\.|…)'))
+          |      AS BIGINT) AS nsym,
           |    (CASE WHEN regexp_matches(lower(text), '\bthe\b')
           |          THEN 1 ELSE 0 END +
           |     CASE WHEN regexp_matches(lower(text), '\bbe\b')

@@ -529,27 +529,44 @@ object Dedup {
     */
   def semanticNearDupPairs(embeddings: DataFrame, nlist: Int = 16,
       threshold: Double = 0.95, kmeansIters: Int = 2,
-      multiAssign: Int = 1): DataFrame = {
+      multiAssign: Int = 1): DataFrame =
+    pairsFromTagged(
+      taggedNormed(embeddings, nlist, kmeansIters, multiAssign),
+      threshold, multiAssign)
+
+  /** The cell-tagged, norm-augmented corpus behind the semantic-dedup
+    * pair search — materialized once: the assignment projection embeds
+    * nlist·dim literal centroid floats (a large codegen unit), and
+    * without the barrier every consumer (both self-join sides, the
+    * scan-volume count) would re-plan and re-execute it. Shared by
+    * [[semanticNearDupPairs]] and [[semanticDedupRecall]] so the
+    * recall report's scan_frac counts the SAME cell partition that
+    * produced the found pairs (k-means is re-run-deterministic only up
+    * to double merge order — a second run could flip a near-tie
+    * vector's argmax cell).
+    */
+  private def taggedNormed(embeddings: DataFrame, nlist: Int,
+      kmeansIters: Int, multiAssign: Int): DataFrame = {
     val base = embeddings.select(col("vec_id"), col("embedding"))
     val cents = Similarity.kmeansCentroids(base, nlist, kmeansIters)
-    // materialize the cell tags once: the assignment projection embeds
-    // nlist·dim literal centroid floats (a large codegen unit), and
-    // without the barrier BOTH sides of the self-join re-plan and
-    // re-execute it — at nlist=64/dim=64 the duplicated compile+scan
-    // cost dwarfs the actual pair scoring
-    val tagged = Similarity.assignCells(base, cents, multiAssign)
+    Similarity.assignCells(base, cents, multiAssign)
       .select(col("cell"), col("vec_id"), col("embedding"),
         native.fvec_norm(col("embedding")).as("nrm"))
       .localCheckpoint()
-    val a = tagged.select(col("cell"), col("vec_id").as("id_a"),
-      col("embedding").as("ea"), col("nrm").as("na"))
-    val b = tagged.select(col("cell"), col("vec_id").as("id_b"),
-      col("embedding").as("eb"), col("nrm").as("nb"))
-    val pairs = a.join(b, Seq("cell"))
+  }
+
+  /** Within-cell pairs of `tagged` at `threshold` — the
+    * [[Similarity.pairCosine]] arithmetic over [[Similarity.pairSide]]
+    * projections, so scores are bit-identical to
+    * [[Similarity.cosinePairsExact]] and found ⊆ exact holds exactly.
+    */
+  private def pairsFromTagged(tagged: DataFrame, threshold: Double,
+      multiAssign: Int): DataFrame = {
+    val pairs = Similarity.pairSide(tagged, "a", Seq("cell"))
+      .join(Similarity.pairSide(tagged, "b", Seq("cell")), Seq("cell"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (native.fvec_dot(col("ea"), col("eb")) /
-          (col("na") * col("nb"))).as("cosine"))
+        Similarity.pairCosine.as("cosine"))
       .where(col("cosine") >= threshold)
     // multi-assigned vectors can meet in several shared cells; the same
     // pair scores bit-identically in each (same vectors, same
@@ -594,16 +611,19 @@ object Dedup {
       .localCheckpoint()
     val exact = Similarity.cosinePairsExact(base, threshold)
       .select(col("id_a"), col("id_b"))
-    val found = semanticNearDupPairs(base, nlist, threshold,
-      kmeansIters, multiAssign)
+    // ONE tagging pass feeds both the found pairs and the scan count —
+    // see [[taggedNormed]] for why they must not come from two k-means
+    // runs
+    val tagged = taggedNormed(base, nlist, kmeansIters, multiAssign)
+    val found = pairsFromTagged(tagged, threshold, multiAssign)
       .select(col("id_a"), col("id_b"), lit(1).as("hit"))
     // scored-pair volume: cells of size c contribute c·(c-1)/2 scored
     // pairs per assignment; multi-assign overlaps are what the distinct
     // removes AFTER scoring, so they count toward scan cost
-    val cents = Similarity.kmeansCentroids(base, nlist, kmeansIters)
-    val scanned = Similarity.assignCells(base, cents, multiAssign)
+    val scanned = tagged
       .groupBy(col("cell")).agg(count(lit(1)).as("c"))
-      .agg(sum(col("c") * (col("c") - 1) / 2).as("n_scanned"))
+      .agg(coalesce(sum(col("c") * (col("c") - 1) / 2), lit(0L))
+        .as("n_scanned"))
     val nTotal = base.agg(count(lit(1)).as("n"))
     exact.join(found, Seq("id_a", "id_b"), "left")
       .agg(count(lit(1)).as("n_exact"),
@@ -615,8 +635,11 @@ object Dedup {
         when(col("n_exact") === 0, lit(1.0))
           .otherwise(col("n_found").cast("double") / col("n_exact"))
           .as("recall"),
-        (col("n_scanned").cast("double") /
-          (col("n") * (col("n") - 1) / 2)).as("scan_frac"),
+        // < 2 rows → no scoreable pairs at all: 0.0, not a NULL from
+        // the zero denominator
+        when(col("n") < 2, lit(0.0))
+          .otherwise(col("n_scanned").cast("double") /
+            (col("n") * (col("n") - 1) / 2)).as("scan_frac"),
         lit(multiAssign).as("multi_assign"))
   }
 }

@@ -194,7 +194,11 @@ object Sharding {
     require(k > 0, "k must be positive")
     val u = (mixedHash(id, salt).cast("double") + lit(0.5)) /
       lit(1000000007.0)
-    df.where(id.isNotNull && weight.cast("double") > 0)
+    // NaN > 0 is TRUE in Spark's ordering and NaN sorts above every
+    // finite key — without the isnan guard a NaN weight (0.0/0.0 from
+    // an upstream score) would deterministically steal a sample slot
+    df.where(id.isNotNull && weight.cast("double") > 0 &&
+        !isnan(weight.cast("double")))
       .withColumn("__wskey", log(u) / weight.cast("double"))
       .orderBy(col("__wskey").desc, id.asc)
       .limit(k)

@@ -65,16 +65,29 @@ object Similarity {
     // arithmetic of fvec_cosine, so scores are bit-identical.
     val sides = embeddings.select(col("vec_id"), col("embedding"),
       native.fvec_norm(col("embedding")).as("nrm")).localCheckpoint()
-    val a = sides.select(col("vec_id").as("id_a"),
-      col("embedding").as("ea"), col("nrm").as("na"))
-    val b = sides.select(col("vec_id").as("id_b"),
-      col("embedding").as("eb"), col("nrm").as("nb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (native.fvec_dot(col("ea"), col("eb")) /
-          (col("na") * col("nb"))).as("cosine"))
+    pairSide(sides, "a").join(pairSide(sides, "b"),
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), pairCosine.as("cosine"))
       .where(col("cosine") >= threshold)
   }
+
+  /** One side of a pair self-join over a (vec_id, embedding, nrm)
+    * frame: id_<s>, e<s>, n<s>, plus pass-through `keep` columns (e.g.
+    * the bucket key). Shared with the semantic-dedup pair search so
+    * every pair scorer builds byte-identical projections.
+    */
+  private[operators] def pairSide(df: DataFrame, s: String,
+      keep: Seq[String] = Nil): DataFrame =
+    df.select(keep.map(col) ++ Seq(col("vec_id").as(s"id_$s"),
+      col("embedding").as(s"e$s"), col("nrm").as(s"n$s")): _*)
+
+  /** THE pair-cosine arithmetic — dot/(na·nb) over [[pairSide]]
+    * columns. One definition, so "approx found-pairs ⊆ exact-pairs
+    * bit-exactly" ([[graft.operators.Dedup.semanticDedupRecall]]'s
+    * contract) cannot drift between scorers.
+    */
+  private[operators] def pairCosine: org.apache.spark.sql.Column =
+    native.fvec_dot(col("ea"), col("eb")) / (col("na") * col("nb"))
 
   /** `nlist` coarse centroids picked deterministically from the corpus by
     * hash-sampling vec_ids (data-independent, no count() pre-pass — at

@@ -116,11 +116,15 @@ object TextAnalysis {
     */
   def gopherRules(df: DataFrame, text: Column = col("text"),
       minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
-    val ws = tokens(text)
+    // \s+ split, NOT the single-space [[tokens]] helper: this screen's
+    // line rules exist for multi-line documents, where a space-only
+    // split would merge the last word of each line into the first word
+    // of the next (undercounting words, inflating mean length)
+    val ws = filter(split(text, "\\s+"), t => t =!= lit(""))
     val nWords = size(ws).cast("long")
-    // sum of word lengths = chars that are not the split delimiter
+    // sum of word lengths = chars that are not split whitespace
     // (dropped empty tokens contribute 0), one codegen'd replace
-    val wordChars = length(regexp_replace(text, " ", "")).cast("long")
+    val wordChars = length(regexp_replace(text, "\\s+", "")).cast("long")
     val lines = split(text, "\n")
     val nLines = size(lines).cast("long")
     val nBullet = size(filter(lines,
@@ -129,8 +133,10 @@ object TextAnalysis {
       l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("long")
     val nAlpha = size(filter(ws,
       w => w.rlike("[A-Za-z]"))).cast("long")
+    // '…' counts as an ellipsis here exactly like the line rule above —
+    // the two rules must agree on what an ellipsis is
     val nSymbols = (size(regexp_extract_all(text, lit("#"), lit(0))) +
-      size(regexp_extract_all(text, lit("\\.\\.\\."), lit(0))))
+      size(regexp_extract_all(text, lit("(\\.\\.\\.|…)"), lit(0))))
       .cast("long")
     // distinct stop-word hits: presence, not frequency (the rule wants
     // >= 2 DIFFERENT stop words)

@@ -203,6 +203,17 @@ class DedupSpec extends SparkSuite {
     assert(r.getDouble(3) <= 0.6, s"scan_frac: $r")
   }
 
+  test("semdedup: degenerate inputs report 0.0 scan_frac, not null") {
+    import spark.implicits._
+    val single = Seq((0L, Array.fill(8)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Dedup.semanticDedupRecall(single, nlist = 4,
+      threshold = 0.9).collect().head
+    assert(r.getLong(0) === 0L)      // no scoreable pairs
+    assert(r.getDouble(2) === 1.0)   // vacuous recall
+    assert(!r.isNullAt(3) && r.getDouble(3) === 0.0, s"row: $r")
+  }
+
   test("semdedup: survivors match the exact-pairs dedup tail") {
     val viaSem = Dedup.semanticDedup(plantedClusters, nlist = 4,
         threshold = 0.95)

@@ -157,10 +157,12 @@ class ShardingSpec extends SparkSuite {
     import spark.implicits._
     val rows = Seq[(java.lang.Long, Double)](
       (1L, 5.0), (2L, 0.0), (3L, -1.0), (null, 5.0), (4L, 1e12),
-      (5L, 0.001)).toDF("doc_id", "w")
+      (5L, 0.001), (6L, Double.NaN)).toDF("doc_id", "w")
     val got = Sharding.weightedSample(rows, 10, $"w")
       .collect().map(_.getLong(0)).toSet
-    assert(got === Set(1L, 4L, 5L)) // eligible rows only, all kept
+    // eligible rows only, all kept — NaN satisfies `> 0` in Spark's
+    // ordering and would otherwise rank FIRST forever
+    assert(got === Set(1L, 4L, 5L))
     // k=1: the astronomically heavy weight wins the draw
     val top = Sharding.weightedSample(rows, 1, $"w")
       .collect().map(_.getLong(0)).toSet

@@ -82,5 +82,15 @@ class TextAnalysisSpec extends SparkSuite {
     val (zk, zr) = verdict("")
     assert(zk === false && zr.getLong(1) === 0L &&
       zr.getDouble(2) === 0.0)
+    // words split on ALL whitespace: a clean doc spread over lines must
+    // not merge words across newlines (12 words, not 10 merged ones)
+    val multi = "the quick brown fox\njumps over that lazy\ndog in the barn"
+    val (mk, mr) = verdict(multi)
+    assert(mr.getLong(1) === 12L, s"n_words: $mr")
+    assert(mr.getDouble(2) < 5.0, s"mean_word_len: $mr") // no \n-merged words
+    assert(mk === true)
+    // unicode ellipsis counts as a symbol, same as '...'
+    val uni = "the fox … and … dog … runs … home … the … of …"
+    assert(verdict(uni)._1 === false)
   }
 }

@@ -529,9 +529,10 @@ object Dedup {
     */
   def semanticNearDupPairs(embeddings: DataFrame, nlist: Int = 16,
       threshold: Double = 0.95, kmeansIters: Int = 2,
-      multiAssign: Int = 1): DataFrame =
+      multiAssign: Int = 1, quantizer: String = "flat"): DataFrame =
     pairsFromTagged(
-      taggedNormed(embeddings, nlist, kmeansIters, multiAssign),
+      taggedNormed(embeddings, nlist, kmeansIters, multiAssign,
+        quantizer),
       threshold, multiAssign)
 
   /** The cell-tagged, norm-augmented corpus behind the semantic-dedup
@@ -546,10 +547,21 @@ object Dedup {
     * vector's argmax cell).
     */
   private def taggedNormed(embeddings: DataFrame, nlist: Int,
-      kmeansIters: Int, multiAssign: Int): DataFrame = {
+      kmeansIters: Int, multiAssign: Int,
+      quantizer: String = "flat"): DataFrame = {
     val base = embeddings.select(col("vec_id"), col("embedding"))
-    val cents = Similarity.kmeansCentroids(base, nlist, kmeansIters)
-    Similarity.assignCells(base, cents, multiAssign)
+    val cents = Similarity.kmeansCentroids(base, nlist, kmeansIters,
+      quantizer)
+    val tagged = quantizer match {
+      case "flat" => Similarity.assignCells(base, cents, multiAssign)
+      // per-row O(2·√nlist·dim) instead of O(nlist·dim): the shape for
+      // corpora whose nlist outgrew the flat argmax (BENCH_SF1.md)
+      case "two-level" =>
+        Similarity.assignCellsTwoLevel(base, cents, multiAssign)
+      case other => throw new IllegalArgumentException(
+        s"unknown quantizer '$other' (expected 'flat' or 'two-level')")
+    }
+    tagged
       .select(col("cell"), col("vec_id"), col("embedding"),
         native.fvec_norm(col("embedding")).as("nrm"))
       .localCheckpoint()
@@ -585,10 +597,11 @@ object Dedup {
   def semanticDedup(embeddings: DataFrame, nlist: Int = 16,
       threshold: Double = 0.95, kmeansIters: Int = 2,
       multiAssign: Int = 1, maxIter: Int = 10,
-      strategy: String = "labelprop"): DataFrame =
+      strategy: String = "labelprop",
+      quantizer: String = "flat"): DataFrame =
     dedupByClusters(embeddings,
       semanticNearDupPairs(embeddings, nlist, threshold, kmeansIters,
-        multiAssign),
+        multiAssign, quantizer),
       maxIter, strategy, idCol = "vec_id")
 
   /** Recall of the cluster-bucketed pair search against the exact
@@ -606,7 +619,7 @@ object Dedup {
     */
   def semanticDedupRecall(embeddings: DataFrame, nlist: Int = 16,
       threshold: Double = 0.95, kmeansIters: Int = 2,
-      multiAssign: Int = 1): DataFrame = {
+      multiAssign: Int = 1, quantizer: String = "flat"): DataFrame = {
     val base = embeddings.select(col("vec_id"), col("embedding"))
       .localCheckpoint()
     val exact = Similarity.cosinePairsExact(base, threshold)
@@ -614,7 +627,8 @@ object Dedup {
     // ONE tagging pass feeds both the found pairs and the scan count —
     // see [[taggedNormed]] for why they must not come from two k-means
     // runs
-    val tagged = taggedNormed(base, nlist, kmeansIters, multiAssign)
+    val tagged = taggedNormed(base, nlist, kmeansIters, multiAssign,
+      quantizer)
     val found = pairsFromTagged(tagged, threshold, multiAssign)
       .select(col("id_a"), col("id_b"), lit(1).as("hit"))
     // scored-pair volume: cells of size c contribute c·(c-1)/2 scored

@@ -175,6 +175,88 @@ object Similarity {
     corpus.select(col("vec_id"),
       nearestCell(col("embedding"), collectCentroids(centroids)))
 
+  /** Driver-side spherical k-means over the CENTROID points (index
+    * metadata, never data): groups the nlist centroids into ~√nlist
+    * cosine-coherent families for [[assignCellsTwoLevel]]. Deterministic
+    * (first-G seeds, fixed iterations); empty groups are dropped, so
+    * every returned super-direction has ≥ 1 child. Returns
+    * (superDirection, children) pairs.
+    */
+  private def groupCentroids(cents: Array[(Int, Array[Float])],
+      g: Int, iters: Int = 8): Array[(Array[Float], Array[(Int, Array[Float])])] = {
+    def unit(v: Array[Float]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      if (n == 0.0) v.map(_.toDouble) else v.map(_ / n)
+    }
+    val units = cents.map { case (_, v) => unit(v) }
+    var supers = units.take(g)
+    var assign = Array.empty[Int]
+    for (_ <- 0 until iters) {
+      assign = units.map { u =>
+        supers.indices.maxBy(i =>
+          supers(i).zip(u).map { case (a, b) => a * b }.sum)
+      }
+      supers = supers.indices.map { i =>
+        val members = units.indices.filter(assign(_) == i)
+        if (members.isEmpty) supers(i)
+        else {
+          val dim = units.head.length
+          val m = Array.tabulate(dim)(d =>
+            members.map(units(_)(d)).sum / members.size)
+          val n = math.sqrt(m.map(x => x * x).sum)
+          if (n == 0.0) supers(i) else m.map(_ / n)
+        }
+      }.toArray
+    }
+    supers.indices.flatMap { i =>
+      val members = cents.indices.filter(assign(_) == i).map(cents).toArray
+      if (members.isEmpty) None
+      else Some((supers(i).map(_.toFloat), members))
+    }.toArray
+  }
+
+  /** Two-level coarse-quantizer assignment. The flat [[nearestCell]]
+    * argmax is O(nlist·dim) PER ROW, which caps how far "grow nlist
+    * with the corpus" can go — measured at sf1, nlist=256 flat
+    * assignment costs more than the 16× pair-scoring it saves
+    * (docs/BENCH_SF1.md appendix). Here each row scores only the
+    * G ≈ √nlist super-directions, then the matched family's children:
+    * O((√nlist + nlist/√nlist)·dim) ≈ 2√nlist·dim per row. The result
+    * is an APPROXIMATE nearest cell — a row near a family boundary can
+    * land in the second-best family's best child, the standard
+    * hierarchical-IVF trade (SimilaritySpec floors the agreement rate
+    * vs flat assignment).
+    *
+    * Still a pure projection: the super argmax materializes once as
+    * `__super`, and the child argmax is a CASE over it whose branches
+    * each score ONE family's children — codegen executes only the
+    * matched branch. No join, no shuffle, no UDF. `multiAssign` > 1
+    * explodes over the m nearest families (boundary replication at the
+    * family level, the same recall lever as [[assignCells]]).
+    */
+  def assignCellsTwoLevel(corpus: DataFrame,
+      centroids: Array[(Int, Array[Float])],
+      multiAssign: Int = 1): DataFrame = {
+    require(multiAssign >= 1, "multiAssign must be >= 1")
+    val g = math.ceil(math.sqrt(centroids.length.toDouble)).toInt
+    val groups = groupCentroids(centroids, g)
+    val superCents = groups.zipWithIndex.map { case ((s, _), i) => (i, s) }
+    val superCol =
+      if (multiAssign == 1) nearestCell(col("embedding"), superCents)
+      else explode(probeCells(superCents, multiAssign min groups.length))
+    // default branch = family 0's children: semantically unreachable
+    // (__super always matches some family) but keeps the CASE total
+    val childArgmax = groups.zipWithIndex.tail.foldLeft(
+      nearestCell(col("embedding"), groups.head._2)) {
+      case (acc, ((_, members), i)) =>
+        when(col("__super") === i,
+          nearestCell(col("embedding"), members)).otherwise(acc)
+    }
+    corpus.withColumn("__super", superCol)
+      .withColumn("cell", childArgmax)
+      .drop("__super")
+  }
+
   /** Lloyd-refined centroids: seed with [[ivfCentroids]], then `iters`
     * rounds of assign → elementwise-mean recompute. Each round is ONE
     * distributed corpus pass (inline argmax assignment feeding a
@@ -192,11 +274,22 @@ object Similarity {
     * discovered from the data, not declared.
     */
   def kmeansCentroids(corpus: DataFrame, nlist: Int = 16,
-      iters: Int = 2): Array[(Int, Array[Float])] = {
+      iters: Int = 2, quantizer: String = "flat"): Array[(Int, Array[Float])] = {
     var cents = collectCentroids(ivfCentroids(corpus, nlist))
     for (_ <- 0 until iters) {
-      val means = corpus
-        .withColumn("cell", nearestCell(col("embedding"), cents))
+      // the Lloyd pass's own assignment honors the quantizer choice:
+      // at nlist≈256 the flat argmax expression outgrows the codegen
+      // method budget and the refinement pass — not the pair search —
+      // becomes the dominant cost (measured 23 s vs ~1 s two-level at
+      // sf1; docs/BENCH_SF1.md appendix)
+      val assigned = quantizer match {
+        case "flat" =>
+          corpus.withColumn("cell", nearestCell(col("embedding"), cents))
+        case "two-level" => assignCellsTwoLevel(corpus, cents)
+        case other => throw new IllegalArgumentException(
+          s"unknown quantizer '$other' (expected 'flat' or 'two-level')")
+      }
+      val means = assigned
         .groupBy(col("cell"))
         .agg(graft.functions.sketches.fvec_mean(col("embedding"))
           .as("new_centroid"))

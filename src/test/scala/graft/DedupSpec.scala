@@ -203,6 +203,38 @@ class DedupSpec extends SparkSuite {
     assert(r.getDouble(3) <= 0.6, s"scan_frac: $r")
   }
 
+  test("semdedup: two-level quantizer keeps clustered-regime recall " +
+      "and stays a pure projection") {
+    // identical-copy clusters: two-level routes every copy identically
+    // (same input → same super → same child), so recall stays 1.0
+    val r = Dedup.semanticDedupRecall(plantedClusters, nlist = 4,
+      threshold = 0.95, quantizer = "two-level").collect().head
+    assert(r.getLong(0) === 12 && r.getDouble(2) === 1.0, s"row: $r")
+    // on the real testdata the approximate routing must stay within a
+    // few points of flat assignment's recall at the same scan budget
+    val emb = spark.read.parquet(sf("0.01") + "/embeddings.parquet")
+    val flat = Dedup.semanticDedupRecall(emb, nlist = 16,
+      threshold = 0.25, multiAssign = 2).collect().head
+    val two = Dedup.semanticDedupRecall(emb, nlist = 16,
+      threshold = 0.25, multiAssign = 2, quantizer = "two-level")
+      .collect().head
+    assert(two.getDouble(2) >= flat.getDouble(2) - 0.15,
+      s"two-level $two vs flat $flat")
+    // the assignment is a projection: no join, no exchange before the
+    // pair self-join's own shuffle
+    val plan = graft.operators.Similarity.assignCellsTwoLevel(
+      emb.select(col("vec_id"), col("embedding")),
+      graft.operators.Similarity.kmeansCentroids(
+        emb.select(col("vec_id"), col("embedding")), 16, 1))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      plan.take(2000))
+    // unknown quantizer names fail loudly
+    intercept[IllegalArgumentException] {
+      Dedup.semanticNearDupPairs(emb, quantizer = "nope")
+    }
+  }
+
   test("semdedup: degenerate inputs report 0.0 scan_frac, not null") {
     import spark.implicits._
     val single = Seq((0L, Array.fill(8)(1.0f)))

@@ -552,16 +552,7 @@ object Dedup {
     val base = embeddings.select(col("vec_id"), col("embedding"))
     val cents = Similarity.kmeansCentroids(base, nlist, kmeansIters,
       quantizer)
-    val tagged = quantizer match {
-      case "flat" => Similarity.assignCells(base, cents, multiAssign)
-      // per-row O(2·√nlist·dim) instead of O(nlist·dim): the shape for
-      // corpora whose nlist outgrew the flat argmax (BENCH_SF1.md)
-      case "two-level" =>
-        Similarity.assignCellsTwoLevel(base, cents, multiAssign)
-      case other => throw new IllegalArgumentException(
-        s"unknown quantizer '$other' (expected 'flat' or 'two-level')")
-    }
-    tagged
+    Similarity.assignWith(quantizer, base, cents, multiAssign)
       .select(col("cell"), col("vec_id"), col("embedding"),
         native.fvec_norm(col("embedding")).as("nrm"))
       .localCheckpoint()

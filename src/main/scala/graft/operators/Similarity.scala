@@ -378,13 +378,31 @@ object Similarity {
     * exact [[bruteForceTopK]] is the correctness oracle. Centroids are
     * Lloyd-refined when `kmeansIters > 0`.
     */
+  /** Corpus cell assignment under the chosen coarse quantizer — the
+    * dispatch shared by the inline IVF, the recall gate, the written
+    * index, and (via Dedup) the semantic-dedup surface. "flat" =
+    * [[assignCells]] (exact nearest cell, O(nlist·d)/row); "two-level"
+    * = [[assignCellsTwoLevel]] (approximate, O(2√nlist·d)/row — the
+    * large-nlist shape, see docs/BENCH_SF1.md appendix).
+    */
+  private[operators] def assignWith(quantizer: String, corpus: DataFrame,
+      centroids: Array[(Int, Array[Float])],
+      multiAssign: Int): DataFrame = quantizer match {
+    case "flat" => assignCells(corpus, centroids, multiAssign)
+    case "two-level" => assignCellsTwoLevel(corpus, centroids, multiAssign)
+    case other => throw new IllegalArgumentException(
+      s"unknown quantizer '$other' (expected 'flat' or 'two-level')")
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
       nlist: Int = 16, nprobe: Int = 4,
-      kmeansIters: Int = 1, multiAssign: Int = 1): DataFrame = {
+      kmeansIters: Int = 1, multiAssign: Int = 1,
+      quantizer: String = "flat"): DataFrame = {
     val centArr =
-      if (kmeansIters > 0) kmeansCentroids(corpus, nlist, kmeansIters)
+      if (kmeansIters > 0)
+        kmeansCentroids(corpus, nlist, kmeansIters, quantizer)
       else collectCentroids(ivfCentroids(corpus, nlist))
-    val indexed = assignCells(corpus, centArr, multiAssign)
+    val indexed = assignWith(quantizer, corpus, centArr, multiAssign)
     probeAndRank(indexed, queries, centArr, k, nprobe,
       dedupCandidates = multiAssign > 1)
   }
@@ -401,11 +419,12 @@ object Similarity {
     */
   def ivfRecallStats(corpus: DataFrame, queries: DataFrame, k: Int = 10,
       nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 1,
-      multiAssign: Int = 1): DataFrame = {
+      multiAssign: Int = 1, quantizer: String = "flat"): DataFrame = {
     val centArr =
-      if (kmeansIters > 0) kmeansCentroids(corpus, nlist, kmeansIters)
+      if (kmeansIters > 0)
+        kmeansCentroids(corpus, nlist, kmeansIters, quantizer)
       else collectCentroids(ivfCentroids(corpus, nlist))
-    val indexed = assignCells(corpus, centArr, multiAssign)
+    val indexed = assignWith(quantizer, corpus, centArr, multiAssign)
     // materialize the scored candidate stream once: the top-k ranking
     // AND the scanned-pair count both consume it, and it is the most
     // expensive stage (cell-tag + probe join) of the whole report
@@ -448,8 +467,8 @@ object Similarity {
     */
   def writeIvfIndex(corpus: DataFrame, dir: String,
       centroids: Array[(Int, Array[Float])],
-      multiAssign: Int = 1): Unit =
-    assignCells(corpus, centroids, multiAssign)
+      multiAssign: Int = 1, quantizer: String = "flat"): Unit =
+    assignWith(quantizer, corpus, centroids, multiAssign)
       .write.mode("overwrite").partitionBy("cell").parquet(dir)
 
   /** IVF top-k over a [[writeIvfIndex]] layout: the broadcast probe join

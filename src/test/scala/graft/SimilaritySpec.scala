@@ -209,6 +209,17 @@ class SimilaritySpec extends SparkSuite {
     val scanFrac = row.getDouble(2)
     assert(scanFrac <= 0.4, s"clustered scan_frac $scanFrac")
     assert(row.getInt(4) === 1)
+    // the two-level quantizer holds the same gate on the same data:
+    // well-separated families route identically through the hierarchy
+    val two = Similarity.ivfRecallStats(corpus, queries, k = 10,
+      nlist = 16, nprobe = 2, kmeansIters = 2, multiAssign = 1,
+      quantizer = "two-level").collect()(0)
+    assert(two.getDouble(0) >= 0.9, s"two-level recall $two")
+    assert(two.getDouble(2) <= 0.4, s"two-level scan_frac $two")
+    intercept[IllegalArgumentException] {
+      Similarity.ivfRecallStats(corpus, queries, quantizer = "nope")
+        .collect()
+    }
   }
 
   test("quantized top-k agrees with float top-k on rank-1 for most queries") {

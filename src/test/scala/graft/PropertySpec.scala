@@ -205,4 +205,60 @@ class PropertySpec extends SparkSuite {
       assert(grand === fact.agg(sum($"count")).collect()(0).getLong(0))
     }
   }
+
+  test("semantic pairs ⊆ exact pairs for random data, both quantizers") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val n = 60 + rnd.nextInt(60)
+      val dim = 8 + 4 * rnd.nextInt(3)
+      val data = (0 until n).map(i =>
+        (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+        .toDF("vec_id", "embedding")
+      val th = 0.1 + rnd.nextDouble() * 0.4
+      val nlist = Seq(4, 8, 16)(rnd.nextInt(3))
+      val m = 1 + rnd.nextInt(2)
+      val exact = graft.operators.Similarity.cosinePairsExact(data, th)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      for (q <- Seq("flat", "two-level")) {
+        val found = Dedup.semanticNearDupPairs(data, nlist, th,
+          kmeansIters = 1, multiAssign = m, quantizer = q).collect()
+        found.foreach { r =>
+          val pair = (r.getLong(0), r.getLong(1))
+          assert(r.getLong(0) < r.getLong(1), s"$q $trial unordered $pair")
+          assert(exact.contains(pair),
+            s"$q trial=$trial th=$th nlist=$nlist m=$m: $pair not exact")
+        }
+        // no duplicate pair rows survive multi-assignment
+        val ids = found.map(r => (r.getLong(0), r.getLong(1)))
+        assert(ids.distinct.length === ids.length, s"$q dup pairs")
+      }
+    }
+  }
+
+  test("weighted sample nests monotonically in k and respects " +
+      "eligibility") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val rows = (0 until 80).map { i =>
+        val w = rnd.nextInt(5) match {
+          case 0 => 0.0
+          case 1 => -rnd.nextDouble()
+          case _ => rnd.nextDouble() * (i + 1)
+        }
+        (i.toLong, w)
+      }.toDF("doc_id", "w")
+      val eligible = rows.where($"w" > 0).count()
+      // deterministic total order (key desc, id asc) ⇒ top-k nests
+      val samples = Seq(5, 15, 40, 100).map { k =>
+        k -> graft.operators.Sharding.weightedSample(rows, k, $"w")
+          .collect().map(_.getLong(0)).toSet
+      }
+      samples.foreach { case (k, s) =>
+        assert(s.size === math.min(k.toLong, eligible), s"k=$k")
+      }
+      samples.sliding(2).foreach { case Seq((k1, s1), (_, s2)) =>
+        assert(s1.subsetOf(s2), s"trial $trial: sample($k1) not nested")
+      }
+    }
+  }
 }

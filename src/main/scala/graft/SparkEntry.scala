@@ -662,6 +662,9 @@ object SparkEntry {
     "q66_token_shards" -> ((s, dir) =>
       Sharding.tokenShards(t(s, dir, "documents"), budget = 2048L)
         .orderBy(col("doc_id").asc)),
+    "q80_pack_bins" -> ((s, dir) =>
+      Sharding.packBins(t(s, dir, "documents"), nBins = 8)
+        .orderBy(col("doc_id").asc)),
     "q67_split_leakage" -> ((s, dir) =>
       Sharding.splitLeakage(t(s, dir, "documents"))
         .orderBy(col("split").asc)),
@@ -1331,6 +1334,23 @@ object SparkEntry {
           |SELECT doc_id, n_tokens,
           |  CAST(floor(cum_prev / 2048.0) AS BIGINT) AS shard_id
           |FROM c ORDER BY doc_id""".stripMargin,
+      "q80_pack_bins" ->
+        // serpentine over the global (tokens desc, id) rank with B=8:
+        // r%16 < 8 forward pass, else the reflected pass
+        """WITH tk AS (
+          |  SELECT doc_id,
+          |    CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+          |      AS INT) AS n_tokens
+          |  FROM documents),
+          |r AS (
+          |  SELECT doc_id, n_tokens,
+          |    row_number() OVER (ORDER BY n_tokens DESC, doc_id ASC) - 1
+          |      AS r0
+          |  FROM tk)
+          |SELECT doc_id, n_tokens,
+          |  CAST(CASE WHEN r0 % 16 < 8 THEN r0 % 8
+          |       ELSE 15 - (r0 % 16) END AS BIGINT) AS bin
+          |FROM r ORDER BY doc_id""".stripMargin,
       "q67_split_leakage" ->
         // q65's bucket fold + q43's fingerprint, aggregated per split
         """WITH k AS (

@@ -165,6 +165,50 @@ object Sharding {
       .select(col("doc_id"), col("n_tokens"), col("shard_id"))
   }
 
+  /** Balanced token packing: assign documents to `nBins` bins with
+    * near-equal total token load — the pack-the-batch step before
+    * assembling fixed-budget training sequences (distinct from
+    * [[tokenShards]], which cuts CONSECUTIVE docs into budget-sized
+    * shards; here bins are balanced, order is free). Greedy serpentine
+    * over the global descending-token rank: rank r →
+    * `r mod 2B < B ? r mod B : B-1-(r mod B)`, the deterministic
+    * SQL-expressible cousin of longest-processing-time scheduling —
+    * per full serpentine pass every bin receives exactly one doc from
+    * each direction, so bin loads differ by at most one document's
+    * tokens per boundary effect (PropertySpec bounds the spread by the
+    * largest document).
+    *
+    * Scale design: the global rank is the [[tokenShards]] distributed
+    * prefix machinery — range-partition by (tokens desc, id), rank
+    * within partitions, add per-partition count offsets (driver rows =
+    * partition metadata). No global single-partition window.
+    */
+  def packBins(docs: DataFrame, nBins: Int,
+      numParts: Int = 32): DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    val toks = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    val ranged = toks
+      .repartitionByRange(numParts, col("n_tokens").desc,
+        col("doc_id").asc)
+      .sortWithinPartitions(col("n_tokens").desc, col("doc_id").asc)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = ranged.groupBy(col("pid")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offByPid = counts.zip(
+      counts.scanLeft(0L) { case (acc, (_, c)) => acc + c })
+      .map { case ((pid, _), off) => pid -> off }.toMap
+    val w = Window.partitionBy(col("pid"))
+      .orderBy(col("n_tokens").desc, col("doc_id").asc)
+    val rank0 = row_number().over(w).cast("long") - 1L +
+      element_at(typedLit(offByPid), col("pid")).cast("long")
+    val m = pmod(rank0, lit(2L * nBins))
+    ranged.select(col("doc_id"), col("n_tokens"),
+      when(m < nBins, m).otherwise(lit(2L * nBins) - 1L - m)
+        .cast("long").as("bin"))
+  }
+
   /** Quality-weighted sampling WITHOUT replacement (Efraimidis &
     * Spirakis, "Weighted random sampling with a reservoir", IPL 2006):
     * rank rows by key = ln(u)/w — the A-ES key u^(1/w) through the

@@ -182,6 +182,13 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("windowspecdefinition(__k"), p.take(3000))
   }
 
+  test("pack bins ranks per range partition, never a global " +
+      "single-partition window") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val p = plan(graft.operators.Sharding.packBins(docs, 8, numParts = 4))
+    assert(p.contains("windowspecdefinition(pid"), p.take(3000))
+  }
+
   test("weighted sample plans a bounded top-k, never a global sort") {
     val p = plan(SparkEntry.queries("q78_weighted_sample")(spark, sf()))
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))

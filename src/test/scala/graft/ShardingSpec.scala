@@ -126,6 +126,33 @@ class ShardingSpec extends SparkSuite {
     assert(shards.toSet.size > 1) // budget actually splits the corpus
   }
 
+  test("pack bins: matches the single-machine serpentine reference and " +
+      "balances token loads") {
+    val docs = (0L until 500L)
+      .map(i => (i, Seq.fill((i % 37).toInt + 1)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val nBins = 7
+    val got = Sharding.packBins(docs, nBins, numParts = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // reference: global sort + serpentine formula on a single machine
+    val expected = got.map(t => (t._1, t._2))
+      .sortBy { case (id, n) => (-n, id) }
+      .zipWithIndex
+      .map { case ((id, _), r) =>
+        val m = r % (2 * nBins)
+        id -> (if (m < nBins) m.toLong else 2 * nBins - 1 - m.toLong)
+      }.toMap
+    got.foreach { case (id, _, bin) =>
+      assert(bin === expected(id), s"doc $id")
+    }
+    // serpentine balance: bin totals spread within 2x the largest doc
+    val loads = got.groupBy(_._3).map { case (_, g) => g.map(_._2).sum }
+    assert(loads.size === nBins)
+    val maxDoc = got.map(_._2).max
+    assert(loads.max - loads.min <= 2 * maxDoc,
+      s"spread ${loads.max - loads.min} vs maxDoc $maxDoc")
+  }
+
   test("weighted sample: deterministic, weight-filtered, salt-redrawable") {
     val docs = spark.read.parquet(sf() + "/documents.parquet")
     val w = $"n_chars" + 1

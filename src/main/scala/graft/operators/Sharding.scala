@@ -133,28 +133,39 @@ object Sharding {
     * `Window.orderBy` with no partitioning would funnel the corpus
     * through ONE task; this keeps every stage parallel.
     */
+  /** The distributed-prefix scaffold shared by [[tokenShards]] and
+    * [[packBins]]: range-partition by `sortCols`, pin partitions with a
+    * localCheckpoint (so the per-partition totals job and the final job
+    * see identical pids/boundaries), aggregate `perPid` per partition,
+    * and return the pinned frame plus a column mapping each row's pid
+    * to the sum of EARLIER partitions' totals — nParts driver rows of
+    * index metadata, never a single-partition window.
+    */
+  private def rangedWithOffsets(df: DataFrame, numParts: Int,
+      sortCols: Seq[Column], perPid: Column): (DataFrame, Column) = {
+    val ranged = df
+      .repartitionByRange(numParts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val totals = ranged.groupBy(col("pid"))
+      .agg(perPid.as("t"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val offByPid = totals.zip(
+      totals.scanLeft(0L) { case (acc, (_, t)) => acc + t })
+      .map { case ((pid, _), off) => pid -> off }.toMap
+    (ranged, element_at(typedLit(offByPid), col("pid")).cast("long"))
+  }
+
   def tokenShards(docs: DataFrame, budget: Long,
       numParts: Int = 32): DataFrame = {
     require(budget > 0, "budget must be positive")
     val toks = docs.select(col("doc_id"),
       TextAnalysis.tokenCount(col("text")).as("n_tokens"))
-    // localCheckpoint pins the (sampled) range boundaries so the totals
-    // job and the final job see identical partitions/pids
-    val ranged = toks
-      .repartitionByRange(numParts, col("doc_id"))
-      .sortWithinPartitions(col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
-    val totals = ranged.groupBy(col("pid"))
-      .agg(sum(col("n_tokens")).as("t"))
-      .collect()
-      .map(r => r.getInt(0) -> r.getLong(1))
-      .sortBy(_._1)
-    // per-partition prefix offsets: offset(pid) = sum of earlier totals
-    val offByPid = totals.zip(
-      totals.scanLeft(0L) { case (acc, (_, t)) => acc + t })
-      .map { case ((pid, _), off) => pid -> off }.toMap
-    val offCol = element_at(typedLit(offByPid), col("pid")).cast("long")
+    val (ranged, offCol) = rangedWithOffsets(toks, numParts,
+      Seq(col("doc_id")), sum(col("n_tokens")))
     val w = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     ranged
@@ -188,21 +199,11 @@ object Sharding {
     require(nBins > 0, "nBins must be positive")
     val toks = docs.select(col("doc_id"),
       TextAnalysis.tokenCount(col("text")).as("n_tokens"))
-    val ranged = toks
-      .repartitionByRange(numParts, col("n_tokens").desc,
-        col("doc_id").asc)
-      .sortWithinPartitions(col("n_tokens").desc, col("doc_id").asc)
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
-    val counts = ranged.groupBy(col("pid")).count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val offByPid = counts.zip(
-      counts.scanLeft(0L) { case (acc, (_, c)) => acc + c })
-      .map { case ((pid, _), off) => pid -> off }.toMap
+    val (ranged, offCol) = rangedWithOffsets(toks, numParts,
+      Seq(col("n_tokens").desc, col("doc_id").asc), count(lit(1)))
     val w = Window.partitionBy(col("pid"))
       .orderBy(col("n_tokens").desc, col("doc_id").asc)
-    val rank0 = row_number().over(w).cast("long") - 1L +
-      element_at(typedLit(offByPid), col("pid")).cast("long")
+    val rank0 = row_number().over(w).cast("long") - 1L + offCol
     val m = pmod(rank0, lit(2L * nBins))
     ranged.select(col("doc_id"), col("n_tokens"),
       when(m < nBins, m).otherwise(lit(2L * nBins) - 1L - m)

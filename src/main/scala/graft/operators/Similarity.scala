@@ -208,6 +208,14 @@ object Similarity {
         }
       }.toArray
     }
+    // final pass: memberships must be computed against the RETURNED
+    // super-directions, not the pre-update ones — otherwise runtime
+    // routing (argmax over the returned supers) can disagree with the
+    // family partition and systematically score the wrong children
+    assign = units.map { u =>
+      supers.indices.maxBy(i =>
+        supers(i).zip(u).map { case (a, b) => a * b }.sum)
+    }
     supers.indices.flatMap { i =>
       val members = cents.indices.filter(assign(_) == i).map(cents).toArray
       if (members.isEmpty) None
@@ -224,15 +232,20 @@ object Similarity {
     * O((√nlist + nlist/√nlist)·dim) ≈ 2√nlist·dim per row. The result
     * is an APPROXIMATE nearest cell — a row near a family boundary can
     * land in the second-best family's best child, the standard
-    * hierarchical-IVF trade (SimilaritySpec floors the agreement rate
-    * vs flat assignment).
+    * hierarchical-IVF trade (pinned end-to-end: SimilaritySpec holds
+    * the clustered-data IVF recall gate under this quantizer, and
+    * DedupSpec floors the dedup-recall gap vs flat at the same scan
+    * budget).
     *
     * Still a pure projection: the super argmax materializes once as
     * `__super`, and the child argmax is a CASE over it whose branches
     * each score ONE family's children — codegen executes only the
     * matched branch. No join, no shuffle, no UDF. `multiAssign` > 1
     * explodes over the m nearest families (boundary replication at the
-    * family level, the same recall lever as [[assignCells]]).
+    * family level, the same recall lever as [[assignCells]]); asking
+    * for more families than exist is rejected, not silently clamped —
+    * the recall reports print the requested m, so a clamp would
+    * disclose replication that never happened.
     */
   def assignCellsTwoLevel(corpus: DataFrame,
       centroids: Array[(Int, Array[Float])],
@@ -240,10 +253,13 @@ object Similarity {
     require(multiAssign >= 1, "multiAssign must be >= 1")
     val g = math.ceil(math.sqrt(centroids.length.toDouble)).toInt
     val groups = groupCentroids(centroids, g)
+    require(multiAssign <= groups.length,
+      s"multiAssign=$multiAssign exceeds the ${groups.length} centroid " +
+        "families (~sqrt(nlist)); lower m or use the flat quantizer")
     val superCents = groups.zipWithIndex.map { case ((s, _), i) => (i, s) }
     val superCol =
       if (multiAssign == 1) nearestCell(col("embedding"), superCents)
-      else explode(probeCells(superCents, multiAssign min groups.length))
+      else explode(probeCells(superCents, multiAssign))
     // default branch = family 0's children: semantically unreachable
     // (__super always matches some family) but keeps the CASE total
     val childArgmax = groups.zipWithIndex.tail.foldLeft(
@@ -333,6 +349,10 @@ object Similarity {
       centroids: Array[(Int, Array[Float])],
       multiAssign: Int = 1): DataFrame = {
     require(multiAssign >= 1, "multiAssign must be >= 1")
+    // probeCells' slice would silently clamp m > nlist while the recall
+    // reports print the requested m — reject instead
+    require(multiAssign <= centroids.length,
+      s"multiAssign=$multiAssign exceeds nlist=${centroids.length}")
     if (multiAssign == 1)
       corpus.withColumn("cell", nearestCell(col("embedding"), centroids))
     else

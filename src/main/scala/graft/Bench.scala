@@ -76,6 +76,13 @@ object Bench {
       runQueries(spark, sfDir, SparkEntry.queries.toSeq.sortBy(_._1),
         passes)
     val sfLabel = sfDir.substring(sfDir.lastIndexOf('/') + 1)
+    // full, never-trimmed detail to a file (the stdout line may drop
+    // cheap entries under the tail-capture budget — see renderJson)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("target/bench_full.json"),
+      renderJson(results, errors, sfLabel, Int.MaxValue)
+        .getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     println(renderJson(results, errors, sfLabel))
     spark.stop()
   }
@@ -120,23 +127,48 @@ object Bench {
     (results, errors.toSet)
   }
 
+  /** Stdout line byte budget: the driver keeps only the LAST 2000
+    * chars of the run's output (BENCH_r05.json `tail` is exactly 2000),
+    * and sbt's success trailer eats ~75 from the end — a longer line
+    * loses its HEAD, where `"value"` lives (round 2 overflowed exactly
+    * this way; at 80 queries the old 2-decimal line crossed the cliff
+    * again in round 6). 1880 leaves ~45 bytes of slack under the
+    * measured ceiling.
+    */
+  val LineBudget = 1880
+
+  /** Compact time format: 2 decimals (10 ms) under 1 s, 1 decimal
+    * above (sub-second queries are where 10 ms resolution matters;
+    * multi-second medians drown 10 ms in jitter), trailing zeros
+    * trimmed — every byte of the stdout line is tail-capture budget
+    * ([[LineBudget]]). headline_total is summed from the UNrounded
+    * medians, so per-entry rounding never skews the headline.
+    */
+  private def fmt(v: Double): String = {
+    val s = if (math.abs(v) >= 1) f"$v%.1f" else f"$v%.2f"
+    if (s.contains('.'))
+      s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+    else s
+  }
+
   /** One machine-read JSON line. Failed queries appear with time -1 in
     * `queries`, their names in an `errors` array (key present only on
     * failure, to preserve the tail byte budget), and they poison
     * `headline_total` to -1 so a driver reading only the headline sees
     * the breakage.
+    *
+    * If the line would overflow [[LineBudget]], the CHEAPEST
+    * non-headline, non-error query entries are dropped (they carry the
+    * least timing signal) and a `"dropped":N` field discloses the
+    * count — headline members, failures, and the totals always
+    * survive, so the head of the line can never be truncated away by
+    * the driver's tail capture.
     */
   def renderJson(
       results: Seq[(String, Double)],
       errors: Set[String],
-      sfLabel: String): String = {
-    // 2 decimals (10 ms precision): the driver captures only the tail of
-    // the sbt output, and round 2's full-precision line overflowed it —
-    // the line must stay well under ~2 KB or `headline_total` gets
-    // truncated. At 72 queries the 3-decimal line had ~110 bytes of
-    // headroom; 2 decimals + short sf label keep ~250.
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
-      .mkString("{", ",", "}")
+      sfLabel: String,
+      budget: Int = LineBudget): String = {
     // headline = a FIXED representative set, stable across rounds, so the
     // round-over-round baseline comparison is apples-to-apples even as the
     // query inventory grows; per-query times for everything are in
@@ -151,6 +183,29 @@ object Bench {
       if (errors.isEmpty) ""
       else errors.toSeq.sorted.map("\"" + _ + "\"")
         .mkString(""","errors":[""", ",", "]")
-    f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs%s$errsField%s,"sf":"$sfLabel%s"}"""
+    def line(rs: Seq[(String, Double)], dropped: Int): String = {
+      val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val droppedField =
+        if (dropped == 0) "" else s""","dropped":$dropped"""
+      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs%s$errsField%s$droppedField%s,"sf":"$sfLabel%s"}"""
+    }
+    val full = line(results, 0)
+    if (full.length <= budget) full
+    else {
+      val protectedKeys = headlineSet ++ errors
+      // cheapest first, name as deterministic tie-break
+      val dropOrder = results.filter(r => !protectedKeys.contains(r._1))
+        .sortBy { case (k, v) => (v, k) }.map(_._1)
+      var keep = results
+      var out = full
+      val it = dropOrder.iterator
+      while (out.length > budget && it.hasNext) {
+        val victim = it.next()
+        keep = keep.filterNot(_._1 == victim)
+        out = line(keep, results.length - keep.length)
+      }
+      out
+    }
   }
 }

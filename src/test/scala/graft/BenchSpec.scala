@@ -43,7 +43,7 @@ class BenchSpec extends SparkSuite {
       Seq("good" -> 0.42, "bad" -> -1.0), Set("bad"), "sf0.1")
     assert(json.contains(""""value":-1.000"""))
     assert(json.contains(""""errors":["bad"]"""))
-    assert(json.contains(""""bad":-1.00"""))
+    assert(json.contains(""""bad":-1"""))
   }
 
   test("clean runs keep the exact legacy JSON shape (no errors key)") {
@@ -51,7 +51,45 @@ class BenchSpec extends SparkSuite {
       Seq(Bench.Headline.head -> 0.50, "qxx_other" -> 0.25),
       Set.empty, "sf0.1")
     assert(!json.contains("errors"))
+    assert(!json.contains("dropped"))
     assert(json.contains(""""value":0.500"""))
     assert(json.startsWith("""{"metric":"headline_total""""))
+  }
+
+  test("the stdout line never exceeds the tail-capture budget; " +
+      "headline and error entries always survive the trim") {
+    // 300 synthetic queries would render ~7 KB untrimmed
+    val many = (1 to 300).map(i => f"q${i}%03d_synthetic_name" -> i * 0.01)
+    val results = Bench.Headline.map(_ -> 0.5) ++ many ++
+      Seq("qzz_broken" -> -1.0)
+    val json = Bench.renderJson(results, Set("qzz_broken"), "sf0.1")
+    assert(json.length <= Bench.LineBudget, s"len ${json.length}")
+    assert(json.contains(""""dropped":"""))
+    Bench.Headline.foreach(h => assert(json.contains("\"" + h + "\":")))
+    assert(json.contains(""""qzz_broken":-1"""))
+    assert(json.contains(""""errors":["qzz_broken"]"""))
+    assert(json.endsWith(""","sf":"sf0.1"}"""))
+    // the full render (no budget) keeps everything and stays parseable
+    val full = Bench.renderJson(results, Set("qzz_broken"), "sf0.1",
+      Int.MaxValue)
+    assert(!full.contains("dropped"))
+    many.foreach { case (k, _) => assert(full.contains("\"" + k + "\":")) }
+  }
+
+  test("the real query inventory stays within budget, trimming at most " +
+      "a few cheap entries") {
+    // every current query at a realistic 4-char time — the full
+    // inventory sits AT the physical ceiling, so a handful of cheap
+    // entries may trim (disclosed + preserved in bench_full.json), but
+    // wholesale trimming means names outgrew the capture window
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 0.55)
+    val json = Bench.renderJson(results, Set.empty, "sf0.1")
+    assert(json.length <= Bench.LineBudget, s"len ${json.length}")
+    val dropped = """"dropped":(\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toInt).getOrElse(0)
+    assert(dropped <= 5,
+      s"$dropped of ${results.size} entries trimmed — query names have " +
+        "outgrown the driver capture window")
+    Bench.Headline.foreach(h => assert(json.contains("\"" + h + "\":")))
   }
 }

@@ -529,7 +529,7 @@ object Dedup {
     */
   def semanticNearDupPairs(embeddings: DataFrame, nlist: Int = 16,
       threshold: Double = 0.95, kmeansIters: Int = 2,
-      multiAssign: Int = 1, quantizer: String = "flat"): DataFrame =
+      multiAssign: Int = 1, quantizer: String = "auto"): DataFrame =
     pairsFromTagged(
       taggedNormed(embeddings, nlist, kmeansIters, multiAssign,
         quantizer),
@@ -548,7 +548,7 @@ object Dedup {
     */
   private def taggedNormed(embeddings: DataFrame, nlist: Int,
       kmeansIters: Int, multiAssign: Int,
-      quantizer: String = "flat"): DataFrame = {
+      quantizer: String = "auto"): DataFrame = {
     val base = embeddings.select(col("vec_id"), col("embedding"))
     val cents = Similarity.kmeansCentroids(base, nlist, kmeansIters,
       quantizer)
@@ -589,7 +589,7 @@ object Dedup {
       threshold: Double = 0.95, kmeansIters: Int = 2,
       multiAssign: Int = 1, maxIter: Int = 10,
       strategy: String = "labelprop",
-      quantizer: String = "flat"): DataFrame =
+      quantizer: String = "auto"): DataFrame =
     dedupByClusters(embeddings,
       semanticNearDupPairs(embeddings, nlist, threshold, kmeansIters,
         multiAssign, quantizer),
@@ -610,7 +610,7 @@ object Dedup {
     */
   def semanticDedupRecall(embeddings: DataFrame, nlist: Int = 16,
       threshold: Double = 0.95, kmeansIters: Int = 2,
-      multiAssign: Int = 1, quantizer: String = "flat"): DataFrame = {
+      multiAssign: Int = 1, quantizer: String = "auto"): DataFrame = {
     val base = embeddings.select(col("vec_id"), col("embedding"))
       .localCheckpoint()
     val exact = Similarity.cosinePairsExact(base, threshold)

@@ -290,7 +290,7 @@ object Similarity {
     * discovered from the data, not declared.
     */
   def kmeansCentroids(corpus: DataFrame, nlist: Int = 16,
-      iters: Int = 2, quantizer: String = "flat"): Array[(Int, Array[Float])] = {
+      iters: Int = 2, quantizer: String = "auto"): Array[(Int, Array[Float])] = {
     var cents = collectCentroids(ivfCentroids(corpus, nlist))
     for (_ <- 0 until iters) {
       // the Lloyd pass's own assignment honors the quantizer choice:
@@ -298,12 +298,10 @@ object Similarity {
       // method budget and the refinement pass — not the pair search —
       // becomes the dominant cost (measured 23 s vs ~1 s two-level at
       // sf1; docs/BENCH_SF1.md appendix)
-      val assigned = quantizer match {
+      val assigned = resolveQuantizer(quantizer, cents.length) match {
         case "flat" =>
           corpus.withColumn("cell", nearestCell(col("embedding"), cents))
-        case "two-level" => assignCellsTwoLevel(corpus, cents)
-        case other => throw new IllegalArgumentException(
-          s"unknown quantizer '$other' (expected 'flat' or 'two-level')")
+        case _ => assignCellsTwoLevel(corpus, cents)
       }
       val means = assigned
         .groupBy(col("cell"))
@@ -398,26 +396,48 @@ object Similarity {
     * exact [[bruteForceTopK]] is the correctness oracle. Centroids are
     * Lloyd-refined when `kmeansIters > 0`.
     */
+  /** The nlist above which "auto" switches to the two-level quantizer:
+    * the measured crossover (docs/BENCH_SF1.md appendix) — at nlist=64
+    * flat and two-level tie; at 256 flat is 3.5× slower end-to-end
+    * because its argmax expression outgrows the codegen method budget.
+    */
+  val AutoTwoLevelAbove = 64
+
+  /** Resolve a quantizer name to a concrete one: "auto" picks "flat"
+    * for nlist ≤ [[AutoTwoLevelAbove]] (exact assignment, free at
+    * small nlist) and "two-level" above it (the only shape that stays
+    * codegen'd there). Explicit names pass through; unknown names
+    * fail loudly.
+    */
+  private[graft] def resolveQuantizer(quantizer: String,
+      nlist: Int): String = quantizer match {
+    case "auto" => if (nlist <= AutoTwoLevelAbove) "flat" else "two-level"
+    case q @ ("flat" | "two-level") => q
+    case other => throw new IllegalArgumentException(
+      s"unknown quantizer '$other' " +
+        "(expected 'flat', 'two-level', or 'auto')")
+  }
+
   /** Corpus cell assignment under the chosen coarse quantizer — the
     * dispatch shared by the inline IVF, the recall gate, the written
     * index, and (via Dedup) the semantic-dedup surface. "flat" =
     * [[assignCells]] (exact nearest cell, O(nlist·d)/row); "two-level"
     * = [[assignCellsTwoLevel]] (approximate, O(2√nlist·d)/row — the
-    * large-nlist shape, see docs/BENCH_SF1.md appendix).
+    * large-nlist shape, see docs/BENCH_SF1.md appendix); "auto" =
+    * size-based choice via [[resolveQuantizer]].
     */
   private[operators] def assignWith(quantizer: String, corpus: DataFrame,
       centroids: Array[(Int, Array[Float])],
-      multiAssign: Int): DataFrame = quantizer match {
-    case "flat" => assignCells(corpus, centroids, multiAssign)
-    case "two-level" => assignCellsTwoLevel(corpus, centroids, multiAssign)
-    case other => throw new IllegalArgumentException(
-      s"unknown quantizer '$other' (expected 'flat' or 'two-level')")
-  }
+      multiAssign: Int): DataFrame =
+    resolveQuantizer(quantizer, centroids.length) match {
+      case "flat" => assignCells(corpus, centroids, multiAssign)
+      case _ => assignCellsTwoLevel(corpus, centroids, multiAssign)
+    }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
       nlist: Int = 16, nprobe: Int = 4,
       kmeansIters: Int = 1, multiAssign: Int = 1,
-      quantizer: String = "flat"): DataFrame = {
+      quantizer: String = "auto"): DataFrame = {
     val centArr =
       if (kmeansIters > 0)
         kmeansCentroids(corpus, nlist, kmeansIters, quantizer)
@@ -439,7 +459,7 @@ object Similarity {
     */
   def ivfRecallStats(corpus: DataFrame, queries: DataFrame, k: Int = 10,
       nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 1,
-      multiAssign: Int = 1, quantizer: String = "flat"): DataFrame = {
+      multiAssign: Int = 1, quantizer: String = "auto"): DataFrame = {
     val centArr =
       if (kmeansIters > 0)
         kmeansCentroids(corpus, nlist, kmeansIters, quantizer)
@@ -487,7 +507,7 @@ object Similarity {
     */
   def writeIvfIndex(corpus: DataFrame, dir: String,
       centroids: Array[(Int, Array[Float])],
-      multiAssign: Int = 1, quantizer: String = "flat"): Unit =
+      multiAssign: Int = 1, quantizer: String = "auto"): Unit =
     assignWith(quantizer, corpus, centroids, multiAssign)
       .write.mode("overwrite").partitionBy("cell").parquet(dir)
 

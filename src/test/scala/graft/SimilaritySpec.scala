@@ -220,6 +220,12 @@ class SimilaritySpec extends SparkSuite {
       Similarity.ivfRecallStats(corpus, queries, quantizer = "nope")
         .collect()
     }
+    // "auto" resolves by the measured crossover: exact flat assignment
+    // while it is cheap, two-level once the flat argmax would outgrow
+    // the codegen budget
+    assert(Similarity.resolveQuantizer("auto", 64) === "flat")
+    assert(Similarity.resolveQuantizer("auto", 65) === "two-level")
+    assert(Similarity.resolveQuantizer("flat", 1000) === "flat")
   }
 
   test("quantized top-k agrees with float top-k on rank-1 for most queries") {

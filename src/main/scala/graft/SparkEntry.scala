@@ -598,6 +598,15 @@ object SparkEntry {
         t(s, dir, "documents").where(col("doc_id") < 1000),
         threshold = 0.5)
         .orderBy(col("id_a").asc, col("id_b").asc)),
+    // overlap coefficient on the same capped sample — catches the
+    // small-doc-quoted-in-large-doc family Jaccard's union denominator
+    // suppresses (containment >= jaccard always, so this supersets q62
+    // at the same threshold)
+    "q81_containment_allpairs" -> ((s, dir) =>
+      Dedup.containmentAllPairs(
+        t(s, dir, "documents").where(col("doc_id") < 1000),
+        threshold = 0.5)
+        .orderBy(col("id_a").asc, col("id_b").asc)),
     // capped like every all-pairs oracle baseline (q62/q64/q69): O(n²)
     // by construction, it exists to validate the LSH path (q35) on a
     // sample — the sf1 scaling run measured the uncapped form at 98×
@@ -1203,6 +1212,17 @@ object SparkEntry {
            |SELECT id_a, id_b,
            |  n_inter / (na + nb - n_inter) AS jaccard
            |FROM pairs WHERE n_inter / (na + nb - n_inter) >= 0.5
+           |ORDER BY id_a, id_b""".stripMargin,
+      "q81_containment_allpairs" ->
+        s"""WITH $shingleSql,
+           |pairs AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |    len(list_intersect(a.shingles, b.shingles)) AS n_inter,
+           |    len(a.shingles) AS na, len(b.shingles) AS nb
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+           |SELECT id_a, id_b,
+           |  n_inter / least(na, nb) AS containment
+           |FROM pairs WHERE n_inter / least(na, nb) >= 0.5
            |ORDER BY id_a, id_b""".stripMargin,
       "q63_cosine_allpairs" ->
         s"""WITH $vecNormSql,

@@ -174,6 +174,35 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Exact all-pairs CONTAINMENT (overlap coefficient):
+    * |A∩B| / min(|A|,|B|) ≥ threshold — the partial-overlap family
+    * Jaccard misses entirely: a 100-shingle document quoted inside a
+    * 10k-shingle page has Jaccard ≤ 0.01 but containment 1.0
+    * (substring-level duplication motivates this measure — Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499). Same sorted-merge kernel and O(n²) oracle
+    * contract as [[jaccardAllPairs]]; minhash-LSH candidates
+    * UNDER-recall containment pairs (band collisions track Jaccard),
+    * so at scale candidates for this verify must come from a
+    * size-aware strategy — e.g. the exploded shingle join of
+    * [[contaminationScreen]]'s shuffle flavor with the suspected
+    * small side as the "benchmark" — never from [[minhashCandidates]]
+    * alone.
+    */
+  def containmentAllPairs(docs: DataFrame, numShingleWords: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = shingleHashArrays(docs, numShingleWords).localCheckpoint()
+    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("n_inter",
+        native.sorted_intersect_count(col("sh_a"), col("sh_b")))
+      .withColumn("containment",
+        col("n_inter") / least(size(col("sh_a")), size(col("sh_b"))))
+      .where(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+  }
+
   // -------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over token hashes, computed per row by the native

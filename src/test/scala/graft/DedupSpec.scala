@@ -167,6 +167,24 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("containment catches a small doc quoted in a large one that " +
+      "jaccard misses") {
+    val small = "alpha beta gamma delta epsilon zeta eta theta"
+    val filler = (1 to 200).map(i => s"word$i").mkString(" ")
+    val corpus = Seq(
+      (0L, small),
+      (1L, s"$filler $small"), // small quoted inside a large page
+      (2L, "completely different text entirely")).toDF("doc_id", "text")
+    val cont = Dedup.containmentAllPairs(corpus, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cont === Set((0L, 1L)))
+    // the same pair is invisible to jaccard at any comparable threshold:
+    // the union denominator dilutes the small doc's full overlap
+    val jac = Dedup.jaccardAllPairs(corpus, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((0L, 1L)))
+  }
+
   test("embedding near-dup finds the planted duplicate vector") {
     val vecs = Seq(
       (0L, Array.fill(8)(1.0f)),

@@ -179,31 +179,48 @@ object Bench {
       if (errors.nonEmpty) -1.0
       else if (headline.nonEmpty) headline.map(_._2).sum
       else results.map(_._2).sum
-    val errsField =
-      if (errors.isEmpty) ""
-      else errors.toSeq.sorted.map("\"" + _ + "\"")
-        .mkString(""","errors":[""", ",", "]")
-    def line(rs: Seq[(String, Double)], dropped: Int): String = {
+    def line(rs: Seq[(String, Double)], dropped: Int,
+        errShown: Int): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val droppedField =
         if (dropped == 0) "" else s""","dropped":$dropped"""
+      val sortedErrs = errors.toSeq.sorted
+      val omitted = sortedErrs.length - errShown
+      val errsField =
+        if (errors.isEmpty) ""
+        else sortedErrs.take(errShown).map("\"" + _ + "\"")
+          .mkString(""","errors":[""", ",", "]") +
+          (if (omitted == 0) "" else s""","errors_omitted":$omitted""")
       f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs%s$errsField%s$droppedField%s,"sf":"$sfLabel%s"}"""
     }
-    val full = line(results, 0)
+    val full = line(results, 0, errors.size)
     if (full.length <= budget) full
     else {
-      val protectedKeys = headlineSet ++ errors
-      // cheapest first, name as deterministic tie-break
-      val dropOrder = results.filter(r => !protectedKeys.contains(r._1))
-        .sortBy { case (k, v) => (v, k) }.map(_._1)
+      // trim in rising order of information loss: (1) the cheapest
+      // clean non-headline timings; (2) erred queries' map entries —
+      // their names survive in the errors array, the -1 is redundant;
+      // (3) the errors array itself, keeping a count of the omitted
+      // names. Stage 3 bounds the line even in a mass-failure round
+      // (every query erred → nothing unprotected to drop → the old
+      // loop returned an over-budget line and the tail capture cut
+      // "value" off exactly when everything was broken).
+      val dropOrder =
+        results.filter(r => !headlineSet.contains(r._1) && !errors(r._1))
+          .sortBy { case (k, v) => (v, k) }.map(_._1) ++
+        results.map(_._1).filter(k => errors(k) && !headlineSet.contains(k))
       var keep = results
       var out = full
       val it = dropOrder.iterator
       while (out.length > budget && it.hasNext) {
         val victim = it.next()
         keep = keep.filterNot(_._1 == victim)
-        out = line(keep, results.length - keep.length)
+        out = line(keep, results.length - keep.length, errors.size)
+      }
+      var errShown = errors.size
+      while (out.length > budget && errShown > 0) {
+        errShown -= 1
+        out = line(keep, results.length - keep.length, errShown)
       }
       out
     }

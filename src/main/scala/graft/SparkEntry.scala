@@ -1214,12 +1214,17 @@ object SparkEntry {
            |FROM pairs WHERE n_inter / (na + nb - n_inter) >= 0.5
            |ORDER BY id_a, id_b""".stripMargin,
       "q81_containment_allpairs" ->
+        // zero-shingle docs excluded on BOTH sides (allPairsScored does
+        // the same): 0/0 is NaN in DuckDB and NaN compares greater than
+        // any threshold, while Spark's Divide NULL-drops — the measure
+        // is simply undefined on empty shingle sets
         s"""WITH $shingleSql,
            |pairs AS (
            |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            |    len(list_intersect(a.shingles, b.shingles)) AS n_inter,
            |    len(a.shingles) AS na, len(b.shingles) AS nb
-           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |    AND len(a.shingles) > 0 AND len(b.shingles) > 0)
            |SELECT id_a, id_b,
            |  n_inter / least(na, nb) AS containment
            |FROM pairs WHERE n_inter / least(na, nb) >= 0.5

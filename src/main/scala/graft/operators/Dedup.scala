@@ -156,22 +156,36 @@ object Dedup {
     * engine-portable, so an external SQL engine reproduces it bit-for-bit.
     */
   def jaccardAllPairs(docs: DataFrame, numShingleWords: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
-    // materialize the shingle-hash arrays BEFORE the self-join: without
-    // the barrier CollapseProject inlines the shingle expression into the
-    // join's output projection and recomputes it per PAIR (O(n²)
-    // tokenizations instead of O(n) — measured 10× on 500k pairs)
-    val sh = shingleHashArrays(docs, numShingleWords).localCheckpoint()
+      threshold: Double = 0.5): DataFrame =
+    allPairsScored(docs, numShingleWords, threshold, "jaccard",
+      n => n / (size(col("sh_a")) + size(col("sh_b")) - n))
+
+  /** Shared all-pairs scaffold of [[jaccardAllPairs]] and
+    * [[containmentAllPairs]]: shingle-hash arrays → self-join →
+    * sorted-merge intersection → `score(n_inter)` thresholded.
+    * The localCheckpoint barrier BEFORE the self-join is load-bearing:
+    * without it CollapseProject inlines the shingle expression into the
+    * join's output projection and recomputes it per PAIR (O(n²)
+    * tokenizations instead of O(n) — measured 10× on 500k pairs).
+    * Zero-shingle docs (empty/whitespace text) are excluded up front —
+    * no overlap measure is defined on an empty set, and a zero
+    * denominator diverges across engines (Spark Divide → NULL-drop,
+    * DuckDB float → NaN that compares GREATER than any threshold).
+    */
+  private def allPairsScored(docs: DataFrame, numShingleWords: Int,
+      threshold: Double, scoreName: String,
+      score: Column => Column): DataFrame = {
+    val sh = shingleHashArrays(docs, numShingleWords)
+      .where(size(col("sh")) > 0)
+      .localCheckpoint()
     val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("n_inter",
         native.sorted_intersect_count(col("sh_a"), col("sh_b")))
-      .withColumn("jaccard",
-        col("n_inter") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")))
-      .where(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .withColumn(scoreName, score(col("n_inter")))
+      .where(col(scoreName) >= threshold)
+      .select("id_a", "id_b", scoreName)
   }
 
   /** Exact all-pairs CONTAINMENT (overlap coefficient):
@@ -190,18 +204,9 @@ object Dedup {
     * alone.
     */
   def containmentAllPairs(docs: DataFrame, numShingleWords: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
-    val sh = shingleHashArrays(docs, numShingleWords).localCheckpoint()
-    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("n_inter",
-        native.sorted_intersect_count(col("sh_a"), col("sh_b")))
-      .withColumn("containment",
-        col("n_inter") / least(size(col("sh_a")), size(col("sh_b"))))
-      .where(col("containment") >= threshold)
-      .select("id_a", "id_b", "containment")
-  }
+      threshold: Double = 0.5): DataFrame =
+    allPairsScored(docs, numShingleWords, threshold, "containment",
+      n => n / least(size(col("sh_a")), size(col("sh_b"))))
 
   // -------------------------------------------------------------- SimHash
 

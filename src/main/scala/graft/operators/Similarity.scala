@@ -298,11 +298,7 @@ object Similarity {
       // method budget and the refinement pass — not the pair search —
       // becomes the dominant cost (measured 23 s vs ~1 s two-level at
       // sf1; docs/BENCH_SF1.md appendix)
-      val assigned = resolveQuantizer(quantizer, cents.length) match {
-        case "flat" =>
-          corpus.withColumn("cell", nearestCell(col("embedding"), cents))
-        case _ => assignCellsTwoLevel(corpus, cents)
-      }
+      val assigned = assignWith(quantizer, corpus, cents, 1)
       val means = assigned
         .groupBy(col("cell"))
         .agg(graft.functions.sketches.fvec_mean(col("embedding"))
@@ -391,11 +387,6 @@ object Similarity {
     topKByScoreDesc(
       probeScored(indexed, queries, centroids, nprobe, dedupCandidates), k)
 
-  /** IVF approximate top-k: probe the `nprobe` nearest cells per query,
-    * score only vectors in probed cells. Recall < 1 by construction; the
-    * exact [[bruteForceTopK]] is the correctness oracle. Centroids are
-    * Lloyd-refined when `kmeansIters > 0`.
-    */
   /** The nlist above which "auto" switches to the two-level quantizer:
     * the measured crossover (docs/BENCH_SF1.md appendix) — at nlist=64
     * flat and two-level tie; at 256 flat is 3.5× slower end-to-end
@@ -430,10 +421,23 @@ object Similarity {
       centroids: Array[(Int, Array[Float])],
       multiAssign: Int): DataFrame =
     resolveQuantizer(quantizer, centroids.length) match {
+      // "auto" must never make a previously-valid (nlist, multiAssign)
+      // combination throw: two-level caps m at the ~√nlist family
+      // count, so when the requested replication exceeds it, stay on
+      // the exact flat path (valid up to m = nlist) instead
+      case "two-level" if quantizer == "auto" &&
+          multiAssign > math.ceil(
+            math.sqrt(centroids.length.toDouble)).toInt =>
+        assignCells(corpus, centroids, multiAssign)
       case "flat" => assignCells(corpus, centroids, multiAssign)
       case _ => assignCellsTwoLevel(corpus, centroids, multiAssign)
     }
 
+  /** IVF approximate top-k: probe the `nprobe` nearest cells per query,
+    * score only vectors in probed cells. Recall < 1 by construction; the
+    * exact [[bruteForceTopK]] is the correctness oracle. Centroids are
+    * Lloyd-refined when `kmeansIters > 0`.
+    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
       nlist: Int = 16, nprobe: Int = 4,
       kmeansIters: Int = 1, multiAssign: Int = 1,

@@ -76,6 +76,20 @@ class BenchSpec extends SparkSuite {
     many.foreach { case (k, _) => assert(full.contains("\"" + k + "\":")) }
   }
 
+  test("a mass-failure round still fits the budget: erred map entries " +
+      "then the errors array itself give way, with counts") {
+    // every query broken: nothing unprotected to drop — the old loop
+    // returned an over-budget line and the tail capture cut "value" off
+    // exactly when everything was broken
+    val names = (1 to 120).map(i => f"q${i}%03d_some_longish_name")
+    val results = names.map(_ -> -1.0)
+    val json = Bench.renderJson(results, names.toSet, "sf0.1")
+    assert(json.length <= Bench.LineBudget, s"len ${json.length}")
+    assert(json.startsWith("""{"metric":"headline_total","value":-1.000"""))
+    assert(json.contains(""""errors_omitted":"""))
+    assert(json.endsWith(""","sf":"sf0.1"}"""))
+  }
+
   test("the real query inventory stays within budget, trimming at most " +
       "a few cheap entries") {
     // every current query at a realistic 4-char time — the full

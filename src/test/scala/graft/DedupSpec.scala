@@ -183,6 +183,33 @@ class DedupSpec extends SparkSuite {
     val jac = Dedup.jaccardAllPairs(corpus, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(!jac.contains((0L, 1L)))
+    // zero-shingle docs are excluded, not NaN/NULL-divergent: an empty
+    // doc pairs with nothing under either measure
+    val withEmpty = corpus.union(Seq((3L, "")).toDF("doc_id", "text"))
+    val contEmpty = Dedup.containmentAllPairs(withEmpty, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!contEmpty.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("auto quantizer never rejects a multiAssign the flat path " +
+      "accepts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val emb = (0 until 200).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    // nlist=80 resolves auto -> two-level, whose family cap is
+    // ceil(sqrt(80)) = 9 < multiAssign=10 — auto falls back to flat
+    // instead of throwing; the explicit two-level still rejects
+    val pairs = Dedup.semanticNearDupPairs(emb, nlist = 80,
+      threshold = 0.2, kmeansIters = 1, multiAssign = 10,
+      quantizer = "auto")
+    assert(pairs.count() >= 0L)
+    intercept[IllegalArgumentException] {
+      Dedup.semanticNearDupPairs(emb, nlist = 80, threshold = 0.2,
+        kmeansIters = 1, multiAssign = 10, quantizer = "two-level")
+        .count()
+    }
   }
 
   test("embedding near-dup finds the planted duplicate vector") {

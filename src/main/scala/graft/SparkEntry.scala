@@ -607,6 +607,26 @@ object SparkEntry {
         t(s, dir, "documents").where(col("doc_id") < 1000),
         threshold = 0.5)
         .orderBy(col("id_a").asc, col("id_b").asc)),
+    // the containment SCALE path on the same capped sample and
+    // threshold as q81 so found-pairs ⊆ q81 is directly checkable
+    // (rows-only: the inverted-index candidate cut is df-dependent;
+    // the exact counterpart IS q81 and q83 quantifies the gap).
+    // maxDocFreq 1000 = the full sample — no shingle is cut at this
+    // size, so the path is exhaustive here; production sets a real cap
+    // and reads the q83 disclosure
+    "q82_containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(
+        t(s, dir, "documents").where(col("doc_id") < 1000),
+        threshold = 0.5)
+        .orderBy(col("id_a").asc, col("id_b").asc)),
+    // the honesty gate: recall vs exact all-pairs + verified-pair
+    // fraction in ONE row at q82's exact parameters (DedupSpec floors
+    // recall on planted doc-in-doc duplicates); input capped like
+    // every all-pairs baseline
+    "q83_containment_recall" -> ((s, dir) =>
+      Dedup.containmentRecall(
+        t(s, dir, "documents").where(col("doc_id") < 1000),
+        threshold = 0.5)),
     // capped like every all-pairs oracle baseline (q62/q64/q69): O(n²)
     // by construction, it exists to validate the LSH path (q35) on a
     // sample — the sf1 scaling run measured the uncapped form at 98×
@@ -1450,11 +1470,12 @@ object SparkEntry {
           |      FROM documents) t
           |GROUP BY token HAVING count(*) >= 500
           |ORDER BY token""".stripMargin
-      // q28, q32-q35, q38, q49, q70, q75-q77: not DuckDB-reproducible BY
-      // DESIGN (xxhash64-based minhash/simhash signatures,
-      // random-hyperplane / IVF / k-means bucketing, HLL sketch) →
-      // driver records rows-only checks; q62-q64/q69 are their
-      // brute-force oracle-checked baselines, and q70/q77 quantify the
+      // q28, q32-q35, q38, q49, q70, q75-q77, q82-q83: not
+      // DuckDB-reproducible BY DESIGN (xxhash64-based minhash/simhash
+      // signatures, random-hyperplane / IVF / k-means bucketing,
+      // df-dependent posting cuts, HLL sketch) → driver records
+      // rows-only checks; q62-q64/q69/q81 are their brute-force
+      // oracle-checked baselines, and q70/q77/q83 quantify the
       // approx/exact gap as recall rows.
     )
   }

@@ -118,13 +118,27 @@ object Dedup {
       native.shingle_hashes_sorted(col("tokens"), numShingleWords)
         .as("sh"))
 
-  /** n-gram Jaccard verification of candidate pairs: exact |A∩B|/|A∪B| by
-    * merging the two docs' sorted shingle-hash arrays — the candidate-pair
-    * table is broadcast back onto the per-doc arrays, so verification cost
-    * is O(candidates · shingles), with no shingle-level shuffle.
+  /** THE two overlap scores, defined once each so the exact all-pairs
+    * baselines and the candidate-verify scale paths share bit-identical
+    * arithmetic (the found ⊆ exact contract cannot drift between
+    * scorers): both divide the sorted-merge intersection count by a
+    * denominator built from the same `size(sh_a)`/`size(sh_b)` columns.
     */
-  def jaccardVerify(docs: DataFrame, candidates: DataFrame,
-      numShingleWords: Int = 3, threshold: Double = 0.7): DataFrame = {
+  private val jaccardScore: Column => Column =
+    n => n / (size(col("sh_a")) + size(col("sh_b")) - n)
+  private val containmentScore: Column => Column =
+    n => n / least(size(col("sh_a")), size(col("sh_b")))
+
+  /** Exact verification of candidate pairs by merging the two docs'
+    * sorted shingle-hash arrays — the candidate-pair table is broadcast
+    * back onto the per-doc arrays, so verification cost is
+    * O(candidates · shingles), with no shingle-level shuffle. Shared by
+    * the Jaccard ([[jaccardVerify]]) and containment
+    * ([[containmentPairs]]) scale paths.
+    */
+  private def scoredVerify(docs: DataFrame, candidates: DataFrame,
+      numShingleWords: Int, threshold: Double, scoreName: String,
+      score: Column => Column): DataFrame = {
     // shingle hashes only for docs that appear in a candidate pair —
     // semi-join first so verification cost is O(candidate docs)
     val involved = candidates.select(col("id_a").as("doc_id"))
@@ -138,12 +152,17 @@ object Dedup {
       .join(shB, Seq("id_b"))
       .withColumn("n_inter",
         native.sorted_intersect_count(col("sh_a"), col("sh_b")))
-      .withColumn("jaccard",
-        col("n_inter") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")))
-      .where(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .withColumn(scoreName, score(col("n_inter")))
+      .where(col(scoreName) >= threshold)
+      .select("id_a", "id_b", scoreName)
   }
+
+  /** n-gram Jaccard verification of candidate pairs: exact |A∩B|/|A∪B|,
+    * see [[scoredVerify]]. */
+  def jaccardVerify(docs: DataFrame, candidates: DataFrame,
+      numShingleWords: Int = 3, threshold: Double = 0.7): DataFrame =
+    scoredVerify(docs, candidates, numShingleWords, threshold,
+      "jaccard", jaccardScore)
 
   /** MinHash+LSH near-dup end-to-end: candidates → exact-Jaccard verify. */
   def nearDupPairs(docs: DataFrame, threshold: Double = 0.7): DataFrame =
@@ -158,7 +177,7 @@ object Dedup {
   def jaccardAllPairs(docs: DataFrame, numShingleWords: Int = 3,
       threshold: Double = 0.5): DataFrame =
     allPairsScored(docs, numShingleWords, threshold, "jaccard",
-      n => n / (size(col("sh_a")) + size(col("sh_b")) - n))
+      jaccardScore)
 
   /** Shared all-pairs scaffold of [[jaccardAllPairs]] and
     * [[containmentAllPairs]]: shingle-hash arrays → self-join →
@@ -197,16 +216,147 @@ object Dedup {
     * arXiv:2107.06499). Same sorted-merge kernel and O(n²) oracle
     * contract as [[jaccardAllPairs]]; minhash-LSH candidates
     * UNDER-recall containment pairs (band collisions track Jaccard),
-    * so at scale candidates for this verify must come from a
-    * size-aware strategy — e.g. the exploded shingle join of
-    * [[contaminationScreen]]'s shuffle flavor with the suspected
-    * small side as the "benchmark" — never from [[minhashCandidates]]
-    * alone.
+    * so the scale path is the inverted-shingle-index candidate
+    * generator [[containmentCandidates]] + [[containmentPairs]], never
+    * [[minhashCandidates]].
     */
   def containmentAllPairs(docs: DataFrame, numShingleWords: Int = 3,
       threshold: Double = 0.5): DataFrame =
     allPairsScored(docs, numShingleWords, threshold, "containment",
-      n => n / least(size(col("sh_a")), size(col("sh_b"))))
+      containmentScore)
+
+  /** Candidate pairs for containment verification via an inverted
+    * shingle index — the size-aware generator minhash-LSH cannot be
+    * (band collisions track Jaccard; a doc-in-doc pair has tiny
+    * Jaccard): explode each doc's distinct shingle hashes, drop
+    * shingles occurring in more than `maxDocFreq` documents (frequent
+    * boilerplate shingles are what makes a posting-list join
+    * quadratic — the standard inverted-index prefix cut), and
+    * equi-join postings on the shingle hash with the PROBE side
+    * restricted to docs of at most `smallMaxShingles` shingles (the
+    * "contained document" side of a doc-in-doc pair is small by
+    * definition — containment ≥ t needs t·|small| of the small doc's
+    * shingles present in the other, so the small side always probes).
+    *
+    * Scale: the postings explode is one corpus pass; the join shuffle
+    * is keyed by shingle hash and bounded by
+    * |probe shingles|·maxDocFreq matches — never all-pairs; a hot
+    * shingle at the df cap is an AQE-splittable skew key. Candidates
+    * are pairs sharing ≥ `minHits` surviving shingles; the df cut can
+    * hide pairs whose entire overlap is frequent shingles, which is
+    * exactly what [[containmentRecall]]'s disclosure row quantifies.
+    */
+  def containmentCandidates(docs: DataFrame, numShingleWords: Int = 3,
+      smallMaxShingles: Int = 4096, maxDocFreq: Long = 1000,
+      minHits: Int = 1): DataFrame = {
+    require(minHits >= 1, s"minHits must be >= 1, got $minHits")
+    val sh = shingleHashArrays(docs, numShingleWords)
+      .where(size(col("sh")) > 0)
+      .select(col("doc_id"), size(col("sh")).as("n"), col("sh"))
+      .localCheckpoint()
+    val postings = sh.select(col("doc_id"), col("n"),
+      explode(col("sh")).as("h"))
+    // per-hash document frequency; shingles above the cap are cut
+    val rare = postings.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDocFreq)
+      .select(col("h"))
+    // materialize the pruned posting list ONCE: both self-join sides
+    // read it (the probe side adds only a size filter), and without
+    // the barrier the df aggregate would run twice. localCheckpoint
+    // preserves the hash partitioning on h, so the self-join below
+    // needs no further exchange.
+    val indexed = postings.join(rare, Seq("h")).localCheckpoint()
+    val probe = indexed.where(col("n") <= smallMaxShingles)
+    // orientation: each unordered pair counts each shared shingle
+    // exactly once — probe-vs-big pairs match in either id order (the
+    // big side never probes), probe-vs-probe pairs only as id_a < id_b
+    probe.as("a").join(indexed.as("b"),
+        col("a.h") === col("b.h") &&
+        (col("a.doc_id") < col("b.doc_id") ||
+          col("b.n") > lit(smallMaxShingles)))
+      .groupBy(
+        least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+      .agg(count(lit(1)).as("hits"))
+      .where(col("hits") >= minHits)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** Containment (overlap coefficient) near-dup pairs at scale:
+    * inverted-index candidates ([[containmentCandidates]]) verified by
+    * the exact sorted-merge kernel — the SAME [[containmentScore]]
+    * arithmetic as [[containmentAllPairs]], so found-pairs ⊆
+    * exact-pairs holds bit-exactly and [[containmentRecall]]'s recall
+    * is a pure count ratio. This is the 100 TB path the q81 oracle
+    * baseline validates.
+    */
+  def containmentPairs(docs: DataFrame, numShingleWords: Int = 3,
+      threshold: Double = 0.5, smallMaxShingles: Int = 4096,
+      maxDocFreq: Long = 1000, minHits: Int = 1): DataFrame =
+    scoredVerify(docs,
+      containmentCandidates(docs, numShingleWords, smallMaxShingles,
+        maxDocFreq, minHits),
+      numShingleWords, threshold, "containment", containmentScore)
+
+  /** Containment dedup survivors: one canonical document (lowest
+    * doc_id) per containment-duplicate cluster plus every unclustered
+    * document — the [[dedupByClusters]] tail over [[containmentPairs]]
+    * edges, removing the doc-in-doc duplication family Jaccard dedup
+    * leaves behind.
+    */
+  def containmentDedup(docs: DataFrame, numShingleWords: Int = 3,
+      threshold: Double = 0.8, smallMaxShingles: Int = 4096,
+      maxDocFreq: Long = 1000, strategy: String = "labelprop"): DataFrame =
+    dedupByClusters(docs,
+      containmentPairs(docs, numShingleWords, threshold,
+        smallMaxShingles, maxDocFreq),
+      strategy = strategy)
+
+  /** Recall of the inverted-index containment path against the exact
+    * all-pairs baseline on the SAME input, plus the fraction of pairs
+    * it actually verified — ONE row (n_exact, n_found, recall,
+    * scan_frac, small_max, max_doc_freq). The [[semanticDedupRecall]]
+    * honesty contract for containment: the df cut and the probe size
+    * cap cannot silently trade recall, because this row discloses
+    * both. The exact side is O(n²) by construction — cap the input
+    * like the oracle baselines (q81); found ⊆ exact bit-exactly
+    * (shared [[containmentScore]]), so recall is a count ratio after
+    * an inner join on pair ids.
+    */
+  def containmentRecall(docs: DataFrame, numShingleWords: Int = 3,
+      threshold: Double = 0.5, smallMaxShingles: Int = 4096,
+      maxDocFreq: Long = 1000, minHits: Int = 1): DataFrame = {
+    val base = docs.localCheckpoint()
+    val exact = containmentAllPairs(base, numShingleWords, threshold)
+      .select(col("id_a"), col("id_b"))
+    // candidates materialized once: the verify AND the scanned-pair
+    // count both consume them
+    val candidates = containmentCandidates(base, numShingleWords,
+      smallMaxShingles, maxDocFreq, minHits).localCheckpoint()
+    val found = scoredVerify(base, candidates, numShingleWords,
+      threshold, "containment", containmentScore)
+      .select(col("id_a"), col("id_b"), lit(1).as("hit"))
+    val scanned = candidates.agg(count(lit(1)).as("n_scanned"))
+    val nTotal = base.agg(count(lit(1)).as("n"))
+    exact.join(found, Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(coalesce(col("hit"), lit(0))), lit(0L))
+          .as("n_found"))
+      .crossJoin(scanned).crossJoin(nTotal)
+      .select(col("n_exact"), col("n_found"),
+        // no exact pairs → vacuously perfect recall, not NaN
+        when(col("n_exact") === 0, lit(1.0))
+          .otherwise(col("n_found").cast("double") / col("n_exact"))
+          .as("recall"),
+        // < 2 rows → no verifiable pairs at all: 0.0, not a NULL from
+        // the zero denominator
+        when(col("n") < 2, lit(0.0))
+          .otherwise(col("n_scanned").cast("double") /
+            (col("n") * (col("n") - 1) / 2)).as("scan_frac"),
+        lit(smallMaxShingles).as("small_max"),
+        lit(maxDocFreq).as("max_doc_freq"))
+  }
 
   // -------------------------------------------------------------- SimHash
 

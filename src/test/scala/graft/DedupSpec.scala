@@ -191,6 +191,75 @@ class DedupSpec extends SparkSuite {
     assert(!contEmpty.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("containment scale path: found == exact on planted doc-in-doc " +
+      "duplicates, scores bit-equal, recall row disclosed") {
+    val small = "alpha beta gamma delta epsilon zeta eta theta"
+    val filler = (1 to 200).map(i => s"word$i").mkString(" ")
+    val corpus = Seq(
+      (0L, small),
+      (1L, s"$filler $small"), // small quoted inside a large page
+      (2L, "completely different text entirely"),
+      (3L, (1 to 50).map(i => s"tok$i").mkString(" ")),
+      (4L, (30 to 120).map(i => s"tok$i").mkString(" ")) // partial overlap
+    ).toDF("doc_id", "text")
+    val exact = Dedup.containmentAllPairs(corpus, threshold = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val found = Dedup.containmentPairs(corpus, threshold = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // no df cut bites at this size, so the scale path is exhaustive:
+    // identical pair sets AND bit-identical scores (shared arithmetic)
+    assert(found === exact)
+    assert(found.exists(p => p._1 == 0L && p._2 == 1L))
+    val r = Dedup.containmentRecall(corpus, threshold = 0.5).collect()(0)
+    assert(r.getAs[Double]("recall") === 1.0)
+    // candidates = pairs sharing >= 1 shingle, a strict subset of all
+    // 10 pairs on this corpus
+    assert(r.getAs[Double]("scan_frac") < 1.0)
+    assert(r.getAs[Double]("scan_frac") > 0.0)
+  }
+
+  test("containment df cut is disclosed by the recall row, not silent") {
+    // ten identical docs: every shingle has df = 10, so maxDocFreq = 5
+    // cuts ALL postings — zero candidates, and the recall row must say
+    // so instead of the path quietly reporting nothing
+    val quote = "one two three four five six seven eight"
+    val corpus = (0L to 9L).map(i => (i, quote)).toDF("doc_id", "text")
+    val r = Dedup.containmentRecall(corpus, threshold = 0.9,
+      maxDocFreq = 5).collect()(0)
+    assert(r.getAs[Long]("n_exact") === 45L)
+    assert(r.getAs[Long]("n_found") === 0L)
+    assert(r.getAs[Double]("recall") === 0.0)
+    assert(r.getAs[Double]("scan_frac") === 0.0)
+  }
+
+  test("containment candidates count each shared shingle once per " +
+      "unordered pair (probe-probe orientation)") {
+    // two identical 3-token docs share exactly ONE shingle; a
+    // double-counted orientation would report hits = 2 and wrongly
+    // pass minHits = 2
+    val corpus = Seq((0L, "a b c"), (1L, "a b c"))
+      .toDF("doc_id", "text")
+    assert(Dedup.containmentCandidates(corpus, minHits = 2).isEmpty)
+    val single = Dedup.containmentCandidates(corpus, minHits = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(single === Set((0L, 1L)))
+  }
+
+  test("containmentDedup keeps one canonical per containment cluster") {
+    val small = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val filler = (1 to 100).map(i => s"word$i").mkString(" ")
+    val corpus = Seq(
+      (0L, small),
+      (1L, s"$filler $small"),
+      (2L, "unrelated text about other things entirely today"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.containmentDedup(corpus, threshold = 0.9)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(0L, 2L))
+  }
+
   test("auto quantizer never rejects a multiAssign the flat path " +
       "accepts") {
     import spark.implicits._

@@ -1005,14 +1005,14 @@ object SparkEntry {
           |GROUP BY day, risk, country, asn
           |ORDER BY day DESC, country ASC, asn ASC, risk ASC""".stripMargin,
       "q30_dedup_exact_groups" ->
-        """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
+        """SELECT md5(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g'))
           |         AS fingerprint,
           |       min(doc_id) AS canonical_id, count(*) AS n_copies
           |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
       "q31_dedup_exact_rows" ->
         """SELECT d.doc_id, d.lang, d.n_chars FROM documents d
           |JOIN (SELECT min(doc_id) AS m FROM documents
-          |      GROUP BY md5(regexp_replace(lower(text), '\s+', ' ', 'g')))
+          |      GROUP BY md5(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')))
           |  g ON d.doc_id = g.m
           |ORDER BY d.doc_id""".stripMargin,
       "q36_ann_quantized_topk" ->
@@ -1054,34 +1054,22 @@ object SparkEntry {
       "q42_langid" -> langIdSql,
       "q79_gopher_rules" ->
         // integer counts with the exact split/regex semantics of the
-        // Spark side (\s+ tokens with empties dropped; lines on \n;
+        // Spark side (explicit-whitespace-class tokens with empties
+        // dropped — see TextAnalysis.WsPattern; lines on \n;
         // ratios = BIGINT/BIGINT IEEE division)
         """WITH f AS (
           |  SELECT doc_id,
-          |    list_filter(string_split_regex(text, '\s+'),
+          |    list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'),
           |      x -> x != '') AS ws,
           |    string_split(text, chr(10)) AS lines,
-          |    CAST(length(regexp_replace(text, '\s+', '', 'g'))
+          |    CAST(length(regexp_replace(text, '[ \t\n\r\f\x0B]+', '', 'g'))
           |      AS BIGINT) AS wchars,
           |    CAST(len(regexp_extract_all(text, '#')) +
           |         len(regexp_extract_all(text, '(\.\.\.|…)'))
           |      AS BIGINT) AS nsym,
-          |    (CASE WHEN regexp_matches(lower(text), '\bthe\b')
-          |          THEN 1 ELSE 0 END +
-          |     CASE WHEN regexp_matches(lower(text), '\bbe\b')
-          |          THEN 1 ELSE 0 END +
-          |     CASE WHEN regexp_matches(lower(text), '\bto\b')
-          |          THEN 1 ELSE 0 END +
-          |     CASE WHEN regexp_matches(lower(text), '\bof\b')
-          |          THEN 1 ELSE 0 END +
-          |     CASE WHEN regexp_matches(lower(text), '\band\b')
-          |          THEN 1 ELSE 0 END +
-          |     CASE WHEN regexp_matches(lower(text), '\bthat\b')
-          |          THEN 1 ELSE 0 END +
-          |     CASE WHEN regexp_matches(lower(text), '\bhave\b')
-          |          THEN 1 ELSE 0 END +
-          |     CASE WHEN regexp_matches(lower(text), '\bwith\b')
-          |          THEN 1 ELSE 0 END)::BIGINT AS n_stop_hits
+          |    CAST(len(list_distinct(regexp_extract_all(lower(text),
+          |      '\b(the|be|to|of|and|that|have|with)\b', 1)))
+          |      AS BIGINT) AS n_stop_hits
           |  FROM documents),
           |c AS (
           |  SELECT doc_id,
@@ -1089,10 +1077,10 @@ object SparkEntry {
           |    wchars, nsym, n_stop_hits,
           |    CAST(len(lines) AS BIGINT) AS n_lines,
           |    CAST(len(list_filter(lines,
-          |      l -> regexp_matches(l, '^\s*[-*•]'))) AS BIGINT)
+          |      l -> regexp_matches(l, '^[ \t\n\r\f\x0B]*[-*•]'))) AS BIGINT)
           |      AS n_bullet,
           |    CAST(len(list_filter(lines,
-          |      l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS BIGINT)
+          |      l -> regexp_matches(l, '(\.\.\.|…)[ \t\n\r\f\x0B]*$'))) AS BIGINT)
           |      AS n_ellipsis,
           |    CAST(len(list_filter(ws,
           |      w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
@@ -1123,14 +1111,14 @@ object SparkEntry {
           |FROM r ORDER BY doc_id""".stripMargin,
       "q43_fingerprint" ->
         """SELECT doc_id,
-          |  md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
+          |  md5(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g'))
           |    AS fingerprint
           |FROM documents ORDER BY doc_id""".stripMargin,
       "q60_repetition" ->
         """WITH base AS (
           |  SELECT doc_id,
           |    list_filter(string_split(
-          |      regexp_replace(lower(text), '\s+', ' ', 'g'), ' '),
+          |      regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g'), ' '),
           |      x -> x != '') AS toks
           |  FROM documents),
           |bg AS (
@@ -1162,7 +1150,7 @@ object SparkEntry {
       "q47_vocabulary" ->
         """SELECT token, count(*) AS cnt
           |FROM (SELECT unnest(list_filter(string_split(
-          |        regexp_replace(lower(text), '\s+', ' ', 'g'), ' '),
+          |        regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g'), ' '),
           |        x -> x != '')) AS token
           |      FROM documents) t
           |GROUP BY token ORDER BY cnt DESC, token ASC
@@ -1170,7 +1158,7 @@ object SparkEntry {
       "q48_top_terms" ->
         """WITH toks AS (
           |  SELECT doc_id, unnest(list_filter(string_split(
-          |    regexp_replace(lower(text), '\s+', ' ', 'g'), ' '),
+          |    regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g'), ' '),
           |    x -> x != '')) AS token
           |  FROM documents),
           |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
@@ -1400,7 +1388,7 @@ object SparkEntry {
         // q65's bucket fold + q43's fingerprint, aggregated per split
         """WITH k AS (
           |  SELECT doc_id,
-          |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+          |    md5(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS fp,
           |    'v1:' || CAST(doc_id AS VARCHAR) AS key
           |  FROM documents),
           |b AS (
@@ -1465,7 +1453,7 @@ object SparkEntry {
       "q68_heavy_hitters" ->
         """SELECT token, count(*) AS cnt
           |FROM (SELECT unnest(list_filter(string_split(
-          |        regexp_replace(lower(text), '\s+', ' ', 'g'), ' '),
+          |        regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g'), ' '),
           |        x -> x != '')) AS token
           |      FROM documents) t
           |GROUP BY token HAVING count(*) >= 500
@@ -1510,7 +1498,7 @@ object SparkEntry {
   private def shingleSqlWhere(where: String): String =
     s"""nrm AS (
       |  SELECT doc_id,
-      |    regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+      |    regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g') AS t
       |  FROM documents $where),
       |toks AS (
       |  SELECT doc_id,

@@ -22,7 +22,7 @@ object Dedup {
   /** Normalized text used by all fingerprints: lowercase, collapsed
     * whitespace. */
   def normalized(text: Column): Column =
-    regexp_replace(lower(text), "\\s+", " ")
+    regexp_replace(lower(text), TextAnalysis.WsPattern + "+", " ")
 
   // ---------------------------------------------------------------- exact
 

@@ -13,6 +13,14 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Explicit whitespace class used by every tokenizer/normalizer here
+    * (and spliced verbatim into the DuckDB oracles): Java's `\s`
+    * includes vertical tab (\x0B) while RE2's does not, so a \s-based
+    * pattern silently diverges between the engines on a document
+    * containing one. One literal, both sides.
+    */
+  val WsPattern = "[ \\t\\n\\r\\f\\x0B]"
+
   /** Whitespace tokens, empties dropped (so leading/trailing space is
     * harmless). */
   def tokens(text: Column): Column =
@@ -82,7 +90,7 @@ object TextAnalysis {
     * Stable across engines and run order — the exact-dedup key.
     */
   def fingerprint(text: Column): Column =
-    md5(regexp_replace(lower(text), "\\s+", " "))
+    md5(regexp_replace(lower(text), WsPattern + "+", " "))
 
   /** Rolling polynomial fingerprint (Rabin-Karp shape) over the normalized
     * text — order-sensitive, so transpositions change it, unlike a bag of
@@ -91,7 +99,7 @@ object TextAnalysis {
   def rollingHash(text: Column, base: Long = 257L,
       mod: Long = 1000000007L): Column =
     graft.functions.native.rolling_hash(
-      regexp_replace(lower(text), "\\s+", " "), base, mod)
+      regexp_replace(lower(text), WsPattern + "+", " "), base, mod)
 
   /** Gopher / MassiveText quality rules (Rae et al., "Scaling Language
     * Models: Methods, Analysis & Insights from Training Gopher",
@@ -120,17 +128,18 @@ object TextAnalysis {
     // line rules exist for multi-line documents, where a space-only
     // split would merge the last word of each line into the first word
     // of the next (undercounting words, inflating mean length)
-    val ws = filter(split(text, "\\s+"), t => t =!= lit(""))
+    val ws = filter(split(text, WsPattern + "+"), t => t =!= lit(""))
     val nWords = size(ws).cast("long")
     // sum of word lengths = chars that are not split whitespace
     // (dropped empty tokens contribute 0), one codegen'd replace
-    val wordChars = length(regexp_replace(text, "\\s+", "")).cast("long")
+    val wordChars = length(regexp_replace(text, WsPattern + "+", ""))
+      .cast("long")
     val lines = split(text, "\n")
     val nLines = size(lines).cast("long")
     val nBullet = size(filter(lines,
-      l => l.rlike("^\\s*[-*•]"))).cast("long")
+      l => l.rlike("^" + WsPattern + "*[-*•]"))).cast("long")
     val nEllipsis = size(filter(lines,
-      l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("long")
+      l => l.rlike("(\\.\\.\\.|…)" + WsPattern + "*$"))).cast("long")
     val nAlpha = size(filter(ws,
       w => w.rlike("[A-Za-z]"))).cast("long")
     // '…' counts as an ellipsis here exactly like the line rule above —
@@ -139,11 +148,13 @@ object TextAnalysis {
       size(regexp_extract_all(text, lit("(\\.\\.\\.|…)"), lit(0))))
       .cast("long")
     // distinct stop-word hits: presence, not frequency (the rule wants
-    // >= 2 DIFFERENT stop words)
-    val stopHits = Seq("the", "be", "to", "of", "and", "that", "have",
-      "with").map(w =>
-      when(lower(text).rlike("\\b" + w + "\\b"), 1L).otherwise(0L))
-      .reduce(_ + _)
+    // >= 2 DIFFERENT stop words). ONE regex pass — extract every
+    // bounded stop-word match, count distinct words — where a per-word
+    // rlike stack re-scans the text once per stop word (8x the hottest
+    // regex cost of this screen)
+    val stopHits = size(array_distinct(regexp_extract_all(lower(text),
+      lit("\\b(the|be|to|of|and|that|have|with)\\b"), lit(1))))
+      .cast("long")
     val safe = (n: Column, d: Column) =>
       when(d === 0, lit(0.0)).otherwise(n.cast("double") / d)
     df.select(
@@ -172,7 +183,7 @@ object TextAnalysis {
     */
   def repetitionFeatures(df: DataFrame,
       text: Column = col("text")): DataFrame = {
-    val toks = filter(split(regexp_replace(lower(text), "\\s+", " "), " "),
+    val toks = filter(split(regexp_replace(lower(text), WsPattern + "+", " "), " "),
       t => t =!= lit(""))
     // single kernel pass: a nested higher-order formulation re-evaluates
     // the token-array expression once per lambda call — combinatorial
@@ -210,7 +221,7 @@ object TextAnalysis {
     * (doc_id, token) rows. */
   def tokenStream(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      explode(filter(split(regexp_replace(lower(col("text")), "\\s+", " "),
+      explode(filter(split(regexp_replace(lower(col("text")), WsPattern + "+", " "),
         " "), t => t =!= lit(""))).as("token"))
 
   /** Corpus vocabulary: top `limit` tokens by frequency, ties broken

@@ -92,5 +92,17 @@ class TextAnalysisSpec extends SparkSuite {
     // unicode ellipsis counts as a symbol, same as '...'
     val uni = "the fox … and … dog … runs … home … the … of …"
     assert(verdict(uni)._1 === false)
+    // vertical tab is whitespace under the explicit class (Java \s
+    // includes \x0B, RE2 does not — the class keeps both engines on the
+    // Java semantics): 10 words, not 9 with a glued "fox\x0Bjumps"
+    val vt = "the quick brown fox\u000Bjumps over that lazy dog today"
+    val (vk, vr) = verdict(vt)
+    assert(vr.getLong(1) === 10L, s"n_words: $vr")
+    assert(vk === true)
+    // stop hits count DISTINCT stop words: repeating one stop word many
+    // times is still a single hit (the one-pass extract must distinct)
+    val rep = "the quick the brown the foxes the jump the quick again"
+    assert(verdict(rep)._1 === false)
+    assert(verdict(rep)._2.getLong(7) === 1L)
   }
 }

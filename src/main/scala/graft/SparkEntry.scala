@@ -1216,7 +1216,8 @@ object SparkEntry {
            |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            |    len(list_intersect(a.shingles, b.shingles)) AS n_inter,
            |    len(a.shingles) AS na, len(b.shingles) AS nb
-           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |    AND len(a.shingles) > 0 AND len(b.shingles) > 0)
            |SELECT id_a, id_b,
            |  n_inter / (na + nb - n_inter) AS jaccard
            |FROM pairs WHERE n_inter / (na + nb - n_inter) >= 0.5
@@ -1252,6 +1253,7 @@ object SparkEntry {
            |pairs AS (
            |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
            |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |    AND len(a.shingles) > 0 AND len(b.shingles) > 0
            |  WHERE len(list_intersect(a.shingles, b.shingles))
            |    / (len(a.shingles) + len(b.shingles)
            |       - len(list_intersect(a.shingles, b.shingles))) >= 0.5),
@@ -1273,6 +1275,7 @@ object SparkEntry {
            |pairs AS (
            |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
            |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |    AND len(a.shingles) > 0 AND len(b.shingles) > 0
            |  WHERE len(list_intersect(a.shingles, b.shingles))
            |    / (len(a.shingles) + len(b.shingles)
            |       - len(list_intersect(a.shingles, b.shingles))) >= 0.5),
@@ -1291,6 +1294,7 @@ object SparkEntry {
            |pairs AS (
            |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
            |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |    AND len(a.shingles) > 0 AND len(b.shingles) > 0
            |  WHERE len(list_intersect(a.shingles, b.shingles))
            |    / (len(a.shingles) + len(b.shingles)
            |       - len(list_intersect(a.shingles, b.shingles))) >= 0.5),

@@ -37,6 +37,14 @@ object Sharding {
     *    magnitude consumers ([[weightedSample]]) to "largest digit
     *    suffix wins". The multiplication scatters adjacency across the
     *    whole field.
+    *
+    * SPLIT-FORMAT NOTE: adding the Lehmer step changed every
+    * hashBucket / stratifiedSample / weightedSample assignment
+    * relative to the pre-mix scheme (same salt, different membership).
+    * Splits persisted under the unmixed scheme do NOT re-derive —
+    * treat the mixed hash as split-format v2 and either keep consuming
+    * the persisted split columns or re-materialize the split once.
+    * Reproducibility holds within a format version, never across one.
     */
   private[operators] def mixedHash(id: Column, salt: String): Column =
     pmod(native.rolling_hash(

@@ -417,17 +417,28 @@ object Similarity {
     * large-nlist shape, see docs/BENCH_SF1.md appendix); "auto" =
     * size-based choice via [[resolveQuantizer]].
     */
+  /** The ACTUAL family count [[assignCellsTwoLevel]] will see: its
+    * require gates on `groupCentroids(...).length`, which drops empty
+    * families, so the count can be below the ceil(√nlist) estimate
+    * (e.g. duplicate centroids collapse to one family). The auto
+    * fallback must decide against this number, not the estimate —
+    * groupCentroids is deterministic driver-side arithmetic over
+    * nlist points, so recomputing it here is free.
+    */
+  private def familyCount(centroids: Array[(Int, Array[Float])]): Int =
+    groupCentroids(centroids,
+      math.ceil(math.sqrt(centroids.length.toDouble)).toInt).length
+
   private[operators] def assignWith(quantizer: String, corpus: DataFrame,
       centroids: Array[(Int, Array[Float])],
       multiAssign: Int): DataFrame =
     resolveQuantizer(quantizer, centroids.length) match {
       // "auto" must never make a previously-valid (nlist, multiAssign)
-      // combination throw: two-level caps m at the ~√nlist family
-      // count, so when the requested replication exceeds it, stay on
-      // the exact flat path (valid up to m = nlist) instead
+      // combination throw: two-level caps m at the (post-collapse)
+      // family count, so when the requested replication exceeds it,
+      // stay on the exact flat path (valid up to m = nlist) instead
       case "two-level" if quantizer == "auto" &&
-          multiAssign > math.ceil(
-            math.sqrt(centroids.length.toDouble)).toInt =>
+          multiAssign > 1 && multiAssign > familyCount(centroids) =>
         assignCells(corpus, centroids, multiAssign)
       case "flat" => assignCells(corpus, centroids, multiAssign)
       case _ => assignCellsTwoLevel(corpus, centroids, multiAssign)

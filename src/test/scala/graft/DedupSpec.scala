@@ -279,6 +279,19 @@ class DedupSpec extends SparkSuite {
         kmeansIters = 1, multiAssign = 10, quantizer = "two-level")
         .count()
     }
+    // collapsed families: identical embeddings make every sampled
+    // centroid identical, so groupCentroids drops to ONE family —
+    // fewer than the ceil(sqrt(nlist)) estimate. The auto fallback
+    // must gate on the ACTUAL family count: multiAssign=2 is within
+    // the estimate (9) but above the real count (1), and must fall
+    // back to flat instead of tripping two-level's require
+    val flat = (0 until 200).map(i =>
+      (i.toLong, Array.fill(8)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val degenerate = Dedup.semanticNearDupPairs(flat, nlist = 80,
+      threshold = 0.2, kmeansIters = 0, multiAssign = 2,
+      quantizer = "auto")
+    assert(degenerate.count() >= 0L)
   }
 
   test("embedding near-dup finds the planted duplicate vector") {

@@ -601,14 +601,16 @@ object Dedup {
     // (eval-set vs corpus), so materializing it is free; the CORPUS side
     // needs no barrier (the join boundary already keeps its kernel
     // single-evaluation).
-    // second checkpoint after the distinct: the flavor-selection count()
-    // below and the chosen flavor both consume the distinct hash set —
-    // without it the explode+distinct shuffle runs twice per call
+    // persist (not a second checkpoint) after the distinct: the
+    // flavor-selection count() below is then the ONE action that fills
+    // the cache — count and materialization ride the same job, where an
+    // eager checkpoint + count cost two — and the chosen flavor reads
+    // the cached hash set instead of re-running the explode+distinct
     val benchHashes = shingleHashArrays(benchmark, numShingleWords)
       .localCheckpoint()
       .select(explode(col("sh")).as("h"))
       .distinct()
-      .localCheckpoint()
+      .persist()
     def withFrac(df: DataFrame): DataFrame = df
       .withColumn("contaminated_frac",
         when(col("n_shingles") === 0, lit(0.0))

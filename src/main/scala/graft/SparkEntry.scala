@@ -30,6 +30,15 @@ object SparkEntry {
     if (name == "events") events(s, dir)
     else s.read.parquet(s"$dir/$name.parquet")
 
+  /** Scratch location for the written-IVF-index queries (q84/q85):
+    * under the JVM tmpdir, keyed by SF dir and tag so scale factors
+    * never collide. Rewritten (mode overwrite) on every call —
+    * re-indexing is part of the measured query by design.
+    */
+  private def ivfIndexDir(sfDir: String, tag: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_" +
+      s"${sfDir.replaceAll("[^A-Za-z0-9]", "_")}_$tag"
+
   /** The events table is written with parquet TIMESTAMP(NANOS), which Spark
     * has no native type for — read nanos as long (legacy conf) and convert
     * to a microsecond TimestampType column, matching what engines with
@@ -542,6 +551,37 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(emb, emb.where(col("vec_id") < 5), k = 10,
           nprobe = 12)
+        .orderBy(col("query_id").asc, col("rank").asc)
+    }),
+    // the written-index layout probed END-TO-END: at nprobe = nlist
+    // with the flat quantizer every cell is probed, so the result is
+    // EXACT and hash-checked against the same brute-force oracle as
+    // q37 — the 100 TB storage layout is correctness-proven, not just
+    // plan-pinned. The index write is inside the query on purpose:
+    // indexing cost is the price of the layout and must not hide
+    // outside the timer.
+    "q84_ivf_indexed_exact" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.collectCentroids(
+        Similarity.ivfCentroids(emb, nlist = 16))
+      val idx = ivfIndexDir(dir, "exact16")
+      Similarity.writeIvfIndex(emb, idx, cents)
+      Similarity.ivfTopKIndexed(s, idx, emb.where(col("vec_id") < 5),
+          cents, k = 10, nprobe = 16)
+        .orderBy(col("query_id").asc, col("rank").asc)
+    }),
+    // the same layout at the q70 partition-pruning ratio (8/64
+    // cells): rows-only — cell contents are quantizer-specific — with
+    // dynamic partition pruning pinned in PlanSpec and the machinery's
+    // exactness proven by q84's full-probe hash-match
+    "q85_ivf_indexed_probe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.collectCentroids(
+        Similarity.ivfCentroids(emb, nlist = 64))
+      val idx = ivfIndexDir(dir, "probe64")
+      Similarity.writeIvfIndex(emb, idx, cents)
+      Similarity.ivfTopKIndexed(s, idx, emb.where(col("vec_id") < 5),
+          cents, k = 10, nprobe = 8)
         .orderBy(col("query_id").asc, col("rank").asc)
     }),
     // ---- extension tier: text analysis ----
@@ -1198,18 +1238,10 @@ object SparkEntry {
           |    [ascii(text[i])::BIGINT FOR i IN range(1, length(text)+1)]),
           |    (acc, b) -> (acc * 257 + b) % 1000000007) AS rhash
           |FROM documents ORDER BY doc_id""".stripMargin,
-      "q37_ann_cosine_topk" ->
-        s"""WITH $vecNormSql,
-           |scored AS (
-           |  SELECT q.vec_id AS query_id, c.vec_id, ${cosineSql("q", "c")}
-           |  FROM v q JOIN v c ON q.vec_id < 5 AND q.vec_id != c.vec_id),
-           |ranked AS (
-           |  SELECT query_id, vec_id, cosine,
-           |    CAST(row_number() OVER (PARTITION BY query_id
-           |      ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
-           |  FROM scored)
-           |SELECT * FROM ranked WHERE rank <= 10
-           |ORDER BY query_id, rank""".stripMargin,
+      "q37_ann_cosine_topk" -> annBruteTopKSql,
+      // the written-index path at FULL probing is exact by
+      // construction — same brute-force oracle as q37
+      "q84_ivf_indexed_exact" -> annBruteTopKSql,
       "q62_jaccard_allpairs" ->
         s"""WITH $shingleSql,
            |pairs AS (
@@ -1462,7 +1494,7 @@ object SparkEntry {
           |      FROM documents) t
           |GROUP BY token HAVING count(*) >= 500
           |ORDER BY token""".stripMargin
-      // q28, q32-q35, q38, q49, q70, q75-q77, q82-q83: not
+      // q28, q32-q35, q38, q49, q70, q75-q77, q82-q83, q85: not
       // DuckDB-reproducible BY DESIGN (xxhash64-based minhash/simhash
       // signatures, random-hyperplane / IVF / k-means bucketing,
       // df-dependent posting cuts, HLL sketch) → driver records
@@ -1471,6 +1503,23 @@ object SparkEntry {
       // approx/exact gap as recall rows.
     )
   }
+
+  /** Exact brute-force cosine top-10 for 5 query vectors — the oracle
+    * of q37 (inline brute force) AND q84 (written IVF index probed at
+    * nprobe = nlist, which scores every cell and is therefore exact).
+    */
+  private def annBruteTopKSql: String =
+    s"""WITH $vecNormSql,
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id, ${cosineSql("q", "c")}
+       |  FROM v q JOIN v c ON q.vec_id < 5 AND q.vec_id != c.vec_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+       |  FROM scored)
+       |SELECT * FROM ranked WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
 
   /** DuckDB fragment: per-vector double-cast components and L2 norm with
     * the SAME sequential fold the native kernel uses — bit-exact doubles.

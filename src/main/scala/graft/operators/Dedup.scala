@@ -182,7 +182,8 @@ object Dedup {
   /** Shared all-pairs scaffold of [[jaccardAllPairs]] and
     * [[containmentAllPairs]]: shingle-hash arrays → self-join →
     * sorted-merge intersection → `score(n_inter)` thresholded.
-    * The localCheckpoint barrier BEFORE the self-join is load-bearing:
+    * The lineage barrier ([[Barriers.barrier]]) BEFORE the self-join
+    * is load-bearing:
     * without it CollapseProject inlines the shingle expression into the
     * join's output projection and recomputes it per PAIR (O(n²)
     * tokenizations instead of O(n) — measured 10× on 500k pairs).
@@ -194,9 +195,9 @@ object Dedup {
   private def allPairsScored(docs: DataFrame, numShingleWords: Int,
       threshold: Double, scoreName: String,
       score: Column => Column): DataFrame = {
-    val sh = shingleHashArrays(docs, numShingleWords)
-      .where(size(col("sh")) > 0)
-      .localCheckpoint()
+    val sh = Barriers.barrier(
+      shingleHashArrays(docs, numShingleWords)
+        .where(size(col("sh")) > 0))
     val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, col("id_a") < col("id_b"))
@@ -250,10 +251,10 @@ object Dedup {
       smallMaxShingles: Int = 4096, maxDocFreq: Long = 1000,
       minHits: Int = 1): DataFrame = {
     require(minHits >= 1, s"minHits must be >= 1, got $minHits")
-    val sh = shingleHashArrays(docs, numShingleWords)
-      .where(size(col("sh")) > 0)
-      .select(col("doc_id"), size(col("sh")).as("n"), col("sh"))
-      .localCheckpoint()
+    val sh = Barriers.barrier(
+      shingleHashArrays(docs, numShingleWords)
+        .where(size(col("sh")) > 0)
+        .select(col("doc_id"), size(col("sh")).as("n"), col("sh")))
     val postings = sh.select(col("doc_id"), col("n"),
       explode(col("sh")).as("h"))
     // per-hash document frequency; shingles above the cap are cut
@@ -266,7 +267,7 @@ object Dedup {
     // the barrier the df aggregate would run twice. localCheckpoint
     // preserves the hash partitioning on h, so the self-join below
     // needs no further exchange.
-    val indexed = postings.join(rare, Seq("h")).localCheckpoint()
+    val indexed = Barriers.barrier(postings.join(rare, Seq("h")))
     val probe = indexed.where(col("n") <= smallMaxShingles)
     // orientation: each unordered pair counts each shared shingle
     // exactly once — probe-vs-big pairs match in either id order (the
@@ -418,8 +419,9 @@ object Dedup {
     * propagation. Each iteration is one join + one aggregate; convergence
     * needs O(component diameter) rounds — near-dup clusters are shallow,
     * so a handful. At very large scale the same loop applies to the
-    * large-star/small-star formulation; `localCheckpoint` truncates the
-    * growing lineage each round.
+    * large-star/small-star formulation; a [[Barriers.barrier]]
+    * truncates the growing lineage each round (durable under
+    * `spark.graft.durableBarriers` — see [[Barriers]]).
     */
   def nearDupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b"))
@@ -439,12 +441,12 @@ object Dedup {
       // checkpoint the (label, old_label) pair ONCE: the convergence
       // count then reads the materialized result instead of re-running
       // the join+aggregate a second time (halves per-iteration work)
-      val updated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("neighbor_label"),
-            col("label"))).as("label"),
-          col("label").as("old_label"))
-        .localCheckpoint()
+      val updated = Barriers.barrier(
+        labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("neighbor_label"),
+              col("label"))).as("label"),
+            col("label").as("old_label")))
       changed = updated.where(col("label") =!= col("old_label")).count()
       labels = updated.select(col("id"), col("label"))
       iter += 1
@@ -479,8 +481,9 @@ object Dedup {
       s.join(mins, Seq("u"))
         .withColumn("m", least(col("u"), col("mn")))
     }
-    var edges = sym(pairs.select(col("id_a").as("u"), col("id_b").as("v")))
-      .distinct().localCheckpoint()
+    var edges = Barriers.barrier(
+      sym(pairs.select(col("id_a").as("u"), col("id_b").as("v")))
+        .distinct())
     var labels: DataFrame = null
     var prevLabels: DataFrame = null
     var iter = 0
@@ -496,7 +499,8 @@ object Dedup {
       val ss = wm.where(col("v") <= col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(wm.select(col("u"), col("m").as("v")))
-      edges = ss.where(col("u") =!= col("v")).distinct().localCheckpoint()
+      edges = Barriers.barrier(
+        ss.where(col("u") =!= col("v")).distinct())
       // converged when per-node min-neighbor labels are a fixpoint (the
       // graph is a star forest) — a distributed set difference, never a
       // label collect to the driver. The check must be SYMMETRIC: if the
@@ -738,10 +742,10 @@ object Dedup {
     val base = embeddings.select(col("vec_id"), col("embedding"))
     val cents = Similarity.kmeansCentroids(base, nlist, kmeansIters,
       quantizer)
-    Similarity.assignWith(quantizer, base, cents, multiAssign)
-      .select(col("cell"), col("vec_id"), col("embedding"),
-        native.fvec_norm(col("embedding")).as("nrm"))
-      .localCheckpoint()
+    Barriers.barrier(
+      Similarity.assignWith(quantizer, base, cents, multiAssign)
+        .select(col("cell"), col("vec_id"), col("embedding"),
+          native.fvec_norm(col("embedding")).as("nrm")))
   }
 
   /** Within-cell pairs of `tagged` at `threshold` — the

@@ -746,6 +746,25 @@ object SparkEntry {
           docs.where(pmod(col("doc_id"), lit(97)) === 0))
         .orderBy(col("doc_id").asc)
     }),
+    // the COMPOSED corpus-prep pipeline (quality screen →
+    // decontamination → near-dup dedup → stratified sample → packing)
+    // as one oracle-checked query — every stage already has its own
+    // oracle (q79/q71/q74/q72/q80); this proves the composition.
+    // Capped like q74 (the dedup fixpoint is a recursive CTE); pairs =
+    // the exact jaccard edge set so the oracle rebuilds the identical
+    // clusters; minStopHits = 0 because the synthetic corpus has ≤ 1
+    // distinct English stop word per doc (the screen still applies all
+    // six other rules — n_words bites on ~half the sample)
+    "q86_corpus_prep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 500)
+      CorpusPrep.prepare(docs,
+          benchmark = docs.where(pmod(col("doc_id"), lit(97)) === 0),
+          minWords = 50, minStopHits = 0, maxContamination = 0.5,
+          pairs = d => Dedup.jaccardAllPairs(d, threshold = 0.5),
+          maxIter = 1000,
+          fractions = Map("en" -> 0.3, "zh" -> 0.5))
+        .orderBy(col("doc_id").asc)
+    }),
     // A-ES weighted sample: top-100 by ln(u)/w with w = n_chars+1 —
     // longer documents proportionally likelier; u from the portable
     // hash, so DuckDB reproduces the exact sample (the ln is the one
@@ -1467,6 +1486,112 @@ object SparkEntry {
            |  END AS contaminated_frac
            |FROM sh LEFT JOIN cnt ON sh.doc_id = cnt.doc_id
            |ORDER BY sh.doc_id""".stripMargin,
+      // the composed pipeline = its stages' oracles chained as CTEs:
+      // q79's gopher features (minWords 50, no stop-hit floor), q71's
+      // contamination counts (<= 0.5), q74's recursive-CTE dedup
+      // fixpoint, q72's salted-tick sample, q80's serpentine packing
+      "q86_corpus_prep" ->
+        s"""WITH RECURSIVE
+           |f AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split_regex(text,
+           |      '[ \\t\\n\\r\\f\\x0B]+'), x -> x != '') AS ws,
+           |    string_split(text, chr(10)) AS lines,
+           |    CAST(length(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', '',
+           |      'g')) AS BIGINT) AS wchars,
+           |    CAST(len(regexp_extract_all(text, '#')) +
+           |         len(regexp_extract_all(text, '(\\.\\.\\.|…)'))
+           |      AS BIGINT) AS nsym
+           |  FROM documents WHERE doc_id < 500),
+           |c AS (
+           |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+           |    wchars, nsym,
+           |    CAST(len(lines) AS BIGINT) AS n_lines,
+           |    CAST(len(list_filter(lines, l -> regexp_matches(l,
+           |      '^[ \\t\\n\\r\\f\\x0B]*[-*•]'))) AS BIGINT) AS n_bullet,
+           |    CAST(len(list_filter(lines, l -> regexp_matches(l,
+           |      '(\\.\\.\\.|…)[ \\t\\n\\r\\f\\x0B]*$$'))) AS BIGINT)
+           |      AS n_ellipsis,
+           |    CAST(len(list_filter(ws, w -> regexp_matches(w,
+           |      '[A-Za-z]'))) AS BIGINT) AS n_alpha
+           |  FROM f),
+           |keepers AS (
+           |  SELECT doc_id FROM c
+           |  WHERE n_words BETWEEN 50 AND 100000
+           |    AND (CASE WHEN n_words = 0 THEN 0.0
+           |         ELSE wchars::DOUBLE / n_words END) BETWEEN 3.0
+           |         AND 10.0
+           |    AND (CASE WHEN n_words = 0 THEN 0.0
+           |         ELSE nsym::DOUBLE / n_words END) <= 0.1
+           |    AND (CASE WHEN n_lines = 0 THEN 0.0
+           |         ELSE n_bullet::DOUBLE / n_lines END) <= 0.9
+           |    AND (CASE WHEN n_lines = 0 THEN 0.0
+           |         ELSE n_ellipsis::DOUBLE / n_lines END) <= 0.3
+           |    AND (CASE WHEN n_words = 0 THEN 0.0
+           |         ELSE n_alpha::DOUBLE / n_words END) >= 0.8),
+           |${shingleSqlWhere("WHERE doc_id < 500")},
+           |u AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+           |bench AS (SELECT DISTINCT s FROM u WHERE doc_id % 97 = 0),
+           |cnt AS (
+           |  SELECT u.doc_id, count(b.s) AS n_cont
+           |  FROM u LEFT JOIN bench b ON u.s = b.s
+           |  GROUP BY u.doc_id),
+           |screened AS (
+           |  SELECT k.doc_id FROM keepers k
+           |  JOIN sh ON sh.doc_id = k.doc_id
+           |  LEFT JOIN cnt ON cnt.doc_id = k.doc_id
+           |  WHERE (CASE WHEN len(sh.shingles) = 0 THEN 0.0
+           |         ELSE coalesce(cnt.n_cont, 0)::DOUBLE
+           |              / len(sh.shingles) END) <= 0.5),
+           |pairs AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |    AND len(a.shingles) > 0 AND len(b.shingles) > 0
+           |  JOIN screened sa ON sa.doc_id = a.doc_id
+           |  JOIN screened sb ON sb.doc_id = b.doc_id
+           |  WHERE len(list_intersect(a.shingles, b.shingles))
+           |    / (len(a.shingles) + len(b.shingles)
+           |       - len(list_intersect(a.shingles, b.shingles))) >= 0.5),
+           |edges AS (
+           |  SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT e.src, reach.r FROM edges e
+           |  JOIN reach ON e.dst = reach.id),
+           |labels AS (
+           |  SELECT id, min(r) AS canonical FROM reach GROUP BY id),
+           |survivors AS (
+           |  SELECT s.doc_id FROM screened s
+           |  WHERE NOT EXISTS (SELECT 1 FROM labels l
+           |    WHERE l.id = s.doc_id AND l.canonical != s.doc_id)),
+           |sampk AS (
+           |  SELECT d.doc_id, d.lang, d.text,
+           |    'mix1:' || CAST(d.doc_id AS VARCHAR) AS key
+           |  FROM documents d JOIN survivors v ON v.doc_id = d.doc_id),
+           |sampled AS (
+           |  SELECT doc_id, text FROM sampk
+           |  WHERE CAST((list_reduce(list_prepend(0::BIGINT,
+           |    [ascii(key[i])::BIGINT FOR i IN range(1, length(key)+1)]),
+           |    (acc, ch) -> (acc * 257 + ch) % 1000000007)
+           |    * 48271) % 1000000007 % 10000 AS BIGINT)
+           |    < CASE lang WHEN 'en' THEN 3000 WHEN 'zh' THEN 5000
+           |      ELSE 10000 END),
+           |tk2 AS (
+           |  SELECT doc_id,
+           |    CAST(len(list_filter(string_split(text, ' '),
+           |      x -> x != '')) AS INT) AS n_tokens
+           |  FROM sampled),
+           |r2 AS (
+           |  SELECT doc_id, n_tokens,
+           |    row_number() OVER (ORDER BY n_tokens DESC, doc_id ASC) - 1
+           |      AS r0
+           |  FROM tk2)
+           |SELECT doc_id, n_tokens,
+           |  CAST(CASE WHEN r0 % 16 < 8 THEN r0 % 8
+           |       ELSE 15 - (r0 % 16) END AS BIGINT) AS bin
+           |FROM r2 ORDER BY doc_id""".stripMargin,
       "q72_stratified_sample" ->
         // q65's portable byte-fold + Lehmer mix with salt prefix mix1:,
         // 1/10000 resolution

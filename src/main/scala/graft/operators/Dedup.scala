@@ -596,6 +596,52 @@ object Dedup {
     * shuffle is ∝ corpus shingles, never all-pairs. Both flavors return
     * identical rows.
     */
+  /** The contamination screen's pass-through form for pipeline
+    * composition ([[CorpusPrep.prepare]]): `docs` plus the
+    * (n_shingles, n_contaminated, contaminated_frac) columns — all
+    * original columns retained, so a downstream stage filters without
+    * a corpus-wide join-back. Broadcast flavor only (eval sets are
+    * KB-MB of n-grams by contract): one broadcast array, one linear
+    * merge per row, MAP-ONLY over the corpus.
+    */
+  def withContamination(docs: DataFrame, benchmark: DataFrame,
+      numShingleWords: Int = 3): DataFrame =
+    contaminationCols(docs,
+      shingleHashArrays(benchmark, numShingleWords)
+        .localCheckpoint()
+        .select(explode(col("sh")).as("h"))
+        .distinct(),
+      numShingleWords)
+
+  /** docs + the three contamination columns via the broadcast
+    * one-array merge — shared by [[withContamination]] and
+    * [[contaminationScreen]]'s broadcast flavor so the arithmetic
+    * lives once. NULL-text docs report (0, 0, 0.0) via the coalesce,
+    * matching the shuffle flavor.
+    */
+  private def contaminationCols(docs: DataFrame, benchHashes: DataFrame,
+      numShingleWords: Int): DataFrame = {
+    val bench = benchHashes
+      .agg(array_sort(collect_list(col("h"))).as("__bench"))
+    val shCol = coalesce(
+      native.shingle_hashes_sorted(
+        filter(split(normalized(col("text")), " "), t => t =!= lit("")),
+        numShingleWords),
+      typedLit(Array.empty[Long]))
+    docs
+      .crossJoin(broadcast(bench))
+      .withColumn("__sh", shCol)
+      .withColumn("n_shingles", size(col("__sh")).cast("long"))
+      .withColumn("n_contaminated",
+        native.sorted_intersect_count(col("__sh"), col("__bench"))
+          .cast("long"))
+      .withColumn("contaminated_frac",
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(col("n_contaminated").cast("double") /
+            col("n_shingles")))
+      .drop("__sh", "__bench")
+  }
+
   def contaminationScreen(docs: DataFrame, benchmark: DataFrame,
       numShingleWords: Int = 3,
       maxBroadcastShingles: Long = 8L * 1000 * 1000): DataFrame = {
@@ -621,19 +667,9 @@ object Dedup {
           .otherwise(col("n_contaminated").cast("double") /
             col("n_shingles")))
     if (benchHashes.count() <= maxBroadcastShingles) {
-      val bench = benchHashes
-        .agg(array_sort(collect_list(col("h"))).as("__bench"))
-      // NULL-text docs have a null shingle array; coalesce to empty so
-      // both flavors report (0, 0, 0.0) for them instead of this one
-      // emitting size(NULL)/NULL counts
-      withFrac(shingleHashArrays(docs, numShingleWords)
-        .withColumn("sh",
-          coalesce(col("sh"), typedLit(Array.empty[Long])))
-        .crossJoin(broadcast(bench))
-        .select(col("doc_id"),
-          size(col("sh")).cast("long").as("n_shingles"),
-          native.sorted_intersect_count(col("sh"), col("__bench"))
-            .cast("long").as("n_contaminated")))
+      contaminationCols(docs, benchHashes, numShingleWords)
+        .select(col("doc_id"), col("n_shingles"),
+          col("n_contaminated"), col("contaminated_frac"))
     } else {
       // shuffle fallback: count total and contaminated shingles in one
       // exploded pass (count(__hit) over a LEFT join ≡ the merge-kernel

@@ -113,7 +113,8 @@ object TextAnalysis {
     *  - ≤ 90% of lines start with a bullet (`-`, `*`, `•`)
     *  - ≤ 30% of lines end with an ellipsis
     *  - ≥ 80% of words contain an (ASCII) alphabetic character
-    *  - ≥ 2 distinct hits from the paper's stop-word list
+    *  - ≥ `minStopHits` (paper default 2) distinct hits from the
+    *    paper's stop-word list
     *
     * Map-only: every figure is a per-row projection of codegen'd
     * built-ins (counts from regexp/split, ratios as integer÷integer
@@ -122,8 +123,11 @@ object TextAnalysis {
     * (the q79 oracle). Zero-word documents report 0 ratios and fail
     * the word-count rule rather than dividing by zero.
     */
-  def gopherRules(df: DataFrame, text: Column = col("text"),
-      minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+  /** The seven Gopher rule inputs as named Columns over `text` — the
+    * single definition behind [[gopherRules]] (audit form) and
+    * [[gopherKeep]] (filter form), so the two can never drift.
+    */
+  private def gopherFeatures(text: Column): Seq[(String, Column)] = {
     // \s+ split, NOT the single-space [[tokens]] helper: this screen's
     // line rules exist for multi-line documents, where a space-only
     // split would merge the last word of each line into the first word
@@ -148,33 +152,55 @@ object TextAnalysis {
       size(regexp_extract_all(text, lit("(\\.\\.\\.|…)"), lit(0))))
       .cast("long")
     // distinct stop-word hits: presence, not frequency (the rule wants
-    // >= 2 DIFFERENT stop words). ONE regex pass — extract every
-    // bounded stop-word match, count distinct words — where a per-word
-    // rlike stack re-scans the text once per stop word (8x the hottest
-    // regex cost of this screen)
+    // >= minStopHits DIFFERENT stop words). ONE regex pass — extract
+    // every bounded stop-word match, count distinct words — where a
+    // per-word rlike stack re-scans the text once per stop word (8x
+    // the hottest regex cost of this screen)
     val stopHits = size(array_distinct(regexp_extract_all(lower(text),
       lit("\\b(the|be|to|of|and|that|have|with)\\b"), lit(1))))
       .cast("long")
     val safe = (n: Column, d: Column) =>
       when(d === 0, lit(0.0)).otherwise(n.cast("double") / d)
-    df.select(
-        col("doc_id"),
-        nWords.as("n_words"),
-        safe(wordChars, nWords).as("mean_word_len"),
-        safe(nSymbols, nWords).as("symbol_ratio"),
-        safe(nBullet, nLines).as("bullet_frac"),
-        safe(nEllipsis, nLines).as("ellipsis_frac"),
-        safe(nAlpha, nWords).as("alpha_frac"),
-        stopHits.as("n_stop_hits"))
-      .withColumn("keep",
-        col("n_words") >= minWords && col("n_words") <= maxWords &&
-          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
-          col("symbol_ratio") <= 0.1 &&
-          col("bullet_frac") <= 0.9 &&
-          col("ellipsis_frac") <= 0.3 &&
-          col("alpha_frac") >= 0.8 &&
-          col("n_stop_hits") >= 2L)
+    Seq(
+      "n_words" -> nWords,
+      "mean_word_len" -> safe(wordChars, nWords),
+      "symbol_ratio" -> safe(nSymbols, nWords),
+      "bullet_frac" -> safe(nBullet, nLines),
+      "ellipsis_frac" -> safe(nEllipsis, nLines),
+      "alpha_frac" -> safe(nAlpha, nWords),
+      "n_stop_hits" -> stopHits)
   }
+
+  /** The keep verdict over [[gopherFeatures]]-shaped columns. */
+  private def gopherVerdict(f: Map[String, Column], minWords: Long,
+      maxWords: Long, minStopHits: Long): Column =
+    f("n_words") >= minWords && f("n_words") <= maxWords &&
+      f("mean_word_len") >= 3.0 && f("mean_word_len") <= 10.0 &&
+      f("symbol_ratio") <= 0.1 &&
+      f("bullet_frac") <= 0.9 &&
+      f("ellipsis_frac") <= 0.3 &&
+      f("alpha_frac") >= 0.8 &&
+      f("n_stop_hits") >= minStopHits
+
+  def gopherRules(df: DataFrame, text: Column = col("text"),
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      minStopHits: Long = 2L): DataFrame = {
+    val feats = gopherFeatures(text)
+    df.select(col("doc_id") +: feats.map { case (n, c) => c.as(n) }: _*)
+      .withColumn("keep",
+        gopherVerdict(feats.map { case (n, _) => n -> col(n) }.toMap,
+          minWords, maxWords, minStopHits))
+  }
+
+  /** [[gopherRules]]' verdict as a pure filter Column — the
+    * pipeline-composition form ([[CorpusPrep.prepare]]): a corpus
+    * screen is `docs.where(gopherKeep(col("text")))`, one map-only
+    * projection with no join-back and no extra pass.
+    */
+  def gopherKeep(text: Column, minWords: Long = 50L,
+      maxWords: Long = 100000L, minStopHits: Long = 2L): Column =
+    gopherVerdict(gopherFeatures(text).toMap, minWords, maxWords,
+      minStopHits)
 
   /** Repetition signals (the duplicate-text quality heuristics used to
     * filter training corpora): token duplication and the dominance of the

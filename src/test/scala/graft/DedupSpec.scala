@@ -191,6 +191,20 @@ class DedupSpec extends SparkSuite {
     assert(!contEmpty.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("withContamination pass-through rows match the screen's report " +
+      "and keep the corpus columns") {
+    val bench = docs.where($"doc_id" % 2 === 0)
+    val report = Dedup.contaminationScreen(docs, bench)
+      .orderBy($"doc_id").collect().toSeq
+    val passthru = Dedup.withContamination(docs, bench)
+      .select($"doc_id", $"n_shingles", $"n_contaminated",
+        $"contaminated_frac")
+      .orderBy($"doc_id").collect().toSeq
+    assert(passthru === report)
+    assert(Dedup.withContamination(docs, bench).columns
+      .contains("text")) // pass-through really keeps corpus columns
+  }
+
   test("containment scale path: found == exact on planted doc-in-doc " +
       "duplicates, scores bit-equal, recall row disclosed") {
     val small = "alpha beta gamma delta epsilon zeta eta theta"

@@ -194,6 +194,25 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
   }
 
+  test("corpus-prep screen front is map-only: zero shuffle exchanges, " +
+      "one benchmark broadcast") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val bench = docs.where(pmod(col("doc_id"), lit(97)) === 0)
+    val p = plan(graft.operators.CorpusPrep.screen(docs, bench,
+      minStopHits = 0, maxContamination = 0.5))
+    // the quality filter, the contamination columns, and their filters
+    // must all ride the corpus scan: the composition adds NO
+    // corpus-wide shuffle beyond what the dedup/pack stages own. The
+    // CORPUS branch prints before the benchmark's BroadcastExchange —
+    // everything under the broadcast is the eval-set-sized shingle
+    // distinct that the contamination stage owns.
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+    val corpusBranch = p.substring(0, p.indexOf("BroadcastExchange"))
+    assert(!corpusBranch.contains("Exchange "), corpusBranch.take(3000))
+    assert(corpusBranch.contains("FileScan parquet"),
+      corpusBranch.take(3000))
+  }
+
   test("token sharding windows per range partition, never a global " +
       "single-partition window") {
     val docs = spark.read.parquet(sf() + "/documents.parquet")

@@ -105,4 +105,16 @@ class TextAnalysisSpec extends SparkSuite {
     assert(verdict(rep)._1 === false)
     assert(verdict(rep)._2.getLong(7) === 1L)
   }
+
+  test("gopherKeep filter column selects exactly gopherRules' keepers") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id").collect().map(_.getLong(0)).toSet
+    val viaRules = ids(TextAnalysis.gopherRules(docs, minWords = 20,
+      minStopHits = 0).where($"keep"))
+    val viaKeep = ids(docs.where(TextAnalysis.gopherKeep($"text",
+      minWords = 20, minStopHits = 0)))
+    assert(viaKeep === viaRules)
+    assert(viaKeep.nonEmpty && viaKeep.size < docs.count())
+  }
 }

@@ -651,9 +651,11 @@ object SparkEntry {
     // threshold as q81 so found-pairs ⊆ q81 is directly checkable
     // (rows-only: the inverted-index candidate cut is df-dependent;
     // the exact counterpart IS q81 and q83 quantifies the gap).
-    // maxDocFreq 1000 = the full sample — no shingle is cut at this
-    // size, so the path is exhaustive here; production sets a real cap
-    // and reads the q83 disclosure
+    // maxDocFreq 1000 = the full sample and smallMaxShingles 4096 >
+    // the sample's largest doc (~100 shingles) — neither cut bites at
+    // this size, so the path is exhaustive here (q83 proves it:
+    // recall 1.0); production sets real caps and reads the q83
+    // disclosure
     "q82_containment_pairs" -> ((s, dir) =>
       Dedup.containmentPairs(
         t(s, dir, "documents").where(col("doc_id") < 1000),
@@ -1116,35 +1118,7 @@ object SparkEntry {
         // Spark side (explicit-whitespace-class tokens with empties
         // dropped — see TextAnalysis.WsPattern; lines on \n;
         // ratios = BIGINT/BIGINT IEEE division)
-        """WITH f AS (
-          |  SELECT doc_id,
-          |    list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'),
-          |      x -> x != '') AS ws,
-          |    string_split(text, chr(10)) AS lines,
-          |    CAST(length(regexp_replace(text, '[ \t\n\r\f\x0B]+', '', 'g'))
-          |      AS BIGINT) AS wchars,
-          |    CAST(len(regexp_extract_all(text, '#')) +
-          |         len(regexp_extract_all(text, '(\.\.\.|…)'))
-          |      AS BIGINT) AS nsym,
-          |    CAST(len(list_distinct(regexp_extract_all(lower(text),
-          |      '\b(the|be|to|of|and|that|have|with)\b', 1)))
-          |      AS BIGINT) AS n_stop_hits
-          |  FROM documents),
-          |c AS (
-          |  SELECT doc_id,
-          |    CAST(len(ws) AS BIGINT) AS n_words,
-          |    wchars, nsym, n_stop_hits,
-          |    CAST(len(lines) AS BIGINT) AS n_lines,
-          |    CAST(len(list_filter(lines,
-          |      l -> regexp_matches(l, '^[ \t\n\r\f\x0B]*[-*•]'))) AS BIGINT)
-          |      AS n_bullet,
-          |    CAST(len(list_filter(lines,
-          |      l -> regexp_matches(l, '(\.\.\.|…)[ \t\n\r\f\x0B]*$'))) AS BIGINT)
-          |      AS n_ellipsis,
-          |    CAST(len(list_filter(ws,
-          |      w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
-          |      AS n_alpha
-          |  FROM f),
+        s"""WITH ${gopherCteSql("")},
           |r AS (
           |  SELECT doc_id, n_words,
           |    CASE WHEN n_words = 0 THEN 0.0
@@ -1425,20 +1399,7 @@ object SparkEntry {
       "q80_pack_bins" ->
         // serpentine over the global (tokens desc, id) rank with B=8:
         // r%16 < 8 forward pass, else the reflected pass
-        """WITH tk AS (
-          |  SELECT doc_id,
-          |    CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
-          |      AS INT) AS n_tokens
-          |  FROM documents),
-          |r AS (
-          |  SELECT doc_id, n_tokens,
-          |    row_number() OVER (ORDER BY n_tokens DESC, doc_id ASC) - 1
-          |      AS r0
-          |  FROM tk)
-          |SELECT doc_id, n_tokens,
-          |  CAST(CASE WHEN r0 % 16 < 8 THEN r0 % 8
-          |       ELSE 15 - (r0 % 16) END AS BIGINT) AS bin
-          |FROM r ORDER BY doc_id""".stripMargin,
+        s"""WITH ${serpentineSql("documents")}""",
       "q67_split_leakage" ->
         // q65's bucket fold + q43's fingerprint, aggregated per split
         """WITH k AS (
@@ -1471,12 +1432,7 @@ object SparkEntry {
           |GROUP BY split ORDER BY split""".stripMargin,
       "q71_decontaminate" ->
         s"""WITH ${shingleSqlWhere("")},
-           |u AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-           |bench AS (SELECT DISTINCT s FROM u WHERE doc_id % 97 = 0),
-           |cnt AS (
-           |  SELECT u.doc_id, count(b.s) AS n_cont
-           |  FROM u LEFT JOIN bench b ON u.s = b.s
-           |  GROUP BY u.doc_id)
+           |$contaminationCntSql
            |SELECT sh.doc_id,
            |  CAST(len(sh.shingles) AS BIGINT) AS n_shingles,
            |  CAST(coalesce(cnt.n_cont, 0) AS BIGINT) AS n_contaminated,
@@ -1487,34 +1443,12 @@ object SparkEntry {
            |FROM sh LEFT JOIN cnt ON sh.doc_id = cnt.doc_id
            |ORDER BY sh.doc_id""".stripMargin,
       // the composed pipeline = its stages' oracles chained as CTEs:
-      // q79's gopher features (minWords 50, no stop-hit floor), q71's
-      // contamination counts (<= 0.5), q74's recursive-CTE dedup
-      // fixpoint, q72's salted-tick sample, q80's serpentine packing
+      // the SHARED gopher/contamination/tick/packing fragments (so a
+      // rule change cannot drift between q79/q71/q72/q80 and this
+      // composition), plus q74's recursive-CTE dedup fixpoint
       "q86_corpus_prep" ->
         s"""WITH RECURSIVE
-           |f AS (
-           |  SELECT doc_id,
-           |    list_filter(string_split_regex(text,
-           |      '[ \\t\\n\\r\\f\\x0B]+'), x -> x != '') AS ws,
-           |    string_split(text, chr(10)) AS lines,
-           |    CAST(length(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', '',
-           |      'g')) AS BIGINT) AS wchars,
-           |    CAST(len(regexp_extract_all(text, '#')) +
-           |         len(regexp_extract_all(text, '(\\.\\.\\.|…)'))
-           |      AS BIGINT) AS nsym
-           |  FROM documents WHERE doc_id < 500),
-           |c AS (
-           |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
-           |    wchars, nsym,
-           |    CAST(len(lines) AS BIGINT) AS n_lines,
-           |    CAST(len(list_filter(lines, l -> regexp_matches(l,
-           |      '^[ \\t\\n\\r\\f\\x0B]*[-*•]'))) AS BIGINT) AS n_bullet,
-           |    CAST(len(list_filter(lines, l -> regexp_matches(l,
-           |      '(\\.\\.\\.|…)[ \\t\\n\\r\\f\\x0B]*$$'))) AS BIGINT)
-           |      AS n_ellipsis,
-           |    CAST(len(list_filter(ws, w -> regexp_matches(w,
-           |      '[A-Za-z]'))) AS BIGINT) AS n_alpha
-           |  FROM f),
+           |${gopherCteSql("WHERE doc_id < 500")},
            |keepers AS (
            |  SELECT doc_id FROM c
            |  WHERE n_words BETWEEN 50 AND 100000
@@ -1528,14 +1462,10 @@ object SparkEntry {
            |    AND (CASE WHEN n_lines = 0 THEN 0.0
            |         ELSE n_ellipsis::DOUBLE / n_lines END) <= 0.3
            |    AND (CASE WHEN n_words = 0 THEN 0.0
-           |         ELSE n_alpha::DOUBLE / n_words END) >= 0.8),
+           |         ELSE n_alpha::DOUBLE / n_words END) >= 0.8
+           |    AND n_stop_hits >= 0),
            |${shingleSqlWhere("WHERE doc_id < 500")},
-           |u AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-           |bench AS (SELECT DISTINCT s FROM u WHERE doc_id % 97 = 0),
-           |cnt AS (
-           |  SELECT u.doc_id, count(b.s) AS n_cont
-           |  FROM u LEFT JOIN bench b ON u.s = b.s
-           |  GROUP BY u.doc_id),
+           |$contaminationCntSql,
            |screened AS (
            |  SELECT k.doc_id FROM keepers k
            |  JOIN sh ON sh.doc_id = k.doc_id
@@ -1572,40 +1502,20 @@ object SparkEntry {
            |  FROM documents d JOIN survivors v ON v.doc_id = d.doc_id),
            |sampled AS (
            |  SELECT doc_id, text FROM sampk
-           |  WHERE CAST((list_reduce(list_prepend(0::BIGINT,
-           |    [ascii(key[i])::BIGINT FOR i IN range(1, length(key)+1)]),
-           |    (acc, ch) -> (acc * 257 + ch) % 1000000007)
-           |    * 48271) % 1000000007 % 10000 AS BIGINT)
+           |  WHERE $mixedTickSql
            |    < CASE lang WHEN 'en' THEN 3000 WHEN 'zh' THEN 5000
            |      ELSE 10000 END),
-           |tk2 AS (
-           |  SELECT doc_id,
-           |    CAST(len(list_filter(string_split(text, ' '),
-           |      x -> x != '')) AS INT) AS n_tokens
-           |  FROM sampled),
-           |r2 AS (
-           |  SELECT doc_id, n_tokens,
-           |    row_number() OVER (ORDER BY n_tokens DESC, doc_id ASC) - 1
-           |      AS r0
-           |  FROM tk2)
-           |SELECT doc_id, n_tokens,
-           |  CAST(CASE WHEN r0 % 16 < 8 THEN r0 % 8
-           |       ELSE 15 - (r0 % 16) END AS BIGINT) AS bin
-           |FROM r2 ORDER BY doc_id""".stripMargin,
+           |${serpentineSql("sampled")}""".stripMargin,
       "q72_stratified_sample" ->
         // q65's portable byte-fold + Lehmer mix with salt prefix mix1:,
         // 1/10000 resolution
-        """WITH k AS (
+        s"""WITH k AS (
           |  SELECT doc_id, lang,
           |    'mix1:' || CAST(doc_id AS VARCHAR) AS key
           |  FROM documents),
           |b AS (
           |  SELECT doc_id, lang,
-          |    CAST((list_reduce(list_prepend(0::BIGINT,
-          |    [ascii(key[i])::BIGINT FOR i IN range(1, length(key)+1)]),
-          |    (acc, c) -> (acc * 257 + c) % 1000000007)
-          |    * 48271) % 1000000007 % 10000 AS BIGINT)
-          |    AS tick
+          |    $mixedTickSql AS tick
           |  FROM k)
           |SELECT doc_id, lang FROM b
           |WHERE tick < CASE lang WHEN 'en' THEN 3000 WHEN 'zh' THEN 5000
@@ -1672,6 +1582,85 @@ object SparkEntry {
     * oracle sample; [[shingleSqlWhere]] is the uncapped parametrized
     * form. */
   private def shingleSql: String = shingleSqlWhere("WHERE doc_id < 1000")
+
+  /** DuckDB fragment: q79's Gopher rule-input CTEs (f: raw counts, c:
+    * per-rule integers) over `documents __WHERE__` — shared by the q79
+    * audit oracle and q86's composed keep filter so a rule change can
+    * never drift between the stage oracle and the composition.
+    */
+  private def gopherCteSql(where: String): String =
+    """f AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '[ \t\n\r\f\x0B]+'),
+      |      x -> x != '') AS ws,
+      |    string_split(text, chr(10)) AS lines,
+      |    CAST(length(regexp_replace(text, '[ \t\n\r\f\x0B]+', '', 'g'))
+      |      AS BIGINT) AS wchars,
+      |    CAST(len(regexp_extract_all(text, '#')) +
+      |         len(regexp_extract_all(text, '(\.\.\.|…)'))
+      |      AS BIGINT) AS nsym,
+      |    CAST(len(list_distinct(regexp_extract_all(lower(text),
+      |      '\b(the|be|to|of|and|that|have|with)\b', 1)))
+      |      AS BIGINT) AS n_stop_hits
+      |  FROM documents __WHERE__),
+      |c AS (
+      |  SELECT doc_id,
+      |    CAST(len(ws) AS BIGINT) AS n_words,
+      |    wchars, nsym, n_stop_hits,
+      |    CAST(len(lines) AS BIGINT) AS n_lines,
+      |    CAST(len(list_filter(lines,
+      |      l -> regexp_matches(l, '^[ \t\n\r\f\x0B]*[-*•]'))) AS BIGINT)
+      |      AS n_bullet,
+      |    CAST(len(list_filter(lines,
+      |      l -> regexp_matches(l, '(\.\.\.|…)[ \t\n\r\f\x0B]*$'))) AS BIGINT)
+      |      AS n_ellipsis,
+      |    CAST(len(list_filter(ws,
+      |      w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+      |      AS n_alpha
+      |  FROM f)""".stripMargin.replace("__WHERE__", where).trim
+
+  /** DuckDB fragment: per-doc contamination counts (u: exploded
+    * shingles, bench: the doc_id % 97 eval slice's distinct shingles,
+    * cnt: per-doc hit counts) over a preceding `sh` CTE — shared by the
+    * q71 report oracle and q86's composed screen.
+    */
+  private def contaminationCntSql: String =
+    """u AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      |bench AS (SELECT DISTINCT s FROM u WHERE doc_id % 97 = 0),
+      |cnt AS (
+      |  SELECT u.doc_id, count(b.s) AS n_cont
+      |  FROM u LEFT JOIN bench b ON u.s = b.s
+      |  GROUP BY u.doc_id)""".stripMargin
+
+  /** DuckDB fragment: the q65/q72 portable byte-fold + Lehmer-mix tick
+    * in [0, 10000) over a `key` column — shared by the q72 sample
+    * oracle and q86's composed sample stage.
+    */
+  private def mixedTickSql: String =
+    """CAST((list_reduce(list_prepend(0::BIGINT,
+      |    [ascii(key[i])::BIGINT FOR i IN range(1, length(key)+1)]),
+      |    (acc, c) -> (acc * 257 + c) % 1000000007)
+      |    * 48271) % 1000000007 % 10000 AS BIGINT)""".stripMargin.trim
+
+  /** DuckDB fragment: q80's serpentine 8-bin packing over the global
+    * (tokens desc, id) rank of `__SRC__(doc_id, text)` — shared by the
+    * q80 oracle and q86's composed packing tail.
+    */
+  private def serpentineSql(src: String): String =
+    """tk AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+      |      AS INT) AS n_tokens
+      |  FROM __SRC__),
+      |rnk AS (
+      |  SELECT doc_id, n_tokens,
+      |    row_number() OVER (ORDER BY n_tokens DESC, doc_id ASC) - 1
+      |      AS r0
+      |  FROM tk)
+      |SELECT doc_id, n_tokens,
+      |  CAST(CASE WHEN r0 % 16 < 8 THEN r0 % 8
+      |       ELSE 15 - (r0 % 16) END AS BIGINT) AS bin
+      |FROM rnk ORDER BY doc_id""".stripMargin.replace("__SRC__", src)
 
   private def shingleSqlWhere(where: String): String =
     s"""nrm AS (

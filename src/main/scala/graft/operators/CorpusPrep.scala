@@ -53,8 +53,13 @@ object CorpusPrep {
       fractions: Map[String, Double] = Map.empty,
       defaultFraction: Double = 1.0, sampleSalt: String = "mix1",
       nBins: Int = 8, numShingleWords: Int = 3): DataFrame = {
-    val screened = screen(docs, benchmark, minWords, maxWords,
-      minStopHits, maxContamination, numShingleWords)
+    // barrier: the screened corpus feeds the pair generator (both
+    // sides of its self-join), the verify pass, AND the final
+    // anti-join — without it each consumer re-runs the regex/shingle
+    // screen over the full corpus (2-4 redundant scans at scale)
+    val screened = Barriers.barrier(
+      screen(docs, benchmark, minWords, maxWords, minStopHits,
+        maxContamination, numShingleWords))
     val deduped = Dedup.dedupByClusters(screened, pairs(screened),
       maxIter, strategy)
     val sampled = Sharding.stratifiedSample(deduped,

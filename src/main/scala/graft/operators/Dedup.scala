@@ -243,9 +243,18 @@ object Dedup {
     * is keyed by shingle hash and bounded by
     * |probe shingles|·maxDocFreq matches — never all-pairs; a hot
     * shingle at the df cap is an AQE-splittable skew key. Candidates
-    * are pairs sharing ≥ `minHits` surviving shingles; the df cut can
-    * hide pairs whose entire overlap is frequent shingles, which is
-    * exactly what [[containmentRecall]]'s disclosure row quantifies.
+    * are pairs sharing ≥ `minHits` surviving shingles.
+    *
+    * TWO disclosed recall cuts, both quantified by
+    * [[containmentRecall]]'s row: (1) the df cut hides pairs whose
+    * entire overlap is frequent shingles; (2) the probe size cap is
+    * ABSOLUTE — a pair where BOTH docs exceed `smallMaxShingles`
+    * generates no candidate, so big-big duplication must either be
+    * covered by raising the cap (cost grows ∝ probe shingles, still
+    * df-bounded) or caught by the Jaccard path (near-total overlap of
+    * comparable sizes has Jaccard ≥ t·r/(1+r) for size ratio r, which
+    * minhash bands do track). The cap's intent is the doc-in-doc
+    * family: the CONTAINED side of such a pair is small by definition.
     */
   def containmentCandidates(docs: DataFrame, numShingleWords: Int = 3,
       smallMaxShingles: Int = 4096, maxDocFreq: Long = 1000,
@@ -304,7 +313,10 @@ object Dedup {
     * doc_id) per containment-duplicate cluster plus every unclustered
     * document — the [[dedupByClusters]] tail over [[containmentPairs]]
     * edges, removing the doc-in-doc duplication family Jaccard dedup
-    * leaves behind.
+    * leaves behind. Inherits [[containmentCandidates]]' two disclosed
+    * recall cuts (df cap; pairs where BOTH sides exceed
+    * `smallMaxShingles` are out of this generator's scope) — validate
+    * the parameter choice with [[containmentRecall]] on a sample.
     */
   def containmentDedup(docs: DataFrame, numShingleWords: Int = 3,
       threshold: Double = 0.8, smallMaxShingles: Int = 4096,
@@ -578,12 +590,11 @@ object Dedup {
     dedupByClusters(docs, nearDupPairs(docs, threshold),
       strategy = strategy)
 
-  /** Benchmark decontamination screen: for each document, how many of its
-    * distinct n-gram shingles also occur in a benchmark/eval set — the
-    * screen run before training so eval data is not memorized (the
-    * overlap-based contamination definition used by LLM training
-    * pipelines). Returns (doc_id, n_shingles, n_contaminated,
-    * contaminated_frac).
+  /** Benchmark decontamination, pass-through form: for each document,
+    * how many of its distinct n-gram shingles also occur in a
+    * benchmark/eval set — the screen run before training so eval data
+    * is not memorized (the overlap-based contamination definition used
+    * by LLM training pipelines).
     *
     * Scale design, broadcast flavor (the default — eval sets are KB-MB
     * of n-grams): the benchmark's distinct shingle hashes collapse into
@@ -595,23 +606,56 @@ object Dedup {
     * explode + left join keyed by shingle hash + per-doc count — whose
     * shuffle is ∝ corpus shingles, never all-pairs. Both flavors return
     * identical rows.
-    */
-  /** The contamination screen's pass-through form for pipeline
-    * composition ([[CorpusPrep.prepare]]): `docs` plus the
-    * (n_shingles, n_contaminated, contaminated_frac) columns — all
-    * original columns retained, so a downstream stage filters without
-    * a corpus-wide join-back. Broadcast flavor only (eval sets are
-    * KB-MB of n-grams by contract): one broadcast array, one linear
-    * merge per row, MAP-ONLY over the corpus.
+    *
+    * This form is for pipeline
+    * composition ([[CorpusPrep.prepare]]): `docs` plus the three
+    * columns, ALL original columns retained, so a downstream stage
+    * filters without an extra corpus pass (the shuffle flavor pays one
+    * corpus-wide join-back for it — the disclosed price of a benchmark
+    * too large to broadcast). [[contaminationScreen]] is the
+    * (doc_id, counts, frac) report projection of this function.
     */
   def withContamination(docs: DataFrame, benchmark: DataFrame,
-      numShingleWords: Int = 3): DataFrame =
-    contaminationCols(docs,
-      shingleHashArrays(benchmark, numShingleWords)
-        .localCheckpoint()
-        .select(explode(col("sh")).as("h"))
-        .distinct(),
-      numShingleWords)
+      numShingleWords: Int = 3,
+      maxBroadcastShingles: Long = 8L * 1000 * 1000): DataFrame = {
+    // checkpoint barrier: without it the optimizer inlines the shingle
+    // kernel into the explode's pushed-down filter and evaluates it 3×
+    // per benchmark row. The benchmark is the small side by contract,
+    // so materializing it is free; the CORPUS side needs no barrier.
+    // persist (not a second checkpoint) after the distinct: the
+    // flavor-selection count() below is then the ONE action that fills
+    // the cache — count and materialization ride the same job — and
+    // the chosen flavor reads the cached hash set instead of
+    // re-running the explode+distinct
+    val benchHashes = shingleHashArrays(benchmark, numShingleWords)
+      .localCheckpoint()
+      .select(explode(col("sh")).as("h"))
+      .distinct()
+      .persist()
+    if (benchHashes.count() <= maxBroadcastShingles)
+      contaminationCols(docs, benchHashes, numShingleWords)
+    else {
+      // shuffle fallback: count total and contaminated shingles in one
+      // exploded pass (count(__hit) over a LEFT join ≡ the merge-kernel
+      // intersection count, since both sides' hashes are distinct),
+      // then join the counts back onto the corpus — zero-shingle docs
+      // the explode dropped coalesce to (0, 0, 0.0)
+      val counted = shingleHashArrays(docs, numShingleWords)
+        .select(col("doc_id"), explode(col("sh")).as("h"))
+        .join(benchHashes.withColumn("__hit", lit(1)), Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          count(col("__hit")).as("n_contaminated"))
+      docs.join(counted, Seq("doc_id"), "left")
+        .withColumn("n_shingles", coalesce(col("n_shingles"), lit(0L)))
+        .withColumn("n_contaminated",
+          coalesce(col("n_contaminated"), lit(0L)))
+        .withColumn("contaminated_frac",
+          when(col("n_shingles") === 0, lit(0.0))
+            .otherwise(col("n_contaminated").cast("double") /
+              col("n_shingles")))
+    }
+  }
 
   /** docs + the three contamination columns via the broadcast
     * one-array merge — shared by [[withContamination]] and
@@ -642,53 +686,17 @@ object Dedup {
       .drop("__sh", "__bench")
   }
 
+  /** The decontamination REPORT: (doc_id, n_shingles, n_contaminated,
+    * contaminated_frac) — [[withContamination]]'s columns without the
+    * corpus pass-through. Same flavors, same rows (DedupSpec).
+    */
   def contaminationScreen(docs: DataFrame, benchmark: DataFrame,
       numShingleWords: Int = 3,
-      maxBroadcastShingles: Long = 8L * 1000 * 1000): DataFrame = {
-    // checkpoint barrier: without it the optimizer inlines the shingle
-    // kernel into the explode's pushed-down filter and evaluates it 3×
-    // per benchmark row. The benchmark is the small side by contract
-    // (eval-set vs corpus), so materializing it is free; the CORPUS side
-    // needs no barrier (the join boundary already keeps its kernel
-    // single-evaluation).
-    // persist (not a second checkpoint) after the distinct: the
-    // flavor-selection count() below is then the ONE action that fills
-    // the cache — count and materialization ride the same job, where an
-    // eager checkpoint + count cost two — and the chosen flavor reads
-    // the cached hash set instead of re-running the explode+distinct
-    val benchHashes = shingleHashArrays(benchmark, numShingleWords)
-      .localCheckpoint()
-      .select(explode(col("sh")).as("h"))
-      .distinct()
-      .persist()
-    def withFrac(df: DataFrame): DataFrame = df
-      .withColumn("contaminated_frac",
-        when(col("n_shingles") === 0, lit(0.0))
-          .otherwise(col("n_contaminated").cast("double") /
-            col("n_shingles")))
-    if (benchHashes.count() <= maxBroadcastShingles) {
-      contaminationCols(docs, benchHashes, numShingleWords)
-        .select(col("doc_id"), col("n_shingles"),
-          col("n_contaminated"), col("contaminated_frac"))
-    } else {
-      // shuffle fallback: count total and contaminated shingles in one
-      // exploded pass (count(__hit) over a LEFT join ≡ the merge-kernel
-      // intersection count, since both sides' hashes are distinct), then
-      // restore zero-shingle docs the explode dropped
-      val counted = shingleHashArrays(docs, numShingleWords)
-        .select(col("doc_id"), explode(col("sh")).as("h"))
-        .join(benchHashes.withColumn("__hit", lit(1)), Seq("h"), "left")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_shingles"),
-          count(col("__hit")).as("n_contaminated"))
-      withFrac(docs.select(col("doc_id"))
-        .join(counted, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
-          coalesce(col("n_contaminated"), lit(0L))
-            .as("n_contaminated")))
-    }
-  }
+      maxBroadcastShingles: Long = 8L * 1000 * 1000): DataFrame =
+    withContamination(docs, benchmark, numShingleWords,
+        maxBroadcastShingles)
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        col("contaminated_frac"))
 
   // --------------------------------------------------- embedding near-dup
 

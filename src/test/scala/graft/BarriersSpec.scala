@@ -48,7 +48,8 @@ class BarriersSpec extends SparkSuite {
       assert(labelsOf(Dedup.connectedComponentsStars(edgePairs))
         === localStars)
       // the rounds really went to the reliable location
-      val written = java.nio.file.Files.walk(ckpt).count()
+      val walk = java.nio.file.Files.walk(ckpt)
+      val written = try walk.count() finally walk.close()
       assert(written > 1L, s"no reliable checkpoint files under $ckpt")
     } finally spark.conf.set(Barriers.DurableBarriersKey, "false")
   }

@@ -203,6 +203,16 @@ class DedupSpec extends SparkSuite {
     assert(passthru === report)
     assert(Dedup.withContamination(docs, bench).columns
       .contains("text")) // pass-through really keeps corpus columns
+    // the shuffle fallback (benchmark over the broadcast cap) returns
+    // the same rows AND the same pass-through columns
+    val fallback = Dedup.withContamination(docs, bench,
+        maxBroadcastShingles = 1)
+      .select($"doc_id", $"n_shingles", $"n_contaminated",
+        $"contaminated_frac")
+      .orderBy($"doc_id").collect().toSeq
+    assert(fallback === report)
+    assert(Dedup.withContamination(docs, bench, maxBroadcastShingles = 1)
+      .columns.contains("text"))
   }
 
   test("containment scale path: found == exact on planted doc-in-doc " +

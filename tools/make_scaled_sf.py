@@ -13,8 +13,15 @@ consistent within a shard and shards never cross-match:
     distinct-shingle and near-dup structure scales like real corpus
     growth instead of producing 10x exact replicas (which would blow up
     LSH bucket sizes quadratically and misrepresent sf1);
-  - embeddings keep their vectors (scoring cost scales with rows), only
-    vec_ids shift; ANN queries (vec_id < 5) stay the shard-0 five.
+  - embeddings get per-shard JITTERED CLUSTERS (shard 0 verbatim so the
+    ANN queries vec_id < 5 stay the originals): each later shard blends
+    the source vector (0.6x) with a deterministic per-shard direction
+    (0.5x, one coarse cluster per shard) and per-row hash noise (0.8x).
+    Verbatim copies would make the sf1 semantic structure 10 exact
+    replicas -- every cross-shard self-pair at cosine 1.0, a fake
+    quadratic cliff for q35/q75-q77 -- while the blend scales like a
+    real clustered corpus: measured within-shard coherence ~0.28
+    cosine, cross-shard self-pairs ~0.1 (drifted, not identical).
 
 This is a TIMING dataset only — never a correctness oracle input: the
 value distributions are the driver's, but the cross-shard independence
@@ -41,7 +48,6 @@ def main() -> None:
         "part": {"p_partkey": 1_000_000},
         "supplier": {"s_suppkey": 1_000_000},
         "events": {"event_id": 10_000_000, "user_id": 1_000_000},
-        "embeddings": {"vec_id": 1_000_000},
     }
     for t, cols in shift.items():
         desc = con.sql(f"describe select * from '{src}/{t}.parquet'").fetchall()
@@ -55,6 +61,30 @@ def main() -> None:
                 f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
         print(t, con.sql(f"select count(*) from '{dst}/{t}.parquet'")
               .fetchone()[0])
+
+    parts = []
+    for i in range(shards):
+        if i == 0:
+            parts.append(
+                f"SELECT vec_id, embedding, label "
+                f"FROM '{src}/embeddings.parquet'")
+        else:
+            jit = (
+                "[CAST(0.6 * embedding[j] "
+                f"+ 0.5 * ((CAST(hash({i} * 1000003 + j) % 2001 AS BIGINT)"
+                " - 1000) / 1000.0) "
+                f"+ 0.8 * ((CAST(hash(vec_id * 1000003 + {i} * 10007 + j)"
+                " % 2001 AS BIGINT) - 1000) / 1000.0) AS FLOAT) "
+                "FOR j IN range(1, len(embedding) + 1)]")
+            parts.append(
+                f"SELECT vec_id + {1_000_000 * i} AS vec_id, "
+                f"{jit} AS embedding, label "
+                f"FROM '{src}/embeddings.parquet'")
+    con.sql(f"COPY ({' UNION ALL '.join(parts)}) "
+            f"TO '{dst}/embeddings.parquet' (FORMAT PARQUET)")
+    print("embeddings",
+          con.sql(f"select count(*) from '{dst}/embeddings.parquet'")
+          .fetchone()[0])
 
     parts = []
     for i in range(shards):

@@ -467,6 +467,14 @@ object SparkEntry {
     "q30_dedup_exact_groups" -> ((s, dir) =>
       Dedup.exactGroups(t(s, dir, "documents"))
         .orderBy(col("fingerprint").asc)),
+    // chunk-granular substring dedup: 10-token windows (not the
+    // paper's 50) so the synthetic ~30-60-token docs span several
+    // chunks and cross-doc window duplication actually occurs
+    "q87_chunk_dedup" -> ((s, dir) =>
+      Dedup.dedupChunks(t(s, dir, "documents"), chunkTokens = 10)
+        .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+          md5(col("text")).as("dedup_md5"))
+        .orderBy(col("doc_id").asc)),
     "q31_dedup_exact_rows" -> ((s, dir) =>
       Dedup.exactDedup(t(s, dir, "documents"))
         .select(col("doc_id"), col("lang"), col("n_chars"))
@@ -1076,6 +1084,41 @@ object SparkEntry {
           |      GROUP BY md5(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')))
           |  g ON d.doc_id = g.m
           |ORDER BY d.doc_id""".stripMargin,
+      // chunk dedup: 10-token windows, first (doc_id, idx) occurrence
+      // survives; string partition ≡ Spark's md5 key up to collisions
+      "q87_chunk_dedup" ->
+        """WITH nrm AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split(
+          |      regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g'),
+          |      ' '), x -> x != '') AS tk
+          |  FROM documents),
+          |ch AS (
+          |  SELECT doc_id,
+          |    unnest(generate_series(0,
+          |      CAST(ceil(len(tk) / 10.0) AS INT) - 1)) AS idx, tk
+          |  FROM nrm WHERE len(tk) > 0),
+          |cstr AS (
+          |  SELECT doc_id, idx,
+          |    array_to_string(tk[idx*10+1 : idx*10+10], ' ') AS chunk
+          |  FROM ch),
+          |ranked AS (
+          |  SELECT doc_id, idx, chunk,
+          |    row_number() OVER (PARTITION BY chunk
+          |      ORDER BY doc_id, idx) AS rn
+          |  FROM cstr),
+          |kept AS (SELECT doc_id, idx, chunk FROM ranked WHERE rn = 1),
+          |out AS (
+          |  SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+          |    md5(string_agg(chunk, ' ' ORDER BY idx)) AS dedup_md5
+          |  FROM kept GROUP BY doc_id)
+          |SELECT n.doc_id,
+          |  CAST(CASE WHEN len(tk) = 0 THEN 0
+          |       ELSE ceil(len(tk) / 10.0) END AS INT) AS n_chunks,
+          |  CAST(coalesce(o.n_kept, 0) AS INT) AS n_kept,
+          |  coalesce(o.dedup_md5, md5('')) AS dedup_md5
+          |FROM nrm n LEFT JOIN out o ON n.doc_id = o.doc_id
+          |ORDER BY n.doc_id""".stripMargin,
       "q36_ann_quantized_topk" ->
         """SELECT query_id, vec_id, CAST(dot AS BIGINT) AS dot,
           |       CAST(rank AS INT) AS rank FROM (

@@ -371,6 +371,60 @@ object Dedup {
         lit(maxDocFreq).as("max_doc_freq"))
   }
 
+  /** Chunk-level exact dedup — the fixed-window granularity of
+    * substring deduplication (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", arXiv:2107.06499 dedup 50-token
+    * windows): split each document's normalized token stream into
+    * consecutive `chunkTokens`-token chunks (last chunk may be
+    * shorter), keep each distinct chunk's FIRST occurrence corpus-wide
+    * (lowest (doc_id, chunk index)), drop every later copy, and
+    * reassemble each document from its surviving chunks in original
+    * order. Returns (doc_id, n_chunks, n_kept, text) — text is the
+    * deduplicated document ("" when every chunk occurred earlier
+    * elsewhere).
+    *
+    * Scale: one explode (corpus tokens / chunkTokens rows), a
+    * partial+final min-aggregate keyed by the chunk's md5, one
+    * equi-join on that key, one per-doc reassembly aggregate — every
+    * shuffle is hash-bucketed, nothing is all-pairs, and chunk strings
+    * cross the wire once.
+    */
+  def dedupChunks(docs: DataFrame, chunkTokens: Int = 50): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be > 0, got $chunkTokens")
+    val nChunks = ceil(size(col("tokens")).cast("double") / chunkTokens)
+      .cast("int")
+    val base = tokenArrays(docs).select(col("doc_id"),
+      // sequence(0, -1) would step DOWN; zero-token docs get no chunks
+      when(size(col("tokens")) > 0,
+        transform(sequence(lit(0), nChunks - 1),
+          i => array_join(
+            slice(col("tokens"), i * chunkTokens + lit(1),
+              lit(chunkTokens)), " ")))
+        .otherwise(typedLit(Array.empty[String])).as("chunks"))
+    // barrier: the exploded chunk stream feeds the canonical aggregate
+    // AND the join back — without it the tokenize+chunk projection
+    // runs twice over the corpus
+    val keyed = Barriers.barrier(base
+      .select(col("doc_id"), posexplode(col("chunks")))
+      .toDF("doc_id", "idx", "chunk")
+      .withColumn("ch", md5(col("chunk"))))
+    val canon = keyed.groupBy(col("ch"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
+    val kept = keyed.join(canon, Seq("ch"))
+      .where(col("doc_id") === col("f.doc_id") &&
+        col("idx") === col("f.idx"))
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("idx"),
+            col("chunk")))), s => s.getField("chunk")), " ").as("text"))
+    base.select(col("doc_id"), size(col("chunks")).as("n_chunks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        coalesce(col("text"), lit("")).as("text"))
+  }
+
   // -------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over token hashes, computed per row by the native

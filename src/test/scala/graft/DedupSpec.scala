@@ -271,6 +271,26 @@ class DedupSpec extends SparkSuite {
     assert(single === Set((0L, 1L)))
   }
 
+  test("chunk dedup keeps first occurrences and reassembles in order") {
+    // chunks of 3 tokens; doc 1 repeats doc 0's first chunk, doc 2 is
+    // a full copy of doc 0, doc 3 is unrelated
+    val corpus = Seq(
+      (0L, "a b c d e f"),            // chunks: "a b c", "d e f"
+      (1L, "a b c x y z"),            // first chunk duplicates doc 0's
+      (2L, "a b c d e f"),            // all chunks duplicate doc 0's
+      (3L, "p q r"),
+      (4L, "")                        // zero tokens -> zero chunks
+    ).toDF("doc_id", "text")
+    val r = Dedup.dedupChunks(corpus, chunkTokens = 3)
+      .orderBy($"doc_id").collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getInt(2), x.getString(3)))
+    assert(r(0) === ((0L, 2, 2, "a b c d e f")))
+    assert(r(1) === ((1L, 2, 1, "x y z"))) // dup chunk dropped, order kept
+    assert(r(2) === ((2L, 2, 0, "")))      // nothing survives a full copy
+    assert(r(3) === ((3L, 1, 1, "p q r")))
+    assert(r(4) === ((4L, 0, 0, "")))
+  }
+
   test("containmentDedup keeps one canonical per containment cluster") {
     val small = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val filler = (1 to 100).map(i => s"word$i").mkString(" ")

@@ -194,6 +194,20 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
   }
 
+  test("containment candidates equi-join postings on the shingle hash " +
+      "with map-side hit counting — never a nested loop") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val p = plan(graft.operators.Dedup.containmentCandidates(docs))
+    // the self-join must key on the posting hash h (BHJ at test scale,
+    // SMJ/SHJ on a cluster — either way an equi-join, never BNLJ), and
+    // the per-pair hit count must partial-aggregate before its exchange
+    assert(p.contains("Join [h#") || p.contains("Join [h_"),
+      p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("partial_count"), p.take(3000))
+  }
+
   test("corpus-prep screen front is map-only: zero shuffle exchanges, " +
       "one benchmark broadcast") {
     val docs = spark.read.parquet(sf() + "/documents.parquet")

@@ -1087,10 +1087,13 @@ object SparkEntry {
       // chunk dedup: 10-token windows, first (doc_id, idx) occurrence
       // survives; string partition ≡ Spark's md5 key up to collisions
       "q87_chunk_dedup" ->
+        // coalesce: a NULL text must report (0, 0, md5('')) like the
+        // Spark side, not a NULL n_chunks from len(NULL)
         """WITH nrm AS (
           |  SELECT doc_id,
           |    list_filter(string_split(
-          |      regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g'),
+          |      regexp_replace(lower(coalesce(text, '')),
+          |        '[ \t\n\r\f\x0B]+', ' ', 'g'),
           |      ' '), x -> x != '') AS tk
           |  FROM documents),
           |ch AS (

@@ -393,21 +393,24 @@ object Dedup {
     require(chunkTokens > 0, s"chunkTokens must be > 0, got $chunkTokens")
     val nChunks = ceil(size(col("tokens")).cast("double") / chunkTokens)
       .cast("int")
-    val base = tokenArrays(docs).select(col("doc_id"),
+    // barrier the tokenize+chunk projection itself: it feeds the
+    // exploded key stream (twice: canonical aggregate + join back) AND
+    // the final n_chunks select — without the barrier the expensive
+    // chunk-string build would run once per consumer; the cheap
+    // explode+md5 on top of the materialized chunks is what gets
+    // recomputed instead
+    val base = Barriers.barrier(tokenArrays(docs).select(col("doc_id"),
       // sequence(0, -1) would step DOWN; zero-token docs get no chunks
       when(size(col("tokens")) > 0,
         transform(sequence(lit(0), nChunks - 1),
           i => array_join(
             slice(col("tokens"), i * chunkTokens + lit(1),
               lit(chunkTokens)), " ")))
-        .otherwise(typedLit(Array.empty[String])).as("chunks"))
-    // barrier: the exploded chunk stream feeds the canonical aggregate
-    // AND the join back — without it the tokenize+chunk projection
-    // runs twice over the corpus
-    val keyed = Barriers.barrier(base
+        .otherwise(typedLit(Array.empty[String])).as("chunks")))
+    val keyed = base
       .select(col("doc_id"), posexplode(col("chunks")))
       .toDF("doc_id", "idx", "chunk")
-      .withColumn("ch", md5(col("chunk"))))
+      .withColumn("ch", md5(col("chunk")))
     val canon = keyed.groupBy(col("ch"))
       .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
     val kept = keyed.join(canon, Seq("ch"))
@@ -676,16 +679,17 @@ object Dedup {
     // kernel into the explode's pushed-down filter and evaluates it 3×
     // per benchmark row. The benchmark is the small side by contract,
     // so materializing it is free; the CORPUS side needs no barrier.
-    // persist (not a second checkpoint) after the distinct: the
-    // flavor-selection count() below is then the ONE action that fills
-    // the cache — count and materialization ride the same job — and
-    // the chosen flavor reads the cached hash set instead of
-    // re-running the explode+distinct
+    // NO cache on the distinct hash set: the flavor-selection count()
+    // is the one setup job, and the chosen flavor re-derives the
+    // distinct from the CHECKPOINTED shingle arrays at action time — a
+    // small recompute (the benchmark is eval-set-sized by contract)
+    // where a persist would pin an executor cache that nothing in this
+    // function's lifetime can safely release (the consumer acts after
+    // return), accumulating across repeated screen calls
     val benchHashes = shingleHashArrays(benchmark, numShingleWords)
       .localCheckpoint()
       .select(explode(col("sh")).as("h"))
       .distinct()
-      .persist()
     if (benchHashes.count() <= maxBroadcastShingles)
       contaminationCols(docs, benchHashes, numShingleWords)
     else {

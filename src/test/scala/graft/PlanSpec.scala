@@ -208,6 +208,17 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial_count"), p.take(3000))
   }
 
+  test("chunk dedup equi-joins on the chunk hash with a partial " +
+      "min-aggregate — never a nested loop") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val p = plan(graft.operators.Dedup.dedupChunks(docs, chunkTokens = 10))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(3000))
+    // canonical-occurrence aggregate combines map-side before its
+    // exchange (first-occurrence min over (doc_id, idx) per chunk key)
+    assert(p.contains("partial_min"), p.take(3000))
+  }
+
   test("corpus-prep screen front is map-only: zero shuffle exchanges, " +
       "one benchmark broadcast") {
     val docs = spark.read.parquet(sf() + "/documents.parquet")

@@ -475,6 +475,14 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chunks"), col("n_kept"),
           md5(col("text")).as("dedup_md5"))
         .orderBy(col("doc_id").asc)),
+    // content-defined chunking: divisor 8 ≈ the q87 granularity but
+    // boundaries come from token content, so duplicated passages dedup
+    // at ANY token offset (the fixed grid's blind spot)
+    "q88_cdc_chunk_dedup" -> ((s, dir) =>
+      Dedup.dedupChunksCDC(t(s, dir, "documents"), divisor = 8)
+        .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+          md5(col("text")).as("dedup_md5"))
+        .orderBy(col("doc_id").asc)),
     "q31_dedup_exact_rows" -> ((s, dir) =>
       Dedup.exactDedup(t(s, dir, "documents"))
         .select(col("doc_id"), col("lang"), col("n_chars"))
@@ -1121,6 +1129,62 @@ object SparkEntry {
           |  CAST(coalesce(o.n_kept, 0) AS INT) AS n_kept,
           |  coalesce(o.dedup_md5, md5('')) AS dedup_md5
           |FROM nrm n LEFT JOIN out o ON n.doc_id = o.doc_id
+          |ORDER BY n.doc_id""".stripMargin,
+      // content-defined chunking: a chunk ends at token i iff
+      // (rollingHash(token)*48271) % 1e9+7 % 8 == 0 — the same Rabin-Karp
+      // byte fold as q44 plus the Lehmer mix, all 64-bit integer math
+      // (tokens are ASCII, so ascii() over code points == the byte fold)
+      "q88_cdc_chunk_dedup" ->
+        """WITH nrm AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split(
+          |      regexp_replace(lower(coalesce(text, '')),
+          |        '[ \t\n\r\f\x0B]+', ' ', 'g'),
+          |      ' '), x -> x != '') AS tk
+          |  FROM documents),
+          |th AS (
+          |  SELECT doc_id, tk,
+          |    list_transform(tk, t ->
+          |      (list_reduce(list_prepend(0::BIGINT,
+          |         list_transform(range(1, length(t) + 1),
+          |           j -> ascii(t[j])::BIGINT)),
+          |         (acc, b) -> (acc * 257 + b) % 1000000007)
+          |       * 48271) % 1000000007 % 8) AS hb
+          |  FROM nrm),
+          |cuts AS (
+          |  SELECT doc_id, tk,
+          |    CASE WHEN len(bnd) > 0 AND bnd[len(bnd)] = len(tk) THEN bnd
+          |         ELSE list_append(bnd, len(tk)) END AS ends
+          |  FROM (SELECT doc_id, tk,
+          |          list_filter(range(1, len(tk) + 1), i -> hb[i] = 0)
+          |            AS bnd
+          |        FROM th WHERE len(tk) > 0)),
+          |cstr AS (
+          |  SELECT doc_id, k - 1 AS idx,
+          |    array_to_string(
+          |      tk[(CASE WHEN k = 1 THEN 0 ELSE ends[k - 1] END) + 1
+          |         : ends[k]], ' ') AS chunk
+          |  FROM (SELECT doc_id, tk, ends,
+          |          unnest(generate_series(1, len(ends))) AS k
+          |        FROM cuts)),
+          |ranked AS (
+          |  SELECT doc_id, idx, chunk,
+          |    row_number() OVER (PARTITION BY chunk
+          |      ORDER BY doc_id, idx) AS rn
+          |  FROM cstr),
+          |kept AS (SELECT doc_id, idx, chunk FROM ranked WHERE rn = 1),
+          |out AS (
+          |  SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+          |    md5(string_agg(chunk, ' ' ORDER BY idx)) AS dedup_md5
+          |  FROM kept GROUP BY doc_id)
+          |SELECT n.doc_id,
+          |  CAST(coalesce(c.n_ch, 0) AS INT) AS n_chunks,
+          |  CAST(coalesce(o.n_kept, 0) AS INT) AS n_kept,
+          |  coalesce(o.dedup_md5, md5('')) AS dedup_md5
+          |FROM nrm n
+          |LEFT JOIN (SELECT doc_id, len(ends) AS n_ch FROM cuts) c
+          |  ON n.doc_id = c.doc_id
+          |LEFT JOIN out o ON n.doc_id = o.doc_id
           |ORDER BY n.doc_id""".stripMargin,
       "q36_ann_quantized_topk" ->
         """SELECT query_id, vec_id, CAST(dot AS BIGINT) AS dot,

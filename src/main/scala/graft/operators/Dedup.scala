@@ -407,6 +407,14 @@ object Dedup {
             slice(col("tokens"), i * chunkTokens + lit(1),
               lit(chunkTokens)), " ")))
         .otherwise(typedLit(Array.empty[String])).as("chunks")))
+    chunkDedupTail(base)
+  }
+
+  /** Shared first-occurrence + reassembly tail for both chunking rules:
+    * `base` is (doc_id, chunks: array<string>); keep each distinct chunk's
+    * lowest (doc_id, idx) occurrence, rebuild each doc from survivors.
+    */
+  private def chunkDedupTail(base: DataFrame): DataFrame = {
     val keyed = base
       .select(col("doc_id"), posexplode(col("chunks")))
       .toDF("doc_id", "idx", "chunk")
@@ -426,6 +434,56 @@ object Dedup {
       .select(col("doc_id"), col("n_chunks"),
         coalesce(col("n_kept"), lit(0)).as("n_kept"),
         coalesce(col("text"), lit("")).as("text"))
+  }
+
+  /** Content-defined chunk dedup — the offset-robust variant of
+    * [[dedupChunks]]. Fixed token-grid windows miss a passage duplicated
+    * at a different token offset (disjoint chunks, zero detection — the
+    * common boilerplate/quotation case Lee et al. arXiv:2107.06499 use a
+    * suffix array for). Here a chunk ends AT token `i` iff the token's
+    * own content says so: `lehmer(rollingHash(token_i)) ≡ 0 (mod
+    * divisor)`, where rollingHash is the repo's Rabin–Karp byte fold
+    * ([[graft.functions.RollingHashExpr]], base 257 mod 1e9+7) and
+    * `lehmer(h) = h·48271 mod 1e9+7` is the same Park–Miller mix
+    * [[Sharding.mixedHash]] uses — the raw rolling hash is affine in the
+    * trailing byte, so its low-order residues are biased; the mix
+    * decorrelates them. Boundaries depend only on token content, so a
+    * duplicated passage produces identical internal boundaries at ANY
+    * offset: all its chunks after the first shared boundary realign and
+    * dedup. Expected chunk length = `divisor` tokens (geometric); a doc
+    * with no boundary token is one whole-doc chunk. Same first-occurrence
+    * + reassembly contract as [[dedupChunks]].
+    *
+    * Scale: identical shape to [[dedupChunks]] — the boundary rule is
+    * per-token arithmetic inside the same map-side projection (no extra
+    * shuffle); then one explode, one min-aggregate on the chunk hash, one
+    * equi-join, one per-doc rebuild. Pure content rule (no min/max chunk
+    * clamp) keeps the boundary decision offset-independent — a max-size
+    * forced cut would depend on the previous cut's position and break
+    * realignment.
+    */
+  def dedupChunksCDC(docs: DataFrame, divisor: Int = 8): DataFrame = {
+    require(divisor > 1, s"divisor must be > 1, got $divisor")
+    val toks = col("tokens")
+    val n = size(toks)
+    def isBoundary(tok: Column): Column =
+      (native.rolling_hash(tok) * lit(48271L)) % lit(1000000007L) %
+        lit(divisor.toLong) === 0
+    // 1-based positions whose token ends a chunk; force a final cut at n
+    // when the last token is not itself a boundary
+    val bnd = filter(sequence(lit(1), n),
+      i => isBoundary(element_at(toks, i)))
+    val ends = when(size(bnd) > 0 && element_at(bnd, size(bnd)) === n, bnd)
+      .otherwise(concat(bnd, array(n)))
+    val starts = concat(array(lit(0)), slice(ends, lit(1), size(ends) - 1))
+    val chunks = zip_with(starts, ends,
+      (s, e) => array_join(slice(toks, s + lit(1), e - s), " "))
+    // same consumer-fanout barrier rationale as [[dedupChunks]]
+    val base = Barriers.barrier(tokenArrays(docs).select(col("doc_id"),
+      // sequence(1, 0) would step DOWN; zero-token docs get no chunks
+      when(n > 0, chunks)
+        .otherwise(typedLit(Array.empty[String])).as("chunks")))
+    chunkDedupTail(base)
   }
 
   // -------------------------------------------------------------- SimHash

@@ -291,6 +291,57 @@ class DedupSpec extends SparkSuite {
     assert(r(4) === ((4L, 0, 0, "")))
   }
 
+  test("CDC chunk dedup drops a passage duplicated at a shifted offset") {
+    // the same ~30-token passage planted at token offset 0 (doc 0) and
+    // token offset 3 (doc 1): content-defined boundaries realign inside
+    // the passage, so doc 1's copy dedups; the fixed token grid sees
+    // only disjoint chunks and detects nothing
+    val passage = "the quick brown fox jumps over the lazy dog while " +
+      "seventeen sailors navigate around treacherous coral reefs " +
+      "carrying bundles of fresh mangoes toward distant harbor towns"
+    val corpus = Seq(
+      (0L, passage),
+      (1L, s"unrelated preamble words $passage"),
+      (2L, "entirely different filler sentences about compilers")
+    ).toDF("doc_id", "text")
+    val divisor = 4
+
+    // engine-identical simulation of the boundary rule
+    def isBoundary(t: String): Boolean =
+      (graft.functions.RollingHashExpr.hashBytes(
+        t.getBytes("UTF-8"), 257L, 1000000007L) * 48271L) %
+        1000000007L % divisor == 0
+    def chunksOf(text: String): Seq[String] = {
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val cur = scala.collection.mutable.ArrayBuffer.empty[String]
+      toks.foreach { t =>
+        cur += t
+        if (isBoundary(t)) { out += cur.mkString(" "); cur.clear() }
+      }
+      if (cur.nonEmpty) out += cur.mkString(" ")
+      out.toSeq
+    }
+    val c0 = chunksOf(passage)
+    val c1 = chunksOf("unrelated preamble words " + passage)
+    val shared = c1.filter(c0.toSet)
+    assert(shared.size >= 2, // premise: boundaries realign inside passage
+      s"test passage must realign (chunks0=$c0 chunks1=$c1)")
+
+    val r = Dedup.dedupChunksCDC(corpus, divisor = divisor)
+      .orderBy($"doc_id").collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getInt(2), x.getString(3)))
+    assert(r(0) === ((0L, c0.size, c0.size, passage.toLowerCase)))
+    val kept1 = c1.filterNot(c0.toSet)
+    assert(r(1) === ((1L, c1.size, kept1.size, kept1.mkString(" "))))
+    assert(kept1.size < c1.size) // the shifted copy WAS detected
+    // contrast: the fixed 8-token grid at offset 3 detects nothing
+    val grid = Dedup.dedupChunks(corpus, chunkTokens = 8)
+      .orderBy($"doc_id").collect()
+    assert(grid(1).getInt(1) === grid(1).getInt(2),
+      "fixed grid should be blind to the offset-shifted duplicate")
+  }
+
   test("containmentDedup keeps one canonical per containment cluster") {
     val small = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val filler = (1 to 100).map(i => s"word$i").mkString(" ")

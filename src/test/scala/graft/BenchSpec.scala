@@ -110,4 +110,13 @@ class BenchSpec extends SparkSuite {
         "outgrown the driver capture window")
     Bench.Headline.foreach(h => assert(json.contains("\"" + h + "\":")))
   }
+
+  test("headline_min renders in the head when supplied, absent otherwise") {
+    val results = Seq(Bench.Headline.head -> 0.50, "qxx_other" -> 0.25)
+    val withMin = Bench.renderJson(results, Set.empty, "sf0.1",
+      Bench.LineBudget, Some(0.437))
+    assert(withMin.contains(""","headline_min":0.437,"queries":"""))
+    val without = Bench.renderJson(results, Set.empty, "sf0.1")
+    assert(!without.contains("headline_min"))
+  }
 }

@@ -512,7 +512,16 @@ object Dedup {
     * budget differently). The exact `bit_count` filter bounds false
     * positives; candidate volume, not correctness, is what h buys.
     */
-  def simhashCandidates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashCandidates(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingCandidates(simhash(docs), maxHamming)
+
+  /** Generic pigeonhole Hamming-radius candidate join over ANY 64-bit
+    * signature column (simhash, image dHash, ...): input is positional
+    * (id, signature); output (id_a, id_b, hamming) with the exact
+    * `bit_count` filter applied. Same machinery and guarantees as
+    * [[simhashCandidates]]'s scaladoc describes.
+    */
+  def hammingCandidates(sigsIn: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 64), got $maxHamming")
     val pieces = maxHamming + 1
@@ -520,7 +529,7 @@ object Dedup {
     val widths = Array.tabulate(pieces)(i =>
       64 / pieces + (if (i < 64 % pieces) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _).init
-    val sigs = simhash(docs)
+    val sigs = sigsIn.toDF("doc_id", "simhash")
     val quarters = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until pieces).map { q =>
         val mask = if (widths(q) == 64) -1L else (1L << widths(q)) - 1L

@@ -77,6 +77,84 @@ object Multimodal {
     }
   }
 
+  /** REAL codec for the formats the JDK ships readers for (PNG, JPEG,
+    * GIF, BMP via `javax.imageio` — part of `java.desktop`, no external
+    * dependency). Non-image payloads (ImageIO returns null / throws)
+    * fall back to [[FakeCodec]], so the document-backed fake media
+    * tables keep their deterministic contract while genuine image bytes
+    * decode for real.
+    */
+  object ImageCodec {
+    def decode(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload)))
+      catch { case _: Throwable => None }
+
+    /** Perceptual dHash (difference hash): average luminance on a 9×8
+      * grid of cell-box means, then one bit per horizontal neighbor pair
+      * — bit (r,c) set iff cell(r,c+1) is brighter than cell(r,c). 64
+      * bits, robust to re-encoding and resizing (the grid means survive
+      * both); plugs into the simhash pigeonhole candidate machinery.
+      */
+    def dhash64(img: java.awt.image.BufferedImage): Long = {
+      val (cols, rows) = (9, 8)
+      val lum = Array.ofDim[Double](rows, cols)
+      val (w, h) = (img.getWidth, img.getHeight)
+      var r = 0
+      while (r < rows) {
+        var c = 0
+        while (c < cols) {
+          // cell box [x0,x1) x [y0,y1), at least one pixel
+          val x0 = c * w / cols; val x1 = math.max((c + 1) * w / cols, x0 + 1)
+          val y0 = r * h / rows; val y1 = math.max((r + 1) * h / rows, y0 + 1)
+          var acc = 0.0
+          var y = y0
+          while (y < h && y < y1) {
+            var x = x0
+            while (x < w && x < x1) {
+              val rgb = img.getRGB(x, y)
+              acc += 0.299 * ((rgb >> 16) & 0xff) +
+                0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          lum(r)(c) = acc / ((math.min(x1, w) - x0).max(1) *
+            (math.min(y1, h) - y0).max(1))
+          c += 1
+        }
+        r += 1
+      }
+      var bits = 0L
+      r = 0
+      while (r < rows) {
+        var c = 0
+        while (c < 8) {
+          bits = (bits << 1) | (if (lum(r)(c + 1) > lum(r)(c)) 1L else 0L)
+          c += 1
+        }
+        r += 1
+      }
+      bits
+    }
+
+    /** Fallback 64-bit signature for non-decodable payloads: FNV-1a over
+      * the raw bytes — distinct payloads land on effectively random bits,
+      * so only EXACT byte duplicates pair up within a small Hamming
+      * radius (the right degenerate semantics when no decode exists).
+      */
+    def fnv1a64(payload: Array[Byte]): Long = {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < payload.length) {
+        h ^= (payload(i) & 0xffL)
+        h *= 0x100000001b3L
+        i += 1
+      }
+      h
+    }
+  }
+
   val decodedSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),
     StructField("width", IntegerType),
@@ -86,7 +164,10 @@ object Multimodal {
 
   /** Decode + feature-extract, batched per partition. One codec "session"
     * per partition; rows stream through without materializing the whole
-    * partition.
+    * partition. Real image bytes get their TRUE dimensions from
+    * [[ImageCodec]] (stills decode as 1 frame); everything else keeps
+    * [[FakeCodec]]'s deterministic fake dims, so the document-backed
+    * tables (q45/q46) are unchanged.
     */
   def decodeAndFeaturize(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -97,11 +178,40 @@ object Multimodal {
         rows.map { r =>
           val id = r.getLong(0)
           val payload = r.getAs[Array[Byte]](1)
-          val (w, h, f) = FakeCodec.decode(payload)
+          val (w, h, f) = ImageCodec.decode(payload)
+            .map(img => (img.getWidth, img.getHeight, 1))
+            .getOrElse(FakeCodec.decode(payload))
           Row(id, w, h, f, FakeCodec.features(payload).toSeq)
         }
       }(enc)
   }
+
+  /** Per-media 64-bit perceptual signature: dHash when the payload
+    * decodes as an image, FNV-1a of the bytes otherwise. Map-only
+    * (`mapPartitions` is the codec-batch contract), one long per row out.
+    */
+  def imageSignatures(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("dhash", LongType))))
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]](1)
+          val sig = ImageCodec.decode(payload).map(ImageCodec.dhash64)
+            .getOrElse(ImageCodec.fnv1a64(payload))
+          Row(r.getLong(0), sig)
+        }
+      }(enc)
+  }
+
+  /** Image near-dup pairs within `maxHamming` dHash bits — re-encoded
+    * and resized copies of the same picture land a few bits apart, so
+    * the exact same pigeonhole candidate join as text simhash applies
+    * ([[Dedup.hammingCandidates]]): always bucketed, never all-pairs.
+    */
+  def imageNearDup(media: DataFrame, maxHamming: Int = 10): DataFrame =
+    Dedup.hammingCandidates(imageSignatures(media), maxHamming)
 
   /** Frame sampling: every `stride`-th frame index per media, exploded —
     * the row-multiplying shape a video pipeline needs, done with

@@ -886,7 +886,27 @@ object Dedup {
     * — the recall/IO trade is quantified by [[semanticDedupRecall]],
     * never hidden.
     */
-  def semanticNearDupPairs(embeddings: DataFrame, nlist: Int = 16,
+  /** Auto-nlist sentinel: `nlist = 0` derives the cell count from the
+    * corpus size as `max(1, n / TargetCellSize)`. A FIXED nlist under
+    * corpus growth makes within-cell pair output grow ~quadratically
+    * (measured: 11.5× pair cost for 10× data at nlist=64,
+    * docs/BENCH_SF1.md) — the paper's contract is nlist ∝ corpus, and
+    * auto mode enforces it: constant expected cell size ⇒ scored pairs
+    * ~ n·TargetCellSize/2, linear in the corpus. Costs one extra
+    * count() setup job; explicit nlist skips it. Above
+    * [[Similarity.AutoTwoLevelAbove]] the "auto" quantizer dispatch
+    * already switches to the two-level assignment, so the derived
+    * nlist may freely exceed the flat quantizer's codegen budget.
+    */
+  val TargetCellSize = 64
+
+  private def resolveNlist(base: DataFrame, nlist: Int): Int = {
+    require(nlist >= 0, s"nlist must be >= 0 (0 = auto), got $nlist")
+    if (nlist > 0) nlist
+    else math.max(1L, base.count() / TargetCellSize).toInt
+  }
+
+  def semanticNearDupPairs(embeddings: DataFrame, nlist: Int = 0,
       threshold: Double = 0.95, kmeansIters: Int = 2,
       multiAssign: Int = 1, quantizer: String = "auto"): DataFrame =
     pairsFromTagged(
@@ -909,7 +929,8 @@ object Dedup {
       kmeansIters: Int, multiAssign: Int,
       quantizer: String = "auto"): DataFrame = {
     val base = embeddings.select(col("vec_id"), col("embedding"))
-    val cents = Similarity.kmeansCentroids(base, nlist, kmeansIters,
+    val cells = resolveNlist(base, nlist)
+    val cents = Similarity.kmeansCentroids(base, cells, kmeansIters,
       quantizer)
     Barriers.barrier(
       Similarity.assignWith(quantizer, base, cents, multiAssign)
@@ -944,7 +965,7 @@ object Dedup {
     * cluster → within-cluster cosine pairs → connected components →
     * keep one per component.
     */
-  def semanticDedup(embeddings: DataFrame, nlist: Int = 16,
+  def semanticDedup(embeddings: DataFrame, nlist: Int = 0,
       threshold: Double = 0.95, kmeansIters: Int = 2,
       multiAssign: Int = 1, maxIter: Int = 10,
       strategy: String = "labelprop",
@@ -967,7 +988,7 @@ object Dedup {
     * found ⊆ exact bit-exactly (same cosine arithmetic), so recall is
     * a count ratio after an inner join on pair ids.
     */
-  def semanticDedupRecall(embeddings: DataFrame, nlist: Int = 16,
+  def semanticDedupRecall(embeddings: DataFrame, nlist: Int = 0,
       threshold: Double = 0.95, kmeansIters: Int = 2,
       multiAssign: Int = 1, quantizer: String = "auto"): DataFrame = {
     val base = embeddings.select(col("vec_id"), col("embedding"))

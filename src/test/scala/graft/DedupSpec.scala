@@ -457,6 +457,32 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("semdedup: auto nlist derives cells from corpus size, keeps the " +
+      "recall gate, honors explicit nlist") {
+    // 12 vectors / TargetCellSize=64 -> 1 cell: the small-corpus floor.
+    // One cell scores all pairs, so the clustered-regime recall gate
+    // holds a fortiori; scan_frac discloses the full scan honestly.
+    val auto = Dedup.semanticDedupRecall(plantedClusters, nlist = 0,
+      threshold = 0.95).collect().head
+    assert(auto.getLong(0) === 12 && auto.getDouble(2) === 1.0,
+      s"row: $auto")
+    assert(auto.getDouble(3) === 1.0, s"scan_frac: $auto") // 1 cell
+    // the real testdata is big enough for >1 auto cell: recall gate
+    // still holds vs the fixed-nlist run at the same threshold (fewer,
+    // larger cells can only score MORE pairs than nlist=16)
+    val emb = spark.read.parquet(sf("0.01") + "/embeddings.parquet")
+      .where(col("vec_id") < 500)
+    val autoBig = Dedup.semanticDedupRecall(emb, nlist = 0,
+      threshold = 0.25, multiAssign = 2).collect().head
+    val fixed = Dedup.semanticDedupRecall(emb, nlist = 16,
+      threshold = 0.25, multiAssign = 2).collect().head
+    assert(autoBig.getDouble(2) >= fixed.getDouble(2) - 1e-9,
+      s"auto $autoBig vs fixed $fixed")
+    intercept[IllegalArgumentException] {
+      Dedup.semanticNearDupPairs(emb, nlist = -1)
+    }
+  }
+
   test("semdedup: degenerate inputs report 0.0 scan_frac, not null") {
     import spark.implicits._
     val single = Seq((0L, Array.fill(8)(1.0f)))

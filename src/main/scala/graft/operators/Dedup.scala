@@ -248,18 +248,41 @@ object Dedup {
     * TWO disclosed recall cuts, both quantified by
     * [[containmentRecall]]'s row: (1) the df cut hides pairs whose
     * entire overlap is frequent shingles; (2) the probe size cap is
-    * ABSOLUTE — a pair where BOTH docs exceed `smallMaxShingles`
-    * generates no candidate, so big-big duplication must either be
-    * covered by raising the cap (cost grows ∝ probe shingles, still
-    * df-bounded) or caught by the Jaccard path (near-total overlap of
-    * comparable sizes has Jaccard ≥ t·r/(1+r) for size ratio r, which
-    * minhash bands do track). The cap's intent is the doc-in-doc
-    * family: the CONTAINED side of such a pair is small by definition.
+    * ABSOLUTE when `sampleK = 0` — a pair where BOTH docs exceed
+    * `smallMaxShingles` generates no candidate, so big-big duplication
+    * must either be covered by raising the cap (cost grows ∝ probe
+    * shingles, still df-bounded) or caught by the Jaccard path
+    * (near-total overlap of comparable sizes has Jaccard ≥ t·r/(1+r)
+    * for size ratio r, which minhash bands do track). The cap's intent
+    * is the doc-in-doc family: the CONTAINED side of such a pair is
+    * small by definition.
+    *
+    * `sampleK > 0` adds a SAMPLED-PROBE big-big path that covers cut
+    * (2) with a bounded budget: each above-cap doc probes with its
+    * `sampleK` smallest shingle hashes — the k minima of a hashed set
+    * are a uniform without-replacement sample of it (min-wise
+    * sampling), deterministic and map-side. For a big-big pair whose
+    * true containment is c (denominator = the smaller side, which is
+    * the side made to probe), each sampled shingle hits the partner's
+    * postings with probability ≥ c, so hits ~ Hypergeometric(n, ≥cn,
+    * k) and `sampleMinHits = m` accepts with P[miss] ≤
+    * exp(−2k·(c − (m−1)/k)²) (Hoeffding); at m = 1 this is ≤ (1−c)^k
+    * (k = 64, c = 0.5 → ~5e−20). Two honest caveats, priced by
+    * [[containmentRecall]]'s disclosure row: a sampled hash that was
+    * df-cut cannot hit (effective hit probability ≥ c − the doc's
+    * frequent-shingle fraction), and candidate cost grows by
+    * |big docs|·sampleK postings (map-side, df-bounded — never
+    * all-pairs). Verification stays exact on the FULL arrays, so no
+    * false positives are introduced.
     */
   def containmentCandidates(docs: DataFrame, numShingleWords: Int = 3,
       smallMaxShingles: Int = 4096, maxDocFreq: Long = 1000,
-      minHits: Int = 1): DataFrame = {
+      minHits: Int = 1, sampleK: Int = 0,
+      sampleMinHits: Int = 1): DataFrame = {
     require(minHits >= 1, s"minHits must be >= 1, got $minHits")
+    require(sampleK >= 0, s"sampleK must be >= 0 (0 = off), got $sampleK")
+    require(sampleMinHits >= 1 && (sampleK == 0 || sampleMinHits <= sampleK),
+      s"sampleMinHits must be in [1, sampleK], got $sampleMinHits")
     val sh = Barriers.barrier(
       shingleHashArrays(docs, numShingleWords)
         .where(size(col("sh")) > 0)
@@ -281,7 +304,7 @@ object Dedup {
     // orientation: each unordered pair counts each shared shingle
     // exactly once — probe-vs-big pairs match in either id order (the
     // big side never probes), probe-vs-probe pairs only as id_a < id_b
-    probe.as("a").join(indexed.as("b"),
+    val basePairs = probe.as("a").join(indexed.as("b"),
         col("a.h") === col("b.h") &&
         (col("a.doc_id") < col("b.doc_id") ||
           col("b.n") > lit(smallMaxShingles)))
@@ -291,6 +314,31 @@ object Dedup {
       .agg(count(lit(1)).as("hits"))
       .where(col("hits") >= minHits)
       .select(col("id_a"), col("id_b"))
+    if (sampleK == 0) basePairs
+    else {
+      // big-big sampled probes: the k smallest hashes of each above-cap
+      // doc (sh is sorted ascending, so a slice IS the min-wise sample)
+      // probe the full df-cut index; the SMALLER side of a pair probes
+      // (its size is the containment denominator, giving the ≥ c
+      // per-sample hit rate), with doc_id breaking size ties. Disjoint
+      // from basePairs by construction (there at least one side ≤ cap).
+      val bigProbe = sh.where(col("n") > smallMaxShingles)
+        .select(col("doc_id"), col("n"),
+          explode(slice(col("sh"), 1, sampleK)).as("h"))
+      val sampledPairs = bigProbe.as("a").join(indexed.as("b"),
+          col("a.h") === col("b.h") &&
+          col("b.n") > lit(smallMaxShingles) &&
+          (col("a.n") < col("b.n") ||
+            (col("a.n") === col("b.n") &&
+              col("a.doc_id") < col("b.doc_id"))))
+        .groupBy(
+          least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+        .agg(count(lit(1)).as("hits"))
+        .where(col("hits") >= sampleMinHits)
+        .select(col("id_a"), col("id_b"))
+      basePairs.unionByName(sampledPairs)
+    }
   }
 
   /** Containment (overlap coefficient) near-dup pairs at scale:
@@ -303,10 +351,11 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, numShingleWords: Int = 3,
       threshold: Double = 0.5, smallMaxShingles: Int = 4096,
-      maxDocFreq: Long = 1000, minHits: Int = 1): DataFrame =
+      maxDocFreq: Long = 1000, minHits: Int = 1, sampleK: Int = 0,
+      sampleMinHits: Int = 1): DataFrame =
     scoredVerify(docs,
       containmentCandidates(docs, numShingleWords, smallMaxShingles,
-        maxDocFreq, minHits),
+        maxDocFreq, minHits, sampleK, sampleMinHits),
       numShingleWords, threshold, "containment", containmentScore)
 
   /** Containment dedup survivors: one canonical document (lowest
@@ -339,14 +388,16 @@ object Dedup {
     */
   def containmentRecall(docs: DataFrame, numShingleWords: Int = 3,
       threshold: Double = 0.5, smallMaxShingles: Int = 4096,
-      maxDocFreq: Long = 1000, minHits: Int = 1): DataFrame = {
+      maxDocFreq: Long = 1000, minHits: Int = 1, sampleK: Int = 0,
+      sampleMinHits: Int = 1): DataFrame = {
     val base = docs.localCheckpoint()
     val exact = containmentAllPairs(base, numShingleWords, threshold)
       .select(col("id_a"), col("id_b"))
     // candidates materialized once: the verify AND the scanned-pair
     // count both consume them
     val candidates = containmentCandidates(base, numShingleWords,
-      smallMaxShingles, maxDocFreq, minHits).localCheckpoint()
+      smallMaxShingles, maxDocFreq, minHits, sampleK, sampleMinHits)
+      .localCheckpoint()
     val found = scoredVerify(base, candidates, numShingleWords,
       threshold, "containment", containmentScore)
       .select(col("id_a"), col("id_b"), lit(1).as("hit"))
@@ -368,7 +419,11 @@ object Dedup {
           .otherwise(col("n_scanned").cast("double") /
             (col("n") * (col("n") - 1) / 2)).as("scan_frac"),
         lit(smallMaxShingles).as("small_max"),
-        lit(maxDocFreq).as("max_doc_freq"))
+        lit(maxDocFreq).as("max_doc_freq"),
+        // the big-big sampled-probe knobs are part of the recall
+        // contract: 0 sample_k = the absolute-cap regime
+        lit(sampleK).as("sample_k"),
+        lit(sampleMinHits).as("sample_min_hits"))
   }
 
   /** Chunk-level exact dedup — the fixed-window granularity of

@@ -258,6 +258,39 @@ class DedupSpec extends SparkSuite {
     assert(r.getAs[Double]("scan_frac") === 0.0)
   }
 
+  test("sampled-probe covers big-big containment the absolute cap " +
+      "misses, found stays ⊆ exact, knobs disclosed") {
+    // both docs exceed smallMaxShingles = 20; a 60-word common block
+    // gives set containment ~58/78 ≈ 0.74 on the smaller side
+    val common = (1 to 60).map(i => s"shared$i").mkString(" ")
+    val corpus = Seq(
+      (0L, s"$common ${(1 to 20).map(i => s"taila$i").mkString(" ")}"),
+      (1L, s"${(1 to 30).map(i => s"tailb$i").mkString(" ")} $common"),
+      (2L, (1 to 80).map(i => s"other$i").mkString(" ")) // unrelated big
+    ).toDF("doc_id", "text")
+    val exact = Dedup.containmentAllPairs(corpus, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact === Set((0L, 1L))) // premise: a true big-big pair
+    // absolute cap: both sides big -> ZERO candidates (the disclosed cut)
+    val capped = Dedup.containmentPairs(corpus, threshold = 0.5,
+      smallMaxShingles = 20).collect()
+    assert(capped.isEmpty)
+    // sampled probes: P[miss] <= (1-0.74)^16 ~ 5e-10, and min-wise
+    // sampling is deterministic, so detection is exact-repeatable
+    val sampled = Dedup.containmentPairs(corpus, threshold = 0.5,
+      smallMaxShingles = 20, sampleK = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sampled === Set((0L, 1L))) // found, and still ⊆ exact
+    val r = Dedup.containmentRecall(corpus, threshold = 0.5,
+      smallMaxShingles = 20, sampleK = 16).collect()(0)
+    assert(r.getAs[Double]("recall") === 1.0)
+    assert(r.getAs[Int]("sample_k") === 16)
+    assert(r.getAs[Int]("sample_min_hits") === 1)
+    intercept[IllegalArgumentException] {
+      Dedup.containmentCandidates(corpus, sampleK = 4, sampleMinHits = 5)
+    }
+  }
+
   test("containment candidates count each shared shingle once per " +
       "unordered pair (probe-probe orientation)") {
     // two identical 3-token docs share exactly ONE shingle; a

@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.StreamingAgg
+
+/** Batch-equivalence anchor for the streaming tier: the streaming
+  * flagship driven by a FILE source over the SAME rows as the batch
+  * plan (the real sf0.001 events parquet), available-now trigger, must
+  * produce row-identical closed windows. Everything else about the
+  * streaming entries is unit-fixture-tested (MultimodalStreamingSpec);
+  * this pins them to the real testdata the way every batch query is
+  * pinned.
+  */
+class StreamingEquivalenceSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** events.parquet carries TIMESTAMP(NANOS) read as Long under
+    * nanosAsLong (set in SparkSuite) — same conversion as the batch
+    * events reader.
+    */
+  private def tsFixed(df: DataFrame): DataFrame =
+    if (df.schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+
+  test("streaming flagship over the events file source equals the " +
+      "batch dedup+count plan (available-now trigger)") {
+    val srcDir = sf() + "/events.parquet"
+    val raw = spark.read.parquet(srcDir)
+    val maxTs = tsFixed(raw).agg(max($"ts")).collect()(0).getTimestamp(0)
+
+    // staging dir: the real event files first, then two far-future
+    // sentinel files. maxFilesPerTrigger=1 + ascending mtimes makes the
+    // sentinels arrive in their own later micro-batches, so the
+    // watermark passes every real window and append mode emits it; the
+    // sentinels' own windows stay open and are filtered from the
+    // comparison.
+    val stage = Files.createTempDirectory("stream-eq")
+    val src = Paths.get(srcDir)
+    val parts =
+      if (Files.isDirectory(src))
+        Files.list(src).toArray.map(_.asInstanceOf[Path])
+          .filter(_.getFileName.toString.endsWith(".parquet")).sorted
+      else Array(src) // driver testdata writes one plain parquet file
+    var mtime = System.currentTimeMillis() - 60000
+    parts.foreach { p =>
+      val dst = stage.resolve(p.getFileName)
+      Files.copy(p, dst, StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(mtime)
+    }
+    def sentinel(name: String, daysAhead: Int): Unit = {
+      val s = tsFixed(raw).limit(1)
+        .withColumn("ts", ($"ts".cast("long") + daysAhead * 86400L)
+          .cast("timestamp"))
+        .withColumn("event_type", lit("zz_sentinel"))
+      // nanos Long in the source schema: write back as long nanos
+      val out = if (raw.schema("ts").dataType ==
+          org.apache.spark.sql.types.LongType)
+        s.withColumn("ts", ($"ts".cast("long") * 1000000000L))
+      else s
+      val tmp = Files.createTempDirectory("sentinel")
+      out.select(raw.columns.map(col): _*).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.asInstanceOf[Path])
+        .filter(_.getFileName.toString.endsWith(".parquet")).head
+      mtime += 10000
+      val dst = stage.resolve(name)
+      Files.copy(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(mtime)
+    }
+    sentinel("zz1.parquet", 400)
+    sentinel("zz2.parquet", 800)
+
+    val stream = tsFixed(
+      spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage.toString))
+      .select($"ts", $"user_id", $"event_type")
+    val ckpt = Files.createTempDirectory("stream-eq-ckpt").toString
+    val q = StreamingAgg.distinctDailyCounts(stream, "365 days")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_eq_out")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+
+    val got = spark.table("stream_eq_out")
+      .where($"event_type" =!= "zz_sentinel")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+      .sorted
+    // the batch plan with the same dedup identity (day, user, type)
+    val want = tsFixed(raw)
+      .select(date_trunc("day", $"ts").as("day"), $"user_id",
+        $"event_type")
+      .distinct()
+      .groupBy($"day", $"event_type")
+      .agg(count(lit(1)).as("count"))
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+      .sorted
+    assert(want.nonEmpty)
+    assert(got.toSeq === want.toSeq)
+  }
+}

@@ -324,6 +324,41 @@ class DedupSpec extends SparkSuite {
     assert(r(4) === ((4L, 0, 0, "")))
   }
 
+  test("chunk dedup at the paper's 50-token windows on " +
+      "multi-hundred-token documents") {
+    // 500-token docs (the realistic regime the sf1 generator now
+    // plants): doc 1 repeats doc 0's first 200 tokens grid-aligned,
+    // so exactly its first 4 of 10 chunks drop; the unrelated tail
+    // survives
+    def toks(tag: String, n: Int, from: Int = 1) =
+      (from until from + n).map(i => s"$tag$i").mkString(" ")
+    val corpus = Seq(
+      (0L, toks("alpha", 500)),
+      (1L, toks("alpha", 200) + " " + toks("beta", 300)),
+      (2L, toks("gamma", 500))
+    ).toDF("doc_id", "text")
+    val r = Dedup.dedupChunks(corpus, chunkTokens = 50)
+      .orderBy($"doc_id").collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getInt(2)))
+    assert(r(0) === ((0L, 10, 10)))
+    assert(r(1) === ((1L, 10, 6))) // 200 duplicated tokens = 4 chunks
+    assert(r(2) === ((2L, 10, 10)))
+    // CDC at the matching ~50-token granularity catches the same
+    // duplication when it is NOT grid-aligned (3-token prefix shift)
+    val shifted = Seq(
+      (0L, toks("alpha", 500)),
+      (1L, "pre1 pre2 pre3 " + toks("alpha", 500))
+    ).toDF("doc_id", "text")
+    val cdc = Dedup.dedupChunksCDC(shifted, divisor = 50)
+      .orderBy($"doc_id").collect()
+    assert(cdc(1).getInt(2) < cdc(1).getInt(1),
+      s"CDC should drop realigned 50-token-scale chunks: ${cdc.toSeq}")
+    val grid = Dedup.dedupChunks(shifted, chunkTokens = 50)
+      .orderBy($"doc_id").collect()
+    assert(grid(1).getInt(1) === grid(1).getInt(2),
+      "the fixed grid is blind to the 3-token shift")
+  }
+
   test("CDC chunk dedup drops a passage duplicated at a shifted offset") {
     // the same ~30-token passage planted at token offset 0 (doc 0) and
     // token offset 3 (doc 1): content-defined boundaries realign inside

@@ -89,15 +89,34 @@ def main() -> None:
     parts = []
     for i in range(shards):
         if i == 0:
-            parts.append("SELECT doc_id, text, lang, source, n_chars "
+            shard_sel = (f"SELECT doc_id, text, lang, source, n_chars "
                          f"FROM '{src}/documents.parquet'")
         else:
             sub = f"regexp_replace(text, '(\\S+)', '\\1_{i}', 'g')"
-            parts.append(
+            shard_sel = (
                 f"SELECT doc_id + {1_000_000 * i} AS doc_id, "
                 f"{sub} AS text, lang, source, "
                 f"CAST(length({sub}) AS BIGINT) AS n_chars "
                 f"FROM '{src}/documents.parquet'")
+        parts.append(shard_sel)
+        # LONG documents (multi-hundred-token): every 5th shard doc,
+        # concatenated in overlapping windows of 10 (the A/B grids are
+        # offset by 5 subset docs), so consecutive long docs share a
+        # ~225-token passage at a DIFFERENT token offset — the regime
+        # chunk-level substring dedup at chunkTokens=50 exists for.
+        # doc_id bands: 500M + 40000*shard + 2g (A) / +2g+1 (B), disjoint
+        # from every shard band and from each other.
+        for off, par in ((0, "A"), (5, "B")):
+            parts.append(
+                "SELECT "
+                f"{500_000_000} + 2 * CAST(floor((doc_id / 5 + {off}) / 10) "
+                f"AS BIGINT) + {1 if par == 'B' else 0} AS doc_id, "
+                "string_agg(text, ' ' ORDER BY doc_id) AS text, "
+                "'en' AS lang, 'synthlong' AS source, "
+                "CAST(length(string_agg(text, ' ' ORDER BY doc_id)) "
+                "AS BIGINT) AS n_chars "
+                f"FROM ({shard_sel}) WHERE doc_id % 5 = 0 "
+                f"GROUP BY floor((doc_id / 5 + {off}) / 10)")
     con.sql(f"COPY ({' UNION ALL '.join(parts)}) "
             f"TO '{dst}/documents.parquet' (FORMAT PARQUET)")
     print("documents",

@@ -801,15 +801,20 @@ object Dedup {
     // kernel into the explode's pushed-down filter and evaluates it 3×
     // per benchmark row. The benchmark is the small side by contract,
     // so materializing it is free; the CORPUS side needs no barrier.
-    // NO cache on the distinct hash set: the flavor-selection count()
-    // is the one setup job, and the chosen flavor re-derives the
-    // distinct from the CHECKPOINTED shingle arrays at action time — a
-    // small recompute (the benchmark is eval-set-sized by contract)
-    // where a persist would pin an executor cache that nothing in this
-    // function's lifetime can safely release (the consumer acts after
-    // return), accumulating across repeated screen calls
+    // LAZY checkpoint + count = ONE setup job: the flavor-selection
+    // count() below is the first action, so its first stage both
+    // computes AND persists the checkpoint blocks (an eager
+    // localCheckpoint would spend a separate job on materialization
+    // first). NO cache on the distinct hash set: the chosen flavor
+    // re-derives the distinct from the CHECKPOINTED shingle arrays at
+    // action time — a small recompute (the benchmark is
+    // eval-set-sized by contract) where a persist would pin an
+    // executor cache that nothing in this function's lifetime can
+    // safely release (the consumer acts after return), accumulating
+    // across repeated screen calls (commit history: tried and
+    // reverted).
     val benchHashes = shingleHashArrays(benchmark, numShingleWords)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
       .select(explode(col("sh")).as("h"))
       .distinct()
     if (benchHashes.count() <= maxBroadcastShingles)

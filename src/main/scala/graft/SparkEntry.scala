@@ -32,12 +32,16 @@ object SparkEntry {
 
   /** Scratch location for the written-IVF-index queries (q84/q85):
     * under the JVM tmpdir, keyed by SF dir and tag so scale factors
-    * never collide. Rewritten (mode overwrite) on every call —
-    * re-indexing is part of the measured query by design.
+    * never collide, and by the process id so two CONCURRENT
+    * bench/verify runs over the same dataset cannot overwrite each
+    * other's index mid-probe (q84/q85 write mode=overwrite then read).
+    * Rewritten on every call — re-indexing is part of the measured
+    * query by design.
     */
   private def ivfIndexDir(sfDir: String, tag: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_ivf_" +
-      s"${sfDir.replaceAll("[^A-Za-z0-9]", "_")}_$tag"
+      s"${sfDir.replaceAll("[^A-Za-z0-9]", "_")}_${tag}_p" +
+      java.lang.ProcessHandle.current().pid()
 
   /** The events table is written with parquet TIMESTAMP(NANOS), which Spark
     * has no native type for — read nanos as long (legacy conf) and convert

@@ -20,6 +20,22 @@ import org.apache.spark.sql.DataFrame
   * checkpoint dir and an executor loss replays from the last round
   * instead of failing the job. Results are identical under both modes
   * (BarriersSpec proves it); the default plan shape is untouched.
+  *
+  * DISK ACCUMULATION in durable mode: Spark never deletes a
+  * checkpoint on its own, so a multi-hour iterative job (one
+  * checkpoint per CC/star-contraction round) accumulates a full
+  * labels/edges snapshot per round in the checkpoint dir. Set
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` alongside
+  * the durable flag: the ContextCleaner then deletes each round's
+  * files once the driver GCs that round's dataset — rounds become
+  * unreachable as the loop variable advances, so reclamation tracks
+  * loop progress (the same lifecycle PeriodicCheckpointer manages by
+  * hand) instead of waiting for job end. Deleting eagerly from inside
+  * [[barrier]] itself would be WRONG: the helper cannot know whether
+  * an earlier barrier's output is still referenced by a concurrent
+  * consumer (e.g. a tagged corpus feeding both a pair join and a
+  * recall report), and a deleted-but-referenced checkpoint fails the
+  * job at next use.
   */
 object Barriers {
 

@@ -26,17 +26,35 @@ object CorpusPrep {
   /** The map-only screen front: Gopher keep filter, then contamination
     * filter against `benchmark`. All corpus columns pass through; zero
     * shuffles, one broadcast of the benchmark shingle array.
+    *
+    * The explode-of-one-element-array between the contamination
+    * columns and the frac filter is an OPTIMIZATION FENCE, not data
+    * flow: without it Catalyst pushes the filter into the broadcast
+    * join's condition, inlining the shingle-hash kernel subtree ~3×
+    * per corpus row (size twice, intersect once — join conditions get
+    * no subexpression elimination; measured in the executed plan).
+    * Filters cannot push through a Generate whose output they
+    * reference, so the kernel is evaluated ONCE per row in the
+    * generator input and the filter reads the computed field
+    * (PlanSpec pins the corpus branch at one kernel occurrence). The
+    * fence stays map-only — one Generate of a one-element array per
+    * row, no shuffle, no materialization.
     */
   def screen(docs: DataFrame, benchmark: DataFrame,
       minWords: Long = 50L, maxWords: Long = 100000L,
       minStopHits: Long = 2L, maxContamination: Double = 0.2,
-      numShingleWords: Int = 3): DataFrame =
+      numShingleWords: Int = 3): DataFrame = {
+    val keep = docs.columns
     Dedup.withContamination(
         docs.where(TextAnalysis.gopherKeep(col("text"), minWords,
           maxWords, minStopHits)),
         benchmark, numShingleWords)
-      .where(col("contaminated_frac") <= maxContamination)
-      .drop("n_shingles", "n_contaminated", "contaminated_frac")
+      .select(explode(array(struct(
+        struct(keep.map(col): _*).as("__row"),
+        col("contaminated_frac").as("__frac")))).as("__e"))
+      .where(col("__e.__frac") <= maxContamination)
+      .select(keep.map(c => col(s"__e.__row.$c").as(c)): _*)
+  }
 
   /** The full pipeline. `pairs` generates the near-dup edge set over
     * the screened corpus — [[Dedup.nearDupPairs]] (MinHash+LSH) is the

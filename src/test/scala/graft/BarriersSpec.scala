@@ -22,8 +22,14 @@ class BarriersSpec extends SparkSuite {
 
   test("durable barriers without a checkpoint dir fail fast with " +
       "guidance, and the default mode needs none") {
-    assert(spark.sparkContext.getCheckpointDir.isEmpty,
-      "this test must run before any checkpoint dir is set")
+    // setCheckpointDir is sticky on the shared SparkContext and cannot
+    // be unset, so the no-dir regime is only observable before any
+    // suite sets one. assume (not assert): under test filtering or
+    // reordering that runs a dir-setting test first, this test cancels
+    // with the reason instead of failing spuriously.
+    assume(spark.sparkContext.getCheckpointDir.isEmpty,
+      "checkpoint dir already set on the shared session; the fail-fast " +
+        "regime is unobservable in this JVM — run this suite first")
     // default mode: no dir needed, everything works
     assert(Dedup.nearDupClusters(edgePairs).count() === 11L)
     spark.conf.set(Barriers.DurableBarriersKey, "true")

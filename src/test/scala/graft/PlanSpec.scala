@@ -236,6 +236,15 @@ class PlanSpec extends SparkSuite {
     assert(!corpusBranch.contains("Exchange "), corpusBranch.take(3000))
     assert(corpusBranch.contains("FileScan parquet"),
       corpusBranch.take(3000))
+    // the shingle-hash kernel must appear ONCE in the corpus branch:
+    // without the screen's Generate fence the frac filter inlines it
+    // ~3x per row into the join condition (no subexpression
+    // elimination there — measured before the fence landed)
+    val kernelCount =
+      "shingle_hashes_sorted".r.findAllIn(corpusBranch).length
+    assert(kernelCount === 1,
+      s"shingle kernel appears $kernelCount times in the corpus " +
+        s"branch:\n${corpusBranch.take(3000)}")
   }
 
   test("token sharding windows per range partition, never a global " +

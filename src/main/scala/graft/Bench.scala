@@ -86,7 +86,7 @@ object Bench {
     val (invRes, invErrs) = runQueries(spark, sfDir, all, passes)
     val errors = headErrs ++ invErrs
     val headMap = headTimes.map { case (k, xs) =>
-      k -> xs.sorted.apply(xs.size / 2)
+      k -> median(xs)
     }.toMap
     val results = invRes.map { case (k, v) =>
       k -> (if (errors(k)) -1.0 else headMap.getOrElse(k, v))
@@ -128,7 +128,6 @@ object Bench {
       passes: Int = 5): (Seq[(String, Double)], Set[String]) = {
     val (times, errors) = runTimes(spark, sfDir, queries, passes)
     val timesMap = times.toMap
-    def median(xs: List[Double]): Double = xs.sorted.apply(xs.size / 2)
     // A query that threw on any pass gets a -1 sentinel instead of its
     // fast-fail wall time: a broken query must never read as a speedup.
     val results = queries.map { case (name, _) =>
@@ -136,6 +135,12 @@ object Bench {
     }
     (results, errors)
   }
+
+  /** THE median definition — both the isolated-headline and the
+    * full-inventory paths must use the same statistic or cross-round
+    * comparisons silently drift. */
+  private def median(xs: List[Double]): Double =
+    xs.sorted.apply(xs.size / 2)
 
   /** Raw per-pass wall times, pass-interleaved (all queries per pass so
     * the cache/JIT state is comparable between one query's runs).

@@ -38,10 +38,37 @@ object SparkEntry {
     * Rewritten on every call — re-indexing is part of the measured
     * query by design.
     */
-  private def ivfIndexDir(sfDir: String, tag: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_" +
+  private def ivfIndexDir(sfDir: String, tag: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_" +
       s"${sfDir.replaceAll("[^A-Za-z0-9]", "_")}_${tag}_p" +
       java.lang.ProcessHandle.current().pid()
+    IvfScratch.register(dir)
+    dir
+  }
+
+  /** Shutdown-hook cleanup for the per-process IVF scratch dirs: the
+    * pid suffix prevents cross-run collisions but means no later run
+    * overwrites this run's directory, so without cleanup every process
+    * would leak a full index copy (the embeddings table, twice) into
+    * tmpdir.
+    */
+  private object IvfScratch {
+    private val dirs =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    private lazy val hook: Unit = Runtime.getRuntime.addShutdownHook(
+      new Thread(() => dirs.forEach { d =>
+        try {
+          val root = java.nio.file.Paths.get(d)
+          if (java.nio.file.Files.exists(root)) {
+            val walk = java.nio.file.Files.walk(root)
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p))
+            finally walk.close()
+          }
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }))
+    def register(dir: String): Unit = { hook; dirs.add(dir) }
+  }
 
   /** The events table is written with parquet TIMESTAMP(NANOS), which Spark
     * has no native type for — read nanos as long (legacy conf) and convert

@@ -50,10 +50,13 @@ object CorpusPrep {
           maxWords, minStopHits)),
         benchmark, numShingleWords)
       .select(explode(array(struct(
-        struct(keep.map(col): _*).as("__row"),
+        // getField-free construction but getField-based extraction:
+        // dotted/special caller column names must survive the fence
+        struct(keep.map(c => col(s"`$c`").as(c)): _*).as("__row"),
         col("contaminated_frac").as("__frac")))).as("__e"))
-      .where(col("__e.__frac") <= maxContamination)
-      .select(keep.map(c => col(s"__e.__row.$c").as(c)): _*)
+      .where(col("__e").getField("__frac") <= maxContamination)
+      .select(keep.map(c =>
+        col("__e").getField("__row").getField(c).as(c)): _*)
   }
 
   /** The full pipeline. `pairs` generates the near-dup edge set over

@@ -85,10 +85,48 @@ object Multimodal {
     * decode for real.
     */
   object ImageCodec {
-    def decode(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
-      try Option(javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(payload)))
-      catch { case _: Throwable => None }
+    // in-memory streams only: the default ImageIO disk cache creates and
+    // deletes a tmpdir file PER read attempt — per-row cost on the
+    // document-backed media tables (q46 is a frozen headline query)
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** Refuse to decode anything whose header claims more pixels: a
+      * decompression bomb (tiny file, huge declared dimensions) would
+      * otherwise allocate a multi-GB BufferedImage on the executor.
+      */
+    val MaxPixels: Long = 64L * 1024 * 1024
+
+    /** Cheap magic-byte sniff for the formats the JDK ships readers
+      * for — the fast path for the overwhelmingly common non-image
+      * payload (no reader probing, no stream setup).
+      */
+    private def looksLikeImage(p: Array[Byte]): Boolean =
+      p.length >= 4 &&
+        (((p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' &&
+            p(3) == 'G') ||                              // PNG
+          ((p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) || // JPEG
+          (p(0) == 'G' && p(1) == 'I' && p(2) == 'F') ||      // GIF
+          (p(0) == 'B' && p(1) == 'M'))                       // BMP
+
+    def decode(payload: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+      if (!looksLikeImage(payload)) return None
+      var stream: javax.imageio.stream.ImageInputStream = null
+      try {
+        stream = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val readers = javax.imageio.ImageIO.getImageReaders(stream)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(stream)
+          // dimension check from the HEADER, before any pixel allocation
+          val (w, h) = (reader.getWidth(0).toLong, reader.getHeight(0).toLong)
+          if (w <= 0 || h <= 0 || w * h > MaxPixels) None
+          else Option(reader.read(0))
+        } finally reader.dispose()
+      } catch { case scala.util.control.NonFatal(_) => None }
+      finally if (stream != null) stream.close()
+    }
 
     /** Perceptual dHash (difference hash): average luminance on a 9×8
       * grid of cell-box means, then one bit per horizontal neighbor pair

@@ -44,10 +44,12 @@ class StreamingEquivalenceSpec extends SparkSuite {
     val stage = Files.createTempDirectory("stream-eq")
     val src = Paths.get(srcDir)
     val parts =
-      if (Files.isDirectory(src))
-        Files.list(src).toArray.map(_.asInstanceOf[Path])
+      if (Files.isDirectory(src)) {
+        val s = Files.list(src)
+        try s.toArray.map(_.asInstanceOf[Path])
           .filter(_.getFileName.toString.endsWith(".parquet")).sorted
-      else Array(src) // driver testdata writes one plain parquet file
+        finally s.close()
+      } else Array(src) // driver testdata writes one plain parquet file
     var mtime = System.currentTimeMillis() - 60000
     parts.foreach { p =>
       val dst = stage.resolve(p.getFileName)
@@ -67,8 +69,11 @@ class StreamingEquivalenceSpec extends SparkSuite {
       val tmp = Files.createTempDirectory("sentinel")
       out.select(raw.columns.map(col): _*).coalesce(1)
         .write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).toArray.map(_.asInstanceOf[Path])
-        .filter(_.getFileName.toString.endsWith(".parquet")).head
+      val listing = Files.list(tmp)
+      val part =
+        try listing.toArray.map(_.asInstanceOf[Path])
+          .filter(_.getFileName.toString.endsWith(".parquet")).head
+        finally listing.close()
       mtime += 10000
       val dst = stage.resolve(name)
       Files.copy(part, dst, StandardCopyOption.REPLACE_EXISTING)
@@ -89,7 +94,8 @@ class StreamingEquivalenceSpec extends SparkSuite {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(300000)
+    assert(q.awaitTermination(300000),
+      "stream did not finish within the timeout")
 
     val got = spark.table("stream_eq_out")
       .where($"event_type" =!= "zz_sentinel")

@@ -509,6 +509,73 @@ case class RepetitionStatsExpr(child: Expression)
       newChild: Expression): RepetitionStatsExpr = copy(child = newChild)
 }
 
+/** Content-defined chunking of a token array in one pass: a chunk ENDS
+  * at token i iff `(rollingHash(token_i)·48271) mod m mod divisor = 0`
+  * (the Rabin–Karp byte fold of [[RollingHashExpr]] plus the Park–Miller
+  * mix — raw rolling-hash residues are biased in the trailing byte); the
+  * final partial chunk is kept. Boundaries depend only on token content,
+  * so duplicated passages produce identical internal chunks at ANY
+  * offset — the substring-dedup property (Lee et al. arXiv:2107.06499
+  * motivate it; content-defined boundaries are the scalable stand-in for
+  * their suffix array).
+  *
+  * A built-in formulation needs the per-token hash inside higher-order
+  * function lambdas (filter/zip_with), which are codegen-fallback and
+  * interpreted per element — measured ~7× the fixed-grid chunker's cost
+  * at sf1. This kernel is one pass, one UTF8String build per chunk.
+  */
+case class CdcChunksExpr(child: Expression, divisor: Int,
+    base: Long = 257L, mod: Long = 1000000007L)
+    extends UnaryExpression {
+  require(divisor > 1, s"divisor must be > 1, got $divisor")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cdc_chunks"
+
+  private val space = UTF8String.fromString(" ")
+
+  /** Per-row kernel, also called from generated code. */
+  def kernel(input: Any): ArrayData = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val chunks = new scala.collection.mutable.ArrayBuffer[UTF8String]()
+    var start = 0
+    var i = 0
+    while (i < n) {
+      val tok = arr.getUTF8String(i)
+      val h = RollingHashExpr.hashBytes(tok.getBytes, base, mod)
+      if ((h * 48271L) % mod % divisor == 0L) {
+        chunks += joinRange(arr, start, i)
+        start = i + 1
+      }
+      i += 1
+    }
+    if (start < n) chunks += joinRange(arr, start, n - 1)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      chunks.toArray[Any])
+  }
+
+  private def joinRange(arr: ArrayData, from: Int, to: Int): UTF8String = {
+    val toks = new Array[UTF8String](to - from + 1)
+    var i = from
+    while (i <= to) { toks(i - from) = arr.getUTF8String(i); i += 1 }
+    UTF8String.concatWs(space, toks: _*)
+  }
+
+  override protected def nullSafeEval(input: Any): Any = kernel(input)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val self = ctx.addReferenceObj("cdcChunksKernel", this,
+        this.getClass.getName)
+      s"${ev.value} = $self.kernel($c);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CdcChunksExpr = copy(child = newChild)
+}
+
 /** Column-level entry points. */
 object native {
   import org.apache.spark.sql.graftshim.ColumnBridge
@@ -518,6 +585,9 @@ object native {
   def rolling_hash(text: Column, base: Long = 257L,
       mod: Long = 1000000007L): Column =
     c(RollingHashExpr(e(text), base, mod))
+
+  def cdc_chunks(tokens: Column, divisor: Int): Column =
+    c(CdcChunksExpr(e(tokens), divisor))
 
   def fvec_dot(a: Column, b: Column): Column = c(FloatVecDotExpr(e(a), e(b)))
 

@@ -519,25 +519,16 @@ object Dedup {
     */
   def dedupChunksCDC(docs: DataFrame, divisor: Int = 8): DataFrame = {
     require(divisor > 1, s"divisor must be > 1, got $divisor")
-    val toks = col("tokens")
-    val n = size(toks)
-    def isBoundary(tok: Column): Column =
-      (native.rolling_hash(tok) * lit(48271L)) % lit(1000000007L) %
-        lit(divisor.toLong) === 0
-    // 1-based positions whose token ends a chunk; force a final cut at n
-    // when the last token is not itself a boundary
-    val bnd = filter(sequence(lit(1), n),
-      i => isBoundary(element_at(toks, i)))
-    val ends = when(size(bnd) > 0 && element_at(bnd, size(bnd)) === n, bnd)
-      .otherwise(concat(bnd, array(n)))
-    val starts = concat(array(lit(0)), slice(ends, lit(1), size(ends) - 1))
-    val chunks = zip_with(starts, ends,
-      (s, e) => array_join(slice(toks, s + lit(1), e - s), " "))
+    // the boundary rule runs in the native one-pass kernel
+    // ([[graft.functions.CdcChunksExpr]]): the built-in formulation
+    // (filter/zip_with over sequence positions) evaluates the rolling
+    // hash inside codegen-fallback HOF lambdas, measured ~7x the fixed
+    // grid's cost at sf1; the kernel matches the engine-portable rule
+    // bit-for-bit (q88's DuckDB oracle + DedupSpec's engine-identical
+    // simulation prove it)
     // same consumer-fanout barrier rationale as [[dedupChunks]]
     val base = Barriers.barrier(tokenArrays(docs).select(col("doc_id"),
-      // sequence(1, 0) would step DOWN; zero-token docs get no chunks
-      when(n > 0, chunks)
-        .otherwise(typedLit(Array.empty[String])).as("chunks")))
+      native.cdc_chunks(col("tokens"), divisor).as("chunks")))
     chunkDedupTail(base)
   }
 

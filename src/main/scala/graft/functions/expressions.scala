@@ -534,32 +534,35 @@ case class CdcChunksExpr(child: Expression, divisor: Int,
 
   private val space = UTF8String.fromString(" ")
 
-  /** Per-row kernel, also called from generated code. */
+  /** Per-row kernel, also called from generated code. ONE pass: each
+    * token is materialized once, buffered into the current chunk, and
+    * flushed through `concatWs` at each boundary. A null element is
+    * never a boundary and is skipped by `concatWs` — the same
+    * degradation the built-in `rolling_hash`/`array_join` formulation
+    * had (token arrays from the dedup operators never contain nulls,
+    * but this is a public column function).
+    */
   def kernel(input: Any): ArrayData = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val chunks = new scala.collection.mutable.ArrayBuffer[UTF8String]()
-    var start = 0
+    val cur = new scala.collection.mutable.ArrayBuffer[UTF8String]()
     var i = 0
     while (i < n) {
-      val tok = arr.getUTF8String(i)
-      val h = RollingHashExpr.hashBytes(tok.getBytes, base, mod)
-      if ((h * 48271L) % mod % divisor == 0L) {
-        chunks += joinRange(arr, start, i)
-        start = i + 1
+      val tok = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      cur += tok
+      if (tok != null &&
+          (RollingHashExpr.hashBytes(tok.getBytes, base, mod) * 48271L) %
+            mod % divisor == 0L) {
+        chunks += UTF8String.concatWs(space, cur.toArray[UTF8String]: _*)
+        cur.clear()
       }
       i += 1
     }
-    if (start < n) chunks += joinRange(arr, start, n - 1)
+    if (cur.nonEmpty)
+      chunks += UTF8String.concatWs(space, cur.toArray[UTF8String]: _*)
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       chunks.toArray[Any])
-  }
-
-  private def joinRange(arr: ArrayData, from: Int, to: Int): UTF8String = {
-    val toks = new Array[UTF8String](to - from + 1)
-    var i = from
-    while (i <= to) { toks(i - from) = arr.getUTF8String(i); i += 1 }
-    UTF8String.concatWs(space, toks: _*)
   }
 
   override protected def nullSafeEval(input: Any): Any = kernel(input)

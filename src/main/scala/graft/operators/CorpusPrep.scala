@@ -52,7 +52,9 @@ object CorpusPrep {
       .select(explode(array(struct(
         // getField-free construction but getField-based extraction:
         // dotted/special caller column names must survive the fence
-        struct(keep.map(c => col(s"`$c`").as(c)): _*).as("__row"),
+        // (embedded backticks are doubled per the quoting rules)
+        struct(keep.map(c =>
+          col(s"`${c.replace("`", "``")}`").as(c)): _*).as("__row"),
         col("contaminated_frac").as("__frac")))).as("__e"))
       .where(col("__e").getField("__frac") <= maxContamination)
       .select(keep.map(c =>

@@ -526,9 +526,12 @@ object Dedup {
     // grid's cost at sf1; the kernel matches the engine-portable rule
     // bit-for-bit (q88's DuckDB oracle + DedupSpec's engine-identical
     // simulation prove it)
-    // same consumer-fanout barrier rationale as [[dedupChunks]]
+    // same consumer-fanout barrier rationale as [[dedupChunks]];
+    // coalesce: NULL text → NULL tokens → the null-intolerant kernel
+    // returns NULL, but the contract (and the q88 oracle) is 0 chunks
     val base = Barriers.barrier(tokenArrays(docs).select(col("doc_id"),
-      native.cdc_chunks(col("tokens"), divisor).as("chunks")))
+      coalesce(native.cdc_chunks(col("tokens"), divisor),
+        typedLit(Array.empty[String])).as("chunks")))
     chunkDedupTail(base)
   }
 

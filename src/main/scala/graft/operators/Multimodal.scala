@@ -97,8 +97,9 @@ object Multimodal {
     val MaxPixels: Long = 64L * 1024 * 1024
 
     /** Cheap magic-byte sniff for the formats the JDK ships readers
-      * for — the fast path for the overwhelmingly common non-image
-      * payload (no reader probing, no stream setup).
+      * for (PNG, JPEG, GIF, BMP, TIFF since Java 9) — the fast path
+      * for the overwhelmingly common non-image payload (no reader
+      * probing, no stream setup).
       */
     private def looksLikeImage(p: Array[Byte]): Boolean =
       p.length >= 4 &&
@@ -106,7 +107,11 @@ object Multimodal {
             p(3) == 'G') ||                              // PNG
           ((p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) || // JPEG
           (p(0) == 'G' && p(1) == 'I' && p(2) == 'F') ||      // GIF
-          (p(0) == 'B' && p(1) == 'M'))                       // BMP
+          (p(0) == 'B' && p(1) == 'M') ||                     // BMP
+          (p(0) == 'I' && p(1) == 'I' && p(2) == 42 &&
+            p(3) == 0) ||                                // TIFF little-endian
+          (p(0) == 'M' && p(1) == 'M' && p(2) == 0 &&
+            p(3) == 42))                                 // TIFF big-endian
 
     def decode(payload: Array[Byte]): Option[java.awt.image.BufferedImage] = {
       if (!looksLikeImage(payload)) return None

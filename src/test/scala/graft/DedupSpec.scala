@@ -370,7 +370,8 @@ class DedupSpec extends SparkSuite {
     val corpus = Seq(
       (0L, passage),
       (1L, s"unrelated preamble words $passage"),
-      (2L, "entirely different filler sentences about compilers")
+      (2L, "entirely different filler sentences about compilers"),
+      (3L, null.asInstanceOf[String]) // NULL text -> 0 chunks, like q88
     ).toDF("doc_id", "text")
     val divisor = 4
 
@@ -403,6 +404,7 @@ class DedupSpec extends SparkSuite {
     val kept1 = c1.filterNot(c0.toSet)
     assert(r(1) === ((1L, c1.size, kept1.size, kept1.mkString(" "))))
     assert(kept1.size < c1.size) // the shifted copy WAS detected
+    assert(r(3) === ((3L, 0, 0, ""))) // null text, not NULL n_chunks
     // contrast: the fixed 8-token grid at offset 3 detects nothing
     val grid = Dedup.dedupChunks(corpus, chunkTokens = 8)
       .orderBy($"doc_id").collect()

@@ -524,6 +524,39 @@ object SparkEntry {
     "q33_neardup_jaccard" -> ((s, dir) =>
       Dedup.nearDupPairs(t(s, dir, "documents"), threshold = 0.5)
         .orderBy(col("id_a").asc, col("id_b").asc)),
+    // ---- persisted-index incremental dedup (weekly-refresh regime) ----
+    // index the even half of the capped corpus, then near-dup the odd
+    // half AGAINST THE WRITTEN INDEX — no signature recompute for the
+    // indexed side. Rows-only (band buckets are xxhash-based, q32's
+    // contract); the incremental ≡ full-run equality is DedupSpec-proven
+    // bit-exactly and the index round-trip is q90's oracle-checked job.
+    // The index write sits inside the query on purpose — the q84
+    // contract: the layout's cost must not hide outside the timer.
+    "q89_index_incremental_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 1000)
+      val idx = ivfIndexDir(dir, "mh89")
+      Dedup.writeMinhashIndex(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0), idx)
+      Dedup.nearDupAgainstIndex(s,
+          docs.where(pmod(col("doc_id"), lit(2)) === 1), idx,
+          threshold = 0.5)
+        .orderBy(col("id_a").asc, col("id_b").asc)
+    }),
+    // exact cross-batch baseline THROUGH the index: the odd half scored
+    // all-pairs against the even half's STORED shingle arrays —
+    // oracle-checked, so the shingles/ parquet round-trip and the shared
+    // jaccard arithmetic are hash-proven (q62's contract extended to the
+    // persisted layout). Capped like every all-pairs baseline.
+    "q90_index_jaccard_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 1000)
+      val idx = ivfIndexDir(dir, "mh90")
+      Dedup.writeMinhashIndex(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0), idx)
+      Dedup.jaccardAllPairsAgainstIndex(s,
+          docs.where(pmod(col("doc_id"), lit(2)) === 1), idx,
+          threshold = 0.5)
+        .orderBy(col("id_a").asc, col("id_b").asc)
+    }),
     // radius 3 is the standard 64-bit near-dup setting (Manku et al.,
     // WWW'07): 4 chunks of 16 bits keep buckets selective; radius 8 would
     // shrink chunks to ~7 bits and blow up intra-bucket candidates
@@ -1173,6 +1206,17 @@ object SparkEntry {
           |        '[ \t\n\r\f\x0B]+', ' ', 'g'),
           |      ' '), x -> x != '') AS tk
           |  FROM documents),
+          |-- the th CTE hashes Unicode CODE POINTS via ascii(t[j]) while
+          |-- the Spark kernel folds UTF-8 BYTES; they agree only on pure
+          |-- ASCII, so a non-ASCII dataset must fail LOUDLY here instead
+          |-- of surfacing as an inscrutable hash mismatch
+          |guard AS (
+          |  SELECT CASE WHEN bool_or(regexp_matches(coalesce(text, ''),
+          |      '[^\x00-\x7f]'))
+          |    THEN error('q88 oracle assumes ASCII text: ascii(code ' ||
+          |      'point) diverges from the UTF-8 byte fold')
+          |    ELSE 1 END AS ok
+          |  FROM documents),
           |th AS (
           |  SELECT doc_id, tk,
           |    list_transform(tk, t ->
@@ -1181,7 +1225,7 @@ object SparkEntry {
           |           j -> ascii(t[j])::BIGINT)),
           |         (acc, b) -> (acc * 257 + b) % 1000000007)
           |       * 48271) % 1000000007 % 8) AS hb
-          |  FROM nrm),
+          |  FROM nrm, guard),
           |cuts AS (
           |  SELECT doc_id, tk,
           |    CASE WHEN len(bnd) > 0 AND bnd[len(bnd)] = len(tk) THEN bnd
@@ -1383,6 +1427,22 @@ object SparkEntry {
            |    len(list_intersect(a.shingles, b.shingles)) AS n_inter,
            |    len(a.shingles) AS na, len(b.shingles) AS nb
            |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |    AND len(a.shingles) > 0 AND len(b.shingles) > 0)
+           |SELECT id_a, id_b,
+           |  n_inter / (na + nb - n_inter) AS jaccard
+           |FROM pairs WHERE n_inter / (na + nb - n_inter) >= 0.5
+           |ORDER BY id_a, id_b""".stripMargin,
+      // q62's oracle restricted to CROSS-parity pairs: the Spark side
+      // reads one side's shingle arrays from the written minhash index,
+      // so a hash-match proves storage round-trip + shared arithmetic
+      "q90_index_jaccard_exact" ->
+        s"""WITH $shingleSql,
+           |pairs AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |    len(list_intersect(a.shingles, b.shingles)) AS n_inter,
+           |    len(a.shingles) AS na, len(b.shingles) AS nb
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |    AND (a.doc_id % 2) <> (b.doc_id % 2)
            |    AND len(a.shingles) > 0 AND len(b.shingles) > 0)
            |SELECT id_a, id_b,
            |  n_inter / (na + nb - n_inter) AS jaccard

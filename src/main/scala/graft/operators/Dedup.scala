@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.native
@@ -138,14 +138,31 @@ object Dedup {
     */
   private def scoredVerify(docs: DataFrame, candidates: DataFrame,
       numShingleWords: Int, threshold: Double, scoreName: String,
-      score: Column => Column): DataFrame = {
+      score: Column => Column): DataFrame =
     // shingle hashes only for docs that appear in a candidate pair —
     // semi-join first so verification cost is O(candidate docs)
-    val involved = candidates.select(col("id_a").as("doc_id"))
+    scoredVerifyWith(
+      shingleHashArrays(
+        docs.join(broadcast(involvedIds(candidates)), Seq("doc_id"),
+          "left_semi"),
+        numShingleWords),
+      candidates, threshold, scoreName, score)
+
+  /** The distinct doc ids a candidate pair set touches — the pruning key
+    * for every verify stage (shingle arrays are only built/read for
+    * these). */
+  private def involvedIds(candidates: DataFrame): DataFrame =
+    candidates.select(col("id_a").as("doc_id"))
       .union(candidates.select(col("id_b").as("doc_id"))).distinct()
-    val sh = shingleHashArrays(
-      docs.join(broadcast(involved), Seq("doc_id"), "left_semi"),
-      numShingleWords)
+
+  /** [[scoredVerify]]'s join+score tail over a PREBUILT (doc_id, sh)
+    * table — split out so the incremental path ([[nearDupAgainstIndex]])
+    * can feed arrays read from a persisted index next to arrays computed
+    * for the new batch, with the arithmetic living exactly once.
+    */
+  private def scoredVerifyWith(sh: DataFrame, candidates: DataFrame,
+      threshold: Double, scoreName: String,
+      score: Column => Column): DataFrame = {
     val shA = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val shB = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     shA.join(broadcast(candidates), Seq("id_a"))
@@ -516,8 +533,18 @@ object Dedup {
     * clamp) keeps the boundary decision offset-independent — a max-size
     * forced cut would depend on the previous cut's position and break
     * realignment.
+    *
+    * GRANULARITY WARNING: `divisor` is the EXPECTED chunk length in
+    * tokens, and every later occurrence of a duplicated chunk is
+    * DELETED — a small divisor removes short common token runs
+    * (boilerplate phrases, code idioms) that are legitimate repeated
+    * language, which is precisely why Lee et al. dedup at ~50-token
+    * granularity. The default is the paper-safe 50; drop below it only
+    * for corpora of very short documents (the sf0.01 oracle fixtures
+    * run 8 because their synthetic docs are ~30-60 tokens), and treat
+    * anything under ~20 as a test-only setting.
     */
-  def dedupChunksCDC(docs: DataFrame, divisor: Int = 8): DataFrame = {
+  def dedupChunksCDC(docs: DataFrame, divisor: Int = 50): DataFrame = {
     require(divisor > 1, s"divisor must be > 1, got $divisor")
     // the boundary rule runs in the native one-pass kernel
     // ([[graft.functions.CdcChunksExpr]]): the built-in formulation
@@ -762,6 +789,179 @@ object Dedup {
       strategy: String = "labelprop"): DataFrame =
     dedupByClusters(docs, nearDupPairs(docs, threshold),
       strategy = strategy)
+
+  // ---------------------------- persisted minhash index (incremental dedup)
+
+  /** Materialize the corpus' near-dup signatures as an on-disk index under
+    * `dir` — the [[Similarity.writeIvfIndex]] pattern applied to text
+    * near-dup, for the weekly-refresh regime: index the corpus ONCE, then
+    * dedup each NEW batch against the index ([[nearDupAgainstIndex]]) and
+    * fold the batch in (`mode = "append"`), instead of recomputing every
+    * signature corpus-wide per batch. Layout:
+    *
+    *   - `bands/`: (doc_id, band_id, band_hash) parquet PARTITIONED BY
+    *     `bucket = pmod(band_hash, bandBuckets)` — the candidate-join
+    *     side. A probe keys on the partition column, so a small batch's
+    *     scan reads only the bucket partitions it actually names
+    *     (dynamic partition pruning, PlanSpec-pinned).
+    *   - `shingles/`: (doc_id, sh) sorted distinct shingle hashes — the
+    *     exact-verify side, read only for docs in a candidate pair.
+    *   - `params/`: ONE row of signature parameters. Probes read these
+    *     back instead of trusting caller arguments: signatures computed
+    *     under different (shingle words, hashes, bands, buckets) are
+    *     incomparable, and a silent mismatch would yield garbage
+    *     candidates instead of an error. Written LAST on overwrite, so a
+    *     crash mid-write leaves an index probes refuse (no params) rather
+    *     than one that half-answers.
+    *
+    * Doc ids must be globally unique across indexed and probed batches —
+    * the contract every pair surface here already assumes.
+    */
+  def writeMinhashIndex(docs: DataFrame, dir: String,
+      numShingleWords: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      bandBuckets: Int = 256, mode: String = "overwrite"): Unit = {
+    require(mode == "overwrite" || mode == "append",
+      s"mode must be 'overwrite' or 'append', got '$mode'")
+    require(bandBuckets > 0, s"bandBuckets must be > 0, got $bandBuckets")
+    val spark = docs.sparkSession
+    if (mode == "append") {
+      val p = readMinhashIndexParams(spark, dir)
+      val asked = (numShingleWords, numHashes, bands, bandBuckets)
+      require(p == asked,
+        s"append with params $asked onto an index written with $p")
+    }
+    lshBands(docs, numShingleWords, numHashes, bands)
+      // INT bucket on both the written and the probe side: the partition
+      // directory value is inferred back as int, and a type mismatch
+      // would wrap the partition attribute in a cast at the probe join —
+      // which defeats dynamic partition pruning (the pruning rule keys
+      // on the bare partition column)
+      .withColumn("bucket",
+        pmod(col("band_hash"), lit(bandBuckets.toLong)).cast("int"))
+      .write.mode(mode).partitionBy("bucket").parquet(s"$dir/bands")
+    shingleHashArrays(docs, numShingleWords)
+      .write.mode(mode).parquet(s"$dir/shingles")
+    if (mode == "overwrite")
+      spark.range(1).select(
+        lit(numShingleWords).as("num_shingle_words"),
+        lit(numHashes).as("num_hashes"),
+        lit(bands).as("bands"),
+        lit(bandBuckets).as("band_buckets"))
+        .write.mode("overwrite").parquet(s"$dir/params")
+  }
+
+  private def readMinhashIndexParams(spark: SparkSession,
+      dir: String): (Int, Int, Int, Int) = {
+    val r = spark.read.parquet(s"$dir/params").head()
+    (r.getAs[Int]("num_shingle_words"), r.getAs[Int]("num_hashes"),
+      r.getAs[Int]("bands"), r.getAs[Int]("band_buckets"))
+  }
+
+  /** Candidate near-dup pairs between a NEW batch and the indexed corpus:
+    * the batch's bands (map-only, computed with the INDEX's own stored
+    * parameters) equi-joined against `bands/` on (bucket, band_id,
+    * band_hash). Only CROSS pairs (one side new, one side indexed) come
+    * out — within-batch pairs are [[minhashCandidates]]' job, so
+    * incremental near-dup over arriving batches is
+    * `nearDupAgainstIndex(batch, index) ∪ nearDupPairs(batch)`, and it
+    * equals the full-corpus run restricted to pairs touching the batch
+    * PAIR-BY-PAIR: whether two docs share a band bucket is a pure
+    * function of their own two signatures, independent of every other
+    * doc (DedupSpec proves the equality bit-exactly, scores included).
+    *
+    * `broadcastProbe = true` (the weekly-refresh shape: batch ≪ index)
+    * broadcasts the batch bands; the join then keys on the index's
+    * partition column and dynamic partition pruning restricts the
+    * `bands/` scan to the buckets the batch names — the
+    * [[Similarity.ivfTopKIndexed]] probe machinery. Set it false for a
+    * batch too large to broadcast: the join degrades to a plain hash
+    * shuffle on the band key — still ∝ matching bands, never all-pairs,
+    * just without the pruned scan.
+    */
+  def minhashCandidatesAgainstIndex(spark: SparkSession,
+      newDocs: DataFrame, dir: String,
+      broadcastProbe: Boolean = true): DataFrame = {
+    val (nsw, nh, nb, buckets) = readMinhashIndexParams(spark, dir)
+    val newBands = lshBands(newDocs, nsw, nh, nb)
+      // int, matching the inferred partition column type — see
+      // [[writeMinhashIndex]]'s bucket comment (a cast on the partition
+      // attribute would defeat partition pruning)
+      .withColumn("bucket",
+        pmod(col("band_hash"), lit(buckets.toLong)).cast("int"))
+      .withColumnRenamed("doc_id", "new_id")
+    // the band_id >= 0 predicate is vacuously true (posexplode
+    // positions) but load-bearing: Spark's PartitionPruning rule only
+    // plants a dynamic pruning subquery when the filtering side carries
+    // a likely-SELECTIVE predicate (a binary comparison — IsNotNull does
+    // not qualify), and the probe side IS selective by contract (batch ≪
+    // index); without it the bands/ scan reads every bucket partition
+    val probe =
+      if (broadcastProbe) broadcast(newBands.where(col("band_id") >= 0))
+      else newBands
+    spark.read.parquet(s"$dir/bands")
+      .join(probe, Seq("bucket", "band_id", "band_hash"))
+      // ids are globally unique by contract; a violation must not
+      // surface as a self-pair
+      .where(col("doc_id") =!= col("new_id"))
+      .select(least(col("doc_id"), col("new_id")).as("id_a"),
+        greatest(col("doc_id"), col("new_id")).as("id_b"))
+      .distinct()
+  }
+
+  /** Verified near-dup pairs (exact n-gram Jaccard ≥ `threshold`) between
+    * a new batch and the indexed corpus — the incremental scale path:
+    * [[minhashCandidatesAgainstIndex]] candidates, then the exact
+    * [[scoredVerifyWith]] merge with the INDEX side's shingle arrays READ
+    * from `shingles/` (the indexed corpus' text is not even an input) and
+    * the new side's computed batch-locally. Same [[jaccardScore]]
+    * arithmetic as every other Jaccard surface, so incremental ∪
+    * within-batch ≡ full-run (restricted to pairs touching the batch)
+    * holds bit-exactly — DedupSpec proves it, q90's DuckDB oracle proves
+    * the `shingles/` round-trip.
+    */
+  def nearDupAgainstIndex(spark: SparkSession, newDocs: DataFrame,
+      dir: String, threshold: Double = 0.7,
+      broadcastProbe: Boolean = true): DataFrame = {
+    val (nsw, _, _, _) = readMinhashIndexParams(spark, dir)
+    // materialized once: the involved-ids pruning AND the verify join
+    // both consume the candidate set
+    val candidates = Barriers.barrier(
+      minhashCandidatesAgainstIndex(spark, newDocs, dir, broadcastProbe))
+    val involved = involvedIds(candidates)
+    val newSh = shingleHashArrays(
+      newDocs.join(broadcast(involved), Seq("doc_id"), "left_semi"), nsw)
+    val idxSh = spark.read.parquet(s"$dir/shingles")
+      .join(broadcast(involved), Seq("doc_id"), "left_semi")
+    scoredVerifyWith(newSh.unionByName(idxSh), candidates, threshold,
+      "jaccard", jaccardScore)
+  }
+
+  /** Exact all-pairs Jaccard between a new batch and the indexed corpus'
+    * STORED shingle arrays — the [[jaccardAllPairs]] oracle-baseline
+    * contract extended to the persisted layout: O(|batch|·|index|) pairs
+    * by construction, cap both sides like every all-pairs baseline. Its
+    * scores must be bit-identical to an inline [[jaccardAllPairs]] run
+    * restricted to cross pairs (same [[jaccardScore]], same sorted-merge
+    * kernel), which is exactly what q90's DuckDB oracle hash-checks —
+    * proving the `shingles/` parquet round-trip end-to-end.
+    */
+  def jaccardAllPairsAgainstIndex(spark: SparkSession, newDocs: DataFrame,
+      dir: String, threshold: Double = 0.5): DataFrame = {
+    val (nsw, _, _, _) = readMinhashIndexParams(spark, dir)
+    val newSh = Barriers.barrier(
+      shingleHashArrays(newDocs, nsw).where(size(col("sh")) > 0))
+      .select(col("doc_id").as("id_n"), col("sh").as("sh_a"))
+    val idxSh = spark.read.parquet(s"$dir/shingles")
+      .where(size(col("sh")) > 0)
+      .select(col("doc_id").as("id_i"), col("sh").as("sh_b"))
+    newSh.join(idxSh, col("id_n") =!= col("id_i"))
+      .withColumn("n_inter",
+        native.sorted_intersect_count(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", jaccardScore(col("n_inter")))
+      .where(col("jaccard") >= threshold)
+      .select(least(col("id_n"), col("id_i")).as("id_a"),
+        greatest(col("id_n"), col("id_i")).as("id_b"), col("jaccard"))
+  }
 
   /** Benchmark decontamination, pass-through form: for each document,
     * how many of its distinct n-gram shingles also occur in a

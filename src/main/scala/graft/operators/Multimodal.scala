@@ -85,10 +85,6 @@ object Multimodal {
     * decode for real.
     */
   object ImageCodec {
-    // in-memory streams only: the default ImageIO disk cache creates and
-    // deletes a tmpdir file PER read attempt — per-row cost on the
-    // document-backed media tables (q46 is a frozen headline query)
-    javax.imageio.ImageIO.setUseCache(false)
 
     /** Refuse to decode anything whose header claims more pixels: a
       * decompression bomb (tiny file, huge declared dimensions) would
@@ -117,7 +113,14 @@ object Multimodal {
       if (!looksLikeImage(payload)) return None
       var stream: javax.imageio.stream.ImageInputStream = null
       try {
-        stream = javax.imageio.ImageIO.createImageInputStream(
+        // a MemoryCacheImageInputStream directly, NOT
+        // ImageIO.createImageInputStream: the factory consults the
+        // JVM-global use-cache flag and would spend a tmpdir file
+        // create+delete PER read attempt (per-row cost — q46 is a
+        // frozen headline query); constructing the in-memory stream
+        // scopes the choice to this read instead of mutating the
+        // global default for every ImageIO user in the JVM
+        stream = new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(payload))
         val readers = javax.imageio.ImageIO.getImageReaders(stream)
         if (!readers.hasNext) return None

@@ -112,6 +112,86 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("incremental dedup against a persisted minhash index equals the " +
+      "full-corpus run restricted to pairs touching the new batch") {
+    // near-dup pairs crossing the batch boundary in both directions,
+    // plus within-batch duplication on each side
+    val b1 = Seq(
+      (0L, base),
+      (1L, base.replace("tonight", "today")), // b1-internal near-dup of 0
+      (3L, "completely different words about spark query engines and " +
+        "distributed joins running on large clusters of machines"))
+      .toDF("doc_id", "text")
+    val b2 = Seq(
+      (10L, base),                            // cross exact dup of 0
+      (11L, base.replace("fox", "cat")),      // cross near-dup of 0
+      (12L, "yet another unrelated document discussing minhash banding " +
+        "signatures buckets and locality sensitive hashing methods"),
+      (13L, base.replace("fox", "cat")))      // b2-internal dup of 11
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mhidx").toString
+    Dedup.writeMinhashIndex(b1, dir)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val incCross = pairSet(
+      Dedup.nearDupAgainstIndex(spark, b2, dir, threshold = 0.5))
+    val incWithin = pairSet(Dedup.nearDupPairs(b2, threshold = 0.5))
+    val full = pairSet(
+      Dedup.nearDupPairs(b1.unionByName(b2), threshold = 0.5))
+    val b2Ids = Set(10L, 11L, 12L, 13L)
+    val fullTouching = full.filter(p => b2Ids(p._1) || b2Ids(p._2))
+    // BIT-exact equality, jaccard doubles included: band-bucket
+    // collision is a pure per-pair function of the two signatures, and
+    // the verify arithmetic is shared — incremental ∪ within-batch must
+    // reproduce the full run on every pair touching the batch
+    assert((incCross ++ incWithin) === fullTouching)
+    assert(incCross.exists(p => p._1 == 0L && p._2 == 10L))
+    assert(incWithin.nonEmpty)
+    // the non-broadcast (large-batch) probe flavor: identical pairs
+    val incShuffle = pairSet(Dedup.nearDupAgainstIndex(spark, b2, dir,
+      threshold = 0.5, broadcastProbe = false))
+    assert(incShuffle === incCross)
+  }
+
+  test("minhash index append folds a batch in; a params mismatch is " +
+      "rejected loudly") {
+    val b1 = docs.where($"doc_id" <= 2)
+    val b2 = Seq((20L, base),
+      (21L, "unrelated novel content entirely about something else"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mhidx2").toString
+    Dedup.writeMinhashIndex(b1, dir)
+    Dedup.writeMinhashIndex(b2, dir, mode = "append")
+    // a batch probed after the append sees BOTH earlier batches
+    val b3 = Seq((30L, base)).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupAgainstIndex(spark, b3, dir, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 30L)))
+    assert(pairs.contains((20L, 30L)))
+    // probing with different signature parameters than the index was
+    // written with must error, not silently mis-candidate
+    intercept[IllegalArgumentException] {
+      Dedup.writeMinhashIndex(b2, dir, bands = 4, mode = "append")
+    }
+  }
+
+  test("exact jaccard against stored index arrays is bit-identical to " +
+      "the inline all-pairs run restricted to cross pairs") {
+    val b1 = docs.where(pmod($"doc_id", lit(2)) === 0)
+    val b2 = docs.where(pmod($"doc_id", lit(2)) === 1)
+    val dir = java.nio.file.Files.createTempDirectory("mhidx3").toString
+    Dedup.writeMinhashIndex(b1, dir)
+    val viaIndex = Dedup.jaccardAllPairsAgainstIndex(spark, b2, dir,
+        threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inline = Dedup.jaccardAllPairs(docs, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      .filter(p => (p._1 % 2) != (p._2 % 2))
+    assert(viaIndex === inline)
+    assert(viaIndex.nonEmpty)
+  }
+
   test("contamination screen counts shingle overlap with the benchmark, " +
       "map-only over the corpus") {
     // benchmark = doc 0's text; doc 1 (exact dup) fully contaminated,

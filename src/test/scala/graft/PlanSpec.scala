@@ -113,6 +113,23 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("dynamicpruning"), p.take(3000))
   }
 
+  test("minhash index probe scan is dynamically partition-pruned to " +
+      "the batch's band buckets") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .where(col("doc_id") < 200)
+    val dir = java.nio.file.Files.createTempDirectory("mhplan").toString
+    graft.operators.Dedup.writeMinhashIndex(docs, dir)
+    // a tiny batch probes far fewer buckets than the index holds — the
+    // broadcast probe join keys on the partition column, so the bands/
+    // scan must carry a dynamicpruning partition filter (IO ∝ probed
+    // buckets / bandBuckets, the weekly-refresh economics)
+    val batch = spark.range(1).select(lit(100000L).as("doc_id"),
+      lit("a brand new incremental document about fresh topics").as("text"))
+    val p = plan(graft.operators.Dedup.minhashCandidatesAgainstIndex(
+      spark, batch, dir))
+    assert(p.contains("dynamicpruning"), p.take(3000))
+  }
+
   test("IVF cell assignment is a pure projection (no join, no exchange)") {
     val emb = spark.read.parquet(sf() + "/embeddings.parquet")
     val cents = graft.operators.Similarity.ivfCentroids(emb, nlist = 4)

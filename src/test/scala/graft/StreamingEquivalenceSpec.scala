@@ -57,9 +57,13 @@ class StreamingEquivalenceSpec extends SparkSuite {
       dst.toFile.setLastModified(mtime)
     }
     def sentinel(name: String, daysAhead: Int): Unit = {
+      // anchored on maxTs, not an arbitrary row: the watermark must pass
+      // the LAST real window no matter how wide a time span the events
+      // fixture covers
       val s = tsFixed(raw).limit(1)
-        .withColumn("ts", ($"ts".cast("long") + daysAhead * 86400L)
-          .cast("timestamp"))
+        .withColumn("ts",
+          lit(new java.sql.Timestamp(
+            maxTs.getTime + daysAhead * 86400000L)))
         .withColumn("event_type", lit("zz_sentinel"))
       // nanos Long in the source schema: write back as long nanos
       val out = if (raw.schema("ts").dataType ==

@@ -85,6 +85,105 @@ object SparkEntry {
     else raw
   }
 
+  /** Streaming-flagship entry machinery (q91): stage the events parquet
+    * plus two far-future watermark sentinels into per-process scratch,
+    * run the available-now file-source streaming flagship
+    * ([[graft.streaming.StreamingAgg.distinctDailyCounts]] — the
+    * StreamingEquivalenceSpec shape), and return the closed real-event
+    * windows. With sentinels 400/800 days past max(ts) and the 365-day
+    * watermark delay, the watermark passes every REAL window, so
+    * append-mode output IS the batch dedup+count answer — which is why
+    * this entry is ORACLE-checked, not rows-only: the DuckDB compare
+    * hash-matches the streaming result against the batch SQL.
+    * maxFilesPerTrigger=1 + ascending mtimes make the sentinels arrive
+    * in their own later micro-batches (each batch emits the windows the
+    * PREVIOUS batch's watermark closed — the spec-proven shape).
+    */
+  private object StreamScratch {
+    val seq = new java.util.concurrent.atomic.AtomicLong()
+    @volatile var lastSink: String = null
+  }
+
+  private def streamingFlagship(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val nanosLong = raw.schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
+    def tsFix(df: DataFrame): DataFrame =
+      if (nanosLong)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else df
+    val maxTs = tsFix(raw).agg(max(col("ts"))).head().getTimestamp(0)
+    val n = StreamScratch.seq.incrementAndGet()
+    // ONE staging dir per (sf dir, process): contents are deterministic,
+    // so later calls just re-copy the same bytes (REPLACE_EXISTING); the
+    // checkpoint, by contrast, MUST be fresh per run — a reused one
+    // would resume an all-committed query and emit nothing
+    val stage = Paths.get(ivfIndexDir(dir, "stream_stage"))
+    Files.createDirectories(stage)
+    val src = Paths.get(s"$dir/events.parquet")
+    val parts =
+      if (Files.isDirectory(src)) {
+        val l = Files.list(src)
+        try l.toArray.map(_.asInstanceOf[Path])
+          .filter(_.getFileName.toString.endsWith(".parquet")).sorted
+        finally l.close()
+      } else Array(src)
+    var mtime = System.currentTimeMillis() - 60000
+    parts.foreach { p =>
+      val dst = stage.resolve(p.getFileName)
+      Files.copy(p, dst, StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(mtime)
+    }
+    def sentinel(name: String, daysAhead: Int): Unit = {
+      val tsMs = maxTs.getTime + daysAhead * 86400000L
+      val base = raw.limit(1).withColumn("event_type", lit("zz_sentinel"))
+      val withTs =
+        if (nanosLong) base.withColumn("ts", lit(tsMs * 1000000L))
+        else base.withColumn("ts", lit(new java.sql.Timestamp(tsMs)))
+      val tmp = Files.createTempDirectory("q91sent")
+      withTs.select(raw.columns.map(col).toIndexedSeq: _*).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val l = Files.list(tmp)
+      val part =
+        try l.toArray.map(_.asInstanceOf[Path])
+          .filter(_.getFileName.toString.endsWith(".parquet")).head
+        finally l.close()
+      mtime += 10000
+      val dst = stage.resolve(name)
+      Files.copy(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(mtime)
+    }
+    sentinel("zz1.parquet", 400)
+    sentinel("zz2.parquet", 800)
+    val stream = tsFix(
+      s.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage.toString))
+      .select(col("ts"), col("user_id"), col("event_type"))
+    val ckpt = ivfIndexDir(dir, s"stream_ckpt_$n")
+    val sink = s"q91_stream_out_$n"
+    // the previous call's memory-sink view is consumed by the time the
+    // next call starts (Verify/Bench run entries sequentially) — drop it
+    // so repeated bench passes don't accumulate driver-held result sets
+    val prev = StreamScratch.lastSink
+    if (prev != null) s.catalog.dropTempView(prev)
+    StreamScratch.lastSink = sink
+    val q = graft.streaming.StreamingAgg
+      .distinctDailyCounts(stream, "365 days")
+      .writeStream.outputMode("append")
+      .format("memory").queryName(sink)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    require(q.awaitTermination(300000), "q91 stream did not finish")
+    s.table(sink)
+      .where(col("event_type") =!= "zz_sentinel")
+      .withColumnRenamed("count", "cnt")
+      .orderBy(col("day").asc, col("event_type").asc)
+  }
+
   /** events plays the logentry role (FIXTURES.md §7): ts/user_id/event_type
     * ≅ date/ip/risk, and `k` (parsed from props) plays country/asn.
     */
@@ -514,6 +613,21 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chunks"), col("n_kept"),
           md5(col("text")).as("dedup_md5"))
         .orderBy(col("doc_id").asc)),
+    // the SAME two chunking rules at the paper's 50-token granularity —
+    // the regime real corpora run (and the API defaults): the frozen
+    // bench inventory tracks it, and the parameterized shared oracles
+    // (chunkDedupSql/cdcChunkDedupSql) hash-check both window sizes so the
+    // small-doc (q87/q88) and paper-granularity entries cannot drift
+    "q92_chunk_dedup50" -> ((s, dir) =>
+      Dedup.dedupChunks(t(s, dir, "documents"), chunkTokens = 50)
+        .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+          md5(col("text")).as("dedup_md5"))
+        .orderBy(col("doc_id").asc)),
+    "q93_cdc_chunk_dedup50" -> ((s, dir) =>
+      Dedup.dedupChunksCDC(t(s, dir, "documents"), divisor = 50)
+        .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+          md5(col("text")).as("dedup_md5"))
+        .orderBy(col("doc_id").asc)),
     "q31_dedup_exact_rows" -> ((s, dir) =>
       Dedup.exactDedup(t(s, dir, "documents"))
         .select(col("doc_id"), col("lang"), col("n_chars"))
@@ -877,7 +991,13 @@ object SparkEntry {
       Multimodal.sampleFrames(
         Multimodal.decodeAndFeaturize(
           Multimodal.mediaFromDocuments(t(s, dir, "documents"))), 5)
-        .orderBy(col("media_id").asc, col("frame_idx").asc))
+        .orderBy(col("media_id").asc, col("frame_idx").asc)),
+    // ---- streaming tier: the flagship as a driver-gated entry ----
+    // a REAL Structured Streaming run (file source, available-now,
+    // watermark + append) whose emitted windows must hash-match the
+    // batch dedup+count SQL — see [[streamingFlagship]]'s scaladoc for
+    // why the sentinel construction makes this oracle-checkable
+    "q91_streaming_flagship" -> ((s, dir) => streamingFlagship(s, dir))
   )
 
   // ------------------------------------------------------------- oracle
@@ -911,6 +1031,17 @@ object SparkEntry {
            |ORDER BY day DESC, event_type ASC""".stripMargin,
       "q07_update_join" -> updateJoinSql,
       "q08_count_star" -> "SELECT count(*) AS n FROM events",
+      // the STREAMING flagship's closed windows ≡ the batch dedup+count
+      // plan (window start = day truncation under the shared UTC
+      // session) — the sentinel construction closes every real window,
+      // so this checks a genuine Structured Streaming run against SQL
+      "q91_streaming_flagship" ->
+        """SELECT day, event_type, count(*) AS cnt
+          |FROM (SELECT DISTINCT date_trunc('day', ts) AS day, user_id,
+          |        event_type
+          |      FROM events) d
+          |GROUP BY day, event_type
+          |ORDER BY day, event_type""".stripMargin,
       "q09_cube_week" -> cubeAtSql("week"),
       "q10_cube_month" -> cubeAtSql("month"),
       "q11_cube_quarter" -> cubeAtSql("quarter"),
@@ -1158,109 +1289,10 @@ object SparkEntry {
           |ORDER BY d.doc_id""".stripMargin,
       // chunk dedup: 10-token windows, first (doc_id, idx) occurrence
       // survives; string partition ≡ Spark's md5 key up to collisions
-      "q87_chunk_dedup" ->
-        // coalesce: a NULL text must report (0, 0, md5('')) like the
-        // Spark side, not a NULL n_chunks from len(NULL)
-        """WITH nrm AS (
-          |  SELECT doc_id,
-          |    list_filter(string_split(
-          |      regexp_replace(lower(coalesce(text, '')),
-          |        '[ \t\n\r\f\x0B]+', ' ', 'g'),
-          |      ' '), x -> x != '') AS tk
-          |  FROM documents),
-          |ch AS (
-          |  SELECT doc_id,
-          |    unnest(generate_series(0,
-          |      CAST(ceil(len(tk) / 10.0) AS INT) - 1)) AS idx, tk
-          |  FROM nrm WHERE len(tk) > 0),
-          |cstr AS (
-          |  SELECT doc_id, idx,
-          |    array_to_string(tk[idx*10+1 : idx*10+10], ' ') AS chunk
-          |  FROM ch),
-          |ranked AS (
-          |  SELECT doc_id, idx, chunk,
-          |    row_number() OVER (PARTITION BY chunk
-          |      ORDER BY doc_id, idx) AS rn
-          |  FROM cstr),
-          |kept AS (SELECT doc_id, idx, chunk FROM ranked WHERE rn = 1),
-          |out AS (
-          |  SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
-          |    md5(string_agg(chunk, ' ' ORDER BY idx)) AS dedup_md5
-          |  FROM kept GROUP BY doc_id)
-          |SELECT n.doc_id,
-          |  CAST(CASE WHEN len(tk) = 0 THEN 0
-          |       ELSE ceil(len(tk) / 10.0) END AS INT) AS n_chunks,
-          |  CAST(coalesce(o.n_kept, 0) AS INT) AS n_kept,
-          |  coalesce(o.dedup_md5, md5('')) AS dedup_md5
-          |FROM nrm n LEFT JOIN out o ON n.doc_id = o.doc_id
-          |ORDER BY n.doc_id""".stripMargin,
-      // content-defined chunking: a chunk ends at token i iff
-      // (rollingHash(token)*48271) % 1e9+7 % 8 == 0 — the same Rabin-Karp
-      // byte fold as q44 plus the Lehmer mix, all 64-bit integer math
-      // (tokens are ASCII, so ascii() over code points == the byte fold)
-      "q88_cdc_chunk_dedup" ->
-        """WITH nrm AS (
-          |  SELECT doc_id,
-          |    list_filter(string_split(
-          |      regexp_replace(lower(coalesce(text, '')),
-          |        '[ \t\n\r\f\x0B]+', ' ', 'g'),
-          |      ' '), x -> x != '') AS tk
-          |  FROM documents),
-          |-- the th CTE hashes Unicode CODE POINTS via ascii(t[j]) while
-          |-- the Spark kernel folds UTF-8 BYTES; they agree only on pure
-          |-- ASCII, so a non-ASCII dataset must fail LOUDLY here instead
-          |-- of surfacing as an inscrutable hash mismatch
-          |guard AS (
-          |  SELECT CASE WHEN bool_or(regexp_matches(coalesce(text, ''),
-          |      '[^\x00-\x7f]'))
-          |    THEN error('q88 oracle assumes ASCII text: ascii(code ' ||
-          |      'point) diverges from the UTF-8 byte fold')
-          |    ELSE 1 END AS ok
-          |  FROM documents),
-          |th AS (
-          |  SELECT doc_id, tk,
-          |    list_transform(tk, t ->
-          |      (list_reduce(list_prepend(0::BIGINT,
-          |         list_transform(range(1, length(t) + 1),
-          |           j -> ascii(t[j])::BIGINT)),
-          |         (acc, b) -> (acc * 257 + b) % 1000000007)
-          |       * 48271) % 1000000007 % 8) AS hb
-          |  FROM nrm, guard),
-          |cuts AS (
-          |  SELECT doc_id, tk,
-          |    CASE WHEN len(bnd) > 0 AND bnd[len(bnd)] = len(tk) THEN bnd
-          |         ELSE list_append(bnd, len(tk)) END AS ends
-          |  FROM (SELECT doc_id, tk,
-          |          list_filter(range(1, len(tk) + 1), i -> hb[i] = 0)
-          |            AS bnd
-          |        FROM th WHERE len(tk) > 0)),
-          |cstr AS (
-          |  SELECT doc_id, k - 1 AS idx,
-          |    array_to_string(
-          |      tk[(CASE WHEN k = 1 THEN 0 ELSE ends[k - 1] END) + 1
-          |         : ends[k]], ' ') AS chunk
-          |  FROM (SELECT doc_id, tk, ends,
-          |          unnest(generate_series(1, len(ends))) AS k
-          |        FROM cuts)),
-          |ranked AS (
-          |  SELECT doc_id, idx, chunk,
-          |    row_number() OVER (PARTITION BY chunk
-          |      ORDER BY doc_id, idx) AS rn
-          |  FROM cstr),
-          |kept AS (SELECT doc_id, idx, chunk FROM ranked WHERE rn = 1),
-          |out AS (
-          |  SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
-          |    md5(string_agg(chunk, ' ' ORDER BY idx)) AS dedup_md5
-          |  FROM kept GROUP BY doc_id)
-          |SELECT n.doc_id,
-          |  CAST(coalesce(c.n_ch, 0) AS INT) AS n_chunks,
-          |  CAST(coalesce(o.n_kept, 0) AS INT) AS n_kept,
-          |  coalesce(o.dedup_md5, md5('')) AS dedup_md5
-          |FROM nrm n
-          |LEFT JOIN (SELECT doc_id, len(ends) AS n_ch FROM cuts) c
-          |  ON n.doc_id = c.doc_id
-          |LEFT JOIN out o ON n.doc_id = o.doc_id
-          |ORDER BY n.doc_id""".stripMargin,
+      "q87_chunk_dedup" -> chunkDedupSql(10),
+      "q92_chunk_dedup50" -> chunkDedupSql(50),
+      "q88_cdc_chunk_dedup" -> cdcChunkDedupSql(8),
+      "q93_cdc_chunk_dedup50" -> cdcChunkDedupSql(50),
       "q36_ann_quantized_topk" ->
         """SELECT query_id, vec_id, CAST(dot AS BIGINT) AS dot,
           |       CAST(rank AS INT) AS rank FROM (
@@ -1862,6 +1894,123 @@ object SparkEntry {
       |  CAST(CASE WHEN r0 % 16 < 8 THEN r0 % 8
       |       ELSE 15 - (r0 % 16) END AS BIGINT) AS bin
       |FROM rnk ORDER BY doc_id""".stripMargin.replace("__SRC__", src)
+
+  /** DuckDB oracle for [[graft.operators.Dedup.dedupChunks]] at a given
+    * window size — shared by q87 (10-token windows for the short
+    * synthetic docs) and q92 (the paper's 50-token granularity), so the
+    * two entries cannot drift. Plain (non-interpolated) template +
+    * replace: the SQL carries regex escapes an s-interpolator would eat.
+    *
+    * coalesce: a NULL text must report (0, 0, md5('')) like the Spark
+    * side, not a NULL n_chunks from len(NULL).
+    */
+  private def chunkDedupSql(chunkTokens: Int): String =
+    """WITH nrm AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(
+      |      regexp_replace(lower(coalesce(text, '')),
+      |        '[ \t\n\r\f\x0B]+', ' ', 'g'),
+      |      ' '), x -> x != '') AS tk
+      |  FROM documents),
+      |ch AS (
+      |  SELECT doc_id,
+      |    unnest(generate_series(0,
+      |      CAST(ceil(len(tk) / __N__.0) AS INT) - 1)) AS idx, tk
+      |  FROM nrm WHERE len(tk) > 0),
+      |cstr AS (
+      |  SELECT doc_id, idx,
+      |    array_to_string(tk[idx*__N__+1 : idx*__N__+__N__], ' ') AS chunk
+      |  FROM ch),
+      |ranked AS (
+      |  SELECT doc_id, idx, chunk,
+      |    row_number() OVER (PARTITION BY chunk
+      |      ORDER BY doc_id, idx) AS rn
+      |  FROM cstr),
+      |kept AS (SELECT doc_id, idx, chunk FROM ranked WHERE rn = 1),
+      |out AS (
+      |  SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+      |    md5(string_agg(chunk, ' ' ORDER BY idx)) AS dedup_md5
+      |  FROM kept GROUP BY doc_id)
+      |SELECT n.doc_id,
+      |  CAST(CASE WHEN len(tk) = 0 THEN 0
+      |       ELSE ceil(len(tk) / __N__.0) END AS INT) AS n_chunks,
+      |  CAST(coalesce(o.n_kept, 0) AS INT) AS n_kept,
+      |  coalesce(o.dedup_md5, md5('')) AS dedup_md5
+      |FROM nrm n LEFT JOIN out o ON n.doc_id = o.doc_id
+      |ORDER BY n.doc_id""".stripMargin
+      .replace("__N__", chunkTokens.toString)
+
+  /** DuckDB oracle for [[graft.operators.Dedup.dedupChunksCDC]] at a
+    * given divisor — shared by q88 (divisor 8 for the short synthetic
+    * docs) and q93 (the paper-safe 50). Content-defined chunking: a
+    * chunk ends at token i iff (rollingHash(token)*48271) % 1e9+7 %
+    * divisor == 0 — the same Rabin-Karp byte fold as q44 plus the
+    * Lehmer mix, all 64-bit integer math.
+    */
+  private def cdcChunkDedupSql(divisor: Int): String =
+    """WITH nrm AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(
+      |      regexp_replace(lower(coalesce(text, '')),
+      |        '[ \t\n\r\f\x0B]+', ' ', 'g'),
+      |      ' '), x -> x != '') AS tk
+      |  FROM documents),
+      |-- the th CTE hashes Unicode CODE POINTS via ascii(t[j]) while
+      |-- the Spark kernel folds UTF-8 BYTES; they agree only on pure
+      |-- ASCII, so a non-ASCII dataset must fail LOUDLY here instead
+      |-- of surfacing as an inscrutable hash mismatch
+      |guard AS (
+      |  SELECT CASE WHEN bool_or(regexp_matches(coalesce(text, ''),
+      |      '[^\x00-\x7f]'))
+      |    THEN error('cdc oracle assumes ASCII text: ascii(code ' ||
+      |      'point) diverges from the UTF-8 byte fold')
+      |    ELSE 1 END AS ok
+      |  FROM documents),
+      |th AS (
+      |  SELECT doc_id, tk,
+      |    list_transform(tk, t ->
+      |      (list_reduce(list_prepend(0::BIGINT,
+      |         list_transform(range(1, length(t) + 1),
+      |           j -> ascii(t[j])::BIGINT)),
+      |         (acc, b) -> (acc * 257 + b) % 1000000007)
+      |       * 48271) % 1000000007 % __D__) AS hb
+      |  FROM nrm, guard),
+      |cuts AS (
+      |  SELECT doc_id, tk,
+      |    CASE WHEN len(bnd) > 0 AND bnd[len(bnd)] = len(tk) THEN bnd
+      |         ELSE list_append(bnd, len(tk)) END AS ends
+      |  FROM (SELECT doc_id, tk,
+      |          list_filter(range(1, len(tk) + 1), i -> hb[i] = 0)
+      |            AS bnd
+      |        FROM th WHERE len(tk) > 0)),
+      |cstr AS (
+      |  SELECT doc_id, k - 1 AS idx,
+      |    array_to_string(
+      |      tk[(CASE WHEN k = 1 THEN 0 ELSE ends[k - 1] END) + 1
+      |         : ends[k]], ' ') AS chunk
+      |  FROM (SELECT doc_id, tk, ends,
+      |          unnest(generate_series(1, len(ends))) AS k
+      |        FROM cuts)),
+      |ranked AS (
+      |  SELECT doc_id, idx, chunk,
+      |    row_number() OVER (PARTITION BY chunk
+      |      ORDER BY doc_id, idx) AS rn
+      |  FROM cstr),
+      |kept AS (SELECT doc_id, idx, chunk FROM ranked WHERE rn = 1),
+      |out AS (
+      |  SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+      |    md5(string_agg(chunk, ' ' ORDER BY idx)) AS dedup_md5
+      |  FROM kept GROUP BY doc_id)
+      |SELECT n.doc_id,
+      |  CAST(coalesce(c.n_ch, 0) AS INT) AS n_chunks,
+      |  CAST(coalesce(o.n_kept, 0) AS INT) AS n_kept,
+      |  coalesce(o.dedup_md5, md5('')) AS dedup_md5
+      |FROM nrm n
+      |LEFT JOIN (SELECT doc_id, len(ends) AS n_ch FROM cuts) c
+      |  ON n.doc_id = c.doc_id
+      |LEFT JOIN out o ON n.doc_id = o.doc_id
+      |ORDER BY n.doc_id""".stripMargin
+      .replace("__D__", divisor.toString)
 
   private def shingleSqlWhere(where: String): String =
     s"""nrm AS (

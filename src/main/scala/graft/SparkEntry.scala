@@ -992,6 +992,14 @@ object SparkEntry {
         Multimodal.decodeAndFeaturize(
           Multimodal.mediaFromDocuments(t(s, dir, "documents"))), 5)
         .orderBy(col("media_id").asc, col("frame_idx").asc)),
+    // audio-metadata plumbing over the document-backed media table: the
+    // fake payloads take the FakeCodec fallback (decoded_real = false,
+    // engine-portable byte arithmetic → oracle-checkable); REAL WAV
+    // parsing is AudioMetaSpec's job (in-test generated WAV bytes)
+    "q94_audio_meta" -> ((s, dir) =>
+      Multimodal.audioMetadata(
+        Multimodal.mediaFromDocuments(t(s, dir, "documents")))
+        .orderBy(col("media_id").asc)),
     // ---- streaming tier: the flagship as a driver-gated entry ----
     // a REAL Structured Streaming run (file source, available-now,
     // watermark + append) whose emitted windows must hash-match the
@@ -1432,6 +1440,20 @@ object SparkEntry {
           |  CAST(unnest(generate_series(0,
           |    octet_length(encode(text)) % 30, 5)) AS INT) AS frame_idx
           |FROM documents ORDER BY media_id, frame_idx""".stripMargin,
+      // the FakeCodec audio fallback is pure byte arithmetic, so the
+      // oracle replays it; duration = frames/rate is one IEEE division
+      // (engine-identical per row). NULL text → empty payload (n = 0).
+      "q94_audio_meta" ->
+        """SELECT doc_id AS media_id,
+          |  CAST(8000 + n % 40000 AS INT) AS sample_rate,
+          |  CAST(n % 2 + 1 AS INT) AS channels,
+          |  CAST(n * 4 AS BIGINT) AS n_frames,
+          |  CAST(n * 4 AS DOUBLE) / (8000 + n % 40000) AS duration_s,
+          |  false AS decoded_real
+          |FROM (SELECT doc_id,
+          |        octet_length(encode(coalesce(text, ''))) AS n
+          |      FROM documents) t
+          |ORDER BY media_id""".stripMargin,
       "q26_manifest_flatten" ->
         """SELECT u.url, true AS mandatory FROM (
           |  SELECT unnest(r.resource.path) AS url

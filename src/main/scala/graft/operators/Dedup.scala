@@ -767,17 +767,23 @@ object Dedup {
   def dedupByClusters(docs: DataFrame, pairs: DataFrame,
       maxIter: Int = 10, strategy: String = "labelprop",
       idCol: String = "doc_id"): DataFrame = {
-    val clusters = strategy match {
-      case "labelprop" => nearDupClusters(pairs, maxIter)
-      case "stars" => connectedComponentsStars(pairs, maxIter)
-      case other => throw new IllegalArgumentException(
-        s"unknown clustering strategy '$other' " +
-          "(expected 'labelprop' or 'stars')")
-    }
+    val clusters = clustersOf(pairs, maxIter, strategy)
     val drop = clusters
       .where(col("id") =!= col("canonical_id"))
       .select(col("id").as(idCol))
     docs.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** (id, canonical_id) components of a pair set under the chosen
+    * strategy — the dispatch shared by [[dedupByClusters]] and the
+    * centroid-keep [[semanticDedup]] tail. */
+  private def clustersOf(pairs: DataFrame, maxIter: Int,
+      strategy: String): DataFrame = strategy match {
+    case "labelprop" => nearDupClusters(pairs, maxIter)
+    case "stars" => connectedComponentsStars(pairs, maxIter)
+    case other => throw new IllegalArgumentException(
+      s"unknown clustering strategy '$other' " +
+        "(expected 'labelprop' or 'stars')")
   }
 
   /** MinHash→LSH→verify→cluster→remove, end-to-end: the corpus minus
@@ -1181,15 +1187,26 @@ object Dedup {
     */
   private def taggedNormed(embeddings: DataFrame, nlist: Int,
       kmeansIters: Int, multiAssign: Int,
-      quantizer: String = "auto"): DataFrame = {
+      quantizer: String = "auto"): DataFrame =
+    taggedWithCents(embeddings, nlist, kmeansIters, multiAssign,
+      quantizer)._1
+
+  /** [[taggedNormed]] plus the centroids that produced the cell tags —
+    * for consumers that need the centroid VECTORS too (the centroid-keep
+    * policy scores each row against its own cell's centroid; re-running
+    * k-means for them could flip a near-tie assignment, see
+    * [[taggedNormed]]'s determinism note). */
+  private def taggedWithCents(embeddings: DataFrame, nlist: Int,
+      kmeansIters: Int, multiAssign: Int, quantizer: String = "auto")
+      : (DataFrame, Array[(Int, Array[Float])]) = {
     val base = embeddings.select(col("vec_id"), col("embedding"))
     val cells = resolveNlist(base, nlist)
     val cents = Similarity.kmeansCentroids(base, cells, kmeansIters,
       quantizer)
-    Barriers.barrier(
+    (Barriers.barrier(
       Similarity.assignWith(quantizer, base, cents, multiAssign)
         .select(col("cell"), col("vec_id"), col("embedding"),
-          native.fvec_norm(col("embedding")).as("nrm")))
+          native.fvec_norm(col("embedding")).as("nrm"))), cents)
   }
 
   /** Within-cell pairs of `tagged` at `threshold` — the
@@ -1212,22 +1229,67 @@ object Dedup {
     if (multiAssign > 1) pairs.distinct() else pairs
   }
 
-  /** Semantic dedup survivors: one canonical row (lowest vec_id) per
-    * semantic-duplicate cluster plus every unclustered row — the
-    * [[dedupByClusters]] tail keyed on `vec_id`, driven by
-    * [[semanticNearDupPairs]] edges. The full SemDeDup pipeline:
+  /** Semantic dedup survivors: one canonical row per semantic-duplicate
+    * cluster plus every unclustered row — the full SemDeDup pipeline:
     * cluster → within-cluster cosine pairs → connected components →
     * keep one per component.
+    *
+    * @param keep which member of each duplicate component survives:
+    *   - `"minid"` (default): the lowest vec_id — cheapest (the plain
+    *     [[dedupByClusters]] anti-join tail, no extra scoring pass) and
+    *     deterministic under re-partitioning;
+    *   - `"centroid"`: the member CLOSEST TO ITS CLUSTER CENTROID (max
+    *     cosine against its nearest assigned cell's centroid, ties to
+    *     the lowest vec_id) — the published SemDeDup keep rule (Abbas et
+    *     al., arXiv:2303.09540), for when survivor fidelity to the
+    *     method matters. Costs one extra broadcast join against the
+    *     nlist centroids plus a per-component window (hash-partitioned
+    *     by component, never global).
     */
   def semanticDedup(embeddings: DataFrame, nlist: Int = 0,
       threshold: Double = 0.95, kmeansIters: Int = 2,
       multiAssign: Int = 1, maxIter: Int = 10,
       strategy: String = "labelprop",
-      quantizer: String = "auto"): DataFrame =
-    dedupByClusters(embeddings,
-      semanticNearDupPairs(embeddings, nlist, threshold, kmeansIters,
-        multiAssign, quantizer),
-      maxIter, strategy, idCol = "vec_id")
+      quantizer: String = "auto", keep: String = "minid"): DataFrame =
+    keep match {
+      case "minid" =>
+        dedupByClusters(embeddings,
+          semanticNearDupPairs(embeddings, nlist, threshold, kmeansIters,
+            multiAssign, quantizer),
+          maxIter, strategy, idCol = "vec_id")
+      case "centroid" =>
+        // ONE tagging pass feeds the pair search AND the centroid
+        // scores — the same single-k-means-run discipline as
+        // [[taggedNormed]]'s scaladoc demands
+        val (tagged, cents) = taggedWithCents(embeddings, nlist,
+          kmeansIters, multiAssign, quantizer)
+        val clusters = clustersOf(
+          pairsFromTagged(tagged, threshold, multiAssign), maxIter,
+          strategy)
+        import embeddings.sparkSession.implicits._
+        val centsDf = cents.toSeq.map { case (c, v) => (c, v.toSeq) }
+          .toDF("cell", "centroid")
+        // per-vector similarity to its NEAREST assigned centroid (max
+        // over the multiAssign replicas); the centroid table is nlist
+        // rows — always broadcast
+        val centCos = tagged.join(broadcast(centsDf), Seq("cell"))
+          .select(col("vec_id"),
+            native.fvec_cosine(col("embedding"), col("centroid"))
+              .as("cc"))
+          .groupBy(col("vec_id"))
+          .agg(max(col("cc")).as("cent_cos"))
+        val ranked = clusters
+          .join(centCos, clusters("id") === centCos("vec_id"))
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("canonical_id"))
+              .orderBy(col("cent_cos").desc, col("id").asc)))
+        val drop = ranked.where(col("rk") > 1)
+          .select(col("id").as("vec_id"))
+        embeddings.join(drop, Seq("vec_id"), "left_anti")
+      case other => throw new IllegalArgumentException(
+        s"unknown keep policy '$other' (expected 'minid' or 'centroid')")
+    }
 
   /** Recall of the cluster-bucketed pair search against the exact
     * all-pairs baseline on the SAME input, plus the fraction of pairs

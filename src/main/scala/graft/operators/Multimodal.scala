@@ -8,11 +8,15 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns with a typed metadata struct; decode /
   * feature-extract run as per-partition batch functions.
   *
-  * The actual codec step is STUBBED (no image/audio libraries in this
-  * environment) behind [[FakeCodec]] — a deterministic stand-in — but the
-  * Spark-side plumbing is real: schema, `mapPartitions` batching,
-  * partition-preserving layout, and metadata projection are exactly what a
-  * real decoder would plug into.
+  * Codec reality, per modality: IMAGE decode is REAL for the formats the
+  * JDK ships readers for ([[ImageCodec]], `javax.imageio` — dimensions,
+  * luminance features, perceptual dHash all from true pixels); AUDIO
+  * metadata is REAL for WAV ([[AudioCodec]], `javax.sound.sampled` header
+  * parse — sample rate, channels, frames, duration); VIDEO frame counts
+  * remain the deterministic [[FakeCodec]] stand-in (no JDK video codec
+  * exists). Every decoded row carries a `decoded_real` provenance flag so
+  * downstream can tell which codec produced it — fake values never
+  * masquerade as decoded ones.
   *
   * Scale notes: binary payloads stay columnar in parquet; metadata-only
   * queries never touch the payload column (column pruning). Decode is
@@ -74,6 +78,16 @@ object Multimodal {
       val scale = math.min(maxW.toDouble / w, maxH.toDouble / h)
       if (scale >= 1.0) (w, h)
       else (math.max((w * scale).toInt, 1), math.max((h * scale).toInt, 1))
+    }
+
+    /** "Audio metadata": deterministic fake (sample rate, channels,
+      * frames, duration) from the byte count — the stand-in for payloads
+      * no real decoder claims. */
+    def audioMeta(payload: Array[Byte]): (Int, Int, Long, Double) = {
+      val n = payload.length
+      val rate = 8000 + n % 40000
+      val frames = n.toLong * 4
+      (rate, n % 2 + 1, frames, frames.toDouble / rate)
     }
   }
 
@@ -184,6 +198,36 @@ object Multimodal {
       bits
     }
 
+    /** Normalized luminance histogram over the decoded pixels — the REAL
+      * feature vector for genuinely decoded images (re-encoding preserves
+      * it exactly: same pixels, same histogram; resampling preserves it
+      * approximately). `bins` buckets over the 0..255 Rec.601 luma range,
+      * each value = fraction of pixels in the bucket, so vectors are
+      * comparable across image sizes. Cost is one O(pixels) pass, bounded
+      * by [[MaxPixels]] via [[decode]]'s header guard.
+      */
+    def lumHistogram(img: java.awt.image.BufferedImage,
+        bins: Int = 8): Array[Float] = {
+      val out = new Array[Float](bins)
+      val (w, h) = (img.getWidth, img.getHeight)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = 0.299 * ((rgb >> 16) & 0xff) +
+            0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+          out(math.min((lum * bins / 256.0).toInt, bins - 1)) += 1f
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toFloat.max(1f)
+      var i = 0
+      while (i < bins) { out(i) /= n; i += 1 }
+      out
+    }
+
     /** Fallback 64-bit signature for non-decodable payloads: FNV-1a over
       * the raw bytes — distinct payloads land on effectively random bits,
       * so only EXACT byte duplicates pair up within a small Hamming
@@ -201,33 +245,106 @@ object Multimodal {
     }
   }
 
+  /** REAL audio metadata for WAV payloads via `javax.sound.sampled`
+    * (part of `java.desktop`, no external dependency): RIFF/WAVE
+    * magic-byte sniff, then the JDK parses the format chunk — true
+    * sample rate, channels, frame count, duration. Non-WAV payloads fall
+    * back to [[FakeCodec]], the same sniff-then-fallback contract as
+    * [[ImageCodec]].
+    */
+  object AudioCodec {
+    private def looksLikeWav(p: Array[Byte]): Boolean =
+      p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
+        p(3) == 'F' && p(8) == 'W' && p(9) == 'A' && p(10) == 'V' &&
+        p(11) == 'E'
+
+    /** (sample_rate, channels, n_frames, duration_s) from the WAV
+      * header, or None when the payload is not parseable WAV. */
+    def decodeMeta(payload: Array[Byte]): Option[(Int, Int, Long, Double)] = {
+      if (!looksLikeWav(payload)) return None
+      try {
+        val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(payload))
+        val fmt = aff.getFormat
+        val frames = aff.getFrameLength.toLong
+        val rate = fmt.getSampleRate
+        // NOT_SPECIFIED (-1) header fields → no trustworthy metadata
+        if (rate <= 0 || frames < 0) None
+        else Some((rate.toInt, fmt.getChannels, frames,
+          frames / rate.toDouble))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
   val decodedSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
     StructField("n_frames", IntegerType),
-    StructField("features", ArrayType(FloatType))))
+    StructField("features", ArrayType(FloatType)),
+    StructField("decoded_real", BooleanType)))
 
   /** Decode + feature-extract, batched per partition. One codec "session"
     * per partition; rows stream through without materializing the whole
-    * partition. Real image bytes get their TRUE dimensions from
-    * [[ImageCodec]] (stills decode as 1 frame); everything else keeps
-    * [[FakeCodec]]'s deterministic fake dims, so the document-backed
-    * tables (q45/q46) are unchanged.
+    * partition. Real image bytes get their TRUE dimensions AND a real
+    * pixel feature vector (8-bin luminance histogram,
+    * [[ImageCodec.lumHistogram]]) from [[ImageCodec]] (stills decode as
+    * 1 frame); everything else keeps [[FakeCodec]]'s deterministic fake
+    * dims and byte-stat features, so the document-backed tables
+    * (q45/q46) are unchanged. `decoded_real` discloses per row which
+    * codec produced it — real dimensions can never silently carry fake
+    * features or vice versa.
     */
   def decodeAndFeaturize(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
     val enc = org.apache.spark.sql.Encoders.row(decodedSchema)
     media.select(col("media_id"), col("payload"))
       .mapPartitions { rows =>
         // real codec: open once per partition here
         rows.map { r =>
           val id = r.getLong(0)
-          val payload = r.getAs[Array[Byte]](1)
-          val (w, h, f) = ImageCodec.decode(payload)
-            .map(img => (img.getWidth, img.getHeight, 1))
-            .getOrElse(FakeCodec.decode(payload))
-          Row(id, w, h, f, FakeCodec.features(payload).toSeq)
+          val payload = Option(r.getAs[Array[Byte]](1))
+            .getOrElse(Array.emptyByteArray)
+          ImageCodec.decode(payload) match {
+            case Some(img) =>
+              Row(id, img.getWidth, img.getHeight, 1,
+                ImageCodec.lumHistogram(img).toSeq, true)
+            case None =>
+              val (w, h, f) = FakeCodec.decode(payload)
+              Row(id, w, h, f, FakeCodec.features(payload).toSeq, false)
+          }
+        }
+      }(enc)
+  }
+
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("duration_s", DoubleType),
+    StructField("decoded_real", BooleanType)))
+
+  /** Audio metadata, batched per partition: REAL header-parsed values
+    * for WAV payloads ([[AudioCodec]]), deterministic [[FakeCodec]]
+    * stand-ins otherwise, with the same `decoded_real` provenance
+    * contract as [[decodeAndFeaturize]]. Map-only (`mapPartitions` is
+    * the codec-batch contract), fixed output schema.
+    */
+  def audioMetadata(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(audioMetaSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = Option(r.getAs[Array[Byte]](1))
+            .getOrElse(Array.emptyByteArray)
+          AudioCodec.decodeMeta(payload) match {
+            case Some((rate, ch, frames, dur)) =>
+              Row(id, rate, ch, frames, dur, true)
+            case None =>
+              val (rate, ch, frames, dur) = FakeCodec.audioMeta(payload)
+              Row(id, rate, ch, frames, dur, false)
+          }
         }
       }(enc)
   }
@@ -243,7 +360,8 @@ object Multimodal {
     media.select(col("media_id"), col("payload"))
       .mapPartitions { rows =>
         rows.map { r =>
-          val payload = r.getAs[Array[Byte]](1)
+          val payload = Option(r.getAs[Array[Byte]](1))
+            .getOrElse(Array.emptyByteArray)
           val sig = ImageCodec.decode(payload).map(ImageCodec.dhash64)
             .getOrElse(ImageCodec.fnv1a64(payload))
           Row(r.getLong(0), sig)

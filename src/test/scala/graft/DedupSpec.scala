@@ -539,6 +539,30 @@ class DedupSpec extends SparkSuite {
     assert(degenerate.count() >= 0L)
   }
 
+  test("semdedup centroid keep policy keeps the vector closest to its " +
+      "cluster centroid; minid keeps the lowest id") {
+    // one tight duplicate component where the CENTRAL vector has the
+    // HIGHEST id: the cell centroid (mean of the three) is exactly vec
+    // 3's direction, so the paper's keep rule must pick 3 while the
+    // cheap default picks 1
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.30f, 0.00f)),
+      (2L, Array(1.0f, 0.00f, 0.30f)),
+      (3L, Array(1.0f, 0.15f, 0.15f)))
+      .toDF("vec_id", "embedding")
+    val viaMin = Dedup.semanticDedup(vecs, nlist = 1, threshold = 0.9,
+        kmeansIters = 1)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(viaMin === Set(1L))
+    val viaCent = Dedup.semanticDedup(vecs, nlist = 1, threshold = 0.9,
+        kmeansIters = 1, keep = "centroid")
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(viaCent === Set(3L))
+    intercept[IllegalArgumentException] {
+      Dedup.semanticDedup(vecs, keep = "nope")
+    }
+  }
+
   test("embedding near-dup finds the planted duplicate vector") {
     val vecs = Seq(
       (0L, Array.fill(8)(1.0f)),

@@ -55,6 +55,43 @@ class ImageDedupSpec extends SparkSuite {
     assert((d.getInt(1), d.getInt(2), d.getInt(3)) === ((64, 48, 1)))
   }
 
+  test("decoded features are REAL pixel luminance histograms with a " +
+      "decoded_real provenance flag; fakes keep byte stats") {
+    val reencoded = {
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(original))
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    // genuinely different luminance DISTRIBUTION (inverted values) — a
+    // mirrored scene would fool a histogram, inversion cannot
+    val inverted = png(64, 48) { (x, y) =>
+      val v = 255 - (scene(x, y, 64, 48) & 0xff)
+      (v << 16) | (v << 8) | v
+    }
+    val media = Seq(
+      (1L, original), (2L, reencoded), (3L, inverted),
+      (10L, "not an image at all".getBytes("UTF-8"))
+    ).toDF("media_id", "payload")
+    val rows = Multimodal.decodeAndFeaturize(media).collect()
+      .map(r => r.getLong(0) ->
+        (r.getSeq[Float](4).toArray, r.getBoolean(5))).toMap
+    def l1(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => math.abs(x - y).toDouble }.sum
+    // re-encode preserves pixels → identical histogram
+    assert(l1(rows(1L)._1, rows(2L)._1) === 0.0)
+    // inverted values move mass across bins → far histogram (measured
+    // 0.44 on this scene vs 0.0 for the re-encode — the gradient's
+    // near-symmetric luminance distribution caps how far inversion moves)
+    assert(l1(rows(1L)._1, rows(3L)._1) > 0.3,
+      s"inverted image histogram too close: ${l1(rows(1L)._1, rows(3L)._1)}")
+    // histograms are normalized: fractions sum to ~1
+    assert(math.abs(rows(1L)._1.map(_.toDouble).sum - 1.0) < 1e-5)
+    // provenance: decoded rows flagged real, fallback rows not
+    assert(rows(1L)._2 && rows(2L)._2 && rows(3L)._2)
+    assert(!rows(10L)._2)
+  }
+
   test("dHash finds re-encoded and resized duplicates, not a different " +
       "image; fallback pairs only exact byte-dups") {
     // re-encode: decode + write again (byte stream differs, pixels don't)

@@ -86,8 +86,7 @@ object Bench {
     // the full-inventory passes run only NON-headline queries: headline
     // members' reported times come exclusively from the isolated passes
     // above, so re-running them here would be pure discarded wall time
-    // (2× every headline query per bench run, including the
-    // index-writing q84/q85)
+    // (2× every one of the 16 frozen headline queries per bench run)
     val (invRes, invErrs) =
       runQueries(spark, sfDir, all.filterNot(q => Headline.contains(q._1)),
         passes)

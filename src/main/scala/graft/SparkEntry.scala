@@ -136,16 +136,20 @@ object SparkEntry {
       Files.copy(p, dst, StandardCopyOption.REPLACE_EXISTING)
       dst.toFile.setLastModified(mtime)
     }
+    // sentinel writes go through ONE registered scratch dir (reused per
+    // call, cleaned by the IvfScratch shutdown hook) — a fresh
+    // createTempDirectory per sentinel would leak two dirs per call
+    // across bench passes and survive JVM exit
+    val sentScratch = Paths.get(ivfIndexDir(dir, "stream_sent"))
     def sentinel(name: String, daysAhead: Int): Unit = {
       val tsMs = maxTs.getTime + daysAhead * 86400000L
       val base = raw.limit(1).withColumn("event_type", lit("zz_sentinel"))
       val withTs =
         if (nanosLong) base.withColumn("ts", lit(tsMs * 1000000L))
         else base.withColumn("ts", lit(new java.sql.Timestamp(tsMs)))
-      val tmp = Files.createTempDirectory("q91sent")
       withTs.select(raw.columns.map(col).toIndexedSeq: _*).coalesce(1)
-        .write.mode("overwrite").parquet(tmp.toString)
-      val l = Files.list(tmp)
+        .write.mode("overwrite").parquet(sentScratch.toString)
+      val l = Files.list(sentScratch)
       val part =
         try l.toArray.map(_.asInstanceOf[Path])
           .filter(_.getFileName.toString.endsWith(".parquet")).head
@@ -179,7 +183,10 @@ object SparkEntry {
       .start()
     require(q.awaitTermination(300000), "q91 stream did not finish")
     s.table(sink)
-      .where(col("event_type") =!= "zz_sentinel")
+      // null-SAFE not-equal: a NULL event_type row must survive the
+      // sentinel filter (the batch oracle keeps its NULL group; a plain
+      // =!= would NULL out and silently drop the whole window)
+      .where(!(col("event_type") <=> lit("zz_sentinel")))
       .withColumnRenamed("count", "cnt")
       .orderBy(col("day").asc, col("event_type").asc)
   }

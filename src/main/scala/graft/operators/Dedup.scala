@@ -816,9 +816,10 @@ object Dedup {
     *     back instead of trusting caller arguments: signatures computed
     *     under different (shingle words, hashes, bands, buckets) are
     *     incomparable, and a silent mismatch would yield garbage
-    *     candidates instead of an error. Written LAST on overwrite, so a
-    *     crash mid-write leaves an index probes refuse (no params) rather
-    *     than one that half-answers.
+    *     candidates instead of an error. Deleted FIRST and written LAST
+    *     on overwrite, so a crash anywhere mid-write leaves an index
+    *     probes refuse (no params) rather than one that half-answers —
+    *     stale params can never vouch for new data.
     *
     * Doc ids must be globally unique across indexed and probed batches —
     * the contract every pair surface here already assumes.
@@ -835,7 +836,23 @@ object Dedup {
       val asked = (numShingleWords, numHashes, bands, bandBuckets)
       require(p == asked,
         s"append with params $asked onto an index written with $p")
+    } else {
+      // an overwrite of an EXISTING index must first invalidate it:
+      // params-written-last only protects a fresh directory — a crash
+      // between the data overwrites and the params overwrite would
+      // otherwise leave the OLD params next to NEW data, and probes
+      // would accept the mismatch instead of refusing
+      val paramsPath = new org.apache.hadoop.fs.Path(s"$dir/params")
+      val fs = paramsPath.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(paramsPath)) fs.delete(paramsPath, true)
     }
+    // shingles BEFORE bands: candidates come only from bands/, so a
+    // crash here leaves extra shingle rows nothing references (harmless)
+    // rather than band rows whose verify-side arrays are missing (the
+    // inner join would silently drop those pairs)
+    shingleHashArrays(docs, numShingleWords)
+      .write.mode(mode).parquet(s"$dir/shingles")
     lshBands(docs, numShingleWords, numHashes, bands)
       // INT bucket on both the written and the probe side: the partition
       // directory value is inferred back as int, and a type mismatch
@@ -845,8 +862,6 @@ object Dedup {
       .withColumn("bucket",
         pmod(col("band_hash"), lit(bandBuckets.toLong)).cast("int"))
       .write.mode(mode).partitionBy("bucket").parquet(s"$dir/bands")
-    shingleHashArrays(docs, numShingleWords)
-      .write.mode(mode).parquet(s"$dir/shingles")
     if (mode == "overwrite")
       spark.range(1).select(
         lit(numShingleWords).as("num_shingle_words"),
@@ -1269,10 +1284,18 @@ object Dedup {
         import embeddings.sparkSession.implicits._
         val centsDf = cents.toSeq.map { case (c, v) => (c, v.toSeq) }
           .toDF("cell", "centroid")
+        // centroid scores only for CLUSTER MEMBERS (the semi-join prune
+        // every verify stage uses): unclustered vectors — the bulk of a
+        // normal corpus — would have their cosines computed and then
+        // discarded by the inner join below. The member table is ∝
+        // duplicate rows, the same broadcast contract as involvedIds.
+        val members = clusters.select(col("id").as("vec_id"))
         // per-vector similarity to its NEAREST assigned centroid (max
         // over the multiAssign replicas); the centroid table is nlist
         // rows — always broadcast
-        val centCos = tagged.join(broadcast(centsDf), Seq("cell"))
+        val centCos = tagged
+          .join(broadcast(members), Seq("vec_id"), "left_semi")
+          .join(broadcast(centsDf), Seq("cell"))
           .select(col("vec_id"),
             native.fvec_cosine(col("embedding"), col("centroid"))
               .as("cc"))

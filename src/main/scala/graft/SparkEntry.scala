@@ -635,6 +635,35 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chunks"), col("n_kept"),
           md5(col("text")).as("dedup_md5"))
         .orderBy(col("doc_id").asc)),
+    // incremental substring dedup against a persisted chunk index: docs
+    // < 250 are the standing indexed corpus, the rest arrive as the
+    // batch — oracle-checked because the monotone-id contract makes the
+    // incremental result EQUAL the full-corpus run restricted to the
+    // batch (the oracle runs exactly that). Index write inside the
+    // query (the q84 contract). Grid rule at q87's 10-token granularity;
+    // q96 is the CDC flavor at q88's divisor 8.
+    "q95_index_chunk_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idx = ivfIndexDir(dir, "ch95")
+      Dedup.writeChunkIndex(docs.where(col("doc_id") < 250), idx,
+        chunkTokens = 10)
+      Dedup.dedupChunksAgainstIndex(s, docs.where(col("doc_id") >= 250),
+          idx)
+        .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+          md5(col("text")).as("dedup_md5"))
+        .orderBy(col("doc_id").asc)
+    }),
+    "q96_index_cdc_chunk_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idx = ivfIndexDir(dir, "ch96")
+      Dedup.writeChunkIndexCDC(docs.where(col("doc_id") < 250), idx,
+        divisor = 8)
+      Dedup.dedupChunksAgainstIndex(s, docs.where(col("doc_id") >= 250),
+          idx)
+        .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+          md5(col("text")).as("dedup_md5"))
+        .orderBy(col("doc_id").asc)
+    }),
     "q31_dedup_exact_rows" -> ((s, dir) =>
       Dedup.exactDedup(t(s, dir, "documents"))
         .select(col("doc_id"), col("lang"), col("n_chars"))
@@ -1306,6 +1335,17 @@ object SparkEntry {
       // survives; string partition ≡ Spark's md5 key up to collisions
       "q87_chunk_dedup" -> chunkDedupSql(10),
       "q92_chunk_dedup50" -> chunkDedupSql(50),
+      // the incremental-index runs must equal the FULL-corpus dedup
+      // restricted to the batch rows (monotone-id contract): the oracle
+      // IS the full-run SQL with the batch restriction applied outside
+      "q95_index_chunk_dedup" ->
+        s"""SELECT * FROM (
+           |${chunkDedupSql(10)}
+           |) full_run WHERE doc_id >= 250 ORDER BY doc_id""".stripMargin,
+      "q96_index_cdc_chunk_dedup" ->
+        s"""SELECT * FROM (
+           |${cdcChunkDedupSql(8)}
+           |) full_run WHERE doc_id >= 250 ORDER BY doc_id""".stripMargin,
       "q88_cdc_chunk_dedup" -> cdcChunkDedupSql(8),
       "q93_cdc_chunk_dedup50" -> cdcChunkDedupSql(50),
       "q36_ann_quantized_topk" ->

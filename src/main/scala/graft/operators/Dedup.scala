@@ -461,17 +461,22 @@ object Dedup {
     * shuffle is hash-bucketed, nothing is all-pairs, and chunk strings
     * cross the wire once.
     */
-  def dedupChunks(docs: DataFrame, chunkTokens: Int = 50): DataFrame = {
+  def dedupChunks(docs: DataFrame, chunkTokens: Int = 50): DataFrame =
+    chunkDedupTail(gridChunkBase(docs, chunkTokens))
+
+  /** (doc_id, chunks) under the fixed-grid rule — the barrier'd base
+    * shared by [[dedupChunks]] and the chunk-index surfaces. The barrier
+    * matters: the tokenize+chunk projection feeds the exploded key
+    * stream (twice: canonical aggregate + join back) AND the final
+    * n_chunks select — without it the expensive chunk-string build would
+    * run once per consumer; the cheap explode+md5 on top of the
+    * materialized chunks is what gets recomputed instead.
+    */
+  private def gridChunkBase(docs: DataFrame, chunkTokens: Int): DataFrame = {
     require(chunkTokens > 0, s"chunkTokens must be > 0, got $chunkTokens")
     val nChunks = ceil(size(col("tokens")).cast("double") / chunkTokens)
       .cast("int")
-    // barrier the tokenize+chunk projection itself: it feeds the
-    // exploded key stream (twice: canonical aggregate + join back) AND
-    // the final n_chunks select — without the barrier the expensive
-    // chunk-string build would run once per consumer; the cheap
-    // explode+md5 on top of the materialized chunks is what gets
-    // recomputed instead
-    val base = Barriers.barrier(tokenArrays(docs).select(col("doc_id"),
+    Barriers.barrier(tokenArrays(docs).select(col("doc_id"),
       // sequence(0, -1) would step DOWN; zero-token docs get no chunks
       when(size(col("tokens")) > 0,
         transform(sequence(lit(0), nChunks - 1),
@@ -479,23 +484,30 @@ object Dedup {
             slice(col("tokens"), i * chunkTokens + lit(1),
               lit(chunkTokens)), " ")))
         .otherwise(typedLit(Array.empty[String])).as("chunks")))
-    chunkDedupTail(base)
   }
 
   /** Shared first-occurrence + reassembly tail for both chunking rules:
     * `base` is (doc_id, chunks: array<string>); keep each distinct chunk's
     * lowest (doc_id, idx) occurrence, rebuild each doc from survivors.
+    * `dropHashes`, when given, is a (ch) set of chunk md5s that lose
+    * UNCONDITIONALLY (the persisted-index probe: chunks already indexed
+    * elsewhere) — applied after the within-input first-occurrence rule,
+    * as one anti-join whose small side is bounded by the input's own
+    * distinct chunks.
     */
-  private def chunkDedupTail(base: DataFrame): DataFrame = {
+  private def chunkDedupTail(base: DataFrame,
+      dropHashes: Option[DataFrame] = None): DataFrame = {
     val keyed = base
       .select(col("doc_id"), posexplode(col("chunks")))
       .toDF("doc_id", "idx", "chunk")
       .withColumn("ch", md5(col("chunk")))
     val canon = keyed.groupBy(col("ch"))
       .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
-    val kept = keyed.join(canon, Seq("ch"))
+    val kept0 = keyed.join(canon, Seq("ch"))
       .where(col("doc_id") === col("f.doc_id") &&
         col("idx") === col("f.idx"))
+    val kept = dropHashes.fold(kept0)(d =>
+      kept0.join(d, Seq("ch"), "left_anti"))
     val rebuilt = kept.groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("int").as("n_kept"),
         array_join(
@@ -544,22 +556,153 @@ object Dedup {
     * run 8 because their synthetic docs are ~30-60 tokens), and treat
     * anything under ~20 as a test-only setting.
     */
-  def dedupChunksCDC(docs: DataFrame, divisor: Int = 50): DataFrame = {
+  def dedupChunksCDC(docs: DataFrame, divisor: Int = 50): DataFrame =
+    chunkDedupTail(cdcChunkBase(docs, divisor))
+
+  /** (doc_id, chunks) under the content-defined rule — the barrier'd
+    * base shared by [[dedupChunksCDC]] and the chunk-index surfaces.
+    * The boundary rule runs in the native one-pass kernel
+    * ([[graft.functions.CdcChunksExpr]]): the built-in formulation
+    * (filter/zip_with over sequence positions) evaluates the rolling
+    * hash inside codegen-fallback HOF lambdas, measured ~7x the fixed
+    * grid's cost at sf1; the kernel matches the engine-portable rule
+    * bit-for-bit (q88's DuckDB oracle + DedupSpec's engine-identical
+    * simulation prove it). Same consumer-fanout barrier rationale as
+    * [[gridChunkBase]]; coalesce: NULL text → NULL tokens → the
+    * null-intolerant kernel returns NULL, but the contract (and the q88
+    * oracle) is 0 chunks.
+    */
+  private def cdcChunkBase(docs: DataFrame, divisor: Int): DataFrame = {
     require(divisor > 1, s"divisor must be > 1, got $divisor")
-    // the boundary rule runs in the native one-pass kernel
-    // ([[graft.functions.CdcChunksExpr]]): the built-in formulation
-    // (filter/zip_with over sequence positions) evaluates the rolling
-    // hash inside codegen-fallback HOF lambdas, measured ~7x the fixed
-    // grid's cost at sf1; the kernel matches the engine-portable rule
-    // bit-for-bit (q88's DuckDB oracle + DedupSpec's engine-identical
-    // simulation prove it)
-    // same consumer-fanout barrier rationale as [[dedupChunks]];
-    // coalesce: NULL text → NULL tokens → the null-intolerant kernel
-    // returns NULL, but the contract (and the q88 oracle) is 0 chunks
-    val base = Barriers.barrier(tokenArrays(docs).select(col("doc_id"),
+    Barriers.barrier(tokenArrays(docs).select(col("doc_id"),
       coalesce(native.cdc_chunks(col("tokens"), divisor),
         typedLit(Array.empty[String])).as("chunks")))
-    chunkDedupTail(base)
+  }
+
+  private def chunkBaseFor(docs: DataFrame, rule: String,
+      granularity: Int): DataFrame = rule match {
+    case "grid" => gridChunkBase(docs, granularity)
+    case "cdc" => cdcChunkBase(docs, granularity)
+    case other => throw new IllegalArgumentException(
+      s"unknown chunk rule '$other' (expected 'grid' or 'cdc')")
+  }
+
+  // -------------------------- persisted chunk index (incremental substring)
+
+  /** Materialize the corpus' DISTINCT chunk hashes under `dir` for
+    * INCREMENTAL substring dedup — the [[writeMinhashIndex]] pattern for
+    * the chunk granularity: index the corpus once, then
+    * [[dedupChunksAgainstIndex]] drops any new-batch chunk already
+    * present and `mode = "append"` folds the processed batch in, so the
+    * weekly refresh never re-chunks the standing corpus. Layout:
+    *
+    *   - `chunks/`: distinct chunk md5s, parquet PARTITIONED BY
+    *     `bucket = pmod(xxhash64(ch), chunkBuckets)` — a batch probes
+    *     with its own chunk buckets, partition-pruning the scan.
+    *   - `params/`: ONE row (rule, granularity, buckets) read back by
+    *     probes — chunk sets under different rules/granularities are
+    *     incomparable. Same delete-first/write-last crash discipline as
+    *     [[writeMinhashIndex]].
+    *
+    * Appended batches may re-write hashes the index already holds —
+    * harmless (the probe is a semi-join; duplicates change nothing) and
+    * far cheaper than a global re-distinct per append.
+    *
+    * The grid flavor; [[writeChunkIndexCDC]] indexes under the
+    * offset-robust content-defined rule.
+    */
+  def writeChunkIndex(docs: DataFrame, dir: String, chunkTokens: Int = 50,
+      chunkBuckets: Int = 256, mode: String = "overwrite"): Unit =
+    writeChunkIndexWith(docs, dir, "grid", chunkTokens, chunkBuckets, mode)
+
+  /** [[writeChunkIndex]] under the content-defined chunking rule
+    * ([[dedupChunksCDC]]'s boundary function at `divisor`). */
+  def writeChunkIndexCDC(docs: DataFrame, dir: String, divisor: Int = 50,
+      chunkBuckets: Int = 256, mode: String = "overwrite"): Unit =
+    writeChunkIndexWith(docs, dir, "cdc", divisor, chunkBuckets, mode)
+
+  private def writeChunkIndexWith(docs: DataFrame, dir: String,
+      rule: String, granularity: Int, chunkBuckets: Int,
+      mode: String): Unit = {
+    require(mode == "overwrite" || mode == "append",
+      s"mode must be 'overwrite' or 'append', got '$mode'")
+    require(chunkBuckets > 0,
+      s"chunkBuckets must be > 0, got $chunkBuckets")
+    val spark = docs.sparkSession
+    if (mode == "append") {
+      val p = readChunkIndexParams(spark, dir)
+      val asked = (rule, granularity, chunkBuckets)
+      require(p == asked,
+        s"append with params $asked onto an index written with $p")
+    } else {
+      // invalidate an existing index before overwriting its data — see
+      // [[writeMinhashIndex]]: stale params must never vouch for new data
+      val paramsPath = new org.apache.hadoop.fs.Path(s"$dir/params")
+      val fs = paramsPath.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(paramsPath)) fs.delete(paramsPath, true)
+    }
+    chunkBaseFor(docs, rule, granularity)
+      .select(explode(col("chunks")).as("chunk"))
+      .select(md5(col("chunk")).as("ch"))
+      .distinct()
+      // INT bucket, matching the inferred partition type — see
+      // [[writeMinhashIndex]]'s bucket comment
+      .withColumn("bucket",
+        pmod(xxhash64(col("ch")), lit(chunkBuckets.toLong)).cast("int"))
+      .write.mode(mode).partitionBy("bucket").parquet(s"$dir/chunks")
+    if (mode == "overwrite")
+      spark.range(1).select(
+        lit(rule).as("rule"),
+        lit(granularity).as("granularity"),
+        lit(chunkBuckets).as("chunk_buckets"))
+        .write.mode("overwrite").parquet(s"$dir/params")
+  }
+
+  private def readChunkIndexParams(spark: SparkSession,
+      dir: String): (String, Int, Int) = {
+    val r = spark.read.parquet(s"$dir/params").head()
+    (r.getAs[String]("rule"), r.getAs[Int]("granularity"),
+      r.getAs[Int]("chunk_buckets"))
+  }
+
+  /** Incremental chunk-level substring dedup of a NEW batch against a
+    * [[writeChunkIndex]] corpus: the batch is chunked under the INDEX's
+    * own stored rule and granularity, a chunk survives iff it is the
+    * batch's own first occurrence AND absent from the index, and each
+    * document reassembles from its survivors — same output contract as
+    * [[dedupChunks]]/[[dedupChunksCDC]].
+    *
+    * EQUALITY contract (DedupSpec-proven, q95/q96 oracle-checked): when
+    * batch doc ids exceed every indexed id (the append-only weekly
+    * regime — ids grow monotonically), this equals the FULL-corpus chunk
+    * dedup restricted to the batch's rows, because the full run's
+    * first-occurrence (min (doc_id, idx)) always lands on the indexed
+    * side whenever the chunk exists there.
+    *
+    * Scale: the batch's chunks are one map-side pass; the index is
+    * touched ONLY by a semi-join keyed on (bucket, ch), so the `chunks/`
+    * scan partition-prunes to the batch's buckets and the matched-hash
+    * set that flows out is bounded by the batch's own distinct chunks —
+    * never the index size. The final anti-join is batch-vs-that-set.
+    */
+  def dedupChunksAgainstIndex(spark: SparkSession,
+      newDocs: DataFrame, dir: String): DataFrame = {
+    val (rule, granularity, buckets) = readChunkIndexParams(spark, dir)
+    val base = chunkBaseFor(newDocs, rule, granularity)
+    val probe = base.select(explode(col("chunks")).as("chunk"))
+      .select(md5(col("chunk")).as("ch"))
+      .distinct()
+      .withColumn("bucket",
+        pmod(xxhash64(col("ch")), lit(buckets.toLong)).cast("int"))
+      // vacuously-true comparison (md5 is always 32 chars) marking the
+      // probe side likely-selective so dynamic partition pruning fires —
+      // the [[minhashCandidatesAgainstIndex]] predicate trick
+      .where(length(col("ch")) > 0)
+    val hits = spark.read.parquet(s"$dir/chunks")
+      .join(broadcast(probe), Seq("bucket", "ch"), "left_semi")
+      .select(col("ch"))
+    chunkDedupTail(base, Some(hits))
   }
 
   // -------------------------------------------------------------- SimHash

@@ -192,6 +192,60 @@ class DedupSpec extends SparkSuite {
     assert(viaIndex.nonEmpty)
   }
 
+  test("incremental chunk dedup against a persisted chunk index equals " +
+      "the full-corpus run restricted to the batch (both rules; append " +
+      "folds in; params mismatch loud)") {
+    // passages shared across the index/batch boundary, within the batch,
+    // and fresh — under MONOTONE ids (batch ids > indexed ids)
+    val passage = "alpha beta gamma delta epsilon zeta eta theta"
+    val b1 = Seq(
+      (0L, s"$passage one two three four five six seven eight"),
+      (1L, "completely unrelated indexed content about spark engines " +
+        "and distributed query planning at scale"))
+      .toDF("doc_id", "text")
+    val b2 = Seq(
+      (10L, s"$passage nine ten eleven twelve thirteen fourteen"),
+      (11L, s"fresh words only here nothing shared $passage"),
+      (12L, "entirely novel batch document with no overlap whatsoever " +
+        "to anything indexed before today"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"n_chunks", $"n_kept", $"text")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+          r.getString(3))).toSet
+    // grid rule
+    val dirG = java.nio.file.Files.createTempDirectory("chidx").toString
+    Dedup.writeChunkIndex(b1, dirG, chunkTokens = 4)
+    val incG = rows(Dedup.dedupChunksAgainstIndex(spark, b2, dirG))
+    val fullG = rows(Dedup.dedupChunks(b1.unionByName(b2), 4)
+      .where($"doc_id" >= 10))
+    assert(incG === fullG)
+    // something actually deduped AND something survived (non-vacuous)
+    assert(incG.exists(r => r._3 < r._2))
+    assert(incG.exists(r => r._3 > 0))
+    // cdc rule
+    val dirC = java.nio.file.Files.createTempDirectory("chidxc").toString
+    Dedup.writeChunkIndexCDC(b1, dirC, divisor = 3)
+    val incC = rows(Dedup.dedupChunksAgainstIndex(spark, b2, dirC))
+    val fullC = rows(Dedup.dedupChunksCDC(b1.unionByName(b2), 3)
+      .where($"doc_id" >= 10))
+    assert(incC === fullC)
+    // append folds the processed batch in: a later batch duplicating
+    // batch-2 content dedups against it
+    Dedup.writeChunkIndex(b2, dirG, chunkTokens = 4, mode = "append")
+    val b3 = Seq((20L, s"fresh words only here nothing shared $passage"))
+      .toDF("doc_id", "text")
+    val incG3 = rows(Dedup.dedupChunksAgainstIndex(spark, b3, dirG))
+    assert(incG3.forall(_._3 === 0)) // every chunk seen in b1 ∪ b2
+    intercept[IllegalArgumentException] {
+      Dedup.writeChunkIndex(b3, dirG, chunkTokens = 7, mode = "append")
+    }
+    // a CDC-rule probe cannot run against a grid index silently
+    intercept[IllegalArgumentException] {
+      Dedup.writeChunkIndexCDC(b3, dirG, divisor = 4, mode = "append")
+    }
+  }
+
   test("contamination screen counts shingle overlap with the benchmark, " +
       "map-only over the corpus") {
     // benchmark = doc 0's text; doc 1 (exact dup) fully contaminated,

@@ -664,6 +664,23 @@ object SparkEntry {
           md5(col("text")).as("dedup_md5"))
         .orderBy(col("doc_id").asc)
     }),
+    // incremental image/signature near-dup against a persisted Hamming
+    // index (the third written-index family): rows-only — the q34
+    // contract (signature pigeonhole buckets are engine-specific); the
+    // incremental ≡ full-run equality is DedupSpec-proven, the pruned
+    // scan PlanSpec-pinned. Radius 3 = q34's simhash setting so the
+    // fake-payload FNV signatures pair only on exact byte duplicates
+    // plus genuinely close simhashes.
+    "q97_index_hamming_neardup" -> ((s, dir) => {
+      val sigs = Dedup.simhash(t(s, dir, "documents"))
+      val idx = ivfIndexDir(dir, "hm97")
+      Dedup.writeHammingIndex(
+        sigs.where(pmod(col("doc_id"), lit(2)) === 0), idx,
+        maxHamming = 3)
+      Dedup.hammingCandidatesAgainstIndex(s,
+          sigs.where(pmod(col("doc_id"), lit(2)) === 1), idx)
+        .orderBy(col("id_a").asc, col("id_b").asc)
+    }),
     "q31_dedup_exact_rows" -> ((s, dir) =>
       Dedup.exactDedup(t(s, dir, "documents"))
         .select(col("doc_id"), col("lang"), col("n_chars"))

@@ -743,21 +743,9 @@ object Dedup {
   def hammingCandidates(sigsIn: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 64), got $maxHamming")
-    val pieces = maxHamming + 1
-    // chunk widths differ by at most one bit and cover all 64 exactly
-    val widths = Array.tabulate(pieces)(i =>
-      64 / pieces + (if (i < 64 % pieces) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _).init
-    val sigs = sigsIn.toDF("doc_id", "simhash")
-    val quarters = sigs.select(col("doc_id"), col("simhash"),
-      explode(array((0 until pieces).map { q =>
-        val mask = if (widths(q) == 64) -1L else (1L << widths(q)) - 1L
-        struct(lit(q).as("q"),
-          shiftright(col("simhash"), offsets(q)).bitwiseAND(lit(mask))
-            .as("qh"))
-      }: _*)).as("quarter"))
-      .select(col("doc_id"), col("simhash"),
-        col("quarter.q"), col("quarter.qh"))
+    // piece widths differ by at most one bit and cover all 64 exactly —
+    // derivation shared with the written index ([[signaturePieces]])
+    val quarters = signaturePieces(sigsIn, maxHamming)
     val a = quarters.as("a")
     val b = quarters.as("b")
     a.join(b, col("a.q") === col("b.q") && col("a.qh") === col("b.qh") &&
@@ -767,6 +755,131 @@ object Dedup {
           .as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
+  }
+
+  // ------------------------- persisted Hamming index (64-bit signatures)
+
+  /** Materialize a 64-bit-signature table (simhash, image dHash, ...) as
+    * an on-disk Hamming near-dup index under `dir` — the third
+    * written-index family next to [[writeMinhashIndex]] (text bands) and
+    * [[writeChunkIndex]] (substring hashes). Layout:
+    *
+    *   - `pieces/`: the signature exploded into its `maxHamming + 1`
+    *     pigeonhole pieces (id, q, qh, signature), parquet PARTITIONED BY
+    *     `bucket = pmod(qh, pieceBuckets)` — a new batch probes with its
+    *     own piece buckets, partition-pruning the scan; the carried full
+    *     signature lets the probe apply the exact `bit_count` filter
+    *     without a second lookup.
+    *   - `params/`: ONE row (max_hamming, piece_buckets), the
+    *     delete-first/write-last crash discipline of the sibling indexes.
+    *
+    * The pigeonhole guarantee is baked in at write time: pieces cover
+    * radius ≤ `maxHamming`, so probes may filter to any SMALLER radius
+    * but can never exceed it ([[hammingCandidatesAgainstIndex]] enforces
+    * this loudly). `mode = "append"` folds a processed batch in.
+    */
+  def writeHammingIndex(sigsIn: DataFrame, dir: String,
+      maxHamming: Int = 10, pieceBuckets: Int = 256,
+      mode: String = "overwrite"): Unit = {
+    require(mode == "overwrite" || mode == "append",
+      s"mode must be 'overwrite' or 'append', got '$mode'")
+    require(pieceBuckets > 0,
+      s"pieceBuckets must be > 0, got $pieceBuckets")
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64), got $maxHamming")
+    val spark = sigsIn.sparkSession
+    if (mode == "append") {
+      val p = readHammingIndexParams(spark, dir)
+      val asked = (maxHamming, pieceBuckets)
+      require(p == asked,
+        s"append with params $asked onto an index written with $p")
+    } else {
+      val paramsPath = new org.apache.hadoop.fs.Path(s"$dir/params")
+      val fs = paramsPath.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(paramsPath)) fs.delete(paramsPath, true)
+    }
+    signaturePieces(sigsIn, maxHamming)
+      .withColumn("bucket",
+        pmod(col("qh"), lit(pieceBuckets.toLong)).cast("int"))
+      .write.mode(mode).partitionBy("bucket").parquet(s"$dir/pieces")
+    if (mode == "overwrite")
+      spark.range(1).select(
+        lit(maxHamming).as("max_hamming"),
+        lit(pieceBuckets).as("piece_buckets"))
+        .write.mode("overwrite").parquet(s"$dir/params")
+  }
+
+  private def readHammingIndexParams(spark: SparkSession,
+      dir: String): (Int, Int) = {
+    val r = spark.read.parquet(s"$dir/params").head()
+    (r.getAs[Int]("max_hamming"), r.getAs[Int]("piece_buckets"))
+  }
+
+  /** The pigeonhole piece rows of a positional (id, signature) table at
+    * radius `maxHamming`: (doc_id, q, qh, simhash), one row per piece —
+    * the explode half of [[hammingCandidates]], shared with the written
+    * index so both derive identical pieces.
+    */
+  private def signaturePieces(sigsIn: DataFrame,
+      maxHamming: Int): DataFrame = {
+    val pieces = maxHamming + 1
+    val widths = Array.tabulate(pieces)(i =>
+      64 / pieces + (if (i < 64 % pieces) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _).init
+    sigsIn.toDF("doc_id", "simhash")
+      .select(col("doc_id"), col("simhash"),
+        explode(array((0 until pieces).map { q =>
+          val mask = if (widths(q) == 64) -1L else (1L << widths(q)) - 1L
+          struct(lit(q).as("q"),
+            shiftright(col("simhash"), offsets(q)).bitwiseAND(lit(mask))
+              .as("qh"))
+        }: _*)).as("piece"))
+      .select(col("doc_id"), col("simhash"),
+        col("piece.q"), col("piece.qh"))
+  }
+
+  /** Cross near-dup pairs between a NEW batch of 64-bit signatures and a
+    * [[writeHammingIndex]] corpus: the batch's pieces (computed at the
+    * INDEX's stored radius) equi-join `pieces/` on (bucket, q, qh), with
+    * the exact `bit_count` filter at `maxHamming` — which may be
+    * SMALLER than the indexed radius (pieces still cover it) but never
+    * larger (the pigeonhole guarantee would silently break, so that is
+    * rejected loudly). Output (id_a, id_b, hamming), cross pairs only —
+    * within-batch pairs are [[hammingCandidates]]' job, and incremental
+    * ∪ within-batch equals the full run restricted to batch-touching
+    * pairs pair-by-pair (piece collision is a pure function of the two
+    * signatures; DedupSpec proves the equality).
+    *
+    * Scale: batch pieces are map-only; the broadcast probe keys on the
+    * partition column so the `pieces/` scan partition-prunes to the
+    * batch's buckets (PlanSpec-pinned).
+    */
+  def hammingCandidatesAgainstIndex(spark: SparkSession,
+      newSigs: DataFrame, dir: String, maxHamming: Int = -1): DataFrame = {
+    val (indexed, buckets) = readHammingIndexParams(spark, dir)
+    val radius = if (maxHamming < 0) indexed else maxHamming
+    require(radius <= indexed,
+      s"probe radius $radius exceeds the index's pigeonhole radius " +
+        s"$indexed — pairs beyond it would be silently missed; " +
+        "re-index at the larger radius instead")
+    val newPieces = signaturePieces(newSigs, indexed)
+      .withColumn("bucket",
+        pmod(col("qh"), lit(buckets.toLong)).cast("int"))
+      .withColumnRenamed("doc_id", "new_id")
+      .withColumnRenamed("simhash", "new_sig")
+      // vacuously-true comparison marking the probe likely-selective so
+      // dynamic partition pruning fires (the minhash-probe trick)
+      .where(col("q") >= 0)
+    spark.read.parquet(s"$dir/pieces")
+      .join(broadcast(newPieces), Seq("bucket", "q", "qh"))
+      .where(col("doc_id") =!= col("new_id"))
+      .select(least(col("doc_id"), col("new_id")).as("id_a"),
+        greatest(col("doc_id"), col("new_id")).as("id_b"),
+        bit_count(col("simhash").bitwiseXOR(col("new_sig")))
+          .as("hamming"))
+      .distinct()
+      .where(col("hamming") <= radius)
   }
 
   /** Connected components over near-dup pairs → (doc_id, canonical_id)

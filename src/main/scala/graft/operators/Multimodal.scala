@@ -377,6 +377,26 @@ object Multimodal {
   def imageNearDup(media: DataFrame, maxHamming: Int = 10): DataFrame =
     Dedup.hammingCandidates(imageSignatures(media), maxHamming)
 
+  /** Persist the media corpus' dHash signatures as an on-disk Hamming
+    * index ([[Dedup.writeHammingIndex]]) — the incremental image-dedup
+    * layout: each NEW media batch probes the standing index
+    * ([[imageNearDupAgainstIndex]]) instead of re-decoding and re-hashing
+    * the whole corpus, and `mode = "append"` folds the batch in.
+    */
+  def writeImageIndex(media: DataFrame, dir: String, maxHamming: Int = 10,
+      pieceBuckets: Int = 256, mode: String = "overwrite"): Unit =
+    Dedup.writeHammingIndex(imageSignatures(media), dir, maxHamming,
+      pieceBuckets, mode)
+
+  /** Cross image near-dup pairs between a new media batch and a
+    * [[writeImageIndex]] corpus — decode + dHash only the BATCH, probe
+    * the written pieces ([[Dedup.hammingCandidatesAgainstIndex]]).
+    */
+  def imageNearDupAgainstIndex(spark: SparkSession, newMedia: DataFrame,
+      dir: String, maxHamming: Int = -1): DataFrame =
+    Dedup.hammingCandidatesAgainstIndex(spark,
+      imageSignatures(newMedia), dir, maxHamming)
+
   /** Frame sampling: every `stride`-th frame index per media, exploded —
     * the row-multiplying shape a video pipeline needs, done with
     * codegen'd `sequence`+`explode`, no UDF.

@@ -246,6 +246,43 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("incremental Hamming candidates against a persisted signature " +
+      "index equal the full run restricted to batch-touching pairs; " +
+      "radius above the index's is rejected") {
+    val b1 = docs.where($"doc_id" <= 2)
+    val b2 = docs.where($"doc_id" >= 3)
+    val dir = java.nio.file.Files.createTempDirectory("hmidx").toString
+    Dedup.writeHammingIndex(Dedup.simhash(b1), dir, maxHamming = 8)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val incCross = pairSet(Dedup.hammingCandidatesAgainstIndex(spark,
+      Dedup.simhash(b2), dir, maxHamming = 8))
+    val incWithin = pairSet(
+      Dedup.hammingCandidates(Dedup.simhash(b2), maxHamming = 8))
+    val full = pairSet(
+      Dedup.hammingCandidates(Dedup.simhash(docs), maxHamming = 8))
+    val b2Ids = Set(3L, 4L, 5L)
+    val fullTouching = full.filter(p => b2Ids(p._1) || b2Ids(p._2))
+    assert((incCross ++ incWithin) === fullTouching)
+    assert(incCross.nonEmpty) // 0~4 are normalized dups across the split
+    // a smaller probe radius is a filter; a larger one is a loud error
+    assert(pairSet(Dedup.hammingCandidatesAgainstIndex(spark,
+      Dedup.simhash(b2), dir, maxHamming = 3))
+      .subsetOf(incCross))
+    intercept[IllegalArgumentException] {
+      Dedup.hammingCandidatesAgainstIndex(spark, Dedup.simhash(b2), dir,
+        maxHamming = 20)
+    }
+    // append folds the batch in; params mismatch rejected
+    Dedup.writeHammingIndex(Dedup.simhash(b2), dir, maxHamming = 8,
+      mode = "append")
+    intercept[IllegalArgumentException] {
+      Dedup.writeHammingIndex(Dedup.simhash(b2), dir, maxHamming = 3,
+        mode = "append")
+    }
+  }
+
   test("contamination screen counts shingle overlap with the benchmark, " +
       "map-only over the corpus") {
     // benchmark = doc 0's text; doc 1 (exact dup) fully contaminated,

@@ -132,6 +132,28 @@ class ImageDedupSpec extends SparkSuite {
     assert(fp === Set((10L, 11L)))
   }
 
+  test("incremental image near-dup against a written dHash index finds " +
+      "a re-encoded duplicate of an INDEXED image without re-hashing " +
+      "the corpus") {
+    val reencoded = {
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(original))
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val different = png(64, 48)((x, y) => scene(63 - x, y, 64, 48))
+    val standing = Seq((1L, original), (2L, different))
+      .toDF("media_id", "payload")
+    val batch = Seq((10L, reencoded),
+      (11L, "not an image at all".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val dir = java.nio.file.Files.createTempDirectory("imgidx").toString
+    Multimodal.writeImageIndex(standing, dir, maxHamming = 10)
+    val pairs = Multimodal.imageNearDupAgainstIndex(spark, batch, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 10L))) // the duplicate, nothing else
+  }
+
   test("dHash is deterministic and sensitive to content, not encoding") {
     val a = ImageCodec.dhash64(
       ImageIO.read(new java.io.ByteArrayInputStream(original)))

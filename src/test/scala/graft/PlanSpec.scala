@@ -143,6 +143,20 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("dynamicpruning"), p.take(3000))
   }
 
+  test("Hamming signature index probe scan is dynamically " +
+      "partition-pruned to the batch's piece buckets") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .where(col("doc_id") < 200)
+    val dir = java.nio.file.Files.createTempDirectory("hmplan").toString
+    graft.operators.Dedup.writeHammingIndex(
+      graft.operators.Dedup.simhash(docs), dir, maxHamming = 3)
+    val batch = spark.range(1).select(lit(100000L).as("doc_id"),
+      lit("a brand new incremental document about fresh topics").as("text"))
+    val p = plan(graft.operators.Dedup.hammingCandidatesAgainstIndex(
+      spark, graft.operators.Dedup.simhash(batch), dir))
+    assert(p.contains("dynamicpruning"), p.take(3000))
+  }
+
   test("IVF cell assignment is a pure projection (no join, no exchange)") {
     val emb = spark.read.parquet(sf() + "/embeddings.parquet")
     val cents = graft.operators.Similarity.ivfCentroids(emb, nlist = 4)

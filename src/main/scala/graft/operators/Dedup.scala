@@ -472,11 +472,12 @@ object Dedup {
     * run once per consumer; the cheap explode+md5 on top of the
     * materialized chunks is what gets recomputed instead.
     */
-  private def gridChunkBase(docs: DataFrame, chunkTokens: Int): DataFrame = {
+  private def gridChunkBase(docs: DataFrame, chunkTokens: Int,
+      withBarrier: Boolean = true): DataFrame = {
     require(chunkTokens > 0, s"chunkTokens must be > 0, got $chunkTokens")
     val nChunks = ceil(size(col("tokens")).cast("double") / chunkTokens)
       .cast("int")
-    Barriers.barrier(tokenArrays(docs).select(col("doc_id"),
+    maybeBarrier(withBarrier)(tokenArrays(docs).select(col("doc_id"),
       // sequence(0, -1) would step DOWN; zero-token docs get no chunks
       when(size(col("tokens")) > 0,
         transform(sequence(lit(0), nChunks - 1),
@@ -572,20 +573,29 @@ object Dedup {
     * null-intolerant kernel returns NULL, but the contract (and the q88
     * oracle) is 0 chunks.
     */
-  private def cdcChunkBase(docs: DataFrame, divisor: Int): DataFrame = {
+  private def cdcChunkBase(docs: DataFrame, divisor: Int,
+      withBarrier: Boolean = true): DataFrame = {
     require(divisor > 1, s"divisor must be > 1, got $divisor")
-    Barriers.barrier(tokenArrays(docs).select(col("doc_id"),
+    maybeBarrier(withBarrier)(tokenArrays(docs).select(col("doc_id"),
       coalesce(native.cdc_chunks(col("tokens"), divisor),
         typedLit(Array.empty[String])).as("chunks")))
   }
 
   private def chunkBaseFor(docs: DataFrame, rule: String,
-      granularity: Int): DataFrame = rule match {
-    case "grid" => gridChunkBase(docs, granularity)
-    case "cdc" => cdcChunkBase(docs, granularity)
-    case other => throw new IllegalArgumentException(
-      s"unknown chunk rule '$other' (expected 'grid' or 'cdc')")
-  }
+      granularity: Int, withBarrier: Boolean = true): DataFrame =
+    rule match {
+      case "grid" => gridChunkBase(docs, granularity, withBarrier)
+      case "cdc" => cdcChunkBase(docs, granularity, withBarrier)
+      case other => throw new IllegalArgumentException(
+        s"unknown chunk rule '$other' (expected 'grid' or 'cdc')")
+    }
+
+  /** The chunk bases' barrier, made skippable for single-consumer
+    * pipelines (the index write): the barrier amortizes multi-consumer
+    * fanout and is pure overhead — an eager corpus-wide
+    * materialization — when the plan is consumed exactly once. */
+  private def maybeBarrier(on: Boolean)(df: DataFrame): DataFrame =
+    if (on) Barriers.barrier(df) else df
 
   // -------------------------- persisted chunk index (incremental substring)
 
@@ -599,10 +609,12 @@ object Dedup {
     *   - `chunks/`: distinct chunk md5s, parquet PARTITIONED BY
     *     `bucket = pmod(xxhash64(ch), chunkBuckets)` — a batch probes
     *     with its own chunk buckets, partition-pruning the scan.
-    *   - `params/`: ONE row (rule, granularity, buckets) read back by
-    *     probes — chunk sets under different rules/granularities are
-    *     incomparable. Same delete-first/write-last crash discipline as
-    *     [[writeMinhashIndex]].
+    *   - `params/`: ONE row (rule, granularity, buckets, max_doc_id)
+    *     read back by probes — chunk sets under different
+    *     rules/granularities are incomparable, and max_doc_id is the
+    *     monotone-id watermark [[dedupChunksAgainstIndex]] enforces
+    *     (refreshed on every append). Same delete-first/write-last
+    *     crash discipline as [[writeMinhashIndex]].
     *
     * Appended batches may re-write hashes the index already holds —
     * harmless (the probe is a semi-join; duplicates change nothing) and
@@ -624,46 +636,55 @@ object Dedup {
   private def writeChunkIndexWith(docs: DataFrame, dir: String,
       rule: String, granularity: Int, chunkBuckets: Int,
       mode: String): Unit = {
-    require(mode == "overwrite" || mode == "append",
-      s"mode must be 'overwrite' or 'append', got '$mode'")
     require(chunkBuckets > 0,
       s"chunkBuckets must be > 0, got $chunkBuckets")
     val spark = docs.sparkSession
-    if (mode == "append") {
-      val p = readChunkIndexParams(spark, dir)
-      val asked = (rule, granularity, chunkBuckets)
-      require(p == asked,
-        s"append with params $asked onto an index written with $p")
-    } else {
-      // invalidate an existing index before overwriting its data — see
-      // [[writeMinhashIndex]]: stale params must never vouch for new data
-      val paramsPath = new org.apache.hadoop.fs.Path(s"$dir/params")
-      val fs = paramsPath.getFileSystem(
-        spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(paramsPath)) fs.delete(paramsPath, true)
+    val asked = (rule, granularity, chunkBuckets)
+    // the monotone-id watermark ([[dedupChunksAgainstIndex]]'s equality
+    // precondition, enforced there): highest id this index has seen —
+    // refreshed on every append, so the params rewrite is the one
+    // data-dependent field of the three families. An empty input keeps
+    // the previous watermark (MinValue on a fresh index: any batch id
+    // clears it).
+    val batchMax = docs.agg(max(col("doc_id"))).head() match {
+      case r if r.isNullAt(0) => Long.MinValue
+      case r => r.getLong(0)
     }
-    chunkBaseFor(docs, rule, granularity)
-      .select(explode(col("chunks")).as("chunk"))
-      .select(md5(col("chunk")).as("ch"))
-      .distinct()
-      // INT bucket, matching the inferred partition type — see
-      // [[writeMinhashIndex]]'s bucket comment
-      .withColumn("bucket",
-        pmod(xxhash64(col("ch")), lit(chunkBuckets.toLong)).cast("int"))
-      .write.mode(mode).partitionBy("bucket").parquet(s"$dir/chunks")
-    if (mode == "overwrite")
+    var prevMax = Long.MinValue
+    writeIndexScaffold(spark, dir, mode) {
+      val p = readChunkIndexParams(spark, dir)
+      require((p._1, p._2, p._3) == asked,
+        s"append with params $asked onto an index written with " +
+          s"(${p._1}, ${p._2}, ${p._3})")
+      prevMax = p._4
+    } {
+      // no lineage barrier on the base: the index write is the ONE
+      // single-consumer path through the chunkers, and the barrier's
+      // eager corpus-wide materialization would be pure overhead on the
+      // largest input these operators ever see (the standing corpus)
+      chunkBaseFor(docs, rule, granularity, withBarrier = false)
+        .select(explode(col("chunks")).as("chunk"))
+        .select(md5(col("chunk")).as("ch"))
+        .distinct()
+        // INT bucket, matching the inferred partition type — see
+        // [[writeMinhashIndex]]'s bucket comment
+        .withColumn("bucket",
+          pmod(xxhash64(col("ch")), lit(chunkBuckets.toLong)).cast("int"))
+        .write.mode(mode).partitionBy("bucket").parquet(s"$dir/chunks")
+    } {
       spark.range(1).select(
         lit(rule).as("rule"),
         lit(granularity).as("granularity"),
-        lit(chunkBuckets).as("chunk_buckets"))
-        .write.mode("overwrite").parquet(s"$dir/params")
+        lit(chunkBuckets).as("chunk_buckets"),
+        lit(math.max(prevMax, batchMax)).as("max_doc_id"))
+    }
   }
 
   private def readChunkIndexParams(spark: SparkSession,
-      dir: String): (String, Int, Int) = {
+      dir: String): (String, Int, Int, Long) = {
     val r = spark.read.parquet(s"$dir/params").head()
     (r.getAs[String]("rule"), r.getAs[Int]("granularity"),
-      r.getAs[Int]("chunk_buckets"))
+      r.getAs[Int]("chunk_buckets"), r.getAs[Long]("max_doc_id"))
   }
 
   /** Incremental chunk-level substring dedup of a NEW batch against a
@@ -678,19 +699,37 @@ object Dedup {
     * regime — ids grow monotonically), this equals the FULL-corpus chunk
     * dedup restricted to the batch's rows, because the full run's
     * first-occurrence (min (doc_id, idx)) always lands on the indexed
-    * side whenever the chunk exists there.
+    * side whenever the chunk exists there. The precondition is ENFORCED,
+    * not trusted: the index stores a max_doc_id watermark and a batch at
+    * or below it is rejected loudly instead of silently mis-deduped.
     *
     * Scale: the batch's chunks are one map-side pass; the index is
     * touched ONLY by a semi-join keyed on (bucket, ch), so the `chunks/`
     * scan partition-prunes to the batch's buckets and the matched-hash
-    * set that flows out is bounded by the batch's own distinct chunks —
-    * never the index size. The final anti-join is batch-vs-that-set.
+    * set that flows out is distinct-collapsed to at most the batch's
+    * own distinct chunks — never the index size, and append-mode
+    * duplicate hash rows cannot inflate it. The final anti-join is
+    * batch-vs-that-set.
     */
   def dedupChunksAgainstIndex(spark: SparkSession,
-      newDocs: DataFrame, dir: String): DataFrame = {
-    val (rule, granularity, buckets) = readChunkIndexParams(spark, dir)
+      newDocs: DataFrame, dir: String,
+      broadcastProbe: Boolean = true): DataFrame = {
+    val (rule, granularity, buckets, maxId) =
+      readChunkIndexParams(spark, dir)
+    // the equality contract's precondition, enforced instead of trusted:
+    // a batch id at or below the index's watermark would make the full
+    // run's first-occurrence land on the BATCH side for shared chunks,
+    // silently diverging from the index-always-wins incremental rule
+    val batchMin = newDocs.agg(min(col("doc_id"))).head() match {
+      case r if r.isNullAt(0) => Long.MaxValue
+      case r => r.getLong(0)
+    }
+    require(batchMin > maxId,
+      s"batch min doc_id $batchMin is not above the index's max_doc_id " +
+        s"$maxId — the incremental ≡ full-run equality needs monotone " +
+        "ids (index the lower-id batch first, or renumber)")
     val base = chunkBaseFor(newDocs, rule, granularity)
-    val probe = base.select(explode(col("chunks")).as("chunk"))
+    val probe0 = base.select(explode(col("chunks")).as("chunk"))
       .select(md5(col("chunk")).as("ch"))
       .distinct()
       .withColumn("bucket",
@@ -699,9 +738,18 @@ object Dedup {
       // probe side likely-selective so dynamic partition pruning fires —
       // the [[minhashCandidatesAgainstIndex]] predicate trick
       .where(length(col("ch")) > 0)
-    val hits = spark.read.parquet(s"$dir/chunks")
-      .join(broadcast(probe), Seq("bucket", "ch"), "left_semi")
-      .select(col("ch"))
+    // broadcastProbe = false for a batch too large to broadcast: the
+    // semi-join degrades to a hash shuffle keyed on (bucket, ch) —
+    // still ∝ batch + matching index rows — at the cost of the pruned
+    // scan (the same trade as the minhash probe's flag)
+    val probe = if (broadcastProbe) broadcast(probe0) else probe0
+    // distinct: append mode may hold the same hash several times (its
+    // documented price), and without the collapse a boilerplate chunk
+    // present in N appended batches would put N rows per probe into the
+    // anti-join's build side
+    val hits = spark.read.schema(chunksSchema).parquet(s"$dir/chunks")
+      .join(probe, Seq("bucket", "ch"), "left_semi")
+      .select(col("ch")).distinct()
     chunkDedupTail(base, Some(hits))
   }
 
@@ -781,33 +829,26 @@ object Dedup {
   def writeHammingIndex(sigsIn: DataFrame, dir: String,
       maxHamming: Int = 10, pieceBuckets: Int = 256,
       mode: String = "overwrite"): Unit = {
-    require(mode == "overwrite" || mode == "append",
-      s"mode must be 'overwrite' or 'append', got '$mode'")
     require(pieceBuckets > 0,
       s"pieceBuckets must be > 0, got $pieceBuckets")
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 64), got $maxHamming")
     val spark = sigsIn.sparkSession
-    if (mode == "append") {
+    val asked = (maxHamming, pieceBuckets)
+    writeIndexScaffold(spark, dir, mode) {
       val p = readHammingIndexParams(spark, dir)
-      val asked = (maxHamming, pieceBuckets)
       require(p == asked,
         s"append with params $asked onto an index written with $p")
-    } else {
-      val paramsPath = new org.apache.hadoop.fs.Path(s"$dir/params")
-      val fs = paramsPath.getFileSystem(
-        spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(paramsPath)) fs.delete(paramsPath, true)
-    }
-    signaturePieces(sigsIn, maxHamming)
-      .withColumn("bucket",
-        pmod(col("qh"), lit(pieceBuckets.toLong)).cast("int"))
-      .write.mode(mode).partitionBy("bucket").parquet(s"$dir/pieces")
-    if (mode == "overwrite")
+    } {
+      signaturePieces(sigsIn, maxHamming)
+        .withColumn("bucket",
+          pmod(col("qh"), lit(pieceBuckets.toLong)).cast("int"))
+        .write.mode(mode).partitionBy("bucket").parquet(s"$dir/pieces")
+    } {
       spark.range(1).select(
         lit(maxHamming).as("max_hamming"),
         lit(pieceBuckets).as("piece_buckets"))
-        .write.mode("overwrite").parquet(s"$dir/params")
+    }
   }
 
   private def readHammingIndexParams(spark: SparkSession,
@@ -856,9 +897,15 @@ object Dedup {
     * batch's buckets (PlanSpec-pinned).
     */
   def hammingCandidatesAgainstIndex(spark: SparkSession,
-      newSigs: DataFrame, dir: String, maxHamming: Int = -1): DataFrame = {
+      newSigs: DataFrame, dir: String, maxHamming: Int = -1,
+      broadcastProbe: Boolean = true): DataFrame = {
+    // -1 is the only use-the-index's-radius sentinel; other negatives
+    // are caller bugs ([[hammingCandidates]] rejects them too)
+    require(maxHamming == -1 || (maxHamming >= 0 && maxHamming < 64),
+      s"maxHamming must be -1 (index radius) or in [0, 64), " +
+        s"got $maxHamming")
     val (indexed, buckets) = readHammingIndexParams(spark, dir)
-    val radius = if (maxHamming < 0) indexed else maxHamming
+    val radius = if (maxHamming == -1) indexed else maxHamming
     require(radius <= indexed,
       s"probe radius $radius exceeds the index's pigeonhole radius " +
         s"$indexed — pairs beyond it would be silently missed; " +
@@ -871,8 +918,12 @@ object Dedup {
       // vacuously-true comparison marking the probe likely-selective so
       // dynamic partition pruning fires (the minhash-probe trick)
       .where(col("q") >= 0)
-    spark.read.parquet(s"$dir/pieces")
-      .join(broadcast(newPieces), Seq("bucket", "q", "qh"))
+    // broadcastProbe = false for a batch too large to broadcast — the
+    // same shuffle degradation as the sibling probes
+    val probe =
+      if (broadcastProbe) broadcast(newPieces) else newPieces
+    spark.read.schema(piecesSchema).parquet(s"$dir/pieces")
+      .join(probe, Seq("bucket", "q", "qh"))
       .where(col("doc_id") =!= col("new_id"))
       .select(least(col("doc_id"), col("new_id")).as("id_a"),
         greatest(col("doc_id"), col("new_id")).as("id_b"),
@@ -1080,51 +1131,85 @@ object Dedup {
     * Doc ids must be globally unique across indexed and probed batches —
     * the contract every pair surface here already assumes.
     */
-  def writeMinhashIndex(docs: DataFrame, dir: String,
-      numShingleWords: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      bandBuckets: Int = 256, mode: String = "overwrite"): Unit = {
+  /** Shared write discipline for the three on-disk index families
+    * (minhash bands, chunk hashes, Hamming pieces): validate the mode,
+    * run the append-compatibility check, invalidate stale params FIRST
+    * on overwrite (an overwrite of an EXISTING index must never leave
+    * OLD params next to NEW data after a mid-write crash — probes would
+    * accept the mismatch instead of refusing), write the data, then
+    * write params LAST. Params are (re)written on append too: families
+    * whose params carry data-dependent fields (the chunk index's
+    * max_doc_id) refresh them; constant params rewrite identically,
+    * which is harmless — and an append crash before the rewrite leaves
+    * the OLD params, which are equal or strictly more conservative.
+    */
+  private def writeIndexScaffold(spark: SparkSession, dir: String,
+      mode: String)(checkAppend: => Unit)(writeData: => Unit)(
+      params: => DataFrame): Unit = {
     require(mode == "overwrite" || mode == "append",
       s"mode must be 'overwrite' or 'append', got '$mode'")
-    require(bandBuckets > 0, s"bandBuckets must be > 0, got $bandBuckets")
-    val spark = docs.sparkSession
-    if (mode == "append") {
-      val p = readMinhashIndexParams(spark, dir)
-      val asked = (numShingleWords, numHashes, bands, bandBuckets)
-      require(p == asked,
-        s"append with params $asked onto an index written with $p")
-    } else {
-      // an overwrite of an EXISTING index must first invalidate it:
-      // params-written-last only protects a fresh directory — a crash
-      // between the data overwrites and the params overwrite would
-      // otherwise leave the OLD params next to NEW data, and probes
-      // would accept the mismatch instead of refusing
+    if (mode == "append") checkAppend
+    else {
       val paramsPath = new org.apache.hadoop.fs.Path(s"$dir/params")
       val fs = paramsPath.getFileSystem(
         spark.sparkContext.hadoopConfiguration)
       if (fs.exists(paramsPath)) fs.delete(paramsPath, true)
     }
-    // shingles BEFORE bands: candidates come only from bands/, so a
-    // crash here leaves extra shingle rows nothing references (harmless)
-    // rather than band rows whose verify-side arrays are missing (the
-    // inner join would silently drop those pairs)
-    shingleHashArrays(docs, numShingleWords)
-      .write.mode(mode).parquet(s"$dir/shingles")
-    lshBands(docs, numShingleWords, numHashes, bands)
-      // INT bucket on both the written and the probe side: the partition
-      // directory value is inferred back as int, and a type mismatch
-      // would wrap the partition attribute in a cast at the probe join —
-      // which defeats dynamic partition pruning (the pruning rule keys
-      // on the bare partition column)
-      .withColumn("bucket",
-        pmod(col("band_hash"), lit(bandBuckets.toLong)).cast("int"))
-      .write.mode(mode).partitionBy("bucket").parquet(s"$dir/bands")
-    if (mode == "overwrite")
-      spark.range(1).select(
+    writeData
+    params.write.mode("overwrite").parquet(s"$dir/params")
+  }
+
+  // probe-side schemas declared explicitly: schema inference would die
+  // with an unrelated "unable to infer schema" error on an index built
+  // over an EMPTY corpus (partitionBy writes no part files), and costs
+  // a footer-listing pass per probe besides
+  import org.apache.spark.sql.types._
+  private val bandsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("band_id", IntegerType),
+    StructField("band_hash", LongType), StructField("bucket", IntegerType)))
+  private val shinglesSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("sh", ArrayType(LongType))))
+  private val chunksSchema = StructType(Seq(
+    StructField("ch", StringType), StructField("bucket", IntegerType)))
+  private val piecesSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("simhash", LongType),
+    StructField("q", IntegerType), StructField("qh", LongType),
+    StructField("bucket", IntegerType)))
+
+  def writeMinhashIndex(docs: DataFrame, dir: String,
+      numShingleWords: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      bandBuckets: Int = 256, mode: String = "overwrite"): Unit = {
+    require(bandBuckets > 0, s"bandBuckets must be > 0, got $bandBuckets")
+    val spark = docs.sparkSession
+    val asked = (numShingleWords, numHashes, bands, bandBuckets)
+    writeIndexScaffold(spark, dir, mode) {
+      val p = readMinhashIndexParams(spark, dir)
+      require(p == asked,
+        s"append with params $asked onto an index written with $p")
+    } {
+      // shingles BEFORE bands: candidates come only from bands/, so a
+      // crash here leaves extra shingle rows nothing references
+      // (harmless) rather than band rows whose verify-side arrays are
+      // missing (the inner join would silently drop those pairs)
+      shingleHashArrays(docs, numShingleWords)
+        .write.mode(mode).parquet(s"$dir/shingles")
+      lshBands(docs, numShingleWords, numHashes, bands)
+        // INT bucket on both the written and the probe side: the
+        // partition directory value is inferred back as int, and a type
+        // mismatch would wrap the partition attribute in a cast at the
+        // probe join — which defeats dynamic partition pruning (the
+        // pruning rule keys on the bare partition column)
+        .withColumn("bucket",
+          pmod(col("band_hash"), lit(bandBuckets.toLong)).cast("int"))
+        .write.mode(mode).partitionBy("bucket").parquet(s"$dir/bands")
+    } {
+      docs.sparkSession.range(1).select(
         lit(numShingleWords).as("num_shingle_words"),
         lit(numHashes).as("num_hashes"),
         lit(bands).as("bands"),
         lit(bandBuckets).as("band_buckets"))
-        .write.mode("overwrite").parquet(s"$dir/params")
+    }
   }
 
   private def readMinhashIndexParams(spark: SparkSession,
@@ -1175,7 +1260,7 @@ object Dedup {
     val probe =
       if (broadcastProbe) broadcast(newBands.where(col("band_id") >= 0))
       else newBands
-    spark.read.parquet(s"$dir/bands")
+    spark.read.schema(bandsSchema).parquet(s"$dir/bands")
       .join(probe, Seq("bucket", "band_id", "band_hash"))
       // ids are globally unique by contract; a violation must not
       // surface as a self-pair
@@ -1207,7 +1292,8 @@ object Dedup {
     val involved = involvedIds(candidates)
     val newSh = shingleHashArrays(
       newDocs.join(broadcast(involved), Seq("doc_id"), "left_semi"), nsw)
-    val idxSh = spark.read.parquet(s"$dir/shingles")
+    val idxSh = spark.read.schema(shinglesSchema)
+      .parquet(s"$dir/shingles")
       .join(broadcast(involved), Seq("doc_id"), "left_semi")
     scoredVerifyWith(newSh.unionByName(idxSh), candidates, threshold,
       "jaccard", jaccardScore)
@@ -1228,7 +1314,8 @@ object Dedup {
     val newSh = Barriers.barrier(
       shingleHashArrays(newDocs, nsw).where(size(col("sh")) > 0))
       .select(col("doc_id").as("id_n"), col("sh").as("sh_a"))
-    val idxSh = spark.read.parquet(s"$dir/shingles")
+    val idxSh = spark.read.schema(shinglesSchema)
+      .parquet(s"$dir/shingles")
       .where(size(col("sh")) > 0)
       .select(col("doc_id").as("id_i"), col("sh").as("sh_b"))
     newSh.join(idxSh, col("id_n") =!= col("id_i"))

@@ -244,6 +244,18 @@ class DedupSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       Dedup.writeChunkIndexCDC(b3, dirG, divisor = 4, mode = "append")
     }
+    // the monotone-id watermark is enforced, not trusted: a batch whose
+    // ids do not exceed every indexed id would silently break the
+    // equality contract, so it errors instead
+    intercept[IllegalArgumentException] {
+      Dedup.dedupChunksAgainstIndex(spark, b1, dirG).collect()
+    }
+    // an index over an EMPTY corpus is probe-able (nothing matches),
+    // not a schema-inference crash
+    val dirE = java.nio.file.Files.createTempDirectory("chidxe").toString
+    Dedup.writeChunkIndex(b1.where($"doc_id" < -1), dirE, chunkTokens = 4)
+    val incE = rows(Dedup.dedupChunksAgainstIndex(spark, b3, dirE))
+    assert(incE.forall(r => r._3 === r._2)) // every chunk survives
   }
 
   test("incremental Hamming candidates against a persisted signature " +

@@ -646,7 +646,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val idx = ivfIndexDir(dir, "ch95")
       Dedup.writeChunkIndex(docs.where(col("doc_id") < 250), idx,
-        chunkTokens = 10)
+        chunkTokens = 10, chunkBuckets = 32)
       Dedup.dedupChunksAgainstIndex(s, docs.where(col("doc_id") >= 250),
           idx)
         .select(col("doc_id"), col("n_chunks"), col("n_kept"),
@@ -657,7 +657,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val idx = ivfIndexDir(dir, "ch96")
       Dedup.writeChunkIndexCDC(docs.where(col("doc_id") < 250), idx,
-        divisor = 8)
+        divisor = 8, chunkBuckets = 32)
       Dedup.dedupChunksAgainstIndex(s, docs.where(col("doc_id") >= 250),
           idx)
         .select(col("doc_id"), col("n_chunks"), col("n_kept"),
@@ -676,7 +676,7 @@ object SparkEntry {
       val idx = ivfIndexDir(dir, "hm97")
       Dedup.writeHammingIndex(
         sigs.where(pmod(col("doc_id"), lit(2)) === 0), idx,
-        maxHamming = 3)
+        maxHamming = 3, pieceBuckets = 32)
       Dedup.hammingCandidatesAgainstIndex(s,
           sigs.where(pmod(col("doc_id"), lit(2)) === 1), idx)
         .orderBy(col("id_a").asc, col("id_b").asc)
@@ -702,8 +702,12 @@ object SparkEntry {
     "q89_index_incremental_neardup" -> ((s, dir) => {
       val docs = t(s, dir, "documents").where(col("doc_id") < 1000)
       val idx = ivfIndexDir(dir, "mh89")
+      // 32 buckets at test scale: 256 partition dirs of near-empty
+      // files would be pure small-file IO inside the timer (the
+      // production default stays 256; pruning is PlanSpec's job)
       Dedup.writeMinhashIndex(
-        docs.where(pmod(col("doc_id"), lit(2)) === 0), idx)
+        docs.where(pmod(col("doc_id"), lit(2)) === 0), idx,
+        bandBuckets = 32)
       Dedup.nearDupAgainstIndex(s,
           docs.where(pmod(col("doc_id"), lit(2)) === 1), idx,
           threshold = 0.5)
@@ -718,7 +722,8 @@ object SparkEntry {
       val docs = t(s, dir, "documents").where(col("doc_id") < 1000)
       val idx = ivfIndexDir(dir, "mh90")
       Dedup.writeMinhashIndex(
-        docs.where(pmod(col("doc_id"), lit(2)) === 0), idx)
+        docs.where(pmod(col("doc_id"), lit(2)) === 0), idx,
+        bandBuckets = 32)
       Dedup.jaccardAllPairsAgainstIndex(s,
           docs.where(pmod(col("doc_id"), lit(2)) === 1), idx,
           threshold = 0.5)

@@ -818,8 +818,11 @@ object SparkEntry {
         Similarity.ivfCentroids(emb, nlist = 16))
       val idx = ivfIndexDir(dir, "exact16")
       Similarity.writeIvfIndex(emb, idx, cents)
-      Similarity.ivfTopKIndexed(s, idx, emb.where(col("vec_id") < 5),
-          cents, k = 10, nprobe = 16)
+      // SELF-describing probe: centroids read back from the index, so
+      // the hash-match additionally proves the centroid parquet
+      // round-trip (q85 keeps the explicit-centroids path covered)
+      Similarity.ivfTopKIndexedSelf(s, idx,
+          emb.where(col("vec_id") < 5), k = 10, nprobe = 16)
         .orderBy(col("query_id").asc, col("rank").asc)
     }),
     // the same layout at the q70 partition-pruning ratio (8/64

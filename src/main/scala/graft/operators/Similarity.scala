@@ -515,16 +515,42 @@ object Similarity {
         lit(multiAssign).as("multi_assign"))
   }
 
-  /** Materialize the corpus as an on-disk IVF index: parquet partitioned
-    * by nearest-centroid cell. This is the 100 TB layout the inline path
-    * only simulates — once written, a probe's IO is ∝ nprobe/nlist
-    * because the scan reads only probed cell partitions.
+  /** Materialize the corpus as an on-disk IVF index, SELF-DESCRIBING:
+    * `cells/` holds the corpus parquet partitioned by nearest-centroid
+    * cell (the 100 TB layout the inline path only simulates — once
+    * written, a probe's IO is ∝ nprobe/nlist because the scan reads only
+    * probed cell partitions), and `centroids/` persists the centroid
+    * vectors themselves. The centroids are part of the index identity:
+    * cell tags are meaningless under any OTHER centroid set, so a probe
+    * that trusted a caller-supplied array could silently mis-rank — the
+    * same stale-params family the dedup indexes' `params/` guard
+    * against. [[ivfTopKIndexedSelf]] probes with the STORED centroids;
+    * the explicit-centroids [[ivfTopKIndexed]] remains for callers that
+    * hold them in memory (one driver read saved).
     */
   def writeIvfIndex(corpus: DataFrame, dir: String,
       centroids: Array[(Int, Array[Float])],
-      multiAssign: Int = 1, quantizer: String = "auto"): Unit =
+      multiAssign: Int = 1, quantizer: String = "auto"): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     assignWith(quantizer, corpus, centroids, multiAssign)
-      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+    // centroids LAST (nlist rows — a driver-sized write): a crash
+    // mid-write leaves an index the self-describing probe refuses (no
+    // centroids) rather than one probed under the wrong geometry
+    centroids.toSeq.map { case (c, v) => (c, v.toSeq) }
+      .toDF("cell", "centroid")
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** The stored centroid set of a [[writeIvfIndex]] layout, in cell
+    * order — nlist rows to the driver, the same scale class as
+    * [[collectCentroids]]. */
+  def readIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Array[(Int, Array[Float])] =
+    spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
 
   /** IVF top-k over a [[writeIvfIndex]] layout: the broadcast probe join
     * keys on the PARTITION column, so Spark's dynamic partition pruning
@@ -532,14 +558,27 @@ object Similarity {
     * of the inline path becomes partition-pruned IO. Same scores/ranking
     * as [[ivfTopK]] with the same centroids. Set `multiAssigned` when
     * the index was written with `multiAssign > 1` so duplicate
-    * candidates collapse before ranking.
+    * candidates collapse before ranking. The `centroids` argument MUST
+    * be the array the index was written with — use
+    * [[ivfTopKIndexedSelf]] when in doubt (it reads the stored copy).
     */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, queries: DataFrame,
       centroids: Array[(Int, Array[Float])], k: Int = 10,
       nprobe: Int = 4, multiAssigned: Boolean = false): DataFrame =
-    probeAndRank(spark.read.parquet(indexDir), queries, centroids, k,
-      nprobe, dedupCandidates = multiAssigned)
+    probeAndRank(spark.read.parquet(s"$indexDir/cells"), queries,
+      centroids, k, nprobe, dedupCandidates = multiAssigned)
+
+  /** [[ivfTopKIndexed]] probing with the index's own STORED centroids —
+    * the self-describing form: no caller-held state, no way to probe
+    * under mismatched geometry. q84 runs this at nprobe = nlist against
+    * the brute-force oracle, hash-proving the centroid parquet
+    * round-trip end-to-end. */
+  def ivfTopKIndexedSelf(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queries: DataFrame, k: Int = 10,
+      nprobe: Int = 4, multiAssigned: Boolean = false): DataFrame =
+    ivfTopKIndexed(spark, indexDir, queries,
+      readIvfCentroids(spark, indexDir), k, nprobe, multiAssigned)
 
   /** Engine-portable exact top-k on quantized vectors: components rounded
     * to 1e-3 and summed as integers, so the score is exactly reproducible

@@ -87,8 +87,8 @@ class SimilaritySpec extends SparkSuite {
     val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
     Similarity.writeIvfIndex(emb, dir, cents)
     // the index holds every vector exactly once, spread over cell dirs
-    assert(spark.read.parquet(dir).count() === emb.count())
-    assert(new java.io.File(dir).listFiles()
+    assert(spark.read.parquet(s"$dir/cells").count() === emb.count())
+    assert(new java.io.File(s"$dir/cells").listFiles()
       .count(_.getName.startsWith("cell=")) > 1)
     val inline = Similarity.ivfTopK(emb, queries, k = 10, nlist = 8,
       nprobe = 4, kmeansIters = 0)
@@ -99,6 +99,17 @@ class SimilaritySpec extends SparkSuite {
       .orderBy($"query_id", $"rank").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
     assert(indexed.toSeq === inline.toSeq)
+    // SELF-describing probe: the stored centroids round-trip exactly
+    // (floats through parquet are bit-preserving), so the result is
+    // identical without any caller-held state
+    assert(Similarity.readIvfCentroids(spark, dir).toSeq
+      .map { case (c, v) => (c, v.toSeq) } ===
+      cents.toSeq.map { case (c, v) => (c, v.toSeq) })
+    val selfIndexed = Similarity.ivfTopKIndexedSelf(spark, dir, queries,
+      k = 10, nprobe = 4)
+      .orderBy($"query_id", $"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(selfIndexed.toSeq === indexed.toSeq)
   }
 
   test("fvec_mean equals the per-dimension avg fan-out, in one aggregate") {

@@ -106,7 +106,23 @@ object SparkEntry {
 
   private def streamingFlagship(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    // the legacy nanos conf is needed only while THIS entry reads and
+    // streams the events parquet — everything here executes eagerly
+    // (awaitTermination below), and the returned frame reads the memory
+    // sink, so the previous value is restored before returning instead
+    // of leaking legacy timestamp decoding into every later entry in
+    // the same Verify/Bench session
+    val prevNanosConf = s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try streamingFlagshipRun(s, dir)
+    finally prevNanosConf match {
+      case Some(v) => s.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+      case None => s.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    }
+  }
+
+  private def streamingFlagshipRun(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
     val raw = s.read.parquet(s"$dir/events.parquet")
     val nanosLong = raw.schema("ts").dataType ==
       org.apache.spark.sql.types.LongType
@@ -727,6 +743,30 @@ object SparkEntry {
       Dedup.jaccardAllPairsAgainstIndex(s,
           docs.where(pmod(col("doc_id"), lit(2)) === 1), idx,
           threshold = 0.5)
+        .orderBy(col("id_a").asc, col("id_b").asc)
+    }),
+    // incremental SEMANTIC near-dup against a written IVF index — the
+    // symmetric completion of the q89/q95/q97 incremental family for
+    // the embedding modality: even half indexed (write inside the
+    // timer, the q84 contract), odd half cell-tagged with the STORED
+    // centroids under the STORED quantizer/multi-assign geometry and
+    // probed against the DPP-pruned cells/ scan. Rows-only — k-means
+    // cells are engine-specific (q75's contract); the incremental ≡
+    // full-run equality is DedupSpec-proven bit-exactly and the pruned
+    // scan PlanSpec-pinned. q75's parameters (nlist 64, m = 2,
+    // threshold 0.25) so the scan-fraction economics match the inline
+    // scorer's on the same isotropic testdata.
+    "q98_index_semantic_neardup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val even = emb.where(pmod(col("vec_id"), lit(2)) === 0)
+      val idx = ivfIndexDir(dir, "sem98")
+      val cents = Similarity.kmeansCentroids(
+        even.select(col("vec_id"), col("embedding")), nlist = 64,
+        iters = 1)
+      Similarity.writeIvfIndex(even, idx, cents, multiAssign = 2)
+      Dedup.semanticNearDupAgainstIndex(s,
+          emb.where(pmod(col("vec_id"), lit(2)) === 1), idx,
+          threshold = 0.25)
         .orderBy(col("id_a").asc, col("id_b").asc)
     }),
     // radius 3 is the standard 64-bit near-dup setting (Manku et al.,

@@ -618,7 +618,13 @@ object Dedup {
     *
     * Appended batches may re-write hashes the index already holds —
     * harmless (the probe is a semi-join; duplicates change nothing) and
-    * far cheaper than a global re-distinct per append.
+    * far cheaper than a global re-distinct per append. Because appends
+    * are data-then-params, a crash MID-append can leave the batch's
+    * chunks in place under the OLD (lower) max_doc_id watermark — a
+    * state later probes cannot detect. Retry the crashed append with
+    * the SAME batch before probing or appending further (idempotent:
+    * the duplicate hash rows are the price above; [[compactIndex]]
+    * re-distincts them away).
     *
     * The grid flavor; [[writeChunkIndexCDC]] indexes under the
     * offset-robust content-defined rule.
@@ -1140,8 +1146,18 @@ object Dedup {
     * write params LAST. Params are (re)written on append too: families
     * whose params carry data-dependent fields (the chunk index's
     * max_doc_id) refresh them; constant params rewrite identically,
-    * which is harmless — and an append crash before the rewrite leaves
-    * the OLD params, which are equal or strictly more conservative.
+    * which is harmless. A crash DURING an append is the one window the
+    * params guard cannot close (the batch's data rows may already be
+    * in place under the old params): for the constant-params families
+    * that state is benign (duplicate data rows change no probe answer —
+    * re-run the append), but the chunk index's stale LOWER max_doc_id
+    * is NOT conservative — its crashed batch's chunks are already in
+    * `chunks/`, so a later batch with ids between the stale watermark
+    * and the crashed batch's ids would pass the monotone-id check yet
+    * diverge from the full-run equality. The append contract is
+    * therefore: a crashed append MUST be retried with the SAME batch
+    * (idempotent — duplicate hash rows are the documented harmless
+    * price) before any probe or further append is run.
     */
   private def writeIndexScaffold(spark: SparkSession, dir: String,
       mode: String)(checkAppend: => Unit)(writeData: => Unit)(
@@ -1561,11 +1577,20 @@ object Dedup {
     val cells = resolveNlist(base, nlist)
     val cents = Similarity.kmeansCentroids(base, cells, kmeansIters,
       quantizer)
-    (Barriers.barrier(
+    (tagWith(base, cents, multiAssign, quantizer), cents)
+  }
+
+  /** Cell-tag + norm-augment under a GIVEN centroid set — the one
+    * projection every semantic pair scorer shares (byte-identical
+    * columns ⇒ bit-identical cosines), barriered for the reason
+    * [[taggedNormed]]'s scaladoc gives. */
+  private def tagWith(base: DataFrame,
+      cents: Array[(Int, Array[Float])], multiAssign: Int,
+      quantizer: String): DataFrame =
+    Barriers.barrier(
       Similarity.assignWith(quantizer, base, cents, multiAssign)
         .select(col("cell"), col("vec_id"), col("embedding"),
-          native.fvec_norm(col("embedding")).as("nrm"))), cents)
-  }
+          native.fvec_norm(col("embedding")).as("nrm")))
 
   /** Within-cell pairs of `tagged` at `threshold` — the
     * [[Similarity.pairCosine]] arithmetic over [[Similarity.pairSide]]
@@ -1596,13 +1621,19 @@ object Dedup {
     *   - `"minid"` (default): the lowest vec_id — cheapest (the plain
     *     [[dedupByClusters]] anti-join tail, no extra scoring pass) and
     *     deterministic under re-partitioning;
-    *   - `"centroid"`: the member CLOSEST TO ITS CLUSTER CENTROID (max
-    *     cosine against its nearest assigned cell's centroid, ties to
-    *     the lowest vec_id) — the published SemDeDup keep rule (Abbas et
-    *     al., arXiv:2303.09540), for when survivor fidelity to the
-    *     method matters. Costs one extra broadcast join against the
-    *     nlist centroids plus a per-component window (hash-partitioned
-    *     by component, never global).
+    *   - `"centroid_far"`: the member with the LOWEST cosine to its
+    *     nearest assigned cell's centroid (ties to the lowest vec_id) —
+    *     the configuration SemDeDup's authors chose (Abbas et al.,
+    *     arXiv:2303.09540 §3: among random / nearest-to-centroid /
+    *     farthest-from-centroid keep policies they keep the LOW-
+    *     similarity "hard" example);
+    *   - `"centroid"`: the member CLOSEST to its centroid (max cosine,
+    *     ties to the lowest vec_id) — the prototype-keeping variant the
+    *     same ablation evaluates, for corpora where the most
+    *     representative member should survive.
+    *   Both centroid policies cost one extra broadcast join against the
+    *   nlist centroids plus a per-component window (hash-partitioned
+    *   by component, never global).
     */
   def semanticDedup(embeddings: DataFrame, nlist: Int = 0,
       threshold: Double = 0.95, kmeansIters: Int = 2,
@@ -1615,7 +1646,7 @@ object Dedup {
           semanticNearDupPairs(embeddings, nlist, threshold, kmeansIters,
             multiAssign, quantizer),
           maxIter, strategy, idCol = "vec_id")
-      case "centroid" =>
+      case "centroid" | "centroid_far" =>
         // ONE tagging pass feeds the pair search AND the centroid
         // scores — the same single-k-means-run discipline as
         // [[taggedNormed]]'s scaladoc demands
@@ -1644,17 +1675,23 @@ object Dedup {
               .as("cc"))
           .groupBy(col("vec_id"))
           .agg(max(col("cc")).as("cent_cos"))
+        // rank 1 survives: closest member first for "centroid",
+        // farthest first for the paper's chosen "centroid_far"
+        val centOrder =
+          if (keep == "centroid") col("cent_cos").desc
+          else col("cent_cos").asc
         val ranked = clusters
           .join(centCos, clusters("id") === centCos("vec_id"))
           .withColumn("rk", row_number().over(
             org.apache.spark.sql.expressions.Window
               .partitionBy(col("canonical_id"))
-              .orderBy(col("cent_cos").desc, col("id").asc)))
+              .orderBy(centOrder, col("id").asc)))
         val drop = ranked.where(col("rk") > 1)
           .select(col("id").as("vec_id"))
         embeddings.join(drop, Seq("vec_id"), "left_anti")
       case other => throw new IllegalArgumentException(
-        s"unknown keep policy '$other' (expected 'minid' or 'centroid')")
+        s"unknown keep policy '$other' " +
+          "(expected 'minid', 'centroid', or 'centroid_far')")
     }
 
   /** Recall of the cluster-bucketed pair search against the exact
@@ -1708,5 +1745,97 @@ object Dedup {
           .otherwise(col("n_scanned").cast("double") /
             (col("n") * (col("n") - 1) / 2)).as("scan_frac"),
         lit(multiAssign).as("multi_assign"))
+  }
+
+  // ------------- persisted IVF index (incremental SEMANTIC dedup)
+
+  // probe-side schema declared explicitly, like the sibling indexes: a
+  // subset projection of whatever extra columns the indexed corpus
+  // carried, and no footer-listing inference pass per probe
+  private val cellsSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("cell", IntegerType)))
+
+  /** [[semanticNearDupPairs]] under a CALLER-SUPPLIED centroid set
+    * instead of a fresh k-means run — the deterministic-geometry form
+    * the incremental surface's equality contract is stated against:
+    * cell assignment is a pure per-row function of (vector, centroids,
+    * quantizer), so with the SAME centroids two runs tag identically.
+    * Same tagging projection and [[Similarity.pairCosine]] arithmetic
+    * as every other semantic scorer.
+    */
+  def semanticNearDupPairsWith(embeddings: DataFrame,
+      centroids: Array[(Int, Array[Float])], threshold: Double = 0.95,
+      multiAssign: Int = 1, quantizer: String = "auto"): DataFrame =
+    pairsFromTagged(
+      tagWith(embeddings.select(col("vec_id"), col("embedding")),
+        centroids, multiAssign, quantizer),
+      threshold, multiAssign)
+
+  /** Semantic near-dup pairs between a NEW batch of embeddings and a
+    * [[Similarity.writeIvfIndex]] corpus — the incremental completion
+    * of the semantic family: the batch is cell-tagged with the INDEX's
+    * own STORED centroids under its STORED quantizer dispatch and
+    * multi-assignment (params/ — caller-supplied geometry could
+    * silently drift from the stored cells), then equi-joined against
+    * `cells/` on the cell partition column with the exact
+    * [[Similarity.pairCosine]] arithmetic inside matched cells. Only
+    * CROSS pairs come out — within-batch pairs are
+    * [[semanticNearDupPairsWith]] (same centroids!)'s job — and
+    * incremental ∪ within-batch equals the full
+    * [[semanticNearDupPairsWith]] run over corpus ∪ batch restricted
+    * to batch-touching pairs PAIR-BY-PAIR: whether two vectors share a
+    * cell is a pure function of their own embeddings and the fixed
+    * centroid set (DedupSpec proves the equality bit-exactly, cosines
+    * included).
+    *
+    * Scale: the batch tagging is map-only; `broadcastProbe = true`
+    * (the weekly-refresh shape: batch ≪ index) broadcasts the tagged
+    * batch, the join keys on the `cells/` PARTITION column, and
+    * dynamic partition pruning restricts the embeddings scan to the
+    * cells the batch occupies (PlanSpec-pinned) — probe IO ∝ the
+    * batch's cell footprint, never the corpus. Set it false for a
+    * batch too large to broadcast: plain hash shuffle on the cell key,
+    * still never all-pairs. Index-side norms are recomputed in the
+    * pruned scan's projection (one O(d) loop per SCANNED row — ∝ the
+    * pruned read, and cheaper than widening every stored index by a
+    * column the ANN probes never use).
+    */
+  def semanticNearDupAgainstIndex(spark: SparkSession,
+      newVecs: DataFrame, dir: String, threshold: Double = 0.95,
+      broadcastProbe: Boolean = true): DataFrame = {
+    val cents = Similarity.readIvfCentroids(spark, dir)
+    val (multiAssign, quantizer) =
+      Similarity.readIvfIndexParams(spark, dir)
+    val batch = tagWith(
+      newVecs.select(col("vec_id"), col("embedding")), cents,
+      multiAssign, quantizer)
+      .select(col("cell"), col("vec_id").as("new_id"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      // vacuously-true comparison marking the probe likely-selective
+      // so dynamic partition pruning fires (the minhash-probe trick)
+      .where(col("cell") >= 0)
+    val probe = if (broadcastProbe) broadcast(batch) else batch
+    val idx = spark.read.schema(cellsSchema).parquet(s"$dir/cells")
+      .select(col("cell"), col("vec_id"), col("embedding").as("ea"),
+        native.fvec_norm(col("embedding")).as("na"))
+    val pairs = idx.join(probe, Seq("cell"))
+      // ids are globally unique by contract; a violation must not
+      // surface as a self-pair
+      .where(col("vec_id") =!= col("new_id"))
+      .select(least(col("vec_id"), col("new_id")).as("id_a"),
+        greatest(col("vec_id"), col("new_id")).as("id_b"),
+        // fvec_dot/na·nb is [[Similarity.pairCosine]]'s arithmetic;
+        // operand ORDER differs when the batch holds the lower id, but
+        // elementwise float multiply and the double products commute
+        // bit-exactly under the kernel's fixed index-order
+        // accumulation, so the score is identical either way
+        (native.fvec_dot(col("ea"), col("eb")) /
+          (col("na") * col("nb"))).as("cosine"))
+      .where(col("cosine") >= threshold)
+    // multi-assigned vectors can meet in several shared cells — same
+    // post-threshold distinct as [[pairsFromTagged]]
+    if (multiAssign > 1) pairs.distinct() else pairs
   }
 }

@@ -429,9 +429,13 @@ object Similarity {
     groupCentroids(centroids,
       math.ceil(math.sqrt(centroids.length.toDouble)).toInt).length
 
-  private[operators] def assignWith(quantizer: String, corpus: DataFrame,
-      centroids: Array[(Int, Array[Float])],
-      multiAssign: Int): DataFrame =
+  /** The CONCRETE quantizer [[assignWith]] will dispatch to — resolves
+    * "auto" and applies its multiAssign-exceeds-family-count fallback.
+    * [[writeIvfIndex]] stores this name (not the raw argument) so a
+    * probe re-creating the assignment replays the exact same dispatch.
+    */
+  private[operators] def resolvedDispatch(quantizer: String,
+      centroids: Array[(Int, Array[Float])], multiAssign: Int): String =
     resolveQuantizer(quantizer, centroids.length) match {
       // "auto" must never make a previously-valid (nlist, multiAssign)
       // combination throw: two-level caps m at the (post-collapse)
@@ -439,7 +443,14 @@ object Similarity {
       // stay on the exact flat path (valid up to m = nlist) instead
       case "two-level" if quantizer == "auto" &&
           multiAssign > 1 && multiAssign > familyCount(centroids) =>
-        assignCells(corpus, centroids, multiAssign)
+        "flat"
+      case q => q
+    }
+
+  private[operators] def assignWith(quantizer: String, corpus: DataFrame,
+      centroids: Array[(Int, Array[Float])],
+      multiAssign: Int): DataFrame =
+    resolvedDispatch(quantizer, centroids, multiAssign) match {
       case "flat" => assignCells(corpus, centroids, multiAssign)
       case _ => assignCellsTwoLevel(corpus, centroids, multiAssign)
     }
@@ -526,21 +537,53 @@ object Similarity {
     * same stale-params family the dedup indexes' `params/` guard
     * against. [[ivfTopKIndexedSelf]] probes with the STORED centroids;
     * the explicit-centroids [[ivfTopKIndexed]] remains for callers that
-    * hold them in memory (one driver read saved).
+    * hold them in memory (one driver read saved). `params/` records the
+    * assignment geometry (multi_assign + the RESOLVED quantizer name)
+    * for probes that must re-create the assignment itself —
+    * [[graft.operators.Dedup.semanticNearDupAgainstIndex]] assigns a
+    * new batch under the SAME quantizer dispatch as the stored cells,
+    * or the cell-collision condition would silently drift.
+    *
+    * Crash discipline (the dedup scaffold's, applied to overwrites of
+    * an EXISTING index too): the old `centroids/` and `params/` are
+    * deleted BEFORE `cells/` is rewritten and the new ones written
+    * LAST, so a crash anywhere mid-write leaves an index the
+    * self-describing probes refuse (missing centroids/params) — never
+    * stale geometry silently vouching for new cells.
     */
   def writeIvfIndex(corpus: DataFrame, dir: String,
       centroids: Array[(Int, Array[Float])],
       multiAssign: Int = 1, quantizer: String = "auto"): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    Seq(s"$dir/centroids", s"$dir/params").foreach { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      val fs = path.getFileSystem(hconf)
+      if (fs.exists(path)) fs.delete(path, true)
+    }
     assignWith(quantizer, corpus, centroids, multiAssign)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
-    // centroids LAST (nlist rows — a driver-sized write): a crash
-    // mid-write leaves an index the self-describing probe refuses (no
-    // centroids) rather than one probed under the wrong geometry
+    // centroids then params LAST (nlist rows / one row — driver-sized
+    // writes): a crash mid-write leaves an index the self-describing
+    // probes refuse (no centroids / no params) rather than one probed
+    // under the wrong geometry
     centroids.toSeq.map { case (c, v) => (c, v.toSeq) }
       .toDF("cell", "centroid")
       .write.mode("overwrite").parquet(s"$dir/centroids")
+    spark.range(1).select(
+      lit(multiAssign).as("multi_assign"),
+      lit(resolvedDispatch(quantizer, centroids, multiAssign))
+        .as("quantizer"))
+      .write.mode("overwrite").parquet(s"$dir/params")
+  }
+
+  /** The stored assignment geometry of a [[writeIvfIndex]] layout:
+    * (multi_assign, resolved quantizer name). One driver-sized read. */
+  def readIvfIndexParams(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Int, String) = {
+    val r = spark.read.parquet(s"$dir/params").head()
+    (r.getAs[Int]("multi_assign"), r.getAs[String]("quantizer"))
   }
 
   /** The stored centroid set of a [[writeIvfIndex]] layout, in cell

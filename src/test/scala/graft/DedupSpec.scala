@@ -295,6 +295,61 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("incremental semantic near-dup against a written IVF index " +
+      "equals the full run under the stored centroids restricted to " +
+      "batch-touching pairs") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(11)
+    val dirs = Seq(
+      Array.tabulate(8)(i => if (i == 0) 1.0f else 0.0f),
+      Array.tabulate(8)(i => if (i == 4) 1.0f else 0.0f))
+    def around(d: Array[Float]): Array[Float] =
+      d.map(x => x + 0.04f * rnd.nextGaussian().toFloat)
+    // corpus: 20 vectors over two tight clusters; batch: 8 more of the
+    // same clusters, plus one isolated direction (no cross pair)
+    val corpus = (0 until 20)
+      .map(i => (i.toLong, around(dirs(i % 2)).toSeq))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val batchRows = (100 until 108)
+      .map(i => (i.toLong, around(dirs(i % 2)).toSeq)) :+
+      (110L, Array.tabulate(8)(i => if (i == 7) 1.0f else 0.0f).toSeq)
+    val batch = batchRows.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batchIds = batchRows.map(_._1).toSet
+    for (m <- Seq(1, 2)) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"ivfsem$m").toString
+      val cents = Similarity.kmeansCentroids(corpus, nlist = 4,
+        iters = 1)
+      Similarity.writeIvfIndex(corpus, dir, cents, multiAssign = m)
+      val incr = pairSet(Dedup.semanticNearDupAgainstIndex(spark, batch,
+        dir, threshold = 0.9))
+      val within = pairSet(Dedup.semanticNearDupPairsWith(batch, cents,
+        threshold = 0.9, multiAssign = m))
+      val full = pairSet(Dedup.semanticNearDupPairsWith(
+        corpus.unionByName(batch), cents, threshold = 0.9,
+        multiAssign = m))
+      val fullTouching =
+        full.filter(p => batchIds(p._1) || batchIds(p._2))
+      // BIT-exact equality, cosines included: cell assignment under a
+      // fixed centroid set is a pure per-row function, and the scoring
+      // arithmetic is shared
+      assert((incr ++ within) === fullTouching, s"multiAssign=$m")
+      assert(incr.nonEmpty, s"multiAssign=$m: no cross pairs found")
+      assert(within.nonEmpty)
+      // the isolated batch vector pairs with nothing
+      assert(!incr.exists(p => p._1 == 110L || p._2 == 110L))
+      // the non-broadcast (large-batch) probe flavor: identical pairs
+      val incrShuffle = pairSet(Dedup.semanticNearDupAgainstIndex(spark,
+        batch, dir, threshold = 0.9, broadcastProbe = false))
+      assert(incrShuffle === incr)
+    }
+  }
+
   test("contamination screen counts shingle overlap with the benchmark, " +
       "map-only over the corpus") {
     // benchmark = doc 0's text; doc 1 (exact dup) fully contaminated,
@@ -642,12 +697,14 @@ class DedupSpec extends SparkSuite {
     assert(degenerate.count() >= 0L)
   }
 
-  test("semdedup centroid keep policy keeps the vector closest to its " +
-      "cluster centroid; minid keeps the lowest id") {
+  test("semdedup centroid keep policies: 'centroid' keeps the closest " +
+      "member, 'centroid_far' the paper's low-similarity member, " +
+      "minid the lowest id") {
     // one tight duplicate component where the CENTRAL vector has the
     // HIGHEST id: the cell centroid (mean of the three) is exactly vec
-    // 3's direction, so the paper's keep rule must pick 3 while the
-    // cheap default picks 1
+    // 3's direction, so the prototype-keeping 'centroid' policy must
+    // pick 3; vecs 1 and 2 tie for farthest (symmetric off-axis), so
+    // the paper's 'centroid_far' picks the tie-broken lowest id 1
     val vecs = Seq(
       (1L, Array(1.0f, 0.30f, 0.00f)),
       (2L, Array(1.0f, 0.00f, 0.30f)),
@@ -661,6 +718,10 @@ class DedupSpec extends SparkSuite {
         kmeansIters = 1, keep = "centroid")
       .select($"vec_id").collect().map(_.getLong(0)).toSet
     assert(viaCent === Set(3L))
+    val viaFar = Dedup.semanticDedup(vecs, nlist = 1, threshold = 0.9,
+        kmeansIters = 1, keep = "centroid_far")
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(viaFar === Set(1L))
     intercept[IllegalArgumentException] {
       Dedup.semanticDedup(vecs, keep = "nope")
     }

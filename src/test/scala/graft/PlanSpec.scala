@@ -157,6 +157,25 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("dynamicpruning"), p.take(3000))
   }
 
+  test("semantic near-dup probe scan is dynamically partition-pruned " +
+      "to the batch's cells") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+      .where(col("vec_id") < 500)
+    val cents = graft.operators.Similarity.collectCentroids(
+      graft.operators.Similarity.ivfCentroids(emb, nlist = 8))
+    val dir = java.nio.file.Files.createTempDirectory("semplan").toString
+    graft.operators.Similarity.writeIvfIndex(emb, dir, cents)
+    // one new vector occupies one cell — the broadcast probe join keys
+    // on the cells/ partition column, so the embeddings scan must carry
+    // a dynamicpruning partition filter (probe IO ∝ the batch's cell
+    // footprint, the weekly-refresh economics)
+    val batch = emb.where(col("vec_id") === 3)
+      .select(lit(100000L).as("vec_id"), col("embedding"))
+    val p = plan(graft.operators.Dedup.semanticNearDupAgainstIndex(
+      spark, batch, dir, threshold = 0.5))
+    assert(p.contains("dynamicpruning"), p.take(3000))
+  }
+
   test("IVF cell assignment is a pure projection (no join, no exchange)") {
     val emb = spark.read.parquet(sf() + "/embeddings.parquet")
     val cents = graft.operators.Similarity.ivfCentroids(emb, nlist = 4)

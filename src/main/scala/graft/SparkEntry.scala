@@ -70,19 +70,30 @@ object SparkEntry {
     def register(dir: String): Unit = { hook; dirs.add(dir) }
   }
 
-  /** The events table is written with parquet TIMESTAMP(NANOS), which Spark
-    * has no native type for — read nanos as long (legacy conf) and convert
-    * to a microsecond TimestampType column, matching what engines with
-    * native ns support produce after µs truncation.
+  /** The events table's `ts` has been written with parquet
+    * TIMESTAMP(NANOS) by some generator versions (which Spark has no
+    * native type for — read nanos as long under the legacy conf) and
+    * plain microsecond NTZ by others. Normalize EITHER encoding to a
+    * microsecond TimestampType column: `timestamp_micros` interprets
+    * the ns-derived value as a UTC epoch, and the NTZ cast under the
+    * UTC session is micros-identity — so every downstream day
+    * truncation, window, and oracle compare sees the same column no
+    * matter which writer produced the file.
     */
+  private def normalizeTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer division — a double `/` would lose precision on ns epochs
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
+
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$dir/events.parquet")
-    if (raw.schema("ts").dataType ==
-        org.apache.spark.sql.types.LongType)
-      // integer division — a double `/` would lose precision on ns epochs
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    normalizeTs(s.read.parquet(s"$dir/events.parquet"))
   }
 
   /** Streaming-flagship entry machinery (q91): stage the events parquet
@@ -124,12 +135,8 @@ object SparkEntry {
   private def streamingFlagshipRun(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Path, Paths, StandardCopyOption}
     val raw = s.read.parquet(s"$dir/events.parquet")
-    val nanosLong = raw.schema("ts").dataType ==
-      org.apache.spark.sql.types.LongType
-    def tsFix(df: DataFrame): DataFrame =
-      if (nanosLong)
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else df
+    val tsType = raw.schema("ts").dataType
+    def tsFix(df: DataFrame): DataFrame = normalizeTs(df)
     val maxTs = tsFix(raw).agg(max(col("ts"))).head().getTimestamp(0)
     val n = StreamScratch.seq.incrementAndGet()
     // ONE staging dir per (sf dir, process): contents are deterministic,
@@ -160,9 +167,17 @@ object SparkEntry {
     def sentinel(name: String, daysAhead: Int): Unit = {
       val tsMs = maxTs.getTime + daysAhead * 86400000L
       val base = raw.limit(1).withColumn("event_type", lit("zz_sentinel"))
-      val withTs =
-        if (nanosLong) base.withColumn("ts", lit(tsMs * 1000000L))
-        else base.withColumn("ts", lit(new java.sql.Timestamp(tsMs)))
+      // the staged sentinel file is read back under raw.schema, so its
+      // ts must be written in the SOURCE encoding, whichever that was
+      val withTs = tsType match {
+        case org.apache.spark.sql.types.LongType =>
+          base.withColumn("ts", lit(tsMs * 1000000L))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          base.withColumn("ts", lit(new java.sql.Timestamp(tsMs))
+            .cast(org.apache.spark.sql.types.TimestampNTZType))
+        case _ =>
+          base.withColumn("ts", lit(new java.sql.Timestamp(tsMs)))
+      }
       withTs.select(raw.columns.map(col).toIndexedSeq: _*).coalesce(1)
         .write.mode("overwrite").parquet(sentScratch.toString)
       val l = Files.list(sentScratch)

@@ -19,15 +19,20 @@ import graft.streaming.StreamingAgg
 class StreamingEquivalenceSpec extends SparkSuite {
   import spark.implicits._
 
-  /** events.parquet carries TIMESTAMP(NANOS) read as Long under
-    * nanosAsLong (set in SparkSuite) — same conversion as the batch
-    * events reader.
+  /** events.parquet carries ts as TIMESTAMP(NANOS) (read as Long under
+    * nanosAsLong, set in SparkSuite) or as microsecond NTZ depending on
+    * the generator version — same normalization to TimestampType as the
+    * batch events reader (UTC session: the NTZ cast is micros-identity).
     */
   private def tsFixed(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType ==
-        org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          $"ts".cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 
   test("streaming flagship over the events file source equals the " +
       "batch dedup+count plan (available-now trigger)") {
@@ -65,11 +70,16 @@ class StreamingEquivalenceSpec extends SparkSuite {
           lit(new java.sql.Timestamp(
             maxTs.getTime + daysAhead * 86400000L)))
         .withColumn("event_type", lit("zz_sentinel"))
-      // nanos Long in the source schema: write back as long nanos
-      val out = if (raw.schema("ts").dataType ==
-          org.apache.spark.sql.types.LongType)
-        s.withColumn("ts", ($"ts".cast("long") * 1000000000L))
-      else s
+      // write back in the SOURCE encoding (the staged file is read
+      // under raw.schema): long nanos, NTZ micros, or plain timestamp
+      val out = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          s.withColumn("ts", ($"ts".cast("long") * 1000000000L))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          s.withColumn("ts",
+            $"ts".cast(org.apache.spark.sql.types.TimestampNTZType))
+        case _ => s
+      }
       val tmp = Files.createTempDirectory("sentinel")
       out.select(raw.columns.map(col): _*).coalesce(1)
         .write.mode("overwrite").parquet(tmp.toString)

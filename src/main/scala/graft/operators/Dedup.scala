@@ -1838,4 +1838,295 @@ object Dedup {
     // post-threshold distinct as [[pairsFromTagged]]
     if (multiAssign > 1) pairs.distinct() else pairs
   }
+
+  // --------------------- index maintenance: compaction (all five families)
+
+  /** Which persisted-index family lives under `dir`, detected from the
+    * `params/` schema — each family's params columns are disjoint, so
+    * the stored metadata self-describes the layout (no caller-supplied
+    * family name that could mismatch the directory's actual contents).
+    * The "image" family ([[Multimodal.writeImageIndex]]) IS the Hamming
+    * layout — same pieces/, same params — so it needs no case of its
+    * own.
+    */
+  private def indexFamily(spark: SparkSession, dir: String): String = {
+    val fields = spark.read.parquet(s"$dir/params")
+      .schema.fieldNames.toSet
+    if (fields.contains("band_buckets")) "minhash"
+    else if (fields.contains("chunk_buckets")) "chunk"
+    else if (fields.contains("piece_buckets")) "hamming"
+    else if (fields.contains("quantizer")) "ivf"
+    else throw new IllegalArgumentException(
+      s"$dir/params matches no known index family " +
+        s"(columns: ${fields.toSeq.sorted.mkString(", ")})")
+  }
+
+  /** Staging-swap rewrite of ONE index sub-dataset: write the rewritten
+    * rows to `<sub>__compact_tmp`, then swap into place with two atomic
+    * directory renames (the reference's staging-table swap — build
+    * aside, rename over — applied at the file layer). Crash discipline:
+    * stray `__compact_tmp`/`__old` dirs from a previous crashed run are
+    * removed up front (they are never read by probes, so they can only
+    * waste space, not answers); between the two renames `sub` does not
+    * exist and every probe fails LOUDLY on the missing path — there is
+    * no window where a probe reads a half-rewritten mix. After the
+    * second rename the index is fully readable again; the leftover
+    * `__old` is deleted last and is garbage either way.
+    */
+  private def swapRewrite(spark: SparkSession, sub: String,
+      partitionCols: Seq[String])(rewritten: DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val subPath = new Path(sub)
+    val fs = subPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(sub + "__compact_tmp")
+    val old = new Path(sub + "__old")
+    Seq(tmp, old).foreach(p => if (fs.exists(p)) fs.delete(p, true))
+    val w = rewritten.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp.toString)
+    require(fs.rename(subPath, old), s"rename $subPath -> $old failed")
+    require(fs.rename(tmp, subPath), s"rename $tmp -> $subPath failed")
+    fs.delete(old, true)
+  }
+
+  /** One-file-per-partition-value shape: hash-repartition on the
+    * partition column (each value's rows land in exactly one task, so
+    * `partitionBy` emits exactly one file per value) and sort within
+    * tasks leading with that column (the file writer needs
+    * partition-column-clustered input and would insert its own sort
+    * otherwise), then by the probe key for locality + compression.
+    */
+  private def onePerPartition(df: DataFrame, part: String,
+      sortCols: Seq[String]): DataFrame =
+    df.repartition(col(part))
+      .sortWithinPartitions((part +: sortCols).map(col): _*)
+
+  /** Compact a persisted index after a season of appends — the
+    * lifecycle maintenance pass for all five written-index families
+    * ([[writeMinhashIndex]] text bands, [[writeChunkIndex]] /
+    * [[writeChunkIndexCDC]] chunk hashes, [[writeHammingIndex]]
+    * signature pieces, [[Multimodal.writeImageIndex]] = the Hamming
+    * layout, [[Similarity.writeIvfIndex]] embedding cells; the family
+    * is detected from `params/`, see [[indexFamily]]). Every
+    * `mode = "append"` lays a fresh part-file set per bucket, so after
+    * a year of weekly batches a probe's pruned scan opens
+    * O(appends) files per bucket; retried crashed appends additionally
+    * leave duplicate rows (their documented harmless-but-unbounded
+    * price). Compaction rewrites each sub-dataset to ONE sorted,
+    * re-distincted file per bucket partition via a staging-swap
+    * ([[swapRewrite]]) — probe ANSWERS are bit-identical before and
+    * after (the spec proves it per family), only the file layout and
+    * the duplicate rows change.
+    *
+    * `params/` (and the IVF family's `centroids/`) are NOT touched:
+    * compaction changes layout, not identity, so the stored metadata
+    * stays valid through the whole operation — the one crash-unsafe
+    * step the write scaffold needs (the params rewrite) has nothing to
+    * do here, and a crash at ANY point leaves either the old layout,
+    * a loudly-missing data dir (mid-swap), or the new layout — never
+    * stale metadata vouching for mismatched data.
+    *
+    * Single-writer discipline (same as append): do not compact while
+    * another writer appends to, deletes from, or probes the same index
+    * mid-swap.
+    */
+  def compactIndex(spark: SparkSession, dir: String): Unit =
+    indexFamily(spark, dir) match {
+      case "minhash" =>
+        // full-row distinct: a retried append re-wrote every (doc,
+        // band) row verbatim, so duplicates are exact row copies
+        swapRewrite(spark, s"$dir/bands", Seq("bucket"))(
+          onePerPartition(
+            spark.read.schema(bandsSchema).parquet(s"$dir/bands")
+              .distinct(),
+            "bucket", Seq("band_id", "band_hash", "doc_id")))
+        // shingles are unpartitioned (read whole by the all-pairs
+        // surface, semi-join-pruned by the verify path): range-cluster
+        // by doc_id so the rewrite stays parallel and files are
+        // id-sorted for the verify join
+        swapRewrite(spark, s"$dir/shingles", Nil)(
+          spark.read.schema(shinglesSchema).parquet(s"$dir/shingles")
+            .dropDuplicates("doc_id")
+            .repartitionByRange(col("doc_id"))
+            .sortWithinPartitions("doc_id"))
+      case "chunk" =>
+        swapRewrite(spark, s"$dir/chunks", Seq("bucket"))(
+          onePerPartition(
+            spark.read.schema(chunksSchema).parquet(s"$dir/chunks")
+              .distinct(),
+            "bucket", Seq("ch")))
+      case "hamming" =>
+        swapRewrite(spark, s"$dir/pieces", Seq("bucket"))(
+          onePerPartition(
+            spark.read.schema(piecesSchema).parquet(s"$dir/pieces")
+              .distinct(),
+            "bucket", Seq("q", "qh", "doc_id")))
+      case "ivf" =>
+        // inferred schema, not [[cellsSchema]]: the written cells carry
+        // whatever EXTRA corpus columns the caller indexed, and a
+        // fixed-projection rewrite would silently drop them. Inference
+        // only fails on an empty corpus (partitionBy wrote no data
+        // files) — nothing to compact there.
+        val cells =
+          try Some(spark.read.parquet(s"$dir/cells"))
+          catch {
+            case _: org.apache.spark.sql.AnalysisException => None
+          }
+        cells.foreach { df =>
+          // dropDuplicates, not distinct: float-array columns compare
+          // fine, but the (vec_id, cell) key is what appends can
+          // duplicate and is far cheaper to shuffle than the vectors
+          swapRewrite(spark, s"$dir/cells", Seq("cell"))(
+            onePerPartition(df.dropDuplicates("vec_id", "cell"),
+              "cell", Seq("vec_id")))
+        }
+    }
+
+  // ------------------------- index maintenance: deletion (retractions)
+
+  /** Anti-join rewrite of the TOUCHED partitions of one partitioned
+    * index sub-dataset: find the bucket/cell partitions holding any
+    * row keyed by `ids` (one semi-joined scan against the broadcast id
+    * set), rewrite ONLY those partitions' survivors into a staging
+    * root, then swap each touched partition dir into place with two
+    * renames — untouched partitions' files are never opened, so delete
+    * IO is ∝ the retracted ids' bucket footprint, not the index. A
+    * partition the deletion emptied writes no staging dir and is
+    * simply retired by the first rename. (NOT dynamic partition
+    * overwrite: its per-partition commit semantics proved unreliable
+    * under this layout — the staged-rename swap is the same machinery
+    * the compaction path proves bit-exact.)
+    *
+    * Crash discipline, stated exactly: for each touched partition the
+    * old dir is renamed ASIDE (to `<sub>__delete_old/`) before the
+    * rewritten dir is renamed in, so no row is ever unrecoverably
+    * lost; a crash between the two renames leaves that one partition
+    * absent (its candidates missing from probes) with its old rows
+    * preserved aside. Recovery: move any `<sub>__delete_old/<p>=<v>`
+    * dirs back under `<sub>` and re-run the same delete — the rewrite
+    * is deterministic and idempotent. On success both staging roots
+    * are removed. `params/` is untouched: like compaction, deletion
+    * changes membership, not identity.
+    */
+  private def deleteKeyedRows(spark: SparkSession, sub: String,
+      data: DataFrame, partCol: String, idCol: String,
+      ids: DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val idSet = broadcast(
+      ids.select(ids.columns.head).toDF(idCol).distinct())
+    val touched = data.join(idSet, Seq(idCol), "left_semi")
+      .select(col(partCol)).distinct().collect().map(_.getInt(0))
+    if (touched.isEmpty) return
+    val inTouched = col(partCol)
+      .isin(touched.map(Integer.valueOf).toIndexedSeq: _*)
+    val fs = new Path(sub)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmpRoot = new Path(sub + "__delete_tmp")
+    val oldRoot = new Path(sub + "__delete_old")
+    Seq(tmpRoot, oldRoot).foreach(p =>
+      if (fs.exists(p)) fs.delete(p, true))
+    data.where(inTouched).join(idSet, Seq(idCol), "left_anti")
+      .repartition(col(partCol))
+      .sortWithinPartitions(col(partCol), col(idCol))
+      .write.partitionBy(partCol).parquet(tmpRoot.toString)
+    fs.mkdirs(oldRoot)
+    touched.foreach { b =>
+      val live = new Path(s"$sub/$partCol=$b")
+      val staged = new Path(s"$tmpRoot/$partCol=$b")
+      if (fs.exists(live))
+        require(fs.rename(live, new Path(oldRoot, s"$partCol=$b")),
+          s"rename $live aside failed")
+      if (fs.exists(staged))
+        require(fs.rename(staged, live), s"rename $staged -> $live failed")
+    }
+    Seq(tmpRoot, oldRoot).foreach(p => fs.delete(p, true))
+  }
+
+  /** Delete a set of retracted document/vector ids from a persisted
+    * index, so they stop generating candidates in every future probe —
+    * the retraction half of the index lifecycle (append folds batches
+    * in, [[compactIndex]] restores the layout, this removes rows).
+    * `ids` is a one-column frame of ids (whatever its column is
+    * named); family is detected from `params/` ([[indexFamily]]):
+    *
+    *   - minhash: the ids' rows leave `bands/` (candidate side, by
+    *     touched band bucket) AND `shingles/` (verify + all-pairs
+    *     side; unpartitioned, so this one is a full staging-swap
+    *     rewrite — the disclosed cost of the flat layout);
+    *   - hamming (incl. the image-dHash flavor): the ids' piece rows
+    *     leave `pieces/` by touched bucket;
+    *   - ivf: the ids' vectors leave `cells/` by touched cell (all
+    *     `multiAssign` replicas — the id keys every copy);
+    *   - chunk: REFUSED here. The chunk index is content-addressed
+    *     (hashes carry no doc ids), so per-doc deletion needs the
+    *     retracted documents' text — [[deleteFromChunkIndex]] is that
+    *     surface, with its own shared-content semantics.
+    *
+    * Ids are never reused (the monotone-id contract every index
+    * already assumes), so a deleted id range stays retired — deletion
+    * never moves a watermark backwards.
+    */
+  def deleteFromIndex(spark: SparkSession, dir: String,
+      ids: DataFrame): Unit = indexFamily(spark, dir) match {
+    case "minhash" =>
+      deleteKeyedRows(spark, s"$dir/bands",
+        spark.read.schema(bandsSchema).parquet(s"$dir/bands"),
+        "bucket", "doc_id", ids)
+      val idSet = broadcast(
+        ids.select(ids.columns.head).toDF("doc_id").distinct())
+      swapRewrite(spark, s"$dir/shingles", Nil)(
+        spark.read.schema(shinglesSchema).parquet(s"$dir/shingles")
+          .join(idSet, Seq("doc_id"), "left_anti"))
+    case "hamming" =>
+      deleteKeyedRows(spark, s"$dir/pieces",
+        spark.read.schema(piecesSchema).parquet(s"$dir/pieces"),
+        "bucket", "doc_id", ids)
+    case "ivf" =>
+      // inferred schema — the cells carry the caller's extra corpus
+      // columns (same reason as the compaction path)
+      val cells =
+        try Some(spark.read.parquet(s"$dir/cells"))
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      cells.foreach(df =>
+        deleteKeyedRows(spark, s"$dir/cells", df, "cell", "vec_id", ids))
+    case "chunk" => throw new IllegalArgumentException(
+      s"$dir is a chunk index — content-addressed, so per-doc deletion " +
+        "needs the retracted documents' text: use deleteFromChunkIndex")
+  }
+
+  /** Delete retracted DOCUMENTS' content from a [[writeChunkIndex]] /
+    * [[writeChunkIndexCDC]] corpus. The chunk index stores content
+    * hashes, not doc ids, so retraction is content-addressed: the
+    * retracted docs (doc_id, text) are re-chunked under the index's
+    * own stored rule and granularity and exactly those hashes leave
+    * `chunks/` (touched-bucket anti-join rewrite, [[deleteKeyedRows]]
+    * keyed on the hash).
+    *
+    * Semantics to know, stated rather than hidden:
+    *
+    *   - a removed chunk SHARED with a still-standing doc is removed
+    *     too — the index cannot know (it stores no per-doc ownership,
+    *     the price of O(distinct chunks) size). Dedup coverage for
+    *     that content lapses until the next batch containing it is
+    *     processed: its probe keeps the chunk (absent from the index)
+    *     and its append re-admits the hash — self-healing, at the
+    *     cost of one duplicated chunk surviving in that batch.
+    *   - the `max_doc_id` watermark does NOT move: ids are never
+    *     reused, so a retracted id range stays retired and a batch
+    *     reusing those ids is still rejected by the monotone-id
+    *     check — re-ingesting retracted content needs FRESH ids,
+    *     which is exactly what keeps the incremental ≡ full-run
+    *     equality sound for every id the index has ever seen.
+    */
+  def deleteFromChunkIndex(spark: SparkSession, dir: String,
+      retracted: DataFrame): Unit = {
+    val (rule, granularity, _, _) = readChunkIndexParams(spark, dir)
+    val hashes = chunkBaseFor(retracted, rule, granularity,
+        withBarrier = false)
+      .select(explode(col("chunks")).as("chunk"))
+      .select(md5(col("chunk")).as("ch")).distinct()
+    deleteKeyedRows(spark, s"$dir/chunks",
+      spark.read.schema(chunksSchema).parquet(s"$dir/chunks"),
+      "bucket", "ch", hashes)
+  }
 }

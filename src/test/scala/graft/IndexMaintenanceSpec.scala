@@ -1,0 +1,334 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Index lifecycle maintenance: compaction (and, below, deletion) over
+  * the five persisted index families. The contract under proof:
+  * maintenance changes LAYOUT (and removes rows), never probe answers —
+  * compaction is bit-identical before/after, and deletion removes
+  * exactly the asked-for ids from every future answer.
+  */
+class IndexMaintenanceSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and " +
+    "then runs far away into the deep dark forest tonight"
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+
+  /** parquet data files per bucket partition dir of `sub` — the
+    * compaction file-count contract ("one file per bucket"). */
+  private def filesPerPartition(sub: String): Map[String, Int] = {
+    val root = java.nio.file.Paths.get(sub)
+    val l = java.nio.file.Files.list(root)
+    try l.toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.contains("="))
+      .map { p =>
+        val ll = java.nio.file.Files.list(p)
+        try p.getFileName.toString -> ll.toArray
+          .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+          .count(_.endsWith(".parquet"))
+        finally ll.close()
+      }.toMap
+    finally l.close()
+  }
+
+  private def pairSet(df: DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+
+  test("minhash index compaction: probe bit-identical, one file per " +
+      "bucket, retried-append duplicate rows re-distincted away") {
+    val b1 = Seq(
+      (0L, base),
+      (1L, base.replace("tonight", "today")),
+      (2L, "completely different words about spark query engines and " +
+        "distributed joins running on large clusters of machines"))
+      .toDF("doc_id", "text")
+    val b2 = Seq(
+      (10L, base),
+      (11L, "yet another unrelated document discussing minhash banding " +
+        "signatures buckets and locality sensitive hashing methods"))
+      .toDF("doc_id", "text")
+    val dir = tmp("mhcompact")
+    Dedup.writeMinhashIndex(b1, dir, bandBuckets = 8)
+    Dedup.writeMinhashIndex(b2, dir, bandBuckets = 8, mode = "append")
+    // the documented crashed-append recovery: re-run the SAME append —
+    // idempotent, at the price of duplicate rows compaction removes
+    Dedup.writeMinhashIndex(b2, dir, bandBuckets = 8, mode = "append")
+    val bands = () => spark.read.parquet(s"$dir/bands")
+    assert(bands().count() > bands().distinct().count()) // dups present
+    val b3 = Seq((20L, base), (21L, base.replace("fox", "cat")))
+      .toDF("doc_id", "text")
+    val before = pairSet(
+      Dedup.nearDupAgainstIndex(spark, b3, dir, threshold = 0.5))
+    val beforeJac = pairSet(
+      Dedup.jaccardAllPairsAgainstIndex(spark, b3, dir, threshold = 0.5))
+    // a stray half-written staging dir from a "crashed" prior compaction
+    // must be swept, not tripped over
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/bands__compact_tmp"))
+    Dedup.compactIndex(spark, dir)
+    assert(before.nonEmpty)
+    assert(pairSet(Dedup.nearDupAgainstIndex(spark, b3, dir,
+      threshold = 0.5)) === before)
+    assert(pairSet(Dedup.jaccardAllPairsAgainstIndex(spark, b3, dir,
+      threshold = 0.5)) === beforeJac)
+    assert(bands().count() === bands().distinct().count())
+    val perBucket = filesPerPartition(s"$dir/bands")
+    assert(perBucket.nonEmpty)
+    assert(perBucket.values.forall(_ === 1),
+      s"expected one file per bucket, got $perBucket")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/bands__compact_tmp")))
+    // shingles re-distincted too (one row per doc)
+    val sh = spark.read.parquet(s"$dir/shingles")
+    assert(sh.count() === sh.select($"doc_id").distinct().count())
+  }
+
+  test("chunk index compaction: probe bit-identical, watermark " +
+      "preserved, duplicate hashes collapsed") {
+    val passage = "alpha beta gamma delta epsilon zeta eta theta"
+    val b1 = Seq(
+      (0L, s"$passage one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val b2 = Seq(
+      (10L, s"$passage nine ten eleven twelve thirteen fourteen"))
+      .toDF("doc_id", "text")
+    val dir = tmp("chcompact")
+    Dedup.writeChunkIndex(b1, dir, chunkTokens = 4, chunkBuckets = 8)
+    Dedup.writeChunkIndex(b2, dir, chunkTokens = 4, chunkBuckets = 8,
+      mode = "append")
+    // retried append → duplicate hash rows (b2 shares `passage` with b1)
+    Dedup.writeChunkIndex(b2, dir, chunkTokens = 4, chunkBuckets = 8,
+      mode = "append")
+    val chunks = () => spark.read.parquet(s"$dir/chunks")
+    assert(chunks().count() > chunks().distinct().count())
+    val watermarkBefore = spark.read.parquet(s"$dir/params")
+      .head().getAs[Long]("max_doc_id")
+    val b3 = Seq(
+      (20L, s"$passage fifteen sixteen seventeen eighteen nineteen"),
+      (21L, "entirely novel twenty-one content with no shared chunks " +
+        "anywhere near the indexed corpus at all"))
+      .toDF("doc_id", "text")
+    def rows(df: DataFrame) =
+      df.select($"doc_id", $"n_chunks", $"n_kept", $"text").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+          r.getString(3))).toSet
+    val before = rows(Dedup.dedupChunksAgainstIndex(spark, b3, dir))
+    Dedup.compactIndex(spark, dir)
+    assert(rows(Dedup.dedupChunksAgainstIndex(spark, b3, dir)) === before)
+    assert(before.exists(r => r._3 < r._2)) // something actually deduped
+    assert(chunks().count() === chunks().distinct().count())
+    assert(filesPerPartition(s"$dir/chunks").values.forall(_ === 1))
+    // compaction must NOT move the monotone-id watermark
+    assert(spark.read.parquet(s"$dir/params")
+      .head().getAs[Long]("max_doc_id") === watermarkBefore)
+  }
+
+  test("hamming index compaction: candidates bit-identical, one file " +
+      "per bucket") {
+    val b1 = Seq(
+      (0L, base),
+      (1L, "completely different words about spark query engines and " +
+        "distributed joins running on large clusters of machines"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((10L, base.replace("tonight", "today")))
+      .toDF("doc_id", "text")
+    val dir = tmp("hmcompact")
+    Dedup.writeHammingIndex(Dedup.simhash(b1), dir, maxHamming = 8,
+      pieceBuckets = 8)
+    Dedup.writeHammingIndex(Dedup.simhash(b2), dir, maxHamming = 8,
+      pieceBuckets = 8, mode = "append")
+    Dedup.writeHammingIndex(Dedup.simhash(b2), dir, maxHamming = 8,
+      pieceBuckets = 8, mode = "append") // retried append
+    val pieces = () => spark.read.parquet(s"$dir/pieces")
+    assert(pieces().count() > pieces().distinct().count())
+    val b3 = Seq((20L, base.replace("fox", "cat"))).toDF("doc_id", "text")
+    def hset(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val before = hset(Dedup.hammingCandidatesAgainstIndex(spark,
+      Dedup.simhash(b3), dir))
+    Dedup.compactIndex(spark, dir)
+    assert(hset(Dedup.hammingCandidatesAgainstIndex(spark,
+      Dedup.simhash(b3), dir)) === before)
+    assert(before.nonEmpty)
+    assert(pieces().count() === pieces().distinct().count())
+    assert(filesPerPartition(s"$dir/pieces").values.forall(_ === 1))
+  }
+
+  test("IVF index compaction: top-k and incremental semantic probes " +
+      "bit-identical, one file per cell, extra corpus columns survive") {
+    val rnd = new scala.util.Random(3)
+    val dirsArr = Seq(
+      Array.tabulate(8)(i => if (i == 0) 1.0f else 0.0f),
+      Array.tabulate(8)(i => if (i == 4) 1.0f else 0.0f))
+    def around(d: Array[Float]): Seq[Float] =
+      d.map(x => x + 0.04f * rnd.nextGaussian().toFloat).toSeq
+    val corpus = (0 until 20)
+      .map(i => (i.toLong, around(dirsArr(i % 2)), s"tag$i"))
+      .toDF("vec_id", "embedding", "tag")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"),
+        $"tag")
+    val batch = (100 until 104)
+      .map(i => (i.toLong, around(dirsArr(i % 2))))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val dir = tmp("ivfcompact")
+    val cents = Similarity.kmeansCentroids(corpus, nlist = 4, iters = 1)
+    Similarity.writeIvfIndex(corpus, dir, cents, multiAssign = 2)
+    val queries = corpus.where($"vec_id" < 3)
+      .select($"vec_id", $"embedding")
+    def topk(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
+    val topBefore = topk(Similarity.ivfTopKIndexedSelf(spark, dir,
+      queries, k = 5, nprobe = 4, multiAssigned = true))
+    val semBefore = pairSet(Dedup.semanticNearDupAgainstIndex(spark,
+      batch, dir, threshold = 0.9))
+    Dedup.compactIndex(spark, dir)
+    assert(topk(Similarity.ivfTopKIndexedSelf(spark, dir, queries,
+      k = 5, nprobe = 4, multiAssigned = true)) === topBefore)
+    assert(pairSet(Dedup.semanticNearDupAgainstIndex(spark, batch, dir,
+      threshold = 0.9)) === semBefore)
+    assert(semBefore.nonEmpty)
+    assert(filesPerPartition(s"$dir/cells").values.forall(_ === 1))
+    // the indexed corpus' extra column came through the rewrite
+    assert(spark.read.parquet(s"$dir/cells").columns.contains("tag"))
+  }
+
+  test("compaction on an unknown layout fails loudly") {
+    val dir = tmp("badidx")
+    Seq((1, "x")).toDF("a", "b").write.parquet(s"$dir/params")
+    intercept[IllegalArgumentException] {
+      Dedup.compactIndex(spark, dir)
+    }
+  }
+
+  test("minhash index deletion: retracted docs stop generating " +
+      "candidates and all-pairs rows; survivors unaffected; absent ids " +
+      "are a no-op") {
+    val b1 = Seq(
+      (0L, base),
+      (1L, base.replace("tonight", "today")),
+      (2L, "completely different words about spark query engines and " +
+        "distributed joins running on large clusters of machines"))
+      .toDF("doc_id", "text")
+    val dir = tmp("mhdelete")
+    Dedup.writeMinhashIndex(b1, dir, bandBuckets = 8)
+    val probe = Seq((20L, base)).toDF("doc_id", "text")
+    val beforeIds = pairSet(
+      Dedup.nearDupAgainstIndex(spark, probe, dir, threshold = 0.5))
+      .flatMap(p => Seq(p._1, p._2))
+    assert(beforeIds.contains(0L) && beforeIds.contains(1L))
+    Dedup.deleteFromIndex(spark, dir, Seq(1L).toDF("doc_id"))
+    val after = pairSet(
+      Dedup.nearDupAgainstIndex(spark, probe, dir, threshold = 0.5))
+    val afterIds = after.flatMap(p => Seq(p._1, p._2))
+    assert(!afterIds.contains(1L)) // the retracted doc is gone
+    assert(afterIds.contains(0L))  // the surviving near-dup still pairs
+    val jacIds = pairSet(Dedup.jaccardAllPairsAgainstIndex(spark, probe,
+      dir, threshold = 0.5)).flatMap(p => Seq(p._1, p._2))
+    assert(!jacIds.contains(1L) && jacIds.contains(0L))
+    // deleting ids the index never held changes nothing
+    Dedup.deleteFromIndex(spark, dir, Seq(999L).toDF("doc_id"))
+    assert(pairSet(Dedup.nearDupAgainstIndex(spark, probe, dir,
+      threshold = 0.5)) === after)
+    // shingle rows gone too (not just the candidate side)
+    assert(spark.read.parquet(s"$dir/shingles")
+      .where($"doc_id" === 1L).count() === 0L)
+  }
+
+  test("hamming index deletion by touched bucket; emptied buckets are " +
+      "swept, and an emptied index still probes cleanly") {
+    val b1 = Seq(
+      (0L, base),
+      (1L, "completely different words about spark query engines and " +
+        "distributed joins running on large clusters of machines"))
+      .toDF("doc_id", "text")
+    val dir = tmp("hmdelete")
+    Dedup.writeHammingIndex(Dedup.simhash(b1), dir, maxHamming = 8,
+      pieceBuckets = 8)
+    val probe = Dedup.simhash(
+      Seq((20L, base.replace("tonight", "today"))).toDF("doc_id", "text"))
+    def hset(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(hset(Dedup.hammingCandidatesAgainstIndex(spark, probe, dir))
+      .exists(p => p._1 == 0L || p._2 == 0L))
+    Dedup.deleteFromIndex(spark, dir, Seq(0L).toDF("doc_id"))
+    assert(!hset(Dedup.hammingCandidatesAgainstIndex(spark, probe, dir))
+      .exists(p => p._1 == 0L || p._2 == 0L))
+    // retract EVERYTHING: probes return empty, never crash, and the
+    // emptied bucket partition dirs are swept from disk
+    Dedup.deleteFromIndex(spark, dir, Seq(0L, 1L).toDF("doc_id"))
+    assert(hset(
+      Dedup.hammingCandidatesAgainstIndex(spark, probe, dir)).isEmpty)
+    assert(filesPerPartition(s"$dir/pieces").isEmpty)
+  }
+
+  test("IVF index deletion: retracted vectors leave every multi-assign " +
+      "replica; top-k and semantic probes never name them") {
+    val rnd = new scala.util.Random(5)
+    val d0 = Array.tabulate(8)(i => if (i == 0) 1.0f else 0.0f)
+    def around(): Seq[Float] =
+      d0.map(x => x + 0.04f * rnd.nextGaussian().toFloat).toSeq
+    val corpus = (0 until 12).map(i => (i.toLong, around()))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val dir = tmp("ivfdelete")
+    val cents = Similarity.kmeansCentroids(corpus, nlist = 3, iters = 1)
+    Similarity.writeIvfIndex(corpus, dir, cents, multiAssign = 2)
+    val batch = Seq((100L, around())).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    assert(pairSet(Dedup.semanticNearDupAgainstIndex(spark, batch, dir,
+      threshold = 0.9)).exists(p => p._1 == 3L || p._2 == 3L))
+    Dedup.deleteFromIndex(spark, dir, Seq(3L).toDF("vec_id"))
+    assert(spark.read.parquet(s"$dir/cells")
+      .where($"vec_id" === 3L).count() === 0L) // every replica gone
+    val sem = pairSet(Dedup.semanticNearDupAgainstIndex(spark, batch,
+      dir, threshold = 0.9))
+    assert(!sem.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(sem.nonEmpty) // the rest of the cluster still pairs
+    val top = Similarity.ivfTopKIndexedSelf(spark, dir, batch, k = 12,
+      nprobe = 3, multiAssigned = true).collect()
+      .map(_.getLong(1)).toSet
+    assert(!top.contains(3L) && top.nonEmpty)
+  }
+
+  test("chunk index deletion is content-addressed: deleteFromIndex " +
+      "refuses, deleteFromChunkIndex retracts content, watermark and " +
+      "monotone-id check stand") {
+    val passage = "alpha beta gamma delta epsilon zeta eta theta"
+    val other = "one two three four five six seven eight nine ten"
+    val b1 = Seq((0L, passage), (1L, other)).toDF("doc_id", "text")
+    val dir = tmp("chdelete")
+    Dedup.writeChunkIndex(b1, dir, chunkTokens = 4, chunkBuckets = 8)
+    intercept[IllegalArgumentException] {
+      Dedup.deleteFromIndex(spark, dir, Seq(0L).toDF("doc_id"))
+    }
+    def rows(df: DataFrame) =
+      df.select($"doc_id", $"n_chunks", $"n_kept").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // before retraction: a batch duplicating doc 0's passage dedups
+    val b2 = Seq((10L, passage), (11L, other)).toDF("doc_id", "text")
+    assert(rows(Dedup.dedupChunksAgainstIndex(spark, b2, dir))
+      .forall(r => r._3 === 0))
+    // retract doc 0's content; doc 1's stays indexed
+    Dedup.deleteFromChunkIndex(spark, dir,
+      Seq((0L, passage)).toDF("doc_id", "text"))
+    val after = rows(Dedup.dedupChunksAgainstIndex(spark, b2, dir))
+    assert(after.exists(r => r._1 == 10L && r._3 === r._2)) // kept now
+    assert(after.exists(r => r._1 == 11L && r._3 === 0))    // still dedups
+    // the watermark did not move: ids at or below it stay rejected
+    assert(spark.read.parquet(s"$dir/params")
+      .head().getAs[Long]("max_doc_id") === 1L)
+    intercept[IllegalArgumentException] {
+      Dedup.dedupChunksAgainstIndex(spark, b1, dir).collect()
+    }
+  }
+}

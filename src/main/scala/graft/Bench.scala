@@ -160,19 +160,27 @@ object Bench {
       passes: Int = 5): (Seq[(String, List[Double])], Set[String]) = {
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
     val errors = scala.collection.mutable.SortedSet.empty[String]
-    for (_ <- 1 to passes; (name, fn) <- queries) {
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case _: Throwable => errors += name }
-      val dt = (System.nanoTime() - t0) / 1e9
-      times(name) = dt :: times.getOrElse(name, Nil)
-      // release the RDD blocks pinned by operators' localCheckpoint
-      // barriers: one-shot per query, but across 5 passes × every query
-      // they accumulate in the fixed driver heap and the mounting GC
-      // pressure inflates every LATER query's median (~35% measured;
-      // a full System.gc() here measured WORSE — let G1 pace itself).
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+    for (_ <- 1 to passes) {
+      // recycle the index-writing queries' scratch dirs OUTSIDE the
+      // timers: each of those queries overwrites its per-process index
+      // dir, and the overwrite's delete-old-part-files churn would
+      // otherwise run inside a later pass's timed region, drifting
+      // with inventory growth (r9 backlog #7)
+      SparkEntry.cleanIndexScratch()
+      for ((name, fn) <- queries) {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() }
+        catch { case _: Throwable => errors += name }
+        val dt = (System.nanoTime() - t0) / 1e9
+        times(name) = dt :: times.getOrElse(name, Nil)
+        // release the RDD blocks pinned by operators' localCheckpoint
+        // barriers: one-shot per query, but across 5 passes × every query
+        // they accumulate in the fixed driver heap and the mounting GC
+        // pressure inflates every LATER query's median (~35% measured;
+        // a full System.gc() here measured WORSE — let G1 pace itself).
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
     }
     (queries.map { case (name, _) => name -> times(name) }, errors.toSet)
   }

@@ -56,19 +56,32 @@ object SparkEntry {
     private val dirs =
       java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     private lazy val hook: Unit = Runtime.getRuntime.addShutdownHook(
-      new Thread(() => dirs.forEach { d =>
-        try {
-          val root = java.nio.file.Paths.get(d)
-          if (java.nio.file.Files.exists(root)) {
-            val walk = java.nio.file.Files.walk(root)
-            try walk.sorted(java.util.Comparator.reverseOrder())
-              .forEach(p => java.nio.file.Files.deleteIfExists(p))
-            finally walk.close()
-          }
-        } catch { case scala.util.control.NonFatal(_) => () }
-      }))
+      new Thread(() => clean()))
     def register(dir: String): Unit = { hook; dirs.add(dir) }
+    def clean(): Unit = dirs.forEach { d =>
+      try {
+        val root = java.nio.file.Paths.get(d)
+        if (java.nio.file.Files.exists(root)) {
+          val walk = java.nio.file.Files.walk(root)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
+
+  /** Delete every scratch dir the index-writing queries have registered
+    * (the q84/q85/q89/q90/q95–q98 index roots, the streaming
+    * stage/sentinel dirs), so the next bench pass's `mode = "overwrite"`
+    * index writes land on EMPTY paths. [[Bench]] calls this BETWEEN
+    * timing passes: the overwrite's delete-the-old-part-files churn
+    * otherwise executes inside a later pass's timers and drifts with
+    * inventory growth (the r9/r10 interleaved-number complaint).
+    * Registration survives a clean, so the end-of-JVM shutdown hook
+    * still sweeps whatever the final pass left behind.
+    */
+  def cleanIndexScratch(): Unit = IvfScratch.clean()
 
   /** The events table's `ts` has been written with parquet
     * TIMESTAMP(NANOS) by some generator versions (which Spark has no

@@ -74,3 +74,61 @@ object IncrBench {
     spark.stop()
   }
 }
+
+/** Dev-only measurement of the COMPOSED weekly-refresh lifecycle
+  * ([[Pipeline.refreshCorpus]]): bootstrap batch (the standing ~99% of
+  * the corpus — within-batch dedup + first index build) followed by a
+  * ~1% weekly batch (probe all three indexes + append + publish). The
+  * second number is the recurring weekly cost the composition exists
+  * for; feeds the docs/BENCH_SF1.md composed-refresh appendix.
+  *
+  * Bucket counts 64 (not the 256 production default): at sf0.1-sf1
+  * corpus sizes 256 near-empty partition dirs per family would make the
+  * bootstrap number mostly small-file IO (the q89 bench note); the
+  * probe-side pruning economics are unchanged.
+  */
+object RefreshBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+    // id-ordered split: refreshCorpus requires monotone ids across
+    // batches (the chunk watermark), so the batch is the TOP 1% of ids
+    val cut = docs.selectExpr("percentile(doc_id, 0.99)").head()
+      .getDouble(0).toLong
+    val standing = docs.where(col("doc_id") <= cut).localCheckpoint()
+    val weekly = docs.where(col("doc_id") > cut).localCheckpoint()
+    println(s"bootstrap=${standing.count()} weekly=${weekly.count()}")
+    val idxRoot = java.nio.file.Files
+      .createTempDirectory("refreshbench_idx").toString
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("refreshbench_corpus").toString
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$label%-12s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    def refresh(batch: DataFrame) =
+      Pipeline.refreshCorpus(spark, batch, idxRoot, corpusDir,
+        jaccardThreshold = 0.5, bandBuckets = 64, pieceBuckets = 64,
+        chunkBuckets = 64)
+    // warm the scan/JIT paths once
+    Dedup.nearDupPairs(weekly, threshold = 0.5).count()
+    val b1 = timed("bootstrap") { refresh(standing) }
+    val b2 = timed("weekly") { refresh(weekly) }
+    println(s"published bootstrap=${b1.report.head().getAs[Long]("n_published")} " +
+      s"weekly=${b2.report.head().getAs[Long]("n_published")} " +
+      s"weekly_pairs=${b2.report.head().getAs[Long]("n_dup_pairs")}")
+    spark.stop()
+  }
+}

@@ -1,10 +1,10 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Schemas
-import graft.operators.{DimRepair, RiskAggregation, StarSchema}
+import graft.operators.{Dedup, DimRepair, RiskAggregation, StarSchema}
 import graft.sources.{Sinks, Sources}
 
 /** The reference's full lifecycle (SURVEY.md §3) as one Spark job.
@@ -122,4 +122,216 @@ object Pipeline {
     }
     if (ddl.nonEmpty) Sinks.servingDdl(url, ddl, user, password)
   }
+
+  // ------------- extension-tier weekly refresh (the E3 cadence applied
+  // ------------- to the LLM-corpus index lifecycle)
+
+  /** What one [[refreshCorpus]] batch run leaves behind, as readable
+    * frames: the published (deduplicated, chunk-cleaned) batch, the
+    * one-row refresh report, and the duplicate-pair evidence behind the
+    * drops.
+    */
+  case class RefreshOutput(
+      published: DataFrame,
+      report: DataFrame,
+      dupPairs: DataFrame)
+
+  /** The composed weekly-refresh lifecycle for a document corpus — the
+    * extension-tier analog of [[RefDataMain.refresh]]'s E3 cadence
+    * (reference load_asn_ref_data.py:4-6: a small recurring job that
+    * folds the week's data in, leaving serving state consistent). One
+    * call processes ONE batch end-to-end:
+    *
+    *   1. PROBE: near-dup the batch within itself
+    *      ([[Dedup.nearDupPairs]], [[Dedup.hammingCandidates]]) and
+    *      against the standing indexes under `indexRoot`
+    *      ([[Dedup.nearDupAgainstIndex]],
+    *      [[Dedup.hammingCandidatesAgainstIndex]]) — index-side
+    *      signatures are NOT recomputed; probe IO is ∝ the batch's
+    *      bucket footprint. Docs in any duplicate cluster keep only
+    *      the cluster's canonical (min id — always the INDEXED doc
+    *      for cross pairs, because ids are monotone across batches);
+    *      then the survivors' texts are substring-deduplicated against
+    *      the standing chunk index ([[Dedup.dedupChunksAgainstIndex]];
+    *      within-batch [[Dedup.dedupChunks]] on the first batch).
+    *   2. PUBLISH: the duplicate-pair evidence and the cleaned
+    *      survivors land under `corpusDir` as
+    *      `pairs/batch_id=<maxId>` and `corpus/batch_id=<maxId>`
+    *      (staged write + atomic rename each — the reference's
+    *      staging-table swap, main.py:345-347). The corpus rename is
+    *      the probe-stage commit point.
+    *   3. APPEND: the survivors' ORIGINAL rows fold into all three
+    *      text index families (`mode = "append"`; the first batch
+    *      creates them). Original, not cleaned, text: the minhash /
+    *      simhash signature of a published doc must describe the doc
+    *      as ingested, and the chunk index must hold every chunk the
+    *      full-run first-occurrence rule attributes to it.
+    *   4. REPORT: a one-row summary lands LAST under
+    *      `reports/batch_id=<maxId>` — the batch's completion marker.
+    *
+    * Crash recovery — re-run the SAME call, it resumes from the
+    * completed stage: report present → the batch is fully folded in,
+    * the run is a read-back no-op; corpus partition present but report
+    * absent → probes are skipped (re-probing after a partial append
+    * would see the batch's own rows) and the appends re-run — each is
+    * idempotent at the documented duplicate-row price
+    * ([[Dedup.compactIndex]] re-distincts); neither present → full
+    * run, the staged writes overwrite any half-published leftovers.
+    *
+    * Contracts inherited from the index families, enforced there: ids
+    * monotone across batches (batch min above the chunk watermark —
+    * [[Dedup.dedupChunksAgainstIndex]] refuses otherwise), single
+    * writer per index, and the SAME signature parameters on every call
+    * against one `indexRoot` (appends refuse a mismatch).
+    *
+    * Scale: every stage is the already-proven operator — no new plan
+    * shapes. The one composition-level cost is the corpus read-back
+    * for the append stage (one column, one partition dir); at 100 TB
+    * the batch, not the standing corpus, bounds all probe and append
+    * work, and [[Dedup.compactIndex]] + [[Dedup.deleteFromIndex]] are
+    * the season-scale maintenance passes between refreshes.
+    *
+    * @param batch this week's documents — `doc_id` (globally unique,
+    *              above every previous batch), `text`, plus any
+    *              metadata columns (published unchanged)
+    * @param indexRoot standing indexes: `minhash/`, `hamming/`,
+    *              `chunk/` (created on first call)
+    * @param corpusDir published corpus root: `corpus/`, `pairs/`,
+    *              `reports/`, each partitioned by `batch_id` — read
+    *              the whole corpus back with
+    *              `spark.read.parquet(s"$corpusDir/corpus")`
+    */
+  def refreshCorpus(spark: SparkSession, batch: DataFrame,
+      indexRoot: String, corpusDir: String,
+      jaccardThreshold: Double = 0.7,
+      maxHamming: Int = 3,
+      chunkTokens: Int = 50,
+      bandBuckets: Int = 256,
+      pieceBuckets: Int = 256,
+      chunkBuckets: Int = 256): RefreshOutput = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(corpusDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def exists(p: String): Boolean = fs.exists(new Path(p))
+
+    val idRange = batch.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    require(!idRange.isNullAt(1),
+      "refreshCorpus: empty batch — nothing to fold in")
+    val (minId, maxId) = (idRange.getLong(0), idRange.getLong(1))
+
+    val minhashDir = s"$indexRoot/minhash"
+    val hammingDir = s"$indexRoot/hamming"
+    val chunkDir = s"$indexRoot/chunk"
+    val corpusPart = s"$corpusDir/corpus/batch_id=$maxId"
+    val pairsPart = s"$corpusDir/pairs/batch_id=$maxId"
+    val reportPart = s"$corpusDir/reports/batch_id=$maxId"
+
+    // staged write + atomic rename: a direct overwrite to the final
+    // path is not atomic (task files move in one by one), so a crash
+    // could leave a partial partition that a recovery run would
+    // mistake for a commit
+    def stagedWrite(df: DataFrame, dest: String): Unit = {
+      val tmp = new Path(dest + "__stage")
+      val destP = new Path(dest)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      df.write.mode("overwrite").parquet(tmp.toString)
+      if (fs.exists(destP)) fs.delete(destP, true)
+      fs.mkdirs(destP.getParent)
+      require(fs.rename(tmp, destP), s"rename $tmp -> $destP failed")
+    }
+
+    def readBack(): RefreshOutput = RefreshOutput(
+      spark.read.parquet(corpusPart),
+      spark.read.parquet(reportPart),
+      spark.read.parquet(pairsPart))
+
+    if (exists(reportPart)) return readBack()
+
+    val persisted = batch
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val doc = persisted.select(col("doc_id"), col("text"))
+      if (!exists(corpusPart)) {
+        // ---- probe: within-batch ∪ against-index duplicate pairs
+        val score = (family: String, c: Column) => Seq(
+          lit(family).as("family"), c.cast("double").as("score"))
+        def pairsOf(df: DataFrame, family: String, c: String) =
+          df.select(col("id_a") +: col("id_b") +: score(family, col(c)): _*)
+        var pairs = pairsOf(
+          Dedup.nearDupPairs(doc, jaccardThreshold), "jaccard", "jaccard")
+        val sigs = Dedup.simhash(doc)
+        pairs = pairs.unionByName(pairsOf(
+          Dedup.hammingCandidates(sigs, maxHamming), "hamming", "hamming"))
+        if (exists(s"$minhashDir/params"))
+          pairs = pairs.unionByName(pairsOf(
+            Dedup.nearDupAgainstIndex(spark, doc, minhashDir,
+              jaccardThreshold), "jaccard", "jaccard"))
+        if (exists(s"$hammingDir/params"))
+          pairs = pairs.unionByName(pairsOf(
+            Dedup.hammingCandidatesAgainstIndex(spark, sigs, hammingDir),
+            "hamming", "hamming"))
+        val allPairs = pairs.distinct()
+
+        // ---- document-level drops: keep each duplicate cluster's
+        // canonical min id — for a cross pair that is the indexed
+        // (already published) doc, so the batch member drops
+        val survivors = Dedup.dedupByClusters(doc, allPairs)
+
+        // ---- substring-level cleanup of the survivors' text
+        val cleaned =
+          if (exists(s"$chunkDir/params"))
+            Dedup.dedupChunksAgainstIndex(spark, survivors, chunkDir)
+          else Dedup.dedupChunks(survivors, chunkTokens)
+
+        // metadata columns ride along unchanged; text is the cleaned one
+        val published = persisted.drop("text")
+          .join(cleaned.select(col("doc_id"), col("text"),
+            col("n_chunks"), col("n_kept")), Seq("doc_id"))
+        stagedWrite(allPairs, pairsPart)
+        stagedWrite(published, corpusPart) // the probe-stage commit
+      }
+
+      // ---- append: survivors' ORIGINAL rows into all three families
+      val survOrig = doc.join(
+        spark.read.parquet(corpusPart).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      def mode(d: String) = if (exists(s"$d/params")) "append"
+        else "overwrite"
+      Dedup.writeMinhashIndex(survOrig, minhashDir,
+        bandBuckets = bandBuckets, mode = mode(minhashDir))
+      Dedup.writeHammingIndex(Dedup.simhash(survOrig), hammingDir,
+        maxHamming = maxHamming, pieceBuckets = pieceBuckets,
+        mode = mode(hammingDir))
+      Dedup.writeChunkIndex(survOrig, chunkDir,
+        chunkTokens = chunkTokens, chunkBuckets = chunkBuckets,
+        mode = mode(chunkDir))
+
+      // ---- report last: the completion marker (counts re-derivable
+      // on a recovery run because they come from the published
+      // artifacts, not probe-stage state)
+      val pub = spark.read.parquet(corpusPart)
+      val chunkAgg = pub.agg(
+        coalesce(sum(col("n_chunks")), lit(0L)).as("c"),
+        coalesce(sum(col("n_kept")), lit(0L)).as("k")).head()
+      val nBatch = persisted.count()
+      val nPublished = pub.count()
+      import spark.implicits._
+      val report = Seq((minId, maxId, nBatch,
+          spark.read.parquet(pairsPart).count(),
+          nBatch - nPublished, nPublished,
+          chunkAgg.getLong(0), chunkAgg.getLong(1)))
+        .toDF("batch_min_id", "batch_max_id", "n_batch", "n_dup_pairs",
+          "n_dropped", "n_published", "n_chunks", "n_chunks_kept")
+      stagedWrite(report, reportPart)
+    } finally persisted.unpersist()
+    readBack()
+  }
+
+  /** [[refreshCorpus]] over a parquet batch directory — the
+    * `(batchDir, indexRoot)` entry shape for a scheduler to call
+    * weekly. */
+  def refreshCorpus(spark: SparkSession, batchDir: String,
+      indexRoot: String, corpusDir: String): RefreshOutput =
+    refreshCorpus(spark, spark.read.parquet(batchDir), indexRoot,
+      corpusDir)
 }

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.Dedup
+
+/** The composed weekly-refresh lifecycle ([[Pipeline.refreshCorpus]]):
+  * two consecutive batches end-to-end against one index root, the
+  * three-state crash recovery, and the monotone-id refusal.
+  */
+class CorpusRefreshSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+
+  // 4-token-grid chunking throughout: short docs stay multi-chunk
+  private def run(batch: DataFrame, idxRoot: String, corpusDir: String) =
+    Pipeline.refreshCorpus(spark, batch, idxRoot, corpusDir,
+      jaccardThreshold = 0.5, maxHamming = 3, chunkTokens = 4,
+      bandBuckets = 8, pieceBuckets = 8, chunkBuckets = 8)
+
+  private val passage = "alpha beta gamma delta"
+  private val doc0 = "the quick brown fox jumps over the lazy dog and " +
+    "then runs far away into the deep dark forest tonight"
+
+  test("two consecutive batches: within-batch and cross-batch doc drops, " +
+      "chunk-level cleanup against the standing index, metadata survives, " +
+      "report rows add up") {
+    val idxRoot = tmp("refresh_idx")
+    val corpusDir = tmp("refresh_corpus")
+
+    val batch1 = Seq(
+      (0L, doc0, "en"),
+      (1L, doc0.replace("tonight", "today"), "en"), // near-dup of 0
+      (2L, s"$passage epsilon zeta eta theta", "el"),
+      (3L, "completely different words about spark query engines and " +
+        "distributed joins running on large clusters", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out1 = run(batch1, idxRoot, corpusDir)
+
+    val pub1 = out1.published.select($"doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(pub1 === Set(0L, 2L, 3L)) // 1 dropped as 0's near-dup
+    val r1 = out1.report.head()
+    assert(r1.getAs[Long]("n_batch") === 4L)
+    assert(r1.getAs[Long]("n_dropped") === 1L)
+    assert(r1.getAs[Long]("n_published") === 3L)
+    assert(r1.getAs[Long]("batch_max_id") === 3L)
+    // metadata column rode along
+    assert(out1.published.columns.contains("lang"))
+    // all three index families came into being
+    for (f <- Seq("minhash", "hamming", "chunk"))
+      assert(new java.io.File(s"$idxRoot/$f/params").exists(), f)
+
+    val batch2 = Seq(
+      (10L, doc0, "en"), // exact dup of indexed doc 0 → dropped
+      // shares doc 2's grid-aligned passage → kept, but cleaned
+      (11L, s"$passage one two three four five six seven eight nine " +
+        "ten eleven twelve", "en"),
+      (12L, "entirely novel content discussing minhash banding buckets " +
+        "and locality sensitive hashing methods", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out2 = run(batch2, idxRoot, corpusDir)
+
+    val pub2 = out2.published.select($"doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(pub2 === Set(11L, 12L))
+    // the cross pair names the INDEXED doc as the kept canonical side
+    val dupIds = out2.dupPairs.select($"id_a", $"id_b").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(dupIds.contains(0L) && dupIds.contains(10L))
+    // doc 11 lost its indexed passage chunk but kept the rest
+    val d11 = out2.published.where($"doc_id" === 11L).head()
+    assert(d11.getAs[Int]("n_kept") < d11.getAs[Int]("n_chunks"))
+    assert(!d11.getAs[String]("text").contains("alpha"))
+    assert(d11.getAs[String]("text").contains("twelve"))
+    // doc 12 untouched
+    val d12 = out2.published.where($"doc_id" === 12L).head()
+    assert(d12.getAs[Int]("n_kept") === d12.getAs[Int]("n_chunks"))
+
+    // the whole published corpus reads back as one partitioned dataset
+    val corpus = spark.read.parquet(s"$corpusDir/corpus")
+    assert(corpus.columns.contains("batch_id"))
+    assert(corpus.count() === 5L)
+    // and the reports ledger has one row per batch
+    assert(spark.read.parquet(s"$corpusDir/reports").count() === 2L)
+  }
+
+  test("re-running a fully committed batch is a read-back no-op; a crash " +
+      "between corpus commit and report resumes by re-appending only, " +
+      "and compactIndex clears the recovery's duplicate rows") {
+    val idxRoot = tmp("recover_idx")
+    val corpusDir = tmp("recover_corpus")
+    val batch1 = Seq(
+      (0L, doc0, "en"),
+      (1L, s"$passage epsilon zeta eta theta", "el"))
+      .toDF("doc_id", "text", "lang")
+    run(batch1, idxRoot, corpusDir)
+    val bands = () => spark.read.parquet(s"$idxRoot/minhash/bands")
+
+    // fully committed → the second run must not append again
+    val nBands = bands().count()
+    val again = run(batch1, idxRoot, corpusDir)
+    assert(bands().count() === nBands)
+    assert(again.published.count() === 2L)
+
+    // simulate a crash after the corpus commit but before the report:
+    // the completion marker vanishes, the published partition stands
+    val reportPart = new java.io.File(s"$corpusDir/reports/batch_id=1")
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete()
+    }
+    rmTree(reportPart)
+    val recovered = run(batch1, idxRoot, corpusDir)
+    assert(reportPart.exists()) // the marker is back
+    assert(recovered.published.select($"doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(0L, 1L))
+    // the re-append left duplicate rows (the documented price)...
+    assert(bands().count() === 2 * nBands)
+    // ...and compaction restores the single-copy layout without
+    // changing what a later batch sees
+    Dedup.compactIndex(spark, s"$idxRoot/minhash")
+    assert(bands().count() === nBands)
+  }
+
+  test("a batch below the chunk watermark is refused before anything " +
+      "is published") {
+    val idxRoot = tmp("monotone_idx")
+    val corpusDir = tmp("monotone_corpus")
+    run(Seq((0L, doc0, "en"), (5L, s"$passage epsilon zeta", "el"))
+      .toDF("doc_id", "text", "lang"), idxRoot, corpusDir)
+    val stale = Seq((3L, "ids must be monotone across weekly batches",
+      "en")).toDF("doc_id", "text", "lang")
+    intercept[IllegalArgumentException] {
+      run(stale, idxRoot, corpusDir)
+    }
+    // nothing from the refused batch landed
+    assert(!new java.io.File(s"$corpusDir/corpus/batch_id=3").exists())
+    assert(spark.read.parquet(s"$corpusDir/reports").count() === 1L)
+  }
+
+  test("an empty batch is refused") {
+    intercept[IllegalArgumentException] {
+      run(Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang"),
+        tmp("empty_idx"), tmp("empty_corpus"))
+    }
+  }
+}

@@ -93,7 +93,15 @@ object SparkEntry {
     * truncation, window, and oracle compare sees the same column no
     * matter which writer produced the file.
     */
-  private def normalizeTs(raw: DataFrame): DataFrame =
+  private def normalizeTs(raw: DataFrame): DataFrame = {
+    // both branches are UTC-dependent (timestamp_micros interprets a
+    // UTC epoch; the NTZ cast is micros-identity only under a UTC
+    // session) — a session missing the conf would silently shift every
+    // downstream day truncation, so refuse it loudly instead
+    val tz = raw.sparkSession.conf.get("spark.sql.session.timeZone", "")
+    require(tz == "UTC",
+      s"events normalization needs spark.sql.session.timeZone=UTC " +
+        s"(got '$tz') — set it in the session builder")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         // integer division — a double `/` would lose precision on ns epochs
@@ -103,6 +111,7 @@ object SparkEntry {
           col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
+  }
 
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -148,9 +157,11 @@ object SparkEntry {
   private def streamingFlagshipRun(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Path, Paths, StandardCopyOption}
     val raw = s.read.parquet(s"$dir/events.parquet")
+    // kept ONLY for the sentinel-encoding match below; normalization
+    // itself is [[normalizeTs]]'s own dispatch
     val tsType = raw.schema("ts").dataType
-    def tsFix(df: DataFrame): DataFrame = normalizeTs(df)
-    val maxTs = tsFix(raw).agg(max(col("ts"))).head().getTimestamp(0)
+    val maxTs = normalizeTs(raw).agg(max(col("ts"))).head()
+      .getTimestamp(0)
     val n = StreamScratch.seq.incrementAndGet()
     // ONE staging dir per (sf dir, process): contents are deterministic,
     // so later calls just re-copy the same bytes (REPLACE_EXISTING); the
@@ -205,7 +216,7 @@ object SparkEntry {
     }
     sentinel("zz1.parquet", 400)
     sentinel("zz2.parquet", 800)
-    val stream = tsFix(
+    val stream = normalizeTs(
       s.readStream.schema(raw.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(stage.toString))
@@ -1129,6 +1140,16 @@ object SparkEntry {
       Multimodal.audioMetadata(
         Multimodal.mediaFromDocuments(t(s, dir, "documents")))
         .orderBy(col("media_id").asc)),
+    // video container metadata (MP4 moov/mvhd walk): the document-backed
+    // payloads are all non-MP4, so every row takes the deterministic
+    // fallback arithmetic — which is exactly what makes the entry
+    // ORACLE-checked (q94's contract for the audio modality); the REAL
+    // parse path is spec-proven on in-test generated MP4 boxes
+    // (VideoMetaSpec), the same division of proof as WAV/imageio
+    "q99_video_meta" -> ((s, dir) =>
+      Multimodal.videoMetadata(
+        Multimodal.mediaFromDocuments(t(s, dir, "documents")))
+        .orderBy(col("media_id").asc)),
     // ---- streaming tier: the flagship as a driver-gated entry ----
     // a REAL Structured Streaming run (file source, available-now,
     // watermark + append) whose emitted windows must hash-match the
@@ -1589,6 +1610,17 @@ object SparkEntry {
           |  CAST(n % 2 + 1 AS INT) AS channels,
           |  CAST(n * 4 AS BIGINT) AS n_frames,
           |  CAST(n * 4 AS DOUBLE) / (8000 + n % 40000) AS duration_s,
+          |  false AS decoded_real
+          |FROM (SELECT doc_id,
+          |        octet_length(encode(coalesce(text, ''))) AS n
+          |      FROM documents) t
+          |ORDER BY media_id""".stripMargin,
+      // same deterministic-fallback contract as q94: every documents-
+      // backed payload is non-MP4, so the fake arithmetic IS the result
+      "q99_video_meta" ->
+        """SELECT doc_id AS media_id,
+          |  CAST(n % 30 + 1 AS DOUBLE) / 25.0 AS duration_s,
+          |  CAST(n % 3 + 1 AS INT) AS n_tracks,
           |  false AS decoded_real
           |FROM (SELECT doc_id,
           |        octet_length(encode(coalesce(text, ''))) AS n

@@ -12,9 +12,12 @@ import org.apache.spark.sql.types._
   * JDK ships readers for ([[ImageCodec]], `javax.imageio` — dimensions,
   * luminance features, perceptual dHash all from true pixels); AUDIO
   * metadata is REAL for WAV ([[AudioCodec]], `javax.sound.sampled` header
-  * parse — sample rate, channels, frames, duration); VIDEO frame counts
-  * remain the deterministic [[FakeCodec]] stand-in (no JDK video codec
-  * exists). Every decoded row carries a `decoded_real` provenance flag so
+  * parse — sample rate, channels, frames, duration); VIDEO container
+  * metadata is REAL for MP4 ([[VideoCodec]], a dependency-free ISO
+  * BMFF box walk — duration from `moov/mvhd`, track count from `trak`
+  * boxes), while per-frame counts/decodes remain the deterministic
+  * [[FakeCodec]] stand-in (the JDK ships no video pixel codec). Every
+  * decoded row carries a `decoded_real` provenance flag so
   * downstream can tell which codec produced it — fake values never
   * masquerade as decoded ones.
   *
@@ -88,6 +91,15 @@ object Multimodal {
       val rate = 8000 + n % 40000
       val frames = n.toLong * 4
       (rate, n % 2 + 1, frames, frames.toDouble / rate)
+    }
+
+    /** "Video metadata": deterministic fake (duration s, track count)
+      * from the byte count — the stand-in for payloads [[VideoCodec]]
+      * does not claim. Duration reuses [[decode]]'s fake frame count at
+      * a nominal 25 fps so the two fake surfaces agree. */
+    def videoMeta(payload: Array[Byte]): (Double, Int) = {
+      val n = payload.length
+      ((n % 30 + 1) / 25.0, n % 3 + 1)
     }
   }
 
@@ -276,6 +288,91 @@ object Multimodal {
     }
   }
 
+  /** REAL video container metadata for MP4-family payloads (ISO BMFF —
+    * MP4, M4V, MOV share the box layout) with zero dependencies: walk
+    * the length-prefixed box tree, read duration/timescale from
+    * `moov/mvhd` (version 0 and 1 layouts) and count `trak` children.
+    * No JDK video PIXEL codec exists, so this is deliberately
+    * container-level only — the honest boundary: real duration + track
+    * count, no fake frame decode claiming to be real. Non-MP4 or
+    * malformed payloads (bad box sizes, missing/truncated `mvhd`, zero
+    * timescale) fall back to [[FakeCodec]], the same
+    * sniff-then-fallback contract as [[ImageCodec]]/[[AudioCodec]].
+    */
+  object VideoCodec {
+    /** ISO BMFF sniff: the first box is `ftyp` (its 4-byte type sits at
+      * offset 4, after the 4-byte size). */
+    private def looksLikeMp4(p: Array[Byte]): Boolean =
+      p.length >= 12 && p(4) == 'f' && p(5) == 't' && p(6) == 'y' &&
+        p(7) == 'p'
+
+    private def u32(p: Array[Byte], off: Int): Long =
+      ((p(off) & 0xffL) << 24) | ((p(off + 1) & 0xffL) << 16) |
+        ((p(off + 2) & 0xffL) << 8) | (p(off + 3) & 0xffL)
+
+    private def u64(p: Array[Byte], off: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < 8) { v = (v << 8) | (p(off + i) & 0xffL); i += 1 }
+      v
+    }
+
+    /** The child boxes of [start, end) as (type, payloadStart,
+      * payloadEnd), or None on ANY malformed size field — a container
+      * whose accounting is broken gets no partial answer. Handles the
+      * 64-bit `size == 1` largesize and the `size == 0` to-end forms.
+      */
+    private def children(p: Array[Byte], start: Int, end: Int)
+        : Option[List[(String, Int, Int)]] = {
+      val out = List.newBuilder[(String, Int, Int)]
+      var off = start
+      while (off < end) {
+        if (end - off < 8) return None
+        var size = u32(p, off)
+        var hdr = 8
+        if (size == 1L) {
+          if (end - off < 16) return None
+          size = u64(p, off + 8)
+          hdr = 16
+        } else if (size == 0L) size = (end - off).toLong
+        if (size < hdr || off.toLong + size > end) return None
+        out += ((new String(p, off + 4, 4, "ISO-8859-1"),
+          off + hdr, off + size.toInt))
+        off += size.toInt
+      }
+      Some(out.result())
+    }
+
+    /** (duration_s, n_tracks) from the `moov` box, or None when the
+      * payload is not parseable ISO BMFF. */
+    def decodeMeta(payload: Array[Byte]): Option[(Double, Int)] = {
+      if (!looksLikeMp4(payload)) return None
+      try {
+        for {
+          top <- children(payload, 0, payload.length)
+          (_, ms, me) <- top.find(_._1 == "moov")
+          kids <- children(payload, ms, me)
+          (_, ps, pe) <- kids.find(_._1 == "mvhd")
+          duration <- {
+            // mvhd payload: version(1) flags(3), then v0 creation(4)
+            // modification(4) timescale(4) duration(4); v1 widens the
+            // three time fields to 8 bytes
+            val v = payload(ps) & 0xff
+            if (v == 0 && pe - ps >= 20) {
+              val ts = u32(payload, ps + 12)
+              if (ts > 0) Some(u32(payload, ps + 16).toDouble / ts)
+              else None
+            } else if (v == 1 && pe - ps >= 32) {
+              val ts = u32(payload, ps + 20)
+              if (ts > 0) Some(u64(payload, ps + 24).toDouble / ts)
+              else None
+            } else None
+          }
+        } yield (duration, kids.count(_._1 == "trak"))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
   val decodedSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),
     StructField("width", IntegerType),
@@ -344,6 +441,37 @@ object Multimodal {
             case None =>
               val (rate, ch, frames, dur) = FakeCodec.audioMeta(payload)
               Row(id, rate, ch, frames, dur, false)
+          }
+        }
+      }(enc)
+  }
+
+  val videoMetaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("duration_s", DoubleType),
+    StructField("n_tracks", IntegerType),
+    StructField("decoded_real", BooleanType)))
+
+  /** Video container metadata, batched per partition: REAL
+    * `moov`/`mvhd`-parsed duration and track count for MP4-family
+    * payloads ([[VideoCodec]]), deterministic [[FakeCodec]] stand-ins
+    * otherwise, with the same `decoded_real` provenance contract as
+    * [[decodeAndFeaturize]]/[[audioMetadata]]. Map-only, fixed output
+    * schema.
+    */
+  def videoMetadata(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(videoMetaSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = Option(r.getAs[Array[Byte]](1))
+            .getOrElse(Array.emptyByteArray)
+          VideoCodec.decodeMeta(payload) match {
+            case Some((dur, tracks)) => Row(id, dur, tracks, true)
+            case None =>
+              val (dur, tracks) = FakeCodec.videoMeta(payload)
+              Row(id, dur, tracks, false)
           }
         }
       }(enc)

@@ -628,6 +628,15 @@ object Dedup {
     *
     * The grid flavor; [[writeChunkIndexCDC]] indexes under the
     * offset-robust content-defined rule.
+    *
+    * SIZING `chunkBuckets`: the probe prunes to the buckets named by
+    * the batch's DISTINCT chunk hashes (`bucket = xxhash64(md5) %
+    * chunkBuckets`), so pruning pays while that count sits well below
+    * `chunkBuckets` — for typical 50-token chunks a batch of B docs
+    * names roughly `B × tokens/50` buckets. The trade is the same as
+    * [[writeMinhashIndex]]'s (which carries the measured sf1 example):
+    * more buckets → finer pruning but more per-append files;
+    * [[compactIndex]] repacks to one file per bucket between seasons.
     */
   def writeChunkIndex(docs: DataFrame, dir: String, chunkTokens: Int = 50,
       chunkBuckets: Int = 256, mode: String = "overwrite"): Unit =
@@ -831,6 +840,13 @@ object Dedup {
     * radius ≤ `maxHamming`, so probes may filter to any SMALLER radius
     * but can never exceed it ([[hammingCandidatesAgainstIndex]] enforces
     * this loudly). `mode = "append"` folds a processed batch in.
+    *
+    * SIZING `pieceBuckets`: a batch of S signatures emits
+    * `S × (maxHamming + 1)` piece rows, each naming one bucket — the
+    * probe prunes to those, so pruning pays while that product sits
+    * well below `pieceBuckets`. Same file-count trade as
+    * [[writeMinhashIndex]] (which carries the measured sf1 example);
+    * [[compactIndex]] repacks appends to one file per bucket.
     */
   def writeHammingIndex(sigsIn: DataFrame, dir: String,
       maxHamming: Int = 10, pieceBuckets: Int = 256,
@@ -857,7 +873,9 @@ object Dedup {
     }
   }
 
-  private def readHammingIndexParams(spark: SparkSession,
+  // private[graft]: the streaming bridge reads the stored radius/bucket
+  // params so its probe and append run under the index's own geometry
+  private[graft] def readHammingIndexParams(spark: SparkSession,
       dir: String): (Int, Int) = {
     val r = spark.read.parquet(s"$dir/params").head()
     (r.getAs[Int]("max_hamming"), r.getAs[Int]("piece_buckets"))
@@ -1111,32 +1129,6 @@ object Dedup {
 
   // ---------------------------- persisted minhash index (incremental dedup)
 
-  /** Materialize the corpus' near-dup signatures as an on-disk index under
-    * `dir` — the [[Similarity.writeIvfIndex]] pattern applied to text
-    * near-dup, for the weekly-refresh regime: index the corpus ONCE, then
-    * dedup each NEW batch against the index ([[nearDupAgainstIndex]]) and
-    * fold the batch in (`mode = "append"`), instead of recomputing every
-    * signature corpus-wide per batch. Layout:
-    *
-    *   - `bands/`: (doc_id, band_id, band_hash) parquet PARTITIONED BY
-    *     `bucket = pmod(band_hash, bandBuckets)` — the candidate-join
-    *     side. A probe keys on the partition column, so a small batch's
-    *     scan reads only the bucket partitions it actually names
-    *     (dynamic partition pruning, PlanSpec-pinned).
-    *   - `shingles/`: (doc_id, sh) sorted distinct shingle hashes — the
-    *     exact-verify side, read only for docs in a candidate pair.
-    *   - `params/`: ONE row of signature parameters. Probes read these
-    *     back instead of trusting caller arguments: signatures computed
-    *     under different (shingle words, hashes, bands, buckets) are
-    *     incomparable, and a silent mismatch would yield garbage
-    *     candidates instead of an error. Deleted FIRST and written LAST
-    *     on overwrite, so a crash anywhere mid-write leaves an index
-    *     probes refuse (no params) rather than one that half-answers —
-    *     stale params can never vouch for new data.
-    *
-    * Doc ids must be globally unique across indexed and probed batches —
-    * the contract every pair surface here already assumes.
-    */
   /** Shared write discipline for the three on-disk index families
     * (minhash bands, chunk hashes, Hamming pieces): validate the mode,
     * run the append-compatibility check, invalidate stale params FIRST
@@ -1193,6 +1185,52 @@ object Dedup {
     StructField("q", IntegerType), StructField("qh", LongType),
     StructField("bucket", IntegerType)))
 
+  /** Materialize the corpus' near-dup signatures as an on-disk index under
+    * `dir` — the [[Similarity.writeIvfIndex]] pattern applied to text
+    * near-dup, for the weekly-refresh regime: index the corpus ONCE, then
+    * dedup each NEW batch against the index ([[nearDupAgainstIndex]]) and
+    * fold the batch in (`mode = "append"`), instead of recomputing every
+    * signature corpus-wide per batch. Layout:
+    *
+    *   - `bands/`: (doc_id, band_id, band_hash) parquet PARTITIONED BY
+    *     `bucket = pmod(band_hash, bandBuckets)` — the candidate-join
+    *     side. A probe keys on the partition column, so a small batch's
+    *     scan reads only the bucket partitions it actually names
+    *     (dynamic partition pruning, PlanSpec-pinned).
+    *   - `shingles/`: (doc_id, sh) sorted distinct shingle hashes — the
+    *     exact-verify side, read only for docs in a candidate pair.
+    *   - `params/`: ONE row of signature parameters. Probes read these
+    *     back instead of trusting caller arguments: signatures computed
+    *     under different (shingle words, hashes, bands, buckets) are
+    *     incomparable, and a silent mismatch would yield garbage
+    *     candidates instead of an error. Deleted FIRST and written LAST
+    *     on overwrite, so a crash anywhere mid-write leaves an index
+    *     probes refuse (no params) rather than one that half-answers —
+    *     stale params can never vouch for new data
+    *     ([[writeIndexScaffold]], the discipline all families share).
+    *
+    * Doc ids must be globally unique across indexed and probed batches —
+    * the contract every pair surface here already assumes.
+    *
+    * SIZING `bandBuckets` — when does the pruned probe pay? A probe
+    * scan partition-prunes to the batch's DISTINCT band buckets, so
+    * pruning pays exactly when `batch docs × bands` (the batch's band
+    * rows, each naming one bucket) is comfortably below `bandBuckets`;
+    * past that point every bucket is named and the probe reads the
+    * whole index once regardless. Measured at sf1
+    * (docs/BENCH_SF1.md, round-9 appendix): a 520-doc batch × 8 bands
+    * hits all 256 default buckets — zero pruning, the 6.7 s probe is
+    * still 1.7× under the full re-run purely on compute, and a
+    * 10×-smaller batch (or `bandBuckets = 4096`) reads
+    * proportionally less. The ceiling: each append lays up to one
+    * file per named bucket, so buckets far above the per-batch band
+    * count buy pruning at small-file-write cost ([[compactIndex]]
+    * repacks, but between compactions probe IO is file-count-bound —
+    * the q89 bench runs 32 buckets at test scale for exactly this
+    * reason). Rule of thumb: `bandBuckets` ≈ a few × the LARGEST
+    * expected batch's `docs × bands`, then let compaction own the
+    * long tail.
+    */
   def writeMinhashIndex(docs: DataFrame, dir: String,
       numShingleWords: Int = 3, numHashes: Int = 32, bands: Int = 8,
       bandBuckets: Int = 256, mode: String = "overwrite"): Unit = {

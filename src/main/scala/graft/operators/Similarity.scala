@@ -550,6 +550,18 @@ object Similarity {
     * LAST, so a crash anywhere mid-write leaves an index the
     * self-describing probes refuse (missing centroids/params) — never
     * stale geometry silently vouching for new cells.
+    *
+    * SIZING `nlist` (the centroid count = cell-partition count): a
+    * top-k probe reads `nprobe / nlist` of the index, and a
+    * [[graft.operators.Dedup.semanticNearDupAgainstIndex]] batch
+    * probe reads the batch's `≤ batch × multiAssign` DISTINCT cells —
+    * both pay while those counts sit well below `nlist`. Against that,
+    * within-cell work grows as `(corpus / nlist)²` for pair scoring,
+    * so nlist must GROW with the corpus to hold cell populations
+    * constant (the docs/BENCH_SF1.md q75 note: a fixed nlist=64 over a
+    * 10× corpus made pair output ~quadratic — documented contract, not
+    * a defect). Same per-append file-count ceiling as the dedup
+    * families ([[graft.operators.Dedup.compactIndex]] repacks).
     */
   def writeIvfIndex(corpus: DataFrame, dir: String,
       centroids: Array[(Int, Array[Float])],

@@ -61,4 +61,85 @@ object StreamingAgg {
       .withColumn("fingerprint",
         md5(graft.operators.Dedup.normalized(col("text"))))
       .dropDuplicatesWithinWatermark("fingerprint")
+
+  /** Streaming incremental PERCEPTUAL dedup against a persisted image
+    * index ([[graft.operators.Multimodal.writeImageIndex]] — the Hamming
+    * layout): exact byte duplicates collapse in-stream via
+    * `dropDuplicatesWithinWatermark` on the payload fingerprint (state
+    * bounded by the watermark horizon), then each micro-batch probes the
+    * STANDING index in `foreachBatch` — a batch item whose dHash lands
+    * within the index's stored radius of an indexed signature drops
+    * (index wins, the [[graft.Pipeline.refreshCorpus]] rule); remaining
+    * within-batch near-dup clusters keep their min-id canonical; and,
+    * with `appendSurvivors`, the survivors' signatures fold into the
+    * index under its STORED radius/bucket params before `sink` sees the
+    * batch — so a re-encoded duplicate arriving in a LATER micro-batch
+    * is dropped by the index its original joined mid-stream.
+    *
+    * Why `foreachBatch` and not a streaming join: the probe is a batch
+    * join against on-disk parquet (partition-pruned, the q97 plan
+    * shape), and the index append is a transactional side effect no
+    * streaming sink expresses — `foreachBatch` hands each micro-batch
+    * over as a batch frame where both are ordinary proven operators.
+    * Crash contract: a failed micro-batch re-runs, and the re-append is
+    * the index families' documented idempotent-at-duplicate-row-price
+    * retry ([[graft.operators.Dedup.compactIndex]] re-distincts).
+    *
+    * The index must exist (create it with `writeImageIndex`, over an
+    * empty frame for a cold start — probes on an empty index return no
+    * pairs). Cross-drop is DIRECT near-dup only: a batch item dropped
+    * for pairing with the index does not transitively drop its
+    * within-batch partners (they drop only via their own pairs) — the
+    * greedy scope every incremental regime here shares.
+    *
+    * Input needs (ts, media_id, payload); `sink` receives each
+    * micro-batch's surviving rows (original columns, fingerprint
+    * removed) with the micro-batch id.
+    */
+  def dedupMediaStreamAgainstIndex(media: DataFrame, indexDir: String,
+      horizon: String = "1 hour", appendSurvivors: Boolean = true)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] = {
+    import graft.operators.{Barriers, Dedup, Multimodal}
+    media
+      .withWatermark("ts", horizon)
+      .withColumn("fingerprint", md5(col("payload")))
+      .dropDuplicatesWithinWatermark("fingerprint")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.drop("fingerprint")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val (radius, buckets) =
+            Dedup.readHammingIndexParams(spark, indexDir)
+          // decode + dHash ONCE per batch row (barrier'd): the cross
+          // probe, the within-batch candidates, and the append all
+          // reuse the same signatures
+          val sigs = Barriers.barrier(Multimodal.imageSignatures(
+            b.select(col("media_id"), col("payload"))))
+          val cross = Dedup.hammingCandidatesAgainstIndex(spark, sigs,
+            indexDir)
+          // every cross pair names exactly one batch id — semi-joining
+          // the batch against the pair ids drops precisely those
+          val crossIds = cross.select(col("id_a").as("media_id"))
+            .unionByName(cross.select(col("id_b").as("media_id")))
+            .distinct()
+          val keptSigs = sigs
+            .join(broadcast(crossIds), Seq("media_id"), "left_anti")
+          val survivors = Dedup.dedupByClusters(
+            b.join(broadcast(crossIds), Seq("media_id"), "left_anti"),
+            Dedup.hammingCandidates(keptSigs, radius),
+            idCol = "media_id")
+          if (appendSurvivors)
+            Dedup.writeHammingIndex(
+              keptSigs.join(survivors.select(col("media_id")),
+                Seq("media_id"), "left_semi"),
+              indexDir, maxHamming = radius, pieceBuckets = buckets,
+              mode = "append")
+          sink(survivors, batchId)
+        } finally b.unpersist()
+      }
+  }
 }

@@ -131,4 +131,87 @@ class MultimodalStreamingSpec extends SparkSuite {
       ("2024-01-01 00:00:00.0", "click", 2L),
       ("2024-01-02 00:00:00.0", "view", 1L)))
   }
+
+  test("streaming incremental perceptual dedup: a re-encoded dup of an " +
+      "INDEXED image drops mid-stream, and a batch's survivor joins the " +
+      "index in time to catch the NEXT batch's dup of it") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(64, 48, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 48; x <- 0 until 64) img.setRGB(x, y, f(x, y))
+      val out = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    def resizedPng(src: Array[Byte]): Array[Byte] = {
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(src))
+      val out = new BufferedImage(48, 36, BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, 48, 36, null)
+      g.dispose()
+      val bytes = new java.io.ByteArrayOutputStream()
+      ImageIO.write(out, "png", bytes)
+      bytes.toByteArray
+    }
+    def grey(v: Int) = {
+      val c = v & 0xff; (c << 16) | (c << 8) | c
+    }
+    val imgA = png((x, y) => grey(x * 255 / 64 + y * 128 / 48 +
+      (if (x > 32 && y < 12) -120 else 0)))        // gradient + block
+    val imgC = png((x, y) => grey(255 - x * 255 / 64 - y * 128 / 48))
+    val imgD = png((x, y) => grey((x / 8 + y / 8) % 2 * 200))
+    // precondition: the three scenes are perceptually FAR apart (else
+    // a cross-scene drop would be indistinguishable from the bridge
+    // working) while each resize stays within the radius
+    def dh(p: Array[Byte]) = Multimodal.ImageCodec
+      .dhash64(Multimodal.ImageCodec.decode(p).get)
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (Seq(p, q) <- Seq(imgA, imgC, imgD).combinations(2))
+      assert(dist(dh(p), dh(q)) > 10)
+    assert(dist(dh(imgC), dh(resizedPng(imgC))) <= 10)
+
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_streamidx").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_streamckpt").toString
+    Multimodal.writeImageIndex(
+      Seq((1L, imgA)).toDF("media_id", "payload"), idxDir,
+      maxHamming = 10, pieceBuckets = 8)
+
+    val input = MemoryStream[(java.sql.Timestamp, Long, Array[Byte])]
+    val media = input.toDF().toDF("ts", "media_id", "payload")
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamingAgg.dedupMediaStreamAgainstIndex(media, idxDir,
+        "1 hour") { (survivors, _) =>
+        got ++= survivors.select($"media_id").collect().map(_.getLong(0))
+      }
+      .option("checkpointLocation", s"$ckpt/ckpt")
+      .start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: a RESIZED copy of the indexed image drops (perceptual,
+    // not byte-equal — the fingerprint stage cannot catch it); novel C
+    // survives and is appended
+    input.addData(Seq(
+      (t("2024-01-01 10:00:00"), 10L, resizedPng(imgA)),
+      (t("2024-01-01 10:00:01"), 11L, imgC)))
+    q.processAllAvailable()
+    // batch 2: a resized copy of C — indexed only MID-STREAM by batch
+    // 1's append — drops; novel D survives
+    input.addData(Seq(
+      (t("2024-01-01 10:10:00"), 20L, resizedPng(imgC)),
+      (t("2024-01-01 10:10:01"), 21L, imgD)))
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toSet === Set(11L, 21L))
+    // the index ended the run holding the original + both survivors
+    val idxIds = spark.read.parquet(s"$idxDir/pieces")
+      .select($"doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(idxIds === Set(1L, 11L, 21L))
+  }
 }

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Schemas
-import graft.operators.{Dedup, DimRepair, RiskAggregation, StarSchema}
+import graft.operators.{Dedup, DimRepair, RiskAggregation, Similarity,
+  StarSchema}
 import graft.sources.{Sinks, Sources}
 
 /** The reference's full lifecycle (SURVEY.md §3) as one Spark job.
@@ -194,8 +195,21 @@ object Pipeline {
     * @param batch this week's documents — `doc_id` (globally unique,
     *              above every previous batch), `text`, plus any
     *              metadata columns (published unchanged)
+    * @param embeddings optional `(vec_id, embedding)` vectors for THIS
+    *              batch's docs (`vec_id == doc_id`) — when given, the
+    *              SEMANTIC modality joins the lifecycle: within-batch
+    *              pairs ([[Dedup.semanticNearDupPairs]], auto-nlist)
+    *              and, once `ivf/` exists, cross pairs against the
+    *              stored cells
+    *              ([[Dedup.semanticNearDupAgainstIndex]]) add to the
+    *              drop edges, and the survivors' vectors fold into
+    *              `ivf/` ([[Similarity.appendIvfIndex]]; the FIRST
+    *              batch bootstraps it — its survivors' k-means
+    *              centroids become the index's frozen geometry, the
+    *              SemDeDup incremental contract)
     * @param indexRoot standing indexes: `minhash/`, `hamming/`,
-    *              `chunk/` (created on first call)
+    *              `chunk/` (created on first call; plus `ivf/` when
+    *              `embeddings` is given)
     * @param corpusDir published corpus root: `corpus/`, `pairs/`,
     *              `reports/`, each partitioned by `batch_id` — read
     *              the whole corpus back with
@@ -208,7 +222,10 @@ object Pipeline {
       chunkTokens: Int = 50,
       bandBuckets: Int = 256,
       pieceBuckets: Int = 256,
-      chunkBuckets: Int = 256): RefreshOutput = {
+      chunkBuckets: Int = 256,
+      embeddings: Option[DataFrame] = None,
+      semanticThreshold: Double = 0.95,
+      multiAssign: Int = 1): RefreshOutput = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(corpusDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -270,6 +287,20 @@ object Pipeline {
           pairs = pairs.unionByName(pairsOf(
             Dedup.hammingCandidatesAgainstIndex(spark, sigs, hammingDir),
             "hamming", "hamming"))
+        embeddings.foreach { embIn =>
+          val emb = embIn.select(col("vec_id"), col("embedding"))
+          pairs = pairs.unionByName(pairsOf(
+            Dedup.semanticNearDupPairs(emb, nlist = 0,
+              threshold = semanticThreshold, kmeansIters = 1,
+              multiAssign = multiAssign)
+              .select(col("id_a"), col("id_b"), col("cosine")),
+            "cosine", "cosine"))
+          if (exists(s"$indexRoot/ivf/params"))
+            pairs = pairs.unionByName(pairsOf(
+              Dedup.semanticNearDupAgainstIndex(spark, emb,
+                s"$indexRoot/ivf", semanticThreshold),
+              "cosine", "cosine"))
+        }
         val allPairs = pairs.distinct()
 
         // ---- document-level drops: keep each duplicate cluster's
@@ -305,6 +336,23 @@ object Pipeline {
       Dedup.writeChunkIndex(survOrig, chunkDir,
         chunkTokens = chunkTokens, chunkBuckets = chunkBuckets,
         mode = mode(chunkDir))
+      embeddings.foreach { embIn =>
+        val ivfDir = s"$indexRoot/ivf"
+        val survVecs = embIn.select(col("vec_id"), col("embedding"))
+          .join(spark.read.parquet(corpusPart)
+            .select(col("doc_id").as("vec_id")), Seq("vec_id"),
+            "left_semi")
+        if (exists(s"$ivfDir/params"))
+          Similarity.appendIvfIndex(survVecs, ivfDir)
+        else
+          // first batch: its survivors' centroids become the index's
+          // frozen geometry, under the same cells-∝-corpus auto rule
+          // as the inline scorer
+          Similarity.writeIvfIndex(survVecs, ivfDir,
+            Similarity.kmeansCentroids(survVecs,
+              Dedup.resolveNlist(survVecs, 0), iters = 1),
+            multiAssign = multiAssign)
+      }
 
       // ---- report last: the completion marker (counts re-derivable
       // on a recovery run because they come from the published

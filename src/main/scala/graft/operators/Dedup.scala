@@ -1572,7 +1572,9 @@ object Dedup {
     */
   val TargetCellSize = 64
 
-  private def resolveNlist(base: DataFrame, nlist: Int): Int = {
+  // private[graft]: Pipeline.refreshCorpus bootstraps a first-batch IVF
+  // index under the same cells-∝-corpus auto rule the inline scorer uses
+  private[graft] def resolveNlist(base: DataFrame, nlist: Int): Int = {
     require(nlist >= 0, s"nlist must be >= 0 (0 = auto), got $nlist")
     if (nlist > 0) nlist
     else math.max(1L, base.count() / TargetCellSize).toInt

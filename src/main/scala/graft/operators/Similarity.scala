@@ -590,6 +590,54 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$dir/params")
   }
 
+  /** Fold a NEW vector batch into a [[writeIvfIndex]] layout — the
+    * append half of the embedding modality's weekly-refresh lifecycle
+    * (probe with [[graft.operators.Dedup.semanticNearDupAgainstIndex]],
+    * fold in here), completing what the dedup families' `mode =
+    * "append"` already provides. The batch is cell-tagged with the
+    * STORED centroids under the STORED resolved-quantizer/multi-assign
+    * geometry ([[readIvfCentroids]]/[[readIvfIndexParams]] — caller
+    * arguments are never trusted for geometry, the same rule as
+    * [[graft.operators.Dedup.semanticNearDupAgainstIndex]]), so
+    * appended cells are exactly the cells a whole-corpus rewrite would
+    * assign.
+    *
+    * `centroids/` and `params/` are NOT touched: an append changes
+    * membership, not identity — which is also the crash contract. A
+    * crash mid-append leaves some cell partitions with the batch's
+    * rows and others without, under valid stored geometry; retry the
+    * SAME append — idempotent at the duplicate-(vec_id, cell)-row
+    * price, which probes tolerate (multi-assign probes already
+    * post-distinct) and [[graft.operators.Dedup.compactIndex]]
+    * removes. A missing/invalid index refuses loudly (no params — the
+    * families' shared bootstrap rule: create with [[writeIvfIndex]]).
+    *
+    * The batch must carry the indexed corpus' columns (at least
+    * `vec_id`, `embedding`, plus whatever extras were indexed) — a
+    * column-set mismatch is refused rather than silently writing a
+    * mixed-schema cell dataset.
+    */
+  def appendIvfIndex(batch: DataFrame, dir: String): Unit = {
+    val spark = batch.sparkSession
+    val cents = readIvfCentroids(spark, dir)
+    val (multiAssign, quantizer) = readIvfIndexParams(spark, dir)
+    val stored =
+      try Some(spark.read.parquet(s"$dir/cells").schema.fieldNames.toSet)
+      catch {
+        // an index over an EMPTY corpus has no cell files to infer
+        // from — nothing to mismatch against
+        case _: org.apache.spark.sql.AnalysisException => None
+      }
+    stored.foreach { cols =>
+      val batchCols = batch.columns.toSet + "cell"
+      require(batchCols == cols,
+        s"appendIvfIndex: batch columns ${batch.columns.sorted.mkString(",")} " +
+          s"do not match the indexed corpus' ${cols.toSeq.sorted.mkString(",")}")
+    }
+    assignWith(quantizer, batch, cents, multiAssign)
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+  }
+
   /** The stored assignment geometry of a [[writeIvfIndex]] layout:
     * (multi_assign, resolved quantizer name). One driver-sized read. */
   def readIvfIndexParams(spark: org.apache.spark.sql.SparkSession,

@@ -140,6 +140,65 @@ class CorpusRefreshSpec extends SparkSuite {
     assert(spark.read.parquet(s"$corpusDir/reports").count() === 1L)
   }
 
+  test("embeddings modality: a semantic dup with DISTINCT text drops " +
+      "(within batch 1, cross-index in batch 2), survivors' vectors " +
+      "fold into ivf/ under the first batch's frozen geometry") {
+    val idxRoot = tmp("sem_idx")
+    val corpusDir = tmp("sem_corpus")
+    val rnd = new scala.util.Random(11)
+    val dirA = Array.tabulate(8)(i => if (i == 0) 1.0f else 0.0f)
+    val dirB = Array.tabulate(8)(i => if (i == 4) 1.0f else 0.0f)
+    val dirC = Array.tabulate(8)(i => if (i == 7) 1.0f else 0.0f)
+    def around(d: Array[Float]): Seq[Float] =
+      d.map(x => x + 0.01f * rnd.nextGaussian().toFloat).toSeq
+    def embFrame(rows: Seq[(Long, Seq[Float])]) =
+      rows.toDF("vec_id", "embedding")
+        .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+
+    // texts all far apart — ONLY the semantic modality can pair these
+    val batch1 = Seq(
+      (0L, "the quick brown fox jumps over the lazy sleeping dog", "en"),
+      (1L, "completely different words about spark query engines and " +
+        "joins", "en"),
+      (2L, "unrelated prose discussing minhash banding and buckets", "en"))
+      .toDF("doc_id", "text", "lang")
+    val emb1 = embFrame(Seq(
+      (0L, around(dirA)), (1L, around(dirA)), // 1 semantically dups 0
+      (2L, around(dirB))))
+    val out1 = Pipeline.refreshCorpus(spark, batch1, idxRoot, corpusDir,
+      jaccardThreshold = 0.5, chunkTokens = 4, bandBuckets = 8,
+      pieceBuckets = 8, chunkBuckets = 8, embeddings = Some(emb1),
+      semanticThreshold = 0.95)
+    assert(out1.published.select($"doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(0L, 2L))
+    assert(out1.dupPairs.where($"family" === "cosine").count() >= 1L)
+    assert(new java.io.File(s"$idxRoot/ivf/params").exists())
+
+    val batch2 = Seq(
+      (10L, "fresh narrative mentioning neither foxes nor engines " +
+        "anywhere", "en"),
+      (11L, "novel content on streaming watermarks and state stores",
+        "en"))
+      .toDF("doc_id", "text", "lang")
+    val emb2 = embFrame(Seq(
+      (10L, around(dirA)), // cross semantic dup of indexed 0
+      (11L, around(dirC))))
+    val out2 = Pipeline.refreshCorpus(spark, batch2, idxRoot, corpusDir,
+      jaccardThreshold = 0.5, chunkTokens = 4, bandBuckets = 8,
+      pieceBuckets = 8, chunkBuckets = 8, embeddings = Some(emb2),
+      semanticThreshold = 0.95)
+    assert(out2.published.select($"doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(11L))
+    val cross = out2.dupPairs.where($"family" === "cosine")
+      .select($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cross.contains((0L, 10L)))
+    // the ivf index holds exactly the published survivors' vectors
+    assert(spark.read.parquet(s"$idxRoot/ivf/cells")
+      .select($"vec_id").distinct().collect().map(_.getLong(0)).toSet
+      === Set(0L, 2L, 11L))
+  }
+
   test("an empty batch is refused") {
     intercept[IllegalArgumentException] {
       run(Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang"),

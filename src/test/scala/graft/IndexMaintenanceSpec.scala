@@ -300,6 +300,67 @@ class IndexMaintenanceSpec extends SparkSuite {
     assert(!top.contains(3L) && top.nonEmpty)
   }
 
+  test("IVF append under stored geometry: appended index answers " +
+      "bit-identically to one written whole under the same centroids; " +
+      "retried append's duplicates compact away; mismatched columns " +
+      "and a missing index refuse") {
+    val rnd = new scala.util.Random(7)
+    val dirs2 = Seq(
+      Array.tabulate(8)(i => if (i == 0) 1.0f else 0.0f),
+      Array.tabulate(8)(i => if (i == 4) 1.0f else 0.0f))
+    def around(d: Array[Float]): Seq[Float] =
+      d.map(x => x + 0.04f * rnd.nextGaussian().toFloat).toSeq
+    def vecs(ids: Range) = ids.map(i => (i.toLong, around(dirs2(i % 2))))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val standing = vecs(0 until 16)
+    val weekly = vecs(16 until 24)
+    val cents = Similarity.kmeansCentroids(standing, nlist = 4, iters = 1)
+
+    // reference: the union indexed in one shot under the SAME centroids
+    val whole = tmp("ivfwhole")
+    Similarity.writeIvfIndex(standing.unionByName(weekly), whole, cents,
+      multiAssign = 2)
+    // under test: standing indexed, weekly appended
+    val dir = tmp("ivfappend")
+    Similarity.writeIvfIndex(standing, dir, cents, multiAssign = 2)
+    Similarity.appendIvfIndex(weekly, dir)
+
+    val queries = vecs(0 until 3)
+    def topk(d: String) = Similarity.ivfTopKIndexedSelf(spark, d,
+      queries, k = 6, nprobe = 4, multiAssigned = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
+    val batch = vecs(100 until 103)
+    def sem(d: String) = pairSet(
+      Dedup.semanticNearDupAgainstIndex(spark, batch, d, threshold = 0.9))
+    assert(topk(dir) === topk(whole))
+    assert(sem(dir) === sem(whole))
+    assert(sem(dir).nonEmpty)
+
+    // crashed-append recovery: the SAME append retried → duplicate
+    // (vec_id, cell) rows, probes unchanged, compaction removes them
+    Similarity.appendIvfIndex(weekly, dir)
+    assert(sem(dir) === sem(whole))
+    val cells = () => spark.read.parquet(s"$dir/cells")
+    assert(cells().count() >
+      cells().dropDuplicates("vec_id", "cell").count())
+    Dedup.compactIndex(spark, dir)
+    assert(cells().count() ===
+      cells().dropDuplicates("vec_id", "cell").count())
+    assert(topk(dir) === topk(whole))
+
+    // a batch missing the indexed corpus' columns is refused
+    intercept[IllegalArgumentException] {
+      Similarity.appendIvfIndex(
+        weekly.withColumn("extra", lit(1)), dir)
+    }
+    // appending to a non-index refuses loudly (no params to trust)
+    intercept[Exception] {
+      Similarity.appendIvfIndex(weekly, tmp("notanindex"))
+    }
+  }
+
   test("chunk index deletion is content-addressed: deleteFromIndex " +
       "refuses, deleteFromChunkIndex retracts content, watermark and " +
       "monotone-id check stand") {

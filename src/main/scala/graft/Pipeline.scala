@@ -137,6 +137,25 @@ object Pipeline {
       report: DataFrame,
       dupPairs: DataFrame)
 
+  /** Staged write + atomic rename — a direct overwrite to the final
+    * path is not atomic (task files move in one by one), so a crash
+    * could leave a partial dataset a recovery run would mistake for a
+    * commit. Shared by [[refreshCorpus]]'s publishes and
+    * [[retractCorpus]]'s partition rewrites.
+    */
+  private def stagedWrite(spark: SparkSession, df: DataFrame,
+      dest: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val destP = new Path(dest)
+    val fs = destP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dest + "__stage")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(destP)) fs.delete(destP, true)
+    fs.mkdirs(destP.getParent)
+    require(fs.rename(tmp, destP), s"rename $tmp -> $destP failed")
+  }
+
   /** The composed weekly-refresh lifecycle for a document corpus — the
     * extension-tier analog of [[RefDataMain.refresh]]'s E3 cadence
     * (reference load_asn_ref_data.py:4-6: a small recurring job that
@@ -243,20 +262,6 @@ object Pipeline {
     val pairsPart = s"$corpusDir/pairs/batch_id=$maxId"
     val reportPart = s"$corpusDir/reports/batch_id=$maxId"
 
-    // staged write + atomic rename: a direct overwrite to the final
-    // path is not atomic (task files move in one by one), so a crash
-    // could leave a partial partition that a recovery run would
-    // mistake for a commit
-    def stagedWrite(df: DataFrame, dest: String): Unit = {
-      val tmp = new Path(dest + "__stage")
-      val destP = new Path(dest)
-      if (fs.exists(tmp)) fs.delete(tmp, true)
-      df.write.mode("overwrite").parquet(tmp.toString)
-      if (fs.exists(destP)) fs.delete(destP, true)
-      fs.mkdirs(destP.getParent)
-      require(fs.rename(tmp, destP), s"rename $tmp -> $destP failed")
-    }
-
     def readBack(): RefreshOutput = RefreshOutput(
       spark.read.parquet(corpusPart),
       spark.read.parquet(reportPart),
@@ -314,12 +319,22 @@ object Pipeline {
             Dedup.dedupChunksAgainstIndex(spark, survivors, chunkDir)
           else Dedup.dedupChunks(survivors, chunkTokens)
 
-        // metadata columns ride along unchanged; text is the cleaned one
+        // metadata columns ride along unchanged; text is the cleaned
+        // one. text_original is kept ONLY where cleaning changed the
+        // text (null otherwise — no storage doubling on the common
+        // unchanged path): [[retractCorpus]]'s content-addressed chunk
+        // retraction must re-chunk exactly what the append stage
+        // indexed, and the grid rule's boundaries shift under removal,
+        // so the cleaned text alone could not reproduce them
         val published = persisted.drop("text")
           .join(cleaned.select(col("doc_id"), col("text"),
             col("n_chunks"), col("n_kept")), Seq("doc_id"))
-        stagedWrite(allPairs, pairsPart)
-        stagedWrite(published, corpusPart) // the probe-stage commit
+          .join(doc.select(col("doc_id"),
+            col("text").as("text_original")), Seq("doc_id"))
+          .withColumn("text_original",
+            when(col("n_kept") < col("n_chunks"), col("text_original")))
+        stagedWrite(spark, allPairs, pairsPart)
+        stagedWrite(spark, published, corpusPart) // the probe-stage commit
       }
 
       // ---- append: survivors' ORIGINAL rows into all three families
@@ -370,7 +385,7 @@ object Pipeline {
           chunkAgg.getLong(0), chunkAgg.getLong(1)))
         .toDF("batch_min_id", "batch_max_id", "n_batch", "n_dup_pairs",
           "n_dropped", "n_published", "n_chunks", "n_chunks_kept")
-      stagedWrite(report, reportPart)
+      stagedWrite(spark, report, reportPart)
     } finally persisted.unpersist()
     readBack()
   }
@@ -382,4 +397,101 @@ object Pipeline {
       indexRoot: String, corpusDir: String): RefreshOutput =
     refreshCorpus(spark, spark.read.parquet(batchDir), indexRoot,
       corpusDir)
+
+  /** Retract published documents from the corpus AND every standing
+    * index — the composed retraction the GDPR/takedown regime needs,
+    * sequencing the per-family surfaces ([[Dedup.deleteFromIndex]],
+    * [[Dedup.deleteFromChunkIndex]]) with the corpus rewrite:
+    *
+    *   1. the retracted docs' rows leave the published `corpus/` —
+    *      only the batch partitions actually holding them are
+    *      rewritten (staged atomic-rename swap each);
+    *   2. their ids leave `minhash/`, `hamming/`, and (when present)
+    *      `ivf/` by touched bucket/cell;
+    *   3. their CONTENT leaves the chunk index, re-chunked from the
+    *      published `text_original` (falling back to the cleaned
+    *      `text` where cleaning changed nothing) — exactly the bytes
+    *      the append stage indexed, so the hashes line up; the shared-
+    *      chunk lapse-then-self-heal semantics are
+    *      [[Dedup.deleteFromChunkIndex]]'s, stated there.
+    *
+    * What retraction does NOT do: resurrect documents that were
+    * dropped as the retracted docs' near-duplicates (their drop is
+    * recorded in `pairs/`, but re-admitting them needs re-ingesting
+    * them under FRESH ids — ids are never reused); move any watermark
+    * (retracted id ranges stay retired); or touch `pairs/`/`reports/`
+    * (they are the historical evidence of what happened, and a pair
+    * naming a retracted id generates no future candidates once the
+    * index rows are gone).
+    *
+    * Crash contract: every step is either the per-family surface's
+    * documented idempotent rewrite or a staged swap — re-run the SAME
+    * retraction to completion; a second run over already-retracted ids
+    * is a no-op. Returns a one-row report
+    * (n_requested, n_retracted, n_remaining).
+    */
+  def retractCorpus(spark: SparkSession, ids: DataFrame,
+      indexRoot: String, corpusDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(corpusDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def exists(p: String): Boolean = fs.exists(new Path(p))
+    val idSet = broadcast(
+      ids.select(ids.columns.head).toDF("doc_id").distinct())
+    val nRequested = idSet.count()
+    val corpus = spark.read.parquet(s"$corpusDir/corpus")
+    val hasOriginal = corpus.columns.contains("text_original")
+    val retracted = corpus.join(idSet, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        (if (hasOriginal) coalesce(col("text_original"), col("text"))
+         else col("text")).as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nRetracted = retracted.count()
+      // chunk retraction FIRST, while the published corpus still holds
+      // the retracted docs' text: it is the one step that needs the
+      // text, and it is idempotent (already-removed hashes anti-join
+      // to nothing) — so a crash anywhere leaves a re-runnable state,
+      // whereas rewriting the corpus first would strand a recovery
+      // run with no text to re-chunk (the persisted frame does not
+      // survive the JVM)
+      if (nRetracted > 0 && exists(s"$indexRoot/chunk/params"))
+        Dedup.deleteFromChunkIndex(spark, s"$indexRoot/chunk", retracted)
+      val touched = corpus.join(idSet, Seq("doc_id"), "left_semi")
+        .select(col("batch_id").cast("long")).distinct().collect()
+        .map(_.getLong(0))
+      touched.foreach { b =>
+        stagedWrite(spark,
+          corpus.where(col("batch_id") === b)
+            .join(idSet, Seq("doc_id"), "left_anti").drop("batch_id"),
+          s"$corpusDir/corpus/batch_id=$b")
+      }
+      Seq("minhash", "hamming", "ivf").foreach { f =>
+        if (exists(s"$indexRoot/$f/params"))
+          Dedup.deleteFromIndex(spark, s"$indexRoot/$f", idSet)
+      }
+      val nRemaining = spark.read.parquet(s"$corpusDir/corpus").count()
+      import spark.implicits._
+      Seq((nRequested, nRetracted, nRemaining))
+        .toDF("n_requested", "n_retracted", "n_remaining")
+    } finally retracted.unpersist()
+  }
+
+  /** Season-scale index maintenance: [[Dedup.compactIndex]] over every
+    * family present under `indexRoot` — one sorted, re-distincted file
+    * per bucket/cell partition after a season of [[refreshCorpus]]
+    * appends and [[retractCorpus]] rewrites; probe answers are
+    * bit-identical before and after (IndexMaintenanceSpec's contract,
+    * per family). Same single-writer discipline as every maintenance
+    * pass.
+    */
+  def maintainIndexes(spark: SparkSession, indexRoot: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(indexRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("minhash", "hamming", "chunk", "ivf").foreach { f =>
+      if (fs.exists(new Path(s"$indexRoot/$f/params")))
+        Dedup.compactIndex(spark, s"$indexRoot/$f")
+    }
+  }
 }

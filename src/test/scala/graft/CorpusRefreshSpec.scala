@@ -14,6 +14,10 @@ class CorpusRefreshSpec extends SparkSuite {
   private def tmp(tag: String): String =
     java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
 
+  private def pairSet(df: DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+
   // 4-token-grid chunking throughout: short docs stay multi-chunk
   private def run(batch: DataFrame, idxRoot: String, corpusDir: String) =
     Pipeline.refreshCorpus(spark, batch, idxRoot, corpusDir,
@@ -197,6 +201,88 @@ class CorpusRefreshSpec extends SparkSuite {
     assert(spark.read.parquet(s"$idxRoot/ivf/cells")
       .select($"vec_id").distinct().collect().map(_.getLong(0)).toSet
       === Set(0L, 2L, 11L))
+  }
+
+  test("retractCorpus: a retracted doc leaves the published corpus and " +
+      "every index (ids, shingles, vectors, content chunks via " +
+      "text_original); re-running is a no-op; maintainIndexes compacts " +
+      "every family with probe answers intact") {
+    val idxRoot = tmp("retract_idx")
+    val corpusDir = tmp("retract_corpus")
+    val doc0Text = "alpha beta gamma delta one two three four"
+    // shares doc 0's first grid chunk (aligned), far below the doc-level
+    // jaccard threshold — published with its shared chunk REMOVED, so
+    // text_original is what the append stage indexed
+    val doc1Text = "alpha beta gamma delta five six seven eight nine " +
+      "ten eleven twelve"
+    val rnd = new scala.util.Random(13)
+    def around(hot: Int): Seq[Float] =
+      Array.tabulate(8)(i => (if (i == hot) 1.0f else 0.0f) +
+        0.01f * rnd.nextGaussian().toFloat).toSeq
+    val emb1 = Seq((0L, around(0)), (1L, around(4)))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val batch1 = Seq((0L, doc0Text, "en"), (1L, doc1Text, "en"))
+      .toDF("doc_id", "text", "lang")
+    Pipeline.refreshCorpus(spark, batch1, idxRoot, corpusDir,
+      jaccardThreshold = 0.5, chunkTokens = 4, bandBuckets = 8,
+      pieceBuckets = 8, chunkBuckets = 8, embeddings = Some(emb1))
+    val batch2 = Seq((10L, "wholly unrelated narrative about streaming " +
+      "watermarks and state stores", "en")).toDF("doc_id", "text", "lang")
+    run(batch2, idxRoot, corpusDir)
+
+    // preconditions: doc 1 is published chunk-cleaned with its original
+    // kept, and is indexed everywhere
+    val corpus = () => spark.read.parquet(s"$corpusDir/corpus")
+    val d1 = corpus().where($"doc_id" === 1L).head()
+    assert(d1.getAs[Int]("n_kept") < d1.getAs[Int]("n_chunks"))
+    assert(d1.getAs[String]("text_original") === doc1Text)
+    assert(corpus().where($"doc_id" === 0L).head()
+      .getAs[String]("text_original") === null) // unchanged docs store no copy
+    assert(spark.read.parquet(s"$idxRoot/ivf/cells")
+      .where($"vec_id" === 1L).count() > 0)
+
+    val report = Pipeline.retractCorpus(spark, Seq(1L).toDF("doc_id"),
+      idxRoot, corpusDir).head()
+    assert(report.getAs[Long]("n_requested") === 1L)
+    assert(report.getAs[Long]("n_retracted") === 1L)
+    assert(report.getAs[Long]("n_remaining") === 2L)
+    assert(corpus().select($"doc_id").collect().map(_.getLong(0)).toSet
+      === Set(0L, 10L))
+    // id-addressed rows gone everywhere
+    assert(spark.read.parquet(s"$idxRoot/minhash/shingles")
+      .where($"doc_id" === 1L).count() === 0L)
+    assert(spark.read.parquet(s"$idxRoot/hamming/pieces")
+      .where($"doc_id" === 1L).count() === 0L)
+    assert(spark.read.parquet(s"$idxRoot/ivf/cells")
+      .where($"vec_id" === 1L).count() === 0L)
+    // content-addressed chunks gone: a new batch with doc 1's ORIGINAL
+    // text keeps every chunk — including the one it shared with the
+    // still-standing doc 0 (the documented lapse-then-self-heal)
+    val reprobe = Dedup.dedupChunksAgainstIndex(spark,
+      Seq((100L, doc1Text)).toDF("doc_id", "text"),
+      s"$idxRoot/chunk").head()
+    assert(reprobe.getAs[Int]("n_kept") === reprobe.getAs[Int]("n_chunks"))
+    // and the minhash probe no longer names the retracted doc
+    val probeIds = pairSet(Dedup.nearDupAgainstIndex(spark,
+      Seq((101L, doc1Text)).toDF("doc_id", "text"),
+      s"$idxRoot/minhash", threshold = 0.5))
+      .flatMap(p => Seq(p._1, p._2))
+    assert(!probeIds.contains(1L))
+
+    // idempotent: the same retraction again changes nothing
+    val again = Pipeline.retractCorpus(spark, Seq(1L).toDF("doc_id"),
+      idxRoot, corpusDir).head()
+    assert(again.getAs[Long]("n_retracted") === 0L)
+    assert(again.getAs[Long]("n_remaining") === 2L)
+
+    // season maintenance: every family compacts, probes still answer
+    Pipeline.maintainIndexes(spark, idxRoot)
+    val still = pairSet(Dedup.nearDupAgainstIndex(spark,
+      Seq((102L, doc0Text)).toDF("doc_id", "text"),
+      s"$idxRoot/minhash", threshold = 0.5))
+      .flatMap(p => Seq(p._1, p._2))
+    assert(still.contains(0L))
   }
 
   test("an empty batch is refused") {

@@ -1150,6 +1150,28 @@ object SparkEntry {
       Multimodal.videoMetadata(
         Multimodal.mediaFromDocuments(t(s, dir, "documents")))
         .orderBy(col("media_id").asc)),
+    // the COMPOSED weekly-refresh lifecycle as a driver-gated entry:
+    // two consecutive batches through Pipeline.refreshCorpus (probe →
+    // drop → chunk-clean → publish → append) against one scratch index
+    // root; returns the two report rows. Rows-only — the drop counts
+    // descend from LSH candidate sets (xxhash bands, q32's contract) —
+    // with every constituent separately oracle-checked (q30/q62/q90/
+    // q95) and the composition spec-proven (CorpusRefreshSpec). The
+    // scratch root is recycled between bench passes and the lifecycle
+    // is resume-idempotent, so repeated runs yield identical rows.
+    "q100_corpus_refresh" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val root = ivfIndexDir(dir, "refresh100")
+      def week(lo: Long, hi: Long) = Pipeline.refreshCorpus(s,
+        docs.where(col("doc_id") >= lo && col("doc_id") < hi),
+        s"$root/idx", s"$root/corpus", jaccardThreshold = 0.5,
+        chunkTokens = 10, bandBuckets = 32, pieceBuckets = 32,
+        chunkBuckets = 32)
+      val r1 = week(0L, 150L)
+      val r2 = week(150L, 300L)
+      r1.report.unionByName(r2.report)
+        .orderBy(col("batch_max_id").asc)
+    }),
     // ---- streaming tier: the flagship as a driver-gated entry ----
     // a REAL Structured Streaming run (file source, available-now,
     // watermark + append) whose emitted windows must hash-match the

@@ -19,6 +19,16 @@ object Bench {
     "q32_minhash_candidates", "q34_simhash", "q37_ann_cosine_topk",
     "q42_langid", "q46_frame_sample", "q48_top_terms")
 
+  /** Composed-lifecycle entries timed ONCE per bench run instead of
+    * once per pass: their cost is the sum of constituent operators that
+    * are each already benched per-pass (q100 = 2× the probe/publish/
+    * append plans of q89/q95/q97 plus ~30 fixed-floor actions — 22.7 s
+    * at sf0.1), so repeating them adds wall time without timing signal.
+    * Still measured, still reported in `queries`, still error-poisoning
+    * — just not pass-replicated.
+    */
+  val OncePerRun: Set[String] = Set("q100_corpus_refresh")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -88,13 +98,17 @@ object Bench {
     // above, so re-running them here would be pure discarded wall time
     // (2× every one of the 16 frozen headline queries per bench run)
     val (invRes, invErrs) =
-      runQueries(spark, sfDir, all.filterNot(q => Headline.contains(q._1)),
+      runQueries(spark, sfDir,
+        all.filterNot(q => Headline.contains(q._1) || OncePerRun(q._1)),
         passes)
-    val errors = headErrs ++ invErrs
+    val (onceRes, onceErrs) =
+      runQueries(spark, sfDir, all.filter(q => OncePerRun(q._1)),
+        passes = 1)
+    val errors = headErrs ++ invErrs ++ onceErrs
     val headMap = headTimes.map { case (k, xs) =>
       k -> median(xs)
     }.toMap
-    val invMap = invRes.toMap
+    val invMap = (invRes ++ onceRes).toMap
     val results = all.map { case (k, _) =>
       k -> (if (errors(k)) -1.0
             else headMap.getOrElse(k, invMap(k)))

@@ -1266,7 +1266,9 @@ object Dedup {
     }
   }
 
-  private def readMinhashIndexParams(spark: SparkSession,
+  // private[graft]: the streaming bridge appends each micro-batch's
+  // survivors under the index's own stored signature params
+  private[graft] def readMinhashIndexParams(spark: SparkSession,
       dir: String): (Int, Int, Int, Int) = {
     val r = spark.read.parquet(s"$dir/params").head()
     (r.getAs[Int]("num_shingle_words"), r.getAs[Int]("num_hashes"),

@@ -62,6 +62,83 @@ object StreamingAgg {
         md5(graft.operators.Dedup.normalized(col("text"))))
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Streaming incremental TEXT near-dup against a persisted minhash
+    * index ([[graft.operators.Dedup.writeMinhashIndex]]) — the
+    * document-modality sibling of [[dedupMediaStreamAgainstIndex]],
+    * same contract throughout: exact duplicates collapse in-stream via
+    * `dropDuplicatesWithinWatermark` on the normalized-text fingerprint
+    * (state bounded by the watermark horizon); each micro-batch then
+    * probes the STANDING index in `foreachBatch` — a batch doc whose
+    * verified Jaccard reaches `threshold` against an INDEXED doc drops
+    * (index wins), remaining within-batch near-dup clusters keep their
+    * min-id canonical, and with `appendSurvivors` the survivors fold in
+    * under the index's STORED signature params before `sink` sees the
+    * batch. The index must exist (create with `writeMinhashIndex`,
+    * over an empty frame for a cold start); the crash and greedy-scope
+    * contracts are [[dedupMediaStreamAgainstIndex]]'s, stated there.
+    *
+    * Cost shape to know: each micro-batch re-plans its ~15 probe/
+    * verify/append jobs, and the minhash expression plans are
+    * codegen-heavy — a FIXED tens-of-seconds floor per micro-batch on
+    * a cold JVM regardless of batch size (empty maintenance batches
+    * skip it entirely). That floor amortizes over production batch
+    * sizes (minutes of stream per trigger); for tiny-batch/low-latency
+    * regimes prefer the exact in-stream [[dedupDocumentsStream]] and
+    * run the near-dup pass as a periodic [[graft.Pipeline
+    * .refreshCorpus]] batch instead — the q91 overhead-by-design
+    * trade, disclosed rather than hidden.
+    *
+    * Input needs (ts, doc_id, text); `sink` receives each micro-batch's
+    * surviving rows with the micro-batch id.
+    */
+  def dedupDocumentsStreamAgainstIndex(docs: DataFrame, indexDir: String,
+      horizon: String = "1 hour", threshold: Double = 0.7,
+      appendSurvivors: Boolean = true)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] = {
+    import graft.operators.Dedup
+    docs
+      .withWatermark("ts", horizon)
+      .withColumn("fingerprint", md5(Dedup.normalized(col("text"))))
+      .dropDuplicatesWithinWatermark("fingerprint")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.drop("fingerprint")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try if (b.isEmpty) sink(b, batchId) else {
+          // the STORED signature params drive every stage — the
+          // within-batch candidate pass included, so its recall
+          // geometry matches the cross probe's instead of silently
+          // running the library defaults
+          val (nsw, nh, bands, buckets) =
+            Dedup.readMinhashIndexParams(spark, indexDir)
+          val doc = b.select(col("doc_id"), col("text"))
+          val cross = Dedup.nearDupAgainstIndex(spark, doc, indexDir,
+            threshold)
+          val crossIds = cross.select(col("id_a").as("doc_id"))
+            .unionByName(cross.select(col("id_b").as("doc_id")))
+            .distinct()
+          val kept = doc
+            .join(broadcast(crossIds), Seq("doc_id"), "left_anti")
+          val within = Dedup.jaccardVerify(kept,
+            Dedup.minhashCandidates(kept, nsw, nh, bands), nsw,
+            threshold)
+          val survivors = Dedup.dedupByClusters(
+            b.join(broadcast(crossIds), Seq("doc_id"), "left_anti"),
+            within)
+          if (appendSurvivors)
+            Dedup.writeMinhashIndex(
+              kept.join(survivors.select(col("doc_id")),
+                Seq("doc_id"), "left_semi"),
+              indexDir, numShingleWords = nsw, numHashes = nh,
+              bands = bands, bandBuckets = buckets, mode = "append")
+          sink(survivors, batchId)
+        } finally b.unpersist()
+      }
+  }
+
   /** Streaming incremental PERCEPTUAL dedup against a persisted image
     * index ([[graft.operators.Multimodal.writeImageIndex]] — the Hamming
     * layout): exact byte duplicates collapse in-stream via
@@ -111,7 +188,7 @@ object StreamingAgg {
         val spark = batch.sparkSession
         val b = batch.drop("fingerprint")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
+        try if (b.isEmpty) sink(b, batchId) else {
           val (radius, buckets) =
             Dedup.readHammingIndexParams(spark, indexDir)
           // decode + dHash ONCE per batch row (barrier'd): the cross

@@ -132,6 +132,59 @@ class MultimodalStreamingSpec extends SparkSuite {
       ("2024-01-02 00:00:00.0", "view", 1L)))
   }
 
+  test("streaming incremental text near-dup: an edited dup of an INDEXED " +
+      "doc drops mid-stream, and a batch's survivor joins the minhash " +
+      "index in time to catch the NEXT batch's dup of it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val textA = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    val textC = "completely different words about spark query engines " +
+      "and distributed joins running on large clusters of machines"
+    val textD = "yet another unrelated document discussing minhash " +
+      "banding signatures buckets and locality sensitive hashing"
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_streamtext").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_streamtextck").toString
+    // small signature geometry (8 hashes / 4 bands): the probe and
+    // append plans' codegen width follows the STORED params, and this
+    // test pays that codegen per micro-batch (streaming re-plans) —
+    // recall at these sizes is still far above what the two planted
+    // near-dup pairs need
+    graft.operators.Dedup.writeMinhashIndex(
+      Seq((1L, textA)).toDF("doc_id", "text"), idxDir,
+      numHashes = 8, bands = 4, bandBuckets = 8)
+
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamingAgg.dedupDocumentsStreamAgainstIndex(docs, idxDir,
+        "1 hour", threshold = 0.5) { (survivors, _) =>
+        got ++= survivors.select($"doc_id").collect().map(_.getLong(0))
+      }
+      .option("checkpointLocation", s"$ckpt/ckpt")
+      .start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: an EDITED copy of the indexed doc (not byte-equal, so
+    // the fingerprint stage cannot catch it) drops; novel C survives
+    input.addData(Seq(
+      (t("2024-01-01 10:00:00"), 10L, textA.replace("tonight", "today")),
+      (t("2024-01-01 10:00:01"), 11L, textC)))
+    q.processAllAvailable()
+    // batch 2: an edited copy of C — indexed only MID-STREAM by batch
+    // 1's append — drops; novel D survives
+    input.addData(Seq(
+      (t("2024-01-01 10:10:00"), 20L, textC.replace("machines", "hosts")),
+      (t("2024-01-01 10:10:01"), 21L, textD)))
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toSet === Set(11L, 21L))
+    assert(spark.read.parquet(s"$idxDir/shingles")
+      .select($"doc_id").distinct().collect().map(_.getLong(0)).toSet
+      === Set(1L, 11L, 21L))
+  }
+
   test("streaming incremental perceptual dedup: a re-encoded dup of an " +
       "INDEXED image drops mid-stream, and a batch's survivor joins the " +
       "index in time to catch the NEXT batch's dup of it") {

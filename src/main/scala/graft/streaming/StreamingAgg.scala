@@ -219,4 +219,98 @@ object StreamingAgg {
         } finally b.unpersist()
       }
   }
+
+  /** Streaming incremental SEMANTIC dedup against a persisted IVF index
+    * ([[graft.operators.Similarity.writeIvfIndex]]) — the embedding
+    * modality's bridge, completing the streaming story the text
+    * ([[dedupDocumentsStreamAgainstIndex]], minhash) and perceptual
+    * ([[dedupMediaStreamAgainstIndex]], Hamming) bridges already cover:
+    * exact byte duplicates collapse in-stream via
+    * `dropDuplicatesWithinWatermark` on an `xxhash64` of the embedding
+    * array (state bounded by the watermark horizon), then each
+    * micro-batch probes the STANDING index in `foreachBatch` — a batch
+    * vector whose cosine against an indexed vector reaches `threshold`
+    * under the index's STORED centroids/quantizer/multi-assign drops
+    * (index wins, the [[graft.Pipeline.refreshCorpus]] rule); remaining
+    * within-batch near-dup clusters keep their min-id canonical (scored
+    * under the SAME stored geometry — see
+    * [[graft.operators.Dedup.semanticNearDupPairsWith]]'s equality
+    * contract); and, with `appendSurvivors`, the survivors' vectors fold
+    * into `cells/` via [[graft.operators.Similarity.appendIvfIndex]]
+    * before `sink` sees the batch — so a paraphrase arriving in a LATER
+    * micro-batch is dropped by the index its original joined mid-stream.
+    *
+    * Same `foreachBatch` rationale as the sibling bridges: the probe is
+    * a DPP-pruned batch join against on-disk parquet (the q98 plan
+    * shape) and the index append is a transactional side effect no
+    * streaming sink expresses. Crash contract: a failed micro-batch
+    * re-runs, and the re-append is the IVF family's documented
+    * idempotent-at-duplicate-row price
+    * ([[graft.operators.Dedup.compactIndex]] re-distincts). Cross-drop
+    * is DIRECT near-dup only (no transitive drops through an indexed
+    * vector) — the greedy scope every incremental regime here shares.
+    *
+    * The index must exist with stored geometry (create it with
+    * `writeIvfIndex`; its frozen centroids are the fixed reference
+    * frame every micro-batch tags against — k-means is never re-run
+    * mid-stream, so assignment cannot drift between batches). The
+    * indexed corpus must carry exactly (vec_id, embedding):
+    * `appendIvfIndex` refuses a column-set mismatch, and the stream
+    * rows' extra columns (ts, payload, ...) stay on the survivors the
+    * sink receives but never enter the index.
+    *
+    * Input needs (ts, vec_id, embedding: array<float>); `sink` receives
+    * each micro-batch's surviving rows (original columns, fingerprint
+    * removed) with the micro-batch id.
+    */
+  def dedupEmbeddingsStreamAgainstIndex(vecs: DataFrame, indexDir: String,
+      horizon: String = "1 hour", threshold: Double = 0.95,
+      appendSurvivors: Boolean = true)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] = {
+    import graft.operators.{Dedup, Similarity}
+    vecs
+      .withWatermark("ts", horizon)
+      // xxhash64 takes the float array directly (no lossy string cast);
+      // a 64-bit collision admits one extra row into the semantic
+      // stages, which re-score it anyway — never a wrong drop
+      .withColumn("fingerprint", xxhash64(col("embedding")))
+      .dropDuplicatesWithinWatermark("fingerprint")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.drop("fingerprint")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try if (b.isEmpty) sink(b, batchId) else {
+          // stored geometry drives BOTH passes (cross probe reads it
+          // itself; the within-batch pass gets the same arrays) so the
+          // two scorers cannot disagree on cell assignment
+          val cents = Similarity.readIvfCentroids(spark, indexDir)
+          val (multiAssign, quantizer) =
+            Similarity.readIvfIndexParams(spark, indexDir)
+          val vec = b.select(col("vec_id"), col("embedding"))
+          val cross = Dedup.semanticNearDupAgainstIndex(spark, vec,
+            indexDir, threshold)
+          // every cross pair names exactly one batch id — semi-joining
+          // the batch against the pair ids drops precisely those
+          val crossIds = cross.select(col("id_a").as("vec_id"))
+            .unionByName(cross.select(col("id_b").as("vec_id")))
+            .distinct()
+          val kept = vec
+            .join(broadcast(crossIds), Seq("vec_id"), "left_anti")
+          val within = Dedup.semanticNearDupPairsWith(kept, cents,
+            threshold, multiAssign, quantizer)
+          val survivors = Dedup.dedupByClusters(
+            b.join(broadcast(crossIds), Seq("vec_id"), "left_anti"),
+            within, idCol = "vec_id")
+          if (appendSurvivors)
+            Similarity.appendIvfIndex(
+              kept.join(survivors.select(col("vec_id")),
+                Seq("vec_id"), "left_semi"),
+              indexDir)
+          sink(survivors, batchId)
+        } finally b.unpersist()
+      }
+  }
 }

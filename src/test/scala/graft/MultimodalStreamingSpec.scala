@@ -267,4 +267,74 @@ class MultimodalStreamingSpec extends SparkSuite {
       .select($"doc_id").distinct().collect().map(_.getLong(0)).toSet
     assert(idxIds === Set(1L, 11L, 21L))
   }
+
+  test("streaming incremental semantic dedup: a paraphrase-vector of an " +
+      "INDEXED embedding drops mid-stream, and a batch's survivor joins " +
+      "the IVF index in time to catch the NEXT batch's near-dup of it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Similarity
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // two frozen centroid directions; every vector sits near one of
+    // them, so cell assignment under the STORED geometry is unambiguous
+    val cents = Array(
+      (0, Array(1f, 0f, 0f, 0f)),
+      (1, Array(0f, 1f, 0f, 0f)))
+    val vecA = Array(1f, 0.05f, 0f, 0f)        // cell 0 (indexed)
+    val vecA2 = Array(1f, 0.08f, 0.02f, 0f)    // cos(A,A2) ~ 0.999
+    val vecC = Array(0.05f, 1f, 0f, 0f)        // cell 1, novel
+    val vecC2 = Array(0.08f, 1f, 0.02f, 0f)    // cos(C,C2) ~ 0.999
+    val vecD = Array(0f, 0.7f, 0.7f, 0.1f)     // cell 1, cos(C,D) ~ 0.70
+    // precondition: the three scenes are semantically FAR apart (else a
+    // cross-scene drop would be indistinguishable from the bridge
+    // working) while each paraphrase stays above the threshold
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      def n(v: Array[Float]) = math.sqrt(v.map(x => x.toDouble * x).sum)
+      dot / (n(a) * n(b))
+    }
+    for (Seq(p, q) <- Seq(vecA, vecC, vecD).combinations(2))
+      assert(cos(p, q) < 0.9)
+    assert(cos(vecA, vecA2) > 0.95 && cos(vecC, vecC2) > 0.95)
+
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_streamsem").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_streamsemck").toString
+    Similarity.writeIvfIndex(
+      Seq((1L, vecA.toSeq)).toDF("vec_id", "embedding")
+        .select($"vec_id",
+          $"embedding".cast("array<float>").as("embedding")),
+      idxDir, cents)
+
+    val input = MemoryStream[(java.sql.Timestamp, Long, Array[Float])]
+    val vecs = input.toDF().toDF("ts", "vec_id", "embedding")
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamingAgg.dedupEmbeddingsStreamAgainstIndex(vecs, idxDir,
+        "1 hour", threshold = 0.95) { (survivors, _) =>
+        got ++= survivors.select($"vec_id").collect().map(_.getLong(0))
+      }
+      .option("checkpointLocation", s"$ckpt/ckpt")
+      .start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: a paraphrase of the indexed vector (not byte-equal, so
+    // the fingerprint stage cannot catch it) drops; novel C survives
+    input.addData(Seq(
+      (t("2024-01-01 10:00:00"), 10L, vecA2),
+      (t("2024-01-01 10:00:01"), 11L, vecC)))
+    q.processAllAvailable()
+    // batch 2: a paraphrase of C — indexed only MID-STREAM by batch 1's
+    // append — drops; novel D survives
+    input.addData(Seq(
+      (t("2024-01-01 10:10:00"), 20L, vecC2),
+      (t("2024-01-01 10:10:01"), 21L, vecD)))
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toSet === Set(11L, 21L))
+    // the index ended the run holding the original + both survivors,
+    // tagged under the STORED centroids (A in cell 0; C and D in cell 1)
+    val cells = spark.read.parquet(s"$idxDir/cells")
+      .select($"vec_id", $"cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(cells === Set((1L, 0), (11L, 1), (21L, 1)))
+  }
 }

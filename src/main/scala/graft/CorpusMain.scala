@@ -14,6 +14,12 @@ import org.apache.spark.sql.SparkSession
   *     prints the one-row report.
   *   - `maintain <indexRoot>` — [[Pipeline.maintainIndexes]]
   *     compaction sweep.
+  *   - `rebuild-ivf <indexRoot> <nlist>` —
+  *     [[graft.operators.Similarity.rebuildIvfIndex]] over the
+  *     `<indexRoot>/ivf` family: re-train the cell geometry at the
+  *     operator-chosen `nlist` once a season of refreshes has outgrown
+  *     the frozen centroids (the compaction sweep never touches
+  *     geometry).
   *
   * Thresholds/bucket counts stay at the operators' production defaults
   * on purpose: a deployment that needs different ones calls
@@ -26,7 +32,8 @@ object CorpusMain {
     System.err.println(
       """usage: CorpusMain refresh <batchDir> <indexRoot> <corpusDir> [embeddingsDir]
         |       CorpusMain retract <idsDir> <indexRoot> <corpusDir>
-        |       CorpusMain maintain <indexRoot>""".stripMargin)
+        |       CorpusMain maintain <indexRoot>
+        |       CorpusMain rebuild-ivf <indexRoot> <nlist>""".stripMargin)
     sys.exit(2)
   }
 
@@ -56,6 +63,10 @@ object CorpusMain {
       case "maintain" :: indexRoot :: Nil =>
         Pipeline.maintainIndexes(spark, indexRoot)
         println(s"""{"maintained":"$indexRoot"}""")
+      case "rebuild-ivf" :: indexRoot :: nlist :: Nil =>
+        graft.operators.Similarity.rebuildIvfIndex(spark,
+          s"$indexRoot/ivf", nlist.toInt)
+        println(s"""{"rebuilt":"$indexRoot/ivf","nlist":$nlist}""")
       case _ => usage()
     } finally spark.stop()
   }

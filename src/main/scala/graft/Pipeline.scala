@@ -483,7 +483,11 @@ object Pipeline {
     * appends and [[retractCorpus]] rewrites; probe answers are
     * bit-identical before and after (IndexMaintenanceSpec's contract,
     * per family). Same single-writer discipline as every maintenance
-    * pass.
+    * pass. Deliberately layout-only: re-deriving the IVF family's
+    * GEOMETRY when the corpus has outgrown it takes an operator
+    * decision (the new nlist) — that is
+    * [[graft.operators.Similarity.rebuildIvfIndex]] / the
+    * `CorpusMain rebuild-ivf` line, not part of the blind sweep.
     */
   def maintainIndexes(spark: SparkSession, indexRoot: String): Unit = {
     import org.apache.hadoop.fs.Path

@@ -638,6 +638,84 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
   }
 
+  /** Re-train a [[writeIvfIndex]] layout's geometry over its CURRENT
+    * contents — the rebuild leg of the IVF lifecycle, and the
+    * maintenance answer to the documented degradation contract on
+    * [[writeIvfIndex]]: appends fold new vectors in under FROZEN
+    * centroids, so cell populations grow ~linearly with the corpus and
+    * within-cell pair scans grow ~quadratically; when a season of
+    * appends has outgrown the geometry, rebuild with a larger `nlist`
+    * restores constant cell populations. ([[graft.operators.Dedup
+    * .compactIndex]] repacks the file layout but keeps the geometry;
+    * this re-derives the geometry itself.)
+    *
+    * Steps: (1) the distinct corpus (unique `vec_id`s — retried
+    * appends' duplicate rows collapse here, extra indexed columns kept)
+    * is STAGED to `dir/rebuild_staged` — a durable copy is required
+    * because step 3 overwrites the very `cells/` files it was read
+    * from, and it doubles as the crash-recovery artifact; (2) k-means
+    * re-trains `nlist` centroids over the staged corpus
+    * ([[kmeansCentroids]]); (3) [[writeIvfIndex]] rewrites the index
+    * from the staged corpus under the new geometry — its own
+    * delete-params-first ordering makes the index REFUSED (not stale)
+    * for the whole rewrite window; (4) the staging dir is removed.
+    * Probes in flight during the window fail loudly on the missing
+    * `params/` — the single-writer discipline every maintenance pass
+    * here shares.
+    *
+    * Crash contract: before step 3's first delete the old index is
+    * fully intact (a leftover staging dir is swept by the next
+    * rebuild); from then until completion `params/` is absent and
+    * every self-describing probe refuses. Recovery: re-run
+    * `rebuildIvfIndex` — it detects the missing `params/`, resumes
+    * from the staged corpus, and (only then) requires `multiAssign` /
+    * `quantizer` explicitly, because the stored copy of the geometry
+    * died with `params/`.
+    *
+    * `multiAssign`/`quantizer` default to the STORED values (geometry
+    * knobs survive a resize unless the caller overrides). When growing
+    * `nlist` far enough that a stored resolved `"twolevel"` dispatch's
+    * family count changes, pass `quantizer = "auto"` to re-resolve
+    * against the new size.
+    */
+  def rebuildIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, nlist: Int, iters: Int = 2,
+      multiAssign: Int = 0, quantizer: String = ""): Unit = {
+    import org.apache.hadoop.fs.Path
+    val staged = new Path(s"$dir/rebuild_staged")
+    val fs = staged.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val resuming = !fs.exists(new Path(s"$dir/params"))
+    if (resuming) {
+      require(fs.exists(staged),
+        s"rebuildIvfIndex: $dir has neither params/ (a valid index) " +
+          "nor rebuild_staged/ (a crashed rebuild to resume)")
+      require(multiAssign >= 1 && quantizer.nonEmpty,
+        "rebuildIvfIndex recovery: the stored geometry died with " +
+          "params/ — pass multiAssign and quantizer explicitly")
+    } else {
+      val (sm, sq) = readIvfIndexParams(spark, dir)
+      if (fs.exists(staged)) fs.delete(staged, true)
+      spark.read.parquet(s"$dir/cells")
+        .dropDuplicates("vec_id").drop("cell")
+        .write.parquet(staged.toString)
+      return rebuildStaged(spark, dir, staged, nlist, iters,
+        if (multiAssign >= 1) multiAssign else sm,
+        if (quantizer.nonEmpty) quantizer else sq)
+    }
+    rebuildStaged(spark, dir, staged, nlist, iters, multiAssign,
+      quantizer)
+  }
+
+  private def rebuildStaged(spark: org.apache.spark.sql.SparkSession,
+      dir: String, staged: org.apache.hadoop.fs.Path, nlist: Int,
+      iters: Int, multiAssign: Int, quantizer: String): Unit = {
+    val corpus = spark.read.parquet(staged.toString)
+    val cents = kmeansCentroids(corpus, nlist, iters, quantizer)
+    writeIvfIndex(corpus, dir, cents, multiAssign, quantizer)
+    val fs = staged.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(staged, true)
+  }
+
   /** The stored assignment geometry of a [[writeIvfIndex]] layout:
     * (multi_assign, resolved quantizer name). One driver-sized read. */
   def readIvfIndexParams(spark: org.apache.spark.sql.SparkSession,

@@ -361,6 +361,78 @@ class IndexMaintenanceSpec extends SparkSuite {
     }
   }
 
+  test("IVF index rebuild: re-trained geometry grows nlist, membership " +
+      "preserved, append duplicates collapse, extra columns and stored " +
+      "knobs survive, crashed rebuild resumes from the staged corpus") {
+    val rnd = new scala.util.Random(13)
+    val dirs2 = Seq(
+      Array.tabulate(8)(i => if (i == 0) 1.0f else 0.0f),
+      Array.tabulate(8)(i => if (i == 4) 1.0f else 0.0f))
+    def around(d: Array[Float]): Seq[Float] =
+      d.map(x => x + 0.04f * rnd.nextGaussian().toFloat).toSeq
+    def vecs(ids: Range) = ids
+      .map(i => (i.toLong, around(dirs2(i % 2)), s"tag$i"))
+      .toDF("vec_id", "embedding", "tag")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"),
+        $"tag")
+    val standing = vecs(0 until 16)
+    val weekly = vecs(16 until 24)
+    val dir = tmp("ivfrebuild")
+    Similarity.writeIvfIndex(standing, dir,
+      Similarity.kmeansCentroids(standing, nlist = 2, iters = 1))
+    // a season of appends, one retried (duplicate rows) — the
+    // degradation scenario rebuild exists for
+    Similarity.appendIvfIndex(weekly, dir)
+    Similarity.appendIvfIndex(weekly, dir)
+
+    Similarity.rebuildIvfIndex(spark, dir, nlist = 4)
+
+    val cells = spark.read.parquet(s"$dir/cells")
+    // membership: every indexed id exactly once (multiAssign 1), the
+    // retried append's duplicates collapsed by the distinct staging
+    assert(cells.select($"vec_id").collect().map(_.getLong(0)).sorted
+      .toSeq === (0L until 24L))
+    assert(cells.columns.contains("tag"))
+    // geometry: 4 centroids now stored; knobs survived the resize
+    assert(spark.read.parquet(s"$dir/centroids").count() === 4)
+    assert(Similarity.readIvfIndexParams(spark, dir) === ((1, "flat")))
+    // answers under the new geometry: a near-dup of an indexed vector
+    // is still found, and the staging dir is gone
+    val probe = vecs(100 until 102)
+      .select($"vec_id", $"embedding")
+    assert(pairSet(Dedup.semanticNearDupAgainstIndex(spark, probe, dir,
+      threshold = 0.9)).nonEmpty)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/rebuild_staged")))
+
+    // crashed rebuild: params/ + centroids/ died mid-rewrite, the
+    // staged corpus survived — resume requires explicit geometry, then
+    // restores a probeable index and sweeps the staging dir
+    cells.drop("cell").dropDuplicates("vec_id")
+      .write.parquet(s"$dir/rebuild_staged")
+    Seq("params", "centroids").foreach { s =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$s")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.rebuildIvfIndex(spark, dir, nlist = 4)
+    }
+    Similarity.rebuildIvfIndex(spark, dir, nlist = 4,
+      multiAssign = 1, quantizer = "auto")
+    assert(pairSet(Dedup.semanticNearDupAgainstIndex(spark, probe, dir,
+      threshold = 0.9)).nonEmpty)
+    assert(spark.read.parquet(s"$dir/cells")
+      .select($"vec_id").distinct().count() === 24)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/rebuild_staged")))
+    // a dir with neither params/ nor a staged corpus refuses
+    intercept[IllegalArgumentException] {
+      Similarity.rebuildIvfIndex(spark, tmp("norebuild"), nlist = 2,
+        multiAssign = 1, quantizer = "auto")
+    }
+  }
+
   test("chunk index deletion is content-addressed: deleteFromIndex " +
       "refuses, deleteFromChunkIndex retracts content, watermark and " +
       "monotone-id check stand") {

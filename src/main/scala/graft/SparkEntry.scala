@@ -1172,6 +1172,21 @@ object SparkEntry {
       r1.report.unionByName(r2.report)
         .orderBy(col("batch_max_id").asc)
     }),
+    // the decontamination screen THROUGH the persisted benchmark
+    // index — bit-identical rows to q71's inline screen (both
+    // intersect the same xxhash64 shingle-hash sets), so the DuckDB
+    // oracle hash-proves the hashes/ parquet round-trip the way q90
+    // proves shingles/. Index write inside the timer (the q84
+    // contract); 32 buckets at test scale like q89.
+    "q101_contamination_index" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idx = ivfIndexDir(dir, "bm101")
+      Dedup.writeBenchmarkIndex(
+        docs.where(pmod(col("doc_id"), lit(97)) === 0), idx,
+        hashBuckets = 32)
+      Dedup.contaminationScreenAgainstIndex(s, docs, idx)
+        .orderBy(col("doc_id").asc)
+    }),
     // ---- streaming tier: the flagship as a driver-gated entry ----
     // a REAL Structured Streaming run (file source, available-now,
     // watermark + append) whose emitted windows must hash-match the
@@ -1880,6 +1895,21 @@ object SparkEntry {
           |FROM s JOIN fps ON s.fp = fps.fp
           |GROUP BY split ORDER BY split""".stripMargin,
       "q71_decontaminate" ->
+        s"""WITH ${shingleSqlWhere("")},
+           |$contaminationCntSql
+           |SELECT sh.doc_id,
+           |  CAST(len(sh.shingles) AS BIGINT) AS n_shingles,
+           |  CAST(coalesce(cnt.n_cont, 0) AS BIGINT) AS n_contaminated,
+           |  CASE WHEN len(sh.shingles) = 0 THEN 0.0
+           |       ELSE CAST(coalesce(cnt.n_cont, 0) AS DOUBLE)
+           |            / len(sh.shingles)
+           |  END AS contaminated_frac
+           |FROM sh LEFT JOIN cnt ON sh.doc_id = cnt.doc_id
+           |ORDER BY sh.doc_id""".stripMargin,
+      // q101 = q71's EXACT report computed through the persisted
+      // benchmark index, so it shares q71's oracle verbatim — the
+      // hash-match proves the index round-trip changes nothing
+      "q101_contamination_index" ->
         s"""WITH ${shingleSqlWhere("")},
            |$contaminationCntSql
            |SELECT sh.doc_id,

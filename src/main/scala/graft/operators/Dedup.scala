@@ -1184,6 +1184,8 @@ object Dedup {
     StructField("doc_id", LongType), StructField("simhash", LongType),
     StructField("q", IntegerType), StructField("qh", LongType),
     StructField("bucket", IntegerType)))
+  private val benchHashesSchema = StructType(Seq(
+    StructField("h", LongType), StructField("bucket", IntegerType)))
 
   /** Materialize the corpus' near-dup signatures as an on-disk index under
     * `dir` — the [[Similarity.writeIvfIndex]] pattern applied to text
@@ -1496,6 +1498,158 @@ object Dedup {
         maxBroadcastShingles)
       .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
         col("contaminated_frac"))
+
+  // ----------------------- persisted benchmark (decontamination) index
+
+  /** Materialize a benchmark/eval suite's distinct n-gram shingle
+    * hashes as an on-disk index under `dir` — the persisted-index
+    * regime applied to DECONTAMINATION, the sixth written family. Eval
+    * suites are long-lived and change rarely while training batches
+    * arrive weekly, so the right lifecycle shape is: shingle the
+    * benchmark ONCE, screen each batch against the stored hashes
+    * ([[contaminationScreenAgainstIndex]]), and fold newly-adopted eval
+    * sets in as they appear (`mode = "append"` — params must match).
+    * Layout, the [[writeMinhashIndex]] discipline throughout:
+    *
+    *   - `hashes/`: the suite's DISTINCT shingle hashes, PARTITIONED BY
+    *     `bucket = pmod(h, hashBuckets)` — a probe prunes the scan to
+    *     the buckets the batch's own shingles name (dynamic partition
+    *     pruning, PlanSpec-pinned like every probe family).
+    *   - `params/`: one row (num_shingle_words, hash_buckets), deleted
+    *     first / written last ([[writeIndexScaffold]]) so a crashed
+    *     write leaves an index probes refuse, never stale params
+    *     vouching for half-written data. Appends re-distinct only
+    *     within the batch; a hash present in two appended suites sits
+    *     in `hashes/` twice — harmless to every probe answer (the
+    *     matched set distinct-collapses) and [[compactIndex]]'s to
+    *     reclaim.
+    *
+    * When does the index pay over [[contaminationScreen]]? The inline
+    * screen re-shingles and re-collects the benchmark on EVERY call —
+    * fine for one KB-MB eval set, wrong for a full eval-plus-holdout
+    * collection screened weekly; the index pays the shingling once and
+    * each probe touches ∝ the batch's bucket footprint. Pruning itself
+    * follows the [[writeMinhashIndex]] sizing rule: it pays while the
+    * batch's distinct-shingle count is comfortably below `hashBuckets`
+    * (a big batch names every bucket and the probe degrades to one full
+    * index scan — still never all-pairs, and still no benchmark
+    * re-shingle).
+    */
+  def writeBenchmarkIndex(benchmark: DataFrame, dir: String,
+      numShingleWords: Int = 3, hashBuckets: Int = 256,
+      mode: String = "overwrite"): Unit = {
+    require(hashBuckets > 0, s"hashBuckets must be > 0, got $hashBuckets")
+    val spark = benchmark.sparkSession
+    val asked = (numShingleWords, hashBuckets)
+    writeIndexScaffold(spark, dir, mode) {
+      val p = readBenchmarkIndexParams(spark, dir)
+      require(p == asked,
+        s"append with params $asked onto an index written with $p")
+    } {
+      shingleHashArrays(benchmark, numShingleWords)
+        .select(explode(col("sh")).as("h"))
+        .distinct()
+        // INT bucket, matching the inferred partition-column type — a
+        // cast on the partition attribute at the probe join would
+        // defeat dynamic partition pruning ([[writeMinhashIndex]])
+        .withColumn("bucket",
+          pmod(col("h"), lit(hashBuckets.toLong)).cast("int"))
+        .write.mode(mode).partitionBy("bucket").parquet(s"$dir/hashes")
+    } {
+      spark.range(1).select(
+        lit(numShingleWords).as("num_shingle_words"),
+        lit(hashBuckets).as("hash_buckets"))
+    }
+  }
+
+  private[graft] def readBenchmarkIndexParams(spark: SparkSession,
+      dir: String): (Int, Int) = {
+    val r = spark.read.parquet(s"$dir/params").head()
+    (r.getAs[Int]("num_shingle_words"), r.getAs[Int]("hash_buckets"))
+  }
+
+  /** The decontamination REPORT ([[contaminationScreen]]'s exact
+    * columns and rows) computed against a [[writeBenchmarkIndex]]
+    * suite instead of an inline benchmark frame — the incremental
+    * screen for the weekly regime. Shingles are computed with the
+    * INDEX's own stored `num_shingle_words` (caller arguments cannot
+    * silently mismatch the stored geometry), so the counts are
+    * bit-identical to `contaminationScreen(docs, benchmark)` over the
+    * same suite — both flavors intersect the SAME xxhash64 shingle-hash
+    * sets (DedupSpec proves the equality; the q101 DuckDB oracle proves
+    * the `hashes/` round-trip end-to-end).
+    *
+    * Plan shape: the batch's shingle arrays materialize once (lineage
+    * barrier — three consumers below would otherwise re-run the shingle
+    * kernel per consumer), then (1) the batch's distinct hashes
+    * semi-join the pruned `hashes/` scan — out comes the matched-hash
+    * set, at most the batch's own distinct-shingle count, never the
+    * index size, duplicate-row-safe under appends; (2) the exploded
+    * batch shingles semi-join that matched set for per-doc hit counts;
+    * (3) `n_shingles` is a map-only projection of the array size.
+    * Zero-shingle docs (null/empty text) report (0, 0, 0.0) exactly as
+    * both inline flavors do.
+    *
+    * `broadcastProbe = false` for a batch too large to broadcast: both
+    * small-side joins degrade to hash shuffles keyed on the hash —
+    * still ∝ batch + matching rows — at the cost of the pruned scan
+    * (the same trade as every probe family's flag).
+    */
+  def contaminationScreenAgainstIndex(spark: SparkSession,
+      docs: DataFrame, dir: String,
+      broadcastProbe: Boolean = true): DataFrame = {
+    val (nsw, buckets) = readBenchmarkIndexParams(spark, dir)
+    val sh = Barriers.barrier(
+      shingleHashArrays(docs, nsw).select(col("doc_id"),
+        coalesce(col("sh"), typedLit(Array.empty[Long])).as("sh")))
+    val probe0 = sh.select(explode(col("sh")).as("h")).distinct()
+      .withColumn("bucket", pmod(col("h"), lit(buckets.toLong)).cast("int"))
+      // vacuously-true binary comparison marking the probe side
+      // likely-selective so dynamic partition pruning fires — the
+      // [[minhashCandidatesAgainstIndex]] predicate trick
+      .where(col("h") >= lit(Long.MinValue))
+    val probe = if (broadcastProbe) broadcast(probe0) else probe0
+    val matched0 = spark.read.schema(benchHashesSchema)
+      .parquet(s"$dir/hashes")
+      .join(probe, Seq("bucket", "h"), "left_semi")
+      .select(col("h")).distinct()
+    val matched = if (broadcastProbe) broadcast(matched0) else matched0
+    val hits = sh.select(col("doc_id"), explode(col("sh")).as("h"))
+      .join(matched, Seq("h"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated"))
+    sh.select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_contaminated",
+        coalesce(col("n_contaminated"), lit(0L)))
+      .withColumn("contaminated_frac",
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(col("n_contaminated").cast("double") /
+            col("n_shingles")))
+  }
+
+  /** Delete a retracted eval set's content from a
+    * [[writeBenchmarkIndex]] suite — the [[deleteFromChunkIndex]]
+    * semantics applied to the benchmark family, which is likewise
+    * content-addressed (hashes carry no provenance): the retracted
+    * benchmark's (doc_id, text) rows are re-shingled under the index's
+    * own stored `num_shingle_words` and exactly those hashes leave
+    * `hashes/` (touched-bucket anti-join rewrite, [[deleteKeyedRows]]).
+    * A removed hash SHARED with a still-standing eval set is removed
+    * too — screening coverage for that n-gram lapses until the standing
+    * set is re-appended (the same disclosed shared-content price as the
+    * chunk family; the index stores no per-set ownership, the cost of
+    * O(distinct shingles) size).
+    */
+  def deleteFromBenchmarkIndex(spark: SparkSession, dir: String,
+      retracted: DataFrame): Unit = {
+    val (nsw, _) = readBenchmarkIndexParams(spark, dir)
+    val hashes = shingleHashArrays(retracted, nsw)
+      .select(explode(col("sh")).as("h")).distinct()
+    deleteKeyedRows(spark, s"$dir/hashes",
+      spark.read.schema(benchHashesSchema).parquet(s"$dir/hashes"),
+      "bucket", "h", hashes)
+  }
 
   // --------------------------------------------------- embedding near-dup
 
@@ -1898,6 +2052,7 @@ object Dedup {
     else if (fields.contains("chunk_buckets")) "chunk"
     else if (fields.contains("piece_buckets")) "hamming"
     else if (fields.contains("quantizer")) "ivf"
+    else if (fields.contains("hash_buckets")) "benchmark"
     else throw new IllegalArgumentException(
       s"$dir/params matches no known index family " +
         s"(columns: ${fields.toSeq.sorted.mkString(", ")})")
@@ -1944,11 +2099,12 @@ object Dedup {
       .sortWithinPartitions((part +: sortCols).map(col): _*)
 
   /** Compact a persisted index after a season of appends — the
-    * lifecycle maintenance pass for all five written-index families
+    * lifecycle maintenance pass for all six written-index families
     * ([[writeMinhashIndex]] text bands, [[writeChunkIndex]] /
     * [[writeChunkIndexCDC]] chunk hashes, [[writeHammingIndex]]
     * signature pieces, [[Multimodal.writeImageIndex]] = the Hamming
-    * layout, [[Similarity.writeIvfIndex]] embedding cells; the family
+    * layout, [[Similarity.writeIvfIndex]] embedding cells,
+    * [[writeBenchmarkIndex]] decontamination hashes; the family
     * is detected from `params/`, see [[indexFamily]]). Every
     * `mode = "append"` lays a fresh part-file set per bucket, so after
     * a year of weekly batches a probe's pruned scan opens
@@ -2003,6 +2159,14 @@ object Dedup {
             spark.read.schema(piecesSchema).parquet(s"$dir/pieces")
               .distinct(),
             "bucket", Seq("q", "qh", "doc_id")))
+      case "benchmark" =>
+        // appended eval sets re-distinct only within themselves, so a
+        // shared n-gram sits once per appended suite — exact row copies
+        swapRewrite(spark, s"$dir/hashes", Seq("bucket"))(
+          onePerPartition(
+            spark.read.schema(benchHashesSchema).parquet(s"$dir/hashes")
+              .distinct(),
+            "bucket", Seq("h")))
       case "ivf" =>
         // inferred schema, not [[cellsSchema]]: the written cells carry
         // whatever EXTRA corpus columns the caller indexed, and a
@@ -2103,6 +2267,9 @@ object Dedup {
     *     (hashes carry no doc ids), so per-doc deletion needs the
     *     retracted documents' text — [[deleteFromChunkIndex]] is that
     *     surface, with its own shared-content semantics.
+    *   - benchmark: REFUSED for the same reason — shingle hashes carry
+    *     no eval-set provenance; [[deleteFromBenchmarkIndex]] is the
+    *     content-addressed surface.
     *
     * Ids are never reused (the monotone-id contract every index
     * already assumes), so a deleted id range stays retired — deletion
@@ -2134,6 +2301,10 @@ object Dedup {
     case "chunk" => throw new IllegalArgumentException(
       s"$dir is a chunk index — content-addressed, so per-doc deletion " +
         "needs the retracted documents' text: use deleteFromChunkIndex")
+    case "benchmark" => throw new IllegalArgumentException(
+      s"$dir is a benchmark index — content-addressed, so eval-set " +
+        "deletion needs the retracted set's text: use " +
+        "deleteFromBenchmarkIndex")
   }
 
   /** Delete retracted DOCUMENTS' content from a [[writeChunkIndex]] /

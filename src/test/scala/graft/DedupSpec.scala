@@ -405,6 +405,40 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("benchmark index screen matches the inline contamination screen " +
+      "bit-exactly; appended eval sets compose; odd docs report zeros") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_benchidx").toString
+    val bench = docs.where($"doc_id" === 0L || $"doc_id" === 3L)
+    val oddRows: Seq[(Long, String)] = Seq((77L, ""), (78L, null))
+    val corpus = docs.unionByName(oddRows.toDF("doc_id", "text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"doc_id").collect().map(_.toSeq).toSeq
+    val inline = rows(Dedup.contaminationScreen(corpus, bench))
+    // the suite lands as TWO appended eval sets — the probe must see
+    // exactly the union (the adoption-over-time regime)
+    Dedup.writeBenchmarkIndex(docs.where($"doc_id" === 0L), dir,
+      hashBuckets = 8)
+    Dedup.writeBenchmarkIndex(docs.where($"doc_id" === 3L), dir,
+      hashBuckets = 8, mode = "append")
+    val viaIndex =
+      rows(Dedup.contaminationScreenAgainstIndex(spark, corpus, dir))
+    assert(viaIndex === inline)
+    // the non-broadcast (large-batch) probe flavor: identical rows
+    assert(rows(Dedup.contaminationScreenAgainstIndex(spark, corpus, dir,
+      broadcastProbe = false)) === inline)
+    // same columns and types as the inline report
+    assert(Dedup.contaminationScreenAgainstIndex(spark, corpus, dir)
+      .schema.map(f => (f.name, f.dataType)) ===
+      Dedup.contaminationScreen(corpus, bench)
+        .schema.map(f => (f.name, f.dataType)))
+    // appends under different signature params are refused, not merged
+    intercept[IllegalArgumentException] {
+      Dedup.writeBenchmarkIndex(bench, dir, numShingleWords = 2,
+        hashBuckets = 8, mode = "append")
+    }
+  }
+
   test("containment catches a small doc quoted in a large one that " +
       "jaccard misses") {
     val small = "alpha beta gamma delta epsilon zeta eta theta"

@@ -464,4 +464,58 @@ class IndexMaintenanceSpec extends SparkSuite {
       Dedup.dedupChunksAgainstIndex(spark, b1, dir).collect()
     }
   }
+
+  test("benchmark index: maintainIndexes compacts it (screen answers " +
+      "bit-identical, one file per bucket); retracting an eval set " +
+      "stops flagging exactly its n-grams") {
+    val root = tmp("benchroot")
+    val dir = s"$root/benchmark"
+    val setA = Seq((0L, base)).toDF("doc_id", "text")
+    val setB = Seq((1L, "totally distinct benchmark prompts about " +
+      "ocean currents and tides rolling steadily"))
+      .toDF("doc_id", "text")
+    Dedup.writeBenchmarkIndex(setA, dir, hashBuckets = 8)
+    Dedup.writeBenchmarkIndex(setB, dir, hashBuckets = 8,
+      mode = "append")
+    // the documented crashed-append recovery: re-run the SAME append
+    Dedup.writeBenchmarkIndex(setB, dir, hashBuckets = 8,
+      mode = "append")
+    val hashes = () => spark.read.parquet(s"$dir/hashes")
+    assert(hashes().count() > hashes().distinct().count())
+    val batch = Seq(
+      (10L, base),
+      (11L, "ocean currents and tides rolling steadily onto the shore"),
+      (12L, "nothing in common here at all with anything indexed"))
+      .toDF("doc_id", "text")
+    def screen() = Dedup
+      .contaminationScreenAgainstIndex(spark, batch, dir)
+      .orderBy($"doc_id").collect()
+    val before = screen().map(_.toSeq).toSeq
+    // the composed sweep reaches the benchmark family like every other
+    Pipeline.maintainIndexes(spark, root)
+    assert(screen().map(_.toSeq).toSeq === before)
+    assert(hashes().count() === hashes().distinct().count())
+    val perBucket = filesPerPartition(s"$dir/hashes")
+    assert(perBucket.nonEmpty)
+    assert(perBucket.values.forall(_ === 1),
+      s"expected one file per bucket, got $perBucket")
+    // content-addressed: id-keyed deletion refuses loudly
+    intercept[IllegalArgumentException] {
+      Dedup.deleteFromIndex(spark, dir, Seq(0L).toDF("doc_id"))
+    }
+    // retract set B (disjoint shingles from set A, so the remainder is
+    // exact): doc 11 stops flagging, doc 10 (set A overlap) keeps its
+    // counts, and the result equals a fresh index over set A alone
+    Dedup.deleteFromBenchmarkIndex(spark, dir, setB)
+    val after = screen()
+    val m = after.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(m(11L) === 0L)
+    assert(m(10L) > 0L)
+    assert(m(12L) === 0L)
+    val freshDir = tmp("benchfresh")
+    Dedup.writeBenchmarkIndex(setA, freshDir, hashBuckets = 8)
+    assert(Dedup.contaminationScreenAgainstIndex(spark, batch, freshDir)
+      .orderBy($"doc_id").collect().map(_.toSeq).toSeq ===
+      after.map(_.toSeq).toSeq)
+  }
 }

@@ -695,7 +695,9 @@ object Dedup {
     }
   }
 
-  private def readChunkIndexParams(spark: SparkSession,
+  // private[graft]: the streaming bridge appends each micro-batch
+  // under the index's own stored chunking rule and granularity
+  private[graft] def readChunkIndexParams(spark: SparkSession,
       dir: String): (String, Int, Int, Long) = {
     val r = spark.read.parquet(s"$dir/params").head()
     (r.getAs[String]("rule"), r.getAs[Int]("granularity"),

@@ -139,6 +139,102 @@ object StreamingAgg {
       }
   }
 
+  /** Streaming SUBSTRING-level cleaning against a persisted chunk
+    * index ([[graft.operators.Dedup.writeChunkIndex]] /
+    * `writeChunkIndexCDC`) — the fourth text-side bridge, completing
+    * the in-stream lifecycle: exact dedup (fingerprint state), document
+    * near-dup ([[dedupDocumentsStreamAgainstIndex]]), and now the
+    * boilerplate-removal tier that CLEANS text rather than dropping
+    * documents. Exact byte duplicates collapse in-stream via
+    * `dropDuplicatesWithinWatermark` on the normalized-text fingerprint
+    * (state bounded by the horizon); each micro-batch then runs
+    * [[graft.operators.Dedup.dedupChunksAgainstIndex]] in
+    * `foreachBatch` — a chunk survives iff it is the batch's own first
+    * occurrence AND absent from the standing index (chunked under the
+    * index's STORED rule and granularity, the q95 DPP-pruned plan
+    * shape) — and, with `appendBatch`, the batch's ORIGINAL rows fold
+    * into the index under those same stored params before `sink` sees
+    * the batch, so boilerplate introduced by one micro-batch is
+    * stripped from every later one.
+    *
+    * `sink` receives the batch's rows with `text` replaced by the
+    * cleaned text, `n_chunks`/`n_kept` audit columns, and
+    * `text_original` kept ONLY where cleaning changed the text (null
+    * otherwise) — the [[graft.Pipeline.refreshCorpus]] publish rule,
+    * and for the same reason: a later
+    * [[graft.operators.Dedup.deleteFromChunkIndex]] retraction must
+    * re-chunk exactly the bytes the append indexed.
+    *
+    * Contracts inherited from the chunk family, enforced there: doc
+    * ids MONOTONE across micro-batches (each batch's min id must
+    * exceed the index's stored watermark — out-of-order id assignment
+    * fails loudly, it does not mis-dedup), single writer per index.
+    * Crash contract: a failed micro-batch re-runs WHOLE, which is
+    * precisely the chunk append's documented recovery requirement
+    * (retry the SAME batch before any further probe or append; the
+    * duplicate hash rows are the idempotent-retry price
+    * [[graft.operators.Dedup.compactIndex]] re-distincts). The index
+    * must exist — create it with `writeChunkIndex` (over an empty
+    * frame for a cold start).
+    *
+    * Input needs (ts, doc_id, text); extra columns ride through to the
+    * sink unchanged.
+    */
+  def cleanChunksStreamAgainstIndex(docs: DataFrame, indexDir: String,
+      horizon: String = "1 hour", appendBatch: Boolean = true)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] = {
+    import graft.operators.Dedup
+    docs
+      .withWatermark("ts", horizon)
+      .withColumn("fingerprint", md5(Dedup.normalized(col("text"))))
+      .dropDuplicatesWithinWatermark("fingerprint")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.drop("fingerprint")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val doc = b.select(col("doc_id"), col("text"))
+        // one output shape for BOTH paths: the sink always sees the
+        // cleaned-text schema (audit columns included), so an empty
+        // maintenance micro-batch cannot break a schema-dependent sink
+        def shaped(cleaned: DataFrame): DataFrame = b.drop("text")
+          .join(cleaned.select(col("doc_id"), col("text"),
+            col("n_chunks"), col("n_kept")), Seq("doc_id"))
+          .join(doc.select(col("doc_id"),
+            col("text").as("text_original")), Seq("doc_id"))
+          .withColumn("text_original",
+            when(col("n_kept") < col("n_chunks"), col("text_original")))
+        try if (b.isEmpty) {
+          // empty batch: skip the probe/append entirely (their ~dozen
+          // re-planned jobs are the fixed floor worth skipping), emit
+          // the shape over an empty cleaned frame
+          sink(shaped(spark.range(0).select(col("id").as("doc_id"),
+            lit(null).cast("string").as("text"),
+            lit(0).as("n_chunks"), lit(0).as("n_kept"))), batchId)
+        } else {
+          val out = shaped(
+            Dedup.dedupChunksAgainstIndex(spark, doc, indexDir))
+          if (appendBatch) {
+            // the STORED rule/granularity/buckets drive the append —
+            // the writer's params guard would refuse anything else
+            val (rule, granularity, buckets, _) =
+              Dedup.readChunkIndexParams(spark, indexDir)
+            if (rule == "cdc")
+              Dedup.writeChunkIndexCDC(doc, indexDir,
+                divisor = granularity, chunkBuckets = buckets,
+                mode = "append")
+            else
+              Dedup.writeChunkIndex(doc, indexDir,
+                chunkTokens = granularity, chunkBuckets = buckets,
+                mode = "append")
+          }
+          sink(out, batchId)
+        } finally b.unpersist()
+      }
+  }
+
   /** Streaming incremental PERCEPTUAL dedup against a persisted image
     * index ([[graft.operators.Multimodal.writeImageIndex]] — the Hamming
     * layout): exact byte duplicates collapse in-stream via

@@ -185,6 +185,67 @@ class MultimodalStreamingSpec extends SparkSuite {
       === Set(1L, 11L, 21L))
   }
 
+  test("streaming chunk cleaning: INDEXED boilerplate is stripped " +
+      "mid-stream, a batch's chunks catch the NEXT batch's repeats, " +
+      "exact dups drop in-stream, text_original kept only where " +
+      "cleaning changed the text") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val passage = "alpha beta gamma delta epsilon zeta eta theta"
+    val novel = "one red two blue three green four yellow"
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_streamchunk").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_streamchunkck").toString
+    graft.operators.Dedup.writeChunkIndex(
+      Seq((1L, passage)).toDF("doc_id", "text"), idxDir,
+      chunkTokens = 4, chunkBuckets = 8)
+
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Int, Int, String)]
+    val q = StreamingAgg.cleanChunksStreamAgainstIndex(docs, idxDir,
+        "1 hour") { (out, _) =>
+        got ++= out.select($"doc_id", $"text", $"n_chunks", $"n_kept",
+            $"text_original").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+            r.getInt(3), r.getString(4)))
+      }
+      .option("checkpointLocation", s"$ckpt/ckpt")
+      .start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: doc 10 = the INDEXED passage + a novel tail → only the
+    // tail survives; doc 11 novel → untouched (text_original null)
+    input.addData(Seq(
+      (t("2024-01-01 10:00:00"), 10L, s"$passage nova mike oscar papa"),
+      (t("2024-01-01 10:00:01"), 11L, novel)))
+    q.processAllAvailable()
+    // batch 2: doc 20 repeats doc 11's text — indexed only MID-STREAM
+    // by batch 1's append — plus a fresh tail → only the tail survives;
+    // doc 21 is a whitespace-variant EXACT dup of doc 11 → dropped by
+    // the fingerprint stage, never reaches the sink or the index
+    input.addData(Seq(
+      (t("2024-01-01 10:10:00"), 20L, s"$novel final tango uniform victor"),
+      (t("2024-01-01 10:10:01"), 21L, novel.toUpperCase
+        .replace(" ", "   "))))
+    q.processAllAvailable()
+    q.stop()
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(got.map(_._1).toSet === Set(10L, 11L, 20L))
+    assert(byId(10L)._2 === "nova mike oscar papa")
+    assert(byId(10L)._3 === 3 && byId(10L)._4 === 1)
+    assert(byId(10L)._5 === s"$passage nova mike oscar papa")
+    assert(byId(11L)._2 === novel)
+    assert(byId(11L)._4 === byId(11L)._3)
+    assert(byId(11L)._5 === null) // unchanged → no original kept
+    assert(byId(20L)._2 === "final tango uniform victor")
+    assert(byId(20L)._5 === s"$novel final tango uniform victor")
+    // the watermark advanced with every append (monotone-id contract)
+    assert(spark.read.parquet(s"$idxDir/params")
+      .head().getAs[Long]("max_doc_id") === 20L)
+  }
+
   test("streaming incremental perceptual dedup: a re-encoded dup of an " +
       "INDEXED image drops mid-stream, and a batch's survivor joins the " +
       "index in time to catch the NEXT batch's dup of it") {

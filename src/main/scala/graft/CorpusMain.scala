@@ -14,6 +14,10 @@ import org.apache.spark.sql.SparkSession
   *     prints the one-row report.
   *   - `maintain <indexRoot>` — [[Pipeline.maintainIndexes]]
   *     compaction sweep.
+  *   - `stats <indexRoot>` — [[graft.operators.Dedup.indexStats]] over
+  *     every family present: one JSON line per index sub-dataset
+  *     (duplicate-row volume and files-per-bucket amplification — the
+  *     numbers that say whether `maintain` is due).
   *   - `rebuild-ivf <indexRoot> <nlist>` —
   *     [[graft.operators.Similarity.rebuildIvfIndex]] over the
   *     `<indexRoot>/ivf` family: re-train the cell geometry at the
@@ -33,6 +37,7 @@ object CorpusMain {
       """usage: CorpusMain refresh <batchDir> <indexRoot> <corpusDir> [embeddingsDir]
         |       CorpusMain retract <idsDir> <indexRoot> <corpusDir>
         |       CorpusMain maintain <indexRoot>
+        |       CorpusMain stats <indexRoot>
         |       CorpusMain rebuild-ivf <indexRoot> <nlist>""".stripMargin)
     sys.exit(2)
   }
@@ -48,7 +53,16 @@ object CorpusMain {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try args.toList match {
+    try run(spark, args.toList)
+    finally spark.stop()
+  }
+
+  /** The subcommand dispatch, session-agnostic so specs can drive it
+    * on a shared session (main owns session lifecycle, this owns the
+    * job). Prints one JSON line per result row.
+    */
+  def run(spark: SparkSession, args: List[String]): Unit =
+    args match {
       case "refresh" :: batchDir :: indexRoot :: corpusDir :: rest
           if rest.length <= 1 =>
         val emb = rest.headOption.map(spark.read.parquet(_))
@@ -63,11 +77,20 @@ object CorpusMain {
       case "maintain" :: indexRoot :: Nil =>
         Pipeline.maintainIndexes(spark, indexRoot)
         println(s"""{"maintained":"$indexRoot"}""")
+      case "stats" :: indexRoot :: Nil =>
+        val fs = new org.apache.hadoop.fs.Path(indexRoot)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        Seq("minhash", "hamming", "chunk", "ivf", "benchmark")
+          .filter(f => fs.exists(
+            new org.apache.hadoop.fs.Path(s"$indexRoot/$f/params")))
+          .foreach { f =>
+            graft.operators.Dedup.indexStats(spark, s"$indexRoot/$f")
+              .collect().foreach(r => println(r.json))
+          }
       case "rebuild-ivf" :: indexRoot :: nlist :: Nil =>
         graft.operators.Similarity.rebuildIvfIndex(spark,
           s"$indexRoot/ivf", nlist.toInt)
         println(s"""{"rebuilt":"$indexRoot/ivf","nlist":$nlist}""")
       case _ => usage()
-    } finally spark.stop()
-  }
+    }
 }

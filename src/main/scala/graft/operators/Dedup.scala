@@ -2344,4 +2344,92 @@ object Dedup {
       spark.read.schema(chunksSchema).parquet(s"$dir/chunks"),
       "bucket", "ch", hashes)
   }
+
+  // ----------------------- index maintenance: observability (stats)
+
+  /** Health report for a persisted index — the observability surface
+    * that tells an operator WHEN to run [[compactIndex]] instead of
+    * guessing: one row per data sub-dataset with
+    *
+    *   - `n_rows` vs `n_unique_rows`: their gap is exactly the
+    *     duplicate-row volume retried/overlapping appends have
+    *     accumulated (what compaction's re-distinct reclaims);
+    *   - `n_files` / `max_files_per_partition`: the probe-IO
+    *     amplification — each append lays up to one file per touched
+    *     bucket, so max files per partition ≈ appends since the last
+    *     compaction, and a pruned probe opens that many files per
+    *     bucket it names (what compaction's repack collapses to 1).
+    *
+    * Uniqueness is counted under each family's own compaction key
+    * (full row for bands/chunks/pieces/hashes, `doc_id` for shingles,
+    * `(vec_id, cell)` for IVF cells) so the report predicts the
+    * compacted size exactly. Cost: one file-listing pass plus one
+    * count + one distinct-count job per sub-dataset — index-sized, the
+    * same order as the compaction it gates; run it from the same
+    * maintenance window ([[graft.CorpusMain]]'s `stats` line), not per
+    * probe.
+    */
+  def indexStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val family = indexFamily(spark, dir)
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def fileStats(sub: String): (Int, Int, Int) = {
+      val p = new Path(sub)
+      if (!fs.exists(p)) return (0, 0, 0)
+      val entries = fs.listStatus(p).toSeq
+      val partDirs = entries.filter(e =>
+        e.isDirectory && e.getPath.getName.contains("="))
+      def dataFiles(d: Path): Int = fs.listStatus(d)
+        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      if (partDirs.isEmpty)
+        (0, dataFiles(p), dataFiles(p))
+      else {
+        val perPart = partDirs.map(e => dataFiles(e.getPath))
+        (partDirs.size, perPart.sum, perPart.max)
+      }
+    }
+
+    def row(dataset: String, data: Option[DataFrame],
+        distinctOf: DataFrame => DataFrame): (String, String, Long,
+        Long, Int, Int, Int) = {
+      val (nPart, nFiles, maxPerPart) = fileStats(s"$dir/$dataset")
+      val (rows, uniq) = data match {
+        case Some(df) => (df.count(), distinctOf(df).count())
+        case None => (0L, 0L)
+      }
+      (family, dataset, rows, uniq, nPart, nFiles, maxPerPart)
+    }
+
+    val rows = family match {
+      case "minhash" => Seq(
+        row("bands", Some(spark.read.schema(bandsSchema)
+          .parquet(s"$dir/bands")), _.distinct()),
+        row("shingles", Some(spark.read.schema(shinglesSchema)
+          .parquet(s"$dir/shingles")), _.dropDuplicates("doc_id")))
+      case "chunk" => Seq(
+        row("chunks", Some(spark.read.schema(chunksSchema)
+          .parquet(s"$dir/chunks")), _.distinct()))
+      case "hamming" => Seq(
+        row("pieces", Some(spark.read.schema(piecesSchema)
+          .parquet(s"$dir/pieces")), _.distinct()))
+      case "benchmark" => Seq(
+        row("hashes", Some(spark.read.schema(benchHashesSchema)
+          .parquet(s"$dir/hashes")), _.distinct()))
+      case "ivf" =>
+        // inferred schema (extra corpus columns ride in cells/) and an
+        // empty-corpus index has no data files — same handling as the
+        // compaction path
+        val cells =
+          try Some(spark.read.parquet(s"$dir/cells"))
+          catch {
+            case _: org.apache.spark.sql.AnalysisException => None
+          }
+        Seq(row("cells", cells, _.dropDuplicates("vec_id", "cell")))
+    }
+    import spark.implicits._
+    rows.toDF("family", "dataset", "n_rows", "n_unique_rows",
+      "n_partitions", "n_files", "max_files_per_partition")
+  }
 }

@@ -285,6 +285,39 @@ class CorpusRefreshSpec extends SparkSuite {
     assert(still.contains(0L))
   }
 
+  test("CorpusMain.run drives the scheduler cadence: refresh → stats → " +
+      "maintain → retract, one JSON line per result row") {
+    val idxRoot = tmp("cm_idx")
+    val corpusDir = tmp("cm_corpus")
+    val batchDir = tmp("cm_batch")
+    val idsDir = tmp("cm_ids")
+    Seq((0L, doc0), (1L, s"$passage epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(batchDir)
+    def capture(args: String*): Seq[String] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(bos, true, "UTF-8")) {
+        CorpusMain.run(spark, args.toList)
+      }
+      bos.toString("UTF-8").linesIterator.toSeq.filter(_.nonEmpty)
+    }
+    val refreshed = capture("refresh", batchDir, idxRoot, corpusDir)
+    assert(refreshed.length === 1)
+    assert(refreshed.head.contains("\"n_published\":2"))
+    val stats = capture("stats", idxRoot)
+    // three text families present, minhash reporting two sub-datasets
+    assert(stats.count(_.contains("\"family\":\"minhash\"")) === 2)
+    assert(stats.exists(_.contains("\"dataset\":\"chunks\"")))
+    assert(stats.exists(_.contains("\"dataset\":\"pieces\"")))
+    assert(capture("maintain", idxRoot) ===
+      Seq(s"""{"maintained":"$idxRoot"}"""))
+    Seq(Tuple1(1L)).toDF("doc_id").write.mode("overwrite").parquet(idsDir)
+    val retracted = capture("retract", idsDir, idxRoot, corpusDir)
+    assert(retracted.length === 1)
+    assert(retracted.head.contains("\"n_retracted\":1"))
+    assert(retracted.head.contains("\"n_remaining\":1"))
+  }
+
   test("an empty batch is refused") {
     intercept[IllegalArgumentException] {
       run(Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang"),

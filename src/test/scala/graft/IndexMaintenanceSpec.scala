@@ -465,6 +465,41 @@ class IndexMaintenanceSpec extends SparkSuite {
     }
   }
 
+  test("indexStats: duplicate-row volume and files-per-bucket " +
+      "amplification visible before compaction, gone after") {
+    val dir = tmp("stats")
+    val b1 = Seq((0L, base),
+      (1L, "completely different words about spark query engines and " +
+        "distributed joins running on large clusters of machines"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((10L, "yet another unrelated document discussing " +
+      "minhash banding signatures buckets and hashing methods"))
+      .toDF("doc_id", "text")
+    Dedup.writeMinhashIndex(b1, dir, bandBuckets = 8)
+    Dedup.writeMinhashIndex(b2, dir, bandBuckets = 8, mode = "append")
+    // the documented crashed-append retry lays duplicate rows
+    Dedup.writeMinhashIndex(b2, dir, bandBuckets = 8, mode = "append")
+    def stats() = Dedup.indexStats(spark, dir).collect()
+      .map(r => r.getString(1) -> r).toMap
+    val before = stats()
+    assert(before.keySet === Set("bands", "shingles"))
+    assert(before("bands").getString(0) === "minhash")
+    // duplicate volume: the retried append's rows, exactly
+    assert(before("bands").getLong(2) > before("bands").getLong(3))
+    assert(before("shingles").getLong(2) > before("shingles").getLong(3))
+    // file amplification: ≥ 2 appends landed in some shared bucket
+    assert(before("bands").getInt(6) >= 2)
+    Dedup.compactIndex(spark, dir)
+    val after = stats()
+    // rows collapse to the predicted unique count; one file per bucket
+    assert(after("bands").getLong(2) === before("bands").getLong(3))
+    assert(after("bands").getLong(2) === after("bands").getLong(3))
+    assert(after("bands").getInt(6) === 1)
+    assert(after("shingles").getLong(2) === after("shingles").getLong(3))
+    // partition count is the live bucket dirs, not the configured max
+    assert(after("bands").getInt(4) > 0 && after("bands").getInt(4) <= 8)
+  }
+
   test("benchmark index: maintainIndexes compacts it (screen answers " +
       "bit-identical, one file per bucket); retracting an eval set " +
       "stops flagging exactly its n-grams") {

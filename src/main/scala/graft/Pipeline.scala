@@ -229,6 +229,21 @@ object Pipeline {
     * @param indexRoot standing indexes: `minhash/`, `hamming/`,
     *              `chunk/` (created on first call; plus `ivf/` when
     *              `embeddings` is given)
+    * @param benchmarkIndexDir optional standing
+    *              [[Dedup.writeBenchmarkIndex]] eval-suite index —
+    *              when given, the published docs' CLEANED text (the
+    *              text a training run would actually consume) is
+    *              screened against it and the contamination report
+    *              columns (`n_shingles`, `n_contaminated`,
+    *              `contaminated_frac`) ride on the published corpus,
+    *              with `n_contaminated_docs` in the report.
+    *              PROBE-ONLY by design: training batches never append
+    *              to the benchmark index (eval suites change by
+    *              adoption, via `writeBenchmarkIndex(mode="append")`
+    *              out of band) — the asymmetry that distinguishes this
+    *              modality from the three corpus index families.
+    *              Refreshes of ONE corpus should either always or
+    *              never pass it (the published columns differ).
     * @param corpusDir published corpus root: `corpus/`, `pairs/`,
     *              `reports/`, each partitioned by `batch_id` — read
     *              the whole corpus back with
@@ -244,7 +259,8 @@ object Pipeline {
       chunkBuckets: Int = 256,
       embeddings: Option[DataFrame] = None,
       semanticThreshold: Double = 0.95,
-      multiAssign: Int = 1): RefreshOutput = {
+      multiAssign: Int = 1,
+      benchmarkIndexDir: Option[String] = None): RefreshOutput = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(corpusDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -326,13 +342,20 @@ object Pipeline {
         // retraction must re-chunk exactly what the append stage
         // indexed, and the grid rule's boundaries shift under removal,
         // so the cleaned text alone could not reproduce them
-        val published = persisted.drop("text")
+        val published0 = persisted.drop("text")
           .join(cleaned.select(col("doc_id"), col("text"),
             col("n_chunks"), col("n_kept")), Seq("doc_id"))
           .join(doc.select(col("doc_id"),
             col("text").as("text_original")), Seq("doc_id"))
           .withColumn("text_original",
             when(col("n_kept") < col("n_chunks"), col("text_original")))
+        // decontamination columns over the CLEANED text — what a
+        // training run would actually consume (probe-only, see param)
+        val published = benchmarkIndexDir.fold(published0)(bench =>
+          published0.join(
+            Dedup.contaminationScreenAgainstIndex(spark,
+              published0.select(col("doc_id"), col("text")), bench),
+            Seq("doc_id")))
         stagedWrite(spark, allPairs, pairsPart)
         stagedWrite(spark, published, corpusPart) // the probe-stage commit
       }
@@ -378,13 +401,20 @@ object Pipeline {
         coalesce(sum(col("n_kept")), lit(0L)).as("k")).head()
       val nBatch = persisted.count()
       val nPublished = pub.count()
+      // from the published artifact, not probe-stage state (recovery
+      // runs re-derive it); 0 when the batch was not screened
+      val nContaminated =
+        if (pub.columns.contains("n_contaminated"))
+          pub.where(col("n_contaminated") > 0).count()
+        else 0L
       import spark.implicits._
       val report = Seq((minId, maxId, nBatch,
           spark.read.parquet(pairsPart).count(),
           nBatch - nPublished, nPublished,
-          chunkAgg.getLong(0), chunkAgg.getLong(1)))
+          chunkAgg.getLong(0), chunkAgg.getLong(1), nContaminated))
         .toDF("batch_min_id", "batch_max_id", "n_batch", "n_dup_pairs",
-          "n_dropped", "n_published", "n_chunks", "n_chunks_kept")
+          "n_dropped", "n_published", "n_chunks", "n_chunks_kept",
+          "n_contaminated_docs")
       stagedWrite(spark, report, reportPart)
     } finally persisted.unpersist()
     readBack()

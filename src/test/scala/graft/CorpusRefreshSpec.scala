@@ -285,6 +285,62 @@ class CorpusRefreshSpec extends SparkSuite {
     assert(still.contains(0L))
   }
 
+  test("benchmark modality: contamination columns ride the published " +
+      "corpus, screened over the CLEANED text (boilerplate stripped " +
+      "before screening), probe-only; report counts flagged docs") {
+    val idxRoot = tmp("bm_idx")
+    val corpusDir = tmp("bm_corpus")
+    val benchDir = tmp("bm_bench")
+    val passage8 = s"$passage epsilon zeta eta theta" // 8 tokens, 2 chunks
+    val cities = "london paris berlin madrid rome lisbon dublin vienna"
+    Dedup.writeBenchmarkIndex(
+      Seq((900L, passage8), (901L, cities)).toDF("doc_id", "text"),
+      benchDir, hashBuckets = 8)
+    def runB(batch: DataFrame) = Pipeline.refreshCorpus(spark, batch,
+      idxRoot, corpusDir, jaccardThreshold = 0.5, maxHamming = 3,
+      chunkTokens = 4, bandBuckets = 8, pieceBuckets = 8,
+      chunkBuckets = 8, benchmarkIndexDir = Some(benchDir))
+
+    // batch 1: the passage doc IS benchmark content → flagged
+    val out1 = runB(Seq((0L, passage8)).toDF("doc_id", "text"))
+    val p1 = out1.published.head()
+    assert(p1.getAs[Long]("n_contaminated") > 0L)
+    assert(out1.report.head().getAs[Long]("n_contaminated_docs") === 1L)
+
+    // batch 2: doc 10 = indexed passage + a long NOVEL tail — the
+    // chunk index strips the passage BEFORE screening, so its cleaned
+    // text carries zero benchmark n-grams (screening the ORIGINAL
+    // would have flagged it); doc 11 quotes the cities eval set in
+    // text the chunk index has never seen → flagged
+    val tail = "unique tail words one two three four five six seven " +
+      "eight nine"
+    val out2 = runB(Seq(
+      (10L, s"$passage8 $tail"),
+      (11L, s"$cities afterwards extra trailing words"))
+      .toDF("doc_id", "text"))
+    val byId = out2.published.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId.keySet === Set(10L, 11L))
+    assert(byId(10L).getAs[String]("text").startsWith("unique tail"))
+    assert(byId(10L).getAs[Long]("n_contaminated") === 0L)
+    assert(byId(11L).getAs[Long]("n_contaminated") > 0L)
+    assert(out2.report.head().getAs[Long]("n_contaminated_docs") === 1L)
+    // probe-only: two refreshes later the benchmark index holds
+    // exactly the two eval sets' distinct shingles, nothing appended
+    val benchShingles = Dedup.shingleHashArrays(
+      Seq((900L, passage8), (901L, cities)).toDF("doc_id", "text"))
+      .select(org.apache.spark.sql.functions.explode($"sh").as("h"))
+      .distinct().count()
+    assert(spark.read.parquet(s"$benchDir/hashes").count() ===
+      benchShingles)
+    // recovery read-back keeps the columns
+    val again = runB(Seq(
+      (10L, s"$passage8 $tail"),
+      (11L, s"$cities afterwards extra trailing words"))
+      .toDF("doc_id", "text"))
+    assert(again.published.columns.contains("contaminated_frac"))
+  }
+
   test("CorpusMain.run drives the scheduler cadence: refresh → stats → " +
       "maintain → retract, one JSON line per result row") {
     val idxRoot = tmp("cm_idx")

@@ -75,6 +75,64 @@ object IncrBench {
   }
 }
 
+/** Dev-only measurement of the persisted-benchmark-index economics
+  * ([[Dedup.writeBenchmarkIndex]] / `contaminationScreenAgainstIndex`):
+  * the regime where the EVAL SUITE is the big side — a full
+  * eval-plus-holdout collection screened weekly by small training
+  * batches. The whole sf corpus plays the benchmark; a ~1% slice plays
+  * the arriving batch. Timed:
+  *   - inline_screen: `contaminationScreen(batch, benchmark)` — the
+  *     recurring per-batch cost WITHOUT the index (re-shingle +
+  *     re-collect the suite every call);
+  *   - index_build: one-time `writeBenchmarkIndex` of the suite;
+  *   - indexed_screen: `contaminationScreenAgainstIndex(batch)` — the
+  *     recurring per-batch cost under the index.
+  * Both screens return identical rows (DedupSpec proves it; the q101
+  * oracle hash-proves the round-trip); counts echo as a sanity check.
+  * Feeds the docs/BENCH_SF1.md round-11 appendix.
+  */
+object ScreenBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("target/sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val batch = docs.where(pmod(col("doc_id"), lit(100)) === 7)
+      .localCheckpoint()
+    val benchmark = docs.where(pmod(col("doc_id"), lit(100)) =!= 7)
+      .localCheckpoint()
+    println(s"benchmark=${benchmark.count()} batch=${batch.count()}")
+    val dir = java.nio.file.Files
+      .createTempDirectory("screenbench").toString
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$label%-14s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    // warm the shingle/scan paths once
+    Dedup.contaminationScreen(batch, batch.limit(10)).count()
+    val nInline = timed("inline_screen") {
+      Dedup.contaminationScreen(batch, benchmark)
+        .agg(sum(col("n_contaminated"))).head().getLong(0)
+    }
+    timed("index_build") { Dedup.writeBenchmarkIndex(benchmark, dir) }
+    val nIndexed = timed("indexed_screen") {
+      Dedup.contaminationScreenAgainstIndex(spark, batch, dir)
+        .agg(sum(col("n_contaminated"))).head().getLong(0)
+    }
+    println(s"contaminated_shingles inline=$nInline indexed=$nIndexed")
+    spark.stop()
+  }
+}
+
 /** Dev-only measurement of the COMPOSED weekly-refresh lifecycle
   * ([[Pipeline.refreshCorpus]]): bootstrap batch (the standing ~99% of
   * the corpus — within-batch dedup + first index build) followed by a

@@ -1530,12 +1530,17 @@ object Dedup {
     * screen re-shingles and re-collects the benchmark on EVERY call —
     * fine for one KB-MB eval set, wrong for a full eval-plus-holdout
     * collection screened weekly; the index pays the shingling once and
-    * each probe touches ∝ the batch's bucket footprint. Pruning itself
-    * follows the [[writeMinhashIndex]] sizing rule: it pays while the
-    * batch's distinct-shingle count is comfortably below `hashBuckets`
-    * (a big batch names every bucket and the probe degrades to one full
-    * index scan — still never all-pairs, and still no benchmark
-    * re-shingle).
+    * each probe touches ∝ the batch's bucket footprint. Measured
+    * (docs/BENCH_SF1.md round-11 appendix, `graft.ScreenBench`): at a
+    * 5k-doc suite the inline screen still wins (1.8 vs 2.7 s — the
+    * probe's plan floor exceeds the saved shingling); at 51k docs the
+    * index is 1.27× faster per batch and FLAT in suite size (2.9 s)
+    * while the inline screen scales with the suite (3.7 s and growing
+    * linearly). Pruning itself follows the [[writeMinhashIndex]]
+    * sizing rule: it pays while the batch's distinct-shingle count is
+    * comfortably below `hashBuckets` (a big batch names every bucket
+    * and the probe degrades to one full index scan — still never
+    * all-pairs, and still no benchmark re-shingle).
     */
   def writeBenchmarkIndex(benchmark: DataFrame, dir: String,
       numShingleWords: Int = 3, hashBuckets: Int = 256,

@@ -80,7 +80,8 @@ object CorpusMain {
       case "stats" :: indexRoot :: Nil =>
         val fs = new org.apache.hadoop.fs.Path(indexRoot)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        Seq("minhash", "hamming", "chunk", "ivf", "benchmark")
+        Seq("minhash", "hamming", "chunk", "ivf", "benchmark",
+            "containment")
           .filter(f => fs.exists(
             new org.apache.hadoop.fs.Path(s"$indexRoot/$f/params")))
           .foreach { f =>

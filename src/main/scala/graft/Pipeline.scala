@@ -523,7 +523,8 @@ object Pipeline {
     import org.apache.hadoop.fs.Path
     val fs = new Path(indexRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq("minhash", "hamming", "chunk", "ivf", "benchmark").foreach { f =>
+    Seq("minhash", "hamming", "chunk", "ivf", "benchmark",
+        "containment").foreach { f =>
       if (fs.exists(new Path(s"$indexRoot/$f/params")))
         Dedup.compactIndex(spark, s"$indexRoot/$f")
     }

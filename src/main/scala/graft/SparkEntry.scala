@@ -1172,6 +1172,27 @@ object SparkEntry {
       r1.report.unionByName(r2.report)
         .orderBy(col("batch_max_id").asc)
     }),
+    // incremental containment THROUGH the persisted postings index —
+    // even half indexed (write inside the timer, the q84 contract),
+    // odd half probed. At these exhaustive cut parameters (maxDocFreq
+    // = the whole sample, smallMaxShingles above every doc) the found
+    // set ≡ EXACT batch-touching containment pairs (the q82 argument),
+    // which is what makes this entry ORACLE-checked: the DuckDB
+    // all-pairs containment restricted to odd-touching pairs must
+    // hash-match — proving the postings/ + shingles/ round-trip the
+    // way q90 proves the minhash family's. 32 buckets at test scale
+    // like q89.
+    "q102_index_containment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") < 1000)
+      val idx = ivfIndexDir(dir, "ct102")
+      Dedup.writeContainmentIndex(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0), idx,
+        postingBuckets = 32)
+      Dedup.containmentPairsAgainstIndex(s,
+          docs.where(pmod(col("doc_id"), lit(2)) === 1), idx,
+          threshold = 0.5)
+        .orderBy(col("id_a").asc, col("id_b").asc)
+    }),
     // the decontamination screen THROUGH the persisted benchmark
     // index — bit-identical rows to q71's inline screen (both
     // intersect the same xxhash64 shingle-hash sets), so the DuckDB
@@ -1723,6 +1744,24 @@ object SparkEntry {
            |    len(a.shingles) AS na, len(b.shingles) AS nb
            |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
            |    AND len(a.shingles) > 0 AND len(b.shingles) > 0)
+           |SELECT id_a, id_b,
+           |  n_inter / least(na, nb) AS containment
+           |FROM pairs WHERE n_inter / least(na, nb) >= 0.5
+           |ORDER BY id_a, id_b""".stripMargin,
+      // q102 = q81's exact containment restricted to pairs touching
+      // the PROBED odd half (the index holds the even half; at the
+      // entry's exhaustive cut parameters found ≡ exact, so the
+      // hash-match proves the index round-trip — q90's role for the
+      // containment family)
+      "q102_index_containment" ->
+        s"""WITH $shingleSql,
+           |pairs AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |    len(list_intersect(a.shingles, b.shingles)) AS n_inter,
+           |    len(a.shingles) AS na, len(b.shingles) AS nb
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |    AND len(a.shingles) > 0 AND len(b.shingles) > 0
+           |    AND (a.doc_id % 2 = 1 OR b.doc_id % 2 = 1))
            |SELECT id_a, id_b,
            |  n_inter / least(na, nb) AS containment
            |FROM pairs WHERE n_inter / least(na, nb) >= 0.5

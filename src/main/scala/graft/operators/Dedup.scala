@@ -443,6 +443,190 @@ object Dedup {
         lit(sampleMinHits).as("sample_min_hits"))
   }
 
+  // -------------------- persisted containment (postings) index
+
+  /** Materialize a corpus' pruned-posting structure for CONTAINMENT
+    * probing as an on-disk index under `dir` — the incremental regime
+    * for the doc-in-doc duplication family ([[containmentCandidates]]'
+    * inverted-index shape persisted, the [[writeMinhashIndex]] layout
+    * discipline throughout):
+    *
+    *   - `postings/`: one (doc_id, n = the doc's distinct-shingle
+    *     count, h) row per posting, PARTITIONED BY
+    *     `bucket = pmod(h, postingBuckets)` — every index row for a
+    *     given hash lives in ONE bucket, which is what lets a probe
+    *     compute the corpus-wide document frequency of a batch-named
+    *     hash from the pruned scan alone (the df cut stays EXACT
+    *     under pruning).
+    *   - `shingles/`: the sorted distinct hash arrays (the exact
+    *     verify side, read only for candidate-involved ids — the
+    *     [[writeMinhashIndex]] `shingles/` schema and role).
+    *   - `params/`: (num_shingle_words, posting_buckets), deleted
+    *     first / written last ([[writeIndexScaffold]]).
+    *
+    * Zero-shingle docs are not indexed (the containment measure is
+    * undefined on empty sets — [[containmentAllPairs]] excludes them
+    * identically).
+    */
+  def writeContainmentIndex(docs: DataFrame, dir: String,
+      numShingleWords: Int = 3, postingBuckets: Int = 256,
+      mode: String = "overwrite"): Unit = {
+    require(postingBuckets > 0,
+      s"postingBuckets must be > 0, got $postingBuckets")
+    val spark = docs.sparkSession
+    val asked = (numShingleWords, postingBuckets)
+    writeIndexScaffold(spark, dir, mode) {
+      val p = readContainmentIndexParams(spark, dir)
+      require(p == asked,
+        s"append with params $asked onto an index written with $p")
+    } {
+      val sh = shingleHashArrays(docs, numShingleWords)
+        .where(size(col("sh")) > 0)
+      // shingles BEFORE postings — candidates come only from
+      // postings/, so a crash between the writes leaves unreferenced
+      // verify rows, never candidates whose verify side is missing
+      // (the minhash family's ordering rationale)
+      sh.write.mode(mode).parquet(s"$dir/shingles")
+      sh.select(col("doc_id"), size(col("sh")).as("n"),
+          explode(col("sh")).as("h"))
+        .withColumn("bucket",
+          pmod(col("h"), lit(postingBuckets.toLong)).cast("int"))
+        .write.mode(mode).partitionBy("bucket").parquet(s"$dir/postings")
+    } {
+      spark.range(1).select(
+        lit(numShingleWords).as("num_shingle_words"),
+        lit(postingBuckets).as("posting_buckets"))
+    }
+  }
+
+  private[graft] def readContainmentIndexParams(spark: SparkSession,
+      dir: String): (Int, Int) = {
+    val r = spark.read.parquet(s"$dir/params").head()
+    (r.getAs[Int]("num_shingle_words"), r.getAs[Int]("posting_buckets"))
+  }
+
+  /** Candidate containment pairs TOUCHING a new batch — within-batch
+    * and batch-vs-indexed in one pass, because the df cut is a GLOBAL
+    * property (unlike the minhash families' per-pair band collisions):
+    * the batch's postings union the pruned index postings for the
+    * batch's hashes, document frequency is computed over that union —
+    * EXACT corpus∪batch df for every hash a batch-touching pair can
+    * share, since all index copies of a batch-named hash live in its
+    * one pruned bucket — and [[containmentCandidates]]' probe/
+    * orientation/hit logic runs verbatim with the output restricted to
+    * pairs naming at least one batch doc.
+    *
+    * EQUALITY contract (DedupSpec-proven): this equals
+    * `containmentCandidates(corpus ∪ batch)` restricted to
+    * batch-touching pairs, hit-for-hit — same df cut, same
+    * `smallMaxShingles` probe restriction, same `minHits`.
+    *
+    * The inline `sampleK` big-big sampled-probe path is deliberately
+    * ABSENT here: the smaller side of a pair must probe, and for a
+    * standing-doc-smaller pair that means sampling EVERY indexed
+    * above-cap doc per batch — an index-sized pass that breaks the
+    * probe-∝-batch economics. Incremental big-big coverage is the
+    * disclosed cut: comparable-size near-total overlap is tracked by
+    * the Jaccard incremental path ([[nearDupAgainstIndex]]), and a
+    * periodic full [[containmentPairs]] sweep with `sampleK` set
+    * covers the remainder at maintenance cadence.
+    *
+    * Scale: batch postings are one map pass; the `postings/` scan is
+    * DPP-pruned to the batch's buckets; the join is keyed by shingle
+    * hash and df-bounded — never all-pairs. Retried-append duplicate
+    * rows are collapsed before counting (hit counts are
+    * duplicate-SENSITIVE, unlike the semi-join probes).
+    */
+  def containmentCandidatesAgainstIndex(spark: SparkSession,
+      newDocs: DataFrame, dir: String,
+      smallMaxShingles: Int = 4096, maxDocFreq: Long = 1000,
+      minHits: Int = 1, broadcastProbe: Boolean = true): DataFrame = {
+    require(minHits >= 1, s"minHits must be >= 1, got $minHits")
+    val (nsw, buckets) = readContainmentIndexParams(spark, dir)
+    val newPost = shingleHashArrays(newDocs, nsw)
+      .where(size(col("sh")) > 0)
+      .select(col("doc_id"), size(col("sh")).as("n"),
+        explode(col("sh")).as("h"))
+    val hashProbe0 = newPost.select(
+        pmod(col("h"), lit(buckets.toLong)).cast("int").as("bucket"),
+        col("h"))
+      .distinct()
+      // vacuously-true binary comparison marking the probe side
+      // likely-selective so dynamic partition pruning fires
+      .where(col("h") >= lit(Long.MinValue))
+    val hashProbe = if (broadcastProbe) broadcast(hashProbe0)
+      else hashProbe0
+    val idxPost = spark.read.schema(postingsSchema)
+      .parquet(s"$dir/postings")
+      .join(hashProbe, Seq("bucket", "h"), "left_semi")
+      // retried appends may hold a (doc, h) row twice; hit counting
+      // must see it once
+      .dropDuplicates("doc_id", "h")
+    // deliberately LAZY throughout (no barrier, unlike the inline
+    // [[containmentCandidates]]): the returned plan keeps the
+    // DPP-pruned scan visible (PlanSpec pins it), at the price of the
+    // self-join below evaluating the union subtree more than once —
+    // bounded, because every re-evaluation is the BATCH-footprint
+    // pruned scan, never the corpus-scale pass the inline version
+    // barriers against. Callers that consume the candidates twice
+    // materialize once themselves ([[containmentPairsAgainstIndex]]'s
+    // candidates barrier).
+    val union = idxPost.select(col("doc_id"), col("n"), col("h"),
+        lit(false).as("__new"))
+      .unionByName(newPost.select(col("doc_id"), col("n"), col("h"),
+        lit(true).as("__new")))
+    val rare = union.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDocFreq).select(col("h"))
+    val indexed = union.join(rare, Seq("h"))
+    val probe = indexed.where(col("n") <= smallMaxShingles)
+    probe.as("a").join(indexed.as("b"),
+        col("a.h") === col("b.h") &&
+        (col("a.doc_id") < col("b.doc_id") ||
+          col("b.n") > lit(smallMaxShingles)) &&
+        // only batch-touching groups: standing-vs-standing pairs that
+        // happen to share a batch-named hash are the full run's
+        // business, not the probe's
+        (col("a.__new") || col("b.__new")))
+      .groupBy(
+        least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+      .agg(count(lit(1)).as("hits"))
+      .where(col("hits") >= minHits)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** Verified containment pairs (exact overlap coefficient ≥
+    * `threshold`) touching a new batch, against a
+    * [[writeContainmentIndex]] corpus: incremental candidates, then
+    * the exact [[scoredVerifyWith]] merge with index-side arrays READ
+    * from `shingles/` and batch-side arrays computed locally — the
+    * [[nearDupAgainstIndex]] shape with [[containmentScore]]
+    * arithmetic, so incremental ≡ full-run (restricted to
+    * batch-touching pairs) holds bit-exactly, scores included
+    * (DedupSpec proves it; the q102 DuckDB oracle hash-proves the
+    * round-trip at exhaustive cut parameters).
+    */
+  def containmentPairsAgainstIndex(spark: SparkSession,
+      newDocs: DataFrame, dir: String, threshold: Double = 0.5,
+      smallMaxShingles: Int = 4096, maxDocFreq: Long = 1000,
+      minHits: Int = 1, broadcastProbe: Boolean = true): DataFrame = {
+    val (nsw, _) = readContainmentIndexParams(spark, dir)
+    val candidates = Barriers.barrier(
+      containmentCandidatesAgainstIndex(spark, newDocs, dir,
+        smallMaxShingles, maxDocFreq, minHits, broadcastProbe))
+    val involved = involvedIds(candidates)
+    val newSh = shingleHashArrays(
+      newDocs.join(broadcast(involved), Seq("doc_id"), "left_semi"),
+      nsw)
+    val idxSh = spark.read.schema(shinglesSchema)
+      .parquet(s"$dir/shingles")
+      // a retried append re-wrote whole rows — one array per doc
+      .dropDuplicates("doc_id")
+      .join(broadcast(involved), Seq("doc_id"), "left_semi")
+    scoredVerifyWith(newSh.unionByName(idxSh), candidates, threshold,
+      "containment", containmentScore)
+  }
+
   /** Chunk-level exact dedup — the fixed-window granularity of
     * substring deduplication (Lee et al., "Deduplicating Training Data
     * Makes Language Models Better", arXiv:2107.06499 dedup 50-token
@@ -1187,6 +1371,9 @@ object Dedup {
     StructField("q", IntegerType), StructField("qh", LongType),
     StructField("bucket", IntegerType)))
   private val benchHashesSchema = StructType(Seq(
+    StructField("h", LongType), StructField("bucket", IntegerType)))
+  private val postingsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("n", IntegerType),
     StructField("h", LongType), StructField("bucket", IntegerType)))
 
   /** Materialize the corpus' near-dup signatures as an on-disk index under
@@ -2060,6 +2247,7 @@ object Dedup {
     else if (fields.contains("piece_buckets")) "hamming"
     else if (fields.contains("quantizer")) "ivf"
     else if (fields.contains("hash_buckets")) "benchmark"
+    else if (fields.contains("posting_buckets")) "containment"
     else throw new IllegalArgumentException(
       s"$dir/params matches no known index family " +
         s"(columns: ${fields.toSeq.sorted.mkString(", ")})")
@@ -2106,12 +2294,13 @@ object Dedup {
       .sortWithinPartitions((part +: sortCols).map(col): _*)
 
   /** Compact a persisted index after a season of appends — the
-    * lifecycle maintenance pass for all six written-index families
+    * lifecycle maintenance pass for all seven written-index families
     * ([[writeMinhashIndex]] text bands, [[writeChunkIndex]] /
     * [[writeChunkIndexCDC]] chunk hashes, [[writeHammingIndex]]
     * signature pieces, [[Multimodal.writeImageIndex]] = the Hamming
     * layout, [[Similarity.writeIvfIndex]] embedding cells,
-    * [[writeBenchmarkIndex]] decontamination hashes; the family
+    * [[writeBenchmarkIndex]] decontamination hashes,
+    * [[writeContainmentIndex]] postings; the family
     * is detected from `params/`, see [[indexFamily]]). Every
     * `mode = "append"` lays a fresh part-file set per bucket, so after
     * a year of weekly batches a probe's pruned scan opens
@@ -2174,6 +2363,17 @@ object Dedup {
             spark.read.schema(benchHashesSchema).parquet(s"$dir/hashes")
               .distinct(),
             "bucket", Seq("h")))
+      case "containment" =>
+        swapRewrite(spark, s"$dir/postings", Seq("bucket"))(
+          onePerPartition(
+            spark.read.schema(postingsSchema).parquet(s"$dir/postings")
+              .distinct(),
+            "bucket", Seq("h", "doc_id")))
+        swapRewrite(spark, s"$dir/shingles", Nil)(
+          spark.read.schema(shinglesSchema).parquet(s"$dir/shingles")
+            .dropDuplicates("doc_id")
+            .repartitionByRange(col("doc_id"))
+            .sortWithinPartitions("doc_id"))
       case "ivf" =>
         // inferred schema, not [[cellsSchema]]: the written cells carry
         // whatever EXTRA corpus columns the caller indexed, and a
@@ -2277,6 +2477,10 @@ object Dedup {
     *   - benchmark: REFUSED for the same reason — shingle hashes carry
     *     no eval-set provenance; [[deleteFromBenchmarkIndex]] is the
     *     content-addressed surface.
+    *   - containment: the ids' posting rows leave `postings/` by
+    *     touched bucket and their arrays leave `shingles/` — the
+    *     minhash deletion shape (postings carry doc ids, so id-keyed
+    *     deletion works directly).
     *
     * Ids are never reused (the monotone-id contract every index
     * already assumes), so a deleted id range stays retired — deletion
@@ -2312,6 +2516,15 @@ object Dedup {
       s"$dir is a benchmark index — content-addressed, so eval-set " +
         "deletion needs the retracted set's text: use " +
         "deleteFromBenchmarkIndex")
+    case "containment" =>
+      deleteKeyedRows(spark, s"$dir/postings",
+        spark.read.schema(postingsSchema).parquet(s"$dir/postings"),
+        "bucket", "doc_id", ids)
+      val idSet = broadcast(
+        ids.select(ids.columns.head).toDF("doc_id").distinct())
+      swapRewrite(spark, s"$dir/shingles", Nil)(
+        spark.read.schema(shinglesSchema).parquet(s"$dir/shingles")
+          .join(idSet, Seq("doc_id"), "left_anti"))
   }
 
   /** Delete retracted DOCUMENTS' content from a [[writeChunkIndex]] /
@@ -2422,6 +2635,11 @@ object Dedup {
       case "benchmark" => Seq(
         row("hashes", Some(spark.read.schema(benchHashesSchema)
           .parquet(s"$dir/hashes")), _.distinct()))
+      case "containment" => Seq(
+        row("postings", Some(spark.read.schema(postingsSchema)
+          .parquet(s"$dir/postings")), _.distinct()),
+        row("shingles", Some(spark.read.schema(shinglesSchema)
+          .parquet(s"$dir/shingles")), _.dropDuplicates("doc_id")))
       case "ivf" =>
         // inferred schema (extra corpus columns ride in cells/) and an
         // empty-corpus index has no data files — same handling as the

@@ -405,6 +405,70 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("containment index: incremental pairs equal the full run " +
+      "restricted to batch-touching pairs, bit-exact across df and " +
+      "size cuts; appended batches compose; no standing-only pairs") {
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2))).toSet
+    val small = "alpha beta gamma delta epsilon zeta eta theta"
+    def filler(tag: String, n: Int) =
+      (1 to n).map(i => s"$tag$i").mkString(" ")
+    val corpus = Seq(
+      (0L, small),
+      (1L, s"${filler("w", 30)} $small"), // big doc quoting 0
+      (2L, "totally unrelated content about oceans currents and tides"),
+      (3L, filler("z", 20))).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, s"$small extra trailing tokens"),
+      (11L, s"${filler("v", 30)} $small"), // big batch doc quoting 0
+      (12L, "totally unrelated content about oceans currents and " +
+        "tides rolling")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_contidx").toString
+    // the standing corpus lands as TWO appends — probes see the union
+    Dedup.writeContainmentIndex(corpus.where($"doc_id" <= 1), dir,
+      postingBuckets = 8)
+    Dedup.writeContainmentIndex(corpus.where($"doc_id" >= 2), dir,
+      postingBuckets = 8, mode = "append")
+    val batchIds = Set(10L, 11L, 12L)
+    // the equality must hold WITH the cuts biting, not only in the
+    // exhaustive regime: cap=12 makes docs 1/11 big (their pair is the
+    // disclosed big-big cut on BOTH sides), df=3 cuts the quoted
+    // passage's shingles (present in 4 docs)
+    for ((cap, df) <- Seq((4096, 1000L), (12, 1000L), (4096, 3L),
+        (12, 3L))) {
+      val incr = pairSet(Dedup.containmentPairsAgainstIndex(spark,
+        batch, dir, threshold = 0.5, smallMaxShingles = cap,
+        maxDocFreq = df))
+      val full = pairSet(Dedup.containmentPairs(
+        corpus.unionByName(batch), threshold = 0.5,
+        smallMaxShingles = cap, maxDocFreq = df))
+        .filter(p => batchIds(p._1) || batchIds(p._2))
+      assert(incr === full, s"cap=$cap df=$df")
+    }
+    val incr = pairSet(Dedup.containmentPairsAgainstIndex(spark, batch,
+      dir, threshold = 0.5))
+    // found: the indexed small doc inside both batch quotes (scores
+    // exact 1.0 — all its shingles present), the boilerplate cross
+    // pair, and the within-batch quote pair
+    assert(incr.contains((0L, 10L, 1.0)))
+    assert(incr.contains((0L, 11L, 1.0)))
+    assert(incr.contains((2L, 12L, 1.0)))
+    assert(incr.exists(p => p._1 == 10L && p._2 == 11L))
+    // standing-vs-standing pairs (0⊂1 exists in the corpus) are the
+    // full run's business, never the probe's
+    assert(!incr.exists(p => p._1 < 10L && p._2 < 10L))
+    // the non-broadcast (large-batch) probe flavor: identical pairs
+    assert(pairSet(Dedup.containmentPairsAgainstIndex(spark, batch,
+      dir, threshold = 0.5, broadcastProbe = false)) === incr)
+    // appends under different signature params are refused
+    intercept[IllegalArgumentException] {
+      Dedup.writeContainmentIndex(batch, dir, numShingleWords = 2,
+        postingBuckets = 8, mode = "append")
+    }
+  }
+
   test("benchmark index screen matches the inline contamination screen " +
       "bit-exactly; appended eval sets compose; odd docs report zeros") {
     val dir = java.nio.file.Files

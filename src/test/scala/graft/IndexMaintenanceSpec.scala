@@ -465,6 +465,52 @@ class IndexMaintenanceSpec extends SparkSuite {
     }
   }
 
+  test("containment index: compaction keeps probe answers bit-identical " +
+      "and collapses retried-append duplicates (hit counts are " +
+      "duplicate-sensitive); deletion removes a retracted doc from " +
+      "candidates and verify; stats cover both sub-datasets") {
+    val small = "alpha beta gamma delta epsilon zeta eta theta"
+    val b1 = Seq(
+      (0L, small),
+      (1L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((2L, "totally distinct words about ocean currents " +
+      "and rolling tides tonight")).toDF("doc_id", "text")
+    val dir = tmp("contmaint")
+    Dedup.writeContainmentIndex(b1, dir, postingBuckets = 8)
+    Dedup.writeContainmentIndex(b2, dir, postingBuckets = 8,
+      mode = "append")
+    // the documented crashed-append recovery: re-run the SAME append
+    Dedup.writeContainmentIndex(b2, dir, postingBuckets = 8,
+      mode = "append")
+    val postings = () => spark.read.parquet(s"$dir/postings")
+    assert(postings().count() > postings().distinct().count())
+    val batch = Seq(
+      (10L, s"$small plus a tail"),
+      (11L, "ocean currents and rolling tides tonight onto shores"))
+      .toDF("doc_id", "text")
+    def probe() = pairSet(Dedup.containmentPairsAgainstIndex(spark,
+      batch, dir, threshold = 0.5))
+    val before = probe()
+    assert(before.exists(p => p._1 == 0L && p._2 == 10L))
+    assert(before.exists(p => p._1 == 2L && p._2 == 11L))
+    val st = Dedup.indexStats(spark, dir).collect()
+      .map(r => r.getString(1) -> r).toMap
+    assert(st.keySet === Set("postings", "shingles"))
+    assert(st("postings").getLong(2) > st("postings").getLong(3))
+    Dedup.compactIndex(spark, dir)
+    assert(probe() === before)
+    assert(postings().count() === postings().distinct().count())
+    assert(filesPerPartition(s"$dir/postings").values.forall(_ === 1))
+    // retraction: doc 2 stops generating candidates; doc 0 stands
+    Dedup.deleteFromIndex(spark, dir, Seq(2L).toDF("doc_id"))
+    val after = probe()
+    assert(!after.exists(p => p._1 == 2L || p._2 == 2L))
+    assert(after.exists(p => p._1 == 0L && p._2 == 10L))
+    assert(spark.read.parquet(s"$dir/shingles")
+      .where($"doc_id" === 2L).count() === 0L)
+  }
+
   test("indexStats: duplicate-row volume and files-per-bucket " +
       "amplification visible before compaction, gone after") {
     val dir = tmp("stats")

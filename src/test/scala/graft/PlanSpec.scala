@@ -156,6 +156,19 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("dynamicpruning"), p.take(3000))
   }
 
+  test("containment index probe scan is dynamically partition-pruned " +
+      "to the batch's posting buckets") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .where(col("doc_id") < 200)
+    val dir = java.nio.file.Files.createTempDirectory("ctplan").toString
+    graft.operators.Dedup.writeContainmentIndex(docs, dir)
+    val batch = spark.range(1).select(lit(100000L).as("doc_id"),
+      lit("a brand new incremental document about fresh topics").as("text"))
+    val p = plan(graft.operators.Dedup.containmentCandidatesAgainstIndex(
+      spark, batch, dir))
+    assert(p.contains("dynamicpruning"), p.take(3000))
+  }
+
   test("Hamming signature index probe scan is dynamically " +
       "partition-pruned to the batch's piece buckets") {
     val docs = spark.read.parquet(sf() + "/documents.parquet")

@@ -228,7 +228,20 @@ object Pipeline {
     *              SemDeDup incremental contract)
     * @param indexRoot standing indexes: `minhash/`, `hamming/`,
     *              `chunk/` (created on first call; plus `ivf/` when
-    *              `embeddings` is given)
+    *              `embeddings` is given and `containment/` when
+    *              `containmentThreshold` is)
+    * @param containmentThreshold when given, the CONTAINMENT modality
+    *              joins the lifecycle: doc-in-doc duplicate pairs
+    *              (overlap coefficient ≥ the threshold — the family
+    *              Jaccard's union denominator suppresses) add to the
+    *              drop edges, probed against a standing `containment/`
+    *              postings index under `indexRoot`
+    *              ([[Dedup.containmentPairsAgainstIndex]] — one call
+    *              covers within-batch AND cross pairs, because the df
+    *              cut is global; the first batch runs the inline
+    *              pass), and survivors' postings fold in on append.
+    *              Same always-or-never-per-corpus rule as the other
+    *              optional modalities.
     * @param benchmarkIndexDir optional standing
     *              [[Dedup.writeBenchmarkIndex]] eval-suite index —
     *              when given, the published docs' CLEANED text (the
@@ -260,7 +273,8 @@ object Pipeline {
       embeddings: Option[DataFrame] = None,
       semanticThreshold: Double = 0.95,
       multiAssign: Int = 1,
-      benchmarkIndexDir: Option[String] = None): RefreshOutput = {
+      benchmarkIndexDir: Option[String] = None,
+      containmentThreshold: Option[Double] = None): RefreshOutput = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(corpusDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -322,6 +336,18 @@ object Pipeline {
                 s"$indexRoot/ivf", semanticThreshold),
               "cosine", "cosine"))
         }
+        containmentThreshold.foreach { ct =>
+          // once containment/ exists, ONE probe covers within-batch
+          // AND cross pairs (the df cut is global, so the surface is
+          // unified — [[Dedup.containmentPairsAgainstIndex]]); the
+          // first batch runs the inline pass
+          pairs = pairs.unionByName(pairsOf(
+            if (exists(s"$indexRoot/containment/params"))
+              Dedup.containmentPairsAgainstIndex(spark, doc,
+                s"$indexRoot/containment", threshold = ct)
+            else Dedup.containmentPairs(doc, threshold = ct),
+            "containment", "containment"))
+        }
         val allPairs = pairs.distinct()
 
         // ---- document-level drops: keep each duplicate cluster's
@@ -374,6 +400,11 @@ object Pipeline {
       Dedup.writeChunkIndex(survOrig, chunkDir,
         chunkTokens = chunkTokens, chunkBuckets = chunkBuckets,
         mode = mode(chunkDir))
+      containmentThreshold.foreach { _ =>
+        val ctDir = s"$indexRoot/containment"
+        Dedup.writeContainmentIndex(survOrig, ctDir,
+          postingBuckets = bandBuckets, mode = mode(ctDir))
+      }
       embeddings.foreach { embIn =>
         val ivfDir = s"$indexRoot/ivf"
         val survVecs = embIn.select(col("vec_id"), col("embedding"))
@@ -437,7 +468,7 @@ object Pipeline {
     *      only the batch partitions actually holding them are
     *      rewritten (staged atomic-rename swap each);
     *   2. their ids leave `minhash/`, `hamming/`, and (when present)
-    *      `ivf/` by touched bucket/cell;
+    *      `ivf/` and `containment/` by touched bucket/cell;
     *   3. their CONTENT leaves the chunk index, re-chunked from the
     *      published `text_original` (falling back to the cleaned
     *      `text` where cleaning changed nothing) — exactly the bytes
@@ -496,7 +527,7 @@ object Pipeline {
             .join(idSet, Seq("doc_id"), "left_anti").drop("batch_id"),
           s"$corpusDir/corpus/batch_id=$b")
       }
-      Seq("minhash", "hamming", "ivf").foreach { f =>
+      Seq("minhash", "hamming", "ivf", "containment").foreach { f =>
         if (exists(s"$indexRoot/$f/params"))
           Dedup.deleteFromIndex(spark, s"$indexRoot/$f", idSet)
       }

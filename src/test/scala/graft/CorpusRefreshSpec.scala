@@ -285,6 +285,48 @@ class CorpusRefreshSpec extends SparkSuite {
     assert(still.contains(0L))
   }
 
+  test("containment modality: a doc-in-doc duplicate drops within " +
+      "batch 1 and cross-index in batch 2; the postings index joins " +
+      "the lifecycle and retraction covers it") {
+    val idxRoot = tmp("ct_idx")
+    val corpusDir = tmp("ct_corpus")
+    val passage8 = s"$passage epsilon zeta eta theta"
+    def filler(tag: String, n: Int) =
+      (1 to n).map(i => s"$tag$i").mkString(" ")
+    def runC(batch: DataFrame) = Pipeline.refreshCorpus(spark, batch,
+      idxRoot, corpusDir, jaccardThreshold = 0.5, maxHamming = 3,
+      chunkTokens = 4, bandBuckets = 8, pieceBuckets = 8,
+      chunkBuckets = 8, containmentThreshold = Some(0.9))
+    // batch 1: doc 1 QUOTES doc 0 inside unrelated filler — jaccard
+    // can't see it (union-diluted), containment drops it within-batch
+    val out1 = runC(Seq(
+      (0L, passage8),
+      (1L, s"${filler("w", 30)} $passage8")).toDF("doc_id", "text"))
+    assert(out1.published.select($"doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(0L))
+    assert(out1.dupPairs.where($"family" === "containment").count() >= 1)
+    assert(new java.io.File(s"$idxRoot/containment/params").exists())
+    // batch 2: doc 10 quotes the INDEXED doc 0 — the cross probe drops
+    // it; novel doc 11 survives and folds in
+    val out2 = runC(Seq(
+      (10L, s"${filler("v", 30)} $passage8"),
+      (11L, "totally novel content about ocean currents and tides"))
+      .toDF("doc_id", "text"))
+    assert(out2.published.select($"doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(11L))
+    assert(out2.dupPairs.where($"family" === "containment" &&
+      $"id_a" === 0L && $"id_b" === 10L).count() === 1)
+    // survivors' postings folded in: doc 11 is now in the index
+    assert(spark.read.parquet(s"$idxRoot/containment/shingles")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+      === Set(0L, 11L))
+    // retraction reaches the containment family
+    Pipeline.retractCorpus(spark, Seq(Tuple1(11L)).toDF("doc_id"),
+      idxRoot, corpusDir)
+    assert(spark.read.parquet(s"$idxRoot/containment/shingles")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet === Set(0L))
+  }
+
   test("benchmark modality: contamination columns ride the published " +
       "corpus, screened over the CLEANED text (boilerplate stripped " +
       "before screening), probe-only; report counts flagged docs") {

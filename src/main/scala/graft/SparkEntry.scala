@@ -904,6 +904,24 @@ object SparkEntry {
           emb.where(col("vec_id") < 5), k = 10, nprobe = 16)
         .orderBy(col("query_id").asc, col("rank").asc)
     }),
+    // FILTERED ANN through the written index: top-k restricted to a
+    // metadata predicate (label = 3, ~12% of vectors) applied as a
+    // PRE-filter inside the probed cells/ scan — at full probing this
+    // is EXACT filtered top-k, hash-checked against a brute-force
+    // filtered oracle, so the pre-filter semantics (k best MATCHING
+    // vectors, never a short post-filtered list) are oracle-proven.
+    // Index write inside the timer (the q84 contract).
+    "q103_ivf_filtered_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.collectCentroids(
+        Similarity.ivfCentroids(emb, nlist = 16))
+      val idx = ivfIndexDir(dir, "filt16")
+      Similarity.writeIvfIndex(emb, idx, cents)
+      Similarity.ivfTopKIndexedWhere(s, idx,
+          emb.where(col("vec_id") < 5), col("label") === 3,
+          k = 10, nprobe = 16)
+        .orderBy(col("query_id").asc, col("rank").asc)
+    }),
     // the same layout at the q70 partition-pruning ratio (8/64
     // cells): rows-only — cell contents are quantizer-specific — with
     // dynamic partition pruning pinned in PlanSpec and the machinery's
@@ -1704,6 +1722,25 @@ object SparkEntry {
       // the written-index path at FULL probing is exact by
       // construction — same brute-force oracle as q37
       "q84_ivf_indexed_exact" -> annBruteTopKSql,
+      // q84's oracle with the metadata pre-filter on the CANDIDATE
+      // side only (queries stay unfiltered): the k best label-3
+      // vectors per query — a short post-filtered list would
+      // hash-mismatch, which is exactly the semantics under proof
+      "q103_ivf_filtered_topk" ->
+        s"""WITH $vecNormSql,
+           |lab AS (SELECT vec_id, label FROM embeddings),
+           |scored AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id, ${cosineSql("q", "c")}
+           |  FROM v q
+           |  JOIN v c ON q.vec_id < 5 AND q.vec_id != c.vec_id
+           |  JOIN lab ON lab.vec_id = c.vec_id AND lab.label = 3),
+           |ranked AS (
+           |  SELECT query_id, vec_id, cosine,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+           |  FROM scored)
+           |SELECT * FROM ranked WHERE rank <= 10
+           |ORDER BY query_id, rank""".stripMargin,
       "q62_jaccard_allpairs" ->
         s"""WITH $shingleSql,
            |pairs AS (

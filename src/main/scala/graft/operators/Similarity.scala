@@ -761,6 +761,30 @@ object Similarity {
     ivfTopKIndexed(spark, indexDir, queries,
       readIvfCentroids(spark, indexDir), k, nprobe, multiAssigned)
 
+  /** FILTERED ANN against a written IVF index: top-k restricted to
+    * index vectors satisfying `predicate` (over the cells/ columns —
+    * the extra corpus columns the caller indexed alongside (vec_id,
+    * embedding), e.g. a label, source, or license column). The
+    * predicate is applied as a PRE-filter inside the probed scan, not
+    * a post-filter of an unfiltered top-k — post-filtering returns
+    * fewer than k rows (or none) whenever the filter is selective,
+    * while this returns the k best MATCHING vectors of the probed
+    * cells. Plan shape: the predicate lands in the parquet scan's
+    * pushed filters next to the cell pruning, so a selective filter
+    * also cuts IO, not just candidates (PlanSpec pins the pushdown);
+    * at `nprobe = nlist` the result is EXACT filtered top-k (q103's
+    * hash-proven contract), at smaller nprobe the usual IVF recall
+    * trade applies per cell actually probed.
+    */
+  def ivfTopKIndexedWhere(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queries: DataFrame,
+      predicate: org.apache.spark.sql.Column, k: Int = 10,
+      nprobe: Int = 4, multiAssigned: Boolean = false): DataFrame =
+    probeAndRank(
+      spark.read.parquet(s"$indexDir/cells").where(predicate),
+      queries, readIvfCentroids(spark, indexDir), k, nprobe,
+      dedupCandidates = multiAssigned)
+
   /** Engine-portable exact top-k on quantized vectors: components rounded
     * to 1e-3 and summed as integers, so the score is exactly reproducible
     * across engines (used by the DuckDB oracle; float summation order is

@@ -156,6 +156,20 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("dynamicpruning"), p.take(3000))
   }
 
+  test("filtered ANN pushes the metadata predicate into the probed " +
+      "cells scan (pre-filter cuts IO, not just candidates)") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+      .where(col("vec_id") < 200)
+    val dir = java.nio.file.Files.createTempDirectory("ivffp").toString
+    graft.operators.Similarity.writeIvfIndex(emb, dir,
+      graft.operators.Similarity.collectCentroids(
+        graft.operators.Similarity.ivfCentroids(emb, nlist = 4)))
+    val p = plan(graft.operators.Similarity.ivfTopKIndexedWhere(spark,
+      dir, emb.where(col("vec_id") < 2), col("label") === 3, k = 5,
+      nprobe = 2))
+    assert(p.contains("EqualTo(label,3)"), p.take(3000))
+  }
+
   test("containment index probe scan is dynamically partition-pruned " +
       "to the batch's posting buckets") {
     val docs = spark.read.parquet(sf() + "/documents.parquet")

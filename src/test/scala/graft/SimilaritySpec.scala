@@ -112,6 +112,39 @@ class SimilaritySpec extends SparkSuite {
     assert(selfIndexed.toSeq === indexed.toSeq)
   }
 
+  test("filtered ANN: pre-filter inside the probed scan returns the k " +
+      "best MATCHING vectors (full probe ≡ brute force over the " +
+      "filtered corpus), never a short post-filtered list") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val queries = emb.where($"vec_id" < 5)
+    val cents = Similarity.collectCentroids(
+      Similarity.ivfCentroids(emb, nlist = 8))
+    val dir = java.nio.file.Files.createTempDirectory("ivffilt").toString
+    Similarity.writeIvfIndex(emb, dir, cents)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"query_id", $"rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSeq
+    val filtered = rows(Similarity.ivfTopKIndexedWhere(spark, dir,
+      queries, col("label") === 3, k = 10, nprobe = 8))
+    // full probe ≡ brute force over the pre-filtered corpus, scores
+    // and ranks bit-equal
+    assert(filtered === rows(Similarity.bruteForceTopK(
+      emb.where($"label" === 3), queries, k = 10)))
+    // every query got its FULL k — the whole point of pre-filtering
+    // (a post-filter of the unfiltered top-10 keeps only the ~10% of
+    // entries that happen to carry the label)
+    assert(filtered.groupBy(_._1).values.forall(_.size === 10))
+    val labels = emb.where($"label" === 3).select($"vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val unfilteredThenPost = rows(Similarity.ivfTopKIndexedSelf(spark,
+      dir, queries, k = 10, nprobe = 8))
+      .filter(r => labels(r._2))
+    assert(unfilteredThenPost.size < filtered.size)
+    // results only ever name matching vectors
+    assert(filtered.forall(r => labels(r._2)))
+  }
+
   test("fvec_mean equals the per-dimension avg fan-out, in one aggregate") {
     val rows: Seq[(Int, Array[Float])] = Seq(
       (0, Array(1.0f, 2.0f, 3.0f)),

@@ -976,6 +976,12 @@ object SparkEntry {
     "q48_top_terms" -> ((s, dir) =>
       TextAnalysis.topTermsPerDoc(t(s, dir, "documents"), k = 3)
         .orderBy(col("doc_id").asc, col("rank").asc)),
+    // unigram-LM quality score (CCNet-style): vocab 512 at test scale
+    // so OOV is a real signal (the production default 65536 would
+    // swallow the whole sf0.01 vocabulary)
+    "q104_lm_score" -> ((s, dir) =>
+      TextAnalysis.lmScore(t(s, dir, "documents"), topV = 512)
+        .orderBy(col("doc_id").asc)),
     "q49_neardup_clusters" -> ((s, dir) =>
       Dedup.nearDupClusters(
         Dedup.minhashCandidates(t(s, dir, "documents")))
@@ -1650,6 +1656,39 @@ object SparkEntry {
           |      FROM documents) t
           |GROUP BY token ORDER BY cnt DESC, token ASC
           |LIMIT 200""".stripMargin,
+      // add-one-smoothed unigram logp from integer counts; avg rounded
+      // to 6 decimals per doc (ln-ulp divergence cannot reach a
+      // 6-decimal boundary — see lmScore's scaladoc)
+      "q104_lm_score" ->
+        """WITH toks AS (
+          |  SELECT doc_id, unnest(list_filter(string_split(
+          |    regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g'), ' '),
+          |    x -> x != '')) AS token
+          |  FROM documents),
+          |counts AS (SELECT token, count(*) AS cnt FROM toks
+          |  GROUP BY token),
+          |vocab AS (SELECT token, cnt FROM counts
+          |  ORDER BY cnt DESC, token ASC LIMIT 512),
+          |tot AS (SELECT (SELECT count(*) FROM toks) AS n_total,
+          |  (SELECT count(*) FROM vocab) AS v_size),
+          |scored AS (
+          |  SELECT t.doc_id, coalesce(v.cnt, 0) AS c,
+          |    tot.n_total, tot.v_size
+          |  FROM toks t LEFT JOIN vocab v ON t.token = v.token
+          |  CROSS JOIN tot),
+          |perdoc AS (
+          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          |    CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS n_oov,
+          |    round(avg(ln((c + 1)::DOUBLE
+          |      / (n_total + v_size + 1)::DOUBLE)), 6) AS avg_logp
+          |  FROM scored GROUP BY doc_id)
+          |SELECT d.doc_id,
+          |  coalesce(p.n_tokens, 0) AS n_tokens,
+          |  coalesce(p.n_oov, 0) AS n_oov,
+          |  p.avg_logp
+          |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+          |ORDER BY d.doc_id""".stripMargin,
       "q48_top_terms" ->
         """WITH toks AS (
           |  SELECT doc_id, unnest(list_filter(string_split(

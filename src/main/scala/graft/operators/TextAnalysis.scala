@@ -262,6 +262,54 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(limit)
 
+  /** Unigram language-model quality score — the engine-portable core
+    * of CCNet-style perplexity filtering (Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data", arXiv:1911.00359 §4.3: documents scored by an LM, low
+    * log-prob = junk): train a top-`topV` unigram model ON the corpus
+    * (vocabulary membership deterministic — boundary ties break
+    * lexicographically) with add-one smoothing
+    * `p(t) = (c(t) + 1) / (N + |V| + 1)` (c = the token's corpus count
+    * if it is in the vocabulary, 0 otherwise = OOV; N = total corpus
+    * tokens), and score each document by its mean token ln-probability.
+    * Returns (doc_id, n_tokens, n_oov, avg_logp) — avg_logp rounded to
+    * 6 decimals (engine-portable: every per-token logp is a pure
+    * function of integer counts, each doc's tokens live in one
+    * partition so the partial sum folds in text order, and a 1-ulp
+    * ln() divergence cannot move a 6-decimal rounding except within
+    * ~1e-14 of a boundary); zero-token docs report (0, 0, null).
+    *
+    * Scale shape: one token-count aggregate, a bounded
+    * TakeOrdered top-V (the q47 vocabulary pass), ONE broadcast of the
+    * ≤ topV vocabulary + the two scalar totals, then a map-side left
+    * join and one per-doc aggregate — the q48 cost class, shuffles ∝
+    * corpus tokens, nothing vocabulary-wide crosses the wire twice.
+    */
+  def lmScore(docs: DataFrame, topV: Int = 65536): DataFrame = {
+    val toks = tokenStream(docs)
+    val vocab = vocabulary(docs, topV)
+    val totals = toks.agg(count(lit(1)).as("n_total"))
+      .crossJoin(vocab.agg(count(lit(1)).as("v_size")))
+    val perDoc = toks
+      .join(broadcast(vocab), Seq("token"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), coalesce(col("cnt"), lit(0L)).as("c"),
+        col("n_total"), col("v_size"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("c") === 0, 1L).otherwise(0L)).as("n_oov"),
+        round(avg(log((col("c") + 1).cast("double") /
+          (col("n_total") + col("v_size") + 1).cast("double"))), 6)
+          .as("avg_logp"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        col("avg_logp"))
+  }
+
   /** Exact heavy hitters (tokens with global count ≥ `minCount`) via the
     * scalable sketch-then-verify pipeline: a Misra–Gries
     * `TypedImperativeAggregate` ([[graft.functions.MisraGriesAgg]]) finds

@@ -51,6 +51,33 @@ class TextAnalysisSpec extends SparkSuite {
     assert(fp.getLong(2) !== fp.getLong(3))
   }
 
+  test("lmScore: add-one-smoothed unigram log-probs, deterministic " +
+      "vocabulary boundary, OOV counted, zero-token docs null") {
+    val docs = Seq(
+      (0L, "the cat"),
+      (1L, "THE  the"),   // normalizes to two 'the' tokens
+      (2L, "zzz"),        // out of the top-2 vocabulary
+      (3L, ""))           // zero tokens
+      .toDF("doc_id", "text")
+    // counts: the=3, cat=1, zzz=1; top-2 by (cnt desc, token asc) =
+    // {the, cat} — 'cat' beats 'zzz' lexicographically at the tied
+    // boundary, which is exactly the determinism under test
+    val out = TextAnalysis.lmScore(docs, topV = 2)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+    // N=5, |V|=2 → denom 8: p(the)=4/8, p(cat)=2/8, p(zzz OOV)=1/8
+    def q(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0) === ((0L, 2L, 0L,
+      q((math.log(0.5) + math.log(0.25)) / 2))))
+    assert(out(1) === ((1L, 2L, 0L, q(math.log(0.5)))))
+    assert(out(2)._1 === 2L && out(2)._2 === 1L && out(2)._3 === 1L)
+    assert(out(2)._4 === q(math.log(0.125)))
+    assert(out(3)._1 === 3L && out(3)._2 === 0L && out(3)._3 === 0L)
+    assert(out(3)._4.isNaN) // null avg_logp surfaced as NaN sentinel
+  }
+
   test("gopher rules: each rule rejects its violation, a clean doc keeps") {
     def verdict(text: String, minWords: Long = 5L): (Boolean, org.apache.spark.sql.Row) = {
       val r = TextAnalysis.gopherRules(one(text), minWords = minWords)

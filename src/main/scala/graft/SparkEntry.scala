@@ -982,6 +982,13 @@ object SparkEntry {
     "q104_lm_score" -> ((s, dir) =>
       TextAnalysis.lmScore(t(s, dir, "documents"), topV = 512)
         .orderBy(col("doc_id").asc)),
+    // the CCNet head/middle/tail split over q104's score — global
+    // rank via the distributed range-partition machinery, bucket
+    // arithmetic pure integer, so the whole composition hash-matches
+    "q105_lm_buckets" -> ((s, dir) =>
+      Sharding.scoreBuckets(
+          TextAnalysis.lmScore(t(s, dir, "documents"), topV = 512))
+        .orderBy(col("doc_id").asc)),
     "q49_neardup_clusters" -> ((s, dir) =>
       Dedup.nearDupClusters(
         Dedup.minhashCandidates(t(s, dir, "documents")))
@@ -1660,35 +1667,23 @@ object SparkEntry {
       // to 6 decimals per doc (ln-ulp divergence cannot reach a
       // 6-decimal boundary — see lmScore's scaladoc)
       "q104_lm_score" ->
-        """WITH toks AS (
-          |  SELECT doc_id, unnest(list_filter(string_split(
-          |    regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g'), ' '),
-          |    x -> x != '')) AS token
-          |  FROM documents),
-          |counts AS (SELECT token, count(*) AS cnt FROM toks
-          |  GROUP BY token),
-          |vocab AS (SELECT token, cnt FROM counts
-          |  ORDER BY cnt DESC, token ASC LIMIT 512),
-          |tot AS (SELECT (SELECT count(*) FROM toks) AS n_total,
-          |  (SELECT count(*) FROM vocab) AS v_size),
-          |scored AS (
-          |  SELECT t.doc_id, coalesce(v.cnt, 0) AS c,
-          |    tot.n_total, tot.v_size
-          |  FROM toks t LEFT JOIN vocab v ON t.token = v.token
-          |  CROSS JOIN tot),
-          |perdoc AS (
-          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-          |    CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT)
-          |      AS n_oov,
-          |    round(avg(ln((c + 1)::DOUBLE
-          |      / (n_total + v_size + 1)::DOUBLE)), 6) AS avg_logp
-          |  FROM scored GROUP BY doc_id)
-          |SELECT d.doc_id,
-          |  coalesce(p.n_tokens, 0) AS n_tokens,
-          |  coalesce(p.n_oov, 0) AS n_oov,
-          |  p.avg_logp
-          |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
-          |ORDER BY d.doc_id""".stripMargin,
+        s"""WITH $lmScoreCteSql
+           |SELECT doc_id, n_tokens, n_oov, avg_logp
+           |FROM alldocs ORDER BY doc_id""".stripMargin,
+      // q104's score → the CCNet tercile split: global rank and the
+      // bucket arithmetic are pure integers, so the composition
+      // hash-matches end-to-end
+      "q105_lm_buckets" ->
+        s"""WITH $lmScoreCteSql,
+           |ranked AS (
+           |  SELECT doc_id, avg_logp,
+           |    row_number() OVER (ORDER BY avg_logp DESC NULLS LAST,
+           |      doc_id ASC) - 1 AS r,
+           |    (SELECT count(*) FROM alldocs) AS n
+           |  FROM alldocs)
+           |SELECT doc_id, avg_logp,
+           |  CAST((r * 3) // n AS BIGINT) AS bucket
+           |FROM ranked ORDER BY doc_id""".stripMargin,
       "q48_top_terms" ->
         """WITH toks AS (
           |  SELECT doc_id, unnest(list_filter(string_split(
@@ -2212,6 +2207,43 @@ object SparkEntry {
       |      w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
       |      AS n_alpha
       |  FROM f)""".stripMargin.replace("__WHERE__", where).trim
+
+  /** DuckDB fragment: the q104 unigram-LM score chain ending in
+    * `alldocs(doc_id, n_tokens, n_oov, avg_logp)` — shared by the
+    * score report (q104) and the tercile split (q105) so the model
+    * definition cannot drift between them. Vocab 512 = the q104
+    * entry's test-scale choice.
+    */
+  private def lmScoreCteSql: String =
+    """toks AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(
+      |    regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g'), ' '),
+      |    x -> x != '')) AS token
+      |  FROM documents),
+      |counts AS (SELECT token, count(*) AS cnt FROM toks
+      |  GROUP BY token),
+      |vocab AS (SELECT token, cnt FROM counts
+      |  ORDER BY cnt DESC, token ASC LIMIT 512),
+      |tot AS (SELECT (SELECT count(*) FROM toks) AS n_total,
+      |  (SELECT count(*) FROM vocab) AS v_size),
+      |lm_scored AS (
+      |  SELECT t.doc_id, coalesce(v.cnt, 0) AS c,
+      |    tot.n_total, tot.v_size
+      |  FROM toks t LEFT JOIN vocab v ON t.token = v.token
+      |  CROSS JOIN tot),
+      |perdoc AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |    CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_oov,
+      |    round(avg(ln((c + 1)::DOUBLE
+      |      / (n_total + v_size + 1)::DOUBLE)), 6) AS avg_logp
+      |  FROM lm_scored GROUP BY doc_id),
+      |alldocs AS (
+      |  SELECT d.doc_id,
+      |    coalesce(p.n_tokens, 0) AS n_tokens,
+      |    coalesce(p.n_oov, 0) AS n_oov,
+      |    p.avg_logp
+      |  FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id)""".stripMargin
 
   /** DuckDB fragment: per-doc contamination counts (u: exploded
     * shingles, bench: the doc_id % 97 eval slice's distinct shingles,

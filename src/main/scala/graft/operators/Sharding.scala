@@ -218,6 +218,40 @@ object Sharding {
         .cast("long").as("bin"))
   }
 
+  /** CCNet's head/middle/tail corpus split (Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data", arXiv:1911.00359 §4.3: the corpus is cut into equal parts
+    * by LM score and the highest-quality part trains the best models):
+    * bucket documents 0..nBuckets−1 by the GLOBAL rank of a quality
+    * score (descending, NULLS LAST — zero-token docs land in the tail;
+    * ties break by doc_id, so the split is fully deterministic), with
+    * `bucket = (rank0 · nBuckets) div N` — bucket sizes equal within
+    * one. Feed it [[TextAnalysis.lmScore]]'s `avg_logp` (bucket 0 =
+    * head = highest mean log-prob = lowest perplexity).
+    *
+    * Scale: the global rank is the [[tokenShards]]/[[packBins]]
+    * distributed range-partition machinery — rank within range
+    * partitions plus driver-side per-partition offsets, never a
+    * single-partition window; N is one count aggregate broadcast back
+    * as a column, and the bucket arithmetic is exact integer division.
+    */
+  def scoreBuckets(scored: DataFrame, score: String = "avg_logp",
+      nBuckets: Int = 3, numParts: Int = 32): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val base = scored.select(col("doc_id"), col(score))
+    val sortCols = Seq(col(score).desc_nulls_last, col("doc_id").asc)
+    val (ranged, offCol) = rangedWithOffsets(base, numParts, sortCols,
+      count(lit(1)))
+    val w = Window.partitionBy(col("pid")).orderBy(sortCols: _*)
+    val rank0 = row_number().over(w).cast("long") - 1L + offCol
+    ranged
+      .withColumn("__rank0", rank0)
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("__n"))))
+      // `div` = exact integer division — no floor-of-double boundary
+      .select(col("doc_id"), col(score),
+        expr(s"(__rank0 * $nBuckets) div __n").as("bucket"))
+  }
+
   /** Quality-weighted sampling WITHOUT replacement (Efraimidis &
     * Spirakis, "Weighted random sampling with a reservoir", IPL 2006):
     * rank rows by key = ln(u)/w — the A-ES key u^(1/w) through the

@@ -153,6 +153,32 @@ class ShardingSpec extends SparkSuite {
       s"spread ${loads.max - loads.min} vs maxDoc $maxDoc")
   }
 
+  test("score buckets: near-equal tercile sizes in score order, nulls " +
+      "to the tail, partition-count independent") {
+    import graft.operators.Sharding
+    // 10 docs: scores 9..1 plus one null-scored (zero-token) doc
+    val scored = ((0L until 9L).map(i => (i, Some(9.0 - i))) :+
+      (9L, Option.empty[Double]))
+      .toDF("doc_id", "avg_logp")
+    def run(parts: Int) = Sharding
+      .scoreBuckets(scored, numParts = parts)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Double]), r.getLong(2)))
+      .toMap
+    val out = run(4)
+    // rank order = doc_id order here (scores descend with id, null
+    // last): 10 docs → buckets of 3/3/4 by the floor arithmetic
+    assert(out.values.map(_._2).groupBy(identity)
+      .view.mapValues(_.size).toMap === Map(0L -> 4, 1L -> 3, 2L -> 3))
+    assert((0L to 3L).forall(out(_)._2 === 0L))
+    assert((4L to 6L).forall(out(_)._2 === 1L))
+    assert((7L to 9L).forall(out(_)._2 === 2L))
+    assert(out(9L)._1.isEmpty && out(9L)._2 === 2L) // null → tail
+    // the distributed rank is partition-layout independent
+    assert(run(1) === out)
+    assert(run(7) === out)
+  }
+
   test("weighted sample: deterministic, weight-filtered, salt-redrawable") {
     val docs = spark.read.parquet(sf() + "/documents.parquet")
     val w = $"n_chars" + 1

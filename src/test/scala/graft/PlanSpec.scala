@@ -292,6 +292,15 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("windowspecdefinition(pid"), p.take(3000))
   }
 
+  test("score buckets rank per range partition, never a global " +
+      "single-partition window") {
+    val scored = spark.range(100).select(col("id").as("doc_id"),
+      (col("id") % 7).cast("double").as("avg_logp"))
+    val p = plan(graft.operators.Sharding.scoreBuckets(scored,
+      numParts = 4))
+    assert(p.contains("windowspecdefinition(pid"), p.take(3000))
+  }
+
   test("weighted sample plans a bounded top-k, never a global sort") {
     val p = plan(SparkEntry.queries("q78_weighted_sample")(spark, sf()))
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))

@@ -142,18 +142,42 @@ object Pipeline {
     * could leave a partial dataset a recovery run would mistake for a
     * commit. Shared by [[refreshCorpus]]'s publishes and
     * [[retractCorpus]]'s partition rewrites.
+    *
+    * Two crash disciplines, both load-bearing:
+    *  - the staging dir is UNDERSCORE-prefixed (`_stage_<name>`), so a
+    *    crashed or in-flight publish inside a partitioned dataset root
+    *    is INVISIBLE to readers — Spark's file listing skips `_`/`.`
+    *    paths, where a bare `<name>__stage` sibling would surface as a
+    *    bogus string-typed partition value and silently corrupt every
+    *    whole-dataset read;
+    *  - when `dest` already exists (a [[retractCorpus]] partition
+    *    rewrite), the old dir is renamed ASIDE (`_old_<name>`) before
+    *    the staged dir renames in — the [[Dedup.deleteFromIndex]]
+    *    discipline: no row is ever unrecoverably lost; a crash between
+    *    the two renames leaves the partition loudly absent with its
+    *    old rows preserved (hidden) aside. Recovery: move the
+    *    `_old_<name>` dir back and re-run — the rewrite is
+    *    deterministic and idempotent. On success the aside is deleted.
     */
   private def stagedWrite(spark: SparkSession, df: DataFrame,
       dest: String): Unit = {
     import org.apache.hadoop.fs.Path
     val destP = new Path(dest)
     val fs = destP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(dest + "__stage")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    df.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(destP)) fs.delete(destP, true)
     fs.mkdirs(destP.getParent)
+    // the '=' must go: Spark's listing filter skips '_'/'.'-prefixed
+    // names EXCEPT those containing '=' (so partition values may start
+    // with an underscore) — '_stage_batch_id=7' would surface as a
+    // conflicting partition column, '_stage_batch_id~7' is invisible
+    val leaf = destP.getName.replace('=', '~')
+    val tmp = new Path(destP.getParent, "_stage_" + leaf)
+    val old = new Path(destP.getParent, "_old_" + leaf)
+    Seq(tmp, old).foreach(p => if (fs.exists(p)) fs.delete(p, true))
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(destP))
+      require(fs.rename(destP, old), s"rename $destP aside failed")
     require(fs.rename(tmp, destP), s"rename $tmp -> $destP failed")
+    fs.delete(old, true)
   }
 
   /** The composed weekly-refresh lifecycle for a document corpus — the
@@ -301,6 +325,29 @@ object Pipeline {
 
     val persisted = batch
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // once an index exists, its STORED params drive BOTH the
+    // within-batch passes and the appends (the streaming bridges'
+    // rule): a call with different knobs than the index was written
+    // with must neither run mismatched within-batch geometry nor wedge
+    // the lifecycle mid-way when the append's params guard refuses —
+    // the caller arguments only ever shape the FIRST batch
+    val mhParams =
+      if (exists(s"$minhashDir/params"))
+        Some(Dedup.readMinhashIndexParams(spark, minhashDir))
+      else None
+    val hmParams =
+      if (exists(s"$hammingDir/params"))
+        Some(Dedup.readHammingIndexParams(spark, hammingDir))
+      else None
+    val chParams =
+      if (exists(s"$chunkDir/params"))
+        Some(Dedup.readChunkIndexParams(spark, chunkDir))
+      else None
+    val ctParams =
+      if (exists(s"$indexRoot/containment/params"))
+        Some(Dedup.readContainmentIndexParams(spark,
+          s"$indexRoot/containment"))
+      else None
     try {
       val doc = persisted.select(col("doc_id"), col("text"))
       if (!exists(corpusPart)) {
@@ -309,11 +356,17 @@ object Pipeline {
           lit(family).as("family"), c.cast("double").as("score"))
         def pairsOf(df: DataFrame, family: String, c: String) =
           df.select(col("id_a") +: col("id_b") +: score(family, col(c)): _*)
-        var pairs = pairsOf(
-          Dedup.nearDupPairs(doc, jaccardThreshold), "jaccard", "jaccard")
+        var pairs = pairsOf(mhParams match {
+          case Some((nsw, nh, nb, _)) => Dedup.jaccardVerify(doc,
+            Dedup.minhashCandidates(doc, nsw, nh, nb), nsw,
+            jaccardThreshold)
+          case None => Dedup.nearDupPairs(doc, jaccardThreshold)
+        }, "jaccard", "jaccard")
         val sigs = Dedup.simhash(doc)
         pairs = pairs.unionByName(pairsOf(
-          Dedup.hammingCandidates(sigs, maxHamming), "hamming", "hamming"))
+          Dedup.hammingCandidates(sigs,
+            hmParams.map(_._1).getOrElse(maxHamming)),
+          "hamming", "hamming"))
         if (exists(s"$minhashDir/params"))
           pairs = pairs.unionByName(pairsOf(
             Dedup.nearDupAgainstIndex(spark, doc, minhashDir,
@@ -390,20 +443,62 @@ object Pipeline {
       val survOrig = doc.join(
         spark.read.parquet(corpusPart).select(col("doc_id")),
         Seq("doc_id"), "left_semi")
+      // append iff params/ stands; CREATE only when the family dir is
+      // absent entirely. The third state — data present, params/
+      // missing (a crash inside a previous append's params rewrite, the
+      // one window the write scaffold discloses) — must REFUSE loudly:
+      // treating it as "create" would mode=overwrite the standing
+      // corpus' signatures down to this one batch with no error, and
+      // every later batch would silently stop deduplicating against
+      // history. Recovery for that state is the per-family contract's:
+      // restore params/ (constant for the minhash/hamming families;
+      // the chunk watermark = the highest appended batch's max id) or
+      // rebuild the index from the published corpus.
       def mode(d: String) = if (exists(s"$d/params")) "append"
-        else "overwrite"
-      Dedup.writeMinhashIndex(survOrig, minhashDir,
-        bandBuckets = bandBuckets, mode = mode(minhashDir))
-      Dedup.writeHammingIndex(Dedup.simhash(survOrig), hammingDir,
-        maxHamming = maxHamming, pieceBuckets = pieceBuckets,
-        mode = mode(hammingDir))
-      Dedup.writeChunkIndex(survOrig, chunkDir,
-        chunkTokens = chunkTokens, chunkBuckets = chunkBuckets,
-        mode = mode(chunkDir))
+        else {
+          require(!exists(d),
+            s"$d exists without params/ — a crashed append's params " +
+              "rewrite; restore params/ or rebuild the index before " +
+              "refreshing (refusing to silently overwrite the " +
+              "standing index)")
+          "overwrite"
+        }
+      mhParams match {
+        case Some((nsw, nh, nb, bb)) => Dedup.writeMinhashIndex(
+          survOrig, minhashDir, numShingleWords = nsw, numHashes = nh,
+          bands = nb, bandBuckets = bb, mode = "append")
+        case None => Dedup.writeMinhashIndex(survOrig, minhashDir,
+          bandBuckets = bandBuckets, mode = mode(minhashDir))
+      }
+      hmParams match {
+        case Some((radius, pb)) => Dedup.writeHammingIndex(
+          Dedup.simhash(survOrig), hammingDir, maxHamming = radius,
+          pieceBuckets = pb, mode = "append")
+        case None => Dedup.writeHammingIndex(Dedup.simhash(survOrig),
+          hammingDir, maxHamming = maxHamming,
+          pieceBuckets = pieceBuckets, mode = mode(hammingDir))
+      }
+      chParams match {
+        case Some(("cdc", granularity, cb, _)) =>
+          Dedup.writeChunkIndexCDC(survOrig, chunkDir,
+            divisor = granularity, chunkBuckets = cb, mode = "append")
+        case Some((_, granularity, cb, _)) =>
+          Dedup.writeChunkIndex(survOrig, chunkDir,
+            chunkTokens = granularity, chunkBuckets = cb,
+            mode = "append")
+        case None => Dedup.writeChunkIndex(survOrig, chunkDir,
+          chunkTokens = chunkTokens, chunkBuckets = chunkBuckets,
+          mode = mode(chunkDir))
+      }
       containmentThreshold.foreach { _ =>
         val ctDir = s"$indexRoot/containment"
-        Dedup.writeContainmentIndex(survOrig, ctDir,
-          postingBuckets = bandBuckets, mode = mode(ctDir))
+        ctParams match {
+          case Some((nsw, pb)) => Dedup.writeContainmentIndex(survOrig,
+            ctDir, numShingleWords = nsw, postingBuckets = pb,
+            mode = "append")
+          case None => Dedup.writeContainmentIndex(survOrig, ctDir,
+            postingBuckets = bandBuckets, mode = mode(ctDir))
+        }
       }
       embeddings.foreach { embIn =>
         val ivfDir = s"$indexRoot/ivf"
@@ -413,7 +508,13 @@ object Pipeline {
             "left_semi")
         if (exists(s"$ivfDir/params"))
           Similarity.appendIvfIndex(survVecs, ivfDir)
-        else
+        else {
+          // the mode() refusal, IVF flavor: cells without params is a
+          // crashed write's refused state — re-training geometry over
+          // ONE batch and calling it the index would be silent loss
+          require(!exists(ivfDir),
+            s"$ivfDir exists without params/ — a crashed write; " +
+              "rebuild the index (rebuildIvfIndex) before refreshing")
           // first batch: its survivors' centroids become the index's
           // frozen geometry, under the same cells-∝-corpus auto rule
           // as the inline scorer
@@ -421,6 +522,7 @@ object Pipeline {
             Similarity.kmeansCentroids(survVecs,
               Dedup.resolveNlist(survVecs, 0), iters = 1),
             multiAssign = multiAssign)
+        }
       }
 
       // ---- report last: the completion marker (counts re-derivable
@@ -502,8 +604,12 @@ object Pipeline {
     val nRequested = idSet.count()
     val corpus = spark.read.parquet(s"$corpusDir/corpus")
     val hasOriginal = corpus.columns.contains("text_original")
+    // ONE semi-joined corpus scan feeds both the chunk retraction (the
+    // text) and the touched-partition probe (the batch ids) — the
+    // persisted frame keeps batch_id so `touched` is a re-read of a
+    // few cached rows, not a second corpus pass
     val retracted = corpus.join(idSet, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("batch_id").cast("long").as("batch_id"),
         (if (hasOriginal) coalesce(col("text_original"), col("text"))
          else col("text")).as("text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -517,10 +623,10 @@ object Pipeline {
       // run with no text to re-chunk (the persisted frame does not
       // survive the JVM)
       if (nRetracted > 0 && exists(s"$indexRoot/chunk/params"))
-        Dedup.deleteFromChunkIndex(spark, s"$indexRoot/chunk", retracted)
-      val touched = corpus.join(idSet, Seq("doc_id"), "left_semi")
-        .select(col("batch_id").cast("long")).distinct().collect()
-        .map(_.getLong(0))
+        Dedup.deleteFromChunkIndex(spark, s"$indexRoot/chunk",
+          retracted.select(col("doc_id"), col("text")))
+      val touched = retracted.select(col("batch_id")).distinct()
+        .collect().map(_.getLong(0))
       touched.foreach { b =>
         stagedWrite(spark,
           corpus.where(col("batch_id") === b)

@@ -169,13 +169,28 @@ object StreamingAgg {
     * ids MONOTONE across micro-batches (each batch's min id must
     * exceed the index's stored watermark — out-of-order id assignment
     * fails loudly, it does not mis-dedup), single writer per index.
-    * Crash contract: a failed micro-batch re-runs WHOLE, which is
-    * precisely the chunk append's documented recovery requirement
-    * (retry the SAME batch before any further probe or append; the
-    * duplicate hash rows are the idempotent-retry price
-    * [[graft.operators.Dedup.compactIndex]] re-distincts). The index
-    * must exist — create it with `writeChunkIndex` (over an empty
-    * frame for a cold start).
+    *
+    * Crash/REPLAY contract — this bridge needs more than the sibling
+    * bridges' "re-run is idempotent", because the chunk probe is NOT
+    * replay-safe on its own: a replayed micro-batch whose append
+    * already committed would find its own ids under the watermark (the
+    * monotone check would refuse — wedging the stream) and its own
+    * chunks in the index (a forced re-probe would wrongly clean
+    * everything). So the probe's cleaned output is STAGED to
+    * `<indexDir>/stream_out/batch_<id>` (atomic rename — the commit
+    * marker) BEFORE the append runs. A replay that finds the marker
+    * skips the probe, retries the append (the chunk family's
+    * documented idempotent-at-duplicate-row-price recovery), and
+    * re-emits the staged output to the sink — at-least-once, same
+    * rows. Only the latest batch's staging survives (Spark replays at
+    * most the last uncommitted micro-batch; older dirs are pruned when
+    * a newer batch arrives). The one window this cannot cover is the
+    * family-level one: a crash INSIDE the append's params rewrite
+    * leaves an index every chunk surface refuses until params/ is
+    * restored — loud, not wrong.
+    *
+    * The index must exist — create it with `writeChunkIndex` (over an
+    * empty frame for a cold start).
     *
     * Input needs (ts, doc_id, text); extra columns ride through to the
     * sink unchanged.
@@ -185,54 +200,90 @@ object StreamingAgg {
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] = {
-    import graft.operators.Dedup
     docs
       .withWatermark("ts", horizon)
-      .withColumn("fingerprint", md5(Dedup.normalized(col("text"))))
+      .withColumn("fingerprint",
+        md5(graft.operators.Dedup.normalized(col("text"))))
       .dropDuplicatesWithinWatermark("fingerprint")
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val b = batch.drop("fingerprint")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val doc = b.select(col("doc_id"), col("text"))
-        // one output shape for BOTH paths: the sink always sees the
-        // cleaned-text schema (audit columns included), so an empty
-        // maintenance micro-batch cannot break a schema-dependent sink
-        def shaped(cleaned: DataFrame): DataFrame = b.drop("text")
-          .join(cleaned.select(col("doc_id"), col("text"),
-            col("n_chunks"), col("n_kept")), Seq("doc_id"))
-          .join(doc.select(col("doc_id"),
-            col("text").as("text_original")), Seq("doc_id"))
-          .withColumn("text_original",
-            when(col("n_kept") < col("n_chunks"), col("text_original")))
-        try if (b.isEmpty) {
-          // empty batch: skip the probe/append entirely (their ~dozen
-          // re-planned jobs are the fixed floor worth skipping), emit
-          // the shape over an empty cleaned frame
-          sink(shaped(spark.range(0).select(col("id").as("doc_id"),
-            lit(null).cast("string").as("text"),
-            lit(0).as("n_chunks"), lit(0).as("n_kept"))), batchId)
-        } else {
-          val out = shaped(
-            Dedup.dedupChunksAgainstIndex(spark, doc, indexDir))
-          if (appendBatch) {
-            // the STORED rule/granularity/buckets drive the append —
-            // the writer's params guard would refuse anything else
-            val (rule, granularity, buckets, _) =
-              Dedup.readChunkIndexParams(spark, indexDir)
-            if (rule == "cdc")
-              Dedup.writeChunkIndexCDC(doc, indexDir,
-                divisor = granularity, chunkBuckets = buckets,
-                mode = "append")
-            else
-              Dedup.writeChunkIndex(doc, indexDir,
-                chunkTokens = granularity, chunkBuckets = buckets,
-                mode = "append")
-          }
-          sink(out, batchId)
-        } finally b.unpersist()
+        processChunkBatch(batch.drop("fingerprint"), indexDir,
+          appendBatch, batchId)(sink)
       }
+  }
+
+  /** [[cleanChunksStreamAgainstIndex]]'s per-micro-batch body,
+    * factored out so the replay contract is provable outside a running
+    * stream (MultimodalStreamingSpec drives it twice with the same
+    * batch id and asserts identical sink rows + a sane index).
+    */
+  private[graft] def processChunkBatch(batch: DataFrame,
+      indexDir: String, appendBatch: Boolean, batchId: Long)(
+      sink: (DataFrame, Long) => Unit): Unit = {
+    import graft.operators.Dedup
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val fs = new Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val outRoot = new Path(s"$indexDir/stream_out")
+    val batchOut = new Path(outRoot, s"batch_$batchId")
+    val b = batch
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val doc = b.select(col("doc_id"), col("text"))
+    def appendUnderStored(): Unit = {
+      // the STORED rule/granularity/buckets drive the append — the
+      // writer's params guard would refuse anything else
+      val (rule, granularity, buckets, _) =
+        Dedup.readChunkIndexParams(spark, indexDir)
+      if (rule == "cdc")
+        Dedup.writeChunkIndexCDC(doc, indexDir, divisor = granularity,
+          chunkBuckets = buckets, mode = "append")
+      else
+        Dedup.writeChunkIndex(doc, indexDir, chunkTokens = granularity,
+          chunkBuckets = buckets, mode = "append")
+    }
+    // one output shape for BOTH paths: the sink always sees the
+    // cleaned-text schema (audit columns included), so an empty
+    // maintenance micro-batch cannot break a schema-dependent sink
+    def shaped(cleaned: DataFrame): DataFrame = b.drop("text")
+      .join(cleaned.select(col("doc_id"), col("text"),
+        col("n_chunks"), col("n_kept")), Seq("doc_id"))
+      .join(doc.select(col("doc_id"),
+        col("text").as("text_original")), Seq("doc_id"))
+      .withColumn("text_original",
+        when(col("n_kept") < col("n_chunks"), col("text_original")))
+    try if (fs.exists(batchOut)) {
+      // REPLAY of a batch whose probe already committed: skip the
+      // probe (see the replay contract above), retry the append,
+      // re-emit the staged rows
+      if (appendBatch && !b.isEmpty) appendUnderStored()
+      sink(spark.read.parquet(batchOut.toString), batchId)
+    } else if (b.isEmpty) {
+      // empty batch: skip the probe/append entirely (their ~dozen
+      // re-planned jobs are the fixed floor worth skipping), emit the
+      // shape over an empty cleaned frame; no marker needed — an
+      // empty replay recomputes the same empty answer
+      sink(shaped(spark.range(0).select(col("id").as("doc_id"),
+        lit(null).cast("string").as("text"),
+        lit(0).as("n_chunks"), lit(0).as("n_kept"))), batchId)
+    } else {
+      // a NEW batch id arriving means every older batch committed —
+      // prune their staging so the marker dir stays O(1)
+      if (fs.exists(outRoot))
+        fs.listStatus(outRoot).foreach { e =>
+          if (e.getPath.getName.startsWith("batch_")) fs.delete(e.getPath, true)
+        }
+      val stage = new Path(outRoot, s"_stage_batch_$batchId")
+      if (fs.exists(stage)) fs.delete(stage, true)
+      shaped(Dedup.dedupChunksAgainstIndex(spark, doc, indexDir))
+        .write.mode("overwrite").parquet(stage.toString)
+      // atomic rename = the probe commit; only AFTER it may the append
+      // advance the watermark
+      require(fs.rename(stage, batchOut),
+        s"rename $stage -> $batchOut failed")
+      if (appendBatch) appendUnderStored()
+      sink(spark.read.parquet(batchOut.toString), batchId)
+    } finally b.unpersist()
   }
 
   /** Streaming incremental PERCEPTUAL dedup against a persisted image

@@ -285,6 +285,62 @@ class CorpusRefreshSpec extends SparkSuite {
     assert(still.contains(0L))
   }
 
+  test("recovery guards: stored params absorb mismatched caller knobs, " +
+      "a params-less index refuses instead of silently overwriting, " +
+      "and a crashed publish's staging dir is invisible to readers") {
+    val idxRoot = tmp("guard_idx")
+    val corpusDir = tmp("guard_corpus")
+    val batch1 = Seq(
+      (0L, doc0),
+      (1L, s"$passage epsilon zeta eta theta")).toDF("doc_id", "text")
+    run(batch1, idxRoot, corpusDir) // custom knobs: 4-token grid, 8 buckets
+    // batch 2 invoked with the DEFAULT knobs (50-token chunks, 256
+    // buckets, radius 3): the stored params must drive the within-batch
+    // passes and the appends — before this guard the append's params
+    // check refused AFTER the corpus partition was already published,
+    // wedging the lifecycle on a knob mismatch
+    val batch2 = Seq(
+      (10L, doc0.replace("tonight", "today")), // near-dup of indexed 0
+      (11L, "totally novel content about ocean currents and tides"))
+      .toDF("doc_id", "text")
+    val out2 = Pipeline.refreshCorpus(spark, batch2, idxRoot, corpusDir)
+    assert(out2.published.select($"doc_id").collect()
+      .map(_.getLong(0)).toSet === Set(11L)) // 10 dropped cross-index
+    // appends really ran under the STORED geometry
+    assert(spark.read.parquet(s"$idxRoot/chunk/params").head()
+      .getAs[Int]("granularity") === 4)
+    assert(spark.read.parquet(s"$idxRoot/minhash/params").head()
+      .getAs[Int]("band_buckets") === 8)
+    // a crashed publish's staging dir must NOT surface as a partition:
+    // plant one and read the corpus back
+    val stage = new java.io.File(s"$corpusDir/corpus/_stage_batch_id~99")
+    Seq((999L, "junk")).toDF("doc_id", "text")
+      .write.parquet(stage.toString)
+    val corpus = spark.read.parquet(s"$corpusDir/corpus")
+    assert(corpus.schema("batch_id").dataType
+      .isInstanceOf[org.apache.spark.sql.types.LongType.type] ||
+      corpus.schema("batch_id").dataType.typeName === "integer")
+    assert(!corpus.select($"doc_id").collect().map(_.getLong(0))
+      .contains(999L))
+    // params-less index (a crash inside an append's params rewrite):
+    // the next refresh must refuse loudly, not mode=overwrite the
+    // standing signatures down to one batch
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rmrf); p.delete()
+    }
+    rmrf(new java.io.File(s"$idxRoot/minhash/params"))
+    val bandsBefore = spark.read.parquet(s"$idxRoot/minhash/bands")
+      .count()
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.refreshCorpus(spark,
+        Seq((20L, "yet more new words entirely")).toDF("doc_id", "text"),
+        idxRoot, corpusDir)
+    }
+    assert(e.getMessage.contains("without params"))
+    assert(spark.read.parquet(s"$idxRoot/minhash/bands").count()
+      === bandsBefore) // nothing was overwritten
+  }
+
   test("containment modality: a doc-in-doc duplicate drops within " +
       "batch 1 and cross-index in batch 2; the postings index joins " +
       "the lifecycle and retraction covers it") {

@@ -246,6 +246,49 @@ class MultimodalStreamingSpec extends SparkSuite {
       .head().getAs[Long]("max_doc_id") === 20L)
   }
 
+  test("streaming chunk cleaning replay: a micro-batch re-run after its " +
+      "append committed emits identical rows instead of wedging on the " +
+      "watermark; staging prunes when the next batch arrives") {
+    val passage = "alpha beta gamma delta epsilon zeta eta theta"
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_chunkreplay").toString
+    graft.operators.Dedup.writeChunkIndex(
+      Seq((1L, passage)).toDF("doc_id", "text"), idxDir,
+      chunkTokens = 4, chunkBuckets = 8)
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val batch = Seq(
+      (t("2024-01-01 10:00:00"), 10L, s"$passage nova mike oscar papa"))
+      .toDF("ts", "doc_id", "text")
+    val got = scala.collection.mutable.ArrayBuffer.empty[Seq[Seq[Any]]]
+    def run(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamingAgg.processChunkBatch(b, idxDir, appendBatch = true,
+        batchId = id) { (out, _) =>
+        got += out.orderBy($"doc_id").collect().map(_.toSeq).toSeq
+      }
+    run(batch, 0L)
+    // the append advanced the watermark — a NAIVE re-probe would now
+    // refuse (monotone check) or wrongly clean everything; the replay
+    // path must re-emit the STAGED rows instead
+    assert(spark.read.parquet(s"$idxDir/params")
+      .head().getAs[Long]("max_doc_id") === 10L)
+    run(batch, 0L) // foreachBatch replay: same data, same batch id
+    assert(got.size === 2)
+    assert(got(0) === got(1))
+    assert(got(0).head(2) === "nova mike oscar papa") // cleaned text col
+    // the retried append's duplicate rows are the documented price —
+    // compaction reclaims them and the next batch proceeds normally
+    val chunks = spark.read.parquet(s"$idxDir/chunks")
+    assert(chunks.count() > chunks.distinct().count())
+    graft.operators.Dedup.compactIndex(spark, idxDir)
+    run(Seq((t("2024-01-01 10:10:00"), 20L,
+        s"$passage final tango uniform victor"))
+      .toDF("ts", "doc_id", "text"), 1L)
+    assert(got(2).head(2) === "final tango uniform victor")
+    // batch 0's staging was pruned when batch 1 arrived
+    val stream = new java.io.File(s"$idxDir/stream_out")
+    assert(stream.listFiles().map(_.getName).toSet === Set("batch_1"))
+  }
+
   test("streaming incremental perceptual dedup: a re-encoded dup of an " +
       "INDEXED image drops mid-stream, and a batch's survivor joins the " +
       "index in time to catch the NEXT batch's dup of it") {

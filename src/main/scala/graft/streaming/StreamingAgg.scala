@@ -74,8 +74,9 @@ object StreamingAgg {
     * min-id canonical, and with `appendSurvivors` the survivors fold in
     * under the index's STORED signature params before `sink` sees the
     * batch. The index must exist (create with `writeMinhashIndex`,
-    * over an empty frame for a cold start); the crash and greedy-scope
-    * contracts are [[dedupMediaStreamAgainstIndex]]'s, stated there.
+    * over an empty frame for a cold start); the replay and
+    * greedy-scope contracts are [[dedupMediaStreamAgainstIndex]]'s,
+    * stated there.
     *
     * Cost shape to know: each micro-batch re-plans its ~15 probe/
     * verify/append jobs, and the minhash expression plans are
@@ -104,39 +105,58 @@ object StreamingAgg {
       .dropDuplicatesWithinWatermark("fingerprint")
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val b = batch.drop("fingerprint")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try if (b.isEmpty) sink(b, batchId) else {
-          // the STORED signature params drive every stage — the
-          // within-batch candidate pass included, so its recall
-          // geometry matches the cross probe's instead of silently
-          // running the library defaults
-          val (nsw, nh, bands, buckets) =
-            Dedup.readMinhashIndexParams(spark, indexDir)
-          val doc = b.select(col("doc_id"), col("text"))
-          val cross = Dedup.nearDupAgainstIndex(spark, doc, indexDir,
-            threshold)
-          val crossIds = cross.select(col("id_a").as("doc_id"))
-            .unionByName(cross.select(col("id_b").as("doc_id")))
-            .distinct()
-          val kept = doc
-            .join(broadcast(crossIds), Seq("doc_id"), "left_anti")
-          val within = Dedup.jaccardVerify(kept,
-            Dedup.minhashCandidates(kept, nsw, nh, bands), nsw,
-            threshold)
-          val survivors = Dedup.dedupByClusters(
-            b.join(broadcast(crossIds), Seq("doc_id"), "left_anti"),
-            within)
-          if (appendSurvivors)
-            Dedup.writeMinhashIndex(
-              kept.join(survivors.select(col("doc_id")),
-                Seq("doc_id"), "left_semi"),
-              indexDir, numShingleWords = nsw, numHashes = nh,
-              bands = bands, bandBuckets = buckets, mode = "append")
-          sink(survivors, batchId)
-        } finally b.unpersist()
+        processTextBatch(batch.drop("fingerprint"), indexDir,
+          threshold, appendSurvivors, batchId)(sink)
       }
+  }
+
+  /** [[dedupDocumentsStreamAgainstIndex]]'s per-micro-batch body —
+    * factored like [[processChunkBatch]] so the replay contract is
+    * spec-provable. The probe runs under [[commitBatchOutput]]: a
+    * replayed batch whose append already committed re-emits the
+    * staged survivors (re-probing would find the batch's own rows in
+    * the index and over-drop), and the append re-derives its input
+    * from the committed survivor ids, so the retry is the documented
+    * idempotent duplicate-row one.
+    */
+  private[graft] def processTextBatch(batch: DataFrame,
+      indexDir: String, threshold: Double, appendSurvivors: Boolean,
+      batchId: Long)(sink: (DataFrame, Long) => Unit): Unit = {
+    import graft.operators.Dedup
+    val spark = batch.sparkSession
+    val b = batch
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try if (b.isEmpty) sink(b, batchId) else {
+      // the STORED signature params drive every stage — the
+      // within-batch candidate pass included, so its recall
+      // geometry matches the cross probe's instead of silently
+      // running the library defaults
+      val (nsw, nh, bands, buckets) =
+        Dedup.readMinhashIndexParams(spark, indexDir)
+      val doc = b.select(col("doc_id"), col("text"))
+      val survivors = commitBatchOutput(spark, indexDir, batchId) {
+        val cross = Dedup.nearDupAgainstIndex(spark, doc, indexDir,
+          threshold)
+        val crossIds = cross.select(col("id_a").as("doc_id"))
+          .unionByName(cross.select(col("id_b").as("doc_id")))
+          .distinct()
+        val kept = doc
+          .join(broadcast(crossIds), Seq("doc_id"), "left_anti")
+        val within = Dedup.jaccardVerify(kept,
+          Dedup.minhashCandidates(kept, nsw, nh, bands), nsw,
+          threshold)
+        Dedup.dedupByClusters(
+          b.join(broadcast(crossIds), Seq("doc_id"), "left_anti"),
+          within)
+      }
+      if (appendSurvivors)
+        Dedup.writeMinhashIndex(
+          doc.join(survivors.select(col("doc_id")),
+            Seq("doc_id"), "left_semi"),
+          indexDir, numShingleWords = nsw, numHashes = nh,
+          bands = bands, bandBuckets = buckets, mode = "append")
+      sink(survivors, batchId)
+    } finally b.unpersist()
   }
 
   /** Streaming SUBSTRING-level cleaning against a persisted chunk
@@ -212,6 +232,45 @@ object StreamingAgg {
       }
   }
 
+  /** Stage-once / replay-read commit shared by every index bridge's
+    * `foreachBatch` body. The probe-stage answer of a micro-batch is
+    * a function of the index state BEFORE that batch's append — so
+    * once the append has mutated the index, a replayed batch must NOT
+    * recompute it (the chunk probe would refuse on its own watermark;
+    * the near-dup probes would find the batch's own rows and emit a
+    * different, over-dropped answer). `compute` therefore runs at most
+    * once per (indexDir, batchId): its result commits via atomic
+    * rename to `<indexDir>/stream_out/batch_<id>`, and a replay reads
+    * the committed rows back instead. Returns the committed frame.
+    * Only the latest batch's staging is kept — Spark replays at most
+    * the last uncommitted micro-batch, so older dirs prune when a
+    * newer batch arrives.
+    */
+  private def commitBatchOutput(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, batchId: Long)(
+      compute: => DataFrame): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val outRoot = new Path(s"$indexDir/stream_out")
+    val batchOut = new Path(outRoot, s"batch_$batchId")
+    if (!fs.exists(batchOut)) {
+      if (fs.exists(outRoot))
+        fs.listStatus(outRoot).foreach { e =>
+          if (e.getPath.getName.startsWith("batch_"))
+            fs.delete(e.getPath, true)
+        }
+      val stage = new Path(outRoot, s"_stage_batch_$batchId")
+      if (fs.exists(stage)) fs.delete(stage, true)
+      compute.write.mode("overwrite").parquet(stage.toString)
+      // atomic rename = the probe commit; only AFTER it may an append
+      // mutate the index
+      require(fs.rename(stage, batchOut),
+        s"rename $stage -> $batchOut failed")
+    }
+    spark.read.parquet(batchOut.toString)
+  }
+
   /** [[cleanChunksStreamAgainstIndex]]'s per-micro-batch body,
     * factored out so the replay contract is provable outside a running
     * stream (MultimodalStreamingSpec drives it twice with the same
@@ -221,12 +280,7 @@ object StreamingAgg {
       indexDir: String, appendBatch: Boolean, batchId: Long)(
       sink: (DataFrame, Long) => Unit): Unit = {
     import graft.operators.Dedup
-    import org.apache.hadoop.fs.Path
     val spark = batch.sparkSession
-    val fs = new Path(indexDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val outRoot = new Path(s"$indexDir/stream_out")
-    val batchOut = new Path(outRoot, s"batch_$batchId")
     val b = batch
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val doc = b.select(col("doc_id"), col("text"))
@@ -252,13 +306,7 @@ object StreamingAgg {
         col("text").as("text_original")), Seq("doc_id"))
       .withColumn("text_original",
         when(col("n_kept") < col("n_chunks"), col("text_original")))
-    try if (fs.exists(batchOut)) {
-      // REPLAY of a batch whose probe already committed: skip the
-      // probe (see the replay contract above), retry the append,
-      // re-emit the staged rows
-      if (appendBatch && !b.isEmpty) appendUnderStored()
-      sink(spark.read.parquet(batchOut.toString), batchId)
-    } else if (b.isEmpty) {
+    try if (b.isEmpty) {
       // empty batch: skip the probe/append entirely (their ~dozen
       // re-planned jobs are the fixed floor worth skipping), emit the
       // shape over an empty cleaned frame; no marker needed — an
@@ -267,22 +315,11 @@ object StreamingAgg {
         lit(null).cast("string").as("text"),
         lit(0).as("n_chunks"), lit(0).as("n_kept"))), batchId)
     } else {
-      // a NEW batch id arriving means every older batch committed —
-      // prune their staging so the marker dir stays O(1)
-      if (fs.exists(outRoot))
-        fs.listStatus(outRoot).foreach { e =>
-          if (e.getPath.getName.startsWith("batch_")) fs.delete(e.getPath, true)
-        }
-      val stage = new Path(outRoot, s"_stage_batch_$batchId")
-      if (fs.exists(stage)) fs.delete(stage, true)
-      shaped(Dedup.dedupChunksAgainstIndex(spark, doc, indexDir))
-        .write.mode("overwrite").parquet(stage.toString)
-      // atomic rename = the probe commit; only AFTER it may the append
-      // advance the watermark
-      require(fs.rename(stage, batchOut),
-        s"rename $stage -> $batchOut failed")
+      val out = commitBatchOutput(spark, indexDir, batchId) {
+        shaped(Dedup.dedupChunksAgainstIndex(spark, doc, indexDir))
+      }
       if (appendBatch) appendUnderStored()
-      sink(spark.read.parquet(batchOut.toString), batchId)
+      sink(out, batchId)
     } finally b.unpersist()
   }
 
@@ -305,9 +342,14 @@ object StreamingAgg {
     * shape), and the index append is a transactional side effect no
     * streaming sink expresses — `foreachBatch` hands each micro-batch
     * over as a batch frame where both are ordinary proven operators.
-    * Crash contract: a failed micro-batch re-runs, and the re-append is
-    * the index families' documented idempotent-at-duplicate-row-price
-    * retry ([[graft.operators.Dedup.compactIndex]] re-distincts).
+    * REPLAY contract (shared by all four bridges, [[commitBatchOutput]]):
+    * the probe's survivors commit atomically to
+    * `<indexDir>/stream_out/batch_<id>` BEFORE the append mutates the
+    * index, so a replayed micro-batch re-emits the identical committed
+    * rows — re-probing after the append would find the batch's own
+    * rows in the index and over-drop — and the append retry is the
+    * index families' documented idempotent-at-duplicate-row-price one
+    * ([[graft.operators.Dedup.compactIndex]] re-distincts).
     *
     * The index must exist (create it with `writeImageIndex`, over an
     * empty frame for a cold start — probes on an empty index return no
@@ -332,39 +374,65 @@ object StreamingAgg {
       .dropDuplicatesWithinWatermark("fingerprint")
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val b = batch.drop("fingerprint")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try if (b.isEmpty) sink(b, batchId) else {
-          val (radius, buckets) =
-            Dedup.readHammingIndexParams(spark, indexDir)
-          // decode + dHash ONCE per batch row (barrier'd): the cross
-          // probe, the within-batch candidates, and the append all
-          // reuse the same signatures
-          val sigs = Barriers.barrier(Multimodal.imageSignatures(
-            b.select(col("media_id"), col("payload"))))
-          val cross = Dedup.hammingCandidatesAgainstIndex(spark, sigs,
-            indexDir)
-          // every cross pair names exactly one batch id — semi-joining
-          // the batch against the pair ids drops precisely those
-          val crossIds = cross.select(col("id_a").as("media_id"))
-            .unionByName(cross.select(col("id_b").as("media_id")))
-            .distinct()
-          val keptSigs = sigs
-            .join(broadcast(crossIds), Seq("media_id"), "left_anti")
-          val survivors = Dedup.dedupByClusters(
-            b.join(broadcast(crossIds), Seq("media_id"), "left_anti"),
-            Dedup.hammingCandidates(keptSigs, radius),
-            idCol = "media_id")
-          if (appendSurvivors)
-            Dedup.writeHammingIndex(
-              keptSigs.join(survivors.select(col("media_id")),
-                Seq("media_id"), "left_semi"),
-              indexDir, maxHamming = radius, pieceBuckets = buckets,
-              mode = "append")
-          sink(survivors, batchId)
-        } finally b.unpersist()
+        processMediaBatch(batch.drop("fingerprint"), indexDir,
+          appendSurvivors, batchId)(sink)
       }
+  }
+
+  /** [[dedupMediaStreamAgainstIndex]]'s per-micro-batch body —
+    * factored like [[processChunkBatch]]; replay contract via
+    * [[commitBatchOutput]]. On the normal path the barrier'd
+    * signatures feed probe, within-batch candidates, AND append (one
+    * decode per row); on a replay only the SURVIVORS are re-decoded
+    * for the append retry — the probe is never re-run against an
+    * index the original run already extended.
+    */
+  private[graft] def processMediaBatch(batch: DataFrame,
+      indexDir: String, appendSurvivors: Boolean, batchId: Long)(
+      sink: (DataFrame, Long) => Unit): Unit = {
+    import graft.operators.{Barriers, Dedup, Multimodal}
+    val spark = batch.sparkSession
+    val b = batch
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try if (b.isEmpty) sink(b, batchId) else {
+      val (radius, buckets) =
+        Dedup.readHammingIndexParams(spark, indexDir)
+      // decode + dHash ONCE per batch row (barrier'd, lazily built:
+      // the replay path never needs the whole batch's signatures)
+      var sigsOpt: Option[DataFrame] = None
+      val survivors = commitBatchOutput(spark, indexDir, batchId) {
+        val sigs = Barriers.barrier(Multimodal.imageSignatures(
+          b.select(col("media_id"), col("payload"))))
+        sigsOpt = Some(sigs)
+        val cross = Dedup.hammingCandidatesAgainstIndex(spark, sigs,
+          indexDir)
+        // every cross pair names exactly one batch id — semi-joining
+        // the batch against the pair ids drops precisely those
+        val crossIds = cross.select(col("id_a").as("media_id"))
+          .unionByName(cross.select(col("id_b").as("media_id")))
+          .distinct()
+        val keptSigs = sigs
+          .join(broadcast(crossIds), Seq("media_id"), "left_anti")
+        Dedup.dedupByClusters(
+          b.join(broadcast(crossIds), Seq("media_id"), "left_anti"),
+          Dedup.hammingCandidates(keptSigs, radius),
+          idCol = "media_id")
+      }
+      if (appendSurvivors) {
+        val survSigs = sigsOpt match {
+          case Some(sigs) => sigs.join(
+            survivors.select(col("media_id")), Seq("media_id"),
+            "left_semi")
+          case None => Multimodal.imageSignatures( // replay: survivors only
+            b.select(col("media_id"), col("payload"))
+              .join(survivors.select(col("media_id")), Seq("media_id"),
+                "left_semi"))
+        }
+        Dedup.writeHammingIndex(survSigs, indexDir,
+          maxHamming = radius, pieceBuckets = buckets, mode = "append")
+      }
+      sink(survivors, batchId)
+    } finally b.unpersist()
   }
 
   /** Streaming incremental SEMANTIC dedup against a persisted IVF index
@@ -390,8 +458,10 @@ object StreamingAgg {
     * Same `foreachBatch` rationale as the sibling bridges: the probe is
     * a DPP-pruned batch join against on-disk parquet (the q98 plan
     * shape) and the index append is a transactional side effect no
-    * streaming sink expresses. Crash contract: a failed micro-batch
-    * re-runs, and the re-append is the IVF family's documented
+    * streaming sink expresses. Replay contract:
+    * [[dedupMediaStreamAgainstIndex]]'s, via [[commitBatchOutput]] —
+    * a replayed micro-batch re-emits its committed survivors and
+    * retries the append at the IVF family's documented
     * idempotent-at-duplicate-row price
     * ([[graft.operators.Dedup.compactIndex]] re-distincts). Cross-drop
     * is DIRECT near-dup only (no transitive drops through an indexed
@@ -426,38 +496,55 @@ object StreamingAgg {
       .dropDuplicatesWithinWatermark("fingerprint")
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val b = batch.drop("fingerprint")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try if (b.isEmpty) sink(b, batchId) else {
-          // stored geometry drives BOTH passes (cross probe reads it
-          // itself; the within-batch pass gets the same arrays) so the
-          // two scorers cannot disagree on cell assignment
-          val cents = Similarity.readIvfCentroids(spark, indexDir)
-          val (multiAssign, quantizer) =
-            Similarity.readIvfIndexParams(spark, indexDir)
-          val vec = b.select(col("vec_id"), col("embedding"))
-          val cross = Dedup.semanticNearDupAgainstIndex(spark, vec,
-            indexDir, threshold)
-          // every cross pair names exactly one batch id — semi-joining
-          // the batch against the pair ids drops precisely those
-          val crossIds = cross.select(col("id_a").as("vec_id"))
-            .unionByName(cross.select(col("id_b").as("vec_id")))
-            .distinct()
-          val kept = vec
-            .join(broadcast(crossIds), Seq("vec_id"), "left_anti")
-          val within = Dedup.semanticNearDupPairsWith(kept, cents,
-            threshold, multiAssign, quantizer)
-          val survivors = Dedup.dedupByClusters(
-            b.join(broadcast(crossIds), Seq("vec_id"), "left_anti"),
-            within, idCol = "vec_id")
-          if (appendSurvivors)
-            Similarity.appendIvfIndex(
-              kept.join(survivors.select(col("vec_id")),
-                Seq("vec_id"), "left_semi"),
-              indexDir)
-          sink(survivors, batchId)
-        } finally b.unpersist()
+        processEmbeddingBatch(batch.drop("fingerprint"), indexDir,
+          threshold, appendSurvivors, batchId)(sink)
       }
+  }
+
+  /** [[dedupEmbeddingsStreamAgainstIndex]]'s per-micro-batch body —
+    * factored like [[processChunkBatch]]; replay contract via
+    * [[commitBatchOutput]], append input re-derived from the committed
+    * survivor ids so the retry is the IVF family's documented
+    * idempotent duplicate-row one.
+    */
+  private[graft] def processEmbeddingBatch(batch: DataFrame,
+      indexDir: String, threshold: Double, appendSurvivors: Boolean,
+      batchId: Long)(sink: (DataFrame, Long) => Unit): Unit = {
+    import graft.operators.Dedup
+    import graft.operators.Similarity
+    val spark = batch.sparkSession
+    val b = batch
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try if (b.isEmpty) sink(b, batchId) else {
+      val vec = b.select(col("vec_id"), col("embedding"))
+      val survivors = commitBatchOutput(spark, indexDir, batchId) {
+        // stored geometry drives BOTH passes (cross probe reads it
+        // itself; the within-batch pass gets the same arrays) so the
+        // two scorers cannot disagree on cell assignment
+        val cents = Similarity.readIvfCentroids(spark, indexDir)
+        val (multiAssign, quantizer) =
+          Similarity.readIvfIndexParams(spark, indexDir)
+        val cross = Dedup.semanticNearDupAgainstIndex(spark, vec,
+          indexDir, threshold)
+        // every cross pair names exactly one batch id — semi-joining
+        // the batch against the pair ids drops precisely those
+        val crossIds = cross.select(col("id_a").as("vec_id"))
+          .unionByName(cross.select(col("id_b").as("vec_id")))
+          .distinct()
+        val kept = vec
+          .join(broadcast(crossIds), Seq("vec_id"), "left_anti")
+        val within = Dedup.semanticNearDupPairsWith(kept, cents,
+          threshold, multiAssign, quantizer)
+        Dedup.dedupByClusters(
+          b.join(broadcast(crossIds), Seq("vec_id"), "left_anti"),
+          within, idCol = "vec_id")
+      }
+      if (appendSurvivors)
+        Similarity.appendIvfIndex(
+          vec.join(survivors.select(col("vec_id")),
+            Seq("vec_id"), "left_semi"),
+          indexDir)
+      sink(survivors, batchId)
+    } finally b.unpersist()
   }
 }

@@ -246,6 +246,39 @@ class MultimodalStreamingSpec extends SparkSuite {
       .head().getAs[Long]("max_doc_id") === 20L)
   }
 
+  test("streaming text near-dup replay: a re-run micro-batch emits the " +
+      "same survivors instead of over-dropping against its own " +
+      "appended rows") {
+    val textA = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    val textC = "completely different words about spark query engines " +
+      "and distributed joins running on large clusters of machines"
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_textreplay").toString
+    graft.operators.Dedup.writeMinhashIndex(
+      Seq((1L, textA)).toDF("doc_id", "text"), idxDir,
+      numHashes = 8, bands = 4, bandBuckets = 8)
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // X (10) and Y (11) are within-batch near-dups (X survives as the
+    // min id); a NAIVE replay would find X's appended rows in the
+    // index, classify (X, Y) as a CROSS pair, and drop both
+    val batch = Seq(
+      (t("2024-01-01 10:00:00"), 10L, textC),
+      (t("2024-01-01 10:00:01"), 11L, textC.replace("machines", "hosts")),
+      (t("2024-01-01 10:00:02"), 12L, textA.replace("tonight", "today")))
+      .toDF("ts", "doc_id", "text")
+    val got = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    def run(): Unit = StreamingAgg.processTextBatch(batch, idxDir,
+      threshold = 0.5, appendSurvivors = true, batchId = 0L) {
+      (out, _) => got += out.select($"doc_id").collect()
+        .map(_.getLong(0)).toSet
+    }
+    run()
+    assert(got(0) === Set(10L)) // 11 within-dup of 10; 12 cross-dup of 1
+    run() // replay
+    assert(got(1) === got(0))
+  }
+
   test("streaming chunk cleaning replay: a micro-batch re-run after its " +
       "append committed emits identical rows instead of wedging on the " +
       "watermark; staging prunes when the next batch arrives") {

@@ -18,6 +18,12 @@ import org.apache.spark.sql.SparkSession
   *     every family present: one JSON line per index sub-dataset
   *     (duplicate-row volume and files-per-bucket amplification — the
   *     numbers that say whether `maintain` is due).
+  *   - `index-benchmark <suiteDir> <benchDir> [append]` —
+  *     [[graft.operators.Dedup.writeBenchmarkIndex]] over a
+  *     `(doc_id, text)` parquet eval suite: create the
+  *     decontamination index, or fold a newly-adopted suite into a
+  *     standing one with `append` — the out-of-band adoption step the
+  *     probe-only benchmark modality of `refresh` relies on.
   *   - `rebuild-ivf <indexRoot> <nlist>` —
   *     [[graft.operators.Similarity.rebuildIvfIndex]] over the
   *     `<indexRoot>/ivf` family: re-train the cell geometry at the
@@ -38,6 +44,7 @@ object CorpusMain {
         |       CorpusMain retract <idsDir> <indexRoot> <corpusDir>
         |       CorpusMain maintain <indexRoot>
         |       CorpusMain stats <indexRoot>
+        |       CorpusMain index-benchmark <suiteDir> <benchDir> [append]
         |       CorpusMain rebuild-ivf <indexRoot> <nlist>""".stripMargin)
     sys.exit(2)
   }
@@ -88,6 +95,13 @@ object CorpusMain {
             graft.operators.Dedup.indexStats(spark, s"$indexRoot/$f")
               .collect().foreach(r => println(r.json))
           }
+      case "index-benchmark" :: suiteDir :: benchDir :: rest
+          if rest.isEmpty || rest == List("append") =>
+        graft.operators.Dedup.writeBenchmarkIndex(
+          spark.read.parquet(suiteDir), benchDir,
+          mode = if (rest.isEmpty) "overwrite" else "append")
+        println(s"""{"indexed":"$benchDir","mode":"${
+          if (rest.isEmpty) "overwrite" else "append"}"}""")
       case "rebuild-ivf" :: indexRoot :: nlist :: Nil =>
         graft.operators.Similarity.rebuildIvfIndex(spark,
           s"$indexRoot/ivf", nlist.toInt)

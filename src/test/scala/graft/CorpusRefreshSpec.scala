@@ -470,6 +470,21 @@ class CorpusRefreshSpec extends SparkSuite {
     assert(retracted.length === 1)
     assert(retracted.head.contains("\"n_retracted\":1"))
     assert(retracted.head.contains("\"n_remaining\":1"))
+    // eval-suite adoption: create, then fold a second suite in; the
+    // stats sweep now reports the benchmark family too
+    val suiteDir = tmp("cm_suite")
+    Seq((900L, doc0)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(suiteDir)
+    val benchDir = s"$idxRoot/benchmark"
+    assert(capture("index-benchmark", suiteDir, benchDir).head
+      .contains("\"mode\":\"overwrite\""))
+    Seq((901L, "totally distinct benchmark prompts about tides"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(suiteDir)
+    assert(capture("index-benchmark", suiteDir, benchDir, "append").head
+      .contains("\"mode\":\"append\""))
+    assert(capture("stats", idxRoot)
+      .exists(_.contains("\"family\":\"benchmark\"")))
   }
 
   test("an empty batch is refused") {

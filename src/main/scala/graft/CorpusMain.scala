@@ -6,9 +6,14 @@ import org.apache.spark.sql.SparkSession
   * E3-analog shell surface ([[RefDataMain]] is the reference-tier
   * model): one subcommand per composed job.
   *
-  *   - `refresh <batchDir> <indexRoot> <corpusDir> [embeddingsDir]` —
-  *     [[Pipeline.refreshCorpus]] over a parquet batch (and optional
-  *     `(vec_id, embedding)` parquet); prints the one-row report.
+  *   - `refresh <batchDir> <indexRoot> <corpusDir> [embeddingsDir]
+  *     [emb=<dir>] [bench=<benchDir>] [containment=<threshold>]` —
+  *     [[Pipeline.refreshCorpus]] over a parquet batch, with every
+  *     optional modality cron-able: `emb` (or the legacy bare 4th
+  *     arg) = the batch's `(vec_id, embedding)` parquet, `bench` = a
+  *     standing [[graft.operators.Dedup.writeBenchmarkIndex]] suite
+  *     to screen against (probe-only), `containment` = the doc-in-doc
+  *     overlap threshold. Prints the one-row report.
   *   - `retract <idsDir> <indexRoot> <corpusDir>` —
   *     [[Pipeline.retractCorpus]] over a one-column parquet of ids;
   *     prints the one-row report.
@@ -40,7 +45,7 @@ object CorpusMain {
 
   private def usage(): Nothing = {
     System.err.println(
-      """usage: CorpusMain refresh <batchDir> <indexRoot> <corpusDir> [embeddingsDir]
+      """usage: CorpusMain refresh <batchDir> <indexRoot> <corpusDir> [embeddingsDir] [emb=<dir>] [bench=<dir>] [containment=<t>]
         |       CorpusMain retract <idsDir> <indexRoot> <corpusDir>
         |       CorpusMain maintain <indexRoot>
         |       CorpusMain stats <indexRoot>
@@ -70,12 +75,24 @@ object CorpusMain {
     */
   def run(spark: SparkSession, args: List[String]): Unit =
     args match {
-      case "refresh" :: batchDir :: indexRoot :: corpusDir :: rest
-          if rest.length <= 1 =>
-        val emb = rest.headOption.map(spark.read.parquet(_))
+      case "refresh" :: batchDir :: indexRoot :: corpusDir :: rest =>
+        // optional modalities as key=value (a bare 4th arg keeps the
+        // legacy embeddingsDir meaning): emb=<dir> bench=<benchDir>
+        // containment=<threshold>
+        val (kv0, legacy) = rest.partition(_.contains("="))
+        val kv = kv0.map { a =>
+          val Array(k, v) = a.split("=", 2); k -> v
+        }.toMap
+        if (legacy.length > 1 ||
+          (kv.keySet -- Set("emb", "bench", "containment")).nonEmpty ||
+          (legacy.nonEmpty && kv.contains("emb"))) usage()
+        val emb = legacy.headOption.orElse(kv.get("emb"))
+          .map(spark.read.parquet(_))
         val out = Pipeline.refreshCorpus(spark,
           spark.read.parquet(batchDir), indexRoot, corpusDir,
-          embeddings = emb)
+          embeddings = emb,
+          benchmarkIndexDir = kv.get("bench"),
+          containmentThreshold = kv.get("containment").map(_.toDouble))
         println(out.report.head().json)
       case "retract" :: idsDir :: indexRoot :: corpusDir :: Nil =>
         val report = Pipeline.retractCorpus(spark,

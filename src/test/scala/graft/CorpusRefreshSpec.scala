@@ -485,6 +485,17 @@ class CorpusRefreshSpec extends SparkSuite {
       .contains("\"mode\":\"append\""))
     assert(capture("stats", idxRoot)
       .exists(_.contains("\"family\":\"benchmark\"")))
+    // a later weekly batch with every optional modality as a key=value
+    // flag: the benchmark screen flags doc 5 (it quotes the indexed
+    // suite) and the containment modality's index comes into being
+    Seq((5L, doc0), (6L, "fresh words with no overlap anywhere"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(batchDir)
+    val r2 = capture("refresh", batchDir, idxRoot, corpusDir,
+      s"bench=$benchDir", "containment=0.9")
+    assert(r2.length === 1)
+    assert(r2.head.contains("\"n_contaminated_docs\":"))
+    assert(new java.io.File(s"$idxRoot/containment/params").exists())
   }
 
   test("an empty batch is refused") {

@@ -460,9 +460,12 @@ object Dedup {
     *     under pruning).
     *   - `shingles/`: the sorted distinct hash arrays (the exact
     *     verify side, read only for candidate-involved ids — the
-    *     [[writeMinhashIndex]] `shingles/` schema and role).
-    *   - `params/`: (num_shingle_words, posting_buckets), deleted
-    *     first / written last ([[writeIndexScaffold]]).
+    *     [[writeMinhashIndex]] `shingles/` schema, role, AND doc-id
+    *     bucket partitioning, with the same pruned-verify and
+    *     touched-bucket-deletion payoffs).
+    *   - `params/`: (num_shingle_words, posting_buckets,
+    *     shingle_buckets), deleted first / written last
+    *     ([[writeIndexScaffold]]).
     *
     * Zero-shingle docs are not indexed (the containment measure is
     * undefined on empty sets — [[containmentAllPairs]] excludes them
@@ -470,11 +473,17 @@ object Dedup {
     */
   def writeContainmentIndex(docs: DataFrame, dir: String,
       numShingleWords: Int = 3, postingBuckets: Int = 256,
-      mode: String = "overwrite"): Unit = {
+      shingleBuckets: Int = 64, mode: String = "overwrite"): Unit = {
     require(postingBuckets > 0,
       s"postingBuckets must be > 0, got $postingBuckets")
+    require(shingleBuckets > 0,
+      s"shingleBuckets must be > 0, got $shingleBuckets")
     val spark = docs.sparkSession
     val asked = (numShingleWords, postingBuckets)
+    // layout from the index on append, caller on create — the minhash
+    // writer's rule, stated there
+    val effSb = if (mode == "append") readShingleBuckets(spark, dir)
+      else Some(shingleBuckets)
     writeIndexScaffold(spark, dir, mode) {
       val p = readContainmentIndexParams(spark, dir)
       require(p == asked,
@@ -486,16 +495,17 @@ object Dedup {
       // postings/, so a crash between the writes leaves unreferenced
       // verify rows, never candidates whose verify side is missing
       // (the minhash family's ordering rationale)
-      sh.write.mode(mode).parquet(s"$dir/shingles")
+      writeShingles(sh, dir, mode, effSb)
       sh.select(col("doc_id"), size(col("sh")).as("n"),
           explode(col("sh")).as("h"))
         .withColumn("bucket",
           pmod(col("h"), lit(postingBuckets.toLong)).cast("int"))
         .write.mode(mode).partitionBy("bucket").parquet(s"$dir/postings")
     } {
-      spark.range(1).select(
+      val base = spark.range(1).select(
         lit(numShingleWords).as("num_shingle_words"),
         lit(postingBuckets).as("posting_buckets"))
+      effSb.fold(base)(n => base.withColumn("shingle_buckets", lit(n)))
     }
   }
 
@@ -618,11 +628,9 @@ object Dedup {
     val newSh = shingleHashArrays(
       newDocs.join(broadcast(involved), Seq("doc_id"), "left_semi"),
       nsw)
-    val idxSh = spark.read.schema(shinglesSchema)
-      .parquet(s"$dir/shingles")
+    val idxSh = prunedIndexShingles(spark, dir, involved)
       // a retried append re-wrote whole rows — one array per doc
       .dropDuplicates("doc_id")
-      .join(broadcast(involved), Seq("doc_id"), "left_semi")
     scoredVerifyWith(newSh.unionByName(idxSh), candidates, threshold,
       "containment", containmentScore)
   }
@@ -1364,6 +1372,8 @@ object Dedup {
   private val shinglesSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("sh", ArrayType(LongType))))
+  private val bucketedShinglesSchema = StructType(
+    shinglesSchema.fields :+ StructField("bucket", IntegerType))
   private val chunksSchema = StructType(Seq(
     StructField("ch", StringType), StructField("bucket", IntegerType)))
   private val piecesSchema = StructType(Seq(
@@ -1375,6 +1385,81 @@ object Dedup {
   private val postingsSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("n", IntegerType),
     StructField("h", LongType), StructField("bucket", IntegerType)))
+
+  /** The shingles/ partition expression: doc-id hash buckets, INT like
+    * every other index partition column (a cast on the partition
+    * attribute defeats dynamic partition pruning — see
+    * [[writeMinhashIndex]]'s bucket comment). */
+  private def shingleBucket(n: Int)(id: Column): Column =
+    pmod(id, lit(n.toLong)).cast("int")
+
+  /** Stored shingles/ layout of a minhash/containment index: Some(n) =
+    * PARTITIONED BY `bucket = pmod(doc_id, n)` (every index written
+    * since the bucketed layout), None = the legacy flat layout. Kept
+    * OUTSIDE the families' positional param tuples so legacy indexes
+    * keep probing and appending unmigrated; [[migrateShingleBuckets]]
+    * is the explicit upgrade. */
+  private[graft] def readShingleBuckets(spark: SparkSession,
+      dir: String): Option[Int] = {
+    val p = spark.read.parquet(s"$dir/params")
+    if (p.schema.fieldNames.contains("shingle_buckets"))
+      Some(p.head().getAs[Int]("shingle_buckets"))
+    else None
+  }
+
+  /** Write a (doc_id, sh) frame as an index's shingles/ sub-dataset in
+    * the layout `buckets` names (Some = bucket-partitioned, None =
+    * legacy flat — appends onto a legacy index must keep its layout). */
+  private def writeShingles(sh: DataFrame, dir: String, mode: String,
+      buckets: Option[Int]): Unit = buckets match {
+    case Some(n) => sh
+      .withColumn("bucket", shingleBucket(n)(col("doc_id")))
+      .write.mode(mode).partitionBy("bucket").parquet(s"$dir/shingles")
+    case None => sh.write.mode(mode).parquet(s"$dir/shingles")
+  }
+
+  /** The whole shingles/ sub-dataset as (doc_id, sh), either layout —
+    * the all-pairs surfaces' read. The flat path projects explicitly:
+    * a crashed migration's bucketed-data-under-flat-params state reads
+    * through here too, and the discovered partition column would
+    * otherwise ride along as an extra column (Spark APPENDS partition
+    * columns missing from an explicit schema). */
+  private def readIndexShingles(spark: SparkSession,
+      dir: String): DataFrame = readShingleBuckets(spark, dir) match {
+    case Some(_) => spark.read.schema(bucketedShinglesSchema)
+      .parquet(s"$dir/shingles").select(col("doc_id"), col("sh"))
+    case None =>
+      spark.read.schema(shinglesSchema).parquet(s"$dir/shingles")
+        .select(col("doc_id"), col("sh"))
+  }
+
+  /** shingles/ rows for the `involved` ids only, as (doc_id, sh): on
+    * the bucketed layout the broadcast semi-join carries the derived
+    * partition bucket, so dynamic partition pruning restricts the scan
+    * to the buckets the candidate ids actually name (file IO ∝
+    * candidates — the bands/ probe economics applied to the verify
+    * side); the legacy flat layout keeps its full-scan semi-join. */
+  private def prunedIndexShingles(spark: SparkSession, dir: String,
+      involved: DataFrame): DataFrame =
+    readShingleBuckets(spark, dir) match {
+      case Some(n) =>
+        val probe = involved
+          .withColumn("bucket", shingleBucket(n)(col("doc_id")))
+          // vacuously-true binary comparison marking the probe side
+          // likely-selective so dynamic partition pruning fires (the
+          // bands/ probe's device)
+          .where(col("doc_id") >= lit(Long.MinValue))
+        spark.read.schema(bucketedShinglesSchema)
+          .parquet(s"$dir/shingles")
+          .join(broadcast(probe), Seq("bucket", "doc_id"), "left_semi")
+          .select(col("doc_id"), col("sh"))
+      case None => spark.read.schema(shinglesSchema)
+        .parquet(s"$dir/shingles")
+        // project before the join: see [[readIndexShingles]] on the
+        // crashed-migration state's appended partition column
+        .select(col("doc_id"), col("sh"))
+        .join(broadcast(involved), Seq("doc_id"), "left_semi")
+    }
 
   /** Materialize the corpus' near-dup signatures as an on-disk index under
     * `dir` — the [[Similarity.writeIvfIndex]] pattern applied to text
@@ -1389,7 +1474,13 @@ object Dedup {
     *     scan reads only the bucket partitions it actually names
     *     (dynamic partition pruning, PlanSpec-pinned).
     *   - `shingles/`: (doc_id, sh) sorted distinct shingle hashes — the
-    *     exact-verify side, read only for docs in a candidate pair.
+    *     exact-verify side, read only for docs in a candidate pair,
+    *     PARTITIONED BY `bucket = pmod(doc_id, shingleBuckets)` so the
+    *     verify read prunes to the candidate ids' buckets AND deletion
+    *     ([[deleteFromIndex]]) rewrites only the retracted ids' buckets
+    *     instead of the whole sub-dataset (indexes written before this
+    *     layout stay readable flat — [[migrateShingleBuckets]] upgrades
+    *     them in place).
     *   - `params/`: ONE row of signature parameters. Probes read these
     *     back instead of trusting caller arguments: signatures computed
     *     under different (shingle words, hashes, bands, buckets) are
@@ -1424,10 +1515,18 @@ object Dedup {
     */
   def writeMinhashIndex(docs: DataFrame, dir: String,
       numShingleWords: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      bandBuckets: Int = 256, mode: String = "overwrite"): Unit = {
+      bandBuckets: Int = 256, shingleBuckets: Int = 64,
+      mode: String = "overwrite"): Unit = {
     require(bandBuckets > 0, s"bandBuckets must be > 0, got $bandBuckets")
+    require(shingleBuckets > 0,
+      s"shingleBuckets must be > 0, got $shingleBuckets")
     val spark = docs.sparkSession
     val asked = (numShingleWords, numHashes, bands, bandBuckets)
+    // appends take the shingles/ LAYOUT from the index, not the caller
+    // (pure layout, not signature geometry — a legacy flat index keeps
+    // appending flat until migrated, a bucketed one keeps its count)
+    val effSb = if (mode == "append") readShingleBuckets(spark, dir)
+      else Some(shingleBuckets)
     writeIndexScaffold(spark, dir, mode) {
       val p = readMinhashIndexParams(spark, dir)
       require(p == asked,
@@ -1437,8 +1536,8 @@ object Dedup {
       // crash here leaves extra shingle rows nothing references
       // (harmless) rather than band rows whose verify-side arrays are
       // missing (the inner join would silently drop those pairs)
-      shingleHashArrays(docs, numShingleWords)
-        .write.mode(mode).parquet(s"$dir/shingles")
+      writeShingles(shingleHashArrays(docs, numShingleWords), dir,
+        mode, effSb)
       lshBands(docs, numShingleWords, numHashes, bands)
         // INT bucket on both the written and the probe side: the
         // partition directory value is inferred back as int, and a type
@@ -1449,11 +1548,14 @@ object Dedup {
           pmod(col("band_hash"), lit(bandBuckets.toLong)).cast("int"))
         .write.mode(mode).partitionBy("bucket").parquet(s"$dir/bands")
     } {
-      docs.sparkSession.range(1).select(
+      val base = docs.sparkSession.range(1).select(
         lit(numShingleWords).as("num_shingle_words"),
         lit(numHashes).as("num_hashes"),
         lit(bands).as("bands"),
         lit(bandBuckets).as("band_buckets"))
+      // legacy flat indexes must stay recognizably flat on append —
+      // the column's absence IS the layout marker
+      effSb.fold(base)(n => base.withColumn("shingle_buckets", lit(n)))
     }
   }
 
@@ -1539,9 +1641,7 @@ object Dedup {
     val involved = involvedIds(candidates)
     val newSh = shingleHashArrays(
       newDocs.join(broadcast(involved), Seq("doc_id"), "left_semi"), nsw)
-    val idxSh = spark.read.schema(shinglesSchema)
-      .parquet(s"$dir/shingles")
-      .join(broadcast(involved), Seq("doc_id"), "left_semi")
+    val idxSh = prunedIndexShingles(spark, dir, involved)
     scoredVerifyWith(newSh.unionByName(idxSh), candidates, threshold,
       "jaccard", jaccardScore)
   }
@@ -1561,8 +1661,7 @@ object Dedup {
     val newSh = Barriers.barrier(
       shingleHashArrays(newDocs, nsw).where(size(col("sh")) > 0))
       .select(col("doc_id").as("id_n"), col("sh").as("sh_a"))
-    val idxSh = spark.read.schema(shinglesSchema)
-      .parquet(s"$dir/shingles")
+    val idxSh = readIndexShingles(spark, dir)
       .where(size(col("sh")) > 0)
       .select(col("doc_id").as("id_i"), col("sh").as("sh_b"))
     newSh.join(idxSh, col("id_n") =!= col("id_i"))
@@ -2281,6 +2380,30 @@ object Dedup {
     fs.delete(old, true)
   }
 
+  /** Compaction of a minhash/containment family's shingles/ under its
+    * stored layout: bucketed → one doc-id-sorted file per bucket (the
+    * [[onePerPartition]] shape every partitioned sub-dataset gets);
+    * legacy flat → range-cluster by doc_id so the rewrite stays
+    * parallel and files are id-sorted for the verify join. De-dup key
+    * is the doc id either way (a retried append re-wrote whole rows).
+    */
+  private def compactShingles(spark: SparkSession, dir: String): Unit =
+    readShingleBuckets(spark, dir) match {
+      case Some(_) =>
+        swapRewrite(spark, s"$dir/shingles", Seq("bucket"))(
+          onePerPartition(
+            spark.read.schema(bucketedShinglesSchema)
+              .parquet(s"$dir/shingles").dropDuplicates("doc_id"),
+            "bucket", Seq("doc_id")))
+      case None =>
+        swapRewrite(spark, s"$dir/shingles", Nil)(
+          spark.read.schema(shinglesSchema).parquet(s"$dir/shingles")
+            .select(col("doc_id"), col("sh"))
+            .dropDuplicates("doc_id")
+            .repartitionByRange(col("doc_id"))
+            .sortWithinPartitions("doc_id"))
+    }
+
   /** One-file-per-partition-value shape: hash-repartition on the
     * partition column (each value's rows land in exactly one task, so
     * `partitionBy` emits exactly one file per value) and sort within
@@ -2334,15 +2457,7 @@ object Dedup {
             spark.read.schema(bandsSchema).parquet(s"$dir/bands")
               .distinct(),
             "bucket", Seq("band_id", "band_hash", "doc_id")))
-        // shingles are unpartitioned (read whole by the all-pairs
-        // surface, semi-join-pruned by the verify path): range-cluster
-        // by doc_id so the rewrite stays parallel and files are
-        // id-sorted for the verify join
-        swapRewrite(spark, s"$dir/shingles", Nil)(
-          spark.read.schema(shinglesSchema).parquet(s"$dir/shingles")
-            .dropDuplicates("doc_id")
-            .repartitionByRange(col("doc_id"))
-            .sortWithinPartitions("doc_id"))
+        compactShingles(spark, dir)
       case "chunk" =>
         swapRewrite(spark, s"$dir/chunks", Seq("bucket"))(
           onePerPartition(
@@ -2369,11 +2484,7 @@ object Dedup {
             spark.read.schema(postingsSchema).parquet(s"$dir/postings")
               .distinct(),
             "bucket", Seq("h", "doc_id")))
-        swapRewrite(spark, s"$dir/shingles", Nil)(
-          spark.read.schema(shinglesSchema).parquet(s"$dir/shingles")
-            .dropDuplicates("doc_id")
-            .repartitionByRange(col("doc_id"))
-            .sortWithinPartitions("doc_id"))
+        compactShingles(spark, dir)
       case "ivf" =>
         // inferred schema, not [[cellsSchema]]: the written cells carry
         // whatever EXTRA corpus columns the caller indexed, and a
@@ -2423,12 +2534,29 @@ object Dedup {
     */
   private def deleteKeyedRows(spark: SparkSession, sub: String,
       data: DataFrame, partCol: String, idCol: String,
-      ids: DataFrame): Unit = {
+      ids: DataFrame, knownBuckets: Option[Seq[Int]] = None): Unit = {
     import org.apache.hadoop.fs.Path
     val idSet = broadcast(
       ids.select(ids.columns.head).toDF(idCol).distinct())
-    val touched = data.join(idSet, Seq(idCol), "left_semi")
-      .select(col(partCol)).distinct().collect().map(_.getInt(0))
+    // partition columns DERIVED from the id (shingles: bucket =
+    // pmod(doc_id, n)) hand the touched set in directly — computed
+    // from the retracted ids alone, intersected with the partitions on
+    // disk: zero index scan. Content-keyed partitions (band/posting
+    // buckets are functions of the hash, not the id) fall back to one
+    // broadcast-semi-joined scan of (partCol, idCol).
+    val touched = knownBuckets match {
+      case Some(bs) =>
+        val fs0 = new Path(sub)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val onDisk = fs0.listStatus(new Path(sub)).collect {
+          case e if e.isDirectory &&
+              e.getPath.getName.startsWith(s"$partCol=") =>
+            e.getPath.getName.stripPrefix(s"$partCol=").toInt
+        }.toSet
+        bs.distinct.filter(onDisk).toArray
+      case None => data.join(idSet, Seq(idCol), "left_semi")
+        .select(col(partCol)).distinct().collect().map(_.getInt(0))
+    }
     if (touched.isEmpty) return
     val inTouched = col(partCol)
       .isin(touched.map(Integer.valueOf).toIndexedSeq: _*)
@@ -2464,8 +2592,10 @@ object Dedup {
     *
     *   - minhash: the ids' rows leave `bands/` (candidate side, by
     *     touched band bucket) AND `shingles/` (verify + all-pairs
-    *     side; unpartitioned, so this one is a full staging-swap
-    *     rewrite — the disclosed cost of the flat layout);
+    *     side; by touched doc-id bucket — computed from the ids alone,
+    *     no scan — on the bucketed layout; a legacy flat index pays a
+    *     full staging-swap rewrite until [[migrateShingleBuckets]]
+    *     upgrades it);
     *   - hamming (incl. the image-dHash flavor): the ids' piece rows
     *     leave `pieces/` by touched bucket;
     *   - ivf: the ids' vectors leave `cells/` by touched cell (all
@@ -2478,9 +2608,10 @@ object Dedup {
     *     no eval-set provenance; [[deleteFromBenchmarkIndex]] is the
     *     content-addressed surface.
     *   - containment: the ids' posting rows leave `postings/` by
-    *     touched bucket and their arrays leave `shingles/` — the
-    *     minhash deletion shape (postings carry doc ids, so id-keyed
-    *     deletion works directly).
+    *     touched bucket and their arrays leave `shingles/` by touched
+    *     doc-id bucket — the minhash deletion shape (postings carry
+    *     doc ids, so id-keyed deletion works directly), with the same
+    *     legacy-flat fallback.
     *
     * Ids are never reused (the monotone-id contract every index
     * already assumes), so a deleted id range stays retired — deletion
@@ -2492,11 +2623,7 @@ object Dedup {
       deleteKeyedRows(spark, s"$dir/bands",
         spark.read.schema(bandsSchema).parquet(s"$dir/bands"),
         "bucket", "doc_id", ids)
-      val idSet = broadcast(
-        ids.select(ids.columns.head).toDF("doc_id").distinct())
-      swapRewrite(spark, s"$dir/shingles", Nil)(
-        spark.read.schema(shinglesSchema).parquet(s"$dir/shingles")
-          .join(idSet, Seq("doc_id"), "left_anti"))
+      deleteIndexShingles(spark, dir, ids)
     case "hamming" =>
       deleteKeyedRows(spark, s"$dir/pieces",
         spark.read.schema(piecesSchema).parquet(s"$dir/pieces"),
@@ -2520,11 +2647,90 @@ object Dedup {
       deleteKeyedRows(spark, s"$dir/postings",
         spark.read.schema(postingsSchema).parquet(s"$dir/postings"),
         "bucket", "doc_id", ids)
+      deleteIndexShingles(spark, dir, ids)
+  }
+
+  /** shingles/ half of a minhash/containment deletion, layout-aware:
+    * bucketed → [[deleteKeyedRows]] with the touched set computed from
+    * the retracted ids' own `pmod(doc_id, n)` values (no index scan —
+    * deletion IO is ∝ the ids' bucket footprint); legacy flat → the
+    * full staging-swap anti-join rewrite, the disclosed cost of the
+    * pre-migration layout. */
+  private def deleteIndexShingles(spark: SparkSession, dir: String,
+      ids: DataFrame): Unit = readShingleBuckets(spark, dir) match {
+    case Some(n) =>
+      val buckets = ids.select(
+          shingleBucket(n)(ids.col(ids.columns.head).cast("long"))
+            .as("bucket"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      deleteKeyedRows(spark, s"$dir/shingles",
+        spark.read.schema(bucketedShinglesSchema)
+          .parquet(s"$dir/shingles"),
+        "bucket", "doc_id", ids, knownBuckets = Some(buckets))
+    case None =>
       val idSet = broadcast(
         ids.select(ids.columns.head).toDF("doc_id").distinct())
       swapRewrite(spark, s"$dir/shingles", Nil)(
         spark.read.schema(shinglesSchema).parquet(s"$dir/shingles")
+          .select(col("doc_id"), col("sh"))
           .join(idSet, Seq("doc_id"), "left_anti"))
+  }
+
+  /** One-time in-place layout upgrade of a minhash/containment index's
+    * flat `shingles/` to the bucketed layout (`bucket = pmod(doc_id,
+    * shingleBuckets)`), so deletion becomes touched-bucket-local and
+    * the verify read prunes — run once per legacy index from the
+    * maintenance window. Also serves as an explicit RE-bucket (a new
+    * count) for an already-bucketed index. Steps: staging-swap rewrite
+    * of the data ([[swapRewrite]] — probes fail loudly mid-swap, never
+    * read a mix), then `params/` gains/updates `shingle_buckets` LAST
+    * via its own staged swap. For a RE-bucket the stored count is
+    * DEMOTED to flat first (stale params must never vouch for a
+    * differently-bucketed layout — a pruned probe deriving buckets
+    * from the old count against dirs written with the new one would
+    * silently MISS rows), so every crash window leaves an index whose
+    * params claim flat while the data is flat or bucketed: every
+    * reader treats that index as flat — correct answers, no pruning
+    * (the flat-path readers all project (doc_id, sh), so the
+    * discovered partition column Spark appends to an explicit-schema
+    * read is dropped, not mistaken for data) — and re-running the
+    * migration completes it. No-op when the stored layout already
+    * matches. Single-writer discipline like every maintenance pass.
+    */
+  def migrateShingleBuckets(spark: SparkSession, dir: String,
+      shingleBuckets: Int = 64): Unit = {
+    require(shingleBuckets > 0,
+      s"shingleBuckets must be > 0, got $shingleBuckets")
+    val family = indexFamily(spark, dir)
+    require(family == "minhash" || family == "containment",
+      s"$dir is a '$family' index — only the minhash/containment " +
+        "families carry a shingles/ sub-dataset")
+    if (readShingleBuckets(spark, dir).contains(shingleBuckets)) return
+    // RE-bucket: demote params to flat BEFORE touching data, so no
+    // crash window leaves a stored count disagreeing with the layout
+    // on disk (see the scaladoc's silent-miss rationale)
+    if (readShingleBuckets(spark, dir).isDefined)
+      swapRewrite(spark, s"$dir/params", Nil)(
+        spark.read.parquet(s"$dir/params").drop("shingle_buckets"))
+    // read as (doc_id, sh) regardless of current layout — covers both
+    // a flat index and a crashed migration's bucketed-data-flat-params
+    // state (and an explicit re-bucket; the projection drops a
+    // discovered partition column either way)
+    val flat = spark.read.schema(shinglesSchema)
+      .parquet(s"$dir/shingles").select(col("doc_id"), col("sh"))
+      .dropDuplicates("doc_id")
+    swapRewrite(spark, s"$dir/shingles", Seq("bucket"))(
+      onePerPartition(
+        flat.withColumn("bucket",
+          shingleBucket(shingleBuckets)(col("doc_id"))),
+        "bucket", Seq("doc_id")))
+    // params LAST (the scaffold's stale-params-never-vouch rule): the
+    // updated row is computed from the live params and staged-swapped
+    // over it
+    val updated = spark.read.parquet(s"$dir/params")
+      .drop("shingle_buckets")
+      .withColumn("shingle_buckets", lit(shingleBuckets))
+    swapRewrite(spark, s"$dir/params", Nil)(updated)
   }
 
   /** Delete retracted DOCUMENTS' content from a [[writeChunkIndex]] /
@@ -2593,6 +2799,11 @@ object Dedup {
     val fs = new Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+    // (n_partitions, n_files, max_files_per_partition); for a
+    // NON-partitioned sub-dataset (a legacy flat shingles/) the report
+    // is (0, n, n) — the files-per-pruned-bucket ≈ appends-since-
+    // compaction reading only holds for partitioned datasets, a flat
+    // one reports its total file count in both columns
     def fileStats(sub: String): (Int, Int, Int) = {
       val p = new Path(sub)
       if (!fs.exists(p)) return (0, 0, 0)
@@ -2601,9 +2812,10 @@ object Dedup {
         e.isDirectory && e.getPath.getName.contains("="))
       def dataFiles(d: Path): Int = fs.listStatus(d)
         .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      if (partDirs.isEmpty)
-        (0, dataFiles(p), dataFiles(p))
-      else {
+      if (partDirs.isEmpty) {
+        val n = dataFiles(p)
+        (0, n, n)
+      } else {
         val perPart = partDirs.map(e => dataFiles(e.getPath))
         (partDirs.size, perPart.sum, perPart.max)
       }
@@ -2624,8 +2836,8 @@ object Dedup {
       case "minhash" => Seq(
         row("bands", Some(spark.read.schema(bandsSchema)
           .parquet(s"$dir/bands")), _.distinct()),
-        row("shingles", Some(spark.read.schema(shinglesSchema)
-          .parquet(s"$dir/shingles")), _.dropDuplicates("doc_id")))
+        row("shingles", Some(readIndexShingles(spark, dir)),
+          _.dropDuplicates("doc_id")))
       case "chunk" => Seq(
         row("chunks", Some(spark.read.schema(chunksSchema)
           .parquet(s"$dir/chunks")), _.distinct()))
@@ -2638,8 +2850,8 @@ object Dedup {
       case "containment" => Seq(
         row("postings", Some(spark.read.schema(postingsSchema)
           .parquet(s"$dir/postings")), _.distinct()),
-        row("shingles", Some(spark.read.schema(shinglesSchema)
-          .parquet(s"$dir/shingles")), _.dropDuplicates("doc_id")))
+        row("shingles", Some(readIndexShingles(spark, dir)),
+          _.dropDuplicates("doc_id")))
       case "ivf" =>
         // inferred schema (extra corpus columns ride in cells/) and an
         // empty-corpus index has no data files — same handling as the

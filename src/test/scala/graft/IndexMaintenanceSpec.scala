@@ -511,6 +511,160 @@ class IndexMaintenanceSpec extends SparkSuite {
       .where($"doc_id" === 2L).count() === 0L)
   }
 
+  /** Rewrite an index's shingles/ to the pre-round-12 FLAT layout and
+    * strip `shingle_buckets` from params — the legacy state every
+    * bucketed-layout test needs to prove compatibility against. */
+  private def demoteShinglesToFlat(dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sh = spark.read.parquet(s"$dir/shingles")
+      .select($"doc_id", $"sh").localCheckpoint()
+    fs.delete(new Path(s"$dir/shingles"), true)
+    sh.write.parquet(s"$dir/shingles")
+    val p = spark.read.parquet(s"$dir/params")
+      .drop("shingle_buckets").localCheckpoint()
+    fs.delete(new Path(s"$dir/params"), true)
+    p.write.parquet(s"$dir/params")
+  }
+
+  /** file NAMES per partition dir — part files get fresh UUID names on
+    * every write, so name-set equality proves a dir was NOT rewritten. */
+  private def fileNames(sub: String): Map[String, Set[String]] = {
+    val root = java.nio.file.Paths.get(sub)
+    val l = java.nio.file.Files.list(root)
+    try l.toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .filter(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.contains("="))
+      .map { p =>
+        val ll = java.nio.file.Files.list(p)
+        try p.getFileName.toString -> ll.toArray
+          .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+          .filter(_.endsWith(".parquet")).toSet
+        finally ll.close()
+      }.toMap
+    finally l.close()
+  }
+
+  test("bucketed shingles/: deletion rewrites ONLY the retracted ids' " +
+      "buckets (file-level), probe answers match a flat index " +
+      "bit-identically, and migrateShingleBuckets upgrades a legacy " +
+      "index in place — crashed-migration state included") {
+    val docs = (0L until 12L).map(i => (i,
+      if (i % 3 == 0) base
+      else if (i % 3 == 1) base.replace("tonight", s"today$i")
+      else s"unrelated document number $i about spark query engines " +
+        s"and distributed joins on cluster $i")).toDF("doc_id", "text")
+    val probe = Seq((100L, base)).toDF("doc_id", "text")
+    def pairs(d: String) = pairSet(
+      Dedup.nearDupAgainstIndex(spark, probe, d, threshold = 0.5))
+    def jac(d: String) = pairSet(
+      Dedup.jaccardAllPairsAgainstIndex(spark, probe, d, threshold = 0.5))
+
+    // the bucketed layout (the default write) vs a legacy flat index
+    // over the same corpus: bit-identical probe answers
+    val dir = tmp("shbucket")
+    Dedup.writeMinhashIndex(docs, dir, bandBuckets = 8,
+      shingleBuckets = 4)
+    val legacy = tmp("shflat")
+    Dedup.writeMinhashIndex(docs, legacy, bandBuckets = 8)
+    demoteShinglesToFlat(legacy)
+    assert(fileNames(s"$legacy/shingles").isEmpty) // really flat
+    assert(pairs(dir).nonEmpty)
+    assert(pairs(dir) === pairs(legacy))
+    assert(jac(dir) === jac(legacy))
+
+    // deletion on the bucketed layout: doc 3 lives in bucket 3 — every
+    // other shingle bucket's part files must be untouched BY NAME
+    val before = fileNames(s"$dir/shingles")
+    assert(before.keySet.size > 1)
+    Dedup.deleteFromIndex(spark, dir, Seq(3L).toDF("doc_id"))
+    val after = fileNames(s"$dir/shingles")
+    assert(spark.read.parquet(s"$dir/shingles")
+      .where($"doc_id" === 3L).count() === 0L)
+    (before.keySet - "bucket=3").foreach { b =>
+      assert(after(b) === before(b),
+        s"untouched shingle bucket $b was rewritten")
+    }
+    assert(after.get("bucket=3") !== before.get("bucket=3"))
+    // the same deletion on the flat index full-rewrites but agrees
+    Dedup.deleteFromIndex(spark, legacy, Seq(3L).toDF("doc_id"))
+    assert(pairs(dir) === pairs(legacy))
+    assert(jac(dir) === jac(legacy))
+
+    // migration: the flat index upgrades in place; answers identical,
+    // deletion now bucket-local
+    Dedup.migrateShingleBuckets(spark, legacy, shingleBuckets = 4)
+    assert(fileNames(s"$legacy/shingles").nonEmpty)
+    assert(pairs(legacy) === pairs(dir))
+    assert(jac(legacy) === jac(dir))
+    val mBefore = fileNames(s"$legacy/shingles")
+    Dedup.deleteFromIndex(spark, legacy, Seq(4L).toDF("doc_id"))
+    val mAfter = fileNames(s"$legacy/shingles")
+    (mBefore.keySet - "bucket=0").foreach { b =>
+      assert(mAfter(b) === mBefore(b))
+    }
+    // re-running a completed migration is a no-op (same file names)
+    Dedup.migrateShingleBuckets(spark, legacy, shingleBuckets = 4)
+    assert(fileNames(s"$legacy/shingles") === mAfter)
+
+    // crashed-migration state: bucketed data under flat params reads
+    // correctly (unpruned) and a re-run completes the migration
+    val crash = tmp("shcrash")
+    Dedup.writeMinhashIndex(docs, crash, bandBuckets = 8,
+      shingleBuckets = 4)
+    val expected = pairs(crash)
+    val expectedJac = jac(crash)
+    val p = spark.read.parquet(s"$crash/params")
+      .drop("shingle_buckets").localCheckpoint()
+    val fs = new org.apache.hadoop.fs.Path(crash)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$crash/params"), true)
+    p.write.parquet(s"$crash/params")
+    assert(pairs(crash) === expected)
+    assert(jac(crash) === expectedJac)
+    Dedup.migrateShingleBuckets(spark, crash, shingleBuckets = 4)
+    assert(pairs(crash) === expected)
+
+    // a non-shingle family refuses the migration
+    val hm = tmp("shhm")
+    Dedup.writeHammingIndex(Dedup.simhash(docs), hm, pieceBuckets = 8)
+    intercept[IllegalArgumentException] {
+      Dedup.migrateShingleBuckets(spark, hm)
+    }
+  }
+
+  test("containment index: bucketed shingles/ deletion is " +
+      "bucket-local and a legacy flat containment index still probes " +
+      "and migrates") {
+    val small = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = (0L until 8L).map(i => (i,
+      if (i == 0) small
+      else s"filler document $i with words nobody else shares " +
+        s"numbered $i uniquely")).toDF("doc_id", "text")
+    val batch = Seq((50L, s"$small plus a tail")).toDF("doc_id", "text")
+    def probe(d: String) = pairSet(Dedup.containmentPairsAgainstIndex(
+      spark, batch, d, threshold = 0.5))
+    val dir = tmp("ctbucket")
+    Dedup.writeContainmentIndex(docs, dir, postingBuckets = 8,
+      shingleBuckets = 4)
+    val legacy = tmp("ctflat")
+    Dedup.writeContainmentIndex(docs, legacy, postingBuckets = 8)
+    demoteShinglesToFlat(legacy)
+    assert(probe(dir).nonEmpty)
+    assert(probe(dir) === probe(legacy))
+    val before = fileNames(s"$dir/shingles")
+    Dedup.deleteFromIndex(spark, dir, Seq(5L).toDF("doc_id"))
+    val after = fileNames(s"$dir/shingles")
+    (before.keySet - "bucket=1").foreach { b =>
+      assert(after(b) === before(b))
+    }
+    assert(probe(dir).nonEmpty) // doc 0's pair stands
+    Dedup.migrateShingleBuckets(spark, legacy, shingleBuckets = 4)
+    Dedup.deleteFromIndex(spark, legacy, Seq(5L).toDF("doc_id"))
+    assert(probe(legacy) === probe(dir))
+  }
+
   test("indexStats: duplicate-row volume and files-per-bucket " +
       "amplification visible before compaction, gone after") {
     val dir = tmp("stats")

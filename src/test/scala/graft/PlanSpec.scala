@@ -130,6 +130,26 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("dynamicpruning"), p.take(3000))
   }
 
+  test("minhash index VERIFY scan (bucketed shingles/) is dynamically " +
+      "partition-pruned to the candidate ids' doc-id buckets") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .where(col("doc_id") < 200)
+    val dir = java.nio.file.Files.createTempDirectory("shplan").toString
+    graft.operators.Dedup.writeMinhashIndex(docs, dir)
+    // a near-dup of an indexed doc, so the candidate set is non-empty
+    // and the verify stage reads shingles/. The candidates are
+    // barrier'd (checkpoint scan) inside nearDupAgainstIndex, so the
+    // ONLY parquet index scan left in the returned plan is the
+    // shingles/ verify side — its dynamicpruning filter is the
+    // bucketed layout's payoff (verify IO ∝ candidate ids' buckets,
+    // not the corpus)
+    val batch = docs.where(col("doc_id") < 3)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val p = plan(graft.operators.Dedup.nearDupAgainstIndex(
+      spark, batch, dir, threshold = 0.5))
+    assert(p.contains("dynamicpruning"), p.take(3000))
+  }
+
   test("chunk index probe scan is dynamically partition-pruned to the " +
       "batch's chunk buckets") {
     val docs = spark.read.parquet(sf() + "/documents.parquet")

@@ -130,9 +130,9 @@ object StreamingAgg {
       // the STORED signature params drive every stage — the
       // within-batch candidate pass included, so its recall
       // geometry matches the cross probe's instead of silently
-      // running the library defaults
-      val (nsw, nh, bands, buckets) =
-        Dedup.readMinhashIndexParams(spark, indexDir)
+      // running the library defaults (cached per index: immutable)
+      val (nsw, nh, bands, buckets) = cachedMeta("minhash", indexDir)(
+        Dedup.readMinhashIndexParams(spark, indexDir))
       val doc = b.select(col("doc_id"), col("text"))
       val survivors = commitBatchOutput(spark, indexDir, batchId) {
         val cross = Dedup.nearDupAgainstIndex(spark, doc, indexDir,
@@ -197,14 +197,17 @@ object StreamingAgg {
     * monotone check would refuse — wedging the stream) and its own
     * chunks in the index (a forced re-probe would wrongly clean
     * everything). So the probe's cleaned output is STAGED to
-    * `<indexDir>/stream_out/batch_<id>` (atomic rename — the commit
-    * marker) BEFORE the append runs. A replay that finds the marker
+    * `<indexDir>/stream_out/batch_<id>` and committed by its
+    * `_COMMIT` marker file BEFORE the append runs. A replay that
+    * finds the marker
     * skips the probe, retries the append (the chunk family's
     * documented idempotent-at-duplicate-row-price recovery), and
     * re-emits the staged output to the sink — at-least-once, same
-    * rows. Only the latest batch's staging survives (Spark replays at
-    * most the last uncommitted micro-batch; older dirs are pruned when
-    * a newer batch arrives). The one window this cannot cover is the
+    * rows. The last few committed stagings are retained and older
+    * replays refuse loudly ([[commitBatchOutput]]'s retention window —
+    * Spark replays at most the last uncommitted micro-batch, so the
+    * window is never the binding constraint in a healthy stream). The
+    * one window this cannot cover is the
     * family-level one: a crash INSIDE the append's params rewrite
     * leaves an index every chunk surface refuses until params/ is
     * restored — loud, not wrong.
@@ -232,6 +235,18 @@ object StreamingAgg {
       }
   }
 
+  /** How many committed batch stagings each bridge keeps under
+    * `stream_out/`. Spark's foreachBatch replays at most the LAST
+    * uncommitted micro-batch, so 1 would suffice under the documented
+    * invariant — the window is kept wider so the invariant is belt
+    * AND suspenders: a replay of any of the last [[KeptStagings]]
+    * batches re-emits its committed rows, and a replay from beyond
+    * the window (or under a FRESH checkpoint whose batch ids restart)
+    * refuses loudly instead of recomputing a wrong answer
+    * (MultimodalStreamingSpec pins both sides of the window).
+    */
+  private val KeptStagings = 3L
+
   /** Stage-once / replay-read commit shared by every index bridge's
     * `foreachBatch` body. The probe-stage answer of a micro-batch is
     * a function of the index state BEFORE that batch's append — so
@@ -239,12 +254,20 @@ object StreamingAgg {
     * recompute it (the chunk probe would refuse on its own watermark;
     * the near-dup probes would find the batch's own rows and emit a
     * different, over-dropped answer). `compute` therefore runs at most
-    * once per (indexDir, batchId): its result commits via atomic
-    * rename to `<indexDir>/stream_out/batch_<id>`, and a replay reads
-    * the committed rows back instead. Returns the committed frame.
-    * Only the latest batch's staging is kept — Spark replays at most
-    * the last uncommitted micro-batch, so older dirs prune when a
-    * newer batch arrives.
+    * once per (indexDir, batchId): its result is staged, renamed to
+    * `<indexDir>/stream_out/batch_<id>`, and COMMITTED by creating the
+    * zero-byte `batch_<id>/_COMMIT` file — single-file create is
+    * atomic even on object stores whose directory rename is copy+
+    * delete (S3A/GCS), so a crash mid-rename leaves a marker-less
+    * partial dir a replay deletes and recomputes, never a truncated
+    * survivor set it trusts. A replay finding the marker reads the
+    * committed rows back. The last [[KeptStagings]] committed batches
+    * are retained; an uncommitted batchId BELOW a committed one is a
+    * replay from beyond that window (its probe answer is
+    * unrecoverable — the index has moved) or a fresh checkpoint over
+    * a used `stream_out/` (batch ids restart at 0): both refuse
+    * loudly. To restart a stream with a NEW checkpoint over a
+    * standing index, clear `stream_out/` first.
     */
   private def commitBatchOutput(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, batchId: Long)(
@@ -254,22 +277,58 @@ object StreamingAgg {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val outRoot = new Path(s"$indexDir/stream_out")
     val batchOut = new Path(outRoot, s"batch_$batchId")
-    if (!fs.exists(batchOut)) {
-      if (fs.exists(outRoot))
-        fs.listStatus(outRoot).foreach { e =>
-          if (e.getPath.getName.startsWith("batch_"))
-            fs.delete(e.getPath, true)
-        }
+    def committed(p: Path): Boolean = fs.exists(new Path(p, "_COMMIT"))
+    if (!committed(batchOut)) {
+      // dir without its marker = a crash mid-rename on a non-atomic-
+      // rename filesystem (or mid-write): partial, recompute it
+      if (fs.exists(batchOut)) fs.delete(batchOut, true)
+      val stagedIds =
+        if (fs.exists(outRoot))
+          fs.listStatus(outRoot).map(_.getPath.getName)
+            .filter(_.startsWith("batch_"))
+            .map(_.stripPrefix("batch_").toLong)
+        else Array.empty[Long]
+      val newerCommitted = stagedIds
+        .filter(id => id > batchId &&
+          committed(new Path(outRoot, s"batch_$id")))
+      require(newerCommitted.isEmpty,
+        s"micro-batch $batchId is uncommitted but batch " +
+          s"${newerCommitted.max} already committed under $outRoot — " +
+          "a replay from beyond the retention window or a fresh " +
+          "checkpoint over a used stream_out/; its pre-append probe " +
+          "answer is unrecoverable, refusing to recompute it against " +
+          "the mutated index (clear stream_out/ to start a new stream)")
+      // prune stagings that fall out of the retention window
+      stagedIds.filter(_ <= batchId - KeptStagings).foreach(id =>
+        fs.delete(new Path(outRoot, s"batch_$id"), true))
       val stage = new Path(outRoot, s"_stage_batch_$batchId")
       if (fs.exists(stage)) fs.delete(stage, true)
       compute.write.mode("overwrite").parquet(stage.toString)
-      // atomic rename = the probe commit; only AFTER it may an append
-      // mutate the index
       require(fs.rename(stage, batchOut),
         s"rename $stage -> $batchOut failed")
+      // the commit marker; only AFTER it may an append mutate the
+      // index (underscore-prefixed, so the parquet read ignores it)
+      fs.create(new Path(batchOut, "_COMMIT"), false).close()
     }
     spark.read.parquet(batchOut.toString)
   }
+
+  /** Per-JVM cache of each bridge's driver-side index metadata reads.
+    * The cached values are immutable for the life of an index — the
+    * minhash/Hamming signature params and the IVF geometry never
+    * change after the write (rebuild/migration are maintenance passes,
+    * excluded mid-stream by the single-writer discipline), and the
+    * chunk family's cached slice deliberately EXCLUDES its mutable
+    * max_doc_id watermark — so reading them once per (indexDir)
+    * instead of once per micro-batch shaves pure fixed floor off
+    * every trigger (StreamBridgeTiming records the before/after).
+    */
+  private val paramsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private def cachedMeta[A <: AnyRef](kind: String, indexDir: String)(
+      read: => A): A =
+    paramsCache.computeIfAbsent(s"$kind:$indexDir", _ => read)
+      .asInstanceOf[A]
 
   /** [[cleanChunksStreamAgainstIndex]]'s per-micro-batch body,
     * factored out so the replay contract is provable outside a running
@@ -286,9 +345,13 @@ object StreamingAgg {
     val doc = b.select(col("doc_id"), col("text"))
     def appendUnderStored(): Unit = {
       // the STORED rule/granularity/buckets drive the append — the
-      // writer's params guard would refuse anything else
-      val (rule, granularity, buckets, _) =
-        Dedup.readChunkIndexParams(spark, indexDir)
+      // writer's params guard would refuse anything else. Cached per
+      // index WITHOUT the max_doc_id watermark (the one mutable
+      // field — the writer re-reads it itself for the monotone check)
+      val (rule, granularity, buckets) = cachedMeta("chunk", indexDir) {
+        val (r, g, b, _) = Dedup.readChunkIndexParams(spark, indexDir)
+        (r, g, b)
+      }
       if (rule == "cdc")
         Dedup.writeChunkIndexCDC(doc, indexDir, divisor = granularity,
           chunkBuckets = buckets, mode = "append")
@@ -395,8 +458,8 @@ object StreamingAgg {
     val b = batch
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try if (b.isEmpty) sink(b, batchId) else {
-      val (radius, buckets) =
-        Dedup.readHammingIndexParams(spark, indexDir)
+      val (radius, buckets) = cachedMeta("hamming", indexDir)(
+        Dedup.readHammingIndexParams(spark, indexDir))
       // decode + dHash ONCE per batch row (barrier'd, lazily built:
       // the replay path never needs the whole batch's signatures)
       var sigsOpt: Option[DataFrame] = None
@@ -520,10 +583,12 @@ object StreamingAgg {
       val survivors = commitBatchOutput(spark, indexDir, batchId) {
         // stored geometry drives BOTH passes (cross probe reads it
         // itself; the within-batch pass gets the same arrays) so the
-        // two scorers cannot disagree on cell assignment
-        val cents = Similarity.readIvfCentroids(spark, indexDir)
-        val (multiAssign, quantizer) =
-          Similarity.readIvfIndexParams(spark, indexDir)
+        // two scorers cannot disagree on cell assignment — cached per
+        // index, frozen for the index's life (rebuilds are offline)
+        val cents = cachedMeta("ivf-centroids", indexDir)(
+          Similarity.readIvfCentroids(spark, indexDir))
+        val (multiAssign, quantizer) = cachedMeta("ivf-params", indexDir)(
+          Similarity.readIvfIndexParams(spark, indexDir))
         val cross = Dedup.semanticNearDupAgainstIndex(spark, vec,
           indexDir, threshold)
         // every cross pair names exactly one batch id — semi-joining

@@ -281,7 +281,8 @@ class MultimodalStreamingSpec extends SparkSuite {
 
   test("streaming chunk cleaning replay: a micro-batch re-run after its " +
       "append committed emits identical rows instead of wedging on the " +
-      "watermark; staging prunes when the next batch arrives") {
+      "watermark; committed stagings persist within the retention " +
+      "window") {
     val passage = "alpha beta gamma delta epsilon zeta eta theta"
     val idxDir = java.nio.file.Files
       .createTempDirectory("graft_chunkreplay").toString
@@ -317,9 +318,68 @@ class MultimodalStreamingSpec extends SparkSuite {
         s"$passage final tango uniform victor"))
       .toDF("ts", "doc_id", "text"), 1L)
     assert(got(2).head(2) === "final tango uniform victor")
-    // batch 0's staging was pruned when batch 1 arrived
+    // batch 0's staging SURVIVES batch 1 (retention window), committed
     val stream = new java.io.File(s"$idxDir/stream_out")
-    assert(stream.listFiles().map(_.getName).toSet === Set("batch_1"))
+    assert(stream.listFiles().map(_.getName).toSet ===
+      Set("batch_0", "batch_1"))
+    assert(new java.io.File(s"$idxDir/stream_out/batch_0/_COMMIT")
+      .exists())
+  }
+
+  test("commit retention window: a batch replayed AFTER a later batch " +
+      "committed re-emits its committed rows; a replay from beyond the " +
+      "window refuses loudly; a marker-less partial staging is " +
+      "recomputed, not trusted") {
+    val textA = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    def doc(i: Long) = s"wholly distinct micro batch document number " +
+      s"$i about topic $i with unique vocabulary item$i and token$i"
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_window").toString
+    graft.operators.Dedup.writeMinhashIndex(
+      Seq((1L, textA)).toDF("doc_id", "text"), idxDir,
+      numHashes = 8, bands = 4, bandBuckets = 8)
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def batchOf(id: Long) = Seq((t("2024-01-01 10:00:00"), 100L + id,
+      doc(id))).toDF("ts", "doc_id", "text")
+    val got = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    def run(id: Long): Unit = StreamingAgg.processTextBatch(batchOf(id),
+      idxDir, threshold = 0.5, appendSurvivors = true, batchId = id) {
+      (out, _) => got(id) = out.select($"doc_id").collect()
+        .map(_.getLong(0)).toSet
+    }
+    (0L to 4L).foreach(run)
+    assert(got(0L) === Set(100L))
+    // batch 2 is inside the keep-3 window after batch 4: replay
+    // re-emits the committed rows (the probe is NOT recomputed against
+    // the five appends that followed)
+    val before2 = got(2L)
+    run(2L)
+    assert(got(2L) === before2)
+    // batch 0 fell out of the window: its staging is gone and a replay
+    // must refuse, not recompute against the mutated index
+    assert(!new java.io.File(s"$idxDir/stream_out/batch_0").exists())
+    val e = intercept[IllegalArgumentException] { run(0L) }
+    assert(e.getMessage.contains("retention window") ||
+      e.getMessage.contains("stream_out"))
+    // a marker-less batch dir (crash mid-rename on a copy+delete FS)
+    // is swept and recomputed rather than read as a truncated answer
+    val fs = new org.apache.hadoop.fs.Path(idxDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$idxDir/stream_out/batch_4/_COMMIT"), false)
+    val bandRows104 = () => spark.read.parquet(s"$idxDir/bands")
+      .where($"doc_id" === 104L).count()
+    val before104 = bandRows104()
+    run(4L)
+    // proof the recompute (not a staged read) ran: the append retried,
+    // laying doc 104's band rows a second time (the families'
+    // documented idempotent duplicate-row price), and the emitted rows
+    // match (self-pairs are id-excluded, so this batch is benign)
+    assert(bandRows104() === 2 * before104)
+    assert(got(4L) === Set(104L))
+    assert(new java.io.File(s"$idxDir/stream_out/batch_4/_COMMIT")
+      .exists())
   }
 
   test("streaming incremental perceptual dedup: a re-encoded dup of an " +

@@ -3,14 +3,27 @@ package graft
 // Dev-only localization harness for the text streaming bridge's
 // per-batch cost (not a correctness spec): times each stage of the
 // foreachBatch body in plain batch mode, against the same tiny inputs
-// the MultimodalStreamingSpec test streams. Run with
-// `testOnly graft.StreamBridgeTiming` when chasing a regression.
+// the MultimodalStreamingSpec test streams, then times TWO consecutive
+// full bridge bodies — batch 1 runs with the per-index params cache
+// warm, so (batch0 − batch1) bounds the cache's share of the fixed
+// floor, and the separately-timed raw params read is the per-trigger
+// driver-side cost the cache removes. Skipped unless GRAFT_TIMING=1:
+// `GRAFT_TIMING=1 sbt "testOnly graft.StreamBridgeTiming"`.
 class StreamBridgeTiming extends SparkSuite {
   import spark.implicits._
   import org.apache.spark.sql.functions._
   import graft.operators.Dedup
 
-  ignore("per-stage timing of the text bridge body (batch mode)") {
+  private def timed[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"TIMING $label%-14s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    r
+  }
+
+  test("per-stage timing of the text bridge body (batch mode)") {
+    assume(sys.env.get("GRAFT_TIMING").contains("1"),
+      "set GRAFT_TIMING=1 to run the timing harness")
     val textA = "the quick brown fox jumps over the lazy dog and then " +
       "runs far away into the deep dark forest tonight"
     val textC = "completely different words about spark query engines " +
@@ -22,12 +35,6 @@ class StreamBridgeTiming extends SparkSuite {
     val b = Seq((10L, textA.replace("tonight", "today")), (11L, textC))
       .toDF("doc_id", "text").persist()
     b.count()
-    def timed[A](label: String)(f: => A): A = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"TIMING $label%-12s ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      r
-    }
     val cross = timed("cross") {
       val c = Dedup.nearDupAgainstIndex(spark, b, idxDir, 0.5)
       c.count(); c
@@ -50,5 +57,34 @@ class StreamBridgeTiming extends SparkSuite {
         bandBuckets = buckets, mode = "append")
     }
     timed("sinkcollect") { survivors.collect() }
+    b.unpersist()
+  }
+
+  test("per-batch floor of the full text bridge body, params cache " +
+      "warm vs cold, and the raw params-read cost it removes") {
+    assume(sys.env.get("GRAFT_TIMING").contains("1"),
+      "set GRAFT_TIMING=1 to run the timing harness")
+    val textA = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    def doc(i: Long) = s"wholly distinct streaming document number $i " +
+      s"about topic $i with unique vocabulary item$i and token$i"
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_timing_floor").toString
+    Dedup.writeMinhashIndex(Seq((1L, textA)).toDF("doc_id", "text"),
+      idxDir, bandBuckets = 8)
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def batchOf(id: Long) = Seq((t("2024-01-01 10:00:00"), 100L + id,
+      doc(id))).toDF("ts", "doc_id", "text")
+    // the per-trigger driver-side read the cache removes (timed cold —
+    // a fresh path each trigger in the uncached regime)
+    timed("params-read") { Dedup.readMinhashIndexParams(spark, idxDir) }
+    timed("params-read2") { Dedup.readMinhashIndexParams(spark, idxDir) }
+    (0L to 2L).foreach { id =>
+      timed(s"batch$id") {
+        graft.streaming.StreamingAgg.processTextBatch(batchOf(id),
+          idxDir, threshold = 0.5, appendSurvivors = true,
+          batchId = id) { (out, _) => out.collect() }
+      }
+    }
   }
 }

@@ -35,6 +35,12 @@ import org.apache.spark.sql.SparkSession
   *     operator-chosen `nlist` once a season of refreshes has outgrown
   *     the frozen centroids (the compaction sweep never touches
   *     geometry).
+  *   - `sweep-containment <corpusDir> <outDir> <threshold> [sampleK]`
+  *     — [[Pipeline.sweepContainment]]: the full sampled-probe
+  *     containment pass over the published corpus, covering the
+  *     big-big pairs the weekly incremental probe deliberately skips;
+  *     pairs land under `outDir`, one JSON line reports the count.
+  *     Run it at `maintain` cadence.
   *
   * Thresholds/bucket counts stay at the operators' production defaults
   * on purpose: a deployment that needs different ones calls
@@ -50,7 +56,8 @@ object CorpusMain {
         |       CorpusMain maintain <indexRoot>
         |       CorpusMain stats <indexRoot>
         |       CorpusMain index-benchmark <suiteDir> <benchDir> [append]
-        |       CorpusMain rebuild-ivf <indexRoot> <nlist>""".stripMargin)
+        |       CorpusMain rebuild-ivf <indexRoot> <nlist>
+        |       CorpusMain sweep-containment <corpusDir> <outDir> <threshold> [sampleK]""".stripMargin)
     sys.exit(2)
   }
 
@@ -78,13 +85,19 @@ object CorpusMain {
       case "refresh" :: batchDir :: indexRoot :: corpusDir :: rest =>
         // optional modalities as key=value (a bare 4th arg keeps the
         // legacy embeddingsDir meaning): emb=<dir> bench=<benchDir>
-        // containment=<threshold>
-        val (kv0, legacy) = rest.partition(_.contains("="))
-        val kv = kv0.map { a =>
+        // containment=<threshold>. Only the RECOGNIZED prefixes parse
+        // as flags — a legacy positional path that happens to contain
+        // '=' stays positional — and a duplicated flag is refused
+        // instead of silently last-winning
+        val flagKeys = Set("emb", "bench", "containment")
+        val (kv0, legacy) = rest.partition(a =>
+          flagKeys.exists(k => a.startsWith(s"$k=")))
+        val kvPairs = kv0.map { a =>
           val Array(k, v) = a.split("=", 2); k -> v
-        }.toMap
+        }
+        val kv = kvPairs.toMap
         if (legacy.length > 1 ||
-          (kv.keySet -- Set("emb", "bench", "containment")).nonEmpty ||
+          kvPairs.length != kv.size ||
           (legacy.nonEmpty && kv.contains("emb"))) usage()
         val emb = legacy.headOption.orElse(kv.get("emb"))
           .map(spark.read.parquet(_))
@@ -123,6 +136,14 @@ object CorpusMain {
         graft.operators.Similarity.rebuildIvfIndex(spark,
           s"$indexRoot/ivf", nlist.toInt)
         println(s"""{"rebuilt":"$indexRoot/ivf","nlist":$nlist}""")
+      case "sweep-containment" :: corpusDir :: outDir :: threshold ::
+          rest if rest.length <= 1 =>
+        val pairs = Pipeline.sweepContainment(spark, corpusDir,
+          threshold.toDouble,
+          sampleK = rest.headOption.map(_.toInt).getOrElse(64))
+        pairs.write.mode("overwrite").parquet(outDir)
+        val n = spark.read.parquet(outDir).count()
+        println(s"""{"swept":"$corpusDir","n_pairs":$n,"out":"$outDir"}""")
       case _ => usage()
     }
 }

@@ -190,3 +190,83 @@ object RefreshBench {
     spark.stop()
   }
 }
+
+/** Dev-only measurement of the MAINTENANCE legs of the index lifecycle
+  * — the only lifecycle passes not benched elsewhere: [[Dedup
+  * .compactIndex]] per family after a season's worth of duplicate-
+  * laying appends, [[Dedup.deleteFromIndex]] /
+  * [[Dedup.deleteFromChunkIndex]] for a takedown-sized retraction
+  * (with the bucketed shingles/ layout doing touched-bucket deletion),
+  * and [[graft.operators.Similarity.rebuildIvfIndex]] re-training the
+  * geometry. Scenario: the sf corpus indexed whole, a ~1% slice
+  * re-appended twice (the documented crashed-append duplicate rows),
+  * then one compaction sweep, a 0.1%-of-ids retraction, and an IVF
+  * rebuild at doubled nlist. Feeds the docs/BENCH_SF1.md round-12
+  * appendix; run against sf0.1 and the synthetic sf1 back-to-back to
+  * see each pass's scaling shape (∝ index for compact/rebuild, ∝
+  * touched buckets for deletion).
+  */
+object MaintenanceBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.Similarity
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    val batch = docs.where(pmod(col("doc_id"), lit(100)) === 7)
+      .localCheckpoint()
+    val retractIds = docs.where(pmod(col("doc_id"), lit(1000)) === 3)
+      .select(col("doc_id")).localCheckpoint()
+    println(s"corpus=${docs.count()} appends=${batch.count()} " +
+      s"retractions=${retractIds.count()} vectors=${vecs.count()}")
+    def tmp(tag: String) =
+      java.nio.file.Files.createTempDirectory(s"maint_$tag").toString
+    val mh = tmp("mh"); val ch = tmp("ch"); val ivf = tmp("ivf")
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$label%-16s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    // builds (not the measurement target, printed for context), plus a
+    // season's duplicate rows: the same append run twice per family
+    timed("build_minhash") {
+      Dedup.writeMinhashIndex(docs, mh, bandBuckets = 64)
+    }
+    (1 to 2).foreach(_ => Dedup.writeMinhashIndex(batch, mh,
+      bandBuckets = 64, mode = "append"))
+    timed("build_chunk") { Dedup.writeChunkIndex(docs, ch,
+      chunkBuckets = 64) }
+    (1 to 2).foreach(_ => Dedup.writeChunkIndex(batch, ch,
+      chunkBuckets = 64, mode = "append"))
+    timed("build_ivf") {
+      Similarity.writeIvfIndex(vecs, ivf,
+        Similarity.kmeansCentroids(vecs, nlist = 64, iters = 1))
+    }
+    val vbatch = vecs.where(pmod(col("vec_id"), lit(100)) === 7)
+    (1 to 2).foreach(_ => Similarity.appendIvfIndex(vbatch, ivf))
+    // ---- the maintenance legs
+    timed("compact_minhash") { Dedup.compactIndex(spark, mh) }
+    timed("compact_chunk") { Dedup.compactIndex(spark, ch) }
+    timed("compact_ivf") { Dedup.compactIndex(spark, ivf) }
+    timed("delete_minhash") { Dedup.deleteFromIndex(spark, mh,
+      retractIds) }
+    timed("delete_chunk") { Dedup.deleteFromChunkIndex(spark, ch,
+      docs.join(retractIds, Seq("doc_id"), "left_semi")) }
+    timed("delete_ivf") { Dedup.deleteFromIndex(spark, ivf,
+      retractIds.withColumnRenamed("doc_id", "vec_id")) }
+    timed("rebuild_ivf") { Similarity.rebuildIvfIndex(spark, ivf,
+      nlist = 128) }
+    spark.stop()
+  }
+}

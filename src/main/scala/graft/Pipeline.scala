@@ -265,7 +265,16 @@ object Pipeline {
     *              cut is global; the first batch runs the inline
     *              pass), and survivors' postings fold in on append.
     *              Same always-or-never-per-corpus rule as the other
-    *              optional modalities.
+    *              optional modalities. The incremental probe
+    *              deliberately skips BIG-BIG pairs (two above-cap
+    *              docs; the probe-∝-batch economics,
+    *              [[Dedup.containmentCandidatesAgainstIndex]]) — run
+    *              [[sweepContainment]] at maintenance cadence to
+    *              cover them.
+    * @param postingBuckets `postings/` partition count for the FIRST
+    *              batch's containment index creation (stored; later
+    *              appends use the stored value). Its own knob — the
+    *              minhash `bandBuckets` tunes an unrelated family.
     * @param benchmarkIndexDir optional standing
     *              [[Dedup.writeBenchmarkIndex]] eval-suite index —
     *              when given, the published docs' CLEANED text (the
@@ -298,7 +307,8 @@ object Pipeline {
       semanticThreshold: Double = 0.95,
       multiAssign: Int = 1,
       benchmarkIndexDir: Option[String] = None,
-      containmentThreshold: Option[Double] = None): RefreshOutput = {
+      containmentThreshold: Option[Double] = None,
+      postingBuckets: Int = 256): RefreshOutput = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(corpusDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -322,6 +332,68 @@ object Pipeline {
       spark.read.parquet(pairsPart))
 
     if (exists(reportPart)) return readBack()
+
+    // ---- modality-drift guard: a refresh that SILENTLY OMITS a
+    // modality this corpus runs with (embeddings / containment /
+    // benchmark flag forgotten on one cron line) would leave that
+    // index blind to the batch and publish schema-divergent rows — so
+    // the corpus records its modality set under `modalities/` and an
+    // omission is REFUSED. Explicit ADOPTION of a new modality
+    // mid-corpus is allowed (the flag's presence is the operator's
+    // deliberate act) and updates the marker; the adopting batch's
+    // index starts from that batch (earlier batches are not
+    // retro-probed, and earlier published partitions lack the
+    // benchmark columns — read the corpus with mergeSchema if adopted
+    // mid-way). Corpora published before the marker existed are
+    // validated from the standing index dirs once, then stamped.
+    val askedModalities = (embeddings.isDefined,
+      containmentThreshold.isDefined, benchmarkIndexDir.isDefined)
+    val modalitiesPath = s"$corpusDir/modalities"
+    val storedModalities =
+      if (exists(modalitiesPath)) {
+        val r = spark.read.parquet(modalitiesPath).head()
+        Some((r.getAs[Boolean]("semantic"),
+          r.getAs[Boolean]("containment"), r.getAs[Boolean]("benchmark")))
+      } else None
+    storedModalities match {
+      case Some(stored) =>
+        val omitted = Seq("semantic" -> (stored._1 && !askedModalities._1),
+          "containment" -> (stored._2 && !askedModalities._2),
+          "benchmark" -> (stored._3 && !askedModalities._3))
+          .collect { case (name, true) => name }
+        require(omitted.isEmpty,
+          s"refreshCorpus modality drift: this corpus runs with the " +
+            s"${omitted.mkString(", ")} modalit${
+              if (omitted.size == 1) "y" else "ies"} but this call " +
+            "omits it — pass the same knobs on every refresh (an " +
+            "omitted modality leaves its index blind to the batch)")
+      case None =>
+        require(!(exists(s"$indexRoot/ivf/params") && embeddings.isEmpty),
+          s"$indexRoot/ivf stands but this refresh passes no " +
+            "embeddings — omitting a standing modality is refused")
+        require(!(exists(s"$indexRoot/containment/params") &&
+            containmentThreshold.isEmpty),
+          s"$indexRoot/containment stands but this refresh passes no " +
+            "containmentThreshold — omitting a standing modality is " +
+            "refused")
+    }
+    if (!storedModalities.contains(askedModalities))
+      stagedWrite(spark,
+        spark.range(1).select(
+          lit(askedModalities._1).as("semantic"),
+          lit(askedModalities._2).as("containment"),
+          lit(askedModalities._3).as("benchmark")),
+        modalitiesPath)
+    // baseline for [[retractCorpus]]'s scan-free remaining-count
+    // arithmetic: a corpus CREATED by this code starts at adjustment 0
+    // (sum of reports' n_published ≡ corpus rows until a retraction
+    // ledgers itself); pre-existing corpora get theirs stamped by the
+    // first post-upgrade retraction (one full count, once)
+    if (!exists(s"$corpusDir/corpus")) {
+      import spark.implicits._
+      stagedWrite(spark, Seq(0L).toDF("n_adjust"),
+        s"$corpusDir/retraction_base")
+    }
 
     val persisted = batch
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -497,7 +569,7 @@ object Pipeline {
             ctDir, numShingleWords = nsw, postingBuckets = pb,
             mode = "append")
           case None => Dedup.writeContainmentIndex(survOrig, ctDir,
-            postingBuckets = bandBuckets, mode = mode(ctDir))
+            postingBuckets = postingBuckets, mode = mode(ctDir))
         }
       }
       embeddings.foreach { embIn =>
@@ -592,6 +664,20 @@ object Pipeline {
     * retraction to completion; a second run over already-retracted ids
     * is a no-op. Returns a one-row report
     * (n_requested, n_retracted, n_remaining).
+    *
+    * `n_remaining` is LEDGER arithmetic, not a corpus scan: each
+    * retraction writes a first-wins row (keyed by a deterministic hash
+    * of the requested id set) under `retractions/` BEFORE any deletion
+    * — so however a crashed run is resumed, the ledger already carries
+    * the count that retraction will eventually have removed — and the
+    * report derives remaining = Σ reports.n_published − base −
+    * Σ retractions.n_retracted from those one-row-per-event datasets.
+    * `retraction_base` is stamped 0 at corpus creation; a corpus
+    * published before the ledger existed gets its base computed by the
+    * first post-upgrade retraction (one full count, once — the cost
+    * every retraction used to pay). The report's own `n_retracted`
+    * stays THIS run's count (0 on an idempotent re-run); the ledger
+    * keeps the first run's.
     */
   def retractCorpus(spark: SparkSession, ids: DataFrame,
       indexRoot: String, corpusDir: String): DataFrame = {
@@ -615,6 +701,29 @@ object Pipeline {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val nRetracted = retracted.count()
+      // ---- ledger BEFORE any deletion (see scaladoc): key = an
+      // order-independent hash of the requested id set, so the same
+      // retraction re-run lands on the same row and first-wins keeps
+      // the original count through any crash/resume sequence
+      if (!exists(s"$corpusDir/retraction_base")) {
+        // pre-ledger corpus: stamp the base once (the one full count)
+        val adjust = spark.read.parquet(s"$corpusDir/reports")
+          .agg(coalesce(sum(col("n_published")), lit(0L))).head()
+          .getLong(0) - corpus.count()
+        import spark.implicits._
+        stagedWrite(spark, Seq(adjust).toDF("n_adjust"),
+          s"$corpusDir/retraction_base")
+      }
+      // XOR, not sum: order-independent like any commutative fold, and
+      // immune to the ANSI long-overflow a sum of 64-bit hashes hits
+      val rid = idSet.agg(coalesce(
+        expr("bit_xor(xxhash64(doc_id))"), lit(0L))).head().getLong(0)
+      val ledgerPart = s"$corpusDir/retractions/retraction_id=$rid"
+      if (!exists(ledgerPart)) {
+        import spark.implicits._
+        stagedWrite(spark, Seq((nRequested, nRetracted))
+          .toDF("n_requested", "n_retracted"), ledgerPart)
+      }
       // chunk retraction FIRST, while the published corpus still holds
       // the retracted docs' text: it is the one step that needs the
       // text, and it is idempotent (already-removed hashes anti-join
@@ -637,11 +746,54 @@ object Pipeline {
         if (exists(s"$indexRoot/$f/params"))
           Dedup.deleteFromIndex(spark, s"$indexRoot/$f", idSet)
       }
-      val nRemaining = spark.read.parquet(s"$corpusDir/corpus").count()
+      // remaining = ledger arithmetic over the one-row-per-event
+      // datasets — no corpus job (reports/, retractions/, and the base
+      // are each a handful of rows regardless of corpus size)
+      val nPublished = spark.read.parquet(s"$corpusDir/reports")
+        .agg(coalesce(sum(col("n_published")), lit(0L))).head().getLong(0)
+      val nLedgered = spark.read.parquet(s"$corpusDir/retractions")
+        .agg(coalesce(sum(col("n_retracted")), lit(0L))).head().getLong(0)
+      val base = spark.read.parquet(s"$corpusDir/retraction_base")
+        .head().getLong(0)
       import spark.implicits._
-      Seq((nRequested, nRetracted, nRemaining))
+      Seq((nRequested, nRetracted, nPublished - base - nLedgered))
         .toDF("n_requested", "n_retracted", "n_remaining")
     } finally retracted.unpersist()
+  }
+
+  /** The big-big containment SWEEP — the maintenance-cadence cover for
+    * the one cut the incremental containment probe makes on purpose:
+    * [[Dedup.containmentCandidatesAgainstIndex]] skips pairs where
+    * BOTH docs exceed `smallMaxShingles` (sampling every indexed
+    * above-cap doc per weekly batch would break the probe-∝-batch
+    * economics — the cut disclosed there). This runs the full inline
+    * [[Dedup.containmentPairs]] over the PUBLISHED corpus with the
+    * sampled-probe path ON (`sampleK` hashes probed per above-cap doc,
+    * the q82/q83 machinery), so comparable-size near-total-overlap
+    * giants surface once per season instead of never. Uses
+    * `text_original` where cleaning changed the text (the bytes the
+    * indexes describe), the published text otherwise.
+    *
+    * Returns the verified pairs (id_a, id_b, containment) ≥
+    * `threshold`. Cost is one corpus-wide pass (df-bounded posting
+    * join, never all-pairs — the q84-audited plan shape), which is
+    * exactly why it lives at maintenance cadence next to
+    * [[maintainIndexes]], not in the weekly refresh;
+    * [[graft.CorpusMain]]'s `sweep-containment` line is the cron
+    * surface.
+    */
+  def sweepContainment(spark: SparkSession, corpusDir: String,
+      threshold: Double = 0.5, sampleK: Int = 64,
+      numShingleWords: Int = 3, smallMaxShingles: Int = 4096,
+      maxDocFreq: Long = 1000): DataFrame = {
+    val corpus = spark.read.parquet(s"$corpusDir/corpus")
+    val docs =
+      if (corpus.columns.contains("text_original"))
+        corpus.select(col("doc_id"),
+          coalesce(col("text_original"), col("text")).as("text"))
+      else corpus.select(col("doc_id"), col("text"))
+    Dedup.containmentPairs(docs, numShingleWords, threshold,
+      smallMaxShingles, maxDocFreq, sampleK = sampleK)
   }
 
   /** Season-scale index maintenance: [[Dedup.compactIndex]] over every

@@ -229,7 +229,13 @@ class CorpusRefreshSpec extends SparkSuite {
       pieceBuckets = 8, chunkBuckets = 8, embeddings = Some(emb1))
     val batch2 = Seq((10L, "wholly unrelated narrative about streaming " +
       "watermarks and state stores", "en")).toDF("doc_id", "text", "lang")
-    run(batch2, idxRoot, corpusDir)
+    // the semantic modality rides on EVERY refresh of this corpus (the
+    // drift guard refuses an omission)
+    val emb2 = Seq((10L, around(2))).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    Pipeline.refreshCorpus(spark, batch2, idxRoot, corpusDir,
+      jaccardThreshold = 0.5, chunkTokens = 4, bandBuckets = 8,
+      pieceBuckets = 8, chunkBuckets = 8, embeddings = Some(emb2))
 
     // preconditions: doc 1 is published chunk-cleaned with its original
     // kept, and is indexed everywhere
@@ -496,6 +502,132 @@ class CorpusRefreshSpec extends SparkSuite {
     assert(r2.length === 1)
     assert(r2.head.contains("\"n_contaminated_docs\":"))
     assert(new java.io.File(s"$idxRoot/containment/params").exists())
+  }
+
+  test("modality-drift guard: omitting a standing modality refuses " +
+      "loudly, explicit adoption is allowed and recorded, and a " +
+      "pre-marker corpus is validated from the index dirs") {
+    val idxRoot = tmp("drift_idx")
+    val corpusDir = tmp("drift_corpus")
+    val b1 = Seq((0L, doc0, "en")).toDF("doc_id", "text", "lang")
+    Pipeline.refreshCorpus(spark, b1, idxRoot, corpusDir,
+      chunkTokens = 4, bandBuckets = 8, pieceBuckets = 8,
+      chunkBuckets = 8, containmentThreshold = Some(0.9))
+    assert(new java.io.File(s"$corpusDir/modalities").exists())
+    // omission: the cron line forgot containment= — refused before any
+    // state moves
+    val b2 = Seq((10L, "fresh unrelated words", "en"))
+      .toDF("doc_id", "text", "lang")
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.refreshCorpus(spark, b2, idxRoot, corpusDir,
+        chunkTokens = 4, bandBuckets = 8, pieceBuckets = 8,
+        chunkBuckets = 8)
+    }
+    assert(e.getMessage.contains("containment"))
+    // adoption: the benchmark modality joins mid-corpus by explicit
+    // flag; the marker updates and the next omission of IT refuses too
+    val benchDir = tmp("drift_bench")
+    Dedup.writeBenchmarkIndex(
+      Seq((900L, "benchmark prompt suite")).toDF("doc_id", "text"),
+      benchDir, hashBuckets = 8)
+    Pipeline.refreshCorpus(spark, b2, idxRoot, corpusDir,
+      chunkTokens = 4, bandBuckets = 8, pieceBuckets = 8,
+      chunkBuckets = 8, containmentThreshold = Some(0.9),
+      benchmarkIndexDir = Some(benchDir))
+    val e2 = intercept[IllegalArgumentException] {
+      Pipeline.refreshCorpus(spark,
+        Seq((20L, "more words", "en")).toDF("doc_id", "text", "lang"),
+        idxRoot, corpusDir, chunkTokens = 4, bandBuckets = 8,
+        pieceBuckets = 8, chunkBuckets = 8,
+        containmentThreshold = Some(0.9))
+    }
+    assert(e2.getMessage.contains("benchmark"))
+    // pre-marker corpus (published before the guard existed): the
+    // standing containment/ dir itself refuses an omission
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete()
+    }
+    rmTree(new java.io.File(s"$corpusDir/modalities"))
+    val e3 = intercept[IllegalArgumentException] {
+      Pipeline.refreshCorpus(spark,
+        Seq((30L, "yet more words", "en")).toDF("doc_id", "text", "lang"),
+        idxRoot, corpusDir, chunkTokens = 4, bandBuckets = 8,
+        pieceBuckets = 8, chunkBuckets = 8)
+    }
+    assert(e3.getMessage.contains("containment"))
+  }
+
+  test("sweep-containment surfaces a planted big-big pair the " +
+      "incremental probe's size cut skips, reading text_original " +
+      "where cleaning changed the text") {
+    val idxRoot = tmp("sweep_idx")
+    val corpusDir = tmp("sweep_corpus")
+    val shared = (1 to 24).map(i => s"shared$i").mkString(" ")
+    // A ≈ the shared passage; B embeds it in a much longer doc —
+    // jaccard ≈ 0.4 (below the 0.5 refresh threshold, so B publishes)
+    // but containment ≈ 0.9
+    val docA = s"$shared tailA1 tailA2 tailA3 tailA4"
+    val docB = s"$shared " + (1 to 30).map(i => s"onlyb$i").mkString(" ")
+    Pipeline.refreshCorpus(spark,
+      Seq((0L, docA, "en")).toDF("doc_id", "text", "lang"),
+      idxRoot, corpusDir, jaccardThreshold = 0.5, chunkTokens = 4,
+      bandBuckets = 8, pieceBuckets = 8, chunkBuckets = 8)
+    Pipeline.refreshCorpus(spark,
+      Seq((10L, docB, "en")).toDF("doc_id", "text", "lang"),
+      idxRoot, corpusDir, jaccardThreshold = 0.5, chunkTokens = 4,
+      bandBuckets = 8, pieceBuckets = 8, chunkBuckets = 8)
+    // B published with the shared chunks STRIPPED (text_original kept)
+    val d10 = spark.read.parquet(s"$corpusDir/corpus")
+      .where($"doc_id" === 10L).head()
+    assert(d10.getAs[Int]("n_kept") < d10.getAs[Int]("n_chunks"))
+    assert(d10.getAs[String]("text_original") === docB)
+    // the incremental containment probe at a big-big-excluding cap
+    // (both docs above 8 shingles) misses the pair — the disclosed cut
+    val ctDir = tmp("sweep_ct")
+    Dedup.writeContainmentIndex(
+      Seq((0L, docA)).toDF("doc_id", "text"), ctDir, postingBuckets = 8)
+    assert(pairSet(Dedup.containmentPairsAgainstIndex(spark,
+      Seq((10L, docB)).toDF("doc_id", "text"), ctDir, threshold = 0.8,
+      smallMaxShingles = 8)).isEmpty)
+    // the maintenance sweep's sampled-probe pass surfaces it
+    val swept = pairSet(Pipeline.sweepContainment(spark, corpusDir,
+      threshold = 0.8, sampleK = 16, smallMaxShingles = 8))
+    assert(swept.exists(p => p._1 == 0L && p._2 == 10L && p._3 >= 0.8),
+      s"sweep missed the planted pair: $swept")
+  }
+
+  test("retraction ledger: a corpus published before the ledger gets " +
+      "its base stamped by the first retraction (one count, once), " +
+      "and the remaining arithmetic stays exact across retractions") {
+    val idxRoot = tmp("ledger_idx")
+    val corpusDir = tmp("ledger_corpus")
+    val docs = (0L until 4L).map(i =>
+      (i, s"wholly distinct ledger document $i with words$i", "en"))
+      .toDF("doc_id", "text", "lang")
+    run(docs, idxRoot, corpusDir)
+    // simulate a pre-upgrade corpus: no base, no ledger
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete()
+    }
+    rmTree(new java.io.File(s"$corpusDir/retraction_base"))
+    val r1 = Pipeline.retractCorpus(spark, Seq(1L).toDF("doc_id"),
+      idxRoot, corpusDir).head()
+    assert(r1.getAs[Long]("n_retracted") === 1L)
+    assert(r1.getAs[Long]("n_remaining") === 3L)
+    assert(new java.io.File(s"$corpusDir/retraction_base").exists())
+    // a second, different retraction: ledger rows accumulate, the
+    // arithmetic needs no corpus job
+    val r2 = Pipeline.retractCorpus(spark, Seq(2L, 3L).toDF("doc_id"),
+      idxRoot, corpusDir).head()
+    assert(r2.getAs[Long]("n_retracted") === 2L)
+    assert(r2.getAs[Long]("n_remaining") === 1L)
+    assert(spark.read.parquet(s"$corpusDir/retractions").count() === 2L)
+    // overlapping re-request: already-gone ids count zero, remaining
+    // unchanged
+    val r3 = Pipeline.retractCorpus(spark, Seq(1L, 2L).toDF("doc_id"),
+      idxRoot, corpusDir).head()
+    assert(r3.getAs[Long]("n_retracted") === 0L)
+    assert(r3.getAs[Long]("n_remaining") === 1L)
   }
 
   test("an empty batch is refused") {

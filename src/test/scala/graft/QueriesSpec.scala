@@ -14,6 +14,17 @@ class QueriesSpec extends SparkSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("events normalization refuses a non-UTC session instead of " +
+      "silently shifting day truncations") {
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        SparkEntry.queries("q02_project_trunc")(spark, sf()).count()
+      }
+      assert(e.getMessage.contains("UTC"))
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs and returns rows on sf0.001") {
       val n = fn(spark, sf()).count()

@@ -41,6 +41,12 @@ import org.apache.spark.sql.SparkSession
   *     big-big pairs the weekly incremental probe deliberately skips;
   *     pairs land under `outDir`, one JSON line reports the count.
   *     Run it at `maintain` cadence.
+  *   - `migrate-shingles <indexRoot> [buckets]` —
+  *     [[graft.operators.Dedup.migrateShingleBuckets]] over the
+  *     minhash and containment families present under `indexRoot`:
+  *     one-time upgrade of legacy flat `shingles/` layouts to the
+  *     doc-id-bucketed one (touched-bucket deletion, pruned verify).
+  *     Idempotent; already-bucketed families are a no-op.
   *
   * Thresholds/bucket counts stay at the operators' production defaults
   * on purpose: a deployment that needs different ones calls
@@ -57,7 +63,8 @@ object CorpusMain {
         |       CorpusMain stats <indexRoot>
         |       CorpusMain index-benchmark <suiteDir> <benchDir> [append]
         |       CorpusMain rebuild-ivf <indexRoot> <nlist>
-        |       CorpusMain sweep-containment <corpusDir> <outDir> <threshold> [sampleK]""".stripMargin)
+        |       CorpusMain sweep-containment <corpusDir> <outDir> <threshold> [sampleK]
+        |       CorpusMain migrate-shingles <indexRoot> [buckets]""".stripMargin)
     sys.exit(2)
   }
 
@@ -136,6 +143,18 @@ object CorpusMain {
         graft.operators.Similarity.rebuildIvfIndex(spark,
           s"$indexRoot/ivf", nlist.toInt)
         println(s"""{"rebuilt":"$indexRoot/ivf","nlist":$nlist}""")
+      case "migrate-shingles" :: indexRoot :: rest if rest.length <= 1 =>
+        val buckets = rest.headOption.map(_.toInt).getOrElse(64)
+        val fs = new org.apache.hadoop.fs.Path(indexRoot)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        Seq("minhash", "containment")
+          .filter(f => fs.exists(
+            new org.apache.hadoop.fs.Path(s"$indexRoot/$f/params")))
+          .foreach { f =>
+            graft.operators.Dedup.migrateShingleBuckets(spark,
+              s"$indexRoot/$f", buckets)
+            println(s"""{"migrated":"$indexRoot/$f","buckets":$buckets}""")
+          }
       case "sweep-containment" :: corpusDir :: outDir :: threshold ::
           rest if rest.length <= 1 =>
         val pairs = Pipeline.sweepContainment(spark, corpusDir,

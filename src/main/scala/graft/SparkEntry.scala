@@ -757,12 +757,13 @@ object SparkEntry {
     "q89_index_incremental_neardup" -> ((s, dir) => {
       val docs = t(s, dir, "documents").where(col("doc_id") < 1000)
       val idx = ivfIndexDir(dir, "mh89")
-      // 32 buckets at test scale: 256 partition dirs of near-empty
-      // files would be pure small-file IO inside the timer (the
-      // production default stays 256; pruning is PlanSpec's job)
+      // 32 buckets at test scale (bands AND shingles): 256 partition
+      // dirs of near-empty files would be pure small-file IO inside
+      // the timer (the production defaults stay 256/64; pruning is
+      // PlanSpec's job)
       Dedup.writeMinhashIndex(
         docs.where(pmod(col("doc_id"), lit(2)) === 0), idx,
-        bandBuckets = 32)
+        bandBuckets = 32, shingleBuckets = 32)
       Dedup.nearDupAgainstIndex(s,
           docs.where(pmod(col("doc_id"), lit(2)) === 1), idx,
           threshold = 0.5)
@@ -778,7 +779,7 @@ object SparkEntry {
       val idx = ivfIndexDir(dir, "mh90")
       Dedup.writeMinhashIndex(
         docs.where(pmod(col("doc_id"), lit(2)) === 0), idx,
-        bandBuckets = 32)
+        bandBuckets = 32, shingleBuckets = 32)
       Dedup.jaccardAllPairsAgainstIndex(s,
           docs.where(pmod(col("doc_id"), lit(2)) === 1), idx,
           threshold = 0.5)
@@ -1218,7 +1219,7 @@ object SparkEntry {
       val idx = ivfIndexDir(dir, "ct102")
       Dedup.writeContainmentIndex(
         docs.where(pmod(col("doc_id"), lit(2)) === 0), idx,
-        postingBuckets = 32)
+        postingBuckets = 32, shingleBuckets = 32)
       Dedup.containmentPairsAgainstIndex(s,
           docs.where(pmod(col("doc_id"), lit(2)) === 1), idx,
           threshold = 0.5)

@@ -502,6 +502,11 @@ class CorpusRefreshSpec extends SparkSuite {
     assert(r2.length === 1)
     assert(r2.head.contains("\"n_contaminated_docs\":"))
     assert(new java.io.File(s"$idxRoot/containment/params").exists())
+    // the layout-migration line reaches both shingle families and is a
+    // no-op on the already-bucketed layouts these refreshes wrote
+    val migrated = capture("migrate-shingles", idxRoot)
+    assert(migrated.exists(_.contains("minhash")))
+    assert(migrated.exists(_.contains("containment")))
   }
 
   test("modality-drift guard: omitting a standing modality refuses " +

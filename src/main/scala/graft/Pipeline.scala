@@ -314,10 +314,15 @@ object Pipeline {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def exists(p: String): Boolean = fs.exists(new Path(p))
 
-    val idRange = batch.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    // one setup job carries the id range AND the batch count the
+    // report needs later (the composed lifecycle is ~30 small actions
+    // at bench scale — every merged job is floor shaved off q100)
+    val idRange = batch.agg(min(col("doc_id")), max(col("doc_id")),
+      count(lit(1))).head()
     require(!idRange.isNullAt(1),
       "refreshCorpus: empty batch — nothing to fold in")
     val (minId, maxId) = (idRange.getLong(0), idRange.getLong(1))
+    val nBatch = idRange.getLong(2)
 
     val minhashDir = s"$indexRoot/minhash"
     val hammingDir = s"$indexRoot/hamming"
@@ -599,24 +604,26 @@ object Pipeline {
 
       // ---- report last: the completion marker (counts re-derivable
       // on a recovery run because they come from the published
-      // artifacts, not probe-stage state)
+      // artifacts, not probe-stage state). ONE aggregation job over
+      // the published partition carries every corpus-side column —
+      // row count, chunk sums, and the contamination count (0 when
+      // the batch was not screened)
       val pub = spark.read.parquet(corpusPart)
-      val chunkAgg = pub.agg(
-        coalesce(sum(col("n_chunks")), lit(0L)).as("c"),
-        coalesce(sum(col("n_kept")), lit(0L)).as("k")).head()
-      val nBatch = persisted.count()
-      val nPublished = pub.count()
-      // from the published artifact, not probe-stage state (recovery
-      // runs re-derive it); 0 when the batch was not screened
-      val nContaminated =
+      val contaminatedCol =
         if (pub.columns.contains("n_contaminated"))
-          pub.where(col("n_contaminated") > 0).count()
-        else 0L
+          count(when(col("n_contaminated") > 0, 1))
+        else lit(0L)
+      val pubAgg = pub.agg(
+        count(lit(1)).as("np"),
+        coalesce(sum(col("n_chunks")), lit(0L)).as("c"),
+        coalesce(sum(col("n_kept")), lit(0L)).as("k"),
+        contaminatedCol.as("nc")).head()
+      val nPublished = pubAgg.getLong(0)
       import spark.implicits._
       val report = Seq((minId, maxId, nBatch,
           spark.read.parquet(pairsPart).count(),
           nBatch - nPublished, nPublished,
-          chunkAgg.getLong(0), chunkAgg.getLong(1), nContaminated))
+          pubAgg.getLong(1), pubAgg.getLong(2), pubAgg.getLong(3)))
         .toDF("batch_min_id", "batch_max_id", "n_batch", "n_dup_pairs",
           "n_dropped", "n_published", "n_chunks", "n_chunks_kept",
           "n_contaminated_docs")

@@ -873,6 +873,30 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5), k = 10)
         .orderBy(col("query_id").asc, col("rank").asc)
     }),
+    // SQ8 (int8) quantized scan with FULL exact re-rank: the
+    // candidate pass reads d BYTES per vector instead of 4d, and at
+    // rerank = |corpus| every pair is re-scored exactly
+    // (SimilaritySpec pins bit-equality with the brute force), so the
+    // whole quantize→scan→re-rank pipeline hash-checks against q37's
+    // oracle — the 4×-smaller layout is correctness-proven end-to-end,
+    // not just spec'd. The count() sits inside the timer like q84's
+    // index write: the exact endpoint's price must not hide outside
+    // it. Production runs rerank ≪ |corpus| and reads q107's recall
+    // disclosure for the pure quantized ranking.
+    "q106_sq8_rerank_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.sq8TopK(emb, emb.where(col("vec_id") < 5), k = 10,
+          rerank = emb.count().toInt)
+        .orderBy(col("query_id").asc, col("rank").asc)
+    }),
+    // the SQ8 honesty row (q70's role for the quantized ranking):
+    // recall@10 of rerank = 0 vs the exact top-k, plus the measured
+    // per-vector byte columns — the storage trade, from the data
+    "q107_sq8_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.sq8RecallStats(emb, emb.where(col("vec_id") < 5),
+        k = 10)
+    }),
     // nprobe=12/16: the synthetic embeddings are isotropic gaussian (no
     // cluster structure), so coarse cells carry little signal and recall
     // ∝ probed fraction. This sample query keeps the plain single-assign
@@ -1757,6 +1781,9 @@ object SparkEntry {
       // the written-index path at FULL probing is exact by
       // construction — same brute-force oracle as q37
       "q84_ivf_indexed_exact" -> annBruteTopKSql,
+      // SQ8 scan + full exact re-rank ≡ brute force (every pair
+      // re-scored with the exact cosine) — same oracle as q37
+      "q106_sq8_rerank_topk" -> annBruteTopKSql,
       // q84's oracle with the metadata pre-filter on the CANDIDATE
       // side only (queries stay unfiltered): the k best label-3
       // vectors per query — a short post-filtered list would

@@ -579,6 +579,163 @@ case class CdcChunksExpr(child: Expression, divisor: Int,
       newChild: Expression): CdcChunksExpr = copy(child = newChild)
 }
 
+/** SQ8 scalar quantization of an `array<float>` embedding to a
+  * `binary` code, one SIGNED byte per dimension: the vector is L2-
+  * normalized, each component (now in [-1, 1]) rounds to
+  * `round(x * 127)` clamped to [-127, 127]. Cosine similarity only
+  * needs the direction, so normalize-then-quantize loses no range to
+  * magnitude outliers and needs NO stored calibration (no per-index
+  * min/max — codes from any two corpora are comparable by
+  * construction). 4× smaller than the f32 array: the memory-bandwidth
+  * lever for brute-force and re-rank ANN scans at 100 TB. A
+  * zero-norm vector encodes as all-zero bytes (its cosine is
+  * undefined anyway; scorers guard the zero norm).
+  */
+case class FloatVecSq8Expr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sq8_encode"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val v = x.getFloat(i).toDouble
+      acc += v * v
+      i += 1
+    }
+    val nrm = math.sqrt(acc)
+    val out = new Array[Byte](n)
+    if (nrm > 0.0) {
+      i = 0
+      while (i < n) {
+        val q = math.rint(x.getFloat(i).toDouble / nrm * 127.0)
+        out(i) = math.max(-127.0, math.min(127.0, q)).toByte
+        i += 1
+      }
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val nrm = ctx.freshName("nrm")
+      val out = ctx.freshName("out")
+      val q = ctx.freshName("q")
+      s"""
+         |int $n = $a.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $a.getFloat($i);
+         |}
+         |double $nrm = java.lang.Math.sqrt($acc);
+         |byte[] $out = new byte[$n];
+         |if ($nrm > 0.0) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $q = java.lang.Math.rint(
+         |      (double) $a.getFloat($i) / $nrm * 127.0);
+         |    $out[$i] = (byte) java.lang.Math.max(-127.0,
+         |      java.lang.Math.min(127.0, $q));
+         |  }
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): FloatVecSq8Expr = copy(child = newChild)
+}
+
+/** Integer dot product of two SQ8 `binary` codes ([[FloatVecSq8Expr]]):
+  * O(d) signed-byte multiply-adds with codegen, no allocation — at
+  * d ≤ 2¹⁶ and |x| ≤ 127 the long accumulator cannot overflow. The
+  * int8 scan is the hot loop of quantized brute-force/re-rank search;
+  * it reads 4× fewer bytes than the f32 kernel.
+  */
+case class I8VecDotExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "i8vec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    val n = math.min(x.length, y.length)
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += x(i).toLong * y(i).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.length, $b.length);
+         |${ev.value} = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value} += (long) $a[$i] * (long) $b[$i];
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): I8VecDotExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** L2 norm of an SQ8 `binary` code — the denominator of the quantized
+  * cosine (codes are near-unit × 127 by construction, but the exact
+  * per-code norm keeps the estimate unbiased at low dimensions).
+  */
+case class I8VecNormExpr(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "i8vec_norm"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    var acc = 0L
+    var i = 0
+    while (i < x.length) {
+      acc += x(i).toLong * x(i).toLong
+      i += 1
+    }
+    math.sqrt(acc.toDouble)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $a.length; $i++) {
+         |  $acc += (long) $a[$i] * (long) $a[$i];
+         |}
+         |${ev.value} = java.lang.Math.sqrt((double) $acc);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): I8VecNormExpr = copy(child = newChild)
+}
+
 /** Column-level entry points. */
 object native {
   import org.apache.spark.sql.graftshim.ColumnBridge
@@ -621,4 +778,20 @@ object native {
 
   def sorted_intersect_count(a: Column, b: Column): Column =
     c(SortedIntersectCountExpr(e(a), e(b)))
+
+  def sq8_encode(vec: Column): Column = c(FloatVecSq8Expr(e(vec)))
+
+  def i8vec_dot(a: Column, b: Column): Column =
+    c(I8VecDotExpr(e(a), e(b)))
+
+  def i8vec_norm(a: Column): Column = c(I8VecNormExpr(e(a)))
+
+  /** Quantized-cosine estimate from two SQ8 codes: dot over the codes'
+    * own norms; NULL-safe like every composed cosine here, 0.0 where a
+    * zero-norm code makes the measure undefined. */
+  def i8vec_cosine(a: Column, b: Column): Column = {
+    val denom = i8vec_norm(a) * i8vec_norm(b)
+    org.apache.spark.sql.functions.when(denom === 0, 0.0)
+      .otherwise(i8vec_dot(a, b) / denom)
+  }
 }

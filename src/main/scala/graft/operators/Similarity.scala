@@ -804,4 +804,92 @@ object Similarity {
           lit(0L), (acc, x) => acc + x).as("dot"))
     topKByScoreDesc(scored, k, score = "dot")
   }
+
+  // ------------------------------ SQ8 scalar-quantized search (int8)
+
+  /** (vec_id, code) — each embedding L2-normalized and quantized to
+    * one SIGNED byte per dimension ([[graft.functions
+    * .FloatVecSq8Expr]]): the 4×-smaller representation the quantized
+    * scan reads instead of the f32 arrays. Calibration-free by
+    * construction (normalize-then-quantize), so codes from different
+    * batches/corpora are always comparable — encode once, store next
+    * to (or instead of) the float column, re-encode never.
+    */
+  def sq8Encode(vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"),
+      native.sq8_encode(col("embedding")).as("code"))
+
+  /** Brute-force top-k under SQ8 quantized cosine, with optional
+    * exact re-rank — the memory-bandwidth flavor of
+    * [[bruteForceTopK]]: the scan reads d BYTES per corpus vector
+    * instead of 4d (the dominant cost of a brute-force pass at scale
+    * is IO/bandwidth, not arithmetic), scores the integer dot over
+    * the codes' own norms, and
+    *
+    *   - `rerank = 0`: returns the quantized ranking directly
+    *     (column `cosine8` — an estimate; [[sq8RecallStats]] is the
+    *     honesty row quantifying it against the exact ranking);
+    *   - `rerank = r > 0`: keeps the r best quantized candidates per
+    *     query, re-scores EXACTLY those against the f32 vectors
+    *     (same [[native.fvec_cosine]] arithmetic as every exact
+    *     surface), and returns the exact-cosine top-k — IO still ∝
+    *     corpus BYTES at d/4 the f32 cost plus r f32 rows per query.
+    *     With r ≥ |corpus| the result is BIT-IDENTICAL to
+    *     [[bruteForceTopK]] (every pair re-scored exactly —
+    *     SimilaritySpec pins it), so r tunes recall against re-rank
+    *     IO with a proven exact endpoint.
+    *
+    * Both sides are encoded here from their `embedding` column;
+    * pre-encoded corpora join their stored codes instead (the
+    * encode is a map-only projection either way).
+    */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+      rerank: Int = 0): DataFrame = {
+    val q = broadcast(sq8Encode(queries)
+      .select(col("vec_id").as("query_id"), col("code").as("qcode")))
+    val scored = sq8Encode(corpus)
+      .join(q, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        native.i8vec_cosine(col("qcode"), col("code")).as("cosine8"))
+    if (rerank <= 0) topKByScoreDesc(scored, k, score = "cosine8")
+    else {
+      val cand = topKByScoreDesc(scored, rerank, score = "cosine8")
+        .select(col("query_id"), col("vec_id"))
+      val qv = broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec")))
+      val rescored = cand
+        .join(corpus.select(col("vec_id"), col("embedding")),
+          Seq("vec_id"))
+        .join(qv, Seq("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          native.fvec_cosine(col("query_vec"), col("embedding"))
+            .as("cosine"))
+      topKByScoreDesc(rescored, k)
+    }
+  }
+
+  /** The SQ8 honesty row — [[ivfRecallStats]]' role for the quantized
+    * ranking: recall@k of the PURE quantized top-k (`rerank = 0`)
+    * against [[bruteForceTopK]], plus the storage facts the trade
+    * buys (bytes per vector, f32 vs code — the 4× the scan saves).
+    * One row: (recall_at_k, n_exact, dim, f32_bytes_per_vec,
+    * code_bytes_per_vec).
+    */
+  def sq8RecallStats(corpus: DataFrame, queries: DataFrame,
+      k: Int = 10): DataFrame = {
+    val exact = bruteForceTopK(corpus, queries, k)
+      .select(col("query_id"), col("vec_id"))
+    val approx = sq8TopK(corpus, queries, k)
+      .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+    val dim = corpus.agg(max(size(col("embedding"))).as("d"))
+    exact.join(approx, Seq("query_id", "vec_id"), "left")
+      .agg(
+        (sum(coalesce(col("hit"), lit(0))) / count(lit(1)))
+          .as("recall_at_k"),
+        count(lit(1)).as("n_exact"))
+      .crossJoin(dim)
+      .select(col("recall_at_k"), col("n_exact"),
+        col("d").as("dim"), (col("d") * 4).as("f32_bytes_per_vec"),
+        col("d").cast("int").as("code_bytes_per_vec"))
+  }
 }

@@ -261,4 +261,35 @@ class PropertySpec extends SparkSuite {
       }
     }
   }
+
+  test("retraction-ledger n_remaining equals the actual corpus count " +
+      "under random (overlapping, repeated) retraction sequences") {
+    for (seed <- 1 to 2) {
+      val rnd = new scala.util.Random(400 + seed)
+      val idxRoot = java.nio.file.Files
+        .createTempDirectory(s"graft_ledgerprop_idx$seed").toString
+      val corpusDir = java.nio.file.Files
+        .createTempDirectory(s"graft_ledgerprop_c$seed").toString
+      val n = 10
+      // pairwise-distinct vocabularies: no near-dups, so the published
+      // corpus is the whole batch and the ledger starts from n rows
+      val docs = (0 until n).map(i => (i.toLong,
+        (0 until 8).map(j => s"w${i}x$j").mkString(" ")))
+        .toDF("doc_id", "text")
+      Pipeline.refreshCorpus(spark, docs, idxRoot, corpusDir,
+        chunkTokens = 4, bandBuckets = 8, pieceBuckets = 8,
+        chunkBuckets = 8)
+      for (_ <- 1 to 3) {
+        // random subset, deliberately allowed to overlap earlier
+        // retractions and to repeat ids
+        val ids = (0 until (1 + rnd.nextInt(4)))
+          .map(_ => rnd.nextInt(n).toLong)
+        val report = Pipeline.retractCorpus(spark,
+          ids.toDF("doc_id"), idxRoot, corpusDir).head()
+        val actual = spark.read.parquet(s"$corpusDir/corpus").count()
+        assert(report.getAs[Long]("n_remaining") === actual,
+          s"seed $seed ids $ids: ledger disagrees with the corpus")
+      }
+    }
+  }
 }

@@ -607,6 +607,13 @@ class IndexMaintenanceSpec extends SparkSuite {
     // re-running a completed migration is a no-op (same file names)
     Dedup.migrateShingleBuckets(spark, legacy, shingleBuckets = 4)
     assert(fileNames(s"$legacy/shingles") === mAfter)
+    // RE-bucket (4 → 2): the demote-params-first protocol rewrites the
+    // layout at the new count with answers intact and params updated
+    val preRebucket = (pairs(legacy), jac(legacy))
+    Dedup.migrateShingleBuckets(spark, legacy, shingleBuckets = 2)
+    assert(fileNames(s"$legacy/shingles").keySet
+      .forall(Set("bucket=0", "bucket=1")))
+    assert((pairs(legacy), jac(legacy)) === preRebucket)
 
     // crashed-migration state: bucketed data under flat params reads
     // correctly (unpruned) and a re-run completes the migration

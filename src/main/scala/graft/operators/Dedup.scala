@@ -515,6 +515,18 @@ object Dedup {
     (r.getAs[Int]("num_shingle_words"), r.getAs[Int]("posting_buckets"))
   }
 
+  /** ONE params/ read for the containment probes — the
+    * [[readMinhashParamsAndLayout]] role for this family. */
+  private def readContainmentParamsAndLayout(spark: SparkSession,
+      dir: String): ((Int, Int), Option[Int]) = {
+    val df = spark.read.parquet(s"$dir/params")
+    val hasSb = df.schema.fieldNames.contains("shingle_buckets")
+    val r = df.head()
+    ((r.getAs[Int]("num_shingle_words"),
+      r.getAs[Int]("posting_buckets")),
+      if (hasSb) Some(r.getAs[Int]("shingle_buckets")) else None)
+  }
+
   /** Candidate containment pairs TOUCHING a new batch — within-batch
     * and batch-vs-indexed in one pass, because the df cut is a GLOBAL
     * property (unlike the minhash families' per-pair band collisions):
@@ -550,9 +562,19 @@ object Dedup {
   def containmentCandidatesAgainstIndex(spark: SparkSession,
       newDocs: DataFrame, dir: String,
       smallMaxShingles: Int = 4096, maxDocFreq: Long = 1000,
-      minHits: Int = 1, broadcastProbe: Boolean = true): DataFrame = {
+      minHits: Int = 1, broadcastProbe: Boolean = true): DataFrame =
+    containmentCandidatesAgainstIndexWith(spark, newDocs, dir,
+      readContainmentIndexParams(spark, dir), smallMaxShingles,
+      maxDocFreq, minHits, broadcastProbe)
+
+  /** [[containmentCandidatesAgainstIndex]] with stored params in hand
+    * — the composed probe reads params/ once. */
+  private def containmentCandidatesAgainstIndexWith(spark: SparkSession,
+      newDocs: DataFrame, dir: String, params: (Int, Int),
+      smallMaxShingles: Int, maxDocFreq: Long,
+      minHits: Int, broadcastProbe: Boolean): DataFrame = {
     require(minHits >= 1, s"minHits must be >= 1, got $minHits")
-    val (nsw, buckets) = readContainmentIndexParams(spark, dir)
+    val (nsw, buckets) = params
     val newPost = shingleHashArrays(newDocs, nsw)
       .where(size(col("sh")) > 0)
       .select(col("doc_id"), size(col("sh")).as("n"),
@@ -620,15 +642,16 @@ object Dedup {
       newDocs: DataFrame, dir: String, threshold: Double = 0.5,
       smallMaxShingles: Int = 4096, maxDocFreq: Long = 1000,
       minHits: Int = 1, broadcastProbe: Boolean = true): DataFrame = {
-    val (nsw, _) = readContainmentIndexParams(spark, dir)
+    val (params @ (nsw, _), shLayout) =
+      readContainmentParamsAndLayout(spark, dir)
     val candidates = Barriers.barrier(
-      containmentCandidatesAgainstIndex(spark, newDocs, dir,
+      containmentCandidatesAgainstIndexWith(spark, newDocs, dir, params,
         smallMaxShingles, maxDocFreq, minHits, broadcastProbe))
     val involved = involvedIds(candidates)
     val newSh = shingleHashArrays(
       newDocs.join(broadcast(involved), Seq("doc_id"), "left_semi"),
       nsw)
-    val idxSh = prunedIndexShingles(spark, dir, involved)
+    val idxSh = prunedIndexShingles(spark, dir, involved, shLayout)
       // a retried append re-wrote whole rows — one array per doc
       .dropDuplicates("doc_id")
     scoredVerifyWith(newSh.unionByName(idxSh), candidates, threshold,
@@ -1425,7 +1448,11 @@ object Dedup {
     * otherwise ride along as an extra column (Spark APPENDS partition
     * columns missing from an explicit schema). */
   private def readIndexShingles(spark: SparkSession,
-      dir: String): DataFrame = readShingleBuckets(spark, dir) match {
+      dir: String): DataFrame =
+    readIndexShingles(spark, dir, readShingleBuckets(spark, dir))
+
+  private def readIndexShingles(spark: SparkSession, dir: String,
+      buckets: Option[Int]): DataFrame = buckets match {
     case Some(_) => spark.read.schema(bucketedShinglesSchema)
       .parquet(s"$dir/shingles").select(col("doc_id"), col("sh"))
     case None =>
@@ -1438,10 +1465,12 @@ object Dedup {
     * partition bucket, so dynamic partition pruning restricts the scan
     * to the buckets the candidate ids actually name (file IO ∝
     * candidates — the bands/ probe economics applied to the verify
-    * side); the legacy flat layout keeps its full-scan semi-join. */
+    * side); the legacy flat layout keeps its full-scan semi-join.
+    * `buckets` is the caller's already-read layout — the probe
+    * surfaces read params/ exactly once per call. */
   private def prunedIndexShingles(spark: SparkSession, dir: String,
-      involved: DataFrame): DataFrame =
-    readShingleBuckets(spark, dir) match {
+      involved: DataFrame, buckets: Option[Int]): DataFrame =
+    buckets match {
       case Some(n) =>
         val probe = involved
           .withColumn("bucket", shingleBucket(n)(col("doc_id")))
@@ -1568,6 +1597,19 @@ object Dedup {
       r.getAs[Int]("bands"), r.getAs[Int]("band_buckets"))
   }
 
+  /** ONE params/ read serving both the signature tuple and the
+    * shingles/ layout — each probe surface pays a single driver-side
+    * parquet job for its metadata instead of one per field group. */
+  private def readMinhashParamsAndLayout(spark: SparkSession,
+      dir: String): ((Int, Int, Int, Int), Option[Int]) = {
+    val df = spark.read.parquet(s"$dir/params")
+    val hasSb = df.schema.fieldNames.contains("shingle_buckets")
+    val r = df.head()
+    ((r.getAs[Int]("num_shingle_words"), r.getAs[Int]("num_hashes"),
+      r.getAs[Int]("bands"), r.getAs[Int]("band_buckets")),
+      if (hasSb) Some(r.getAs[Int]("shingle_buckets")) else None)
+  }
+
   /** Candidate near-dup pairs between a NEW batch and the indexed corpus:
     * the batch's bands (map-only, computed with the INDEX's own stored
     * parameters) equi-joined against `bands/` on (bucket, band_id,
@@ -1591,8 +1633,17 @@ object Dedup {
     */
   def minhashCandidatesAgainstIndex(spark: SparkSession,
       newDocs: DataFrame, dir: String,
-      broadcastProbe: Boolean = true): DataFrame = {
-    val (nsw, nh, nb, buckets) = readMinhashIndexParams(spark, dir)
+      broadcastProbe: Boolean = true): DataFrame =
+    minhashCandidatesAgainstIndexWith(spark, newDocs, dir,
+      readMinhashIndexParams(spark, dir), broadcastProbe)
+
+  /** [[minhashCandidatesAgainstIndex]] with the stored params already
+    * in hand — the composed probes read params/ once and thread the
+    * tuple through. */
+  private def minhashCandidatesAgainstIndexWith(spark: SparkSession,
+      newDocs: DataFrame, dir: String, params: (Int, Int, Int, Int),
+      broadcastProbe: Boolean): DataFrame = {
+    val (nsw, nh, nb, buckets) = params
     val newBands = lshBands(newDocs, nsw, nh, nb)
       // int, matching the inferred partition column type — see
       // [[writeMinhashIndex]]'s bucket comment (a cast on the partition
@@ -1633,15 +1684,17 @@ object Dedup {
   def nearDupAgainstIndex(spark: SparkSession, newDocs: DataFrame,
       dir: String, threshold: Double = 0.7,
       broadcastProbe: Boolean = true): DataFrame = {
-    val (nsw, _, _, _) = readMinhashIndexParams(spark, dir)
+    val (params @ (nsw, _, _, _), shLayout) =
+      readMinhashParamsAndLayout(spark, dir)
     // materialized once: the involved-ids pruning AND the verify join
     // both consume the candidate set
     val candidates = Barriers.barrier(
-      minhashCandidatesAgainstIndex(spark, newDocs, dir, broadcastProbe))
+      minhashCandidatesAgainstIndexWith(spark, newDocs, dir, params,
+        broadcastProbe))
     val involved = involvedIds(candidates)
     val newSh = shingleHashArrays(
       newDocs.join(broadcast(involved), Seq("doc_id"), "left_semi"), nsw)
-    val idxSh = prunedIndexShingles(spark, dir, involved)
+    val idxSh = prunedIndexShingles(spark, dir, involved, shLayout)
     scoredVerifyWith(newSh.unionByName(idxSh), candidates, threshold,
       "jaccard", jaccardScore)
   }
@@ -1657,11 +1710,12 @@ object Dedup {
     */
   def jaccardAllPairsAgainstIndex(spark: SparkSession, newDocs: DataFrame,
       dir: String, threshold: Double = 0.5): DataFrame = {
-    val (nsw, _, _, _) = readMinhashIndexParams(spark, dir)
+    val ((nsw, _, _, _), shLayout) =
+      readMinhashParamsAndLayout(spark, dir)
     val newSh = Barriers.barrier(
       shingleHashArrays(newDocs, nsw).where(size(col("sh")) > 0))
       .select(col("doc_id").as("id_n"), col("sh").as("sh_a"))
-    val idxSh = readIndexShingles(spark, dir)
+    val idxSh = readIndexShingles(spark, dir, shLayout)
       .where(size(col("sh")) > 0)
       .select(col("doc_id").as("id_i"), col("sh").as("sh_b"))
     newSh.join(idxSh, col("id_n") =!= col("id_i"))

@@ -99,6 +99,17 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("SQ8 quantized scan broadcasts the query codes, never shuffles " +
+      "the corpus; the parquet read prunes to (vec_id, embedding)") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val p = plan(graft.operators.Similarity.sq8TopK(
+      emb, emb.where(col("vec_id") < 5), 10, rerank = 20))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // the re-rank join back onto the f32 vectors stays broadcast-side
+    // too (candidates are k·|queries| rows) — no corpus shuffle
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("written IVF index probe scan is dynamically partition-pruned " +
       "to probed cells") {
     val emb = spark.read.parquet(sf() + "/embeddings.parquet")

@@ -187,6 +187,15 @@ object RefreshBench {
     println(s"published bootstrap=${b1.report.head().getAs[Long]("n_published")} " +
       s"weekly=${b2.report.head().getAs[Long]("n_published")} " +
       s"weekly_pairs=${b2.report.head().getAs[Long]("n_dup_pairs")}")
+    // the maintenance-cadence big-big containment sweep over the
+    // published corpus — the one corpus-wide pass of the lifecycle,
+    // priced here so the "run it at maintain cadence" advice has a
+    // measured cost next to the weekly number it amortizes against
+    val nSwept = timed("sweep") {
+      Pipeline.sweepContainment(spark, corpusDir, threshold = 0.5,
+        sampleK = 64).count()
+    }
+    println(s"sweep_pairs=$nSwept")
     spark.stop()
   }
 }

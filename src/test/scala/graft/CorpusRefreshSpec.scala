@@ -507,6 +507,14 @@ class CorpusRefreshSpec extends SparkSuite {
     val migrated = capture("migrate-shingles", idxRoot)
     assert(migrated.exists(_.contains("minhash")))
     assert(migrated.exists(_.contains("containment")))
+    // the maintenance-cadence containment sweep line: pairs land under
+    // the out dir, one JSON report line (doc 5 republished doc0's text
+    // as its own doc, so the sweep has at least that pair to surface)
+    val sweepOut = tmp("cm_sweep")
+    val swept = capture("sweep-containment", corpusDir, sweepOut, "0.9")
+    assert(swept.length === 1 && swept.head.contains("\"n_pairs\":"))
+    assert(spark.read.parquet(sweepOut).columns.toSet ===
+      Set("id_a", "id_b", "containment"))
   }
 
   test("modality-drift guard: omitting a standing modality refuses " +

@@ -721,12 +721,32 @@ object Pipeline {
         stagedWrite(spark, Seq(adjust).toDF("n_adjust"),
           s"$corpusDir/retraction_base")
       }
-      // XOR, not sum: order-independent like any commutative fold, and
-      // immune to the ANSI long-overflow a sum of 64-bit hashes hits
-      val rid = idSet.agg(coalesce(
-        expr("bit_xor(xxhash64(doc_id))"), lit(0L))).head().getLong(0)
-      val ledgerPart = s"$corpusDir/retractions/retraction_id=$rid"
-      if (!exists(ledgerPart)) {
+      // Order-independent ledger key from THREE commutative aggregates
+      // of the id set — bare per-element-hash XOR is structurally weak
+      // (any two sets whose hash multisets XOR-cancel collide, e.g.
+      // symmetric-difference constructions), and a key collision makes
+      // first-wins silently skip a DISTINCT retraction's ledger row,
+      // permanently skewing n_remaining. Pairing the XOR with the
+      // cardinality and a bounded hash-sum breaks every structural
+      // collision family (cancelling XORs changes the count/sum): a
+      // collision now needs all three to match at once. Each aggregate
+      // is commutative (order-independent) and ANSI-overflow-safe (the
+      // summed terms are pmod-bounded to < 2^30, so the sum needs
+      // ~2^33 ids to overflow a long).
+      val kr = idSet.agg(
+        coalesce(expr("bit_xor(xxhash64(doc_id))"), lit(0L)),
+        count(lit(1)),
+        coalesce(sum(pmod(xxhash64(col("doc_id")), lit(1000000007L))),
+          lit(0L))).head()
+      val (kx, kc, ks) = (kr.getLong(0), kr.getLong(1), kr.getLong(2))
+      val ledgerPart =
+        s"$corpusDir/retractions/retraction_id=x${kx}c${kc}s$ks"
+      // rows ledgered before this key (bare-XOR dir names) stay
+      // first-wins for their request: the legacy key is checked too,
+      // so a pre-upgrade retraction re-run post-upgrade is still the
+      // documented no-op, not a double-subtraction
+      val legacyPart = s"$corpusDir/retractions/retraction_id=$kx"
+      if (!exists(ledgerPart) && !exists(legacyPart)) {
         import spark.implicits._
         stagedWrite(spark, Seq((nRequested, nRetracted))
           .toDF("n_requested", "n_retracted"), ledgerPart)

@@ -1432,13 +1432,38 @@ object Dedup {
 
   /** Write a (doc_id, sh) frame as an index's shingles/ sub-dataset in
     * the layout `buckets` names (Some = bucket-partitioned, None =
-    * legacy flat — appends onto a legacy index must keep its layout). */
+    * legacy flat — appends onto a legacy index must keep its layout).
+    *
+    * Crashed-RE-bucket guard: [[migrateShingleBuckets]]'s crash window
+    * leaves params demoted to flat while the data on disk is still
+    * bucket-partitioned. READS handle that state (the flat readers
+    * project (doc_id, sh), dropping the discovered partition column),
+    * but a flat APPEND into it would lay flat part files at the
+    * shingles/ root next to `bucket=` dirs — and Spark then refuses
+    * every later read (conflicting directory structures), including
+    * the migration re-run that would have repaired the index. Refuse
+    * the append instead, naming the repair.
+    */
   private def writeShingles(sh: DataFrame, dir: String, mode: String,
       buckets: Option[Int]): Unit = buckets match {
     case Some(n) => sh
       .withColumn("bucket", shingleBucket(n)(col("doc_id")))
       .write.mode(mode).partitionBy("bucket").parquet(s"$dir/shingles")
-    case None => sh.write.mode(mode).parquet(s"$dir/shingles")
+    case None =>
+      if (mode == "append") {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/shingles")
+        val fs = p.getFileSystem(
+          sh.sparkSession.sparkContext.hadoopConfiguration)
+        val bucketed = fs.exists(p) && fs.listStatus(p).exists(e =>
+          e.isDirectory && e.getPath.getName.startsWith("bucket="))
+        require(!bucketed,
+          s"$dir/shingles holds bucket= partition dirs but the stored " +
+            "params say flat — a crashed re-bucket migration; a flat " +
+            "append would make the dataset unreadable (mixed directory " +
+            "structures). Re-run migrateShingleBuckets to complete the " +
+            "migration first")
+      }
+      sh.write.mode(mode).parquet(s"$dir/shingles")
   }
 
   /** The whole shingles/ sub-dataset as (doc_id, sh), either layout —

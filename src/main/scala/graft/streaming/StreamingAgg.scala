@@ -131,7 +131,7 @@ object StreamingAgg {
       // within-batch candidate pass included, so its recall
       // geometry matches the cross probe's instead of silently
       // running the library defaults (cached per index: immutable)
-      val (nsw, nh, bands, buckets) = cachedMeta("minhash", indexDir)(
+      val (nsw, nh, bands, buckets) = cachedMeta(spark, "minhash", indexDir)(
         Dedup.readMinhashIndexParams(spark, indexDir))
       val doc = b.select(col("doc_id"), col("text"))
       val survivors = commitBatchOutput(spark, indexDir, batchId) {
@@ -239,13 +239,31 @@ object StreamingAgg {
     * `stream_out/`. Spark's foreachBatch replays at most the LAST
     * uncommitted micro-batch, so 1 would suffice under the documented
     * invariant — the window is kept wider so the invariant is belt
-    * AND suspenders: a replay of any of the last [[KeptStagings]]
+    * AND suspenders: a replay of any of the last [[keptStagings]]
     * batches re-emits its committed rows, and a replay from beyond
     * the window (or under a FRESH checkpoint whose batch ids restart)
     * refuses loudly instead of recomputing a wrong answer
     * (MultimodalStreamingSpec pins both sides of the window).
+    *
+    * The default (3) is deliberately above Spark's one-batch replay
+    * depth; the `spark.graft.stream.keptStagings` session conf widens
+    * (or narrows, to no less than 1) the window for deployments whose
+    * recovery tooling replays deeper — the refusal semantics are
+    * unchanged at any width. (Deliberately NOT derived from
+    * `spark.sql.streaming.minBatchesToRetain`: that conf governs
+    * checkpoint METADATA retention — default 100 — not replay depth,
+    * and following it would silently retain 100 staged survivor sets
+    * per index.)
     */
-  private val KeptStagings = 3L
+  private val KeptStagingsDefault = 3L
+  private def keptStagings(
+      spark: org.apache.spark.sql.SparkSession): Long = {
+    val k = spark.conf.getOption("spark.graft.stream.keptStagings")
+      .map(_.toLong).getOrElse(KeptStagingsDefault)
+    require(k >= 1,
+      s"spark.graft.stream.keptStagings must be >= 1, got $k")
+    k
+  }
 
   /** Stage-once / replay-read commit shared by every index bridge's
     * `foreachBatch` body. The probe-stage answer of a micro-batch is
@@ -268,6 +286,19 @@ object StreamingAgg {
     * a used `stream_out/` (batch ids restart at 0): both refuse
     * loudly. To restart a stream with a NEW checkpoint over a
     * standing index, clear `stream_out/` first.
+    *
+    * STREAM IDENTITY: batch-id equality alone cannot tell a replay
+    * from a DIFFERENT stream's batch with the same id — a fresh
+    * checkpoint's batch 0 colliding with a still-retained COMMITTED
+    * batch_0 of the previous stream would silently re-emit the OLD
+    * stream's rows and drop the new batch. So the first commit stamps
+    * the streaming query's id (stable across restarts of the same
+    * checkpoint, fresh per new checkpoint) into
+    * `stream_out/_STREAM_ID`, and every later call refuses on
+    * mismatch — loud, before any batch-id reasoning. Direct batch-body
+    * invocations outside a running stream (the spec harness) carry no
+    * query id and skip the stamp; `stream_out/` dirs written before
+    * this stamp adopt the first post-upgrade stream's id.
     */
   private def commitBatchOutput(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, batchId: Long)(
@@ -277,6 +308,28 @@ object StreamingAgg {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val outRoot = new Path(s"$indexDir/stream_out")
     val batchOut = new Path(outRoot, s"batch_$batchId")
+    // stream-identity gate first: Spark stamps the query id on the
+    // stream execution thread's local properties, so it is visible
+    // here exactly when a real stream is driving the batch
+    Option(spark.sparkContext
+        .getLocalProperty("sql.streaming.queryId")).foreach { qid =>
+      val idFile = new Path(outRoot, "_STREAM_ID")
+      if (fs.exists(idFile)) {
+        val in = fs.open(idFile)
+        val stored =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        require(stored == qid,
+          s"$outRoot belongs to streaming query $stored but this " +
+            s"batch comes from query $qid — a fresh checkpoint over a " +
+            "used stream_out/; refusing to mix their committed " +
+            "outputs (clear stream_out/ to start a new stream over " +
+            "this index)")
+      } else {
+        val out = fs.create(idFile, false)
+        try out.write(qid.getBytes("UTF-8")) finally out.close()
+      }
+    }
     def committed(p: Path): Boolean = fs.exists(new Path(p, "_COMMIT"))
     if (!committed(batchOut)) {
       // dir without its marker = a crash mid-rename on a non-atomic-
@@ -299,7 +352,7 @@ object StreamingAgg {
           "answer is unrecoverable, refusing to recompute it against " +
           "the mutated index (clear stream_out/ to start a new stream)")
       // prune stagings that fall out of the retention window
-      stagedIds.filter(_ <= batchId - KeptStagings).foreach(id =>
+      stagedIds.filter(_ <= batchId - keptStagings(spark)).foreach(id =>
         fs.delete(new Path(outRoot, s"batch_$id"), true))
       val stage = new Path(outRoot, s"_stage_batch_$batchId")
       if (fs.exists(stage)) fs.delete(stage, true)
@@ -322,13 +375,35 @@ object StreamingAgg {
     * max_doc_id watermark — so reading them once per (indexDir)
     * instead of once per micro-batch shaves pure fixed floor off
     * every trigger (StreamBridgeTiming records the before/after).
+    *
+    * The cache key carries a `params/` file stamp (names + mtimes +
+    * lengths from ONE listStatus — a metadata call, not a Spark job),
+    * so a stream started in a long-lived JVM AFTER an offline
+    * rebuild/migration rewrote the index reads the NEW geometry
+    * instead of serving the dead index's: every geometry-changing
+    * maintenance pass rewrites `params/`, which changes the stamp and
+    * makes the stale entry unreachable (a handful of dead entries per
+    * rebuild is the whole cost). A missing `params/` falls through to
+    * `read`, whose own error names the broken index.
     */
   private val paramsCache =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
-  private def cachedMeta[A <: AnyRef](kind: String, indexDir: String)(
-      read: => A): A =
-    paramsCache.computeIfAbsent(s"$kind:$indexDir", _ => read)
+  // private[graft]: the spec pins the invalidation contract directly
+  private[graft] def cachedMeta[A <: AnyRef](
+      spark: org.apache.spark.sql.SparkSession, kind: String,
+      indexDir: String)(read: => A): A = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$indexDir/params")
+    val stamp =
+      try {
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(p).map(s =>
+            s"${s.getPath.getName}@${s.getModificationTime}#${s.getLen}")
+          .sorted.mkString(",")
+      } catch { case _: java.io.FileNotFoundException => "absent" }
+    paramsCache.computeIfAbsent(s"$kind:$indexDir:$stamp", _ => read)
       .asInstanceOf[A]
+  }
 
   /** [[cleanChunksStreamAgainstIndex]]'s per-micro-batch body,
     * factored out so the replay contract is provable outside a running
@@ -348,7 +423,7 @@ object StreamingAgg {
       // writer's params guard would refuse anything else. Cached per
       // index WITHOUT the max_doc_id watermark (the one mutable
       // field — the writer re-reads it itself for the monotone check)
-      val (rule, granularity, buckets) = cachedMeta("chunk", indexDir) {
+      val (rule, granularity, buckets) = cachedMeta(spark, "chunk", indexDir) {
         val (r, g, b, _) = Dedup.readChunkIndexParams(spark, indexDir)
         (r, g, b)
       }
@@ -458,7 +533,7 @@ object StreamingAgg {
     val b = batch
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try if (b.isEmpty) sink(b, batchId) else {
-      val (radius, buckets) = cachedMeta("hamming", indexDir)(
+      val (radius, buckets) = cachedMeta(spark, "hamming", indexDir)(
         Dedup.readHammingIndexParams(spark, indexDir))
       // decode + dHash ONCE per batch row (barrier'd, lazily built:
       // the replay path never needs the whole batch's signatures)
@@ -585,9 +660,9 @@ object StreamingAgg {
         // itself; the within-batch pass gets the same arrays) so the
         // two scorers cannot disagree on cell assignment — cached per
         // index, frozen for the index's life (rebuilds are offline)
-        val cents = cachedMeta("ivf-centroids", indexDir)(
+        val cents = cachedMeta(spark, "ivf-centroids", indexDir)(
           Similarity.readIvfCentroids(spark, indexDir))
-        val (multiAssign, quantizer) = cachedMeta("ivf-params", indexDir)(
+        val (multiAssign, quantizer) = cachedMeta(spark, "ivf-params", indexDir)(
           Similarity.readIvfIndexParams(spark, indexDir))
         val cross = Dedup.semanticNearDupAgainstIndex(spark, vec,
           indexDir, threshold)

@@ -641,6 +641,47 @@ class CorpusRefreshSpec extends SparkSuite {
       idxRoot, corpusDir).head()
     assert(r3.getAs[Long]("n_retracted") === 0L)
     assert(r3.getAs[Long]("n_remaining") === 1L)
+    // the ledger key is the composite (xor, count, hash-sum) form —
+    // bare-XOR keys had structural collisions (sets whose hash
+    // multisets XOR-cancel) that made first-wins skip distinct rows
+    val parts = new java.io.File(s"$corpusDir/retractions").listFiles()
+      .map(_.getName).filter(_.startsWith("retraction_id="))
+    assert(parts.nonEmpty &&
+      parts.forall(_.matches("retraction_id=x-?\\d+c\\d+s\\d+")),
+      s"unexpected ledger keys: ${parts.mkString(",")}")
+  }
+
+  test("retraction ledger back-compat: a request ledgered under the " +
+      "legacy bare-XOR key stays first-wins after the key upgrade " +
+      "(no double-subtraction on re-run)") {
+    val idxRoot = tmp("ledgerbc_idx")
+    val corpusDir = tmp("ledgerbc_corpus")
+    val docs = (0L until 4L).map(i =>
+      (i, s"wholly distinct compat document $i with words$i", "en"))
+      .toDF("doc_id", "text", "lang")
+    run(docs, idxRoot, corpusDir)
+    // simulate a retraction of {1} ledgered pre-upgrade: legacy dir
+    // name = the bare XOR of the requested ids' hashes
+    val legacyKey = Seq(1L).toDF("doc_id")
+      .agg(org.apache.spark.sql.functions.expr(
+        "bit_xor(xxhash64(doc_id))")).head().getLong(0)
+    Seq((1L, 1L)).toDF("n_requested", "n_retracted").write
+      .parquet(s"$corpusDir/retractions/retraction_id=$legacyKey")
+    // ... which then crashed before its deletions (ledger-first is the
+    // documented protocol) and is resumed post-upgrade by re-running
+    // the SAME retraction
+    val r0 = Pipeline.retractCorpus(spark, Seq(1L).toDF("doc_id"),
+      idxRoot, corpusDir).head()
+    assert(r0.getAs[Long]("n_remaining") === 3L)
+    // the re-run found the LEGACY row: exactly one ledger row for the
+    // request, not a composite-key duplicate next to it
+    assert(spark.read.parquet(s"$corpusDir/retractions").count() === 1L)
+    // and the arithmetic stays exact for a fresh composite-key request
+    val r1 = Pipeline.retractCorpus(spark, Seq(2L).toDF("doc_id"),
+      idxRoot, corpusDir).head()
+    assert(r1.getAs[Long]("n_retracted") === 1L)
+    assert(r1.getAs[Long]("n_remaining") === 2L)
+    assert(spark.read.parquet(s"$corpusDir/retractions").count() === 2L)
   }
 
   test("an empty batch is refused") {

@@ -630,7 +630,24 @@ class IndexMaintenanceSpec extends SparkSuite {
     p.write.parquet(s"$crash/params")
     assert(pairs(crash) === expected)
     assert(jac(crash) === expectedJac)
+    // an APPEND into the crashed state must refuse: its flat part
+    // files next to the bucket= dirs would make shingles/ unreadable
+    // (conflicting directory structures) — including by the migration
+    // re-run that would otherwise repair the index
+    val appendRefused = intercept[IllegalArgumentException] {
+      Dedup.writeMinhashIndex(
+        Seq((50L, "fresh append document about message queues"))
+          .toDF("doc_id", "text"),
+        crash, bandBuckets = 8, mode = "append")
+    }
+    assert(appendRefused.getMessage.contains("migrateShingleBuckets"))
     Dedup.migrateShingleBuckets(spark, crash, shingleBuckets = 4)
+    assert(pairs(crash) === expected)
+    // post-repair the append goes through (bucketed layout restored)
+    Dedup.writeMinhashIndex(
+      Seq((50L, "fresh append document about message queues"))
+        .toDF("doc_id", "text"),
+      crash, bandBuckets = 8, mode = "append")
     assert(pairs(crash) === expected)
 
     // a non-shingle family refuses the migration

@@ -534,4 +534,96 @@ class MultimodalStreamingSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(cells === Set((1L, 0), (11L, 1), (21L, 1)))
   }
+
+  test("stream identity: a DIFFERENT streaming query over a used " +
+      "stream_out/ refuses even when its batch id collides with a " +
+      "still-retained COMMITTED batch; the same query replays fine") {
+    val textA = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_streamid").toString
+    graft.operators.Dedup.writeMinhashIndex(
+      Seq((1L, textA)).toDF("doc_id", "text"), idxDir,
+      numHashes = 8, bands = 4, bandBuckets = 8)
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val batch = Seq((t("2024-01-01 10:00:00"), 10L,
+      "wholly novel vocabulary about container orchestration layers"))
+      .toDF("ts", "doc_id", "text")
+    val got = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    def run(id: Long): Unit = StreamingAgg.processTextBatch(batch,
+      idxDir, threshold = 0.5, appendSurvivors = true, batchId = id) {
+      (out, _) => got += out.select($"doc_id").collect()
+        .map(_.getLong(0)).toSet
+    }
+    val key = "sql.streaming.queryId"
+    try {
+      // stream A runs batch 0 (stamps its id) and replays it fine
+      spark.sparkContext.setLocalProperty(key, "query-A")
+      run(0L)
+      assert(new java.io.File(s"$idxDir/stream_out/_STREAM_ID").exists())
+      assert(new java.io.File(s"$idxDir/stream_out/batch_0/_COMMIT")
+        .exists())
+      run(0L)
+      assert(got(1) === got(0))
+      // stream B (fresh checkpoint, ids restart at 0): batch 0 COLLIDES
+      // with A's committed batch_0 — without the identity stamp this
+      // silently re-emitted A's rows and dropped B's batch
+      spark.sparkContext.setLocalProperty(key, "query-B")
+      val e = intercept[IllegalArgumentException] { run(0L) }
+      assert(e.getMessage.contains("query-A") &&
+        e.getMessage.contains("query-B"))
+      assert(got.size === 2) // nothing emitted for stream B
+    } finally spark.sparkContext.setLocalProperty(key, null)
+  }
+
+  test("retention window follows spark.graft.stream.keptStagings: a " +
+      "wider window retains stagings the default would have pruned") {
+    val textA = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight"
+    def doc(i: Long) = s"wholly distinct micro batch document number " +
+      s"$i about topic $i with unique vocabulary item$i and token$i"
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_keptknob").toString
+    graft.operators.Dedup.writeMinhashIndex(
+      Seq((1L, textA)).toDF("doc_id", "text"), idxDir,
+      numHashes = 8, bands = 4, bandBuckets = 8)
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def run(id: Long): Unit = StreamingAgg.processTextBatch(
+      Seq((t("2024-01-01 10:00:00"), 100L + id, doc(id)))
+        .toDF("ts", "doc_id", "text"),
+      idxDir, threshold = 0.5, appendSurvivors = true, batchId = id) {
+      (_, _) => ()
+    }
+    try {
+      spark.conf.set("spark.graft.stream.keptStagings", "6")
+      (0L to 5L).foreach(run)
+      // at the default window (3) batch_0 would be gone after batch 3
+      assert(new java.io.File(s"$idxDir/stream_out/batch_0/_COMMIT")
+        .exists())
+      // narrowing back prunes on the next batch, refusal side intact
+      spark.conf.unset("spark.graft.stream.keptStagings")
+      run(6L)
+      assert(!new java.io.File(s"$idxDir/stream_out/batch_0").exists())
+      val e = intercept[IllegalArgumentException] { run(0L) }
+      assert(e.getMessage.contains("stream_out"))
+    } finally spark.conf.unset("spark.graft.stream.keptStagings")
+  }
+
+  test("params cache invalidates when a maintenance pass rewrites " +
+      "params/ in the same JVM (stale geometry is never served)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pcache").toString
+    var reads = 0
+    def readOnce(): Integer = { reads += 1; Integer.valueOf(reads) }
+    Seq((1, 2)).toDF("a", "b").write.parquet(s"$dir/params")
+    val v1 = StreamingAgg.cachedMeta(spark, "t", dir)(readOnce())
+    val v2 = StreamingAgg.cachedMeta(spark, "t", dir)(readOnce())
+    assert(v1 === Integer.valueOf(1) && v2 === Integer.valueOf(1))
+    // a rebuild rewrites params/ (fresh part-file names) — the stamp
+    // changes and the cache re-reads instead of serving the dead index
+    Seq((3, 4)).toDF("a", "b").write.mode("overwrite")
+      .parquet(s"$dir/params")
+    val v3 = StreamingAgg.cachedMeta(spark, "t", dir)(readOnce())
+    assert(v3 === Integer.valueOf(2))
+  }
 }

@@ -961,6 +961,43 @@ object SparkEntry {
           cents, k = 10, nprobe = 8)
         .orderBy(col("query_id").asc, col("rank").asc)
     }),
+    // SQ8 fused INTO the written IVF layout (q84 × q106): cells/ holds
+    // one signed byte per dimension — the probed scan reads 4× fewer
+    // bytes — and the exact re-rank reads f32 rows from the
+    // vbucket-partitioned vectors/ pruned to the candidates' buckets.
+    // At nprobe = nlist and rerank = |corpus| every candidate is
+    // re-scored exactly, so the whole write→quantized-probe→pruned-
+    // re-rank round-trip hash-checks against q37's brute-force oracle.
+    // Index write inside the timer (the q84 contract).
+    "q108_sq8_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.collectCentroids(
+        Similarity.ivfCentroids(emb, nlist = 16))
+      val idx = ivfIndexDir(dir, "sq8_16")
+      Similarity.writeIvfIndex(emb, idx, cents, storage = "sq8",
+        vecBuckets = 16)
+      Similarity.ivfTopKIndexedSelf(s, idx,
+          emb.where(col("vec_id") < 5), k = 10, nprobe = 16,
+          rerank = emb.count().toInt)
+        .orderBy(col("query_id").asc, col("rank").asc)
+    }),
+    // the sq8 layout at the q85 production shape (8/64 cells probed,
+    // default 4·k re-rank): rows-only — the probed-cell candidate set
+    // is quantizer-specific — with both stages' partition pruning
+    // pinned in PlanSpec and exactness proven by q108's full-probe
+    // hash-match; every reported cosine is an exact f32 re-score by
+    // construction (re-rank always re-scores)
+    "q109_sq8_ivf_probe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.collectCentroids(
+        Similarity.ivfCentroids(emb, nlist = 64))
+      val idx = ivfIndexDir(dir, "sq8_probe64")
+      Similarity.writeIvfIndex(emb, idx, cents, storage = "sq8",
+        vecBuckets = 16)
+      Similarity.ivfTopKIndexed(s, idx, emb.where(col("vec_id") < 5),
+          cents, k = 10, nprobe = 8)
+        .orderBy(col("query_id").asc, col("rank").asc)
+    }),
     // ---- extension tier: text analysis ----
     "q40_token_count" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -1784,6 +1821,11 @@ object SparkEntry {
       // SQ8 scan + full exact re-rank ≡ brute force (every pair
       // re-scored with the exact cosine) — same oracle as q37
       "q106_sq8_rerank_topk" -> annBruteTopKSql,
+      // SQ8 INSIDE the written IVF layout at full probe + full
+      // re-rank: quantized candidate scan over stored codes, exact
+      // re-rank from the bucketed f32 vectors/ — ≡ brute force, same
+      // oracle as q37/q84/q106
+      "q108_sq8_ivf_topk" -> annBruteTopKSql,
       // q84's oracle with the metadata pre-filter on the CANDIDATE
       // side only (queries stay unfiltered): the k best label-3
       // vectors per query — a short post-filtered list would

@@ -2373,6 +2373,15 @@ object Dedup {
   def semanticNearDupAgainstIndex(spark: SparkSession,
       newVecs: DataFrame, dir: String, threshold: Double = 0.95,
       broadcastProbe: Boolean = true): DataFrame = {
+    // the dedup probe's contract is EXACT cosines inside the probed
+    // cells (the bit-exact incremental ≡ full-run equality) — an sq8
+    // index's cells hold quantized codes, whose approximate scores
+    // near the threshold would silently break that equality. Refuse:
+    // dedup indexes are the f32 layout; sq8 is the ANN-serving one.
+    require(Similarity.readIvfStorage(spark, dir)._1 == "f32",
+      s"$dir stores sq8 codes in cells/ — the semantic near-dup probe " +
+        "scores exact f32 cosines inside probed cells; write dedup " +
+        "indexes with storage=f32 (sq8 is the ANN-serving layout)")
     val cents = Similarity.readIvfCentroids(spark, dir)
     val (multiAssign, quantizer) =
       Similarity.readIvfIndexParams(spark, dir)
@@ -2583,6 +2592,15 @@ object Dedup {
             onePerPartition(df.dropDuplicates("vec_id", "cell"),
               "cell", Seq("vec_id")))
         }
+        // the sq8 layout's vectors/ re-rank side compacts like the
+        // shingle datasets: one id-sorted file per vbucket, retried
+        // appends' duplicate rows collapsed
+        if (Similarity.readIvfStorage(spark, dir)._1 == "sq8")
+          swapRewrite(spark, s"$dir/vectors", Seq("vbucket"))(
+            onePerPartition(
+              spark.read.schema(Similarity.vectorsSchema)
+                .parquet(s"$dir/vectors").dropDuplicates("vec_id"),
+              "vbucket", Seq("vec_id")))
     }
 
   // ------------------------- index maintenance: deletion (retractions)
@@ -2715,6 +2733,21 @@ object Dedup {
         catch { case _: org.apache.spark.sql.AnalysisException => None }
       cells.foreach(df =>
         deleteKeyedRows(spark, s"$dir/cells", df, "cell", "vec_id", ids))
+      // sq8 layout: the ids' f32 rows leave vectors/ too, by touched
+      // vbucket — derived from the ids alone (pmod), zero index scan,
+      // the bucketed-shingles deletion economics
+      Similarity.readIvfStorage(spark, dir) match {
+        case ("sq8", vb) =>
+          val touched = ids.select(
+              pmod(ids.col(ids.columns.head).cast("long"), lit(vb.toLong))
+                .cast("int").as("vbucket"))
+            .distinct().collect().map(_.getInt(0)).toSeq
+          deleteKeyedRows(spark, s"$dir/vectors",
+            spark.read.schema(Similarity.vectorsSchema)
+              .parquet(s"$dir/vectors"),
+            "vbucket", "vec_id", ids, knownBuckets = Some(touched))
+        case _ => ()
+      }
     case "chunk" => throw new IllegalArgumentException(
       s"$dir is a chunk index — content-addressed, so per-doc deletion " +
         "needs the retracted documents' text: use deleteFromChunkIndex")
@@ -2940,7 +2973,16 @@ object Dedup {
           catch {
             case _: org.apache.spark.sql.AnalysisException => None
           }
-        Seq(row("cells", cells, _.dropDuplicates("vec_id", "cell")))
+        val cellRow = Seq(row("cells", cells,
+          _.dropDuplicates("vec_id", "cell")))
+        // the sq8 layout's f32 re-rank side reports like any other
+        // bucketed sub-dataset
+        if (Similarity.readIvfStorage(spark, dir)._1 == "sq8")
+          cellRow :+ row("vectors",
+            Some(spark.read.schema(Similarity.vectorsSchema)
+              .parquet(s"$dir/vectors")),
+            _.dropDuplicates("vec_id"))
+        else cellRow
     }
     import spark.implicits._
     rows.toDF("family", "dataset", "n_rows", "n_unique_rows",

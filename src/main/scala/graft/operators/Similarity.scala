@@ -565,17 +565,49 @@ object Similarity {
     */
   def writeIvfIndex(corpus: DataFrame, dir: String,
       centroids: Array[(Int, Array[Float])],
-      multiAssign: Int = 1, quantizer: String = "auto"): Unit = {
+      multiAssign: Int = 1, quantizer: String = "auto",
+      storage: String = "f32", vecBuckets: Int = 64): Unit = {
+    require(storage == "f32" || storage == "sq8",
+      s"storage must be 'f32' or 'sq8', got '$storage'")
+    require(vecBuckets > 0, s"vecBuckets must be > 0, got $vecBuckets")
     val spark = corpus.sparkSession
     import spark.implicits._
     val hconf = spark.sparkContext.hadoopConfiguration
-    Seq(s"$dir/centroids", s"$dir/params").foreach { p =>
+    def rm(p: String): Unit = {
       val path = new org.apache.hadoop.fs.Path(p)
       val fs = path.getFileSystem(hconf)
       if (fs.exists(path)) fs.delete(path, true)
     }
-    assignWith(quantizer, corpus, centroids, multiAssign)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+    Seq(s"$dir/centroids", s"$dir/params").foreach(rm)
+    if (storage == "sq8") {
+      // SQ8 layout: `cells/` holds one signed byte per dimension
+      // ([[sq8Encode]]) — the probed hot-read path shrinks 4× — and
+      // the f32 arrays move to `vectors/`, PARTITIONED BY
+      // `vbucket = pmod(vec_id, vecBuckets)` so the exact re-rank
+      // reads only the candidate ids' buckets (the dedup families'
+      // bucketed-shingles economics applied to the re-rank side).
+      // vectors FIRST: a crash between the two data writes leaves
+      // unreferenced f32 rows (harmless), never quantized candidates
+      // whose exact re-rank rows are missing (the re-rank inner join
+      // would silently drop those pairs)
+      corpus.select(col("vec_id"), col("embedding"))
+        .withColumn("vbucket", vecBucket(vecBuckets)(col("vec_id")))
+        .write.mode("overwrite").partitionBy("vbucket")
+        .parquet(s"$dir/vectors")
+      assignWith(quantizer, corpus, centroids, multiAssign)
+        .withColumn("code", native.sq8_encode(col("embedding")))
+        .drop("embedding")
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$dir/cells")
+    } else {
+      // an f32 overwrite of a previous sq8 layout must not leave a
+      // stale vectors/ behind (params will say f32, so nothing reads
+      // it — but a listing-based operator surface would misread the
+      // layout)
+      rm(s"$dir/vectors")
+      assignWith(quantizer, corpus, centroids, multiAssign)
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+    }
     // centroids then params LAST (nlist rows / one row — driver-sized
     // writes): a crash mid-write leaves an index the self-describing
     // probes refuse (no centroids / no params) rather than one probed
@@ -586,8 +618,42 @@ object Similarity {
     spark.range(1).select(
       lit(multiAssign).as("multi_assign"),
       lit(resolvedDispatch(quantizer, centroids, multiAssign))
-        .as("quantizer"))
+        .as("quantizer"),
+      lit(storage).as("storage"),
+      lit(if (storage == "sq8") vecBuckets else 0).as("vec_buckets"))
       .write.mode("overwrite").parquet(s"$dir/params")
+  }
+
+  /** The vectors/ partition expression of the SQ8 layout — INT like
+    * every other index partition column (a cast on the partition
+    * attribute defeats dynamic partition pruning). */
+  private def vecBucket(n: Int)(id: org.apache.spark.sql.Column) =
+    pmod(id, lit(n.toLong)).cast("int")
+
+  // vectors/ probe-side schema declared explicitly (no footer-listing
+  // inference per probe; an empty corpus' partitionBy writes no files)
+  private[operators] val vectorsSchema =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("vbucket",
+        org.apache.spark.sql.types.IntegerType)))
+
+  /** The stored cell-data representation of a [[writeIvfIndex]] layout:
+    * ("f32", 0) — the classic layout, cells/ holds the float arrays —
+    * or ("sq8", vecBuckets) — cells/ holds int8 codes and the f32
+    * arrays live in vectors/ under vecBuckets id-hash partitions.
+    * Indexes written before the storage column existed are f32. */
+  def readIvfStorage(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (String, Int) = {
+    val df = spark.read.parquet(s"$dir/params")
+    if (df.schema.fieldNames.contains("storage")) {
+      val r = df.head()
+      (r.getAs[String]("storage"), r.getAs[Int]("vec_buckets"))
+    } else ("f32", 0)
   }
 
   /** Fold a NEW vector batch into a [[writeIvfIndex]] layout — the
@@ -621,6 +687,7 @@ object Similarity {
     val spark = batch.sparkSession
     val cents = readIvfCentroids(spark, dir)
     val (multiAssign, quantizer) = readIvfIndexParams(spark, dir)
+    val (storage, vecBuckets) = readIvfStorage(spark, dir)
     val stored =
       try Some(spark.read.parquet(s"$dir/cells").schema.fieldNames.toSet)
       catch {
@@ -629,13 +696,29 @@ object Similarity {
         case _: org.apache.spark.sql.AnalysisException => None
       }
     stored.foreach { cols =>
-      val batchCols = batch.columns.toSet + "cell"
+      // under sq8 storage the batch carries `embedding` where the
+      // stored cells carry `code` — the batch is always the RAW shape
+      val batchCols =
+        if (storage == "sq8")
+          batch.columns.toSet - "embedding" + "code" + "cell"
+        else batch.columns.toSet + "cell"
       require(batchCols == cols,
         s"appendIvfIndex: batch columns ${batch.columns.sorted.mkString(",")} " +
           s"do not match the indexed corpus' ${cols.toSeq.sorted.mkString(",")}")
     }
-    assignWith(quantizer, batch, cents, multiAssign)
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+    if (storage == "sq8") {
+      // same write order as [[writeIvfIndex]]'s sq8 path, same reason
+      batch.select(col("vec_id"), col("embedding"))
+        .withColumn("vbucket", vecBucket(vecBuckets)(col("vec_id")))
+        .write.mode("append").partitionBy("vbucket")
+        .parquet(s"$dir/vectors")
+      assignWith(quantizer, batch, cents, multiAssign)
+        .withColumn("code", native.sq8_encode(col("embedding")))
+        .drop("embedding")
+        .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+    } else
+      assignWith(quantizer, batch, cents, multiAssign)
+        .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
   }
 
   /** Re-train a [[writeIvfIndex]] layout's geometry over its CURRENT
@@ -680,7 +763,8 @@ object Similarity {
     */
   def rebuildIvfIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, nlist: Int, iters: Int = 2,
-      multiAssign: Int = 0, quantizer: String = ""): Unit = {
+      multiAssign: Int = 0, quantizer: String = "",
+      storage: String = "", vecBuckets: Int = 0): Unit = {
     import org.apache.hadoop.fs.Path
     val staged = new Path(s"$dir/rebuild_staged")
     val fs = staged.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -689,29 +773,49 @@ object Similarity {
       require(fs.exists(staged),
         s"rebuildIvfIndex: $dir has neither params/ (a valid index) " +
           "nor rebuild_staged/ (a crashed rebuild to resume)")
-      require(multiAssign >= 1 && quantizer.nonEmpty,
+      require(multiAssign >= 1 && quantizer.nonEmpty && storage.nonEmpty,
         "rebuildIvfIndex recovery: the stored geometry died with " +
-          "params/ — pass multiAssign and quantizer explicitly")
+          "params/ — pass multiAssign, quantizer, and storage " +
+          "explicitly (and vecBuckets for storage=sq8)")
+      require(storage != "sq8" || vecBuckets >= 1,
+        "rebuildIvfIndex recovery: storage=sq8 needs vecBuckets")
     } else {
       val (sm, sq) = readIvfIndexParams(spark, dir)
+      val (ss, svb) = readIvfStorage(spark, dir)
       if (fs.exists(staged)) fs.delete(staged, true)
-      spark.read.parquet(s"$dir/cells")
+      // the staged corpus is always the RAW (embedding-carrying)
+      // shape: under sq8 storage the f32 arrays come back from
+      // vectors/ joined to the cells' extra columns, so retraining
+      // sees exact floats, never dequantized codes
+      val base = spark.read.parquet(s"$dir/cells")
         .dropDuplicates("vec_id").drop("cell")
-        .write.parquet(staged.toString)
+      val raw =
+        if (ss == "sq8")
+          base.drop("code").join(
+            spark.read.schema(vectorsSchema).parquet(s"$dir/vectors")
+              .select(col("vec_id"), col("embedding"))
+              .dropDuplicates("vec_id"),
+            Seq("vec_id"))
+        else base
+      raw.write.parquet(staged.toString)
       return rebuildStaged(spark, dir, staged, nlist, iters,
         if (multiAssign >= 1) multiAssign else sm,
-        if (quantizer.nonEmpty) quantizer else sq)
+        if (quantizer.nonEmpty) quantizer else sq,
+        if (storage.nonEmpty) storage else ss,
+        if (vecBuckets >= 1) vecBuckets else math.max(svb, 1))
     }
     rebuildStaged(spark, dir, staged, nlist, iters, multiAssign,
-      quantizer)
+      quantizer, storage, math.max(vecBuckets, 1))
   }
 
   private def rebuildStaged(spark: org.apache.spark.sql.SparkSession,
       dir: String, staged: org.apache.hadoop.fs.Path, nlist: Int,
-      iters: Int, multiAssign: Int, quantizer: String): Unit = {
+      iters: Int, multiAssign: Int, quantizer: String,
+      storage: String, vecBuckets: Int): Unit = {
     val corpus = spark.read.parquet(staged.toString)
     val cents = kmeansCentroids(corpus, nlist, iters, quantizer)
-    writeIvfIndex(corpus, dir, cents, multiAssign, quantizer)
+    writeIvfIndex(corpus, dir, cents, multiAssign, quantizer,
+      storage, vecBuckets)
     val fs = staged.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(staged, true)
   }
@@ -742,13 +846,27 @@ object Similarity {
     * candidates collapse before ranking. The `centroids` argument MUST
     * be the array the index was written with — use
     * [[ivfTopKIndexedSelf]] when in doubt (it reads the stored copy).
+    *
+    * On an SQ8-storage index the probe is the two-stage
+    * [[sq8ProbeAndRank]]: quantized scan of the probed cells (4×
+    * fewer bytes), then exact re-rank of the `rerank` best candidates
+    * per query from the bucket-pruned f32 `vectors/`. `rerank` (0 =
+    * the 4·k default) tunes recall against re-rank IO; with `rerank`
+    * ≥ the probed candidate count the result is BIT-IDENTICAL to the
+    * f32 probe at the same nprobe (every candidate re-scored exactly
+    * — q108's hash-proven contract). Ignored on f32 storage.
     */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, queries: DataFrame,
       centroids: Array[(Int, Array[Float])], k: Int = 10,
-      nprobe: Int = 4, multiAssigned: Boolean = false): DataFrame =
-    probeAndRank(spark.read.parquet(s"$indexDir/cells"), queries,
-      centroids, k, nprobe, dedupCandidates = multiAssigned)
+      nprobe: Int = 4, multiAssigned: Boolean = false,
+      rerank: Int = 0): DataFrame =
+    readIvfStorage(spark, indexDir) match {
+      case ("sq8", vb) => sq8ProbeAndRank(spark, indexDir, queries,
+        centroids, k, nprobe, rerank, multiAssigned, None, vb)
+      case _ => probeAndRank(spark.read.parquet(s"$indexDir/cells"),
+        queries, centroids, k, nprobe, dedupCandidates = multiAssigned)
+    }
 
   /** [[ivfTopKIndexed]] probing with the index's own STORED centroids —
     * the self-describing form: no caller-held state, no way to probe
@@ -757,9 +875,11 @@ object Similarity {
     * round-trip end-to-end. */
   def ivfTopKIndexedSelf(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, queries: DataFrame, k: Int = 10,
-      nprobe: Int = 4, multiAssigned: Boolean = false): DataFrame =
+      nprobe: Int = 4, multiAssigned: Boolean = false,
+      rerank: Int = 0): DataFrame =
     ivfTopKIndexed(spark, indexDir, queries,
-      readIvfCentroids(spark, indexDir), k, nprobe, multiAssigned)
+      readIvfCentroids(spark, indexDir), k, nprobe, multiAssigned,
+      rerank)
 
   /** FILTERED ANN against a written IVF index: top-k restricted to
     * index vectors satisfying `predicate` (over the cells/ columns —
@@ -775,15 +895,101 @@ object Similarity {
     * at `nprobe = nlist` the result is EXACT filtered top-k (q103's
     * hash-proven contract), at smaller nprobe the usual IVF recall
     * trade applies per cell actually probed.
+    *
+    * On an SQ8-storage index the predicate filters the QUANTIZED
+    * scan (cells/ carries the extra columns), candidates re-rank
+    * exactly from `vectors/` — the [[ivfTopKIndexed]] sq8 contract
+    * with the same `rerank` knob: at nprobe = nlist and rerank ≥ the
+    * matching candidate count the result is exact filtered top-k,
+    * bit-identical to the f32 layout's.
     */
   def ivfTopKIndexedWhere(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, queries: DataFrame,
       predicate: org.apache.spark.sql.Column, k: Int = 10,
-      nprobe: Int = 4, multiAssigned: Boolean = false): DataFrame =
-    probeAndRank(
-      spark.read.parquet(s"$indexDir/cells").where(predicate),
-      queries, readIvfCentroids(spark, indexDir), k, nprobe,
-      dedupCandidates = multiAssigned)
+      nprobe: Int = 4, multiAssigned: Boolean = false,
+      rerank: Int = 0): DataFrame =
+    readIvfStorage(spark, indexDir) match {
+      case ("sq8", vb) => sq8ProbeAndRank(spark, indexDir, queries,
+        readIvfCentroids(spark, indexDir), k, nprobe, rerank,
+        multiAssigned, Some(predicate), vb)
+      case _ => probeAndRank(
+        spark.read.parquet(s"$indexDir/cells").where(predicate),
+        queries, readIvfCentroids(spark, indexDir), k, nprobe,
+        dedupCandidates = multiAssigned)
+    }
+
+  /** The SQ8 probe: quantized candidate scan, then exact re-rank —
+    * [[sq8TopK]]'s two stages mapped onto the persisted layout so BOTH
+    * stages stay IO-pruned at 100 TB:
+    *
+    *   1. the probe join keys on the `cells/` PARTITION column with
+    *      the broadcast (query, probed-cell) pairs, so dynamic
+    *      partition pruning restricts the scan to probed cells — and
+    *      each scanned row is d BYTES of code, not 4d of floats (the
+    *      4× the storage bought); the quantized cosine ranks
+    *      candidates and the best `rerank` per query survive;
+    *   2. the survivors (≤ rerank·|queries| rows — candidate-scale,
+    *      broadcastable by the same argument as the probe itself)
+    *      carry their DERIVED `vbucket = pmod(vec_id, vecBuckets)`
+    *      into a broadcast join against `vectors/`, so the f32 read
+    *      prunes to the candidates' buckets (file IO ∝ candidates,
+    *      the bucketed-shingles verify economics) — and the exact
+    *      [[native.fvec_cosine]] arithmetic (every exact surface's)
+    *      re-scores them for the final k.
+    *
+    * With rerank ≥ all probed candidates stage 2 re-scores everything
+    * and the output is bit-identical to the f32 probe at the same
+    * nprobe; at production rerank (a few × k) the quantized stage's
+    * ranking error is confined to the tail [[sq8RecallStats]]
+    * quantifies. Retried-append duplicate rows collapse before
+    * ranking (codes) and before re-scoring (vectors).
+    */
+  private def sq8ProbeAndRank(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queries: DataFrame,
+      centroids: Array[(Int, Array[Float])], k: Int, nprobe: Int,
+      rerank: Int, multiAssigned: Boolean,
+      predicate: Option[org.apache.spark.sql.Column],
+      vecBuckets: Int): DataFrame = {
+    val r = if (rerank > 0) rerank else 4 * k
+    val probes = queries.select(
+      col("vec_id").as("query_id"),
+      native.sq8_encode(col("embedding")).as("qcode"),
+      explode(probeCells(centroids, nprobe)).as("cell"))
+      // vacuously-true binary comparison marking the probe side
+      // likely-selective so dynamic partition pruning fires (the
+      // minhash-probe trick)
+      .where(col("cell") >= 0)
+    val scan0 = spark.read.parquet(s"$indexDir/cells")
+    val scan = predicate.fold(scan0)(p => scan0.where(p))
+    val scored = scan.join(broadcast(probes), Seq("cell"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        native.i8vec_cosine(col("qcode"), col("code")).as("cosine8"))
+    // multi-assigned indexes hold a candidate once per assigned cell;
+    // a retried append holds whole rows twice — both collapse here so
+    // duplicates cannot occupy re-rank slots
+    val distinctScored =
+      if (multiAssigned) scored.dropDuplicates("query_id", "vec_id")
+      else scored
+    val cand = topKByScoreDesc(distinctScored, r, score = "cosine8")
+      .select(col("query_id"), col("vec_id"))
+      .withColumn("vbucket", vecBucket(vecBuckets)(col("vec_id")))
+      .where(col("vec_id") >= lit(Long.MinValue)) // DPP marker
+    val vecs = spark.read.schema(vectorsSchema)
+      .parquet(s"$indexDir/vectors")
+      .join(broadcast(cand), Seq("vbucket", "vec_id"))
+      // a retried append's duplicate vector rows re-score identically
+      // but would duplicate output pairs
+      .dropDuplicates("query_id", "vec_id")
+    val qv = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("query_vec")))
+    topKByScoreDesc(
+      vecs.join(qv, Seq("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          native.fvec_cosine(col("query_vec"), col("embedding"))
+            .as("cosine")),
+      k)
+  }
 
   /** Engine-portable exact top-k on quantized vectors: components rounded
     * to 1e-3 and summed as integers, so the score is exactly reproducible

@@ -419,7 +419,7 @@ class IndexMaintenanceSpec extends SparkSuite {
       Similarity.rebuildIvfIndex(spark, dir, nlist = 4)
     }
     Similarity.rebuildIvfIndex(spark, dir, nlist = 4,
-      multiAssign = 1, quantizer = "auto")
+      multiAssign = 1, quantizer = "auto", storage = "f32")
     assert(pairSet(Dedup.semanticNearDupAgainstIndex(spark, probe, dir,
       threshold = 0.9)).nonEmpty)
     assert(spark.read.parquet(s"$dir/cells")
@@ -429,7 +429,7 @@ class IndexMaintenanceSpec extends SparkSuite {
     // a dir with neither params/ nor a staged corpus refuses
     intercept[IllegalArgumentException] {
       Similarity.rebuildIvfIndex(spark, tmp("norebuild"), nlist = 2,
-        multiAssign = 1, quantizer = "auto")
+        multiAssign = 1, quantizer = "auto", storage = "f32")
     }
   }
 

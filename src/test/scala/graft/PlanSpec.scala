@@ -124,6 +124,32 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("dynamicpruning"), p.take(3000))
   }
 
+  test("SQ8-storage IVF probe: BOTH stages prune — the quantized " +
+      "cells scan to probed cells, the f32 vectors scan to the " +
+      "candidates' vbuckets; the filtered variant pushes the " +
+      "predicate into the quantized scan") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val cents = graft.operators.Similarity.collectCentroids(
+      graft.operators.Similarity.ivfCentroids(emb, nlist = 8))
+    val dir = java.nio.file.Files
+      .createTempDirectory("sq8plan").toString
+    graft.operators.Similarity.writeIvfIndex(emb, dir, cents,
+      storage = "sq8", vecBuckets = 8)
+    val p = plan(graft.operators.Similarity.ivfTopKIndexed(spark, dir,
+      emb.where(col("vec_id") < 5), cents, k = 10, nprobe = 2))
+    // one dynamicpruning filter per stage: cells (probe join on the
+    // cell partition column) and vectors (re-rank join on vbucket)
+    val first = p.indexOf("dynamicpruning")
+    assert(first >= 0, p.take(3000))
+    assert(p.indexOf("dynamicpruning", first + 1) > first,
+      "expected BOTH the cells and vectors scans pruned:\n" +
+        p.take(4000))
+    val pw = plan(graft.operators.Similarity.ivfTopKIndexedWhere(spark,
+      dir, emb.where(col("vec_id") < 2), col("label") === 3, k = 5,
+      nprobe = 2))
+    assert(pw.contains("EqualTo(label,3)"), pw.take(3000))
+  }
+
   test("minhash index probe scan is dynamically partition-pruned to " +
       "the batch's band buckets") {
     val docs = spark.read.parquet(sf() + "/documents.parquet")

@@ -340,4 +340,132 @@ class SimilaritySpec extends SparkSuite {
     assert(stats.getInt(3) === d * 4 &&
       stats.getInt(4) === d) // the 4× storage story, from the data
   }
+
+  test("SQ8-storage IVF index: quantized probed scan + bucket-pruned " +
+      "exact re-rank — full probe/full re-rank bit-identical to the " +
+      "f32 index; production re-rank holds the recall gate with EXACT " +
+      "scores; the filtered probe matches filtered brute force") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val queries = emb.where($"vec_id" < 5)
+    val cents = Similarity.collectCentroids(
+      Similarity.ivfCentroids(emb, nlist = 8))
+    val f32Dir = java.nio.file.Files
+      .createTempDirectory("ivf_f32").toString
+    val sqDir = java.nio.file.Files
+      .createTempDirectory("ivf_sq8").toString
+    Similarity.writeIvfIndex(emb, f32Dir, cents)
+    Similarity.writeIvfIndex(emb, sqDir, cents, storage = "sq8",
+      vecBuckets = 8)
+    // the layout: cells/ holds codes (no f32), vectors/ holds the f32
+    // arrays under id-hash bucket partitions
+    val cellCols = spark.read.parquet(s"$sqDir/cells")
+      .schema.fieldNames.toSet
+    assert(cellCols.contains("code") && !cellCols.contains("embedding"))
+    assert(new java.io.File(s"$sqDir/vectors").listFiles()
+      .count(_.getName.startsWith("vbucket=")) > 1)
+    assert(Similarity.readIvfStorage(spark, sqDir) === ("sq8", 8))
+    assert(Similarity.readIvfStorage(spark, f32Dir) === ("f32", 0))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"query_id", $"rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSeq
+    // full probe + full re-rank: every candidate re-scored exactly →
+    // bit-identical to the f32 probe (scores AND ranks)
+    val exact = rows(Similarity.ivfTopKIndexedSelf(spark, f32Dir,
+      queries, k = 10, nprobe = 8))
+    assert(rows(Similarity.ivfTopKIndexedSelf(spark, sqDir, queries,
+      k = 10, nprobe = 8, rerank = 1000000)) === exact)
+    // production re-rank (4k): the recall gate holds, and every
+    // returned pair's cosine is the EXACT f32 score (re-rank always
+    // re-scores — quantization error can only hide in WHICH tail
+    // candidates made the cut, never in a reported score)
+    val prod = rows(Similarity.ivfTopKIndexedSelf(spark, sqDir,
+      queries, k = 10, nprobe = 8))
+    val exactPairs = exact.map(r => (r._1, r._2)).toSet
+    val recall = prod.map(r => (r._1, r._2)).toSet
+      .intersect(exactPairs).size.toDouble / exact.size
+    assert(recall >= 0.9, s"sq8 indexed recall@10 $recall")
+    val exactScore = exact.map(r => (r._1, r._2) -> r._3).toMap
+    assert(prod.forall(r => exactScore.get((r._1, r._2))
+      .forall(_ === r._3)))
+    // filtered probe: predicate lands in the quantized scan (cells/
+    // carries the extra columns); at full probe/re-rank it equals
+    // brute force over the pre-filtered corpus bit-exactly
+    assert(rows(Similarity.ivfTopKIndexedWhere(spark, sqDir, queries,
+      col("label") === 3, k = 10, nprobe = 8, rerank = 1000000)) ===
+      rows(Similarity.bruteForceTopK(emb.where($"label" === 3),
+        queries, k = 10)))
+  }
+
+  test("SQ8 IVF lifecycle: append folds raw batches in (vectors/ + " +
+      "codes), compaction collapses retried-append duplicates, " +
+      "deletion is vbucket-local, rebuild keeps the sq8 storage, and " +
+      "the semantic-dedup probe refuses the quantized layout") {
+    import graft.operators.Dedup
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+      .localCheckpoint()
+    val queries = emb.where($"vec_id" < 5).localCheckpoint()
+    val base = emb.where($"vec_id" % 2 === 0)
+    val batch = emb.where($"vec_id" % 2 =!= 0)
+    val cents = Similarity.collectCentroids(
+      Similarity.ivfCentroids(emb, nlist = 8))
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf_sq8life").toString
+    Similarity.writeIvfIndex(base, dir, cents, storage = "sq8",
+      vecBuckets = 8)
+    Similarity.appendIvfIndex(batch, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"query_id", $"rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSeq
+    def probe() = rows(Similarity.ivfTopKIndexedSelf(spark, dir,
+      queries, k = 10, nprobe = 8, rerank = 1000000))
+    // append-then-probe ≡ whole-corpus brute force (codes and cells
+    // are per-row functions of (vector, stored geometry))
+    val whole = rows(Similarity.bruteForceTopK(emb, queries, k = 10))
+    assert(probe() === whole)
+    // retried append: answers unchanged at the duplicate-row price;
+    // compaction reclaims both sub-datasets to one file per partition
+    Similarity.appendIvfIndex(batch, dir)
+    assert(probe() === whole)
+    val vecs = () => spark.read.parquet(s"$dir/vectors")
+    assert(vecs().count() > vecs().dropDuplicates("vec_id").count())
+    Dedup.compactIndex(spark, dir)
+    assert(vecs().count() === vecs().dropDuplicates("vec_id").count())
+    assert(probe() === whole)
+    // stats surface reports the re-rank side like any bucketed dataset
+    val stats = Dedup.indexStats(spark, dir)
+    assert(stats.where($"dataset" === "vectors").count() === 1L)
+    // deletion: the id leaves cells AND vectors, by touched vbucket —
+    // untouched vbucket part files stay byte-identical by name
+    def fileNames(sub: String): Map[String, Set[String]] =
+      new java.io.File(sub).listFiles().filter(_.isDirectory)
+        .map(d => d.getName ->
+          d.listFiles().map(_.getName).filter(_.endsWith(".parquet"))
+            .toSet).toMap
+    val before = fileNames(s"$dir/vectors")
+    Dedup.deleteFromIndex(spark, dir, Seq(2L).toDF("vec_id"))
+    val after = fileNames(s"$dir/vectors")
+    (before.keySet - "vbucket=2").foreach(b =>
+      assert(after(b) === before(b), s"untouched $b rewritten"))
+    assert(after("vbucket=2") !== before("vbucket=2"))
+    assert(vecs().where($"vec_id" === 2L).count() === 0L)
+    assert(spark.read.parquet(s"$dir/cells")
+      .where($"vec_id" === 2L).count() === 0L)
+    val minus2 = rows(Similarity.bruteForceTopK(
+      emb.where($"vec_id" =!= 2L), queries, k = 10))
+    assert(probe() === minus2)
+    // rebuild re-trains geometry from the EXACT staged floats and
+    // keeps the sq8 storage + bucket count
+    Similarity.rebuildIvfIndex(spark, dir, nlist = 4, iters = 1)
+    assert(Similarity.readIvfStorage(spark, dir) === ("sq8", 8))
+    assert(rows(Similarity.ivfTopKIndexedSelf(spark, dir, queries,
+      k = 10, nprobe = 4, rerank = 1000000)) === minus2)
+    // the semantic-dedup probe needs exact f32 cells — refuses sq8
+    val e = intercept[IllegalArgumentException] {
+      Dedup.semanticNearDupAgainstIndex(spark,
+        queries.select($"vec_id", $"embedding"), dir)
+    }
+    assert(e.getMessage.contains("f32"))
+  }
 }

@@ -41,6 +41,13 @@ import org.apache.spark.sql.SparkSession
   *     big-big pairs the weekly incremental probe deliberately skips;
   *     pairs land under `outDir`, one JSON line reports the count.
   *     Run it at `maintain` cadence.
+  *   - `break-lease <dir>` — [[graft.operators.Lease.breakLease]]:
+  *     the STALE-lease takeover surface. Every mutating pass above
+  *     holds `<dir>/_LEASE` while it runs and a concurrent writer
+  *     refuses naming the holder; when the holder's process CRASHED
+  *     (and only then — breaking a live writer's lease re-creates the
+  *     double-writer hazard), break the lease and re-run the
+  *     interrupted pass to completion.
   *   - `migrate-shingles <indexRoot> [buckets]` —
   *     [[graft.operators.Dedup.migrateShingleBuckets]] over the
   *     minhash and containment families present under `indexRoot`:
@@ -64,7 +71,8 @@ object CorpusMain {
         |       CorpusMain index-benchmark <suiteDir> <benchDir> [append]
         |       CorpusMain rebuild-ivf <indexRoot> <nlist>
         |       CorpusMain sweep-containment <corpusDir> <outDir> <threshold> [sampleK]
-        |       CorpusMain migrate-shingles <indexRoot> [buckets]""".stripMargin)
+        |       CorpusMain migrate-shingles <indexRoot> [buckets]
+        |       CorpusMain break-lease <dir>""".stripMargin)
     sys.exit(2)
   }
 
@@ -155,6 +163,9 @@ object CorpusMain {
               s"$indexRoot/$f", buckets)
             println(s"""{"migrated":"$indexRoot/$f","buckets":$buckets}""")
           }
+      case "break-lease" :: dir :: Nil =>
+        graft.operators.Lease.breakLease(spark, dir)
+        println(s"""{"lease_broken":"$dir"}""")
       case "sweep-containment" :: corpusDir :: outDir :: threshold ::
           rest if rest.length <= 1 =>
         val pairs = Pipeline.sweepContainment(spark, corpusDir,

@@ -338,298 +338,318 @@ object Pipeline {
 
     if (exists(reportPart)) return readBack()
 
-    // ---- modality-drift guard: a refresh that SILENTLY OMITS a
-    // modality this corpus runs with (embeddings / containment /
-    // benchmark flag forgotten on one cron line) would leave that
-    // index blind to the batch and publish schema-divergent rows — so
-    // the corpus records its modality set under `modalities/` and an
-    // omission is REFUSED. Explicit ADOPTION of a new modality
-    // mid-corpus is allowed (the flag's presence is the operator's
-    // deliberate act) and updates the marker; the adopting batch's
-    // index starts from that batch (earlier batches are not
-    // retro-probed, and earlier published partitions lack the
-    // benchmark columns — read the corpus with mergeSchema if adopted
-    // mid-way). Corpora published before the marker existed are
-    // validated from the standing index dirs once, then stamped.
-    val askedModalities = (embeddings.isDefined,
-      containmentThreshold.isDefined, benchmarkIndexDir.isDefined)
-    val modalitiesPath = s"$corpusDir/modalities"
-    val storedModalities =
-      if (exists(modalitiesPath)) {
-        val r = spark.read.parquet(modalitiesPath).head()
-        Some((r.getAs[Boolean]("semantic"),
-          r.getAs[Boolean]("containment"), r.getAs[Boolean]("benchmark")))
-      } else None
-    storedModalities match {
-      case Some(stored) =>
-        val omitted = Seq("semantic" -> (stored._1 && !askedModalities._1),
-          "containment" -> (stored._2 && !askedModalities._2),
-          "benchmark" -> (stored._3 && !askedModalities._3))
-          .collect { case (name, true) => name }
-        require(omitted.isEmpty,
-          s"refreshCorpus modality drift: this corpus runs with the " +
-            s"${omitted.mkString(", ")} modalit${
-              if (omitted.size == 1) "y" else "ies"} but this call " +
-            "omits it — pass the same knobs on every refresh (an " +
-            "omitted modality leaves its index blind to the batch)")
-      case None =>
-        require(!(exists(s"$indexRoot/ivf/params") && embeddings.isEmpty),
-          s"$indexRoot/ivf stands but this refresh passes no " +
-            "embeddings — omitting a standing modality is refused")
-        require(!(exists(s"$indexRoot/containment/params") &&
-            containmentThreshold.isEmpty),
-          s"$indexRoot/containment stands but this refresh passes no " +
-            "containmentThreshold — omitting a standing modality is " +
-            "refused")
-    }
-    if (!storedModalities.contains(askedModalities))
-      stagedWrite(spark,
-        spark.range(1).select(
-          lit(askedModalities._1).as("semantic"),
-          lit(askedModalities._2).as("containment"),
-          lit(askedModalities._3).as("benchmark")),
-        modalitiesPath)
-    // baseline for [[retractCorpus]]'s scan-free remaining-count
-    // arithmetic: a corpus CREATED by this code starts at adjustment 0
-    // (sum of reports' n_published ≡ corpus rows until a retraction
-    // ledgers itself); pre-existing corpora get theirs stamped by the
-    // first post-upgrade retraction (one full count, once)
-    if (!exists(s"$corpusDir/corpus")) {
-      import spark.implicits._
-      stagedWrite(spark, Seq(0L).toDF("n_adjust"),
-        s"$corpusDir/retraction_base")
-    }
+    // ---- single-writer lease (writer-vs-writer only — probes never
+    // consult it): everything below mutates corpusDir and the family
+    // dirs, and a concurrent maintain/retract/bridge-append over the
+    // same dirs must refuse, not interleave its staged renames with
+    // ours ([[graft.operators.Lease]] has the stale-takeover
+    // contract). ivf/containment join the lease set exactly when this
+    // refresh runs those modalities.
+    val leaseDirs = Seq(corpusDir, minhashDir, hammingDir, chunkDir) ++
+      embeddings.map(_ => s"$indexRoot/ivf") ++
+      containmentThreshold.map(_ => s"$indexRoot/containment")
+    graft.operators.Lease.withLeases(spark, leaseDirs,
+      "refreshCorpus") {
 
-    val persisted = batch
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // once an index exists, its STORED params drive BOTH the
-    // within-batch passes and the appends (the streaming bridges'
-    // rule): a call with different knobs than the index was written
-    // with must neither run mismatched within-batch geometry nor wedge
-    // the lifecycle mid-way when the append's params guard refuses —
-    // the caller arguments only ever shape the FIRST batch
-    val mhParams =
-      if (exists(s"$minhashDir/params"))
-        Some(Dedup.readMinhashIndexParams(spark, minhashDir))
-      else None
-    val hmParams =
-      if (exists(s"$hammingDir/params"))
-        Some(Dedup.readHammingIndexParams(spark, hammingDir))
-      else None
-    val chParams =
-      if (exists(s"$chunkDir/params"))
-        Some(Dedup.readChunkIndexParams(spark, chunkDir))
-      else None
-    val ctParams =
-      if (exists(s"$indexRoot/containment/params"))
-        Some(Dedup.readContainmentIndexParams(spark,
-          s"$indexRoot/containment"))
-      else None
-    try {
-      val doc = persisted.select(col("doc_id"), col("text"))
-      if (!exists(corpusPart)) {
-        // ---- probe: within-batch ∪ against-index duplicate pairs
-        val score = (family: String, c: Column) => Seq(
-          lit(family).as("family"), c.cast("double").as("score"))
-        def pairsOf(df: DataFrame, family: String, c: String) =
-          df.select(col("id_a") +: col("id_b") +: score(family, col(c)): _*)
-        var pairs = pairsOf(mhParams match {
-          case Some((nsw, nh, nb, _)) => Dedup.jaccardVerify(doc,
-            Dedup.minhashCandidates(doc, nsw, nh, nb), nsw,
-            jaccardThreshold)
-          case None => Dedup.nearDupPairs(doc, jaccardThreshold)
-        }, "jaccard", "jaccard")
-        val sigs = Dedup.simhash(doc)
-        pairs = pairs.unionByName(pairsOf(
-          Dedup.hammingCandidates(sigs,
-            hmParams.map(_._1).getOrElse(maxHamming)),
-          "hamming", "hamming"))
+      // ---- modality-drift guard: a refresh that SILENTLY OMITS a
+      // modality this corpus runs with (embeddings / containment /
+      // benchmark flag forgotten on one cron line) would leave that
+      // index blind to the batch and publish schema-divergent rows — so
+      // the corpus records its modality set under `modalities/` and an
+      // omission is REFUSED. Explicit ADOPTION of a new modality
+      // mid-corpus is allowed (the flag's presence is the operator's
+      // deliberate act) and updates the marker; the adopting batch's
+      // index starts from that batch (earlier batches are not
+      // retro-probed, and earlier published partitions lack the
+      // benchmark columns — read the corpus with mergeSchema if adopted
+      // mid-way). Corpora published before the marker existed are
+      // validated from the standing index dirs once, then stamped.
+      val askedModalities = (embeddings.isDefined,
+        containmentThreshold.isDefined, benchmarkIndexDir.isDefined)
+      val modalitiesPath = s"$corpusDir/modalities"
+      val storedModalities =
+        if (exists(modalitiesPath)) {
+          val r = spark.read.parquet(modalitiesPath).head()
+          Some((r.getAs[Boolean]("semantic"),
+            r.getAs[Boolean]("containment"), r.getAs[Boolean]("benchmark")))
+        } else None
+      storedModalities match {
+        case Some(stored) =>
+          val omitted = Seq("semantic" -> (stored._1 && !askedModalities._1),
+            "containment" -> (stored._2 && !askedModalities._2),
+            "benchmark" -> (stored._3 && !askedModalities._3))
+            .collect { case (name, true) => name }
+          require(omitted.isEmpty,
+            s"refreshCorpus modality drift: this corpus runs with the " +
+              s"${omitted.mkString(", ")} modalit${
+                if (omitted.size == 1) "y" else "ies"} but this call " +
+              "omits it — pass the same knobs on every refresh (an " +
+              "omitted modality leaves its index blind to the batch)")
+        case None =>
+          require(!(exists(s"$indexRoot/ivf/params") && embeddings.isEmpty),
+            s"$indexRoot/ivf stands but this refresh passes no " +
+              "embeddings — omitting a standing modality is refused")
+          require(!(exists(s"$indexRoot/containment/params") &&
+              containmentThreshold.isEmpty),
+            s"$indexRoot/containment stands but this refresh passes no " +
+              "containmentThreshold — omitting a standing modality is " +
+              "refused")
+      }
+      if (!storedModalities.contains(askedModalities))
+        stagedWrite(spark,
+          spark.range(1).select(
+            lit(askedModalities._1).as("semantic"),
+            lit(askedModalities._2).as("containment"),
+            lit(askedModalities._3).as("benchmark")),
+          modalitiesPath)
+      // baseline for [[retractCorpus]]'s scan-free remaining-count
+      // arithmetic: a corpus CREATED by this code starts at adjustment 0
+      // (sum of reports' n_published ≡ corpus rows until a retraction
+      // ledgers itself); pre-existing corpora get theirs stamped by the
+      // first post-upgrade retraction (one full count, once)
+      if (!exists(s"$corpusDir/corpus")) {
+        import spark.implicits._
+        stagedWrite(spark, Seq(0L).toDF("n_adjust"),
+          s"$corpusDir/retraction_base")
+      }
+
+      val persisted = batch
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // once an index exists, its STORED params drive BOTH the
+      // within-batch passes and the appends (the streaming bridges'
+      // rule): a call with different knobs than the index was written
+      // with must neither run mismatched within-batch geometry nor wedge
+      // the lifecycle mid-way when the append's params guard refuses —
+      // the caller arguments only ever shape the FIRST batch
+      val mhParams =
         if (exists(s"$minhashDir/params"))
-          pairs = pairs.unionByName(pairsOf(
-            Dedup.nearDupAgainstIndex(spark, doc, minhashDir,
-              jaccardThreshold), "jaccard", "jaccard"))
+          Some(Dedup.readMinhashIndexParams(spark, minhashDir))
+        else None
+      val hmParams =
         if (exists(s"$hammingDir/params"))
+          Some(Dedup.readHammingIndexParams(spark, hammingDir))
+        else None
+      val chParams =
+        if (exists(s"$chunkDir/params"))
+          Some(Dedup.readChunkIndexParams(spark, chunkDir))
+        else None
+      val ctParams =
+        if (exists(s"$indexRoot/containment/params"))
+          Some(Dedup.readContainmentIndexParams(spark,
+            s"$indexRoot/containment"))
+        else None
+      try {
+        val doc = persisted.select(col("doc_id"), col("text"))
+        if (!exists(corpusPart)) {
+          // ---- probe: within-batch ∪ against-index duplicate pairs
+          val score = (family: String, c: Column) => Seq(
+            lit(family).as("family"), c.cast("double").as("score"))
+          def pairsOf(df: DataFrame, family: String, c: String) =
+            df.select(col("id_a") +: col("id_b") +: score(family, col(c)): _*)
+          var pairs = pairsOf(mhParams match {
+            case Some((nsw, nh, nb, _)) => Dedup.jaccardVerify(doc,
+              Dedup.minhashCandidates(doc, nsw, nh, nb), nsw,
+              jaccardThreshold)
+            case None => Dedup.nearDupPairs(doc, jaccardThreshold)
+          }, "jaccard", "jaccard")
+          val sigs = Dedup.simhash(doc)
           pairs = pairs.unionByName(pairsOf(
-            Dedup.hammingCandidatesAgainstIndex(spark, sigs, hammingDir),
+            Dedup.hammingCandidates(sigs,
+              hmParams.map(_._1).getOrElse(maxHamming)),
             "hamming", "hamming"))
-        embeddings.foreach { embIn =>
-          val emb = embIn.select(col("vec_id"), col("embedding"))
-          pairs = pairs.unionByName(pairsOf(
-            Dedup.semanticNearDupPairs(emb, nlist = 0,
-              threshold = semanticThreshold, kmeansIters = 1,
-              multiAssign = multiAssign)
-              .select(col("id_a"), col("id_b"), col("cosine")),
-            "cosine", "cosine"))
-          if (exists(s"$indexRoot/ivf/params"))
+          if (exists(s"$minhashDir/params"))
             pairs = pairs.unionByName(pairsOf(
-              Dedup.semanticNearDupAgainstIndex(spark, emb,
-                s"$indexRoot/ivf", semanticThreshold),
+              Dedup.nearDupAgainstIndex(spark, doc, minhashDir,
+                jaccardThreshold), "jaccard", "jaccard"))
+          if (exists(s"$hammingDir/params"))
+            pairs = pairs.unionByName(pairsOf(
+              Dedup.hammingCandidatesAgainstIndex(spark, sigs, hammingDir),
+              "hamming", "hamming"))
+          embeddings.foreach { embIn =>
+            val emb = embIn.select(col("vec_id"), col("embedding"))
+            pairs = pairs.unionByName(pairsOf(
+              Dedup.semanticNearDupPairs(emb, nlist = 0,
+                threshold = semanticThreshold, kmeansIters = 1,
+                multiAssign = multiAssign)
+                .select(col("id_a"), col("id_b"), col("cosine")),
               "cosine", "cosine"))
-        }
-        containmentThreshold.foreach { ct =>
-          // once containment/ exists, ONE probe covers within-batch
-          // AND cross pairs (the df cut is global, so the surface is
-          // unified — [[Dedup.containmentPairsAgainstIndex]]); the
-          // first batch runs the inline pass
-          pairs = pairs.unionByName(pairsOf(
-            if (exists(s"$indexRoot/containment/params"))
-              Dedup.containmentPairsAgainstIndex(spark, doc,
-                s"$indexRoot/containment", threshold = ct)
-            else Dedup.containmentPairs(doc, threshold = ct),
-            "containment", "containment"))
-        }
-        val allPairs = pairs.distinct()
+            if (exists(s"$indexRoot/ivf/params"))
+              pairs = pairs.unionByName(pairsOf(
+                Dedup.semanticNearDupAgainstIndex(spark, emb,
+                  s"$indexRoot/ivf", semanticThreshold),
+                "cosine", "cosine"))
+          }
+          containmentThreshold.foreach { ct =>
+            // once containment/ exists, ONE probe covers within-batch
+            // AND cross pairs (the df cut is global, so the surface is
+            // unified — [[Dedup.containmentPairsAgainstIndex]]); the
+            // first batch runs the inline pass
+            pairs = pairs.unionByName(pairsOf(
+              if (exists(s"$indexRoot/containment/params"))
+                Dedup.containmentPairsAgainstIndex(spark, doc,
+                  s"$indexRoot/containment", threshold = ct)
+              else Dedup.containmentPairs(doc, threshold = ct),
+              "containment", "containment"))
+          }
+          val allPairs = pairs.distinct()
 
-        // ---- document-level drops: keep each duplicate cluster's
-        // canonical min id — for a cross pair that is the indexed
-        // (already published) doc, so the batch member drops
-        val survivors = Dedup.dedupByClusters(doc, allPairs)
+          // ---- document-level drops: keep each duplicate cluster's
+          // canonical min id — for a cross pair that is the indexed
+          // (already published) doc, so the batch member drops
+          val survivors = Dedup.dedupByClusters(doc, allPairs)
 
-        // ---- substring-level cleanup of the survivors' text
-        val cleaned =
-          if (exists(s"$chunkDir/params"))
-            Dedup.dedupChunksAgainstIndex(spark, survivors, chunkDir)
-          else Dedup.dedupChunks(survivors, chunkTokens)
+          // ---- substring-level cleanup of the survivors' text
+          val cleaned =
+            if (exists(s"$chunkDir/params"))
+              Dedup.dedupChunksAgainstIndex(spark, survivors, chunkDir)
+            else Dedup.dedupChunks(survivors, chunkTokens)
 
-        // metadata columns ride along unchanged; text is the cleaned
-        // one. text_original is kept ONLY where cleaning changed the
-        // text (null otherwise — no storage doubling on the common
-        // unchanged path): [[retractCorpus]]'s content-addressed chunk
-        // retraction must re-chunk exactly what the append stage
-        // indexed, and the grid rule's boundaries shift under removal,
-        // so the cleaned text alone could not reproduce them
-        val published0 = persisted.drop("text")
-          .join(cleaned.select(col("doc_id"), col("text"),
-            col("n_chunks"), col("n_kept")), Seq("doc_id"))
-          .join(doc.select(col("doc_id"),
-            col("text").as("text_original")), Seq("doc_id"))
-          .withColumn("text_original",
-            when(col("n_kept") < col("n_chunks"), col("text_original")))
-        // decontamination columns over the CLEANED text — what a
-        // training run would actually consume (probe-only, see param)
-        val published = benchmarkIndexDir.fold(published0)(bench =>
-          published0.join(
-            Dedup.contaminationScreenAgainstIndex(spark,
-              published0.select(col("doc_id"), col("text")), bench),
-            Seq("doc_id")))
-        stagedWrite(spark, allPairs, pairsPart)
-        stagedWrite(spark, published, corpusPart) // the probe-stage commit
-      }
-
-      // ---- append: survivors' ORIGINAL rows into all three families
-      val survOrig = doc.join(
-        spark.read.parquet(corpusPart).select(col("doc_id")),
-        Seq("doc_id"), "left_semi")
-      // append iff params/ stands; CREATE only when the family dir is
-      // absent entirely. The third state — data present, params/
-      // missing (a crash inside a previous append's params rewrite, the
-      // one window the write scaffold discloses) — must REFUSE loudly:
-      // treating it as "create" would mode=overwrite the standing
-      // corpus' signatures down to this one batch with no error, and
-      // every later batch would silently stop deduplicating against
-      // history. Recovery for that state is the per-family contract's:
-      // restore params/ (constant for the minhash/hamming families;
-      // the chunk watermark = the highest appended batch's max id) or
-      // rebuild the index from the published corpus.
-      def mode(d: String) = if (exists(s"$d/params")) "append"
-        else {
-          require(!exists(d),
-            s"$d exists without params/ — a crashed append's params " +
-              "rewrite; restore params/ or rebuild the index before " +
-              "refreshing (refusing to silently overwrite the " +
-              "standing index)")
-          "overwrite"
+          // metadata columns ride along unchanged; text is the cleaned
+          // one. text_original is kept ONLY where cleaning changed the
+          // text (null otherwise — no storage doubling on the common
+          // unchanged path): [[retractCorpus]]'s content-addressed chunk
+          // retraction must re-chunk exactly what the append stage
+          // indexed, and the grid rule's boundaries shift under removal,
+          // so the cleaned text alone could not reproduce them
+          val published0 = persisted.drop("text")
+            .join(cleaned.select(col("doc_id"), col("text"),
+              col("n_chunks"), col("n_kept")), Seq("doc_id"))
+            .join(doc.select(col("doc_id"),
+              col("text").as("text_original")), Seq("doc_id"))
+            .withColumn("text_original",
+              when(col("n_kept") < col("n_chunks"), col("text_original")))
+          // decontamination columns over the CLEANED text — what a
+          // training run would actually consume (probe-only, see param)
+          val published = benchmarkIndexDir.fold(published0)(bench =>
+            published0.join(
+              Dedup.contaminationScreenAgainstIndex(spark,
+                published0.select(col("doc_id"), col("text")), bench),
+              Seq("doc_id")))
+          stagedWrite(spark, allPairs, pairsPart)
+          stagedWrite(spark, published, corpusPart) // the probe-stage commit
         }
-      mhParams match {
-        case Some((nsw, nh, nb, bb)) => Dedup.writeMinhashIndex(
-          survOrig, minhashDir, numShingleWords = nsw, numHashes = nh,
-          bands = nb, bandBuckets = bb, mode = "append")
-        case None => Dedup.writeMinhashIndex(survOrig, minhashDir,
-          bandBuckets = bandBuckets, mode = mode(minhashDir))
-      }
-      hmParams match {
-        case Some((radius, pb)) => Dedup.writeHammingIndex(
-          Dedup.simhash(survOrig), hammingDir, maxHamming = radius,
-          pieceBuckets = pb, mode = "append")
-        case None => Dedup.writeHammingIndex(Dedup.simhash(survOrig),
-          hammingDir, maxHamming = maxHamming,
-          pieceBuckets = pieceBuckets, mode = mode(hammingDir))
-      }
-      chParams match {
-        case Some(("cdc", granularity, cb, _)) =>
-          Dedup.writeChunkIndexCDC(survOrig, chunkDir,
-            divisor = granularity, chunkBuckets = cb, mode = "append")
-        case Some((_, granularity, cb, _)) =>
-          Dedup.writeChunkIndex(survOrig, chunkDir,
-            chunkTokens = granularity, chunkBuckets = cb,
-            mode = "append")
-        case None => Dedup.writeChunkIndex(survOrig, chunkDir,
-          chunkTokens = chunkTokens, chunkBuckets = chunkBuckets,
-          mode = mode(chunkDir))
-      }
-      containmentThreshold.foreach { _ =>
-        val ctDir = s"$indexRoot/containment"
-        ctParams match {
-          case Some((nsw, pb)) => Dedup.writeContainmentIndex(survOrig,
-            ctDir, numShingleWords = nsw, postingBuckets = pb,
-            mode = "append")
-          case None => Dedup.writeContainmentIndex(survOrig, ctDir,
-            postingBuckets = postingBuckets, mode = mode(ctDir))
-        }
-      }
-      embeddings.foreach { embIn =>
-        val ivfDir = s"$indexRoot/ivf"
-        val survVecs = embIn.select(col("vec_id"), col("embedding"))
-          .join(spark.read.parquet(corpusPart)
-            .select(col("doc_id").as("vec_id")), Seq("vec_id"),
-            "left_semi")
-        if (exists(s"$ivfDir/params"))
-          Similarity.appendIvfIndex(survVecs, ivfDir)
-        else {
-          // the mode() refusal, IVF flavor: cells without params is a
-          // crashed write's refused state — re-training geometry over
-          // ONE batch and calling it the index would be silent loss
-          require(!exists(ivfDir),
-            s"$ivfDir exists without params/ — a crashed write; " +
-              "rebuild the index (rebuildIvfIndex) before refreshing")
-          // first batch: its survivors' centroids become the index's
-          // frozen geometry, under the same cells-∝-corpus auto rule
-          // as the inline scorer
-          Similarity.writeIvfIndex(survVecs, ivfDir,
-            Similarity.kmeansCentroids(survVecs,
-              Dedup.resolveNlist(survVecs, 0), iters = 1),
-            multiAssign = multiAssign)
-        }
-      }
 
-      // ---- report last: the completion marker (counts re-derivable
-      // on a recovery run because they come from the published
-      // artifacts, not probe-stage state). ONE aggregation job over
-      // the published partition carries every corpus-side column —
-      // row count, chunk sums, and the contamination count (0 when
-      // the batch was not screened)
-      val pub = spark.read.parquet(corpusPart)
-      val contaminatedCol =
-        if (pub.columns.contains("n_contaminated"))
-          count(when(col("n_contaminated") > 0, 1))
-        else lit(0L)
-      val pubAgg = pub.agg(
-        count(lit(1)).as("np"),
-        coalesce(sum(col("n_chunks")), lit(0L)).as("c"),
-        coalesce(sum(col("n_kept")), lit(0L)).as("k"),
-        contaminatedCol.as("nc")).head()
-      val nPublished = pubAgg.getLong(0)
-      import spark.implicits._
-      val report = Seq((minId, maxId, nBatch,
-          spark.read.parquet(pairsPart).count(),
-          nBatch - nPublished, nPublished,
-          pubAgg.getLong(1), pubAgg.getLong(2), pubAgg.getLong(3)))
-        .toDF("batch_min_id", "batch_max_id", "n_batch", "n_dup_pairs",
-          "n_dropped", "n_published", "n_chunks", "n_chunks_kept",
-          "n_contaminated_docs")
-      stagedWrite(spark, report, reportPart)
-    } finally persisted.unpersist()
-    readBack()
+        // ---- append: survivors' ORIGINAL rows into all three families
+        val survOrig = doc.join(
+          spark.read.parquet(corpusPart).select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+        // append iff params/ stands; CREATE only when the family dir is
+        // absent entirely. The third state — data present, params/
+        // missing (a crash inside a previous append's params rewrite, the
+        // one window the write scaffold discloses) — must REFUSE loudly:
+        // treating it as "create" would mode=overwrite the standing
+        // corpus' signatures down to this one batch with no error, and
+        // every later batch would silently stop deduplicating against
+        // history. Recovery for that state is the per-family contract's:
+        // restore params/ (constant for the minhash/hamming families;
+        // the chunk watermark = the highest appended batch's max id) or
+        // rebuild the index from the published corpus.
+        // "absent" must tolerate the lease file this very run just
+        // created inside the family dir — a dir holding ONLY _LEASE
+        // has no index in it to protect
+        def absentButLease(d: String): Boolean = !exists(d) ||
+          fs.listStatus(new Path(d)).forall(
+            _.getPath.getName == "_LEASE")
+        def mode(d: String) = if (exists(s"$d/params")) "append"
+          else {
+            require(absentButLease(d),
+              s"$d exists without params/ — a crashed append's params " +
+                "rewrite; restore params/ or rebuild the index before " +
+                "refreshing (refusing to silently overwrite the " +
+                "standing index)")
+            "overwrite"
+          }
+        mhParams match {
+          case Some((nsw, nh, nb, bb)) => Dedup.writeMinhashIndex(
+            survOrig, minhashDir, numShingleWords = nsw, numHashes = nh,
+            bands = nb, bandBuckets = bb, mode = "append")
+          case None => Dedup.writeMinhashIndex(survOrig, minhashDir,
+            bandBuckets = bandBuckets, mode = mode(minhashDir))
+        }
+        hmParams match {
+          case Some((radius, pb)) => Dedup.writeHammingIndex(
+            Dedup.simhash(survOrig), hammingDir, maxHamming = radius,
+            pieceBuckets = pb, mode = "append")
+          case None => Dedup.writeHammingIndex(Dedup.simhash(survOrig),
+            hammingDir, maxHamming = maxHamming,
+            pieceBuckets = pieceBuckets, mode = mode(hammingDir))
+        }
+        chParams match {
+          case Some(("cdc", granularity, cb, _)) =>
+            Dedup.writeChunkIndexCDC(survOrig, chunkDir,
+              divisor = granularity, chunkBuckets = cb, mode = "append")
+          case Some((_, granularity, cb, _)) =>
+            Dedup.writeChunkIndex(survOrig, chunkDir,
+              chunkTokens = granularity, chunkBuckets = cb,
+              mode = "append")
+          case None => Dedup.writeChunkIndex(survOrig, chunkDir,
+            chunkTokens = chunkTokens, chunkBuckets = chunkBuckets,
+            mode = mode(chunkDir))
+        }
+        containmentThreshold.foreach { _ =>
+          val ctDir = s"$indexRoot/containment"
+          ctParams match {
+            case Some((nsw, pb)) => Dedup.writeContainmentIndex(survOrig,
+              ctDir, numShingleWords = nsw, postingBuckets = pb,
+              mode = "append")
+            case None => Dedup.writeContainmentIndex(survOrig, ctDir,
+              postingBuckets = postingBuckets, mode = mode(ctDir))
+          }
+        }
+        embeddings.foreach { embIn =>
+          val ivfDir = s"$indexRoot/ivf"
+          val survVecs = embIn.select(col("vec_id"), col("embedding"))
+            .join(spark.read.parquet(corpusPart)
+              .select(col("doc_id").as("vec_id")), Seq("vec_id"),
+              "left_semi")
+          if (exists(s"$ivfDir/params"))
+            Similarity.appendIvfIndex(survVecs, ivfDir)
+          else {
+            // the mode() refusal, IVF flavor: cells without params is a
+            // crashed write's refused state — re-training geometry over
+            // ONE batch and calling it the index would be silent loss
+            require(absentButLease(ivfDir),
+              s"$ivfDir exists without params/ — a crashed write; " +
+                "rebuild the index (rebuildIvfIndex) before refreshing")
+            // first batch: its survivors' centroids become the index's
+            // frozen geometry, under the same cells-∝-corpus auto rule
+            // as the inline scorer
+            Similarity.writeIvfIndex(survVecs, ivfDir,
+              Similarity.kmeansCentroids(survVecs,
+                Dedup.resolveNlist(survVecs, 0), iters = 1),
+              multiAssign = multiAssign)
+          }
+        }
+
+        // ---- report last: the completion marker (counts re-derivable
+        // on a recovery run because they come from the published
+        // artifacts, not probe-stage state). ONE aggregation job over
+        // the published partition carries every corpus-side column —
+        // row count, chunk sums, and the contamination count (0 when
+        // the batch was not screened)
+        val pub = spark.read.parquet(corpusPart)
+        val contaminatedCol =
+          if (pub.columns.contains("n_contaminated"))
+            count(when(col("n_contaminated") > 0, 1))
+          else lit(0L)
+        val pubAgg = pub.agg(
+          count(lit(1)).as("np"),
+          coalesce(sum(col("n_chunks")), lit(0L)).as("c"),
+          coalesce(sum(col("n_kept")), lit(0L)).as("k"),
+          contaminatedCol.as("nc")).head()
+        val nPublished = pubAgg.getLong(0)
+        import spark.implicits._
+        val report = Seq((minId, maxId, nBatch,
+            spark.read.parquet(pairsPart).count(),
+            nBatch - nPublished, nPublished,
+            pubAgg.getLong(1), pubAgg.getLong(2), pubAgg.getLong(3)))
+          .toDF("batch_min_id", "batch_max_id", "n_batch", "n_dup_pairs",
+            "n_dropped", "n_published", "n_chunks", "n_chunks_kept",
+            "n_contaminated_docs")
+        stagedWrite(spark, report, reportPart)
+      } finally persisted.unpersist()
+      readBack()
+    } // end of the single-writer lease scope
   }
 
   /** [[refreshCorpus]] over a parquet batch directory — the
@@ -692,100 +712,109 @@ object Pipeline {
     val fs = new Path(corpusDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def exists(p: String): Boolean = fs.exists(new Path(p))
-    val idSet = broadcast(
-      ids.select(ids.columns.head).toDF("doc_id").distinct())
-    val nRequested = idSet.count()
-    val corpus = spark.read.parquet(s"$corpusDir/corpus")
-    val hasOriginal = corpus.columns.contains("text_original")
-    // ONE semi-joined corpus scan feeds both the chunk retraction (the
-    // text) and the touched-partition probe (the batch ids) — the
-    // persisted frame keeps batch_id so `touched` is a re-read of a
-    // few cached rows, not a second corpus pass
-    val retracted = corpus.join(idSet, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("batch_id").cast("long").as("batch_id"),
-        (if (hasOriginal) coalesce(col("text_original"), col("text"))
-         else col("text")).as("text"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val nRetracted = retracted.count()
-      // ---- ledger BEFORE any deletion (see scaladoc): key = an
-      // order-independent hash of the requested id set, so the same
-      // retraction re-run lands on the same row and first-wins keeps
-      // the original count through any crash/resume sequence
-      if (!exists(s"$corpusDir/retraction_base")) {
-        // pre-ledger corpus: stamp the base once (the one full count)
-        val adjust = spark.read.parquet(s"$corpusDir/reports")
-          .agg(coalesce(sum(col("n_published")), lit(0L))).head()
-          .getLong(0) - corpus.count()
+    // single-writer lease over the corpus and every standing family
+    // this retraction will rewrite — a concurrent refresh/maintain
+    // refuses instead of interleaving with the partition swaps
+    val leased = corpusDir +: Seq("chunk", "minhash", "hamming", "ivf",
+      "containment").collect {
+        case f if exists(s"$indexRoot/$f/params") => s"$indexRoot/$f"
+      }
+    graft.operators.Lease.withLeases(spark, leased, "retractCorpus") {
+      val idSet = broadcast(
+        ids.select(ids.columns.head).toDF("doc_id").distinct())
+      val nRequested = idSet.count()
+      val corpus = spark.read.parquet(s"$corpusDir/corpus")
+      val hasOriginal = corpus.columns.contains("text_original")
+      // ONE semi-joined corpus scan feeds both the chunk retraction (the
+      // text) and the touched-partition probe (the batch ids) — the
+      // persisted frame keeps batch_id so `touched` is a re-read of a
+      // few cached rows, not a second corpus pass
+      val retracted = corpus.join(idSet, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("batch_id").cast("long").as("batch_id"),
+          (if (hasOriginal) coalesce(col("text_original"), col("text"))
+           else col("text")).as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nRetracted = retracted.count()
+        // ---- ledger BEFORE any deletion (see scaladoc): key = an
+        // order-independent hash of the requested id set, so the same
+        // retraction re-run lands on the same row and first-wins keeps
+        // the original count through any crash/resume sequence
+        if (!exists(s"$corpusDir/retraction_base")) {
+          // pre-ledger corpus: stamp the base once (the one full count)
+          val adjust = spark.read.parquet(s"$corpusDir/reports")
+            .agg(coalesce(sum(col("n_published")), lit(0L))).head()
+            .getLong(0) - corpus.count()
+          import spark.implicits._
+          stagedWrite(spark, Seq(adjust).toDF("n_adjust"),
+            s"$corpusDir/retraction_base")
+        }
+        // Order-independent ledger key from THREE commutative aggregates
+        // of the id set — bare per-element-hash XOR is structurally weak
+        // (any two sets whose hash multisets XOR-cancel collide, e.g.
+        // symmetric-difference constructions), and a key collision makes
+        // first-wins silently skip a DISTINCT retraction's ledger row,
+        // permanently skewing n_remaining. Pairing the XOR with the
+        // cardinality and a bounded hash-sum breaks every structural
+        // collision family (cancelling XORs changes the count/sum): a
+        // collision now needs all three to match at once. Each aggregate
+        // is commutative (order-independent) and ANSI-overflow-safe (the
+        // summed terms are pmod-bounded to < 2^30, so the sum needs
+        // ~2^33 ids to overflow a long).
+        val kr = idSet.agg(
+          coalesce(expr("bit_xor(xxhash64(doc_id))"), lit(0L)),
+          count(lit(1)),
+          coalesce(sum(pmod(xxhash64(col("doc_id")), lit(1000000007L))),
+            lit(0L))).head()
+        val (kx, kc, ks) = (kr.getLong(0), kr.getLong(1), kr.getLong(2))
+        val ledgerPart =
+          s"$corpusDir/retractions/retraction_id=x${kx}c${kc}s$ks"
+        // rows ledgered before this key (bare-XOR dir names) stay
+        // first-wins for their request: the legacy key is checked too,
+        // so a pre-upgrade retraction re-run post-upgrade is still the
+        // documented no-op, not a double-subtraction
+        val legacyPart = s"$corpusDir/retractions/retraction_id=$kx"
+        if (!exists(ledgerPart) && !exists(legacyPart)) {
+          import spark.implicits._
+          stagedWrite(spark, Seq((nRequested, nRetracted))
+            .toDF("n_requested", "n_retracted"), ledgerPart)
+        }
+        // chunk retraction FIRST, while the published corpus still holds
+        // the retracted docs' text: it is the one step that needs the
+        // text, and it is idempotent (already-removed hashes anti-join
+        // to nothing) — so a crash anywhere leaves a re-runnable state,
+        // whereas rewriting the corpus first would strand a recovery
+        // run with no text to re-chunk (the persisted frame does not
+        // survive the JVM)
+        if (nRetracted > 0 && exists(s"$indexRoot/chunk/params"))
+          Dedup.deleteFromChunkIndex(spark, s"$indexRoot/chunk",
+            retracted.select(col("doc_id"), col("text")))
+        val touched = retracted.select(col("batch_id")).distinct()
+          .collect().map(_.getLong(0))
+        touched.foreach { b =>
+          stagedWrite(spark,
+            corpus.where(col("batch_id") === b)
+              .join(idSet, Seq("doc_id"), "left_anti").drop("batch_id"),
+            s"$corpusDir/corpus/batch_id=$b")
+        }
+        Seq("minhash", "hamming", "ivf", "containment").foreach { f =>
+          if (exists(s"$indexRoot/$f/params"))
+            Dedup.deleteFromIndex(spark, s"$indexRoot/$f", idSet)
+        }
+        // remaining = ledger arithmetic over the one-row-per-event
+        // datasets — no corpus job (reports/, retractions/, and the base
+        // are each a handful of rows regardless of corpus size)
+        val nPublished = spark.read.parquet(s"$corpusDir/reports")
+          .agg(coalesce(sum(col("n_published")), lit(0L))).head().getLong(0)
+        val nLedgered = spark.read.parquet(s"$corpusDir/retractions")
+          .agg(coalesce(sum(col("n_retracted")), lit(0L))).head().getLong(0)
+        val base = spark.read.parquet(s"$corpusDir/retraction_base")
+          .head().getLong(0)
         import spark.implicits._
-        stagedWrite(spark, Seq(adjust).toDF("n_adjust"),
-          s"$corpusDir/retraction_base")
-      }
-      // Order-independent ledger key from THREE commutative aggregates
-      // of the id set — bare per-element-hash XOR is structurally weak
-      // (any two sets whose hash multisets XOR-cancel collide, e.g.
-      // symmetric-difference constructions), and a key collision makes
-      // first-wins silently skip a DISTINCT retraction's ledger row,
-      // permanently skewing n_remaining. Pairing the XOR with the
-      // cardinality and a bounded hash-sum breaks every structural
-      // collision family (cancelling XORs changes the count/sum): a
-      // collision now needs all three to match at once. Each aggregate
-      // is commutative (order-independent) and ANSI-overflow-safe (the
-      // summed terms are pmod-bounded to < 2^30, so the sum needs
-      // ~2^33 ids to overflow a long).
-      val kr = idSet.agg(
-        coalesce(expr("bit_xor(xxhash64(doc_id))"), lit(0L)),
-        count(lit(1)),
-        coalesce(sum(pmod(xxhash64(col("doc_id")), lit(1000000007L))),
-          lit(0L))).head()
-      val (kx, kc, ks) = (kr.getLong(0), kr.getLong(1), kr.getLong(2))
-      val ledgerPart =
-        s"$corpusDir/retractions/retraction_id=x${kx}c${kc}s$ks"
-      // rows ledgered before this key (bare-XOR dir names) stay
-      // first-wins for their request: the legacy key is checked too,
-      // so a pre-upgrade retraction re-run post-upgrade is still the
-      // documented no-op, not a double-subtraction
-      val legacyPart = s"$corpusDir/retractions/retraction_id=$kx"
-      if (!exists(ledgerPart) && !exists(legacyPart)) {
-        import spark.implicits._
-        stagedWrite(spark, Seq((nRequested, nRetracted))
-          .toDF("n_requested", "n_retracted"), ledgerPart)
-      }
-      // chunk retraction FIRST, while the published corpus still holds
-      // the retracted docs' text: it is the one step that needs the
-      // text, and it is idempotent (already-removed hashes anti-join
-      // to nothing) — so a crash anywhere leaves a re-runnable state,
-      // whereas rewriting the corpus first would strand a recovery
-      // run with no text to re-chunk (the persisted frame does not
-      // survive the JVM)
-      if (nRetracted > 0 && exists(s"$indexRoot/chunk/params"))
-        Dedup.deleteFromChunkIndex(spark, s"$indexRoot/chunk",
-          retracted.select(col("doc_id"), col("text")))
-      val touched = retracted.select(col("batch_id")).distinct()
-        .collect().map(_.getLong(0))
-      touched.foreach { b =>
-        stagedWrite(spark,
-          corpus.where(col("batch_id") === b)
-            .join(idSet, Seq("doc_id"), "left_anti").drop("batch_id"),
-          s"$corpusDir/corpus/batch_id=$b")
-      }
-      Seq("minhash", "hamming", "ivf", "containment").foreach { f =>
-        if (exists(s"$indexRoot/$f/params"))
-          Dedup.deleteFromIndex(spark, s"$indexRoot/$f", idSet)
-      }
-      // remaining = ledger arithmetic over the one-row-per-event
-      // datasets — no corpus job (reports/, retractions/, and the base
-      // are each a handful of rows regardless of corpus size)
-      val nPublished = spark.read.parquet(s"$corpusDir/reports")
-        .agg(coalesce(sum(col("n_published")), lit(0L))).head().getLong(0)
-      val nLedgered = spark.read.parquet(s"$corpusDir/retractions")
-        .agg(coalesce(sum(col("n_retracted")), lit(0L))).head().getLong(0)
-      val base = spark.read.parquet(s"$corpusDir/retraction_base")
-        .head().getLong(0)
-      import spark.implicits._
-      Seq((nRequested, nRetracted, nPublished - base - nLedgered))
-        .toDF("n_requested", "n_retracted", "n_remaining")
-    } finally retracted.unpersist()
+        Seq((nRequested, nRetracted, nPublished - base - nLedgered))
+          .toDF("n_requested", "n_retracted", "n_remaining")
+      } finally retracted.unpersist()
+    } // end of the single-writer lease scope
   }
 
   /** The big-big containment SWEEP — the maintenance-cadence cover for
@@ -842,7 +871,13 @@ object Pipeline {
     Seq("minhash", "hamming", "chunk", "ivf", "benchmark",
         "containment").foreach { f =>
       if (fs.exists(new Path(s"$indexRoot/$f/params")))
-        Dedup.compactIndex(spark, s"$indexRoot/$f")
+        // one lease per family, held only for that family's
+        // compaction — a refresh starting mid-maintenance conflicts
+        // exactly on the families still being compacted
+        graft.operators.Lease.withLeases(spark, Seq(s"$indexRoot/$f"),
+          "maintainIndexes") {
+          Dedup.compactIndex(spark, s"$indexRoot/$f")
+        }
     }
   }
 }

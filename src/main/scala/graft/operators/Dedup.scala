@@ -2810,7 +2810,10 @@ object Dedup {
     * matches. Single-writer discipline like every maintenance pass.
     */
   def migrateShingleBuckets(spark: SparkSession, dir: String,
-      shingleBuckets: Int = 64): Unit = {
+      shingleBuckets: Int = 64): Unit =
+    // single-writer lease: the demote-params / rewrite / re-stamp
+    // sequence must never interleave with an append or compaction
+    Lease.withLeases(spark, Seq(dir), "migrateShingleBuckets") {
     require(shingleBuckets > 0,
       s"shingleBuckets must be > 0, got $shingleBuckets")
     val family = indexFamily(spark, dir)

@@ -764,7 +764,12 @@ object Similarity {
   def rebuildIvfIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, nlist: Int, iters: Int = 2,
       multiAssign: Int = 0, quantizer: String = "",
-      storage: String = "", vecBuckets: Int = 0): Unit = {
+      storage: String = "", vecBuckets: Int = 0): Unit =
+    // single-writer lease: a rebuild's refuse-window (params/ absent)
+    // spans the whole rewrite — a concurrent append/refresh/maintain
+    // must refuse up front, not half-interleave with the staging
+    graft.operators.Lease.withLeases(spark, Seq(dir),
+      "rebuildIvfIndex") {
     import org.apache.hadoop.fs.Path
     val staged = new Path(s"$dir/rebuild_staged")
     val fs = staged.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -779,6 +784,8 @@ object Similarity {
           "explicitly (and vecBuckets for storage=sq8)")
       require(storage != "sq8" || vecBuckets >= 1,
         "rebuildIvfIndex recovery: storage=sq8 needs vecBuckets")
+      rebuildStaged(spark, dir, staged, nlist, iters, multiAssign,
+        quantizer, storage, math.max(vecBuckets, 1))
     } else {
       val (sm, sq) = readIvfIndexParams(spark, dir)
       val (ss, svb) = readIvfStorage(spark, dir)
@@ -798,15 +805,13 @@ object Similarity {
             Seq("vec_id"))
         else base
       raw.write.parquet(staged.toString)
-      return rebuildStaged(spark, dir, staged, nlist, iters,
+      rebuildStaged(spark, dir, staged, nlist, iters,
         if (multiAssign >= 1) multiAssign else sm,
         if (quantizer.nonEmpty) quantizer else sq,
         if (storage.nonEmpty) storage else ss,
         if (vecBuckets >= 1) vecBuckets else math.max(svb, 1))
     }
-    rebuildStaged(spark, dir, staged, nlist, iters, multiAssign,
-      quantizer, storage, math.max(vecBuckets, 1))
-  }
+    }
 
   private def rebuildStaged(spark: org.apache.spark.sql.SparkSession,
       dir: String, staged: org.apache.hadoop.fs.Path, nlist: Int,

@@ -150,11 +150,17 @@ object StreamingAgg {
           within)
       }
       if (appendSurvivors)
-        Dedup.writeMinhashIndex(
-          doc.join(survivors.select(col("doc_id")),
-            Seq("doc_id"), "left_semi"),
-          indexDir, numShingleWords = nsw, numHashes = nh,
-          bands = bands, bandBuckets = buckets, mode = "append")
+        // the index-mutating step runs under the single-writer lease:
+        // a maintenance pass over this index mid-stream refuses (or is
+        // refused) instead of interleaving with the append
+        graft.operators.Lease.withLeases(spark, Seq(indexDir),
+          s"stream-append batch=$batchId") {
+          Dedup.writeMinhashIndex(
+            doc.join(survivors.select(col("doc_id")),
+              Seq("doc_id"), "left_semi"),
+            indexDir, numShingleWords = nsw, numHashes = nh,
+            bands = bands, bandBuckets = buckets, mode = "append")
+        }
       sink(survivors, batchId)
     } finally b.unpersist()
   }
@@ -456,7 +462,9 @@ object StreamingAgg {
       val out = commitBatchOutput(spark, indexDir, batchId) {
         shaped(Dedup.dedupChunksAgainstIndex(spark, doc, indexDir))
       }
-      if (appendBatch) appendUnderStored()
+      if (appendBatch)
+        graft.operators.Lease.withLeases(spark, Seq(indexDir),
+          s"stream-append batch=$batchId")(appendUnderStored())
       sink(out, batchId)
     } finally b.unpersist()
   }
@@ -566,8 +574,11 @@ object StreamingAgg {
               .join(survivors.select(col("media_id")), Seq("media_id"),
                 "left_semi"))
         }
-        Dedup.writeHammingIndex(survSigs, indexDir,
-          maxHamming = radius, pieceBuckets = buckets, mode = "append")
+        graft.operators.Lease.withLeases(spark, Seq(indexDir),
+          s"stream-append batch=$batchId") {
+          Dedup.writeHammingIndex(survSigs, indexDir,
+            maxHamming = radius, pieceBuckets = buckets, mode = "append")
+        }
       }
       sink(survivors, batchId)
     } finally b.unpersist()
@@ -680,10 +691,13 @@ object StreamingAgg {
           within, idCol = "vec_id")
       }
       if (appendSurvivors)
-        Similarity.appendIvfIndex(
-          vec.join(survivors.select(col("vec_id")),
-            Seq("vec_id"), "left_semi"),
-          indexDir)
+        graft.operators.Lease.withLeases(spark, Seq(indexDir),
+          s"stream-append batch=$batchId") {
+          Similarity.appendIvfIndex(
+            vec.join(survivors.select(col("vec_id")),
+              Seq("vec_id"), "left_semi"),
+            indexDir)
+        }
       sink(survivors, batchId)
     } finally b.unpersist()
   }

@@ -1306,7 +1306,65 @@ object SparkEntry {
     // watermark + append) whose emitted windows must hash-match the
     // batch dedup+count SQL — see [[streamingFlagship]]'s scaladoc for
     // why the sentinel construction makes this oracle-checkable
-    "q91_streaming_flagship" -> ((s, dir) => streamingFlagship(s, dir))
+    "q91_streaming_flagship" -> ((s, dir) => streamingFlagship(s, dir)),
+    // the decontamination screen AS A STREAM (the probe-only fifth
+    // bridge, [[graft.streaming.StreamingAgg
+    // .screenStreamAgainstBenchmark]]): the documents parquet replayed
+    // as an available-now file stream, one file per micro-batch, each
+    // batch's report appended to scratch — the unioned batches must
+    // hash-match q101's DuckDB oracle (same suite subset, same rows),
+    // proving the bridge adds NOTHING to the batch screen's semantics.
+    // No watermark-closure sentinels needed: the bridge is stateless
+    // (foreachBatch emits every batch's rows immediately), which is
+    // exactly why it is the one oracle-checkable bridge
+    "q110_stream_screen" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idx = ivfIndexDir(dir, "bm108")
+      Dedup.writeBenchmarkIndex(
+        docs.where(pmod(col("doc_id"), lit(97)) === 0), idx,
+        hashBuckets = 32)
+      val n = StreamScratch.seq.incrementAndGet()
+      // the file stream source needs a DIRECTORY; driver testdata may
+      // be one plain parquet file — stage part files into per-process
+      // scratch (deterministic contents: re-copies are byte-identical)
+      val stage = {
+        import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+        val st = Paths.get(ivfIndexDir(dir, "q110_stage"))
+        Files.createDirectories(st)
+        val src = Paths.get(s"$dir/documents.parquet")
+        val parts =
+          if (Files.isDirectory(src)) {
+            val l = Files.list(src)
+            try l.toArray.map(_.asInstanceOf[Path])
+              .filter(_.getFileName.toString.endsWith(".parquet")).sorted
+            finally l.close()
+          } else Array(src)
+        parts.foreach(p => Files.copy(p, st.resolve(p.getFileName),
+          StandardCopyOption.REPLACE_EXISTING))
+        st.toString
+      }
+      val schema = docs.schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .withColumn("ts",
+          lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+        .select(col("ts"), col("doc_id"), col("text"))
+      // fresh per run: an appended-to scratch or a reused checkpoint
+      // would duplicate (or skip) batches across bench passes
+      val out = ivfIndexDir(dir, s"q110_out_$n")
+      val q = graft.streaming.StreamingAgg
+        .screenStreamAgainstBenchmark(stream, idx) { (b, _) =>
+          b.select(col("doc_id"), col("n_shingles"),
+              col("n_contaminated"), col("contaminated_frac"))
+            .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ivfIndexDir(dir, s"q110_ckpt_$n"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000), "q110 stream did not finish")
+      s.read.parquet(out).orderBy(col("doc_id").asc)
+    })
   )
 
   // ------------------------------------------------------------- oracle
@@ -2090,6 +2148,22 @@ object SparkEntry {
       // benchmark index, so it shares q71's oracle verbatim — the
       // hash-match proves the index round-trip changes nothing
       "q101_contamination_index" ->
+        s"""WITH ${shingleSqlWhere("")},
+           |$contaminationCntSql
+           |SELECT sh.doc_id,
+           |  CAST(len(sh.shingles) AS BIGINT) AS n_shingles,
+           |  CAST(coalesce(cnt.n_cont, 0) AS BIGINT) AS n_contaminated,
+           |  CASE WHEN len(sh.shingles) = 0 THEN 0.0
+           |       ELSE CAST(coalesce(cnt.n_cont, 0) AS DOUBLE)
+           |            / len(sh.shingles)
+           |  END AS contaminated_frac
+           |FROM sh LEFT JOIN cnt ON sh.doc_id = cnt.doc_id
+           |ORDER BY sh.doc_id""".stripMargin,
+      // q108 = q101's report emitted THROUGH the streaming bridge
+      // (stateless foreachBatch, so unioned micro-batches ≡ the batch
+      // screen row-for-row) — same oracle verbatim; the hash-match
+      // proves the bridge's plumbing changes nothing
+      "q110_stream_screen" ->
         s"""WITH ${shingleSqlWhere("")},
            |$contaminationCntSql
            |SELECT sh.doc_id,

@@ -1969,8 +1969,13 @@ object Dedup {
     */
   def contaminationScreenAgainstIndex(spark: SparkSession,
       docs: DataFrame, dir: String,
-      broadcastProbe: Boolean = true): DataFrame = {
-    val (nsw, buckets) = readBenchmarkIndexParams(spark, dir)
+      broadcastProbe: Boolean = true,
+      params: Option[(Int, Int)] = None): DataFrame = {
+    // params: the stored (num_shingle_words, hash_buckets) when the
+    // caller already holds them (the streaming bridge's per-JVM cache
+    // saves its per-trigger params read); None reads them here
+    val (nsw, buckets) =
+      params.getOrElse(readBenchmarkIndexParams(spark, dir))
     val sh = Barriers.barrier(
       shingleHashArrays(docs, nsw).select(col("doc_id"),
         coalesce(col("sh"), typedLit(Array.empty[Long])).as("sh")))

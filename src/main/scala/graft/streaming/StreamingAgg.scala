@@ -469,6 +469,78 @@ object StreamingAgg {
     } finally b.unpersist()
   }
 
+  /** Streaming benchmark-DECONTAMINATION screen against a persisted
+    * [[graft.operators.Dedup.writeBenchmarkIndex]] suite — the fifth
+    * bridge, and deliberately the simplest: the screen is PROBE-ONLY
+    * (eval suites change only through the offline `index-benchmark`
+    * entry — a screen never appends), so this bridge carries NO commit
+    * marker and NO lease. Why that is safe where the four
+    * index-mutating bridges need both: their replays must re-emit
+    * committed output because their own append moved the index under
+    * them (re-probing would find the batch's rows indexed and
+    * over-drop); here the batch leaves the suite untouched, so a
+    * replayed micro-batch recomputes against the CURRENT suite — the
+    * batch screen's own semantics. If the suite adopted a new eval set
+    * between the original run and the replay, the replay's answer is
+    * the more protective one; and a probe overlapping an offline
+    * suite swap fails loudly on the missing sub-dataset and the batch
+    * retries — the reader contract every probe here shares.
+    *
+    * Each micro-batch's rows reach `sink` with
+    * [[graft.operators.Dedup.contaminationScreenAgainstIndex]]'s three
+    * report columns joined on (`n_shingles`, `n_contaminated`,
+    * `contaminated_frac` — exactly q101's shape, bit-identical to the
+    * batch screen over the same suite), so the training-side cut runs
+    * in the sink at whatever `contaminated_frac` threshold the run
+    * uses. Batch-only screening forced eval-set decontamination to
+    * wait for the weekly refresh; this screens at stream latency.
+    * Input needs (ts, doc_id, text); extra columns ride along.
+    */
+  def screenStreamAgainstBenchmark(docs: DataFrame, benchDir: String,
+      horizon: String = "1 hour")(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs
+      .withWatermark("ts", horizon)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processScreenBatch(batch, benchDir, batchId)(sink)
+      }
+
+  /** [[screenStreamAgainstBenchmark]]'s per-micro-batch body, factored
+    * like its four siblings so the spec drives it directly. Stateless
+    * by design — see the bridge's scaladoc for why no commit marker or
+    * lease is needed here.
+    */
+  private[graft] def processScreenBatch(batch: DataFrame,
+      benchDir: String, batchId: Long)(
+      sink: (DataFrame, Long) => Unit): Unit = {
+    import graft.operators.Dedup
+    val spark = batch.sparkSession
+    val b = batch
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try if (b.isEmpty) {
+      // empty maintenance batch: skip the probe's re-planned jobs
+      // (the fixed floor), keep the sink's schema — zero-shingle rows
+      // report (0, 0, 0.0) on every screen surface, so the literals
+      // ARE the screen of an empty batch
+      sink(b.withColumn("n_shingles", lit(0L))
+        .withColumn("n_contaminated", lit(0L))
+        .withColumn("contaminated_frac", lit(0.0)), batchId)
+    } else {
+      // stored params through the per-JVM cache: immutable for the
+      // suite's life, and the cache key's params/ stamp invalidates on
+      // an offline suite append/swap
+      val params = cachedMeta(spark, "benchmark", benchDir)(
+        Dedup.readBenchmarkIndexParams(spark, benchDir))
+      sink(b.join(
+        Dedup.contaminationScreenAgainstIndex(spark,
+          b.select(col("doc_id"), col("text")), benchDir,
+          params = Some(params)),
+        Seq("doc_id")), batchId)
+    } finally b.unpersist()
+  }
+
   /** Streaming incremental PERCEPTUAL dedup against a persisted image
     * index ([[graft.operators.Multimodal.writeImageIndex]] — the Hamming
     * layout): exact byte duplicates collapse in-stream via

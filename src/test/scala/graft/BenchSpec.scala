@@ -101,16 +101,20 @@ class BenchSpec extends SparkSuite {
     assert(json.length <= Bench.LineBudget, s"len ${json.length}")
     val dropped = """"dropped":(\d+)""".r.findFirstMatchIn(json)
       .map(_.group(1).toInt).getOrElse(0)
-    // proportional, not absolute: the 1880-byte ceiling physically fits
-    // ~70 entries at current name lengths, so past that every added
-    // query trims one cheap entry BY DESIGN (disclosed via dropped:N,
-    // full detail preserved in target/bench_full.json). The failure
-    // mode this canary exists for is WHOLESALE trimming — a name-length
-    // regression blowing half the line away — not steady inventory
-    // growth (r9: 95 entries → ~24 trims).
-    assert(dropped <= math.max(5, results.size / 3),
-      s"$dropped of ${results.size} entries trimmed — query names have " +
-        "outgrown the driver capture window")
+    // anchored on what SURVIVES, not on what trims: the 1880-byte
+    // ceiling physically fits ~70 entries at current name lengths, so
+    // past that every added query trims one cheap entry BY DESIGN
+    // (disclosed via dropped:N, full detail preserved in
+    // target/bench_full.json) — a dropped-count cap would fail on
+    // steady inventory growth alone. The failure mode this canary
+    // exists for is WHOLESALE trimming — a name-length regression
+    // blowing half the line away — which shows as the SURVIVOR count
+    // collapsing below the physical fit (r9: 95 entries → 71 kept;
+    // r13: 108 entries → 71 kept).
+    assert(results.size - dropped >= 65,
+      s"only ${results.size - dropped} of ${results.size} entries " +
+        "survived the trim — query names have outgrown the driver " +
+        "capture window")
     Bench.Headline.foreach(h => assert(json.contains("\"" + h + "\":")))
   }
 

@@ -609,6 +609,93 @@ class MultimodalStreamingSpec extends SparkSuite {
     } finally spark.conf.unset("spark.graft.stream.keptStagings")
   }
 
+  test("streaming benchmark screen: an INDEXED eval n-gram flags a " +
+      "streamed doc mid-stream with q101's exact columns; a suite " +
+      "adopted mid-stream flags the NEXT batch; probe-only — no " +
+      "stream_out, no lease") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evalText = "which planet is closest to the sun in our solar " +
+      "system according to astronomers"
+    val lateEval = "name the largest ocean on earth by surface area " +
+      "measured in square kilometers"
+    val clean = "wholly unrelated prose about compilers lexers parsers " +
+      "and abstract syntax trees in language tooling"
+    val benchDir = java.nio.file.Files
+      .createTempDirectory("graft_streambench").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_streambenchck").toString
+    graft.operators.Dedup.writeBenchmarkIndex(
+      Seq((1L, evalText)).toDF("doc_id", "text"), benchDir,
+      hashBuckets = 8)
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val got = scala.collection.mutable.Map.empty[Long,
+      org.apache.spark.sql.DataFrame]
+    val q = StreamingAgg.screenStreamAgainstBenchmark(docs, benchDir) {
+        (out, id) => got(id) = out.persist()
+      }
+      .option("checkpointLocation", s"$ckpt/ckpt")
+      .start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 0: doc 10 quotes the indexed eval question inside novel
+    // framing; doc 11 is clean; doc 12 quotes the NOT-YET-adopted one
+    val b0 = Seq(
+      (t("2024-01-01 10:00:00"), 10L,
+        s"the exam asked $evalText and the student answered mercury"),
+      (t("2024-01-01 10:00:01"), 11L, clean),
+      (t("2024-01-01 10:00:02"), 12L,
+        s"quiz preview $lateEval said the teacher"))
+    input.addData(b0)
+    q.processAllAvailable()
+    // mid-stream eval-suite adoption (the offline index-benchmark
+    // entry): params are append-invariant (the cached read stays
+    // valid by construction) and hashes/ is re-scanned per batch, so
+    // the adopted set screens the NEXT batch without a stream restart
+    graft.operators.Dedup.writeBenchmarkIndex(
+      Seq((2L, lateEval)).toDF("doc_id", "text"), benchDir,
+      hashBuckets = 8, mode = "append")
+    input.addData(Seq((t("2024-01-01 10:10:00"), 20L,
+      s"second sighting $lateEval end of quote")))
+    q.processAllAvailable()
+    q.stop()
+    // flags: indexed n-grams hit, clean doc reports zero
+    def frac(id: Long, doc: Long) = got(id)
+      .where($"doc_id" === doc).select($"contaminated_frac")
+      .head().getDouble(0)
+    assert(frac(0L, 10L) > 0.0 && frac(0L, 11L) === 0.0)
+    assert(frac(1L, 20L) > 0.0) // the mid-stream-adopted suite caught it
+    // q101's exact shape and values: the streamed batch's report
+    // equals the batch screen over the same rows and suite
+    val batchScreen = graft.operators.Dedup
+      .contaminationScreenAgainstIndex(spark,
+        b0.toDF("ts", "doc_id", "text").select($"doc_id", $"text"),
+        benchDir)
+    val streamed = got(0L).select($"doc_id", $"n_shingles",
+      $"n_contaminated", $"contaminated_frac")
+    assert(streamed.columns.toSeq ===
+      Seq("doc_id", "n_shingles", "n_contaminated", "contaminated_frac"))
+    assert(streamed.exceptAll(batchScreen).isEmpty &&
+      batchScreen.exceptAll(streamed).isEmpty)
+    // the streamed rows carry the input columns alongside the report
+    assert(got(0L).columns.toSet ===
+      Set("ts", "doc_id", "text", "n_shingles", "n_contaminated",
+        "contaminated_frac"))
+    // probe-only: the bridge staged nothing and leased nothing
+    assert(!new java.io.File(s"$benchDir/stream_out").exists())
+    assert(!new java.io.File(s"$benchDir/_LEASE").exists())
+    got.values.foreach(_.unpersist())
+    // empty maintenance batch: schema preserved, no probe jobs
+    var emptyCols: Seq[String] = Nil
+    StreamingAgg.processScreenBatch(
+      Seq.empty[(java.sql.Timestamp, Long, String)]
+        .toDF("ts", "doc_id", "text"), benchDir, 99L) {
+      (out, _) => emptyCols = out.columns.toSeq; assert(out.isEmpty)
+    }
+    assert(emptyCols === Seq("ts", "doc_id", "text", "n_shingles",
+      "n_contaminated", "contaminated_frac"))
+  }
+
   test("params cache invalidates when a maintenance pass rewrites " +
       "params/ in the same JVM (stale geometry is never served)") {
     val dir = java.nio.file.Files

@@ -129,4 +129,17 @@ class StreamingEquivalenceSpec extends SparkSuite {
     assert(want.nonEmpty)
     assert(got.toSeq === want.toSeq)
   }
+
+  test("q110 streaming screen over the documents file source equals " +
+      "q101's batch screen row-for-row (available-now trigger)") {
+    // the same real-testdata anchor as the flagship: the bridge's
+    // unioned micro-batch reports must be BIT-identical to the batch
+    // screen — which is what lets q110 share q101's DuckDB oracle
+    val streamed = SparkEntry.queries("q110_stream_screen")(spark, sf())
+    val batch = SparkEntry.queries("q101_contamination_index")(spark, sf())
+    assert(streamed.columns.toSeq === batch.columns.toSeq)
+    val s = streamed.collect().map(_.toSeq).toSeq
+    val b = batch.collect().map(_.toSeq).toSeq
+    assert(s.nonEmpty && s === b)
+  }
 }

@@ -90,10 +90,47 @@ object Dedup {
   /** Candidate near-dup pairs: docs sharing any (band_id, band_hash)
     * bucket. Self-join on the bucket key only — the shuffle is keyed by
     * band hash, and the `<` predicate keeps each unordered pair once.
+    *
+    * `maxBandFreq > 0` caps HOT BANDS — the containment family's
+    * `maxDocFreq` discipline applied to the LSH join: a band bucket
+    * shared by M documents emits M·(M−1)/2 candidate pairs, so one
+    * template stamped across a corpus (boilerplate pages, generated
+    * forms) makes the self-join quadratic in the template count even
+    * though every pair verifies. Buckets with more than `maxBandFreq`
+    * member docs are SKIPPED by the join (each band's frequency is a
+    * map-side partial count on the same shuffle key the join uses) and
+    * disclosed by [[minhashHotBands]] — the audit surface naming each
+    * skipped (band_id, band_hash, df). Recall story, mirroring the df
+    * cut's: a pair whose EVERY shared band is hot generates no
+    * candidate. EXACT duplicates of the template collapse in the
+    * exact-dedup pass that precedes every near-dup pass here
+    * (refreshCorpus's fingerprint stage, the bridges'
+    * dropDuplicatesWithinWatermark), so what the cap actually skips is
+    * M near-identical-but-unequal variants — exactly the corpus shape
+    * whose M²-pair verify cost no threshold of usefulness survives;
+    * run those through [[containmentPairs]] or a raised cap if they
+    * must pair. 0 (the default) = off, plan bit-identical to the
+    * uncapped join.
     */
   def minhashCandidates(docs: DataFrame, numShingleWords: Int = 3,
-      numHashes: Int = 32, bands: Int = 8): DataFrame = {
-    val banded = lshBands(docs, numShingleWords, numHashes, bands)
+      numHashes: Int = 32, bands: Int = 8,
+      maxBandFreq: Long = 0L): DataFrame = {
+    val banded0 = lshBands(docs, numShingleWords, numHashes, bands)
+    val banded =
+      if (maxBandFreq <= 0L) banded0
+      else {
+        // materialized once: the frequency aggregate and the self-join
+        // both consume it (without the barrier the banding expression
+        // re-runs per consumer); localCheckpoint keeps the rows, the
+        // count is a partial-agg shuffle on the join's own key
+        val b = Barriers.barrier(banded0)
+        b.join(
+          b.groupBy(col("band_id"), col("band_hash"))
+            .agg(count(lit(1)).as("df"))
+            .where(col("df") <= maxBandFreq)
+            .select(col("band_id"), col("band_hash")),
+          Seq("band_id", "band_hash"), "left_semi")
+      }
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
@@ -103,6 +140,21 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
   }
+
+  /** The bands [[minhashCandidates]]' `maxBandFreq` cut skips, with
+    * their member counts — the disclosure row mirroring
+    * [[containmentRecall]]'s honesty contract: a cap that silently
+    * dropped recall would be a lie; this names every skipped bucket so
+    * the operator can audit what template family it was and route it
+    * (exact dedup, containment, or a raised cap).
+    */
+  def minhashHotBands(docs: DataFrame, numShingleWords: Int = 3,
+      numHashes: Int = 32, bands: Int = 8,
+      maxBandFreq: Long = 1000L): DataFrame =
+    lshBands(docs, numShingleWords, numHashes, bands)
+      .groupBy(col("band_id"), col("band_hash"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") > maxBandFreq)
 
   /** Sorted distinct shingle HASHES per document (one `array<long>`
     * column) — the cheap per-doc shape for exact Jaccard: one XXH64 per
@@ -182,8 +234,10 @@ object Dedup {
       "jaccard", jaccardScore)
 
   /** MinHash+LSH near-dup end-to-end: candidates → exact-Jaccard verify. */
-  def nearDupPairs(docs: DataFrame, threshold: Double = 0.7): DataFrame =
-    jaccardVerify(docs, minhashCandidates(docs), threshold = threshold)
+  def nearDupPairs(docs: DataFrame, threshold: Double = 0.7,
+      maxBandFreq: Long = 0L): DataFrame =
+    jaccardVerify(docs, minhashCandidates(docs, maxBandFreq = maxBandFreq),
+      threshold = threshold)
 
   /** Exact all-pairs n-gram Jaccard — the brute-force ORACLE BASELINE the
     * LSH path ([[nearDupPairs]]) approximates. O(n²) pairs by construction:
@@ -295,15 +349,30 @@ object Dedup {
   def containmentCandidates(docs: DataFrame, numShingleWords: Int = 3,
       smallMaxShingles: Int = 4096, maxDocFreq: Long = 1000,
       minHits: Int = 1, sampleK: Int = 0,
-      sampleMinHits: Int = 1): DataFrame = {
+      sampleMinHits: Int = 1): DataFrame =
+    containmentCandidatesFromArrays(Barriers.barrier(
+        shingleHashArrays(docs, numShingleWords)
+          .where(size(col("sh")) > 0)
+          .select(col("doc_id"), size(col("sh")).as("n"), col("sh"))),
+      smallMaxShingles, maxDocFreq, minHits, sampleK, sampleMinHits)
+
+  /** [[containmentCandidates]]' generator over a PREBUILT, already
+    * materialized (doc_id, n, sh) table — split out so the index-backed
+    * sweep ([[containmentPairsFromIndex]]) can feed arrays READ from a
+    * persisted `shingles/` layout through the identical candidate
+    * arithmetic (the posting explode runs on the stored arrays; the
+    * stored `postings/` need not be read at all for a full sweep, and
+    * the TEXT is not an input anywhere). `sh` must already be
+    * barrier'd / materialized: three consumers read it (postings
+    * explode, probe cut, big-doc sampler).
+    */
+  private def containmentCandidatesFromArrays(sh: DataFrame,
+      smallMaxShingles: Int, maxDocFreq: Long, minHits: Int,
+      sampleK: Int, sampleMinHits: Int): DataFrame = {
     require(minHits >= 1, s"minHits must be >= 1, got $minHits")
     require(sampleK >= 0, s"sampleK must be >= 0 (0 = off), got $sampleK")
     require(sampleMinHits >= 1 && (sampleK == 0 || sampleMinHits <= sampleK),
       s"sampleMinHits must be in [1, sampleK], got $sampleMinHits")
-    val sh = Barriers.barrier(
-      shingleHashArrays(docs, numShingleWords)
-        .where(size(col("sh")) > 0)
-        .select(col("doc_id"), size(col("sh")).as("n"), col("sh")))
     val postings = sh.select(col("doc_id"), col("n"),
       explode(col("sh")).as("h"))
     // per-hash document frequency; shingles above the cap are cut
@@ -374,6 +443,38 @@ object Dedup {
       containmentCandidates(docs, numShingleWords, smallMaxShingles,
         maxDocFreq, minHits, sampleK, sampleMinHits),
       numShingleWords, threshold, "containment", containmentScore)
+
+  /** The FULL containment sweep computed from a standing
+    * [[writeContainmentIndex]] layout instead of corpus text: the
+    * stored `shingles/` arrays (one read, no tokenize/shingle kernel
+    * anywhere in the plan) flow through the IDENTICAL candidate
+    * generator and verify arithmetic as [[containmentPairs]], so the
+    * pairs are bit-identical to an inline sweep over the text those
+    * arrays were written from — which, by the refresh lifecycle's
+    * contract, is the corpus's own text-as-indexed (`text_original`
+    * where cleaning changed it; retraction deletes a doc's shingle
+    * rows, so the index's doc set IS the corpus's). What this buys at
+    * scale: the scheduled big-big sweep's single largest stage was
+    * re-shingling 100 TB of text the index already holds the shingles
+    * of — the sweep becomes pure join/aggregate work over the arrays.
+    * `dropDuplicates` on doc_id absorbs a retried append's re-written
+    * rows (the probe surfaces' documented duplicate-row price).
+    */
+  def containmentPairsFromIndex(spark: SparkSession, dir: String,
+      threshold: Double = 0.5, smallMaxShingles: Int = 4096,
+      maxDocFreq: Long = 1000, minHits: Int = 1, sampleK: Int = 0,
+      sampleMinHits: Int = 1): DataFrame = {
+    val (_, shLayout) = readContainmentParamsAndLayout(spark, dir)
+    val sh = Barriers.barrier(
+      readIndexShingles(spark, dir, shLayout)
+        .dropDuplicates("doc_id")
+        .where(size(col("sh")) > 0)
+        .select(col("doc_id"), size(col("sh")).as("n"), col("sh")))
+    val candidates = containmentCandidatesFromArrays(sh,
+      smallMaxShingles, maxDocFreq, minHits, sampleK, sampleMinHits)
+    scoredVerifyWith(sh.select(col("doc_id"), col("sh")), candidates,
+      threshold, "containment", containmentScore)
+  }
 
   /** Containment dedup survivors: one canonical document (lowest
     * doc_id) per containment-duplicate cluster plus every unclustered
@@ -1658,16 +1759,24 @@ object Dedup {
     */
   def minhashCandidatesAgainstIndex(spark: SparkSession,
       newDocs: DataFrame, dir: String,
-      broadcastProbe: Boolean = true): DataFrame =
+      broadcastProbe: Boolean = true,
+      maxBandFreq: Long = 0L): DataFrame =
     minhashCandidatesAgainstIndexWith(spark, newDocs, dir,
-      readMinhashIndexParams(spark, dir), broadcastProbe)
+      readMinhashIndexParams(spark, dir), broadcastProbe, maxBandFreq)
 
   /** [[minhashCandidatesAgainstIndex]] with the stored params already
     * in hand — the composed probes read params/ once and thread the
-    * tuple through. */
+    * tuple through. `maxBandFreq > 0` applies [[minhashCandidates]]'
+    * hot-band cap to the INDEX side: a band bucket holding more than
+    * `maxBandFreq` INDEXED docs (df counted over the pruned matched
+    * scan — at the documented duplicate-row price of uncompacted
+    * appends) is skipped, so one indexed template family cannot make
+    * every future batch's probe pay its membership; skipped buckets
+    * surface through [[minhashHotBandsAgainstIndex]]. 0 = off,
+    * bit-identical single-join plan. */
   private def minhashCandidatesAgainstIndexWith(spark: SparkSession,
       newDocs: DataFrame, dir: String, params: (Int, Int, Int, Int),
-      broadcastProbe: Boolean): DataFrame = {
+      broadcastProbe: Boolean, maxBandFreq: Long = 0L): DataFrame = {
     val (nsw, nh, nb, buckets) = params
     val newBands = lshBands(newDocs, nsw, nh, nb)
       // int, matching the inferred partition column type — see
@@ -1685,7 +1794,27 @@ object Dedup {
     val probe =
       if (broadcastProbe) broadcast(newBands.where(col("band_id") >= 0))
       else newBands
-    spark.read.schema(bandsSchema).parquet(s"$dir/bands")
+    val idxKept =
+      if (maxBandFreq <= 0L)
+        // cap off: the bands/ scan flows straight into the pair join —
+        // the single-join plan every existing probe pins (q32/q89)
+        spark.read.schema(bandsSchema).parquet(s"$dir/bands")
+      else {
+        // cap on: materialize the PRUNED matched rows once (the df
+        // aggregate and the pair join both read them — without the
+        // barrier the scan runs twice), then drop over-cap band keys.
+        // The count is index-side df restricted to the probed keys —
+        // ∝ matches, rows already in hand, never the index.
+        val m = Barriers.barrier(
+          matchedIndexBands(spark, dir, probe, broadcastProbe))
+        m.join(
+          m.groupBy(col("bucket"), col("band_id"), col("band_hash"))
+            .agg(count(lit(1)).as("df"))
+            .where(col("df") <= maxBandFreq)
+            .select(col("bucket"), col("band_id"), col("band_hash")),
+          Seq("bucket", "band_id", "band_hash"), "left_semi")
+      }
+    idxKept
       .join(probe, Seq("bucket", "band_id", "band_hash"))
       // ids are globally unique by contract; a violation must not
       // surface as a self-pair
@@ -1693,6 +1822,40 @@ object Dedup {
       .select(least(col("doc_id"), col("new_id")).as("id_a"),
         greatest(col("doc_id"), col("new_id")).as("id_b"))
       .distinct()
+  }
+
+  /** The `bands/` rows matching a probe's band keys — the pruned scan
+    * every against-index candidate surface starts from. */
+  private def matchedIndexBands(spark: SparkSession, dir: String,
+      probe: DataFrame, broadcastProbe: Boolean): DataFrame = {
+    val keys0 = probe
+      .select(col("bucket"), col("band_id"), col("band_hash")).distinct()
+    val keys = if (broadcastProbe) broadcast(keys0) else keys0
+    spark.read.schema(bandsSchema).parquet(s"$dir/bands")
+      .join(keys, Seq("bucket", "band_id", "band_hash"), "left_semi")
+  }
+
+  /** [[minhashHotBands]] for the against-index probe: the matched band
+    * buckets whose INDEX membership exceeds `maxBandFreq` — what the
+    * capped probe skipped for THIS batch, with the index-side df (over
+    * the pruned scan; uncompacted append duplicates count, as the cap
+    * itself counts them). The disclosure surface for the incremental
+    * regime's audit trail.
+    */
+  def minhashHotBandsAgainstIndex(spark: SparkSession,
+      newDocs: DataFrame, dir: String, maxBandFreq: Long = 1000L,
+      broadcastProbe: Boolean = true): DataFrame = {
+    val (nsw, nh, nb, buckets) = readMinhashIndexParams(spark, dir)
+    val newBands = lshBands(newDocs, nsw, nh, nb)
+      .withColumn("bucket",
+        pmod(col("band_hash"), lit(buckets.toLong)).cast("int"))
+      .where(col("band_id") >= 0) // the DPP predicate, as in the probe
+    matchedIndexBands(spark, dir,
+        if (broadcastProbe) broadcast(newBands) else newBands,
+        broadcastProbe)
+      .groupBy(col("bucket"), col("band_id"), col("band_hash"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") > maxBandFreq)
   }
 
   /** Verified near-dup pairs (exact n-gram Jaccard ≥ `threshold`) between
@@ -1708,14 +1871,15 @@ object Dedup {
     */
   def nearDupAgainstIndex(spark: SparkSession, newDocs: DataFrame,
       dir: String, threshold: Double = 0.7,
-      broadcastProbe: Boolean = true): DataFrame = {
+      broadcastProbe: Boolean = true,
+      maxBandFreq: Long = 0L): DataFrame = {
     val (params @ (nsw, _, _, _), shLayout) =
       readMinhashParamsAndLayout(spark, dir)
     // materialized once: the involved-ids pruning AND the verify join
     // both consume the candidate set
     val candidates = Barriers.barrier(
       minhashCandidatesAgainstIndexWith(spark, newDocs, dir, params,
-        broadcastProbe))
+        broadcastProbe, maxBandFreq))
     val involved = involvedIds(candidates)
     val newSh = shingleHashArrays(
       newDocs.join(broadcast(involved), Seq("doc_id"), "left_semi"), nsw)

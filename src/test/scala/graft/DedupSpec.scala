@@ -969,4 +969,80 @@ class DedupSpec extends SparkSuite {
     assert(rep.getDouble(2) >= 0.4, s"recall: $rep")
     assert(rep.getDouble(3) <= 0.3, s"scan_frac: $rep")
   }
+
+  test("maxBandFreq caps hot LSH bands: a planted template family's " +
+      "candidates stay ∝ M instead of M², skipped bands are disclosed, " +
+      "cold-band pairs survive, capped ⊆ uncapped, default off") {
+    val template = "lorem ipsum dolor sit amet consectetur adipiscing " +
+      "elit sed do eiusmod tempor incididunt ut labore et dolore magna " +
+      "aliqua enim ad minim veniam quis nostrud exercitation ullamco"
+    // M near-identical-but-UNEQUAL variants: exact dedup cannot
+    // collapse them (the cap's scaladoc-documented target shape),
+    // plus one genuine near-dup pair of cold vocabulary
+    val M = 30
+    val tpl = (0 until M).map(i =>
+      (100L + i, s"$template closing token$i"))
+    val genuine = Seq(
+      (1L, "completely different prose about distributed query " +
+        "engines shuffle exchanges and broadcast joins tonight"),
+      (2L, "completely different prose about distributed query " +
+        "engines shuffle exchanges and broadcast joins today"))
+    val docs = (tpl ++ genuine).toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id_a", $"id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairs(Dedup.minhashCandidates(docs))
+    val capped = pairs(Dedup.minhashCandidates(docs, maxBandFreq = 5))
+    // uncapped: the template family is quadratic (~M²/2 pairs)
+    assert(uncapped.count(_._1 >= 100L) > M * M / 4,
+      s"template family should dominate uncapped: $uncapped")
+    // capped: template pairs collapse to at most linear in M; the
+    // cold-vocabulary genuine pair is untouched
+    assert(capped.count(_._1 >= 100L) <= 3 * M)
+    assert(capped.contains((1L, 2L)))
+    assert(capped.subsetOf(uncapped))
+    // the cut is DISCLOSED: each skipped band names its membership
+    val hot = Dedup.minhashHotBands(docs, maxBandFreq = 5)
+    assert(hot.count() > 0)
+    assert(hot.agg(min($"df")).head().getLong(0) > 5L)
+    // default (0) = off: bit-equal to the never-capped surface
+    assert(pairs(Dedup.minhashCandidates(docs, maxBandFreq = 0L))
+      === uncapped)
+
+    // ---- the incremental mirror: an INDEXED template family must not
+    // make every future batch's probe pay its membership
+    val dir = java.nio.file.Files.createTempDirectory("mhhot").toString
+    Dedup.writeMinhashIndex(
+      (tpl :+ genuine.head).toDF("doc_id", "text"), dir, bandBuckets = 8)
+    val batch = Seq(
+      (500L, s"$template closing fresh"), // M+1th template variant
+      (501L, genuine(1)._2))              // near-dup of indexed doc 1
+      .toDF("doc_id", "text")
+    val iUncapped = pairs(
+      Dedup.minhashCandidatesAgainstIndex(spark, batch, dir))
+    val iCapped = pairs(Dedup.minhashCandidatesAgainstIndex(spark,
+      batch, dir, maxBandFreq = 5))
+    // uncapped probe: the new variant pairs with the whole family
+    assert(iUncapped.count(p => p._2 === 500L) >= M - 2)
+    // capped probe: family pairs cut ∝ cap, cold cross pair survives
+    assert(iCapped.count(p => p._2 === 500L) <= 10)
+    assert(iCapped.contains((1L, 501L)))
+    assert(iCapped.subsetOf(iUncapped))
+    val iHot = Dedup.minhashHotBandsAgainstIndex(spark, batch, dir,
+      maxBandFreq = 5)
+    assert(iHot.count() > 0)
+    assert(iHot.agg(min($"df")).head().getLong(0) > 5L)
+    // verified tail under the cap: scores it does emit are the exact
+    // ones (found ⊆ exact, the family-wide contract)
+    val v = Dedup.nearDupAgainstIndex(spark, batch, dir,
+      threshold = 0.5, maxBandFreq = 5)
+    val exact = Dedup.jaccardAllPairsAgainstIndex(spark, batch, dir,
+      threshold = 0.5)
+    val vSet = v.select($"id_a", $"id_b", $"jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val eSet = exact.select($"id_a", $"id_b", $"jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(vSet.subsetOf(eSet))
+    assert(vSet.exists(t => t._1 === 1L && t._2 === 501L))
+  }
 }

@@ -35,12 +35,15 @@ import org.apache.spark.sql.SparkSession
   *     operator-chosen `nlist` once a season of refreshes has outgrown
   *     the frozen centroids (the compaction sweep never touches
   *     geometry).
-  *   - `sweep-containment <corpusDir> <outDir> <threshold> [sampleK]`
-  *     — [[Pipeline.sweepContainment]]: the full sampled-probe
-  *     containment pass over the published corpus, covering the
-  *     big-big pairs the weekly incremental probe deliberately skips;
-  *     pairs land under `outDir`, one JSON line reports the count.
-  *     Run it at `maintain` cadence.
+  *   - `sweep-containment <corpusDir> <outDir> <threshold> [sampleK]
+  *     [indexRoot]` — [[Pipeline.sweepContainment]]: the full
+  *     sampled-probe containment pass over the published corpus,
+  *     covering the big-big pairs the weekly incremental probe
+  *     deliberately skips; pairs land under `outDir`, one JSON line
+  *     reports the count. Run it at `maintain` cadence. With
+  *     `indexRoot` the sweep reads the standing `containment/`
+  *     family's stored shingle arrays instead of re-shingling the
+  *     corpus text — same pairs, minus the sweep's largest stage.
   *   - `break-lease <dir>` — [[graft.operators.Lease.breakLease]]:
   *     the STALE-lease takeover surface. Every mutating pass above
   *     holds `<dir>/_LEASE` while it runs and a concurrent writer
@@ -70,7 +73,7 @@ object CorpusMain {
         |       CorpusMain stats <indexRoot>
         |       CorpusMain index-benchmark <suiteDir> <benchDir> [append]
         |       CorpusMain rebuild-ivf <indexRoot> <nlist>
-        |       CorpusMain sweep-containment <corpusDir> <outDir> <threshold> [sampleK]
+        |       CorpusMain sweep-containment <corpusDir> <outDir> <threshold> [sampleK] [indexRoot]
         |       CorpusMain migrate-shingles <indexRoot> [buckets]
         |       CorpusMain break-lease <dir>""".stripMargin)
     sys.exit(2)
@@ -167,10 +170,11 @@ object CorpusMain {
         graft.operators.Lease.breakLease(spark, dir)
         println(s"""{"lease_broken":"$dir"}""")
       case "sweep-containment" :: corpusDir :: outDir :: threshold ::
-          rest if rest.length <= 1 =>
+          rest if rest.length <= 2 =>
         val pairs = Pipeline.sweepContainment(spark, corpusDir,
           threshold.toDouble,
-          sampleK = rest.headOption.map(_.toInt).getOrElse(64))
+          sampleK = rest.headOption.map(_.toInt).getOrElse(64),
+          indexRoot = rest.drop(1).headOption)
         pairs.write.mode("overwrite").parquet(outDir)
         val n = spark.read.parquet(outDir).count()
         println(s"""{"swept":"$corpusDir","n_pairs":$n,"out":"$outDir"}""")

@@ -837,19 +837,44 @@ object Pipeline {
     * [[maintainIndexes]], not in the weekly refresh;
     * [[graft.CorpusMain]]'s `sweep-containment` line is the cron
     * surface.
+    *
+    * `indexRoot`: when the corpus runs with a standing `containment/`
+    * family, pass its index root and the sweep reads the STORED
+    * shingle arrays ([[Dedup.containmentPairsFromIndex]]) instead of
+    * re-shingling the corpus text — same pairs bit-exactly (the
+    * arrays ARE the text-as-indexed's shingles), minus the sweep's
+    * single largest stage at 100 TB (`numShingleWords` is then the
+    * index's stored one; the caller argument is ignored). The inline
+    * text path stays for corpora without the containment family.
     */
   def sweepContainment(spark: SparkSession, corpusDir: String,
       threshold: Double = 0.5, sampleK: Int = 64,
       numShingleWords: Int = 3, smallMaxShingles: Int = 4096,
-      maxDocFreq: Long = 1000): DataFrame = {
-    val corpus = spark.read.parquet(s"$corpusDir/corpus")
-    val docs =
-      if (corpus.columns.contains("text_original"))
-        corpus.select(col("doc_id"),
-          coalesce(col("text_original"), col("text")).as("text"))
-      else corpus.select(col("doc_id"), col("text"))
-    Dedup.containmentPairs(docs, numShingleWords, threshold,
-      smallMaxShingles, maxDocFreq, sampleK = sampleK)
+      maxDocFreq: Long = 1000, indexRoot: Option[String] = None): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    def exists(p: String): Boolean = new Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new Path(p))
+    val fromIndex = indexRoot.filter(r => exists(s"$r/containment/params"))
+    fromIndex match {
+      case Some(root) =>
+        Dedup.containmentPairsFromIndex(spark, s"$root/containment",
+          threshold, smallMaxShingles, maxDocFreq, sampleK = sampleK)
+      case None =>
+        require(indexRoot.isEmpty,
+          s"sweepContainment: ${indexRoot.get}/containment has no " +
+            "params/ — pass indexRoot only for a corpus whose " +
+            "containment family stands (the inline text sweep needs " +
+            "no index)")
+        val corpus = spark.read.parquet(s"$corpusDir/corpus")
+        val docs =
+          if (corpus.columns.contains("text_original"))
+            corpus.select(col("doc_id"),
+              coalesce(col("text_original"), col("text")).as("text"))
+          else corpus.select(col("doc_id"), col("text"))
+        Dedup.containmentPairs(docs, numShingleWords, threshold,
+          smallMaxShingles, maxDocFreq, sampleK = sampleK)
+    }
   }
 
   /** Season-scale index maintenance: [[Dedup.compactIndex]] over every

@@ -609,6 +609,48 @@ class CorpusRefreshSpec extends SparkSuite {
       s"sweep missed the planted pair: $swept")
   }
 
+  test("index-backed sweep: the standing containment family's stored " +
+      "shingles surface the same planted big-big pair bit-identically " +
+      "to the inline text sweep — no shingle kernel in the plan") {
+    val idxRoot = tmp("sweepix_idx")
+    val corpusDir = tmp("sweepix_corpus")
+    val shared = (1 to 24).map(i => s"shared$i").mkString(" ")
+    val docA = s"$shared tailA1 tailA2 tailA3 tailA4"
+    val docB = s"$shared " + (1 to 30).map(i => s"onlyb$i").mkString(" ")
+    // the corpus RUNS the containment modality (threshold 0.9 — above
+    // the planted pair's ≈0.85, so B still publishes and the standing
+    // containment/ family holds both docs' arrays)
+    for ((id, d) <- Seq((0L, docA), (10L, docB)))
+      Pipeline.refreshCorpus(spark,
+        Seq((id, d, "en")).toDF("doc_id", "text", "lang"),
+        idxRoot, corpusDir, jaccardThreshold = 0.5, chunkTokens = 4,
+        bandBuckets = 8, pieceBuckets = 8, chunkBuckets = 8,
+        containmentThreshold = Some(0.9), postingBuckets = 8)
+    assert(spark.read.parquet(s"$corpusDir/corpus").count() === 2L)
+    val inline = Pipeline.sweepContainment(spark, corpusDir,
+      threshold = 0.8, sampleK = 16, smallMaxShingles = 8)
+    val viaIndex = Pipeline.sweepContainment(spark, corpusDir,
+      threshold = 0.8, sampleK = 16, smallMaxShingles = 8,
+      indexRoot = Some(idxRoot))
+    // bit-identical pairs, scores included, and the planted pair is in
+    assert(pairSet(viaIndex) === pairSet(inline))
+    assert(pairSet(viaIndex).exists(p =>
+      p._1 == 0L && p._2 == 10L && p._3 >= 0.8))
+    // the index-backed plan reads stored arrays — the shingle kernel
+    // (the inline sweep's largest stage at scale) is nowhere in it
+    val planOf = (df: org.apache.spark.sql.DataFrame) =>
+      df.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(planOf(inline).contains("shingle_hashes_sorted"))
+    assert(!planOf(viaIndex).contains("shingle_hashes_sorted"))
+    // an indexRoot whose containment family does not stand refuses
+    // loudly instead of silently falling back to the re-shingle
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.sweepContainment(spark, corpusDir, threshold = 0.8,
+        indexRoot = Some(tmp("sweepix_nope")))
+    }
+    assert(e.getMessage.contains("containment"))
+  }
+
   test("retraction ledger: a corpus published before the ledger gets " +
       "its base stamped by the first retraction (one count, once), " +
       "and the remaining arithmetic stays exact across retractions") {

@@ -279,3 +279,101 @@ object MaintenanceBench {
     spark.stop()
   }
 }
+
+/** Dev-only pricing of the SQ8 quantized ANN tier (feeds the
+  * docs/BENCH_SF1.md round-13 appendix) — the 4×-fewer-bytes claim
+  * MEASURED, not asserted. On the sf embeddings (64 query vectors,
+  * k = 10):
+  *
+  *   - `brute_f32`: [[graft.operators.Similarity.bruteForceTopK]] —
+  *     the exact scan baseline;
+  *   - `sq8_scan`: [[graft.operators.Similarity.sq8TopK]] rerank=0 —
+  *     the pure quantized ranking, recall@10 reported;
+  *   - `sq8_rerank32/128`: quantized scan + exact f32 re-rank tiers,
+  *     recall@10 per tier (the r-tunes-recall trade priced);
+  *   - `ivf_probe_f32` / `ivf_probe_sq8`: the INDEXED hot path — the
+  *     same centroids and nprobe over both storage layouts
+  *     ([[graft.operators.Similarity.writeIvfIndex]] storage knob);
+  *     the sq8 probe scans int8 codes and exact-re-ranks from the
+  *     vbucket-pruned `vectors/`;
+  *   - `cells_bytes_f32` / `cells_bytes_sq8`: on-disk bytes of each
+  *     layout's `cells/` — the probed-scan bytes quantization
+  *     shrinks (parquet-encoded, so the ratio is what the scan
+  *     actually pays, not the theoretical 4×).
+  */
+object Sq8Bench {
+  def main(args: Array[String]): Unit = {
+    import graft.operators.Similarity
+    val sfDir = args.headOption.getOrElse("target/sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    val queries = emb.orderBy(col("vec_id")).limit(64).localCheckpoint()
+    println(s"corpus=${emb.count()} queries=${queries.count()}")
+
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$label%-16s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    def ids(df: DataFrame) =
+      df.select(col("query_id"), col("vec_id")).localCheckpoint()
+    def recall(exact: DataFrame, approx: DataFrame): Double = {
+      val hit = exact.join(approx.withColumn("hit", lit(1)),
+        Seq("query_id", "vec_id"), "left")
+      val r = hit.agg((sum(coalesce(col("hit"), lit(0))) /
+        count(lit(1))).as("r")).head().getDouble(0)
+      r
+    }
+    // warm the scan/codegen paths once
+    Similarity.sq8TopK(emb, queries, k = 10).count()
+
+    val exact = ids(timed("brute_f32") {
+      val d = Similarity.bruteForceTopK(emb, queries, k = 10)
+        .localCheckpoint(); d.count(); d
+    })
+    for ((label, r) <- Seq(("sq8_scan", 0), ("sq8_rerank32", 32),
+        ("sq8_rerank128", 128))) {
+      val approx = ids(timed(label) {
+        val d = Similarity.sq8TopK(emb, queries, k = 10, rerank = r)
+          .localCheckpoint(); d.count(); d
+      })
+      println(f"$label%-16s recall@10 ${recall(exact, approx)}%.4f")
+    }
+    // ---- the indexed hot path: same centroids, two storage layouts
+    val cents = Similarity.kmeansCentroids(emb, nlist = 64, iters = 1)
+    val f32Dir = java.nio.file.Files.createTempDirectory("sq8b_f32")
+    val sq8Dir = java.nio.file.Files.createTempDirectory("sq8b_sq8")
+    timed("ivf_write_f32") { Similarity.writeIvfIndex(emb,
+      f32Dir.toString, cents) }
+    timed("ivf_write_sq8") { Similarity.writeIvfIndex(emb,
+      sq8Dir.toString, cents, storage = "sq8", vecBuckets = 64) }
+    def du(p: java.nio.file.Path): Long = {
+      val s = java.nio.file.Files.walk(p)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally s.close()
+    }
+    println(s"cells_bytes_f32  ${du(f32Dir.resolve("cells"))}")
+    println(s"cells_bytes_sq8  ${du(sq8Dir.resolve("cells"))}")
+    for ((label, dir, r) <- Seq(
+        ("ivf_probe_f32", f32Dir, 0), ("ivf_probe_sq8", sq8Dir, 128))) {
+      val probe = ids(timed(label) {
+        val d = Similarity.ivfTopKIndexedSelf(spark, dir.toString,
+          queries, k = 10, nprobe = 8, rerank = r)
+          .localCheckpoint(); d.count(); d
+      })
+      println(f"$label%-16s recall@10 ${recall(exact, probe)}%.4f")
+    }
+    spark.stop()
+  }
+}

@@ -308,7 +308,8 @@ object Pipeline {
       multiAssign: Int = 1,
       benchmarkIndexDir: Option[String] = None,
       containmentThreshold: Option[Double] = None,
-      postingBuckets: Int = 256): RefreshOutput = {
+      postingBuckets: Int = 256,
+      maxBandFreq: Long = 0L): RefreshOutput = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(corpusDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -448,9 +449,10 @@ object Pipeline {
             df.select(col("id_a") +: col("id_b") +: score(family, col(c)): _*)
           var pairs = pairsOf(mhParams match {
             case Some((nsw, nh, nb, _)) => Dedup.jaccardVerify(doc,
-              Dedup.minhashCandidates(doc, nsw, nh, nb), nsw,
-              jaccardThreshold)
-            case None => Dedup.nearDupPairs(doc, jaccardThreshold)
+              Dedup.minhashCandidates(doc, nsw, nh, nb, maxBandFreq),
+              nsw, jaccardThreshold)
+            case None => Dedup.nearDupPairs(doc, jaccardThreshold,
+              maxBandFreq)
           }, "jaccard", "jaccard")
           val sigs = Dedup.simhash(doc)
           pairs = pairs.unionByName(pairsOf(
@@ -460,7 +462,8 @@ object Pipeline {
           if (exists(s"$minhashDir/params"))
             pairs = pairs.unionByName(pairsOf(
               Dedup.nearDupAgainstIndex(spark, doc, minhashDir,
-                jaccardThreshold), "jaccard", "jaccard"))
+                jaccardThreshold, maxBandFreq = maxBandFreq),
+              "jaccard", "jaccard"))
           if (exists(s"$hammingDir/params"))
             pairs = pairs.unionByName(pairsOf(
               Dedup.hammingCandidatesAgainstIndex(spark, sigs, hammingDir),

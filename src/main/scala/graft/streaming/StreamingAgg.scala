@@ -94,7 +94,7 @@ object StreamingAgg {
     */
   def dedupDocumentsStreamAgainstIndex(docs: DataFrame, indexDir: String,
       horizon: String = "1 hour", threshold: Double = 0.7,
-      appendSurvivors: Boolean = true)(
+      appendSurvivors: Boolean = true, maxBandFreq: Long = 0L)(
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] = {
@@ -106,7 +106,7 @@ object StreamingAgg {
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processTextBatch(batch.drop("fingerprint"), indexDir,
-          threshold, appendSurvivors, batchId)(sink)
+          threshold, appendSurvivors, batchId, maxBandFreq)(sink)
       }
   }
 
@@ -121,7 +121,8 @@ object StreamingAgg {
     */
   private[graft] def processTextBatch(batch: DataFrame,
       indexDir: String, threshold: Double, appendSurvivors: Boolean,
-      batchId: Long)(sink: (DataFrame, Long) => Unit): Unit = {
+      batchId: Long, maxBandFreq: Long = 0L)(
+      sink: (DataFrame, Long) => Unit): Unit = {
     import graft.operators.Dedup
     val spark = batch.sparkSession
     val b = batch
@@ -135,16 +136,20 @@ object StreamingAgg {
         Dedup.readMinhashIndexParams(spark, indexDir))
       val doc = b.select(col("doc_id"), col("text"))
       val survivors = commitBatchOutput(spark, indexDir, batchId) {
+        // maxBandFreq: the exact fingerprint stage above bounds EXACT
+        // template copies, but near-identical variants still pay the
+        // band join — the hot-band cap's disclosed cut applies to both
+        // the cross probe and the within-batch pass
         val cross = Dedup.nearDupAgainstIndex(spark, doc, indexDir,
-          threshold)
+          threshold, maxBandFreq = maxBandFreq)
         val crossIds = cross.select(col("id_a").as("doc_id"))
           .unionByName(cross.select(col("id_b").as("doc_id")))
           .distinct()
         val kept = doc
           .join(broadcast(crossIds), Seq("doc_id"), "left_anti")
         val within = Dedup.jaccardVerify(kept,
-          Dedup.minhashCandidates(kept, nsw, nh, bands), nsw,
-          threshold)
+          Dedup.minhashCandidates(kept, nsw, nh, bands, maxBandFreq),
+          nsw, threshold)
         Dedup.dedupByClusters(
           b.join(broadcast(crossIds), Seq("doc_id"), "left_anti"),
           within)

@@ -651,6 +651,45 @@ class CorpusRefreshSpec extends SparkSuite {
     assert(e.getMessage.contains("containment"))
   }
 
+  test("refreshCorpus maxBandFreq: a template-heavy batch publishes " +
+      "under the cap (hot bands skipped = variants kept, the disclosed " +
+      "trade) while cold-band genuine dups still dedup") {
+    val idxRoot = tmp("cap_idx")
+    val corpusDir = tmp("cap_corpus")
+    val template = "lorem ipsum dolor sit amet consectetur adipiscing " +
+      "elit sed do eiusmod tempor incididunt ut labore et dolore magna " +
+      "aliqua enim ad minim veniam quis nostrud exercitation ullamco"
+    val tpl = (0 until 12).map(i =>
+      (100L + i, s"$template closing token$i", "en"))
+    val genuine = Seq(
+      (1L, "completely different prose about distributed query " +
+        "engines shuffle exchanges and broadcast joins tonight", "en"),
+      (2L, "completely different prose about distributed query " +
+        "engines shuffle exchanges and broadcast joins today", "en"))
+    val batch = (tpl ++ genuine).toDF("doc_id", "text", "lang")
+    Pipeline.refreshCorpus(spark, batch, idxRoot, corpusDir,
+      jaccardThreshold = 0.5, chunkTokens = 100, bandBuckets = 8,
+      pieceBuckets = 8, chunkBuckets = 8, maxHamming = 0,
+      maxBandFreq = 5L)
+    val published = spark.read.parquet(s"$corpusDir/corpus")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    // the cold-vocabulary genuine near-dup pair deduped (min id wins)
+    assert(published.contains(1L) && !published.contains(2L))
+    // the JACCARD family emitted zero template pairs — the capped band
+    // join never materialized the family's quadratic candidate set
+    // (the cap's point); the genuine pair still came through it. The
+    // template variants themselves still dedup via the OTHER families
+    // (near-identical text shares a simhash), which is the composed
+    // pipeline's defense-in-depth, not a cap leak.
+    val pairs = spark.read.parquet(s"$corpusDir/pairs")
+    val jaccard = pairs.where($"family" === "jaccard")
+      .select($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jaccard === Set((1L, 2L)), s"jaccard pairs: $jaccard")
+    assert(pairs.where($"family" =!= "jaccard")
+      .where($"id_a" >= 100L).count() > 0)
+  }
+
   test("retraction ledger: a corpus published before the ledger gets " +
       "its base stamped by the first retraction (one count, once), " +
       "and the remaining arithmetic stays exact across retractions") {

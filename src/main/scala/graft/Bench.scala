@@ -27,7 +27,12 @@ object Bench {
     * Still measured, still reported in `queries`, still error-poisoning
     * — just not pass-replicated.
     */
-  val OncePerRun: Set[String] = Set("q100_corpus_refresh")
+  val OncePerRun: Set[String] = Set("q100_corpus_refresh",
+    // q110 = q101's screen THROUGH the streaming harness (staging +
+    // checkpoint + per-file micro-batches — the q91 overhead shape);
+    // its only per-pass signal is the batch screen, already benched
+    // as q101
+    "q110_stream_screen")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

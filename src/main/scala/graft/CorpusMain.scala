@@ -44,13 +44,18 @@ import org.apache.spark.sql.SparkSession
   *     `indexRoot` the sweep reads the standing `containment/`
   *     family's stored shingle arrays instead of re-shingling the
   *     corpus text — same pairs, minus the sweep's largest stage.
-  *   - `break-lease <dir>` — [[graft.operators.Lease.breakLease]]:
-  *     the STALE-lease takeover surface. Every mutating pass above
-  *     holds `<dir>/_LEASE` while it runs and a concurrent writer
-  *     refuses naming the holder; when the holder's process CRASHED
-  *     (and only then — breaking a live writer's lease re-creates the
-  *     double-writer hazard), break the lease and re-run the
-  *     interrupted pass to completion.
+  *   - `break-lease <dir> [dir ...]` —
+  *     [[graft.operators.Lease.breakLease]]: the STALE-lease takeover
+  *     surface. Every mutating pass above holds `<dir>/_LEASE` while
+  *     it runs and a concurrent writer refuses naming the holder;
+  *     when the holder's process CRASHED (and only then — breaking a
+  *     live writer's lease re-creates the double-writer hazard),
+  *     break the lease(s) and re-run the interrupted pass to
+  *     completion. `break-leases <root>`
+  *     ([[graft.operators.Lease.breakAllUnder]]) sweeps the root plus
+  *     its direct children in one command — a crashed `refresh` holds
+  *     up to six dirs, and hunting them one flag at a time is exactly
+  *     the operational friction a wedged weekly cron doesn't need.
   *   - `migrate-shingles <indexRoot> [buckets]` —
   *     [[graft.operators.Dedup.migrateShingleBuckets]] over the
   *     minhash and containment families present under `indexRoot`:
@@ -75,7 +80,8 @@ object CorpusMain {
         |       CorpusMain rebuild-ivf <indexRoot> <nlist>
         |       CorpusMain sweep-containment <corpusDir> <outDir> <threshold> [sampleK] [indexRoot]
         |       CorpusMain migrate-shingles <indexRoot> [buckets]
-        |       CorpusMain break-lease <dir>""".stripMargin)
+        |       CorpusMain break-lease <dir> [dir ...]
+        |       CorpusMain break-leases <root>""".stripMargin)
     sys.exit(2)
   }
 
@@ -145,9 +151,15 @@ object CorpusMain {
           }
       case "index-benchmark" :: suiteDir :: benchDir :: rest
           if rest.isEmpty || rest == List("append") =>
-        graft.operators.Dedup.writeBenchmarkIndex(
-          spark.read.parquet(suiteDir), benchDir,
-          mode = if (rest.isEmpty) "overwrite" else "append")
+        // an index-mutating pass like every other: without the lease a
+        // cron `maintain` compacting benchmark/ could rename the suite
+        // write aside mid-swap (the double-writer interleave)
+        graft.operators.Lease.withLeases(spark, Seq(benchDir),
+          "index-benchmark") {
+          graft.operators.Dedup.writeBenchmarkIndex(
+            spark.read.parquet(suiteDir), benchDir,
+            mode = if (rest.isEmpty) "overwrite" else "append")
+        }
         println(s"""{"indexed":"$benchDir","mode":"${
           if (rest.isEmpty) "overwrite" else "append"}"}""")
       case "rebuild-ivf" :: indexRoot :: nlist :: Nil =>
@@ -166,9 +178,15 @@ object CorpusMain {
               s"$indexRoot/$f", buckets)
             println(s"""{"migrated":"$indexRoot/$f","buckets":$buckets}""")
           }
-      case "break-lease" :: dir :: Nil =>
-        graft.operators.Lease.breakLease(spark, dir)
-        println(s"""{"lease_broken":"$dir"}""")
+      case "break-lease" :: dirs if dirs.nonEmpty =>
+        dirs.foreach { dir =>
+          graft.operators.Lease.breakLease(spark, dir)
+          println(s"""{"lease_broken":"$dir"}""")
+        }
+      case "break-leases" :: root :: Nil =>
+        val broken = graft.operators.Lease.breakAllUnder(spark, root)
+        println(s"""{"leases_broken":[${
+          broken.map(d => s""""$d"""").mkString(",")}],"root":"$root"}""")
       case "sweep-containment" :: corpusDir :: outDir :: threshold ::
           rest if rest.length <= 2 =>
         val pairs = Pipeline.sweepContainment(spark, corpusDir,

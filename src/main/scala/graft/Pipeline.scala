@@ -294,6 +294,16 @@ object Pipeline {
     *              `reports/`, each partitioned by `batch_id` — read
     *              the whole corpus back with
     *              `spark.read.parquet(s"$corpusDir/corpus")`
+    * @param maxBandFreq hot-LSH-band cap for the minhash candidate
+    *              joins ([[Dedup.minhashCandidates]]' knob): band
+    *              buckets with more members are skipped (audit via
+    *              [[Dedup.minhashHotBands]]). 0 (default) = off. A
+    *              JOIN-time knob, not stored index geometry — pass
+    *              the same value on every refresh of one corpus; the
+    *              value each batch ACTUALLY ran with is recorded in
+    *              its report row (`max_band_freq`), so historical
+    *              candidate recall stays reconstructible even if a
+    *              cron line drifts.
     */
   def refreshCorpus(spark: SparkSession, batch: DataFrame,
       indexRoot: String, corpusDir: String,
@@ -642,13 +652,22 @@ object Pipeline {
           contaminatedCol.as("nc")).head()
         val nPublished = pubAgg.getLong(0)
         import spark.implicits._
+        // max_band_freq rides on the report so every batch's candidate
+        // geometry is reconstructible from the ledger: unlike the
+        // stored index params (which appends re-read), the cap is a
+        // JOIN-time knob — a cron line that drops it between batches
+        // doesn't corrupt the index, it changes THAT batch's candidate
+        // recall, and without this column no audit could say which cap
+        // any historical batch actually ran with (reports published
+        // before the column read it back as null = unrecorded)
         val report = Seq((minId, maxId, nBatch,
             spark.read.parquet(pairsPart).count(),
             nBatch - nPublished, nPublished,
-            pubAgg.getLong(1), pubAgg.getLong(2), pubAgg.getLong(3)))
+            pubAgg.getLong(1), pubAgg.getLong(2), pubAgg.getLong(3),
+            maxBandFreq))
           .toDF("batch_min_id", "batch_max_id", "n_batch", "n_dup_pairs",
             "n_dropped", "n_published", "n_chunks", "n_chunks_kept",
-            "n_contaminated_docs")
+            "n_contaminated_docs", "max_band_freq")
         stagedWrite(spark, report, reportPart)
       } finally persisted.unpersist()
       readBack()
@@ -775,9 +794,20 @@ object Pipeline {
         // rows ledgered before this key (bare-XOR dir names) stay
         // first-wins for their request: the legacy key is checked too,
         // so a pre-upgrade retraction re-run post-upgrade is still the
-        // documented no-op, not a double-subtraction
+        // documented no-op, not a double-subtraction. But the legacy
+        // key IS the structurally weak one — a NEW request XOR-colliding
+        // with a pre-upgrade row must not be swallowed by it, so the
+        // legacy row only vouches when its stored n_requested matches
+        // this request's cardinality (a true re-run always matches; a
+        // distinct colliding request must additionally be
+        // count-preserving, demoting the structural weakness back to
+        // ordinary ~2^-64 collision odds against the finite
+        // pre-upgrade ledger).
         val legacyPart = s"$corpusDir/retractions/retraction_id=$kx"
-        if (!exists(ledgerPart) && !exists(legacyPart)) {
+        val legacySameRequest = exists(legacyPart) &&
+          spark.read.parquet(legacyPart).head()
+            .getAs[Long]("n_requested") == nRequested
+        if (!exists(ledgerPart) && !legacySameRequest) {
           import spark.implicits._
           stagedWrite(spark, Seq((nRequested, nRetracted))
             .toDF("n_requested", "n_retracted"), ledgerPart)

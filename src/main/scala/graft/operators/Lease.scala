@@ -48,7 +48,18 @@ object Lease {
       java.lang.management.ManagementFactory.getRuntimeMXBean.getName}"
     try {
       val out = fs.create(path, false)
-      try out.write(stamp.getBytes("UTF-8")) finally out.close()
+      // the create succeeded — the lease is OURS from here on. A
+      // failure writing the stamp must not masquerade as "held by
+      // another writer" (nor orphan an empty lease nobody releases):
+      // clean up our own file and surface the real IO failure.
+      try {
+        try out.write(stamp.getBytes("UTF-8")) finally out.close()
+      } catch {
+        case e: java.io.IOException =>
+          try fs.delete(path, false)
+          catch { case ie: java.io.IOException => e.addSuppressed(ie) }
+          throw e
+      }
     } catch {
       case e: java.io.IOException =>
         if (!fs.exists(path)) throw e // a real IO failure, not a holder
@@ -80,6 +91,30 @@ object Lease {
     * contract: only after confirming the recorded holder is dead. */
   def breakLease(spark: SparkSession, dir: String): Unit =
     release(spark, dir)
+
+  /** Takeover for a crashed MULTI-DIR pass (a refresh holds the corpus
+    * dir plus up to five family dirs — one `break-lease` per dir would
+    * make recovery a six-command hunt): breaks the lease on `root`
+    * itself and on every DIRECT child directory holding one, returning
+    * the dirs actually broken. Same contract as [[breakLease]] — only
+    * after confirming the recorded holder is dead; the stale leases of
+    * ONE crashed pass are exactly root-plus-children, so one level is
+    * the right blast radius (never recursive — a deeper unrelated
+    * index tree keeps its live writers' leases). */
+  def breakAllUnder(spark: SparkSession, root: String): Seq[String] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = fsOf(spark, rootPath)
+    val candidates = root +: (
+      if (fs.exists(rootPath))
+        fs.listStatus(rootPath).filter(_.isDirectory)
+          .map(_.getPath.toString).toSeq
+      else Seq.empty)
+    candidates.filter { d =>
+      val held = fs.exists(leasePath(d))
+      if (held) release(spark, d)
+      held
+    }
+  }
 
   /** Run `body` holding the leases on every dir in `dirs` (acquired in
     * sorted order, all released on exit — success OR failure; only a

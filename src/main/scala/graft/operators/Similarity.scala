@@ -646,15 +646,24 @@ object Similarity {
     * ("f32", 0) — the classic layout, cells/ holds the float arrays —
     * or ("sq8", vecBuckets) — cells/ holds int8 codes and the f32
     * arrays live in vectors/ under vecBuckets id-hash partitions.
-    * Indexes written before the storage column existed are f32. */
+    * Indexes written before the storage column existed are f32.
+    *
+    * Cached per JVM under the `params/` file stamp
+    * ([[IndexMeta.cached]]): the dispatch runs on EVERY indexed probe
+    * (and once per streaming micro-batch inside
+    * [[Dedup.semanticNearDupAgainstIndex]]'s f32 guard), and paying a
+    * driver-side parquet job each time would re-install exactly the
+    * per-trigger floor the bridges' metadata cache removed. A rebuild
+    * that flips the layout rewrites `params/`, re-stamping the key. */
   def readIvfStorage(spark: org.apache.spark.sql.SparkSession,
-      dir: String): (String, Int) = {
-    val df = spark.read.parquet(s"$dir/params")
-    if (df.schema.fieldNames.contains("storage")) {
-      val r = df.head()
-      (r.getAs[String]("storage"), r.getAs[Int]("vec_buckets"))
-    } else ("f32", 0)
-  }
+      dir: String): (String, Int) =
+    IndexMeta.cached(spark, "ivf-storage", dir) {
+      val df = spark.read.parquet(s"$dir/params")
+      if (df.schema.fieldNames.contains("storage")) {
+        val r = df.head()
+        (r.getAs[String]("storage"), r.getAs[Int]("vec_buckets"))
+      } else ("f32", 0)
+    }
 
   /** Fold a NEW vector batch into a [[writeIvfIndex]] layout — the
     * append half of the embedding modality's weekly-refresh lifecycle
@@ -805,11 +814,20 @@ object Similarity {
             Seq("vec_id"))
         else base
       raw.write.parquet(staged.toString)
+      val effStorage = if (storage.nonEmpty) storage else ss
       rebuildStaged(spark, dir, staged, nlist, iters,
         if (multiAssign >= 1) multiAssign else sm,
         if (quantizer.nonEmpty) quantizer else sq,
-        if (storage.nonEmpty) storage else ss,
-        if (vecBuckets >= 1) vecBuckets else math.max(svb, 1))
+        effStorage,
+        // an f32→sq8 CONVERSION has no stored vecBuckets to inherit
+        // (svb is 0 for f32); falling to 1 would put the whole f32
+        // re-rank side in a single vbucket partition — every probe's
+        // "bucket-pruned" exact re-rank then scans the entire corpus.
+        // Inherit the stored value, else the write-path default.
+        if (vecBuckets >= 1) vecBuckets
+        else if (svb >= 1) svb
+        else if (effStorage == "sq8") 64
+        else 1)
     }
     }
 

@@ -377,44 +377,22 @@ object StreamingAgg {
     spark.read.parquet(batchOut.toString)
   }
 
-  /** Per-JVM cache of each bridge's driver-side index metadata reads.
-    * The cached values are immutable for the life of an index — the
-    * minhash/Hamming signature params and the IVF geometry never
-    * change after the write (rebuild/migration are maintenance passes,
-    * excluded mid-stream by the single-writer discipline), and the
-    * chunk family's cached slice deliberately EXCLUDES its mutable
-    * max_doc_id watermark — so reading them once per (indexDir)
-    * instead of once per micro-batch shaves pure fixed floor off
-    * every trigger (StreamBridgeTiming records the before/after).
-    *
-    * The cache key carries a `params/` file stamp (names + mtimes +
-    * lengths from ONE listStatus — a metadata call, not a Spark job),
-    * so a stream started in a long-lived JVM AFTER an offline
-    * rebuild/migration rewrote the index reads the NEW geometry
-    * instead of serving the dead index's: every geometry-changing
-    * maintenance pass rewrites `params/`, which changes the stamp and
-    * makes the stale entry unreachable (a handful of dead entries per
-    * rebuild is the whole cost). A missing `params/` falls through to
-    * `read`, whose own error names the broken index.
+  /** Per-JVM cache of each bridge's driver-side index metadata reads —
+    * [[graft.operators.IndexMeta]]'s stamp-keyed cache (shared with the
+    * batch probe surfaces, e.g. readIvfStorage's per-probe dispatch),
+    * kept as a named bridge surface because the spec pins the
+    * invalidation contract here. The chunk family's cached slice
+    * deliberately EXCLUDES its mutable max_doc_id watermark; reading
+    * the immutable rest once per (indexDir, params stamp) instead of
+    * once per micro-batch shaves pure fixed floor off every trigger
+    * (StreamBridgeTiming records the before/after), and a rebuild or
+    * migration in the same JVM re-stamps `params/`, so a restarted
+    * stream reads the NEW geometry, never the dead index's.
     */
-  private val paramsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
-  // private[graft]: the spec pins the invalidation contract directly
   private[graft] def cachedMeta[A <: AnyRef](
       spark: org.apache.spark.sql.SparkSession, kind: String,
-      indexDir: String)(read: => A): A = {
-    import org.apache.hadoop.fs.Path
-    val p = new Path(s"$indexDir/params")
-    val stamp =
-      try {
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.listStatus(p).map(s =>
-            s"${s.getPath.getName}@${s.getModificationTime}#${s.getLen}")
-          .sorted.mkString(",")
-      } catch { case _: java.io.FileNotFoundException => "absent" }
-    paramsCache.computeIfAbsent(s"$kind:$indexDir:$stamp", _ => read)
-      .asInstanceOf[A]
-  }
+      indexDir: String)(read: => A): A =
+    graft.operators.IndexMeta.cached(spark, kind, indexDir)(read)
 
   /** [[cleanChunksStreamAgainstIndex]]'s per-micro-batch body,
     * factored out so the replay contract is provable outside a running

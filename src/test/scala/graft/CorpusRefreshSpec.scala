@@ -515,6 +515,24 @@ class CorpusRefreshSpec extends SparkSuite {
     assert(swept.length === 1 && swept.head.contains("\"n_pairs\":"))
     assert(spark.read.parquet(sweepOut).columns.toSet ===
       Set("id_a", "id_b", "containment"))
+    // index-benchmark is an index-mutating pass like every other: a
+    // held lease (a maintain compacting benchmark/ mid-write) refuses
+    // it instead of interleaving the suite write with the swap
+    graft.operators.Lease.acquire(spark, benchDir, "maintainIndexes")
+    intercept[IllegalStateException] {
+      capture("index-benchmark", suiteDir, benchDir, "append")
+    }
+    // one-command takeover for a crashed multi-dir pass: break-leases
+    // sweeps the root plus direct children (here: the benchmark family
+    // and a second stale lease a crashed refresh left on minhash)
+    graft.operators.Lease.acquire(spark, s"$idxRoot/minhash",
+      "refreshCorpus")
+    val broken = capture("break-leases", idxRoot)
+    assert(broken.length === 1 && broken.head.contains("benchmark") &&
+      broken.head.contains("minhash"))
+    assert(!new java.io.File(s"$benchDir/_LEASE").exists())
+    assert(capture("index-benchmark", suiteDir, benchDir, "append").head
+      .contains("\"mode\":\"append\""))
   }
 
   test("modality-drift guard: omitting a standing modality refuses " +
@@ -688,6 +706,12 @@ class CorpusRefreshSpec extends SparkSuite {
     assert(jaccard === Set((1L, 2L)), s"jaccard pairs: $jaccard")
     assert(pairs.where($"family" =!= "jaccard")
       .where($"id_a" >= 100L).count() > 0)
+    // the cap each batch ACTUALLY ran with is recorded in its report
+    // row — a join-time knob isn't stored index geometry, so without
+    // this column no audit could reconstruct a historical batch's
+    // candidate recall
+    assert(spark.read.parquet(s"$corpusDir/reports").head()
+      .getAs[Long]("max_band_freq") === 5L)
   }
 
   test("retraction ledger: a corpus published before the ledger gets " +
@@ -763,6 +787,21 @@ class CorpusRefreshSpec extends SparkSuite {
     assert(r1.getAs[Long]("n_retracted") === 1L)
     assert(r1.getAs[Long]("n_remaining") === 2L)
     assert(spark.read.parquet(s"$corpusDir/retractions").count() === 2L)
+    // a legacy row whose bare-XOR key COLLIDES with a NEW, DISTINCT
+    // request (the structural weakness the composite key fixed) must
+    // not swallow it: the stored n_requested differs, so the new
+    // request writes its own composite row and its count enters the
+    // ledger arithmetic
+    val collidingKey = Seq(3L).toDF("doc_id")
+      .agg(org.apache.spark.sql.functions.expr(
+        "bit_xor(xxhash64(doc_id))")).head().getLong(0)
+    Seq((7L, 0L)).toDF("n_requested", "n_retracted").write
+      .parquet(s"$corpusDir/retractions/retraction_id=$collidingKey")
+    val r2 = Pipeline.retractCorpus(spark, Seq(3L).toDF("doc_id"),
+      idxRoot, corpusDir).head()
+    assert(r2.getAs[Long]("n_retracted") === 1L)
+    assert(r2.getAs[Long]("n_remaining") === 1L)
+    assert(spark.read.parquet(s"$corpusDir/retractions").count() === 4L)
   }
 
   test("an empty batch is refused") {

@@ -113,6 +113,29 @@ class LeaseSpec extends SparkSuite {
     assert(!new java.io.File(s"$idxDir/_LEASE").exists())
   }
 
+  test("breakAllUnder sweeps the root's and its direct children's " +
+      "stale leases in one call — and ONLY those (a deeper tree keeps " +
+      "its live writer's lease)") {
+    val root = tmp("lease_sweep")
+    // the crashed-refresh shape: leases on the root and two families
+    new java.io.File(s"$root/minhash").mkdirs()
+    new java.io.File(s"$root/chunk").mkdirs()
+    new java.io.File(s"$root/chunk/shingles").mkdirs()
+    Lease.acquire(spark, root, "refreshCorpus")
+    Lease.acquire(spark, s"$root/minhash", "refreshCorpus")
+    Lease.acquire(spark, s"$root/chunk", "refreshCorpus")
+    // an unrelated LIVE writer two levels down must survive the sweep
+    Lease.acquire(spark, s"$root/chunk/shingles", "live-writer")
+    val broken = Lease.breakAllUnder(spark, root)
+    assert(broken.map(d => d.stripPrefix("file:")).toSet ===
+      Set(root, s"$root/minhash", s"$root/chunk"))
+    for (d <- Seq(root, s"$root/minhash", s"$root/chunk"))
+      assert(!new java.io.File(s"$d/_LEASE").exists(), d)
+    assert(new java.io.File(s"$root/chunk/shingles/_LEASE").exists())
+    // idempotent: a second sweep finds nothing
+    assert(Lease.breakAllUnder(spark, root).isEmpty)
+  }
+
   test("rebuild and shingle migration hold their index's lease and " +
       "release on completion; concurrent writers refuse") {
     val emb = spark.read.parquet(sf() + "/embeddings.parquet")

@@ -468,4 +468,36 @@ class SimilaritySpec extends SparkSuite {
     }
     assert(e.getMessage.contains("f32"))
   }
+
+  test("f32→sq8 conversion rebuild inherits the WRITE-path vecBuckets " +
+      "default (64), never a single bucket; the cached storage " +
+      "dispatch follows the rewritten params") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+      .localCheckpoint()
+    val queries = emb.where($"vec_id" < 5).localCheckpoint()
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf_f32_to_sq8").toString
+    Similarity.writeIvfIndex(emb, dir, Similarity.collectCentroids(
+      Similarity.ivfCentroids(emb, nlist = 4)))
+    // prime the per-JVM cache on the f32 layout
+    assert(Similarity.readIvfStorage(spark, dir) === ("f32", 0))
+    // convert without an explicit vecBuckets: the f32 index has no
+    // stored bucket count to inherit (svb = 0), and falling to 1
+    // would put the whole exact re-rank side in ONE vbucket partition
+    Similarity.rebuildIvfIndex(spark, dir, nlist = 4, iters = 1,
+      storage = "sq8")
+    // the rewritten params re-stamp the cache key — the dispatch sees
+    // the new layout in the SAME JVM, at the write-path default
+    assert(Similarity.readIvfStorage(spark, dir) === ("sq8", 64))
+    assert(new java.io.File(s"$dir/vectors").listFiles()
+      .count(_.getName.startsWith("vbucket=")) > 1)
+    // conversion preserved answers: full-re-rank probe ≡ brute force
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"query_id", $"rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSeq
+    assert(rows(Similarity.ivfTopKIndexedSelf(spark, dir, queries,
+        k = 10, nprobe = 4, rerank = 1000000)) ===
+      rows(Similarity.bruteForceTopK(emb, queries, k = 10)))
+  }
 }

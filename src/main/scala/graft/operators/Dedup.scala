@@ -3068,14 +3068,28 @@ object Dedup {
     *     compaction, and a pruned probe opens that many files per
     *     bucket it names (what compaction's repack collapses to 1).
     *
+    *   - `max_rows_per_partition` vs `n_rows / n_partitions`: the
+    *     PARTITION-POPULATION skew — for the IVF family this is the
+    *     rebuild trigger the nlist-sizing contract asks the operator
+    *     to watch (appends assign into FROZEN geometry, so a growing
+    *     or drifting corpus concentrates rows in hot cells; within-
+    *     cell pair scoring grows quadratically in the hot cell's
+    *     population, and a probe that lands on it reads the whole
+    *     bulge). A max several × the mean says re-derive the geometry
+    *     ([[graft.operators.Similarity.rebuildIvfIndex]] with a
+    *     larger nlist), which no amount of [[compactIndex]] — layout-
+    *     only by design — will fix. For the hash-bucketed families
+    *     the same column instead audits KEY skew (a hot LSH band or
+    *     chunk hash), the thing the probe-side caps disclose per run.
+    *
     * Uniqueness is counted under each family's own compaction key
     * (full row for bands/chunks/pieces/hashes, `doc_id` for shingles,
     * `(vec_id, cell)` for IVF cells) so the report predicts the
     * compacted size exactly. Cost: one file-listing pass plus one
-    * count + one distinct-count job per sub-dataset — index-sized, the
-    * same order as the compaction it gates; run it from the same
-    * maintenance window ([[graft.CorpusMain]]'s `stats` line), not per
-    * probe.
+    * count + one distinct-count + one per-partition-count job per
+    * sub-dataset — index-sized, the same order as the compaction it
+    * gates; run it from the same maintenance window
+    * ([[graft.CorpusMain]]'s `stats` line), not per probe.
     */
   def indexStats(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
@@ -3083,14 +3097,14 @@ object Dedup {
     val fs = new Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    // (n_partitions, n_files, max_files_per_partition); for a
-    // NON-partitioned sub-dataset (a legacy flat shingles/) the report
-    // is (0, n, n) — the files-per-pruned-bucket ≈ appends-since-
-    // compaction reading only holds for partitioned datasets, a flat
-    // one reports its total file count in both columns
-    def fileStats(sub: String): (Int, Int, Int) = {
+    // (n_partitions, n_files, max_files_per_partition, partition col);
+    // for a NON-partitioned sub-dataset (a legacy flat shingles/) the
+    // report is (0, n, n, None) — the files-per-pruned-bucket ≈
+    // appends-since-compaction reading only holds for partitioned
+    // datasets, a flat one reports its total file count in both columns
+    def fileStats(sub: String): (Int, Int, Int, Option[String]) = {
       val p = new Path(sub)
-      if (!fs.exists(p)) return (0, 0, 0)
+      if (!fs.exists(p)) return (0, 0, 0, None)
       val entries = fs.listStatus(p).toSeq
       val partDirs = entries.filter(e =>
         e.isDirectory && e.getPath.getName.contains("="))
@@ -3098,22 +3112,38 @@ object Dedup {
         .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       if (partDirs.isEmpty) {
         val n = dataFiles(p)
-        (0, n, n)
+        (0, n, n, None)
       } else {
         val perPart = partDirs.map(e => dataFiles(e.getPath))
-        (partDirs.size, perPart.sum, perPart.max)
+        (partDirs.size, perPart.sum, perPart.max,
+          Some(partDirs.head.getPath.getName.split("=").head))
       }
     }
 
     def row(dataset: String, data: Option[DataFrame],
         distinctOf: DataFrame => DataFrame): (String, String, Long,
-        Long, Int, Int, Int) = {
-      val (nPart, nFiles, maxPerPart) = fileStats(s"$dir/$dataset")
+        Long, Int, Int, Int, Long) = {
+      val (nPart, nFiles, maxPerPart, partCol) =
+        fileStats(s"$dir/$dataset")
       val (rows, uniq) = data match {
         case Some(df) => (df.count(), distinctOf(df).count())
         case None => (0L, 0L)
       }
-      (family, dataset, rows, uniq, nPart, nFiles, maxPerPart)
+      // population skew under the partition key — one partial-agg job
+      // (the skew report must survive duplicate-heavy states, so it
+      // counts RAW rows, same basis as n_rows). Reads that PROJECT the
+      // partition column away (the shingles reader — pmod(doc_id)
+      // buckets are uniform by construction, nothing to audit) report
+      // 0 = not-computed, like a non-partitioned dataset.
+      val maxRowsPerPart = (data, partCol) match {
+        case (Some(df), Some(c))
+            if rows > 0 && df.columns.contains(c) =>
+          df.groupBy(col(c)).count()
+            .agg(max(col("count"))).head().getLong(0)
+        case _ => 0L
+      }
+      (family, dataset, rows, uniq, nPart, nFiles, maxPerPart,
+        maxRowsPerPart)
     }
 
     val rows = family match {
@@ -3158,6 +3188,7 @@ object Dedup {
     }
     import spark.implicits._
     rows.toDF("family", "dataset", "n_rows", "n_unique_rows",
-      "n_partitions", "n_files", "max_files_per_partition")
+      "n_partitions", "n_files", "max_files_per_partition",
+      "max_rows_per_partition")
   }
 }

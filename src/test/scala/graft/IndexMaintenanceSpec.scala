@@ -722,6 +722,39 @@ class IndexMaintenanceSpec extends SparkSuite {
     assert(after("shingles").getLong(2) === after("shingles").getLong(3))
     // partition count is the live bucket dirs, not the configured max
     assert(after("bands").getInt(4) > 0 && after("bands").getInt(4) <= 8)
+    // population skew rides the report (raw-row basis, like n_rows):
+    // before compaction the retried append's duplicates inflate it
+    assert(before("bands").getAs[Long]("max_rows_per_partition") >=
+      after("bands").getAs[Long]("max_rows_per_partition"))
+    assert(after("bands").getAs[Long]("max_rows_per_partition") > 0L)
+  }
+
+  test("indexStats max_rows_per_partition: an IVF cell bulging under " +
+      "frozen append geometry is visible in the report — the rebuild " +
+      "trigger compaction cannot fix") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+      .localCheckpoint()
+    val dir = tmp("stats_skew")
+    Similarity.writeIvfIndex(emb, dir, Similarity.collectCentroids(
+      Similarity.ivfCentroids(emb, nlist = 8)))
+    // a drifted ingest: 200 new vectors all equal to ONE existing
+    // vector — frozen centroids assign every one into the same cell
+    // (the batch carries ALL indexed columns; appends refuse schema
+    // drift)
+    val one = broadcast(emb.limit(1).drop("vec_id").localCheckpoint())
+    val hot = spark.range(1000L, 1200L)
+      .select(col("id").as("vec_id")).crossJoin(one)
+    Similarity.appendIvfIndex(hot, dir)
+    val cells = Dedup.indexStats(spark, dir).collect()
+      .find(_.getString(1) === "cells").get
+    val (nRows, nPart, maxRows) = (cells.getAs[Long]("n_rows"),
+      cells.getAs[Int]("n_partitions"),
+      cells.getAs[Long]("max_rows_per_partition"))
+    assert(maxRows >= 200L)
+    // the skew signal: the hot cell carries several × the mean
+    assert(maxRows.toDouble / (nRows.toDouble / nPart) > 2.0,
+      s"maxRows=$maxRows nRows=$nRows nPart=$nPart")
   }
 
   test("benchmark index: maintainIndexes compacts it (screen answers " +

@@ -2545,12 +2545,19 @@ object Dedup {
     // the dedup probe's contract is EXACT cosines inside the probed
     // cells (the bit-exact incremental ≡ full-run equality) — an sq8
     // index's cells hold quantized codes, whose approximate scores
-    // near the threshold would silently break that equality. Refuse:
-    // dedup indexes are the f32 layout; sq8 is the ANN-serving one.
+    // near the threshold would silently break that equality, and the
+    // exact floats live in vectors/, which the probe cannot join in
+    // without corpus-scale IO (probed-cell populations spread across
+    // every pmod vbucket). Refuse: dedup indexes are the f32 layout;
+    // sq8 is the ANN-serving one. The conversion back is LOSSLESS —
+    // vectors/ holds the exact floats — so an index converted to sq8
+    // for serving recovers its dedup role with one rebuild.
     require(Similarity.readIvfStorage(spark, dir)._1 == "f32",
       s"$dir stores sq8 codes in cells/ — the semantic near-dup probe " +
         "scores exact f32 cosines inside probed cells; write dedup " +
-        "indexes with storage=f32 (sq8 is the ANN-serving layout)")
+        "indexes with storage=f32 (sq8 is the ANN-serving layout), or " +
+        "convert this one back losslessly: rebuildIvfIndex(storage = " +
+        "\"f32\") restores the exact floats from vectors/")
     val cents = Similarity.readIvfCentroids(spark, dir)
     val (multiAssign, quantizer) =
       Similarity.readIvfIndexParams(spark, dir)

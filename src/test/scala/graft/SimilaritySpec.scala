@@ -496,8 +496,20 @@ class SimilaritySpec extends SparkSuite {
       df.orderBy($"query_id", $"rank").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
           r.getInt(3))).toSeq
+    val whole = rows(Similarity.bruteForceTopK(emb, queries, k = 10))
     assert(rows(Similarity.ivfTopKIndexedSelf(spark, dir, queries,
-        k = 10, nprobe = 4, rerank = 1000000)) ===
-      rows(Similarity.bruteForceTopK(emb, queries, k = 10)))
+        k = 10, nprobe = 4, rerank = 1000000)) === whole)
+    // ...and the conversion BACK is lossless (vectors/ holds exact
+    // floats): the restored f32 index probes identically, and the
+    // semantic-dedup probe — which refuses sq8 — works again, which
+    // is the refusal message's documented escape hatch
+    Similarity.rebuildIvfIndex(spark, dir, nlist = 4, iters = 1,
+      storage = "f32")
+    assert(Similarity.readIvfStorage(spark, dir) === ("f32", 0))
+    assert(!new java.io.File(s"$dir/vectors").exists())
+    assert(rows(Similarity.ivfTopKIndexedSelf(spark, dir, queries,
+        k = 10, nprobe = 4)) === whole)
+    graft.operators.Dedup.semanticNearDupAgainstIndex(spark,
+      queries.select($"vec_id", $"embedding"), dir).collect()
   }
 }

@@ -998,6 +998,40 @@ object SparkEntry {
           cents, k = 10, nprobe = 8)
         .orderBy(col("query_id").asc, col("rank").asc)
     }),
+    // FILTERED ANN through the sq8 layout (q103 × q108): the metadata
+    // predicate pre-filters the QUANTIZED probed scan (cells/ carries
+    // the extra columns next to the codes), candidates re-rank
+    // exactly from vectors/ — at full probe + full re-rank this is
+    // exact filtered top-k, hash-checked against q103's brute-force
+    // filtered oracle, proving predicate-over-codes + re-rank
+    // end-to-end. Index write inside the timer (the q84 contract).
+    "q111_sq8_filtered_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.collectCentroids(
+        Similarity.ivfCentroids(emb, nlist = 16))
+      val idx = ivfIndexDir(dir, "sq8_filt16")
+      Similarity.writeIvfIndex(emb, idx, cents, storage = "sq8",
+        vecBuckets = 16)
+      Similarity.ivfTopKIndexedWhere(s, idx,
+          emb.where(col("vec_id") < 5), col("label") === 3,
+          k = 10, nprobe = 16, rerank = emb.count().toInt)
+        .orderBy(col("query_id").asc, col("rank").asc)
+    }),
+    // the q109 production shape's honesty row (q70's role for the
+    // fused probe): recall@10 of nprobe=8/64 + default 4·k re-rank
+    // against brute force over the index's OWN f32 side, with the
+    // probe_frac and rerank budget disclosed beside it — rows-only
+    // (recall is geometry-specific), floor-gated in SimilaritySpec
+    "q112_sq8_ivf_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.collectCentroids(
+        Similarity.ivfCentroids(emb, nlist = 64))
+      val idx = ivfIndexDir(dir, "sq8_recall64")
+      Similarity.writeIvfIndex(emb, idx, cents, storage = "sq8",
+        vecBuckets = 16, multiAssign = 8)
+      Similarity.sq8IndexedRecallStats(s, idx,
+        emb.where(col("vec_id") < 5), k = 10, nprobe = 8)
+    }),
     // ---- extension tier: text analysis ----
     "q40_token_count" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -1888,21 +1922,11 @@ object SparkEntry {
       // side only (queries stay unfiltered): the k best label-3
       // vectors per query — a short post-filtered list would
       // hash-mismatch, which is exactly the semantics under proof
-      "q103_ivf_filtered_topk" ->
-        s"""WITH $vecNormSql,
-           |lab AS (SELECT vec_id, label FROM embeddings),
-           |scored AS (
-           |  SELECT q.vec_id AS query_id, c.vec_id, ${cosineSql("q", "c")}
-           |  FROM v q
-           |  JOIN v c ON q.vec_id < 5 AND q.vec_id != c.vec_id
-           |  JOIN lab ON lab.vec_id = c.vec_id AND lab.label = 3),
-           |ranked AS (
-           |  SELECT query_id, vec_id, cosine,
-           |    CAST(row_number() OVER (PARTITION BY query_id
-           |      ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
-           |  FROM scored)
-           |SELECT * FROM ranked WHERE rank <= 10
-           |ORDER BY query_id, rank""".stripMargin,
+      "q103_ivf_filtered_topk" -> annFilteredTopKSql,
+      // the sq8 layout's filtered probe at full probe + full re-rank
+      // ≡ the f32 layout's ≡ the filtered brute force — same oracle
+      // as q103 (predicate over stored CODES, exact f32 re-rank)
+      "q111_sq8_filtered_topk" -> annFilteredTopKSql,
       "q62_jaccard_allpairs" ->
         s"""WITH $shingleSql,
            |pairs AS (
@@ -2281,6 +2305,27 @@ object SparkEntry {
        |scored AS (
        |  SELECT q.vec_id AS query_id, c.vec_id, ${cosineSql("q", "c")}
        |  FROM v q JOIN v c ON q.vec_id < 5 AND q.vec_id != c.vec_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+       |  FROM scored)
+       |SELECT * FROM ranked WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** [[annBruteTopKSql]] with the label = 3 metadata pre-filter on the
+    * CANDIDATE side only — the oracle of q103 (f32 filtered probe) AND
+    * q111 (sq8 filtered probe at full probe + full re-rank, where the
+    * predicate-over-codes + exact-re-rank pipeline is exact too).
+    */
+  private def annFilteredTopKSql: String =
+    s"""WITH $vecNormSql,
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id, ${cosineSql("q", "c")}
+       |  FROM v q
+       |  JOIN v c ON q.vec_id < 5 AND q.vec_id != c.vec_id
+       |  JOIN lab ON lab.vec_id = c.vec_id AND lab.label = 3),
        |ranked AS (
        |  SELECT query_id, vec_id, cosine,
        |    CAST(row_number() OVER (PARTITION BY query_id

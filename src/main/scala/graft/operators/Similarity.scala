@@ -1121,4 +1121,44 @@ object Similarity {
         col("d").as("dim"), (col("d") * 4).as("f32_bytes_per_vec"),
         col("d").cast("int").as("code_bytes_per_vec"))
   }
+
+  /** The honesty row for the PRODUCTION fused-SQ8 probe shape —
+    * [[ivfRecallStats]]' role for [[ivfTopKIndexedSelf]] over an
+    * sq8-storage index at partial nprobe and bounded rerank (the q109
+    * shape): recall@k against [[bruteForceTopK]] over the index's OWN
+    * exact f32 side (`vectors/` — the reference is the stored corpus,
+    * so the row measures the probe, not ingest drift), with the two
+    * knobs that bought the speed disclosed next to it (`probe_frac` =
+    * nprobe/nlist partition pruning, `rerank_per_query` = the exact
+    * re-score budget; 0 in = the 4·k default out). The recall loss
+    * decomposes into cell-miss (nprobe, shared with the f32 probe)
+    * and quantized-ranking-tail-miss (rerank, the sq8-specific part
+    * [[sq8RecallStats]] isolates at full corpus scan).
+    */
+  def sq8IndexedRecallStats(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queries: DataFrame, k: Int = 10,
+      nprobe: Int = 4, rerank: Int = 0): DataFrame = {
+    val corpus = spark.read.schema(vectorsSchema)
+      .parquet(s"$indexDir/vectors")
+      .select(col("vec_id"), col("embedding"))
+      .dropDuplicates("vec_id") // retried-append rows
+    val nlist = readIvfCentroids(spark, indexDir).length
+    // the stored multi-assign drives candidate dedup — an m-a index
+    // probed without it would waste re-rank slots on duplicates and
+    // understate the recall the budget actually buys
+    val (multiAssign, _) = readIvfIndexParams(spark, indexDir)
+    val exact = bruteForceTopK(corpus, queries, k)
+      .select(col("query_id"), col("vec_id"))
+    val approx = ivfTopKIndexedSelf(spark, indexDir, queries, k,
+        nprobe, multiAssigned = multiAssign > 1, rerank = rerank)
+      .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "vec_id"), "left")
+      .agg(
+        (sum(coalesce(col("hit"), lit(0))) / count(lit(1)))
+          .as("recall_at_k"),
+        count(lit(1)).as("n_exact"))
+      .select(col("recall_at_k"), col("n_exact"),
+        lit(nprobe.toDouble / nlist).as("probe_frac"),
+        lit(if (rerank > 0) rerank else 4 * k).as("rerank_per_query"))
+  }
 }

@@ -469,6 +469,25 @@ class SimilaritySpec extends SparkSuite {
     assert(e.getMessage.contains("f32"))
   }
 
+  test("q112 gate: fused-SQ8 indexed probe recall@10 >= 0.9 at the " +
+      "8/64 probe ratio (multiAssign=8, default 4·k re-rank), recall " +
+      "measured against the index's own f32 side") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+      .localCheckpoint()
+    val queries = emb.where($"vec_id" < 5).localCheckpoint()
+    val dir = java.nio.file.Files
+      .createTempDirectory("sq8_recall_gate").toString
+    Similarity.writeIvfIndex(emb, dir, Similarity.collectCentroids(
+        Similarity.ivfCentroids(emb, nlist = 64)),
+      storage = "sq8", vecBuckets = 16, multiAssign = 8)
+    val r = Similarity.sq8IndexedRecallStats(spark, dir, queries,
+      k = 10, nprobe = 8).head()
+    assert(r.getAs[Double]("recall_at_k") >= 0.9,
+      s"recall ${r.getAs[Double]("recall_at_k")}")
+    assert(r.getAs[Double]("probe_frac") === 0.125)
+    assert(r.getAs[Int]("rerank_per_query") === 40)
+  }
+
   test("f32→sq8 conversion rebuild inherits the WRITE-path vecBuckets " +
       "default (64), never a single bucket; the cached storage " +
       "dispatch follows the rewritten params") {

@@ -56,6 +56,10 @@ import org.apache.spark.sql.SparkSession
   *     its direct children in one command — a crashed `refresh` holds
   *     up to six dirs, and hunting them one flag at a time is exactly
   *     the operational friction a wedged weekly cron doesn't need.
+  *     `lease-status <root>` ([[graft.operators.Lease.status]]) is the
+  *     look-before-you-break survey: every held lease under the root
+  *     with its owner, age, and JVM — the staleness evidence to weigh
+  *     before breaking anything.
   *   - `migrate-shingles <indexRoot> [buckets]` —
   *     [[graft.operators.Dedup.migrateShingleBuckets]] over the
   *     minhash and containment families present under `indexRoot`:
@@ -81,7 +85,8 @@ object CorpusMain {
         |       CorpusMain sweep-containment <corpusDir> <outDir> <threshold> [sampleK] [indexRoot]
         |       CorpusMain migrate-shingles <indexRoot> [buckets]
         |       CorpusMain break-lease <dir> [dir ...]
-        |       CorpusMain break-leases <root>""".stripMargin)
+        |       CorpusMain break-leases <root>
+        |       CorpusMain lease-status <root>""".stripMargin)
     sys.exit(2)
   }
 
@@ -187,6 +192,15 @@ object CorpusMain {
         val broken = graft.operators.Lease.breakAllUnder(spark, root)
         println(s"""{"leases_broken":[${
           broken.map(d => s""""$d"""").mkString(",")}],"root":"$root"}""")
+      case "lease-status" :: root :: Nil =>
+        // look BEFORE you break: one JSON line per held lease with the
+        // recorded holder, age, and JVM — the staleness evidence the
+        // takeover contract asks the operator to weigh
+        graft.operators.Lease.status(spark, root).foreach {
+          case (d, owner, acquired, heldSec, jvm) => println(
+            s"""{"dir":"$d","owner":"$owner","acquired":"$acquired",""" +
+              s""""held_sec":$heldSec,"jvm":"$jvm"}""")
+        }
       case "sweep-containment" :: corpusDir :: outDir :: threshold ::
           rest if rest.length <= 2 =>
         val pairs = Pipeline.sweepContainment(spark, corpusDir,

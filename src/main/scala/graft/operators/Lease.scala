@@ -92,6 +92,49 @@ object Lease {
   def breakLease(spark: SparkSession, dir: String): Unit =
     release(spark, dir)
 
+  /** Held leases under `root` (root itself + direct children — the
+    * [[breakAllUnder]] blast radius), one row per lease: (dir, owner,
+    * acquired ISO-8601, held seconds, holder JVM name). The
+    * look-before-you-break half of the takeover contract: a refusal
+    * names ONE holder; this surveys every lease a wedged root holds so
+    * the operator can check the recorded JVMs for liveness and judge
+    * staleness from the age BEFORE breaking anything. Purely
+    * diagnostic — reads files, never blocks or mutates.
+    */
+  def status(spark: SparkSession, root: String):
+      Seq[(String, String, String, Long, String)] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = fsOf(spark, rootPath)
+    val candidates = root +: (
+      if (fs.exists(rootPath))
+        fs.listStatus(rootPath).filter(_.isDirectory)
+          .map(_.getPath.toString).toSeq
+      else Seq.empty)
+    candidates.flatMap { d =>
+      val p = leasePath(d)
+      if (!fs.exists(p)) None
+      else {
+        val stamp =
+          try {
+            val in = fs.open(p)
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          } catch { case _: java.io.IOException => "" }
+        val parts = stamp.split('\n')
+        val (owner, acquired, jvm) = (
+          parts.lift(0).getOrElse("<unreadable>"),
+          parts.lift(1).getOrElse(""),
+          parts.lift(2).getOrElse("<unknown>"))
+        val heldSec =
+          try java.time.Duration.between(
+            java.time.Instant.parse(acquired),
+            java.time.Instant.now()).getSeconds
+          catch { case _: java.time.format.DateTimeParseException => -1L }
+        Some((d, owner, acquired, heldSec, jvm))
+      }
+    }
+  }
+
   /** Takeover for a crashed MULTI-DIR pass (a refresh holds the corpus
     * dir plus up to five family dirs — one `break-lease` per dir would
     * make recovery a six-command hunt): breaks the lease on `root`

@@ -126,14 +126,22 @@ class LeaseSpec extends SparkSuite {
     Lease.acquire(spark, s"$root/chunk", "refreshCorpus")
     // an unrelated LIVE writer two levels down must survive the sweep
     Lease.acquire(spark, s"$root/chunk/shingles", "live-writer")
+    // look-before-you-break: status surveys exactly the sweep's blast
+    // radius (root + direct children), with holder identity and age
+    val surveyed = Lease.status(spark, root)
+    assert(surveyed.map(_._2).toSet === Set("refreshCorpus"))
+    assert(surveyed.size === 3)
+    assert(surveyed.forall(_._4 >= 0L)) // parseable acquire stamps
+    assert(surveyed.forall(_._5.nonEmpty)) // recorded JVM names
     val broken = Lease.breakAllUnder(spark, root)
     assert(broken.map(d => d.stripPrefix("file:")).toSet ===
       Set(root, s"$root/minhash", s"$root/chunk"))
     for (d <- Seq(root, s"$root/minhash", s"$root/chunk"))
       assert(!new java.io.File(s"$d/_LEASE").exists(), d)
     assert(new java.io.File(s"$root/chunk/shingles/_LEASE").exists())
-    // idempotent: a second sweep finds nothing
+    // idempotent: a second sweep finds nothing — and status agrees
     assert(Lease.breakAllUnder(spark, root).isEmpty)
+    assert(Lease.status(spark, root).isEmpty)
   }
 
   test("rebuild and shingle migration hold their index's lease and " +

@@ -1032,6 +1032,58 @@ object SparkEntry {
       Similarity.sq8IndexedRecallStats(s, idx,
         emb.where(col("vec_id") < 5), k = 10, nprobe = 8)
     }),
+    // ---- extension tier: data mixing (temperature flattening) ----
+    // the per-domain rate table the mix actually applies: counts →
+    // rate = (c_min/c_d)^(1-α) rounded to 6 decimals (the lmScore
+    // portability discipline — pow is the one non-correctly-rounded
+    // op in the chain) → tick threshold at 1/10000 resolution
+    "q114_temperature_rates" -> ((s, dir) =>
+      Sharding.temperatureRates(t(s, dir, "documents"), col("lang"),
+          alpha = 0.5)
+        .orderBy(col("domain").asc)),
+    // the mix itself: per-row membership under the q65/q72 portable
+    // salted tick vs the data-derived q114 thresholds — the
+    // multilingual flattening step of corpus assembly
+    "q113_temperature_mix" -> ((s, dir) =>
+      Sharding.temperatureMix(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        domain = col("lang"), alpha = 0.5)
+        .orderBy(col("doc_id").asc)),
+    // ---- extension tier: semantic (embedding-level) decontamination ----
+    // the full per-vector screen report: nearest eval-set vector by
+    // exact cosine (q37's bit-reproducible arithmetic) — paraphrased
+    // eval leakage that shares no n-grams with the benchmark still
+    // lands here. Eval slice = vec_id % 97 (the q71 convention);
+    // flag threshold 0.9 (the production-shaped verdict column)
+    "q115_semantic_screen" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Dedup.semanticContaminationScreen(
+          emb.where(pmod(col("vec_id"), lit(97)) =!= 0),
+          emb.where(pmod(col("vec_id"), lit(97)) === 0),
+          threshold = 0.9)
+        .orderBy(col("vec_id").asc)
+    }),
+    // the same screen's over-threshold PAIRS through a standing f32
+    // IVF index at nprobe = all cells — exhaustive, so the hits are
+    // exactly the brute-force cross pairs over the threshold and the
+    // DuckDB oracle hash-proves the probe round-trip (the q84
+    // contract; index write inside the timer). Threshold 0.3 is the
+    // test-scale choice: the synthetic embeddings are near-orthogonal
+    // (max cross cosine ~0.47 at sf0.01), so a production 0.9 would
+    // pin an always-empty result — 0.3 makes the hit path the thing
+    // the hash checks
+    "q116_semantic_screen_index" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.where(pmod(col("vec_id"), lit(97)) =!= 0)
+      val cents = Similarity.collectCentroids(
+        Similarity.ivfCentroids(corpus, nlist = 16))
+      val idx = ivfIndexDir(dir, "sem_screen16")
+      Similarity.writeIvfIndex(corpus, idx, cents)
+      Dedup.semanticContaminationHitsAgainstIndex(s, idx,
+          emb.where(pmod(col("vec_id"), lit(97)) === 0),
+          threshold = 0.3, nprobe = 0)
+        .orderBy(col("vec_id").asc, col("eval_id").asc)
+    }),
     // ---- extension tier: text analysis ----
     "q40_token_count" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -1927,6 +1979,71 @@ object SparkEntry {
       // ≡ the f32 layout's ≡ the filtered brute force — same oracle
       // as q103 (predicate over stored CODES, exact f32 re-rank)
       "q111_sq8_filtered_topk" -> annFilteredTopKSql,
+      // temperature-flattening rate table: counts → (c_min/c_d)^(1-α)
+      // rounded to 6 decimals (the lmScore portability discipline) →
+      // 1/10000 tick threshold; α = 0.5 ⇒ exponent 0.5
+      "q114_temperature_rates" ->
+        """WITH counts AS (
+          |  SELECT lang AS domain, count(*) AS n_docs
+          |  FROM documents GROUP BY 1),
+          |r AS (
+          |  SELECT domain, n_docs,
+          |    round(pow((SELECT min(n_docs) FROM counts)::DOUBLE
+          |      / n_docs::DOUBLE, 0.5), 6) AS rate
+          |  FROM counts)
+          |SELECT domain, n_docs, rate,
+          |  CAST(round(rate * 10000) AS BIGINT) AS threshold
+          |FROM r ORDER BY domain""".stripMargin,
+      // the mix: q72's portable salted tick (salt prefix mix1:)
+      // against q114's data-derived thresholds
+      "q113_temperature_mix" ->
+        s"""WITH counts AS (
+          |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+          |thr AS (
+          |  SELECT lang,
+          |    CAST(round(round(pow(
+          |      (SELECT min(n_docs) FROM counts)::DOUBLE
+          |        / n_docs::DOUBLE, 0.5), 6) * 10000) AS BIGINT) AS t
+          |  FROM counts),
+          |k AS (
+          |  SELECT doc_id, lang,
+          |    'mix1:' || CAST(doc_id AS VARCHAR) AS key
+          |  FROM documents),
+          |b AS (
+          |  SELECT doc_id, lang, $mixedTickSql AS tick FROM k)
+          |SELECT b.doc_id, b.lang FROM b JOIN thr ON b.lang = thr.lang
+          |WHERE tick < t ORDER BY doc_id""".stripMargin,
+      // semantic screen report: nearest eval vector by the exact
+      // bit-reproducible cosine (q37's fold); argmax ties fall to the
+      // lowest eval_id in both engines
+      "q115_semantic_screen" ->
+        s"""WITH $vecNormSql,
+           |ev AS (SELECT * FROM v WHERE vec_id % 97 = 0),
+           |corp AS (SELECT * FROM v WHERE vec_id % 97 != 0),
+           |scored AS (
+           |  SELECT c.vec_id, q.vec_id AS eval_id, ${cosineSql("c", "q")}
+           |  FROM corp c CROSS JOIN ev q),
+           |ranked AS (
+           |  SELECT vec_id, eval_id, cosine,
+           |    row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY cosine DESC, eval_id ASC) AS rk
+           |  FROM scored)
+           |SELECT vec_id, cosine AS max_cosine,
+           |  eval_id AS nearest_eval_id,
+           |  cosine >= 0.9 AS contaminated
+           |FROM ranked WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+      // the indexed screen at nprobe = all cells is exhaustive: hits
+      // are exactly the brute-force cross pairs over the threshold —
+      // hash-proving the cells/ probe round-trip (the q84 contract)
+      "q116_semantic_screen_index" ->
+        s"""WITH $vecNormSql,
+           |ev AS (SELECT * FROM v WHERE vec_id % 97 = 0),
+           |corp AS (SELECT * FROM v WHERE vec_id % 97 != 0),
+           |scored AS (
+           |  SELECT c.vec_id, q.vec_id AS eval_id, ${cosineSql("c", "q")}
+           |  FROM corp c CROSS JOIN ev q)
+           |SELECT vec_id, eval_id, cosine FROM scored
+           |WHERE cosine >= 0.3 ORDER BY vec_id, eval_id""".stripMargin,
       "q62_jaccard_allpairs" ->
         s"""WITH $shingleSql,
            |pairs AS (

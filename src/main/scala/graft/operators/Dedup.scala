@@ -2192,6 +2192,112 @@ object Dedup {
       "bucket", "h", hashes)
   }
 
+  // ------------------- SEMANTIC (embedding-level) decontamination
+
+  /** Semantic benchmark-contamination screen: for every corpus vector,
+    * its similarity to the NEAREST eval-set vector — the embedding-level
+    * complement of [[contaminationScreen]]'s n-gram overlap. Paraphrased
+    * or translated eval leakage shares no n-grams with the benchmark;
+    * its embedding still lands next to it, and this screen is how a
+    * training pipeline catches that class before the n-gram report
+    * declares the corpus clean.
+    *
+    * One report row PER CORPUS VECTOR: `(vec_id, max_cosine,
+    * nearest_eval_id, contaminated)` — max cosine over the eval set,
+    * the eval vector achieving it (ties → lowest eval_id), and the
+    * `max_cosine >= threshold` verdict. An EMPTY eval set yields null
+    * scores and `contaminated = false` (every row still reported — the
+    * screen's completeness contract, like the n-gram report's
+    * zero-shingle rows).
+    *
+    * Scale: the eval set is broadcast (eval suites are metadata-sized
+    * next to a training corpus — the [[contaminationScreen]] contract);
+    * the corpus side is ONE pass, map-expanded by |eval| then collapsed
+    * by a partial max BEFORE the only exchange, which carries one row
+    * per corpus vector. Exact by construction — the kernel's
+    * fixed-order fold makes every score engine-reproducible (the q37
+    * oracle discipline), so the report is oracle-checkable bit-exactly.
+    * For a screen over an already-INDEXED corpus, or when only the
+    * over-threshold pairs are wanted at scan cost ∝ the eval set's
+    * cell footprint, use [[semanticContaminationHitsAgainstIndex]].
+    */
+  def semanticContaminationScreen(corpusVecs: DataFrame,
+      evalVecs: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val ev = broadcast(evalVecs.select(col("vec_id").as("eval_id"),
+      col("embedding").as("eval_vec")))
+    corpusVecs.select(col("vec_id"), col("embedding"))
+      .join(ev, lit(true), "left")
+      .select(col("vec_id"), col("eval_id"),
+        native.fvec_cosine(col("embedding"), col("eval_vec"))
+          .as("cosine"))
+      // argmax via struct max: ties on cosine fall to max(-eval_id) =
+      // the LOWEST eval id — the deterministic tie rule every ranked
+      // surface here uses
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cosine").as("c"),
+        (-col("eval_id")).as("n"))).as("m"))
+      .select(col("vec_id"), col("m.c").as("max_cosine"),
+        (-col("m.n")).as("nearest_eval_id"),
+        coalesce(col("m.c") >= lit(threshold), lit(false))
+          .as("contaminated"))
+  }
+
+  /** The over-threshold semantic-contamination PAIRS of an indexed
+    * corpus — [[semanticContaminationScreen]] restricted to its hits,
+    * probing a standing f32 [[Similarity.writeIvfIndex]] layout instead
+    * of re-reading the corpus: each eval vector probes its `nprobe`
+    * nearest STORED cells (`nprobe <= 0` = all cells — exhaustive,
+    * exact, the oracle shape), and only those cell partitions are
+    * scanned (dynamic partition pruning — the probe IO is ∝ the eval
+    * set's cell footprint, never the corpus, which is what makes a
+    * weekly semantic screen affordable against a 100 TB index).
+    * Returns `(vec_id, eval_id, cosine)` — one row per contaminated
+    * (corpus, eval) pair with its evidence score; corpus vectors
+    * outside the probed cells are unflagged by construction (the IVF
+    * recall trade, exhaustive at `nprobe <= 0`).
+    *
+    * SQ8-storage indexes refuse for the
+    * [[semanticNearDupAgainstIndex]] reason verbatim: a screen verdict
+    * near the threshold must come from exact f32 cosines, and the sq8
+    * layout's exact floats live bucket-partitioned in `vectors/`,
+    * reachable only at corpus-scale IO from a probed-cell candidate
+    * set. Convert losslessly (`rebuildIvfIndex(storage = "f32")`) to
+    * recover the screening role.
+    */
+  def semanticContaminationHitsAgainstIndex(spark: SparkSession,
+      dir: String, evalVecs: DataFrame, threshold: Double = 0.9,
+      nprobe: Int = 4): DataFrame = {
+    require(Similarity.readIvfStorage(spark, dir)._1 == "f32",
+      s"$dir stores sq8 codes in cells/ — the semantic contamination " +
+        "screen scores exact f32 cosines inside probed cells; screen " +
+        "against f32 indexes, or convert this one back losslessly: " +
+        "rebuildIvfIndex(storage = \"f32\") restores the exact floats " +
+        "from vectors/")
+    val cents = Similarity.readIvfCentroids(spark, dir)
+    val (multiAssign, _) = Similarity.readIvfIndexParams(spark, dir)
+    val np = if (nprobe <= 0) cents.length
+      else math.min(nprobe, cents.length)
+    val probes = broadcast(
+      evalVecs.select(col("vec_id").as("eval_id"),
+        col("embedding").as("eval_vec"),
+        explode(Similarity.probeCells(cents, np)).as("cell"))
+        // vacuously-true comparison marking the probe likely-selective
+        // so dynamic partition pruning fires (the
+        // [[semanticNearDupAgainstIndex]] trick)
+        .where(col("cell") >= 0))
+    val hits = spark.read.schema(cellsSchema).parquet(s"$dir/cells")
+      .join(probes, Seq("cell"))
+      .select(col("vec_id"), col("eval_id"),
+        native.fvec_cosine(col("embedding"), col("eval_vec"))
+          .as("cosine"))
+      .where(col("cosine") >= threshold)
+    // a multi-assigned corpus vector meets the same eval probe in
+    // every shared cell — same post-threshold distinct as
+    // [[semanticNearDupAgainstIndex]]
+    if (multiAssign > 1) hits.dropDuplicates("vec_id", "eval_id")
+    else hits
+  }
+
   // --------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-dup: pairs with cosine ≥ threshold, bucketed by
@@ -2602,7 +2708,8 @@ object Dedup {
     * layout — same pieces/, same params — so it needs no case of its
     * own.
     */
-  private def indexFamily(spark: SparkSession, dir: String): String = {
+  private[operators] def indexFamily(spark: SparkSession,
+      dir: String): String = {
     val fields = spark.read.parquet(s"$dir/params")
       .schema.fieldNames.toSet
     if (fields.contains("band_buckets")) "minhash"

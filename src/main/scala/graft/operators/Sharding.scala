@@ -291,4 +291,73 @@ object Sharding {
       .limit(k)
       .drop("__wskey")
   }
+
+  /** Per-domain keep rates for TEMPERATURE-flattened data mixing — the
+    * "sample domain d ∝ count_d^α" step of multi-source corpus assembly
+    * (the multilingual/multi-domain flattening rule popularized by
+    * mT5/XLM-R-style training mixes). [[stratifiedSample]] takes the
+    * mix as OPERATOR-chosen fractions; here the fractions are DERIVED
+    * from the corpus itself: with per-domain counts c_d, the target
+    * distribution ∝ c_d^α is reached by pure downsampling with
+    *
+    *   rate_d = (c_min / c_d)^(1−α)
+    *
+    * — the unique rate vector that hits the target while keeping the
+    * best-kept domain (the smallest, for α < 1) at rate 1.0, i.e.
+    * maximal data retention with no upsampling. α = 1 keeps everything
+    * (rates 1.0, the no-op mix); α = 0 equalizes (every domain
+    * downsampled to ~c_min); between, rarer domains are favored
+    * smoothly. Upsampling (α > 1 semantics, duplicating rows) is
+    * deliberately out of scope: repeats are an epoch-schedule concern,
+    * not a corpus-membership one.
+    *
+    * Returns one row per domain: `(domain, n_docs, rate, threshold)`
+    * where `threshold = round(rate·10000)` is the tick cut actually
+    * applied by [[temperatureMix]] — rate is rounded to 6 decimals
+    * first (the [[TextAnalysis.lmScore]] engine-portability discipline:
+    * `pow` is the one non-correctly-rounded IEEE op in the chain, and
+    * the rounding absorbs a last-ulp disagreement between engines).
+    *
+    * Scale: one aggregate over the corpus (map-side partial → #domains
+    * rows), then a #domains-row global window for c_min — domain
+    * metadata, like centroids, never corpus-sized.
+    */
+  def temperatureRates(df: DataFrame, domain: Column,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0, 1]")
+    val counts = df.groupBy(domain.as("domain"))
+      .agg(count(lit(1)).as("n_docs"))
+    val cmin = min(col("n_docs")).over(Window.partitionBy())
+    counts
+      .withColumn("rate",
+        round(pow(cmin.cast("double") / col("n_docs").cast("double"),
+          lit(1.0 - alpha)), 6))
+      .withColumn("threshold",
+        round(col("rate") * lit(10000)).cast("long"))
+  }
+
+  /** Temperature-flattened domain mixing: keep each row of `df` iff its
+    * [[mixedHash]] tick clears its domain's [[temperatureRates]]
+    * threshold — the data-derived analogue of [[stratifiedSample]],
+    * same salt-prefixed portable variate, same 1/10000 resolution, so
+    * membership is deterministic, engine-reproducible, and re-mixable
+    * by salt without touching the data.
+    *
+    * Scale: TWO corpus passes by necessity (the rates are a function
+    * of the full per-domain counts): the counts aggregate, then a
+    * map-only filter under a BROADCAST join against the #domains-row
+    * rate table — the corpus itself never shuffles. NULL ids tick 0
+    * (ride with any non-zero rate, the [[stratifiedSample]] rule);
+    * NULL domains match their own rate row (null-safe join key).
+    */
+  def temperatureMix(df: DataFrame, domain: Column,
+      alpha: Double = 0.5, id: Column = col("doc_id"),
+      salt: String = "mix1"): DataFrame = {
+    val rates = temperatureRates(df, domain, alpha)
+      .select(col("domain").as("__dom"), col("threshold").as("__thr"))
+    val tick = coalesce(pmod(mixedHash(id, salt), lit(10000L)), lit(0L))
+    df.join(broadcast(rates), domain <=> col("__dom"))
+      .where(tick < col("__thr"))
+      .drop("__dom", "__thr")
+  }
 }

@@ -318,7 +318,7 @@ object Similarity {
     * (no centroid join, no window — the probe list is per-row state).
     * Ascending struct sort = best sim first, ties to the lowest cell.
     */
-  private def probeCells(centroids: Array[(Int, Array[Float])],
+  private[operators] def probeCells(centroids: Array[(Int, Array[Float])],
       nprobe: Int): org.apache.spark.sql.Column = {
     val ranked = centroids.map { case (cell, vec) =>
       struct((-centroidSim(col("embedding"), vec)).as("neg_sim"),

@@ -350,6 +350,93 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("semantic contamination screen: nearest eval vector per corpus " +
+      "row, ties to the lowest eval id, empty eval set unflagged") {
+    def unit(ax: Int) =
+      Array.tabulate(8)(i => if (i == ax) 1.0f else 0.0f).toSeq
+    def vecs(rows: Seq[(Long, Seq[Float])]) =
+      rows.toDF("vec_id", "embedding")
+        .select($"vec_id", $"embedding".cast("array<float>")
+          .as("embedding"))
+    // corpus 0 ≡ eval 100; corpus 2 ≡ eval 101; corpus 1 orthogonal
+    // to both (its nearest is a cosine-0 TIE → lowest eval id)
+    val corpus = vecs(Seq(0L -> unit(0), 1L -> unit(3), 2L -> unit(1)))
+    val eval = vecs(Seq(100L -> unit(0), 101L -> unit(1)))
+    val out = Dedup.semanticContaminationScreen(corpus, eval, 0.9)
+      .orderBy($"vec_id").collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out.size === 3)                    // every corpus row reports
+    assert(out(0L) === ((1.0, 100L, true)))
+    assert(out(1L) === ((0.0, 100L, false))) // tie falls to eval 100
+    assert(out(2L) === ((1.0, 101L, true)))
+    // empty eval set: complete report, null scores, nothing flagged
+    val empty = Dedup.semanticContaminationScreen(corpus,
+        eval.where(lit(false)), 0.9)
+      .orderBy($"vec_id").collect()
+    assert(empty.length === 3)
+    assert(empty.forall(r => r.isNullAt(1) && !r.getBoolean(3)))
+  }
+
+  test("indexed semantic contamination hits: exhaustive probe equals " +
+      "the brute-force over-threshold pairs, pruned probe ⊆ exact, " +
+      "sq8 storage refuses") {
+    import graft.operators.Similarity
+    import graft.functions.native
+    val rnd = new scala.util.Random(23)
+    val dirsAx = Seq(
+      Array.tabulate(8)(i => if (i == 0) 1.0f else 0.0f),
+      Array.tabulate(8)(i => if (i == 4) 1.0f else 0.0f))
+    def around(d: Array[Float]): Seq[Float] =
+      d.map(x => x + 0.04f * rnd.nextGaussian().toFloat).toSeq
+    val corpus = (0 until 20)
+      .map(i => (i.toLong, around(dirsAx(i % 2))))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    // eval: two probes near cluster 0, one isolated direction
+    val eval = (Seq(100L -> around(dirsAx(0)), 101L -> around(dirsAx(0))) :+
+      (110L -> Array.tabulate(8)(i => if (i == 7) 1.0f else 0.0f).toSeq))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    def hitSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2))).toSet
+    // brute-force truth: every (corpus, eval) pair over the threshold
+    val exact = hitSet(corpus.select($"vec_id", $"embedding")
+      .crossJoin(eval.select($"vec_id".as("eval_id"),
+        $"embedding".as("ev")))
+      .select($"vec_id", $"eval_id",
+        native.fvec_cosine($"embedding", $"ev").as("cosine"))
+      .where($"cosine" >= 0.9))
+    assert(exact.nonEmpty)
+    for (m <- Seq(1, 2)) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"semscreen$m").toString
+      val cents = Similarity.kmeansCentroids(corpus, nlist = 4, iters = 1)
+      Similarity.writeIvfIndex(corpus, dir, cents, multiAssign = m)
+      // nprobe <= 0 probes every cell: bit-exact equality, cosines in
+      val all = hitSet(Dedup.semanticContaminationHitsAgainstIndex(
+        spark, dir, eval, threshold = 0.9, nprobe = 0))
+      assert(all === exact, s"multiAssign=$m")
+      // the isolated eval direction hits nothing even exhaustively
+      assert(!all.exists(_._2 == 110L))
+      // pruned probe: found ⊆ exact (the IVF recall trade, disclosed)
+      val pruned = hitSet(Dedup.semanticContaminationHitsAgainstIndex(
+        spark, dir, eval, threshold = 0.9, nprobe = 1))
+      assert(pruned.subsetOf(exact), s"multiAssign=$m")
+      assert(pruned.nonEmpty, s"multiAssign=$m")
+    }
+    // sq8 layout refuses: the screen's verdicts need exact f32 cosines
+    val sq8Dir = java.nio.file.Files
+      .createTempDirectory("semscreensq8").toString
+    Similarity.writeIvfIndex(corpus, sq8Dir,
+      Similarity.kmeansCentroids(corpus, nlist = 4, iters = 1),
+      storage = "sq8", vecBuckets = 4)
+    val e = intercept[IllegalArgumentException](
+      Dedup.semanticContaminationHitsAgainstIndex(spark, sq8Dir, eval))
+    assert(e.getMessage.contains("sq8"))
+  }
+
   test("contamination screen counts shingle overlap with the benchmark, " +
       "map-only over the corpus") {
     // benchmark = doc 0's text; doc 1 (exact dup) fully contaminated,

@@ -221,4 +221,67 @@ class ShardingSpec extends SparkSuite {
       .collect().map(_.getLong(0)).toSet
     assert(top === Set(4L))
   }
+
+  // 400 'en' / 100 'de' / 25 'fr' — the skewed multilingual shape
+  // temperature flattening exists for
+  private def mixDocs = {
+    import spark.implicits._
+    ((0L until 400L).map((_, "en")) ++
+      (400L until 500L).map((_, "de")) ++
+      (500L until 525L).map((_, "fr"))).toDF("doc_id", "dom")
+  }
+
+  test("temperature rates: α=0.5 keeps the smallest domain whole and " +
+      "downsamples by the flattening rule; α=1 is a no-op; α=0 " +
+      "equalizes") {
+    def rates(alpha: Double) =
+      Sharding.temperatureRates(mixDocs, $"dom", alpha).collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    val half = rates(0.5)
+    assert(half("fr") === ((25L, 1.0, 10000L)))    // c_min: rate 1.0
+    assert(half("de") === ((100L, 0.5, 5000L)))    // sqrt(25/100)
+    assert(half("en") === ((400L, 0.25, 2500L)))   // sqrt(25/400)
+    val noop = rates(1.0)
+    assert(noop.values.forall { case (_, r, t) => r === 1.0 && t === 10000L })
+    val eq = rates(0.0)
+    assert(eq("en") === ((400L, 0.0625, 625L)))    // 25/400 exactly
+    assert(eq("de")._2 === 0.25)
+    intercept[IllegalArgumentException](
+      Sharding.temperatureRates(mixDocs, $"dom", alpha = 1.5))
+  }
+
+  test("temperature mix keeps ~rate per domain, deterministically, " +
+      "re-mixable by salt; null domains and null ids survive") {
+    import spark.implicits._
+    val kept = Sharding.temperatureMix(mixDocs, $"dom", alpha = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byDom = kept.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byDom("fr") === 25)                       // rate 1.0: all kept
+    assert(byDom("de") > 30 && byDom("de") < 70,     // ~50 of 100
+      s"de kept ${byDom("de")}")
+    assert(byDom("en") > 70 && byDom("en") < 130,    // ~100 of 400
+      s"en kept ${byDom("en")}")
+    // deterministic membership, not just counts
+    val again = Sharding.temperatureMix(mixDocs, $"dom", alpha = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.toSet === again.toSet)
+    // a new salt re-draws: some en membership moves
+    val resalted = Sharding.temperatureMix(mixDocs, $"dom", alpha = 0.5,
+        salt = "mix2").collect().map(_.getLong(0)).toSet
+    assert(resalted !== kept.map(_._1).toSet)
+    // α=1 keeps every row
+    assert(Sharding.temperatureMix(mixDocs, $"dom", alpha = 1.0)
+      .count() === 525L)
+    // null domain rows form their own stratum (null-safe join), null
+    // ids tick 0 and ride with any non-zero rate: equal-count groups
+    // at α=0 both keep rate 1.0 — nothing silently dropped
+    val withNulls = Seq[(java.lang.Long, String)](
+      (1L, "a"), (2L, "a"), (null, "a"), (10L, null), (11L, null),
+      (12L, null)).toDF("doc_id", "dom")
+    val mixed = Sharding.temperatureMix(withNulls, $"dom", alpha = 1.0)
+      .collect()
+    assert(mixed.length === 6)
+    assert(mixed.count(_.isNullAt(1)) === 3)
+  }
 }

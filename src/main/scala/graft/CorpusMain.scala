@@ -60,6 +60,12 @@ import org.apache.spark.sql.SparkSession
   *     look-before-you-break survey: every held lease under the root
   *     with its owner, age, and JVM — the staleness evidence to weigh
   *     before breaking anything.
+  *   - `fsck <root>` — [[graft.operators.Fsck.check]]: read-only
+  *     integrity survey of the root and its children (crashed writes,
+  *     migration states, layout mismatches, staging leftovers, held
+  *     leases), one JSON finding per line with the documented
+  *     recovery; exits non-zero on any error-level finding, so a cron
+  *     health check can alarm on it.
   *   - `migrate-shingles <indexRoot> [buckets]` —
   *     [[graft.operators.Dedup.migrateShingleBuckets]] over the
   *     minhash and containment families present under `indexRoot`:
@@ -86,7 +92,8 @@ object CorpusMain {
         |       CorpusMain migrate-shingles <indexRoot> [buckets]
         |       CorpusMain break-lease <dir> [dir ...]
         |       CorpusMain break-leases <root>
-        |       CorpusMain lease-status <root>""".stripMargin)
+        |       CorpusMain lease-status <root>
+        |       CorpusMain fsck <root>""".stripMargin)
     sys.exit(2)
   }
 
@@ -201,6 +208,17 @@ object CorpusMain {
             s"""{"dir":"$d","owner":"$owner","acquired":"$acquired",""" +
               s""""held_sec":$heldSec,"jvm":"$jvm"}""")
         }
+      case "fsck" :: root :: Nil =>
+        // read-only integrity survey: one JSON line per finding,
+        // most-severe first, each naming its documented recovery;
+        // exit 1 if any error-level finding (cron-able health check)
+        val findings = graft.operators.Fsck.check(spark, root)
+        def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+        findings.foreach { f => println(
+          s"""{"dir":"${esc(f.dir)}","component":"${esc(f.component)}",""" +
+            s""""level":"${f.level}","detail":"${esc(f.detail)}"}""")
+        }
+        if (findings.exists(_.level == "error")) sys.exit(1)
       case "sweep-containment" :: corpusDir :: outDir :: threshold ::
           rest if rest.length <= 2 =>
         val pairs = Pipeline.sweepContainment(spark, corpusDir,

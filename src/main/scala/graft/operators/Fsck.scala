@@ -1,0 +1,286 @@
+package graft.operators
+
+import scala.collection.mutable.ListBuffer
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Read-only integrity survey over an index root (or corpus root) — the
+  * operational `fsck` for the persisted-index tier. Every crash state
+  * in this repo is DOCUMENTED (data-without-params refuses, a crashed
+  * rebuild resumes from `rebuild_staged/`, a crashed shingle re-bucket
+  * migration re-runs, compaction temps are swept by the next pass…),
+  * but until now each was discovered one refusal at a time, mid-pass.
+  * This survey reads the whole tree up front and names every anomaly
+  * with its documented recovery, so an operator inspecting a wedged
+  * root after a crash (or before a season's maintenance window) sees
+  * the full repair list in one diagnostic instead of tripping over it.
+  *
+  * STRICTLY read-only: driver-side file listings plus params-footer
+  * reads — no data jobs, no mutation, no lease taken (readers are
+  * never blocked, and a diagnostic must run WHILE a writer is wedged).
+  * Scale: cost ∝ directory and partition-dir COUNT, never rows — the
+  * same metadata-sized footprint as a probe's params read.
+  *
+  * Severity contract:
+  *   - `error`: probes or appends on this directory will refuse (or,
+  *     worse, a bucket-pruned read would silently miss rows) until the
+  *     named recovery runs;
+  *   - `warn`: answers are unaffected, but an operator should know
+  *     (held lease, crash leftovers awaiting sweep, legacy markers);
+  *   - `ok`: one row per healthy recognized index, naming its family —
+  *     the "survey saw it" receipt that distinguishes a clean index
+  *     from one the walk never visited.
+  */
+object Fsck {
+
+  /** One finding: directory, component ("params", "shingles", …),
+    * severity ("ok" | "warn" | "error"), and the human diagnosis with
+    * its recovery. */
+  final case class Finding(dir: String, component: String,
+      level: String, detail: String)
+
+  /** Sub-dataset names that mark a directory as index data even when
+    * `params/` is missing (the crashed-write state). */
+  private val DataSubdirs = Set("bands", "shingles", "cells",
+    "centroids", "pieces", "chunks", "hashes", "postings", "vectors")
+
+  /** Required data sub-datasets per family (params/ aside). */
+  private val FamilySubdirs: Map[String, Seq[String]] = Map(
+    "minhash" -> Seq("bands", "shingles"),
+    "containment" -> Seq("postings", "shingles"),
+    "chunk" -> Seq("chunks"),
+    "hamming" -> Seq("pieces"),
+    "benchmark" -> Seq("hashes"),
+    "ivf" -> Seq("cells", "centroids"))
+
+  /** Survey `root` and its direct children (the [[Lease.breakAllUnder]]
+    * blast radius — an index root's families live one level down).
+    * Findings most-severe-first, then by path. */
+  def check(spark: SparkSession, root: String): Seq[Finding] = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath))
+      return Seq(Finding(root, "root", "error",
+        s"$root does not exist"))
+    // child paths keep the CALLER's root string verbatim (listStatus
+    // would re-scheme a bare /tmp/... as file:/tmp/... and every
+    // finding's dir would stop matching the operator's own paths)
+    val children =
+      fs.listStatus(rootPath).filter(_.isDirectory)
+        .map(s => s"$root/${s.getPath.getName}").toSeq.sorted
+    val all = checkDir(spark, fs, root) ++
+      children.flatMap(d => checkDir(spark, fs, d))
+    val sev = Map("error" -> 0, "warn" -> 1, "ok" -> 2)
+    all.sortBy(f => (sev.getOrElse(f.level, 3), f.dir, f.component))
+  }
+
+  /** [[check]] as a DataFrame, for Spark-side consumers. */
+  def checkDf(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    check(spark, root).toDF()
+  }
+
+  private def ls(fs: FileSystem, dir: String): Seq[(String, Boolean)] = {
+    val p = new Path(dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .map(s => (s.getPath.getName, s.isDirectory))
+  }
+
+  private def checkDir(spark: SparkSession, fs: FileSystem,
+      dir: String): Seq[Finding] = {
+    val entries = ls(fs, dir)
+    val names = entries.map(_._1).toSet
+    val b = ListBuffer.empty[Finding]
+
+    // ---- universal surface: leases and maintenance-staging leftovers
+    if (names.contains("_LEASE"))
+      Lease.status(spark, dir).filter(_._1 == dir).foreach {
+        case (_, owner, acquired, heldSec, jvm) =>
+          b += Finding(dir, "_LEASE", "warn",
+            s"held by '$owner' since $acquired (${heldSec}s, JVM $jvm) " +
+              "— a live writer, or a crashed one awaiting break-lease; " +
+              "see CorpusMain lease-status / break-lease")
+      }
+    entries.foreach {
+      case (n, true) if n.endsWith("__compact_tmp") ||
+          n.endsWith("__old") =>
+        b += Finding(s"$dir/$n", "staging", "warn",
+          "crashed compaction leftover — never read by probes; the " +
+            "next compactIndex sweeps it (safe to delete)")
+      case (n, true) if n.startsWith("_stage_") ||
+          n.startsWith("_old_") =>
+        b += Finding(s"$dir/$n", "staging", "warn",
+          "crashed staged-write leftover — never read (staged renames " +
+            "go dest-aside then tmp-in); the next run of the same pass " +
+            "overwrites it (safe to delete)")
+      case _ => ()
+    }
+
+    // ---- corpus-root surface
+    if (names.contains("corpus") || names.contains("reports")) {
+      if (!names.contains("modalities"))
+        b += Finding(dir, "modalities", "warn",
+          "corpus predates the modality marker — the drift guard " +
+            "validates from the index dirs until the next refresh " +
+            "records modalities/")
+      if (!names.contains("retraction_base"))
+        b += Finding(dir, "retraction_base", "warn",
+          "corpus predates the retraction ledger — the first " +
+            "retraction pays one corpus count to stamp the base, once")
+      ls(fs, s"$dir/corpus").foreach { case (n, isD) =>
+        if (isD && !n.startsWith("batch_id="))
+          b += Finding(s"$dir/corpus/$n", "corpus", "error",
+            "unexpected entry in the published corpus — batches are " +
+              "batch_id=<n> partitions; a foreign dir breaks the " +
+              "partition-column listing")
+      }
+    }
+
+    // ---- streaming staging surface (stream_out/ roots)
+    entries.foreach {
+      case (n, true) if n.startsWith("batch_") =>
+        if (!ls(fs, s"$dir/$n").exists(_._1 == "_COMMIT"))
+          b += Finding(s"$dir/$n", "_COMMIT", "warn",
+            "marker-less partial staging (crash mid-batch) — the " +
+              "bridge deletes and recomputes it on replay; safe")
+      case _ => ()
+    }
+
+    // ---- index surface
+    val dataPresent = names.intersect(DataSubdirs)
+    val hasParams = names.contains("params")
+    if (!hasParams && dataPresent.nonEmpty) {
+      if (names.contains("rebuild_staged"))
+        b += Finding(dir, "params", "error",
+          "params/ absent with rebuild_staged/ present — a crashed " +
+            "IVF rebuild mid-rewrite; every probe refuses. Recover: " +
+            "re-run rebuildIvfIndex with explicit multiAssign/" +
+            "quantizer/storage (the stored geometry died with params/)")
+      else
+        b += Finding(dir, "params", "error",
+          s"data sub-datasets (${dataPresent.toSeq.sorted.mkString(", ")}) " +
+            "with no params/ — a crashed index write; every " +
+            "self-describing probe refuses. Recover: re-run the " +
+            "interrupted writer to completion")
+      return b.toList
+    }
+    if (!hasParams) return b.toList // not an index dir
+
+    val family =
+      try Dedup.indexFamily(spark, dir)
+      catch {
+        case e: Exception =>
+          b += Finding(dir, "params", "error",
+            s"params/ unreadable or unrecognized: ${e.getMessage}")
+          return b.toList
+      }
+
+    val missing = FamilySubdirs(family).filterNot(names.contains)
+    missing.foreach { sub =>
+      b += Finding(dir, sub, "error",
+        s"$family index is missing $sub/ — a crashed write (params " +
+          "are written LAST, so this is params from a previous " +
+          "generation over a half-deleted tree); re-run the writer")
+    }
+    if (missing.nonEmpty) return b.toList
+
+    // Bucket-partitioned layout audit: does the data's directory shape
+    // agree with the params' declared layout? `_`/`.`-prefixed entries
+    // (markers, _SUCCESS) are invisible to Spark's listing and to us.
+    def bucketAudit(sub: String, partCol: String,
+        declared: Option[Int]): Unit = {
+      val visible = ls(fs, s"$dir/$sub").filter { case (n, _) =>
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      val partDirs = visible.collect {
+        case (n, true) if n.startsWith(s"$partCol=") =>
+          n.stripPrefix(s"$partCol=")
+      }
+      val flatFiles = visible.exists(!_._2)
+      if (partDirs.nonEmpty && flatFiles)
+        b += Finding(s"$dir/$sub", sub, "error",
+          s"flat parquet files NEXT TO $partCol= partition dirs — " +
+            "the conflicting-directory-structures state (a flat " +
+            "append into a crashed re-bucket migration); reads fail. " +
+            "Recover: remove the flat files or re-run " +
+            "migrateShingleBuckets, then compactIndex")
+      declared match {
+        case Some(n) =>
+          val bad = partDirs.filter(v =>
+            v.toIntOption.forall(i => i < 0 || i >= n))
+          if (bad.nonEmpty)
+            b += Finding(s"$dir/$sub", sub, "error",
+              s"$partCol values out of range for the stored " +
+                s"$n-partition layout: ${bad.sorted.take(5).mkString(", ")}" +
+                " — written under different params; bucket-pruned " +
+                "probes would MISS these rows. Recover: rebuild the " +
+                "index (or re-append under stored params)")
+          if (visible.nonEmpty && partDirs.isEmpty)
+            b += Finding(s"$dir/$sub", sub, "error",
+              s"params declare a $n-partition $partCol= layout but " +
+                s"$sub/ holds no partition dirs — inconsistent (no " +
+                "writer here produces this); rebuild the index")
+        case None =>
+          // flat-declared layouts (legacy shingles) must hold flat data
+          if (partDirs.nonEmpty)
+            b += Finding(s"$dir/$sub", sub, "error",
+              s"params declare a FLAT $sub/ but the data is " +
+                s"$partCol-partitioned — the crashed re-bucket-" +
+                "migration state (params demoted, data bucketed); " +
+                "appends refuse. Recover: re-run migrateShingleBuckets")
+      }
+    }
+
+    def paramInt(name: String): Option[Int] = {
+      val p = spark.read.parquet(s"$dir/params")
+      if (p.schema.fieldNames.contains(name))
+        Some(p.head().getAs[Int](name))
+      else None
+    }
+
+    family match {
+      case "minhash" =>
+        bucketAudit("bands", "bucket", paramInt("band_buckets"))
+        bucketAudit("shingles", "bucket",
+          Dedup.readShingleBuckets(spark, dir))
+      case "containment" =>
+        bucketAudit("postings", "bucket", paramInt("posting_buckets"))
+        bucketAudit("shingles", "bucket",
+          Dedup.readShingleBuckets(spark, dir))
+      case "chunk" =>
+        bucketAudit("chunks", "bucket", paramInt("chunk_buckets"))
+      case "hamming" =>
+        bucketAudit("pieces", "bucket", paramInt("piece_buckets"))
+      case "benchmark" =>
+        bucketAudit("hashes", "bucket", paramInt("hash_buckets"))
+      case "ivf" =>
+        val (storage, vecBuckets) = Similarity.readIvfStorage(spark, dir)
+        if (storage == "sq8") {
+          if (!names.contains("vectors"))
+            b += Finding(dir, "vectors", "error",
+              "sq8 storage with no vectors/ — the exact-re-rank side " +
+                "is gone and every probe's re-rank join returns " +
+                "nothing; restore vectors/ or rebuild from source " +
+                "embeddings")
+          else bucketAudit("vectors", "vbucket", Some(vecBuckets))
+        } else if (names.contains("vectors"))
+          b += Finding(dir, "vectors", "warn",
+            "f32 storage with a vectors/ dir — a crashed f32 " +
+              "conversion's leftover (nothing reads it under f32 " +
+              "params); safe to delete")
+        if (names.contains("rebuild_staged"))
+          b += Finding(s"$dir/rebuild_staged", "staging", "warn",
+            "rebuild staging left behind a COMPLETED rebuild (params " +
+              "present) — the next rebuild sweeps it; safe to delete")
+      case _ => ()
+    }
+
+    if (!b.exists(_.level == "error"))
+      b += Finding(dir, "index", "ok",
+        s"$family index: layout consistent")
+    b.toList
+  }
+}

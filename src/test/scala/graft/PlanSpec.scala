@@ -429,4 +429,40 @@ class PlanSpec extends SparkSuite {
       p.contains("windowspecdefinition(pid"), p.take(3000))
     assert(df.count() > 0)
   }
+
+  test("temperature mix broadcasts the rate table onto a map-only " +
+      "filter — the corpus never shuffle-joins its own mix rates") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+    val p = plan(graft.operators.Sharding.temperatureMix(docs,
+      col("lang")))
+    // the #domains-row rate table is the build side; a SortMergeJoin
+    // here would shuffle the corpus to join metadata
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("semantic contamination screen broadcasts the eval set and " +
+      "partial-aggregates the max before its single exchange; the " +
+      "indexed hits probe is dynamically partition-pruned") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val corpus = emb.where(pmod(col("vec_id"), lit(97)) =!= 0)
+    val eval = emb.where(pmod(col("vec_id"), lit(97)) === 0)
+    val p = plan(graft.operators.Dedup.semanticContaminationScreen(
+      corpus, eval))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // the corpus×eval expansion collapses map-side: partial_max runs
+    // BEFORE the exchange, which then carries one row per corpus vector
+    assert(p.contains("partial_max"), p.take(4000))
+    val dir = java.nio.file.Files
+      .createTempDirectory("semscreenplan").toString
+    graft.operators.Similarity.writeIvfIndex(corpus, dir,
+      graft.operators.Similarity.collectCentroids(
+        graft.operators.Similarity.ivfCentroids(corpus, nlist = 8)))
+    val p2 = plan(graft.operators.Dedup
+      .semanticContaminationHitsAgainstIndex(spark, dir, eval,
+        threshold = 0.3, nprobe = 2))
+    // probe IO ∝ the eval set's cell footprint, never the corpus
+    assert(p2.contains("dynamicpruning"), p2.take(3000))
+  }
 }

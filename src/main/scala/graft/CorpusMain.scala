@@ -82,7 +82,7 @@ object CorpusMain {
 
   private def usage(): Nothing = {
     System.err.println(
-      """usage: CorpusMain refresh <batchDir> <indexRoot> <corpusDir> [embeddingsDir] [emb=<dir>] [bench=<dir>] [containment=<t>]
+      """usage: CorpusMain refresh <batchDir> <indexRoot> <corpusDir> [embeddingsDir] [emb=<dir>] [bench=<dir>] [containment=<t>] [semeval=<dir>]
         |       CorpusMain retract <idsDir> <indexRoot> <corpusDir>
         |       CorpusMain maintain <indexRoot>
         |       CorpusMain stats <indexRoot>
@@ -125,7 +125,7 @@ object CorpusMain {
         // as flags — a legacy positional path that happens to contain
         // '=' stays positional — and a duplicated flag is refused
         // instead of silently last-winning
-        val flagKeys = Set("emb", "bench", "containment")
+        val flagKeys = Set("emb", "bench", "containment", "semeval")
         val (kv0, legacy) = rest.partition(a =>
           flagKeys.exists(k => a.startsWith(s"$k=")))
         val kvPairs = kv0.map { a =>
@@ -141,7 +141,8 @@ object CorpusMain {
           spark.read.parquet(batchDir), indexRoot, corpusDir,
           embeddings = emb,
           benchmarkIndexDir = kv.get("bench"),
-          containmentThreshold = kv.get("containment").map(_.toDouble))
+          containmentThreshold = kv.get("containment").map(_.toDouble),
+          semanticEvalDir = kv.get("semeval"))
         println(out.report.head().json)
       case "retract" :: idsDir :: indexRoot :: corpusDir :: Nil =>
         val report = Pipeline.retractCorpus(spark,

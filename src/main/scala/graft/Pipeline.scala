@@ -290,6 +290,25 @@ object Pipeline {
     *              modality from the three corpus index families.
     *              Refreshes of ONE corpus should either always or
     *              never pass it (the published columns differ).
+    * @param semanticEvalDir optional parquet directory of EVAL-SET
+    *              embeddings `(vec_id, embedding)` — when given (and
+    *              the `embeddings` modality runs, which it requires),
+    *              the published docs' vectors are screened against the
+    *              eval vectors ([[Dedup.semanticContaminationScreen]])
+    *              and the semantic-contamination columns
+    *              (`semantic_max_cosine`, `semantic_nearest_eval_id`,
+    *              `semantic_contaminated`) ride on the published
+    *              corpus, with `n_semantic_contaminated_docs` in the
+    *              report — the embedding-level complement of the
+    *              n-gram `benchmarkIndexDir` screen, for paraphrased
+    *              eval leakage that shares no n-grams. PROBE-ONLY like
+    *              the benchmark modality: eval vectors are read, never
+    *              appended anywhere. Same always-or-never-per-corpus
+    *              rule, enforced by the modality marker. Published
+    *              docs WITHOUT a batch vector screen as unflagged
+    *              (null score), the screen's completeness rule.
+    * @param semanticEvalThreshold the `semantic_contaminated` verdict
+    *              cut (cosine to the nearest eval vector).
     * @param corpusDir published corpus root: `corpus/`, `pairs/`,
     *              `reports/`, each partitioned by `batch_id` — read
     *              the whole corpus back with
@@ -319,7 +338,12 @@ object Pipeline {
       benchmarkIndexDir: Option[String] = None,
       containmentThreshold: Option[Double] = None,
       postingBuckets: Int = 256,
-      maxBandFreq: Long = 0L): RefreshOutput = {
+      maxBandFreq: Long = 0L,
+      semanticEvalDir: Option[String] = None,
+      semanticEvalThreshold: Double = 0.9): RefreshOutput = {
+    require(semanticEvalDir.isEmpty || embeddings.isDefined,
+      "refreshCorpus: semanticEvalDir screens the batch's VECTORS — " +
+        "it requires the embeddings modality (pass embeddings too)")
     import org.apache.hadoop.fs.Path
     val fs = new Path(corpusDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -376,19 +400,27 @@ object Pipeline {
       // mid-way). Corpora published before the marker existed are
       // validated from the standing index dirs once, then stamped.
       val askedModalities = (embeddings.isDefined,
-        containmentThreshold.isDefined, benchmarkIndexDir.isDefined)
+        containmentThreshold.isDefined, benchmarkIndexDir.isDefined,
+        semanticEvalDir.isDefined)
       val modalitiesPath = s"$corpusDir/modalities"
       val storedModalities =
         if (exists(modalitiesPath)) {
-          val r = spark.read.parquet(modalitiesPath).head()
+          val mdf = spark.read.parquet(modalitiesPath)
+          val r = mdf.head()
+          // markers written before the semantic-eval modality existed
+          // lack its column: absent = the corpus never ran it
+          val se = mdf.schema.fieldNames.contains("semantic_eval") &&
+            r.getAs[Boolean]("semantic_eval")
           Some((r.getAs[Boolean]("semantic"),
-            r.getAs[Boolean]("containment"), r.getAs[Boolean]("benchmark")))
+            r.getAs[Boolean]("containment"),
+            r.getAs[Boolean]("benchmark"), se))
         } else None
       storedModalities match {
         case Some(stored) =>
           val omitted = Seq("semantic" -> (stored._1 && !askedModalities._1),
             "containment" -> (stored._2 && !askedModalities._2),
-            "benchmark" -> (stored._3 && !askedModalities._3))
+            "benchmark" -> (stored._3 && !askedModalities._3),
+            "semantic-eval" -> (stored._4 && !askedModalities._4))
             .collect { case (name, true) => name }
           require(omitted.isEmpty,
             s"refreshCorpus modality drift: this corpus runs with the " +
@@ -411,7 +443,8 @@ object Pipeline {
           spark.range(1).select(
             lit(askedModalities._1).as("semantic"),
             lit(askedModalities._2).as("containment"),
-            lit(askedModalities._3).as("benchmark")),
+            lit(askedModalities._3).as("benchmark"),
+            lit(askedModalities._4).as("semantic_eval")),
           modalitiesPath)
       // baseline for [[retractCorpus]]'s scan-free remaining-count
       // arithmetic: a corpus CREATED by this code starts at adjustment 0
@@ -538,8 +571,31 @@ object Pipeline {
               Dedup.contaminationScreenAgainstIndex(spark,
                 published0.select(col("doc_id"), col("text")), bench),
               Seq("doc_id")))
+          // the embedding-level screen (probe-only, like the benchmark
+          // one): published docs' vectors vs the eval set's — the
+          // nearest-eval evidence columns ride the corpus. LEFT join:
+          // a published doc without a batch vector screens unflagged
+          // (null score), never silently drops from the corpus
+          val publishedSem = semanticEvalDir.fold(published) { evalDir =>
+            val evalVecs = spark.read.parquet(evalDir)
+              .select(col("vec_id"), col("embedding"))
+            val pubVecs = embeddings.get
+              .select(col("vec_id"), col("embedding"))
+              .join(published.select(col("doc_id").as("vec_id")),
+                Seq("vec_id"), "left_semi")
+            published.join(
+              Dedup.semanticContaminationScreen(pubVecs, evalVecs,
+                  semanticEvalThreshold)
+                .select(col("vec_id").as("doc_id"),
+                  col("max_cosine").as("semantic_max_cosine"),
+                  col("nearest_eval_id").as("semantic_nearest_eval_id"),
+                  col("contaminated").as("semantic_contaminated")),
+              Seq("doc_id"), "left")
+              .withColumn("semantic_contaminated",
+                coalesce(col("semantic_contaminated"), lit(false)))
+          }
           stagedWrite(spark, allPairs, pairsPart)
-          stagedWrite(spark, published, corpusPart) // the probe-stage commit
+          stagedWrite(spark, publishedSem, corpusPart) // the probe-stage commit
         }
 
         // ---- append: survivors' ORIGINAL rows into all three families
@@ -645,11 +701,16 @@ object Pipeline {
           if (pub.columns.contains("n_contaminated"))
             count(when(col("n_contaminated") > 0, 1))
           else lit(0L)
+        val semContaminatedCol =
+          if (pub.columns.contains("semantic_contaminated"))
+            count(when(col("semantic_contaminated"), 1))
+          else lit(0L)
         val pubAgg = pub.agg(
           count(lit(1)).as("np"),
           coalesce(sum(col("n_chunks")), lit(0L)).as("c"),
           coalesce(sum(col("n_kept")), lit(0L)).as("k"),
-          contaminatedCol.as("nc")).head()
+          contaminatedCol.as("nc"),
+          semContaminatedCol.as("nsc")).head()
         val nPublished = pubAgg.getLong(0)
         import spark.implicits._
         // max_band_freq rides on the report so every batch's candidate
@@ -664,10 +725,11 @@ object Pipeline {
             spark.read.parquet(pairsPart).count(),
             nBatch - nPublished, nPublished,
             pubAgg.getLong(1), pubAgg.getLong(2), pubAgg.getLong(3),
-            maxBandFreq))
+            maxBandFreq, pubAgg.getLong(4)))
           .toDF("batch_min_id", "batch_max_id", "n_batch", "n_dup_pairs",
             "n_dropped", "n_published", "n_chunks", "n_chunks_kept",
-            "n_contaminated_docs", "max_band_freq")
+            "n_contaminated_docs", "max_band_freq",
+            "n_semantic_contaminated_docs")
         stagedWrite(spark, report, reportPart)
       } finally persisted.unpersist()
       readBack()

@@ -445,6 +445,93 @@ class CorpusRefreshSpec extends SparkSuite {
     assert(again.published.columns.contains("contaminated_frac"))
   }
 
+  test("semantic-eval modality: embedding-level screen columns ride " +
+      "the published corpus, probe-only, drift-guarded, and require " +
+      "the embeddings modality") {
+    val idxRoot = tmp("semeval_idx")
+    val corpusDir = tmp("semeval_corpus")
+    val evalDir = tmp("semeval_eval")
+    val rnd = new scala.util.Random(31)
+    val dirA = Array.tabulate(8)(i => if (i == 0) 1.0f else 0.0f)
+    val dirB = Array.tabulate(8)(i => if (i == 4) 1.0f else 0.0f)
+    val dirC = Array.tabulate(8)(i => if (i == 7) 1.0f else 0.0f)
+    def around(d: Array[Float]): Seq[Float] =
+      d.map(x => x + 0.01f * rnd.nextGaussian().toFloat).toSeq
+    def embFrame(rows: Seq[(Long, Seq[Float])]) =
+      rows.toDF("vec_id", "embedding")
+        .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    // eval set: one vector in doc 0's semantic neighborhood, one isolated
+    embFrame(Seq((900L, around(dirA)), (901L, around(dirC))))
+      .write.mode("overwrite").parquet(evalDir)
+
+    val batch1 = Seq(
+      (0L, "the quick brown fox jumps over the lazy sleeping dog", "en"),
+      (1L, "completely different words about spark query engines", "en"))
+      .toDF("doc_id", "text", "lang")
+    val emb1 = embFrame(Seq((0L, around(dirA)), (1L, around(dirB))))
+    def refresh(batch: DataFrame, emb: DataFrame,
+        semeval: Option[String]) =
+      Pipeline.refreshCorpus(spark, batch, idxRoot, corpusDir,
+        jaccardThreshold = 0.5, chunkTokens = 4, bandBuckets = 8,
+        pieceBuckets = 8, chunkBuckets = 8, embeddings = Some(emb),
+        semanticEvalDir = semeval)
+    val out1 = refresh(batch1, emb1, Some(evalDir))
+    // doc 0 is a paraphrase-class hit: zero shared n-grams with any
+    // benchmark, flagged purely by its embedding's nearest eval vector
+    val rows = out1.published
+      .select($"doc_id", $"semantic_max_cosine",
+        $"semantic_nearest_eval_id", $"semantic_contaminated")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(rows(0L)._3 && rows(0L)._2 === 900L && rows(0L)._1 > 0.9)
+    assert(!rows(1L)._3)
+    assert(out1.report.head()
+      .getAs[Long]("n_semantic_contaminated_docs") === 1L)
+    // PROBE-ONLY: the eval vectors were read, never appended — the ivf
+    // family holds exactly the published survivors
+    assert(spark.read.parquet(s"$idxRoot/ivf/cells")
+      .select($"vec_id").distinct().collect().map(_.getLong(0)).toSet
+      === Set(0L, 1L))
+
+    // drift guard: a later refresh FORGETTING the flag refuses loudly
+    val batch2 = Seq((10L, "novel content on streaming watermarks and " +
+      "state stores", "en")).toDF("doc_id", "text", "lang")
+    val emb2 = embFrame(Seq((10L, around(dirC))))
+    val e = intercept[IllegalArgumentException](
+      refresh(batch2, emb2, None))
+    assert(e.getMessage.contains("semantic-eval"))
+    // with the flag the batch proceeds; the isolated-direction vector
+    // flags against eval 901, proving the screen runs per batch
+    val out2 = refresh(batch2, emb2, Some(evalDir))
+    val r10 = out2.published.where($"doc_id" === 10L).head()
+    assert(r10.getAs[Long]("semantic_nearest_eval_id") === 901L)
+
+    // the modality requires embeddings (it screens the batch's vectors)
+    val e2 = intercept[IllegalArgumentException](
+      Pipeline.refreshCorpus(spark, batch1, tmp("se_idx2"),
+        tmp("se_corpus2"), semanticEvalDir = Some(evalDir)))
+    assert(e2.getMessage.contains("embeddings"))
+
+    // ADOPTION mid-corpus is the operator's deliberate act: a corpus
+    // created without the modality accepts it later and re-records the
+    // marker — after which omission refuses
+    val idx3 = tmp("se_idx3"); val corpus3 = tmp("se_corpus3")
+    def refresh3(batch: DataFrame, emb: DataFrame,
+        semeval: Option[String]) =
+      Pipeline.refreshCorpus(spark, batch, idx3, corpus3,
+        jaccardThreshold = 0.5, chunkTokens = 4, bandBuckets = 8,
+        pieceBuckets = 8, chunkBuckets = 8, embeddings = Some(emb),
+        semanticEvalDir = semeval)
+    refresh3(batch1, emb1, None)
+    refresh3(batch2, emb2, Some(evalDir)) // adoption
+    val batch3 = Seq((20L, "more fresh prose about barrier execution",
+      "en")).toDF("doc_id", "text", "lang")
+    val emb3 = embFrame(Seq((20L, around(dirB))))
+    val e3 = intercept[IllegalArgumentException](
+      refresh3(batch3, emb3, None))
+    assert(e3.getMessage.contains("semantic-eval"))
+  }
+
   test("CorpusMain.run drives the scheduler cadence: refresh → stats → " +
       "maintain → retract, one JSON line per result row") {
     val idxRoot = tmp("cm_idx")

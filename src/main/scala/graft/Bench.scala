@@ -32,7 +32,10 @@ object Bench {
     // checkpoint + per-file micro-batches — the q91 overhead shape);
     // its only per-pass signal is the batch screen, already benched
     // as q101
-    "q110_stream_screen")
+    "q110_stream_screen",
+    // q117 = q115's screen through the same streaming harness; its
+    // per-pass signal is the batch screen, already benched as q115
+    "q117_stream_semantic")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -66,6 +66,12 @@ import org.apache.spark.sql.SparkSession
   *     leases), one JSON finding per line with the documented
   *     recovery; exits non-zero on any error-level finding, so a cron
   *     health check can alarm on it.
+  *   - `audit <indexRoot> <corpusDir>` — [[Pipeline.auditCorpus]]: the
+  *     DATA-level consistency audit (corpus↔index id sync, completion
+  *     markers, ledger arithmetic), one JSON finding per line with the
+  *     documented recovery; exits non-zero on any error-level finding.
+  *     Runs data jobs (unlike `fsck`) — schedule it in a quiet window
+  *     at maintenance cadence.
   *   - `migrate-shingles <indexRoot> [buckets]` —
   *     [[graft.operators.Dedup.migrateShingleBuckets]] over the
   *     minhash and containment families present under `indexRoot`:
@@ -93,7 +99,8 @@ object CorpusMain {
         |       CorpusMain break-lease <dir> [dir ...]
         |       CorpusMain break-leases <root>
         |       CorpusMain lease-status <root>
-        |       CorpusMain fsck <root>""".stripMargin)
+        |       CorpusMain fsck <root>
+        |       CorpusMain audit <indexRoot> <corpusDir>""".stripMargin)
     sys.exit(2)
   }
 
@@ -220,6 +227,19 @@ object CorpusMain {
             s""""level":"${f.level}","detail":"${esc(f.detail)}"}""")
         }
         if (findings.exists(_.level == "error")) sys.exit(1)
+      case "audit" :: indexRoot :: corpusDir :: Nil =>
+        // data-level consistency audit: one JSON line per check,
+        // most-severe first, each naming its documented recovery;
+        // exit 1 on any error-level finding (cron-able, quiet-window)
+        val rows = Pipeline.auditCorpus(spark, indexRoot, corpusDir)
+          .collect()
+        def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+        rows.foreach { r => println(
+          s"""{"component":"${esc(r.getString(0))}",""" +
+            s""""level":"${r.getString(1)}","n_bad":${r.getLong(2)},""" +
+            s""""detail":"${esc(r.getString(3))}"}""")
+        }
+        if (rows.exists(_.getString(1) == "error")) sys.exit(1)
       case "sweep-containment" :: corpusDir :: outDir :: threshold ::
           rest if rest.length <= 2 =>
         val pairs = Pipeline.sweepContainment(spark, corpusDir,

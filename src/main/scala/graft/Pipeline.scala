@@ -972,6 +972,205 @@ object Pipeline {
     }
   }
 
+  /** Corpus↔index consistency AUDIT — the DATA-level complement of
+    * [[graft.operators.Fsck]]'s metadata survey. Fsck answers "is every
+    * directory a shape probes can read"; this answers "do the corpus
+    * and its standing indexes still describe the SAME document set"
+    * after any sequence of refreshes, retractions, maintenance passes,
+    * and crash recoveries. The invariants it checks are the ones the
+    * composed lifecycle promises:
+    *
+    *   - published `corpus/` doc_ids are unique (ids are never reused);
+    *   - each id-bearing standing family under `indexRoot` holds
+    *     EXACTLY the published ids — an id in the index but not the
+    *     corpus is retraction incompleteness (probes keep dropping new
+    *     docs against retired content), an id in the corpus but not
+    *     the index is append incompleteness (future duplicates of that
+    *     doc would publish). For `ivf/` the missing direction is a
+    *     `warn`, not an error: a published doc whose batch shipped no
+    *     vector is legitimately un-indexed semantically. The `chunk`
+    *     family is content-keyed (no doc ids by design) and is
+    *     reported as such, not silently skipped;
+    *   - the modality marker's standing-family claims hold (a
+    *     `semantic` corpus has `ivf/params`, a `containment` one has
+    *     `containment/params`);
+    *   - every `corpus/` batch partition has its `reports/` row — the
+    *     report is the batch's completion marker, so a corpus
+    *     partition without one is a crashed refresh (re-run it to
+    *     completion). A report WITHOUT a corpus partition is normal
+    *     (a fully-retracted batch keeps its historical report);
+    *   - the retraction ledger's scan-free arithmetic
+    *     (Σ reports.n_published − base − Σ retractions.n_retracted)
+    *     equals the actual corpus count — drift here means every
+    *     future retraction report's `n_remaining` is wrong.
+    *
+    * Returns one row per check: `(component, level, n_bad, detail)`,
+    * `level` ∈ ok/warn/error with [[graft.operators.Fsck]]'s severity
+    * contract, every non-ok row naming its documented recovery;
+    * ordered most-severe-first. [[graft.CorpusMain]]'s `audit` line is
+    * the cron surface (non-zero exit on any error).
+    *
+    * Cost and safety: unlike fsck this RUNS DATA JOBS — one
+    * column-pruned id scan of the corpus plus one per audited family,
+    * each collapsed by a single full-outer id join (shuffle ∝ distinct
+    * ids, never rows or text) — a scheduled audit priced like
+    * [[sweepContainment]], not a probe. Read-only and LEASE-FREE
+    * (readers are never blocked; an audit must run against a wedged
+    * root): run it in a quiet window — beside a live writer the id
+    * snapshots are not atomic and a mid-append family can transiently
+    * disagree with the corpus. `CorpusMain lease-status` first.
+    */
+  def auditCorpus(spark: SparkSession, indexRoot: String,
+      corpusDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val fs = new Path(corpusDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def exists(p: String): Boolean = fs.exists(new Path(p))
+    val findings =
+      scala.collection.mutable.ListBuffer.empty[(String, String, Long, String)]
+    def add(component: String, level: String, nBad: Long,
+        detail: String): Unit = findings += ((component, level, nBad, detail))
+    if (!exists(s"$corpusDir/corpus")) {
+      add("corpus", "error", 1L, s"$corpusDir/corpus does not exist — " +
+        "not a published corpus root (or the first refresh crashed " +
+        "before its publish); nothing to audit")
+      return findings.toSeq.toDF("component", "level", "n_bad", "detail")
+    }
+    val corpus = spark.read.parquet(s"$corpusDir/corpus")
+    val corpusIds = corpus.select(col("doc_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // one corpus pass: row count, distinct ids, batch inventory
+      val agg = corpus.agg(count(lit(1)).as("n"),
+        collect_set(col("batch_id").cast("long")).as("batches")).head()
+      val nRows = agg.getLong(0)
+      val batchIds = agg.getSeq[Long](1).sorted
+      val nIds = corpusIds.count()
+      if (nRows == nIds)
+        add("corpus/doc_id", "ok", 0L,
+          s"$nIds published docs, ids unique across ${batchIds.size} batches")
+      else
+        add("corpus/doc_id", "error", nRows - nIds,
+          s"${nRows - nIds} duplicate published doc_id rows ($nRows rows, " +
+            s"$nIds distinct) — ids are never reused, so a duplicate means " +
+            "two batches published the same id or a partition rewrite " +
+            "doubled rows; recovery: retract the id and re-ingest under a " +
+            "fresh one")
+
+      // modality marker vs standing families
+      if (exists(s"$corpusDir/modalities")) {
+        val m = spark.read.parquet(s"$corpusDir/modalities").head()
+        def claimed(name: String): Boolean =
+          m.schema.fieldNames.contains(name) && m.getAs[Boolean](name)
+        Seq("semantic" -> "ivf", "containment" -> "containment").foreach {
+          case (modality, family) =>
+            if (claimed(modality) && !exists(s"$indexRoot/$family/params"))
+              add(s"modalities/$modality", "error", 1L,
+                s"the marker says this corpus runs the $modality modality " +
+                  s"but $indexRoot/$family has no params/ — the family was " +
+                  "deleted or never written; recovery: rebuild it from " +
+                  "corpus/ or re-record the marker by an explicit " +
+                  "modality-dropping refresh decision")
+            else if (claimed(modality))
+              add(s"modalities/$modality", "ok", 0L,
+                s"$indexRoot/$family stands as the marker claims")
+        }
+      }
+
+      // id sync per standing id-bearing family: ONE full-outer join on
+      // the distinct ids collapses both directions into two counters
+      def idSync(family: String, sub: String, idCol: String,
+          missingLevel: String, missingNote: String): Unit = {
+        if (!exists(s"$indexRoot/$family/params")) return
+        val idx = spark.read.parquet(s"$indexRoot/$family/$sub")
+          .select(col(idCol).cast("long").as("doc_id")).distinct()
+        val r = corpusIds.withColumn("__c", lit(1))
+          .join(idx.withColumn("__i", lit(1)), Seq("doc_id"), "full_outer")
+          .agg(coalesce(sum(when(col("__i").isNull, 1L)), lit(0L)),
+            coalesce(sum(when(col("__c").isNull, 1L)), lit(0L))).head()
+        val (missing, orphans) = (r.getLong(0), r.getLong(1))
+        if (orphans > 0)
+          add(s"$family/$sub", "error", orphans,
+            s"$orphans ids in the index but not the corpus — retraction " +
+              "incompleteness: probes still answer for retired content " +
+              "(new near-duplicates of it keep dropping); recovery: re-run " +
+              "retractCorpus over these ids (idempotent)")
+        if (missing > 0)
+          add(s"$family/$sub", missingLevel, missing,
+            s"$missing published ids absent from the index — $missingNote")
+        if (orphans == 0 && missing == 0)
+          add(s"$family/$sub", "ok", 0L, "index ids = published corpus ids")
+      }
+      val appendGap = "append incompleteness: these docs are invisible " +
+        "to the family's probes (their future duplicates would publish); " +
+        "recovery: re-append their original rows under the stored params, " +
+        "or rebuild the family from corpus/"
+      idSync("minhash", "shingles", "doc_id", "error", appendGap)
+      idSync("hamming", "pieces", "doc_id", "error", appendGap)
+      idSync("containment", "postings", "doc_id", "error", appendGap)
+      idSync("ivf", "cells", "vec_id", "warn",
+        "expected when those batches shipped no vector for them (they " +
+          "are not semantically indexed); re-ingest vectors to close")
+      if (exists(s"$indexRoot/chunk/params"))
+        add("chunk/chunks", "ok", 0L, "content-keyed by design (no doc " +
+          "ids stored) — not id-auditable; its retraction semantics are " +
+          "deleteFromChunkIndex's documented lapse-then-self-heal")
+
+      // every corpus batch has its completion marker (reports/ row)
+      val reportBatches =
+        if (exists(s"$corpusDir/reports"))
+          spark.read.parquet(s"$corpusDir/reports")
+            .select(col("batch_id").cast("long")).distinct()
+            .as[Long].collect().toSet
+        else Set.empty[Long]
+      val unreported = batchIds.filterNot(reportBatches)
+      if (unreported.nonEmpty)
+        add("reports", "error", unreported.size.toLong,
+          s"corpus batches ${unreported.mkString(",")} have no reports/ " +
+            "row — the report is the batch's completion marker, so these " +
+            "refreshes crashed between the corpus publish and the report; " +
+            "recovery: re-run each batch's refresh to completion")
+      else
+        add("reports", "ok", 0L,
+          s"every corpus batch (${batchIds.size}) carries its report")
+
+      // scan-free n_remaining arithmetic still lands on the truth
+      if (reportBatches.nonEmpty) {
+        val nPublished = spark.read.parquet(s"$corpusDir/reports")
+          .agg(coalesce(sum(col("n_published")), lit(0L))).head().getLong(0)
+        val base =
+          if (exists(s"$corpusDir/retraction_base"))
+            spark.read.parquet(s"$corpusDir/retraction_base")
+              .head().getLong(0)
+          else 0L
+        val nLedgered =
+          if (exists(s"$corpusDir/retractions"))
+            spark.read.parquet(s"$corpusDir/retractions")
+              .agg(coalesce(sum(col("n_retracted")), lit(0L)))
+              .head().getLong(0)
+          else 0L
+        val expected = nPublished - base - nLedgered
+        if (expected == nRows)
+          add("retractions/arithmetic", "ok", 0L,
+            s"ledger arithmetic ($nPublished − $base − $nLedgered) = " +
+              s"$nRows corpus rows")
+        else
+          add("retractions/arithmetic", "error", math.abs(expected - nRows),
+            s"ledger says $expected rows should remain, the corpus holds " +
+              s"$nRows — every future retraction's n_remaining will be " +
+              "wrong by this drift; recovery: restamp retraction_base to " +
+              "(Σ n_published − Σ n_retracted − actual count) from a " +
+              "quiet-window count")
+      }
+
+      val sev = Map("error" -> 0, "warn" -> 1, "ok" -> 2)
+      findings.sortBy(f => (sev(f._2), f._1)).toSeq
+        .toDF("component", "level", "n_bad", "detail")
+        .coalesce(1)
+    } finally corpusIds.unpersist()
+  }
+
   /** Season-scale index maintenance: [[Dedup.compactIndex]] over every
     * family present under `indexRoot` — one sorted, re-distincted file
     * per bucket/cell partition after a season of [[refreshCorpus]]

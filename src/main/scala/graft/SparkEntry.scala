@@ -1410,25 +1410,7 @@ object SparkEntry {
         docs.where(pmod(col("doc_id"), lit(97)) === 0), idx,
         hashBuckets = 32)
       val n = StreamScratch.seq.incrementAndGet()
-      // the file stream source needs a DIRECTORY; driver testdata may
-      // be one plain parquet file — stage part files into per-process
-      // scratch (deterministic contents: re-copies are byte-identical)
-      val stage = {
-        import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-        val st = Paths.get(ivfIndexDir(dir, "q110_stage"))
-        Files.createDirectories(st)
-        val src = Paths.get(s"$dir/documents.parquet")
-        val parts =
-          if (Files.isDirectory(src)) {
-            val l = Files.list(src)
-            try l.toArray.map(_.asInstanceOf[Path])
-              .filter(_.getFileName.toString.endsWith(".parquet")).sorted
-            finally l.close()
-          } else Array(src)
-        parts.foreach(p => Files.copy(p, st.resolve(p.getFileName),
-          StandardCopyOption.REPLACE_EXISTING))
-        st.toString
-      }
+      val stage = stageTableForStream(dir, "documents", "q110_stage")
       val schema = docs.schema
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -1450,8 +1432,68 @@ object SparkEntry {
         .start()
       require(q.awaitTermination(300000), "q110 stream did not finish")
       s.read.parquet(out).orderBy(col("doc_id").asc)
+    }),
+    // the SEMANTIC screen AS A STREAM (the probe-only sixth bridge,
+    // [[graft.streaming.StreamingAgg.screenStreamSemantic]]): the
+    // embeddings parquet replayed as an available-now file stream, each
+    // micro-batch's vectors scored against the q115 eval slice staged
+    // to a plain parquet dir — the unioned batches must hash-match
+    // q115's DuckDB oracle (same eval set, same rows), proving the
+    // bridge adds NOTHING to the batch screen's semantics. Stateless
+    // like q110, which is what makes it oracle-checkable
+    "q117_stream_semantic" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val n = StreamScratch.seq.incrementAndGet()
+      val evalDir = ivfIndexDir(dir, "q117_eval")
+      emb.where(pmod(col("vec_id"), lit(97)) === 0)
+        .select(col("vec_id"), col("embedding"))
+        .write.mode("overwrite").parquet(evalDir)
+      val stage = stageTableForStream(dir, "embeddings", "q117_stage")
+      val stream = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .where(pmod(col("vec_id"), lit(97)) =!= 0)
+        .withColumn("ts",
+          lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+        .select(col("ts"), col("vec_id"), col("embedding"))
+      val out = ivfIndexDir(dir, s"q117_out_$n")
+      val q = graft.streaming.StreamingAgg
+        .screenStreamSemantic(stream, evalDir, threshold = 0.9) {
+          (b, _) =>
+            b.select(col("vec_id"), col("max_cosine"),
+                col("nearest_eval_id"), col("contaminated"))
+              .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ivfIndexDir(dir, s"q117_ckpt_$n"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000), "q117 stream did not finish")
+      s.read.parquet(out).orderBy(col("vec_id").asc)
     })
   )
+
+  /** The file-stream sources above need a DIRECTORY of part files;
+    * driver testdata may be one plain parquet file — stage part files
+    * into per-process scratch (deterministic contents: re-copies are
+    * byte-identical, so repeated bench passes restage harmlessly).
+    */
+  private def stageTableForStream(dir: String, table: String,
+      name: String): String = {
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    val st = Paths.get(ivfIndexDir(dir, name))
+    Files.createDirectories(st)
+    val src = Paths.get(s"$dir/$table.parquet")
+    val parts =
+      if (Files.isDirectory(src)) {
+        val l = Files.list(src)
+        try l.toArray.map(_.asInstanceOf[Path])
+          .filter(_.getFileName.toString.endsWith(".parquet")).sorted
+        finally l.close()
+      } else Array(src)
+    parts.foreach(p => Files.copy(p, st.resolve(p.getFileName),
+      StandardCopyOption.REPLACE_EXISTING))
+    st.toString
+  }
 
   // ------------------------------------------------------------- oracle
 
@@ -2017,6 +2059,26 @@ object SparkEntry {
       // bit-reproducible cosine (q37's fold); argmax ties fall to the
       // lowest eval_id in both engines
       "q115_semantic_screen" ->
+        s"""WITH $vecNormSql,
+           |ev AS (SELECT * FROM v WHERE vec_id % 97 = 0),
+           |corp AS (SELECT * FROM v WHERE vec_id % 97 != 0),
+           |scored AS (
+           |  SELECT c.vec_id, q.vec_id AS eval_id, ${cosineSql("c", "q")}
+           |  FROM corp c CROSS JOIN ev q),
+           |ranked AS (
+           |  SELECT vec_id, eval_id, cosine,
+           |    row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY cosine DESC, eval_id ASC) AS rk
+           |  FROM scored)
+           |SELECT vec_id, cosine AS max_cosine,
+           |  eval_id AS nearest_eval_id,
+           |  cosine >= 0.9 AS contaminated
+           |FROM ranked WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+      // the streamed screen's unioned micro-batches must equal the
+      // batch screen row-for-row — q115's oracle verbatim (same eval
+      // slice, same threshold), hash-proving the bridge is a no-op
+      // over the batch semantics
+      "q117_stream_semantic" ->
         s"""WITH $vecNormSql,
            |ev AS (SELECT * FROM v WHERE vec_id % 97 = 0),
            |corp AS (SELECT * FROM v WHERE vec_id % 97 != 0),

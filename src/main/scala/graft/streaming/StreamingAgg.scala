@@ -524,6 +524,76 @@ object StreamingAgg {
     } finally b.unpersist()
   }
 
+  /** Streaming SEMANTIC (embedding-level) decontamination screen — the
+    * sixth bridge, the probe-only design of
+    * [[screenStreamAgainstBenchmark]] applied to
+    * [[graft.operators.Dedup.semanticContaminationScreen]]: each
+    * micro-batch's vectors are scored against the CURRENT eval-set
+    * embeddings under `evalDir`, and the rows reach `sink` with the
+    * screen's three report columns joined on (`max_cosine`,
+    * `nearest_eval_id`, `contaminated` — exactly q115's shape,
+    * bit-identical to the batch screen over the same eval set). The
+    * n-gram bridge catches verbatim eval leakage at stream latency;
+    * this one catches the PARAPHRASED class the n-gram screen cannot
+    * see, before the weekly refresh would.
+    *
+    * Stateless and probe-only for the same reasons as the benchmark
+    * bridge (no commit marker, no lease — a replayed micro-batch
+    * recomputes against the current eval set, the batch screen's own
+    * semantics). One deliberate difference: the eval set is re-read
+    * from `evalDir` EVERY batch rather than metadata-cached — an eval
+    * suite is a plain parquet dir with no immutable `params/` to stamp
+    * (the vectors themselves ARE the suite, and mid-stream adoption =
+    * new files in the dir), and eval sets are metadata-sized next to a
+    * stream by the screen's broadcast contract, so the per-trigger
+    * re-read is a file listing plus a broadcast — the price of
+    * adopting a new eval set without a stream restart.
+    *
+    * Input needs (ts, vec_id, embedding); extra columns ride along.
+    * An empty eval dir screens every row unflagged (null score) — the
+    * screen's completeness contract.
+    */
+  def screenStreamSemantic(vecs: DataFrame, evalDir: String,
+      threshold: Double = 0.9, horizon: String = "1 hour")(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    vecs
+      .withWatermark("ts", horizon)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processSemanticScreenBatch(batch, evalDir, threshold, batchId)(
+          sink)
+      }
+
+  /** [[screenStreamSemantic]]'s per-micro-batch body, factored like its
+    * five siblings so the spec drives it directly. Stateless by design
+    * — see the bridge's scaladoc.
+    */
+  private[graft] def processSemanticScreenBatch(batch: DataFrame,
+      evalDir: String, threshold: Double, batchId: Long)(
+      sink: (DataFrame, Long) => Unit): Unit = {
+    import graft.operators.Dedup
+    val spark = batch.sparkSession
+    val b = batch
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try if (b.isEmpty) {
+      // empty maintenance batch: skip the screen's jobs, keep the
+      // sink's schema — the literals are what the screen reports for
+      // zero rows (and the null score matches the empty-eval-set rule)
+      sink(b.withColumn("max_cosine", lit(null).cast("double"))
+        .withColumn("nearest_eval_id", lit(null).cast("long"))
+        .withColumn("contaminated", lit(false)), batchId)
+    } else {
+      val ev = spark.read.parquet(evalDir)
+        .select(col("vec_id"), col("embedding"))
+      sink(b.join(
+        Dedup.semanticContaminationScreen(
+          b.select(col("vec_id"), col("embedding")), ev, threshold),
+        Seq("vec_id")), batchId)
+    } finally b.unpersist()
+  }
+
   /** Streaming incremental PERCEPTUAL dedup against a persisted image
     * index ([[graft.operators.Multimodal.writeImageIndex]] — the Hamming
     * layout): exact byte duplicates collapse in-stream via

@@ -532,6 +532,97 @@ class CorpusRefreshSpec extends SparkSuite {
     assert(e3.getMessage.contains("semantic-eval"))
   }
 
+  test("auditCorpus: a healthy lifecycle is all-ok across every check; " +
+      "planted orphan / missing / crashed-refresh / ledger-drift states " +
+      "are named with their recoveries at the right severity") {
+    val idxRoot = tmp("audit_idx")
+    val corpusDir = tmp("audit_corpus")
+    def embFrame(rows: Seq[(Long, Seq[Float])]) =
+      rows.toDF("vec_id", "embedding")
+        .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    // 16 dims so every test id (0,1,2,10,11) lands on its own axis —
+    // otherwise the refresh's SEMANTIC dedup drops an id-colliding doc
+    // and the id-sync plants below miss their target
+    def vec(seed: Int): Seq[Float] =
+      Array.tabulate(16)(i => if (i == seed % 16) 1.0f else 0.0f).toSeq
+    // every token carries the doc id: zero shared shingles, so NOTHING
+    // dedups away and the published set is exactly the ingested ids
+    // (the id-sync checks below plant against specific published ids)
+    def doc(i: Long) = (i,
+      (0 until 12).map(j => s"w${i}x$j").mkString(" "), "en")
+    def refresh(ids: Seq[Long]) = Pipeline.refreshCorpus(spark,
+      ids.map(doc).toDF("doc_id", "text", "lang"), idxRoot, corpusDir,
+      jaccardThreshold = 0.5, chunkTokens = 4, bandBuckets = 8,
+      pieceBuckets = 8, chunkBuckets = 8, postingBuckets = 8,
+      embeddings = Some(embFrame(ids.map(i => i -> vec(i.toInt)))),
+      containmentThreshold = Some(0.5))
+    refresh(Seq(0L, 1L, 2L))
+    refresh(Seq(10L, 11L))
+    def audit() = Pipeline.auditCorpus(spark, idxRoot, corpusDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getString(3)))
+    val healthy = audit()
+    assert(healthy.forall(_._2 == "ok"), healthy.mkString("\n"))
+    // the audit actually visited every surface it claims to check
+    assert(healthy.map(_._1).toSet === Set("corpus/doc_id",
+      "minhash/shingles", "hamming/pieces", "containment/postings",
+      "ivf/cells", "chunk/chunks", "reports", "retractions/arithmetic",
+      "modalities/semantic", "modalities/containment"))
+
+    // a real retraction keeps every invariant (corpus, indexes, ledger)
+    Pipeline.retractCorpus(spark, Seq(1L).toDF("doc_id"), idxRoot,
+      corpusDir)
+    assert(audit().forall(_._2 == "ok"))
+
+    // ORPHAN: an id in the index but not the corpus (a retraction that
+    // missed a family) — error naming the idempotent retraction re-run
+    graft.operators.Dedup.writeMinhashIndex(
+      Seq((999L, "planted orphan text that was never published at all " +
+        "in any batch")).toDF("doc_id", "text"),
+      s"$idxRoot/minhash", bandBuckets = 8, mode = "append")
+    val orphaned = audit()
+    val o = orphaned.filter(_._1 == "minhash/shingles")
+    assert(o.exists(f => f._2 == "error" && f._3 === 1L &&
+      f._4.contains("retraction incompleteness")))
+    // the named recovery restores all-ok
+    graft.operators.Dedup.deleteFromIndex(spark, s"$idxRoot/minhash",
+      Seq(999L).toDF("doc_id"))
+    assert(audit().forall(_._2 == "ok"))
+
+    // MISSING, text family: a published doc invisible to probes — error
+    graft.operators.Dedup.deleteFromIndex(spark, s"$idxRoot/hamming",
+      Seq(10L).toDF("doc_id"))
+    assert(audit().exists(f => f._1 == "hamming/pieces" &&
+      f._2 == "error" && f._3 == 1L &&
+      f._4.contains("append incompleteness")))
+
+    // MISSING, ivf: a doc without a vector is a WARN, never an error
+    graft.operators.Dedup.deleteFromIndex(spark, s"$idxRoot/ivf",
+      Seq(10L).toDF("doc_id"))
+    assert(audit().exists(f => f._1 == "ivf/cells" && f._2 == "warn" &&
+      f._3 == 1L))
+
+    // CRASHED REFRESH: a corpus batch without its reports/ completion
+    // marker — and the ledger arithmetic breaks with it (Σ n_published
+    // lost that batch), both named
+    val reportDirs = new java.io.File(s"$corpusDir/reports").listFiles()
+      .filter(_.getName.startsWith("batch_id="))
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec); f.delete()
+    }
+    deleteRec(reportDirs.minBy(_.getName))
+    val crashed = audit()
+    assert(crashed.exists(f => f._1 == "reports" && f._2 == "error" &&
+      f._4.contains("completion marker")))
+    assert(crashed.exists(f => f._1 == "retractions/arithmetic" &&
+      f._2 == "error"))
+
+    // a nonexistent corpus root is one loud error, not an empty report
+    val none = Pipeline.auditCorpus(spark, idxRoot, tmp("audit_nothing"))
+      .collect()
+    assert(none.length === 1 && none.head.getString(1) === "error")
+  }
+
   test("CorpusMain.run drives the scheduler cadence: refresh → stats → " +
       "maintain → retract, one JSON line per result row") {
     val idxRoot = tmp("cm_idx")

@@ -696,6 +696,98 @@ class MultimodalStreamingSpec extends SparkSuite {
       "n_contaminated", "contaminated_frac"))
   }
 
+  test("streaming semantic screen: a paraphrase-class vector flags " +
+      "mid-stream with q115's exact columns; an eval set adopted " +
+      "mid-stream flags the NEXT batch; probe-only and stateless") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dirA = Array.tabulate(8)(i => if (i == 0) 1.0f else 0.0f).toSeq
+    val dirB = Array.tabulate(8)(i => if (i == 3) 1.0f else 0.0f).toSeq
+    val dirC = Array.tabulate(8)(i => if (i == 6) 1.0f else 0.0f).toSeq
+    val evalDir = java.nio.file.Files
+      .createTempDirectory("graft_streamsem").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_streamsemck").toString
+    def ev(rows: Seq[(Long, Seq[Float])]) = rows.toDF("vec_id", "emb")
+      .select($"vec_id", $"emb".cast("array<float>").as("embedding"))
+    ev(Seq((900L, dirA))).write.mode("overwrite").parquet(evalDir)
+    val input = MemoryStream[(java.sql.Timestamp, Long, Seq[Float])]
+    val vecs = input.toDF().toDF("ts", "vec_id", "embedding")
+      .select($"ts", $"vec_id",
+        $"embedding".cast("array<float>").as("embedding"))
+    // COLLECT each batch's report inside its trigger: the screen reads
+    // evalDir lazily and this test adopts a new eval set mid-stream —
+    // a kept DataFrame (even persisted) can recompute against the
+    // grown suite at assertion time, which is the bridge's documented
+    // replay semantics, not what a mid-run assertion wants
+    val got = scala.collection.mutable.Map.empty[Long,
+      (Seq[String], Seq[org.apache.spark.sql.Row])]
+    val q = StreamingAgg.screenStreamSemantic(vecs, evalDir,
+        threshold = 0.9) { (out, id) =>
+        got(id) = (out.columns.toSeq, out.collect().toSeq) }
+      .option("checkpointLocation", s"$ckpt/ckpt")
+      .start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 0: vec 10 sits in eval 900's neighborhood (the paraphrase
+    // class — no shared n-grams, same embedding direction); vec 11 is
+    // orthogonal to the whole suite; vec 12's direction is only in the
+    // NOT-YET-adopted eval set
+    input.addData(Seq(
+      (t("2024-01-01 10:00:00"), 10L, dirA),
+      (t("2024-01-01 10:00:01"), 11L, dirB),
+      (t("2024-01-01 10:00:02"), 12L, dirC)))
+    q.processAllAvailable()
+    // mid-stream eval adoption: the suite is the dir's files, re-read
+    // per batch — new eval vectors screen the NEXT batch, no restart
+    ev(Seq((901L, dirC))).write.mode("append").parquet(evalDir)
+    input.addData(Seq((t("2024-01-01 10:10:00"), 20L, dirC)))
+    q.processAllAvailable()
+    q.stop()
+    def field[T](id: Long, vec: Long, name: String): T = {
+      val (cols, rows) = got(id)
+      rows.find(_.getLong(cols.indexOf("vec_id")) == vec).get
+        .getAs[T](cols.indexOf(name))
+    }
+    def flagged(id: Long, vec: Long): Boolean =
+      field[Boolean](id, vec, "contaminated")
+    assert(flagged(0L, 10L) &&
+      field[Long](0L, 10L, "nearest_eval_id") === 900L)
+    assert(!flagged(0L, 11L))
+    assert(!flagged(0L, 12L)) // suite didn't hold dirC yet
+    assert(flagged(1L, 20L) &&
+      field[Long](1L, 20L, "nearest_eval_id") === 901L)
+    // q115's exact shape and values: the streamed batch's report
+    // equals the batch screen over the same rows and eval set
+    val batchScreen = graft.operators.Dedup.semanticContaminationScreen(
+        ev(Seq((10L, dirA), (11L, dirB), (12L, dirC))),
+        ev(Seq((900L, dirA))), threshold = 0.9)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    val (cols0, rows0) = got(0L)
+    val streamed = rows0.map(r => (
+      r.getLong(cols0.indexOf("vec_id")),
+      r.getDouble(cols0.indexOf("max_cosine")),
+      r.getLong(cols0.indexOf("nearest_eval_id")),
+      r.getBoolean(cols0.indexOf("contaminated")))).toSet
+    assert(streamed === batchScreen)
+    // input columns ride alongside the report
+    assert(cols0.toSet === Set("ts", "vec_id", "embedding",
+      "max_cosine", "nearest_eval_id", "contaminated"))
+    // probe-only and stateless: nothing staged, nothing leased
+    assert(!new java.io.File(s"$evalDir/stream_out").exists())
+    assert(!new java.io.File(s"$evalDir/_LEASE").exists())
+    // empty maintenance batch: schema preserved, no screen jobs
+    var emptyCols: Seq[String] = Nil
+    StreamingAgg.processSemanticScreenBatch(
+      Seq.empty[(java.sql.Timestamp, Long, Seq[Float])]
+        .toDF("ts", "vec_id", "embedding"), evalDir, 0.9, 99L) {
+      (out, _) => emptyCols = out.columns.toSeq; assert(out.isEmpty)
+    }
+    assert(emptyCols === Seq("ts", "vec_id", "embedding",
+      "max_cosine", "nearest_eval_id", "contaminated"))
+  }
+
   test("params cache invalidates when a maintenance pass rewrites " +
       "params/ in the same JVM (stale geometry is never served)") {
     val dir = java.nio.file.Files

@@ -142,4 +142,17 @@ class StreamingEquivalenceSpec extends SparkSuite {
     val b = batch.collect().map(_.toSeq).toSeq
     assert(s.nonEmpty && s === b)
   }
+
+  test("q117 streaming semantic screen over the embeddings file source " +
+      "equals q115's batch screen row-for-row (available-now trigger)") {
+    // same anchor for the sixth bridge: unioned micro-batch reports
+    // BIT-identical to the batch screen — what lets q117 share q115's
+    // DuckDB oracle
+    val streamed = SparkEntry.queries("q117_stream_semantic")(spark, sf())
+    val batch = SparkEntry.queries("q115_semantic_screen")(spark, sf())
+    assert(streamed.columns.toSeq === batch.columns.toSeq)
+    val s = streamed.collect().map(_.toSeq).toSeq
+    val b = batch.collect().map(_.toSeq).toSeq
+    assert(s.nonEmpty && s === b)
+  }
 }

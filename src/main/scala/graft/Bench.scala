@@ -35,7 +35,11 @@ object Bench {
     "q110_stream_screen",
     // q117 = q115's screen through the same streaming harness; its
     // per-pass signal is the batch screen, already benched as q115
-    "q117_stream_semantic")
+    "q117_stream_semantic",
+    // q119 = q104's score + q105's split + an MLlib LR fit + q118's
+    // scoring plan; the training fit is a model-build (the q100
+    // class), its per-pass scoring signal is already benched as q118
+    "q119_quality_classifier")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1137,6 +1137,42 @@ object SparkEntry {
       Sharding.scoreBuckets(
           TextAnalysis.lmScore(t(s, dir, "documents"), topV = 512))
         .orderBy(col("doc_id").asc)),
+    // the classifier-quality tier's PRODUCTION path under a fixed
+    // token-keyed weight table (GPT-3-style LR filtering, scoring
+    // side): explode → broadcast weight join → one per-doc aggregate
+    // → sigmoid. The weights are exact binary fractions on purpose —
+    // the per-doc sum is then bit-exact in any fold order, so the
+    // 6-decimal rounding hash-matches DuckDB with only exp()'s
+    // documented ~1-ulp boundary exposure (the q104 discipline)
+    "q118_quality_score" -> ((s, dir) => {
+      import s.implicits._
+      val weights = Seq(("fast", 0.25), ("slow", -0.5),
+        ("merge", 0.125), ("hash", -0.125), ("spark", 0.0625))
+        .toDF("token", "weight")
+      QualityClassifier.score(t(s, dir, "documents"), weights,
+          bias = -0.25)
+        .orderBy(col("doc_id").asc)
+    }),
+    // the classifier tier END-TO-END, CCNet's actual construction
+    // (arXiv:1911.00359): the unigram-LM score's head tercile is the
+    // "good" seed, the tail tercile the "bad" one, an L2 logistic
+    // regression distills that signal into token weights, and the
+    // learned model scores the WHOLE corpus through the same portable
+    // scoring path as q118. Rows-only: LBFGS weights are not
+    // DuckDB-reproducible (the q38 k-means precedent); the spec pins
+    // the classifier's behavior on planted classes and the scoring
+    // path is q118's, oracle-proven there
+    "q119_quality_classifier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val buckets = Sharding.scoreBuckets(
+        TextAnalysis.lmScore(docs, topV = 512))
+      val seeds = docs.join(buckets.select(col("doc_id"), col("bucket")),
+        Seq("doc_id"))
+      val (w, b) = QualityClassifier.train(s,
+        seeds.where(col("bucket") === 0), seeds.where(col("bucket") === 2),
+        topV = 512, maxIter = 25)
+      QualityClassifier.score(docs, w, b).orderBy(col("doc_id").asc)
+    }),
     "q49_neardup_clusters" -> ((s, dir) =>
       Dedup.nearDupClusters(
         Dedup.minhashCandidates(t(s, dir, "documents")))
@@ -1932,6 +1968,28 @@ object SparkEntry {
            |SELECT doc_id, avg_logp,
            |  CAST((r * 3) // n AS BIGINT) AS bucket
            |FROM ranked ORDER BY doc_id""".stripMargin,
+      // fixed-weight classifier scoring: same token normalization as
+      // q48/q104, weights exact binary fractions so the per-doc sum is
+      // order-independent bit-exact; only exp() carries the documented
+      // ~1-ulp 6-decimal boundary exposure
+      "q118_quality_score" ->
+        """WITH toks AS (
+          |  SELECT doc_id, unnest(list_filter(string_split(
+          |    regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g'), ' '),
+          |    x -> x != '')) AS token
+          |  FROM documents),
+          |w AS (
+          |  SELECT token, CAST(wt AS DOUBLE) AS weight
+          |  FROM (VALUES ('fast', 0.25), ('slow', -0.5), ('merge', 0.125),
+          |               ('hash', -0.125), ('spark', 0.0625)) v(token, wt)),
+          |z AS (
+          |  SELECT t.doc_id, sum(w.weight) AS z
+          |  FROM toks t JOIN w ON t.token = w.token GROUP BY 1)
+          |SELECT d.doc_id,
+          |  round(1.0 / (1.0 + exp(-(coalesce(z.z, 0.0) + (-0.25)))), 6)
+          |    AS quality_prob
+          |FROM documents d LEFT JOIN z ON d.doc_id = z.doc_id
+          |ORDER BY d.doc_id""".stripMargin,
       "q48_top_terms" ->
         """WITH toks AS (
           |  SELECT doc_id, unnest(list_filter(string_split(

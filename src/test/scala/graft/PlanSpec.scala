@@ -465,4 +465,19 @@ class PlanSpec extends SparkSuite {
     // probe IO ∝ the eval set's cell footprint, never the corpus
     assert(p2.contains("dynamicpruning"), p2.take(3000))
   }
+
+  test("quality-classifier scoring broadcasts the weight table and " +
+      "partial-aggregates per doc — the corpus never shuffle-joins " +
+      "its own model") {
+    import spark.implicits._
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val w = Seq(("fast", 0.25), ("slow", -0.5)).toDF("token", "weight")
+    val p = plan(graft.operators.QualityClassifier.score(docs, w, -0.25))
+    // the model-sized weight table is the build side everywhere; the
+    // token stream's weighted sum collapses map-side before the one
+    // doc_id exchange
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(p.contains("partial_sum"), p.take(4000))
+  }
 }

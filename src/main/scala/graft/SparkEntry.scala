@@ -1153,6 +1153,26 @@ object SparkEntry {
           bias = -0.25)
         .orderBy(col("doc_id").asc)
     }),
+    // q118's score gated by the GPT-3 Pareto acceptance rule — the
+    // paper's stochastic quality filter made deterministic: the Pareto
+    // draw is inverse-CDF'd from the portable salted tick and rounded
+    // to 6 decimals before the verdict, so the KEPT SET ITSELF
+    // hash-matches DuckDB (the whole filter is engine-portable
+    // arithmetic, the q72/q113 discipline)
+    // bias +2.0 (vs q118's -0.25) on purpose: it shifts the synthetic
+    // corpus' scores into the acceptance rule's ACTIVE region (~0.8),
+    // so the kept set exercises both verdicts instead of reducing to
+    // the near-empty Pareto tail
+    "q120_pareto_accept" -> ((s, dir) => {
+      import s.implicits._
+      val weights = Seq(("fast", 0.25), ("slow", -0.5),
+        ("merge", 0.125), ("hash", -0.125), ("spark", 0.0625))
+        .toDF("token", "weight")
+      Sharding.paretoAccept(
+          QualityClassifier.score(t(s, dir, "documents"), weights,
+            bias = 2.0))
+        .orderBy(col("doc_id").asc)
+    }),
     // the classifier tier END-TO-END, CCNet's actual construction
     // (arXiv:1911.00359): the unigram-LM score's head tercile is the
     // "good" seed, the tail tercile the "bad" one, an L2 logistic
@@ -1990,6 +2010,37 @@ object SparkEntry {
           |    AS quality_prob
           |FROM documents d LEFT JOIN z ON d.doc_id = z.doc_id
           |ORDER BY d.doc_id""".stripMargin,
+      // q118 composed with the Pareto acceptance gate: same score CTEs,
+      // then the portable tick (salt prefix pareto1:) drives the
+      // 6-decimal-rounded inverse-CDF draw against 1 - score
+      "q120_pareto_accept" ->
+        s"""WITH toks AS (
+          |  SELECT doc_id, unnest(list_filter(string_split(
+          |    regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'), ' '),
+          |    x -> x != '')) AS token
+          |  FROM documents),
+          |w AS (
+          |  SELECT token, CAST(wt AS DOUBLE) AS weight
+          |  FROM (VALUES ('fast', 0.25), ('slow', -0.5), ('merge', 0.125),
+          |               ('hash', -0.125), ('spark', 0.0625)) v(token, wt)),
+          |z AS (
+          |  SELECT t.doc_id, sum(w.weight) AS z
+          |  FROM toks t JOIN w ON t.token = w.token GROUP BY 1),
+          |scored AS (
+          |  SELECT d.doc_id,
+          |    round(1.0 / (1.0 + exp(-(coalesce(z.z, 0.0) + 2.0))), 6)
+          |      AS quality_prob
+          |  FROM documents d LEFT JOIN z ON d.doc_id = z.doc_id),
+          |k AS (
+          |  SELECT doc_id, quality_prob,
+          |    'pareto1:' || CAST(doc_id AS VARCHAR) AS key
+          |  FROM scored),
+          |b AS (
+          |  SELECT doc_id, quality_prob, $mixedTickSql AS tick FROM k)
+          |SELECT doc_id, quality_prob FROM b
+          |WHERE round(pow(1.0 - (tick + 0.5) / 10000.0, -1.0 / 9.0)
+          |        - 1.0, 6) > 1.0 - quality_prob
+          |ORDER BY doc_id""".stripMargin,
       "q48_top_terms" ->
         """WITH toks AS (
           |  SELECT doc_id, unnest(list_filter(string_split(

@@ -252,6 +252,38 @@ object Sharding {
         expr(s"(__rank0 * $nBuckets) div __n").as("bucket"))
   }
 
+  /** GPT-3-style quality-weighted stochastic ACCEPTANCE (Brown et
+    * al., arXiv:2005.14165 Appendix A: a document is kept when
+    * `np.random.pareto(alpha) > 1 - score`, α = 9 — high scores are
+    * kept near-always while low-scoring docs still survive at the
+    * Pareto tail rate, so the filtered corpus keeps tail diversity
+    * instead of applying a hard score cutoff). Deterministic portable
+    * form of the paper's RNG draw: the Pareto variate is inverse-CDF'd
+    * from the salted [[mixedHash]] tick — u = (tick + 0.5)/10000
+    * (half-tick centering keeps u strictly inside (0,1) so the inverse
+    * CDF is finite), draw = (1−u)^(−1/α) − 1, ROUNDED to 6 decimals
+    * before the comparison ([[temperatureRates]]' discipline: pow is
+    * the one non-correctly-rounded op in the chain, and the rounding
+    * makes the keep/drop verdict engine-portable). Kept ⇔
+    * draw > 1 − score.
+    *
+    * Map-only (a projection + filter, no RNG state, no sampling pass);
+    * membership is a pure function of (id, salt, score) — re-runnable,
+    * auditable, re-drawable by salt, monotone in score for a fixed id
+    * (raising a doc's score can only keep it). NULL ids tick 0 (the
+    * [[stratifiedSample]] rule); a NULL score never keeps.
+    */
+  def paretoAccept(scored: DataFrame,
+      score: Column = col("quality_prob"), alpha: Double = 9.0,
+      salt: String = "pareto1",
+      id: Column = col("doc_id")): DataFrame = {
+    require(alpha > 0, "alpha must be positive")
+    val tick = coalesce(pmod(mixedHash(id, salt), lit(10000L)), lit(0L))
+    val u = (tick.cast("double") + lit(0.5)) / lit(10000.0)
+    val draw = round(pow(lit(1.0) - u, lit(-1.0 / alpha)) - lit(1.0), 6)
+    scored.where(draw > lit(1.0) - score)
+  }
+
   /** Quality-weighted sampling WITHOUT replacement (Efraimidis &
     * Spirakis, "Weighted random sampling with a reservoir", IPL 2006):
     * rank rows by key = ln(u)/w — the A-ES key u^(1/w) through the

@@ -284,4 +284,44 @@ class ShardingSpec extends SparkSuite {
     assert(mixed.length === 6)
     assert(mixed.count(_.isNullAt(1)) === 3)
   }
+
+  test("pareto accept: score-1 docs always kept, score-0 docs survive " +
+      "only at the Pareto tail rate, monotone in score per id, " +
+      "deterministic and salt-redrawable; null scores never keep") {
+    import spark.implicits._
+    val n = 10000
+    def scored(p: Double) = (0 until n).map(i => (i.toLong, p))
+      .toDF("doc_id", "quality_prob")
+    // score 1.0: 1 - score = 0 and every draw is > 0 (u > 0 by the
+    // half-tick centering) - kept without exception
+    assert(Sharding.paretoAccept(scored(1.0)).count() === n.toLong)
+    // score 0.0: kept iff draw > 1, i.e. (1-u) < 2^-9 - the Pareto
+    // tail; expect ~ n * 2^-9 = ~20 of 10000, and crucially NOT zero
+    // (the rule's whole point: a hard cutoff would drop all of these)
+    val tail = Sharding.paretoAccept(scored(0.0)).count()
+    assert(tail > 0L && tail < 100L, s"score-0 kept $tail of $n")
+    // mid score keeps more than 0.0 and fewer than 1.0
+    val mid = Sharding.paretoAccept(scored(0.5)).count()
+    assert(tail < mid && mid < n.toLong, s"score-0.5 kept $mid")
+    // MONOTONE per id: every id kept at score s stays kept at s' > s
+    val keptLow = Sharding.paretoAccept(scored(0.3))
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val keptHigh = Sharding.paretoAccept(scored(0.7))
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptLow.subsetOf(keptHigh))
+    // deterministic; a different salt redraws membership
+    val again = Sharding.paretoAccept(scored(0.5))
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val first = Sharding.paretoAccept(scored(0.5))
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === first)
+    val resalted = Sharding.paretoAccept(scored(0.5), salt = "pareto2")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(resalted != first && resalted.nonEmpty)
+    // a NULL score never keeps (draw > NULL is never true)
+    val withNull = Seq((1L, Some(0.9)), (2L, None))
+      .toDF("doc_id", "quality_prob")
+    assert(Sharding.paretoAccept(withNull)
+      .select($"doc_id").collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
 }

@@ -7,13 +7,16 @@ import org.apache.spark.sql.SparkSession
   * model): one subcommand per composed job.
   *
   *   - `refresh <batchDir> <indexRoot> <corpusDir> [embeddingsDir]
-  *     [emb=<dir>] [bench=<benchDir>] [containment=<threshold>]` —
+  *     [emb=<dir>] [bench=<benchDir>] [containment=<threshold>]
+  *     [semeval=<evalEmbDir>]` —
   *     [[Pipeline.refreshCorpus]] over a parquet batch, with every
   *     optional modality cron-able: `emb` (or the legacy bare 4th
   *     arg) = the batch's `(vec_id, embedding)` parquet, `bench` = a
   *     standing [[graft.operators.Dedup.writeBenchmarkIndex]] suite
   *     to screen against (probe-only), `containment` = the doc-in-doc
-  *     overlap threshold. Prints the one-row report.
+  *     overlap threshold, `semeval` = an eval-embedding parquet for
+  *     the embedding-level contamination screen (probe-only, requires
+  *     `emb`). Prints the one-row report.
   *   - `retract <idsDir> <indexRoot> <corpusDir>` —
   *     [[Pipeline.retractCorpus]] over a one-column parquet of ids;
   *     prints the one-row report.
@@ -85,6 +88,12 @@ import org.apache.spark.sql.SparkSession
   * this main is the cron line).
   */
 object CorpusMain {
+
+  /** Minimal JSON string escaping for the CLI's one-line-per-row
+    * output (shared by lease-status / fsck / audit so the three
+    * commands' quoting cannot drift). */
+  private def jsonEsc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
 
   private def usage(): Nothing = {
     System.err.println(
@@ -213,18 +222,18 @@ object CorpusMain {
         // takeover contract asks the operator to weigh
         graft.operators.Lease.status(spark, root).foreach {
           case (d, owner, acquired, heldSec, jvm) => println(
-            s"""{"dir":"$d","owner":"$owner","acquired":"$acquired",""" +
-              s""""held_sec":$heldSec,"jvm":"$jvm"}""")
+            s"""{"dir":"${jsonEsc(d)}","owner":"${jsonEsc(owner)}",""" +
+              s""""acquired":"${jsonEsc(acquired)}","held_sec":$heldSec,""" +
+              s""""jvm":"${jsonEsc(jvm)}"}""")
         }
       case "fsck" :: root :: Nil =>
         // read-only integrity survey: one JSON line per finding,
         // most-severe first, each naming its documented recovery;
         // exit 1 if any error-level finding (cron-able health check)
         val findings = graft.operators.Fsck.check(spark, root)
-        def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
         findings.foreach { f => println(
-          s"""{"dir":"${esc(f.dir)}","component":"${esc(f.component)}",""" +
-            s""""level":"${f.level}","detail":"${esc(f.detail)}"}""")
+          s"""{"dir":"${jsonEsc(f.dir)}","component":"${jsonEsc(f.component)}",""" +
+            s""""level":"${f.level}","detail":"${jsonEsc(f.detail)}"}""")
         }
         if (findings.exists(_.level == "error")) sys.exit(1)
       case "audit" :: indexRoot :: corpusDir :: Nil =>
@@ -233,11 +242,10 @@ object CorpusMain {
         // exit 1 on any error-level finding (cron-able, quiet-window)
         val rows = Pipeline.auditCorpus(spark, indexRoot, corpusDir)
           .collect()
-        def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
         rows.foreach { r => println(
-          s"""{"component":"${esc(r.getString(0))}",""" +
+          s"""{"component":"${jsonEsc(r.getString(0))}",""" +
             s""""level":"${r.getString(1)}","n_bad":${r.getLong(2)},""" +
-            s""""detail":"${esc(r.getString(3))}"}""")
+            s""""detail":"${jsonEsc(r.getString(3))}"}""")
         }
         if (rows.exists(_.getString(1) == "error")) sys.exit(1)
       case "sweep-containment" :: corpusDir :: outDir :: threshold ::

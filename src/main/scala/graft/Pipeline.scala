@@ -1083,6 +1083,17 @@ object Pipeline {
       def idSync(family: String, sub: String, idCol: String,
           missingLevel: String, missingNote: String): Unit = {
         if (!exists(s"$indexRoot/$family/params")) return
+        if (!exists(s"$indexRoot/$family/$sub")) {
+          // params over a half-deleted tree: name it as a finding —
+          // dying on a path-not-found here would mask every other
+          // check (the audit's one-row-per-check cron contract)
+          add(s"$family/$sub", "error", 1L,
+            s"$indexRoot/$family has params/ but no $sub/ — the " +
+              "crashed-write state (params from a previous generation " +
+              "over a half-deleted tree, the fsck finding); recovery: " +
+              "re-run the writer / rebuild the family, then re-audit")
+          return
+        }
         val idx = spark.read.parquet(s"$indexRoot/$family/$sub")
           .select(col(idCol).cast("long").as("doc_id")).distinct()
         val r = corpusIds.withColumn("__c", lit(1))

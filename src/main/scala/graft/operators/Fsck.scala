@@ -70,8 +70,11 @@ object Fsck {
     val children =
       fs.listStatus(rootPath).filter(_.isDirectory)
         .map(s => s"$root/${s.getPath.getName}").toSeq.sorted
-    val all = checkDir(spark, fs, root) ++
-      children.flatMap(d => checkDir(spark, fs, d))
+    // distinct: a stagedWrite aside under corpus/ is visited twice
+    // (once through the corpus-root surface, once as corpus/'s own
+    // universal surface) and must report once
+    val all = (checkDir(spark, fs, root) ++
+      children.flatMap(d => checkDir(spark, fs, d))).distinct
     val sev = Map("error" -> 0, "warn" -> 1, "ok" -> 2)
     all.sortBy(f => (sev.getOrElse(f.level, 3), f.dir, f.component))
   }
@@ -97,25 +100,44 @@ object Fsck {
 
     // ---- universal surface: leases and maintenance-staging leftovers
     if (names.contains("_LEASE"))
-      Lease.status(spark, dir).filter(_._1 == dir).foreach {
-        case (_, owner, acquired, heldSec, jvm) =>
+      Lease.statusOf(spark, dir).foreach {
+        case (owner, acquired, heldSec, jvm) =>
           b += Finding(dir, "_LEASE", "warn",
             s"held by '$owner' since $acquired (${heldSec}s, JVM $jvm) " +
               "— a live writer, or a crashed one awaiting break-lease; " +
               "see CorpusMain lease-status / break-lease")
       }
+    // a stagedWrite aside (`_old_<leaf>`, '=' re-spelled '~') is NOT
+    // always safe to delete: a crash BETWEEN the two renames leaves the
+    // aside holding the destination's ONLY copy — tell the two states
+    // apart by whether the destination is back
+    def oldAside(parent: String, n: String): Finding = {
+      val dest = n.stripPrefix("_old_").replace('~', '=')
+      if (names.contains(dest) || ls(fs, parent).exists(_._1 == dest))
+        Finding(s"$parent/$n", "staging", "warn",
+          s"completed staged-write aside ($dest is live; only its " +
+            "delete was lost) — never read (invisible to Spark's " +
+            "listing); safe to delete")
+      else
+        Finding(s"$parent/$n", "staging", "error",
+          s"staged-write aside with NO live $dest — a crash between " +
+            "the two staged renames; this aside holds the " +
+            "destination's ONLY copy. Recover: rename it back to " +
+            s"$dest, then re-run the interrupted pass. Do NOT delete")
+    }
     entries.foreach {
       case (n, true) if n.endsWith("__compact_tmp") ||
           n.endsWith("__old") =>
         b += Finding(s"$dir/$n", "staging", "warn",
           "crashed compaction leftover — never read by probes; the " +
             "next compactIndex sweeps it (safe to delete)")
-      case (n, true) if n.startsWith("_stage_") ||
-          n.startsWith("_old_") =>
+      case (n, true) if n.startsWith("_stage_") =>
         b += Finding(s"$dir/$n", "staging", "warn",
-          "crashed staged-write leftover — never read (staged renames " +
-            "go dest-aside then tmp-in); the next run of the same pass " +
-            "overwrites it (safe to delete)")
+          "crashed staged-write temp — never read (invisible to " +
+            "Spark's listing: '_'-prefixed without '='); the next run " +
+            "of the same pass overwrites it (safe to delete)")
+      case (n, true) if n.startsWith("_old_") =>
+        b += oldAside(dir, n)
       case _ => ()
     }
 
@@ -131,17 +153,34 @@ object Fsck {
           "corpus predates the retraction ledger — the first " +
             "retraction pays one corpus count to stamp the base, once")
       ls(fs, s"$dir/corpus").foreach { case (n, isD) =>
-        if (isD && !n.startsWith("batch_id="))
+        // stagedWrite's own temps/asides land HERE (the partitions'
+        // parent) — report them with the staging semantics above, not
+        // as foreign; other '_'/'.'-prefixed names are invisible to
+        // Spark's listing and harmless
+        if (isD && n.startsWith("_old_"))
+          b += oldAside(s"$dir/corpus", n)
+        else if (isD && n.startsWith("_stage_"))
+          // text identical to the universal-surface finding: the same
+          // leftover is also visited through corpus/ as a direct
+          // child, and check()'s distinct must collapse the pair
+          b += Finding(s"$dir/corpus/$n", "staging", "warn",
+            "crashed staged-write temp — never read (invisible to " +
+              "Spark's listing: '_'-prefixed without '='); the next run " +
+              "of the same pass overwrites it (safe to delete)")
+        else if (isD && !n.startsWith("batch_id=") &&
+            !n.startsWith("_") && !n.startsWith("."))
           b += Finding(s"$dir/corpus/$n", "corpus", "error",
             "unexpected entry in the published corpus — batches are " +
-              "batch_id=<n> partitions; a foreign dir breaks the " +
-              "partition-column listing")
+              "batch_id=<n> partitions; a visible foreign dir breaks " +
+              "the partition-column listing")
       }
     }
 
-    // ---- streaming staging surface (stream_out/ roots)
+    // ---- streaming staging surface (stream_out/ roots): the bridges'
+    // stagings are `batch_<epochId>` — digits, never '=' (which would
+    // match the published corpus' `batch_id=<n>` partitions instead)
     entries.foreach {
-      case (n, true) if n.startsWith("batch_") =>
+      case (n, true) if n.matches("batch_[0-9]+") =>
         if (!ls(fs, s"$dir/$n").exists(_._1 == "_COMMIT"))
           b += Finding(s"$dir/$n", "_COMMIT", "warn",
             "marker-less partial staging (crash mid-batch) — the " +
@@ -234,22 +273,28 @@ object Fsck {
       }
     }
 
-    def paramInt(name: String): Option[Int] = {
+    // ONE params read per dir, shared by every lookup below (the
+    // survey's cost-∝-directory-count claim; indexFamily already paid
+    // one — this caps the rest at one more)
+    lazy val paramsRow: org.apache.spark.sql.Row = {
       val p = spark.read.parquet(s"$dir/params")
-      if (p.schema.fieldNames.contains(name))
-        Some(p.head().getAs[Int](name))
-      else None
+      p.head()
     }
+    def paramInt(name: String): Option[Int] =
+      if (paramsRow.schema.fieldNames.contains(name) &&
+          !paramsRow.isNullAt(paramsRow.fieldIndex(name)))
+        Some(paramsRow.getAs[Int](name))
+      else None
 
     family match {
       case "minhash" =>
         bucketAudit("bands", "bucket", paramInt("band_buckets"))
         bucketAudit("shingles", "bucket",
-          Dedup.readShingleBuckets(spark, dir))
+          paramInt("shingle_buckets"))
       case "containment" =>
         bucketAudit("postings", "bucket", paramInt("posting_buckets"))
         bucketAudit("shingles", "bucket",
-          Dedup.readShingleBuckets(spark, dir))
+          paramInt("shingle_buckets"))
       case "chunk" =>
         bucketAudit("chunks", "bucket", paramInt("chunk_buckets"))
       case "hamming" =>

@@ -110,28 +110,39 @@ object Lease {
         fs.listStatus(rootPath).filter(_.isDirectory)
           .map(_.getPath.toString).toSeq
       else Seq.empty)
-    candidates.flatMap { d =>
-      val p = leasePath(d)
-      if (!fs.exists(p)) None
-      else {
-        val stamp =
-          try {
-            val in = fs.open(p)
-            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-            finally in.close()
-          } catch { case _: java.io.IOException => "" }
-        val parts = stamp.split('\n')
-        val (owner, acquired, jvm) = (
-          parts.lift(0).getOrElse("<unreadable>"),
-          parts.lift(1).getOrElse(""),
-          parts.lift(2).getOrElse("<unknown>"))
-        val heldSec =
-          try java.time.Duration.between(
-            java.time.Instant.parse(acquired),
-            java.time.Instant.now()).getSeconds
-          catch { case _: java.time.format.DateTimeParseException => -1L }
-        Some((d, owner, acquired, heldSec, jvm))
-      }
+    candidates.flatMap(d => statusOf(spark, d).map {
+      case (owner, acquired, heldSec, jvm) =>
+        (d, owner, acquired, heldSec, jvm)
+    })
+  }
+
+  /** [[status]] for ONE directory: (owner, acquired, heldSec, jvm) of
+    * `dir`'s own lease, None when unleased. The single-file read a
+    * caller that already holds the path wants (e.g. the fsck survey) —
+    * no child listing. */
+  def statusOf(spark: SparkSession,
+      dir: String): Option[(String, String, Long, String)] = {
+    val p = leasePath(dir)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) None
+    else {
+      val stamp =
+        try {
+          val in = fs.open(p)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        } catch { case _: java.io.IOException => "" }
+      val parts = stamp.split('\n')
+      val (owner, acquired, jvm) = (
+        parts.lift(0).getOrElse("<unreadable>"),
+        parts.lift(1).getOrElse(""),
+        parts.lift(2).getOrElse("<unknown>"))
+      val heldSec =
+        try java.time.Duration.between(
+          java.time.Instant.parse(acquired),
+          java.time.Instant.now()).getSeconds
+        catch { case _: java.time.format.DateTimeParseException => -1L }
+      Some((owner, acquired, heldSec, jvm))
     }
   }
 

@@ -101,7 +101,11 @@ object QualityClassifier {
     val dim = vocab.length
     val feats = seeds.as[(String, Double)].map { case (text, label) =>
       val counts = scala.collection.mutable.Map.empty[Int, Double]
-      text.toLowerCase.split("[ \t\n\r\f\\x0B]+").foreach { t =>
+      // Locale.ROOT: Spark's lower() is locale-independent and the
+      // vocabulary came through it — a tr_TR default locale would
+      // silently unmap dotted-I tokens; null seed text = zero features
+      Option(text).getOrElse("")
+        .toLowerCase(java.util.Locale.ROOT).split("[ \t\n\r\f\\x0B]+").foreach { t =>
         if (t.nonEmpty) bvmap.value.get(t).foreach { i =>
           counts(i) = counts.getOrElse(i, 0.0) + 1.0
         }

@@ -585,8 +585,33 @@ object StreamingAgg {
         .withColumn("nearest_eval_id", lit(null).cast("long"))
         .withColumn("contaminated", lit(false)), batchId)
     } else {
-      val ev = spark.read.parquet(evalDir)
-        .select(col("vec_id"), col("embedding"))
+      // an EXISTING-but-file-less eval dir is the documented empty
+      // suite (created ahead of the first adoption): screen every row
+      // unflagged rather than dying on schema inference. A MISSING dir
+      // still refuses loudly — that is a misspelled path, and a stream
+      // silently screening against nothing is the worse failure.
+      val evalPath = new org.apache.hadoop.fs.Path(evalDir)
+      val fs = evalPath.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      require(fs.exists(evalPath),
+        s"screenStreamSemantic: eval dir $evalDir does not exist — " +
+          "create it (empty is fine: rows screen unflagged until a " +
+          "suite lands) or fix the path")
+      val hasFiles = fs.listStatus(evalPath).exists { s =>
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      val ev =
+        if (hasFiles) spark.read.parquet(evalDir)
+          .select(col("vec_id"), col("embedding"))
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("vec_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("embedding",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.FloatType)))))
       sink(b.join(
         Dedup.semanticContaminationScreen(
           b.select(col("vec_id"), col("embedding")), ev, threshold),

@@ -617,6 +617,15 @@ class CorpusRefreshSpec extends SparkSuite {
     assert(crashed.exists(f => f._1 == "retractions/arithmetic" &&
       f._2 == "error"))
 
+    // params over a half-deleted tree (fsck's crashed-write state):
+    // the audit NAMES it as a finding instead of dying on a
+    // path-not-found and masking every other check
+    deleteRec(new java.io.File(s"$idxRoot/hamming/pieces"))
+    val halfDeleted = audit()
+    assert(halfDeleted.exists(f => f._1 == "hamming/pieces" &&
+      f._2 == "error" && f._4.contains("crashed-write")))
+    assert(halfDeleted.exists(f => f._1 == "minhash/shingles"))
+
     // a nonexistent corpus root is one loud error, not an empty report
     val none = Pipeline.auditCorpus(spark, idxRoot, tmp("audit_nothing"))
       .collect()

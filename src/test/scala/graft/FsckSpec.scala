@@ -155,4 +155,49 @@ class FsckSpec extends SparkSuite {
     assert(Fsck.check(spark, s"$root/nope")
       .exists(x => x.level == "error" && x.component == "root"))
   }
+
+  test("a REAL published corpus surveys clean, and stagedWrite " +
+      "temps/asides are staging findings with the two-rename crash " +
+      "told apart — never foreign-dir errors or stream-staging warns") {
+    val idx = mkRoot()
+    val corpusRoot = mkRoot()
+    rm(corpusRoot) // refreshCorpus owns creation
+    Pipeline.refreshCorpus(spark,
+      (0L until 4L).map(i =>
+        (i, (0 until 10).map(j => s"t${i}x$j").mkString(" "), "en"))
+        .toDF("doc_id", "text", "lang"),
+      idx, corpusRoot, jaccardThreshold = 0.5, chunkTokens = 4,
+      bandBuckets = 8, pieceBuckets = 8, chunkBuckets = 8)
+    // healthy published corpus: no errors, and crucially its
+    // batch_id=<n> partitions are NOT mistaken for marker-less stream
+    // stagings, nor its markers for foreign dirs
+    val f0 = Fsck.check(spark, corpusRoot)
+    assert(!f0.exists(_.level == "error"), f0.mkString("\n"))
+    assert(!f0.exists(_.component == "_COMMIT"), f0.mkString("\n"))
+    // completed staged-write aside (its destination is live): ONE warn
+    // naming it safe to delete — visited through both the corpus-root
+    // surface and corpus/'s own walk, so distinct must hold
+    val live = new java.io.File(s"$corpusRoot/corpus").listFiles()
+      .map(_.getName).filter(_.startsWith("batch_id=")).head
+    val doneAside = s"$corpusRoot/corpus/_old_" + live.replace('=', '~')
+    mkdirs(doneAside)
+    val f1 = Fsck.check(spark, corpusRoot).filter(_.dir == doneAside)
+    assert(f1.length === 1, f1.mkString("\n"))
+    assert(f1.head.level === "warn" &&
+      f1.head.detail.contains("safe to delete"))
+    // ORPHAN aside (no live destination — the crash BETWEEN the two
+    // staged renames): this aside holds the partition's only copy, and
+    // the finding must say restore, never delete
+    mkdirs(s"$corpusRoot/corpus/_old_batch_id~99")
+    val f2 = Fsck.check(spark, corpusRoot)
+      .filter(_.dir == s"$corpusRoot/corpus/_old_batch_id~99")
+    assert(f2.length === 1 && f2.head.level === "error", f2.mkString("\n"))
+    assert(f2.head.detail.contains("Do NOT delete") &&
+      f2.head.detail.contains("batch_id=99"))
+    // a _stage_ temp is a warn (never read), not a corpus error
+    mkdirs(s"$corpusRoot/corpus/_stage_batch_id~7")
+    val f3 = Fsck.check(spark, corpusRoot)
+      .filter(_.dir == s"$corpusRoot/corpus/_stage_batch_id~7")
+    assert(f3.length === 1 && f3.head.level === "warn", f3.mkString("\n"))
+  }
 }

@@ -786,6 +786,34 @@ class MultimodalStreamingSpec extends SparkSuite {
     }
     assert(emptyCols === Seq("ts", "vec_id", "embedding",
       "max_cosine", "nearest_eval_id", "contaminated"))
+    // an EXISTING-but-empty eval dir is the documented empty suite
+    // (created ahead of the first adoption): rows screen unflagged
+    // instead of the stream dying on schema inference
+    val emptyEval = java.nio.file.Files
+      .createTempDirectory("graft_streamsem_empty").toString
+    var unflagged = 0L
+    StreamingAgg.processSemanticScreenBatch(
+      Seq((t("2024-01-01 11:00:00"), 30L, dirA))
+        .toDF("ts", "vec_id", "embedding")
+        .select($"ts", $"vec_id",
+          $"embedding".cast("array<float>").as("embedding")),
+      emptyEval, 0.9, 100L) { (out, _) =>
+      val r = out.collect()
+      unflagged = r.length.toLong
+      assert(r.forall(!_.getAs[Boolean]("contaminated")))
+      assert(r.forall(_.isNullAt(out.columns.indexOf("max_cosine"))))
+    }
+    assert(unflagged === 1L)
+    // a MISSING dir refuses loudly — a misspelled path silently
+    // screening against nothing would be the worse failure
+    val e = intercept[IllegalArgumentException](
+      StreamingAgg.processSemanticScreenBatch(
+        Seq((t("2024-01-01 11:00:00"), 31L, dirA))
+          .toDF("ts", "vec_id", "embedding")
+          .select($"ts", $"vec_id",
+            $"embedding".cast("array<float>").as("embedding")),
+        s"$emptyEval/nope", 0.9, 101L) { (_, _) => () })
+    assert(e.getMessage.contains("does not exist"))
   }
 
   test("params cache invalidates when a maintenance pass rewrites " +

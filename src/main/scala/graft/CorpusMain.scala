@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   *
   *   - `refresh <batchDir> <indexRoot> <corpusDir> [embeddingsDir]
   *     [emb=<dir>] [bench=<benchDir>] [containment=<threshold>]
-  *     [semeval=<evalEmbDir>]` —
+  *     [semeval=<evalEmbDir>] [quality=<modelDir>]` —
   *     [[Pipeline.refreshCorpus]] over a parquet batch, with every
   *     optional modality cron-able: `emb` (or the legacy bare 4th
   *     arg) = the batch's `(vec_id, embedding)` parquet, `bench` = a
@@ -16,7 +16,9 @@ import org.apache.spark.sql.SparkSession
   *     to screen against (probe-only), `containment` = the doc-in-doc
   *     overlap threshold, `semeval` = an eval-embedding parquet for
   *     the embedding-level contamination screen (probe-only, requires
-  *     `emb`). Prints the one-row report.
+  *     `emb`), `quality` = a persisted
+  *     [[graft.operators.QualityClassifier]] model whose score rides
+  *     every published doc (probe-only). Prints the one-row report.
   *   - `retract <idsDir> <indexRoot> <corpusDir>` —
   *     [[Pipeline.retractCorpus]] over a one-column parquet of ids;
   *     prints the one-row report.
@@ -97,7 +99,7 @@ object CorpusMain {
 
   private def usage(): Nothing = {
     System.err.println(
-      """usage: CorpusMain refresh <batchDir> <indexRoot> <corpusDir> [embeddingsDir] [emb=<dir>] [bench=<dir>] [containment=<t>] [semeval=<dir>]
+      """usage: CorpusMain refresh <batchDir> <indexRoot> <corpusDir> [embeddingsDir] [emb=<dir>] [bench=<dir>] [containment=<t>] [semeval=<dir>] [quality=<modelDir>]
         |       CorpusMain retract <idsDir> <indexRoot> <corpusDir>
         |       CorpusMain maintain <indexRoot>
         |       CorpusMain stats <indexRoot>
@@ -141,7 +143,8 @@ object CorpusMain {
         // as flags — a legacy positional path that happens to contain
         // '=' stays positional — and a duplicated flag is refused
         // instead of silently last-winning
-        val flagKeys = Set("emb", "bench", "containment", "semeval")
+        val flagKeys = Set("emb", "bench", "containment", "semeval",
+          "quality")
         val (kv0, legacy) = rest.partition(a =>
           flagKeys.exists(k => a.startsWith(s"$k=")))
         val kvPairs = kv0.map { a =>
@@ -158,7 +161,8 @@ object CorpusMain {
           embeddings = emb,
           benchmarkIndexDir = kv.get("bench"),
           containmentThreshold = kv.get("containment").map(_.toDouble),
-          semanticEvalDir = kv.get("semeval"))
+          semanticEvalDir = kv.get("semeval"),
+          qualityModelDir = kv.get("quality"))
         println(out.report.head().json)
       case "retract" :: idsDir :: indexRoot :: corpusDir :: Nil =>
         val report = Pipeline.retractCorpus(spark,

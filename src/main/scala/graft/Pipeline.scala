@@ -309,6 +309,22 @@ object Pipeline {
     *              (null score), the screen's completeness rule.
     * @param semanticEvalThreshold the `semantic_contaminated` verdict
     *              cut (cosine to the nearest eval vector).
+    * @param qualityModelDir optional persisted
+    *              [[graft.operators.QualityClassifier]] model — when
+    *              given, every published doc's cleaned text is scored
+    *              and `quality_prob` rides the corpus, with the
+    *              advisory `n_low_quality_docs` (score <
+    *              `qualityThreshold`) in the report. SCORING, not
+    *              filtering: admission policy (a threshold cut,
+    *              [[graft.operators.Sharding.paretoAccept]]) belongs
+    *              to corpus consumers, and the stored score keeps any
+    *              policy recomputable without re-scoring. PROBE-ONLY
+    *              (the model is read, never written); the model dir is
+    *              validated BEFORE any mutation, so a crashed or
+    *              misspelled model refuses up front. Same
+    *              always-or-never-per-corpus rule via the modality
+    *              marker's backward-compatible `quality` flag.
+    * @param qualityThreshold the report's advisory low-quality cut.
     * @param corpusDir published corpus root: `corpus/`, `pairs/`,
     *              `reports/`, each partitioned by `batch_id` — read
     *              the whole corpus back with
@@ -340,10 +356,16 @@ object Pipeline {
       postingBuckets: Int = 256,
       maxBandFreq: Long = 0L,
       semanticEvalDir: Option[String] = None,
-      semanticEvalThreshold: Double = 0.9): RefreshOutput = {
+      semanticEvalThreshold: Double = 0.9,
+      qualityModelDir: Option[String] = None,
+      qualityThreshold: Double = 0.5): RefreshOutput = {
     require(semanticEvalDir.isEmpty || embeddings.isDefined,
       "refreshCorpus: semanticEvalDir screens the batch's VECTORS — " +
         "it requires the embeddings modality (pass embeddings too)")
+    // read (and so validate) the quality model BEFORE any mutation:
+    // a misspelled or crashed model dir refuses here, not mid-publish
+    val qualityModel = qualityModelDir.map(d =>
+      graft.operators.QualityClassifier.readModel(spark, d))
     import org.apache.hadoop.fs.Path
     val fs = new Path(corpusDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -401,26 +423,29 @@ object Pipeline {
       // validated from the standing index dirs once, then stamped.
       val askedModalities = (embeddings.isDefined,
         containmentThreshold.isDefined, benchmarkIndexDir.isDefined,
-        semanticEvalDir.isDefined)
+        semanticEvalDir.isDefined, qualityModelDir.isDefined)
       val modalitiesPath = s"$corpusDir/modalities"
       val storedModalities =
         if (exists(modalitiesPath)) {
           val mdf = spark.read.parquet(modalitiesPath)
           val r = mdf.head()
-          // markers written before the semantic-eval modality existed
-          // lack its column: absent = the corpus never ran it
-          val se = mdf.schema.fieldNames.contains("semantic_eval") &&
-            r.getAs[Boolean]("semantic_eval")
+          // markers written before a modality existed lack its column:
+          // absent = the corpus never ran it (backward-compatible)
+          def flag(name: String): Boolean =
+            mdf.schema.fieldNames.contains(name) &&
+              r.getAs[Boolean](name)
           Some((r.getAs[Boolean]("semantic"),
             r.getAs[Boolean]("containment"),
-            r.getAs[Boolean]("benchmark"), se))
+            r.getAs[Boolean]("benchmark"), flag("semantic_eval"),
+            flag("quality")))
         } else None
       storedModalities match {
         case Some(stored) =>
           val omitted = Seq("semantic" -> (stored._1 && !askedModalities._1),
             "containment" -> (stored._2 && !askedModalities._2),
             "benchmark" -> (stored._3 && !askedModalities._3),
-            "semantic-eval" -> (stored._4 && !askedModalities._4))
+            "semantic-eval" -> (stored._4 && !askedModalities._4),
+            "quality" -> (stored._5 && !askedModalities._5))
             .collect { case (name, true) => name }
           require(omitted.isEmpty,
             s"refreshCorpus modality drift: this corpus runs with the " +
@@ -444,7 +469,8 @@ object Pipeline {
             lit(askedModalities._1).as("semantic"),
             lit(askedModalities._2).as("containment"),
             lit(askedModalities._3).as("benchmark"),
-            lit(askedModalities._4).as("semantic_eval")),
+            lit(askedModalities._4).as("semantic_eval"),
+            lit(askedModalities._5).as("quality")),
           modalitiesPath)
       // baseline for [[retractCorpus]]'s scan-free remaining-count
       // arithmetic: a corpus CREATED by this code starts at adjustment 0
@@ -594,8 +620,21 @@ object Pipeline {
               .withColumn("semantic_contaminated",
                 coalesce(col("semantic_contaminated"), lit(false)))
           }
+          // the trained-classifier score (probe-only: the model is
+          // read, never written): quality_prob rides every published
+          // doc — SCORING, deliberately not filtering; admission
+          // policy (a threshold cut, paretoAccept) belongs to corpus
+          // CONSUMERS, and the stored score makes any policy
+          // recomputable later without re-scoring
+          val publishedQual = qualityModel.fold(publishedSem) {
+            case (w, b) =>
+              publishedSem.join(
+                graft.operators.QualityClassifier.score(
+                  publishedSem.select(col("doc_id"), col("text")), w, b),
+                Seq("doc_id"), "left")
+          }
           stagedWrite(spark, allPairs, pairsPart)
-          stagedWrite(spark, publishedSem, corpusPart) // the probe-stage commit
+          stagedWrite(spark, publishedQual, corpusPart) // the probe-stage commit
         }
 
         // ---- append: survivors' ORIGINAL rows into all three families
@@ -705,12 +744,21 @@ object Pipeline {
           if (pub.columns.contains("semantic_contaminated"))
             count(when(col("semantic_contaminated"), 1))
           else lit(0L)
+        // advisory count only: the per-doc score itself rides the
+        // corpus, so ANY threshold's count stays recomputable later —
+        // nothing is lost if a cron line changes the knob (unlike
+        // max_band_freq, which must be recorded to be reconstructible)
+        val lowQualityCol =
+          if (pub.columns.contains("quality_prob"))
+            count(when(col("quality_prob") < qualityThreshold, 1))
+          else lit(0L)
         val pubAgg = pub.agg(
           count(lit(1)).as("np"),
           coalesce(sum(col("n_chunks")), lit(0L)).as("c"),
           coalesce(sum(col("n_kept")), lit(0L)).as("k"),
           contaminatedCol.as("nc"),
-          semContaminatedCol.as("nsc")).head()
+          semContaminatedCol.as("nsc"),
+          lowQualityCol.as("nlq")).head()
         val nPublished = pubAgg.getLong(0)
         import spark.implicits._
         // max_band_freq rides on the report so every batch's candidate
@@ -725,11 +773,11 @@ object Pipeline {
             spark.read.parquet(pairsPart).count(),
             nBatch - nPublished, nPublished,
             pubAgg.getLong(1), pubAgg.getLong(2), pubAgg.getLong(3),
-            maxBandFreq, pubAgg.getLong(4)))
+            maxBandFreq, pubAgg.getLong(4), pubAgg.getLong(5)))
           .toDF("batch_min_id", "batch_max_id", "n_batch", "n_dup_pairs",
             "n_dropped", "n_published", "n_chunks", "n_chunks_kept",
             "n_contaminated_docs", "max_band_freq",
-            "n_semantic_contaminated_docs")
+            "n_semantic_contaminated_docs", "n_low_quality_docs")
         stagedWrite(spark, report, reportPart)
       } finally persisted.unpersist()
       readBack()

@@ -532,6 +532,59 @@ class CorpusRefreshSpec extends SparkSuite {
     assert(e3.getMessage.contains("semantic-eval"))
   }
 
+  test("quality modality: a standing classifier model's score rides " +
+      "every published doc (scoring, never filtering), the report " +
+      "counts the advisory low-quality docs, the drift guard holds, " +
+      "and a crashed model refuses BEFORE any mutation") {
+    val idxRoot = tmp("qual_idx")
+    val corpusDir = tmp("qual_corpus")
+    val modelDir = tmp("qual_model")
+    // a fixed, inspectable model — the spec needs exact scores, not a
+    // fit (train() is QualityClassifierSpec's subject)
+    graft.operators.QualityClassifier.writeModel(spark,
+      Seq(("excellent", 2.0), ("spam", -2.0)).toDF("token", "weight"),
+      bias = 0.0, modelDir)
+    def batchOf(rows: (Long, String)*) =
+      rows.toSeq.map { case (i, t) => (i, t, "en") }
+        .toDF("doc_id", "text", "lang")
+    def refresh(batch: org.apache.spark.sql.DataFrame,
+        quality: Option[String]) =
+      Pipeline.refreshCorpus(spark, batch, idxRoot, corpusDir,
+        jaccardThreshold = 0.5, chunkTokens = 4, bandBuckets = 8,
+        pieceBuckets = 8, chunkBuckets = 8,
+        qualityModelDir = quality)
+    val out1 = refresh(batchOf(
+      (0L, "excellent a0 b0 c0 d0 e0 f0 g0 h0 i0"),
+      (1L, "spam a1 b1 c1 d1 e1 f1 g1 h1 i1")), Some(modelDir))
+    val scores = out1.published
+      .select($"doc_id", $"quality_prob").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // scoring, never filtering: BOTH docs published, scores attached
+    assert(scores.size === 2)
+    assert(scores(0L) > 0.5 && scores(1L) < 0.5, scores.toString)
+    assert(out1.report.head()
+      .getAs[Long]("n_low_quality_docs") === 1L)
+    // drift guard: a later refresh FORGETTING the flag refuses loudly;
+    // with it, the batch proceeds and scores
+    val b2 = batchOf((10L, "spam a2 b2 c2 d2 e2 f2 g2 h2 i2"))
+    val e = intercept[IllegalArgumentException](refresh(b2, None))
+    assert(e.getMessage.contains("quality"))
+    val out2 = refresh(b2, Some(modelDir))
+    assert(out2.published.where($"doc_id" === 10L)
+      .head().getAs[Double]("quality_prob") < 0.5)
+    assert(out2.report.head()
+      .getAs[Long]("n_low_quality_docs") === 1L)
+    // a crashed (params-less) model refuses BEFORE any mutation: the
+    // fresh corpus root gains nothing
+    val crashedModel = tmp("qual_crashed")
+    val fresh = tmp("qual_fresh_corpus")
+    val e2 = intercept[IllegalArgumentException](
+      Pipeline.refreshCorpus(spark, batchOf((0L, "alpha beta gamma")),
+        tmp("qual_fresh_idx"), fresh, qualityModelDir = Some(crashedModel)))
+    assert(e2.getMessage.contains("params"))
+    assert(!new java.io.File(s"$fresh/corpus").exists())
+  }
+
   test("auditCorpus: a healthy lifecycle is all-ok across every check; " +
       "planted orphan / missing / crashed-refresh / ledger-drift states " +
       "are named with their recoveries at the right severity") {

@@ -625,16 +625,24 @@ object Pipeline {
           // doc — SCORING, deliberately not filtering; admission
           // policy (a threshold cut, paretoAccept) belongs to corpus
           // CONSUMERS, and the stored score makes any policy
-          // recomputable later without re-scoring
-          val publishedQual = qualityModel.fold(publishedSem) {
-            case (w, b) =>
-              publishedSem.join(
+          // recomputable later without re-scoring. The score joins
+          // publishedSem against ITSELF, so the frame is persisted
+          // around the join — without it the whole publish lineage
+          // (chunk dedup + both screens) would compute twice inside
+          // the corpus write
+          val pubPersisted = qualityModel.map(_ => publishedSem
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          val publishedQual = (qualityModel, pubPersisted) match {
+            case (Some((w, b)), Some(ps)) =>
+              ps.join(
                 graft.operators.QualityClassifier.score(
-                  publishedSem.select(col("doc_id"), col("text")), w, b),
+                  ps.select(col("doc_id"), col("text")), w, b),
                 Seq("doc_id"), "left")
+            case _ => publishedSem
           }
           stagedWrite(spark, allPairs, pairsPart)
           stagedWrite(spark, publishedQual, corpusPart) // the probe-stage commit
+          pubPersisted.foreach(_.unpersist())
         }
 
         // ---- append: survivors' ORIGINAL rows into all three families

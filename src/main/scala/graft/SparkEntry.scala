@@ -1146,11 +1146,8 @@ object SparkEntry {
     // documented ~1-ulp boundary exposure (the q104 discipline)
     "q118_quality_score" -> ((s, dir) => {
       import s.implicits._
-      val weights = Seq(("fast", 0.25), ("slow", -0.5),
-        ("merge", 0.125), ("hash", -0.125), ("spark", 0.0625))
-        .toDF("token", "weight")
-      QualityClassifier.score(t(s, dir, "documents"), weights,
-          bias = -0.25)
+      QualityClassifier.score(t(s, dir, "documents"),
+          QualityFixtureWeights.toDF("token", "weight"), bias = -0.25)
         .orderBy(col("doc_id").asc)
     }),
     // q118's score gated by the GPT-3 Pareto acceptance rule — the
@@ -1165,12 +1162,9 @@ object SparkEntry {
     // the near-empty Pareto tail
     "q120_pareto_accept" -> ((s, dir) => {
       import s.implicits._
-      val weights = Seq(("fast", 0.25), ("slow", -0.5),
-        ("merge", 0.125), ("hash", -0.125), ("spark", 0.0625))
-        .toDF("token", "weight")
       Sharding.paretoAccept(
-          QualityClassifier.score(t(s, dir, "documents"), weights,
-            bias = 2.0))
+          QualityClassifier.score(t(s, dir, "documents"),
+            QualityFixtureWeights.toDF("token", "weight"), bias = 2.0))
         .orderBy(col("doc_id").asc)
     }),
     // the classifier tier END-TO-END, CCNet's actual construction
@@ -1988,49 +1982,20 @@ object SparkEntry {
            |SELECT doc_id, avg_logp,
            |  CAST((r * 3) // n AS BIGINT) AS bucket
            |FROM ranked ORDER BY doc_id""".stripMargin,
-      // fixed-weight classifier scoring: same token normalization as
-      // q48/q104, weights exact binary fractions so the per-doc sum is
+      // fixed-weight classifier scoring: the shared qualityScoreCteSql
+      // fixture (weights exact binary fractions so the per-doc sum is
       // order-independent bit-exact; only exp() carries the documented
-      // ~1-ulp 6-decimal boundary exposure
+      // ~1-ulp 6-decimal boundary exposure)
       "q118_quality_score" ->
-        """WITH toks AS (
-          |  SELECT doc_id, unnest(list_filter(string_split(
-          |    regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g'), ' '),
-          |    x -> x != '')) AS token
-          |  FROM documents),
-          |w AS (
-          |  SELECT token, CAST(wt AS DOUBLE) AS weight
-          |  FROM (VALUES ('fast', 0.25), ('slow', -0.5), ('merge', 0.125),
-          |               ('hash', -0.125), ('spark', 0.0625)) v(token, wt)),
-          |z AS (
-          |  SELECT t.doc_id, sum(w.weight) AS z
-          |  FROM toks t JOIN w ON t.token = w.token GROUP BY 1)
-          |SELECT d.doc_id,
-          |  round(1.0 / (1.0 + exp(-(coalesce(z.z, 0.0) + (-0.25)))), 6)
-          |    AS quality_prob
-          |FROM documents d LEFT JOIN z ON d.doc_id = z.doc_id
-          |ORDER BY d.doc_id""".stripMargin,
-      // q118 composed with the Pareto acceptance gate: same score CTEs,
-      // then the portable tick (salt prefix pareto1:) drives the
-      // 6-decimal-rounded inverse-CDF draw against 1 - score
+        s"""WITH ${qualityScoreCteSql("-0.25")}
+          |SELECT doc_id, quality_prob FROM scored
+          |ORDER BY doc_id""".stripMargin,
+      // q118's score CTEs (shared fixture, bias shifted into the
+      // acceptance rule's active region), then the portable tick (salt
+      // prefix pareto1:) drives the 6-decimal-rounded inverse-CDF draw
+      // against 1 - score
       "q120_pareto_accept" ->
-        s"""WITH toks AS (
-          |  SELECT doc_id, unnest(list_filter(string_split(
-          |    regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'), ' '),
-          |    x -> x != '')) AS token
-          |  FROM documents),
-          |w AS (
-          |  SELECT token, CAST(wt AS DOUBLE) AS weight
-          |  FROM (VALUES ('fast', 0.25), ('slow', -0.5), ('merge', 0.125),
-          |               ('hash', -0.125), ('spark', 0.0625)) v(token, wt)),
-          |z AS (
-          |  SELECT t.doc_id, sum(w.weight) AS z
-          |  FROM toks t JOIN w ON t.token = w.token GROUP BY 1),
-          |scored AS (
-          |  SELECT d.doc_id,
-          |    round(1.0 / (1.0 + exp(-(coalesce(z.z, 0.0) + 2.0))), 6)
-          |      AS quality_prob
-          |  FROM documents d LEFT JOIN z ON d.doc_id = z.doc_id),
+        s"""WITH ${qualityScoreCteSql("2.0")},
           |k AS (
           |  SELECT doc_id, quality_prob,
           |    'pareto1:' || CAST(doc_id AS VARCHAR) AS key
@@ -2739,6 +2704,43 @@ object SparkEntry {
     * in [0, 10000) over a `key` column — shared by the q72 sample
     * oracle and q86's composed sample stage.
     */
+  /** The q118/q120 fixed classifier-weight fixture — ONE definition so
+    * the scoring query and the acceptance-gate query (and both DuckDB
+    * oracles via [[qualityScoreCteSql]]) cannot drift. Exact binary
+    * fractions on purpose: the per-doc weighted sum is then
+    * order-independent bit-exact in any engine.
+    */
+  private val QualityFixtureWeights: Seq[(String, Double)] =
+    Seq(("fast", 0.25), ("slow", -0.5), ("merge", 0.125),
+      ("hash", -0.125), ("spark", 0.0625))
+
+  /** DuckDB CTE block computing [[QualityFixtureWeights]]'s classifier
+    * score as `scored(doc_id, quality_prob)` under the given bias —
+    * shared by the q118 and q120 oracles (same token normalization as
+    * q48/q104; only exp() carries the documented ~1-ulp 6-decimal
+    * boundary exposure).
+    */
+  private def qualityScoreCteSql(bias: String): String = {
+    val values = QualityFixtureWeights
+      .map { case (t, w) => s"('$t', $w)" }.mkString(", ")
+    s"""toks AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(
+       |    regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'), ' '),
+       |    x -> x != '')) AS token
+       |  FROM documents),
+       |w AS (
+       |  SELECT token, CAST(wt AS DOUBLE) AS weight
+       |  FROM (VALUES $values) v(token, wt)),
+       |z AS (
+       |  SELECT t.doc_id, sum(w.weight) AS z
+       |  FROM toks t JOIN w ON t.token = w.token GROUP BY 1),
+       |scored AS (
+       |  SELECT d.doc_id,
+       |    round(1.0 / (1.0 + exp(-(coalesce(z.z, 0.0) + ($bias)))), 6)
+       |      AS quality_prob
+       |  FROM documents d LEFT JOIN z ON d.doc_id = z.doc_id)""".stripMargin
+  }
+
   private def mixedTickSql: String =
     """CAST((list_reduce(list_prepend(0::BIGINT,
       |    [ascii(key[i])::BIGINT FOR i IN range(1, length(key)+1)]),

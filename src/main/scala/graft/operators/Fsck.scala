@@ -113,7 +113,11 @@ object Fsck {
     // apart by whether the destination is back
     def oldAside(parent: String, n: String): Finding = {
       val dest = n.stripPrefix("_old_").replace('~', '=')
-      if (names.contains(dest) || ls(fs, parent).exists(_._1 == dest))
+      // list the aside's OWN parent — `names` is the enclosing dir's
+      // listing and is the wrong one when parent = <dir>/corpus (it
+      // would find a same-named SIBLING of corpus/ and call an orphan
+      // aside safe); one extra listing per aside is diagnostic-only
+      if (ls(fs, parent).exists(_._1 == dest))
         Finding(s"$parent/$n", "staging", "warn",
           s"completed staged-write aside ($dest is live; only its " +
             "delete was lost) — never read (invisible to Spark's " +

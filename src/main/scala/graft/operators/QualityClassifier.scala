@@ -43,10 +43,11 @@ object QualityClassifier {
     * discipline — and like there, a doc's token rows stay in one
     * partition so the partial sum folds in text order; weights that
     * are exact binary fractions make the sum bit-exact in ANY order).
-    * Out-of-vocabulary tokens contribute 0 (inner join); a document
-    * with no weighted tokens scores `sigmoid(bias)` — it is still
-    * reported (left join back to the corpus), the screen-completeness
-    * rule every report here follows.
+    * Out-of-vocabulary tokens contribute 0 (the LEFT join against the
+    * weight table leaves them a null weight, coalesced to 0 inside the
+    * sum); a document with no weighted tokens — or no tokens at all —
+    * still reports `sigmoid(bias)`, carried by its explode_outer row,
+    * the screen-completeness rule every report here follows.
     *
     * Plan shape: token explode is map-only (explode_OUTER, so a
     * token-free or null-text doc keeps one row and lands on the
@@ -105,7 +106,8 @@ object QualityClassifier {
       // vocabulary came through it — a tr_TR default locale would
       // silently unmap dotted-I tokens; null seed text = zero features
       Option(text).getOrElse("")
-        .toLowerCase(java.util.Locale.ROOT).split("[ \t\n\r\f\\x0B]+").foreach { t =>
+        .toLowerCase(java.util.Locale.ROOT)
+        .split(TextAnalysis.WsPattern + "+").foreach { t =>
         if (t.nonEmpty) bvmap.value.get(t).foreach { i =>
           counts(i) = counts.getOrElse(i, 0.0) + 1.0
         }

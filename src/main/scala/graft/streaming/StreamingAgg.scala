@@ -575,6 +575,19 @@ object StreamingAgg {
       sink: (DataFrame, Long) => Unit): Unit = {
     import graft.operators.Dedup
     val spark = batch.sparkSession
+    // the missing-dir refusal runs for EVERY batch, empty ones
+    // included — a misspelled evalDir must surface on batch 0, not on
+    // whenever the first non-empty batch happens to arrive. An
+    // EXISTING-but-file-less dir is the documented empty suite
+    // (created ahead of the first adoption): rows screen unflagged
+    // rather than dying on schema inference.
+    val evalPath = new org.apache.hadoop.fs.Path(evalDir)
+    val fs = evalPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(evalPath),
+      s"screenStreamSemantic: eval dir $evalDir does not exist — " +
+        "create it (empty is fine: rows screen unflagged until a " +
+        "suite lands) or fix the path")
     val b = batch
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try if (b.isEmpty) {
@@ -585,18 +598,6 @@ object StreamingAgg {
         .withColumn("nearest_eval_id", lit(null).cast("long"))
         .withColumn("contaminated", lit(false)), batchId)
     } else {
-      // an EXISTING-but-file-less eval dir is the documented empty
-      // suite (created ahead of the first adoption): screen every row
-      // unflagged rather than dying on schema inference. A MISSING dir
-      // still refuses loudly — that is a misspelled path, and a stream
-      // silently screening against nothing is the worse failure.
-      val evalPath = new org.apache.hadoop.fs.Path(evalDir)
-      val fs = evalPath.getFileSystem(
-        spark.sparkContext.hadoopConfiguration)
-      require(fs.exists(evalPath),
-        s"screenStreamSemantic: eval dir $evalDir does not exist — " +
-          "create it (empty is fine: rows screen unflagged until a " +
-          "suite lands) or fix the path")
       val hasFiles = fs.listStatus(evalPath).exists { s =>
         val n = s.getPath.getName
         !n.startsWith("_") && !n.startsWith(".")

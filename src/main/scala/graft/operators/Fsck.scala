@@ -216,8 +216,25 @@ object Fsck {
       try Dedup.indexFamily(spark, dir)
       catch {
         case e: Exception =>
-          b += Finding(dir, "params", "error",
-            s"params/ unreadable or unrecognized: ${e.getMessage}")
+          // not one of the probe families — a quality-classifier MODEL
+          // dir declares itself via its params family column and is a
+          // recognized healthy shape, not an error
+          val isModel =
+            try spark.read.parquet(s"$dir/params")
+              .schema.fieldNames.contains("bias")
+            catch { case _: Exception => false }
+          if (isModel) {
+            if (names.contains("weights"))
+              b += Finding(dir, "params", "ok",
+                "healthy quality-classifier model (weights/ + params)")
+            else
+              b += Finding(dir, "weights", "error",
+                "classifier-model params/ with no weights/ — a crashed " +
+                  "writeModel (weights are written FIRST, so this is " +
+                  "params over a deleted tree); re-run writeModel")
+          } else
+            b += Finding(dir, "params", "error",
+              s"params/ unreadable or unrecognized: ${e.getMessage}")
           return b.toList
       }
 

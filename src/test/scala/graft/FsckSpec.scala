@@ -200,4 +200,20 @@ class FsckSpec extends SparkSuite {
       .filter(_.dir == s"$corpusRoot/corpus/_stage_batch_id~7")
     assert(f3.length === 1 && f3.head.level === "warn", f3.mkString("\n"))
   }
+
+  test("a quality-classifier model dir surveys as a recognized healthy " +
+      "shape, and its crashed write (params without weights) errs") {
+    val root = mkRoot()
+    graft.operators.QualityClassifier.writeModel(spark,
+      Seq(("alpha", 0.5)).toDF("token", "weight"), 0.0, s"$root/model")
+    val f = Fsck.check(spark, root)
+    assert(f.exists(x => x.dir == s"$root/model" && x.level == "ok" &&
+      x.detail.contains("classifier")), f.mkString("\n"))
+    assert(!f.exists(_.level == "error"), f.mkString("\n"))
+    rm(s"$root/model/weights")
+    val f2 = Fsck.check(spark, root)
+    assert(f2.exists(x => x.dir == s"$root/model" &&
+      x.level == "error" && x.detail.contains("writeModel")),
+      f2.mkString("\n"))
+  }
 }

@@ -49,6 +49,14 @@ import org.apache.spark.sql.SparkSession
   *     `indexRoot` the sweep reads the standing `containment/`
   *     family's stored shingle arrays instead of re-shingling the
   *     corpus text — same pairs, minus the sweep's largest stage.
+  *   - `train-quality <corpusDir> <modelDir> [topV]` —
+  *     [[Pipeline.trainQualityModel]]: distill the published corpus'
+  *     LM quality signal (head tercile = good, tail = bad — CCNet's
+  *     construction) into a persisted classifier model under
+  *     `modelDir`, ready for `refresh quality=<modelDir>`. One
+  *     corpus-scale LM pass + a sample-capped LR fit — run it at
+  *     `maintain` cadence, once a season or when the corpus mix
+  *     shifts. Holds the model dir's lease while writing.
   *   - `break-lease <dir> [dir ...]` —
   *     [[graft.operators.Lease.breakLease]]: the STALE-lease takeover
   *     surface. Every mutating pass above holds `<dir>/_LEASE` while
@@ -106,6 +114,7 @@ object CorpusMain {
         |       CorpusMain index-benchmark <suiteDir> <benchDir> [append]
         |       CorpusMain rebuild-ivf <indexRoot> <nlist>
         |       CorpusMain sweep-containment <corpusDir> <outDir> <threshold> [sampleK] [indexRoot]
+        |       CorpusMain train-quality <corpusDir> <modelDir> [topV]
         |       CorpusMain migrate-shingles <indexRoot> [buckets]
         |       CorpusMain break-lease <dir> [dir ...]
         |       CorpusMain break-leases <root>
@@ -230,6 +239,12 @@ object CorpusMain {
               s""""acquired":"${jsonEsc(acquired)}","held_sec":$heldSec,""" +
               s""""jvm":"${jsonEsc(jvm)}"}""")
         }
+      case "train-quality" :: corpusDir :: modelDir :: rest
+          if rest.length <= 1 =>
+        val (n, bias) = Pipeline.trainQualityModel(spark, corpusDir,
+          modelDir, topV = rest.headOption.map(_.toInt).getOrElse(4096))
+        println(s"""{"model":"${jsonEsc(modelDir)}","n_weights":$n,""" +
+          s""""bias":$bias}""")
       case "fsck" :: root :: Nil =>
         // read-only integrity survey: one JSON line per finding,
         // most-severe first, each naming its documented recovery;

@@ -1238,6 +1238,47 @@ object Pipeline {
     } finally corpusIds.unpersist()
   }
 
+  /** Distill the published corpus' LM quality signal into a PERSISTED
+    * classifier model — the season-cadence model build the `quality`
+    * refresh modality consumes, and CCNet's actual construction
+    * (arXiv:1911.00359: the classifier learns to tell the LM head from
+    * the tail): [[graft.operators.TextAnalysis.lmScore]] over the
+    * corpus → tercile split → head tercile = good seeds, tail = bad →
+    * [[graft.operators.QualityClassifier.train]] →
+    * [[graft.operators.QualityClassifier.writeModel]] under
+    * `modelDir`.
+    *
+    * Cost: ONE LM-scoring pass over the published corpus (corpus-scale
+    * — schedule at maintenance cadence like [[sweepContainment]], not
+    * weekly), then a SAMPLE-sized LR fit: each class is capped at
+    * `maxSeedsPerClass` docs (the lowest doc ids of its tercile — a
+    * bounded TakeOrdered, deterministic across runs) so the MLlib fit
+    * never scales with the corpus. Takes the model dir's lease while
+    * writing (single-writer discipline); a weekly refresh reading the
+    * model is a READER and is never blocked.
+    *
+    * Returns (n_weights, bias) for the cron line's report.
+    */
+  def trainQualityModel(spark: SparkSession, corpusDir: String,
+      modelDir: String, topV: Int = 4096,
+      maxSeedsPerClass: Int = 100000): (Long, Double) = {
+    import graft.operators.{QualityClassifier, Sharding, TextAnalysis}
+    val corpus = spark.read.parquet(s"$corpusDir/corpus")
+      .select(col("doc_id"), col("text"))
+    val buckets = Sharding.scoreBuckets(TextAnalysis.lmScore(corpus))
+    val seeds = corpus
+      .join(buckets.select(col("doc_id"), col("bucket")), Seq("doc_id"))
+    def tercile(b: Int) = seeds.where(col("bucket") === b)
+      .orderBy(col("doc_id").asc).limit(maxSeedsPerClass)
+    val (w, bias) = QualityClassifier.train(spark,
+      tercile(0), tercile(2), topV)
+    graft.operators.Lease.withLeases(spark, Seq(modelDir),
+      "trainQualityModel") {
+      QualityClassifier.writeModel(spark, w, bias, modelDir)
+    }
+    (w.count(), bias)
+  }
+
   /** Season-scale index maintenance: [[Dedup.compactIndex]] over every
     * family present under `indexRoot` — one sorted, re-distincted file
     * per bucket/cell partition after a season of [[refreshCorpus]]

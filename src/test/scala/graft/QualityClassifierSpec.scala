@@ -90,6 +90,35 @@ class QualityClassifierSpec extends SparkSuite {
     assert(e.getMessage.contains("params"))
   }
 
+  test("train-quality CLI: the season-cadence model build distills a " +
+      "published corpus' LM head/tail into a persisted model the " +
+      "quality modality consumes, and releases its lease") {
+    val corpusDir = tmp("tq_corpus")
+    val modelDir = tmp("tq_model")
+    // a corpus with an unmistakable LM split: six docs share a common
+    // vocabulary (high token probabilities = the LM head), six are
+    // all-unique gibberish (every token count 1 = the tail)
+    val common = (0 until 8).map(j => s"common$j").mkString(" ")
+    val corpus = (
+      (0L until 6L).map(i => (i, s"$common extra$i")) ++
+      (10L until 16L).map(i =>
+        (i, (0 until 9).map(j => s"rare${i}x$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    corpus.write.parquet(s"$corpusDir/corpus")
+    CorpusMain.run(spark,
+      List("train-quality", corpusDir, modelDir, "64"))
+    val (w, b) = QualityClassifier.readModel(spark, modelDir)
+    // the model is standing and lease-free (a refresh can read it now)
+    assert(!new java.io.File(s"$modelDir/_LEASE").exists())
+    // held-out docs: common-vocabulary prose outscores gibberish
+    val holdout = Seq(
+      (900L, "common1 common2 common5 common7 freshword"),
+      (901L, "zzq1 zzq2 zzq3 zzq4 zzq5")).toDF("doc_id", "text")
+    val scored = QualityClassifier.score(holdout, w, b)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored(900L) > scored(901L), scored.toString)
+  }
+
   test("q119 composition: the corpus-trained classifier reproduces the " +
       "LM head/tail signal it distilled (head docs outscore tail docs " +
       "on average)") {

@@ -694,6 +694,9 @@ object Pipeline {
           case Some(("cdc", granularity, cb, _)) =>
             Dedup.writeChunkIndexCDC(survOrig, chunkDir,
               divisor = granularity, chunkBuckets = cb, mode = "append")
+          case Some(("line", _, cb, _)) =>
+            Dedup.writeChunkIndexLines(survOrig, chunkDir,
+              chunkBuckets = cb, mode = "append")
           case Some((_, granularity, cb, _)) =>
             Dedup.writeChunkIndex(survOrig, chunkDir,
               chunkTokens = granularity, chunkBuckets = cb,

@@ -30,6 +30,17 @@ object SparkEntry {
     if (name == "events") events(s, dir)
     else s.read.parquet(s"$dir/$name.parquet")
 
+  /** Deterministic multi-line view of the single-line synthetic docs
+    * for the line-dedup queries (q121/q122): every literal " scan "
+    * becomes a line break. DuckDB mirrors it with
+    * `replace(text, ' scan ', chr(10))` — both are left-to-right
+    * non-overlapping literal replacement, so the derived lines are
+    * engine-identical. */
+  private def multiLineDocs(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      regexp_replace(coalesce(col("text"), lit("")),
+        lit(java.util.regex.Pattern.quote(" scan ")), lit("\n")))
+
   /** Scratch location for the written-IVF-index queries (q84/q85):
     * under the JVM tmpdir, keyed by SF dir and tag so scale factors
     * never collide, and by the process id so two CONCURRENT
@@ -708,6 +719,28 @@ object SparkEntry {
           md5(col("text")).as("dedup_md5"))
         .orderBy(col("doc_id").asc)
     }),
+    // line/paragraph-level exact dedup (Dolma-style): the synthetic
+    // docs are single-line, so the query derives a deterministic
+    // multi-line view first — every literal " scan " becomes a line
+    // break, in BOTH engines — and dedups the trimmed lines corpus-wide
+    "q121_line_dedup" -> ((s, dir) =>
+      Dedup.dedupLines(multiLineDocs(t(s, dir, "documents")))
+        .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+          md5(col("text")).as("dedup_md5"))
+        .orderBy(col("doc_id").asc)),
+    // incremental line dedup against a persisted line-rule chunk index
+    // (the q95 split contract: index the low-id half, probe the rest)
+    "q122_index_line_dedup" -> ((s, dir) => {
+      val docs = multiLineDocs(t(s, dir, "documents"))
+      val idx = ivfIndexDir(dir, "ch122")
+      Dedup.writeChunkIndexLines(docs.where(col("doc_id") < 250), idx,
+        chunkBuckets = 32)
+      Dedup.dedupChunksAgainstIndex(s, docs.where(col("doc_id") >= 250),
+          idx)
+        .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+          md5(col("text")).as("dedup_md5"))
+        .orderBy(col("doc_id").asc)
+    }),
     "q96_index_cdc_chunk_dedup" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val idx = ivfIndexDir(dir, "ch96")
@@ -1037,6 +1070,25 @@ object SparkEntry {
     // rate = (c_min/c_d)^(1-α) rounded to 6 decimals (the lmScore
     // portability discipline — pow is the one non-correctly-rounded
     // op in the chain) → tick threshold at 1/10000 resolution
+    // DSIR data selection (Xie et al. arXiv:2302.03169): hashed
+    // bag-of-ngrams importance weights of every document against a
+    // target distribution (here the lang='en' slice), then Gumbel
+    // top-k resampling ∝ exp(log_weight). 512 feature buckets at
+    // fixture scale (the paper's 10k is a free knob — the oracle
+    // mirrors whatever is passed).
+    "q123_dsir_weight" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Sharding.dsirScore(docs,
+          Sharding.dsirWeights(docs.where(col("lang") === "en"), docs,
+            buckets = 512), buckets = 512)
+        .orderBy(col("doc_id").asc)
+    }),
+    "q124_dsir_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Sharding.dsirResample(docs, docs.where(col("lang") === "en"),
+          k = 50, buckets = 512)
+        .orderBy(col("dsir_key").desc, col("doc_id").asc)
+    }),
     "q114_temperature_rates" -> ((s, dir) =>
       Sharding.temperatureRates(t(s, dir, "documents"), col("lang"),
           alpha = 0.5)
@@ -1847,6 +1899,11 @@ object SparkEntry {
         s"""SELECT * FROM (
            |${cdcChunkDedupSql(8)}
            |) full_run WHERE doc_id >= 250 ORDER BY doc_id""".stripMargin,
+      "q121_line_dedup" -> lineDedupSql,
+      "q122_index_line_dedup" ->
+        s"""SELECT * FROM (
+           |$lineDedupSql
+           |) full_run WHERE doc_id >= 250 ORDER BY doc_id""".stripMargin,
       "q88_cdc_chunk_dedup" -> cdcChunkDedupSql(8),
       "q93_cdc_chunk_dedup50" -> cdcChunkDedupSql(50),
       "q36_ann_quantized_topk" ->
@@ -2095,6 +2152,39 @@ object SparkEntry {
       // ≡ the f32 layout's ≡ the filtered brute force — same oracle
       // as q103 (predicate over stored CODES, exact f32 re-rank)
       "q111_sq8_filtered_topk" -> annFilteredTopKSql,
+      // DSIR importance weights: hashed unigram+bigram bag-of-ngrams
+      // (the cdc oracle's portable byte fold per ngram), add-one
+      // smoothed target/raw log ratios over the complete 512-bucket
+      // range, per-doc sum rounded to 6 decimals
+      "q123_dsir_weight" ->
+        s"""WITH ${dsirCtes(512)}
+           |SELECT d.doc_id,
+           |  CAST(coalesce(sc.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+           |  coalesce(sc.log_weight, 0.0) AS log_weight
+           |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+           |ORDER BY d.doc_id""".stripMargin,
+      // DSIR Gumbel top-k resample: key = log_weight − ln(−ln(u)),
+      // u = (dsir1-salted 1/10000 tick + 0.5)/10000 (the q120 pareto
+      // variate), rounded to 6 decimals, doc_id the total tie-break
+      "q124_dsir_sample" ->
+        s"""WITH ${dsirCtes(512)},
+           |scored AS (
+           |  SELECT d.doc_id,
+           |    CAST(coalesce(sc.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+           |    coalesce(sc.log_weight, 0.0) AS log_weight
+           |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+           |keyed AS (
+           |  SELECT doc_id, n_ngrams, log_weight,
+           |    'dsir1:' || CAST(doc_id AS VARCHAR) AS key
+           |  FROM scored),
+           |drawn AS (
+           |  SELECT doc_id, n_ngrams, log_weight,
+           |    round(log_weight - ln(-ln(
+           |      ($mixedTickSql::DOUBLE + 0.5) / 10000.0)), 6)
+           |      AS dsir_key
+           |  FROM keyed)
+           |SELECT * FROM drawn
+           |ORDER BY dsir_key DESC, doc_id ASC LIMIT 50""".stripMargin,
       // temperature-flattening rate table: counts → (c_min/c_d)^(1-α)
       // rounded to 6 decimals (the lmScore portability discipline) →
       // 1/10000 tick threshold; α = 0.5 ⇒ exponent 0.5
@@ -2776,6 +2866,102 @@ object SparkEntry {
     * coalesce: a NULL text must report (0, 0, md5('')) like the Spark
     * side, not a NULL n_chunks from len(NULL).
     */
+  /** DuckDB oracle for [[graft.operators.Dedup.dedupLines]] over the
+    * derived multi-line view (see [[multiLineDocs]]): trimmed non-empty
+    * lines, first occurrence by (doc_id, line index) survives,
+    * newline-joined reassembly — the [[chunkDedupSql]] shape with
+    * authored boundaries instead of token windows. */
+  private def lineDedupSql: String =
+    """WITH src AS (
+      |  SELECT doc_id,
+      |    replace(coalesce(text, ''), ' scan ', chr(10)) AS text
+      |  FROM documents),
+      |nrm AS (
+      |  SELECT doc_id,
+      |    list_filter(list_transform(string_split(text, chr(10)),
+      |      x -> trim(x)), x -> x != '') AS tk
+      |  FROM src),
+      |ch AS (
+      |  SELECT doc_id, unnest(generate_series(1, len(tk))) AS i, tk
+      |  FROM nrm WHERE len(tk) > 0),
+      |cstr AS (SELECT doc_id, i - 1 AS idx, tk[i] AS chunk FROM ch),
+      |ranked AS (
+      |  SELECT doc_id, idx, chunk,
+      |    row_number() OVER (PARTITION BY chunk
+      |      ORDER BY doc_id, idx) AS rn
+      |  FROM cstr),
+      |kept AS (SELECT doc_id, idx, chunk FROM ranked WHERE rn = 1),
+      |out AS (
+      |  SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+      |    md5(string_agg(chunk, chr(10) ORDER BY idx)) AS dedup_md5
+      |  FROM kept GROUP BY doc_id)
+      |SELECT n.doc_id, CAST(len(tk) AS INT) AS n_chunks,
+      |  CAST(coalesce(o.n_kept, 0) AS INT) AS n_kept,
+      |  coalesce(o.dedup_md5, md5('')) AS dedup_md5
+      |FROM nrm n LEFT JOIN out o ON n.doc_id = o.doc_id
+      |ORDER BY n.doc_id""".stripMargin
+
+  /** DuckDB CTE chain reproducing [[graft.operators.Sharding.dsirScore]]
+    * over `documents` with the lang='en' slice as the DSIR target:
+    * lowercased ws-collapsed tokens, unigram+bigram stream, the
+    * engine-portable rolling-hash+Lehmer bucket (the cdc oracle's byte
+    * fold, hence the same ASCII guard), add-one-smoothed per-bucket
+    * log ratios over the COMPLETE bucket range, per-doc summed and
+    * 6-decimal rounded. Ends with CTE `sc(doc_id, n_ngrams,
+    * log_weight)` — incomplete (score-less docs absent), the final
+    * SELECT completes it.
+    */
+  private def dsirCtes(buckets: Int): String =
+    """guard AS (
+      |  SELECT CASE WHEN bool_or(regexp_matches(coalesce(text, ''),
+      |      '[^\x00-\x7f]'))
+      |    THEN error('dsir oracle assumes ASCII text: ascii(code ' ||
+      |      'point) diverges from the UTF-8 byte fold')
+      |    ELSE 1 END AS ok
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split(
+      |      regexp_replace(lower(coalesce(text, '')),
+      |        '[ \t\n\r\f\x0B]+', ' ', 'g'),
+      |      ' '), x -> x != '') AS tk
+      |  FROM documents, guard),
+      |ng AS (
+      |  SELECT doc_id, lang,
+      |    list_concat(tk,
+      |      CASE WHEN len(tk) >= 2
+      |        THEN list_transform(range(1, len(tk)),
+      |               i -> tk[i] || ' ' || tk[i + 1])
+      |        ELSE []::VARCHAR[] END) AS ngs
+      |  FROM tok),
+      |f AS (
+      |  SELECT doc_id, lang,
+      |    ((list_reduce(list_prepend(0::BIGINT,
+      |        [ascii(g[j])::BIGINT FOR j IN range(1, length(g) + 1)]),
+      |        (acc, b) -> (acc * 257 + b) % 1000000007)
+      |      * 48271) % 1000000007) % __B__ AS bucket
+      |  FROM (SELECT doc_id, lang, unnest(ngs) AS g FROM ng)),
+      |tcnt AS (SELECT bucket, count(*) AS tc FROM f
+      |         WHERE lang = 'en' GROUP BY bucket),
+      |rcnt AS (SELECT bucket, count(*) AS rc FROM f GROUP BY bucket),
+      |tot AS (SELECT (SELECT coalesce(sum(tc), 0) FROM tcnt) AS tt,
+      |               (SELECT coalesce(sum(rc), 0) FROM rcnt) AS rt),
+      |w AS (
+      |  SELECT b.bucket,
+      |    round(ln((coalesce(tcnt.tc, 0) + 1)::DOUBLE
+      |            / (tot.tt + __B__)::DOUBLE)
+      |        - ln((coalesce(rcnt.rc, 0) + 1)::DOUBLE
+      |            / (tot.rt + __B__)::DOUBLE), 6) AS log_ratio
+      |  FROM (SELECT unnest(range(__B__)) AS bucket) b
+      |  LEFT JOIN tcnt ON b.bucket = tcnt.bucket
+      |  LEFT JOIN rcnt ON b.bucket = rcnt.bucket, tot),
+      |sc AS (
+      |  SELECT f.doc_id, count(*) AS n_ngrams,
+      |    round(sum(w.log_ratio), 6) AS log_weight
+      |  FROM f JOIN w ON f.bucket = w.bucket
+      |  GROUP BY f.doc_id)""".stripMargin
+      .replace("__B__", buckets.toString)
+
   private def chunkDedupSql(chunkTokens: Int): String =
     """WITH nrm AS (
       |  SELECT doc_id,

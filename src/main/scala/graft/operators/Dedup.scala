@@ -813,7 +813,8 @@ object Dedup {
     * distinct chunks.
     */
   private def chunkDedupTail(base: DataFrame,
-      dropHashes: Option[DataFrame] = None): DataFrame = {
+      dropHashes: Option[DataFrame] = None,
+      sep: String = " "): DataFrame = {
     val keyed = base
       .select(col("doc_id"), posexplode(col("chunks")))
       .toDF("doc_id", "idx", "chunk")
@@ -829,7 +830,7 @@ object Dedup {
       .agg(count(lit(1)).cast("int").as("n_kept"),
         array_join(
           transform(array_sort(collect_list(struct(col("idx"),
-            col("chunk")))), s => s.getField("chunk")), " ").as("text"))
+            col("chunk")))), s => s.getField("chunk")), sep).as("text"))
     base.select(col("doc_id"), size(col("chunks")).as("n_chunks"))
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_chunks"),
@@ -897,14 +898,69 @@ object Dedup {
         typedLit(Array.empty[String])).as("chunks")))
   }
 
+  /** Line/paragraph-level exact dedup — the natural-boundary
+    * granularity of the chunk family (the Dolma pipeline's paragraph
+    * dedup, Soldaini et al. arXiv:2402.00159 §4: drop every later
+    * exact copy of a paragraph corpus-wide, keep the first): the dedup
+    * unit is the TRIMMED newline-delimited line (empty-after-trim
+    * lines drop in normalization, like the token rules' whitespace
+    * collapse), first occurrence survives by lowest (doc_id, line
+    * index), and each document reassembles from its surviving lines in
+    * original order, newline-joined. Returns the
+    * [[dedupChunks]] contract: (doc_id, n_chunks, n_kept, text).
+    *
+    * Where the grid/cdc rules target RUN-level duplication inside
+    * flowing prose, the line rule targets STRUCTURAL duplication —
+    * boilerplate headers/footers, navigation lines, license blocks —
+    * whose boundaries are authored, not statistical, so duplicated
+    * lines realign at any position with no offset-robustness machinery.
+    *
+    * GRANULARITY WARNING (the [[dedupChunksCDC]] concern, sharper
+    * here): every later occurrence of a duplicated line is DELETED,
+    * and short lines ("Introduction", "}", "- yes") are legitimate
+    * repeated language — corpus-wide line dedup is aggressive by
+    * construction (Dolma applies it deliberately). Admission policy
+    * beyond exact-line equality (length floors, per-domain scoping)
+    * belongs to the caller's upstream filter, not this operator.
+    *
+    * Scale: identical shape to [[dedupChunks]] — the split+trim is the
+    * same map-side projection cost class as tokenization; then one
+    * explode, one min-aggregate on the line's md5, one equi-join, one
+    * per-doc rebuild. Nothing is all-pairs.
+    */
+  def dedupLines(docs: DataFrame): DataFrame =
+    chunkDedupTail(lineChunkBase(docs), sep = "\n")
+
+  /** (doc_id, chunks) under the line rule — chunks are the trimmed
+    * non-empty newline-delimited lines. Same barrier rationale as
+    * [[gridChunkBase]]. */
+  private def lineChunkBase(docs: DataFrame,
+      withBarrier: Boolean = true): DataFrame =
+    maybeBarrier(withBarrier)(docs.select(col("doc_id"),
+      filter(transform(split(coalesce(col("text"), lit("")), "\n"),
+          l => trim(l)), l => l =!= "").as("chunks")))
+
   private def chunkBaseFor(docs: DataFrame, rule: String,
       granularity: Int, withBarrier: Boolean = true): DataFrame =
     rule match {
       case "grid" => gridChunkBase(docs, granularity, withBarrier)
       case "cdc" => cdcChunkBase(docs, granularity, withBarrier)
+      case "line" =>
+        // granularity is meaningless for authored boundaries; the
+        // params row stores 1 and anything else is corruption, not a
+        // knob — refuse rather than silently ignore
+        require(granularity == 1,
+          s"line rule has no granularity (expected 1, got $granularity)")
+        lineChunkBase(docs, withBarrier)
       case other => throw new IllegalArgumentException(
-        s"unknown chunk rule '$other' (expected 'grid' or 'cdc')")
+        s"unknown chunk rule '$other' (expected 'grid', 'cdc' or 'line')")
     }
+
+  /** The reassembly separator a rule's chunks were split on — the
+    * line rule rebuilds documents newline-joined, the token rules
+    * space-joined (their normalization collapsed whitespace). */
+  private def chunkSepFor(rule: String): String =
+    if (rule == "line") "\n" else " "
 
   /** The chunk bases' barrier, made skippable for single-consumer
     * pipelines (the index write): the barrier amortizes multi-consumer
@@ -957,6 +1013,14 @@ object Dedup {
   def writeChunkIndex(docs: DataFrame, dir: String, chunkTokens: Int = 50,
       chunkBuckets: Int = 256, mode: String = "overwrite"): Unit =
     writeChunkIndexWith(docs, dir, "grid", chunkTokens, chunkBuckets, mode)
+
+  /** [[writeChunkIndex]] under the line rule ([[dedupLines]]'s
+    * paragraph granularity — distinct trimmed-line md5s; granularity
+    * is stored as 1, the rule has no knob). Probes, appends, deletion
+    * and compaction dispatch on the stored rule like the other two. */
+  def writeChunkIndexLines(docs: DataFrame, dir: String,
+      chunkBuckets: Int = 256, mode: String = "overwrite"): Unit =
+    writeChunkIndexWith(docs, dir, "line", 1, chunkBuckets, mode)
 
   /** [[writeChunkIndex]] under the content-defined chunking rule
     * ([[dedupChunksCDC]]'s boundary function at `divisor`). */
@@ -1083,7 +1147,7 @@ object Dedup {
     val hits = spark.read.schema(chunksSchema).parquet(s"$dir/chunks")
       .join(probe, Seq("bucket", "ch"), "left_semi")
       .select(col("ch")).distinct()
-    chunkDedupTail(base, Some(hits))
+    chunkDedupTail(base, Some(hits), sep = chunkSepFor(rule))
   }
 
   // -------------------------------------------------------------- SimHash

@@ -392,4 +392,134 @@ object Sharding {
       .where(tick < col("__thr"))
       .drop("__dom", "__thr")
   }
+
+  // ------------------------------------- DSIR importance resampling
+
+  /** Hashed bag-of-ngrams feature stream for DSIR (Xie et al., "Data
+    * Selection for Language Models via Importance Resampling",
+    * arXiv:2302.03169 §3: unigrams + bigrams of the lowercased
+    * whitespace tokenization, hashed into `buckets` feature buckets):
+    * one `(ngram)` element per token and per adjacent token pair. The
+    * hash is the repo's engine-portable rolling-hash + Lehmer mix
+    * ([[mixedHash]]'s arithmetic applied to the NGRAM text, no salt —
+    * the feature space is part of the model, not a redraw knob).
+    */
+  private def dsirNgrams(text: Column): Column = {
+    val tk = filter(split(regexp_replace(lower(coalesce(text, lit(""))),
+      TextAnalysis.WsPattern + "+", " "), " "), t => t =!= lit(""))
+    val bi = when(size(tk) >= 2,
+      transform(sequence(lit(1), size(tk) - 1),
+        i => concat(element_at(tk, i), lit(" "), element_at(tk, i + 1))))
+      .otherwise(typedLit(Array.empty[String]))
+    concat(tk, bi)
+  }
+
+  private def dsirBucket(ngram: Column, buckets: Int): Column =
+    pmod(pmod(native.rolling_hash(ngram) * lit(48271L),
+      lit(1000000007L)), lit(buckets.toLong)).cast("int")
+
+  /** Per-bucket DSIR log importance ratios: fit two add-one-smoothed
+    * hashed bag-of-ngrams models — `target` (the distribution you WANT,
+    * e.g. a curated high-quality set) and `raw` (the corpus you have) —
+    * and return one row per feature bucket with
+    *
+    *   log_ratio_b = ln((t_b + 1)/(T + B)) − ln((r_b + 1)/(R + B))
+    *
+    * (t_b/r_b = the bucket's ngram count in target/raw, T/R = total
+    * ngrams, B = `buckets`), 6-decimal rounded under the
+    * [[TextAnalysis.lmScore]] engine-portability discipline. The domain
+    * is COMPLETE — all B buckets, absent ones at the pure smoothing
+    * ratio — so a document's score never depends on which buckets
+    * happened to be observed.
+    *
+    * Scale: two token-stream count aggregates (shuffle ∝ corpus
+    * ngrams collapsing map-side to ≤ B rows each) joined onto a
+    * B-row range — the weight table is model-sized (B ≤ ~10⁵ rows),
+    * broadcastable, persistable, and inspectable like the
+    * [[QualityClassifier]] weights.
+    */
+  def dsirWeights(target: DataFrame, raw: DataFrame,
+      buckets: Int = 10000, text: Column = col("text")): DataFrame = {
+    require(buckets > 0, s"buckets must be > 0, got $buckets")
+    def bucketCounts(df: DataFrame, name: String) =
+      df.select(explode(dsirNgrams(text)).as("ngram"))
+        .select(dsirBucket(col("ngram"), buckets).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as(name))
+    val t = bucketCounts(target, "tc")
+    val r = bucketCounts(raw, "rc")
+    val totals = t.agg(coalesce(sum(col("tc")), lit(0L)).as("tt"))
+      .crossJoin(r.agg(coalesce(sum(col("rc")), lit(0L)).as("rt")))
+    target.sparkSession.range(buckets)
+      .select(col("id").cast("int").as("bucket"))
+      .join(t, Seq("bucket"), "left")
+      .join(r, Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        round(
+          log((coalesce(col("tc"), lit(0L)) + 1).cast("double") /
+            (col("tt") + buckets).cast("double")) -
+          log((coalesce(col("rc"), lit(0L)) + 1).cast("double") /
+            (col("rt") + buckets).cast("double")), 6).as("log_ratio"))
+  }
+
+  /** Per-document DSIR log importance weight: the bag-of-ngrams
+    * log-likelihood ratio Σ_b c_b(x)·log_ratio_b — the quantity DSIR
+    * resamples by. Returns (doc_id, n_ngrams, log_weight) for EVERY
+    * input document (ngram-free docs report (0, 0.0) — completeness,
+    * the [[QualityClassifier.score]] rule), log_weight 6-decimal
+    * rounded: each doc's ngrams live in one partition (explode of one
+    * row), so the per-doc partial sum folds in text order and the
+    * rounding is deterministic — the [[TextAnalysis.lmScore]] argument.
+    *
+    * Scale: one map-side explode joined to the BROADCAST B-row weight
+    * table, then one per-doc aggregate collapsing map-side — the
+    * q48/q104 cost class, shuffle ∝ corpus ngrams, never all-pairs.
+    */
+  def dsirScore(docs: DataFrame, weights: DataFrame,
+      buckets: Int = 10000, text: Column = col("text")): DataFrame =
+    docs.select(col("doc_id"),
+        explode_outer(dsirNgrams(text)).as("ngram"))
+      .select(col("doc_id"),
+        when(col("ngram").isNotNull,
+          dsirBucket(col("ngram"), buckets)).as("bucket"))
+      .join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("bucket")).as("n_ngrams"),
+        round(sum(coalesce(col("log_ratio"), lit(0.0))), 6)
+          .as("log_weight"))
+
+  /** DSIR selection: resample `k` documents WITHOUT replacement with
+    * inclusion odds ∝ exp(log_weight) via Gumbel top-k — key =
+    * log_weight − ln(−ln(u)) stays in the log domain, so a large
+    * corpus/target likelihood gap cannot overflow the way
+    * exp(log_weight) through [[weightedSample]]'s A-ES key would. `u`
+    * is the deterministic salted 1/10000 tick ([[paretoAccept]]'s
+    * variate, NOT the raw hash over the modulus: the rolling hash is
+    * affine in an id's trailing digit, so h/p orders ADJACENT ids
+    * monotonically and a salt change shifts them uniformly — the
+    * mod-10000 step decorrelates both). The sample is a pure function
+    * of (data, salt), re-runnable and engine-portable; the key is
+    * 6-decimal rounded with doc_id as the total tie-break.
+    * Returns the selected (doc_id, n_ngrams, log_weight, dsir_key) —
+    * metadata-sized; join back to the corpus for the rows.
+    *
+    * Scale: [[dsirWeights]] + [[dsirScore]] passes, then a bounded
+    * global top-k (TakeOrdered — per-partition heaps, k·partitions
+    * driver merge, never a global sort). `k` is sample-sized by
+    * construction, the [[weightedSample]] contract.
+    */
+  def dsirResample(docs: DataFrame, target: DataFrame, k: Int,
+      buckets: Int = 10000, salt: String = "dsir1",
+      text: Column = col("text")): DataFrame = {
+    require(k > 0, "k must be positive")
+    val scored = dsirScore(docs, dsirWeights(target, docs, buckets, text),
+      buckets, text)
+    val tick = pmod(mixedHash(col("doc_id"), salt), lit(10000L))
+    val u = (tick.cast("double") + lit(0.5)) / lit(10000.0)
+    scored.where(col("doc_id").isNotNull)
+      .withColumn("dsir_key",
+        round(col("log_weight") - log(-log(u)), 6))
+      .orderBy(col("dsir_key").desc, col("doc_id").asc)
+      .limit(k)
+  }
 }

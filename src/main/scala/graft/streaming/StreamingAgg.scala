@@ -419,6 +419,9 @@ object StreamingAgg {
       if (rule == "cdc")
         Dedup.writeChunkIndexCDC(doc, indexDir, divisor = granularity,
           chunkBuckets = buckets, mode = "append")
+      else if (rule == "line")
+        Dedup.writeChunkIndexLines(doc, indexDir,
+          chunkBuckets = buckets, mode = "append")
       else
         Dedup.writeChunkIndex(doc, indexDir, chunkTokens = granularity,
           chunkBuckets = buckets, mode = "append")

@@ -727,6 +727,66 @@ class DedupSpec extends SparkSuite {
     assert(single === Set((0L, 1L)))
   }
 
+  test("line dedup keeps each trimmed line's first occurrence and " +
+      "reassembles newline-joined (Dolma paragraph rule)") {
+    val corpus = Seq(
+      (0L, "Header line\nbody alpha\nHeader line\nbody beta"),
+      (1L, "  Header line  \nunique one"), // trims to doc 0's header
+      (2L, "\n\n   \n"),                   // all-empty lines -> 0 chunks
+      (3L, null.asInstanceOf[String]),     // null text -> 0 chunks
+      (4L, "body alpha\nbody beta")        // every line seen in doc 0
+    ).toDF("doc_id", "text")
+    val r = Dedup.dedupLines(corpus)
+      .orderBy($"doc_id").collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getInt(2), x.getString(3)))
+    // within-doc repeat drops too (first occurrence is (0, idx 0))
+    assert(r(0) === ((0L, 4, 3, "Header line\nbody alpha\nbody beta")))
+    assert(r(1) === ((1L, 2, 1, "unique one")))
+    assert(r(2) === ((2L, 0, 0, "")))
+    assert(r(3) === ((3L, 0, 0, "")))
+    assert(r(4) === ((4L, 2, 0, "")))
+  }
+
+  test("incremental line dedup against a persisted line-rule index " +
+      "equals the full run restricted to the batch; cross-rule " +
+      "append refuses; deletion re-derives the retracted lines") {
+    val b1 = Seq(
+      (0L, "shared boilerplate footer\nindexed body one"),
+      (1L, "indexed body two\nshared boilerplate footer"))
+      .toDF("doc_id", "text")
+    val b2 = Seq(
+      (10L, "fresh batch body\nshared boilerplate footer"),
+      (11L, "entirely novel lines\nnothing indexed here"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"n_chunks", $"n_kept", $"text")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+          r.getString(3))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("chidxl").toString
+    Dedup.writeChunkIndexLines(b1, dir, chunkBuckets = 8)
+    val inc = rows(Dedup.dedupChunksAgainstIndex(spark, b2, dir))
+    val full = rows(Dedup.dedupLines(b1.unionByName(b2))
+      .where($"doc_id" >= 10))
+    assert(inc === full)
+    // the indexed footer dropped, the fresh line survived, and the
+    // probe's reassembly is NEWLINE-joined (the stored rule's separator)
+    assert(inc.contains((10L, 2, 1, "fresh batch body")))
+    assert(inc.exists(r => r._4.contains("\n")))
+    // a grid append onto a line index refuses loudly (params guard)
+    intercept[IllegalArgumentException] {
+      Dedup.writeChunkIndex(b2, dir, chunkTokens = 4, mode = "append")
+    }
+    // content-addressed retraction under the stored line rule: after
+    // deleting doc 0's lines (doc 1 still holds the footer is NOT true
+    // here — distinct hashes are index-wide, so deletion removes the
+    // hash outright), a re-probe of the footer line survives
+    Dedup.deleteFromChunkIndex(spark, dir, b1)
+    val after = rows(Dedup.dedupChunksAgainstIndex(spark,
+      Seq((20L, "shared boilerplate footer")).toDF("doc_id", "text"),
+      dir))
+    assert(after === Set((20L, 1, 1, "shared boilerplate footer")))
+  }
+
   test("chunk dedup keeps first occurrences and reassembles in order") {
     // chunks of 3 tokens; doc 1 repeats doc 0's first chunk, doc 2 is
     // a full copy of doc 0, doc 3 is unrelated

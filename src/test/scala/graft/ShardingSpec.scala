@@ -324,4 +324,45 @@ class ShardingSpec extends SparkSuite {
     assert(Sharding.paretoAccept(withNull)
       .select($"doc_id").collect().map(_.getLong(0)).toSeq === Seq(1L))
   }
+
+  test("dsir: target-like docs outweigh junk, scores are complete and " +
+      "deterministic, resample favors high weights and redraws by salt") {
+    val B = 256
+    // target distribution: clean prose ngrams
+    val target = (0L until 20L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog near the river"))
+      .toDF("doc_id", "text")
+    // raw corpus: half target-like, half junk, one empty, one null
+    val raw = ((100L until 110L).map(i =>
+        (i, "the quick brown fox jumps over the lazy dog near the river")) ++
+      (200L until 210L).map(i =>
+        (i, "zzz qqq kkk www vvv mmm xxx yyy jjj ppp ooo uuu")) ++
+      Seq((300L, ""), (301L, null.asInstanceOf[String])))
+      .toDF("doc_id", "text")
+    val w = Sharding.dsirWeights(target, raw, buckets = B)
+    // complete bucket domain, exactly B rows
+    assert(w.count() === B.toLong)
+    val scored = Sharding.dsirScore(raw, w, buckets = B).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // completeness: every raw doc scored, ngram-free docs at (0, 0.0)
+    assert(scored.size === 22)
+    assert(scored(300L) === ((0L, 0.0)) && scored(301L) === ((0L, 0.0)))
+    // target-like docs outweigh junk decisively
+    assert(scored(100L)._2 > scored(200L)._2 + 1.0)
+    // n_ngrams = unigrams + bigrams (12 tokens -> 23)
+    assert(scored(100L)._1 === 23L)
+    // resample without replacement: k distinct rows, deterministic,
+    // dominated by the target-like half, redrawn by salt
+    val k = 8
+    val s1 = Sharding.dsirResample(raw, target, k, buckets = B)
+      .select($"doc_id").collect().map(_.getLong(0))
+    assert(s1.length === k && s1.distinct.length === k)
+    assert(s1.count(_ < 200L) >= 6, s"sample ${s1.toSeq} ignores weights")
+    val s2 = Sharding.dsirResample(raw, target, k, buckets = B)
+      .select($"doc_id").collect().map(_.getLong(0))
+    assert(s1.toSeq === s2.toSeq)
+    val s3 = Sharding.dsirResample(raw, target, k, buckets = B,
+      salt = "dsir2").select($"doc_id").collect().map(_.getLong(0))
+    assert(s3.toSeq !== s1.toSeq)
+  }
 }

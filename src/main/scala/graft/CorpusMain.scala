@@ -57,6 +57,13 @@ import org.apache.spark.sql.SparkSession
   *     corpus-scale LM pass + a sample-capped LR fit — run it at
   *     `maintain` cadence, once a season or when the corpus mix
   *     shifts. Holds the model dir's lease while writing.
+  *   - `train-bpe <corpusDir> <modelDir> [numMerges] [maxTypes]` —
+  *     [[Pipeline.trainBpeModel]]: learn a BPE subword merge list from
+  *     the published corpus' word-type counts (distributed count,
+  *     capped driver merge loop) and persist it for
+  *     [[graft.operators.Bpe.encode]]'s map-only corpus-wide
+  *     tokenization. Same season cadence and lease discipline as
+  *     `train-quality`.
   *   - `break-lease <dir> [dir ...]` —
   *     [[graft.operators.Lease.breakLease]]: the STALE-lease takeover
   *     surface. Every mutating pass above holds `<dir>/_LEASE` while
@@ -115,6 +122,7 @@ object CorpusMain {
         |       CorpusMain rebuild-ivf <indexRoot> <nlist>
         |       CorpusMain sweep-containment <corpusDir> <outDir> <threshold> [sampleK] [indexRoot]
         |       CorpusMain train-quality <corpusDir> <modelDir> [topV]
+        |       CorpusMain train-bpe <corpusDir> <modelDir> [numMerges] [maxTypes]
         |       CorpusMain migrate-shingles <indexRoot> [buckets]
         |       CorpusMain break-lease <dir> [dir ...]
         |       CorpusMain break-leases <root>
@@ -245,6 +253,13 @@ object CorpusMain {
           modelDir, topV = rest.headOption.map(_.toInt).getOrElse(4096))
         println(s"""{"model":"${jsonEsc(modelDir)}","n_weights":$n,""" +
           s""""bias":$bias}""")
+      case "train-bpe" :: corpusDir :: modelDir :: rest
+          if rest.length <= 2 =>
+        val n = Pipeline.trainBpeModel(spark, corpusDir, modelDir,
+          numMerges = rest.headOption.map(_.toInt).getOrElse(1000),
+          maxTypes = rest.drop(1).headOption.map(_.toInt)
+            .getOrElse(20000))
+        println(s"""{"model":"${jsonEsc(modelDir)}","n_merges":$n}""")
       case "fsck" :: root :: Nil =>
         // read-only integrity survey: one JSON line per finding,
         // most-severe first, each naming its documented recovery;

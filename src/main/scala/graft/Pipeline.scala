@@ -1262,6 +1262,33 @@ object Pipeline {
     *
     * Returns (n_weights, bias) for the cron line's report.
     */
+  /** Season-cadence BPE tokenizer build over the published corpus —
+    * the token-accounting sibling of [[trainQualityModel]]: one
+    * distributed word-type count (shuffle ∝ corpus tokens, output
+    * capped to the top `maxTypes` types — the seed-cap discipline,
+    * and how subword vocabularies are trained in practice), the
+    * sequential merge loop on that bounded table, and the model
+    * persisted under `modelDir` for [[graft.operators.Bpe.encode]]'s
+    * map-only corpus-wide application. Holds the model dir's lease
+    * while writing; encode-side readers are never blocked.
+    *
+    * Returns the number of merges learned (≤ numMerges — training
+    * stops early when no pair repeats).
+    */
+  def trainBpeModel(spark: SparkSession, corpusDir: String,
+      modelDir: String, numMerges: Int = 1000,
+      maxTypes: Int = 20000): Int = {
+    import graft.operators.Bpe
+    val corpus = spark.read.parquet(s"$corpusDir/corpus")
+      .select(col("doc_id"), col("text"))
+    val merges = Bpe.train(corpus, numMerges, maxTypes)
+    graft.operators.Lease.withLeases(spark, Seq(modelDir),
+      "trainBpeModel") {
+      Bpe.writeModel(spark, merges, modelDir)
+    }
+    merges.size
+  }
+
   def trainQualityModel(spark: SparkSession, corpusDir: String,
       modelDir: String, topV: Int = 4096,
       maxSeedsPerClass: Int = 100000): (Long, Double) = {

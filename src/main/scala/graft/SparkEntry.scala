@@ -1076,6 +1076,25 @@ object SparkEntry {
     // top-k resampling ∝ exp(log_weight). 512 feature buckets at
     // fixture scale (the paper's 10k is a free knob — the oracle
     // mirrors whatever is passed).
+    // BPE subword tokenizer (rows-only: the merge loop is inherently
+    // sequential and not SQL-expressible — BpeSpec replays the
+    // hand-computed Sennrich merges and pins the encode invariants).
+    // q125 = the learned merge list; q126 = the corpus tokenized under
+    // it (train once per run, encode map-only).
+    "q125_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      Bpe.train(t(s, dir, "documents"), numMerges = 64)
+        .zipWithIndex.map { case ((l, r), i) => (i, l, r) }
+        .toDF("rank", "left", "right")
+        .orderBy(col("rank").asc)
+    }),
+    "q126_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Bpe.encode(docs, Bpe.train(docs, numMerges = 64))
+        .select(col("doc_id"), col("n_subwords"),
+          md5(concat_ws(" ", col("subwords"))).as("subwords_md5"))
+        .orderBy(col("doc_id").asc)
+    }),
     "q123_dsir_weight" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Sharding.dsirScore(docs,

@@ -737,6 +737,117 @@ case class I8VecNormExpr(child: Expression)
 }
 
 /** Column-level entry points. */
+/** BPE subword encoding of a TOKEN array under a trained merge list
+  * (Sennrich et al., "Neural Machine Translation of Rare Words with
+  * Subword Units", arXiv:1508.07909 §3.2): each word starts as its
+  * character symbols plus a SEPARATE trailing `</w>` end-of-word
+  * symbol, then the lowest-RANK merge present in the word is applied
+  * to all its occurrences left-to-right, repeatedly, until no learned
+  * pair remains; the per-word subword runs concatenate in token order.
+  * Greedy-by-rank application is the standard inference rule — the
+  * ranks ARE the training order, so inference replays training's
+  * merge history restricted to this word.
+  *
+  * The merge list is model-sized (a constructor argument riding the
+  * expression into generated code via a reference object, the
+  * [[CdcChunksExpr]] pattern) — the corpus side stays a map-only
+  * projection, nothing joins. A built-in formulation would need an
+  * unbounded iterate-until-fixpoint over array slices — a genuine
+  * custom-Expression case.
+  */
+case class BpeEncodeExpr(child: Expression,
+    merges: Seq[(String, String)]) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_encode"
+
+  @transient private lazy val rank: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      // the " " separator never occurs inside a symbol (symbols
+      // come from whitespace-split word characters and "</w>")
+      m.put(l + " " + r, i)
+    }
+    m
+  }
+
+  private def encodeWord(w: String,
+      out: scala.collection.mutable.ArrayBuffer[UTF8String]): Unit = {
+    val syms = new scala.collection.mutable.ArrayBuffer[String](w.length + 1)
+    var ci = 0
+    while (ci < w.length) {
+      // code-point-safe split: surrogate pairs stay one symbol
+      val cp = w.codePointAt(ci)
+      val n = Character.charCount(cp)
+      syms += w.substring(ci, ci + n)
+      ci += n
+    }
+    syms += BpeEncodeExpr.Eow
+    var done = false
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.get(syms(i) + " " + syms(i + 1))
+        if (r != null && r < bestRank) bestRank = r
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) done = true
+      else {
+        val (l, r) = merges(bestRank)
+        i = 0
+        while (i < syms.length - 1) {
+          if (syms(i) == l && syms(i + 1) == r) {
+            syms(i) = l + r
+            syms.remove(i + 1)
+          } else i += 1
+        }
+      }
+    }
+    syms.foreach(s => out += UTF8String.fromString(s))
+  }
+
+  /** Per-row kernel, also called from generated code. */
+  def kernel(input: Any): ArrayData = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String]()
+    var i = 0
+    while (i < n) {
+      // null tokens contribute nothing (the CdcChunksExpr degradation
+      // rule: token arrays here never hold nulls, but this is public)
+      if (!arr.isNullAt(i)) {
+        val w = arr.getUTF8String(i).toString
+        if (w.nonEmpty) encodeWord(w, out)
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray[Any])
+  }
+
+  override protected def nullSafeEval(input: Any): Any = kernel(input)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val self = ctx.addReferenceObj("bpeEncodeKernel", this,
+        this.getClass.getName)
+      s"${ev.value} = $self.kernel($c);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BpeEncodeExpr = copy(child = newChild)
+}
+
+object BpeEncodeExpr {
+  /** The end-of-word marker, a SEPARATE final symbol (one of Sennrich's
+    * two stated variants; the separate-symbol form keeps every word
+    * character symbol intact, so `concat(subwords) == word + "</w>"`
+    * is an exact invariant the specs pin). */
+  val Eow = "</w>"
+}
+
 object native {
   import org.apache.spark.sql.graftshim.ColumnBridge
   private def c(e: Expression): Column = ColumnBridge.column(e)
@@ -770,6 +881,11 @@ object native {
 
   def repetition_stats(tokens: Column): Column =
     c(RepetitionStatsExpr(e(tokens)))
+
+  /** BPE subword stream from a TOKEN array under a trained merge
+    * list — map-only, the merges ride the expression. */
+  def bpe_encode(tokens: Column, merges: Seq[(String, String)]): Column =
+    c(BpeEncodeExpr(e(tokens), merges))
 
   /** Sorted distinct shingle hashes from a TOKEN array, for merge-based
     * exact Jaccard via [[sorted_intersect_count]]. */

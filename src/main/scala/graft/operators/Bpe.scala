@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{native, BpeEncodeExpr}
+
+/** Byte-pair-encoding subword tokenizer (Sennrich et al., "Neural
+  * Machine Translation of Rare Words with Subword Units",
+  * arXiv:1508.07909): TRAIN a merge list from corpus word-type counts,
+  * PERSIST it under the model-write discipline, and APPLY it
+  * corpus-wide as a map-only projection — the real-subword upgrade of
+  * [[TextAnalysis.subwordCount]]'s fixed-regex proxy, and the missing
+  * middle of a training-data pipeline's token accounting (budgets,
+  * shards and packing all count in MODEL tokens, not whitespace
+  * words).
+  *
+  * Split of labor, sized for 100 TB:
+  *   - the word-TYPE count is distributed (one token-stream aggregate,
+  *     shuffle ∝ corpus tokens collapsing map-side to ≤ |vocab| rows);
+  *   - the merge LOOP runs on the driver over a deterministically
+  *     CAPPED type table (top `maxTypes` by count, ties
+  *     lexicographic — the [[graft.Pipeline.trainQualityModel]]
+  *     seed-cap discipline, and standard practice: subword vocabularies
+  *     are trained on bounded samples, applied corpus-wide). BPE
+  *     training is inherently sequential (merge m+1's counts depend on
+  *     merge m), so "distributing" it would serialize the cluster
+  *     behind one pair-argmax per merge; bounding the driver table is
+  *     the honest shape, and the cap is a disclosed knob.
+  *   - ENCODING is the scale path: a native codegen'd kernel
+  *     ([[graft.functions.BpeEncodeExpr]]) carrying the model-sized
+  *     merge list into generated code — map-only, no join, no shuffle,
+  *     no per-row driver contact.
+  */
+object Bpe {
+
+  /** Lowercased, whitespace-collapsed word tokens — the SAME
+    * normalization as [[TextAnalysis.tokenStream]], stated once here
+    * so training and encoding can never disagree on word boundaries.
+    */
+  def bpeTokens(text: Column): Column =
+    filter(split(regexp_replace(lower(coalesce(text, lit(""))),
+      TextAnalysis.WsPattern + "+", " "), " "), t => t =!= lit(""))
+
+  /** Distributed word-type table: top `maxTypes` (word, cnt) by count,
+    * ties lexicographic — deterministic, bounded (TakeOrdered). */
+  def wordTypes(docs: DataFrame, maxTypes: Int,
+      text: Column = col("text")): DataFrame =
+    docs.select(explode(bpeTokens(text)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(maxTypes)
+
+  /** Train a BPE merge list: `numMerges` greedy merges over the capped
+    * word-type table. Deterministic end to end — the cap's tie-break
+    * is lexicographic, and each merge step picks the highest pair
+    * count with (left, right) lexicographic as the total tie-break.
+    * Training stops early when no pair occurs in ≥ 2 type instances
+    * weighted by count (a pair seen once compresses nothing).
+    * Returns the merges in rank order.
+    */
+  def train(docs: DataFrame, numMerges: Int = 1000,
+      maxTypes: Int = 20000,
+      text: Column = col("text")): Seq[(String, String)] = {
+    require(numMerges > 0, s"numMerges must be > 0, got $numMerges")
+    require(maxTypes > 0, s"maxTypes must be > 0, got $maxTypes")
+    val types = wordTypes(docs, maxTypes, text).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    trainOnTypes(types, numMerges)
+  }
+
+  /** The sequential merge loop, factored for spec-level bit-equality
+    * checks against hand-computed merges. */
+  private[graft] def trainOnTypes(types: Array[(String, Long)],
+      numMerges: Int): Seq[(String, String)] = {
+    import scala.collection.mutable
+    val words: Array[(mutable.ArrayBuffer[String], Long)] =
+      types.map { case (w, c) =>
+        val b = new mutable.ArrayBuffer[String](w.length + 1)
+        var ci = 0
+        while (ci < w.length) {
+          val cp = w.codePointAt(ci)
+          val n = Character.charCount(cp)
+          b += w.substring(ci, ci + n)
+          ci += n
+        }
+        b += BpeEncodeExpr.Eow
+        (b, c)
+      }
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var m = 0
+    var go = true
+    while (m < numMerges && go) {
+      val pc = mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          pc.update(k, pc.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      // deterministic argmax: highest count, then lexicographic pair
+      var best: (String, String) = null
+      var bestC = 0L
+      pc.foreach { case (k, c) =>
+        if (c > bestC || (c == bestC && best != null &&
+            (k._1 < best._1 || (k._1 == best._1 && k._2 < best._2)))) {
+          best = k; bestC = c
+        }
+      }
+      if (best == null || bestC < 2L) go = false
+      else {
+        merges += best
+        val (l, r) = best
+        words.foreach { case (syms, _) =>
+          var i = 0
+          while (i < syms.length - 1) {
+            if (syms(i) == l && syms(i + 1) == r) {
+              syms(i) = l + r
+              syms.remove(i + 1)
+            } else i += 1
+          }
+        }
+        m += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Encode every document under a trained merge list: adds
+    * `subwords` (the BPE symbol stream in token order, `</w>`
+    * end-of-word symbols included) and `n_subwords`. Map-only — the
+    * merges ride the codegen'd kernel as a reference object; at any
+    * corpus size this is a projection, never a join.
+    */
+  def encode(docs: DataFrame, merges: Seq[(String, String)],
+      text: Column = col("text")): DataFrame =
+    docs.withColumn("subwords", native.bpe_encode(bpeTokens(text), merges))
+      .withColumn("n_subwords", size(col("subwords")))
+
+  /** Persist a trained merge list under `dir`:
+    *   - `merges/`: (rank, left, right) parquet, one file;
+    *   - `params/`: ONE row (n_merges, family) written LAST — the
+    *     params-last crash discipline every written family here uses.
+    */
+  def writeModel(spark: SparkSession, merges: Seq[(String, String)],
+      dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    require(merges.nonEmpty, "writeModel: empty merge list — train first")
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(s"$dir/params")))
+      fs.delete(new Path(s"$dir/params"), true)
+    merges.zipWithIndex.map { case ((l, r), i) => (i, l, r) }
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/merges")
+    Seq((merges.size.toLong, "bpe_merges"))
+      .toDF("n_merges", "family")
+      .coalesce(1).write.parquet(s"$dir/params")
+  }
+
+  /** Read a persisted merge list back in rank order. Refuses a
+    * params-less dir (crashed write) and a rank sequence with holes
+    * (corruption a blind zip would silently mis-rank). */
+  def readModel(spark: SparkSession, dir: String): Seq[(String, String)] = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(s"$dir/params")),
+      s"$dir has no params/ — not a written BPE model (or its write " +
+        "crashed before the params commit); re-run writeModel")
+    val n = spark.read.parquet(s"$dir/params").head()
+      .getAs[Long]("n_merges")
+    val rows = spark.read.parquet(s"$dir/merges")
+      .orderBy(col("rank").asc).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("left"),
+        r.getAs[String]("right")))
+    require(rows.length.toLong == n &&
+        rows.zipWithIndex.forall { case ((rk, _, _), i) => rk == i },
+      s"$dir/merges rank sequence is broken (expected 0..${n - 1}) — " +
+        "refusing to mis-rank; re-run writeModel")
+    rows.map { case (_, l, r) => (l, r) }.toSeq
+  }
+}

@@ -219,11 +219,10 @@ object Fsck {
           // not one of the probe families — a quality-classifier MODEL
           // dir declares itself via its params family column and is a
           // recognized healthy shape, not an error
-          val isModel =
-            try spark.read.parquet(s"$dir/params")
-              .schema.fieldNames.contains("bias")
-            catch { case _: Exception => false }
-          if (isModel) {
+          val fields =
+            try spark.read.parquet(s"$dir/params").schema.fieldNames.toSet
+            catch { case _: Exception => Set.empty[String] }
+          if (fields.contains("bias")) {
             if (names.contains("weights"))
               b += Finding(dir, "params", "ok",
                 "healthy quality-classifier model (weights/ + params)")
@@ -232,6 +231,15 @@ object Fsck {
                 "classifier-model params/ with no weights/ — a crashed " +
                   "writeModel (weights are written FIRST, so this is " +
                   "params over a deleted tree); re-run writeModel")
+          } else if (fields.contains("n_merges")) {
+            if (names.contains("merges"))
+              b += Finding(dir, "params", "ok",
+                "healthy BPE tokenizer model (merges/ + params)")
+            else
+              b += Finding(dir, "merges", "error",
+                "BPE-model params/ with no merges/ — a crashed " +
+                  "Bpe.writeModel (merges are written FIRST, so this " +
+                  "is params over a deleted tree); re-run writeModel")
           } else
             b += Finding(dir, "params", "error",
               s"params/ unreadable or unrecognized: ${e.getMessage}")

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bpe
+
+/** BPE tokenizer: hand-computed Sennrich merges, greedy-by-rank
+  * encoding, invariants, model round-trip.
+  */
+class BpeSpec extends SparkSuite {
+  import spark.implicits._
+
+  // the paper's running example, counts weighted by word frequency
+  private val sennrich = Array(
+    ("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+
+  test("train replays the hand-computed Sennrich merge sequence " +
+      "(weighted pair counts, count-then-lexicographic tie-break)") {
+    // pair counts round 1: (e,s)=9 (s,t)=9 (t,</w>)=9 tie on count,
+    // lexicographic left breaks it: e < s < t -> (e,s); then es+t,
+    // est+</w>; then the low/lower family: (l,o)=7 (o,w)=7 -> (l,o),
+    // then (lo,w)
+    val m = Bpe.trainOnTypes(sennrich, 5)
+    assert(m === Seq(("e", "s"), ("es", "t"), ("est", "</w>"),
+      ("l", "o"), ("lo", "w")))
+  }
+
+  test("encode applies merges greedy-by-rank; concatenation invariant; " +
+      "more merges never increase the subword count") {
+    val merges = Bpe.trainOnTypes(sennrich, 5)
+    val docs = Seq(
+      (0L, "low newest"),
+      (1L, "lowest"),   // unseen word: prefix merges still fire
+      (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val r = Bpe.encode(docs, merges).orderBy($"doc_id")
+      .select($"doc_id", $"subwords", $"n_subwords").collect()
+      .map(x => (x.getLong(0), x.getSeq[String](1), x.getInt(2)))
+    // "low" -> l o w </w> -> lo w </w> -> low </w>;
+    // "newest" -> n e w es t </w> -> n e w est </w> -> n e w est</w>
+    assert(r(0)._2 === Seq("low", "</w>", "n", "e", "w", "est</w>"))
+    assert(r(0)._3 === 6)
+    // "lowest": low + est</w> via (e,s),(es,t),(est,</w>),(l,o),(lo,w)
+    assert(r(1)._2 === Seq("low", "est</w>"))
+    assert(r(2)._2 === Seq.empty && r(3)._2 === Seq.empty)
+    // invariant: stripping </w> and concatenating reproduces the
+    // normalized words
+    val joined = r(0)._2.mkString("").replace("</w>", " ").trim
+    assert(joined === "low newest")
+    // monotone: k merges never tokenize to MORE subwords than k-1
+    val counts = (0 to 5).map { k =>
+      Bpe.encode(docs.where($"doc_id" === 0L), merges.take(k))
+        .select($"n_subwords").head().getInt(0)
+    }
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a })
+    // zero merges = the raw character+</w> stream
+    assert(counts(0) === "lownewest".length + 2)
+  }
+
+  test("training stops early when no pair repeats; distributed " +
+      "wordTypes cap is deterministic") {
+    // all-distinct characters: every pair count is 1 -> zero merges
+    assert(Bpe.trainOnTypes(Array(("abc", 1L), ("xyz", 1L)), 10) ===
+      Seq.empty)
+    val docs = Seq((0L, "b b b a a c"), (1L, "B A a")).toDF("doc_id", "text")
+    // lowercased counts: a=4 b=4 c=1; cap 2 keeps (a,4),(b,4) — count
+    // desc, lexicographic tie
+    val types = Bpe.wordTypes(docs, 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(types.toSeq === Seq(("a", 4L), ("b", 4L)))
+  }
+
+  test("model round-trip preserves merge order; params-less and " +
+      "rank-holed models refuse") {
+    val merges = Bpe.trainOnTypes(sennrich, 5)
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString
+    Bpe.writeModel(spark, merges, dir)
+    assert(Bpe.readModel(spark, dir) === merges)
+    // encoding under the stored model == encoding under the in-memory
+    // merges, bit for bit
+    val docs = Seq((0L, "low lower newest widest")).toDF("doc_id", "text")
+    val a = Bpe.encode(docs, merges).select($"subwords").head()
+      .getSeq[String](0)
+    val b = Bpe.encode(docs, Bpe.readModel(spark, dir))
+      .select($"subwords").head().getSeq[String](0)
+    assert(a === b)
+    // crashed write (no params) refuses
+    val crashed = java.nio.file.Files.createTempDirectory("bpec").toString
+    merges.zipWithIndex.map { case ((l, r), i) => (i, l, r) }
+      .toDF("rank", "left", "right")
+      .write.parquet(s"$crashed/merges")
+    intercept[IllegalArgumentException] {
+      Bpe.readModel(spark, crashed)
+    }
+    // a rank hole refuses instead of silently mis-ranking
+    val holed = java.nio.file.Files.createTempDirectory("bpeh").toString
+    Seq((0, "e", "s"), (2, "es", "t")).toDF("rank", "left", "right")
+      .write.parquet(s"$holed/merges")
+    Seq((2L, "bpe_merges")).toDF("n_merges", "family")
+      .write.parquet(s"$holed/params")
+    intercept[IllegalArgumentException] {
+      Bpe.readModel(spark, holed)
+    }
+  }
+
+  test("trainBpeModel builds a readable model from a published corpus " +
+      "under the model dir's lease") {
+    val root = java.nio.file.Files.createTempDirectory("bpetm").toString
+    Seq((0L, "low low low newest newest"), (1L, "lower widest newest"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$root/c/corpus")
+    val n = graft.Pipeline.trainBpeModel(spark, s"$root/c",
+      s"$root/model", numMerges = 8)
+    val merges = Bpe.readModel(spark, s"$root/model")
+    assert(merges.size === n && n > 0)
+    // lease released on completion: a second build succeeds
+    assert(graft.Pipeline.trainBpeModel(spark, s"$root/c",
+      s"$root/model", numMerges = 8) === n)
+    // a held lease refuses the build
+    graft.operators.Lease.acquire(spark, s"$root/model", "someone-else")
+    intercept[IllegalStateException] {
+      graft.Pipeline.trainBpeModel(spark, s"$root/c", s"$root/model")
+    }
+  }
+}

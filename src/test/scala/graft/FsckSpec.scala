@@ -216,4 +216,20 @@ class FsckSpec extends SparkSuite {
       x.level == "error" && x.detail.contains("writeModel")),
       f2.mkString("\n"))
   }
+
+  test("a BPE tokenizer model dir surveys as a recognized healthy " +
+      "shape, and its crashed write (params without merges) errs") {
+    val root = mkRoot()
+    graft.operators.Bpe.writeModel(spark,
+      Seq(("e", "s"), ("es", "t")), s"$root/bpe")
+    val f = Fsck.check(spark, root)
+    assert(f.exists(x => x.dir == s"$root/bpe" && x.level == "ok" &&
+      x.detail.contains("BPE")), f.mkString("\n"))
+    assert(!f.exists(_.level == "error"), f.mkString("\n"))
+    rm(s"$root/bpe/merges")
+    val f2 = Fsck.check(spark, root)
+    assert(f2.exists(x => x.dir == s"$root/bpe" &&
+      x.level == "error" && x.detail.contains("writeModel")),
+      f2.mkString("\n"))
+  }
 }

@@ -1095,6 +1095,17 @@ object SparkEntry {
           md5(concat_ws(" ", col("subwords"))).as("subwords_md5"))
         .orderBy(col("doc_id").asc)
     }),
+    // token-budget sharding in MODEL tokens: the q66 shard cut under
+    // BPE subword counts instead of whitespace words — what a training
+    // run actually consumes (rows-only: the merge list is q125's)
+    "q127_bpe_shards" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = Bpe.train(docs, numMerges = 64)
+      Sharding.tokenShards(docs, budget = 2000,
+          tokens = size(graft.functions.native.bpe_encode(
+            Bpe.bpeTokens(col("text")), merges)))
+        .orderBy(col("doc_id").asc)
+    }),
     "q123_dsir_weight" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Sharding.dsirScore(docs,
@@ -1524,6 +1535,37 @@ object SparkEntry {
     // No watermark-closure sentinels needed: the bridge is stateless
     // (foreachBatch emits every batch's rows immediately), which is
     // exactly why it is the one oracle-checkable bridge
+    // streaming quality scoring (the seventh bridge, probe-only):
+    // the documents table streamed file-by-file and scored per
+    // micro-batch under a PERSISTED fixture-weight model — the oracle
+    // is q118's SQL (the stored model IS q118's exact-binary-fraction
+    // fixture, so stream scoring ≡ batch scoring ≡ DuckDB)
+    "q128_stream_quality" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val model = ivfIndexDir(dir, "qm128")
+      graft.operators.QualityClassifier.writeModel(s,
+        QualityFixtureWeights.toDF("token", "weight"), -0.25, model)
+      val n = StreamScratch.seq.incrementAndGet()
+      val stage = stageTableForStream(dir, "documents", "q128_stage")
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .withColumn("ts",
+          lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+        .select(col("ts"), col("doc_id"), col("text"))
+      val out = ivfIndexDir(dir, s"q128_out_$n")
+      val q = graft.streaming.StreamingAgg
+        .scoreStreamQuality(stream, model) { (b, _) =>
+          b.select(col("doc_id"), col("quality_prob"))
+            .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ivfIndexDir(dir, s"q128_ckpt_$n"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000), "q128 stream did not finish")
+      s.read.parquet(out).orderBy(col("doc_id").asc)
+    }),
     "q110_stream_screen" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val idx = ivfIndexDir(dir, "bm108")
@@ -2063,6 +2105,12 @@ object SparkEntry {
       // order-independent bit-exact; only exp() carries the documented
       // ~1-ulp 6-decimal boundary exposure)
       "q118_quality_score" ->
+        s"""WITH ${qualityScoreCteSql("-0.25")}
+          |SELECT doc_id, quality_prob FROM scored
+          |ORDER BY doc_id""".stripMargin,
+      // the streamed scorer under the STORED q118 fixture model is
+      // bit-identical to the batch scorer — same oracle
+      "q128_stream_quality" ->
         s"""WITH ${qualityScoreCteSql("-0.25")}
           |SELECT doc_id, quality_prob FROM scored
           |ORDER BY doc_id""".stripMargin,

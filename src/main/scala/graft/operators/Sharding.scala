@@ -168,10 +168,13 @@ object Sharding {
   }
 
   def tokenShards(docs: DataFrame, budget: Long,
-      numParts: Int = 32): DataFrame = {
+      numParts: Int = 32,
+      tokens: Column = TextAnalysis.tokenCount(col("text"))): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val toks = docs.select(col("doc_id"),
-      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    // `tokens` is the per-doc budget unit — default whitespace words;
+    // pass a MODEL count (e.g. size(Bpe.encode(...).subwords)) to cut
+    // shards in the tokens a training run actually consumes
+    val toks = docs.select(col("doc_id"), tokens.as("n_tokens"))
     val (ranged, offCol) = rangedWithOffsets(toks, numParts,
       Seq(col("doc_id")), sum(col("n_tokens")))
     val w = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
@@ -203,10 +206,11 @@ object Sharding {
     * partition metadata). No global single-partition window.
     */
   def packBins(docs: DataFrame, nBins: Int,
-      numParts: Int = 32): DataFrame = {
+      numParts: Int = 32,
+      tokens: Column = TextAnalysis.tokenCount(col("text"))): DataFrame = {
     require(nBins > 0, "nBins must be positive")
-    val toks = docs.select(col("doc_id"),
-      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    // same pluggable budget unit as [[tokenShards]]
+    val toks = docs.select(col("doc_id"), tokens.as("n_tokens"))
     val (ranged, offCol) = rangedWithOffsets(toks, numParts,
       Seq(col("n_tokens").desc, col("doc_id").asc), count(lit(1)))
     val w = Window.partitionBy(col("pid"))

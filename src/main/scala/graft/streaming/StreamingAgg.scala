@@ -623,6 +623,65 @@ object StreamingAgg {
     } finally b.unpersist()
   }
 
+  /** Streaming QUALITY scoring — the seventh bridge, probe-only like
+    * the benchmark and semantic screens: each micro-batch's documents
+    * gain the trained classifier's `quality_prob` column
+    * ([[graft.operators.QualityClassifier.score]] — exactly q118's
+    * shape, bit-identical to the batch scorer under the same model)
+    * before the sink, so a stream-fed admission policy (threshold cut,
+    * [[graft.operators.Sharding.paretoAccept]]) runs at stream latency
+    * instead of waiting for the weekly refresh's quality modality.
+    *
+    * SCORING, never filtering — the refresh modality's rule: the
+    * verdict belongs to the sink. Stateless and probe-only (no commit
+    * marker, no lease — a replayed micro-batch recomputes under the
+    * CURRENT model, the batch scorer's own semantics; a model
+    * retrained between run and replay rescores with the newer signal).
+    * The model's bias and weight table are re-read per trigger — a
+    * model is metadata-sized next to a stream (the semantic bridge's
+    * eval-set argument), the read is [[readModel]]'s params head plus
+    * one broadcast, and re-reading is what lets a `train-quality`
+    * rebuild land mid-stream without a restart. A missing or
+    * crashed-write model dir refuses on EVERY batch, empty ones
+    * included (the semantic bridge's batch-0 rule).
+    *
+    * Input needs (ts, doc_id, text); extra columns ride along.
+    */
+  def scoreStreamQuality(docs: DataFrame, modelDir: String,
+      horizon: String = "1 hour")(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs
+      .withWatermark("ts", horizon)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processQualityScoreBatch(batch, modelDir, batchId)(sink)
+      }
+
+  /** [[scoreStreamQuality]]'s per-micro-batch body, factored like its
+    * six siblings so the spec drives it directly. */
+  private[graft] def processQualityScoreBatch(batch: DataFrame,
+      modelDir: String, batchId: Long)(
+      sink: (DataFrame, Long) => Unit): Unit = {
+    import graft.operators.QualityClassifier
+    val spark = batch.sparkSession
+    // validate the model BEFORE touching the batch — readModel refuses
+    // a missing or params-less (crashed-write) dir loudly
+    val (weights, bias) = QualityClassifier.readModel(spark, modelDir)
+    val b = batch
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try if (b.isEmpty) {
+      // empty maintenance batch: keep the sink's schema, skip the jobs
+      sink(b.withColumn("quality_prob", lit(null).cast("double")),
+        batchId)
+    } else {
+      sink(b.join(
+        QualityClassifier.score(b.select(col("doc_id"), col("text")),
+          weights, bias),
+        Seq("doc_id")), batchId)
+    } finally b.unpersist()
+  }
+
   /** Streaming incremental PERCEPTUAL dedup against a persisted image
     * index ([[graft.operators.Multimodal.writeImageIndex]] — the Hamming
     * layout): exact byte duplicates collapse in-stream via

@@ -833,4 +833,68 @@ class MultimodalStreamingSpec extends SparkSuite {
     val v3 = StreamingAgg.cachedMeta(spark, "t", dir)(readOnce())
     assert(v3 === Integer.valueOf(2))
   }
+
+  test("streaming quality scoring equals the batch scorer under the " +
+      "stored model, keeps schema on empty batches, refuses a missing " +
+      "or crashed model, and picks up a mid-stream retrain") {
+    import graft.operators.QualityClassifier
+    val model = java.nio.file.Files
+      .createTempDirectory("graft_streamq").toString
+    QualityClassifier.writeModel(spark,
+      Seq(("alpha", 0.5), ("beta", -0.25)).toDF("token", "weight"),
+      -0.125, model)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val batch = Seq(
+      (ts("2024-01-01 10:00:00"), 1L, "alpha alpha beta"),
+      (ts("2024-01-01 10:00:01"), 2L, "gamma delta"),
+      (ts("2024-01-01 10:00:02"), 3L, ""))
+      .toDF("ts", "doc_id", "text")
+    var scored: Map[Long, Double] = Map.empty
+    var cols: Seq[String] = Nil
+    StreamingAgg.processQualityScoreBatch(batch, model, 0L) { (out, _) =>
+      cols = out.columns.toSeq
+      scored = out.collect()
+        .map(r => r.getLong(cols.indexOf("doc_id")) ->
+          r.getDouble(cols.indexOf("quality_prob"))).toMap
+    }
+    assert(cols.toSet === Set("ts", "doc_id", "text", "quality_prob"))
+    val expect = QualityClassifier.score(
+        batch.select($"doc_id", $"text"),
+        Seq(("alpha", 0.5), ("beta", -0.25)).toDF("token", "weight"),
+        -0.125)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored === expect)
+    // token-free doc still scored (sigmoid(bias) completeness)
+    assert(scored.contains(3L))
+    // probe-only and stateless: nothing staged, nothing leased
+    assert(!new java.io.File(s"$model/stream_out").exists())
+    assert(!new java.io.File(s"$model/_LEASE").exists())
+    // empty maintenance batch: schema preserved, no jobs
+    StreamingAgg.processQualityScoreBatch(
+      Seq.empty[(java.sql.Timestamp, Long, String)]
+        .toDF("ts", "doc_id", "text"), model, 1L) { (out, _) =>
+      assert(out.columns.toSet ===
+        Set("ts", "doc_id", "text", "quality_prob"))
+      assert(out.isEmpty)
+    }
+    // a missing model dir refuses on EVERY batch, empty included
+    intercept[IllegalArgumentException] {
+      StreamingAgg.processQualityScoreBatch(
+        Seq.empty[(java.sql.Timestamp, Long, String)]
+          .toDF("ts", "doc_id", "text"), s"$model/nope", 2L) {
+        (_, _) => ()
+      }
+    }
+    // a retrained model lands on the NEXT batch without a restart
+    QualityClassifier.writeModel(spark,
+      Seq(("alpha", 2.0)).toDF("token", "weight"), 0.0, model)
+    StreamingAgg.processQualityScoreBatch(batch, model, 3L) { (out, _) =>
+      val oc = out.columns.toSeq
+      val m = out.collect().map(r => r.getLong(oc.indexOf("doc_id")) ->
+        r.getDouble(oc.indexOf("quality_prob"))).toMap
+      assert(m !== scored)
+      // alpha-heavy doc under the new weights: sigmoid(2*2) ~ 0.982014
+      assert(math.abs(m(1L) - 0.982014) < 1e-6)
+    }
+  }
 }

@@ -325,6 +325,22 @@ class ShardingSpec extends SparkSuite {
       .select($"doc_id").collect().map(_.getLong(0)).toSeq === Seq(1L))
   }
 
+  test("tokenShards and packBins accept a custom budget-unit column " +
+      "(model-token counts) and honor it exactly") {
+    val docs = (0L until 10L).map(i => (i, "ignored text"))
+      .toDF("doc_id", "text")
+    // constant unit 1: budget 2 cuts consecutive pairs
+    val shards = Sharding.tokenShards(docs, budget = 2, tokens = lit(1))
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(shards.toSeq === (0L until 10L).map(i => (i, i / 2)))
+    // packBins under a custom count: the heaviest doc leads bin 0
+    val weights = Sharding.packBins(docs, nBins = 2,
+      tokens = (col("doc_id") * 10 + 1).cast("int"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(weights(9L) === 0L && weights(8L) === 1L)
+  }
+
   test("dsir: target-like docs outweigh junk, scores are complete and " +
       "deterministic, resample favors high weights and redraws by salt") {
     val B = 256

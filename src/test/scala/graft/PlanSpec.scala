@@ -480,4 +480,45 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
     assert(p.contains("partial_sum"), p.take(4000))
   }
+
+  test("line dedup shares the chunk family's equi-join + partial-min " +
+      "plan; the indexed probe's chunks/ scan is partition-pruned") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val p = plan(graft.operators.Dedup.dedupLines(docs))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("partial_min"), p.take(3000))
+    // the indexed probe partition-prunes chunks/ to the batch's buckets
+    val dir = java.nio.file.Files.createTempDirectory("plline").toString
+    graft.operators.Dedup.writeChunkIndexLines(
+      docs.where(col("doc_id") < 250), dir, chunkBuckets = 8)
+    val p2 = plan(graft.operators.Dedup.dedupChunksAgainstIndex(spark,
+      docs.where(col("doc_id") >= 250), dir))
+    assert(p2.contains("dynamicpruning"), p2.take(3000))
+  }
+
+  test("dsir scoring broadcasts the bucket-weight table onto a " +
+      "map-side explode and partial-aggregates per doc; the resample " +
+      "tail is a bounded top-k, never a global sort") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val target = docs.where(col("lang") === "en")
+    val w = graft.operators.Sharding.dsirWeights(target, docs,
+      buckets = 64)
+    val p = plan(graft.operators.Sharding.dsirScore(docs, w, 64))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("partial_sum"), p.take(4000))
+    val p2 = plan(graft.operators.Sharding.dsirResample(docs, target,
+      k = 10, buckets = 64))
+    assert(p2.contains("TakeOrderedAndProject"), p2.take(4000))
+    assert(!p2.contains("SortMergeJoin"), p2.take(4000))
+  }
+
+  test("BPE encoding is a map-only projection: the merges ride the " +
+      "kernel, no join and no exchange anywhere in the plan") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val merges = Seq(("e", "s"), ("es", "t"))
+    val p = plan(graft.operators.Bpe.encode(docs, merges))
+    assert(p.contains("bpe_encode"), p.take(3000))
+    assert(!p.contains("Exchange") && !p.contains("Join"), p.take(3000))
+  }
 }

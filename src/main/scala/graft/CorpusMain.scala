@@ -18,7 +18,10 @@ import org.apache.spark.sql.SparkSession
   *     the embedding-level contamination screen (probe-only, requires
   *     `emb`), `quality` = a persisted
   *     [[graft.operators.QualityClassifier]] model whose score rides
-  *     every published doc (probe-only). Prints the one-row report.
+  *     every published doc (probe-only), `chunkrule` = the substring
+  *     clean granularity for the FIRST batch (`grid` default, `cdc`,
+  *     or `line` — once the chunk index exists its stored rule drives
+  *     every later batch). Prints the one-row report.
   *   - `retract <idsDir> <indexRoot> <corpusDir>` —
   *     [[Pipeline.retractCorpus]] over a one-column parquet of ids;
   *     prints the one-row report.
@@ -64,6 +67,12 @@ import org.apache.spark.sql.SparkSession
   *     [[graft.operators.Bpe.encode]]'s map-only corpus-wide
   *     tokenization. Same season cadence and lease discipline as
   *     `train-quality`.
+  *   - `train-dsir <corpusDir> <targetDir> <modelDir> [buckets]` —
+  *     [[Pipeline.trainDsirModel]]: fit the DSIR importance ratios of
+  *     a curated target set against the published corpus and persist
+  *     the bucket-weight table for
+  *     [[graft.operators.Sharding.dsirScore]]'s per-batch scoring.
+  *     Same cadence and lease discipline.
   *   - `break-lease <dir> [dir ...]` —
   *     [[graft.operators.Lease.breakLease]]: the STALE-lease takeover
   *     surface. Every mutating pass above holds `<dir>/_LEASE` while
@@ -114,7 +123,7 @@ object CorpusMain {
 
   private def usage(): Nothing = {
     System.err.println(
-      """usage: CorpusMain refresh <batchDir> <indexRoot> <corpusDir> [embeddingsDir] [emb=<dir>] [bench=<dir>] [containment=<t>] [semeval=<dir>] [quality=<modelDir>]
+      """usage: CorpusMain refresh <batchDir> <indexRoot> <corpusDir> [embeddingsDir] [emb=<dir>] [bench=<dir>] [containment=<t>] [semeval=<dir>] [quality=<modelDir>] [chunkrule=<grid|cdc|line>]
         |       CorpusMain retract <idsDir> <indexRoot> <corpusDir>
         |       CorpusMain maintain <indexRoot>
         |       CorpusMain stats <indexRoot>
@@ -123,6 +132,7 @@ object CorpusMain {
         |       CorpusMain sweep-containment <corpusDir> <outDir> <threshold> [sampleK] [indexRoot]
         |       CorpusMain train-quality <corpusDir> <modelDir> [topV]
         |       CorpusMain train-bpe <corpusDir> <modelDir> [numMerges] [maxTypes]
+        |       CorpusMain train-dsir <corpusDir> <targetDir> <modelDir> [buckets]
         |       CorpusMain migrate-shingles <indexRoot> [buckets]
         |       CorpusMain break-lease <dir> [dir ...]
         |       CorpusMain break-leases <root>
@@ -161,7 +171,7 @@ object CorpusMain {
         // '=' stays positional — and a duplicated flag is refused
         // instead of silently last-winning
         val flagKeys = Set("emb", "bench", "containment", "semeval",
-          "quality")
+          "quality", "chunkrule")
         val (kv0, legacy) = rest.partition(a =>
           flagKeys.exists(k => a.startsWith(s"$k=")))
         val kvPairs = kv0.map { a =>
@@ -179,7 +189,10 @@ object CorpusMain {
           benchmarkIndexDir = kv.get("bench"),
           containmentThreshold = kv.get("containment").map(_.toDouble),
           semanticEvalDir = kv.get("semeval"),
-          qualityModelDir = kv.get("quality"))
+          qualityModelDir = kv.get("quality"),
+          // first batch only — a standing chunk index's STORED rule
+          // drives every later batch (the knob-inert contract)
+          chunkRule = kv.getOrElse("chunkrule", "grid"))
         println(out.report.head().json)
       case "retract" :: idsDir :: indexRoot :: corpusDir :: Nil =>
         val report = Pipeline.retractCorpus(spark,
@@ -253,6 +266,12 @@ object CorpusMain {
           modelDir, topV = rest.headOption.map(_.toInt).getOrElse(4096))
         println(s"""{"model":"${jsonEsc(modelDir)}","n_weights":$n,""" +
           s""""bias":$bias}""")
+      case "train-dsir" :: corpusDir :: targetDir :: modelDir :: rest
+          if rest.length <= 1 =>
+        val b = Pipeline.trainDsirModel(spark, corpusDir, targetDir,
+          modelDir,
+          buckets = rest.headOption.map(_.toInt).getOrElse(10000))
+        println(s"""{"model":"${jsonEsc(modelDir)}","n_buckets":$b}""")
       case "train-bpe" :: corpusDir :: modelDir :: rest
           if rest.length <= 2 =>
         val n = Pipeline.trainBpeModel(spark, corpusDir, modelDir,

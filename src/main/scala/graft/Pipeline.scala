@@ -345,6 +345,7 @@ object Pipeline {
       jaccardThreshold: Double = 0.7,
       maxHamming: Int = 3,
       chunkTokens: Int = 50,
+      chunkRule: String = "grid",
       bandBuckets: Int = 256,
       pieceBuckets: Int = 256,
       chunkBuckets: Int = 256,
@@ -362,6 +363,13 @@ object Pipeline {
     require(semanticEvalDir.isEmpty || embeddings.isDefined,
       "refreshCorpus: semanticEvalDir screens the batch's VECTORS — " +
         "it requires the embeddings modality (pass embeddings too)")
+    // the substring-clean granularity rule, FIRST batch only (once the
+    // chunk index exists its STORED rule drives both the clean and the
+    // append — the knob-inert contract every index family here has);
+    // chunkTokens is the grid window / cdc divisor, ignored for line
+    require(Set("grid", "cdc", "line")(chunkRule),
+      s"refreshCorpus: unknown chunkRule '$chunkRule' " +
+        "(expected 'grid', 'cdc' or 'line')")
     // read (and so validate) the quality model BEFORE any mutation:
     // a misspelled or crashed model dir refuses here, not mid-publish
     val qualityModel = qualityModelDir.map(d =>
@@ -574,7 +582,11 @@ object Pipeline {
           val cleaned =
             if (exists(s"$chunkDir/params"))
               Dedup.dedupChunksAgainstIndex(spark, survivors, chunkDir)
-            else Dedup.dedupChunks(survivors, chunkTokens)
+            else chunkRule match {
+              case "cdc" => Dedup.dedupChunksCDC(survivors, chunkTokens)
+              case "line" => Dedup.dedupLines(survivors)
+              case _ => Dedup.dedupChunks(survivors, chunkTokens)
+            }
 
           // metadata columns ride along unchanged; text is the cleaned
           // one. text_original is kept ONLY where cleaning changed the
@@ -701,9 +713,16 @@ object Pipeline {
             Dedup.writeChunkIndex(survOrig, chunkDir,
               chunkTokens = granularity, chunkBuckets = cb,
               mode = "append")
-          case None => Dedup.writeChunkIndex(survOrig, chunkDir,
-            chunkTokens = chunkTokens, chunkBuckets = chunkBuckets,
-            mode = mode(chunkDir))
+          case None => chunkRule match {
+            case "cdc" => Dedup.writeChunkIndexCDC(survOrig, chunkDir,
+              divisor = chunkTokens, chunkBuckets = chunkBuckets,
+              mode = mode(chunkDir))
+            case "line" => Dedup.writeChunkIndexLines(survOrig, chunkDir,
+              chunkBuckets = chunkBuckets, mode = mode(chunkDir))
+            case _ => Dedup.writeChunkIndex(survOrig, chunkDir,
+              chunkTokens = chunkTokens, chunkBuckets = chunkBuckets,
+              mode = mode(chunkDir))
+          }
         }
         containmentThreshold.foreach { _ =>
           val ctDir = s"$indexRoot/containment"
@@ -1275,6 +1294,32 @@ object Pipeline {
     * Returns the number of merges learned (≤ numMerges — training
     * stops early when no pair repeats).
     */
+  /** Season-cadence DSIR model build: fit the hashed bag-of-ngrams
+    * importance ratios of a TARGET document set (the distribution you
+    * want — a curated high-quality dir) against the published corpus
+    * (the raw distribution you have) and persist the B-row weight
+    * table under `modelDir` — [[graft.operators.Sharding.dsirScore]]
+    * then scores any batch against the standing model without
+    * re-fitting (two corpus-scale count passes happen HERE, at
+    * maintain cadence, not per scoring run). Holds the model dir's
+    * lease while writing. Returns the bucket count for the cron line's
+    * report.
+    */
+  def trainDsirModel(spark: SparkSession, corpusDir: String,
+      targetDir: String, modelDir: String,
+      buckets: Int = 10000): Int = {
+    import graft.operators.Sharding
+    val corpus = spark.read.parquet(s"$corpusDir/corpus")
+      .select(col("doc_id"), col("text"))
+    val target = spark.read.parquet(targetDir)
+    val w = Sharding.dsirWeights(target, corpus, buckets)
+    graft.operators.Lease.withLeases(spark, Seq(modelDir),
+      "trainDsirModel") {
+      Sharding.writeDsirModel(spark, w, buckets, modelDir)
+    }
+    buckets
+  }
+
   def trainBpeModel(spark: SparkSession, corpusDir: String,
       modelDir: String, numMerges: Int = 1000,
       maxTypes: Int = 20000): Int = {

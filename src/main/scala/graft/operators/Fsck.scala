@@ -240,6 +240,16 @@ object Fsck {
                 "BPE-model params/ with no merges/ — a crashed " +
                   "Bpe.writeModel (merges are written FIRST, so this " +
                   "is params over a deleted tree); re-run writeModel")
+          } else if (fields.contains("n_buckets")) {
+            if (names.contains("ratios"))
+              b += Finding(dir, "params", "ok",
+                "healthy DSIR importance model (ratios/ + params)")
+            else
+              b += Finding(dir, "ratios", "error",
+                "DSIR-model params/ with no ratios/ — a crashed " +
+                  "writeDsirModel (ratios are written FIRST, so this " +
+                  "is params over a deleted tree); re-run " +
+                  "writeDsirModel")
           } else
             b += Finding(dir, "params", "error",
               s"params/ unreadable or unrecognized: ${e.getMessage}")

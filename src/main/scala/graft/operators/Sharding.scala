@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -491,6 +491,50 @@ object Sharding {
       .agg(count(col("bucket")).as("n_ngrams"),
         round(sum(coalesce(col("log_ratio"), lit(0.0))), 6)
           .as("log_weight"))
+
+  /** Persist a fitted DSIR weight table under `dir` — the
+    * [[QualityClassifier.writeModel]] discipline: `ratios/` (bucket,
+    * log_ratio — the COMPLETE B-row domain) written first, ONE
+    * `params/` row (n_buckets, family) LAST, so a crashed write is a
+    * params-less dir every reader refuses. */
+  def writeDsirModel(spark: SparkSession, weights: DataFrame,
+      buckets: Int, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(s"$dir/params")))
+      fs.delete(new Path(s"$dir/params"), true)
+    val n = weights.count()
+    require(n == buckets.toLong,
+      s"writeDsirModel: weight table has $n rows, expected the " +
+        s"complete $buckets-bucket domain (dsirWeights' contract)")
+    weights.select(col("bucket"), col("log_ratio"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/ratios")
+    Seq((buckets.toLong, "dsir_ratios")).toDF("n_buckets", "family")
+      .coalesce(1).write.parquet(s"$dir/params")
+  }
+
+  /** Read a persisted DSIR model back: (weights, buckets). Refuses a
+    * params-less dir (crashed write) and an incomplete bucket domain
+    * (corruption [[dsirScore]] would silently mis-score under). */
+  def readDsirModel(spark: SparkSession,
+      dir: String): (DataFrame, Int) = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(s"$dir/params")),
+      s"$dir has no params/ — not a written DSIR model (or its write " +
+        "crashed before the params commit); re-run writeDsirModel")
+    val buckets = spark.read.parquet(s"$dir/params").head()
+      .getAs[Long]("n_buckets").toInt
+    val w = spark.read.parquet(s"$dir/ratios")
+    val n = w.count()
+    require(n == buckets.toLong,
+      s"$dir/ratios holds $n rows, params say $buckets — refusing to " +
+        "score under an incomplete bucket domain; re-run writeDsirModel")
+    (w, buckets)
+  }
 
   /** DSIR selection: resample `k` documents WITHOUT replacement with
     * inclusion odds ∝ exp(log_weight) via Gumbel top-k — key =

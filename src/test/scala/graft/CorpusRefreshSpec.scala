@@ -1050,4 +1050,85 @@ class CorpusRefreshSpec extends SparkSuite {
         tmp("empty_idx"), tmp("empty_corpus"))
     }
   }
+
+  test("chunkRule=line: the first batch creates a line-rule chunk " +
+      "index, batch 2 cleans a cross-batch duplicated line under the " +
+      "STORED rule, and a mismatched later knob is inert") {
+    val idxRoot = tmp("line_idx")
+    val corpusDir = tmp("line_corpus")
+    def runLine(batch: DataFrame, rule: String) =
+      Pipeline.refreshCorpus(spark, batch, idxRoot, corpusDir,
+        jaccardThreshold = 0.5, maxHamming = 3, chunkTokens = 4,
+        chunkRule = rule, bandBuckets = 8, pieceBuckets = 8,
+        chunkBuckets = 8)
+    val footer = "standard boilerplate footer line"
+    val batch1 = Seq(
+      (0L, s"first document body one\n$footer", "en"),
+      (1L, s"second document body two\n$footer", "en"))
+      .toDF("doc_id", "text", "lang")
+    runLine(batch1, "line")
+    // the index stored the line rule
+    val (rule, g, _, _) = Dedup.readChunkIndexParams(spark,
+      s"$idxRoot/chunk")
+    assert(rule === "line" && g === 1)
+    // within batch 1 the footer's first occurrence (doc 0) survived,
+    // doc 1's copy dropped; reassembly is newline-joined
+    val pub1 = spark.read.parquet(s"$corpusDir/corpus")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pub1(0L) === s"first document body one\n$footer")
+    assert(pub1(1L) === "second document body two")
+    // batch 2 (mismatched grid knob — inert: the STORED rule drives)
+    val batch2 = Seq(
+      (10L, s"third document body three\n$footer", "en"))
+      .toDF("doc_id", "text", "lang")
+    runLine(batch2, "grid")
+    val pub2 = spark.read.parquet(s"$corpusDir/corpus")
+      .where($"doc_id" === 10L).select($"text").head().getString(0)
+    assert(pub2 === "third document body three")
+    // an unknown rule refuses before any mutation
+    intercept[IllegalArgumentException] {
+      runLine(batch1, "words")
+    }
+  }
+
+  test("trainDsirModel persists a complete scoreable ratio table under " +
+      "the model dir's lease; crashed and incomplete models refuse") {
+    import graft.operators.Sharding
+    val root = tmp("dsir_model")
+    Seq((0L, "high quality prose"), (1L, "zzz qqq junk"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$root/c/corpus")
+    Seq((100L, "high quality prose")).toDF("doc_id", "text")
+      .write.parquet(s"$root/target")
+    val b = Pipeline.trainDsirModel(spark, s"$root/c", s"$root/target",
+      s"$root/model", buckets = 64)
+    assert(b === 64)
+    val (w, buckets) = Sharding.readDsirModel(spark, s"$root/model")
+    assert(buckets === 64 && w.count() === 64L)
+    // scoring under the stored model == scoring under the fresh fit
+    val corpus = spark.read.parquet(s"$root/c/corpus")
+    val fresh = Sharding.dsirWeights(
+      spark.read.parquet(s"$root/target"), corpus, 64)
+    val a = Sharding.dsirScore(corpus, w, 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val e = Sharding.dsirScore(corpus, fresh, 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a === e)
+    // params-less dir refuses
+    intercept[IllegalArgumentException] {
+      Sharding.readDsirModel(spark, s"$root/target")
+    }
+    // an incomplete domain refuses on write
+    intercept[IllegalArgumentException] {
+      Sharding.writeDsirModel(spark, fresh.limit(10), 64,
+        s"$root/model2")
+    }
+    // a held lease refuses the build
+    graft.operators.Lease.acquire(spark, s"$root/model", "other")
+    intercept[IllegalStateException] {
+      Pipeline.trainDsirModel(spark, s"$root/c", s"$root/target",
+        s"$root/model", buckets = 64)
+    }
+  }
 }

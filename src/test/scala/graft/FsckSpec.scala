@@ -232,4 +232,21 @@ class FsckSpec extends SparkSuite {
       x.level == "error" && x.detail.contains("writeModel")),
       f2.mkString("\n"))
   }
+
+  test("a DSIR model dir surveys as a recognized healthy shape, and " +
+      "its crashed write (params without ratios) errs") {
+    val root = mkRoot()
+    val w = spark.range(8).select($"id".cast("int").as("bucket"),
+      lit(0.5).as("log_ratio"))
+    graft.operators.Sharding.writeDsirModel(spark, w, 8, s"$root/dsir")
+    val f = Fsck.check(spark, root)
+    assert(f.exists(x => x.dir == s"$root/dsir" && x.level == "ok" &&
+      x.detail.contains("DSIR")), f.mkString("\n"))
+    assert(!f.exists(_.level == "error"), f.mkString("\n"))
+    rm(s"$root/dsir/ratios")
+    val f2 = Fsck.check(spark, root)
+    assert(f2.exists(x => x.dir == s"$root/dsir" &&
+      x.level == "error" && x.detail.contains("writeDsirModel")),
+      f2.mkString("\n"))
+  }
 }

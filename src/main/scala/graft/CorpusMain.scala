@@ -18,7 +18,9 @@ import org.apache.spark.sql.SparkSession
   *     the embedding-level contamination screen (probe-only, requires
   *     `emb`), `quality` = a persisted
   *     [[graft.operators.QualityClassifier]] model whose score rides
-  *     every published doc (probe-only), `chunkrule` = the substring
+  *     every published doc (probe-only), `tokenizer` = a persisted
+  *     [[graft.operators.Bpe]] model whose subword count rides every
+  *     published doc (probe-only token accounting), `chunkrule` = the substring
   *     clean granularity for the FIRST batch (`grid` default, `cdc`,
   *     or `line` — once the chunk index exists its stored rule drives
   *     every later batch). Prints the one-row report.
@@ -123,7 +125,7 @@ object CorpusMain {
 
   private def usage(): Nothing = {
     System.err.println(
-      """usage: CorpusMain refresh <batchDir> <indexRoot> <corpusDir> [embeddingsDir] [emb=<dir>] [bench=<dir>] [containment=<t>] [semeval=<dir>] [quality=<modelDir>] [chunkrule=<grid|cdc|line>]
+      """usage: CorpusMain refresh <batchDir> <indexRoot> <corpusDir> [embeddingsDir] [emb=<dir>] [bench=<dir>] [containment=<t>] [semeval=<dir>] [quality=<modelDir>] [chunkrule=<grid|cdc|line>] [tokenizer=<bpeModelDir>]
         |       CorpusMain retract <idsDir> <indexRoot> <corpusDir>
         |       CorpusMain maintain <indexRoot>
         |       CorpusMain stats <indexRoot>
@@ -171,7 +173,7 @@ object CorpusMain {
         // '=' stays positional — and a duplicated flag is refused
         // instead of silently last-winning
         val flagKeys = Set("emb", "bench", "containment", "semeval",
-          "quality", "chunkrule")
+          "quality", "chunkrule", "tokenizer")
         val (kv0, legacy) = rest.partition(a =>
           flagKeys.exists(k => a.startsWith(s"$k=")))
         val kvPairs = kv0.map { a =>
@@ -190,6 +192,7 @@ object CorpusMain {
           containmentThreshold = kv.get("containment").map(_.toDouble),
           semanticEvalDir = kv.get("semeval"),
           qualityModelDir = kv.get("quality"),
+          tokenizerModelDir = kv.get("tokenizer"),
           // first batch only — a standing chunk index's STORED rule
           // drives every later batch (the knob-inert contract)
           chunkRule = kv.getOrElse("chunkrule", "grid"))

@@ -325,6 +325,18 @@ object Pipeline {
     *              always-or-never-per-corpus rule via the modality
     *              marker's backward-compatible `quality` flag.
     * @param qualityThreshold the report's advisory low-quality cut.
+    * @param tokenizerModelDir optional persisted
+    *              [[graft.operators.Bpe]] merge-list model — when
+    *              given, every published doc's cleaned text is
+    *              tokenized (map-only, the encode kernel) and
+    *              `n_subwords` rides the corpus with the batch's
+    *              `n_subwords_total` in the report: token ACCOUNTING
+    *              in the units a training run consumes, maintained as
+    *              the corpus grows instead of recomputed by every
+    *              budget/shard/pack consumer. PROBE-ONLY (model read,
+    *              never written), validated before any mutation; same
+    *              always-or-never rule via the marker's
+    *              backward-compatible `tokenizer` flag.
     * @param corpusDir published corpus root: `corpus/`, `pairs/`,
     *              `reports/`, each partitioned by `batch_id` — read
     *              the whole corpus back with
@@ -359,7 +371,8 @@ object Pipeline {
       semanticEvalDir: Option[String] = None,
       semanticEvalThreshold: Double = 0.9,
       qualityModelDir: Option[String] = None,
-      qualityThreshold: Double = 0.5): RefreshOutput = {
+      qualityThreshold: Double = 0.5,
+      tokenizerModelDir: Option[String] = None): RefreshOutput = {
     require(semanticEvalDir.isEmpty || embeddings.isDefined,
       "refreshCorpus: semanticEvalDir screens the batch's VECTORS — " +
         "it requires the embeddings modality (pass embeddings too)")
@@ -374,6 +387,10 @@ object Pipeline {
     // a misspelled or crashed model dir refuses here, not mid-publish
     val qualityModel = qualityModelDir.map(d =>
       graft.operators.QualityClassifier.readModel(spark, d))
+    // same up-front validation for the tokenizer model (readModel
+    // refuses crashed writes and rank holes before anything mutates)
+    val bpeMerges = tokenizerModelDir.map(d =>
+      graft.operators.Bpe.readModel(spark, d))
     import org.apache.hadoop.fs.Path
     val fs = new Path(corpusDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -431,7 +448,8 @@ object Pipeline {
       // validated from the standing index dirs once, then stamped.
       val askedModalities = (embeddings.isDefined,
         containmentThreshold.isDefined, benchmarkIndexDir.isDefined,
-        semanticEvalDir.isDefined, qualityModelDir.isDefined)
+        semanticEvalDir.isDefined, qualityModelDir.isDefined,
+        tokenizerModelDir.isDefined)
       val modalitiesPath = s"$corpusDir/modalities"
       val storedModalities =
         if (exists(modalitiesPath)) {
@@ -445,7 +463,7 @@ object Pipeline {
           Some((r.getAs[Boolean]("semantic"),
             r.getAs[Boolean]("containment"),
             r.getAs[Boolean]("benchmark"), flag("semantic_eval"),
-            flag("quality")))
+            flag("quality"), flag("tokenizer")))
         } else None
       storedModalities match {
         case Some(stored) =>
@@ -453,7 +471,8 @@ object Pipeline {
             "containment" -> (stored._2 && !askedModalities._2),
             "benchmark" -> (stored._3 && !askedModalities._3),
             "semantic-eval" -> (stored._4 && !askedModalities._4),
-            "quality" -> (stored._5 && !askedModalities._5))
+            "quality" -> (stored._5 && !askedModalities._5),
+            "tokenizer" -> (stored._6 && !askedModalities._6))
             .collect { case (name, true) => name }
           require(omitted.isEmpty,
             s"refreshCorpus modality drift: this corpus runs with the " +
@@ -478,7 +497,8 @@ object Pipeline {
             lit(askedModalities._2).as("containment"),
             lit(askedModalities._3).as("benchmark"),
             lit(askedModalities._4).as("semantic_eval"),
-            lit(askedModalities._5).as("quality")),
+            lit(askedModalities._5).as("quality"),
+            lit(askedModalities._6).as("tokenizer")),
           modalitiesPath)
       // baseline for [[retractCorpus]]'s scan-free remaining-count
       // arithmetic: a corpus CREATED by this code starts at adjustment 0
@@ -652,8 +672,18 @@ object Pipeline {
                 Seq("doc_id"), "left")
             case _ => publishedSem
           }
+          // model-token accounting (probe-only): n_subwords rides
+          // every published doc — a MAP-ONLY projection over the
+          // cleaned text (the encode kernel carries the merges), so
+          // the modality adds zero joins and zero shuffles
+          val publishedTok = bpeMerges match {
+            case Some(m) => publishedQual.withColumn("n_subwords",
+              size(graft.functions.native.bpe_encode(
+                graft.operators.Bpe.bpeTokens(col("text")), m)))
+            case None => publishedQual
+          }
           stagedWrite(spark, allPairs, pairsPart)
-          stagedWrite(spark, publishedQual, corpusPart) // the probe-stage commit
+          stagedWrite(spark, publishedTok, corpusPart) // the probe-stage commit
           pubPersisted.foreach(_.unpersist())
         }
 
@@ -782,13 +812,18 @@ object Pipeline {
           if (pub.columns.contains("quality_prob"))
             count(when(col("quality_prob") < qualityThreshold, 1))
           else lit(0L)
+        val subwordsCol =
+          if (pub.columns.contains("n_subwords"))
+            coalesce(sum(col("n_subwords")), lit(0L))
+          else lit(0L)
         val pubAgg = pub.agg(
           count(lit(1)).as("np"),
           coalesce(sum(col("n_chunks")), lit(0L)).as("c"),
           coalesce(sum(col("n_kept")), lit(0L)).as("k"),
           contaminatedCol.as("nc"),
           semContaminatedCol.as("nsc"),
-          lowQualityCol.as("nlq")).head()
+          lowQualityCol.as("nlq"),
+          subwordsCol.as("nsw")).head()
         val nPublished = pubAgg.getLong(0)
         import spark.implicits._
         // max_band_freq rides on the report so every batch's candidate
@@ -803,11 +838,13 @@ object Pipeline {
             spark.read.parquet(pairsPart).count(),
             nBatch - nPublished, nPublished,
             pubAgg.getLong(1), pubAgg.getLong(2), pubAgg.getLong(3),
-            maxBandFreq, pubAgg.getLong(4), pubAgg.getLong(5)))
+            maxBandFreq, pubAgg.getLong(4), pubAgg.getLong(5),
+            pubAgg.getLong(6)))
           .toDF("batch_min_id", "batch_max_id", "n_batch", "n_dup_pairs",
             "n_dropped", "n_published", "n_chunks", "n_chunks_kept",
             "n_contaminated_docs", "max_band_freq",
-            "n_semantic_contaminated_docs", "n_low_quality_docs")
+            "n_semantic_contaminated_docs", "n_low_quality_docs",
+            "n_subwords_total")
         stagedWrite(spark, report, reportPart)
       } finally persisted.unpersist()
       readBack()

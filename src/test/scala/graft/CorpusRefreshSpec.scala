@@ -585,6 +585,58 @@ class CorpusRefreshSpec extends SparkSuite {
     assert(!new java.io.File(s"$fresh/corpus").exists())
   }
 
+  test("tokenizer modality: a standing BPE model's subword count rides " +
+      "every published doc, the report totals it, the drift guard " +
+      "holds, and a crashed model refuses BEFORE any mutation") {
+    import graft.operators.Bpe
+    val idxRoot = tmp("tok_idx")
+    val corpusDir = tmp("tok_corpus")
+    val modelDir = tmp("tok_model")
+    // fixed merges — training is BpeSpec's subject; with (e,s)(es,t)
+    // "newest" tokenizes to [n e w est </w>] = 5 subwords
+    Bpe.writeModel(spark, Seq(("e", "s"), ("es", "t")), modelDir)
+    def batchOf(rows: (Long, String)*) =
+      rows.toSeq.map { case (i, t) => (i, t, "en") }
+        .toDF("doc_id", "text", "lang")
+    def refresh(batch: org.apache.spark.sql.DataFrame,
+        tok: Option[String]) =
+      Pipeline.refreshCorpus(spark, batch, idxRoot, corpusDir,
+        jaccardThreshold = 0.5, chunkTokens = 4, bandBuckets = 8,
+        pieceBuckets = 8, chunkBuckets = 8,
+        tokenizerModelDir = tok)
+    val out1 = refresh(batchOf(
+      (0L, "newest a0 b0 c0 d0 e0 f0 g0 h0 i0"),
+      (1L, "fresh a1 b1 c1 d1 e1 f1 g1 h1 i1")), Some(modelDir))
+    val counts = out1.published
+      .select($"doc_id", $"n_subwords", $"text").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    assert(counts.size === 2)
+    // the count is over the CLEANED text — recompute to pin exactly
+    val expect = counts.map { case (id, (_, text)) =>
+      id -> Bpe.encode(Seq((id, text)).toDF("doc_id", "text"),
+        Seq(("e", "s"), ("es", "t")))
+        .select($"n_subwords").head().getInt(0)
+    }
+    assert(counts.map { case (id, (n, _)) => id -> n } === expect)
+    assert(out1.report.head().getAs[Long]("n_subwords_total") ===
+      counts.values.map(_._1.toLong).sum)
+    // drift guard: forgetting the flag refuses; with it, batch 2 rides
+    val b2 = batchOf((10L, "widest a2 b2 c2 d2 e2 f2 g2 h2 i2"))
+    val e = intercept[IllegalArgumentException](refresh(b2, None))
+    assert(e.getMessage.contains("tokenizer"))
+    val out2 = refresh(b2, Some(modelDir))
+    assert(out2.published.where($"doc_id" === 10L)
+      .head().getAs[Int]("n_subwords") > 0)
+    // a crashed (params-less) model refuses BEFORE any mutation
+    val fresh = tmp("tok_fresh_corpus")
+    val e2 = intercept[IllegalArgumentException](
+      Pipeline.refreshCorpus(spark, batchOf((0L, "alpha beta gamma")),
+        tmp("tok_fresh_idx"), fresh,
+        tokenizerModelDir = Some(tmp("tok_crashed"))))
+    assert(e2.getMessage.contains("params"))
+    assert(!new java.io.File(s"$fresh/corpus").exists())
+  }
+
   test("auditCorpus: a healthy lifecycle is all-ok across every check; " +
       "planted orphan / missing / crashed-refresh / ledger-drift states " +
       "are named with their recoveries at the right severity") {

@@ -49,8 +49,15 @@ case class RollingHashExpr(child: Expression, base: Long, mod: Long)
 }
 
 object RollingHashExpr {
-  def hashBytes(bytes: Array[Byte], base: Long, mod: Long): Long = {
-    var acc = 0L
+  def hashBytes(bytes: Array[Byte], base: Long, mod: Long): Long =
+    hashBytesFrom(0L, bytes, base, mod)
+
+  /** The same fold CONTINUED from a prior accumulator — lets a caller
+    * hash a concatenation ("tok1 tok2") without building the string:
+    * fold tok1, fold the joiner byte, fold tok2. */
+  def hashBytesFrom(acc0: Long, bytes: Array[Byte], base: Long,
+      mod: Long): Long = {
+    var acc = acc0
     var i = 0
     while (i < bytes.length) {
       acc = (acc * base + (bytes(i) & 0xff)) % mod
@@ -737,6 +744,77 @@ case class I8VecNormExpr(child: Expression)
 }
 
 /** Column-level entry points. */
+/** Hashed unigram+bigram feature buckets of a TOKEN array — DSIR's
+  * bag-of-ngrams featurization (one `int` bucket per token and per
+  * adjacent pair, unigrams first then bigrams, matching the
+  * `concat(tokens, bigrams)` built-in order) in ONE pass that hashes
+  * each token's bytes exactly once. The built-in formulation
+  * (`transform(sequence(...), i -> concat(element_at(tk,i), ' ',
+  * element_at(tk,i+1)))`) re-evaluates the token array inside
+  * interpreted HOF lambdas and materializes every bigram string — the
+  * [[CdcChunksExpr]] lesson, measured ~5x here at sf0.1. A bigram's
+  * hash is the rolling byte fold CONTINUED through the joiner space
+  * ([[RollingHashExpr.hashBytesFrom]]), bit-identical to hashing the
+  * joined string, so the DuckDB oracle arithmetic is unchanged.
+  */
+case class NgramBucketsExpr(child: Expression, buckets: Int,
+    base: Long = 257L, mod: Long = 1000000007L)
+    extends UnaryExpression {
+  require(buckets > 0, s"buckets must be > 0, got $buckets")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ngram_buckets"
+
+  private def bucketOf(h: Long): Int =
+    ((h * 48271L) % mod % buckets).toInt
+
+  /** Per-row kernel, also called from generated code. */
+  def kernel(input: Any): ArrayData = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    // null tokens contribute nothing (token arrays here never hold
+    // nulls, but this is a public column function)
+    val hs = new Array[Long](n)
+    val live = new Array[Boolean](n)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](
+      n + math.max(0, n - 1))
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        hs(i) = RollingHashExpr.hashBytes(
+          arr.getUTF8String(i).getBytes, base, mod)
+        live(i) = true
+        out += bucketOf(hs(i))
+      }
+      i += 1
+    }
+    i = 0
+    while (i < n - 1) {
+      if (live(i) && live(i + 1)) {
+        val joined = RollingHashExpr.hashBytesFrom(
+          (hs(i) * base + 0x20L) % mod,
+          arr.getUTF8String(i + 1).getBytes, base, mod)
+        out += bucketOf(joined)
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override protected def nullSafeEval(input: Any): Any = kernel(input)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val self = ctx.addReferenceObj("ngramBucketsKernel", this,
+        this.getClass.getName)
+      s"${ev.value} = $self.kernel($c);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NgramBucketsExpr = copy(child = newChild)
+}
+
 /** BPE subword encoding of a TOKEN array under a trained merge list
   * (Sennrich et al., "Neural Machine Translation of Rare Words with
   * Subword Units", arXiv:1508.07909 §3.2): each word starts as its
@@ -886,6 +964,11 @@ object native {
     * list — map-only, the merges ride the expression. */
   def bpe_encode(tokens: Column, merges: Seq[(String, String)]): Column =
     c(BpeEncodeExpr(e(tokens), merges))
+
+  /** Hashed unigram+bigram feature buckets from a TOKEN array (DSIR
+    * featurization) — one pass, no ngram strings materialized. */
+  def ngram_buckets(tokens: Column, buckets: Int): Column =
+    c(NgramBucketsExpr(e(tokens), buckets))
 
   /** Sorted distinct shingle hashes from a TOKEN array, for merge-based
     * exact Jaccard via [[sorted_intersect_count]]. */

@@ -403,24 +403,19 @@ object Sharding {
     * Selection for Language Models via Importance Resampling",
     * arXiv:2302.03169 §3: unigrams + bigrams of the lowercased
     * whitespace tokenization, hashed into `buckets` feature buckets):
-    * one `(ngram)` element per token and per adjacent token pair. The
-    * hash is the repo's engine-portable rolling-hash + Lehmer mix
-    * ([[mixedHash]]'s arithmetic applied to the NGRAM text, no salt —
-    * the feature space is part of the model, not a redraw knob).
+    * one bucket element per token and per adjacent token pair. The
+    * hash is the repo's engine-portable rolling-hash + Lehmer mix over
+    * the NGRAM text (no salt — the feature space is part of the model,
+    * not a redraw knob), computed by the one-pass native kernel
+    * [[graft.functions.NgramBucketsExpr]]: bit-identical to hashing
+    * the joined ngram strings, without materializing them (the
+    * built-in HOF formulation measured ~5x slower at sf0.1).
     */
-  private def dsirNgrams(text: Column): Column = {
-    val tk = filter(split(regexp_replace(lower(coalesce(text, lit(""))),
-      TextAnalysis.WsPattern + "+", " "), " "), t => t =!= lit(""))
-    val bi = when(size(tk) >= 2,
-      transform(sequence(lit(1), size(tk) - 1),
-        i => concat(element_at(tk, i), lit(" "), element_at(tk, i + 1))))
-      .otherwise(typedLit(Array.empty[String]))
-    concat(tk, bi)
-  }
-
-  private def dsirBucket(ngram: Column, buckets: Int): Column =
-    pmod(pmod(native.rolling_hash(ngram) * lit(48271L),
-      lit(1000000007L)), lit(buckets.toLong)).cast("int")
+  private def dsirBuckets(text: Column, buckets: Int): Column =
+    native.ngram_buckets(
+      filter(split(regexp_replace(lower(coalesce(text, lit(""))),
+        TextAnalysis.WsPattern + "+", " "), " "), t => t =!= lit("")),
+      buckets)
 
   /** Per-bucket DSIR log importance ratios: fit two add-one-smoothed
     * hashed bag-of-ngrams models — `target` (the distribution you WANT,
@@ -445,10 +440,15 @@ object Sharding {
   def dsirWeights(target: DataFrame, raw: DataFrame,
       buckets: Int = 10000, text: Column = col("text")): DataFrame = {
     require(buckets > 0, s"buckets must be > 0, got $buckets")
+    // barrier'd: each count table is referenced TWICE downstream (the
+    // bucket join and its own total) — without the materialization the
+    // corpus-scale ngram explode behind it would run twice per corpus
+    // (measured 2x on q123/q124 at sf0.1); the materialized tables are
+    // ≤ B rows each
     def bucketCounts(df: DataFrame, name: String) =
-      df.select(explode(dsirNgrams(text)).as("ngram"))
-        .select(dsirBucket(col("ngram"), buckets).as("bucket"))
-        .groupBy(col("bucket")).agg(count(lit(1)).as(name))
+      Barriers.barrier(
+        df.select(explode(dsirBuckets(text, buckets)).as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as(name)))
     val t = bucketCounts(target, "tc")
     val r = bucketCounts(raw, "rc")
     val totals = t.agg(coalesce(sum(col("tc")), lit(0L)).as("tt"))
@@ -482,10 +482,7 @@ object Sharding {
   def dsirScore(docs: DataFrame, weights: DataFrame,
       buckets: Int = 10000, text: Column = col("text")): DataFrame =
     docs.select(col("doc_id"),
-        explode_outer(dsirNgrams(text)).as("ngram"))
-      .select(col("doc_id"),
-        when(col("ngram").isNotNull,
-          dsirBucket(col("ngram"), buckets)).as("bucket"))
+        explode_outer(dsirBuckets(text, buckets)).as("bucket"))
       .join(broadcast(weights), Seq("bucket"), "left")
       .groupBy(col("doc_id"))
       .agg(count(col("bucket")).as("n_ngrams"),

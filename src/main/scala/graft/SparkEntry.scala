@@ -1076,6 +1076,18 @@ object SparkEntry {
     // top-k resampling ∝ exp(log_weight). 512 feature buckets at
     // fixture scale (the paper's 10k is a free knob — the oracle
     // mirrors whatever is passed).
+    // BM25 lexical retrieval: top-10 docs per probe query — the
+    // keyword counterpart of the ANN tier, oracle-checked through the
+    // full idf/tf/length arithmetic AND the ranking
+    "q129_bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Seq(
+        (0, "spark hash join"),
+        (1, "window sort merge"),
+        (2, "stream batch dup")).toDF("query_id", "text")
+      Retrieval.bm25TopK(t(s, dir, "documents"), queries, k = 10)
+        .orderBy(col("query_id").asc, col("rank").asc)
+    }),
     // BPE subword tokenizer (rows-only: the merge loop is inherently
     // sequential and not SQL-expressible — BpeSpec replays the
     // hand-computed Sennrich merges and pins the encode invariants).
@@ -2219,6 +2231,62 @@ object SparkEntry {
       // ≡ the f32 layout's ≡ the filtered brute force — same oracle
       // as q103 (predicate over stored CODES, exact f32 re-rank)
       "q111_sq8_filtered_topk" -> annFilteredTopKSql,
+      // BM25: same tokenization as q40, Lucene-style non-negative idf
+      // rounded to 6 decimals, avgdl = Σ tokens / N over ALL docs,
+      // per-(query, doc) sum rounded to 6, rank by (score desc, id)
+      "q129_bm25_topk" ->
+        """WITH tok AS (
+          |  SELECT doc_id,
+          |    unnest(list_filter(string_split(
+          |      regexp_replace(lower(coalesce(text, '')),
+          |        '[ \t\n\r\f\x0B]+', ' ', 'g'),
+          |      ' '), x -> x != '')) AS token
+          |  FROM documents),
+          |tf AS (SELECT doc_id, token, count(*) AS tf
+          |       FROM tok GROUP BY 1, 2),
+          |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+          |stats AS (
+          |  SELECT (SELECT count(*) FROM documents) AS n_docs,
+          |    (SELECT count(*) FROM tok)::DOUBLE
+          |      / (SELECT count(*) FROM documents) AS avgdl),
+          |q(query_id, qtext) AS (VALUES
+          |  (0, 'spark hash join'),
+          |  (1, 'window sort merge'),
+          |  (2, 'stream batch dup')),
+          |qt AS (
+          |  SELECT DISTINCT query_id,
+          |    unnest(list_filter(string_split(
+          |      regexp_replace(lower(qtext),
+          |        '[ \t\n\r\f\x0B]+', ' ', 'g'),
+          |      ' '), x -> x != '')) AS token
+          |  FROM q),
+          |dfreq AS (
+          |  SELECT token, count(*) AS df FROM tf
+          |  WHERE token IN (SELECT token FROM qt) GROUP BY 1),
+          |idf AS (
+          |  SELECT token,
+          |    round(ln(1 + (stats.n_docs - df + 0.5) / (df + 0.5)), 6)
+          |      AS idf
+          |  FROM dfreq, stats),
+          |cand AS (
+          |  SELECT qt.query_id, tf.doc_id,
+          |    idf.idf * tf.tf * (1.2 + 1.0)
+          |      / (tf.tf + 1.2 * (1.0 - 0.75
+          |           + 0.75 * dl.dl / stats.avgdl)) AS part
+          |  FROM tf JOIN qt USING (token) JOIN idf USING (token)
+          |    JOIN dl USING (doc_id), stats),
+          |scored AS (
+          |  SELECT query_id, doc_id, round(sum(part), 6) AS score
+          |  FROM cand GROUP BY 1, 2),
+          |ranked AS (
+          |  SELECT query_id, doc_id, score,
+          |    row_number() OVER (PARTITION BY query_id
+          |      ORDER BY score DESC, doc_id ASC) AS rank
+          |  FROM scored)
+          |SELECT CAST(query_id AS INT) AS query_id, doc_id, score,
+          |  CAST(rank AS INT) AS rank
+          |FROM ranked WHERE rank <= 10
+          |ORDER BY query_id, rank""".stripMargin,
       // DSIR importance weights: hashed unigram+bigram bag-of-ngrams
       // (the cdc oracle's portable byte fold per ngram), add-one
       // smoothed target/raw log ratios over the complete 512-bucket

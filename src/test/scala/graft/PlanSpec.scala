@@ -513,6 +513,17 @@ class PlanSpec extends SparkSuite {
     assert(!p2.contains("SortMergeJoin"), p2.take(4000))
   }
 
+  test("bm25 ranks inside per-query window partitions with the query " +
+      "terms and idf table broadcast — never a global sort") {
+    import spark.implicits._
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val q = Seq((0, "spark hash join")).toDF("query_id", "text")
+    val p = plan(graft.operators.Retrieval.bm25TopK(docs, q, k = 10))
+    assert(p.contains("windowspecdefinition(query_id"), p.take(4000))
+    assert(p.contains("BroadcastExchange"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+  }
+
   test("BPE encoding is a map-only projection: the merges ride the " +
       "kernel, no join and no exchange anywhere in the plan") {
     val docs = spark.read.parquet(sf() + "/documents.parquet")

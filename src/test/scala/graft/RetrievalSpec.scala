@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Retrieval
+
+/** BM25 retrieval: hand-computed scores on a tiny corpus, ranking
+  * determinism, idf behavior.
+  */
+class RetrievalSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "spark spark join"),      // tf(spark)=2, dl=3
+    (1L, "spark window"),          // tf(spark)=1, dl=2
+    (2L, "completely unrelated"),  // no query terms
+    (3L, ""))                      // zero tokens
+    .toDF("doc_id", "text")
+
+  test("bm25TopK matches the hand-computed Okapi arithmetic and ranks " +
+      "deterministically") {
+    val queries = Seq((0, "spark")).toDF("query_id", "text")
+    val r = Retrieval.bm25TopK(docs, queries, k = 10)
+      .orderBy($"rank").collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getDouble(2), x.getInt(3)))
+    // N=4, df(spark)=2, idf = ln(1 + (4-2+0.5)/(2+0.5)) = ln(2)
+    // avgdl = 7/4 = 1.75
+    val idf = BigDecimal(math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def score(tf: Double, dl: Double) = BigDecimal(
+        idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 1.75)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.map(_._2).toSeq === Seq(0L, 1L)) // only matching docs
+    assert(r(0)._3 === score(2.0, 3.0))
+    assert(r(1)._3 === score(1.0, 2.0))
+    assert(r.map(_._4).toSeq === Seq(1, 2))
+    // doc 0 outranks doc 1: higher tf beats its longer length here
+    assert(r(0)._3 > r(1)._3)
+  }
+
+  test("rarer terms outweigh common ones; absent terms return no " +
+      "rows; k bounds the output; duplicate query terms collapse") {
+    val corpus = (0L until 20L).map(i =>
+        (i, if (i == 0) "rare common" else "common filler")).toDF(
+      "doc_id", "text")
+    val q = Seq((0, "rare"), (1, "common"), (2, "absent"),
+      (3, "rare rare")).toDF("query_id", "text")
+    val r = Retrieval.bm25TopK(corpus, q, k = 3).collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getDouble(2), x.getInt(3)))
+    val byQ = r.groupBy(_._1)
+    // rare: one hit, scored far above any common hit
+    assert(byQ(0).map(_._2).toSeq === Seq(0L))
+    assert(byQ(0).head._3 > byQ(1).map(_._3).max * 2)
+    // common: k=3 bounds 20 matches
+    assert(byQ(1).length === 3)
+    assert(byQ(1).map(_._4).sorted.toSeq === Seq(1, 2, 3))
+    // absent term: no candidate rows at all
+    assert(!byQ.contains(2))
+    // "rare rare" ≡ "rare" (bag-of-words query, duplicates collapse)
+    assert(byQ(3).map(x => (x._2, x._3)).toSeq ===
+      byQ(0).map(x => (x._2, x._3)).toSeq)
+  }
+}

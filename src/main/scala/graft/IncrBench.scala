@@ -377,3 +377,70 @@ object Sq8Bench {
     spark.stop()
   }
 }
+
+/** Dev-only scaling measurement for the round-13 operator tier: line
+  * dedup (inline + indexed probe), DSIR (fit / score / resample under
+  * the native ngram kernel), BPE (train at capped types / map-only
+  * encode), and BM25 top-k. Run at sf0.1 and the synthetic sf1 to
+  * check every leg scales ∝ corpus (one pass each) — feeds the
+  * docs/BENCH_SF1.md round-13 appendix.
+  */
+object NewOpsBench {
+  def main(args: Array[String]): Unit = {
+    import graft.operators.{Bpe, Retrieval, Sharding}
+    val sfDir = args.headOption.getOrElse("target/sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang")).localCheckpoint()
+    println(s"corpus=${docs.count()}")
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$label%-18s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    // line dedup: inline full-corpus, then the incremental split
+    // (index the low 90%, probe the top 10% — the weekly regime)
+    timed("line_inline") { Dedup.dedupLines(docs).count() }
+    val cut = docs.agg(expr("percentile(doc_id, 0.9)")).head().getDouble(0)
+    val dir = java.nio.file.Files.createTempDirectory("nob_line").toString
+    timed("line_index_build") {
+      Dedup.writeChunkIndexLines(docs.where(col("doc_id") <= cut), dir)
+    }
+    timed("line_index_probe") {
+      Dedup.dedupChunksAgainstIndex(spark,
+        docs.where(col("doc_id") > cut), dir).count()
+    }
+    // DSIR under the native kernel
+    val target = docs.where(col("lang") === "en")
+    val w = timed("dsir_fit") {
+      val d = Sharding.dsirWeights(target, docs).localCheckpoint()
+      d.count(); d
+    }
+    timed("dsir_score") { Sharding.dsirScore(docs, w).count() }
+    timed("dsir_resample") {
+      Sharding.dsirResample(docs, target, k = 1000).count()
+    }
+    // BPE: capped train, then the map-only corpus-wide encode
+    val merges = timed("bpe_train_1k") {
+      Bpe.train(docs, numMerges = 1000, maxTypes = 20000)
+    }
+    println(s"bpe_merges=${merges.size}")
+    timed("bpe_encode") { Bpe.encode(docs, merges)
+      .agg(sum(col("n_subwords"))).head() }
+    // BM25 over three probe queries
+    val queries = Seq((0, "spark hash join"), (1, "window sort merge"),
+      (2, "stream batch dup")).toDF("query_id", "text")
+    timed("bm25_topk") { Retrieval.bm25TopK(docs, queries).count() }
+    spark.stop()
+  }
+}

@@ -1088,6 +1088,16 @@ object SparkEntry {
       Retrieval.bm25TopK(t(s, dir, "documents"), queries, k = 10)
         .orderBy(col("query_id").asc, col("rank").asc)
     }),
+    // hybrid retrieval: probe docs 0-2 query the corpus lexically
+    // (BM25 over their text, self excluded) AND semantically (exact
+    // cosine over their embeddings), reciprocal-rank fused — both
+    // rankings and the fusion arithmetic oracle-checked end to end
+    "q130_hybrid_rrf" -> ((s, dir) => {
+      Retrieval.hybridTopK(t(s, dir, "documents"),
+          t(s, dir, "embeddings"), queryIds = Seq(0L, 1L, 2L), k = 10,
+          kEach = 20)
+        .orderBy(col("query_id").asc, col("rank").asc)
+    }),
     // BPE subword tokenizer (rows-only: the merge loop is inherently
     // sequential and not SQL-expressible — BpeSpec replays the
     // hand-computed Sennrich merges and pins the encode invariants).
@@ -2285,6 +2295,83 @@ object SparkEntry {
           |  FROM scored)
           |SELECT CAST(query_id AS INT) AS query_id, doc_id, score,
           |  CAST(rank AS INT) AS rank
+          |FROM ranked WHERE rank <= 10
+          |ORDER BY query_id, rank""".stripMargin,
+      // hybrid RRF: q129's BM25 arithmetic (queries = docs 0-2's own
+      // text, self-hits excluded BEFORE ranking) + q37's exact cosine
+      // ranking, fused by round(Σ 1/(60+rank), 6), re-ranked
+      "q130_hybrid_rrf" ->
+        s"""WITH tok AS (
+          |  SELECT doc_id,
+          |    unnest(list_filter(string_split(
+          |      regexp_replace(lower(coalesce(text, '')),
+          |        '${graft.operators.TextAnalysis.WsPattern}+', ' ', 'g'),
+          |      ' '), x -> x != '')) AS token
+          |  FROM documents),
+          |tf AS (SELECT doc_id, token, count(*) AS tf
+          |       FROM tok GROUP BY 1, 2),
+          |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+          |stats AS (
+          |  SELECT (SELECT count(*) FROM documents) AS n_docs,
+          |    (SELECT count(*) FROM tok)::DOUBLE
+          |      / (SELECT count(*) FROM documents) AS avgdl),
+          |qq AS (SELECT doc_id AS query_id, text AS qtext
+          |       FROM documents WHERE doc_id < 3),
+          |qt AS (
+          |  SELECT DISTINCT query_id,
+          |    unnest(list_filter(string_split(
+          |      regexp_replace(lower(coalesce(qtext, '')),
+          |        '${graft.operators.TextAnalysis.WsPattern}+', ' ', 'g'),
+          |      ' '), x -> x != '')) AS token
+          |  FROM qq),
+          |dfreq AS (
+          |  SELECT token, count(*) AS df FROM tf
+          |  WHERE token IN (SELECT token FROM qt) GROUP BY 1),
+          |idf AS (
+          |  SELECT token,
+          |    round(ln(1 + (stats.n_docs - df + 0.5) / (df + 0.5)), 6)
+          |      AS idf
+          |  FROM dfreq, stats),
+          |bcand AS (
+          |  SELECT qt.query_id, tf.doc_id,
+          |    idf.idf * tf.tf * (1.2 + 1.0)
+          |      / (tf.tf + 1.2 * (1.0 - 0.75
+          |           + 0.75 * dl.dl / stats.avgdl)) AS part
+          |  FROM tf JOIN qt USING (token) JOIN idf USING (token)
+          |    JOIN dl USING (doc_id), stats
+          |  WHERE tf.doc_id != qt.query_id),
+          |bscored AS (
+          |  SELECT query_id, doc_id, round(sum(part), 6) AS score
+          |  FROM bcand GROUP BY 1, 2),
+          |lex AS (
+          |  SELECT query_id, doc_id, rank FROM (
+          |    SELECT query_id, doc_id,
+          |      row_number() OVER (PARTITION BY query_id
+          |        ORDER BY score DESC, doc_id ASC) AS rank
+          |    FROM bscored) WHERE rank <= 20),
+          |$vecNormSql,
+          |sems AS (
+          |  SELECT q2.vec_id AS query_id, c.vec_id AS doc_id,
+          |    ${cosineSql("q2", "c")}
+          |  FROM v q2 JOIN v c
+          |    ON q2.vec_id < 3 AND q2.vec_id != c.vec_id),
+          |sem AS (
+          |  SELECT query_id, doc_id, rank FROM (
+          |    SELECT query_id, doc_id,
+          |      row_number() OVER (PARTITION BY query_id
+          |        ORDER BY cosine DESC, doc_id ASC) AS rank
+          |    FROM sems) WHERE rank <= 20),
+          |fused AS (
+          |  SELECT query_id, doc_id,
+          |    round(sum(1.0 / (60 + rank)), 6) AS rrf
+          |  FROM (SELECT * FROM lex UNION ALL SELECT * FROM sem)
+          |  GROUP BY 1, 2),
+          |ranked AS (
+          |  SELECT query_id, doc_id, rrf,
+          |    row_number() OVER (PARTITION BY query_id
+          |      ORDER BY rrf DESC, doc_id ASC) AS rank
+          |  FROM fused)
+          |SELECT query_id, doc_id, rrf, CAST(rank AS INT) AS rank
           |FROM ranked WHERE rank <= 10
           |ORDER BY query_id, rank""".stripMargin,
       // DSIR importance weights: hashed unigram+bigram bag-of-ngrams

@@ -42,7 +42,8 @@ object Retrieval {
     * (score desc, doc_id asc) — fully deterministic.
     */
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      excludeSelf: Boolean = false): DataFrame = {
     require(k > 0, "k must be positive")
     require(k1 >= 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
     val toks = TextAnalysis.tokenStream(docs)
@@ -88,12 +89,71 @@ object Retrieval {
           .as("part"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(round(sum(col("part")), 6).as("score"))
+    // excludeSelf: when queries ARE corpus documents (query_id = the
+    // probe doc's id — the hybrid/more-like-this shape), drop the
+    // trivial self-hit BEFORE ranking so ranks stay gapless
+    val pool =
+      if (excludeSelf) candidates.where(col("doc_id") =!= col("query_id"))
+      else candidates
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc)
-    candidates
+    pool
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), col("score"),
         col("rank").cast("int").as("rank"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, "Reciprocal
+    * Rank Fusion outperforms Condorcet and individual Rank Learning
+    * Methods", SIGIR 2009): fuse two rankings of the same query set by
+    * `rrf(q, d) = Σ_r 1/(c + rank_r(q, d))` over the rankings that
+    * retrieved d, 6-decimal rounded; re-rank by (rrf desc, doc_id
+    * asc). The RANKS are the only inputs — the two scores never need a
+    * shared scale, which is exactly why RRF is the standard lexical ×
+    * semantic fusion. Inputs are (query_id, doc_id, rank) frames;
+    * returns (query_id, doc_id, rrf, rank).
+    *
+    * Scale: candidate-sized all the way — a union of two k·|queries|
+    * frames, one aggregate, one per-query window. Nothing touches the
+    * corpus.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int = 10,
+      c: Int = 60): DataFrame = {
+    require(k > 0 && c >= 0, s"bad RRF params k=$k c=$c")
+    val fused = a.select(col("query_id"), col("doc_id"), col("rank"))
+      .unionByName(b.select(col("query_id"), col("doc_id"), col("rank")))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(lit(1.0) / (lit(c.toDouble) + col("rank"))), 6)
+        .as("rrf"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    fused
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rrf"),
+        col("rank").cast("int").as("rank"))
+  }
+
+  /** Hybrid retrieval: probe documents (by id) query the corpus BOTH
+    * lexically ([[bm25TopK]] over their text, self-hits excluded) and
+    * semantically ([[Similarity.bruteForceTopK]] over their
+    * embeddings), fused by [[rrfFuse]]. `kEach` bounds each ranking's
+    * candidate pool; the exact-cosine semantic leg is the baseline —
+    * swap in the IVF probe for the 100 TB path (the fusion consumes
+    * only (query_id, doc_id, rank), so any ranker slots in).
+    */
+  def hybridTopK(docs: DataFrame, embeddings: DataFrame,
+      queryIds: Seq[Long], k: Int = 10, kEach: Int = 20,
+      c: Int = 60): DataFrame = {
+    require(queryIds.nonEmpty, "need at least one probe id")
+    val qd = docs.where(col("doc_id").isin(queryIds: _*))
+      .select(col("doc_id").as("query_id"), col("text"))
+    val lex = bm25TopK(docs, qd, k = kEach, excludeSelf = true)
+    val sem = Similarity.bruteForceTopK(embeddings,
+        embeddings.where(col("vec_id").isin(queryIds: _*)), k = kEach)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+    rrfFuse(lex.select(col("query_id"), col("doc_id"), col("rank")),
+      sem, k, c)
   }
 }

@@ -60,4 +60,38 @@ class RetrievalSpec extends SparkSuite {
     assert(byQ(3).map(x => (x._2, x._3)).toSeq ===
       byQ(0).map(x => (x._2, x._3)).toSeq)
   }
+
+  test("rrfFuse sums reciprocal ranks across rankings, hand-checked; " +
+      "excludeSelf drops the probe doc BEFORE ranking") {
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lex = Seq((0L, 10L, 1), (0L, 11L, 2)).toDF(
+      "query_id", "doc_id", "rank")
+    val sem = Seq((0L, 11L, 1), (0L, 12L, 2)).toDF(
+      "query_id", "doc_id", "rank")
+    val fused = Retrieval.rrfFuse(lex, sem, k = 10).orderBy($"rank")
+      .collect().map(x =>
+        (x.getLong(1), x.getDouble(2), x.getInt(3)))
+    // doc 11 in BOTH rankings: 1/62 + 1/61 beats either single hit
+    assert(fused.toSeq === Seq(
+      (11L, r6(1.0 / 62 + 1.0 / 61), 1),
+      (10L, r6(1.0 / 61), 2),
+      (12L, r6(1.0 / 62), 3)))
+    // excludeSelf: the probe doc would trivially rank #1 on its own
+    // text; with the flag it is gone and ranks stay gapless from 1
+    val probes = docs.where($"doc_id" === 0L)
+      .select($"doc_id".as("query_id"), $"text")
+    val kept = Retrieval.bm25TopK(docs, probes, k = 10,
+        excludeSelf = true)
+      .orderBy($"rank").collect()
+      .map(x => (x.getLong(1), x.getInt(3)))
+    assert(!kept.map(_._1).contains(0L))
+    assert(kept.map(_._2).toSeq === (1 to kept.length).toSeq)
+    // hybrid composition runs end to end over matching id spaces
+    val emb = (0L until 4L).map(i => (i,
+        Seq(1.0f * i, 1.0f, 0.5f * (i % 2)))).toDF("vec_id", "embedding")
+    val h = Retrieval.hybridTopK(docs, emb, queryIds = Seq(0L), k = 3)
+      .collect()
+    assert(h.nonEmpty && h.forall(_.getLong(1) != 0L))
+  }
 }

@@ -1088,6 +1088,12 @@ object SparkEntry {
       Retrieval.bm25TopK(t(s, dir, "documents"), queries, k = 10)
         .orderBy(col("query_id").asc, col("rank").asc)
     }),
+    // sequence-packing manifest: the corpus cut into fixed 512-token
+    // training sequences across doc boundaries — pure integer
+    // arithmetic, oracle-checked span for span
+    "q132_pack_sequences" -> ((s, dir) =>
+      Sharding.packSequences(t(s, dir, "documents"), seqLen = 512)
+        .orderBy(col("seq_id").asc, col("doc_id").asc)),
     // hybrid retrieval: probe docs 0-2 query the corpus lexically
     // (BM25 over their text, self excluded) AND semantically (exact
     // cosine over their embeddings), reciprocal-rank fused — both
@@ -1586,6 +1592,36 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       require(q.awaitTermination(300000), "q128 stream did not finish")
+      s.read.parquet(out).orderBy(col("doc_id").asc)
+    }),
+    // streaming DSIR scoring (the eighth bridge, probe-only): the
+    // documents table streamed and scored per micro-batch under a
+    // PERSISTED ratio table fitted exactly as q123 fits its in-memory
+    // one — so the streamed scores share q123's DuckDB oracle
+    "q131_stream_dsir" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = ivfIndexDir(dir, "dm131")
+      Sharding.writeDsirModel(s,
+        Sharding.dsirWeights(docs.where(col("lang") === "en"), docs,
+          buckets = 512), 512, model)
+      val n = StreamScratch.seq.incrementAndGet()
+      val stage = stageTableForStream(dir, "documents", "q131_stage")
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .withColumn("ts",
+          lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+        .select(col("ts"), col("doc_id"), col("text"))
+      val out = ivfIndexDir(dir, s"q131_out_$n")
+      val q = graft.streaming.StreamingAgg
+        .scoreStreamDsir(stream, model) { (b, _) =>
+          b.select(col("doc_id"), col("n_ngrams"), col("log_weight"))
+            .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ivfIndexDir(dir, s"q131_ckpt_$n"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000), "q131 stream did not finish")
       s.read.parquet(out).orderBy(col("doc_id").asc)
     }),
     "q110_stream_screen" -> ((s, dir) => {
@@ -2297,6 +2333,34 @@ object SparkEntry {
           |  CAST(rank AS INT) AS rank
           |FROM ranked WHERE rank <= 10
           |ORDER BY query_id, rank""".stripMargin,
+      // sequence packing: global doc offsets by cumulative token sum
+      // in doc_id order, spans by exact integer division — the q66
+      // token-count semantics (split on ' ', empties dropped)
+      "q132_pack_sequences" ->
+        """WITH tok AS (
+          |  SELECT doc_id,
+          |    CAST(len(list_filter(string_split(text, ' '),
+          |      x -> x != '')) AS BIGINT) AS n_tokens
+          |  FROM documents),
+          |cum AS (
+          |  SELECT doc_id, n_tokens,
+          |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS BIGINT) AS cum_prev
+          |  FROM tok),
+          |pieces AS (
+          |  SELECT doc_id, n_tokens, cum_prev,
+          |    unnest(generate_series(cum_prev // 512,
+          |      (cum_prev + n_tokens - 1) // 512)) AS seq_id
+          |  FROM cum WHERE n_tokens > 0)
+          |SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+          |  CAST(greatest(cum_prev, seq_id * 512) - cum_prev
+          |    AS BIGINT) AS doc_from,
+          |  CAST(greatest(cum_prev, seq_id * 512) - seq_id * 512
+          |    AS BIGINT) AS seq_from,
+          |  CAST(least(cum_prev + n_tokens, (seq_id + 1) * 512)
+          |    - greatest(cum_prev, seq_id * 512) AS BIGINT) AS n_tokens
+          |FROM pieces ORDER BY seq_id, doc_id""".stripMargin,
       // hybrid RRF: q129's BM25 arithmetic (queries = docs 0-2's own
       // text, self-hits excluded BEFORE ranking) + q37's exact cosine
       // ranking, fused by round(Σ 1/(60+rank), 6), re-ranked
@@ -2379,6 +2443,15 @@ object SparkEntry {
       // smoothed target/raw log ratios over the complete 512-bucket
       // range, per-doc sum rounded to 6 decimals
       "q123_dsir_weight" ->
+        s"""WITH ${dsirCtes(512)}
+           |SELECT d.doc_id,
+           |  CAST(coalesce(sc.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+           |  coalesce(sc.log_weight, 0.0) AS log_weight
+           |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+           |ORDER BY d.doc_id""".stripMargin,
+      // the streamed scorer under the STORED ratio table is
+      // bit-identical to the batch scorer — same oracle as q123
+      "q131_stream_dsir" ->
         s"""WITH ${dsirCtes(512)}
            |SELECT d.doc_id,
            |  CAST(coalesce(sc.n_ngrams, 0) AS BIGINT) AS n_ngrams,

@@ -397,6 +397,60 @@ object Sharding {
       .drop("__dom", "__thr")
   }
 
+  /** GPT-style pretraining sequence-packing MANIFEST: concatenate the
+    * corpus in doc_id order and cut fixed `seqLen`-token training
+    * sequences across document boundaries (the "pack documents
+    * end-to-end, split at the sequence boundary" assembly every
+    * GPT/T5-style pretraining run performs) — WITHOUT materializing a
+    * single token. Returns one row per (sequence, document) span:
+    *
+    *   (seq_id, doc_id, doc_from, seq_from, n_tokens)
+    *
+    * — doc d contributes its tokens [doc_from, doc_from+n_tokens) at
+    * position seq_from of sequence seq_id. Every sequence's spans sum
+    * to exactly seqLen (the last may be short); every doc's spans
+    * partition [0, its token count); zero-token docs contribute
+    * nothing. A training loader joins the manifest back to the text
+    * (or subword) column and slices — the engine ships the integer
+    * plan, not a token explosion.
+    *
+    * `tokens` is the pluggable budget unit ([[tokenShards]]'s knob) —
+    * pass a BPE count to pack in model tokens.
+    *
+    * Scale: the global offsets are the [[tokenShards]] distributed
+    * prefix-sum machinery (range partition + per-partition window +
+    * driver offsets — never a single-partition window); the explode
+    * emits docs + boundary-crossings rows (≤ docs + total/seqLen),
+    * manifest-sized, not token-sized. Offset arithmetic is exact
+    * integer `div`, no doubles anywhere.
+    */
+  def packSequences(docs: DataFrame, seqLen: Long, numParts: Int = 32,
+      tokens: Column = TextAnalysis.tokenCount(col("text"))): DataFrame = {
+    require(seqLen > 0, s"seqLen must be > 0, got $seqLen")
+    val toks = docs.select(col("doc_id"),
+      tokens.cast("long").as("n_tokens"))
+    val (ranged, offCol) = rangedWithOffsets(toks, numParts,
+      Seq(col("doc_id")), sum(col("n_tokens")))
+    val w = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged
+      .withColumn("cum_prev",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)) + offCol)
+      .where(col("n_tokens") > 0)
+      .withColumn("seq_id", explode(sequence(
+        expr(s"cum_prev div $seqLen"),
+        expr(s"(cum_prev + n_tokens - 1) div $seqLen"))))
+      .withColumn("start",
+        greatest(col("cum_prev"), col("seq_id") * seqLen))
+      .withColumn("stop",
+        least(col("cum_prev") + col("n_tokens"),
+          (col("seq_id") + 1) * seqLen))
+      .select(col("seq_id"), col("doc_id"),
+        (col("start") - col("cum_prev")).as("doc_from"),
+        (col("start") - col("seq_id") * seqLen).as("seq_from"),
+        (col("stop") - col("start")).as("n_tokens"))
+  }
+
   // ------------------------------------- DSIR importance resampling
 
   /** Hashed bag-of-ngrams feature stream for DSIR (Xie et al., "Data

@@ -682,6 +682,54 @@ object StreamingAgg {
     } finally b.unpersist()
   }
 
+  /** Streaming DSIR scoring — the eighth bridge, the
+    * [[scoreStreamQuality]] design applied to the importance-weight
+    * tier: each micro-batch's documents gain `n_ngrams` and
+    * `log_weight` under a persisted
+    * [[graft.operators.Sharding.writeDsirModel]] ratio table — exactly
+    * q123's shape, bit-identical to the batch scorer under the same
+    * model — so target-distribution selection (a log-weight floor, a
+    * Gumbel draw against a budget) runs at ingest instead of at the
+    * weekly refresh. SCORING, never filtering: the verdict is the
+    * sink's. Stateless, probe-only, model re-read per trigger (a
+    * B-row ratio table is metadata-sized; a `train-dsir` refit lands
+    * on the next batch without a restart); a missing or crashed model
+    * refuses on every batch, empty ones included.
+    *
+    * Input needs (ts, doc_id, text); extra columns ride along.
+    */
+  def scoreStreamDsir(docs: DataFrame, modelDir: String,
+      horizon: String = "1 hour")(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs
+      .withWatermark("ts", horizon)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processDsirScoreBatch(batch, modelDir, batchId)(sink)
+      }
+
+  /** [[scoreStreamDsir]]'s per-micro-batch body, factored like its
+    * seven siblings so the spec drives it directly. */
+  private[graft] def processDsirScoreBatch(batch: DataFrame,
+      modelDir: String, batchId: Long)(
+      sink: (DataFrame, Long) => Unit): Unit = {
+    import graft.operators.Sharding
+    val spark = batch.sparkSession
+    val (weights, buckets) = Sharding.readDsirModel(spark, modelDir)
+    val b = batch
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try if (b.isEmpty) {
+      sink(b.withColumn("n_ngrams", lit(null).cast("long"))
+        .withColumn("log_weight", lit(null).cast("double")), batchId)
+    } else {
+      sink(b.join(
+        Sharding.dsirScore(b.select(col("doc_id"), col("text")),
+          weights, buckets),
+        Seq("doc_id")), batchId)
+    } finally b.unpersist()
+  }
+
   /** Streaming incremental PERCEPTUAL dedup against a persisted image
     * index ([[graft.operators.Multimodal.writeImageIndex]] — the Hamming
     * layout): exact byte duplicates collapse in-stream via

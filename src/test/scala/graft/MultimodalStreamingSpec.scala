@@ -897,4 +897,57 @@ class MultimodalStreamingSpec extends SparkSuite {
       assert(math.abs(m(1L) - 0.982014) < 1e-6)
     }
   }
+
+  test("streaming DSIR scoring equals the batch scorer under the " +
+      "stored ratio table; empty batches keep schema; a missing model " +
+      "refuses") {
+    import graft.operators.Sharding
+    val model = java.nio.file.Files
+      .createTempDirectory("graft_streamdsir").toString
+    val target = Seq((100L, "curated high quality prose"))
+      .toDF("doc_id", "text")
+    val raw = Seq((0L, "curated high quality prose"),
+      (1L, "zzz qqq junk words")).toDF("doc_id", "text")
+    Sharding.writeDsirModel(spark,
+      Sharding.dsirWeights(target, raw, buckets = 32), 32, model)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val batch = Seq(
+      (ts("2024-01-01 10:00:00"), 1L, "curated high quality prose"),
+      (ts("2024-01-01 10:00:01"), 2L, "zzz qqq junk words"),
+      (ts("2024-01-01 10:00:02"), 3L, ""))
+      .toDF("ts", "doc_id", "text")
+    var scored: Map[Long, (Long, Double)] = Map.empty
+    StreamingAgg.processDsirScoreBatch(batch, model, 0L) { (out, _) =>
+      val oc = out.columns.toSeq
+      assert(oc.toSet === Set("ts", "doc_id", "text", "n_ngrams",
+        "log_weight"))
+      scored = out.collect().map(r => r.getLong(oc.indexOf("doc_id")) ->
+        ((r.getLong(oc.indexOf("n_ngrams")),
+          r.getDouble(oc.indexOf("log_weight"))))).toMap
+    }
+    val (w, b32) = Sharding.readDsirModel(spark, model)
+    val expect = Sharding.dsirScore(
+        batch.select($"doc_id", $"text"), w, b32)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(scored === expect)
+    assert(scored(1L)._2 > scored(2L)._2) // target-like outweighs junk
+    assert(scored(3L) === ((0L, 0.0)))    // token-free completeness
+    // empty batch: schema preserved
+    StreamingAgg.processDsirScoreBatch(
+      Seq.empty[(java.sql.Timestamp, Long, String)]
+        .toDF("ts", "doc_id", "text"), model, 1L) { (out, _) =>
+      assert(out.columns.toSet === Set("ts", "doc_id", "text",
+        "n_ngrams", "log_weight"))
+      assert(out.isEmpty)
+    }
+    // a missing model refuses on every batch, empty included
+    intercept[IllegalArgumentException] {
+      StreamingAgg.processDsirScoreBatch(
+        Seq.empty[(java.sql.Timestamp, Long, String)]
+          .toDF("ts", "doc_id", "text"), s"$model/nope", 2L) {
+        (_, _) => ()
+      }
+    }
+  }
 }

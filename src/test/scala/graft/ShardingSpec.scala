@@ -341,6 +341,38 @@ class ShardingSpec extends SparkSuite {
     assert(weights(9L) === 0L && weights(8L) === 1L)
   }
 
+  test("packSequences cuts exact seqLen spans across doc boundaries: " +
+      "hand-checked manifest, per-sequence and per-doc invariants") {
+    val docs = Seq(
+      (0L, "a b c"),          // 3 tokens -> [0,3)
+      (1L, "d e f g"),        // 4 tokens -> [3,7) crosses seq 0|1
+      (2L, ""),               // zero tokens -> no spans
+      (3L, "h i j k l"))      // 5 tokens -> [7,12) crosses seq 1|2
+      .toDF("doc_id", "text")
+    val m = Sharding.packSequences(docs, seqLen = 5, numParts = 2)
+      .orderBy($"seq_id", $"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(m.toSeq === Seq(
+      (0L, 0L, 0L, 0L, 3L),   // doc 0 whole, at seq 0 pos 0
+      (0L, 1L, 0L, 3L, 2L),   // doc 1 head fills seq 0
+      (1L, 1L, 2L, 0L, 2L),   // doc 1 tail opens seq 1
+      (1L, 3L, 0L, 2L, 3L),   // doc 3 head fills seq 1
+      (2L, 3L, 3L, 0L, 2L)))  // doc 3 tail opens seq 2 (short last)
+    // every sequence sums to seqLen except the last
+    val bySeq = m.groupBy(_._1).view.mapValues(_.map(_._5).sum).toMap
+    assert(bySeq === Map(0L -> 5L, 1L -> 5L, 2L -> 2L))
+    // every doc's spans partition [0, n): contiguous from 0
+    m.groupBy(_._2).foreach { case (_, spans) =>
+      val s = spans.sortBy(_._3)
+      assert(s.head._3 === 0L)
+      s.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 + a._5 === b._3)
+        case _ =>
+      }
+    }
+  }
+
   test("dsir: target-like docs outweigh junk, scores are complete and " +
       "deterministic, resample favors high weights and redraws by salt") {
     val B = 256

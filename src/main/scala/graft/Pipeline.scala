@@ -678,8 +678,8 @@ object Pipeline {
           // the modality adds zero joins and zero shuffles
           val publishedTok = bpeMerges match {
             case Some(m) => publishedQual.withColumn("n_subwords",
-              size(graft.functions.native.bpe_encode(
-                graft.operators.Bpe.bpeTokens(col("text")), m)))
+              graft.functions.native.bpe_count(
+                graft.operators.Bpe.bpeTokens(col("text")), m))
             case None => publishedQual
           }
           stagedWrite(spark, allPairs, pairsPart)
@@ -1297,40 +1297,6 @@ object Pipeline {
     } finally corpusIds.unpersist()
   }
 
-  /** Distill the published corpus' LM quality signal into a PERSISTED
-    * classifier model — the season-cadence model build the `quality`
-    * refresh modality consumes, and CCNet's actual construction
-    * (arXiv:1911.00359: the classifier learns to tell the LM head from
-    * the tail): [[graft.operators.TextAnalysis.lmScore]] over the
-    * corpus → tercile split → head tercile = good seeds, tail = bad →
-    * [[graft.operators.QualityClassifier.train]] →
-    * [[graft.operators.QualityClassifier.writeModel]] under
-    * `modelDir`.
-    *
-    * Cost: ONE LM-scoring pass over the published corpus (corpus-scale
-    * — schedule at maintenance cadence like [[sweepContainment]], not
-    * weekly), then a SAMPLE-sized LR fit: each class is capped at
-    * `maxSeedsPerClass` docs (the lowest doc ids of its tercile — a
-    * bounded TakeOrdered, deterministic across runs) so the MLlib fit
-    * never scales with the corpus. Takes the model dir's lease while
-    * writing (single-writer discipline); a weekly refresh reading the
-    * model is a READER and is never blocked.
-    *
-    * Returns (n_weights, bias) for the cron line's report.
-    */
-  /** Season-cadence BPE tokenizer build over the published corpus —
-    * the token-accounting sibling of [[trainQualityModel]]: one
-    * distributed word-type count (shuffle ∝ corpus tokens, output
-    * capped to the top `maxTypes` types — the seed-cap discipline,
-    * and how subword vocabularies are trained in practice), the
-    * sequential merge loop on that bounded table, and the model
-    * persisted under `modelDir` for [[graft.operators.Bpe.encode]]'s
-    * map-only corpus-wide application. Holds the model dir's lease
-    * while writing; encode-side readers are never blocked.
-    *
-    * Returns the number of merges learned (≤ numMerges — training
-    * stops early when no pair repeats).
-    */
   /** Season-cadence DSIR model build: fit the hashed bag-of-ngrams
     * importance ratios of a TARGET document set (the distribution you
     * want — a curated high-quality dir) against the published corpus
@@ -1357,6 +1323,19 @@ object Pipeline {
     buckets
   }
 
+  /** Season-cadence BPE tokenizer build over the published corpus —
+    * the token-accounting sibling of [[trainQualityModel]]: one
+    * distributed word-type count (shuffle ∝ corpus tokens, output
+    * capped to the top `maxTypes` types — the seed-cap discipline,
+    * and how subword vocabularies are trained in practice), the
+    * sequential merge loop on that bounded table, and the model
+    * persisted under `modelDir` for [[graft.operators.Bpe.encode]]'s
+    * map-only corpus-wide application. Holds the model dir's lease
+    * while writing; encode-side readers are never blocked.
+    *
+    * Returns the number of merges learned (≤ numMerges — training
+    * stops early when no pair repeats).
+    */
   def trainBpeModel(spark: SparkSession, corpusDir: String,
       modelDir: String, numMerges: Int = 1000,
       maxTypes: Int = 20000): Int = {
@@ -1371,6 +1350,27 @@ object Pipeline {
     merges.size
   }
 
+  /** Distill the published corpus' LM quality signal into a PERSISTED
+    * classifier model — the season-cadence model build the `quality`
+    * refresh modality consumes, and CCNet's actual construction
+    * (arXiv:1911.00359: the classifier learns to tell the LM head from
+    * the tail): [[graft.operators.TextAnalysis.lmScore]] over the
+    * corpus → tercile split → head tercile = good seeds, tail = bad →
+    * [[graft.operators.QualityClassifier.train]] →
+    * [[graft.operators.QualityClassifier.writeModel]] under
+    * `modelDir`.
+    *
+    * Cost: ONE LM-scoring pass over the published corpus (corpus-scale
+    * — schedule at maintenance cadence like [[sweepContainment]], not
+    * weekly), then a SAMPLE-sized LR fit: each class is capped at
+    * `maxSeedsPerClass` docs (the lowest doc ids of its tercile — a
+    * bounded TakeOrdered, deterministic across runs) so the MLlib fit
+    * never scales with the corpus. Takes the model dir's lease while
+    * writing (single-writer discipline); a weekly refresh reading the
+    * model is a READER and is never blocked.
+    *
+    * Returns (n_weights, bias) for the cron line's report.
+    */
   def trainQualityModel(spark: SparkSession, corpusDir: String,
       modelDir: String, topV: Int = 4096,
       maxSeedsPerClass: Int = 100000): (Long, Double) = {

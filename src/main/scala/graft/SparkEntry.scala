@@ -1130,8 +1130,8 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val merges = Bpe.train(docs, numMerges = 64)
       Sharding.tokenShards(docs, budget = 2000,
-          tokens = size(graft.functions.native.bpe_encode(
-            Bpe.bpeTokens(col("text")), merges)))
+          tokens = graft.functions.native.bpe_count(
+            Bpe.bpeTokens(col("text")), merges))
         .orderBy(col("doc_id").asc)
     }),
     "q123_dsir_weight" -> ((s, dir) => {
@@ -3173,7 +3173,8 @@ object SparkEntry {
       |  FROM documents),
       |nrm AS (
       |  SELECT doc_id,
-      |    list_filter(list_transform(string_split(text, chr(10)),
+      |    list_filter(list_transform(
+      |      regexp_split_to_array(text, '\r?\n'),
       |      x -> trim(x)), x -> x != '') AS tk
       |  FROM src),
       |ch AS (

@@ -839,69 +839,26 @@ case class BpeEncodeExpr(child: Expression,
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "bpe_encode"
 
-  @transient private lazy val rank: java.util.HashMap[String, Integer] = {
-    val m = new java.util.HashMap[String, Integer](merges.size * 2)
-    merges.zipWithIndex.foreach { case ((l, r), i) =>
-      // the " " separator never occurs inside a symbol (symbols
-      // come from whitespace-split word characters and "</w>")
-      m.put(l + " " + r, i)
-    }
-    m
-  }
-
-  private def encodeWord(w: String,
-      out: scala.collection.mutable.ArrayBuffer[UTF8String]): Unit = {
-    val syms = new scala.collection.mutable.ArrayBuffer[String](w.length + 1)
-    var ci = 0
-    while (ci < w.length) {
-      // code-point-safe split: surrogate pairs stay one symbol
-      val cp = w.codePointAt(ci)
-      val n = Character.charCount(cp)
-      syms += w.substring(ci, ci + n)
-      ci += n
-    }
-    syms += BpeEncodeExpr.Eow
-    var done = false
-    while (!done) {
-      var bestRank = Int.MaxValue
-      var i = 0
-      while (i < syms.length - 1) {
-        val r = rank.get(syms(i) + " " + syms(i + 1))
-        if (r != null && r < bestRank) bestRank = r
-        i += 1
-      }
-      if (bestRank == Int.MaxValue) done = true
-      else {
-        val (l, r) = merges(bestRank)
-        i = 0
-        while (i < syms.length - 1) {
-          if (syms(i) == l && syms(i + 1) == r) {
-            syms(i) = l + r
-            syms.remove(i + 1)
-          } else i += 1
-        }
-      }
-    }
-    syms.foreach(s => out += UTF8String.fromString(s))
-  }
+  @transient private lazy val coder = new BpeEncodeExpr.Coder(merges)
 
   /** Per-row kernel, also called from generated code. */
   def kernel(input: Any): ArrayData = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val out = new scala.collection.mutable.ArrayBuffer[UTF8String]()
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
     var i = 0
     while (i < n) {
       // null tokens contribute nothing (the CdcChunksExpr degradation
       // rule: token arrays here never hold nulls, but this is public)
       if (!arr.isNullAt(i)) {
         val w = arr.getUTF8String(i).toString
-        if (w.nonEmpty) encodeWord(w, out)
+        if (w.nonEmpty)
+          coder.wordSyms(w).foreach(s => out += UTF8String.fromString(s))
       }
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      out.toArray[Any])
+      out.toArray)
   }
 
   override protected def nullSafeEval(input: Any): Any = kernel(input)
@@ -918,12 +875,113 @@ case class BpeEncodeExpr(child: Expression,
       newChild: Expression): BpeEncodeExpr = copy(child = newChild)
 }
 
+/** [[BpeEncodeExpr]]'s count-only sibling: the SUBWORD COUNT of a
+  * token array under the merges, without materializing a single
+  * subword string — the token-accounting hot path (the refresh
+  * tokenizer modality, model-token shard budgets) only ever consumes
+  * `size(subwords)`, and building then discarding the strings is the
+  * same waste class the DSIR ngram kernel eliminated.
+  */
+case class BpeCountExpr(child: Expression,
+    merges: Seq[(String, String)]) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_count"
+
+  @transient private lazy val coder = new BpeEncodeExpr.Coder(merges)
+
+  /** Per-row kernel, also called from generated code. */
+  def kernel(input: Any): Int = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var total = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val w = arr.getUTF8String(i).toString
+        if (w.nonEmpty) total += coder.wordSyms(w).length
+      }
+      i += 1
+    }
+    total
+  }
+
+  override protected def nullSafeEval(input: Any): Any = kernel(input)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val self = ctx.addReferenceObj("bpeCountKernel", this,
+        this.getClass.getName)
+      s"${ev.value} = $self.kernel($c);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BpeCountExpr = copy(child = newChild)
+}
+
 object BpeEncodeExpr {
   /** The end-of-word marker, a SEPARATE final symbol (one of Sennrich's
     * two stated variants; the separate-symbol form keeps every word
     * character symbol intact, so `concat(subwords) == word + "</w>"`
     * is an exact invariant the specs pin). */
   val Eow = "</w>"
+
+  /** The shared greedy-by-rank merge machinery behind the encode and
+    * count kernels — ONE definition, so the two can never disagree on
+    * a word's segmentation. */
+  final class Coder(merges: Seq[(String, String)])
+      extends Serializable {
+    private val table = merges.toIndexedSeq
+    private val rank: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](table.size * 2)
+      table.zipWithIndex.foreach { case ((l, r), i) =>
+        // the " " separator never occurs inside a symbol (symbols
+        // come from whitespace-split word characters and "</w>")
+        m.put(l + " " + r, i)
+      }
+      m
+    }
+
+    /** The word's final symbol sequence under the merges: character
+      * symbols (code-point-safe) + the `</w>` marker, then the
+      * lowest-rank merge present applied to all its occurrences
+      * left-to-right, repeatedly. */
+    def wordSyms(w: String): scala.collection.mutable.ArrayBuffer[String] = {
+      val syms =
+        new scala.collection.mutable.ArrayBuffer[String](w.length + 1)
+      var ci = 0
+      while (ci < w.length) {
+        val cp = w.codePointAt(ci)
+        val n = Character.charCount(cp)
+        syms += w.substring(ci, ci + n)
+        ci += n
+      }
+      syms += Eow
+      var done = false
+      while (!done) {
+        var bestRank = Int.MaxValue
+        var i = 0
+        while (i < syms.length - 1) {
+          val r = rank.get(syms(i) + " " + syms(i + 1))
+          if (r != null && r < bestRank) bestRank = r
+          i += 1
+        }
+        if (bestRank == Int.MaxValue) done = true
+        else {
+          val (l, r) = table(bestRank)
+          i = 0
+          while (i < syms.length - 1) {
+            if (syms(i) == l && syms(i + 1) == r) {
+              syms(i) = l + r
+              syms.remove(i + 1)
+            } else i += 1
+          }
+        }
+      }
+      syms
+    }
+  }
 }
 
 object native {
@@ -969,6 +1027,11 @@ object native {
     * featurization) — one pass, no ngram strings materialized. */
   def ngram_buckets(tokens: Column, buckets: Int): Column =
     c(NgramBucketsExpr(e(tokens), buckets))
+
+  /** BPE subword COUNT from a TOKEN array — the encode kernel's
+    * segmentation without materializing the subword strings. */
+  def bpe_count(tokens: Column, merges: Seq[(String, String)]): Column =
+    c(BpeCountExpr(e(tokens), merges))
 
   /** Sorted distinct shingle hashes from a TOKEN array, for merge-based
     * exact Jaccard via [[sorted_intersect_count]]. */

@@ -38,9 +38,7 @@ object Bpe {
     * normalization as [[TextAnalysis.tokenStream]], stated once here
     * so training and encoding can never disagree on word boundaries.
     */
-  def bpeTokens(text: Column): Column =
-    filter(split(regexp_replace(lower(coalesce(text, lit(""))),
-      TextAnalysis.WsPattern + "+", " "), " "), t => t =!= lit(""))
+  def bpeTokens(text: Column): Column = TextAnalysis.normTokens(text)
 
   /** Distributed word-type table: top `maxTypes` (word, cnt) by count,
     * ties lexicographic — deterministic, bounded (TakeOrdered). */

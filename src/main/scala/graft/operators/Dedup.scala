@@ -932,12 +932,15 @@ object Dedup {
     chunkDedupTail(lineChunkBase(docs), sep = "\n")
 
   /** (doc_id, chunks) under the line rule — chunks are the trimmed
-    * non-empty newline-delimited lines. Same barrier rationale as
-    * [[gridChunkBase]]. */
+    * non-empty newline-delimited lines. The split eats an optional
+    * `\r` before each `\n`: space-only trim would keep a CRLF line's
+    * trailing `\r`, and a Windows-authored boilerplate footer would
+    * then never match its LF twin — the exact duplication class this
+    * rule exists for. Same barrier rationale as [[gridChunkBase]]. */
   private def lineChunkBase(docs: DataFrame,
       withBarrier: Boolean = true): DataFrame =
     maybeBarrier(withBarrier)(docs.select(col("doc_id"),
-      filter(transform(split(coalesce(col("text"), lit("")), "\n"),
+      filter(transform(split(coalesce(col("text"), lit("")), "\r?\n"),
           l => trim(l)), l => l =!= "").as("chunks")))
 
   private def chunkBaseFor(docs: DataFrame, rule: String,

@@ -210,6 +210,22 @@ object Fsck {
             "interrupted writer to completion")
       return b.toList
     }
+    // the MODEL families' canonical crash state: data written FIRST
+    // (weights/merges/ratios), params/ LAST — a params-less model dir
+    // is a crashed write every reader refuses, and must alarm here
+    // exactly like a crashed index write (their subdir names are not
+    // in DataSubdirs, so the check above cannot see them)
+    val modelData = names.intersect(Set("weights", "merges", "ratios"))
+    if (!hasParams && modelData.nonEmpty) {
+      modelData.toSeq.sorted.foreach { sub =>
+        b += Finding(dir, sub, "error",
+          s"model data $sub/ with no params/ — a crashed model write " +
+            "(params are written LAST); every reader refuses. " +
+            "Recover: re-run the matching writeModel/writeDsirModel " +
+            "to completion")
+      }
+      return b.toList
+    }
     if (!hasParams) return b.toList // not an index dir
 
     val family =

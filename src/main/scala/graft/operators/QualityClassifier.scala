@@ -60,9 +60,7 @@ object QualityClassifier {
       bias: Double): DataFrame = {
     val w = broadcast(weights.select(col("token"), col("weight")))
     docs.select(col("doc_id"),
-        explode_outer(filter(split(regexp_replace(lower(col("text")),
-            TextAnalysis.WsPattern + "+", " "), " "),
-          t => t =!= lit(""))).as("token"))
+        explode_outer(TextAnalysis.normTokens(col("text"))).as("token"))
       .join(w, Seq("token"), "left")
       .groupBy(col("doc_id"))
       .agg(sum(coalesce(col("weight"), lit(0.0))).as("__z"))

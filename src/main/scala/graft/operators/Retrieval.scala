@@ -61,9 +61,7 @@ object Retrieval {
         (col("n_tokens").cast("double") /
           col("n_docs").cast("double")).as("avgdl"))
     val qterms = queries.select(col("query_id"),
-        explode(TextAnalysis.tokens(
-          regexp_replace(lower(coalesce(col("text"), lit(""))),
-            TextAnalysis.WsPattern + "+", " "))).as("token"))
+        explode(TextAnalysis.normTokens(col("text"))).as("token"))
       .distinct()
     // df restricted to the query terms: the distinct (doc, term)
     // postings semi-join against the broadcast term set, then one

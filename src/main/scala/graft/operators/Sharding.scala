@@ -466,10 +466,7 @@ object Sharding {
     * built-in HOF formulation measured ~5x slower at sf0.1).
     */
   private def dsirBuckets(text: Column, buckets: Int): Column =
-    native.ngram_buckets(
-      filter(split(regexp_replace(lower(coalesce(text, lit(""))),
-        TextAnalysis.WsPattern + "+", " "), " "), t => t =!= lit("")),
-      buckets)
+    native.ngram_buckets(TextAnalysis.normTokens(text), buckets)
 
   /** Per-bucket DSIR log importance ratios: fit two add-one-smoothed
     * hashed bag-of-ngrams models — `target` (the distribution you WANT,
@@ -554,14 +551,20 @@ object Sharding {
     import spark.implicits._
     val fs = new Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new Path(s"$dir/params")))
-      fs.delete(new Path(s"$dir/params"), true)
-    val n = weights.count()
+    // materialize AND validate before touching the standing model: the
+    // count() below runs the full two-pass fit, and deleting params/
+    // first would turn a refused (wrong-buckets) or failed fit into a
+    // destroyed previously-healthy model — and a refusal window during
+    // which every per-trigger scoreStreamDsir re-read dies
+    val mat = Barriers.barrier(
+      weights.select(col("bucket"), col("log_ratio")))
+    val n = mat.count()
     require(n == buckets.toLong,
       s"writeDsirModel: weight table has $n rows, expected the " +
         s"complete $buckets-bucket domain (dsirWeights' contract)")
-    weights.select(col("bucket"), col("log_ratio"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/ratios")
+    if (fs.exists(new Path(s"$dir/params")))
+      fs.delete(new Path(s"$dir/params"), true)
+    mat.coalesce(1).write.mode("overwrite").parquet(s"$dir/ratios")
     Seq((buckets.toLong, "dsir_ratios")).toDF("n_buckets", "family")
       .coalesce(1).write.parquet(s"$dir/params")
   }

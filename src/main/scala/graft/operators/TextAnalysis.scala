@@ -26,6 +26,17 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= lit(""))
 
+  /** The NORMALIZED word tokens every model surface shares —
+    * lowercased, whitespace-class collapsed, empties dropped,
+    * null-safe. Defined ONCE: [[tokenStream]], the BPE tokenizer, the
+    * DSIR featurization, BM25's query side and the quality classifier
+    * all tokenize through this, so no two surfaces can disagree on
+    * word boundaries (and the DuckDB oracles mirror exactly one
+    * pipeline). */
+  def normTokens(text: Column): Column =
+    tokens(regexp_replace(lower(coalesce(text, lit(""))),
+      WsPattern + "+", " "))
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** A BPE-ish subword proxy: word chunks of <=4 chars — counts how many
@@ -246,9 +257,7 @@ object TextAnalysis {
   /** Normalized (lowercased, whitespace-collapsed) token stream:
     * (doc_id, token) rows. */
   def tokenStream(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      explode(filter(split(regexp_replace(lower(col("text")), WsPattern + "+", " "),
-        " "), t => t =!= lit(""))).as("token"))
+    docs.select(col("doc_id"), explode(normTokens(col("text"))).as("token"))
 
   /** Corpus vocabulary: top `limit` tokens by frequency, ties broken
     * lexicographically — the term-count pass of a tokenizer-training

@@ -103,6 +103,18 @@ class BpeSpec extends SparkSuite {
     }
   }
 
+  test("the count-only kernel segments identically to the encoder") {
+    import graft.functions.native
+    val merges = Bpe.trainOnTypes(sennrich, 5)
+    val docs = Seq((0L, "low lower newest widest"), (1L, "lowest"),
+      (2L, ""), (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val enc = Bpe.encode(docs, merges)
+      .select($"doc_id", $"n_subwords",
+        native.bpe_count(Bpe.bpeTokens($"text"), merges).as("n2"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    enc.foreach { case (id, a, b) => assert(a === b, s"doc $id") }
+  }
+
   test("trainBpeModel builds a readable model from a published corpus " +
       "under the model dir's lease") {
     val root = java.nio.file.Files.createTempDirectory("bpetm").toString

@@ -1176,6 +1176,14 @@ class CorpusRefreshSpec extends SparkSuite {
       Sharding.writeDsirModel(spark, fresh.limit(10), 64,
         s"$root/model2")
     }
+    // ...and a REFUSED write onto a standing model leaves it healthy
+    // (validation runs before params/ is touched — a bad cron knob
+    // must not destroy the model the streams are scoring under)
+    intercept[IllegalArgumentException] {
+      Sharding.writeDsirModel(spark, fresh.limit(10), 64,
+        s"$root/model")
+    }
+    assert(Sharding.readDsirModel(spark, s"$root/model")._2 === 64)
     // a held lease refuses the build
     graft.operators.Lease.acquire(spark, s"$root/model", "other")
     intercept[IllegalStateException] {

@@ -745,6 +745,16 @@ class DedupSpec extends SparkSuite {
     assert(r(2) === ((2L, 0, 0, "")))
     assert(r(3) === ((3L, 0, 0, "")))
     assert(r(4) === ((4L, 2, 0, "")))
+    // CRLF-authored lines dedup against their LF twins (the split eats
+    // the \r — a trailing carriage return must not defeat the rule)
+    val crlf = Seq(
+      (0L, "shared footer\nunique lf"),
+      (1L, "shared footer\r\nunique crlf\r\n"))
+      .toDF("doc_id", "text")
+    val rc = Dedup.dedupLines(crlf).orderBy($"doc_id").collect()
+      .map(x => (x.getLong(0), x.getInt(2), x.getString(3)))
+    assert(rc(0) === ((0L, 2, "shared footer\nunique lf")))
+    assert(rc(1) === ((1L, 1, "unique crlf")))
   }
 
   test("incremental line dedup against a persisted line-rule index " +

@@ -233,6 +233,24 @@ class FsckSpec extends SparkSuite {
       f2.mkString("\n"))
   }
 
+  test("a model dir's CANONICAL crash state — data written, params " +
+      "not yet — errs instead of passing silently as 'not an index'") {
+    val root = mkRoot()
+    // merges/ without params/: exactly what a crash inside
+    // Bpe.writeModel leaves (params are deleted first, written last)
+    Seq((0, "e", "s")).toDF("rank", "left", "right")
+      .write.parquet(s"$root/bpe/merges")
+    // ratios/ without params/: writeDsirModel's equivalent
+    spark.range(4).select($"id".cast("int").as("bucket"),
+        lit(0.1).as("log_ratio"))
+      .write.parquet(s"$root/dsir/ratios")
+    val f = Fsck.check(spark, root)
+    assert(f.exists(x => x.dir == s"$root/bpe" && x.level == "error" &&
+      x.component == "merges"), f.mkString("\n"))
+    assert(f.exists(x => x.dir == s"$root/dsir" && x.level == "error" &&
+      x.component == "ratios"), f.mkString("\n"))
+  }
+
   test("a DSIR model dir surveys as a recognized healthy shape, and " +
       "its crashed write (params without ratios) errs") {
     val root = mkRoot()

@@ -208,7 +208,7 @@ object CorpusMain {
         val fs = new org.apache.hadoop.fs.Path(indexRoot)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         Seq("minhash", "hamming", "chunk", "ivf", "benchmark",
-            "containment")
+            "containment", "bm25")
           .filter(f => fs.exists(
             new org.apache.hadoop.fs.Path(s"$indexRoot/$f/params")))
           .foreach { f =>

@@ -1408,7 +1408,7 @@ object Pipeline {
     val fs = new Path(indexRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq("minhash", "hamming", "chunk", "ivf", "benchmark",
-        "containment").foreach { f =>
+        "containment", "bm25").foreach { f =>
       if (fs.exists(new Path(s"$indexRoot/$f/params")))
         // one lease per family, held only for that family's
         // compaction — a refresh starting mid-maintenance conflicts

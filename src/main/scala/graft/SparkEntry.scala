@@ -1088,6 +1088,21 @@ object SparkEntry {
       Retrieval.bm25TopK(t(s, dir, "documents"), queries, k = 10)
         .orderBy(col("query_id").asc, col("rank").asc)
     }),
+    // BM25 through the persisted index: stored postings/doclen/stats,
+    // DPP-pruned probe — identical output to q129's inline run, so it
+    // shares q129's oracle (the index round-trip is the proof)
+    "q133_bm25_indexed" -> ((s, dir) => {
+      import s.implicits._
+      val idx = ivfIndexDir(dir, "bm133")
+      Retrieval.writeBm25Index(t(s, dir, "documents"), idx,
+        tokenBuckets = 32, dlBuckets = 32)
+      val queries = Seq(
+        (0, "spark hash join"),
+        (1, "window sort merge"),
+        (2, "stream batch dup")).toDF("query_id", "text")
+      Retrieval.bm25TopKIndexed(s, queries, idx, k = 10)
+        .orderBy(col("query_id").asc, col("rank").asc)
+    }),
     // sequence-packing manifest: the corpus cut into fixed 512-token
     // training sequences across doc boundaries — pure integer
     // arithmetic, oracle-checked span for span
@@ -2280,59 +2295,10 @@ object SparkEntry {
       // BM25: same tokenization as q40, Lucene-style non-negative idf
       // rounded to 6 decimals, avgdl = Σ tokens / N over ALL docs,
       // per-(query, doc) sum rounded to 6, rank by (score desc, id)
-      "q129_bm25_topk" ->
-        """WITH tok AS (
-          |  SELECT doc_id,
-          |    unnest(list_filter(string_split(
-          |      regexp_replace(lower(coalesce(text, '')),
-          |        '[ \t\n\r\f\x0B]+', ' ', 'g'),
-          |      ' '), x -> x != '')) AS token
-          |  FROM documents),
-          |tf AS (SELECT doc_id, token, count(*) AS tf
-          |       FROM tok GROUP BY 1, 2),
-          |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
-          |stats AS (
-          |  SELECT (SELECT count(*) FROM documents) AS n_docs,
-          |    (SELECT count(*) FROM tok)::DOUBLE
-          |      / (SELECT count(*) FROM documents) AS avgdl),
-          |q(query_id, qtext) AS (VALUES
-          |  (0, 'spark hash join'),
-          |  (1, 'window sort merge'),
-          |  (2, 'stream batch dup')),
-          |qt AS (
-          |  SELECT DISTINCT query_id,
-          |    unnest(list_filter(string_split(
-          |      regexp_replace(lower(qtext),
-          |        '[ \t\n\r\f\x0B]+', ' ', 'g'),
-          |      ' '), x -> x != '')) AS token
-          |  FROM q),
-          |dfreq AS (
-          |  SELECT token, count(*) AS df FROM tf
-          |  WHERE token IN (SELECT token FROM qt) GROUP BY 1),
-          |idf AS (
-          |  SELECT token,
-          |    round(ln(1 + (stats.n_docs - df + 0.5) / (df + 0.5)), 6)
-          |      AS idf
-          |  FROM dfreq, stats),
-          |cand AS (
-          |  SELECT qt.query_id, tf.doc_id,
-          |    idf.idf * tf.tf * (1.2 + 1.0)
-          |      / (tf.tf + 1.2 * (1.0 - 0.75
-          |           + 0.75 * dl.dl / stats.avgdl)) AS part
-          |  FROM tf JOIN qt USING (token) JOIN idf USING (token)
-          |    JOIN dl USING (doc_id), stats),
-          |scored AS (
-          |  SELECT query_id, doc_id, round(sum(part), 6) AS score
-          |  FROM cand GROUP BY 1, 2),
-          |ranked AS (
-          |  SELECT query_id, doc_id, score,
-          |    row_number() OVER (PARTITION BY query_id
-          |      ORDER BY score DESC, doc_id ASC) AS rank
-          |  FROM scored)
-          |SELECT CAST(query_id AS INT) AS query_id, doc_id, score,
-          |  CAST(rank AS INT) AS rank
-          |FROM ranked WHERE rank <= 10
-          |ORDER BY query_id, rank""".stripMargin,
+      "q129_bm25_topk" -> bm25TopKSql,
+      // the stored-stats probe is output-identical to the inline run —
+      // same oracle (the index round-trip is the correctness claim)
+      "q133_bm25_indexed" -> bm25TopKSql,
       // sequence packing: global doc offsets by cumulative token sum
       // in doc_id order, spans by exact integer division — the q66
       // token-count semantics (split on ' ', empties dropped)
@@ -3257,6 +3223,63 @@ object SparkEntry {
       |  FROM f JOIN w ON f.bucket = w.bucket
       |  GROUP BY f.doc_id)""".stripMargin
       .replace("__B__", buckets.toString)
+
+  /** DuckDB oracle for [[graft.operators.Retrieval.bm25TopK]] over the
+    * three fixture probe queries — shared by q129 (inline) and q133
+    * (persisted-index probe, output-identical by contract). */
+  private def bm25TopKSql: String =
+    """WITH tok AS (
+          |  SELECT doc_id,
+          |    unnest(list_filter(string_split(
+          |      regexp_replace(lower(coalesce(text, '')),
+          |        '[ \t\n\r\f\x0B]+', ' ', 'g'),
+          |      ' '), x -> x != '')) AS token
+          |  FROM documents),
+          |tf AS (SELECT doc_id, token, count(*) AS tf
+          |       FROM tok GROUP BY 1, 2),
+          |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+          |stats AS (
+          |  SELECT (SELECT count(*) FROM documents) AS n_docs,
+          |    (SELECT count(*) FROM tok)::DOUBLE
+          |      / (SELECT count(*) FROM documents) AS avgdl),
+          |q(query_id, qtext) AS (VALUES
+          |  (0, 'spark hash join'),
+          |  (1, 'window sort merge'),
+          |  (2, 'stream batch dup')),
+          |qt AS (
+          |  SELECT DISTINCT query_id,
+          |    unnest(list_filter(string_split(
+          |      regexp_replace(lower(qtext),
+          |        '[ \t\n\r\f\x0B]+', ' ', 'g'),
+          |      ' '), x -> x != '')) AS token
+          |  FROM q),
+          |dfreq AS (
+          |  SELECT token, count(*) AS df FROM tf
+          |  WHERE token IN (SELECT token FROM qt) GROUP BY 1),
+          |idf AS (
+          |  SELECT token,
+          |    round(ln(1 + (stats.n_docs - df + 0.5) / (df + 0.5)), 6)
+          |      AS idf
+          |  FROM dfreq, stats),
+          |cand AS (
+          |  SELECT qt.query_id, tf.doc_id,
+          |    idf.idf * tf.tf * (1.2 + 1.0)
+          |      / (tf.tf + 1.2 * (1.0 - 0.75
+          |           + 0.75 * dl.dl / stats.avgdl)) AS part
+          |  FROM tf JOIN qt USING (token) JOIN idf USING (token)
+          |    JOIN dl USING (doc_id), stats),
+          |scored AS (
+          |  SELECT query_id, doc_id, round(sum(part), 6) AS score
+          |  FROM cand GROUP BY 1, 2),
+          |ranked AS (
+          |  SELECT query_id, doc_id, score,
+          |    row_number() OVER (PARTITION BY query_id
+          |      ORDER BY score DESC, doc_id ASC) AS rank
+          |  FROM scored)
+          |SELECT CAST(query_id AS INT) AS query_id, doc_id, score,
+          |  CAST(rank AS INT) AS rank
+          |FROM ranked WHERE rank <= 10
+          |ORDER BY query_id, rank""".stripMargin
 
   private def chunkDedupSql(chunkTokens: Int): String =
     """WITH nrm AS (

@@ -1536,7 +1536,7 @@ object Dedup {
     * (idempotent — duplicate hash rows are the documented harmless
     * price) before any probe or further append is run.
     */
-  private def writeIndexScaffold(spark: SparkSession, dir: String,
+  private[operators] def writeIndexScaffold(spark: SparkSession, dir: String,
       mode: String)(checkAppend: => Unit)(writeData: => Unit)(
       params: => DataFrame): Unit = {
     require(mode == "overwrite" || mode == "append",
@@ -1567,6 +1567,14 @@ object Dedup {
     shinglesSchema.fields :+ StructField("bucket", IntegerType))
   private val chunksSchema = StructType(Seq(
     StructField("ch", StringType), StructField("bucket", IntegerType)))
+  // the BM25 retrieval family's datasets (written by
+  // [[Retrieval.writeBm25Index]], compacted/reported here)
+  private[operators] val bm25PostingsSchema = StructType(Seq(
+    StructField("token", StringType), StructField("doc_id", LongType),
+    StructField("tf", LongType), StructField("bucket", IntegerType)))
+  private[operators] val bm25DoclenSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("dl", LongType),
+    StructField("dbucket", IntegerType)))
   private val piecesSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("simhash", LongType),
     StructField("q", IntegerType), StructField("qh", LongType),
@@ -2780,6 +2788,7 @@ object Dedup {
     val fields = spark.read.parquet(s"$dir/params")
       .schema.fieldNames.toSet
     if (fields.contains("band_buckets")) "minhash"
+    else if (fields.contains("token_buckets")) "bm25"
     else if (fields.contains("chunk_buckets")) "chunk"
     else if (fields.contains("piece_buckets")) "hamming"
     else if (fields.contains("quantizer")) "ivf"
@@ -2908,6 +2917,20 @@ object Dedup {
             spark.read.schema(piecesSchema).parquet(s"$dir/pieces")
               .distinct(),
             "bucket", Seq("q", "qh", "doc_id")))
+      case "bm25" =>
+        // a retried crashed append re-wrote (token, doc_id, tf) rows
+        // verbatim — exact copies, distinct-able (the probe collapses
+        // them too, so answers are identical before and after)
+        swapRewrite(spark, s"$dir/postings", Seq("bucket"))(
+          onePerPartition(
+            spark.read.schema(bm25PostingsSchema)
+              .parquet(s"$dir/postings").distinct(),
+            "bucket", Seq("token", "doc_id")))
+        swapRewrite(spark, s"$dir/doclen", Seq("dbucket"))(
+          onePerPartition(
+            spark.read.schema(bm25DoclenSchema)
+              .parquet(s"$dir/doclen").distinct(),
+            "dbucket", Seq("doc_id")))
       case "benchmark" =>
         // appended eval sets re-distinct only within themselves, so a
         // shared n-gram sits once per appended suite — exact row copies
@@ -3347,6 +3370,11 @@ object Dedup {
           .parquet(s"$dir/postings")), _.distinct()),
         row("shingles", Some(readIndexShingles(spark, dir)),
           _.dropDuplicates("doc_id")))
+      case "bm25" => Seq(
+        row("postings", Some(spark.read.schema(bm25PostingsSchema)
+          .parquet(s"$dir/postings")), _.distinct()),
+        row("doclen", Some(spark.read.schema(bm25DoclenSchema)
+          .parquet(s"$dir/doclen")), _.dropDuplicates("doc_id")))
       case "ivf" =>
         // inferred schema (extra corpus columns ride in cells/) and an
         // empty-corpus index has no data files — same handling as the

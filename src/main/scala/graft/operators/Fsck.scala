@@ -43,7 +43,8 @@ object Fsck {
   /** Sub-dataset names that mark a directory as index data even when
     * `params/` is missing (the crashed-write state). */
   private val DataSubdirs = Set("bands", "shingles", "cells",
-    "centroids", "pieces", "chunks", "hashes", "postings", "vectors")
+    "centroids", "pieces", "chunks", "hashes", "postings", "vectors",
+    "doclen")
 
   /** Required data sub-datasets per family (params/ aside). */
   private val FamilySubdirs: Map[String, Seq[String]] = Map(
@@ -52,6 +53,7 @@ object Fsck {
     "chunk" -> Seq("chunks"),
     "hamming" -> Seq("pieces"),
     "benchmark" -> Seq("hashes"),
+    "bm25" -> Seq("postings", "doclen"),
     "ivf" -> Seq("cells", "centroids"))
 
   /** Survey `root` and its direct children (the [[Lease.breakAllUnder]]

@@ -102,6 +102,182 @@ object Retrieval {
         col("rank").cast("int").as("rank"))
   }
 
+  // ------------------------- persisted BM25 index (the scale path)
+
+  /** Materialize the corpus' BM25 statistics under `dir` — the
+    * retrieval tier's written family (the eighth): [[bm25TopK]]
+    * recomputes tf/dl/stats corpus-wide per query set, which is the
+    * wrong cost the moment queries outnumber corpus rewrites. Layout:
+    *
+    *   - `postings/`: (token, doc_id, tf) PARTITIONED BY
+    *     `bucket = pmod(xxhash64(token), tokenBuckets)` — a probe
+    *     prunes the scan to its query terms' buckets;
+    *   - `doclen/`: (doc_id, dl) PARTITIONED BY
+    *     `dbucket = pmod(doc_id, dlBuckets)` — the exact-length
+    *     re-join reads only the CANDIDATE docs' buckets (the
+    *     shingles-verify pruning pattern);
+    *   - `params/`: ONE row (token_buckets, dl_buckets, n_docs,
+    *     n_tokens, max_doc_id) written LAST — n_docs/n_tokens are the
+    *     corpus-wide idf/avgdl statistics, max_doc_id the monotone-id
+    *     append watermark every incremental family here enforces.
+    *
+    * `mode = "append"` folds a new batch in (stats accumulate; the
+    * stored bucket counts drive the layout). RETRACTION is deliberately
+    * rebuild-only: postings are partitioned by TOKEN (the probe
+    * dimension), so deleting a document touches every bucket — and
+    * unlike the dedup families, this index is cheap DERIVED data (two
+    * aggregates of the corpus; no geometry, no watermark semantics
+    * worth preserving) — re-run writeBm25Index over the published
+    * corpus after a retraction, like an IVF rebuild.
+    *
+    * A crashed append retried leaves exact-duplicate rows: the probe
+    * collapses them (`dropDuplicates`) and [[Dedup.compactIndex]]
+    * removes them, so answers are identical throughout — the chunk
+    * family's contract.
+    */
+  def writeBm25Index(docs: DataFrame, dir: String,
+      tokenBuckets: Int = 256, dlBuckets: Int = 256,
+      mode: String = "overwrite"): Unit = {
+    require(tokenBuckets > 0 && dlBuckets > 0,
+      s"bucket counts must be > 0, got ($tokenBuckets, $dlBuckets)")
+    val spark = docs.sparkSession
+    // one aggregate carries the batch's doc count AND the id range for
+    // the watermark; tf is barrier'd — it feeds postings, doclen and
+    // the token total (three consumers of one corpus-token shuffle)
+    val idAgg = docs.agg(count(lit(1)), min(col("doc_id")),
+      max(col("doc_id"))).head()
+    val (nDocsB, minIdB, maxIdB) =
+      (idAgg.getLong(0),
+        if (idAgg.isNullAt(1)) Long.MaxValue else idAgg.getLong(1),
+        if (idAgg.isNullAt(2)) Long.MinValue else idAgg.getLong(2))
+    val tf = Barriers.barrier(
+      TextAnalysis.tokenStream(docs)
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf")))
+    val nTokensB = tf.agg(coalesce(sum(col("tf")), lit(0L))).head()
+      .getLong(0)
+    var prev = (0L, 0L, Long.MinValue) // (n_docs, n_tokens, max_doc_id)
+    Dedup.writeIndexScaffold(spark, dir, mode) {
+      val p = readBm25IndexParams(spark, dir)
+      require((p._1, p._2) == (tokenBuckets, dlBuckets),
+        s"append with buckets ($tokenBuckets, $dlBuckets) onto an " +
+          s"index written with (${p._1}, ${p._2})")
+      require(minIdB > p._5,
+        s"batch min doc_id $minIdB is not above the index's " +
+          s"max_doc_id ${p._5} — appended stats assume disjoint docs " +
+          "(monotone ids); index the lower-id batch first, or renumber")
+      prev = (p._3, p._4, p._5)
+    } {
+      tf.withColumn("bucket",
+          pmod(xxhash64(col("token")), lit(tokenBuckets.toLong))
+            .cast("int"))
+        .write.mode(mode).partitionBy("bucket")
+        .parquet(s"$dir/postings")
+      tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+        .withColumn("dbucket",
+          pmod(col("doc_id"), lit(dlBuckets.toLong)).cast("int"))
+        .write.mode(mode).partitionBy("dbucket")
+        .parquet(s"$dir/doclen")
+    } {
+      import spark.implicits._
+      Seq((tokenBuckets, dlBuckets, prev._1 + nDocsB,
+          prev._2 + nTokensB, math.max(prev._3, maxIdB)))
+        .toDF("token_buckets", "dl_buckets", "n_docs", "n_tokens",
+          "max_doc_id")
+    }
+  }
+
+  private[operators] def readBm25IndexParams(spark: org.apache.spark
+      .sql.SparkSession, dir: String): (Int, Int, Long, Long, Long) = {
+    val r = spark.read.parquet(s"$dir/params").head()
+    (r.getAs[Int]("token_buckets"), r.getAs[Int]("dl_buckets"),
+      r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+      r.getAs[Long]("max_doc_id"))
+  }
+
+  /** BM25 top-k against a [[writeBm25Index]] corpus — [[bm25TopK]]'s
+    * contract and arithmetic through the STORED statistics: identical
+    * output when the index covers the same corpus (RetrievalSpec pins
+    * score-and-rank bit-equality; q133 shares q129's oracle).
+    *
+    * Scale: the probe never touches corpus text. `postings/` is
+    * scanned ONLY at the query terms' buckets (DPP via the broadcast
+    * term join), df comes from the matched rows, and the doc-length
+    * re-join reads only the candidate docs' `doclen/` buckets. Probe
+    * IO ∝ the query terms' posting lists — a stop-word query degrades
+    * to a corpus-sized posting list, the [[bm25TopK]] disclosure.
+    * `broadcastProbe = false` degrades both pruned joins to shuffles
+    * for a query set too large to broadcast (the dedup probes' flag).
+    */
+  def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, dir: String, k: Int = 10, k1: Double = 1.2,
+      b: Double = 0.75, excludeSelf: Boolean = false,
+      broadcastProbe: Boolean = true): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
+    val (tokenBuckets, dlBuckets, nDocs, nTokens, _) =
+      readBm25IndexParams(spark, dir)
+    require(nDocs > 0, s"$dir indexes an empty corpus — nothing to rank")
+    val avgdl = nTokens.toDouble / nDocs
+    val qterms0 = queries.select(col("query_id"),
+        explode(TextAnalysis.normTokens(col("text"))).as("token"))
+      .distinct()
+      .withColumn("bucket",
+        pmod(xxhash64(col("token")), lit(tokenBuckets.toLong))
+          .cast("int"))
+      // vacuously-true predicate marking the probe side selective so
+      // dynamic partition pruning fires (the chunk probe's trick)
+      .where(length(col("token")) > 0)
+    val qterms = if (broadcastProbe) broadcast(qterms0) else qterms0
+    val matched = spark.read.schema(Dedup.bm25PostingsSchema)
+      .parquet(s"$dir/postings")
+      .join(qterms, Seq("bucket", "token"))
+      // a retried crashed append duplicates rows verbatim — collapse
+      // before anything counts or sums
+      .dropDuplicates("query_id", "token", "doc_id")
+    // df from the matched rows themselves: post-collapse each (token,
+    // doc) is one row, so the per-token doc count IS df — no second
+    // index pass (distinct over query_id first: two queries sharing a
+    // term must not double-count it)
+    val dfreq = matched.select(col("token"), col("doc_id")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val idf = dfreq.select(col("token"),
+      round(log(lit(1.0) +
+        (lit(nDocs.toDouble) - col("df") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))), 6).as("idf"))
+    val candIds0 = matched.select(col("doc_id")).distinct()
+      .withColumn("dbucket",
+        pmod(col("doc_id"), lit(dlBuckets.toLong)).cast("int"))
+      .where(col("doc_id").isNotNull)
+    val candIds = if (broadcastProbe) broadcast(candIds0) else candIds0
+    val dl = spark.read.schema(Dedup.bm25DoclenSchema)
+      .parquet(s"$dir/doclen")
+      .join(candIds, Seq("dbucket", "doc_id"), "left_semi")
+      .dropDuplicates("doc_id")
+      .select(col("doc_id"), col("dl"))
+    val candidates = matched
+      .join(broadcast(idf), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"),
+        (col("idf") * col("tf").cast("double") * lit(k1 + 1.0) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) +
+              lit(b) * col("dl").cast("double") / lit(avgdl))))
+          .as("part"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("part")), 6).as("score"))
+    val pool =
+      if (excludeSelf) candidates.where(col("doc_id") =!= col("query_id"))
+      else candidates
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    pool
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"),
+        col("rank").cast("int").as("rank"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, "Reciprocal
     * Rank Fusion outperforms Condorcet and individual Rank Learning
     * Methods", SIGIR 2009): fuse two rankings of the same query set by

@@ -524,6 +524,24 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p.take(4000))
   }
 
+  test("the persisted BM25 probe partition-prunes postings/ to the " +
+      "query terms' buckets and doclen/ to the candidates' buckets") {
+    import spark.implicits._
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("plbm25").toString
+    graft.operators.Retrieval.writeBm25Index(docs, dir,
+      tokenBuckets = 8, dlBuckets = 8)
+    val q = Seq((0, "spark hash join")).toDF("query_id", "text")
+    val p = plan(graft.operators.Retrieval.bm25TopKIndexed(spark, q,
+      dir, k = 10))
+    // one dynamicpruning filter per pruned side: postings (term
+    // buckets) and doclen (candidate doc buckets)
+    val first = p.indexOf("dynamicpruning")
+    assert(first >= 0, p.take(4000))
+    assert(p.indexOf("dynamicpruning", first + 1) > first, p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+  }
+
   test("BPE encoding is a map-only projection: the merges ride the " +
       "kernel, no join and no exchange anywhere in the plan") {
     val docs = spark.read.parquet(sf() + "/documents.parquet")

@@ -61,6 +61,69 @@ class RetrievalSpec extends SparkSuite {
       byQ(0).map(x => (x._2, x._3)).toSeq)
   }
 
+  test("the persisted BM25 index probe is score-and-rank identical to " +
+      "the inline run; appends fold stats in; retried-append " +
+      "duplicates collapse; compaction preserves answers") {
+    import graft.operators.{Dedup, Retrieval}
+    val corpus = Seq(
+      (0L, "spark spark join engines"),
+      (1L, "spark window functions"),
+      (2L, "join join join order"),
+      (3L, "entirely unrelated words"),
+      (10L, "spark join window appended"),
+      (11L, "late batch join document"))
+      .toDF("doc_id", "text")
+    val queries = Seq((0, "spark join"), (1, "window"))
+      .toDF("query_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSet
+    val inline = rows(Retrieval.bm25TopK(corpus, queries, k = 10))
+    // full-corpus index == inline, bit for bit
+    val dir = java.nio.file.Files.createTempDirectory("bm25i").toString
+    Retrieval.writeBm25Index(corpus, dir, tokenBuckets = 8,
+      dlBuckets = 4)
+    assert(rows(Retrieval.bm25TopKIndexed(spark, queries, dir,
+      k = 10)) === inline)
+    // append path: index the low ids, fold the high ids in — stats
+    // accumulate to the same corpus-wide values
+    val dir2 = java.nio.file.Files.createTempDirectory("bm25a").toString
+    Retrieval.writeBm25Index(corpus.where($"doc_id" < 10), dir2,
+      tokenBuckets = 8, dlBuckets = 4)
+    Retrieval.writeBm25Index(corpus.where($"doc_id" >= 10), dir2,
+      tokenBuckets = 8, dlBuckets = 4, mode = "append")
+    assert(rows(Retrieval.bm25TopKIndexed(spark, queries, dir2,
+      k = 10)) === inline)
+    // mismatched append knobs and non-monotone batches refuse
+    intercept[IllegalArgumentException] {
+      Retrieval.writeBm25Index(corpus, dir2, tokenBuckets = 16,
+        dlBuckets = 4, mode = "append")
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.writeBm25Index(corpus.where($"doc_id" < 10), dir2,
+        tokenBuckets = 8, dlBuckets = 4, mode = "append")
+    }
+    // a retried crashed append = exact-duplicate rows: plant them by
+    // re-appending the data files directly; the probe collapses them
+    spark.read.parquet(s"$dir2/postings").write.mode("append")
+      .partitionBy("bucket").parquet(s"$dir2/postings")
+    spark.read.parquet(s"$dir2/doclen").write.mode("append")
+      .partitionBy("dbucket").parquet(s"$dir2/doclen")
+    assert(rows(Retrieval.bm25TopKIndexed(spark, queries, dir2,
+      k = 10)) === inline)
+    // compaction removes the duplicates and preserves answers
+    Dedup.compactIndex(spark, dir2)
+    val st = Dedup.indexStats(spark, dir2).collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(st("postings")._1 === st("postings")._2) // rows == distinct
+    assert(rows(Retrieval.bm25TopKIndexed(spark, queries, dir2,
+      k = 10)) === inline)
+    // fsck recognizes the healthy family
+    val f = graft.operators.Fsck.check(spark, dir2)
+    assert(f.exists(x => x.level == "ok" && x.detail.contains("bm25")),
+      f.mkString("\n"))
+  }
+
   test("rrfFuse sums reciprocal ranks across rankings, hand-checked; " +
       "excludeSelf drops the probe doc BEFORE ranking") {
     def r6(x: Double) = BigDecimal(x)

@@ -898,6 +898,42 @@ class MultimodalStreamingSpec extends SparkSuite {
     }
   }
 
+  test("the chunk bridge under a LINE-rule index: an indexed footer " +
+      "line is stripped mid-stream, the append folds the batch's " +
+      "lines in under the stored rule, reassembly stays newline-joined") {
+    import graft.operators.Dedup
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_streamline").toString
+    Dedup.writeChunkIndexLines(
+      Seq((1L, "standard boilerplate footer\nindexed body"))
+        .toDF("doc_id", "text"), idxDir, chunkBuckets = 8)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val b1 = Seq((ts("2024-01-01 10:00:00"), 10L,
+        "fresh first line\nstandard boilerplate footer"))
+      .toDF("ts", "doc_id", "text")
+    var out1: Seq[(Long, String)] = Nil
+    StreamingAgg.processChunkBatch(b1, idxDir, appendBatch = true, 0L) {
+      (out, _) => out1 = out.select($"doc_id", $"text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+    }
+    // the indexed footer dropped; the survivor is the fresh line only
+    assert(out1 === Seq((10L, "fresh first line")))
+    // the batch's lines folded in UNDER THE STORED LINE RULE: a later
+    // batch repeating them dedups against the standing index
+    val (rule, _, _, _) = Dedup.readChunkIndexParams(spark, idxDir)
+    assert(rule === "line")
+    val b2 = Seq((ts("2024-01-01 10:10:00"), 20L,
+        "fresh first line\nbrand new second line\nanother one"))
+      .toDF("ts", "doc_id", "text")
+    var out2: Seq[(Long, String)] = Nil
+    StreamingAgg.processChunkBatch(b2, idxDir, appendBatch = true, 1L) {
+      (out, _) => out2 = out.select($"doc_id", $"text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+    }
+    assert(out2 === Seq(
+      (20L, "brand new second line\nanother one")))
+  }
+
   test("streaming DSIR scoring equals the batch scorer under the " +
       "stored ratio table; empty batches keep schema; a missing model " +
       "refuses") {

@@ -915,7 +915,7 @@ object Pipeline {
     // this retraction will rewrite — a concurrent refresh/maintain
     // refuses instead of interleaving with the partition swaps
     val leased = corpusDir +: Seq("chunk", "minhash", "hamming", "ivf",
-      "containment").collect {
+      "containment", "bm25").collect {
         case f if exists(s"$indexRoot/$f/params") => s"$indexRoot/$f"
       }
     graft.operators.Lease.withLeases(spark, leased, "retractCorpus") {
@@ -1010,6 +1010,21 @@ object Pipeline {
         Seq("minhash", "hamming", "ivf", "containment").foreach { f =>
           if (exists(s"$indexRoot/$f/params"))
             Dedup.deleteFromIndex(spark, s"$indexRoot/$f", idSet)
+        }
+        // the BM25 family is rebuild-only derived data (postings are
+        // partitioned on the probe dimension): a retraction must not
+        // leave a probe surface silently serving the retracted docs,
+        // so the standing index is REBUILT from the post-retraction
+        // corpus here — one corpus-scale pass, the disclosed price of
+        // keeping retrieval retraction-complete (its lease is held
+        // with the rest)
+        if (nRetracted > 0 && exists(s"$indexRoot/bm25/params")) {
+          val p = graft.operators.Retrieval.readBm25IndexParams(
+            spark, s"$indexRoot/bm25")
+          graft.operators.Retrieval.writeBm25Index(
+            spark.read.parquet(s"$corpusDir/corpus")
+              .select(col("doc_id"), col("text")),
+            s"$indexRoot/bm25", tokenBuckets = p._1, dlBuckets = p._2)
         }
         // remaining = ledger arithmetic over the one-row-per-event
         // datasets — no corpus job (reports/, retractions/, and the base

@@ -1020,7 +1020,15 @@ object Dedup {
   /** [[writeChunkIndex]] under the line rule ([[dedupLines]]'s
     * paragraph granularity — distinct trimmed-line md5s; granularity
     * is stored as 1, the rule has no knob). Probes, appends, deletion
-    * and compaction dispatch on the stored rule like the other two. */
+    * and compaction dispatch on the stored rule like the other two.
+    *
+    * The split-and-trim normalization is part of each entry's CONTENT
+    * ADDRESS (stored rows are line md5s): changing it — as the CRLF
+    * handling did within the round the rule shipped — strands entries
+    * hashed under the old form (never matched, never retractable by
+    * re-derivation). Any future normalization change must ship with an
+    * index REBUILD from the published corpus, not an in-place upgrade.
+    */
   def writeChunkIndexLines(docs: DataFrame, dir: String,
       chunkBuckets: Int = 256, mode: String = "overwrite"): Unit =
     writeChunkIndexWith(docs, dir, "line", 1, chunkBuckets, mode)
@@ -3128,6 +3136,11 @@ object Dedup {
       s"$dir is a benchmark index — content-addressed, so eval-set " +
         "deletion needs the retracted set's text: use " +
         "deleteFromBenchmarkIndex")
+    case "bm25" => throw new IllegalArgumentException(
+      s"$dir is a BM25 retrieval index — postings are partitioned on " +
+        "the probe (token) dimension, so per-doc deletion would touch " +
+        "every bucket; it is rebuild-only DERIVED data: re-run " +
+        "Retrieval.writeBm25Index over the retracted corpus")
     case "containment" =>
       deleteKeyedRows(spark, s"$dir/postings",
         spark.read.schema(postingsSchema).parquet(s"$dir/postings"),

@@ -358,6 +358,9 @@ object Fsck {
         bucketAudit("pieces", "bucket", paramInt("piece_buckets"))
       case "benchmark" =>
         bucketAudit("hashes", "bucket", paramInt("hash_buckets"))
+      case "bm25" =>
+        bucketAudit("postings", "bucket", paramInt("token_buckets"))
+        bucketAudit("doclen", "dbucket", paramInt("dl_buckets"))
       case "ivf" =>
         val (storage, vecBuckets) = Similarity.readIvfStorage(spark, dir)
         if (storage == "sq8") {

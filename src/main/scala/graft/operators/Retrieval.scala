@@ -33,6 +33,42 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
+
+  /** The Lucene-style non-negative idf, 6-decimal rounded — ONE
+    * definition for the inline and indexed scorers. */
+  private def idfExpr(nDocs: Column, df: Column): Column =
+    round(log(lit(1.0) +
+      (nDocs.cast("double") - df + lit(0.5)) /
+        (df.cast("double") + lit(0.5))), 6)
+
+  /** One query term's BM25 contribution. */
+  private def bm25Part(idf: Column, tf: Column, dl: Column,
+      avgdl: Column, k1: Double, b: Double): Column =
+    idf * tf.cast("double") * lit(k1 + 1.0) /
+      (tf.cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * dl.cast("double") / avgdl))
+
+  /** Shared ranking tail: per-(query, doc) sum of `part` rounded to 6,
+    * optional self-hit drop BEFORE ranking, per-query window top-k. */
+  private def bm25Tail(parts: DataFrame, k: Int,
+      excludeSelf: Boolean): DataFrame = {
+    val scored = parts.groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("part")), 6).as("score"))
+    // excludeSelf: when queries ARE corpus documents (query_id = the
+    // probe doc's id — the hybrid/more-like-this shape), drop the
+    // trivial self-hit BEFORE ranking so ranks stay gapless
+    val pool =
+      if (excludeSelf) scored.where(col("doc_id") =!= col("query_id"))
+      else scored
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    pool
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"),
+        col("rank").cast("int").as("rank"))
+  }
+
   /** BM25 top-k documents per query. `queries` is (query_id, text) —
     * tokenized under the SAME normalization as the corpus side
     * ([[TextAnalysis.tokenStream]]'s lowercase + whitespace collapse),
@@ -70,36 +106,16 @@ object Retrieval {
         Seq("token"), "left_semi")
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
     val idf = df.crossJoin(broadcast(stats))
-      .select(col("token"),
-        round(log(lit(1.0) +
-          (col("n_docs").cast("double") - col("df") + lit(0.5)) /
-            (col("df").cast("double") + lit(0.5))), 6).as("idf"))
-    val candidates = tf
+      .select(col("token"), idfExpr(col("n_docs"), col("df")).as("idf"))
+    val parts = tf
       .join(broadcast(qterms), Seq("token"))
       .join(broadcast(idf), Seq("token"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"),
-        (col("idf") * col("tf").cast("double") * lit(k1 + 1.0) /
-          (col("tf").cast("double") +
-            lit(k1) * (lit(1.0 - b) +
-              lit(b) * col("dl").cast("double") / col("avgdl"))))
-          .as("part"))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(round(sum(col("part")), 6).as("score"))
-    // excludeSelf: when queries ARE corpus documents (query_id = the
-    // probe doc's id — the hybrid/more-like-this shape), drop the
-    // trivial self-hit BEFORE ranking so ranks stay gapless
-    val pool =
-      if (excludeSelf) candidates.where(col("doc_id") =!= col("query_id"))
-      else candidates
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("doc_id").asc)
-    pool
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("doc_id"), col("score"),
-        col("rank").cast("int").as("rank"))
+        bm25Part(col("idf"), col("tf"), col("dl"), col("avgdl"),
+          k1, b).as("part"))
+    bm25Tail(parts, k, excludeSelf)
   }
 
   // ------------------------- persisted BM25 index (the scale path)
@@ -141,22 +157,19 @@ object Retrieval {
     require(tokenBuckets > 0 && dlBuckets > 0,
       s"bucket counts must be > 0, got ($tokenBuckets, $dlBuckets)")
     val spark = docs.sparkSession
-    // one aggregate carries the batch's doc count AND the id range for
-    // the watermark; tf is barrier'd — it feeds postings, doclen and
-    // the token total (three consumers of one corpus-token shuffle)
+    // one CHEAP aggregate (count/min/max scan, no token shuffle)
+    // carries the batch's doc count and the watermark id range — all
+    // append refusals fire on it BEFORE any corpus-scale work (the
+    // early-refusal discipline: a mis-knobbed cron append must not
+    // tokenize and checkpoint the whole batch first)
     val idAgg = docs.agg(count(lit(1)), min(col("doc_id")),
       max(col("doc_id"))).head()
     val (nDocsB, minIdB, maxIdB) =
       (idAgg.getLong(0),
         if (idAgg.isNullAt(1)) Long.MaxValue else idAgg.getLong(1),
         if (idAgg.isNullAt(2)) Long.MinValue else idAgg.getLong(2))
-    val tf = Barriers.barrier(
-      TextAnalysis.tokenStream(docs)
-        .groupBy(col("doc_id"), col("token"))
-        .agg(count(lit(1)).as("tf")))
-    val nTokensB = tf.agg(coalesce(sum(col("tf")), lit(0L))).head()
-      .getLong(0)
     var prev = (0L, 0L, Long.MinValue) // (n_docs, n_tokens, max_doc_id)
+    var nTokensB = 0L
     Dedup.writeIndexScaffold(spark, dir, mode) {
       val p = readBm25IndexParams(spark, dir)
       require((p._1, p._2) == (tokenBuckets, dlBuckets),
@@ -168,6 +181,15 @@ object Retrieval {
           "(monotone ids); index the lower-id batch first, or renumber")
       prev = (p._3, p._4, p._5)
     } {
+      // tf is barrier'd — it feeds postings, doclen and the token
+      // total (three consumers of one corpus-token shuffle), and runs
+      // only AFTER every refusal above has passed
+      val tf = Barriers.barrier(
+        TextAnalysis.tokenStream(docs)
+          .groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("tf")))
+      nTokensB = tf.agg(coalesce(sum(col("tf")), lit(0L))).head()
+        .getLong(0)
       tf.withColumn("bucket",
           pmod(xxhash64(col("token")), lit(tokenBuckets.toLong))
             .cast("int"))
@@ -187,7 +209,7 @@ object Retrieval {
     }
   }
 
-  private[operators] def readBm25IndexParams(spark: org.apache.spark
+  private[graft] def readBm25IndexParams(spark: org.apache.spark
       .sql.SparkSession, dir: String): (Int, Int, Long, Long, Long) = {
     val r = spark.read.parquet(s"$dir/params").head()
     (r.getAs[Int]("token_buckets"), r.getAs[Int]("dl_buckets"),
@@ -242,9 +264,7 @@ object Retrieval {
     val dfreq = matched.select(col("token"), col("doc_id")).distinct()
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
     val idf = dfreq.select(col("token"),
-      round(log(lit(1.0) +
-        (lit(nDocs.toDouble) - col("df") + lit(0.5)) /
-          (col("df").cast("double") + lit(0.5))), 6).as("idf"))
+      idfExpr(lit(nDocs), col("df")).as("idf"))
     val candIds0 = matched.select(col("doc_id")).distinct()
       .withColumn("dbucket",
         pmod(col("doc_id"), lit(dlBuckets.toLong)).cast("int"))
@@ -255,27 +275,13 @@ object Retrieval {
       .join(candIds, Seq("dbucket", "doc_id"), "left_semi")
       .dropDuplicates("doc_id")
       .select(col("doc_id"), col("dl"))
-    val candidates = matched
+    val parts = matched
       .join(broadcast(idf), Seq("token"))
       .join(dl, Seq("doc_id"))
       .select(col("query_id"), col("doc_id"),
-        (col("idf") * col("tf").cast("double") * lit(k1 + 1.0) /
-          (col("tf").cast("double") +
-            lit(k1) * (lit(1.0 - b) +
-              lit(b) * col("dl").cast("double") / lit(avgdl))))
-          .as("part"))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(round(sum(col("part")), 6).as("score"))
-    val pool =
-      if (excludeSelf) candidates.where(col("doc_id") =!= col("query_id"))
-      else candidates
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("doc_id").asc)
-    pool
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("doc_id"), col("score"),
-        col("rank").cast("int").as("rank"))
+        bm25Part(col("idf"), col("tf"), col("dl"), lit(avgdl),
+          k1, b).as("part"))
+    bm25Tail(parts, k, excludeSelf)
   }
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, "Reciprocal

@@ -122,6 +122,54 @@ class RetrievalSpec extends SparkSuite {
     val f = graft.operators.Fsck.check(spark, dir2)
     assert(f.exists(x => x.level == "ok" && x.detail.contains("bm25")),
       f.mkString("\n"))
+    // per-doc deletion refuses with the rebuild-only recovery (never a
+    // bare MatchError)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.deleteFromIndex(spark, dir2,
+        Seq(0L).toDF("doc_id"))
+    }
+    assert(e.getMessage.contains("rebuild"), e.getMessage)
+    // fsck flags an out-of-range postings bucket a pruned probe would
+    // silently miss (token_buckets = 8, planted bucket 40)
+    spark.read.parquet(s"$dir2/postings").limit(1)
+      .withColumn("bucket", lit(40))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$dir2/postings")
+    val f2 = graft.operators.Fsck.check(spark, dir2)
+    assert(f2.exists(x => x.level == "error" &&
+      x.dir.contains("postings")), f2.mkString("\n"))
+  }
+
+  test("retractCorpus rebuilds a standing bm25 index so the probe " +
+      "surface never serves retracted documents") {
+    import graft.operators.Retrieval
+    val root = java.nio.file.Files
+      .createTempDirectory("bm25retr").toString
+    val idxRoot = s"$root/idx"
+    val corpusDir = s"$root/corpus"
+    val batch = Seq(
+      (0L, "retract target unique tokens here", "en"),
+      (1L, "surviving document about spark joins", "en"))
+      .toDF("doc_id", "text", "lang")
+    graft.Pipeline.refreshCorpus(spark, batch, idxRoot, corpusDir,
+      jaccardThreshold = 0.5, chunkTokens = 4, bandBuckets = 8,
+      pieceBuckets = 8, chunkBuckets = 8)
+    Retrieval.writeBm25Index(
+      spark.read.parquet(s"$corpusDir/corpus")
+        .select($"doc_id", $"text"),
+      s"$idxRoot/bm25", tokenBuckets = 8, dlBuckets = 4)
+    val q = Seq((0, "retract target unique")).toDF("query_id", "text")
+    assert(Retrieval.bm25TopKIndexed(spark, q, s"$idxRoot/bm25",
+      k = 10).count() > 0)
+    graft.Pipeline.retractCorpus(spark, Seq(0L).toDF("doc_id"),
+      idxRoot, corpusDir).collect()
+    // the rebuilt index no longer ranks the retracted doc
+    val after = Retrieval.bm25TopKIndexed(spark, q, s"$idxRoot/bm25",
+      k = 10).select($"doc_id").collect().map(_.getLong(0))
+    assert(!after.contains(0L), after.toSeq.toString)
+    // stats followed the rebuild (one doc left)
+    assert(Retrieval.readBm25IndexParams(spark,
+      s"$idxRoot/bm25")._3 === 1L)
   }
 
   test("rrfFuse sums reciprocal ranks across rankings, hand-checked; " +

@@ -437,10 +437,17 @@ object NewOpsBench {
     println(s"bpe_merges=${merges.size}")
     timed("bpe_encode") { Bpe.encode(docs, merges)
       .agg(sum(col("n_subwords"))).head() }
-    // BM25 over three probe queries
+    // BM25 over three probe queries: inline (per-query-set corpus
+    // recompute) vs the persisted index (write once, probe pruned)
     val queries = Seq((0, "spark hash join"), (1, "window sort merge"),
       (2, "stream batch dup")).toDF("query_id", "text")
     timed("bm25_topk") { Retrieval.bm25TopK(docs, queries).count() }
+    val bmDir = java.nio.file.Files.createTempDirectory("nob_bm25")
+      .toString
+    timed("bm25_index_build") { Retrieval.writeBm25Index(docs, bmDir) }
+    timed("bm25_index_probe") {
+      Retrieval.bm25TopKIndexed(spark, queries, bmDir).count()
+    }
     spark.stop()
   }
 }

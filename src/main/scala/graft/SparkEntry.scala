@@ -1103,6 +1103,34 @@ object SparkEntry {
       Retrieval.bm25TopKIndexed(s, queries, idx, k = 10)
         .orderBy(col("query_id").asc, col("rank").asc)
     }),
+    // the 100 TB hybrid path END TO END through the persisted layouts:
+    // lexical = the stored BM25 family (probe-pruned), semantic = the
+    // stored IVF family at full probe (exact ≡ brute force — q84's
+    // contract), RRF-fused. Both legs and the fusion are exact, so the
+    // whole persisted pipeline shares q130's brute-force oracle.
+    "q134_hybrid_indexed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val bmIdx = ivfIndexDir(dir, "bm134")
+      Retrieval.writeBm25Index(docs, bmIdx, tokenBuckets = 32,
+        dlBuckets = 32)
+      val qd = docs.where(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"), col("text"))
+      val lex = Retrieval.bm25TopKIndexed(s, qd, bmIdx, k = 20,
+        excludeSelf = true)
+      val cents = Similarity.collectCentroids(
+        Similarity.ivfCentroids(emb, nlist = 16))
+      val ivfIdx = ivfIndexDir(dir, "ivf134")
+      Similarity.writeIvfIndex(emb, ivfIdx, cents)
+      val sem = Similarity.ivfTopKIndexedSelf(s, ivfIdx,
+          emb.where(col("vec_id") < 3), k = 20, nprobe = 16)
+        .select(col("query_id"), col("vec_id").as("doc_id"),
+          col("rank"))
+      Retrieval.rrfFuse(
+          lex.select(col("query_id"), col("doc_id"), col("rank")),
+          sem, k = 10)
+        .orderBy(col("query_id").asc, col("rank").asc)
+    }),
     // sequence-packing manifest: the corpus cut into fixed 512-token
     // training sequences across doc boundaries — pure integer
     // arithmetic, oracle-checked span for span
@@ -2330,80 +2358,10 @@ object SparkEntry {
       // hybrid RRF: q129's BM25 arithmetic (queries = docs 0-2's own
       // text, self-hits excluded BEFORE ranking) + q37's exact cosine
       // ranking, fused by round(Σ 1/(60+rank), 6), re-ranked
-      "q130_hybrid_rrf" ->
-        s"""WITH tok AS (
-          |  SELECT doc_id,
-          |    unnest(list_filter(string_split(
-          |      regexp_replace(lower(coalesce(text, '')),
-          |        '${graft.operators.TextAnalysis.WsPattern}+', ' ', 'g'),
-          |      ' '), x -> x != '')) AS token
-          |  FROM documents),
-          |tf AS (SELECT doc_id, token, count(*) AS tf
-          |       FROM tok GROUP BY 1, 2),
-          |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
-          |stats AS (
-          |  SELECT (SELECT count(*) FROM documents) AS n_docs,
-          |    (SELECT count(*) FROM tok)::DOUBLE
-          |      / (SELECT count(*) FROM documents) AS avgdl),
-          |qq AS (SELECT doc_id AS query_id, text AS qtext
-          |       FROM documents WHERE doc_id < 3),
-          |qt AS (
-          |  SELECT DISTINCT query_id,
-          |    unnest(list_filter(string_split(
-          |      regexp_replace(lower(coalesce(qtext, '')),
-          |        '${graft.operators.TextAnalysis.WsPattern}+', ' ', 'g'),
-          |      ' '), x -> x != '')) AS token
-          |  FROM qq),
-          |dfreq AS (
-          |  SELECT token, count(*) AS df FROM tf
-          |  WHERE token IN (SELECT token FROM qt) GROUP BY 1),
-          |idf AS (
-          |  SELECT token,
-          |    round(ln(1 + (stats.n_docs - df + 0.5) / (df + 0.5)), 6)
-          |      AS idf
-          |  FROM dfreq, stats),
-          |bcand AS (
-          |  SELECT qt.query_id, tf.doc_id,
-          |    idf.idf * tf.tf * (1.2 + 1.0)
-          |      / (tf.tf + 1.2 * (1.0 - 0.75
-          |           + 0.75 * dl.dl / stats.avgdl)) AS part
-          |  FROM tf JOIN qt USING (token) JOIN idf USING (token)
-          |    JOIN dl USING (doc_id), stats
-          |  WHERE tf.doc_id != qt.query_id),
-          |bscored AS (
-          |  SELECT query_id, doc_id, round(sum(part), 6) AS score
-          |  FROM bcand GROUP BY 1, 2),
-          |lex AS (
-          |  SELECT query_id, doc_id, rank FROM (
-          |    SELECT query_id, doc_id,
-          |      row_number() OVER (PARTITION BY query_id
-          |        ORDER BY score DESC, doc_id ASC) AS rank
-          |    FROM bscored) WHERE rank <= 20),
-          |$vecNormSql,
-          |sems AS (
-          |  SELECT q2.vec_id AS query_id, c.vec_id AS doc_id,
-          |    ${cosineSql("q2", "c")}
-          |  FROM v q2 JOIN v c
-          |    ON q2.vec_id < 3 AND q2.vec_id != c.vec_id),
-          |sem AS (
-          |  SELECT query_id, doc_id, rank FROM (
-          |    SELECT query_id, doc_id,
-          |      row_number() OVER (PARTITION BY query_id
-          |        ORDER BY cosine DESC, doc_id ASC) AS rank
-          |    FROM sems) WHERE rank <= 20),
-          |fused AS (
-          |  SELECT query_id, doc_id,
-          |    round(sum(1.0 / (60 + rank)), 6) AS rrf
-          |  FROM (SELECT * FROM lex UNION ALL SELECT * FROM sem)
-          |  GROUP BY 1, 2),
-          |ranked AS (
-          |  SELECT query_id, doc_id, rrf,
-          |    row_number() OVER (PARTITION BY query_id
-          |      ORDER BY rrf DESC, doc_id ASC) AS rank
-          |  FROM fused)
-          |SELECT query_id, doc_id, rrf, CAST(rank AS INT) AS rank
-          |FROM ranked WHERE rank <= 10
-          |ORDER BY query_id, rank""".stripMargin,
+      "q130_hybrid_rrf" -> hybridRrfSql,
+      // the fully-persisted hybrid (stored BM25 probe + stored IVF at
+      // full probe) is leg-for-leg exact — same oracle
+      "q134_hybrid_indexed" -> hybridRrfSql,
       // DSIR importance weights: hashed unigram+bigram bag-of-ngrams
       // (the cdc oracle's portable byte fold per ngram), add-one
       // smoothed target/raw log ratios over the complete 512-bucket
@@ -3278,6 +3236,85 @@ object SparkEntry {
           |  FROM scored)
           |SELECT CAST(query_id AS INT) AS query_id, doc_id, score,
           |  CAST(rank AS INT) AS rank
+          |FROM ranked WHERE rank <= 10
+          |ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB oracle for the hybrid RRF queries — q130 (inline brute
+    * legs) and q134 (persisted BM25 + full-probe IVF legs, exact by
+    * contract): q129's BM25 arithmetic with self-hits excluded, q37's
+    * exact cosine ranking, round(Σ 1/(60+rank), 6) fusion. */
+  private def hybridRrfSql: String =
+    s"""WITH tok AS (
+          |  SELECT doc_id,
+          |    unnest(list_filter(string_split(
+          |      regexp_replace(lower(coalesce(text, '')),
+          |        '${graft.operators.TextAnalysis.WsPattern}+', ' ', 'g'),
+          |      ' '), x -> x != '')) AS token
+          |  FROM documents),
+          |tf AS (SELECT doc_id, token, count(*) AS tf
+          |       FROM tok GROUP BY 1, 2),
+          |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+          |stats AS (
+          |  SELECT (SELECT count(*) FROM documents) AS n_docs,
+          |    (SELECT count(*) FROM tok)::DOUBLE
+          |      / (SELECT count(*) FROM documents) AS avgdl),
+          |qq AS (SELECT doc_id AS query_id, text AS qtext
+          |       FROM documents WHERE doc_id < 3),
+          |qt AS (
+          |  SELECT DISTINCT query_id,
+          |    unnest(list_filter(string_split(
+          |      regexp_replace(lower(coalesce(qtext, '')),
+          |        '${graft.operators.TextAnalysis.WsPattern}+', ' ', 'g'),
+          |      ' '), x -> x != '')) AS token
+          |  FROM qq),
+          |dfreq AS (
+          |  SELECT token, count(*) AS df FROM tf
+          |  WHERE token IN (SELECT token FROM qt) GROUP BY 1),
+          |idf AS (
+          |  SELECT token,
+          |    round(ln(1 + (stats.n_docs - df + 0.5) / (df + 0.5)), 6)
+          |      AS idf
+          |  FROM dfreq, stats),
+          |bcand AS (
+          |  SELECT qt.query_id, tf.doc_id,
+          |    idf.idf * tf.tf * (1.2 + 1.0)
+          |      / (tf.tf + 1.2 * (1.0 - 0.75
+          |           + 0.75 * dl.dl / stats.avgdl)) AS part
+          |  FROM tf JOIN qt USING (token) JOIN idf USING (token)
+          |    JOIN dl USING (doc_id), stats
+          |  WHERE tf.doc_id != qt.query_id),
+          |bscored AS (
+          |  SELECT query_id, doc_id, round(sum(part), 6) AS score
+          |  FROM bcand GROUP BY 1, 2),
+          |lex AS (
+          |  SELECT query_id, doc_id, rank FROM (
+          |    SELECT query_id, doc_id,
+          |      row_number() OVER (PARTITION BY query_id
+          |        ORDER BY score DESC, doc_id ASC) AS rank
+          |    FROM bscored) WHERE rank <= 20),
+          |$vecNormSql,
+          |sems AS (
+          |  SELECT q2.vec_id AS query_id, c.vec_id AS doc_id,
+          |    ${cosineSql("q2", "c")}
+          |  FROM v q2 JOIN v c
+          |    ON q2.vec_id < 3 AND q2.vec_id != c.vec_id),
+          |sem AS (
+          |  SELECT query_id, doc_id, rank FROM (
+          |    SELECT query_id, doc_id,
+          |      row_number() OVER (PARTITION BY query_id
+          |        ORDER BY cosine DESC, doc_id ASC) AS rank
+          |    FROM sems) WHERE rank <= 20),
+          |fused AS (
+          |  SELECT query_id, doc_id,
+          |    round(sum(1.0 / (60 + rank)), 6) AS rrf
+          |  FROM (SELECT * FROM lex UNION ALL SELECT * FROM sem)
+          |  GROUP BY 1, 2),
+          |ranked AS (
+          |  SELECT query_id, doc_id, rrf,
+          |    row_number() OVER (PARTITION BY query_id
+          |      ORDER BY rrf DESC, doc_id ASC) AS rank
+          |  FROM fused)
+          |SELECT query_id, doc_id, rrf, CAST(rank AS INT) AS rank
           |FROM ranked WHERE rank <= 10
           |ORDER BY query_id, rank""".stripMargin
 

@@ -524,6 +524,14 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p.take(4000))
   }
 
+  test("packSequences windows per range partition — never a " +
+      "single-partition global window") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val p = plan(graft.operators.Sharding.packSequences(docs,
+      seqLen = 512, numParts = 4))
+    assert(p.contains("windowspecdefinition(pid"), p.take(3000))
+  }
+
   test("the persisted BM25 probe partition-prunes postings/ to the " +
       "query terms' buckets and doclen/ to the candidates' buckets") {
     import spark.implicits._

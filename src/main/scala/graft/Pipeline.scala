@@ -429,7 +429,12 @@ object Pipeline {
     // refresh runs those modalities.
     val leaseDirs = Seq(corpusDir, minhashDir, hammingDir, chunkDir) ++
       embeddings.map(_ => s"$indexRoot/ivf") ++
-      containmentThreshold.map(_ => s"$indexRoot/containment")
+      containmentThreshold.map(_ => s"$indexRoot/containment") ++
+      // bm25 joins by INDEX PRESENCE, not a cron flag: the retrieval
+      // family follows the corpus whenever it stands (see the append
+      // below), so there is no flag to forget and no drift to guard
+      (if (exists(s"$indexRoot/bm25/params")) Seq(s"$indexRoot/bm25")
+       else Nil)
     graft.operators.Lease.withLeases(spark, leaseDirs,
       "refreshCorpus") {
 
@@ -789,6 +794,47 @@ object Pipeline {
           }
         }
 
+        // ---- retrieval freshness: a standing bm25 index FOLLOWS the
+        // corpus — the batch's PUBLISHED rows (the cleaned text a
+        // probe actually ranks) append into the stored statistics, so
+        // bm25TopKIndexed never silently misses post-adoption batches
+        // while retractCorpus rebuilds on retraction. Two guards:
+        //   - watermark >= this batch's min id ⇒ this is a recovery
+        //     run after a crash between this append and the report —
+        //     already folded in, skip (params-last scaffold: a
+        //     committed watermark is a committed append);
+        //   - otherwise the index must currently EQUAL the published
+        //     corpus (stored n_docs vs the reports/retractions ledger
+        //     arithmetic — scan-free, and reports/ does not yet hold
+        //     THIS batch): an index left stale by pre-append-era
+        //     refreshes must be rebuilt once, not appended onto with
+        //     silent holes.
+        if (exists(s"$indexRoot/bm25/params")) {
+          val bp = graft.operators.Retrieval.readBm25IndexParams(
+            spark, s"$indexRoot/bm25")
+          if (bp._5 < minId) {
+            def sumOf(p: String, c: String): Long =
+              if (exists(p)) spark.read.parquet(p)
+                .agg(coalesce(sum(col(c)), lit(0L))).head().getLong(0)
+              else 0L
+            val corpusRows =
+              sumOf(s"$corpusDir/reports", "n_published") -
+                sumOf(s"$corpusDir/retraction_base", "n_adjust") -
+                sumOf(s"$corpusDir/retractions", "n_retracted")
+            require(bp._3 == corpusRows,
+              s"$indexRoot/bm25 is stale: it indexes ${bp._3} docs " +
+                s"but the published corpus holds $corpusRows — " +
+                "appending only this batch would leave silent holes; " +
+                "rebuild first (writeBm25Index over the published " +
+                "corpus) before refreshing")
+            graft.operators.Retrieval.writeBm25Index(
+              spark.read.parquet(corpusPart)
+                .select(col("doc_id"), col("text")),
+              s"$indexRoot/bm25", tokenBuckets = bp._1,
+              dlBuckets = bp._2, mode = "append")
+          }
+        }
+
         // ---- report last: the completion marker (counts re-derivable
         // on a recovery run because they come from the published
         // artifacts, not probe-stage state). ONE aggregation job over
@@ -1011,21 +1057,6 @@ object Pipeline {
           if (exists(s"$indexRoot/$f/params"))
             Dedup.deleteFromIndex(spark, s"$indexRoot/$f", idSet)
         }
-        // the BM25 family is rebuild-only derived data (postings are
-        // partitioned on the probe dimension): a retraction must not
-        // leave a probe surface silently serving the retracted docs,
-        // so the standing index is REBUILT from the post-retraction
-        // corpus here — one corpus-scale pass, the disclosed price of
-        // keeping retrieval retraction-complete (its lease is held
-        // with the rest)
-        if (nRetracted > 0 && exists(s"$indexRoot/bm25/params")) {
-          val p = graft.operators.Retrieval.readBm25IndexParams(
-            spark, s"$indexRoot/bm25")
-          graft.operators.Retrieval.writeBm25Index(
-            spark.read.parquet(s"$corpusDir/corpus")
-              .select(col("doc_id"), col("text")),
-            s"$indexRoot/bm25", tokenBuckets = p._1, dlBuckets = p._2)
-        }
         // remaining = ledger arithmetic over the one-row-per-event
         // datasets — no corpus job (reports/, retractions/, and the base
         // are each a handful of rows regardless of corpus size)
@@ -1035,8 +1066,36 @@ object Pipeline {
           .agg(coalesce(sum(col("n_retracted")), lit(0L))).head().getLong(0)
         val base = spark.read.parquet(s"$corpusDir/retraction_base")
           .head().getLong(0)
+        val nRemaining = nPublished - base - nLedgered
+        // the BM25 family is rebuild-only derived data (postings are
+        // partitioned on the probe dimension): a retraction must not
+        // leave a probe surface silently serving the retracted docs,
+        // so the standing index is REBUILT from the post-retraction
+        // corpus here — one corpus-scale pass, the disclosed price of
+        // keeping retrieval retraction-complete (its lease is held
+        // with the rest). The gate is the LEDGER, not this run's
+        // nRetracted: the index's stored n_docs must equal the
+        // ledgered corpus count. A crash between the corpus rewrite
+        // and this rebuild makes the documented re-run compute
+        // nRetracted = 0 (the docs are already gone from the corpus),
+        // so an nRetracted gate would skip the rebuild forever and the
+        // probe surface would keep serving retracted docs; the
+        // count-mismatch gate rebuilds on exactly that recovery run —
+        // and SKIPS the corpus-scale pass on true no-ops (a re-run of
+        // a COMPLETED retraction, or a request naming only ids never
+        // published), which the sibling families' unconditional
+        // anti-joins can afford but a rebuild cannot.
+        if (exists(s"$indexRoot/bm25/params")) {
+          val p = graft.operators.Retrieval.readBm25IndexParams(
+            spark, s"$indexRoot/bm25")
+          if (p._3 != nRemaining)
+            graft.operators.Retrieval.writeBm25Index(
+              spark.read.parquet(s"$corpusDir/corpus")
+                .select(col("doc_id"), col("text")),
+              s"$indexRoot/bm25", tokenBuckets = p._1, dlBuckets = p._2)
+        }
         import spark.implicits._
-        Seq((nRequested, nRetracted, nPublished - base - nLedgered))
+        Seq((nRequested, nRetracted, nRemaining))
           .toDF("n_requested", "n_retracted", "n_remaining")
       } finally retracted.unpersist()
     } // end of the single-writer lease scope

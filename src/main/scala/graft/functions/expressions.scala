@@ -924,7 +924,14 @@ object BpeEncodeExpr {
   /** The end-of-word marker, a SEPARATE final symbol (one of Sennrich's
     * two stated variants; the separate-symbol form keeps every word
     * character symbol intact, so `concat(subwords) == word + "</w>"`
-    * is an exact invariant the specs pin). */
+    * is an exact invariant the specs pin). The marker is UNREACHABLE
+    * from corpus text: single characters can never equal it (it is 4
+    * chars), and every multi-character symbol is a merge result, with
+    * merges concatenating to it refused at training ([[graft.operators
+    * .Bpe.trainOnTypes]]), persistence (`writeModel`), and kernel
+    * construction ([[Coder]]) — so a standalone `</w>` symbol in the
+    * stream is ALWAYS a word terminator, even for corpus words
+    * containing the literal characters. */
   val Eow = "</w>"
 
   /** The shared greedy-by-rank merge machinery behind the encode and
@@ -932,6 +939,14 @@ object BpeEncodeExpr {
     * a word's segmentation. */
   final class Coder(merges: Seq[(String, String)])
       extends Serializable {
+    // no merge may CONCATENATE to the marker: a corpus-derived symbol
+    // equal to "</w>" would be indistinguishable from the appended
+    // word terminator in the flattened subword stream ([[graft
+    // .operators.Bpe.trainOnTypes]] never learns such a pair; this
+    // refuses foreign/hand-built lists at kernel-construction time)
+    require(merges.forall { case (l, r) => l + r != Eow },
+      s"BPE merge list mints the end-of-word marker '$Eow' — " +
+        "ambiguous at word boundaries; retrain")
     private val table = merges.toIndexedSeq
     private val rank: java.util.HashMap[String, Integer] = {
       val m = new java.util.HashMap[String, Integer](table.size * 2)

@@ -98,12 +98,23 @@ object Bpe {
           i += 1
         }
       }
-      // deterministic argmax: highest count, then lexicographic pair
+      // deterministic argmax: highest count, then lexicographic pair.
+      // Pairs whose CONCATENATION equals the end-of-word marker are
+      // never learned: the marker lives in the same symbol namespace
+      // as corpus characters, so a corpus word containing the literal
+      // characters "</w>" could otherwise mint a merged symbol EQUAL
+      // to the marker, making the flattened subword stream ambiguous
+      // at word boundaries (the concat(subwords) == word + "</w>"
+      // invariant the specs pin assumes the standalone marker symbol
+      // is reachable only as the appended terminator). Skipping the
+      // pair here keeps the marker unreachable: every multi-char
+      // symbol is a merge result, and no permitted merge produces it.
       var best: (String, String) = null
       var bestC = 0L
       pc.foreach { case (k, c) =>
-        if (c > bestC || (c == bestC && best != null &&
-            (k._1 < best._1 || (k._1 == best._1 && k._2 < best._2)))) {
+        if (k._1 + k._2 != BpeEncodeExpr.Eow &&
+            (c > bestC || (c == bestC && best != null &&
+              (k._1 < best._1 || (k._1 == best._1 && k._2 < best._2))))) {
           best = k; bestC = c
         }
       }
@@ -147,6 +158,15 @@ object Bpe {
     import org.apache.hadoop.fs.Path
     import spark.implicits._
     require(merges.nonEmpty, "writeModel: empty merge list — train first")
+    // the training-side guard, re-stated at the persistence boundary:
+    // a merge list minting the end-of-word marker (foreign tooling, a
+    // hand-built list) would make every consumer's subword stream
+    // ambiguous at word boundaries — refuse before it becomes a model
+    require(merges.forall { case (l, r) => l + r != BpeEncodeExpr.Eow },
+      "writeModel: a merge's concatenation equals the end-of-word " +
+        s"marker '${BpeEncodeExpr.Eow}' — such a symbol is " +
+        "indistinguishable from the word terminator in the subword " +
+        "stream; retrain (graft training never emits it)")
     val fs = new Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new Path(s"$dir/params")))

@@ -115,6 +115,33 @@ class BpeSpec extends SparkSuite {
     enc.foreach { case (id, a, b) => assert(a === b, s"doc $id") }
   }
 
+  test("the end-of-word marker is unreachable: no learned merge " +
+      "concatenates to '</w>', and lists minting it refuse") {
+    // a corpus drowning in the literal word "</w>" — its character
+    // symbols are < / w >, and the unguarded greedy walk would mint a
+    // merged symbol EQUAL to the marker (ambiguous word boundaries)
+    val types = Array(("</w>", 50L), ("low", 2L))
+    val m = Bpe.trainOnTypes(types, 10)
+    assert(m.nonEmpty)
+    assert(m.forall { case (l, r) => l + r != "</w>" })
+    // the pathological word still encodes, and the concatenation
+    // invariant survives it: concat == word + marker, per word
+    val docs = Seq((0L, "</w> low")).toDF("doc_id", "text")
+    val sub = Bpe.encode(docs, m).select($"subwords").head()
+      .getSeq[String](0)
+    assert(sub.mkString("") === "</w>" + "</w>" + "low" + "</w>")
+    // a foreign/hand-built list that mints the marker refuses at the
+    // persistence boundary AND at kernel construction
+    val bad = Seq(("<", "/"), ("</", "w>"))
+    intercept[IllegalArgumentException] {
+      Bpe.writeModel(spark, bad,
+        java.nio.file.Files.createTempDirectory("bpeeow").toString)
+    }
+    intercept[IllegalArgumentException] {
+      new graft.functions.BpeEncodeExpr.Coder(bad)
+    }
+  }
+
   test("trainBpeModel builds a readable model from a published corpus " +
       "under the model dir's lease") {
     val root = java.nio.file.Files.createTempDirectory("bpetm").toString

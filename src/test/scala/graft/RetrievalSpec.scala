@@ -172,6 +172,137 @@ class RetrievalSpec extends SparkSuite {
       s"$idxRoot/bm25")._3 === 1L)
   }
 
+  test("refreshCorpus appends each published batch to a standing bm25 " +
+      "index; an index stale from pre-append-era refreshes refuses") {
+    import graft.operators.Retrieval
+    val root = java.nio.file.Files
+      .createTempDirectory("bm25ref").toString
+    val idxRoot = s"$root/idx"
+    val corpusDir = s"$root/corpus"
+    def refresh(b: Seq[(Long, String, String)]) =
+      graft.Pipeline.refreshCorpus(spark, b.toDF("doc_id", "text", "lang"),
+        idxRoot, corpusDir, jaccardThreshold = 0.5, chunkTokens = 4,
+        bandBuckets = 8, pieceBuckets = 8, chunkBuckets = 8)
+    refresh(Seq((0L, "alpha document about spark joins", "en"),
+      (1L, "beta document covering window frames", "en")))
+    // ADOPT the retrieval family mid-corpus: build over the published
+    // corpus (n_docs == corpus rows — the freshness contract)
+    Retrieval.writeBm25Index(
+      spark.read.parquet(s"$corpusDir/corpus")
+        .select($"doc_id", $"text"),
+      s"$idxRoot/bm25", tokenBuckets = 8, dlBuckets = 4)
+    // the next refresh folds its published batch in — no manual append
+    refresh(Seq((10L, "gamma zephyr quasar notes entirely fresh", "en"),
+      (11L, "delta umbra syzygy rows also fresh", "en")))
+    val q = Seq((0, "zephyr quasar")).toDF("query_id", "text")
+    val hits = Retrieval.bm25TopKIndexed(spark, q, s"$idxRoot/bm25",
+      k = 5).select($"doc_id").collect().map(_.getLong(0))
+    assert(hits.contains(10L), hits.toSeq.toString)
+    assert(Retrieval.readBm25IndexParams(spark, s"$idxRoot/bm25")._3
+      === 4L)
+    // a recovery re-run of the SAME batch is a read-back no-op (report
+    // stands), not a double append
+    refresh(Seq((10L, "gamma zephyr quasar notes entirely fresh", "en"),
+      (11L, "delta umbra syzygy rows also fresh", "en")))
+    assert(Retrieval.readBm25IndexParams(spark, s"$idxRoot/bm25")._3
+      === 4L)
+
+    // STALE refusal: a second corpus whose bm25 covers only batch 1
+    // (the pre-append-era shape) must refuse the append — silently
+    // folding one batch onto an index with holes loses documents
+    val root2 = java.nio.file.Files
+      .createTempDirectory("bm25stale").toString
+    val idx2 = s"$root2/idx"
+    val cd2 = s"$root2/corpus"
+    def refresh2(b: Seq[(Long, String, String)]) =
+      graft.Pipeline.refreshCorpus(spark, b.toDF("doc_id", "text", "lang"),
+        idx2, cd2, jaccardThreshold = 0.5, chunkTokens = 4,
+        bandBuckets = 8, pieceBuckets = 8, chunkBuckets = 8)
+    refresh2(Seq((0L, "one ancient batch text here", "en")))
+    Retrieval.writeBm25Index(
+      spark.read.parquet(s"$cd2/corpus").select($"doc_id", $"text"),
+      s"$idx2/bm25", tokenBuckets = 8, dlBuckets = 4)
+    // this batch lands BEFORE the index learns to follow — simulate by
+    // removing the appended rows' effect: rebuild the index from batch
+    // 1 only AFTER batch 2 publishes
+    refresh2(Seq((10L, "two middle batch entirely different", "en")))
+    Retrieval.writeBm25Index(
+      spark.read.parquet(s"$cd2/corpus").where($"doc_id" === 0L)
+        .select($"doc_id", $"text"),
+      s"$idx2/bm25", tokenBuckets = 8, dlBuckets = 4)
+    val e = intercept[IllegalArgumentException] {
+      refresh2(Seq((20L, "three newest batch words unique", "en")))
+    }
+    assert(e.getMessage.contains("stale"), e.getMessage)
+  }
+
+  test("a crashed retraction's re-run still rebuilds bm25 (the gate is " +
+      "the ledger, not this run's count); a completed one's re-run " +
+      "skips the corpus-scale rebuild") {
+    import graft.operators.Retrieval
+    val root = java.nio.file.Files
+      .createTempDirectory("bm25crash").toString
+    val idxRoot = s"$root/idx"
+    val corpusDir = s"$root/corpus"
+    val batch = Seq(
+      (0L, "retract me xylophone quartz unique", "en"),
+      (1L, "keeper document about spark joins", "en"),
+      (2L, "another keeper on window frames", "en"))
+      .toDF("doc_id", "text", "lang")
+    graft.Pipeline.refreshCorpus(spark, batch, idxRoot, corpusDir,
+      jaccardThreshold = 0.5, chunkTokens = 4, bandBuckets = 8,
+      pieceBuckets = 8, chunkBuckets = 8)
+    Retrieval.writeBm25Index(
+      spark.read.parquet(s"$corpusDir/corpus")
+        .select($"doc_id", $"text"),
+      s"$idxRoot/bm25", tokenBuckets = 8, dlBuckets = 4)
+    graft.Pipeline.retractCorpus(spark, Seq(0L).toDF("doc_id"),
+      idxRoot, corpusDir).collect()
+    // simulate the crash window the ADVICE names: the corpus rewrite
+    // committed (doc 0 is gone, the ledger row stands) but the bm25
+    // rebuild did not — restore the PRE-retraction index verbatim
+    Retrieval.writeBm25Index(
+      spark.read.parquet(s"$corpusDir/corpus")
+        .select($"doc_id", $"text")
+        .unionByName(Seq((0L, "retract me xylophone quartz unique"))
+          .toDF("doc_id", "text")),
+      s"$idxRoot/bm25", tokenBuckets = 8, dlBuckets = 4)
+    val q = Seq((0, "xylophone quartz")).toDF("query_id", "text")
+    assert(Retrieval.bm25TopKIndexed(spark, q, s"$idxRoot/bm25", k = 5)
+      .where($"doc_id" === 0L).count() === 1L) // the stale surface
+    // the documented recovery: re-run the SAME retraction. This run
+    // retracts 0 rows (docs already gone) — an nRetracted gate would
+    // skip the rebuild forever; the ledger gate rebuilds
+    val r = graft.Pipeline.retractCorpus(spark, Seq(0L).toDF("doc_id"),
+      idxRoot, corpusDir).head()
+    assert(r.getAs[Long]("n_retracted") === 0L)
+    assert(r.getAs[Long]("n_remaining") === 2L)
+    assert(Retrieval.bm25TopKIndexed(spark, q, s"$idxRoot/bm25", k = 5)
+      .where($"doc_id" === 0L).count() === 0L)
+    assert(Retrieval.readBm25IndexParams(spark, s"$idxRoot/bm25")._3
+      === 2L)
+    // a re-run of the now-COMPLETED retraction skips the rebuild: the
+    // postings files are byte-identical afterwards (no corpus-scale
+    // pass on a no-op)
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def postings(): Seq[(String, Long, Long)] = {
+      val it = fs.listFiles(new Path(s"$idxRoot/bm25/postings"), true)
+      val b = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Long)]
+      while (it.hasNext) {
+        val s = it.next()
+        b += ((s.getPath.toString, s.getLen, s.getModificationTime))
+      }
+      b.sortBy(_._1).toSeq
+    }
+    val before = postings()
+    graft.Pipeline.retractCorpus(spark, Seq(0L).toDF("doc_id"),
+      idxRoot, corpusDir).collect()
+    assert(postings() === before)
+  }
+
   test("rrfFuse sums reciprocal ranks across rankings, hand-checked; " +
       "excludeSelf drops the probe doc BEFORE ranking") {
     def r6(x: Double) = BigDecimal(x)

@@ -1667,6 +1667,79 @@ object SparkEntry {
       require(q.awaitTermination(300000), "q131 stream did not finish")
       s.read.parquet(out).orderBy(col("doc_id").asc)
     }),
+    // streaming retrieval (the ninth bridge, probe-only): the q129
+    // query set streamed ONE QUERY PER MICRO-BATCH against a persisted
+    // BM25 index over the documents corpus — disjoint query sets rank
+    // independently, so the unioned triggers hash-match q129's inline
+    // DuckDB oracle (the bridge adds NOTHING to the probe's semantics)
+    "q135_stream_bm25" -> ((s, dir) => {
+      import s.implicits._
+      val idx = ivfIndexDir(dir, "bm135")
+      Retrieval.writeBm25Index(t(s, dir, "documents"), idx,
+        tokenBuckets = 32, dlBuckets = 32)
+      val qdf = Seq(
+        (0, "spark hash join"),
+        (1, "window sort merge"),
+        (2, "stream batch dup")).toDF("query_id", "text")
+      val n = StreamScratch.seq.incrementAndGet()
+      val stage = ivfIndexDir(dir, s"q135_stage_$n")
+      qdf.repartition(3, col("query_id"))
+        .write.mode("overwrite").parquet(stage)
+      val stream = s.readStream.schema(qdf.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .withColumn("ts",
+          lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      val out = ivfIndexDir(dir, s"q135_out_$n")
+      val q = graft.streaming.StreamingAgg
+        .retrieveStream(stream, idx, k = 10) { (b, _) =>
+          b.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ivfIndexDir(dir, s"q135_ckpt_$n"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000), "q135 stream did not finish")
+      s.read.parquet(out).orderBy(col("query_id").asc, col("rank").asc)
+    }),
+    // streaming HYBRID retrieval: q134's fully-persisted path (stored
+    // BM25 probe + stored IVF at full probe, RRF-fused) driven one
+    // probe doc per micro-batch — each trigger fuses its own queries,
+    // so the union shares q130's brute-force oracle leg for leg
+    "q136_stream_hybrid" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val bmIdx = ivfIndexDir(dir, "bm136")
+      Retrieval.writeBm25Index(docs, bmIdx, tokenBuckets = 32,
+        dlBuckets = 32)
+      val cents = Similarity.collectCentroids(
+        Similarity.ivfCentroids(emb, nlist = 16))
+      val ivfIdx = ivfIndexDir(dir, "ivf136")
+      Similarity.writeIvfIndex(emb, ivfIdx, cents)
+      val qdf = docs.where(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"), col("text"))
+        .join(emb.select(col("vec_id").as("query_id"),
+          col("embedding")), Seq("query_id"))
+      val n = StreamScratch.seq.incrementAndGet()
+      val stage = ivfIndexDir(dir, s"q136_stage_$n")
+      qdf.repartition(3, col("query_id"))
+        .write.mode("overwrite").parquet(stage)
+      val stream = s.readStream.schema(qdf.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .withColumn("ts",
+          lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      val out = ivfIndexDir(dir, s"q136_out_$n")
+      val q = graft.streaming.StreamingAgg
+        .retrieveStream(stream, bmIdx, ivfDir = Some(ivfIdx), k = 10,
+          kEach = 20, excludeSelf = true, nprobe = 16) { (b, _) =>
+          b.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ivfIndexDir(dir, s"q136_ckpt_$n"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000), "q136 stream did not finish")
+      s.read.parquet(out).orderBy(col("query_id").asc, col("rank").asc)
+    }),
     "q110_stream_screen" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val idx = ivfIndexDir(dir, "bm108")
@@ -2327,6 +2400,10 @@ object SparkEntry {
       // the stored-stats probe is output-identical to the inline run —
       // same oracle (the index round-trip is the correctness claim)
       "q133_bm25_indexed" -> bm25TopKSql,
+      // the streamed probe ranks each disjoint query micro-batch
+      // independently, so the unioned triggers are output-identical
+      // to the inline run — same oracle (the bridge adds nothing)
+      "q135_stream_bm25" -> bm25TopKSql,
       // sequence packing: global doc offsets by cumulative token sum
       // in doc_id order, spans by exact integer division — the q66
       // token-count semantics (split on ' ', empties dropped)
@@ -2362,6 +2439,10 @@ object SparkEntry {
       // the fully-persisted hybrid (stored BM25 probe + stored IVF at
       // full probe) is leg-for-leg exact — same oracle
       "q134_hybrid_indexed" -> hybridRrfSql,
+      // the streamed hybrid fuses each disjoint query micro-batch
+      // independently (both probes and RRF are per-query) — same
+      // oracle as the batch hybrid
+      "q136_stream_hybrid" -> hybridRrfSql,
       // DSIR importance weights: hashed unigram+bigram bag-of-ngrams
       // (the cdc oracle's portable byte fold per ngram), add-one
       // smoothed target/raw log ratios over the complete 512-bucket

@@ -730,6 +730,112 @@ object StreamingAgg {
     } finally b.unpersist()
   }
 
+  /** Streaming RETRIEVAL — the ninth bridge: each micro-batch is a
+    * set of QUERIES (ts, query_id, text) ranked against a persisted
+    * [[graft.operators.Retrieval.writeBm25Index]] corpus — exactly
+    * q133's arithmetic, bit-identical to the batch probe under the
+    * same index — and, when `ivfDir` is given, the queries'
+    * EMBEDDINGS (an `embedding` column riding the stream) probe the
+    * persisted IVF family too, the two rankings reciprocal-rank fused
+    * ([[graft.operators.Retrieval.rrfFuse]] — q134's persisted hybrid,
+    * per trigger). This is retrieval's stream side: live curation
+    * probes, eval look-ups, and "more like this" requests rank
+    * against the standing corpus at stream latency instead of
+    * batching to the weekly cadence. Disjoint query sets rank
+    * independently (both probes and the fusion are per-query), so a
+    * stream's unioned triggers ≡ one batch probe of the same queries
+    * — the property q135/q136 hash-prove against the inline oracles.
+    *
+    * Probe-only like the screens and scorers: stateless, no commit
+    * marker, no lease — the sink owns the rows, and a replayed
+    * micro-batch re-ranks under the CURRENT index (a refresh append
+    * or retraction rebuild landing mid-stream serves from the next
+    * trigger on). The bm25 statistics MUTATE on every refresh append
+    * (n_docs/n_tokens feed idf/avgdl), so unlike the frozen-geometry
+    * families they are deliberately NOT [[cachedMeta]]'d — one
+    * metadata-sized params read per trigger is the price of ranking
+    * under the current corpus (the chunk family's mutable-watermark
+    * rule). A missing or crashed-write (params-less) index refuses on
+    * every batch, empty ones included.
+    *
+    * Emits the top-k frame per trigger: (query_id, doc_id, score,
+    * rank) lexical-only, (query_id, doc_id, rrf, rank) fused.
+    */
+  def retrieveStream(queries: DataFrame, bm25Dir: String,
+      ivfDir: Option[String] = None, k: Int = 10, kEach: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75, c: Int = 60,
+      excludeSelf: Boolean = false, nprobe: Int = 4,
+      horizon: String = "1 hour")(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    queries
+      .withWatermark("ts", horizon)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processRetrieveBatch(batch, bm25Dir, ivfDir, k, kEach, k1, b,
+          c, excludeSelf, nprobe, batchId)(sink)
+      }
+
+  /** [[retrieveStream]]'s per-micro-batch body, factored like its
+    * eight siblings so the spec drives it directly. */
+  private[graft] def processRetrieveBatch(batch: DataFrame,
+      bm25Dir: String, ivfDir: Option[String], k: Int, kEach: Int,
+      k1: Double, bParam: Double, c: Int, excludeSelf: Boolean,
+      nprobe: Int, batchId: Long)(
+      sink: (DataFrame, Long) => Unit): Unit = {
+    import graft.operators.{Retrieval, Similarity}
+    val spark = batch.sparkSession
+    // validate the index surfaces BEFORE touching the batch: the
+    // params read refuses a missing or crashed-write dir loudly (and
+    // is re-done here every trigger — see scaladoc); the hybrid leg
+    // additionally needs the stream to carry the query vectors
+    require(!ivfDir.isDefined || batch.columns.contains("embedding"),
+      "retrieveStream: ivfDir given but the stream has no " +
+        "'embedding' column — the hybrid leg probes the queries' " +
+        "vectors (drop ivfDir for lexical-only retrieval)")
+    Retrieval.readBm25IndexParams(spark, bm25Dir)
+    ivfDir.foreach(d => Similarity.readIvfIndexParams(spark, d))
+    val scoreName = if (ivfDir.isDefined) "rrf" else "score"
+    val qb = batch
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try if (qb.isEmpty) {
+      // empty maintenance batch: keep the OUTPUT schema (the top-k
+      // frame's, not the input's — this bridge reshapes), skip the
+      // probe jobs
+      sink(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("query_id",
+            qb.schema("query_id").dataType),
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField(scoreName,
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("rank",
+            org.apache.spark.sql.types.IntegerType)))), batchId)
+    } else {
+      val qd = qb.select(col("query_id"), col("text"))
+      val lex = Retrieval.bm25TopKIndexed(spark, qd, bm25Dir,
+        k = ivfDir.fold(k)(_ => kEach), k1 = k1, b = bParam,
+        excludeSelf = excludeSelf)
+      sink(ivfDir match {
+        case None => lex
+        case Some(iv) =>
+          // the semantic leg keeps self-hits ([[graft.operators
+          // .Retrieval.hybridTopK]]'s exact shape: only the lexical
+          // leg takes excludeSelf; fusion demotes the self-hit)
+          val sem = Similarity.ivfTopKIndexedSelf(spark, iv,
+              qb.select(col("query_id").as("vec_id"), col("embedding")),
+              k = kEach, nprobe = nprobe)
+            .select(col("query_id"), col("vec_id").as("doc_id"),
+              col("rank"))
+          Retrieval.rrfFuse(
+            lex.select(col("query_id"), col("doc_id"), col("rank")),
+            sem, k, c)
+      }, batchId)
+    } finally qb.unpersist()
+  }
+
   /** Streaming incremental PERCEPTUAL dedup against a persisted image
     * index ([[graft.operators.Multimodal.writeImageIndex]] — the Hamming
     * layout): exact byte duplicates collapse in-stream via

@@ -986,4 +986,110 @@ class MultimodalStreamingSpec extends SparkSuite {
       }
     }
   }
+
+  test("streaming retrieval equals the batch probes under the stored " +
+      "indexes (lexical and hybrid), keeps the top-k schema on empty " +
+      "batches, refuses a missing index, and ranks a mid-stream " +
+      "append's docs from the next trigger on") {
+    import graft.operators.{Retrieval, Similarity}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_streamret").toString
+    val corpus = Seq(
+      (0L, "spark joins hash and sort merge strategies"),
+      (1L, "window functions rank rows within frames"),
+      (2L, "streaming batches replay under commit markers"))
+      .toDF("doc_id", "text")
+    Retrieval.writeBm25Index(corpus, s"$root/bm25", tokenBuckets = 8,
+      dlBuckets = 4)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val batch = Seq(
+      (ts("2024-01-01 10:00:00"), 100L, "spark hash join"),
+      (ts("2024-01-01 10:00:01"), 101L, "window rank"))
+      .toDF("ts", "query_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy($"query_id", $"rank").collect()
+      .map(r => (r.getLong(r.fieldIndex("query_id")),
+        r.getLong(r.fieldIndex("doc_id")),
+        r.getInt(r.fieldIndex("rank")))).toSeq
+    var lexOut: Seq[(Long, Long, Int)] = Nil
+    StreamingAgg.processRetrieveBatch(batch, s"$root/bm25", None,
+        10, 20, 1.2, 0.75, 60, false, 4, 0L) { (out, _) =>
+      assert(out.columns.toSeq ===
+        Seq("query_id", "doc_id", "score", "rank"))
+      lexOut = rows(out)
+    }
+    assert(lexOut === rows(Retrieval.bm25TopKIndexed(spark,
+      batch.select($"query_id", $"text"), s"$root/bm25", k = 10)))
+    assert(lexOut.nonEmpty)
+    // probe-only and stateless: nothing staged, nothing leased
+    assert(!new java.io.File(s"$root/bm25/stream_out").exists())
+    assert(!new java.io.File(s"$root/bm25/_LEASE").exists())
+    // empty maintenance batch: the OUTPUT schema (this bridge
+    // reshapes), no probe jobs
+    StreamingAgg.processRetrieveBatch(
+      Seq.empty[(java.sql.Timestamp, Long, String)]
+        .toDF("ts", "query_id", "text"), s"$root/bm25", None,
+        10, 20, 1.2, 0.75, 60, false, 4, 1L) { (out, _) =>
+      assert(out.columns.toSeq ===
+        Seq("query_id", "doc_id", "score", "rank"))
+      assert(out.isEmpty)
+    }
+    // a missing index refuses on every batch, empty included
+    intercept[org.apache.spark.sql.AnalysisException] {
+      StreamingAgg.processRetrieveBatch(
+        Seq.empty[(java.sql.Timestamp, Long, String)]
+          .toDF("ts", "query_id", "text"), s"$root/nope", None,
+          10, 20, 1.2, 0.75, 60, false, 4, 2L) { (_, _) => () }
+    }
+    // the bm25 stats are re-read per trigger (NOT cached): docs
+    // appended between triggers rank from the next one on
+    Retrieval.writeBm25Index(
+      Seq((7L, "spark hash join exactly this query"))
+        .toDF("doc_id", "text"),
+      s"$root/bm25", tokenBuckets = 8, dlBuckets = 4, mode = "append")
+    StreamingAgg.processRetrieveBatch(batch, s"$root/bm25", None,
+        10, 20, 1.2, 0.75, 60, false, 4, 3L) { (out, _) =>
+      assert(rows(out).exists { case (q, d, _) => q == 100L && d == 7L })
+    }
+
+    // hybrid: fused output equals rrfFuse of the two batch probes
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.7f, 0.7f)), (7L, Array(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    Similarity.writeIvfIndex(emb, s"$root/ivf",
+      Similarity.collectCentroids(Similarity.ivfCentroids(emb,
+        nlist = 2)))
+    val hb = Seq(
+      (ts("2024-01-01 10:00:00"), 100L, "spark hash join",
+        Array(0.8f, 0.2f)),
+      (ts("2024-01-01 10:00:01"), 101L, "window rank",
+        Array(0.1f, 0.9f)))
+      .toDF("ts", "query_id", "text", "embedding")
+    var hybOut: Seq[(Long, Long, Int)] = Nil
+    StreamingAgg.processRetrieveBatch(hb, s"$root/bm25",
+        Some(s"$root/ivf"), 5, 20, 1.2, 0.75, 60, false, 2, 4L) {
+      (out, _) =>
+        assert(out.columns.toSeq ===
+          Seq("query_id", "doc_id", "rrf", "rank"))
+        hybOut = rows(out)
+    }
+    val lex = Retrieval.bm25TopKIndexed(spark,
+      hb.select($"query_id", $"text"), s"$root/bm25", k = 20)
+    val sem = Similarity.ivfTopKIndexedSelf(spark, s"$root/ivf",
+        hb.select($"query_id".as("vec_id"), $"embedding"), k = 20,
+        nprobe = 2)
+      .select($"query_id", $"vec_id".as("doc_id"), $"rank")
+    assert(hybOut === rows(Retrieval.rrfFuse(
+      lex.select($"query_id", $"doc_id", $"rank"), sem, k = 5)))
+    assert(hybOut.nonEmpty)
+    // the hybrid leg needs the stream to carry the vectors
+    val e = intercept[IllegalArgumentException] {
+      StreamingAgg.processRetrieveBatch(batch, s"$root/bm25",
+        Some(s"$root/ivf"), 5, 20, 1.2, 0.75, 60, false, 2, 5L) {
+        (_, _) => ()
+      }
+    }
+    assert(e.getMessage.contains("embedding"), e.getMessage)
+  }
 }

@@ -1177,6 +1177,34 @@ object SparkEntry {
             Bpe.bpeTokens(col("text")), merges))
         .orderBy(col("doc_id").asc)
     }),
+    // the token-ID tier (rows-only like its q125-q127 siblings: BPE
+    // is not SQL-expressible): the corpus encoded to VOCABULARY IDS
+    // under a complete trained model — id 0 reserved for
+    // out-of-vocabulary code points, ids deterministic (sorted
+    // alphabet, then merges in rank order); n_ids ≡ q126's
+    // n_subwords (same segmentation — BpeSpec pins the bijection)
+    "q137_bpe_ids" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = Bpe.trainModel(docs, numMerges = 64)
+      Bpe.encodeIds(docs, model)
+        .select(col("doc_id"), col("n_ids"),
+          expr("md5(array_join(transform(ids, " +
+            "x -> cast(x as string)), ' '))").as("ids_md5"))
+        .orderBy(col("doc_id").asc)
+    }),
+    // the materialized training shards: the q132 manifest gathered
+    // into actual seqLen-id sequences (train → encode → pack → read,
+    // closed end to end; rows-only — ShardingSpec pins the
+    // concatenation and fixed-length invariants)
+    "q138_pack_ids" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = Bpe.trainModel(docs, numMerges = 64)
+      Sharding.materializeSequences(docs, model, seqLen = 512)
+        .select(col("seq_id"), col("n_ids"),
+          expr("md5(array_join(transform(ids, " +
+            "x -> cast(x as string)), ' '))").as("ids_md5"))
+        .orderBy(col("seq_id").asc)
+    }),
     "q123_dsir_weight" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Sharding.dsirScore(docs,

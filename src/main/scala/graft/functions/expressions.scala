@@ -920,7 +920,86 @@ case class BpeCountExpr(child: Expression,
       newChild: Expression): BpeCountExpr = copy(child = newChild)
 }
 
+/** [[BpeEncodeExpr]]'s ID-emitting sibling: the subword stream as
+  * VOCABULARY IDS (array<int>) — what a training run actually
+  * consumes. Same [[BpeEncodeExpr.Coder]] segmentation, then a
+  * symbol→id lookup under the deterministic
+  * [[BpeEncodeExpr.vocabIds]] table; id 0 is reserved for
+  * out-of-vocabulary symbols (a code point outside the training
+  * alphabet — multi-char symbols are merge results and always in
+  * vocabulary). Map-only: the model rides generated code as a
+  * reference object, no join, no shuffle, no per-row driver contact.
+  */
+case class BpeEncodeIdsExpr(child: Expression, alphabet: Seq[String],
+    merges: Seq[(String, String)]) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_encode_ids"
+
+  @transient private lazy val coder = new BpeEncodeExpr.Coder(merges)
+  @transient private lazy val ids: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    BpeEncodeExpr.vocabIds(alphabet, merges).foreach { case (s, i) =>
+      m.put(s, i)
+    }
+    m
+  }
+
+  /** Per-row kernel, also called from generated code. */
+  def kernel(input: Any): ArrayData = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new scala.collection.mutable.ArrayBuffer[Int]()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val w = arr.getUTF8String(i).toString
+        if (w.nonEmpty) coder.wordSyms(w).foreach { s =>
+          val id = ids.get(s)
+          out += (if (id == null) 0 else id.intValue())
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray)
+  }
+
+  override protected def nullSafeEval(input: Any): Any = kernel(input)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val self = ctx.addReferenceObj("bpeEncodeIdsKernel", this,
+        this.getClass.getName)
+      s"${ev.value} = $self.kernel($c);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BpeEncodeIdsExpr = copy(child = newChild)
+}
+
 object BpeEncodeExpr {
+
+  /** The deterministic symbol→id table shared by the ID kernel and
+    * [[graft.operators.Bpe.vocab]] (ONE definition, so a stored vocab
+    * and the generated ids can never disagree): id 0 is RESERVED for
+    * out-of-vocabulary symbols (no string maps to it), the alphabet
+    * takes ids 1..A in the given (sorted-at-training) order, merge
+    * outputs follow in rank order — first occurrence wins when two
+    * merge paths mint the same symbol string (e.g. (a,bc) and (ab,c)
+    * both → "abc"), so every symbol has exactly one id. */
+  def vocabIds(alphabet: Seq[String],
+      merges: Seq[(String, String)]): Seq[(String, Int)] = {
+    val seen = new java.util.LinkedHashMap[String, Int]()
+    def add(s: String): Unit =
+      if (!seen.containsKey(s)) seen.put(s, seen.size + 1)
+    alphabet.foreach(add)
+    merges.foreach { case (l, r) => add(l + r) }
+    import scala.jdk.CollectionConverters._
+    seen.asScala.toSeq
+  }
   /** The end-of-word marker, a SEPARATE final symbol (one of Sennrich's
     * two stated variants; the separate-symbol form keeps every word
     * character symbol intact, so `concat(subwords) == word + "</w>"`
@@ -1037,6 +1116,12 @@ object native {
     * list — map-only, the merges ride the expression. */
   def bpe_encode(tokens: Column, merges: Seq[(String, String)]): Column =
     c(BpeEncodeExpr(e(tokens), merges))
+
+  /** BPE subword stream as VOCABULARY IDS from a TOKEN array — the
+    * training artifact's unit (id 0 = out-of-vocabulary). */
+  def bpe_encode_ids(tokens: Column, alphabet: Seq[String],
+      merges: Seq[(String, String)]): Column =
+    c(BpeEncodeIdsExpr(e(tokens), alphabet, merges))
 
   /** Hashed unigram+bigram feature buckets from a TOKEN array (DSIR
     * featurization) — one pass, no ngram strings materialized. */

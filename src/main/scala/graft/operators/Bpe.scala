@@ -148,6 +148,72 @@ object Bpe {
     docs.withColumn("subwords", native.bpe_encode(bpeTokens(text), merges))
       .withColumn("n_subwords", size(col("subwords")))
 
+  // -------------------------------------- the token-ID tier (vocab)
+
+  /** A complete BPE model: the training ALPHABET (every distinct code
+    * point of the capped word-type table, sorted, plus the end-of-word
+    * marker) and the learned merges. The alphabet is what the
+    * merges-only form cannot give you: vocabulary IDS need the id of
+    * every single-character symbol, including the ones no merge ever
+    * touched — without the stored alphabet, an unmerged rare character
+    * would silently become out-of-vocabulary on one engine and not
+    * another. String-level encoding ([[encode]]) keeps working from
+    * merges alone. */
+  final case class BpeModel(alphabet: Seq[String],
+      merges: Seq[(String, String)])
+
+  /** The training alphabet of a word-type table: distinct code-point
+    * symbols across all types, lexicographically sorted (deterministic
+    * like every id-bearing artifact here), with [[graft.functions
+    * .BpeEncodeExpr.Eow]] appended as the one multi-char base symbol. */
+  private[graft] def alphabetOf(
+      types: Array[(String, Long)]): Seq[String] = {
+    val syms = scala.collection.mutable.SortedSet.empty[String]
+    types.foreach { case (w, _) =>
+      var ci = 0
+      while (ci < w.length) {
+        val n = Character.charCount(w.codePointAt(ci))
+        syms += w.substring(ci, ci + n)
+        ci += n
+      }
+    }
+    syms.toSeq :+ graft.functions.BpeEncodeExpr.Eow
+  }
+
+  /** [[train]] returning the complete model (alphabet + merges) —
+    * same capped type table, same merge loop, one collect. */
+  def trainModel(docs: DataFrame, numMerges: Int = 1000,
+      maxTypes: Int = 20000,
+      text: Column = col("text")): BpeModel = {
+    require(numMerges > 0, s"numMerges must be > 0, got $numMerges")
+    require(maxTypes > 0, s"maxTypes must be > 0, got $maxTypes")
+    val types = wordTypes(docs, maxTypes, text).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    BpeModel(alphabetOf(types), trainOnTypes(types, numMerges))
+  }
+
+  /** The model's id table as (id, symbol) rows — [[graft.functions
+    * .BpeEncodeExpr.vocabIds]]' single definition, exposed for
+    * inspection and for decoding an id stream back to symbols. Id 0
+    * (out-of-vocabulary) has no symbol and no row. */
+  def vocab(spark: SparkSession, model: BpeModel): DataFrame = {
+    import spark.implicits._
+    graft.functions.BpeEncodeExpr.vocabIds(model.alphabet, model.merges)
+      .map { case (s, i) => (i, s) }.toDF("id", "symbol")
+  }
+
+  /** Encode every document to VOCABULARY IDS under a trained model:
+    * adds `ids` (array<int>, the subword stream as ids — id 0 marks a
+    * code point outside the training alphabet) and `n_ids`. Map-only
+    * like [[encode]]; `n_ids` always equals [[encode]]'s `n_subwords`
+    * (same segmentation — the count never depends on vocabulary
+    * membership, only the ID does). */
+  def encodeIds(docs: DataFrame, model: BpeModel,
+      text: Column = col("text")): DataFrame =
+    docs.withColumn("ids", graft.functions.native.bpe_encode_ids(
+        bpeTokens(text), model.alphabet, model.merges))
+      .withColumn("n_ids", size(col("ids")))
+
   /** Persist a trained merge list under `dir`:
     *   - `merges/`: (rank, left, right) parquet, one file;
     *   - `params/`: ONE row (n_merges, family) written LAST — the
@@ -177,6 +243,75 @@ object Bpe {
     Seq((merges.size.toLong, "bpe_merges"))
       .toDF("n_merges", "family")
       .coalesce(1).write.parquet(s"$dir/params")
+  }
+
+  /** Persist a COMPLETE model (alphabet + merges) under `dir`:
+    * `alphabet/` (rank, symbol) joins `merges/` (rank, left, right),
+    * and `params/` gains `n_alphabet` — still ONE row, written LAST
+    * (the params-last crash discipline). [[readModel]] keeps reading
+    * these models (merges only, backward-compatible); the id-bearing
+    * consumers go through [[readFullModel]]. */
+  def writeModel(spark: SparkSession, model: BpeModel,
+      dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    require(model.merges.nonEmpty,
+      "writeModel: empty merge list — train first")
+    require(model.merges.forall { case (l, r) =>
+        l + r != graft.functions.BpeEncodeExpr.Eow },
+      "writeModel: a merge's concatenation equals the end-of-word " +
+        s"marker '${graft.functions.BpeEncodeExpr.Eow}' — ambiguous " +
+        "at word boundaries; retrain (graft training never emits it)")
+    require(model.alphabet.contains(graft.functions.BpeEncodeExpr.Eow),
+      "writeModel: the alphabet must carry the end-of-word marker — " +
+        "every word's final symbol derives from it (trainModel always " +
+        "includes it)")
+    require(model.alphabet.distinct == model.alphabet,
+      "writeModel: duplicate alphabet symbols would double-assign ids")
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(s"$dir/params")))
+      fs.delete(new Path(s"$dir/params"), true)
+    model.alphabet.zipWithIndex.map { case (s, i) => (i, s) }
+      .toDF("rank", "symbol")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/alphabet")
+    model.merges.zipWithIndex.map { case ((l, r), i) => (i, l, r) }
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/merges")
+    Seq((model.merges.size.toLong, model.alphabet.size.toLong,
+        "bpe_merges"))
+      .toDF("n_merges", "n_alphabet", "family")
+      .coalesce(1).write.parquet(s"$dir/params")
+  }
+
+  /** Read a COMPLETE persisted model back. Refuses params-less dirs,
+    * rank holes (both datasets), and LEGACY merges-only models (no
+    * stored alphabet ⇒ no deterministic id for unmerged characters —
+    * retrain with [[trainModel]] and persist the model form; string
+    * encoding via [[readModel]] keeps working on legacy dirs). */
+  def readFullModel(spark: SparkSession, dir: String): BpeModel = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(s"$dir/params")),
+      s"$dir has no params/ — not a written BPE model (or its write " +
+        "crashed before the params commit); re-run writeModel")
+    val p = spark.read.parquet(s"$dir/params")
+    require(p.schema.fieldNames.contains("n_alphabet"),
+      s"$dir is a legacy merges-only BPE model — it stores no " +
+        "alphabet, so vocabulary ids for unmerged characters would be " +
+        "engine-dependent; retrain with trainModel and persist the " +
+        "BpeModel form (readModel still reads this dir for string " +
+        "encoding)")
+    val nA = p.head().getAs[Long]("n_alphabet")
+    val rows = spark.read.parquet(s"$dir/alphabet")
+      .orderBy(col("rank").asc).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("symbol")))
+    require(rows.length.toLong == nA &&
+        rows.zipWithIndex.forall { case ((rk, _), i) => rk == i },
+      s"$dir/alphabet rank sequence is broken (expected 0..${nA - 1})" +
+        " — refusing to mis-assign ids; re-run writeModel")
+    BpeModel(rows.map(_._2).toSeq, readModel(spark, dir))
   }
 
   /** Read a persisted merge list back in rank order. Refuses a

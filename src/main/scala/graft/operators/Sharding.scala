@@ -451,6 +451,45 @@ object Sharding {
         (col("stop") - col("start")).as("n_tokens"))
   }
 
+  /** Materialize the [[packSequences]] manifest into the TRAINING
+    * ARTIFACT itself: per-sequence token-ID arrays of exactly `seqLen`
+    * ids (the trailing sequence short), encoded under a complete
+    * [[Bpe.BpeModel]] — train → encode → pack → read, closed end to
+    * end. The manifest remains the planning shape (spans ∝ docs +
+    * boundary crossings); this is the repo's one deliberately
+    * TOKEN-SIZED output: its rows ARE what a training run reads, so
+    * the Σ-tokens shuffle is the artifact's own size, not overhead.
+    *
+    * Shape: ids encode map-only ONCE (barrier'd — the frame feeds
+    * both the manifest's distributed prefix sum and the gather join),
+    * spans join their docs' arrays on doc_id, each span slices its
+    * piece, and one groupBy(seq_id) flattens the pieces in seq_from
+    * order. The id unit and the span unit can never disagree: the
+    * manifest is computed over `size(ids)` of the same encoded frame
+    * it gathers from.
+    */
+  def materializeSequences(docs: DataFrame, model: Bpe.BpeModel,
+      seqLen: Long, numParts: Int = 32,
+      text: Column = col("text")): DataFrame = {
+    require(seqLen > 0, s"seqLen must be > 0, got $seqLen")
+    val withIds = Barriers.barrier(
+      docs.select(col("doc_id"),
+        graft.functions.native.bpe_encode_ids(
+          Bpe.bpeTokens(text), model.alphabet, model.merges)
+          .as("ids")))
+    packSequences(withIds, seqLen, numParts,
+        tokens = size(col("ids")))
+      .join(withIds, Seq("doc_id"))
+      .select(col("seq_id"), col("seq_from"),
+        slice(col("ids"), (col("doc_from") + 1).cast("int"),
+          col("n_tokens").cast("int")).as("piece"))
+      .groupBy(col("seq_id"))
+      .agg(expr("flatten(transform(" +
+        "array_sort(collect_list(struct(seq_from, piece))), " +
+        "x -> x.piece))").as("ids"))
+      .withColumn("n_ids", size(col("ids")))
+  }
+
   // ------------------------------------- DSIR importance resampling
 
   /** Hashed bag-of-ngrams feature stream for DSIR (Xie et al., "Data

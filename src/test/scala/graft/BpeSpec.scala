@@ -142,6 +142,83 @@ class BpeSpec extends SparkSuite {
     }
   }
 
+  test("the ID tier: vocab ids are deterministic (alphabet then " +
+      "merges, first mint wins), encodeIds is the vocab-inverse of " +
+      "encode, OOV code points map to 0, n_ids == n_subwords") {
+    val docs = Seq((0L, "low newest"), (1L, "lowest"),
+      (2L, "zzz"), // 'z' never appears in the training types
+      (3L, ""), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val model = operators.Bpe.BpeModel(
+      operators.Bpe.alphabetOf(sennrich),
+      operators.Bpe.trainOnTypes(sennrich, 5))
+    // alphabet: sorted distinct code points of the types + '</w>'
+    assert(model.alphabet ===
+      Seq("d", "e", "i", "l", "n", "o", "r", "s", "t", "w", "</w>"))
+    val v = graft.functions.BpeEncodeExpr
+      .vocabIds(model.alphabet, model.merges).toMap
+    // ids: alphabet 1..11 in order, merges 12.. in rank order
+    assert(v("d") === 1 && v("</w>") === 11)
+    assert(v("es") === 12 && v("est") === 13 && v("est</w>") === 14 &&
+      v("lo") === 15 && v("low") === 16)
+    // duplicate mints: (a,bc) and (ab,c) both -> abc; first rank wins
+    assert(graft.functions.BpeEncodeExpr.vocabIds(Seq("a", "b", "c"),
+      Seq(("b", "c"), ("a", "bc"), ("ab", "c"))).toMap.size === 5)
+    val enc = Bpe.encode(docs, model.merges).orderBy($"doc_id")
+      .select($"subwords").collect().map(_.getSeq[String](0))
+    val ids = Bpe.encodeIds(docs, model).orderBy($"doc_id")
+      .select($"ids", $"n_ids").collect()
+      .map(r => (r.getSeq[Int](0), r.getInt(1)))
+    // the id stream is the symbol stream through the vocab, OOV -> 0
+    enc.zip(ids).foreach { case (syms, (idSeq, n)) =>
+      assert(idSeq === syms.map(s => v.getOrElse(s, 0)))
+      assert(n === syms.length)
+    }
+    // 'z' is outside the training alphabet: OOV ids, but the Eow
+    // marker of that word still resolves
+    assert(ids(2)._1 === Seq(0, 0, 0, v("</w>")))
+    // the vocab DataFrame mirrors the kernel's table exactly
+    val vdf = operators.Bpe.vocab(spark, model).collect()
+      .map(r => (r.getString(1), r.getInt(0))).toMap
+    assert(vdf === v)
+  }
+
+  test("complete-model round-trip: alphabet + merges persist " +
+      "params-last; legacy merges-only dirs refuse readFullModel but " +
+      "keep readModel; rank holes refuse") {
+    val model = operators.Bpe.BpeModel(
+      operators.Bpe.alphabetOf(sennrich),
+      operators.Bpe.trainOnTypes(sennrich, 5))
+    val dir = java.nio.file.Files.createTempDirectory("bpefull").toString
+    Bpe.writeModel(spark, model, dir)
+    val back = Bpe.readFullModel(spark, dir)
+    assert(back === model)
+    // merges-only readers keep working on the new layout
+    assert(Bpe.readModel(spark, dir) === model.merges)
+    // ids under the stored model == ids under the in-memory one
+    val docs = Seq((0L, "low newest zest")).toDF("doc_id", "text")
+    assert(Bpe.encodeIds(docs, back).select($"ids").head()
+      .getSeq[Int](0) ===
+      Bpe.encodeIds(docs, model).select($"ids").head().getSeq[Int](0))
+    // a legacy merges-only model refuses the id-bearing read with the
+    // retrain recovery, while readModel still serves it
+    val legacy = java.nio.file.Files.createTempDirectory("bpeleg").toString
+    Bpe.writeModel(spark, model.merges, legacy)
+    val e = intercept[IllegalArgumentException] {
+      Bpe.readFullModel(spark, legacy)
+    }
+    assert(e.getMessage.contains("legacy"), e.getMessage)
+    assert(Bpe.readModel(spark, legacy) === model.merges)
+    // an alphabet rank hole refuses instead of silently mis-assigning
+    val holed = java.nio.file.Files.createTempDirectory("bpefh").toString
+    Bpe.writeModel(spark, model, holed)
+    Seq((0, "a"), (2, "b")).toDF("rank", "symbol")
+      .write.mode("overwrite").parquet(s"$holed/alphabet")
+    intercept[IllegalArgumentException] {
+      Bpe.readFullModel(spark, holed)
+    }
+  }
+
   test("trainBpeModel builds a readable model from a published corpus " +
       "under the model dir's lease") {
     val root = java.nio.file.Files.createTempDirectory("bpetm").toString

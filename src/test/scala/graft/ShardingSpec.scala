@@ -373,6 +373,39 @@ class ShardingSpec extends SparkSuite {
     }
   }
 
+  test("materializeSequences gathers the manifest into fixed-length " +
+      "id sequences: concatenation equals the doc-order id stream, " +
+      "every sequence is seqLen except the trailing one") {
+    import graft.operators.Bpe
+    val docs = Seq(
+      (0L, "low low"),
+      (1L, "newest widest lower"),
+      (2L, ""),               // zero tokens -> contributes nothing
+      (3L, "low newest low"))
+      .toDF("doc_id", "text")
+    val model = Bpe.BpeModel(
+      Bpe.alphabetOf(Array(("low", 5L), ("lower", 2L), ("newest", 6L),
+        ("widest", 3L))),
+      Bpe.trainOnTypes(Array(("low", 5L), ("lower", 2L),
+        ("newest", 6L), ("widest", 3L)), 5))
+    val seqs = Sharding.materializeSequences(docs, model, seqLen = 7,
+        numParts = 2)
+      .orderBy($"seq_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1), r.getInt(2)))
+    // the gathered stream IS the doc-order id stream, recut
+    val idStream = Bpe.encodeIds(docs, model).orderBy($"doc_id")
+      .select($"ids").collect().flatMap(_.getSeq[Int](0)).toSeq
+    assert(seqs.flatMap(_._2).toSeq === idStream)
+    // fixed length everywhere but the tail; seq_ids dense from 0
+    assert(seqs.map(_._1).toSeq === seqs.indices.map(_.toLong))
+    seqs.init.foreach { case (_, ids, n) =>
+      assert(n === 7 && ids.length === 7)
+    }
+    assert(seqs.last._3 === idStream.length - 7 * (seqs.length - 1))
+    // the span unit matches the id unit: n_ids sums to the stream
+    assert(seqs.map(_._3).sum === idStream.length)
+  }
+
   test("dsir: target-like docs outweigh junk, scores are complete and " +
       "deterministic, resample favors high weights and redraws by salt") {
     val B = 256

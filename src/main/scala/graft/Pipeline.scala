@@ -1416,12 +1416,77 @@ object Pipeline {
     import graft.operators.Bpe
     val corpus = spark.read.parquet(s"$corpusDir/corpus")
       .select(col("doc_id"), col("text"))
-    val merges = Bpe.train(corpus, numMerges, maxTypes)
+    // the COMPLETE model (alphabet + merges): string encoding reads it
+    // like any legacy dir (readModel is layout-agnostic), and the
+    // id-bearing consumers ([[writeTrainingShards]]) get the stored
+    // alphabet they need — there is no reason for the cron line to
+    // keep minting legacy merges-only models
+    val model = Bpe.trainModel(corpus, numMerges, maxTypes)
     graft.operators.Lease.withLeases(spark, Seq(modelDir),
       "trainBpeModel") {
-      Bpe.writeModel(spark, merges, modelDir)
+      Bpe.writeModel(spark, model, modelDir)
     }
-    merges.size
+    model.merges.size
+  }
+
+  /** Export the TRAINING SHARDS — the artifact a training run actually
+    * reads: the published corpus encoded to vocabulary ids under a
+    * persisted COMPLETE BPE model ([[graft.operators.Bpe
+    * .readFullModel]] — legacy merges-only models refuse with the
+    * retrain recovery) and packed into fixed `seqLen`-id sequences
+    * ([[graft.operators.Sharding.materializeSequences]]), written
+    * under `outDir`:
+    *
+    *   - `sequences/`: (seq_id, ids array&lt;int&gt;, n_ids)
+    *     PARTITIONED BY `shard = pmod(seq_id, numShards)` — parallel
+    *     training readers each take a shard, and round-robin by
+    *     seq_id keeps shard sizes within one sequence of each other
+    *     without a second shuffle;
+    *   - `params/`: ONE row (seq_len, num_shards, n_sequences,
+    *     n_ids_total, n_merges, n_alphabet) written LAST — the
+    *     params-last crash discipline; a half-written export has no
+    *     params and every reader refuses.
+    *
+    * The one deliberately token-sized output in the repo: its rows ARE
+    * the training input, so the Σ-tokens cost is the artifact's own
+    * size, not overhead. Derived data like the bm25 family — a re-run
+    * overwrites; holds `outDir`'s lease while writing. Returns the
+    * params row.
+    */
+  def writeTrainingShards(spark: SparkSession, corpusDir: String,
+      modelDir: String, outDir: String, seqLen: Long = 2048,
+      numShards: Int = 256): DataFrame = {
+    require(numShards > 0, s"numShards must be > 0, got $numShards")
+    val model = graft.operators.Bpe.readFullModel(spark, modelDir)
+    val corpus = spark.read.parquet(s"$corpusDir/corpus")
+      .select(col("doc_id"), col("text"))
+    graft.operators.Lease.withLeases(spark, Seq(outDir),
+      "writeTrainingShards") {
+      import org.apache.hadoop.fs.Path
+      val fs = new Path(outDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(new Path(s"$outDir/params")))
+        fs.delete(new Path(s"$outDir/params"), true)
+      graft.operators.Sharding
+        .materializeSequences(corpus, model, seqLen)
+        .withColumn("shard",
+          pmod(col("seq_id"), lit(numShards.toLong)).cast("int"))
+        .write.mode("overwrite").partitionBy("shard")
+        .parquet(s"$outDir/sequences")
+      // the report aggregates read back only (seq_id-free) n_ids — a
+      // column-pruned scan of the artifact's smallest column
+      val agg = spark.read.parquet(s"$outDir/sequences")
+        .agg(count(lit(1)), coalesce(sum(col("n_ids")), lit(0L)))
+        .head()
+      import spark.implicits._
+      val report = Seq((seqLen, numShards, agg.getLong(0),
+          agg.getLong(1), model.merges.size.toLong,
+          model.alphabet.size.toLong))
+        .toDF("seq_len", "num_shards", "n_sequences", "n_ids_total",
+          "n_merges", "n_alphabet")
+      report.coalesce(1).write.parquet(s"$outDir/params")
+      report
+    }
   }
 
   /** Distill the published corpus' LM quality signal into a PERSISTED

@@ -217,14 +217,15 @@ object Fsck {
     // is a crashed write every reader refuses, and must alarm here
     // exactly like a crashed index write (their subdir names are not
     // in DataSubdirs, so the check above cannot see them)
-    val modelData = names.intersect(Set("weights", "merges", "ratios"))
+    val modelData = names.intersect(
+      Set("weights", "merges", "ratios", "alphabet", "sequences"))
     if (!hasParams && modelData.nonEmpty) {
       modelData.toSeq.sorted.foreach { sub =>
         b += Finding(dir, sub, "error",
-          s"model data $sub/ with no params/ — a crashed model write " +
-            "(params are written LAST); every reader refuses. " +
-            "Recover: re-run the matching writeModel/writeDsirModel " +
-            "to completion")
+          s"model data $sub/ with no params/ — a crashed model or " +
+            "export write (params are written LAST); every reader " +
+            "refuses. Recover: re-run the matching writeModel/" +
+            "writeDsirModel/writeTrainingShards to completion")
       }
       return b.toList
     }
@@ -249,15 +250,42 @@ object Fsck {
                 "classifier-model params/ with no weights/ — a crashed " +
                   "writeModel (weights are written FIRST, so this is " +
                   "params over a deleted tree); re-run writeModel")
-          } else if (fields.contains("n_merges")) {
-            if (names.contains("merges"))
+          } else if (fields.contains("seq_len")) {
+            // BEFORE the n_merges branch: the export's params also
+            // records its model's n_merges/n_alphabet provenance, and
+            // classifying it as a BPE model would demand a merges/ it
+            // rightly does not have
+            if (names.contains("sequences"))
               b += Finding(dir, "params", "ok",
-                "healthy BPE tokenizer model (merges/ + params)")
+                "healthy training-shards export (sequences/ + params)")
             else
+              b += Finding(dir, "sequences", "error",
+                "shards-export params/ with no sequences/ — a crashed " +
+                  "writeTrainingShards (sequences are written FIRST, " +
+                  "so this is params over a deleted tree); re-run the " +
+                  "export")
+          } else if (fields.contains("n_merges")) {
+            if (!names.contains("merges"))
               b += Finding(dir, "merges", "error",
                 "BPE-model params/ with no merges/ — a crashed " +
                   "Bpe.writeModel (merges are written FIRST, so this " +
                   "is params over a deleted tree); re-run writeModel")
+            else if (fields.contains("n_alphabet") &&
+                !names.contains("alphabet"))
+              b += Finding(dir, "alphabet", "error",
+                "complete BPE-model params/ (n_alphabet) with no " +
+                  "alphabet/ — a crashed Bpe.writeModel(model); " +
+                  "readFullModel refuses (ids would mis-assign); " +
+                  "re-run writeModel")
+            else if (fields.contains("n_alphabet"))
+              b += Finding(dir, "params", "ok",
+                "healthy complete BPE tokenizer model (alphabet/ + " +
+                  "merges/ + params)")
+            else
+              b += Finding(dir, "params", "ok",
+                "healthy BPE tokenizer model (merges/ + params; " +
+                  "legacy merges-only — string encoding reads it, the " +
+                  "id tier needs a trainModel retrain)")
           } else if (fields.contains("n_buckets")) {
             if (names.contains("ratios"))
               b += Finding(dir, "params", "ok",

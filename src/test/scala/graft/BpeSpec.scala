@@ -229,6 +229,10 @@ class BpeSpec extends SparkSuite {
       s"$root/model", numMerges = 8)
     val merges = Bpe.readModel(spark, s"$root/model")
     assert(merges.size === n && n > 0)
+    // the cron line persists the COMPLETE model: the id tier reads it
+    val full = Bpe.readFullModel(spark, s"$root/model")
+    assert(full.merges === merges &&
+      full.alphabet.contains("</w>") && full.alphabet.size > 1)
     // lease released on completion: a second build succeeds
     assert(graft.Pipeline.trainBpeModel(spark, s"$root/c",
       s"$root/model", numMerges = 8) === n)

@@ -251,6 +251,38 @@ class FsckSpec extends SparkSuite {
       x.component == "ratios"), f.mkString("\n"))
   }
 
+  test("the complete BPE model and the shards export survey as " +
+      "recognized shapes; their crashed writes err with recoveries") {
+    import graft.operators.Bpe
+    val root = mkRoot()
+    val model = Bpe.BpeModel(Seq("e", "s", "t", "</w>"),
+      Seq(("e", "s"), ("es", "t")))
+    Bpe.writeModel(spark, model, s"$root/bpe")
+    Seq((0L, "test set tes")).toDF("doc_id", "text")
+      .write.parquet(s"$root/c/corpus")
+    graft.Pipeline.writeTrainingShards(spark, s"$root/c", s"$root/bpe",
+      s"$root/shards", seqLen = 4, numShards = 2)
+    val f = Fsck.check(spark, root)
+    assert(f.exists(x => x.dir == s"$root/bpe" && x.level == "ok" &&
+      x.detail.contains("complete BPE")), f.mkString("\n"))
+    assert(f.exists(x => x.dir == s"$root/shards" && x.level == "ok" &&
+      x.detail.contains("training-shards")), f.mkString("\n"))
+    assert(!f.exists(_.level == "error"), f.mkString("\n"))
+    // complete-model params with the alphabet gone: readFullModel's
+    // refusal state, and fsck must name it
+    rm(s"$root/bpe/alphabet")
+    val f2 = Fsck.check(spark, root)
+    assert(f2.exists(x => x.dir == s"$root/bpe" &&
+      x.level == "error" && x.component == "alphabet"),
+      f2.mkString("\n"))
+    // export params with sequences gone: a params-over-deleted-tree
+    rm(s"$root/shards/sequences")
+    val f3 = Fsck.check(spark, root)
+    assert(f3.exists(x => x.dir == s"$root/shards" &&
+      x.level == "error" && x.component == "sequences" &&
+      x.detail.contains("writeTrainingShards")), f3.mkString("\n"))
+  }
+
   test("a DSIR model dir surveys as a recognized healthy shape, and " +
       "its crashed write (params without ratios) errs") {
     val root = mkRoot()

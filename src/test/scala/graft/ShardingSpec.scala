@@ -406,6 +406,62 @@ class ShardingSpec extends SparkSuite {
     assert(seqs.map(_._3).sum === idStream.length)
   }
 
+  test("writeTrainingShards exports the packed-id artifact under the " +
+      "lease and params-last discipline; legacy models refuse; a " +
+      "re-run overwrites") {
+    import graft.operators.Bpe
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_shards").toString
+    Seq((0L, "low low newest"), (1L, "newest widest lower"),
+      (2L, "low newest low widest"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$root/c/corpus")
+    assert(graft.Pipeline.trainBpeModel(spark, s"$root/c",
+      s"$root/model", numMerges = 8) > 0)
+    val r = graft.Pipeline.writeTrainingShards(spark, s"$root/c",
+      s"$root/model", s"$root/shards", seqLen = 5, numShards = 4)
+      .head()
+    val model = Bpe.readFullModel(spark, s"$root/model")
+    val expectIds = Bpe.encodeIds(
+        spark.read.parquet(s"$root/c/corpus"), model)
+      .orderBy($"doc_id").select($"ids").collect()
+      .flatMap(_.getSeq[Int](0)).toSeq
+    assert(r.getAs[Long]("n_ids_total") === expectIds.length.toLong)
+    assert(r.getAs[Long]("n_sequences") ===
+      (expectIds.length + 4) / 5)
+    // the written artifact reassembles to the doc-order id stream,
+    // and the shard column round-robins seq_id
+    val seqs = spark.read.parquet(s"$root/shards/sequences")
+      .orderBy($"seq_id").collect()
+      .map(x => (x.getAs[Long]("seq_id"), x.getAs[Int]("shard"),
+        x.getAs[scala.collection.Seq[Int]]("ids")))
+    assert(seqs.flatMap(_._3).toSeq === expectIds)
+    seqs.foreach { case (sid, sh, _) => assert(sh === (sid % 4).toInt) }
+    // params written last and self-describing
+    val p = spark.read.parquet(s"$root/shards/params").head()
+    assert(p.getAs[Long]("seq_len") === 5L &&
+      p.getAs[Int]("num_shards") === 4)
+    // derived data: a re-run overwrites cleanly (no append doubling)
+    graft.Pipeline.writeTrainingShards(spark, s"$root/c",
+      s"$root/model", s"$root/shards", seqLen = 5, numShards = 4)
+    assert(spark.read.parquet(s"$root/shards/sequences").count()
+      === seqs.length.toLong)
+    // a held lease refuses the export (single-writer)
+    graft.operators.Lease.acquire(spark, s"$root/shards", "someone")
+    intercept[IllegalStateException] {
+      graft.Pipeline.writeTrainingShards(spark, s"$root/c",
+        s"$root/model", s"$root/shards", seqLen = 5)
+    }
+    graft.operators.Lease.release(spark, s"$root/shards")
+    // a legacy merges-only model refuses with the retrain recovery
+    Bpe.writeModel(spark, model.merges, s"$root/legacy")
+    val e = intercept[IllegalArgumentException] {
+      graft.Pipeline.writeTrainingShards(spark, s"$root/c",
+        s"$root/legacy", s"$root/shards2", seqLen = 5)
+    }
+    assert(e.getMessage.contains("legacy"), e.getMessage)
+  }
+
   test("dsir: target-like docs outweigh junk, scores are complete and " +
       "deterministic, resample favors high weights and redraws by salt") {
     val B = 256

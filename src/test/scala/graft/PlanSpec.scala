@@ -558,4 +558,32 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("bpe_encode"), p.take(3000))
     assert(!p.contains("Exchange") && !p.contains("Join"), p.take(3000))
   }
+
+  test("ID encoding is the same map-only shape: the model rides the " +
+      "kernel, no join and no exchange") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val model = graft.operators.Bpe.BpeModel(
+      Seq("e", "s", "t", "</w>"), Seq(("e", "s"), ("es", "t")))
+    val p = plan(graft.operators.Bpe.encodeIds(docs, model))
+    assert(p.contains("bpe_encode_ids"), p.take(3000))
+    assert(!p.contains("Exchange") && !p.contains("Join"), p.take(3000))
+  }
+
+  test("materializeSequences encodes ids ONCE (one kernel site behind " +
+      "the barrier) and gathers with a single seq_id aggregation — " +
+      "never a global window or a cartesian join") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .where(col("doc_id") < 200)
+    val model = graft.operators.Bpe.BpeModel(
+      Seq("e", "s", "t", "</w>"), Seq(("e", "s"), ("es", "t")))
+    val p = plan(graft.operators.Sharding.materializeSequences(docs,
+      model, seqLen = 512, numParts = 4))
+    // the barrier'd encode shows as the checkpoint scan, not as N
+    // bpe_encode_ids kernel sites re-tokenizing the corpus per branch
+    assert(!p.contains("bpe_encode_ids"), p.take(3000))
+    // the manifest's window stays per-range-partition
+    assert(p.contains("windowspecdefinition(pid") ||
+      !p.contains("windowspecdefinition"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }

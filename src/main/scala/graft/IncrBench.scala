@@ -378,6 +378,81 @@ object Sq8Bench {
   }
 }
 
+/** Dev-only scaling measurement for the round-14 tier: the bm25
+  * lifecycle economics (does the refresh APPEND stay ∝ batch while the
+  * rebuild grows ∝ corpus?) and the token-ID artifact path (map-only
+  * id encode; the materialized shard export, whose cost is the
+  * artifact's own token size). Run at sf0.1 and the synthetic sf1 —
+  * feeds the docs/BENCH_SF1.md round-14 appendix.
+  */
+object IdTierBench {
+  def main(args: Array[String]): Unit = {
+    import graft.operators.{Bpe, Retrieval, Sharding}
+    val sfDir = args.headOption.getOrElse("target/sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    println(s"corpus=${docs.count()}")
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$label%-20s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    // bm25 lifecycle: index the low 90% once, then the weekly regime —
+    // APPEND the top 10% batch (what refreshCorpus now does) vs a full
+    // REBUILD (what retraction pays, corpus-scale by contract)
+    val cut = docs.agg(expr("percentile(doc_id, 0.9)")).head()
+      .getDouble(0)
+    val bmDir = java.nio.file.Files.createTempDirectory("idt_bm25")
+      .toString
+    timed("bm25_build_90") {
+      Retrieval.writeBm25Index(docs.where(col("doc_id") <= cut), bmDir)
+    }
+    timed("bm25_append_10") {
+      Retrieval.writeBm25Index(docs.where(col("doc_id") > cut), bmDir,
+        mode = "append")
+    }
+    timed("bm25_rebuild_full") {
+      Retrieval.writeBm25Index(docs, bmDir)
+    }
+    // the token-ID path: complete-model train, map-only id encode
+    // (against the string encode for the same segmentation), and the
+    // end-to-end shard export (manifest + gather + write)
+    val model = timed("bpe_train_model") {
+      Bpe.trainModel(docs, numMerges = 1000, maxTypes = 20000)
+    }
+    timed("bpe_encode_strings") { Bpe.encode(docs, model.merges)
+      .agg(sum(col("n_subwords"))).head() }
+    timed("bpe_encode_ids") { Bpe.encodeIds(docs, model)
+      .agg(sum(col("n_ids"))).head() }
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("idt_corpus").toString
+    docs.write.parquet(s"$corpusDir/corpus")
+    val modelDir = java.nio.file.Files
+      .createTempDirectory("idt_model").toString
+    Bpe.writeModel(spark, model, modelDir)
+    val shardsDir = java.nio.file.Files
+      .createTempDirectory("idt_shards").toString
+    val r = timed("export_shards_2048") {
+      graft.Pipeline.writeTrainingShards(spark, corpusDir, modelDir,
+        shardsDir, seqLen = 2048, numShards = 64).head()
+    }
+    println(s"n_sequences=${r.getAs[Long]("n_sequences")} " +
+      s"n_ids_total=${r.getAs[Long]("n_ids_total")}")
+    spark.stop()
+  }
+}
+
 /** Dev-only scaling measurement for the round-13 operator tier: line
   * dedup (inline + indexed probe), DSIR (fit / score / resample under
   * the native ngram kernel), BPE (train at capped types / map-only

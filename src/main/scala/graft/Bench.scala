@@ -36,6 +36,11 @@ object Bench {
     // q117 = q115's screen through the same streaming harness; its
     // per-pass signal is the batch screen, already benched as q115
     "q117_stream_semantic",
+    // q135/q136 = the q133 probe / q134 hybrid through the streaming
+    // harness (staging + checkpoint + per-file micro-batches); their
+    // per-pass signals are the batch probes, already benched as
+    // q133/q134
+    "q135_stream_bm25", "q136_stream_hybrid",
     // q119 = q104's score + q105's split + an MLlib LR fit + q118's
     // scoring plan; the training fit is a model-build (the q100
     // class), its per-pass scoring signal is already benched as q118

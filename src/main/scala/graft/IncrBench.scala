@@ -387,7 +387,7 @@ object Sq8Bench {
   */
 object IdTierBench {
   def main(args: Array[String]): Unit = {
-    import graft.operators.{Bpe, Retrieval, Sharding}
+    import graft.operators.{Bpe, Retrieval}
     val sfDir = args.headOption.getOrElse("target/sf1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()

@@ -180,6 +180,28 @@ object Pipeline {
     fs.delete(old, true)
   }
 
+  /** The published corpus' row count by LEDGER arithmetic — Σ reports'
+    * n_published − the stamped base − Σ retractions' n_retracted, each
+    * a one-row-per-event dataset (no corpus scan). ONE definition for
+    * the retraction report's `n_remaining` and the bm25 freshness
+    * gate, so the two sites can never drift on the ledger shape.
+    * Missing datasets count 0 (a corpus before its first report /
+    * base stamp / retraction). */
+  private[graft] def ledgeredCorpusRows(spark: SparkSession,
+      corpusDir: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(corpusDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def sumOf(p: String, c: String): Long =
+      if (fs.exists(new Path(p)))
+        spark.read.parquet(p)
+          .agg(coalesce(sum(col(c)), lit(0L))).head().getLong(0)
+      else 0L
+    sumOf(s"$corpusDir/reports", "n_published") -
+      sumOf(s"$corpusDir/retraction_base", "n_adjust") -
+      sumOf(s"$corpusDir/retractions", "n_retracted")
+  }
+
   /** The composed weekly-refresh lifecycle for a document corpus — the
     * extension-tier analog of [[RefDataMain.refresh]]'s E3 cadence
     * (reference load_asn_ref_data.py:4-6: a small recurring job that
@@ -813,14 +835,7 @@ object Pipeline {
           val bp = graft.operators.Retrieval.readBm25IndexParams(
             spark, s"$indexRoot/bm25")
           if (bp._5 < minId) {
-            def sumOf(p: String, c: String): Long =
-              if (exists(p)) spark.read.parquet(p)
-                .agg(coalesce(sum(col(c)), lit(0L))).head().getLong(0)
-              else 0L
-            val corpusRows =
-              sumOf(s"$corpusDir/reports", "n_published") -
-                sumOf(s"$corpusDir/retraction_base", "n_adjust") -
-                sumOf(s"$corpusDir/retractions", "n_retracted")
+            val corpusRows = ledgeredCorpusRows(spark, corpusDir)
             require(bp._3 == corpusRows,
               s"$indexRoot/bm25 is stale: it indexes ${bp._3} docs " +
                 s"but the published corpus holds $corpusRows — " +
@@ -1059,14 +1074,10 @@ object Pipeline {
         }
         // remaining = ledger arithmetic over the one-row-per-event
         // datasets — no corpus job (reports/, retractions/, and the base
-        // are each a handful of rows regardless of corpus size)
-        val nPublished = spark.read.parquet(s"$corpusDir/reports")
-          .agg(coalesce(sum(col("n_published")), lit(0L))).head().getLong(0)
-        val nLedgered = spark.read.parquet(s"$corpusDir/retractions")
-          .agg(coalesce(sum(col("n_retracted")), lit(0L))).head().getLong(0)
-        val base = spark.read.parquet(s"$corpusDir/retraction_base")
-          .head().getLong(0)
-        val nRemaining = nPublished - base - nLedgered
+        // are each a handful of rows regardless of corpus size); the
+        // ledger row for THIS request is already written above, so the
+        // shared helper's sum includes it
+        val nRemaining = ledgeredCorpusRows(spark, corpusDir)
         // the BM25 family is rebuild-only derived data (postings are
         // partitioned on the probe dimension): a retraction must not
         // leave a probe surface silently serving the retracted docs,
@@ -1084,11 +1095,19 @@ object Pipeline {
         // and SKIPS the corpus-scale pass on true no-ops (a re-run of
         // a COMPLETED retraction, or a request naming only ids never
         // published), which the sibling families' unconditional
-        // anti-joins can afford but a rebuild cannot.
+        // anti-joins can afford but a rebuild cannot. nRetracted > 0
+        // ALSO forces the rebuild: doc-count equality is a proxy, not
+        // content equality — an index left stale by pre-append-era
+        // refreshes (n_docs behind the corpus by exactly the number
+        // this request retracts) would pass the count gate while
+        // still serving the retracted docs, so a retraction that
+        // actually removed rows always rebuilds (the original
+        // contract), and the count gate only ever ADDS rebuilds
+        // (crash recovery, stale repair), never subtracts one.
         if (exists(s"$indexRoot/bm25/params")) {
           val p = graft.operators.Retrieval.readBm25IndexParams(
             spark, s"$indexRoot/bm25")
-          if (p._3 != nRemaining)
+          if (nRetracted > 0 || p._3 != nRemaining)
             graft.operators.Retrieval.writeBm25Index(
               spark.read.parquet(s"$corpusDir/corpus")
                 .select(col("doc_id"), col("text")),
@@ -1462,6 +1481,17 @@ object Pipeline {
       .select(col("doc_id"), col("text"))
     graft.operators.Lease.withLeases(spark, Seq(outDir),
       "writeTrainingShards") {
+      // REFUSE an empty artifact BEFORE touching the standing export:
+      // zero sequences would truncate sequences/ to a parquet-less
+      // dir (unreadable) after destroying the previous good export.
+      // Zero sequences ⇔ no document tokenizes to ≥ 1 word — one
+      // short-circuit (limit-1) scan decides it.
+      require(!corpus.where(
+          size(graft.operators.Bpe.bpeTokens(col("text"))) > 0).isEmpty,
+        s"writeTrainingShards: $corpusDir/corpus has no tokenizable " +
+          "text — refusing to overwrite the standing export with an " +
+          "empty artifact (retract/refresh the corpus first, or point " +
+          "at the right corpusDir)")
       import org.apache.hadoop.fs.Path
       val fs = new Path(outDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -334,6 +334,18 @@ object Bpe {
         rows.zipWithIndex.forall { case ((rk, _, _), i) => rk == i },
       s"$dir/merges rank sequence is broken (expected 0..${n - 1}) — " +
         "refusing to mis-rank; re-run writeModel")
+    // the marker guard at the READ boundary: a model trained before
+    // the guard existed (on marker-bearing text) must refuse HERE,
+    // on the driver with the retrain recovery, not deep inside an
+    // executor task when the Coder's own require fires mid-publish
+    // (the early-refusal discipline)
+    require(rows.forall { case (_, l, r) =>
+        l + r != graft.functions.BpeEncodeExpr.Eow },
+      s"$dir stores a merge whose concatenation equals the " +
+        s"end-of-word marker '${graft.functions.BpeEncodeExpr.Eow}' " +
+        "— ambiguous at word boundaries (trained before the marker " +
+        "guard, on text containing the literal marker characters); " +
+        "retrain and re-run writeModel")
     rows.map { case (_, l, r) => (l, r) }.toSeq
   }
 }

@@ -140,6 +140,19 @@ class BpeSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       new graft.functions.BpeEncodeExpr.Coder(bad)
     }
+    // a PERSISTED pre-guard model refuses at the READ boundary (on
+    // the driver, with the retrain recovery) — not deep inside an
+    // executor task when the Coder constructs (hand-write the legacy
+    // layout; writeModel itself refuses such lists now)
+    val pre = java.nio.file.Files.createTempDirectory("bpepre").toString
+    Seq((0, "<", "/"), (1, "</", "w>")).toDF("rank", "left", "right")
+      .write.parquet(s"$pre/merges")
+    Seq((2L, "bpe_merges")).toDF("n_merges", "family")
+      .write.parquet(s"$pre/params")
+    val e = intercept[IllegalArgumentException] {
+      Bpe.readModel(spark, pre)
+    }
+    assert(e.getMessage.contains("retrain"), e.getMessage)
   }
 
   test("the ID tier: vocab ids are deterministic (alphabet then " +

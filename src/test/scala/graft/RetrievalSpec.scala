@@ -303,6 +303,46 @@ class RetrievalSpec extends SparkSuite {
     assert(postings() === before)
   }
 
+  test("a retraction that removed rows ALWAYS rebuilds bm25 — count " +
+      "equality is not content equality (the stale-index trap)") {
+    import graft.operators.Retrieval
+    val root = java.nio.file.Files
+      .createTempDirectory("bm25stale2").toString
+    val idxRoot = s"$root/idx"
+    val corpusDir = s"$root/corpus"
+    val batch = Seq(
+      (0L, "retract me xebec quince unique", "en"),
+      (1L, "first keeper document on joins", "en"),
+      (2L, "second keeper document on frames", "en"))
+      .toDF("doc_id", "text", "lang")
+    graft.Pipeline.refreshCorpus(spark, batch, idxRoot, corpusDir,
+      jaccardThreshold = 0.5, chunkTokens = 4, bandBuckets = 8,
+      pieceBuckets = 8, chunkBuckets = 8)
+    // a PRE-APPEND-ERA stale index: covers docs {0, 1} only — its
+    // n_docs (2) will EQUAL the post-retraction corpus count (2), so
+    // a pure count gate would skip the rebuild and keep serving the
+    // retracted doc 0 forever
+    Retrieval.writeBm25Index(
+      spark.read.parquet(s"$corpusDir/corpus")
+        .where($"doc_id" < 2).select($"doc_id", $"text"),
+      s"$idxRoot/bm25", tokenBuckets = 8, dlBuckets = 4)
+    val q = Seq((0, "xebec quince")).toDF("query_id", "text")
+    assert(Retrieval.bm25TopKIndexed(spark, q, s"$idxRoot/bm25", k = 5)
+      .where($"doc_id" === 0L).count() === 1L)
+    val r = graft.Pipeline.retractCorpus(spark, Seq(0L).toDF("doc_id"),
+      idxRoot, corpusDir).head()
+    assert(r.getAs[Long]("n_retracted") === 1L &&
+      r.getAs[Long]("n_remaining") === 2L)
+    // nRetracted > 0 forced the rebuild despite the count coincidence:
+    // the retracted doc is gone AND the rebuilt index now covers the
+    // full corpus (stale repair as a side effect)
+    assert(Retrieval.bm25TopKIndexed(spark, q, s"$idxRoot/bm25", k = 5)
+      .where($"doc_id" === 0L).count() === 0L)
+    val q2 = Seq((0, "second keeper frames")).toDF("query_id", "text")
+    assert(Retrieval.bm25TopKIndexed(spark, q2, s"$idxRoot/bm25",
+      k = 5).where($"doc_id" === 2L).count() === 1L)
+  }
+
   test("rrfFuse sums reciprocal ranks across rankings, hand-checked; " +
       "excludeSelf drops the probe doc BEFORE ranking") {
     def r6(x: Double) = BigDecimal(x)

@@ -460,6 +460,19 @@ class ShardingSpec extends SparkSuite {
         s"$root/legacy", s"$root/shards2", seqLen = 5)
     }
     assert(e.getMessage.contains("legacy"), e.getMessage)
+    // an EMPTY artifact refuses BEFORE touching the standing export —
+    // a zero-row overwrite would first destroy the good sequences/
+    Seq((9L, "   "), (10L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text").write.parquet(s"$root/empty/corpus")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.Pipeline.writeTrainingShards(spark, s"$root/empty",
+        s"$root/model", s"$root/shards", seqLen = 5)
+    }
+    assert(e2.getMessage.contains("no tokenizable"), e2.getMessage)
+    // the prior export survived the refusal intact
+    assert(spark.read.parquet(s"$root/shards/sequences").count()
+      === seqs.length.toLong)
+    assert(spark.read.parquet(s"$root/shards/params").count() === 1L)
   }
 
   test("dsir: target-like docs outweigh junk, scores are complete and " +

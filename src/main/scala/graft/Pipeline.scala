@@ -1474,9 +1474,16 @@ object Pipeline {
     */
   def writeTrainingShards(spark: SparkSession, corpusDir: String,
       modelDir: String, outDir: String, seqLen: Long = 2048,
-      numShards: Int = 256): DataFrame = {
+      numShards: Int = 256, eos: Boolean = true): DataFrame = {
     require(numShards > 0, s"numShards must be > 0, got $numShards")
     val model = graft.operators.Bpe.readFullModel(spark, modelDir)
+    // eos ON by default: a next-token training run must see the
+    // document edge marked ([[graft.operators.Bpe.eosIdOf]] — one id
+    // past the vocabulary), or packed sequences teach the model to
+    // continue one document into the next; the knob exists for
+    // continuation-style artifacts that deliberately splice
+    val eosId = if (eos) Some(graft.operators.Bpe.eosIdOf(model))
+      else None
     val corpus = spark.read.parquet(s"$corpusDir/corpus")
       .select(col("doc_id"), col("text"))
     graft.operators.Lease.withLeases(spark, Seq(outDir),
@@ -1498,7 +1505,7 @@ object Pipeline {
       if (fs.exists(new Path(s"$outDir/params")))
         fs.delete(new Path(s"$outDir/params"), true)
       graft.operators.Sharding
-        .materializeSequences(corpus, model, seqLen)
+        .materializeSequences(corpus, model, seqLen, eosId = eosId)
         .withColumn("shard",
           pmod(col("seq_id"), lit(numShards.toLong)).cast("int"))
         .write.mode("overwrite").partitionBy("shard")
@@ -1511,9 +1518,9 @@ object Pipeline {
       import spark.implicits._
       val report = Seq((seqLen, numShards, agg.getLong(0),
           agg.getLong(1), model.merges.size.toLong,
-          model.alphabet.size.toLong))
+          model.alphabet.size.toLong, eosId))
         .toDF("seq_len", "num_shards", "n_sequences", "n_ids_total",
-          "n_merges", "n_alphabet")
+          "n_merges", "n_alphabet", "eos_id")
       report.coalesce(1).write.parquet(s"$outDir/params")
       report
     }

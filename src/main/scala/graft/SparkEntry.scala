@@ -1205,6 +1205,23 @@ object SparkEntry {
             "x -> cast(x as string)), ' '))").as("ids_md5"))
         .orderBy(col("seq_id").asc)
     }),
+    // the eos-marked packing (rows-only): every document contributes
+    // one trailing end-of-document id (vocabSize + 1, the GPT
+    // convention) before the cut, and each sequence carries its
+    // `spans` document boundaries — what a block-diagonal attention
+    // mask consumes; ShardingSpec pins the interleave and span
+    // partition invariants
+    "q139_pack_eos" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = Bpe.trainModel(docs, numMerges = 64)
+      Sharding.materializeSequences(docs, model, seqLen = 512,
+          eosId = Some(Bpe.eosIdOf(model)))
+        .select(col("seq_id"), col("n_ids"),
+          size(col("spans")).as("n_docs"),
+          expr("md5(array_join(transform(ids, " +
+            "x -> cast(x as string)), ' '))").as("ids_md5"))
+        .orderBy(col("seq_id").asc)
+    }),
     "q123_dsir_weight" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Sharding.dsirScore(docs,

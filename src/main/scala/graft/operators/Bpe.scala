@@ -202,6 +202,14 @@ object Bpe {
       .map { case (s, i) => (i, s) }.toDF("id", "symbol")
   }
 
+  /** The end-of-document separator id convention for a model: one past
+    * the vocabulary (ids 1..V; 0 is OOV) — the GPT `<|endoftext|>`
+    * slot. Stated ONCE so the packer, the export, and any consumer
+    * agree on which id marks a document edge. */
+  def eosIdOf(model: BpeModel): Int =
+    graft.functions.BpeEncodeExpr
+      .vocabIds(model.alphabet, model.merges).size + 1
+
   /** Encode every document to VOCABULARY IDS under a trained model:
     * adds `ids` (array<int>, the subword stream as ids — id 0 marks a
     * code point outside the training alphabet) and `n_ids`. Map-only

@@ -468,25 +468,55 @@ object Sharding {
     * manifest is computed over `size(ids)` of the same encoded frame
     * it gathers from.
     */
+  /** @param eosId when set, every document's id stream gains ONE
+    *              trailing end-of-document separator id (the GPT
+    *              `<|endoftext|>` convention) BEFORE packing, so no
+    *              sequence ever splices two documents without the
+    *              boundary token and next-token training never
+    *              predicts across a document edge unmarked. The id
+    *              must live OUTSIDE the model's vocabulary (ids 1..V;
+    *              0 is OOV) — [[Bpe.eosIdOf]] returns the V+1
+    *              convention. Output also carries `spans`
+    *              (array&lt;struct&lt;doc_id, seq_from, n_tokens&gt;&gt;,
+    *              seq_from-ordered): the per-sequence document
+    *              boundaries a block-diagonal attention mask needs —
+    *              carried ALWAYS (eos or not), derived from the same
+    *              rows as the ids, so the two can never disagree.
+    */
   def materializeSequences(docs: DataFrame, model: Bpe.BpeModel,
       seqLen: Long, numParts: Int = 32,
-      text: Column = col("text")): DataFrame = {
+      text: Column = col("text"),
+      eosId: Option[Int] = None): DataFrame = {
     require(seqLen > 0, s"seqLen must be > 0, got $seqLen")
+    eosId.foreach { e =>
+      val v = graft.functions.BpeEncodeExpr
+        .vocabIds(model.alphabet, model.merges).size
+      require(e < 0 || e > v,
+        s"eosId $e collides with the model's id space [0..$v] " +
+          s"(0 = OOV, 1..$v = vocabulary) — use Bpe.eosIdOf (${v + 1})")
+    }
+    val rawIds = graft.functions.native.bpe_encode_ids(
+      Bpe.bpeTokens(text), model.alphabet, model.merges)
     val withIds = Barriers.barrier(
       docs.select(col("doc_id"),
-        graft.functions.native.bpe_encode_ids(
-          Bpe.bpeTokens(text), model.alphabet, model.merges)
+        eosId.fold(rawIds)(e => concat(rawIds, array(lit(e))))
           .as("ids")))
     packSequences(withIds, seqLen, numParts,
         tokens = size(col("ids")))
       .join(withIds, Seq("doc_id"))
-      .select(col("seq_id"), col("seq_from"),
+      .select(col("seq_id"), col("seq_from"), col("doc_id"),
+        col("n_tokens"),
         slice(col("ids"), (col("doc_from") + 1).cast("int"),
           col("n_tokens").cast("int")).as("piece"))
       .groupBy(col("seq_id"))
-      .agg(expr("flatten(transform(" +
-        "array_sort(collect_list(struct(seq_from, piece))), " +
-        "x -> x.piece))").as("ids"))
+      .agg(collect_list(struct(col("seq_from"), col("doc_id"),
+        col("n_tokens"), col("piece"))).as("parts"))
+      .select(col("seq_id"),
+        expr("flatten(transform(array_sort(parts), x -> x.piece))")
+          .as("ids"),
+        expr("transform(array_sort(parts), x -> struct(" +
+          "x.doc_id AS doc_id, x.seq_from AS seq_from, " +
+          "x.n_tokens AS n_tokens))").as("spans"))
       .withColumn("n_ids", size(col("ids")))
   }
 

@@ -388,9 +388,10 @@ class ShardingSpec extends SparkSuite {
         ("widest", 3L))),
       Bpe.trainOnTypes(Array(("low", 5L), ("lower", 2L),
         ("newest", 6L), ("widest", 3L)), 5))
-    val seqs = Sharding.materializeSequences(docs, model, seqLen = 7,
-        numParts = 2)
-      .orderBy($"seq_id").collect()
+    val seqDf = Sharding.materializeSequences(docs, model, seqLen = 7,
+      numParts = 2)
+    val seqs = seqDf.orderBy($"seq_id")
+      .select($"seq_id", $"ids", $"n_ids").collect()
       .map(r => (r.getLong(0), r.getSeq[Int](1), r.getInt(2)))
     // the gathered stream IS the doc-order id stream, recut
     val idStream = Bpe.encodeIds(docs, model).orderBy($"doc_id")
@@ -404,6 +405,53 @@ class ShardingSpec extends SparkSuite {
     assert(seqs.last._3 === idStream.length - 7 * (seqs.length - 1))
     // the span unit matches the id unit: n_ids sums to the stream
     assert(seqs.map(_._3).sum === idStream.length)
+    // spans partition every sequence contiguously from 0 and agree
+    // with n_ids — the block-diagonal attention mask's input
+    val spans = seqDf.orderBy($"seq_id")
+      .select($"seq_id", $"spans", $"n_ids").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))),
+        r.getInt(2)))
+    spans.foreach { case (_, sp, n) =>
+      assert(sp.head._2 === 0L)
+      sp.sliding(2).foreach {
+        case Seq(a, b) => assert(a._2 + a._3 === b._2)
+        case _ =>
+      }
+      assert(sp.map(_._3).sum === n.toLong)
+    }
+
+    // eos: every document contributes one trailing separator id
+    // (outside the vocabulary) before the cut
+    val eos = Bpe.eosIdOf(model)
+    val eosSeqs = Sharding.materializeSequences(docs, model,
+        seqLen = 7, numParts = 2, eosId = Some(eos))
+      .orderBy($"seq_id").select($"ids", $"spans").collect()
+      .map(r => (r.getSeq[Int](0),
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))))
+    val eosStream = Bpe.encodeIds(docs, model).orderBy($"doc_id")
+      .select($"ids").collect()
+      .flatMap(_.getSeq[Int](0) :+ eos).toSeq
+    assert(eosSeqs.flatMap(_._1).toSeq === eosStream)
+    // each document's LAST span ends on the separator; within the
+    // model's id space nothing equals it
+    val flat = eosSeqs.flatMap { case (ids, sp) =>
+      sp.map { case (d, from, n) => (d, ids.slice(from.toInt,
+        (from + n).toInt)) }
+    }
+    val perDoc = flat.groupBy(_._1).view
+      .mapValues(_.flatMap(_._2).toSeq).toMap
+    perDoc.foreach { case (_, ids) =>
+      assert(ids.last === eos)
+      assert(ids.init.forall(_ != eos))
+    }
+    // an in-vocabulary eosId refuses
+    intercept[IllegalArgumentException] {
+      Sharding.materializeSequences(docs, model, seqLen = 7,
+        eosId = Some(1))
+    }
   }
 
   test("writeTrainingShards exports the packed-id artifact under the " +
@@ -422,10 +470,13 @@ class ShardingSpec extends SparkSuite {
       s"$root/model", s"$root/shards", seqLen = 5, numShards = 4)
       .head()
     val model = Bpe.readFullModel(spark, s"$root/model")
+    // eos defaults ON for the training export: every document ends
+    // with the separator id in the packed stream
+    val eos = Bpe.eosIdOf(model)
     val expectIds = Bpe.encodeIds(
         spark.read.parquet(s"$root/c/corpus"), model)
       .orderBy($"doc_id").select($"ids").collect()
-      .flatMap(_.getSeq[Int](0)).toSeq
+      .flatMap(_.getSeq[Int](0) :+ eos).toSeq
     assert(r.getAs[Long]("n_ids_total") === expectIds.length.toLong)
     assert(r.getAs[Long]("n_sequences") ===
       (expectIds.length + 4) / 5)
@@ -440,7 +491,8 @@ class ShardingSpec extends SparkSuite {
     // params written last and self-describing
     val p = spark.read.parquet(s"$root/shards/params").head()
     assert(p.getAs[Long]("seq_len") === 5L &&
-      p.getAs[Int]("num_shards") === 4)
+      p.getAs[Int]("num_shards") === 4 &&
+      p.getAs[Int]("eos_id") === eos)
     // derived data: a re-run overwrites cleanly (no append doubling)
     graft.Pipeline.writeTrainingShards(spark, s"$root/c",
       s"$root/model", s"$root/shards", seqLen = 5, numShards = 4)

@@ -135,7 +135,7 @@ object CorpusMain {
         |       CorpusMain train-quality <corpusDir> <modelDir> [topV]
         |       CorpusMain train-bpe <corpusDir> <modelDir> [numMerges] [maxTypes]
         |       CorpusMain train-dsir <corpusDir> <targetDir> <modelDir> [buckets]
-        |       CorpusMain export-shards <corpusDir> <bpeModelDir> <outDir> [seqLen] [numShards]
+        |       CorpusMain export-shards <corpusDir> <bpeModelDir> <outDir> [seqLen] [numShards] [overwrite|append]
         |       CorpusMain migrate-shingles <indexRoot> [buckets]
         |       CorpusMain break-lease <dir> [dir ...]
         |       CorpusMain break-leases <root>
@@ -284,15 +284,17 @@ object CorpusMain {
             .getOrElse(20000))
         println(s"""{"model":"${jsonEsc(modelDir)}","n_merges":$n}""")
       case "export-shards" :: corpusDir :: modelDir :: outDir :: rest
-          if rest.length <= 2 =>
+          if rest.length <= 3 =>
         val r = Pipeline.writeTrainingShards(spark, corpusDir, modelDir,
           outDir,
           seqLen = rest.headOption.map(_.toLong).getOrElse(2048L),
           numShards = rest.drop(1).headOption.map(_.toInt)
-            .getOrElse(256)).head()
+            .getOrElse(256),
+          mode = rest.drop(2).headOption.getOrElse("overwrite")).head()
         println(s"""{"out":"${jsonEsc(outDir)}",""" +
           s""""n_sequences":${r.getAs[Long]("n_sequences")},""" +
-          s""""n_ids_total":${r.getAs[Long]("n_ids_total")}}""")
+          s""""n_ids_total":${r.getAs[Long]("n_ids_total")},""" +
+          s""""max_doc_id":${r.getAs[Long]("max_doc_id")}}""")
       case "fsck" :: root :: Nil =>
         // read-only integrity survey: one JSON line per finding,
         // most-severe first, each naming its documented recovery;

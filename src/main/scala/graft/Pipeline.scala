@@ -1474,8 +1474,11 @@ object Pipeline {
     */
   def writeTrainingShards(spark: SparkSession, corpusDir: String,
       modelDir: String, outDir: String, seqLen: Long = 2048,
-      numShards: Int = 256, eos: Boolean = true): DataFrame = {
+      numShards: Int = 256, eos: Boolean = true,
+      mode: String = "overwrite"): DataFrame = {
     require(numShards > 0, s"numShards must be > 0, got $numShards")
+    require(mode == "overwrite" || mode == "append",
+      s"writeTrainingShards: unknown mode '$mode'")
     val model = graft.operators.Bpe.readFullModel(spark, modelDir)
     // eos ON by default: a next-token training run must see the
     // document edge marked ([[graft.operators.Bpe.eosIdOf]] — one id
@@ -1484,45 +1487,146 @@ object Pipeline {
     // continuation-style artifacts that deliberately splice
     val eosId = if (eos) Some(graft.operators.Bpe.eosIdOf(model))
       else None
-    val corpus = spark.read.parquet(s"$corpusDir/corpus")
-      .select(col("doc_id"), col("text"))
-    graft.operators.Lease.withLeases(spark, Seq(outDir),
-      "writeTrainingShards") {
-      // REFUSE an empty artifact BEFORE touching the standing export:
-      // zero sequences would truncate sequences/ to a parquet-less
-      // dir (unreadable) after destroying the previous good export.
-      // Zero sequences ⇔ no document tokenizes to ≥ 1 word — one
-      // short-circuit (limit-1) scan decides it.
-      require(!corpus.where(
-          size(graft.operators.Bpe.bpeTokens(col("text"))) > 0).isEmpty,
-        s"writeTrainingShards: $corpusDir/corpus has no tokenizable " +
-          "text — refusing to overwrite the standing export with an " +
-          "empty artifact (retract/refresh the corpus first, or point " +
-          "at the right corpusDir)")
-      import org.apache.hadoop.fs.Path
-      val fs = new Path(outDir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import spark.implicits._
+    def writeParams(report: DataFrame): DataFrame = {
       if (fs.exists(new Path(s"$outDir/params")))
         fs.delete(new Path(s"$outDir/params"), true)
-      graft.operators.Sharding
-        .materializeSequences(corpus, model, seqLen, eosId = eosId)
-        .withColumn("shard",
-          pmod(col("seq_id"), lit(numShards.toLong)).cast("int"))
-        .write.mode("overwrite").partitionBy("shard")
-        .parquet(s"$outDir/sequences")
-      // the report aggregates read back only (seq_id-free) n_ids — a
-      // column-pruned scan of the artifact's smallest column
-      val agg = spark.read.parquet(s"$outDir/sequences")
-        .agg(count(lit(1)), coalesce(sum(col("n_ids")), lit(0L)))
-        .head()
-      import spark.implicits._
-      val report = Seq((seqLen, numShards, agg.getLong(0),
-          agg.getLong(1), model.merges.size.toLong,
-          model.alphabet.size.toLong, eosId))
-        .toDF("seq_len", "num_shards", "n_sequences", "n_ids_total",
-          "n_merges", "n_alphabet", "eos_id")
       report.coalesce(1).write.parquet(s"$outDir/params")
       report
+    }
+    def packReport(pack: DataFrame): (Long, Long) = {
+      val agg = pack.agg(count(lit(1)),
+        coalesce(sum(col("n_ids")), lit(0L))).head()
+      (agg.getLong(0), agg.getLong(1))
+    }
+    graft.operators.Lease.withLeases(spark, Seq(outDir),
+      "writeTrainingShards") {
+      if (mode == "append") {
+        // ---- incremental export: encode and pack ONLY the corpus
+        // rows past the stored max_doc_id watermark (the batches a
+        // weekly refresh published since the last export) into a NEW
+        // pack generation `sequences/pack=<prevSeqs>/`, seq_ids
+        // continuing densely. Each pack's trailing sequence may run
+        // short — the per-snapshot packing every real shard set has
+        // (documents never splice across packs) — so an appended
+        // export is NOT byte-identical to a one-shot re-export; it is
+        // the ∝-batch artifact the weekly economics demand. The pack
+        // dir name is DETERMINISTIC from the stored params and the
+        // params rewrite is last, so a crashed append retried
+        // overwrites its own partial pack — never duplicates it.
+        // Retraction invalidates an export (packs only ever add): a
+        // corpus retracted since the last export needs mode=overwrite.
+        require(fs.exists(new Path(s"$outDir/params")),
+          s"$outDir has no standing export (params/) — append folds " +
+            "new batches into one; run mode=overwrite first")
+        val p = spark.read.parquet(s"$outDir/params").head()
+        require(p.getAs[Long]("seq_len") == seqLen &&
+            p.getAs[Int]("num_shards") == numShards,
+          s"append with (seqLen=$seqLen, numShards=$numShards) onto " +
+            s"an export written with (${p.getAs[Long]("seq_len")}, " +
+            s"${p.getAs[Int]("num_shards")})")
+        // model provenance BEFORE the eos check: a different model
+        // also shifts the derived eos id, and "different model" is
+        // the root-cause diagnosis, not its separator symptom
+        require(p.getAs[Long]("n_merges") == model.merges.size.toLong &&
+            p.getAs[Long]("n_alphabet") == model.alphabet.size.toLong,
+          s"$outDir was encoded under a different model " +
+            s"(${p.getAs[Long]("n_merges")} merges / " +
+            s"${p.getAs[Long]("n_alphabet")} alphabet vs the current " +
+            s"${model.merges.size} / ${model.alphabet.size}) — " +
+            "appending would mix id spaces; re-export (mode=" +
+            "overwrite) under the current model")
+        require(Option(p.getAs[Integer]("eos_id"))
+            .map(_.intValue) == eosId,
+          s"append with eos=$eos onto an export written with " +
+            s"eos_id=${p.getAs[Integer]("eos_id")} — mixed separator " +
+            "conventions in one artifact")
+        val prevMax = p.getAs[Long]("max_doc_id")
+        val prevSeqs = p.getAs[Long]("n_sequences")
+        // batch_id = its batch's max doc id (monotone), so the
+        // partition filter prunes the scan to post-export batches
+        val delta = spark.read.parquet(s"$corpusDir/corpus")
+          .where(col("batch_id") > prevMax && col("doc_id") > prevMax)
+          .select(col("doc_id"), col("text"))
+        if (delta.where(
+            size(graft.operators.Bpe.bpeTokens(col("text"))) > 0)
+            .isEmpty) {
+          // nothing new (or a tokenless delta): the cron re-run's
+          // no-op — the standing export is untouched and nothing is
+          // written (one limit-1 scan decided it)
+          Seq((seqLen, numShards, prevSeqs,
+              p.getAs[Long]("n_ids_total"), p.getAs[Long]("n_merges"),
+              p.getAs[Long]("n_alphabet"),
+              Option(p.getAs[Integer]("eos_id")).map(_.intValue),
+              prevMax))
+            .toDF("seq_len", "num_shards", "n_sequences",
+              "n_ids_total", "n_merges", "n_alphabet", "eos_id",
+              "max_doc_id")
+        } else {
+          val packDir = s"$outDir/sequences/pack=$prevSeqs"
+          graft.operators.Sharding
+            .materializeSequences(delta, model, seqLen, eosId = eosId)
+            .withColumn("seq_id", col("seq_id") + lit(prevSeqs))
+            .withColumn("shard",
+              pmod(col("seq_id"), lit(numShards.toLong)).cast("int"))
+            .write.mode("overwrite").partitionBy("shard")
+            .parquet(packDir)
+          val (nSeq, nIds) = packReport(spark.read.parquet(packDir))
+          val deltaMax = delta.agg(max(col("doc_id"))).head().getLong(0)
+          writeParams(Seq((seqLen, numShards, prevSeqs + nSeq,
+              p.getAs[Long]("n_ids_total") + nIds,
+              model.merges.size.toLong, model.alphabet.size.toLong,
+              eosId, math.max(prevMax, deltaMax)))
+            .toDF("seq_len", "num_shards", "n_sequences",
+              "n_ids_total", "n_merges", "n_alphabet", "eos_id",
+              "max_doc_id"))
+        }
+      } else {
+        val corpus = spark.read.parquet(s"$corpusDir/corpus")
+          .select(col("doc_id"), col("text"))
+        // REFUSE an empty artifact BEFORE touching the standing
+        // export: zero sequences would truncate sequences/ to a
+        // parquet-less dir (unreadable) after destroying the previous
+        // good export. Zero sequences ⇔ no document tokenizes to ≥ 1
+        // word — one short-circuit (limit-1) scan decides it.
+        require(!corpus.where(
+            size(graft.operators.Bpe.bpeTokens(col("text"))) > 0)
+            .isEmpty,
+          s"writeTrainingShards: $corpusDir/corpus has no " +
+            "tokenizable text — refusing to overwrite the standing " +
+            "export with an empty artifact (retract/refresh the " +
+            "corpus first, or point at the right corpusDir)")
+        if (fs.exists(new Path(s"$outDir/params")))
+          fs.delete(new Path(s"$outDir/params"), true)
+        // pack=0: the bootstrap generation; appends add pack=<n>
+        // siblings (readers take sequences/ whole, packs included)
+        graft.operators.Sharding
+          .materializeSequences(corpus, model, seqLen, eosId = eosId)
+          .withColumn("shard",
+            pmod(col("seq_id"), lit(numShards.toLong)).cast("int"))
+          .write.mode("overwrite").partitionBy("shard")
+          .parquet(s"$outDir/sequences/pack=0")
+        // one whole-artifact cleanup: an overwrite re-export replaces
+        // EVERY generation, not just pack=0
+        fs.listStatus(new Path(s"$outDir/sequences")).foreach { s =>
+          val n = s.getPath.getName
+          if (n.startsWith("pack=") && n != "pack=0")
+            fs.delete(s.getPath, true)
+        }
+        // the report aggregates read back only (seq_id-free) n_ids —
+        // a column-pruned scan of the artifact's smallest column
+        val (nSeq, nIds) = packReport(
+          spark.read.parquet(s"$outDir/sequences"))
+        val maxDoc = corpus.agg(max(col("doc_id"))).head().getLong(0)
+        writeParams(Seq((seqLen, numShards, nSeq, nIds,
+            model.merges.size.toLong, model.alphabet.size.toLong,
+            eosId, maxDoc))
+          .toDF("seq_len", "num_shards", "n_sequences", "n_ids_total",
+            "n_merges", "n_alphabet", "eos_id", "max_doc_id"))
+      }
     }
   }
 

@@ -527,6 +527,90 @@ class ShardingSpec extends SparkSuite {
     assert(spark.read.parquet(s"$root/shards/params").count() === 1L)
   }
 
+  test("export append packs ONLY the new batches into a fresh " +
+      "generation under the doc-id watermark; re-runs no-op; knob and " +
+      "model mismatches refuse") {
+    import graft.operators.Bpe
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_shardapp").toString
+    Seq((0L, "low low newest"), (1L, "newest widest lower"),
+      (2L, "low newest low"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$root/c/corpus/batch_id=2")
+    graft.Pipeline.trainBpeModel(spark, s"$root/c", s"$root/model",
+      numMerges = 8)
+    val model = Bpe.readFullModel(spark, s"$root/model")
+    val eos = Bpe.eosIdOf(model)
+    val r1 = graft.Pipeline.writeTrainingShards(spark, s"$root/c",
+      s"$root/model", s"$root/shards", seqLen = 5, numShards = 2)
+      .head()
+    val s1 = r1.getAs[Long]("n_sequences")
+    assert(r1.getAs[Long]("max_doc_id") === 2L)
+    // a new refresh batch lands
+    Seq((3L, "widest lowest low"), (4L, "newest newest widest"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$root/c/corpus/batch_id=4")
+    val r2 = graft.Pipeline.writeTrainingShards(spark, s"$root/c",
+      s"$root/model", s"$root/shards", seqLen = 5, numShards = 2,
+      mode = "append").head()
+    assert(r2.getAs[Long]("max_doc_id") === 4L)
+    assert(r2.getAs[Long]("n_sequences") > s1)
+    // pack generations: the bootstrap pack=0 plus the append's
+    // pack=<s1>; seq_ids dense across both
+    assert(new java.io.File(s"$root/shards/sequences/pack=0").exists())
+    assert(new java.io.File(s"$root/shards/sequences/pack=$s1")
+      .exists())
+    val seqs = spark.read.parquet(s"$root/shards/sequences")
+      .orderBy($"seq_id")
+      .select($"seq_id", $"ids", $"pack".cast("long")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1), r.getLong(2)))
+    assert(seqs.map(_._1).toSeq ===
+      (0L until r2.getAs[Long]("n_sequences")))
+    // each pack's id stream is ITS batches' doc-order stream (the
+    // batch edge never splices into the previous pack's tail)
+    def stream(ids: Seq[Long]) = Bpe.encodeIds(
+        spark.read.parquet(s"$root/c/corpus")
+          .where($"doc_id".isin(ids: _*)), model)
+      .orderBy($"doc_id").select($"ids").collect()
+      .flatMap(_.getSeq[Int](0) :+ eos).toSeq
+    assert(seqs.filter(_._3 == 0L).flatMap(_._2).toSeq ===
+      stream(Seq(0L, 1L, 2L)))
+    assert(seqs.filter(_._3 == s1).flatMap(_._2).toSeq ===
+      stream(Seq(3L, 4L)))
+    // an append with nothing new is a no-op (the cron re-run)
+    val r3 = graft.Pipeline.writeTrainingShards(spark, s"$root/c",
+      s"$root/model", s"$root/shards", seqLen = 5, numShards = 2,
+      mode = "append").head()
+    assert(r3.getAs[Long]("n_sequences") ===
+      r2.getAs[Long]("n_sequences"))
+    assert(spark.read.parquet(s"$root/shards/sequences").count() ===
+      seqs.length.toLong)
+    // knob and model mismatches refuse with the re-export recovery
+    intercept[IllegalArgumentException] {
+      graft.Pipeline.writeTrainingShards(spark, s"$root/c",
+        s"$root/model", s"$root/shards", seqLen = 7, numShards = 2,
+        mode = "append")
+    }
+    intercept[IllegalArgumentException] {
+      graft.Pipeline.writeTrainingShards(spark, s"$root/c",
+        s"$root/model", s"$root/shards", seqLen = 5, numShards = 2,
+        eos = false, mode = "append")
+    }
+    graft.Pipeline.trainBpeModel(spark, s"$root/c", s"$root/model2",
+      numMerges = 3)
+    val e = intercept[IllegalArgumentException] {
+      graft.Pipeline.writeTrainingShards(spark, s"$root/c",
+        s"$root/model2", s"$root/shards", seqLen = 5, numShards = 2,
+        mode = "append")
+    }
+    assert(e.getMessage.contains("different model"), e.getMessage)
+    // append onto nothing refuses with the bootstrap recovery
+    intercept[IllegalArgumentException] {
+      graft.Pipeline.writeTrainingShards(spark, s"$root/c",
+        s"$root/model", s"$root/fresh", seqLen = 5, mode = "append")
+    }
+  }
+
   test("dsir: target-like docs outweigh junk, scores are complete and " +
       "deterministic, resample favors high weights and redraws by salt") {
     val B = 256

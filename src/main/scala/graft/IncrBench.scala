@@ -449,6 +449,26 @@ object IdTierBench {
     }
     println(s"n_sequences=${r.getAs[Long]("n_sequences")} " +
       s"n_ids_total=${r.getAs[Long]("n_ids_total")}")
+    // incremental export economics: bootstrap the low 90% (one
+    // batch partition), then the weekly APPEND of the top 10% — the
+    // ∝-batch path — against the full re-export above
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val corpus2 = java.nio.file.Files
+      .createTempDirectory("idt_c2").toString
+    docs.where(col("doc_id") <= cut)
+      .write.parquet(s"$corpus2/corpus/batch_id=${cut.toLong}")
+    val shards2 = java.nio.file.Files
+      .createTempDirectory("idt_sh2").toString
+    timed("export_build_90") {
+      graft.Pipeline.writeTrainingShards(spark, corpus2, modelDir,
+        shards2, seqLen = 2048, numShards = 64)
+    }
+    docs.where(col("doc_id") > cut)
+      .write.parquet(s"$corpus2/corpus/batch_id=$maxId")
+    timed("export_append_10") {
+      graft.Pipeline.writeTrainingShards(spark, corpus2, modelDir,
+        shards2, seqLen = 2048, numShards = 64, mode = "append")
+    }
     spark.stop()
   }
 }

@@ -1491,17 +1491,51 @@ object Pipeline {
     val fs = new Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     import spark.implicits._
-    def writeParams(report: DataFrame): DataFrame = {
-      if (fs.exists(new Path(s"$outDir/params")))
-        fs.delete(new Path(s"$outDir/params"), true)
-      report.coalesce(1).write.parquet(s"$outDir/params")
-      report
+    // the SOURCE corpus' retraction-ledger total, recorded at export
+    // time and compared at append time: packs only ever ADD, so a
+    // corpus retracted since the last export must refuse the append
+    // (the bm25 freshness gate's scan-free ledger discipline) — a
+    // comment-only contract would leave retracted documents in the
+    // training artifact with no operator signal, forever
+    def retractionTotal(): Long = {
+      val rp = new Path(s"$corpusDir/retractions")
+      val cfs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (cfs.exists(rp))
+        spark.read.parquet(rp.toString)
+          .agg(coalesce(sum(col("n_retracted")), lit(0L)))
+          .head().getLong(0)
+      else 0L
     }
-    def packReport(pack: DataFrame): (Long, Long) = {
+    // (n_sequences, n_ids, max packed doc id) from the WRITTEN pack —
+    // the watermark derives from what was actually packed, never from
+    // a second corpus scan (a batch published between the pack write
+    // and a re-scan would be marked exported without being packed:
+    // silent permanent holes). Caveat: with eos OFF, tokenless docs
+    // pack nothing and stay below the watermark — future appends
+    // re-filter and re-skip them, a no-op cost, never a hole.
+    def packStats(pack: DataFrame): (Long, Long, Long) = {
       val agg = pack.agg(count(lit(1)),
-        coalesce(sum(col("n_ids")), lit(0L))).head()
-      (agg.getLong(0), agg.getLong(1))
+        coalesce(sum(col("n_ids")), lit(0L)),
+        coalesce(max(expr(
+          "array_max(transform(spans, x -> x.doc_id))")),
+          lit(Long.MinValue))).head()
+      (agg.getLong(0), agg.getLong(1), agg.getLong(2))
     }
+    def paramsRow(nSeq: Long, nIds: Long, maxDoc: Long,
+        rt: Long): DataFrame =
+      Seq((seqLen, numShards, nSeq, nIds, model.merges.size.toLong,
+          model.alphabet.size.toLong, eosId, maxDoc, rt))
+        .toDF("seq_len", "num_shards", "n_sequences", "n_ids_total",
+          "n_merges", "n_alphabet", "eos_id", "max_doc_id",
+          "retraction_total")
+    // artifact emptiness: with eos ON every document emits at least
+    // its separator id, so empty ⇔ no rows; with eos OFF a tokenless
+    // doc emits nothing, so empty ⇔ no tokenizable row. One limit-1
+    // scan either way.
+    def artifactEmpty(df: DataFrame): Boolean =
+      if (eosId.isDefined) df.isEmpty
+      else df.where(
+        size(graft.operators.Bpe.bpeTokens(col("text"))) > 0).isEmpty
     graft.operators.Lease.withLeases(spark, Seq(outDir),
       "writeTrainingShards") {
       if (mode == "append") {
@@ -1515,14 +1549,22 @@ object Pipeline {
         // export is NOT byte-identical to a one-shot re-export; it is
         // the ∝-batch artifact the weekly economics demand. The pack
         // dir name is DETERMINISTIC from the stored params and the
-        // params rewrite is last, so a crashed append retried
-        // overwrites its own partial pack — never duplicates it.
-        // Retraction invalidates an export (packs only ever add): a
-        // corpus retracted since the last export needs mode=overwrite.
+        // params swap is staged and last, so a crashed append retried
+        // overwrites its own partial pack — never duplicates it, and
+        // never loses the standing watermark.
         require(fs.exists(new Path(s"$outDir/params")),
           s"$outDir has no standing export (params/) — append folds " +
             "new batches into one; run mode=overwrite first")
-        val p = spark.read.parquet(s"$outDir/params").head()
+        val pdf = spark.read.parquet(s"$outDir/params")
+        // legacy-layout refusal FIRST: a pre-append-era export lacks
+        // the watermark/eos/ledger columns, and a raw missing-field
+        // error would name a symptom instead of the recovery
+        require(Seq("eos_id", "max_doc_id", "retraction_total")
+            .forall(pdf.schema.fieldNames.contains),
+          s"$outDir is a pre-append-era export (params/ has no " +
+            "watermark/eos/ledger metadata) — re-export (mode=" +
+            "overwrite) once to upgrade it; appends work from there")
+        val p = pdf.head()
         require(p.getAs[Long]("seq_len") == seqLen &&
             p.getAs[Int]("num_shards") == numShards,
           s"append with (seqLen=$seqLen, numShards=$numShards) onto " +
@@ -1544,6 +1586,13 @@ object Pipeline {
           s"append with eos=$eos onto an export written with " +
             s"eos_id=${p.getAs[Integer]("eos_id")} — mixed separator " +
             "conventions in one artifact")
+        val rtNow = retractionTotal()
+        require(rtNow == p.getAs[Long]("retraction_total"),
+          s"$corpusDir was retracted from since the last export " +
+            s"(ledger total $rtNow vs the recorded " +
+            s"${p.getAs[Long]("retraction_total")}) — packs only " +
+            "ever add, so the retracted documents are still in the " +
+            "artifact; re-export (mode=overwrite)")
         val prevMax = p.getAs[Long]("max_doc_id")
         val prevSeqs = p.getAs[Long]("n_sequences")
         // batch_id = its batch's max doc id (monotone), so the
@@ -1551,20 +1600,11 @@ object Pipeline {
         val delta = spark.read.parquet(s"$corpusDir/corpus")
           .where(col("batch_id") > prevMax && col("doc_id") > prevMax)
           .select(col("doc_id"), col("text"))
-        if (delta.where(
-            size(graft.operators.Bpe.bpeTokens(col("text"))) > 0)
-            .isEmpty) {
-          // nothing new (or a tokenless delta): the cron re-run's
-          // no-op — the standing export is untouched and nothing is
-          // written (one limit-1 scan decided it)
-          Seq((seqLen, numShards, prevSeqs,
-              p.getAs[Long]("n_ids_total"), p.getAs[Long]("n_merges"),
-              p.getAs[Long]("n_alphabet"),
-              Option(p.getAs[Integer]("eos_id")).map(_.intValue),
-              prevMax))
-            .toDF("seq_len", "num_shards", "n_sequences",
-              "n_ids_total", "n_merges", "n_alphabet", "eos_id",
-              "max_doc_id")
+        if (artifactEmpty(delta)) {
+          // nothing new: the cron re-run's no-op — the standing
+          // export is untouched and nothing is written
+          paramsRow(prevSeqs, p.getAs[Long]("n_ids_total"), prevMax,
+            rtNow)
         } else {
           val packDir = s"$outDir/sequences/pack=$prevSeqs"
           graft.operators.Sharding
@@ -1574,33 +1614,36 @@ object Pipeline {
               pmod(col("seq_id"), lit(numShards.toLong)).cast("int"))
             .write.mode("overwrite").partitionBy("shard")
             .parquet(packDir)
-          val (nSeq, nIds) = packReport(spark.read.parquet(packDir))
-          val deltaMax = delta.agg(max(col("doc_id"))).head().getLong(0)
-          writeParams(Seq((seqLen, numShards, prevSeqs + nSeq,
-              p.getAs[Long]("n_ids_total") + nIds,
-              model.merges.size.toLong, model.alphabet.size.toLong,
-              eosId, math.max(prevMax, deltaMax)))
-            .toDF("seq_len", "num_shards", "n_sequences",
-              "n_ids_total", "n_merges", "n_alphabet", "eos_id",
-              "max_doc_id"))
+          val (nSeq, nIds, packMax) =
+            packStats(spark.read.parquet(packDir))
+          val report = paramsRow(prevSeqs + nSeq,
+            p.getAs[Long]("n_ids_total") + nIds,
+            math.max(prevMax, packMax), rtNow)
+          stagedWrite(spark, report, s"$outDir/params")
+          report
         }
       } else {
         val corpus = spark.read.parquet(s"$corpusDir/corpus")
           .select(col("doc_id"), col("text"))
         // REFUSE an empty artifact BEFORE touching the standing
-        // export: zero sequences would truncate sequences/ to a
-        // parquet-less dir (unreadable) after destroying the previous
-        // good export. Zero sequences ⇔ no document tokenizes to ≥ 1
-        // word — one short-circuit (limit-1) scan decides it.
-        require(!corpus.where(
-            size(graft.operators.Bpe.bpeTokens(col("text"))) > 0)
-            .isEmpty,
-          s"writeTrainingShards: $corpusDir/corpus has no " +
-            "tokenizable text — refusing to overwrite the standing " +
-            "export with an empty artifact (retract/refresh the " +
-            "corpus first, or point at the right corpusDir)")
-        if (fs.exists(new Path(s"$outDir/params")))
-          fs.delete(new Path(s"$outDir/params"), true)
+        // export: zero sequences would leave sequences/ with no
+        // parquet files (unreadable) after destroying the previous
+        // good export
+        require(!artifactEmpty(corpus),
+          s"writeTrainingShards: $corpusDir/corpus would pack to an " +
+            "empty artifact — refusing to overwrite the standing " +
+            "export (retract/refresh the corpus first, or point at " +
+            "the right corpusDir)")
+        // params goes first (readers refuse while we rewrite; a crash
+        // anywhere below leaves the documented params-less state with
+        // the re-run recovery), then the WHOLE sequences/ tree — an
+        // overwrite replaces every generation, and sweeping the tree
+        // also clears any pre-pack-layout export (bare shard= dirs),
+        // whose survival would wedge the mixed-depth partition
+        // discovery on the read-back
+        Seq(s"$outDir/params", s"$outDir/sequences").foreach { d =>
+          if (fs.exists(new Path(d))) fs.delete(new Path(d), true)
+        }
         // pack=0: the bootstrap generation; appends add pack=<n>
         // siblings (readers take sequences/ whole, packs included)
         graft.operators.Sharding
@@ -1609,23 +1652,13 @@ object Pipeline {
             pmod(col("seq_id"), lit(numShards.toLong)).cast("int"))
           .write.mode("overwrite").partitionBy("shard")
           .parquet(s"$outDir/sequences/pack=0")
-        // one whole-artifact cleanup: an overwrite re-export replaces
-        // EVERY generation, not just pack=0
-        fs.listStatus(new Path(s"$outDir/sequences")).foreach { s =>
-          val n = s.getPath.getName
-          if (n.startsWith("pack=") && n != "pack=0")
-            fs.delete(s.getPath, true)
-        }
-        // the report aggregates read back only (seq_id-free) n_ids —
-        // a column-pruned scan of the artifact's smallest column
-        val (nSeq, nIds) = packReport(
+        // the report aggregates read back only small columns (n_ids,
+        // the spans doc ids) — never the id arrays
+        val (nSeq, nIds, maxDoc) = packStats(
           spark.read.parquet(s"$outDir/sequences"))
-        val maxDoc = corpus.agg(max(col("doc_id"))).head().getLong(0)
-        writeParams(Seq((seqLen, numShards, nSeq, nIds,
-            model.merges.size.toLong, model.alphabet.size.toLong,
-            eosId, maxDoc))
-          .toDF("seq_len", "num_shards", "n_sequences", "n_ids_total",
-            "n_merges", "n_alphabet", "eos_id", "max_doc_id"))
+        val report = paramsRow(nSeq, nIds, maxDoc, retractionTotal())
+        stagedWrite(spark, report, s"$outDir/params")
+        report
       }
     }
   }

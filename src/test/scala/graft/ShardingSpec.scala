@@ -513,14 +513,30 @@ class ShardingSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("legacy"), e.getMessage)
     // an EMPTY artifact refuses BEFORE touching the standing export —
-    // a zero-row overwrite would first destroy the good sequences/
-    Seq((9L, "   "), (10L, null.asInstanceOf[String]))
+    // a zero-row overwrite would first destroy the good sequences/.
+    // With eos ON a tokenless doc still packs its separator (the
+    // overwrite-vs-append parity rule), so "empty" = zero rows there;
+    // with eos OFF a tokenless corpus packs nothing and refuses too
+    Seq.empty[(Long, String)]
       .toDF("doc_id", "text").write.parquet(s"$root/empty/corpus")
     val e2 = intercept[IllegalArgumentException] {
       graft.Pipeline.writeTrainingShards(spark, s"$root/empty",
         s"$root/model", s"$root/shards", seqLen = 5)
     }
-    assert(e2.getMessage.contains("no tokenizable"), e2.getMessage)
+    assert(e2.getMessage.contains("empty artifact"), e2.getMessage)
+    Seq((9L, "   "), (10L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text").write.parquet(s"$root/tokenless/corpus")
+    intercept[IllegalArgumentException] {
+      graft.Pipeline.writeTrainingShards(spark, s"$root/tokenless",
+        s"$root/model", s"$root/shards", seqLen = 5, eos = false)
+    }
+    // with eos ON the tokenless corpus is a LEGAL artifact (one
+    // separator per doc) — written elsewhere, not over the standing
+    // export this test guards
+    val tk = graft.Pipeline.writeTrainingShards(spark,
+      s"$root/tokenless", s"$root/model", s"$root/tkshards",
+      seqLen = 5).head()
+    assert(tk.getAs[Long]("n_ids_total") === 2L)
     // the prior export survived the refusal intact
     assert(spark.read.parquet(s"$root/shards/sequences").count()
       === seqs.length.toLong)
@@ -609,6 +625,51 @@ class ShardingSpec extends SparkSuite {
       graft.Pipeline.writeTrainingShards(spark, s"$root/c",
         s"$root/model", s"$root/fresh", seqLen = 5, mode = "append")
     }
+    // a pre-append-era export (params without watermark/eos/ledger
+    // columns) refuses with the upgrade recovery, not a field error
+    val legacyOut = s"$root/legacyout"
+    spark.read.parquet(s"$root/shards/sequences")
+      .write.parquet(s"$legacyOut/sequences")
+    Seq((5L, 2, 1L, 10L, 8L, 11L))
+      .toDF("seq_len", "num_shards", "n_sequences", "n_ids_total",
+        "n_merges", "n_alphabet")
+      .write.parquet(s"$legacyOut/params")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.Pipeline.writeTrainingShards(spark, s"$root/c",
+        s"$root/model", legacyOut, seqLen = 5, numShards = 2,
+        mode = "append")
+    }
+    assert(e2.getMessage.contains("pre-append-era"), e2.getMessage)
+    // a retraction since the last export refuses the append (packs
+    // only ever add — the retracted docs would stay in the artifact)
+    Seq((2L, 1L)).toDF("n_requested", "n_retracted")
+      .write.parquet(s"$root/c/retractions/retraction_id=x1c1s1")
+    val e3 = intercept[IllegalArgumentException] {
+      graft.Pipeline.writeTrainingShards(spark, s"$root/c",
+        s"$root/model", s"$root/shards", seqLen = 5, numShards = 2,
+        mode = "append")
+    }
+    assert(e3.getMessage.contains("retracted"), e3.getMessage)
+    // the recovery: a full re-export sweeps EVERY stale pack
+    // generation and records the new ledger total — appends work
+    // again from there
+    val r4 = graft.Pipeline.writeTrainingShards(spark, s"$root/c",
+      s"$root/model", s"$root/shards", seqLen = 5, numShards = 2)
+      .head()
+    assert(!new java.io.File(s"$root/shards/sequences/pack=$s1")
+      .exists())
+    assert(new java.io.File(s"$root/shards/sequences/pack=0").exists())
+    val all = spark.read.parquet(s"$root/shards/sequences")
+    assert(all.count() === r4.getAs[Long]("n_sequences"))
+    assert(all.orderBy($"seq_id").select($"seq_id").collect()
+      .map(_.getLong(0)).toSeq ===
+      (0L until r4.getAs[Long]("n_sequences")))
+    assert(r4.getAs[Long]("retraction_total") === 1L)
+    val r5 = graft.Pipeline.writeTrainingShards(spark, s"$root/c",
+      s"$root/model", s"$root/shards", seqLen = 5, numShards = 2,
+      mode = "append").head()
+    assert(r5.getAs[Long]("n_sequences") ===
+      r4.getAs[Long]("n_sequences")) // nothing new: no-op again
   }
 
   test("dsir: target-like docs outweigh junk, scores are complete and " +

@@ -1448,6 +1448,37 @@ object Pipeline {
     model.merges.size
   }
 
+  /** Read a [[writeTrainingShards]] export back: the sequences frame
+    * (seq_id, ids, spans, n_ids, shard, pack) plus the params row —
+    * the consumer half of the export contract, with the crash states
+    * refused where a bare `spark.read.parquet` would misread them:
+    * a params-less dir (crashed write) refuses with the re-run
+    * recovery, and `strict = true` additionally pays ONE count to
+    * assert the sequences agree with the params' n_sequences (a
+    * partial pack an operator hand-deleted, a foreign file — the
+    * states fsck flags, verified at read time when the caller is
+    * about to train on the bytes). */
+  def readTrainingShards(spark: SparkSession, outDir: String,
+      strict: Boolean = false): (DataFrame, org.apache.spark.sql.Row) = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(s"$outDir/params")),
+      s"$outDir has no params/ — not a written shards export (or its " +
+        "write crashed before the params commit); re-run " +
+        "writeTrainingShards")
+    val p = spark.read.parquet(s"$outDir/params").head()
+    val seqs = spark.read.parquet(s"$outDir/sequences")
+    if (strict) {
+      val n = seqs.count()
+      require(n == p.getAs[Long]("n_sequences"),
+        s"$outDir holds $n sequences but params records " +
+          s"${p.getAs[Long]("n_sequences")} — a partially deleted or " +
+          "foreign-file state; re-run the export (mode=overwrite)")
+    }
+    (seqs, p)
+  }
+
   /** Export the TRAINING SHARDS — the artifact a training run actually
     * reads: the published corpus encoded to vocabulary ids under a
     * persisted COMPLETE BPE model ([[graft.operators.Bpe

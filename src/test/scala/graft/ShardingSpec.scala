@@ -670,6 +670,28 @@ class ShardingSpec extends SparkSuite {
       mode = "append").head()
     assert(r5.getAs[Long]("n_sequences") ===
       r4.getAs[Long]("n_sequences")) // nothing new: no-op again
+    // the consumer half: readTrainingShards returns the frame + the
+    // params row, strict mode asserts the counts agree, and a
+    // params-less dir refuses with the re-run recovery
+    val (rs, rp) = graft.Pipeline.readTrainingShards(spark,
+      s"$root/shards", strict = true)
+    assert(rs.count() === rp.getAs[Long]("n_sequences"))
+    intercept[IllegalArgumentException] {
+      graft.Pipeline.readTrainingShards(spark, s"$root/nowhere")
+    }
+    // strict catches a hand-mangled export (a deleted pack)
+    spark.read.parquet(s"$root/shards/sequences")
+      .where($"seq_id" > 0)
+      .drop("shard", "pack")
+      .withColumn("shard", lit(0))
+      .write.parquet(s"$root/mangled/sequences/pack=0")
+    spark.read.parquet(s"$root/shards/params")
+      .write.parquet(s"$root/mangled/params")
+    val em = intercept[IllegalArgumentException] {
+      graft.Pipeline.readTrainingShards(spark, s"$root/mangled",
+        strict = true)
+    }
+    assert(em.getMessage.contains("params records"), em.getMessage)
   }
 
   test("dsir: target-like docs outweigh junk, scores are complete and " +

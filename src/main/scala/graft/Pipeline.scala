@@ -1628,7 +1628,13 @@ object Pipeline {
         val prevSeqs = p.getAs[Long]("n_sequences")
         // batch_id = its batch's max doc id (monotone), so the
         // partition filter prunes the scan to post-export batches
-        val delta = spark.read.parquet(s"$corpusDir/corpus")
+        val corpusDf = spark.read.parquet(s"$corpusDir/corpus")
+        require(corpusDf.columns.contains("batch_id"),
+          s"$corpusDir/corpus has no batch_id partitions — not a " +
+            "refreshCorpus-published corpus; the append watermark " +
+            "needs the batch layout (flat corpora re-export with " +
+            "mode=overwrite)")
+        val delta = corpusDf
           .where(col("batch_id") > prevMax && col("doc_id") > prevMax)
           .select(col("doc_id"), col("text"))
         if (artifactEmpty(delta)) {

@@ -199,7 +199,25 @@ object Pipeline {
       else 0L
     sumOf(s"$corpusDir/reports", "n_published") -
       sumOf(s"$corpusDir/retraction_base", "n_adjust") -
-      sumOf(s"$corpusDir/retractions", "n_retracted")
+      retractionLedgerTotal(spark, corpusDir)
+  }
+
+  /** Σ of the retraction ledger's `n_retracted` — the ONE definition
+    * behind [[ledgeredCorpusRows]], [[auditCorpus]]'s arithmetic
+    * check, and [[writeTrainingShards]]' packs-only-add gate, so a
+    * future ledger-shape change can never make the gates compare
+    * totals computed under different definitions. Missing ledger
+    * (no retraction ever) counts 0. */
+  private[graft] def retractionLedgerTotal(spark: SparkSession,
+      corpusDir: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val rp = new Path(s"$corpusDir/retractions")
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(rp))
+      spark.read.parquet(rp.toString)
+        .agg(coalesce(sum(col("n_retracted")), lit(0L)))
+        .head().getLong(0)
+    else 0L
   }
 
   /** The composed weekly-refresh lifecycle for a document corpus — the
@@ -1363,12 +1381,7 @@ object Pipeline {
             spark.read.parquet(s"$corpusDir/retraction_base")
               .head().getLong(0)
           else 0L
-        val nLedgered =
-          if (exists(s"$corpusDir/retractions"))
-            spark.read.parquet(s"$corpusDir/retractions")
-              .agg(coalesce(sum(col("n_retracted")), lit(0L)))
-              .head().getLong(0)
-          else 0L
+        val nLedgered = retractionLedgerTotal(spark, corpusDir)
         val expected = nPublished - base - nLedgered
         if (expected == nRows)
           add("retractions/arithmetic", "ok", 0L,
@@ -1467,14 +1480,33 @@ object Pipeline {
       s"$outDir has no params/ — not a written shards export (or its " +
         "write crashed before the params commit); re-run " +
         "writeTrainingShards")
-    val p = spark.read.parquet(s"$outDir/params").head()
+    val pdf = spark.read.parquet(s"$outDir/params")
+    // the append path's legacy refusal, applied at the consumer too:
+    // a pre-append-era export lacks the pack layout this reader's
+    // return shape promises, and a bare read would surface raw
+    // missing-column / mixed-depth-partition errors instead
+    require(Seq("eos_id", "max_doc_id", "retraction_total")
+        .forall(pdf.schema.fieldNames.contains),
+      s"$outDir is a pre-append-era export (params/ has no " +
+        "watermark/eos/ledger metadata, sequences/ predates the pack " +
+        "layout) — re-export (mode=overwrite) once to upgrade it")
+    val p = pdf.head()
     val seqs = spark.read.parquet(s"$outDir/sequences")
     if (strict) {
       val n = seqs.count()
-      require(n == p.getAs[Long]("n_sequences"),
-        s"$outDir holds $n sequences but params records " +
-          s"${p.getAs[Long]("n_sequences")} — a partially deleted or " +
-          "foreign-file state; re-run the export (mode=overwrite)")
+      val recorded = p.getAs[Long]("n_sequences")
+      // n > recorded is the crashed-append signature (a committed
+      // pack whose params swap never landed) and its recovery is the
+      // ∝-batch re-append, NOT the full re-export
+      require(n <= recorded,
+        s"$outDir holds $n sequences but params records $recorded — " +
+          "a committed-but-unrecorded pack (an append crashed before " +
+          "its params swap); re-run the append (mode=append) to " +
+          "overwrite the partial pack and record it")
+      require(n == recorded,
+        s"$outDir holds $n sequences but params records $recorded — " +
+          "a partially deleted or foreign-file state; re-run the " +
+          "export (mode=overwrite)")
     }
     (seqs, p)
   }
@@ -1522,21 +1554,19 @@ object Pipeline {
     val fs = new Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     import spark.implicits._
-    // the SOURCE corpus' retraction-ledger total, recorded at export
-    // time and compared at append time: packs only ever ADD, so a
-    // corpus retracted since the last export must refuse the append
-    // (the bm25 freshness gate's scan-free ledger discipline) — a
-    // comment-only contract would leave retracted documents in the
-    // training artifact with no operator signal, forever
-    def retractionTotal(): Long = {
-      val rp = new Path(s"$corpusDir/retractions")
-      val cfs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (cfs.exists(rp))
-        spark.read.parquet(rp.toString)
-          .agg(coalesce(sum(col("n_retracted")), lit(0L)))
-          .head().getLong(0)
-      else 0L
-    }
+    // the SOURCE corpus' retraction-ledger total
+    // ([[retractionLedgerTotal]] — the shared definition), recorded
+    // at export time and compared at append time: packs only ever
+    // ADD, so a corpus retracted since the last export must refuse
+    // the append (the bm25 freshness gate's scan-free ledger
+    // discipline) — a comment-only contract would leave retracted
+    // documents in the training artifact with no operator signal,
+    // forever. Both modes read the total BEFORE scanning the corpus:
+    // a retraction landing mid-export (its ledger row commits before
+    // its corpus rewrite, and no lease spans both dirs) is then
+    // recorded as NOT yet reflected, so the next append's gate
+    // refuses and forces the re-export — conservative, never the
+    // silent-pass direction.
     // (n_sequences, n_ids, max packed doc id) from the WRITTEN pack —
     // the watermark derives from what was actually packed, never from
     // a second corpus scan (a batch published between the pack write
@@ -1583,9 +1613,19 @@ object Pipeline {
         // params swap is staged and last, so a crashed append retried
         // overwrites its own partial pack — never duplicates it, and
         // never loses the standing watermark.
-        require(fs.exists(new Path(s"$outDir/params")),
-          s"$outDir has no standing export (params/) — append folds " +
-            "new batches into one; run mode=overwrite first")
+        if (!fs.exists(new Path(s"$outDir/params"))) {
+          // a crashed params SWAP leaves the standing metadata at the
+          // staged-write aside — the ∝-batch recovery is a rename, not
+          // the full re-export a bare "no standing export" would send
+          // the operator to
+          require(!fs.exists(new Path(s"$outDir/_old_params")),
+            s"$outDir/params is mid-swap (a crashed staged rename; " +
+              "_old_params holds the standing metadata) — rename " +
+              "_old_params back to params and re-run the append")
+          require(false,
+            s"$outDir has no standing export (params/) — append " +
+              "folds new batches into one; run mode=overwrite first")
+        }
         val pdf = spark.read.parquet(s"$outDir/params")
         // legacy-layout refusal FIRST: a pre-append-era export lacks
         // the watermark/eos/ledger columns, and a raw missing-field
@@ -1617,7 +1657,7 @@ object Pipeline {
           s"append with eos=$eos onto an export written with " +
             s"eos_id=${p.getAs[Integer]("eos_id")} — mixed separator " +
             "conventions in one artifact")
-        val rtNow = retractionTotal()
+        val rtNow = retractionLedgerTotal(spark, corpusDir)
         require(rtNow == p.getAs[Long]("retraction_total"),
           s"$corpusDir was retracted from since the last export " +
             s"(ledger total $rtNow vs the recorded " +
@@ -1660,6 +1700,9 @@ object Pipeline {
           report
         }
       } else {
+        // ledger BEFORE the corpus scan — see the note above: a
+        // retraction landing mid-export must read as not-yet-packed
+        val rtBefore = retractionLedgerTotal(spark, corpusDir)
         val corpus = spark.read.parquet(s"$corpusDir/corpus")
           .select(col("doc_id"), col("text"))
         // REFUSE an empty artifact BEFORE touching the standing
@@ -1693,7 +1736,7 @@ object Pipeline {
         // the spans doc ids) — never the id arrays
         val (nSeq, nIds, maxDoc) = packStats(
           spark.read.parquet(s"$outDir/sequences"))
-        val report = paramsRow(nSeq, nIds, maxDoc, retractionTotal())
+        val report = paramsRow(nSeq, nIds, maxDoc, rtBefore)
         stagedWrite(spark, report, s"$outDir/params")
         report
       }

@@ -640,6 +640,10 @@ class ShardingSpec extends SparkSuite {
         mode = "append")
     }
     assert(e2.getMessage.contains("pre-append-era"), e2.getMessage)
+    // the reader refuses the same legacy state (consumer parity)
+    intercept[IllegalArgumentException] {
+      graft.Pipeline.readTrainingShards(spark, legacyOut)
+    }
     // a retraction since the last export refuses the append (packs
     // only ever add — the retracted docs would stay in the artifact)
     Seq((2L, 1L)).toDF("n_requested", "n_retracted")

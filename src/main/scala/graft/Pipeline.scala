@@ -1470,16 +1470,36 @@ object Pipeline {
     * assert the sequences agree with the params' n_sequences (a
     * partial pack an operator hand-deleted, a foreign file — the
     * states fsck flags, verified at read time when the caller is
-    * about to train on the bytes). */
+    * about to train on the bytes).
+    *
+    * `modelDir`, when given, verifies the artifact was encoded under
+    * THAT model — counts first (the friendly diagnostic), then the
+    * CONTENT digest ([[graft.operators.Bpe.modelDigest]]): the ids a
+    * training run is about to consume mean nothing except under the
+    * model that minted them, and a same-count retrain between export
+    * and read is undetectable from counts alone. */
   def readTrainingShards(spark: SparkSession, outDir: String,
-      strict: Boolean = false): (DataFrame, org.apache.spark.sql.Row) = {
+      strict: Boolean = false,
+      modelDir: Option[String] = None)
+      : (DataFrame, org.apache.spark.sql.Row) = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(new Path(s"$outDir/params")),
-      s"$outDir has no params/ — not a written shards export (or its " +
-        "write crashed before the params commit); re-run " +
-        "writeTrainingShards")
+    if (!fs.exists(new Path(s"$outDir/params"))) {
+      // the append path's mid-swap diagnosis, mirrored at the consumer:
+      // a crashed staged params rename leaves the standing metadata at
+      // the _old_params aside, and the recovery is that ∝-0 rename —
+      // a bare "re-run the export" here would send the operator to the
+      // corpus-scale recovery when the cheap one applies
+      require(!fs.exists(new Path(s"$outDir/_old_params")),
+        s"$outDir/params is mid-swap (a crashed staged rename; " +
+          "_old_params holds the standing metadata) — rename " +
+          "_old_params back to params and re-read")
+      require(false,
+        s"$outDir has no params/ — not a written shards export (or " +
+          "its write crashed before the params commit); re-run " +
+          "writeTrainingShards")
+    }
     val pdf = spark.read.parquet(s"$outDir/params")
     // the append path's legacy refusal, applied at the consumer too:
     // a pre-append-era export lacks the pack layout this reader's
@@ -1491,6 +1511,29 @@ object Pipeline {
         "watermark/eos/ledger metadata, sequences/ predates the pack " +
         "layout) — re-export (mode=overwrite) once to upgrade it")
     val p = pdf.head()
+    modelDir.foreach { md =>
+      val m = graft.operators.Bpe.readFullModel(spark, md)
+      require(p.getAs[Long]("n_merges") == m.merges.size.toLong &&
+          p.getAs[Long]("n_alphabet") == m.alphabet.size.toLong,
+        s"$outDir was encoded under a different model than $md " +
+          s"(${p.getAs[Long]("n_merges")} merges / " +
+          s"${p.getAs[Long]("n_alphabet")} alphabet vs " +
+          s"${m.merges.size} / ${m.alphabet.size}) — its ids decode " +
+          "to other subwords under this model; re-export (mode=" +
+          "overwrite) under it, or read with the model that wrote it")
+      require(pdf.schema.fieldNames.contains("model_digest"),
+        s"$outDir is a pre-digest-era export (params/ records only " +
+          "model COUNTS, which a retrain can reproduce — this read's " +
+          "provenance check cannot be answered from counts); " +
+          "re-export (mode=overwrite) once to stamp the digest")
+      require(p.getAs[String]("model_digest") ==
+          graft.operators.Bpe.modelDigest(m),
+        s"$outDir was encoded under a DIFFERENT model than $md with " +
+          "the same counts (a retrain between export and read) — " +
+          "its ids name other subwords under this model; re-export " +
+          "(mode=overwrite) under it, or read with the model that " +
+          "wrote it")
+    }
     val seqs = spark.read.parquet(s"$outDir/sequences")
     if (strict) {
       val n = seqs.count()
@@ -1582,13 +1625,20 @@ object Pipeline {
           lit(Long.MinValue))).head()
       (agg.getLong(0), agg.getLong(1), agg.getLong(2))
     }
+    // the model's CONTENT digest ([[graft.operators.Bpe.modelDigest]])
+    // rides the params next to the counts: the append/read gates
+    // compare THIS — a season retrain with default knobs realistically
+    // reproduces both counts (the merge loop runs to its cap, a
+    // same-language corpus keeps its character set), so a counts-only
+    // gate silently mixes two id spaces across packs
+    val modelDig = graft.operators.Bpe.modelDigest(model)
     def paramsRow(nSeq: Long, nIds: Long, maxDoc: Long,
         rt: Long): DataFrame =
       Seq((seqLen, numShards, nSeq, nIds, model.merges.size.toLong,
-          model.alphabet.size.toLong, eosId, maxDoc, rt))
+          model.alphabet.size.toLong, modelDig, eosId, maxDoc, rt))
         .toDF("seq_len", "num_shards", "n_sequences", "n_ids_total",
-          "n_merges", "n_alphabet", "eos_id", "max_doc_id",
-          "retraction_total")
+          "n_merges", "n_alphabet", "model_digest", "eos_id",
+          "max_doc_id", "retraction_total")
     // artifact emptiness: with eos ON every document emits at least
     // its separator id, so empty ⇔ no rows; with eos OFF a tokenless
     // doc emits nothing, so empty ⇔ no tokenizable row. One limit-1
@@ -1652,6 +1702,22 @@ object Pipeline {
             s"${model.merges.size} / ${model.alphabet.size}) — " +
             "appending would mix id spaces; re-export (mode=" +
             "overwrite) under the current model")
+        // counts first (the friendly diagnostic), CONTENT second (the
+        // decisive one): a retrain that reproduces both counts still
+        // changes which subword each id names, and nothing downstream
+        // could ever detect the mix — refuse on the digest
+        require(pdf.schema.fieldNames.contains("model_digest"),
+          s"$outDir is a pre-digest-era export (params/ records only " +
+            "model COUNTS, which a retrain can reproduce) — " +
+            "re-export (mode=overwrite) once to stamp the model's " +
+            "content digest; appends verify provenance from there")
+        require(p.getAs[String]("model_digest") == modelDig,
+          s"$outDir was encoded under a DIFFERENT model with the " +
+            "same counts (content digest " +
+            s"${p.getAs[String]("model_digest")} vs the current " +
+            s"$modelDig — a retrain between exports); appending " +
+            "would mix id spaces; re-export (mode=overwrite) under " +
+            "the current model")
         require(Option(p.getAs[Integer]("eos_id"))
             .map(_.intValue) == eosId,
           s"append with eos=$eos onto an export written with " +

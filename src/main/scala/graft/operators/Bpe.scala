@@ -162,6 +162,53 @@ object Bpe {
   final case class BpeModel(alphabet: Seq[String],
       merges: Seq[(String, String)])
 
+  /** Canonical SHA-256 over length-prefixed UTF-8 sections under a
+    * domain tag — the one framing behind [[modelDigest]] and
+    * [[mergesDigest]], unambiguous for arbitrary symbol strings
+    * (length prefixes, not separators: corpus code points can be
+    * anything) and deliberately engine-portable (pure bytes, no JVM
+    * hashCode). */
+  private def sectionDigest(domain: String,
+      sections: Iterator[String]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def put(s: String): Unit = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      md.update(java.nio.ByteBuffer.allocate(4).putInt(b.length).array())
+      md.update(b)
+    }
+    put(domain)
+    sections.foreach(put)
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** CONTENT digest of a complete model — the ordered alphabet and the
+    * ordered merge list, not their counts. Two different models can
+    * (and realistically do) agree on (n_merges, n_alphabet): a season
+    * retrain over a drifted corpus runs the merge loop to the same cap
+    * and keeps a same-language corpus' character set — so any gate
+    * deciding "same id space?" from counts alone silently passes a
+    * retrain and mixes vocabularies. This digest is what those gates
+    * compare ([[graft.Pipeline.writeTrainingShards]]' append,
+    * [[graft.Pipeline.readTrainingShards]]' model check); the counts
+    * stay as the friendlier first-line diagnostic. */
+  def modelDigest(model: BpeModel): String =
+    sectionDigest("graft-bpe-model-v1",
+      Iterator(model.alphabet.size.toString) ++ model.alphabet.iterator
+        ++ Iterator(model.merges.size.toString)
+        ++ model.merges.iterator.flatMap { case (l, r) =>
+          Iterator(l, r) })
+
+  /** CONTENT digest of a bare merge list — the unit of account for
+    * STRING-level encoding (subword segmentation and counts depend
+    * only on the merges; the alphabet only shapes ids), so the refresh
+    * report's per-batch tokenizer provenance records this form: it is
+    * computable for legacy merges-only models too. A distinct domain
+    * tag keeps the two digest spaces disjoint by construction. */
+  def mergesDigest(merges: Seq[(String, String)]): String =
+    sectionDigest("graft-bpe-merges-v1",
+      Iterator(merges.size.toString) ++
+        merges.iterator.flatMap { case (l, r) => Iterator(l, r) })
+
   /** The training alphabet of a word-type table: distinct code-point
     * symbols across all types, lexicographically sorted (deterministic
     * like every id-bearing artifact here), with [[graft.functions
@@ -286,9 +333,13 @@ object Bpe {
     model.merges.zipWithIndex.map { case ((l, r), i) => (i, l, r) }
       .toDF("rank", "left", "right")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/merges")
+    // the params row carries the CONTENT digest next to the counts:
+    // id-space provenance gates compare the digest (a same-count
+    // retrain is the realistic silent-corruption path), humans read
+    // the counts
     Seq((model.merges.size.toLong, model.alphabet.size.toLong,
-        "bpe_merges"))
-      .toDF("n_merges", "n_alphabet", "family")
+        modelDigest(model), "bpe_merges"))
+      .toDF("n_merges", "n_alphabet", "model_digest", "family")
       .coalesce(1).write.parquet(s"$dir/params")
   }
 
@@ -311,7 +362,8 @@ object Bpe {
         "engine-dependent; retrain with trainModel and persist the " +
         "BpeModel form (readModel still reads this dir for string " +
         "encoding)")
-    val nA = p.head().getAs[Long]("n_alphabet")
+    val pRow = p.head()
+    val nA = pRow.getAs[Long]("n_alphabet")
     val rows = spark.read.parquet(s"$dir/alphabet")
       .orderBy(col("rank").asc).collect()
       .map(r => (r.getAs[Int]("rank"), r.getAs[String]("symbol")))
@@ -319,7 +371,22 @@ object Bpe {
         rows.zipWithIndex.forall { case ((rk, _), i) => rk == i },
       s"$dir/alphabet rank sequence is broken (expected 0..${nA - 1})" +
         " — refusing to mis-assign ids; re-run writeModel")
-    BpeModel(rows.map(_._2).toSeq, readModel(spark, dir))
+    val model = BpeModel(rows.map(_._2).toSeq, readModel(spark, dir))
+    // storage-integrity check when the write stamped a digest (models
+    // written before the column read it back absent — tolerated, the
+    // id-bearing CONSUMERS recompute the digest from this returned
+    // model anyway): alphabet/ and merges/ are two datasets, and a
+    // foreign overwrite of one of them between params commits is
+    // exactly the mixed-provenance state the digest exists to catch
+    if (p.schema.fieldNames.contains("model_digest")) {
+      val stored = pRow.getAs[String]("model_digest")
+      require(stored == modelDigest(model),
+        s"$dir params' model_digest does not match the stored " +
+          "alphabet++merges content — alphabet/ or merges/ was " +
+          "overwritten outside writeModel (mixed provenance); " +
+          "retrain and re-run writeModel")
+    }
+    model
   }
 
   /** Read a persisted merge list back in rank order. Refuses a

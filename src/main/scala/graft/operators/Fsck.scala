@@ -255,10 +255,19 @@ object Fsck {
             // records its model's n_merges/n_alphabet provenance, and
             // classifying it as a BPE model would demand a merges/ it
             // rightly does not have
-            if (names.contains("sequences"))
-              b += Finding(dir, "params", "ok",
-                "healthy training-shards export (sequences/ + params)")
-            else
+            if (names.contains("sequences")) {
+              if (fields.contains("model_digest"))
+                b += Finding(dir, "params", "ok",
+                  "healthy training-shards export (sequences/ + " +
+                    "params, model content digest stamped)")
+              else
+                b += Finding(dir, "params", "warn",
+                  "pre-digest-era training-shards export: params/ " +
+                    "records only model COUNTS, which a retrain can " +
+                    "reproduce — appends and model-checked reads " +
+                    "refuse until a mode=overwrite re-export stamps " +
+                    "the content digest")
+            } else
               b += Finding(dir, "sequences", "error",
                 "shards-export params/ with no sequences/ — a crashed " +
                   "writeTrainingShards (sequences are written FIRST, " +
@@ -280,7 +289,12 @@ object Fsck {
             else if (fields.contains("n_alphabet"))
               b += Finding(dir, "params", "ok",
                 "healthy complete BPE tokenizer model (alphabet/ + " +
-                  "merges/ + params)")
+                  "merges/ + params" +
+                  (if (fields.contains("model_digest"))
+                     ", content digest stamped)"
+                   else "; pre-digest write — readFullModel " +
+                     "tolerates it, consumers recompute the digest; " +
+                     "re-run writeModel to stamp it)"))
             else
               b += Finding(dir, "params", "ok",
                 "healthy BPE tokenizer model (merges/ + params; " +

@@ -509,15 +509,23 @@ object Sharding {
         slice(col("ids"), (col("doc_from") + 1).cast("int"),
           col("n_tokens").cast("int")).as("piece"))
       .groupBy(col("seq_id"))
-      .agg(collect_list(struct(col("seq_from"), col("doc_id"),
-        col("n_tokens"), col("piece"))).as("parts"))
+      // the seq_from sort runs ONCE, inside the aggregate's result
+      // projection: the downstream select references the Aggregate's
+      // OUTPUT attribute, which no projection collapse can re-inline —
+      // deriving ids and spans from two array_sort(parts) copies in one
+      // select would lean on codegen subexpression elimination to avoid
+      // sorting the piece-bearing structs twice per sequence
+      .agg(array_sort(collect_list(struct(col("seq_from"),
+        col("doc_id"), col("n_tokens"), col("piece")))).as("sorted"))
       .select(col("seq_id"),
-        expr("flatten(transform(array_sort(parts), x -> x.piece))")
-          .as("ids"),
-        expr("transform(array_sort(parts), x -> struct(" +
+        expr("flatten(transform(sorted, x -> x.piece))").as("ids"),
+        expr("transform(sorted, x -> struct(" +
           "x.doc_id AS doc_id, x.seq_from AS seq_from, " +
-          "x.n_tokens AS n_tokens))").as("spans"))
-      .withColumn("n_ids", size(col("ids")))
+          "x.n_tokens AS n_tokens))").as("spans"),
+        // = size(ids): every piece is exactly n_tokens long (the slice
+        // bounds come from the manifest's partition of the doc's ids)
+        expr("cast(aggregate(sorted, 0L, (a, x) -> a + x.n_tokens) " +
+          "as int)").as("n_ids"))
   }
 
   // ------------------------------------- DSIR importance resampling

@@ -232,6 +232,67 @@ class BpeSpec extends SparkSuite {
     }
   }
 
+  test("model content digest: deterministic, count-blind-proof " +
+      "(same-count models differ), framing-unambiguous, stamped by " +
+      "writeModel and verified by readFullModel") {
+    import operators.Bpe.BpeModel
+    val mA = BpeModel(Seq("a", "b", "c", "</w>"), Seq(("a", "b")))
+    // SAME counts (4 alphabet, 1 merge), different content — the
+    // realistic season-retrain shape a count-only gate waves through
+    val mB = BpeModel(Seq("a", "b", "d", "</w>"), Seq(("a", "b")))
+    val mC = BpeModel(Seq("a", "b", "c", "</w>"), Seq(("b", "a")))
+    assert(Bpe.modelDigest(mA) === Bpe.modelDigest(mA.copy()))
+    assert(Bpe.modelDigest(mA) !== Bpe.modelDigest(mB))
+    assert(Bpe.modelDigest(mA) !== Bpe.modelDigest(mC))
+    // merge ORDER is content (rank changes the greedy segmentation)
+    val mD = BpeModel(Seq("a", "b", "c", "</w>"),
+      Seq(("a", "b"), ("b", "c")))
+    val mE = BpeModel(Seq("a", "b", "c", "</w>"),
+      Seq(("b", "c"), ("a", "b")))
+    assert(Bpe.modelDigest(mD) !== Bpe.modelDigest(mE))
+    // framing: symbols must not concatenate ambiguously across the
+    // alphabet/merge boundary (length-prefixed sections)
+    val mF = BpeModel(Seq("a", "bc", "</w>"), Seq(("a", "bc")))
+    val mG = BpeModel(Seq("ab", "c", "</w>"), Seq(("ab", "c")))
+    assert(Bpe.modelDigest(mF) !== Bpe.modelDigest(mG))
+    // the merges digest is a disjoint domain (never compares equal to
+    // a model digest even over identical strings)
+    assert(Bpe.mergesDigest(mA.merges) !== Bpe.modelDigest(mA))
+    assert(Bpe.mergesDigest(mD.merges) !== Bpe.mergesDigest(mE.merges))
+    // writeModel stamps it; readFullModel round-trips and verifies
+    val dir = java.nio.file.Files.createTempDirectory("bpedig").toString
+    Bpe.writeModel(spark, mA, dir)
+    assert(spark.read.parquet(s"$dir/params").head()
+      .getAs[String]("model_digest") === Bpe.modelDigest(mA))
+    assert(Bpe.readFullModel(spark, dir) === mA)
+    // mixed provenance (one sub-dataset overwritten by a same-shape
+    // foreign write) refuses on the digest, not silently mis-decodes
+    val dirB = java.nio.file.Files.createTempDirectory("bpedigB").toString
+    Bpe.writeModel(spark, mB, dirB)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/alphabet"), true)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$dirB/alphabet"), fs,
+      new org.apache.hadoop.fs.Path(s"$dir/alphabet"), false,
+      spark.sparkContext.hadoopConfiguration)
+    val e = intercept[IllegalArgumentException] {
+      Bpe.readFullModel(spark, dir)
+    }
+    assert(e.getMessage.contains("model_digest"), e.getMessage)
+    // a pre-digest-era model (params without the column) still reads —
+    // consumers recompute the digest from the returned model
+    val legacy = java.nio.file.Files.createTempDirectory("bpedigL")
+      .toString
+    Bpe.writeModel(spark, mA, legacy)
+    spark.read.parquet(s"$legacy/params").drop("model_digest")
+      .write.mode("overwrite").parquet(s"$legacy/params2")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$legacy/params"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$legacy/params2"),
+      new org.apache.hadoop.fs.Path(s"$legacy/params"))
+    assert(Bpe.readFullModel(spark, legacy) === mA)
+  }
+
   test("trainBpeModel builds a readable model from a published corpus " +
       "under the model dir's lease") {
     val root = java.nio.file.Files.createTempDirectory("bpetm").toString

@@ -266,8 +266,20 @@ class FsckSpec extends SparkSuite {
     assert(f.exists(x => x.dir == s"$root/bpe" && x.level == "ok" &&
       x.detail.contains("complete BPE")), f.mkString("\n"))
     assert(f.exists(x => x.dir == s"$root/shards" && x.level == "ok" &&
-      x.detail.contains("training-shards")), f.mkString("\n"))
+      x.detail.contains("training-shards") &&
+      x.detail.contains("digest")), f.mkString("\n"))
     assert(!f.exists(_.level == "error"), f.mkString("\n"))
+    // a pre-digest-era export (counts-only provenance) surveys as a
+    // WARN naming the re-export upgrade, not a silent ok
+    spark.read.parquet(s"$root/shards/sequences")
+      .write.parquet(s"$root/oldshards/sequences")
+    spark.read.parquet(s"$root/shards/params").drop("model_digest")
+      .write.parquet(s"$root/oldshards/params")
+    val fw = Fsck.check(spark, root)
+    assert(fw.exists(x => x.dir == s"$root/oldshards" &&
+      x.level == "warn" && x.detail.contains("pre-digest-era")),
+      fw.mkString("\n"))
+    rm(s"$root/oldshards")
     // complete-model params with the alphabet gone: readFullModel's
     // refusal state, and fsck must name it
     rm(s"$root/bpe/alphabet")

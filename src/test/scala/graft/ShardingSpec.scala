@@ -698,6 +698,83 @@ class ShardingSpec extends SparkSuite {
     assert(em.getMessage.contains("params records"), em.getMessage)
   }
 
+  test("export model provenance is CONTENT, not counts: a same-count " +
+      "retrain refuses the append and the model-checked read; the " +
+      "matching model passes; pre-digest exports refuse with the " +
+      "upgrade recovery") {
+    import graft.operators.Bpe
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sharddig").toString
+    Seq((0L, "ab ab ba"), (1L, "ba ab"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$root/c/corpus/batch_id=1")
+    // two hand-built models with IDENTICAL counts (3-symbol alphabet,
+    // one merge) but different content — the season-retrain shape a
+    // count-only gate waves through
+    val mA = Bpe.BpeModel(Seq("a", "b", "</w>"), Seq(("a", "b")))
+    val mB = Bpe.BpeModel(Seq("a", "b", "</w>"), Seq(("b", "a")))
+    Bpe.writeModel(spark, mA, s"$root/mA")
+    Bpe.writeModel(spark, mB, s"$root/mB")
+    graft.Pipeline.writeTrainingShards(spark, s"$root/c", s"$root/mA",
+      s"$root/shards", seqLen = 4, numShards = 2)
+    // the digest rides the export params
+    assert(spark.read.parquet(s"$root/shards/params").head()
+      .getAs[String]("model_digest") === Bpe.modelDigest(mA))
+    Seq((2L, "ab ba ba")).toDF("doc_id", "text")
+      .write.parquet(s"$root/c/corpus/batch_id=2")
+    // same counts, different content: the append refuses on the digest
+    val e = intercept[IllegalArgumentException] {
+      graft.Pipeline.writeTrainingShards(spark, s"$root/c",
+        s"$root/mB", s"$root/shards", seqLen = 4, numShards = 2,
+        mode = "append")
+    }
+    assert(e.getMessage.contains("same counts"), e.getMessage)
+    // ... and the model-checked read refuses too (consumer parity)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.Pipeline.readTrainingShards(spark, s"$root/shards",
+        modelDir = Some(s"$root/mB"))
+    }
+    assert(e2.getMessage.contains("same counts"), e2.getMessage)
+    // the model that wrote it passes both, and the append proceeds
+    val (rs, rp) = graft.Pipeline.readTrainingShards(spark,
+      s"$root/shards", strict = true, modelDir = Some(s"$root/mA"))
+    assert(rs.count() === rp.getAs[Long]("n_sequences"))
+    val r2 = graft.Pipeline.writeTrainingShards(spark, s"$root/c",
+      s"$root/mA", s"$root/shards", seqLen = 4, numShards = 2,
+      mode = "append").head()
+    assert(r2.getAs[Long]("max_doc_id") === 2L)
+    // a count-DIFFERENT model still refuses on the friendlier counts
+    // diagnostic first
+    val mC = Bpe.BpeModel(Seq("a", "b", "c", "</w>"), Seq(("a", "b")))
+    Bpe.writeModel(spark, mC, s"$root/mC")
+    val e3 = intercept[IllegalArgumentException] {
+      graft.Pipeline.readTrainingShards(spark, s"$root/shards",
+        modelDir = Some(s"$root/mC"))
+    }
+    assert(!e3.getMessage.contains("same counts"), e3.getMessage)
+    // a pre-digest-era export (r14 shape: watermark columns, no
+    // digest) refuses append and model-checked read with the upgrade
+    // recovery; the plain read keeps serving it
+    val legacy = s"$root/legacy"
+    spark.read.parquet(s"$root/shards/sequences")
+      .write.parquet(s"$legacy/sequences")
+    spark.read.parquet(s"$root/shards/params").drop("model_digest")
+      .write.parquet(s"$legacy/params")
+    val e4 = intercept[IllegalArgumentException] {
+      graft.Pipeline.writeTrainingShards(spark, s"$root/c",
+        s"$root/mA", legacy, seqLen = 4, numShards = 2,
+        mode = "append")
+    }
+    assert(e4.getMessage.contains("pre-digest-era"), e4.getMessage)
+    val e5 = intercept[IllegalArgumentException] {
+      graft.Pipeline.readTrainingShards(spark, legacy,
+        modelDir = Some(s"$root/mA"))
+    }
+    assert(e5.getMessage.contains("pre-digest-era"), e5.getMessage)
+    assert(graft.Pipeline.readTrainingShards(spark, legacy)._1
+      .count() > 0L)
+  }
+
   test("dsir: target-like docs outweigh junk, scores are complete and " +
       "deterministic, resample favors high weights and redraws by salt") {
     val B = 256

@@ -295,6 +295,32 @@ object CorpusMain {
           s""""n_sequences":${r.getAs[Long]("n_sequences")},""" +
           s""""n_ids_total":${r.getAs[Long]("n_ids_total")},""" +
           s""""max_doc_id":${r.getAs[Long]("max_doc_id")}}""")
+      case "audit-shards" :: outDir :: modelDir :: Nil =>
+        // read-back audit of the packed-id artifact: the strict +
+        // model-checked read (counts agree, the encoding model's
+        // CONTENT digest matches), then ONE sequence decoded back to
+        // words — the eyeball check an operator wants before pointing
+        // a training run at the bytes. Decode is the map-only
+        // Bpe.decodeIds/decodeWords pair; only the sample row ever
+        // reaches the driver.
+        val model = graft.operators.Bpe.readFullModel(spark, modelDir)
+        val (seqs, p) = Pipeline.readTrainingShards(spark, outDir,
+          strict = true, modelDir = Some(modelDir))
+        import org.apache.spark.sql.functions.col
+        val sample = seqs.orderBy(col("seq_id").asc).limit(1)
+          .select(col("seq_id"),
+            graft.operators.Bpe.decodeWords(
+              graft.operators.Bpe.decodeIds(col("ids"), model))
+              .as("words"))
+          .head()
+        val words = sample.getSeq[String](1)
+        println(s"""{"out":"${jsonEsc(outDir)}",""" +
+          s""""n_sequences":${p.getAs[Long]("n_sequences")},""" +
+          s""""n_ids_total":${p.getAs[Long]("n_ids_total")},""" +
+          s""""model_digest":"${p.getAs[String]("model_digest")}",""" +
+          s""""sample_seq_id":${sample.getLong(0)},""" +
+          s""""sample_words":"${jsonEsc(
+            words.take(24).mkString(" "))}"}""")
       case "fsck" :: root :: Nil =>
         // read-only integrity survey: one JSON line per finding,
         // most-severe first, each naming its documented recovery;

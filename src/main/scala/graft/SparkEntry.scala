@@ -1222,6 +1222,45 @@ object SparkEntry {
             "x -> cast(x as string)), ' '))").as("ids_md5"))
         .orderBy(col("seq_id").asc)
     }),
+    // the bm25 LIFECYCLE through the driver gate: index the lower
+    // half of the corpus, APPEND the upper half (the refreshCorpus
+    // follow-the-corpus path, mode=append under the watermark guard),
+    // then probe — the appended statistics must rank identically to
+    // one inline pass over the whole corpus, so this shares q129's
+    // oracle (r14 proved the closure in specs; this makes the driver
+    // hash-check it every round)
+    "q140_bm25_appended" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val idx = ivfIndexDir(dir, "bm140")
+      val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+      Retrieval.writeBm25Index(docs.where(col("doc_id") <= mid), idx,
+        tokenBuckets = 32, dlBuckets = 32)
+      Retrieval.writeBm25Index(docs.where(col("doc_id") > mid), idx,
+        tokenBuckets = 32, dlBuckets = 32, mode = "append")
+      val queries = Seq(
+        (0, "spark hash join"),
+        (1, "window sort merge"),
+        (2, "stream batch dup")).toDF("query_id", "text")
+      Retrieval.bm25TopKIndexed(s, queries, idx, k = 10)
+        .orderBy(col("query_id").asc, col("rank").asc)
+    }),
+    // the id tier's DECODE path, ORACLE-CHECKED end to end: encode
+    // every document to vocabulary ids, decode the ids back to words
+    // (id → symbol LUT, end-of-word reassembly), and hash-match the
+    // result against DuckDB's independent normalization — the one
+    // SQL-expressible statement about a BPE artifact (the round trip
+    // must land exactly on the shared normTokens stream), closing the
+    // q137-q139 family's "rows-only by nature" gap from the outside
+    "q141_decode_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = Bpe.trainModel(docs, numMerges = 64)
+      Bpe.encodeIds(docs, model)
+        .select(col("doc_id"),
+          array_join(Bpe.decodeWords(Bpe.decodeIds(col("ids"), model)),
+            " ").as("decoded"))
+        .orderBy(col("doc_id").asc)
+    }),
     "q123_dsir_weight" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Sharding.dsirScore(docs,
@@ -2449,6 +2488,20 @@ object SparkEntry {
       // independently, so the unioned triggers are output-identical
       // to the inline run — same oracle (the bridge adds nothing)
       "q135_stream_bm25" -> bm25TopKSql,
+      // write-then-append lifecycle: appended stats (n_docs, n_tokens,
+      // postings, doclen) must equal one pass over the whole corpus —
+      // same oracle (the closure is the correctness claim)
+      "q140_bm25_appended" -> bm25TopKSql,
+      // the id tier's round trip: decode(encode(text)) must land
+      // exactly on the ONE shared normalization (lowercase,
+      // whitespace-class collapse, empties dropped) — DuckDB computes
+      // the normalization independently, never seeing ids
+      "q141_decode_roundtrip" ->
+        """SELECT doc_id,
+          |  array_to_string(list_filter(string_split_regex(
+          |    lower(coalesce(text, '')), '[ \t\n\r\f\x0B]+'),
+          |    x -> x != ''), ' ') AS decoded
+          |FROM documents ORDER BY doc_id""".stripMargin,
       // sequence packing: global doc offsets by cumulative token sum
       // in doc_id order, spans by exact integer division — the q66
       // token-count semantics (split on ' ', empties dropped)

@@ -269,6 +269,67 @@ object Bpe {
         bpeTokens(text), model.alphabet, model.merges))
       .withColumn("n_ids", size(col("ids")))
 
+  // ------------------------------------------------ the decode path
+
+  /** Decoded stand-in for id 0 (a code point outside the training
+    * alphabet — the original text is not recoverable from the id). */
+  val OovSymbol = "<unk>"
+
+  /** Decoded stand-in for the end-of-document separator id
+    * ([[eosIdOf]]) — the GPT `<|endoftext|>` convention. */
+  val EosSymbol = "<|endoftext|>"
+
+  /** Decode an id array back to its SUBWORD symbol stream — the
+    * inverse of [[encodeIds]] for in-vocabulary ids, and the first
+    * tool an operator reaches for on a suspicious training shard
+    * (without it, "read the artifact back as text" is a hand-written
+    * join against [[vocab]] with the `</w>`/eos/OOV conventions
+    * re-derived by every reader). Map-only: the id→symbol table rides
+    * the plan as one array literal (model-sized, the same scale class
+    * as the merge list riding the encode kernel), so decoding a 100 TB
+    * artifact is a projection — no join, no shuffle.
+    *
+    * Conventions, stated once: id 0 → [[OovSymbol]] (the original code
+    * point is gone), V+1 → [[EosSymbol]], anything outside [0, V+1] →
+    * `<bad:id>` (a foreign or mixed-model artifact — kept loud in the
+    * output rather than throwing mid-scan, so an audit can COUNT the
+    * damage).
+    */
+  def decodeIds(ids: Column, model: BpeModel): Column = {
+    val syms = graft.functions.BpeEncodeExpr
+      .vocabIds(model.alphabet, model.merges).map(_._1)
+    val v = syms.size
+    val lut = typedLit(syms)
+    transform(ids, i =>
+      when(i === lit(0), lit(OovSymbol))
+        .when(i === lit(v + 1), lit(EosSymbol))
+        .when(i >= lit(1) && i <= lit(v), element_at(lut, i))
+        .otherwise(concat(lit("<bad:"), i.cast("string"), lit(">"))))
+  }
+
+  /** Reassemble a decoded subword stream into WORDS: concatenate
+    * symbols up to each end-of-word marker and strip the marker —
+    * `decodeWords(decodeIds(ids, m), m)` inverts [[encodeIds]] back to
+    * [[bpeTokens]]' normalized word stream for in-vocabulary text
+    * (BpeSpec pins the round trip). [[EosSymbol]] comes out as its own
+    * word (a packed sequence holds many documents; the separator must
+    * survive as a visible boundary, not glue two documents' words).
+    * Lossy edges, disclosed: a word whose FINAL symbol decoded to
+    * [[OovSymbol]] lost its marker and merges into the next word, and
+    * a sequence cut mid-word ([[Sharding.materializeSequences]] cuts
+    * at exact seqLen) leaves its trailing fragment unterminated — both
+    * are audit-visible, neither silently drops ids.
+    */
+  def decodeWords(subwords: Column): Column = {
+    val eow = graft.functions.BpeEncodeExpr.Eow
+    val marked = transform(subwords, s =>
+      when(s === lit(EosSymbol), concat(s, lit(eow))).otherwise(s))
+    filter(
+      split(array_join(marked, ""),
+        java.util.regex.Pattern.quote(eow), -1),
+      w => length(w) > 0)
+  }
+
   /** Persist a trained merge list under `dir`:
     *   - `merges/`: (rank, left, right) parquet, one file;
     *   - `params/`: ONE row (n_merges, family) written LAST — the

@@ -293,6 +293,58 @@ class BpeSpec extends SparkSuite {
     assert(Bpe.readFullModel(spark, legacy) === mA)
   }
 
+  test("decode round-trips: decodeWords(decodeIds(encodeIds(text))) " +
+      "== normTokens(text) for in-vocabulary text; OOV, eos, and " +
+      "bad-id conventions are pinned") {
+    import operators.{Bpe, TextAnalysis}
+    val docs = Seq(
+      (0L, "low lower newest widest"),
+      (1L, "newest low lowest"),
+      (2L, "  Low\tLOWER  newest ")).toDF("doc_id", "text")
+    // the alphabet of the full type table covers every code point, so
+    // nothing is OOV and the round trip must be exact
+    val model = Bpe.trainModel(docs, numMerges = 6, maxTypes = 100)
+    val got = Bpe.encodeIds(docs, model)
+      .select($"doc_id",
+        Bpe.decodeWords(Bpe.decodeIds($"ids", model)).as("words"),
+        TextAnalysis.normTokens($"text").as("want"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[String](1) === r.getSeq[String](2), s"doc ${r.get(0)}")
+    }
+    // subword-level inverse: decodeIds inverts the id stream symbol
+    // for symbol (encode's string stream, verbatim)
+    val pair = Bpe.encodeIds(Bpe.encode(docs, model.merges), model)
+      .select(Bpe.decodeIds($"ids", model).as("dec"), $"subwords")
+      .collect()
+    pair.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+    // eos decodes to the standalone <|endoftext|> word between docs
+    val eos = Bpe.eosIdOf(model)
+    val packed = Bpe.encodeIds(docs.where($"doc_id" < 2), model)
+      .orderBy($"doc_id")
+      .select($"ids").collect().map(_.getSeq[Int](0))
+      .reduce((a, b) => (a :+ eos) ++ b)
+    val decodedPacked = Seq(Tuple1(packed)).toDF("ids")
+      .select(Bpe.decodeWords(Bpe.decodeIds($"ids", model)).as("w"))
+      .head().getSeq[String](0)
+    assert(decodedPacked ===
+      (Seq("low", "lower", "newest", "widest", Bpe.EosSymbol) ++
+        Seq("newest", "low", "lowest")))
+    // OOV (id 0) decodes to <unk> inside its word; a foreign id is
+    // loud, not a throw — the audit can count the damage
+    val weird = Seq(Tuple1(Seq(0, eos + 7))).toDF("ids")
+      .select(Bpe.decodeIds($"ids", model).as("s")).head()
+      .getSeq[String](0)
+    assert(weird === Seq(Bpe.OovSymbol, s"<bad:${eos + 7}>"))
+    // ... and an OOV code point in real text round-trips to a word
+    // containing <unk> (the original code point is gone by design)
+    val ov = Seq((9L, "low löw")).toDF("doc_id", "text")
+    val ow = Bpe.encodeIds(ov, model)
+      .select(Bpe.decodeWords(Bpe.decodeIds($"ids", model)).as("w"))
+      .head().getSeq[String](0)
+    assert(ow.head === "low" && ow(1).contains(Bpe.OovSymbol), ow)
+  }
+
   test("trainBpeModel builds a readable model from a published corpus " +
       "under the model dir's lease") {
     val root = java.nio.file.Files.createTempDirectory("bpetm").toString

@@ -136,6 +136,7 @@ object CorpusMain {
         |       CorpusMain train-bpe <corpusDir> <modelDir> [numMerges] [maxTypes]
         |       CorpusMain train-dsir <corpusDir> <targetDir> <modelDir> [buckets]
         |       CorpusMain export-shards <corpusDir> <bpeModelDir> <outDir> [seqLen] [numShards] [overwrite|append]
+        |       CorpusMain repair-shards <corpusDir> <bpeModelDir> <outDir>
         |       CorpusMain migrate-shingles <indexRoot> [buckets]
         |       CorpusMain break-lease <dir> [dir ...]
         |       CorpusMain break-leases <root>
@@ -295,6 +296,18 @@ object CorpusMain {
           s""""n_sequences":${r.getAs[Long]("n_sequences")},""" +
           s""""n_ids_total":${r.getAs[Long]("n_ids_total")},""" +
           s""""max_doc_id":${r.getAs[Long]("max_doc_id")}}""")
+      case "repair-shards" :: corpusDir :: modelDir :: outDir :: Nil =>
+        // the GDPR-cadence recovery: after retractCorpus, rewrite
+        // ONLY the pack generations whose spans touch retracted
+        // doc_ids and restamp the ledger gate — ∝ touched packs,
+        // never the corpus-scale re-export
+        val r = Pipeline.repairTrainingShards(spark, corpusDir,
+          modelDir, outDir).head()
+        println(s"""{"out":"${jsonEsc(outDir)}",""" +
+          s""""n_sequences":${r.getAs[Long]("n_sequences")},""" +
+          s""""n_ids_total":${r.getAs[Long]("n_ids_total")},""" +
+          s""""retraction_total":${
+            r.getAs[Long]("retraction_total")}}""")
       case "audit-shards" :: outDir :: modelDir :: Nil =>
         // read-back audit of the packed-id artifact: the strict +
         // model-checked read (counts agree, the encoding model's

@@ -469,6 +469,49 @@ object IdTierBench {
       graft.Pipeline.writeTrainingShards(spark, corpus2, modelDir,
         shards2, seqLen = 2048, numShards = 64, mode = "append")
     }
+    // retraction-repair economics: a GDPR trickle (10 docs, all in
+    // the appended 10% batch) leaves the corpus — the pack-targeted
+    // repair rewrites ONLY that pack, priced against the
+    // export_shards_2048 full re-export it replaces. Retraction
+    // hand-simulated to its two surfaces (partition rewrite + ledger
+    // row), the ShardingSpec fixture shape.
+    val retractIds = docs.where(col("doc_id") > cut)
+      .orderBy(col("doc_id").asc).limit(10)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    docs.where(col("doc_id") > cut &&
+        !col("doc_id").isin(retractIds: _*))
+      .write.mode("overwrite").parquet(s"$corpus2/corpus/batch_id=$maxId")
+    Seq((retractIds.size.toLong, retractIds.size.toLong))
+      .toDF("n_requested", "n_retracted")
+      .write.parquet(s"$corpus2/retractions/retraction_id=xbench")
+    timed("export_repair_10docs") {
+      graft.Pipeline.repairTrainingShards(spark, corpus2, modelDir,
+        shards2)
+    }
+    // the same trickle against a SMALLER touched pack (a ~1% weekly
+    // batch appended on top): repair cost is detection (ids-only)
+    // plus re-encoding ONE batch-sized pack, so it tracks the touched
+    // pack's size, not the corpus — the ∝-touched-packs claim
+    val cut99 = docs.agg(expr("percentile(doc_id, 0.99)")).head()
+      .getDouble(0)
+    val extra = docs.where(col("doc_id") > cut99)
+      .withColumn("doc_id", col("doc_id") + lit(maxId + 1))
+    val extraMax = 2 * maxId + 1
+    extra.write.parquet(s"$corpus2/corpus/batch_id=$extraMax")
+    graft.Pipeline.writeTrainingShards(spark, corpus2, modelDir,
+      shards2, seqLen = 2048, numShards = 64, mode = "append")
+    val retract2 = extra.orderBy(col("doc_id").asc).limit(10)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    extra.where(!col("doc_id").isin(retract2: _*))
+      .write.mode("overwrite")
+      .parquet(s"$corpus2/corpus/batch_id=$extraMax")
+    Seq((retract2.size.toLong, retract2.size.toLong))
+      .toDF("n_requested", "n_retracted")
+      .write.parquet(s"$corpus2/retractions/retraction_id=xbench2")
+    timed("export_repair_1pct_pack") {
+      graft.Pipeline.repairTrainingShards(spark, corpus2, modelDir,
+        shards2)
+    }
     spark.stop()
   }
 }

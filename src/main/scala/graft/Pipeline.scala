@@ -160,7 +160,7 @@ object Pipeline {
     *    deterministic and idempotent. On success the aside is deleted.
     */
   private def stagedWrite(spark: SparkSession, df: DataFrame,
-      dest: String): Unit = {
+      dest: String, partitionCols: Seq[String] = Nil): Unit = {
     import org.apache.hadoop.fs.Path
     val destP = new Path(dest)
     val fs = destP.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -173,7 +173,9 @@ object Pipeline {
     val tmp = new Path(destP.getParent, "_stage_" + leaf)
     val old = new Path(destP.getParent, "_old_" + leaf)
     Seq(tmp, old).foreach(p => if (fs.exists(p)) fs.delete(p, true))
-    df.write.mode("overwrite").parquet(tmp.toString)
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp.toString)
     if (fs.exists(destP))
       require(fs.rename(destP, old), s"rename $destP aside failed")
     require(fs.rename(tmp, destP), s"rename $tmp -> $destP failed")
@@ -373,7 +375,13 @@ object Pipeline {
     *              `n_subwords_total` in the report: token ACCOUNTING
     *              in the units a training run consumes, maintained as
     *              the corpus grows instead of recomputed by every
-    *              budget/shard/pack consumer. PROBE-ONLY (model read,
+    *              budget/shard/pack consumer. Each report row stamps
+    *              the model that denominated ITS counts
+    *              (`tokenizer_n_merges`, `tokenizer_merges_digest` —
+    *              [[graft.operators.Bpe.mergesDigest]]), so a season
+    *              retrain between batches is visible in the ledger
+    *              instead of silently mixing two models' units under
+    *              one column name. PROBE-ONLY (model read,
     *              never written), validated before any mutation; same
     *              always-or-never rule via the marker's
     *              backward-compatible `tokenizer` flag.
@@ -913,17 +921,31 @@ object Pipeline {
         // recall, and without this column no audit could say which cap
         // any historical batch actually ran with (reports published
         // before the column read it back as null = unrecorded)
+        // tokenizer provenance rides NEXT TO the counts it denominates:
+        // n_subwords_total is in MODEL units, and a season `train-bpe`
+        // retrain between batches changes the unit without changing the
+        // column name — without the per-batch (n_merges, digest) stamp,
+        // cross-batch token accounting silently mixes two models' units
+        // (the max_band_freq reconstructibility rule, applied to the
+        // tokenizer). The digest is the MERGES-content form
+        // ([[graft.operators.Bpe.mergesDigest]]): string-level
+        // segmentation (and so every count here) depends only on the
+        // merges, and the form is computable for legacy merges-only
+        // models too. Unstamped batches (no tokenizer modality, or
+        // reports published before the columns) read back null.
         val report = Seq((minId, maxId, nBatch,
             spark.read.parquet(pairsPart).count(),
             nBatch - nPublished, nPublished,
             pubAgg.getLong(1), pubAgg.getLong(2), pubAgg.getLong(3),
             maxBandFreq, pubAgg.getLong(4), pubAgg.getLong(5),
-            pubAgg.getLong(6)))
+            pubAgg.getLong(6), bpeMerges.map(_.size.toLong),
+            bpeMerges.map(graft.operators.Bpe.mergesDigest)))
           .toDF("batch_min_id", "batch_max_id", "n_batch", "n_dup_pairs",
             "n_dropped", "n_published", "n_chunks", "n_chunks_kept",
             "n_contaminated_docs", "max_band_freq",
             "n_semantic_contaminated_docs", "n_low_quality_docs",
-            "n_subwords_total")
+            "n_subwords_total", "tokenizer_n_merges",
+            "tokenizer_merges_digest")
         stagedWrite(spark, report, reportPart)
       } finally persisted.unpersist()
       readBack()
@@ -1548,8 +1570,10 @@ object Pipeline {
           "overwrite the partial pack and record it")
       require(n == recorded,
         s"$outDir holds $n sequences but params records $recorded — " +
-          "a partially deleted or foreign-file state; re-run the " +
-          "export (mode=overwrite)")
+          "a crashed repair (re-run repairTrainingShards: it heals, " +
+          "verifies pack coverage, and restamps) or a partially " +
+          "deleted / foreign-file state (the repair's coverage check " +
+          "refuses those with the mode=overwrite re-export recovery)")
     }
     (seqs, p)
   }
@@ -1608,8 +1632,8 @@ object Pipeline {
     // a retraction landing mid-export (its ledger row commits before
     // its corpus rewrite, and no lease spans both dirs) is then
     // recorded as NOT yet reflected, so the next append's gate
-    // refuses and forces the re-export — conservative, never the
-    // silent-pass direction.
+    // refuses and forces the pack-targeted [[repairTrainingShards]]
+    // — conservative, never the silent-pass direction.
     // (n_sequences, n_ids, max packed doc id) from the WRITTEN pack —
     // the watermark derives from what was actually packed, never from
     // a second corpus scan (a batch published between the pack write
@@ -1632,13 +1656,20 @@ object Pipeline {
     // same-language corpus keeps its character set), so a counts-only
     // gate silently mixes two id spaces across packs
     val modelDig = graft.operators.Bpe.modelDigest(model)
+    // `next_seq_id` is the id-space high-water mark, distinct from
+    // n_sequences (the COUNT) the moment a repair shrinks a pack:
+    // basing a later append on the shrunken count would mint seq_ids
+    // that collide with a standing pack's tail. Exports written
+    // before the column have never been repaired, so count == next id
+    // there (readers coalesce).
     def paramsRow(nSeq: Long, nIds: Long, maxDoc: Long,
-        rt: Long): DataFrame =
+        rt: Long, nextSeq: Long): DataFrame =
       Seq((seqLen, numShards, nSeq, nIds, model.merges.size.toLong,
-          model.alphabet.size.toLong, modelDig, eosId, maxDoc, rt))
+          model.alphabet.size.toLong, modelDig, eosId, maxDoc, rt,
+          nextSeq))
         .toDF("seq_len", "num_shards", "n_sequences", "n_ids_total",
           "n_merges", "n_alphabet", "model_digest", "eos_id",
-          "max_doc_id", "retraction_total")
+          "max_doc_id", "retraction_total", "next_seq_id")
     // artifact emptiness: with eos ON every document emits at least
     // its separator id, so empty ⇔ no rows; with eos OFF a tokenless
     // doc emits nothing, so empty ⇔ no tokenizable row. One limit-1
@@ -1729,9 +1760,18 @@ object Pipeline {
             s"(ledger total $rtNow vs the recorded " +
             s"${p.getAs[Long]("retraction_total")}) — packs only " +
             "ever add, so the retracted documents are still in the " +
-            "artifact; re-export (mode=overwrite)")
+            "artifact; run repairTrainingShards (rewrites only the " +
+            "touched packs) — appends resume after it restamps")
         val prevMax = p.getAs[Long]("max_doc_id")
         val prevSeqs = p.getAs[Long]("n_sequences")
+        // the pack BASE (dir name + first seq_id): the stored id-space
+        // high-water mark, which equals the count only until a repair
+        // has shrunk a pack (see paramsRow) — never-repaired exports
+        // lack the column and the count is exact there
+        val nextSeq0 =
+          if (pdf.schema.fieldNames.contains("next_seq_id"))
+            p.getAs[Long]("next_seq_id")
+          else prevSeqs
         // batch_id = its batch's max doc id (monotone), so the
         // partition filter prunes the scan to post-export batches
         val corpusDf = spark.read.parquet(s"$corpusDir/corpus")
@@ -1747,12 +1787,12 @@ object Pipeline {
           // nothing new: the cron re-run's no-op — the standing
           // export is untouched and nothing is written
           paramsRow(prevSeqs, p.getAs[Long]("n_ids_total"), prevMax,
-            rtNow)
+            rtNow, nextSeq0)
         } else {
-          val packDir = s"$outDir/sequences/pack=$prevSeqs"
+          val packDir = s"$outDir/sequences/pack=$nextSeq0"
           graft.operators.Sharding
             .materializeSequences(delta, model, seqLen, eosId = eosId)
-            .withColumn("seq_id", col("seq_id") + lit(prevSeqs))
+            .withColumn("seq_id", col("seq_id") + lit(nextSeq0))
             .withColumn("shard",
               pmod(col("seq_id"), lit(numShards.toLong)).cast("int"))
             .write.mode("overwrite").partitionBy("shard")
@@ -1761,7 +1801,7 @@ object Pipeline {
             packStats(spark.read.parquet(packDir))
           val report = paramsRow(prevSeqs + nSeq,
             p.getAs[Long]("n_ids_total") + nIds,
-            math.max(prevMax, packMax), rtNow)
+            math.max(prevMax, packMax), rtNow, nextSeq0 + nSeq)
           stagedWrite(spark, report, s"$outDir/params")
           report
         }
@@ -1802,9 +1842,252 @@ object Pipeline {
         // the spans doc ids) — never the id arrays
         val (nSeq, nIds, maxDoc) = packStats(
           spark.read.parquet(s"$outDir/sequences"))
-        val report = paramsRow(nSeq, nIds, maxDoc, rtBefore)
+        val report = paramsRow(nSeq, nIds, maxDoc, rtBefore, nSeq)
         stagedWrite(spark, report, s"$outDir/params")
         report
+      }
+    }
+  }
+
+  /** Pack-targeted retraction REPAIR for a [[writeTrainingShards]]
+    * export — the recovery the append gate's refusal points at when
+    * the source corpus has been retracted from, priced ∝ TOUCHED
+    * PACKS instead of the corpus-scale `mode=overwrite` re-export: at
+    * 100 TB a weekly GDPR trickle must not force a full re-encode of
+    * every standing pack on cadence. The pack layout already
+    * localizes the damage — each pack's `spans` name exactly the
+    * doc_ids it packed — so the repair
+    *
+    *   1. heals any staged-swap residue a crashed previous repair
+    *      left under `sequences/` (an `_old_pack~N` aside with its
+    *      pack absent IS the pack — renamed back before detection,
+    *      which would otherwise silently skip the spanless dir);
+    *   2. detects damage by ids alone: one column-pruned pass over
+    *      every pack's `spans` doc_ids (never the id arrays) joined
+    *      against the corpus' doc_id column — a packed id no longer
+    *      in the corpus marks its pack touched. A hole in the OTHER
+    *      direction (a corpus doc below the watermark missing from
+    *      every pack — hand-deleted files, a foreign partial state)
+    *      REFUSES with the re-export recovery: repair fixes
+    *      retraction damage, it cannot reconstruct what it cannot
+    *      see. (With eos off this reverse check is skipped — tokenless
+    *      docs legitimately pack nothing, and telling them apart
+    *      would re-read corpus text.)
+    *   3. re-materializes ONLY the touched packs, each from the
+    *      post-retraction corpus rows in its own spans' doc_id range
+    *      (packs partition the id axis, so the range query is exact),
+    *      under the SAME model (content-digest-verified), same
+    *      seqLen/shards/eos read from the stored params — each pack
+    *      swapped in atomically ([[stagedWrite]]); a pack retracted
+    *      EMPTY is deleted. Pack bases never move (`pack=N` keeps its
+    *      dir name and its seq_ids start at N), so untouched packs
+    *      are never rewritten — their files stay byte-identical — and
+    *      repaired packs may end short: seq_id GAPS are a disclosed
+    *      property of a repaired export (the stored `next_seq_id`
+    *      high-water mark keeps future appends collision-free).
+    *   4. restamps `params/` from the ACTUAL tree (count + Σ n_ids —
+    *      small columns only) with `retraction_total` advanced to the
+    *      ledger total read BEFORE the corpus scan (a retraction
+    *      landing mid-repair reads as not-yet-reflected, so the next
+    *      append still refuses — conservative, never silent). The
+    *      watermark does not move (retracted id ranges stay retired,
+    *      [[retractCorpus]]'s rule).
+    *
+    * Crash contract: re-run the repair — step 1 heals the one loud
+    * state, already-repaired packs have no gone ids and are not
+    * touched again, and the final restamp derives from the tree, so
+    * any partial run converges. A standing CRASHED APPEND (sequences
+    * hold more rows than params record) refuses first with the
+    * re-append recovery: recording a possibly-partial pack as legit
+    * is exactly what the restamp must not do. Returns the new params
+    * row; a no-damage run (retraction never touched a packed doc)
+    * still restamps so the ledger gate admits appends again. A run
+    * with NOTHING ledgered since the stamped total (and a tree that
+    * agrees with the record) short-circuits to the standing params —
+    * the unconditional cron re-run costs two metadata reads, never a
+    * corpus scan (the bm25 refresh's staleness-refusal discipline).
+    */
+  def repairTrainingShards(spark: SparkSession, corpusDir: String,
+      modelDir: String, outDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val model = graft.operators.Bpe.readFullModel(spark, modelDir)
+    val modelDig = graft.operators.Bpe.modelDigest(model)
+    val fs = new Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.operators.Lease.withLeases(spark, Seq(outDir),
+      "repairTrainingShards") {
+      if (!fs.exists(new Path(s"$outDir/params"))) {
+        require(!fs.exists(new Path(s"$outDir/_old_params")),
+          s"$outDir/params is mid-swap (a crashed staged rename; " +
+            "_old_params holds the standing metadata) — rename " +
+            "_old_params back to params and re-run the repair")
+        require(false,
+          s"$outDir has no standing export (params/) — nothing to " +
+            "repair; run writeTrainingShards (mode=overwrite) first")
+      }
+      val pdf = spark.read.parquet(s"$outDir/params")
+      require(Seq("eos_id", "max_doc_id", "retraction_total")
+          .forall(pdf.schema.fieldNames.contains),
+        s"$outDir is a pre-append-era export (params/ has no " +
+          "watermark/eos/ledger metadata) — re-export (mode=" +
+          "overwrite) once to upgrade it")
+      val p = pdf.head()
+      // model provenance, counts first then CONTENT (the append
+      // gate's ordering): repairing under a retrained model would
+      // re-encode the touched packs into a different id space than
+      // the untouched ones — the exact mix the digest exists to refuse
+      require(p.getAs[Long]("n_merges") == model.merges.size.toLong &&
+          p.getAs[Long]("n_alphabet") == model.alphabet.size.toLong,
+        s"$outDir was encoded under a different model " +
+          s"(${p.getAs[Long]("n_merges")} merges / " +
+          s"${p.getAs[Long]("n_alphabet")} alphabet vs the current " +
+          s"${model.merges.size} / ${model.alphabet.size}) — " +
+          "repairing would mix id spaces; re-export (mode=overwrite) " +
+          "under the current model")
+      require(pdf.schema.fieldNames.contains("model_digest"),
+        s"$outDir is a pre-digest-era export (params/ records only " +
+          "model COUNTS, which a retrain can reproduce) — re-export " +
+          "(mode=overwrite) once to stamp the model's content digest")
+      require(p.getAs[String]("model_digest") == modelDig,
+        s"$outDir was encoded under a DIFFERENT model with the same " +
+          "counts (content digest " +
+          s"${p.getAs[String]("model_digest")} vs the current " +
+          s"$modelDig — a retrain since the export); repairing would " +
+          "mix id spaces; re-export (mode=overwrite) under the " +
+          "current model")
+      val seqLen = p.getAs[Long]("seq_len")
+      val numShards = p.getAs[Int]("num_shards")
+      val eosId = Option(p.getAs[Integer]("eos_id")).map(_.intValue)
+      val prevMax = p.getAs[Long]("max_doc_id")
+      val nextSeq0 =
+        if (pdf.schema.fieldNames.contains("next_seq_id"))
+          p.getAs[Long]("next_seq_id")
+        else p.getAs[Long]("n_sequences")
+      // ledger BEFORE the corpus scan — the writeTrainingShards
+      // discipline: a retraction landing mid-repair is recorded as
+      // not yet reflected, and the next append's gate forces another
+      // repair rather than silently passing
+      val rtNow = retractionLedgerTotal(spark, corpusDir)
+      // ---- step 1: heal a crashed previous repair's staged-swap
+      // residue before ANY read of sequences/ (detection cannot see a
+      // pack whose dir is sitting aside)
+      val seqRoot = new Path(s"$outDir/sequences")
+      require(fs.exists(seqRoot),
+        s"$outDir has params/ but no sequences/ — a crashed " +
+          "overwrite's torn state (fsck names it); re-run the export " +
+          "(mode=overwrite)")
+      fs.listStatus(seqRoot).foreach { st =>
+        val nm = st.getPath.getName
+        if (nm.startsWith("_old_pack~")) {
+          val dest = new Path(seqRoot,
+            nm.stripPrefix("_old_").replace('~', '='))
+          if (fs.exists(dest)) fs.delete(st.getPath, true)
+          else require(fs.rename(st.getPath, dest),
+            s"repairTrainingShards: healing rename $nm -> " +
+              s"${dest.getName} failed")
+        }
+      }
+      // crashed-append refusal BEFORE any other read: more sequences
+      // on disk than params record = a committed-but-unrecorded (and
+      // possibly PARTIAL) pack; the restamp below would legitimize it
+      val nOnDisk = spark.read.parquet(s"$outDir/sequences")
+        .count()
+      require(nOnDisk <= p.getAs[Long]("n_sequences"),
+        s"$outDir holds $nOnDisk sequences but params records " +
+          s"${p.getAs[Long]("n_sequences")} — a committed-but-" +
+          "unrecorded pack (an append crashed before its params " +
+          "swap); re-run the append (mode=append) first, then repair")
+      // scan-free no-op: every ledgered retraction already reflected
+      // (a completed repair/overwrite stamped this total — an
+      // in-flight one can't have, its params swap is LAST) and the
+      // tree agrees with the record — the unconditional cron re-run
+      // costs two metadata reads, never a corpus scan. Counts must
+      // ALSO agree: a hand-deleted pack under a settled ledger is
+      // damage the detection below exists to refuse, not to skip.
+      if (rtNow == p.getAs[Long]("retraction_total") &&
+          nOnDisk == p.getAs[Long]("n_sequences")) pdf
+      else {
+      val corpusDf = spark.read.parquet(s"$corpusDir/corpus")
+      def noTokens(df: DataFrame): Boolean =
+        if (eosId.isDefined) df.isEmpty
+        else df.where(
+          size(graft.operators.Bpe.bpeTokens(col("text"))) > 0).isEmpty
+      // a corpus retracted EMPTY below the watermark would repair
+      // every pack away, leaving sequences/ unreadable — refuse
+      // before destroying anything
+      require(!noTokens(corpusDf.where(col("doc_id") <= prevMax)
+          .select(col("doc_id"), col("text"))),
+        s"repairTrainingShards: $corpusDir/corpus holds nothing " +
+          s"below the export watermark ($prevMax) — the repair would " +
+          "empty the artifact; delete the export, or re-export " +
+          "(mode=overwrite) once the corpus has content")
+      // ---- step 2: ids-only damage detection. One pass over every
+      // pack's spans doc_ids (column-pruned — the id arrays are never
+      // read) left-joined to the corpus id column: per pack, its id
+      // range and how many of its packed docs are gone.
+      val packedDocs = spark.read.parquet(s"$outDir/sequences")
+        .select(col("pack").cast("long").as("pack"),
+          explode(expr("transform(spans, x -> x.doc_id)")).as("doc_id"))
+      val perPack = packedDocs
+        .join(corpusDf.select(col("doc_id"))
+          .withColumn("present", lit(1)), Seq("doc_id"), "left")
+        .groupBy(col("pack"))
+        .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"),
+          count(lit(1)).as("n_packed"),
+          count(when(col("present").isNull, 1)).as("n_gone"))
+        .collect()
+      // reverse-direction hole check (eos on only — see scaladoc): a
+      // corpus doc below the watermark missing from every pack is
+      // damage repair cannot reconstruct pack-locally
+      if (eosId.isDefined) {
+        val holes = corpusDf.select(col("doc_id"))
+          .where(col("doc_id") <= prevMax)
+          .join(packedDocs.select(col("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+          .limit(1).collect()
+        require(holes.isEmpty,
+          s"$outDir is missing corpus doc ${holes.head.getLong(0)} " +
+            "(below the export watermark but packed nowhere) — a " +
+            "partially deleted or foreign-file state, not retraction " +
+            "damage; re-run the export (mode=overwrite)")
+      }
+      // ---- step 3: re-materialize ONLY the touched packs, each from
+      // its own id range of the post-retraction corpus
+      perPack.filter(_.getAs[Long]("n_gone") > 0)
+        .sortBy(_.getAs[Long]("pack")).foreach { r =>
+          val base = r.getAs[Long]("pack")
+          val (lo, hi) = (r.getAs[Long]("lo"), r.getAs[Long]("hi"))
+          val remaining = corpusDf
+            .where(col("doc_id").between(lo, hi))
+            .select(col("doc_id"), col("text"))
+          val packDir = s"$outDir/sequences/pack=$base"
+          if (noTokens(remaining))
+            fs.delete(new Path(packDir), true)
+          else
+            stagedWrite(spark,
+              graft.operators.Sharding
+                .materializeSequences(remaining, model, seqLen,
+                  eosId = eosId)
+                .withColumn("seq_id", col("seq_id") + lit(base))
+                .withColumn("shard",
+                  pmod(col("seq_id"), lit(numShards.toLong))
+                    .cast("int")),
+              packDir, partitionCols = Seq("shard"))
+        }
+      // ---- step 4: restamp from the ACTUAL tree (small columns only)
+      val agg = spark.read.parquet(s"$outDir/sequences")
+        .agg(count(lit(1)), coalesce(sum(col("n_ids")), lit(0L)))
+        .head()
+      val report = Seq((seqLen, numShards, agg.getLong(0),
+          agg.getLong(1), model.merges.size.toLong,
+          model.alphabet.size.toLong, modelDig, eosId, prevMax, rtNow,
+          nextSeq0))
+        .toDF("seq_len", "num_shards", "n_sequences", "n_ids_total",
+          "n_merges", "n_alphabet", "model_digest", "eos_id",
+          "max_doc_id", "retraction_total", "next_seq_id")
+      stagedWrite(spark, report, s"$outDir/params")
+      report
       }
     }
   }
@@ -1822,9 +2105,17 @@ object Pipeline {
     * Cost: ONE LM-scoring pass over the published corpus (corpus-scale
     * — schedule at maintenance cadence like [[sweepContainment]], not
     * weekly), then a SAMPLE-sized LR fit: each class is capped at
-    * `maxSeedsPerClass` docs (the lowest doc ids of its tercile — a
-    * bounded TakeOrdered, deterministic across runs) so the MLlib fit
-    * never scales with the corpus. Takes the model dir's lease while
+    * `maxSeedsPerClass` docs in SALTED-HASH order (the
+    * [[graft.operators.Sharding.stratifiedSample]] tick over doc_id,
+    * doc_id as the total tie-break — a bounded TakeOrdered,
+    * deterministic across runs) so the MLlib fit never scales with
+    * the corpus. Salted order, not lowest-id: on a corpus published
+    * in batch-id order "lowest ids" = "oldest documents", and the
+    * whole point of the season retrain is DRIFT — an id-ordered cap
+    * would train every season's classifier on the corpus' oldest
+    * head/tail exemplars forever, never seeing newer batches; the
+    * salted tick samples every era uniformly at the same determinism.
+    * Takes the model dir's lease while
     * writing (single-writer discipline); a weekly refresh reading the
     * model is a READER and is never blocked.
     *
@@ -1840,7 +2131,11 @@ object Pipeline {
     val seeds = corpus
       .join(buckets.select(col("doc_id"), col("bucket")), Seq("doc_id"))
     def tercile(b: Int) = seeds.where(col("bucket") === b)
-      .orderBy(col("doc_id").asc).limit(maxSeedsPerClass)
+      .orderBy(
+        pmod(Sharding.mixedHash(col("doc_id"), "qseed"), lit(10000L))
+          .asc,
+        col("doc_id").asc)
+      .limit(maxSeedsPerClass)
     val (w, bias) = QualityClassifier.train(spark,
       tercile(0), tercile(2), topV)
     graft.operators.Lease.withLeases(spark, Seq(modelDir),

@@ -1261,6 +1261,69 @@ object SparkEntry {
             " ").as("decoded"))
         .orderBy(col("doc_id").asc)
     }),
+    // the RETRACTION-REPAIR lifecycle, oracle-checked from the
+    // artifact side: bootstrap + append exports (two pack
+    // generations), a retraction hits only the appended batch's docs,
+    // repairTrainingShards rewrites ONLY the touched pack — and the
+    // proof is reconstructive: every document's id stream reassembled
+    // from the repaired artifact's spans (slice each sequence by its
+    // span, regroup by doc) decodes exactly to DuckDB's independent
+    // normalization of the REMAINING corpus — retracted docs gone,
+    // survivors bit-intact, across pack boundaries and mid-doc cuts
+    "q142_repaired_export" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val mid = maxId / 2
+      val n = StreamScratch.seq.incrementAndGet()
+      val root = ivfIndexDir(dir, s"rep142_$n")
+      docs.where(col("doc_id") <= mid).write.mode("overwrite")
+        .parquet(s"$root/c/corpus/batch_id=$mid")
+      Pipeline.trainBpeModel(s, s"$root/c", s"$root/model",
+        numMerges = 64)
+      Pipeline.writeTrainingShards(s, s"$root/c", s"$root/model",
+        s"$root/shards", seqLen = 64, numShards = 4)
+      docs.where(col("doc_id") > mid).write.mode("overwrite")
+        .parquet(s"$root/c/corpus/batch_id=$maxId")
+      Pipeline.writeTrainingShards(s, s"$root/c", s"$root/model",
+        s"$root/shards", seqLen = 64, numShards = 4, mode = "append")
+      // the retraction (multiples of 41 in the appended batch):
+      // partition rewrite + ledger row — exactly the two surfaces
+      // retractCorpus leaves behind that the repair consumes
+      docs.where(col("doc_id") > mid &&
+          pmod(col("doc_id"), lit(41)) =!= 0)
+        .write.mode("overwrite")
+        .parquet(s"$root/c/corpus/batch_id=$maxId")
+      val nRet = docs.where(col("doc_id") > mid &&
+        pmod(col("doc_id"), lit(41)) === 0).count()
+      Seq((nRet, nRet)).toDF("n_requested", "n_retracted")
+        .write.mode("overwrite")
+        .parquet(s"$root/c/retractions/retraction_id=xq142")
+      Pipeline.repairTrainingShards(s, s"$root/c", s"$root/model",
+        s"$root/shards")
+      val model = Bpe.readFullModel(s, s"$root/model")
+      val (seqs, _) = Pipeline.readTrainingShards(s, s"$root/shards",
+        strict = true, modelDir = Some(s"$root/model"))
+      seqs
+        .select(col("seq_id"), col("ids"), explode(col("spans")).as("sp"))
+        .select(col("sp.doc_id").as("doc_id"),
+          struct(col("seq_id"), col("sp.seq_from").as("f"),
+            slice(col("ids"),
+              (col("sp.seq_from") + lit(1)).cast("int"),
+              col("sp.n_tokens").cast("int")).as("piece")).as("ps"))
+        .groupBy(col("doc_id"))
+        .agg(array_sort(collect_list(col("ps"))).as("ps"))
+        .select(col("doc_id"),
+          expr("flatten(transform(ps, x -> x.piece))").as("ids0"))
+        // drop the one trailing eos every doc's stream carries, then
+        // decode ids -> subwords -> words (the q141 path)
+        .select(col("doc_id"),
+          array_join(Bpe.decodeWords(Bpe.decodeIds(
+            expr("slice(ids0, 1, size(ids0) - 1)"), model)), " ")
+            .as("decoded"))
+        .orderBy(col("doc_id").asc)
+    }),
     "q123_dsir_weight" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Sharding.dsirScore(docs,
@@ -2502,6 +2565,22 @@ object SparkEntry {
           |    lower(coalesce(text, '')), '[ \t\n\r\f\x0B]+'),
           |    x -> x != ''), ' ') AS decoded
           |FROM documents ORDER BY doc_id""".stripMargin,
+      // the repaired artifact must reconstruct, per document, to the
+      // normalization of exactly the docs that SURVIVE the retraction
+      // (the appended batch's multiples of 41 are gone) — DuckDB
+      // computes survival and normalization independently, never
+      // seeing packs, spans, or ids
+      "q142_repaired_export" ->
+        """WITH m AS (
+          |  SELECT CAST(max(doc_id) AS BIGINT) // 2 AS mid
+          |  FROM documents)
+          |SELECT doc_id,
+          |  array_to_string(list_filter(string_split_regex(
+          |    lower(coalesce(text, '')), '[ \t\n\r\f\x0B]+'),
+          |    x -> x != ''), ' ') AS decoded
+          |FROM documents, m
+          |WHERE doc_id <= m.mid OR doc_id % 41 != 0
+          |ORDER BY doc_id""".stripMargin,
       // sequence packing: global doc offsets by cumulative token sum
       // in doc_id order, spans by exact integer division — the q66
       // token-count semantics (split on ' ', empties dropped)

@@ -256,7 +256,21 @@ object Fsck {
             // classifying it as a BPE model would demand a merges/ it
             // rightly does not have
             if (names.contains("sequences")) {
-              if (fields.contains("model_digest"))
+              // a crashed repair's staged-swap residue: an
+              // `_old_pack~N` aside whose pack dir is absent IS that
+              // pack, sitting invisible to every reader (underscore
+              // prefix) — name it here so an operator who never runs
+              // repair still learns the state exists
+              val asides = ls(fs, s"$dir/sequences").map(_._1)
+                .filter(_.startsWith("_old_pack~"))
+              if (asides.nonEmpty)
+                b += Finding(dir, "sequences", "warn",
+                  s"staged-swap residue under sequences/ " +
+                    s"(${asides.sorted.mkString(", ")}) — a crashed " +
+                    "repairTrainingShards; re-run the repair (it " +
+                    "heals the aside before detection) or rename the " +
+                    "aside back to its pack= dir by hand")
+              else if (fields.contains("model_digest"))
                 b += Finding(dir, "params", "ok",
                   "healthy training-shards export (sequences/ + " +
                     "params, model content digest stamped)")

@@ -46,7 +46,7 @@ object Sharding {
     * the persisted split columns or re-materialize the split once.
     * Reproducibility holds within a format version, never across one.
     */
-  private[operators] def mixedHash(id: Column, salt: String): Column =
+  private[graft] def mixedHash(id: Column, salt: String): Column =
     pmod(native.rolling_hash(
       concat(lit(salt + ":"), id.cast("string"))) * lit(48271L),
       lit(1000000007L))

@@ -365,16 +365,27 @@ object Similarity {
     */
   /** The probe join's scored candidate stream (query_id, vec_id,
     * cosine), distinct pairs when `dedupCandidates` — the shared front
-    * half of [[probeAndRank]] and [[ivfRecallStats]].
+    * half of [[probeAndRank]] and [[ivfRecallStats]]. `excludeSelf`
+    * (the default — every self-query surface here ranks "other
+    * vectors like this one") drops query_id = vec_id pairs; it is
+    * only correct when the query ids LIVE IN the corpus id space.
+    * EXTERNAL query ids (a stream of eval probes, "more like this"
+    * requests) must pass false: the ids are arbitrary, so a numeric
+    * collision with a corpus vec_id is not a self-hit, and excluding
+    * it would silently drop that document from that query's ranking.
     */
   private def probeScored(indexed: DataFrame, queries: DataFrame,
       centroids: Array[(Int, Array[Float])],
-      nprobe: Int, dedupCandidates: Boolean): DataFrame = {
+      nprobe: Int, dedupCandidates: Boolean,
+      excludeSelf: Boolean = true): DataFrame = {
     val probes = queries.select(
       col("vec_id").as("query_id"), col("embedding").as("query_vec"),
       explode(probeCells(centroids, nprobe)).as("cell"))
-    val scored = indexed.join(broadcast(probes), Seq("cell"))
-      .where(col("query_id") =!= col("vec_id"))
+    val joined = indexed.join(broadcast(probes), Seq("cell"))
+    val kept =
+      if (excludeSelf) joined.where(col("query_id") =!= col("vec_id"))
+      else joined
+    val scored = kept
       .select(col("query_id"), col("vec_id"),
         native.fvec_cosine(col("query_vec"), col("embedding")).as("cosine"))
     if (dedupCandidates) scored.dropDuplicates("query_id", "vec_id")
@@ -383,9 +394,11 @@ object Similarity {
 
   private def probeAndRank(indexed: DataFrame, queries: DataFrame,
       centroids: Array[(Int, Array[Float])], k: Int,
-      nprobe: Int, dedupCandidates: Boolean = false): DataFrame =
+      nprobe: Int, dedupCandidates: Boolean = false,
+      excludeSelf: Boolean = true): DataFrame =
     topKByScoreDesc(
-      probeScored(indexed, queries, centroids, nprobe, dedupCandidates), k)
+      probeScored(indexed, queries, centroids, nprobe, dedupCandidates,
+        excludeSelf), k)
 
   /** The nlist above which "auto" switches to the two-level quantizer:
     * the measured crossover (docs/BENCH_SF1.md appendix) — at nlist=64
@@ -883,26 +896,36 @@ object Similarity {
       indexDir: String, queries: DataFrame,
       centroids: Array[(Int, Array[Float])], k: Int = 10,
       nprobe: Int = 4, multiAssigned: Boolean = false,
-      rerank: Int = 0): DataFrame =
+      rerank: Int = 0, excludeSelf: Boolean = true): DataFrame =
     readIvfStorage(spark, indexDir) match {
       case ("sq8", vb) => sq8ProbeAndRank(spark, indexDir, queries,
-        centroids, k, nprobe, rerank, multiAssigned, None, vb)
+        centroids, k, nprobe, rerank, multiAssigned, None, vb,
+        excludeSelf)
       case _ => probeAndRank(spark.read.parquet(s"$indexDir/cells"),
-        queries, centroids, k, nprobe, dedupCandidates = multiAssigned)
+        queries, centroids, k, nprobe, dedupCandidates = multiAssigned,
+        excludeSelf = excludeSelf)
     }
 
   /** [[ivfTopKIndexed]] probing with the index's own STORED centroids —
     * the self-describing form: no caller-held state, no way to probe
     * under mismatched geometry. q84 runs this at nprobe = nlist against
     * the brute-force oracle, hash-proving the centroid parquet
-    * round-trip end-to-end. */
+    * round-trip end-to-end.
+    *
+    * `excludeSelf` (default true — the self-query shape every batch
+    * surface here probes) assumes query ids live in the CORPUS id
+    * space. Pass false for EXTERNAL query ids (streamed eval probes,
+    * "more like this" requests keyed by request id): there a numeric
+    * collision between a query id and a corpus vec_id is not a
+    * self-hit, and the default filter would silently drop that
+    * document from that query's ranking. */
   def ivfTopKIndexedSelf(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, queries: DataFrame, k: Int = 10,
       nprobe: Int = 4, multiAssigned: Boolean = false,
-      rerank: Int = 0): DataFrame =
+      rerank: Int = 0, excludeSelf: Boolean = true): DataFrame =
     ivfTopKIndexed(spark, indexDir, queries,
       readIvfCentroids(spark, indexDir), k, nprobe, multiAssigned,
-      rerank)
+      rerank, excludeSelf)
 
   /** FILTERED ANN against a written IVF index: top-k restricted to
     * index vectors satisfying `predicate` (over the cells/ columns —
@@ -972,7 +995,7 @@ object Similarity {
       centroids: Array[(Int, Array[Float])], k: Int, nprobe: Int,
       rerank: Int, multiAssigned: Boolean,
       predicate: Option[org.apache.spark.sql.Column],
-      vecBuckets: Int): DataFrame = {
+      vecBuckets: Int, excludeSelf: Boolean = true): DataFrame = {
     val r = if (rerank > 0) rerank else 4 * k
     val probes = queries.select(
       col("vec_id").as("query_id"),
@@ -984,8 +1007,13 @@ object Similarity {
       .where(col("cell") >= 0)
     val scan0 = spark.read.parquet(s"$indexDir/cells")
     val scan = predicate.fold(scan0)(p => scan0.where(p))
-    val scored = scan.join(broadcast(probes), Seq("cell"))
-      .where(col("query_id") =!= col("vec_id"))
+    val joined = scan.join(broadcast(probes), Seq("cell"))
+    // same external-vs-corpus id-space rule as probeScored: the
+    // self filter only means "self" when query ids ARE corpus ids
+    val kept =
+      if (excludeSelf) joined.where(col("query_id") =!= col("vec_id"))
+      else joined
+    val scored = kept
       .select(col("query_id"), col("vec_id"),
         native.i8vec_cosine(col("qcode"), col("code")).as("cosine8"))
     // multi-assigned indexes hold a candidate once per assigned cell;

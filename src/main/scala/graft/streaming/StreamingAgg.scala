@@ -741,7 +741,19 @@ object StreamingAgg {
     * per trigger). This is retrieval's stream side: live curation
     * probes, eval look-ups, and "more like this" requests rank
     * against the standing corpus at stream latency instead of
-    * batching to the weekly cadence. Disjoint query sets rank
+    * batching to the weekly cadence.
+    *
+    * `excludeSelf` declares the query ID SPACE and binds BOTH legs:
+    * false (the default) means the stream carries EXTERNAL ids
+    * (request ids, eval ids) — nothing is filtered, and in particular
+    * a query id that numerically collides with a corpus doc_id/vec_id
+    * does NOT suppress that document; true means the query ids ARE
+    * corpus doc ids (streamed "more like this" over corpus documents),
+    * and the self pair drops from the lexical AND semantic rankings —
+    * the batch [[graft.operators.Retrieval.hybridTopK]] shape, which
+    * q136 hash-proves against q130's oracle.
+    *
+    * Disjoint query sets rank
     * independently (both probes and the fusion are per-query), so a
     * stream's unioned triggers ≡ one batch probe of the same queries
     * — the property q135/q136 hash-prove against the inline oracles.
@@ -821,12 +833,19 @@ object StreamingAgg {
       sink(ivfDir match {
         case None => lex
         case Some(iv) =>
-          // the semantic leg keeps self-hits ([[graft.operators
-          // .Retrieval.hybridTopK]]'s exact shape: only the lexical
-          // leg takes excludeSelf; fusion demotes the self-hit)
+          // excludeSelf declares the QUERY ID SPACE, and applies to
+          // BOTH legs: true means the stream's query ids ARE corpus
+          // doc ids ("more like this" on corpus documents — the batch
+          // [[graft.operators.Retrieval.hybridTopK]] shape, where
+          // bm25TopK's filter and bruteForceTopK's join condition
+          // both drop the self pair), false (the default) means the
+          // ids are EXTERNAL request ids, where a numeric collision
+          // with a corpus vec_id is NOT a self-hit — filtering it
+          // would silently drop that document from that query's
+          // semantic ranking
           val sem = Similarity.ivfTopKIndexedSelf(spark, iv,
               qb.select(col("query_id").as("vec_id"), col("embedding")),
-              k = kEach, nprobe = nprobe)
+              k = kEach, nprobe = nprobe, excludeSelf = excludeSelf)
             .select(col("query_id"), col("vec_id").as("doc_id"),
               col("rank"))
           Retrieval.rrfFuse(

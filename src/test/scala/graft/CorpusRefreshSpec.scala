@@ -620,13 +620,30 @@ class CorpusRefreshSpec extends SparkSuite {
     assert(counts.map { case (id, (n, _)) => id -> n } === expect)
     assert(out1.report.head().getAs[Long]("n_subwords_total") ===
       counts.values.map(_._1.toLong).sum)
+    // per-batch tokenizer provenance: the report row stamps the model
+    // that denominated ITS counts — n_merges as the human-readable
+    // diagnostic, the merges-content digest as the gateable identity
+    assert(out1.report.head().getAs[Long]("tokenizer_n_merges") === 2L)
+    assert(out1.report.head().getAs[String]("tokenizer_merges_digest")
+      === Bpe.mergesDigest(Seq(("e", "s"), ("es", "t"))))
     // drift guard: forgetting the flag refuses; with it, batch 2 rides
     val b2 = batchOf((10L, "widest a2 b2 c2 d2 e2 f2 g2 h2 i2"))
     val e = intercept[IllegalArgumentException](refresh(b2, None))
     assert(e.getMessage.contains("tokenizer"))
+    // a season RETRAIN lands between batches — same merge COUNT,
+    // different content (exactly the state a count-only stamp cannot
+    // see): the two report rows must disagree on the digest, making
+    // the unit change auditable from the ledger alone
+    Bpe.writeModel(spark, Seq(("w", "i"), ("wi", "d")), modelDir)
     val out2 = refresh(b2, Some(modelDir))
     assert(out2.published.where($"doc_id" === 10L)
       .head().getAs[Int]("n_subwords") > 0)
+    assert(out2.report.head().getAs[Long]("tokenizer_n_merges") === 2L)
+    val digests = Seq(out1, out2).map(_.report.head()
+      .getAs[String]("tokenizer_merges_digest"))
+    assert(digests.distinct.size === 2,
+      s"retrained same-count model must stamp a different digest: $digests")
+    assert(digests(1) === Bpe.mergesDigest(Seq(("w", "i"), ("wi", "d"))))
     // a crashed (params-less) model refuses BEFORE any mutation
     val fresh = tmp("tok_fresh_corpus")
     val e2 = intercept[IllegalArgumentException](

@@ -280,6 +280,15 @@ class FsckSpec extends SparkSuite {
       x.level == "warn" && x.detail.contains("pre-digest-era")),
       fw.mkString("\n"))
     rm(s"$root/oldshards")
+    // a crashed repair's staged-swap aside under sequences/ surveys
+    // as a WARN naming the re-run-repair recovery (the aside is
+    // invisible to every reader — without fsck nothing names it)
+    new java.io.File(s"$root/shards/sequences/_old_pack~0").mkdirs()
+    val fa = Fsck.check(spark, root)
+    assert(fa.exists(x => x.dir == s"$root/shards" &&
+      x.level == "warn" && x.detail.contains("repairTrainingShards")),
+      fa.mkString("\n"))
+    rm(s"$root/shards/sequences/_old_pack~0")
     // complete-model params with the alphabet gone: readFullModel's
     // refusal state, and fsck must name it
     rm(s"$root/bpe/alphabet")

@@ -1078,11 +1078,37 @@ class MultimodalStreamingSpec extends SparkSuite {
       hb.select($"query_id", $"text"), s"$root/bm25", k = 20)
     val sem = Similarity.ivfTopKIndexedSelf(spark, s"$root/ivf",
         hb.select($"query_id".as("vec_id"), $"embedding"), k = 20,
-        nprobe = 2)
+        nprobe = 2, excludeSelf = false)
       .select($"query_id", $"vec_id".as("doc_id"), $"rank")
     assert(hybOut === rows(Retrieval.rrfFuse(
       lex.select($"query_id", $"doc_id", $"rank"), sem, k = 5)))
     assert(hybOut.nonEmpty)
+    // EXTERNAL query ids are arbitrary: one that numerically collides
+    // with a corpus vec_id must NOT suppress that document from the
+    // semantic ranking (excludeSelf=false is not a self-hit filter —
+    // the ids live in different spaces). Query id 2 collides with
+    // corpus doc 2, whose vector [0.7,0.7] is the collision query's
+    // own direction — it must surface, and under full probe the fused
+    // frame must carry it for query 2.
+    val collide = Seq(
+      (ts("2024-01-01 10:00:02"), 2L, "streaming replay markers",
+        Array(0.7f, 0.7f))).toDF("ts", "query_id", "text", "embedding")
+    StreamingAgg.processRetrieveBatch(collide, s"$root/bm25",
+        Some(s"$root/ivf"), 5, 20, 1.2, 0.75, 60, false, 2, 6L) {
+      (out, _) =>
+        assert(rows(out).exists { case (q, d, _) => q == 2L && d == 2L },
+          s"external query id 2 lost corpus doc 2 to the self filter: " +
+            rows(out).mkString(", "))
+    }
+    // and with excludeSelf=true (query ids ARE corpus ids — streamed
+    // "more like this") the self pair drops from BOTH legs, the batch
+    // hybridTopK shape
+    StreamingAgg.processRetrieveBatch(collide, s"$root/bm25",
+        Some(s"$root/ivf"), 5, 20, 1.2, 0.75, 60, true, 2, 7L) {
+      (out, _) =>
+        assert(!rows(out).exists { case (q, d, _) => q == 2L && d == 2L })
+        assert(rows(out).nonEmpty) // other docs still rank
+    }
     // the hybrid leg needs the stream to carry the vectors
     val e = intercept[IllegalArgumentException] {
       StreamingAgg.processRetrieveBatch(batch, s"$root/bm25",

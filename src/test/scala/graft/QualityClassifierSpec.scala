@@ -119,6 +119,42 @@ class QualityClassifierSpec extends SparkSuite {
     assert(scored(900L) > scored(901L), scored.toString)
   }
 
+  test("trainQualityModel's seed cap samples every ERA, " +
+      "deterministically: a late-batch drift class reaches the capped " +
+      "seed set (an id-ordered cap would train on the oldest " +
+      "exemplars forever), and two runs produce bit-identical models") {
+    val corpusDir = tmp("tq_era_corpus")
+    // 30 LM-head docs in two eras — ids 0..14 published early (token
+    // 'oldmark'), ids 1000..1014 a much later batch ('newmark' = the
+    // drift the season retrain exists to see) — and 60 gibberish tail
+    // docs, so tercile 0 is exactly the 30 good docs and the cap of
+    // 10 must CHOOSE among them
+    val common = (0 until 8).map(j => s"common$j").mkString(" ")
+    val corpus = (
+      (0L until 15L).map(i => (i, s"$common oldmark extra$i")) ++
+      (1000L until 1015L).map(i => (i, s"$common newmark extra$i")) ++
+      (100L until 160L).map(i =>
+        (i, (0 until 10).map(j => s"rare${i}x$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    corpus.write.parquet(s"$corpusDir/corpus")
+    def fit(dir: String) = {
+      Pipeline.trainQualityModel(spark, corpusDir, dir, topV = 256,
+        maxSeedsPerClass = 10)
+      QualityClassifier.readModel(spark, dir)
+    }
+    val (w1, b1) = fit(tmp("tq_era_m1"))
+    val vocab = w1.select($"token").collect().map(_.getString(0)).toSet
+    assert(vocab.contains("newmark"),
+      s"the late era never reached the capped seed set: $vocab")
+    assert(vocab.contains("oldmark"),
+      s"the early era never reached the capped seed set: $vocab")
+    // same corpus, same salt, same cap → the same model, bit for bit
+    val (w2, b2) = fit(tmp("tq_era_m2"))
+    assert(b1 === b2)
+    assert(w1.orderBy($"token").collect().toSeq ===
+      w2.orderBy($"token").collect().toSeq)
+  }
+
   test("q119 composition: the corpus-trained classifier reproduces the " +
       "LM head/tail signal it distilled (head docs outscore tail docs " +
       "on average)") {

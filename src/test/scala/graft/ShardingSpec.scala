@@ -698,6 +698,177 @@ class ShardingSpec extends SparkSuite {
     assert(em.getMessage.contains("params records"), em.getMessage)
   }
 
+  test("repairTrainingShards rewrites ONLY the packs whose spans " +
+      "touch retracted docs (untouched packs byte-identical), " +
+      "reopens the ledger gate for collision-free appends, deletes a " +
+      "pack retracted empty, and handles every crash/foreign state") {
+    import graft.operators.Bpe
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_shardrep").toString
+    def writeBatch(bid: Long)(rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$root/c/corpus/batch_id=$bid")
+    writeBatch(2L)((0L, "low low newest"), (1L, "newest widest lower"),
+      (2L, "low newest low"))
+    graft.Pipeline.trainBpeModel(spark, s"$root/c", s"$root/model",
+      numMerges = 8)
+    val model = Bpe.readFullModel(spark, s"$root/model")
+    val eos = Bpe.eosIdOf(model)
+    def export(mode: String) = graft.Pipeline.writeTrainingShards(
+      spark, s"$root/c", s"$root/model", s"$root/shards", seqLen = 5,
+      numShards = 2, mode = mode).head()
+    val r1 = export("overwrite")
+    val s1 = r1.getAs[Long]("n_sequences")
+    writeBatch(4L)((3L, "widest lowest low"),
+      (4L, "newest newest widest"))
+    val r2 = export("append")
+    val pack0 = new java.io.File(s"$root/shards/sequences/pack=0")
+    val pack1 = new java.io.File(s"$root/shards/sequences/pack=$s1")
+    def fileBytes(d: java.io.File): Map[String, Seq[Byte]] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else Seq(f)
+      walk(d).filterNot(_.getName.startsWith("."))
+        .map(f => f.getPath.stripPrefix(d.getPath) ->
+          java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+    }
+    val pack0Before = fileBytes(pack0)
+    // ---- retract doc 4 (hand-simulated like the ledger rows above:
+    // partition rewrite + ledger — repair consumes only those two)
+    writeBatch(4L)((3L, "widest lowest low"))
+    Seq((1L, 1L)).toDF("n_requested", "n_retracted")
+      .write.parquet(s"$root/c/retractions/retraction_id=xr1")
+    // the ledger gate refuses the append and names the repair
+    val eg = intercept[IllegalArgumentException](export("append"))
+    assert(eg.getMessage.contains("repairTrainingShards"), eg.getMessage)
+    val rr = graft.Pipeline.repairTrainingShards(spark, s"$root/c",
+      s"$root/model", s"$root/shards").head()
+    // untouched pack 0: every file byte-identical (never rewritten)
+    assert(fileBytes(pack0) === pack0Before)
+    // touched pack s1: exactly doc 3's id stream now, seq_ids from s1
+    def stream(ids: Seq[Long]) = Bpe.encodeIds(
+        spark.read.parquet(s"$root/c/corpus")
+          .where($"doc_id".isin(ids: _*)), model)
+      .orderBy($"doc_id").select($"ids").collect()
+      .flatMap(_.getSeq[Int](0) :+ eos).toSeq
+    val p1 = spark.read.parquet(pack1.getPath).orderBy($"seq_id")
+      .select($"seq_id", $"ids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1)))
+    assert(p1.map(_._1).min === s1)
+    assert(p1.flatMap(_._2).toSeq === stream(Seq(3L)))
+    // params restamped: count from the tree, ledger total advanced,
+    // watermark unmoved, next_seq_id preserved (NOT the shrunk count)
+    assert(rr.getAs[Long]("n_sequences") ===
+      spark.read.parquet(s"$root/shards/sequences").count())
+    assert(rr.getAs[Long]("retraction_total") === 1L)
+    assert(rr.getAs[Long]("max_doc_id") === 4L)
+    val next1 = rr.getAs[Long]("next_seq_id")
+    assert(next1 === r2.getAs[Long]("n_sequences"))
+    assert(next1 > rr.getAs[Long]("n_sequences")) // the pack shrank
+    // strict + model-checked read passes on the repaired artifact
+    val (rs, rp) = graft.Pipeline.readTrainingShards(spark,
+      s"$root/shards", strict = true, modelDir = Some(s"$root/model"))
+    assert(rs.count() === rp.getAs[Long]("n_sequences"))
+    // appends resume COLLISION-FREE: the new pack bases at the stored
+    // next_seq_id high-water mark, so no seq_id ever collides with a
+    // standing pack's tail even though the count shrank
+    writeBatch(5L)((5L, "newest low widest lowest"))
+    val r3 = export("append")
+    assert(new java.io.File(
+      s"$root/shards/sequences/pack=$next1").exists())
+    val allIds = spark.read.parquet(s"$root/shards/sequences")
+      .select($"seq_id").collect().map(_.getLong(0))
+    assert(allIds.distinct.length === allIds.length,
+      s"duplicate seq_ids after repair+append: ${allIds.sorted.toSeq}")
+    assert(r3.getAs[Long]("n_sequences") === allIds.length.toLong)
+    // a second repair with nothing ledgered since the stamp is the
+    // scan-free no-op: sequences AND params files stay byte-identical
+    // (not even a restamp — the cron re-run touches nothing)
+    val treeBefore =
+      fileBytes(new java.io.File(s"$root/shards/sequences"))
+    val paramsBefore =
+      fileBytes(new java.io.File(s"$root/shards/params"))
+    graft.Pipeline.repairTrainingShards(spark, s"$root/c",
+      s"$root/model", s"$root/shards")
+    assert(fileBytes(new java.io.File(s"$root/shards/sequences"))
+      === treeBefore)
+    assert(fileBytes(new java.io.File(s"$root/shards/params"))
+      === paramsBefore)
+    // ---- a pack retracted EMPTY is deleted outright: doc 5 (the
+    // whole of pack=next1) leaves the corpus
+    val delPack = s"$root/shards/sequences/pack=$next1"
+    def deleteDir(p: String): Unit = {
+      val f = new java.io.File(p)
+      if (f.isDirectory) f.listFiles().foreach(c => deleteDir(c.getPath))
+      f.delete()
+    }
+    deleteDir(s"$root/c/corpus/batch_id=5")
+    Seq((1L, 1L)).toDF("n_requested", "n_retracted")
+      .write.parquet(s"$root/c/retractions/retraction_id=xr2")
+    val rDel = graft.Pipeline.repairTrainingShards(spark, s"$root/c",
+      s"$root/model", s"$root/shards").head()
+    assert(!new java.io.File(delPack).exists())
+    assert(rDel.getAs[Long]("retraction_total") === 2L)
+    assert(rDel.getAs[Long]("n_sequences") ===
+      spark.read.parquet(s"$root/shards/sequences").count())
+    // untouched packs STILL byte-identical through the deletion pass
+    assert(fileBytes(pack0) === pack0Before)
+    // ---- crash states:
+    // (a) a crashed repair's staged-swap aside (pack sitting at
+    // _old_pack~N with its dir absent) heals before detection
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$root/shards/sequences/pack=$s1"),
+      new org.apache.hadoop.fs.Path(
+        s"$root/shards/sequences/_old_pack~$s1")))
+    graft.Pipeline.repairTrainingShards(spark, s"$root/c",
+      s"$root/model", s"$root/shards")
+    assert(new java.io.File(s"$root/shards/sequences/pack=$s1")
+      .exists())
+    assert(!new java.io.File(s"$root/shards/sequences/_old_pack~$s1")
+      .exists())
+    assert(spark.read.parquet(s"$root/shards/sequences/pack=$s1")
+      .orderBy($"seq_id").select($"ids").collect()
+      .flatMap(_.getSeq[Int](0)).toSeq === stream(Seq(3L)))
+    // (b) a committed-but-unrecorded pack (crashed APPEND) refuses
+    // with the re-append recovery — the restamp must not legitimize a
+    // possibly-partial pack
+    spark.read.parquet(s"$root/shards/sequences/pack=0")
+      .withColumn("seq_id", $"seq_id" + lit(1000L))
+      .drop("shard", "pack").withColumn("shard", lit(0))
+      .write.partitionBy("shard")
+      .parquet(s"$root/shards/sequences/pack=1000")
+    val ea = intercept[IllegalArgumentException] {
+      graft.Pipeline.repairTrainingShards(spark, s"$root/c",
+        s"$root/model", s"$root/shards")
+    }
+    assert(ea.getMessage.contains("committed-but-unrecorded"),
+      ea.getMessage)
+    deleteDir(s"$root/shards/sequences/pack=1000")
+    // (c) repairing under a same-count, different-CONTENT model
+    // refuses on the digest (re-encoding only the touched packs under
+    // it would mix id spaces across packs) — checked BEFORE any read
+    // of sequences/, so it fires even on a damaged tree
+    Bpe.writeModel(spark,
+      Bpe.BpeModel(model.alphabet, model.merges.reverse),
+      s"$root/modelB")
+    val ed = intercept[IllegalArgumentException] {
+      graft.Pipeline.repairTrainingShards(spark, s"$root/c",
+        s"$root/modelB", s"$root/shards")
+    }
+    assert(ed.getMessage.contains("DIFFERENT model"), ed.getMessage)
+    // (d) a hand-deleted pack (docs still in the corpus but packed
+    // nowhere) refuses with the re-export recovery: not retraction
+    // damage, repair cannot reconstruct it pack-locally
+    deleteDir(s"$root/shards/sequences/pack=$s1")
+    val eh = intercept[IllegalArgumentException] {
+      graft.Pipeline.repairTrainingShards(spark, s"$root/c",
+        s"$root/model", s"$root/shards")
+    }
+    assert(eh.getMessage.contains("packed nowhere"), eh.getMessage)
+  }
+
   test("export model provenance is CONTENT, not counts: a same-count " +
       "retrain refuses the append and the model-checked read; the " +
       "matching model passes; pre-digest exports refuse with the " +

@@ -87,4 +87,40 @@ class StreamBridgeTiming extends SparkSuite {
       }
     }
   }
+
+  test("per-trigger floor of the RETRIEVAL bridge (ninth): the bm25 " +
+      "stats read is deliberately NOT params-cached (they mutate on " +
+      "every refresh append) — this prices that one metadata read per " +
+      "trigger, and the consecutive probe bodies around it") {
+    assume(sys.env.get("GRAFT_TIMING").contains("1"),
+      "set GRAFT_TIMING=1 to run the timing harness")
+    import graft.operators.Retrieval
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_timing_ret").toString
+    Retrieval.writeBm25Index(
+      (0L until 50L).map(i =>
+          (i, s"document $i about spark joins windows and streams " +
+            s"with unique token$i"))
+        .toDF("doc_id", "text"),
+      idxDir, tokenBuckets = 8, dlBuckets = 4)
+    // the per-trigger driver-side read retrieveStream pays EVERY
+    // trigger by design (a refresh append mutates n_docs/n_tokens, so
+    // caching would rank under a stale corpus): first read cold,
+    // second warm-ish (FS metadata cached) — the steady-state trigger
+    // pays something between the two
+    timed("bm25-stats-read") { Retrieval.readBm25IndexParams(spark, idxDir) }
+    timed("bm25-stats-read2") { Retrieval.readBm25IndexParams(spark, idxDir) }
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    (0L to 2L).foreach { id =>
+      timed(s"retrieve$id") {
+        graft.streaming.StreamingAgg.processRetrieveBatch(
+          Seq((t("2024-01-01 10:00:00"), 500L + id,
+            s"spark joins token$id"))
+            .toDF("ts", "query_id", "text"),
+          idxDir, None, 10, 20, 1.2, 0.75, 60, false, 4, id) {
+          (out, _) => out.collect()
+        }
+      }
+    }
+  }
 }

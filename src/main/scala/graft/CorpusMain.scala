@@ -137,6 +137,7 @@ object CorpusMain {
         |       CorpusMain train-dsir <corpusDir> <targetDir> <modelDir> [buckets]
         |       CorpusMain export-shards <corpusDir> <bpeModelDir> <outDir> [seqLen] [numShards] [overwrite|append]
         |       CorpusMain repair-shards <corpusDir> <bpeModelDir> <outDir>
+        |       CorpusMain audit-shards <outDir> <bpeModelDir>
         |       CorpusMain migrate-shingles <indexRoot> [buckets]
         |       CorpusMain break-lease <dir> [dir ...]
         |       CorpusMain break-leases <root>

@@ -2026,9 +2026,7 @@ object Pipeline {
       // pack's spans doc_ids (column-pruned — the id arrays are never
       // read) left-joined to the corpus id column: per pack, its id
       // range and how many of its packed docs are gone.
-      val packedDocs = spark.read.parquet(s"$outDir/sequences")
-        .select(col("pack").cast("long").as("pack"),
-          explode(expr("transform(spans, x -> x.doc_id)")).as("doc_id"))
+      val packedDocs = packedSpanDocs(spark, outDir)
       val perPack = packedDocs
         .join(corpusDf.select(col("doc_id"))
           .withColumn("present", lit(1)), Seq("doc_id"), "left")
@@ -2091,6 +2089,18 @@ object Pipeline {
       }
     }
   }
+
+  /** [[repairTrainingShards]]' damage-detection probe, factored so
+    * the plan is mechanically checkable: every pack's spans doc_ids
+    * as (pack, doc_id) rows. The scale claim is in the READ SCHEMA —
+    * the token-id arrays (the artifact's actual bulk) are never
+    * deserialized; PlanSpec pins that the parquet scan reads spans
+    * and not ids. */
+  private[graft] def packedSpanDocs(spark: SparkSession,
+      outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/sequences")
+      .select(col("pack").cast("long").as("pack"),
+        explode(expr("transform(spans, x -> x.doc_id)")).as("doc_id"))
 
   /** Distill the published corpus' LM quality signal into a PERSISTED
     * classifier model — the season-cadence model build the `quality`

@@ -1272,7 +1272,10 @@ object SparkEntry {
     // survivors bit-intact, across pack boundaries and mid-doc cuts
     "q142_repaired_export" -> ((s, dir) => {
       import s.implicits._
+      // the q100/q102 slice precedent: a lifecycle entry proves the
+      // closure, it does not need the whole bench corpus
       val docs = t(s, dir, "documents")
+        .where(col("doc_id") < 1000)
         .select(col("doc_id"), col("text"))
       val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
       val mid = maxId / 2
@@ -2571,14 +2574,15 @@ object SparkEntry {
       // computes survival and normalization independently, never
       // seeing packs, spans, or ids
       "q142_repaired_export" ->
-        """WITH m AS (
-          |  SELECT CAST(max(doc_id) AS BIGINT) // 2 AS mid
-          |  FROM documents)
+        """WITH d AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+          |m AS (
+          |  SELECT CAST(max(doc_id) AS BIGINT) // 2 AS mid FROM d)
           |SELECT doc_id,
           |  array_to_string(list_filter(string_split_regex(
           |    lower(coalesce(text, '')), '[ \t\n\r\f\x0B]+'),
           |    x -> x != ''), ' ') AS decoded
-          |FROM documents, m
+          |FROM d, m
           |WHERE doc_id <= m.mid OR doc_id % 41 != 0
           |ORDER BY doc_id""".stripMargin,
       // sequence packing: global doc offsets by cumulative token sum

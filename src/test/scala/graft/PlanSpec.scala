@@ -586,4 +586,25 @@ class PlanSpec extends SparkSuite {
       !p.contains("windowspecdefinition"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("repair damage detection reads SPANS, never the id arrays: " +
+      "the probe over the packed artifact prunes the read schema to " +
+      "the metadata columns (the token-id bulk is never deserialized)") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_planrep").toString
+    Seq((0L, "test set tes"), (1L, "set test set"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$root/c/corpus/batch_id=1")
+    graft.Pipeline.trainBpeModel(spark, s"$root/c", s"$root/m",
+      numMerges = 2)
+    graft.Pipeline.writeTrainingShards(spark, s"$root/c", s"$root/m",
+      s"$root/shards", seqLen = 4, numShards = 2)
+    val p = plan(graft.Pipeline.packedSpanDocs(spark, s"$root/shards"))
+    assert(p.contains("spans"), p.take(3000))
+    // the ids column (array<int>, the artifact's actual bytes) must
+    // be pruned out of the scan — a detection pass that read it would
+    // scale with the token volume instead of the span metadata
+    assert(!p.contains("ids:array"), p.take(3000))
+  }
 }

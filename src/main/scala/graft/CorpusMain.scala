@@ -315,13 +315,20 @@ object CorpusMain {
         // CONTENT digest matches), then ONE sequence decoded back to
         // words — the eyeball check an operator wants before pointing
         // a training run at the bytes. Decode is the map-only
-        // Bpe.decodeIds/decodeWords pair; only the sample row ever
-        // reaches the driver.
+        // Bpe.decodeIds/decodeWords pair. The sample row is FOUND by
+        // a seq_id-only min (a TakeOrdered over (seq_id, ids) would
+        // deserialize every sequence's id array — the artifact's
+        // whole bulk — to print 24 words) and fetched by an equality
+        // filter parquet stats can skip row groups on. (The model is
+        // read twice — once for the decode LUT, once inside the
+        // reader's provenance check; both driver-side and
+        // model-sized, the price of the reader's canonical refusals.)
         val model = graft.operators.Bpe.readFullModel(spark, modelDir)
         val (seqs, p) = Pipeline.readTrainingShards(spark, outDir,
           strict = true, modelDir = Some(modelDir))
-        import org.apache.spark.sql.functions.col
-        val sample = seqs.orderBy(col("seq_id").asc).limit(1)
+        import org.apache.spark.sql.functions.{col, min}
+        val minSeq = seqs.agg(min(col("seq_id"))).head().getLong(0)
+        val sample = seqs.where(col("seq_id") === minSeq)
           .select(col("seq_id"),
             graft.operators.Bpe.decodeWords(
               graft.operators.Bpe.decodeIds(col("ids"), model))

@@ -1525,34 +1525,14 @@ object Pipeline {
     val pdf = spark.read.parquet(s"$outDir/params")
     // the append path's legacy refusal, applied at the consumer too:
     // a pre-append-era export lacks the pack layout this reader's
-    // return shape promises, and a bare read would surface raw
-    // missing-column / mixed-depth-partition errors instead
-    require(Seq("eos_id", "max_doc_id", "retraction_total")
-        .forall(pdf.schema.fieldNames.contains),
-      s"$outDir is a pre-append-era export (params/ has no " +
-        "watermark/eos/ledger metadata, sequences/ predates the pack " +
-        "layout) — re-export (mode=overwrite) once to upgrade it")
+    // return shape promises
+    requireAppendEraParams(pdf, outDir)
     val p = pdf.head()
     modelDir.foreach { md =>
       val m = graft.operators.Bpe.readFullModel(spark, md)
-      require(p.getAs[Long]("n_merges") == m.merges.size.toLong &&
-          p.getAs[Long]("n_alphabet") == m.alphabet.size.toLong,
-        s"$outDir was encoded under a different model than $md " +
-          s"(${p.getAs[Long]("n_merges")} merges / " +
-          s"${p.getAs[Long]("n_alphabet")} alphabet vs " +
-          s"${m.merges.size} / ${m.alphabet.size}) — its ids decode " +
-          "to other subwords under this model; re-export (mode=" +
-          "overwrite) under it, or read with the model that wrote it")
-      require(pdf.schema.fieldNames.contains("model_digest"),
-        s"$outDir is a pre-digest-era export (params/ records only " +
-          "model COUNTS, which a retrain can reproduce — this read's " +
-          "provenance check cannot be answered from counts); " +
-          "re-export (mode=overwrite) once to stamp the digest")
-      require(p.getAs[String]("model_digest") ==
-          graft.operators.Bpe.modelDigest(m),
-        s"$outDir was encoded under a DIFFERENT model than $md with " +
-          "the same counts (a retrain between export and read) — " +
-          "its ids name other subwords under this model; re-export " +
+      requireModelProvenance(pdf, p, m,
+        graft.operators.Bpe.modelDigest(m), outDir,
+        s"its ids name other subwords under $md; re-export " +
           "(mode=overwrite) under it, or read with the model that " +
           "wrote it")
     }
@@ -1567,7 +1547,8 @@ object Pipeline {
         s"$outDir holds $n sequences but params records $recorded — " +
           "a committed-but-unrecorded pack (an append crashed before " +
           "its params swap); re-run the append (mode=append) to " +
-          "overwrite the partial pack and record it")
+          "overwrite the partial pack and record it " +
+          "(repairTrainingShards also sweeps it as unrecorded residue)")
       require(n == recorded,
         s"$outDir holds $n sequences but params records $recorded — " +
           "a crashed repair (re-run repairTrainingShards: it heals, " +
@@ -1708,14 +1689,10 @@ object Pipeline {
               "folds new batches into one; run mode=overwrite first")
         }
         val pdf = spark.read.parquet(s"$outDir/params")
-        // legacy-layout refusal FIRST: a pre-append-era export lacks
-        // the watermark/eos/ledger columns, and a raw missing-field
-        // error would name a symptom instead of the recovery
-        require(Seq("eos_id", "max_doc_id", "retraction_total")
-            .forall(pdf.schema.fieldNames.contains),
-          s"$outDir is a pre-append-era export (params/ has no " +
-            "watermark/eos/ledger metadata) — re-export (mode=" +
-            "overwrite) once to upgrade it; appends work from there")
+        // legacy-layout refusal FIRST: the missing-field error a bare
+        // read would throw names a symptom, not the recovery
+        requireAppendEraParams(pdf, outDir,
+          note = "; appends work from there")
         val p = pdf.head()
         require(p.getAs[Long]("seq_len") == seqLen &&
             p.getAs[Int]("num_shards") == numShards,
@@ -1725,30 +1702,9 @@ object Pipeline {
         // model provenance BEFORE the eos check: a different model
         // also shifts the derived eos id, and "different model" is
         // the root-cause diagnosis, not its separator symptom
-        require(p.getAs[Long]("n_merges") == model.merges.size.toLong &&
-            p.getAs[Long]("n_alphabet") == model.alphabet.size.toLong,
-          s"$outDir was encoded under a different model " +
-            s"(${p.getAs[Long]("n_merges")} merges / " +
-            s"${p.getAs[Long]("n_alphabet")} alphabet vs the current " +
-            s"${model.merges.size} / ${model.alphabet.size}) — " +
-            "appending would mix id spaces; re-export (mode=" +
-            "overwrite) under the current model")
-        // counts first (the friendly diagnostic), CONTENT second (the
-        // decisive one): a retrain that reproduces both counts still
-        // changes which subword each id names, and nothing downstream
-        // could ever detect the mix — refuse on the digest
-        require(pdf.schema.fieldNames.contains("model_digest"),
-          s"$outDir is a pre-digest-era export (params/ records only " +
-            "model COUNTS, which a retrain can reproduce) — " +
-            "re-export (mode=overwrite) once to stamp the model's " +
-            "content digest; appends verify provenance from there")
-        require(p.getAs[String]("model_digest") == modelDig,
-          s"$outDir was encoded under a DIFFERENT model with the " +
-            "same counts (content digest " +
-            s"${p.getAs[String]("model_digest")} vs the current " +
-            s"$modelDig — a retrain between exports); appending " +
-            "would mix id spaces; re-export (mode=overwrite) under " +
-            "the current model")
+        requireModelProvenance(pdf, p, model, modelDig, outDir,
+          "appending would mix id spaces; re-export (mode=overwrite) " +
+            "under the current model")
         require(Option(p.getAs[Integer]("eos_id"))
             .map(_.intValue) == eosId,
           s"append with eos=$eos onto an export written with " +
@@ -1896,10 +1852,17 @@ object Pipeline {
     * Crash contract: re-run the repair — step 1 heals the one loud
     * state, already-repaired packs have no gone ids and are not
     * touched again, and the final restamp derives from the tree, so
-    * any partial run converges. A standing CRASHED APPEND (sequences
-    * hold more rows than params record) refuses first with the
-    * re-append recovery: recording a possibly-partial pack as legit
-    * is exactly what the restamp must not do. Returns the new params
+    * any partial run converges. A standing CRASHED APPEND's
+    * unrecorded pack (its base is ≥ the stored `next_seq_id`
+    * high-water mark — recorded packs are always below it) is SWEPT
+    * in step 1 rather than refused: the restamp must never
+    * legitimize a possibly-partial pack, but refusing would deadlock
+    * with the append's own ledger gate when a retraction lands after
+    * the crash (each message pointing at the other tool) — sweep,
+    * repair, then re-run the append (it rebuilds the same pack
+    * deterministically). On-disk rows exceeding the record AFTER the
+    * sweep are foreign files inside recorded packs and refuse with
+    * the re-export recovery. Returns the new params
     * row; a no-damage run (retraction never touched a packed doc)
     * still restamps so the ledger gate admits appends again. A run
     * with NOTHING ledgered since the stamped total (and a tree that
@@ -1927,35 +1890,14 @@ object Pipeline {
             "repair; run writeTrainingShards (mode=overwrite) first")
       }
       val pdf = spark.read.parquet(s"$outDir/params")
-      require(Seq("eos_id", "max_doc_id", "retraction_total")
-          .forall(pdf.schema.fieldNames.contains),
-        s"$outDir is a pre-append-era export (params/ has no " +
-          "watermark/eos/ledger metadata) — re-export (mode=" +
-          "overwrite) once to upgrade it")
+      requireAppendEraParams(pdf, outDir)
       val p = pdf.head()
-      // model provenance, counts first then CONTENT (the append
-      // gate's ordering): repairing under a retrained model would
-      // re-encode the touched packs into a different id space than
-      // the untouched ones — the exact mix the digest exists to refuse
-      require(p.getAs[Long]("n_merges") == model.merges.size.toLong &&
-          p.getAs[Long]("n_alphabet") == model.alphabet.size.toLong,
-        s"$outDir was encoded under a different model " +
-          s"(${p.getAs[Long]("n_merges")} merges / " +
-          s"${p.getAs[Long]("n_alphabet")} alphabet vs the current " +
-          s"${model.merges.size} / ${model.alphabet.size}) — " +
-          "repairing would mix id spaces; re-export (mode=overwrite) " +
+      // repairing under a retrained model would re-encode the
+      // touched packs into a different id space than the untouched
+      // ones — the exact mix the shared digest gate exists to refuse
+      requireModelProvenance(pdf, p, model, modelDig, outDir,
+        "repairing would mix id spaces; re-export (mode=overwrite) " +
           "under the current model")
-      require(pdf.schema.fieldNames.contains("model_digest"),
-        s"$outDir is a pre-digest-era export (params/ records only " +
-          "model COUNTS, which a retrain can reproduce) — re-export " +
-          "(mode=overwrite) once to stamp the model's content digest")
-      require(p.getAs[String]("model_digest") == modelDig,
-        s"$outDir was encoded under a DIFFERENT model with the same " +
-          "counts (content digest " +
-          s"${p.getAs[String]("model_digest")} vs the current " +
-          s"$modelDig — a retrain since the export); repairing would " +
-          "mix id spaces; re-export (mode=overwrite) under the " +
-          "current model")
       val seqLen = p.getAs[Long]("seq_len")
       val numShards = p.getAs[Int]("num_shards")
       val eosId = Option(p.getAs[Integer]("eos_id")).map(_.intValue)
@@ -1986,18 +1928,36 @@ object Pipeline {
           else require(fs.rename(st.getPath, dest),
             s"repairTrainingShards: healing rename $nm -> " +
               s"${dest.getName} failed")
+        } else if (nm.startsWith("pack=") &&
+            nm.stripPrefix("pack=").toLongOption
+              .exists(_ >= nextSeq0)) {
+          // unrecorded-pack sweep: every RECORDED pack's base is
+          // strictly below the stored next_seq_id high-water mark
+          // (overwrite/append/repair all stamp it past the packs
+          // they record), so a pack dir at base >= nextSeq0 is a
+          // crashed APPEND's params-invisible residue — possibly
+          // partial, referenced by nothing. Sweeping it here (rather
+          // than refusing with "re-run the append first") matters
+          // when a retraction landed AFTER the crash: the append's
+          // ledger gate refuses until a repair restamps, so a
+          // refusal here would form a two-message deadlock with no
+          // executable recovery. The post-repair append re-run
+          // rebuilds the same pack deterministically (same
+          // watermark, same base).
+          fs.delete(st.getPath, true)
         }
       }
-      // crashed-append refusal BEFORE any other read: more sequences
-      // on disk than params record = a committed-but-unrecorded (and
-      // possibly PARTIAL) pack; the restamp below would legitimize it
+      // foreign-state refusal BEFORE any other read: after the sweep,
+      // more sequences on disk than params record can only mean extra
+      // rows INSIDE recorded packs (foreign files, a hand-copy) — the
+      // restamp below must not legitimize them
       val nOnDisk = spark.read.parquet(s"$outDir/sequences")
         .count()
       require(nOnDisk <= p.getAs[Long]("n_sequences"),
         s"$outDir holds $nOnDisk sequences but params records " +
-          s"${p.getAs[Long]("n_sequences")} — a committed-but-" +
-          "unrecorded pack (an append crashed before its params " +
-          "swap); re-run the append (mode=append) first, then repair")
+          s"${p.getAs[Long]("n_sequences")} after the unrecorded-" +
+          "pack sweep — foreign rows inside recorded packs; re-run " +
+          "the export (mode=overwrite)")
       // scan-free no-op: every ledgered retraction already reflected
       // (a completed repair/overwrite stamped this total — an
       // in-flight one can't have, its params swap is LAST) and the
@@ -2056,8 +2016,17 @@ object Pipeline {
         .sortBy(_.getAs[Long]("pack")).foreach { r =>
           val base = r.getAs[Long]("pack")
           val (lo, hi) = (r.getAs[Long]("lo"), r.getAs[Long]("hi"))
-          val remaining = corpusDf
-            .where(col("doc_id").between(lo, hi))
+          // batch_id = its batch's MAX doc id (monotone — the same
+          // invariant the append's delta filter exploits), so every
+          // batch holding a doc in [lo, hi] has batch_id >= lo: the
+          // partition filter prunes all pre-pack history from the
+          // rebuild's scan instead of leaving only row-group stats
+          // to skip it. Flat (un-batched) corpora repair fine
+          // without the column.
+          val ranged = corpusDf.where(col("doc_id").between(lo, hi))
+          val remaining = (if (corpusDf.columns.contains("batch_id"))
+              ranged.where(col("batch_id") >= lo)
+            else ranged)
             .select(col("doc_id"), col("text"))
           val packDir = s"$outDir/sequences/pack=$base"
           if (noTokens(remaining))
@@ -2088,6 +2057,51 @@ object Pipeline {
       report
       }
     }
+  }
+
+  /** The pack-layout (append-era) params gate shared by the export's
+    * APPEND, the READ, and the REPAIR — a pre-append-era export lacks
+    * the watermark/eos/ledger columns, and a bare read would surface
+    * raw missing-column / mixed-depth-partition errors instead of
+    * the upgrade recovery. ONE definition so the column list can
+    * never drift between the three consumers. */
+  private def requireAppendEraParams(pdf: DataFrame, outDir: String,
+      note: String = ""): Unit =
+    require(Seq("eos_id", "max_doc_id", "retraction_total")
+        .forall(pdf.schema.fieldNames.contains),
+      s"$outDir is a pre-append-era export (params/ has no " +
+        "watermark/eos/ledger metadata) — re-export (mode=overwrite) " +
+        s"once to upgrade it$note")
+
+  /** The id-space provenance gate shared by the export's APPEND, the
+    * model-checked READ, and the REPAIR — ONE definition, so a future
+    * model-format field entering the digest can never update one copy
+    * of the check and silently miss the others (the exact drift this
+    * gate exists to refuse in the artifacts). Counts first (the
+    * friendly diagnostic), CONTENT second (the decisive one: a season
+    * retrain with default knobs realistically reproduces both
+    * counts). `consequence` names what the caller would corrupt and
+    * its recovery. */
+  private def requireModelProvenance(pdf: DataFrame,
+      p: org.apache.spark.sql.Row,
+      model: graft.operators.Bpe.BpeModel, modelDig: String,
+      outDir: String, consequence: String): Unit = {
+    require(p.getAs[Long]("n_merges") == model.merges.size.toLong &&
+        p.getAs[Long]("n_alphabet") == model.alphabet.size.toLong,
+      s"$outDir was encoded under a different model " +
+        s"(${p.getAs[Long]("n_merges")} merges / " +
+        s"${p.getAs[Long]("n_alphabet")} alphabet vs the current " +
+        s"${model.merges.size} / ${model.alphabet.size}) — " +
+        consequence)
+    require(pdf.schema.fieldNames.contains("model_digest"),
+      s"$outDir is a pre-digest-era export (params/ records only " +
+        "model COUNTS, which a retrain can reproduce) — re-export " +
+        "(mode=overwrite) once to stamp the model's content digest")
+    require(p.getAs[String]("model_digest") == modelDig,
+      s"$outDir was encoded under a DIFFERENT model with the same " +
+        "counts (content digest " +
+        s"${p.getAs[String]("model_digest")} vs the current " +
+        s"$modelDig — a retrain since the export) — $consequence")
   }
 
   /** [[repairTrainingShards]]' damage-detection probe, factored so

@@ -1254,7 +1254,13 @@ object SparkEntry {
     // q137-q139 family's "rows-only by nature" gap from the outside
     "q141_decode_roundtrip" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val model = Bpe.trainModel(docs, numMerges = 64)
+      // maxTypes raised past any realistic distinct-type count at
+      // oracle scale: the round trip is merges-invariant, but a code
+      // point appearing ONLY in types outside a binding cap would
+      // decode to <unk> and break the hash for a reason that is a
+      // vocabulary-coverage knob, not a correctness defect
+      val model = Bpe.trainModel(docs, numMerges = 64,
+        maxTypes = 1 << 20)
       Bpe.encodeIds(docs, model)
         .select(col("doc_id"),
           array_join(Bpe.decodeWords(Bpe.decodeIds(col("ids"), model)),
@@ -1283,8 +1289,11 @@ object SparkEntry {
       val root = ivfIndexDir(dir, s"rep142_$n")
       docs.where(col("doc_id") <= mid).write.mode("overwrite")
         .parquet(s"$root/c/corpus/batch_id=$mid")
+      // maxTypes past any oracle-scale type count (the q141 note:
+      // full alphabet coverage keeps the decode hash a statement
+      // about the lifecycle, not about a vocabulary cap)
       Pipeline.trainBpeModel(s, s"$root/c", s"$root/model",
-        numMerges = 64)
+        numMerges = 64, maxTypes = 1 << 20)
       Pipeline.writeTrainingShards(s, s"$root/c", s"$root/model",
         s"$root/shards", seqLen = 64, numShards = 4)
       docs.where(col("doc_id") > mid).write.mode("overwrite")

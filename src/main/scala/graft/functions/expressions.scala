@@ -1013,19 +1013,34 @@ object BpeEncodeExpr {
     * containing the literal characters. */
   val Eow = "</w>"
 
+  /** Symbols RESERVED by the stream/decode conventions — no merge may
+    * CONCATENATE to any of them, or a corpus-derived in-vocabulary
+    * symbol becomes indistinguishable from the convention it
+    * collides with: `</w>` from the appended word terminator (the
+    * flattened stream turns ambiguous at word boundaries), `<unk>`
+    * from [[graft.operators.Bpe.OovSymbol]] (a decode audit's OOV
+    * damage count conflates real corpus text with lost code points),
+    * `<|endoftext|>` from [[graft.operators.Bpe.EosSymbol]] (decoded
+    * output grows phantom document boundaries, and decodeWords
+    * force-terminates the containing word). ML/web scrapes contain
+    * the latter two literally all the time, so this is a realistic
+    * corpus, not an adversarial one. The latter two strings are
+    * re-stated by the Bpe decode constants; Bpe's object init
+    * cross-checks the two sites can never drift. */
+  val Reserved: Seq[String] = Seq(Eow, "<unk>", "<|endoftext|>")
+
   /** The shared greedy-by-rank merge machinery behind the encode and
     * count kernels — ONE definition, so the two can never disagree on
     * a word's segmentation. */
   final class Coder(merges: Seq[(String, String)])
       extends Serializable {
-    // no merge may CONCATENATE to the marker: a corpus-derived symbol
-    // equal to "</w>" would be indistinguishable from the appended
-    // word terminator in the flattened subword stream ([[graft
+    // no merge may CONCATENATE to a reserved symbol ([[graft
     // .operators.Bpe.trainOnTypes]] never learns such a pair; this
     // refuses foreign/hand-built lists at kernel-construction time)
-    require(merges.forall { case (l, r) => l + r != Eow },
-      s"BPE merge list mints the end-of-word marker '$Eow' — " +
-        "ambiguous at word boundaries; retrain")
+    require(merges.forall { case (l, r) => !Reserved.contains(l + r) },
+      s"BPE merge list mints a reserved symbol " +
+        s"(${Reserved.mkString("'", "', '", "'")} are convention " +
+        "markers in the subword/decode stream) — ambiguous; retrain")
     private val table = merges.toIndexedSeq
     private val rank: java.util.HashMap[String, Integer] = {
       val m = new java.util.HashMap[String, Integer](table.size * 2)

@@ -99,20 +99,21 @@ object Bpe {
         }
       }
       // deterministic argmax: highest count, then lexicographic pair.
-      // Pairs whose CONCATENATION equals the end-of-word marker are
-      // never learned: the marker lives in the same symbol namespace
-      // as corpus characters, so a corpus word containing the literal
-      // characters "</w>" could otherwise mint a merged symbol EQUAL
-      // to the marker, making the flattened subword stream ambiguous
-      // at word boundaries (the concat(subwords) == word + "</w>"
-      // invariant the specs pin assumes the standalone marker symbol
-      // is reachable only as the appended terminator). Skipping the
-      // pair here keeps the marker unreachable: every multi-char
-      // symbol is a merge result, and no permitted merge produces it.
+      // Pairs whose CONCATENATION equals a RESERVED symbol are never
+      // learned: the markers live in the same symbol namespace as
+      // corpus characters, so a corpus word containing the literal
+      // characters "</w>", "<unk>" or "<|endoftext|>" (ML/web scrapes
+      // carry the latter two constantly) could otherwise mint a
+      // merged symbol EQUAL to a convention marker — ambiguous word
+      // boundaries for the terminator, and decode output where real
+      // corpus text is indistinguishable from OOV damage or document
+      // edges for the sentinels. Skipping the pair keeps every marker
+      // unreachable: every multi-char symbol is a merge result, and
+      // no permitted merge produces one.
       var best: (String, String) = null
       var bestC = 0L
       pc.foreach { case (k, c) =>
-        if (k._1 + k._2 != BpeEncodeExpr.Eow &&
+        if (!BpeEncodeExpr.Reserved.contains(k._1 + k._2) &&
             (c > bestC || (c == bestC && best != null &&
               (k._1 < best._1 || (k._1 == best._1 && k._2 < best._2))))) {
           best = k; bestC = c
@@ -279,6 +280,16 @@ object Bpe {
     * ([[eosIdOf]]) — the GPT `<|endoftext|>` convention. */
   val EosSymbol = "<|endoftext|>"
 
+  // both sentinels MUST be mint-unreachable ([[graft.functions
+  // .BpeEncodeExpr.Reserved]] — the train/persist/read/kernel guards
+  // all check that set): a corpus-minted symbol EQUAL to a sentinel
+  // would make decode output indistinguishable from OOV damage or a
+  // document edge. Cross-checked at class-load so the two definition
+  // sites can never drift apart silently.
+  require(graft.functions.BpeEncodeExpr.Reserved.contains(OovSymbol) &&
+    graft.functions.BpeEncodeExpr.Reserved.contains(EosSymbol),
+    "Bpe decode sentinels must be in BpeEncodeExpr.Reserved")
+
   /** Decode an id array back to its SUBWORD symbol stream — the
     * inverse of [[encodeIds]] for in-vocabulary ids, and the first
     * tool an operator reaches for on a suspicious training shard
@@ -341,14 +352,17 @@ object Bpe {
     import spark.implicits._
     require(merges.nonEmpty, "writeModel: empty merge list — train first")
     // the training-side guard, re-stated at the persistence boundary:
-    // a merge list minting the end-of-word marker (foreign tooling, a
+    // a merge list minting a reserved symbol (foreign tooling, a
     // hand-built list) would make every consumer's subword stream
-    // ambiguous at word boundaries — refuse before it becomes a model
-    require(merges.forall { case (l, r) => l + r != BpeEncodeExpr.Eow },
-      "writeModel: a merge's concatenation equals the end-of-word " +
-        s"marker '${BpeEncodeExpr.Eow}' — such a symbol is " +
-        "indistinguishable from the word terminator in the subword " +
-        "stream; retrain (graft training never emits it)")
+    // ambiguous at word boundaries — or its decode output conflate
+    // real text with OOV damage / document edges — refuse before it
+    // becomes a model
+    require(merges.forall { case (l, r) =>
+        !BpeEncodeExpr.Reserved.contains(l + r) },
+      "writeModel: a merge's concatenation equals a reserved symbol " +
+        s"(${BpeEncodeExpr.Reserved.mkString("'", "', '", "'")} are " +
+        "convention markers in the subword/decode stream); retrain " +
+        "(graft training never emits them)")
     val fs = new Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new Path(s"$dir/params")))
@@ -374,10 +388,12 @@ object Bpe {
     require(model.merges.nonEmpty,
       "writeModel: empty merge list — train first")
     require(model.merges.forall { case (l, r) =>
-        l + r != graft.functions.BpeEncodeExpr.Eow },
-      "writeModel: a merge's concatenation equals the end-of-word " +
-        s"marker '${graft.functions.BpeEncodeExpr.Eow}' — ambiguous " +
-        "at word boundaries; retrain (graft training never emits it)")
+        !graft.functions.BpeEncodeExpr.Reserved.contains(l + r) },
+      "writeModel: a merge's concatenation equals a reserved symbol " +
+        s"(${graft.functions.BpeEncodeExpr.Reserved
+          .mkString("'", "', '", "'")} are convention markers in the " +
+        "subword/decode stream); retrain (graft training never emits " +
+        "them)")
     require(model.alphabet.contains(graft.functions.BpeEncodeExpr.Eow),
       "writeModel: the alphabet must carry the end-of-word marker — " +
         "every word's final symbol derives from it (trainModel always " +
@@ -476,10 +492,11 @@ object Bpe {
     // executor task when the Coder's own require fires mid-publish
     // (the early-refusal discipline)
     require(rows.forall { case (_, l, r) =>
-        l + r != graft.functions.BpeEncodeExpr.Eow },
-      s"$dir stores a merge whose concatenation equals the " +
-        s"end-of-word marker '${graft.functions.BpeEncodeExpr.Eow}' " +
-        "— ambiguous at word boundaries (trained before the marker " +
+        !graft.functions.BpeEncodeExpr.Reserved.contains(l + r) },
+      s"$dir stores a merge whose concatenation equals a reserved " +
+        s"symbol (${graft.functions.BpeEncodeExpr.Reserved
+          .mkString("'", "', '", "'")} are convention markers in the " +
+        "subword/decode stream — trained before the reserved-symbol " +
         "guard, on text containing the literal marker characters); " +
         "retrain and re-run writeModel")
     rows.map { case (_, l, r) => (l, r) }.toSeq

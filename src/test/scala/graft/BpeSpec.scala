@@ -155,6 +155,49 @@ class BpeSpec extends SparkSuite {
     assert(e.getMessage.contains("retrain"), e.getMessage)
   }
 
+  test("the DECODE sentinels are mint-unreachable like the marker: " +
+      "training on text drowning in literal '<unk>'/'<|endoftext|>' " +
+      "never mints them, the vocabulary can never carry them, and " +
+      "foreign lists refuse at the persist and kernel boundaries") {
+    // ML/web scrapes carry these strings literally all the time — a
+    // minted in-vocabulary symbol EQUAL to a sentinel would make
+    // decoded output indistinguishable from OOV damage (<unk>) or
+    // grow phantom document boundaries (<|endoftext|>, which
+    // decodeWords additionally force-terminates)
+    val types = Array(("<unk>", 60L), ("<|endoftext|>", 40L), ("lo", 2L))
+    val m = Bpe.trainOnTypes(types, 40)
+    assert(m.nonEmpty)
+    assert(m.forall { case (l, r) =>
+      !graft.functions.BpeEncodeExpr.Reserved.contains(l + r) })
+    // the pathological words still encode; concat invariant intact
+    val docs = Seq((0L, "<unk> <|endoftext|>")).toDF("doc_id", "text")
+    val sub = Bpe.encode(docs, m).select($"subwords").head()
+      .getSeq[String](0)
+    assert(sub.mkString("") === "<unk>" + "</w>" + "<|endoftext|>" + "</w>")
+    // so NO id can ever decode to a sentinel string: the vocabulary
+    // (alphabet + minted symbols) excludes them by construction
+    val model = Bpe.BpeModel(Bpe.alphabetOf(types), m)
+    val syms = graft.functions.BpeEncodeExpr
+      .vocabIds(model.alphabet, model.merges).map(_._1)
+    assert(!syms.contains(Bpe.OovSymbol) &&
+      !syms.contains(Bpe.EosSymbol))
+    // and the decode round trip through ids survives the corpus
+    val ids = Bpe.encodeIds(docs, model)
+    val decoded = ids.select(array_join(
+        Bpe.decodeWords(Bpe.decodeIds($"ids", model)), " ").as("d"))
+      .head().getString(0)
+    assert(decoded === "<unk> <|endoftext|>")
+    // foreign lists minting a sentinel refuse at persist AND kernel
+    val bad = Seq(("<", "u"), ("<u", "nk"), ("<unk", ">"))
+    intercept[IllegalArgumentException] {
+      Bpe.writeModel(spark, bad,
+        java.nio.file.Files.createTempDirectory("bpesent").toString)
+    }
+    intercept[IllegalArgumentException] {
+      new graft.functions.BpeEncodeExpr.Coder(bad)
+    }
+  }
+
   test("the ID tier: vocab ids are deterministic (alphabet then " +
       "merges, first mint wins), encodeIds is the vocab-inverse of " +
       "encode, OOV code points map to 0, n_ids == n_subwords") {

@@ -831,21 +831,40 @@ class ShardingSpec extends SparkSuite {
     assert(spark.read.parquet(s"$root/shards/sequences/pack=$s1")
       .orderBy($"seq_id").select($"ids").collect()
       .flatMap(_.getSeq[Int](0)).toSeq === stream(Seq(3L)))
-    // (b) a committed-but-unrecorded pack (crashed APPEND) refuses
-    // with the re-append recovery — the restamp must not legitimize a
-    // possibly-partial pack
+    // (b) a crashed APPEND's committed-but-unrecorded pack (base >=
+    // the stored next_seq_id high-water mark — recorded packs always
+    // sit below it) is SWEPT, not refused: with a retraction landing
+    // AFTER the crash, a refusal would deadlock against the append's
+    // own ledger gate (each message pointing at the other tool). The
+    // post-repair append re-run is admitted again.
     spark.read.parquet(s"$root/shards/sequences/pack=0")
       .withColumn("seq_id", $"seq_id" + lit(1000L))
       .drop("shard", "pack").withColumn("shard", lit(0))
       .write.partitionBy("shard")
       .parquet(s"$root/shards/sequences/pack=1000")
-    val ea = intercept[IllegalArgumentException] {
+    Seq((1L, 1L)).toDF("n_requested", "n_retracted")
+      .write.parquet(s"$root/c/retractions/retraction_id=xr3")
+    val rSweep = graft.Pipeline.repairTrainingShards(spark, s"$root/c",
+      s"$root/model", s"$root/shards").head()
+    assert(!new java.io.File(s"$root/shards/sequences/pack=1000")
+      .exists())
+    assert(rSweep.getAs[Long]("retraction_total") === 3L)
+    assert(export("append").getAs[Long]("retraction_total") === 3L)
+    // foreign rows INSIDE a recorded pack still refuse after the
+    // sweep — the restamp must never legitimize them
+    val shardDir = new java.io.File(s"$root/shards/sequences/pack=0")
+      .listFiles().filter(f => f.isDirectory &&
+        f.getName.startsWith("shard=")).head
+    val part = shardDir.listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val foreign = new java.io.File(shardDir, "part-foreign.parquet")
+    java.nio.file.Files.copy(part.toPath, foreign.toPath)
+    val ef = intercept[IllegalArgumentException] {
       graft.Pipeline.repairTrainingShards(spark, s"$root/c",
         s"$root/model", s"$root/shards")
     }
-    assert(ea.getMessage.contains("committed-but-unrecorded"),
-      ea.getMessage)
-    deleteDir(s"$root/shards/sequences/pack=1000")
+    assert(ef.getMessage.contains("foreign rows"), ef.getMessage)
+    assert(foreign.delete())
     // (c) repairing under a same-count, different-CONTENT model
     // refuses on the digest (re-encoding only the touched packs under
     // it would mix id spaces across packs) — checked BEFORE any read

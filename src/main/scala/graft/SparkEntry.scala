@@ -1336,6 +1336,18 @@ object SparkEntry {
             .as("decoded"))
         .orderBy(col("doc_id").asc)
     }),
+    // deterministic per-epoch data order: the salted permutation key
+    // a training loader sorts an epoch by — map-only, engine-portable
+    // (DuckDB reproduces the byte-fold + Lehmer mix independently),
+    // totally ordered by the (key, id) tie-break. Run over the
+    // documents ids as the sequence-id stand-in so the oracle can see
+    // the same ids the hash is computed from.
+    "q143_epoch_order" -> ((s, dir) => {
+      val seqs = t(s, dir, "documents")
+        .select(col("doc_id").as("seq_id"))
+      Sharding.epochOrder(seqs, epoch = 3)
+        .orderBy(col("epoch_key").asc, col("seq_id").asc)
+    }),
     "q123_dsir_weight" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Sharding.dsirScore(docs,
@@ -2916,6 +2928,20 @@ object SparkEntry {
           |       WHEN bucket < 90 THEN 'val'
           |       ELSE 'test' END AS split
           |FROM b ORDER BY doc_id""".stripMargin,
+      // the epoch permutation key: same byte-fold as q44/q65 over
+      // "ep3:<seq_id>", then the Lehmer mixing step — a training
+      // loader's epoch-3 order, reproduced by DuckDB from scratch
+      "q143_epoch_order" ->
+        """WITH k AS (
+          |  SELECT doc_id AS seq_id,
+          |    'ep3:' || CAST(doc_id AS VARCHAR) AS key
+          |  FROM documents)
+          |SELECT seq_id,
+          |  CAST((list_reduce(list_prepend(0::BIGINT,
+          |    [ascii(key[i])::BIGINT FOR i IN range(1, length(key)+1)]),
+          |    (acc, c) -> (acc * 257 + c) % 1000000007)
+          |    * 48271) % 1000000007 AS BIGINT) AS epoch_key
+          |FROM k ORDER BY epoch_key, seq_id""".stripMargin,
       "q78_weighted_sample" ->
         // same byte-fold as q44/q65 over "ws1:<doc_id>", then the
         // Lehmer mixing step (h*48271 % p — see Sharding.weightedSample

@@ -92,6 +92,31 @@ class ShardingSpec extends SparkSuite {
       Map("web" -> 0.0)).count() === 2)
   }
 
+  test("epochOrder: each epoch is a reproducible total permutation, " +
+      "different epochs genuinely reorder, a different salt redraws " +
+      "independently, and the key is a map-only projection") {
+    import graft.operators.Sharding
+    val seqs = (0L until 500L).toDF("seq_id")
+    def order(e: Int, salt: String = "ep") = Sharding
+      .epochOrder(seqs, e, salt)
+      .orderBy($"epoch_key", $"seq_id")
+      .collect().map(_.getLong(0)).toSeq
+    val e1 = order(1)
+    assert(e1.sorted === (0L until 500L)) // a permutation: nothing lost
+    assert(e1 === order(1))               // bit-reproducible re-run
+    val e2 = order(2)
+    assert(e2.sorted === (0L until 500L))
+    assert(e1 != e2, "epoch 2 must reorder epoch 1")
+    assert(order(1, "cur") != e1, "a new salt must redraw the order")
+    // the shuffle is real: a long prefix agreeing with id order would
+    // mean the hash barely mixes
+    assert(e1.take(20) != (0L until 20L).toSeq)
+    // map-only: the key is a projection — no exchange, no join
+    val p = Sharding.epochOrder(seqs, 1)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join"), p.take(2000))
+  }
+
   test("token shards: distributed prefix sum equals the single-window " +
       "reference and respects the budget boundaries") {
     val docs = (0L until 500L)

@@ -1924,7 +1924,10 @@ object Pipeline {
         if (nm.startsWith("_old_pack~")) {
           val dest = new Path(seqRoot,
             nm.stripPrefix("_old_").replace('~', '='))
-          if (fs.exists(dest)) fs.delete(st.getPath, true)
+          if (fs.exists(dest))
+            require(fs.delete(st.getPath, true),
+              s"repairTrainingShards: deleting completed aside $nm " +
+                "failed")
           else require(fs.rename(st.getPath, dest),
             s"repairTrainingShards: healing rename $nm -> " +
               s"${dest.getName} failed")
@@ -1943,8 +1946,13 @@ object Pipeline {
           // refusal here would form a two-message deadlock with no
           // executable recovery. The post-repair append re-run
           // rebuilds the same pack deterministically (same
-          // watermark, same base).
-          fs.delete(st.getPath, true)
+          // watermark, same base). Checked delete: a silent false
+          // would surface later as the foreign-rows refusal with its
+          // corpus-scale re-export recovery — the wrong diagnosis
+          // for a filesystem hiccup.
+          require(fs.delete(st.getPath, true),
+            s"repairTrainingShards: sweeping unrecorded pack $nm " +
+              "failed")
         }
       }
       // foreign-state refusal BEFORE any other read: after the sweep,
@@ -2010,27 +2018,43 @@ object Pipeline {
             "partially deleted or foreign-file state, not retraction " +
             "damage; re-run the export (mode=overwrite)")
       }
+      // the batch_id prune is applied only after VALIDATING its
+      // sufficiency condition on THIS corpus: prune correctness needs
+      // doc_id <= batch_id row-wise (then any doc with doc_id >= lo
+      // carries batch_id >= lo) — exactly the refreshCorpus layout's
+      // batch_id = its-batch's-max-doc-id invariant. A corpus whose
+      // batch_id means something else (an ingest ordinal, a job id)
+      // is legal overwrite-export input, and pruning on column NAME
+      // alone would silently drop a touched pack's surviving docs —
+      // the empty branch below would then DELETE the pack and the
+      // restamp would legitimize the loss. One ids-only pass (the
+      // detection's cost class), evaluated only when a pack actually
+      // needs rewriting.
+      lazy val pruneByBatch = corpusDf.columns.contains("batch_id") &&
+        corpusDf.where(col("doc_id") > col("batch_id")).isEmpty
       // ---- step 3: re-materialize ONLY the touched packs, each from
       // its own id range of the post-retraction corpus
       perPack.filter(_.getAs[Long]("n_gone") > 0)
         .sortBy(_.getAs[Long]("pack")).foreach { r =>
           val base = r.getAs[Long]("pack")
           val (lo, hi) = (r.getAs[Long]("lo"), r.getAs[Long]("hi"))
-          // batch_id = its batch's MAX doc id (monotone — the same
-          // invariant the append's delta filter exploits), so every
-          // batch holding a doc in [lo, hi] has batch_id >= lo: the
+          // under the VALIDATED invariant (pruneByBatch), every batch
+          // holding a doc in [lo, hi] has batch_id >= lo: the
           // partition filter prunes all pre-pack history from the
           // rebuild's scan instead of leaving only row-group stats
-          // to skip it. Flat (un-batched) corpora repair fine
-          // without the column.
+          // to skip it. Flat or foreign-batch_id corpora repair fine
+          // without the prune.
           val ranged = corpusDf.where(col("doc_id").between(lo, hi))
-          val remaining = (if (corpusDf.columns.contains("batch_id"))
+          val remaining = (if (pruneByBatch)
               ranged.where(col("batch_id") >= lo)
             else ranged)
             .select(col("doc_id"), col("text"))
           val packDir = s"$outDir/sequences/pack=$base"
           if (noTokens(remaining))
-            fs.delete(new Path(packDir), true)
+            require(fs.delete(new Path(packDir), true),
+              s"repairTrainingShards: deleting emptied pack " +
+                s"pack=$base failed — a partial delete would leave " +
+                "retracted ids in the artifact past the restamp")
           else
             stagedWrite(spark,
               graft.operators.Sharding

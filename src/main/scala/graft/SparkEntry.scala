@@ -2929,12 +2929,13 @@ object SparkEntry {
           |       ELSE 'test' END AS split
           |FROM b ORDER BY doc_id""".stripMargin,
       // the epoch permutation key: same byte-fold as q44/q65 over
-      // "ep3:<seq_id>", then the Lehmer mixing step — a training
-      // loader's epoch-3 order, reproduced by DuckDB from scratch
+      // "ep:3:<seq_id>" (salt, epoch, id — each ':'-separated), then
+      // the Lehmer mixing step — a training loader's epoch-3 order,
+      // reproduced by DuckDB from scratch
       "q143_epoch_order" ->
         """WITH k AS (
           |  SELECT doc_id AS seq_id,
-          |    'ep3:' || CAST(doc_id AS VARCHAR) AS key
+          |    'ep:3:' || CAST(doc_id AS VARCHAR) AS key
           |  FROM documents)
           |SELECT seq_id,
           |  CAST((list_reduce(list_prepend(0::BIGINT,

@@ -108,28 +108,6 @@ object Sharding {
     * re-mixable by salt without touching the data. Strata absent from
     * `fractions` keep `defaultFraction`.
     */
-  /** Deterministic per-EPOCH training order for a packed-sequence
-    * artifact: adds `epoch_key` — the salted mixed hash of the
-    * sequence id under salt `"<salt><epoch>"` — so ordering by
-    * (epoch_key, seq_id) is a different pseudorandom PERMUTATION of
-    * the data every epoch, reproducible bit-for-bit across runs and
-    * engines (resume a crashed epoch mid-stream; replay the exact
-    * batch neighborhood of a loss spike), and computed as a MAP-ONLY
-    * projection: no RNG state, no driver-side index permutation — at
-    * 100 TB the epoch order must be a COLUMN the consumer sorts or
-    * range-partitions by, never an array anything materializes. The
-    * id tie-break makes the order total (hash collisions cannot make
-    * two runs disagree); a different `salt` is an independent
-    * curriculum redraw without touching the data (the
-    * [[stratifiedSample]] rule). Composes directly with
-    * [[graft.Pipeline.readTrainingShards]]'s sequences frame.
-    */
-  def epochOrder(seqs: DataFrame, epoch: Int, salt: String = "ep",
-      id: Column = col("seq_id")): DataFrame = {
-    require(epoch >= 0, s"epoch must be >= 0, got $epoch")
-    seqs.withColumn("epoch_key", mixedHash(id, s"$salt$epoch"))
-  }
-
   def stratifiedSample(df: DataFrame, strata: Column,
       fractions: Map[String, Double], defaultFraction: Double = 1.0,
       id: Column = col("doc_id"), salt: String = "mix1"): DataFrame = {
@@ -148,6 +126,35 @@ object Sharding {
             .otherwise(acc)
       }
     df.where(tick < threshold)
+  }
+
+  /** Deterministic per-EPOCH training order for a packed-sequence
+    * artifact: adds `epoch_key` — the mixed hash of the sequence id
+    * under salt `"<salt>:<epoch>"` (the explicit separator keeps
+    * distinct (salt, epoch) pairs in distinct hash streams — without
+    * it ("ep", 13) and ("ep1", 3) would share a permutation) — so
+    * ordering by (epoch_key, seq_id) is a different pseudorandom
+    * PERMUTATION of the data every epoch, reproducible bit-for-bit
+    * across runs and engines (resume a crashed epoch mid-stream;
+    * replay the exact batch neighborhood of a loss spike), and
+    * computed as a MAP-ONLY projection: no RNG state, no driver-side
+    * index permutation — at 100 TB the epoch order must be a COLUMN
+    * the consumer sorts or range-partitions by, never an array
+    * anything materializes. The id tie-break makes the order total
+    * (hash collisions cannot make two runs disagree); a different
+    * `salt` is an independent curriculum redraw without touching the
+    * data (the [[stratifiedSample]] rule). NULL ids hash to key 0
+    * ([[stratifiedSample]]'s coalesce discipline — engines disagree
+    * on NULL sort position, so a NULL key must never reach the sort);
+    * the order AMONG null-id rows is undefined — give sequences real
+    * ids. Composes directly with
+    * [[graft.Pipeline.readTrainingShards]]'s sequences frame.
+    */
+  def epochOrder(seqs: DataFrame, epoch: Int, salt: String = "ep",
+      id: Column = col("seq_id")): DataFrame = {
+    require(epoch >= 0, s"epoch must be >= 0, got $epoch")
+    seqs.withColumn("epoch_key",
+      coalesce(mixedHash(id, s"$salt:$epoch"), lit(0L)))
   }
 
   /** Token-budget sharding: assign documents (in `doc_id` order) to

@@ -108,6 +108,16 @@ class ShardingSpec extends SparkSuite {
     assert(e2.sorted === (0L until 500L))
     assert(e1 != e2, "epoch 2 must reorder epoch 1")
     assert(order(1, "cur") != e1, "a new salt must redraw the order")
+    // distinct (salt, epoch) pairs are distinct hash streams: the
+    // explicit separator keeps ("ep", 13) and ("ep1", 3) apart —
+    // without it both would hash under "ep13" and share a permutation
+    assert(order(13, "ep") != order(3, "ep1"),
+      "salt/epoch concatenation must not collide")
+    // null ids key to 0 deterministically (engines disagree on where
+    // NULL sorts — a NULL key must never reach the sort)
+    val withNull = Seq(Option(1L), Option.empty[Long]).toDF("seq_id")
+    assert(Sharding.epochOrder(withNull, 1).where($"seq_id".isNull)
+      .head().getLong(1) === 0L)
     // the shuffle is real: a long prefix agreeing with id order would
     // mean the hash barely mixes
     assert(e1.take(20) != (0L until 20L).toSeq)
@@ -911,6 +921,45 @@ class ShardingSpec extends SparkSuite {
         s"$root/model", s"$root/shards")
     }
     assert(eh.getMessage.contains("packed nowhere"), eh.getMessage)
+  }
+
+  test("repair tolerates a FOREIGN-meaning batch_id column: the " +
+      "rebuild prune validates the max-doc-id invariant instead of " +
+      "trusting the column name, so surviving docs never vanish") {
+    import graft.operators.Bpe
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_shardfb").toString
+    // batch_id here is an ingest ORDINAL (0), doc ids are large: the
+    // refreshCorpus invariant doc_id <= batch_id is violated, and a
+    // prune trusting the column name would find NO rows with
+    // batch_id >= lo=100 — emptying (and deleting) the touched pack
+    def writeCorpus(rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$root/c/corpus/batch_id=0")
+    writeCorpus((100L, "low low newest"), (101L, "newest widest lower"),
+      (102L, "low newest low"))
+    graft.Pipeline.trainBpeModel(spark, s"$root/c", s"$root/model",
+      numMerges = 8)
+    val model = Bpe.readFullModel(spark, s"$root/model")
+    val eos = Bpe.eosIdOf(model)
+    graft.Pipeline.writeTrainingShards(spark, s"$root/c",
+      s"$root/model", s"$root/shards", seqLen = 5, numShards = 2)
+    // retract doc 102 (partition rewrite + ledger)
+    writeCorpus((100L, "low low newest"), (101L, "newest widest lower"))
+    Seq((1L, 1L)).toDF("n_requested", "n_retracted")
+      .write.parquet(s"$root/c/retractions/retraction_id=xfb1")
+    val r = graft.Pipeline.repairTrainingShards(spark, s"$root/c",
+      s"$root/model", s"$root/shards").head()
+    // the pack SURVIVES, rebuilt to exactly the remaining docs
+    assert(new java.io.File(s"$root/shards/sequences/pack=0").exists())
+    val expect = Bpe.encodeIds(
+        spark.read.parquet(s"$root/c/corpus"), model)
+      .orderBy($"doc_id").select($"ids").collect()
+      .flatMap(_.getSeq[Int](0) :+ eos).toSeq
+    assert(spark.read.parquet(s"$root/shards/sequences")
+      .orderBy($"seq_id").select($"ids").collect()
+      .flatMap(_.getSeq[Int](0)).toSeq === expect)
+    assert(r.getAs[Long]("retraction_total") === 1L)
   }
 
   test("export model provenance is CONTENT, not counts: a same-count " +

@@ -1208,4 +1208,64 @@ class CorpusRefreshSpec extends SparkSuite {
         s"$root/model", buckets = 64)
     }
   }
+
+  test("the shard export follows the REAL corpus lifecycle end to " +
+      "end: refresh -> export -> retractCorpus -> repair -> refresh " +
+      "-> append — the repair consumes exactly the surfaces the real " +
+      "retraction leaves behind, and the artifact always decodes to " +
+      "the standing corpus") {
+    import graft.operators.Bpe
+    val idxRoot = tmp("e2e_idx")
+    val corpusDir = tmp("e2e_corpus")
+    val modelDir = tmp("e2e_model")
+    val out = tmp("e2e_shards")
+    // every token carries the doc id: zero shared shingles, nothing
+    // dedups away (the auditCorpus fixture's trick) — the published
+    // set is exactly the ingested ids
+    def doc(i: Long) = (i,
+      (0 until 12).map(j => s"w${i}x$j").mkString(" "), "en")
+    def refresh(ids: Seq[Long]) = Pipeline.refreshCorpus(spark,
+      ids.map(doc).toDF("doc_id", "text", "lang"), idxRoot, corpusDir,
+      jaccardThreshold = 0.5, chunkTokens = 4, bandBuckets = 8,
+      pieceBuckets = 8, chunkBuckets = 8)
+    def export(mode: String) = Pipeline.writeTrainingShards(spark,
+      corpusDir, modelDir, out, seqLen = 6, numShards = 2, mode = mode)
+      .head()
+    refresh(Seq(0L, 1L, 2L))
+    Pipeline.trainBpeModel(spark, corpusDir, modelDir, numMerges = 16)
+    export("overwrite")
+    refresh(Seq(10L, 11L))
+    export("append")
+    // the artifact must ALWAYS reconstruct to the standing corpus
+    val model = Bpe.readFullModel(spark, modelDir)
+    val eos = Bpe.eosIdOf(model)
+    def corpusStream() = Bpe.encodeIds(
+        spark.read.parquet(s"$corpusDir/corpus")
+          .select($"doc_id", $"text"), model)
+      .orderBy($"doc_id").select($"ids").collect()
+      .flatMap(_.getSeq[Int](0) :+ eos).toSeq
+    def artifactStream() = spark.read.parquet(s"$out/sequences")
+      .orderBy($"seq_id").select($"ids").collect()
+      .flatMap(_.getSeq[Int](0)).toSeq
+    assert(artifactStream() === corpusStream())
+    // the REAL retraction: doc 10 leaves the corpus, the indexes, and
+    // ledgers itself — no hand-built fixture surfaces anywhere
+    Pipeline.retractCorpus(spark, Seq(10L).toDF("doc_id"), idxRoot,
+      corpusDir)
+    // the append gate refuses and names the repair; the repair heals
+    val eg = intercept[IllegalArgumentException](export("append"))
+    assert(eg.getMessage.contains("repairTrainingShards"), eg.getMessage)
+    val r = Pipeline.repairTrainingShards(spark, corpusDir, modelDir,
+      out).head()
+    assert(artifactStream() === corpusStream())
+    // the weekly cadence CONTINUES: refresh publishes, append packs
+    refresh(Seq(20L, 21L))
+    val r2 = export("append")
+    assert(r2.getAs[Long]("n_sequences") > r.getAs[Long]("n_sequences"))
+    assert(artifactStream() === corpusStream())
+    // strict + model-checked consumer read is green end to end
+    val (rs, rp) = Pipeline.readTrainingShards(spark, out,
+      strict = true, modelDir = Some(modelDir))
+    assert(rs.count() === rp.getAs[Long]("n_sequences"))
+  }
 }

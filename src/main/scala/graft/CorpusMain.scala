@@ -137,7 +137,8 @@ object CorpusMain {
         |       CorpusMain train-dsir <corpusDir> <targetDir> <modelDir> [buckets]
         |       CorpusMain export-shards <corpusDir> <bpeModelDir> <outDir> [seqLen] [numShards] [overwrite|append]
         |       CorpusMain repair-shards <corpusDir> <bpeModelDir> <outDir>
-        |       CorpusMain audit-shards <outDir> <bpeModelDir>
+        |       CorpusMain epoch-stream <outDir> <epoch> <destDir> [salt]
+        |       CorpusMain audit-shards <outDir> <bpeModelDir> [corpusDir]
         |       CorpusMain migrate-shingles <indexRoot> [buckets]
         |       CorpusMain break-lease <dir> [dir ...]
         |       CorpusMain break-leases <root>
@@ -309,7 +310,24 @@ object CorpusMain {
           s""""n_ids_total":${r.getAs[Long]("n_ids_total")},""" +
           s""""retraction_total":${
             r.getAs[Long]("retraction_total")}}""")
-      case "audit-shards" :: outDir :: modelDir :: Nil =>
+      case "epoch-stream" :: outDir :: epoch :: destDir :: rest
+          if rest.length <= 1 =>
+        // materialize ONE epoch's training order from a standing
+        // export: strict read (the artifact must agree with its
+        // params before a training run consumes it), the map-only
+        // epoch key, one range exchange, written in consumable order.
+        // A new epoch (or salt) is an independent redraw of the same
+        // bytes — re-run with the next epoch number.
+        val (seqs, p) = Pipeline.readTrainingShards(spark, outDir,
+          strict = true)
+        graft.operators.Sharding.epochReorder(seqs, epoch.toInt,
+            salt = rest.headOption.getOrElse("ep"))
+          .write.mode("overwrite").parquet(destDir)
+        println(s"""{"out":"${jsonEsc(destDir)}","epoch":${
+          epoch.toInt},"n_sequences":${
+          p.getAs[Long]("n_sequences")}}""")
+      case "audit-shards" :: outDir :: modelDir :: rest
+          if rest.length <= 1 =>
         // read-back audit of the packed-id artifact: the strict +
         // model-checked read (counts agree, the encoding model's
         // CONTENT digest matches), then ONE sequence decoded back to
@@ -342,6 +360,28 @@ object CorpusMain {
           s""""sample_seq_id":${sample.getLong(0)},""" +
           s""""sample_words":"${jsonEsc(
             words.take(24).mkString(" "))}"}""")
+        // FULL mode (a corpusDir as the 3rd arg): reconstruct every
+        // document from the artifact's spans, decode, and diff
+        // against the corpus normalization — mismatched doc_ids and
+        // the decode-damage sums are the report; any mismatch or
+        // foreign id exits non-zero (the fsck/audit cron convention)
+        rest.headOption.foreach { corpusDir =>
+          val r = Pipeline.auditTrainingShards(spark, outDir, modelDir,
+            corpusDir).head()
+          val ids = r.getSeq[Long](r.fieldIndex("mismatched_doc_ids"))
+          println(s"""{"out":"${jsonEsc(outDir)}",""" +
+            s""""n_docs":${r.getAs[Long]("n_docs")},""" +
+            s""""n_mismatched":${r.getAs[Long]("n_mismatched")},""" +
+            s""""mismatched_doc_ids":[${ids.mkString(",")}],""" +
+            s""""n_bad":${r.getAs[Long]("n_bad")},""" +
+            s""""n_unk":${r.getAs[Long]("n_unk")},""" +
+            s""""n_word_merge_risk":${
+              r.getAs[Long]("n_word_merge_risk")},""" +
+            s""""n_unterminated":${
+              r.getAs[Long]("n_unterminated")}}""")
+          if (r.getAs[Long]("n_mismatched") > 0 ||
+              r.getAs[Long]("n_bad") > 0) sys.exit(1)
+        }
       case "fsck" :: root :: Nil =>
         // read-only integrity survey: one JSON line per finding,
         // most-severe first, each naming its documented recovery;

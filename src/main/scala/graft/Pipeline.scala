@@ -439,6 +439,21 @@ object Pipeline {
     // refuses crashed writes and rank holes before anything mutates)
     val bpeMerges = tokenizerModelDir.map(d =>
       graft.operators.Bpe.readModel(spark, d))
+    // the FULL-model content digest for the report's provenance stamp
+    // (None for legacy merges-only models — they store no alphabet, so
+    // there is no full-model content to state): the id SPACE is
+    // (alphabet ++ merges), and an alphabet-only drift between
+    // retrains shifts every id above the insertion point while the
+    // merges digest stays equal — without this column the refresh
+    // ledger would say "same tokenizer" for a model the export gate
+    // rightly refuses, and the two surfaces would disagree
+    val bpeModelDigest = tokenizerModelDir.flatMap { d =>
+      if (spark.read.parquet(s"$d/params").schema.fieldNames
+          .contains("n_alphabet"))
+        Some(graft.operators.Bpe.modelDigest(
+          graft.operators.Bpe.readFullModel(spark, d)))
+      else None
+    }
     import org.apache.hadoop.fs.Path
     val fs = new Path(corpusDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -933,19 +948,28 @@ object Pipeline {
         // merges, and the form is computable for legacy merges-only
         // models too. Unstamped batches (no tokenizer modality, or
         // reports published before the columns) read back null.
+        // ... and the FULL-model digest next to the merges one: the
+        // merges form denominates the string-level COUNTS (computable
+        // for legacy models), the model form names the id SPACE
+        // (alphabet ++ merges — what writeTrainingShards' gate
+        // compares), so an alphabet-only retrain is visible across two
+        // report rows even while the merges digest stays equal. Null =
+        // no tokenizer modality, a pre-column report, or a legacy
+        // merges-only model.
         val report = Seq((minId, maxId, nBatch,
             spark.read.parquet(pairsPart).count(),
             nBatch - nPublished, nPublished,
             pubAgg.getLong(1), pubAgg.getLong(2), pubAgg.getLong(3),
             maxBandFreq, pubAgg.getLong(4), pubAgg.getLong(5),
             pubAgg.getLong(6), bpeMerges.map(_.size.toLong),
-            bpeMerges.map(graft.operators.Bpe.mergesDigest)))
+            bpeMerges.map(graft.operators.Bpe.mergesDigest),
+            bpeModelDigest))
           .toDF("batch_min_id", "batch_max_id", "n_batch", "n_dup_pairs",
             "n_dropped", "n_published", "n_chunks", "n_chunks_kept",
             "n_contaminated_docs", "max_band_freq",
             "n_semantic_contaminated_docs", "n_low_quality_docs",
             "n_subwords_total", "tokenizer_n_merges",
-            "tokenizer_merges_digest")
+            "tokenizer_merges_digest", "tokenizer_model_digest")
         stagedWrite(spark, report, reportPart)
       } finally persisted.unpersist()
       readBack()
@@ -1580,8 +1604,9 @@ object Pipeline {
     * The one deliberately token-sized output in the repo: its rows ARE
     * the training input, so the Σ-tokens cost is the artifact's own
     * size, not overhead. Derived data like the bm25 family — a re-run
-    * overwrites; holds `outDir`'s lease while writing. Returns the
-    * params row.
+    * overwrites; holds `outDir`'s AND the corpus' lease while writing
+    * (see the ledger note below: the corpus lease is what makes the
+    * recorded retraction_total truthful). Returns the params row.
     */
   def writeTrainingShards(spark: SparkSession, corpusDir: String,
       modelDir: String, outDir: String, seqLen: Long = 2048,
@@ -1609,12 +1634,17 @@ object Pipeline {
     // the append (the bm25 freshness gate's scan-free ledger
     // discipline) — a comment-only contract would leave retracted
     // documents in the training artifact with no operator signal,
-    // forever. Both modes read the total BEFORE scanning the corpus:
-    // a retraction landing mid-export (its ledger row commits before
-    // its corpus rewrite, and no lease spans both dirs) is then
-    // recorded as NOT yet reflected, so the next append's gate
-    // refuses and forces the pack-targeted [[repairTrainingShards]]
-    // — conservative, never the silent-pass direction.
+    // forever. The export holds the CORPUS lease too (not just
+    // outDir's): [[retractCorpus]] commits its ledger row BEFORE
+    // rewriting the corpus partitions, all under the corpus lease —
+    // an export reading between those two steps would record the
+    // retraction as reflected (its total includes the row) while
+    // packing a corpus that still holds the retracted docs, and the
+    // next append's gate would then pass SILENTLY. Serializing on the
+    // corpus lease closes that window; the ledger-before-scan order
+    // below stays as defense in depth for the opposite interleaving
+    // (a retraction starting after our ledger read is recorded as
+    // NOT yet reflected, so the next append refuses — conservative).
     // (n_sequences, n_ids, max packed doc id) from the WRITTEN pack —
     // the watermark derives from what was actually packed, never from
     // a second corpus scan (a batch published between the pack write
@@ -1659,7 +1689,7 @@ object Pipeline {
       if (eosId.isDefined) df.isEmpty
       else df.where(
         size(graft.operators.Bpe.bpeTokens(col("text"))) > 0).isEmpty
-    graft.operators.Lease.withLeases(spark, Seq(outDir),
+    graft.operators.Lease.withLeases(spark, Seq(outDir, corpusDir),
       "writeTrainingShards") {
       if (mode == "append") {
         // ---- incremental export: encode and pack ONLY the corpus
@@ -1826,16 +1856,23 @@ object Pipeline {
     *      every pack — hand-deleted files, a foreign partial state)
     *      REFUSES with the re-export recovery: repair fixes
     *      retraction damage, it cannot reconstruct what it cannot
-    *      see. (With eos off this reverse check is skipped — tokenless
-    *      docs legitimately pack nothing, and telling them apart
-    *      would re-read corpus text.)
+    *      see. (With eos off the check filters to docs with a
+    *      nonempty token stream — tokenless docs legitimately pack
+    *      nothing — at the cost of one tokenize pass over the
+    *      below-watermark text; skipping it entirely would stamp a
+    *      hand-deleted pack's data loss as healthy.)
     *   3. re-materializes ONLY the touched packs, each from the
     *      post-retraction corpus rows in its own spans' doc_id range
     *      (packs partition the id axis, so the range query is exact),
     *      under the SAME model (content-digest-verified), same
     *      seqLen/shards/eos read from the stored params — each pack
-    *      swapped in atomically ([[stagedWrite]]); a pack retracted
-    *      EMPTY is deleted. Pack bases never move (`pack=N` keeps its
+    *      swapped in atomically ([[stagedWrite]]), rebuilds submitted
+    *      CONCURRENTLY up to `maxConcurrentRebuilds` (disjoint inputs,
+    *      per-pack swaps — concurrency changes wall time, never the
+    *      crash contract; a wide retraction would otherwise pay one
+    *      serial job-scheduling floor per touched pack); a pack
+    *      retracted EMPTY is deleted. Pack bases never move (`pack=N`
+    *      keeps its
     *      dir name and its seq_ids start at N), so untouched packs
     *      are never rewritten — their files stay byte-identical — and
     *      repaired packs may end short: seq_id GAPS are a disclosed
@@ -1871,15 +1908,26 @@ object Pipeline {
     * corpus scan (the bm25 refresh's staleness-refusal discipline).
     */
   def repairTrainingShards(spark: SparkSession, corpusDir: String,
-      modelDir: String, outDir: String): DataFrame = {
+      modelDir: String, outDir: String,
+      maxConcurrentRebuilds: Int = 4): DataFrame = {
+    require(maxConcurrentRebuilds > 0,
+      s"maxConcurrentRebuilds must be > 0, got $maxConcurrentRebuilds")
     import org.apache.hadoop.fs.Path
     import spark.implicits._
     val model = graft.operators.Bpe.readFullModel(spark, modelDir)
     val modelDig = graft.operators.Bpe.modelDigest(model)
     val fs = new Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.operators.Lease.withLeases(spark, Seq(outDir),
-      "repairTrainingShards") {
+    // the CORPUS lease rides next to outDir's ([[writeTrainingShards]]'
+    // rule, and it matters MOST here): retractCorpus ledgers before it
+    // rewrites, so an unleased repair interleaving those two steps
+    // would scan a corpus still holding the retracted docs, find no
+    // damage, and restamp retraction_total as reflected — the exact
+    // silent-pass direction the ledger gate exists to refuse. Holding
+    // the corpus lease serializes the repair against any in-flight
+    // retraction (and refresh).
+    graft.operators.Lease.withLeases(spark,
+      Seq(outDir, corpusDir), "repairTrainingShards") {
       if (!fs.exists(new Path(s"$outDir/params"))) {
         require(!fs.exists(new Path(s"$outDir/_old_params")),
           s"$outDir/params is mid-swap (a crashed staged rename; " +
@@ -2003,21 +2051,32 @@ object Pipeline {
           count(lit(1)).as("n_packed"),
           count(when(col("present").isNull, 1)).as("n_gone"))
         .collect()
-      // reverse-direction hole check (eos on only — see scaladoc): a
-      // corpus doc below the watermark missing from every pack is
-      // damage repair cannot reconstruct pack-locally
-      if (eosId.isDefined) {
-        val holes = corpusDf.select(col("doc_id"))
-          .where(col("doc_id") <= prevMax)
-          .join(packedDocs.select(col("doc_id")).distinct(),
-            Seq("doc_id"), "left_anti")
-          .limit(1).collect()
-        require(holes.isEmpty,
-          s"$outDir is missing corpus doc ${holes.head.getLong(0)} " +
-            "(below the export watermark but packed nowhere) — a " +
-            "partially deleted or foreign-file state, not retraction " +
-            "damage; re-run the export (mode=overwrite)")
-      }
+      // reverse-direction hole check: a corpus doc below the watermark
+      // missing from every pack is damage repair cannot reconstruct
+      // pack-locally (a hand-deleted pack, foreign partial state) —
+      // proceeding would restamp the shrunken tree as healthy,
+      // legitimizing the loss. With eos ON every doc packs at least
+      // its separator, so the check is ids-only; with eos OFF
+      // tokenless docs legitimately pack nothing, so the check
+      // filters to docs with a nonempty token stream (one extra
+      // tokenize pass over the below-watermark text — the price of
+      // not skipping the check entirely, which would let the same
+      // data loss pass silently under the eos=false knob)
+      val packable =
+        if (eosId.isDefined)
+          corpusDf.select(col("doc_id")).where(col("doc_id") <= prevMax)
+        else corpusDf.where(col("doc_id") <= prevMax &&
+            size(graft.operators.Bpe.bpeTokens(col("text"))) > 0)
+          .select(col("doc_id"))
+      val holes = packable
+        .join(packedDocs.select(col("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        .limit(1).collect()
+      require(holes.isEmpty,
+        s"$outDir is missing corpus doc ${holes.head.getLong(0)} " +
+          "(below the export watermark but packed nowhere) — a " +
+          "partially deleted or foreign-file state, not retraction " +
+          "damage; re-run the export (mode=overwrite)")
       // the batch_id prune is applied only after VALIDATING its
       // sufficiency condition on THIS corpus: prune correctness needs
       // doc_id <= batch_id row-wise (then any doc with doc_id >= lo
@@ -2034,38 +2093,66 @@ object Pipeline {
         corpusDf.where(col("doc_id") > col("batch_id")).isEmpty
       // ---- step 3: re-materialize ONLY the touched packs, each from
       // its own id range of the post-retraction corpus
-      perPack.filter(_.getAs[Long]("n_gone") > 0)
-        .sortBy(_.getAs[Long]("pack")).foreach { r =>
-          val base = r.getAs[Long]("pack")
-          val (lo, hi) = (r.getAs[Long]("lo"), r.getAs[Long]("hi"))
-          // under the VALIDATED invariant (pruneByBatch), every batch
-          // holding a doc in [lo, hi] has batch_id >= lo: the
-          // partition filter prunes all pre-pack history from the
-          // rebuild's scan instead of leaving only row-group stats
-          // to skip it. Flat or foreign-batch_id corpora repair fine
-          // without the prune.
-          val ranged = corpusDf.where(col("doc_id").between(lo, hi))
-          val remaining = (if (pruneByBatch)
-              ranged.where(col("batch_id") >= lo)
-            else ranged)
-            .select(col("doc_id"), col("text"))
-          val packDir = s"$outDir/sequences/pack=$base"
-          if (noTokens(remaining))
-            require(fs.delete(new Path(packDir), true),
-              s"repairTrainingShards: deleting emptied pack " +
-                s"pack=$base failed — a partial delete would leave " +
-                "retracted ids in the artifact past the restamp")
-          else
-            stagedWrite(spark,
-              graft.operators.Sharding
-                .materializeSequences(remaining, model, seqLen,
-                  eosId = eosId)
-                .withColumn("seq_id", col("seq_id") + lit(base))
-                .withColumn("shard",
-                  pmod(col("seq_id"), lit(numShards.toLong))
-                    .cast("int")),
-              packDir, partitionCols = Seq("shard"))
-        }
+      def rebuildPack(r: org.apache.spark.sql.Row): Unit = {
+        val base = r.getAs[Long]("pack")
+        val (lo, hi) = (r.getAs[Long]("lo"), r.getAs[Long]("hi"))
+        // under the VALIDATED invariant (pruneByBatch), every batch
+        // holding a doc in [lo, hi] has batch_id >= lo: the
+        // partition filter prunes all pre-pack history from the
+        // rebuild's scan instead of leaving only row-group stats
+        // to skip it. Flat or foreign-batch_id corpora repair fine
+        // without the prune.
+        val ranged = corpusDf.where(col("doc_id").between(lo, hi))
+        val remaining = (if (pruneByBatch)
+            ranged.where(col("batch_id") >= lo)
+          else ranged)
+          .select(col("doc_id"), col("text"))
+        val packDir = s"$outDir/sequences/pack=$base"
+        if (noTokens(remaining))
+          require(fs.delete(new Path(packDir), true),
+            s"repairTrainingShards: deleting emptied pack " +
+              s"pack=$base failed — a partial delete would leave " +
+              "retracted ids in the artifact past the restamp")
+        else
+          stagedWrite(spark,
+            graft.operators.Sharding
+              .materializeSequences(remaining, model, seqLen,
+                eosId = eosId)
+              .withColumn("seq_id", col("seq_id") + lit(base))
+              .withColumn("shard",
+                pmod(col("seq_id"), lit(numShards.toLong))
+                  .cast("int")),
+            packDir, partitionCols = Seq("shard"))
+      }
+      // pack rebuilds are INDEPENDENT (disjoint id ranges, each ending
+      // in its own per-pack staged swap — stagedWrite stages under
+      // `_stage_pack~<base>`, distinct per pack), so they submit
+      // concurrently on a bounded pool: a driver-serial loop priced a
+      // fixed ~5-job scheduling floor PER pack (BENCH_SF1), so a
+      // retraction touching hundreds of packs paid hundreds of serial
+      // floors while the executors idled. Concurrency changes only
+      // WALL time: the crash contract is per-pack and unchanged — a
+      // crashed rebuild leaves that pack's documented staged states,
+      // step 1 heals them on re-run. Every in-flight pack settles
+      // before the first failure propagates (the restamp below must
+      // never run over writes still landing — and the lease must not
+      // release under them either).
+      val touched = perPack.filter(_.getAs[Long]("n_gone") > 0)
+        .sortBy(_.getAs[Long]("pack"))
+      if (touched.length <= 1 || maxConcurrentRebuilds <= 1)
+        touched.foreach(rebuildPack)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(maxConcurrentRebuilds, touched.length))
+        try {
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutor(pool)
+          touched.map(r => scala.concurrent.Future(rebuildPack(r)))
+            .map(f => scala.util.Try(scala.concurrent.Await
+              .result(f, scala.concurrent.duration.Duration.Inf)))
+            .foreach(_.get) // first failure rethrows, in pack order
+        } finally pool.shutdown()
+      }
       // ---- step 4: restamp from the ACTUAL tree (small columns only)
       val agg = spark.read.parquet(s"$outDir/sequences")
         .agg(count(lit(1)), coalesce(sum(col("n_ids")), lit(0L)))
@@ -2081,6 +2168,71 @@ object Pipeline {
       report
       }
     }
+  }
+
+  /** FULL per-document audit of a [[writeTrainingShards]] export
+    * against its source corpus — the composed "does this artifact
+    * still decode to my corpus?" check an operator runs after a
+    * retraction repair or on any suspicious shard set (`CorpusMain
+    * audit-shards ... <corpusDir>` is the cron line): strict +
+    * model-checked read, then every document's id stream reassembled
+    * from the artifact's spans ([[graft.operators.Sharding
+    * .reconstructDocs]] — across pack boundaries and mid-doc cuts),
+    * decoded ([[graft.operators.Bpe.decodeIds]]/[[graft.operators.Bpe
+    * .decodeWords]]), and diffed against the corpus' shared
+    * normalization ([[graft.operators.Bpe.bpeTokens]]) under a full
+    * outer join — a doc packed but retracted, retracted but packed,
+    * or decoding to different words all land in `n_mismatched`, and
+    * the decode-damage sums ([[graft.operators.Bpe.decodeAudit]] over
+    * the reconstructed streams) ride next to it. Returns ONE row:
+    * `(n_docs, n_mismatched, mismatched_doc_ids[≤10], n_bad, n_unk,
+    * n_word_merge_risk, n_unterminated)` — healthy means 0 everywhere
+    * but n_docs.
+    *
+    * Cost: artifact-scale by necessity (the reconstruction reads every
+    * pack's ids once, ONE groupBy(doc_id) shuffle) plus one corpus
+    * text pass — the audit sibling of a full re-export's scan, run on
+    * demand, never on cadence. Corpus docs above the export watermark
+    * are out of scope (not yet exported — a lag, not damage); with
+    * eos off, tokenless docs legitimately pack nothing and are
+    * filtered from the corpus side (the repair's reverse-check rule).
+    */
+  def auditTrainingShards(spark: SparkSession, outDir: String,
+      modelDir: String, corpusDir: String): DataFrame = {
+    import graft.operators.{Bpe, Sharding}
+    val model = Bpe.readFullModel(spark, modelDir)
+    val (seqs, p) = readTrainingShards(spark, outDir, strict = true,
+      modelDir = Some(modelDir))
+    val eosId = Option(p.getAs[Integer]("eos_id")).map(_.intValue)
+    val prevMax = p.getAs[Long]("max_doc_id")
+    val dec = Sharding.reconstructDocs(seqs, eosId)
+      .withColumn("subs", Bpe.decodeIds(col("ids"), model))
+      .select(col("doc_id"),
+        array_join(Bpe.decodeWords(col("subs")), " ").as("decoded"),
+        Bpe.decodeAudit(col("subs")).as("a"))
+    val corpus0 = spark.read.parquet(s"$corpusDir/corpus")
+      .where(col("doc_id") <= prevMax)
+    val want = (if (eosId.isDefined) corpus0
+      else corpus0.where(size(Bpe.bpeTokens(col("text"))) > 0))
+      .select(col("doc_id"),
+        array_join(Bpe.bpeTokens(col("text")), " ").as("want"))
+    val joined = dec.join(want, Seq("doc_id"), "full_outer")
+      .withColumn("mismatch",
+        col("decoded").isNull || col("want").isNull ||
+          col("decoded") =!= col("want"))
+    joined.agg(
+      count(lit(1)).as("n_docs"),
+      count(when(col("mismatch"), 1)).as("n_mismatched"),
+      // a bounded sample of the mismatched ids, sorted for stable
+      // reports (metadata-sized: 10 ids, never the doc contents)
+      expr("slice(array_sort(collect_list(CASE WHEN mismatch THEN " +
+        "doc_id END)), 1, 10)").as("mismatched_doc_ids"),
+      coalesce(sum(col("a.n_bad")), lit(0L)).as("n_bad"),
+      coalesce(sum(col("a.n_unk")), lit(0L)).as("n_unk"),
+      coalesce(sum(col("a.n_word_merge_risk")), lit(0L))
+        .as("n_word_merge_risk"),
+      coalesce(sum(col("a.n_unterminated")), lit(0L))
+        .as("n_unterminated"))
   }
 
   /** The pack-layout (append-era) params gate shared by the export's

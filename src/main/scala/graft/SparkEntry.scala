@@ -1317,23 +1317,13 @@ object SparkEntry {
       val model = Bpe.readFullModel(s, s"$root/model")
       val (seqs, _) = Pipeline.readTrainingShards(s, s"$root/shards",
         strict = true, modelDir = Some(s"$root/model"))
-      seqs
-        .select(col("seq_id"), col("ids"), explode(col("spans")).as("sp"))
-        .select(col("sp.doc_id").as("doc_id"),
-          struct(col("seq_id"), col("sp.seq_from").as("f"),
-            slice(col("ids"),
-              (col("sp.seq_from") + lit(1)).cast("int"),
-              col("sp.n_tokens").cast("int")).as("piece")).as("ps"))
-        .groupBy(col("doc_id"))
-        .agg(array_sort(collect_list(col("ps"))).as("ps"))
+      // reassemble every doc's id stream from the repaired artifact
+      // (the named operator — eos stripped), then decode ids ->
+      // subwords -> words (the q141 path)
+      Sharding.reconstructDocs(seqs, eosId = Some(Bpe.eosIdOf(model)))
         .select(col("doc_id"),
-          expr("flatten(transform(ps, x -> x.piece))").as("ids0"))
-        // drop the one trailing eos every doc's stream carries, then
-        // decode ids -> subwords -> words (the q141 path)
-        .select(col("doc_id"),
-          array_join(Bpe.decodeWords(Bpe.decodeIds(
-            expr("slice(ids0, 1, size(ids0) - 1)"), model)), " ")
-            .as("decoded"))
+          array_join(Bpe.decodeWords(Bpe.decodeIds(col("ids"), model)),
+            " ").as("decoded"))
         .orderBy(col("doc_id").asc)
     }),
     // deterministic per-epoch data order: the salted permutation key
@@ -1346,6 +1336,37 @@ object SparkEntry {
       val seqs = t(s, dir, "documents")
         .select(col("doc_id").as("seq_id"))
       Sharding.epochOrder(seqs, epoch = 3)
+        .orderBy(col("epoch_key").asc, col("seq_id").asc)
+    }),
+    // q143's epoch key driven over the REAL artifact: build the
+    // export lifecycle (train → encode → pack → write), read it back
+    // STRICTLY, and key the artifact's own sequences frame with
+    // epochOrder — the probed window [0, 500) keeps the oracle
+    // derivable (a bootstrap export's seq_ids are dense from 0 —
+    // ShardingSpec pins that — so DuckDB reproduces the id domain as
+    // range(500) and the key from the shared byte-fold + Lehmer mix);
+    // a gapped, truncated, or mis-id'd artifact drops rows here and
+    // fails the hash. seq_id-only projection: the scan never
+    // deserializes the id arrays (the artifact's bulk)
+    "q144_epoch_shards" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .where(col("doc_id") < 1000)
+        .select(col("doc_id"), col("text"))
+      val n = StreamScratch.seq.incrementAndGet()
+      val root = ivfIndexDir(dir, s"ep144_$n")
+      docs.write.mode("overwrite").parquet(s"$root/c/corpus")
+      Pipeline.trainBpeModel(s, s"$root/c", s"$root/model",
+        numMerges = 64)
+      Pipeline.writeTrainingShards(s, s"$root/c", s"$root/model",
+        s"$root/shards", seqLen = 64, numShards = 4)
+      val (seqs, p) = Pipeline.readTrainingShards(s, s"$root/shards",
+        strict = true)
+      // adaptive window: 500 at every oracle-checked SF (sf0.01 packs
+      // ~1000 sequences from the slice), the full artifact below it
+      // (the sf0.001 smoke has ~100 — rows-only there)
+      val probe = math.min(500L, p.getAs[Long]("n_sequences"))
+      Sharding.epochOrder(seqs.select(col("seq_id")), epoch = 3)
+        .where(col("seq_id") < probe)
         .orderBy(col("epoch_key").asc, col("seq_id").asc)
     }),
     "q123_dsir_weight" -> ((s, dir) => {
@@ -2937,6 +2958,22 @@ object SparkEntry {
           |  SELECT doc_id AS seq_id,
           |    'ep:3:' || CAST(doc_id AS VARCHAR) AS key
           |  FROM documents)
+          |SELECT seq_id,
+          |  CAST((list_reduce(list_prepend(0::BIGINT,
+          |    [ascii(key[i])::BIGINT FOR i IN range(1, length(key)+1)]),
+          |    (acc, c) -> (acc * 257 + c) % 1000000007)
+          |    * 48271) % 1000000007 AS BIGINT) AS epoch_key
+          |FROM k ORDER BY epoch_key, seq_id""".stripMargin,
+      // the artifact-side epoch entry: the Spark half reads seq_ids
+      // from a REAL export whose bootstrap ids are dense from 0
+      // (ShardingSpec-pinned), so the oracle's id domain is
+      // range(500) and the key is the same byte-fold + Lehmer mix as
+      // q143 — any artifact-side id drift drops rows and hash-fails
+      "q144_epoch_shards" ->
+        """WITH k AS (
+          |  SELECT CAST(t.range AS BIGINT) AS seq_id,
+          |    'ep:3:' || CAST(t.range AS VARCHAR) AS key
+          |  FROM range(500) t)
           |SELECT seq_id,
           |  CAST((list_reduce(list_prepend(0::BIGINT,
           |    [ascii(key[i])::BIGINT FOR i IN range(1, length(key)+1)]),

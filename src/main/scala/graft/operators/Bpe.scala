@@ -341,6 +341,57 @@ object Bpe {
       w => length(w) > 0)
   }
 
+  /** Decode-damage AUDIT over a decoded subword stream ([[decodeIds]]
+    * output): the disclosed lossy edges of the decode path, COUNTABLE —
+    * one struct per stream
+    * `(n_symbols, n_bad, n_unk, n_word_merge_risk, n_unterminated)`:
+    *
+    *   - `n_bad` — `<bad:id>` symbols (ids outside [0, V+1]: a foreign
+    *     or mixed-model artifact; decode keeps them loud instead of
+    *     throwing mid-scan exactly so this count exists);
+    *   - `n_unk` — [[OovSymbol]] symbols (code points outside the
+    *     training alphabet; the original text is gone by design, the
+    *     word boundary usually intact);
+    *   - `n_word_merge_risk` — words (in [[decodeWords]]' output)
+    *     containing [[OovSymbol]] at a NON-final position: the
+    *     countable upper bound on lost-terminator word merges (a word
+    *     whose final symbol decoded to `<unk>` lost its `</w>` and
+    *     swallowed the next word — after the swallow, its `<unk>` sits
+    *     mid-word). Benign mid-word OOV lands in the same count
+    *     because the two are post-hoc indistinguishable (the lost
+    *     symbol's content is gone) — an upper bound an audit can
+    *     STATE ("at most N words mangled") beats a disclosed-but-
+    *     uncountable edge;
+    *   - `n_unterminated` — 1 when the stream's final word lacks its
+    *     terminator (a sequence cut mid-word by
+    *     [[Sharding.materializeSequences]]' exact-seqLen cut — expect
+    *     it on per-sequence decodes, never on per-document
+    *     reconstructions), else 0.
+    *
+    * Map-only like the decode itself (HOFs over the already-decoded
+    * array — no join, no shuffle); `CorpusMain audit-shards` sums it
+    * across the artifact.
+    */
+  def decodeAudit(subwords: Column): Column = {
+    val eow = graft.functions.BpeEncodeExpr.Eow
+    val words = decodeWords(subwords)
+    // occurrences of <unk> inside a word, via split (the symbol can
+    // never overlap itself — it has distinct first/last chars)
+    def occ(w: Column): Column =
+      size(split(w, java.util.regex.Pattern.quote(OovSymbol), -1)) - 1
+    val lastSym = element_at(subwords, -1)
+    struct(
+      size(subwords).as("n_symbols"),
+      size(filter(subwords, s => s.startsWith("<bad:"))).as("n_bad"),
+      size(filter(subwords, s => s === lit(OovSymbol))).as("n_unk"),
+      size(filter(words, w =>
+        occ(w) > when(w.endsWith(OovSymbol), lit(1)).otherwise(lit(0))))
+        .as("n_word_merge_risk"),
+      when(size(subwords) > 0 &&
+          !(lastSym.endsWith(eow) || lastSym === lit(EosSymbol)),
+        lit(1)).otherwise(lit(0)).as("n_unterminated"))
+  }
+
   /** Persist a trained merge list under `dir`:
     *   - `merges/`: (rank, left, right) parquet, one file;
     *   - `params/`: ONE row (n_merges, family) written LAST — the

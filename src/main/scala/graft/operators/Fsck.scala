@@ -261,6 +261,10 @@ object Fsck {
               // pack, sitting invisible to every reader (underscore
               // prefix) — name it here so an operator who never runs
               // repair still learns the state exists
+              // the aside warn is ADDITIVE: an export can hold swap
+              // residue AND be a pre-digest export at once, and a
+              // short-circuit here would let the louder finding mask
+              // the other (each has its own distinct recovery)
               val asides = ls(fs, s"$dir/sequences").map(_._1)
                 .filter(_.startsWith("_old_pack~"))
               if (asides.nonEmpty)
@@ -270,7 +274,7 @@ object Fsck {
                     "repairTrainingShards; re-run the repair (it " +
                     "heals the aside before detection) or rename the " +
                     "aside back to its pack= dir by hand")
-              else if (fields.contains("model_digest"))
+              if (fields.contains("model_digest"))
                 b += Finding(dir, "params", "ok",
                   "healthy training-shards export (sequences/ + " +
                     "params, model content digest stamped)")

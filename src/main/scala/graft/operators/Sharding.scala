@@ -157,6 +157,29 @@ object Sharding {
       coalesce(mixedHash(id, s"$salt:$epoch"), lit(0L)))
   }
 
+  /** The loader-side epoch MATERIALIZATION: [[epochOrder]]'s key
+    * applied to a packed-sequence artifact (the
+    * [[graft.Pipeline.readTrainingShards]] frame) and the rows
+    * physically arranged into that epoch's order — range-partitioned
+    * by `(epoch_key, seq_id)` and sorted within partitions, so a
+    * training run streaming partition 0, 1, 2, … reads the exact
+    * permutation [[epochOrder]] defines, resumable at any partition
+    * boundary. `CorpusMain epoch-stream` writes it; a loader that
+    * consumes Spark partitions directly skips the write.
+    *
+    * Scale: the key is map-only; the reorder is ONE range exchange
+    * (the consumer's own partitioning — sampled bounds, no global
+    * single-partition sort, no driver-side index array) plus the
+    * in-partition sort, and its volume is the artifact's own size —
+    * the unavoidable floor of a global permutation (PlanSpec pins the
+    * single-exchange shape; BENCH_SF1 prices it at sf1).
+    */
+  def epochReorder(seqs: DataFrame, epoch: Int, salt: String = "ep",
+      numParts: Int = 32): DataFrame =
+    epochOrder(seqs, epoch, salt)
+      .repartitionByRange(numParts, col("epoch_key"), col("seq_id"))
+      .sortWithinPartitions(col("epoch_key"), col("seq_id"))
+
   /** Token-budget sharding: assign documents (in `doc_id` order) to
     * consecutive shards of ~`budget` tokens each — the pack-the-corpus
     * step before writing training shards. A document lands in shard
@@ -555,6 +578,48 @@ object Sharding {
         // bounds come from the manifest's partition of the doc's ids)
         expr("cast(aggregate(sorted, 0L, (a, x) -> a + x.n_tokens) " +
           "as int)").as("n_ids"))
+  }
+
+  /** Reassemble the per-DOCUMENT id streams from a packed-sequence
+    * artifact — the inverse of [[materializeSequences]], and the first
+    * tool an audit reaches for on a suspicious shard or after a
+    * retraction repair ("does this artifact still decode to my
+    * corpus?"): each sequence's `spans` name exactly which doc
+    * contributed which slice of its `ids`, so slicing every span's
+    * piece and regrouping by doc reproduces each document's id stream
+    * bit-for-bit — across pack boundaries and mid-doc cuts (a doc cut
+    * across sequences reassembles from its (seq_id, seq_from)-ordered
+    * pieces; docs never splice across packs, so the order is total).
+    * Returns `(doc_id, ids)`; with `eosId` set, one trailing
+    * end-of-document separator is stripped per doc (conditionally —
+    * a damaged stream missing it is returned as-is, for the audit to
+    * see, never mis-sliced).
+    *
+    * Scale: the spans explode emits span-count rows (docs + boundary
+    * crossings — manifest-sized), each carrying its piece (token-sized
+    * in aggregate: the artifact's own bulk, the one deliberately
+    * token-sized path here); ONE groupBy(doc_id) shuffle reassembles —
+    * ∝ the slice of the artifact actually read, so auditing one pack
+    * or one doc range prunes to exactly those packs' files.
+    */
+  def reconstructDocs(seqs: DataFrame,
+      eosId: Option[Int] = None): DataFrame = {
+    val assembled = seqs
+      .select(col("seq_id"), col("ids"), explode(col("spans")).as("sp"))
+      .select(col("sp.doc_id").as("doc_id"),
+        struct(col("seq_id"), col("sp.seq_from").as("seq_from"),
+          slice(col("ids"), (col("sp.seq_from") + lit(1)).cast("int"),
+            col("sp.n_tokens").cast("int")).as("piece")).as("ps"))
+      .groupBy(col("doc_id"))
+      // the (seq_id, seq_from) sort runs once inside the aggregate's
+      // result projection — the [[materializeSequences]] discipline
+      .agg(array_sort(collect_list(col("ps"))).as("ps"))
+      .select(col("doc_id"),
+        expr("flatten(transform(ps, x -> x.piece))").as("ids"))
+    eosId.fold(assembled)(e => assembled.select(col("doc_id"),
+      when(element_at(col("ids"), -1) === lit(e),
+          expr("slice(ids, 1, size(ids) - 1)"))
+        .otherwise(col("ids")).as("ids")))
   }
 
   // ------------------------------------- DSIR importance resampling

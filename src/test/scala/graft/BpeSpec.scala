@@ -388,6 +388,62 @@ class BpeSpec extends SparkSuite {
     assert(ow.head === "low" && ow(1).contains(Bpe.OovSymbol), ow)
   }
 
+  test("decodeAudit counts the decode path's lossy edges: bad ids, " +
+      "OOV symbols, lost-terminator word merges (upper bound), and " +
+      "an unterminated tail") {
+    import operators.Bpe
+    def audit(subs: Seq[String]): (Int, Int, Int, Int, Int) = {
+      val r = Seq(Tuple1(subs)).toDF("subs")
+        .select(Bpe.decodeAudit($"subs").as("a")).head()
+        .getStruct(0)
+      (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+    }
+    // healthy stream: zero on every damage axis
+    assert(audit(Seq("lo", "w</w>", "lower</w>")) === (3, 0, 0, 0, 0))
+    // the planted OOV-FINAL-SYMBOL edge: "w</w>" decoded to <unk>, so
+    // "lo" swallowed "lower" — ONE countable merge-risk word
+    assert(audit(Seq("lo", "<unk>", "lower</w>")) === (3, 0, 1, 1, 0))
+    // benign FINAL-char OOV (terminator survived as its own symbol):
+    // <unk> sits word-final — NOT counted as merge risk
+    assert(audit(Seq("caf", "<unk>", "</w>")) === (3, 0, 1, 0, 0))
+    // a foreign id is loud and counted; here non-final, so no
+    // unterminated flag from it
+    assert(audit(Seq("<bad:99>", "w</w>")) === (2, 1, 0, 0, 0))
+    // a sequence cut mid-word: the tail fragment lacks its terminator
+    assert(audit(Seq("lo", "w</w>", "low")) === (3, 0, 0, 0, 1))
+    // eos as the final symbol is a boundary, not an unterminated tail
+    assert(audit(Seq("low</w>", Bpe.EosSymbol)) === (2, 0, 0, 0, 0))
+    // multi-occurrence word: trailing <unk> is benign, the mid one
+    // still counts the word once
+    assert(audit(Seq("a", "<unk>", "b", "<unk>", "</w>"))
+      === (5, 0, 2, 1, 0))
+    // ---- through the REAL pipeline: encode, then plant the damage by
+    // zeroing the id of the first word's terminator-bearing symbol —
+    // the audit counts exactly one merged word on the decoded stream
+    val docs = Seq((0L, "low lower newest")).toDF("doc_id", "text")
+    val model = Bpe.trainModel(docs, numMerges = 6, maxTypes = 100)
+    val subs = Bpe.encode(docs, model.merges)
+      .select($"subwords").head().getSeq[String](0)
+    val cut = subs.indexWhere(_.endsWith("</w>"))
+    assert(cut >= 0 && cut < subs.length - 1) // damage mid-stream
+    val ids = Bpe.encodeIds(docs, model)
+      .select($"ids").head().getSeq[Int](0)
+      .zipWithIndex.map { case (id, i) => if (i == cut) 0 else id }
+    val r = Seq(Tuple1(ids)).toDF("ids")
+      .select(Bpe.decodeAudit(Bpe.decodeIds($"ids", model)).as("a"))
+      .head().getStruct(0)
+    assert(r.getAs[Int]("n_unk") === 1)
+    assert(r.getAs[Int]("n_word_merge_risk") === 1)
+    assert(r.getAs[Int]("n_bad") === 0)
+    // the healthy stream for the same doc audits clean
+    val clean = Bpe.encodeIds(docs, model)
+      .select(Bpe.decodeAudit(Bpe.decodeIds($"ids", model)).as("a"))
+      .head().getStruct(0)
+    assert(clean.getAs[Int]("n_unk") === 0 &&
+      clean.getAs[Int]("n_word_merge_risk") === 0 &&
+      clean.getAs[Int]("n_unterminated") === 0)
+  }
+
   test("trainBpeModel builds a readable model from a published corpus " +
       "under the model dir's lease") {
     val root = java.nio.file.Files.createTempDirectory("bpetm").toString

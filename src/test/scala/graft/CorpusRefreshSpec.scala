@@ -654,6 +654,65 @@ class CorpusRefreshSpec extends SparkSuite {
     assert(!new java.io.File(s"$fresh/corpus").exists())
   }
 
+  test("tokenizer provenance stamps the FULL-model digest when the " +
+      "model stores an alphabet: an alphabet-only retrain is visible " +
+      "across two report rows while the merges digest stays equal; " +
+      "legacy merges-only models stamp null") {
+    import graft.operators.Bpe
+    val idxRoot = tmp("tokfd_idx")
+    val corpusDir = tmp("tokfd_corpus")
+    val modelDir = tmp("tokfd_model")
+    val merges = Seq(("e", "s"), ("es", "t"))
+    val mA = Bpe.BpeModel(Seq("e", "s", "t", "</w>"), merges)
+    Bpe.writeModel(spark, mA, modelDir)
+    def batchOf(rows: (Long, String)*) =
+      rows.toSeq.map { case (i, t) => (i, t, "en") }
+        .toDF("doc_id", "text", "lang")
+    def refresh(batch: org.apache.spark.sql.DataFrame) =
+      Pipeline.refreshCorpus(spark, batch, idxRoot, corpusDir,
+        jaccardThreshold = 0.5, chunkTokens = 4, bandBuckets = 8,
+        pieceBuckets = 8, chunkBuckets = 8,
+        tokenizerModelDir = Some(modelDir))
+    val out1 = refresh(batchOf(
+      (0L, "newest a0 b0 c0 d0 e0 f0 g0 h0 i0"),
+      (1L, "fresh a1 b1 c1 d1 e1 f1 g1 h1 i1")))
+    val r1 = out1.report.head()
+    assert(r1.getAs[String]("tokenizer_model_digest") ===
+      Bpe.modelDigest(mA))
+    // the ALPHABET-ONLY season drift: a new code point entered the
+    // corpus between retrains, the merge list is stable — every id
+    // above the insertion point shifts, and before this column the
+    // refresh ledger said "same tokenizer" while the export gate
+    // refused (two surfaces disagreeing on one question)
+    val mB = Bpe.BpeModel(Seq("e", "s", "t", "w", "</w>"), merges)
+    Bpe.writeModel(spark, mB, modelDir)
+    val out2 = refresh(batchOf(
+      (10L, "widest a2 b2 c2 d2 e2 f2 g2 h2 i2")))
+    val r2 = out2.report.head()
+    assert(r1.getAs[String]("tokenizer_merges_digest") ===
+      r2.getAs[String]("tokenizer_merges_digest"),
+      "merges digest must be stable under an alphabet-only change")
+    assert(r1.getAs[String]("tokenizer_model_digest") !==
+      r2.getAs[String]("tokenizer_model_digest"),
+      "the full-model digest must SEE the alphabet change")
+    assert(r2.getAs[String]("tokenizer_model_digest") ===
+      Bpe.modelDigest(mB))
+    // a legacy merges-only model has no id space to state: null, the
+    // merges digest still stamps (string-level counts stay auditable)
+    val legacyModel = tmp("tokfd_legacy_model")
+    Bpe.writeModel(spark, merges, legacyModel)
+    val outL = Pipeline.refreshCorpus(spark,
+      batchOf((0L, "newest a0 b0 c0 d0 e0 f0 g0 h0 i0")),
+      tmp("tokfd_legacy_idx"), tmp("tokfd_legacy_corpus"),
+      jaccardThreshold = 0.5, chunkTokens = 4, bandBuckets = 8,
+      pieceBuckets = 8, chunkBuckets = 8,
+      tokenizerModelDir = Some(legacyModel))
+    val rl = outL.report.head()
+    assert(rl.getAs[String]("tokenizer_model_digest") === null)
+    assert(rl.getAs[String]("tokenizer_merges_digest") ===
+      Bpe.mergesDigest(merges))
+  }
+
   test("auditCorpus: a healthy lifecycle is all-ok across every check; " +
       "planted orphan / missing / crashed-refresh / ledger-drift states " +
       "are named with their recoveries at the right severity") {

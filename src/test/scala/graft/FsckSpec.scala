@@ -288,6 +288,26 @@ class FsckSpec extends SparkSuite {
     assert(fa.exists(x => x.dir == s"$root/shards" &&
       x.level == "warn" && x.detail.contains("repairTrainingShards")),
       fa.mkString("\n"))
+    // the aside warn is ADDITIVE: the digest classification still
+    // runs for the same dir (here: the healthy-export ok), so one
+    // finding never masks the other
+    assert(fa.exists(x => x.dir == s"$root/shards" &&
+      x.level == "ok" && x.detail.contains("training-shards")),
+      fa.mkString("\n"))
+    // ... and an aside'd PRE-digest export reports BOTH warns
+    spark.read.parquet(s"$root/shards/sequences")
+      .write.parquet(s"$root/oldshards2/sequences")
+    spark.read.parquet(s"$root/shards/params").drop("model_digest")
+      .write.parquet(s"$root/oldshards2/params")
+    new java.io.File(s"$root/oldshards2/sequences/_old_pack~0").mkdirs()
+    val fb = Fsck.check(spark, root)
+    assert(fb.exists(x => x.dir == s"$root/oldshards2" &&
+      x.level == "warn" && x.detail.contains("repairTrainingShards")),
+      fb.mkString("\n"))
+    assert(fb.exists(x => x.dir == s"$root/oldshards2" &&
+      x.level == "warn" && x.detail.contains("pre-digest-era")),
+      fb.mkString("\n"))
+    rm(s"$root/oldshards2")
     rm(s"$root/shards/sequences/_old_pack~0")
     // complete-model params with the alphabet gone: readFullModel's
     // refusal state, and fsck must name it

@@ -363,6 +363,23 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
   }
 
+  test("epoch reorder is ONE range exchange + in-partition sort: the " +
+      "consumer's own partitioning, no global single-partition sort, " +
+      "no key-side shuffle") {
+    val seqs = spark.range(1000).select(col("id").as("seq_id"),
+      array(col("id").cast("int")).as("ids"))
+    val p = plan(graft.operators.Sharding.epochReorder(seqs, epoch = 2,
+      numParts = 4))
+    assert(p.contains("Exchange rangepartitioning"), p.take(3000))
+    // exactly one exchange in the whole plan — the reorder IS the
+    // consumer's range partition, nothing else shuffles
+    assert("Exchange".r.findAllIn(p).size == 1, p.take(3000))
+    // the sort is the in-partition one (Sort [...], global=false) —
+    // a global sort would print true and add a second range exchange
+    assert(p.contains("], false, 0") && !p.contains("], true, 0"),
+      p.take(3000))
+  }
+
   test("containment candidates equi-join postings on the shingle hash " +
       "with map-side hit counting — never a nested loop") {
     val docs = spark.read.parquet(sf() + "/documents.parquet")

@@ -125,6 +125,14 @@ class ShardingSpec extends SparkSuite {
     val p = Sharding.epochOrder(seqs, 1)
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange") && !p.contains("Join"), p.take(2000))
+    // epochReorder materializes the SAME permutation physically:
+    // rows collected partition-by-partition (range partitions are
+    // globally ordered, in-partition sort finishes the job) equal the
+    // logical (epoch_key, seq_id) order
+    val mat = Sharding.epochReorder(seqs, 2, numParts = 4)
+      .select($"seq_id").collect().map(_.getLong(0)).toSeq
+    assert(mat === e2, "materialized epoch order must equal the " +
+      "logical permutation")
   }
 
   test("token shards: distributed prefix sum equals the single-window " +
@@ -1037,6 +1045,254 @@ class ShardingSpec extends SparkSuite {
     assert(e5.getMessage.contains("pre-digest-era"), e5.getMessage)
     assert(graft.Pipeline.readTrainingShards(spark, legacy)._1
       .count() > 0L)
+  }
+
+  test("reconstructDocs inverts materializeSequences across pack " +
+      "boundaries and mid-doc cuts; eos strip is conditional") {
+    import graft.operators.{Bpe, Sharding}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_recon").toString
+    // long docs + tiny seqLen: every doc is cut mid-sequence, several
+    // cross sequence boundaries
+    def writeBatch(bid: Long)(rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$root/c/corpus/batch_id=$bid")
+    writeBatch(2L)(
+      (0L, "low low newest widest lower lowest newest low"),
+      (1L, "newest widest lower low low lowest"),
+      (2L, "low newest low widest widest"))
+    graft.Pipeline.trainBpeModel(spark, s"$root/c", s"$root/model",
+      numMerges = 8)
+    val model = Bpe.readFullModel(spark, s"$root/model")
+    graft.Pipeline.writeTrainingShards(spark, s"$root/c",
+      s"$root/model", s"$root/shards", seqLen = 4, numShards = 2)
+    // a second pack generation: reconstruction must regroup per doc
+    // WITHIN each pack (docs never splice across packs)
+    writeBatch(4L)((3L, "widest lowest low newest newest widest low"),
+      (4L, "newest newest widest lower"))
+    graft.Pipeline.writeTrainingShards(spark, s"$root/c",
+      s"$root/model", s"$root/shards", seqLen = 4, numShards = 2,
+      mode = "append")
+    val (seqs, _) = graft.Pipeline.readTrainingShards(spark,
+      s"$root/shards", strict = true)
+    val eos = Bpe.eosIdOf(model)
+    val wantById = Bpe.encodeIds(
+        spark.read.parquet(s"$root/c/corpus"), model)
+      .select($"doc_id", $"ids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // eos stripped: exact per-doc round trip
+    val got = Sharding.reconstructDocs(seqs, eosId = Some(eos))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got.keySet === wantById.keySet)
+    got.foreach { case (id, ids) =>
+      assert(ids === wantById(id), s"doc $id") }
+    // eosId = None keeps the trailing separator every doc carries
+    val raw = Sharding.reconstructDocs(seqs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    raw.foreach { case (id, ids) =>
+      assert(ids === (wantById(id) :+ eos), s"doc $id") }
+    // sanity: the cuts really happened (some doc spans >1 sequence)
+    val spansPerDoc = seqs
+      .select(explode($"spans").as("sp"))
+      .groupBy($"sp.doc_id").count().collect()
+      .map(_.getLong(1))
+    assert(spansPerDoc.exists(_ > 1L), spansPerDoc.toSeq.toString)
+    // the cron lines drive end-to-end on the same artifact: the
+    // epoch-stream materialization holds every sequence in epoch
+    // order, and the healthy full audit prints without exiting
+    graft.CorpusMain.run(spark, List("epoch-stream", s"$root/shards",
+      "1", s"$root/epoch1"))
+    val ep = spark.read.parquet(s"$root/epoch1")
+    assert(ep.count() === seqs.count())
+    assert(ep.columns.contains("epoch_key"))
+    graft.CorpusMain.run(spark, List("audit-shards", s"$root/shards",
+      s"$root/model", s"$root/c"))
+  }
+
+  test("repair rebuilds many touched packs concurrently: the parallel " +
+      "result is bit-equal to the serial one, per-pack swaps intact") {
+    import graft.operators.Bpe
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_shardpar").toString
+    def writeBatch(bid: Long)(rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$root/c/corpus/batch_id=$bid")
+    // 5 batches -> bootstrap + 4 append pack generations
+    val words = Seq("low", "newest", "widest", "lower", "lowest")
+    def docText(i: Long) = (0 to 4).map(k =>
+      words(((i + k) % 5).toInt)).mkString(" ")
+    writeBatch(9L)((0L to 9L).map(i => (i, docText(i))): _*)
+    graft.Pipeline.trainBpeModel(spark, s"$root/c", s"$root/model",
+      numMerges = 8)
+    def export(mode: String, dir: String) =
+      graft.Pipeline.writeTrainingShards(spark, s"$root/c",
+        s"$root/model", dir, seqLen = 6, numShards = 2, mode = mode)
+    export("overwrite", s"$root/serial")
+    (1 to 4).foreach { g =>
+      writeBatch(9L + g * 10)(
+        (g * 10L to g * 10L + 9L).map(i => (i, docText(i))): _*)
+      export("append", s"$root/serial")
+    }
+    // mirror the artifact for the parallel run (same bytes in)
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$root/serial"), fs,
+      new org.apache.hadoop.fs.Path(s"$root/parallel"), false,
+      spark.sparkContext.hadoopConfiguration)
+    // retract one doc from EVERY batch: all 5 packs touched
+    (0 to 4).foreach { g =>
+      val bid = 9L + g * 10
+      writeBatch(bid)((g * 10L to g * 10L + 9L)
+        .filter(_ % 10 != 3).map(i => (i, docText(i))): _*)
+    }
+    Seq((5L, 5L)).toDF("n_requested", "n_retracted")
+      .write.parquet(s"$root/c/retractions/retraction_id=xpar")
+    val rSer = graft.Pipeline.repairTrainingShards(spark, s"$root/c",
+      s"$root/model", s"$root/serial",
+      maxConcurrentRebuilds = 1).head()
+    val rPar = graft.Pipeline.repairTrainingShards(spark, s"$root/c",
+      s"$root/model", s"$root/parallel").head()
+    assert(rSer.getAs[Long]("n_sequences") ===
+      rPar.getAs[Long]("n_sequences"))
+    assert(rSer.getAs[Long]("n_ids_total") ===
+      rPar.getAs[Long]("n_ids_total"))
+    def rows(dir: String) = spark.read.parquet(s"$dir/sequences")
+      .select($"seq_id", $"shard", $"ids", $"pack".cast("long"))
+      .orderBy($"seq_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toSeq,
+        r.getLong(3))).toSeq
+    assert(rows(s"$root/serial") === rows(s"$root/parallel"))
+    // no staged residue left behind by the concurrent swaps
+    val leftover = fs.listStatus(new org.apache.hadoop.fs.Path(
+        s"$root/parallel/sequences"))
+      .map(_.getPath.getName).filterNot(_.startsWith("pack="))
+    assert(leftover.isEmpty, leftover.toSeq.toString)
+    // the repaired artifact reconstructs to the surviving corpus
+    val model = Bpe.readFullModel(spark, s"$root/model")
+    val (seqs, _) = graft.Pipeline.readTrainingShards(spark,
+      s"$root/parallel", strict = true, modelDir = Some(s"$root/model"))
+    val got = graft.operators.Sharding
+      .reconstructDocs(seqs, Some(Bpe.eosIdOf(model)))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val want = Bpe.encodeIds(
+        spark.read.parquet(s"$root/c/corpus"), model)
+      .select($"doc_id", $"ids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (id, ids) => assert(ids === want(id), s"doc $id") }
+  }
+
+  test("auditTrainingShards diffs the reconstructed artifact against " +
+      "the corpus: healthy is all-zero, a retraction without repair " +
+      "names the doc, text drift names the doc") {
+    import graft.operators.Bpe
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_shaudit").toString
+    def writeBatch(bid: Long)(rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$root/c/corpus/batch_id=$bid")
+    writeBatch(2L)((0L, "low low newest widest"),
+      (1L, "newest widest lower"), (2L, "low newest low"))
+    graft.Pipeline.trainBpeModel(spark, s"$root/c", s"$root/model",
+      numMerges = 8, maxTypes = 1 << 20)
+    graft.Pipeline.writeTrainingShards(spark, s"$root/c",
+      s"$root/model", s"$root/shards", seqLen = 4, numShards = 2)
+    def audit() = graft.Pipeline.auditTrainingShards(spark,
+      s"$root/shards", s"$root/model", s"$root/c").head()
+    val h = audit()
+    assert(h.getAs[Long]("n_docs") === 3L)
+    assert(h.getAs[Long]("n_mismatched") === 0L)
+    assert(h.getSeq[Long](h.fieldIndex("mismatched_doc_ids")).isEmpty)
+    assert(h.getAs[Long]("n_bad") === 0L &&
+      h.getAs[Long]("n_unk") === 0L &&
+      h.getAs[Long]("n_word_merge_risk") === 0L &&
+      h.getAs[Long]("n_unterminated") === 0L)
+    // a retraction the repair never reflected: doc 2 leaves the
+    // corpus, the artifact still packs it — the audit NAMES it
+    writeBatch(2L)((0L, "low low newest widest"),
+      (1L, "newest widest lower"))
+    val m1 = audit()
+    assert(m1.getAs[Long]("n_mismatched") === 1L)
+    assert(m1.getSeq[Long](m1.fieldIndex("mismatched_doc_ids"))
+      === Seq(2L))
+    // text DRIFT (the corpus rewritten under the artifact): doc 1
+    // decodes to different words — named too
+    writeBatch(2L)((0L, "low low newest widest"),
+      (1L, "lower widest newest"), (2L, "low newest low"))
+    val m2 = audit()
+    assert(m2.getAs[Long]("n_mismatched") === 1L)
+    assert(m2.getSeq[Long](m2.fieldIndex("mismatched_doc_ids"))
+      === Seq(1L))
+  }
+
+  test("export and repair hold the CORPUS lease (serializing with " +
+      "retractCorpus' ledger-then-rewrite window), and the eos=false " +
+      "repair still refuses a hand-deleted pack without flagging " +
+      "tokenless docs") {
+    import graft.operators.Bpe
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_shardlease").toString
+    def writeBatch(bid: Long)(rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$root/c/corpus/batch_id=$bid")
+    // a tokenless doc (1L) rides in the corpus throughout: with eos
+    // off it legitimately packs nothing and must never read as a hole
+    writeBatch(2L)((0L, "low low newest"), (1L, "   "),
+      (2L, "low newest low"))
+    graft.Pipeline.trainBpeModel(spark, s"$root/c", s"$root/model",
+      numMerges = 8)
+    // ---- the corpus lease: a retraction in flight (ledger committed,
+    // partitions not yet rewritten) holds $root/c — both the export
+    // and the repair must refuse rather than read the torn state and
+    // stamp its ledger total as reflected
+    graft.operators.Lease.acquire(spark, s"$root/c", "retractCorpus")
+    intercept[IllegalStateException] {
+      graft.Pipeline.writeTrainingShards(spark, s"$root/c",
+        s"$root/model", s"$root/shards", seqLen = 5, numShards = 2,
+        eos = false)
+    }
+    intercept[IllegalStateException] {
+      graft.Pipeline.repairTrainingShards(spark, s"$root/c",
+        s"$root/model", s"$root/shards")
+    }
+    graft.operators.Lease.release(spark, s"$root/c")
+    // ---- eos=false lifecycle: bootstrap + append (two packs)
+    graft.Pipeline.writeTrainingShards(spark, s"$root/c",
+      s"$root/model", s"$root/shards", seqLen = 5, numShards = 2,
+      eos = false)
+    writeBatch(4L)((3L, "widest lowest low"), (4L, "newest newest"))
+    val r2 = graft.Pipeline.writeTrainingShards(spark, s"$root/c",
+      s"$root/model", s"$root/shards", seqLen = 5, numShards = 2,
+      eos = false, mode = "append").head()
+    assert(r2.getAs[Long]("max_doc_id") === 4L)
+    // a real retraction (doc 4) repairs fine: the tokenless doc below
+    // the watermark is filtered by the reverse check, not refused
+    writeBatch(4L)((3L, "widest lowest low"))
+    Seq((1L, 1L)).toDF("n_requested", "n_retracted")
+      .write.parquet(s"$root/c/retractions/retraction_id=xlease1")
+    val rr = graft.Pipeline.repairTrainingShards(spark, s"$root/c",
+      s"$root/model", s"$root/shards").head()
+    assert(rr.getAs[Long]("retraction_total") === 1L)
+    assert(rr.getAs[Long]("n_sequences") ===
+      spark.read.parquet(s"$root/shards/sequences").count())
+    // ---- a hand-deleted pack now REFUSES under eos=false too (the
+    // reverse hole check runs on token-bearing docs instead of being
+    // skipped): docs 0/2 are packed nowhere but still in the corpus
+    def deleteDir(p: String): Unit = {
+      val f = new java.io.File(p)
+      if (f.isDirectory) f.listFiles().foreach(c => deleteDir(c.getPath))
+      f.delete()
+    }
+    deleteDir(s"$root/shards/sequences/pack=0")
+    val eh = intercept[IllegalArgumentException] {
+      graft.Pipeline.repairTrainingShards(spark, s"$root/c",
+        s"$root/model", s"$root/shards")
+    }
+    assert(eh.getMessage.contains("packed nowhere"), eh.getMessage)
+    // the refusal named a TOKEN-BEARING doc, never the tokenless one
+    assert(!eh.getMessage.contains("missing corpus doc 1 "),
+      eh.getMessage)
   }
 
   test("dsir: target-like docs outweigh junk, scores are complete and " +

@@ -118,6 +118,31 @@ class BenchSpec extends SparkSuite {
     Bench.Headline.foreach(h => assert(json.contains("\"" + h + "\":")))
   }
 
+  test("once-per-run samples: the line carries the min-of-N marker; " +
+      "the sample arrays render while they fit and are the first " +
+      "thing dropped under budget") {
+    val samples = Map(
+      "q100_corpus_refresh" -> List(14.2, 13.1),
+      "q135_stream_bm25" -> List(16.2, 4.4))
+    val results = Seq(Bench.Headline.head -> 0.50,
+      "q100_corpus_refresh" -> 13.1, "q135_stream_bm25" -> 4.4)
+    val json = Bench.renderJson(results, Set.empty, "sf0.1",
+      Bench.LineBudget, None, samples)
+    assert(json.contains(""""once_min_of":2"""), json)
+    assert(json.contains(""""q135_stream_bm25":[16.2,4.4]"""), json)
+    // under a budget that can't fit the samples, the marker survives
+    // and the sample arrays give way BEFORE any query entry
+    val tight = Bench.renderJson(results, Set.empty, "sf0.1",
+      230, None, samples)
+    assert(tight.length <= 230, s"len ${tight.length}")
+    assert(tight.contains(""""once_min_of":2"""), tight)
+    assert(!tight.contains("once_samples"), tight)
+    assert(tight.contains(""""q100_corpus_refresh":13.1"""), tight)
+    // no samples ⇒ no marker (the legacy shape)
+    val plain = Bench.renderJson(results, Set.empty, "sf0.1")
+    assert(!plain.contains("once_min_of"))
+  }
+
   test("headline_min renders in the head when supplied, absent otherwise") {
     val results = Seq(Bench.Headline.head -> 0.50, "qxx_other" -> 0.25)
     val withMin = Bench.renderJson(results, Set.empty, "sf0.1",

@@ -589,3 +589,122 @@ object NewOpsBench {
     spark.stop()
   }
 }
+
+/** Dev-only scaling measurement for the round-16 tier: (a) the WIDE
+  * retraction repair — many touched packs — priced serial
+  * (`maxConcurrentRebuilds = 1`, the r15 shape: one Spark job + staged
+  * swap per pack, each paying the fixed ~5-job scheduling floor) vs
+  * concurrent (the default bounded pool), same damage, bit-equal
+  * results (ShardingSpec pins equality); (b) the epoch-scale reorder —
+  * [[graft.operators.Sharding.epochReorder]] over a standing export's
+  * sequences, the one loader-side step between the artifact and a
+  * training run (ONE range exchange whose volume is the artifact's own
+  * size). Run at sf0.1 and the synthetic sf1 — feeds the
+  * docs/BENCH_SF1.md round-16 appendix.
+  */
+object RepairEpochBench {
+  def main(args: Array[String]): Unit = {
+    import graft.operators.Bpe
+    val sfDir = args.headOption.getOrElse("target/sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    println(s"corpus=${docs.count()}")
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$label%-26s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    // one model for everything (training is priced elsewhere)
+    val modelDir = java.nio.file.Files
+      .createTempDirectory("reb_model").toString
+    Bpe.writeModel(spark,
+      Bpe.trainModel(docs, numMerges = 1000, maxTypes = 20000),
+      modelDir)
+    // 17 pack generations: bootstrap the low 50%, then 16 appended
+    // batches of ~3% each — the season-of-weekly-refreshes shape
+    val qs = (0 to 16).map(i => 0.5 + i * (0.5 / 16.0))
+    val cuts = docs.agg(expr(
+      s"percentile(doc_id, array(${qs.mkString(",")}))")).head()
+      .getSeq[Double](0)
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("reb_corpus").toString
+    def writeBatch(lo: Double, hi: Double): Long = {
+      val hiId = hi.toLong
+      docs.where(col("doc_id") > lo && col("doc_id") <= hi)
+        .write.mode("overwrite")
+        .parquet(s"$corpusDir/corpus/batch_id=$hiId")
+      hiId
+    }
+    writeBatch(-1.0, cuts.head)
+    val shardsA = java.nio.file.Files
+      .createTempDirectory("reb_shA").toString
+    timed("export_bootstrap_50") {
+      graft.Pipeline.writeTrainingShards(spark, corpusDir, modelDir,
+        shardsA, seqLen = 2048, numShards = 64)
+    }
+    timed("export_16_appends") {
+      (1 to 16).foreach { i =>
+        writeBatch(cuts(i - 1), cuts(i))
+        graft.Pipeline.writeTrainingShards(spark, corpusDir, modelDir,
+          shardsA, seqLen = 2048, numShards = 64, mode = "append")
+      }
+    }
+    // mirror the artifact so serial and parallel repair the SAME damage
+    val shardsB = java.nio.file.Files
+      .createTempDirectory("reb_shB").toString + "/shards"
+    val fs = new org.apache.hadoop.fs.Path(shardsA).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(shardsA), fs,
+      new org.apache.hadoop.fs.Path(shardsB), false,
+      spark.sparkContext.hadoopConfiguration)
+    // a GDPR sweep touching EVERY appended batch: 10 docs from each of
+    // the 16 batches leave the corpus -> 16 packs touched
+    var nRetracted = 0L
+    (1 to 16).foreach { i =>
+      val (lo, hi) = (cuts(i - 1), cuts(i))
+      val gone = docs.where(col("doc_id") > lo && col("doc_id") <= hi)
+        .orderBy(col("doc_id").asc).limit(10)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      nRetracted += gone.size
+      docs.where(col("doc_id") > lo && col("doc_id") <= hi &&
+          !col("doc_id").isin(gone: _*))
+        .write.mode("overwrite")
+        .parquet(s"$corpusDir/corpus/batch_id=${hi.toLong}")
+    }
+    Seq((nRetracted, nRetracted)).toDF("n_requested", "n_retracted")
+      .write.parquet(s"$corpusDir/retractions/retraction_id=xreb")
+    timed("repair_16packs_serial") {
+      graft.Pipeline.repairTrainingShards(spark, corpusDir, modelDir,
+        shardsA, maxConcurrentRebuilds = 1)
+    }
+    timed("repair_16packs_parallel4") {
+      graft.Pipeline.repairTrainingShards(spark, corpusDir, modelDir,
+        shardsB)
+    }
+    // the loader-side epoch reorder: strict read + map-only key + ONE
+    // range exchange + in-partition sort, written in consumable order
+    // (the `CorpusMain epoch-stream` line)
+    val epochOut = java.nio.file.Files
+      .createTempDirectory("reb_epoch").toString + "/epoch0"
+    timed("epoch_reorder_write") {
+      val (seqs, _) = graft.Pipeline.readTrainingShards(spark, shardsA,
+        strict = true)
+      graft.operators.Sharding.epochReorder(seqs, epoch = 0)
+        .write.mode("overwrite").parquet(epochOut)
+    }
+    println(s"epoch_rows=${spark.read.parquet(epochOut).count()}")
+    spark.stop()
+  }
+}

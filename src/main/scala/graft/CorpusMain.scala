@@ -125,7 +125,7 @@ object CorpusMain {
 
   private def usage(): Nothing = {
     System.err.println(
-      """usage: CorpusMain refresh <batchDir> <indexRoot> <corpusDir> [embeddingsDir] [emb=<dir>] [bench=<dir>] [containment=<t>] [semeval=<dir>] [quality=<modelDir>] [chunkrule=<grid|cdc|line>] [tokenizer=<bpeModelDir>]
+      """usage: CorpusMain refresh <batchDir> <indexRoot> <corpusDir> [embeddingsDir] [emb=<dir>] [bench=<dir>] [containment=<t>] [semeval=<dir>] [quality=<modelDir>] [chunkrule=<grid|cdc|line>] [tokenizer=<bpeModelDir>] [shards=<exportDir>]
         |       CorpusMain retract <idsDir> <indexRoot> <corpusDir>
         |       CorpusMain maintain <indexRoot>
         |       CorpusMain stats <indexRoot>
@@ -136,7 +136,7 @@ object CorpusMain {
         |       CorpusMain train-bpe <corpusDir> <modelDir> [numMerges] [maxTypes]
         |       CorpusMain train-dsir <corpusDir> <targetDir> <modelDir> [buckets]
         |       CorpusMain export-shards <corpusDir> <bpeModelDir> <outDir> [seqLen] [numShards] [overwrite|append]
-        |       CorpusMain repair-shards <corpusDir> <bpeModelDir> <outDir>
+        |       CorpusMain repair-shards <corpusDir> <bpeModelDir> <outDir> [maxConcurrent]
         |       CorpusMain epoch-stream <outDir> <epoch> <destDir> [salt]
         |       CorpusMain audit-shards <outDir> <bpeModelDir> [corpusDir]
         |       CorpusMain migrate-shingles <indexRoot> [buckets]
@@ -177,7 +177,7 @@ object CorpusMain {
         // '=' stays positional — and a duplicated flag is refused
         // instead of silently last-winning
         val flagKeys = Set("emb", "bench", "containment", "semeval",
-          "quality", "chunkrule", "tokenizer")
+          "quality", "chunkrule", "tokenizer", "shards")
         val (kv0, legacy) = rest.partition(a =>
           flagKeys.exists(k => a.startsWith(s"$k=")))
         val kvPairs = kv0.map { a =>
@@ -201,6 +201,27 @@ object CorpusMain {
           // drives every later batch (the knob-inert contract)
           chunkRule = kv.getOrElse("chunkrule", "grid"))
         println(out.report.head().json)
+        // shards=<exportDir>: the TRAINING ARTIFACT follows the corpus
+        // (the bm25 follow-the-corpus rule, via the cron surface) —
+        // fold the published batch into the standing export, knob-
+        // inert (seqLen/numShards/eos from the export's own params).
+        // Runs AFTER the refresh's leased scope on purpose:
+        // writeTrainingShards takes the corpus lease itself, and
+        // leases are not reentrant — nesting would self-deadlock.
+        // Every append gate holds (watermark skips re-runs, the
+        // ledger gate refuses post-retraction staleness naming
+        // repair-shards, the digest refuses a retrained model).
+        kv.get("shards").foreach { exportDir =>
+          require(kv.contains("tokenizer"),
+            "refresh shards=<exportDir> requires tokenizer=" +
+              "<modelDir> — the export encodes under that model")
+          val r = Pipeline.appendTrainingShards(spark, corpusDir,
+            kv("tokenizer"), exportDir).head()
+          println(s"""{"shards":"${jsonEsc(exportDir)}",""" +
+            s""""n_sequences":${r.getAs[Long]("n_sequences")},""" +
+            s""""n_ids_total":${r.getAs[Long]("n_ids_total")},""" +
+            s""""max_doc_id":${r.getAs[Long]("max_doc_id")}}""")
+        }
       case "retract" :: idsDir :: indexRoot :: corpusDir :: Nil =>
         val report = Pipeline.retractCorpus(spark,
           spark.read.parquet(idsDir), indexRoot, corpusDir)
@@ -298,13 +319,17 @@ object CorpusMain {
           s""""n_sequences":${r.getAs[Long]("n_sequences")},""" +
           s""""n_ids_total":${r.getAs[Long]("n_ids_total")},""" +
           s""""max_doc_id":${r.getAs[Long]("max_doc_id")}}""")
-      case "repair-shards" :: corpusDir :: modelDir :: outDir :: Nil =>
+      case "repair-shards" :: corpusDir :: modelDir :: outDir :: rest
+          if rest.length <= 1 =>
         // the GDPR-cadence recovery: after retractCorpus, rewrite
         // ONLY the pack generations whose spans touch retracted
         // doc_ids and restamp the ledger gate — ∝ touched packs,
-        // never the corpus-scale re-export
+        // never the corpus-scale re-export; the optional 4th arg
+        // bounds the concurrent per-pack rebuilds (default 4)
         val r = Pipeline.repairTrainingShards(spark, corpusDir,
-          modelDir, outDir).head()
+          modelDir, outDir,
+          maxConcurrentRebuilds =
+            rest.headOption.map(_.toInt).getOrElse(4)).head()
         println(s"""{"out":"${jsonEsc(outDir)}",""" +
           s""""n_sequences":${r.getAs[Long]("n_sequences")},""" +
           s""""n_ids_total":${r.getAs[Long]("n_ids_total")},""" +

@@ -1835,6 +1835,42 @@ object Pipeline {
     }
   }
 
+  /** KNOB-INERT append to a standing [[writeTrainingShards]] export —
+    * the follow-the-corpus cron shape (`CorpusMain refresh
+    * shards=<dir>`): seqLen / numShards / eos are read from the
+    * export's own params instead of re-typed on the cron line, the
+    * same knob-inert contract every index family here has (a standing
+    * artifact's stored geometry drives every later batch; a drifting
+    * cron flag can refuse, never silently re-cut). The append itself
+    * is [[writeTrainingShards]] `mode=append`, every gate included —
+    * watermark, ledger, model digest (re-checked under the lease: a
+    * re-export changing the knobs between this read and the append's
+    * own validation refuses loudly on the mismatch, never re-cuts).
+    * Refuses a dir with no standing export (bootstrap is an explicit
+    * operator decision: seqLen is a training-run contract, not a
+    * default to inherit silently).
+    */
+  def appendTrainingShards(spark: SparkSession, corpusDir: String,
+      modelDir: String, outDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(s"$outDir/params")),
+      s"$outDir has no standing export (params/) — the knob-inert " +
+        "append reads seqLen/numShards/eos from there; bootstrap " +
+        "explicitly first (CorpusMain export-shards <corpusDir> " +
+        "<modelDir> <outDir> [seqLen] [numShards])")
+    val pdf = spark.read.parquet(s"$outDir/params")
+    requireAppendEraParams(pdf, outDir, note = "; appends work from " +
+      "there")
+    val p = pdf.head()
+    writeTrainingShards(spark, corpusDir, modelDir, outDir,
+      seqLen = p.getAs[Long]("seq_len"),
+      numShards = p.getAs[Int]("num_shards"),
+      eos = p.getAs[Integer]("eos_id") != null,
+      mode = "append")
+  }
+
   /** Pack-targeted retraction REPAIR for a [[writeTrainingShards]]
     * export — the recovery the append gate's refusal points at when
     * the source corpus has been retracted from, priced ∝ TOUCHED

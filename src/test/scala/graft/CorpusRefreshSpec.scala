@@ -713,6 +713,72 @@ class CorpusRefreshSpec extends SparkSuite {
       Bpe.mergesDigest(merges))
   }
 
+  test("refresh shards=<dir> folds the published batch into the " +
+      "standing export knob-inertly; missing tokenizer and missing " +
+      "bootstrap refuse") {
+    import graft.operators.Bpe
+    val idxRoot = tmp("shfc_idx")
+    val corpusDir = tmp("shfc_corpus")
+    val modelDir = tmp("shfc_model")
+    val exportDir = tmp("shfc_export")
+    Bpe.writeModel(spark,
+      Bpe.BpeModel(Seq("e", "s", "t", "</w>"),
+        Seq(("e", "s"), ("es", "t"))), modelDir)
+    def batchOf(rows: (Long, String)*) =
+      rows.toSeq.map { case (i, t) => (i, t, "en") }
+        .toDF("doc_id", "text", "lang")
+    def writeTmpBatch(df: org.apache.spark.sql.DataFrame): String = {
+      val d = tmp("shfc_b") + "/batch"
+      df.write.parquet(d)
+      d
+    }
+    // batch 1 publishes, then an explicit bootstrap export with
+    // NON-default knobs (the knob-inert claim needs them distinct)
+    Pipeline.refreshCorpus(spark,
+      batchOf((0L, "newest a0 b0 c0 d0 e0 f0 g0 h0 i0"),
+        (1L, "fresh a1 b1 c1 d1 e1 f1 g1 h1 i1")),
+      idxRoot, corpusDir, jaccardThreshold = 0.5, chunkTokens = 4,
+      bandBuckets = 8, pieceBuckets = 8, chunkBuckets = 8,
+      tokenizerModelDir = Some(modelDir))
+    Pipeline.writeTrainingShards(spark, corpusDir, modelDir, exportDir,
+      seqLen = 7, numShards = 3)
+    val n1 = spark.read.parquet(s"$exportDir/params").head()
+      .getAs[Long]("n_sequences")
+    // the composed cron line: refresh batch 2 WITH shards= — the
+    // append reads seqLen=7/numShards=3 from the standing params
+    graft.CorpusMain.run(spark, List("refresh", writeTmpBatch(
+        batchOf((10L, "widest a2 b2 c2 d2 e2 f2 g2 h2 i2"))),
+      idxRoot, corpusDir, s"tokenizer=$modelDir",
+      s"shards=$exportDir"))
+    val p2 = spark.read.parquet(s"$exportDir/params").head()
+    assert(p2.getAs[Long]("n_sequences") > n1)
+    assert(p2.getAs[Long]("seq_len") === 7L)
+    assert(p2.getAs[Int]("num_shards") === 3)
+    assert(p2.getAs[Long]("max_doc_id") === 10L)
+    // the appended artifact reconstructs to the whole corpus
+    val model = Bpe.readFullModel(spark, modelDir)
+    val (seqs, _) = Pipeline.readTrainingShards(spark, exportDir,
+      strict = true, modelDir = Some(modelDir))
+    val got = graft.operators.Sharding
+      .reconstructDocs(seqs, Some(Bpe.eosIdOf(model)))
+      .count()
+    assert(got === spark.read.parquet(s"$corpusDir/corpus").count())
+    // shards= without tokenizer= refuses (the model IS the id space)
+    intercept[IllegalArgumentException] {
+      graft.CorpusMain.run(spark, List("refresh", writeTmpBatch(
+          batchOf((20L, "lowest a3 b3 c3 d3 e3 f3 g3 h3 i3"))),
+        idxRoot, corpusDir, s"shards=$exportDir"))
+    }
+    // appending to a dir with no standing export refuses with the
+    // explicit-bootstrap recovery (seqLen is a training contract,
+    // never a silently inherited default)
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.appendTrainingShards(spark, corpusDir, modelDir,
+        tmp("shfc_fresh"))
+    }
+    assert(e.getMessage.contains("no standing export"), e.getMessage)
+  }
+
   test("auditCorpus: a healthy lifecycle is all-ok across every check; " +
       "planted orphan / missing / crashed-refresh / ledger-drift states " +
       "are named with their recoveries at the right severity") {

@@ -139,6 +139,7 @@ object CorpusMain {
         |       CorpusMain repair-shards <corpusDir> <bpeModelDir> <outDir> [maxConcurrent]
         |       CorpusMain epoch-stream <outDir> <epoch> <destDir> [salt]
         |       CorpusMain audit-shards <outDir> <bpeModelDir> [corpusDir]
+        |       CorpusMain stats-shards <outDir>
         |       CorpusMain migrate-shingles <indexRoot> [buckets]
         |       CorpusMain break-lease <dir> [dir ...]
         |       CorpusMain break-leases <root>
@@ -187,6 +188,13 @@ object CorpusMain {
         if (legacy.length > 1 ||
           kvPairs.length != kv.size ||
           (legacy.nonEmpty && kv.contains("emb"))) usage()
+        // the shards= flag's contract is checked BEFORE the refresh
+        // mutates anything (the early-refusal discipline): a cron line
+        // that forgot the tokenizer must not publish a batch and THEN
+        // die, leaving the operator to notice the export lagging
+        require(!kv.contains("shards") || kv.contains("tokenizer"),
+          "refresh shards=<exportDir> requires tokenizer=<modelDir> " +
+            "— the export encodes under that model")
         val emb = legacy.headOption.orElse(kv.get("emb"))
           .map(spark.read.parquet(_))
         val out = Pipeline.refreshCorpus(spark,
@@ -212,9 +220,6 @@ object CorpusMain {
         // ledger gate refuses post-retraction staleness naming
         // repair-shards, the digest refuses a retrained model).
         kv.get("shards").foreach { exportDir =>
-          require(kv.contains("tokenizer"),
-            "refresh shards=<exportDir> requires tokenizer=" +
-              "<modelDir> — the export encodes under that model")
           val r = Pipeline.appendTrainingShards(spark, corpusDir,
             kv("tokenizer"), exportDir).head()
           println(s"""{"shards":"${jsonEsc(exportDir)}",""" +
@@ -335,6 +340,14 @@ object CorpusMain {
           s""""n_ids_total":${r.getAs[Long]("n_ids_total")},""" +
           s""""retraction_total":${
             r.getAs[Long]("retraction_total")}}""")
+      case "stats-shards" :: outDir :: Nil =>
+        // metadata-priced survey of the export (n_ids/shard/pack only,
+        // never the id arrays): pack sizes, repair-shrunk packs, the
+        // padding waste a fixed-shape loader pays for short tails, and
+        // per-pack shard imbalance — the numbers that say whether a
+        // mode=overwrite re-pack is due (the `stats` line's shape)
+        Pipeline.statsTrainingShards(spark, outDir).collect()
+          .foreach(r => println(r.json))
       case "epoch-stream" :: outDir :: epoch :: destDir :: rest
           if rest.length <= 1 =>
         // materialize ONE epoch's training order from a standing

@@ -1835,6 +1835,67 @@ object Pipeline {
     }
   }
 
+  /** Operational statistics of a [[writeTrainingShards]] export, ONE
+    * row per pack generation — the numbers that say whether the
+    * artifact needs attention before a training run pays for it:
+    *
+    *   - `n_sequences` / `n_ids` — the pack's size (a pack far smaller
+    *     than its batch siblings usually means a repair shrank it);
+    *   - `n_short` — sequences below `seq_len`: 1 per pack is the
+    *     per-snapshot packing tail every append leaves; MORE than 1
+    *     means a repair re-cut the pack (each rebuild leaves its own
+    *     tail) — disclosed, not damage;
+    *   - `padding_waste` — Σ (seq_len − n_ids): the tokens a
+    *     fixed-shape loader pads per epoch because of those tails —
+    *     when the waste column grows past tolerance, a mode=overwrite
+    *     re-export re-packs densely;
+    *   - `shard_spread` — max−min per-shard sequence count: round-robin
+    *     keeps it ≤ 1 at export time; a repair's re-cut can widen it
+    *     (parallel readers' imbalance, worst shard = slowest reader).
+    *
+    * Reads ONLY metadata columns (`n_ids`, `shard`, `pack`) — the id
+    * arrays (the artifact's bulk) are never deserialized, the
+    * [[packedSpanDocs]] read-schema discipline — so the survey is
+    * metadata-priced at any artifact size. `CorpusMain stats-shards`
+    * prints one JSON line per pack.
+    */
+  def statsTrainingShards(spark: SparkSession,
+      outDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // deliberately NOT the strict read: stats must survey a drifted
+    // artifact (that is what they are FOR); only the params-less
+    // crashed-write state refuses
+    require(fs.exists(new Path(s"$outDir/params")),
+      s"$outDir has no params/ — not a written shards export (or its " +
+        "write crashed before the params commit); re-run " +
+        "writeTrainingShards")
+    val p = spark.read.parquet(s"$outDir/params").head()
+    val seqLen = p.getAs[Long]("seq_len")
+    val numShards = p.getAs[Int]("num_shards")
+    val perShard = spark.read.parquet(s"$outDir/sequences")
+      .select(col("pack").cast("long").as("pack"), col("shard"),
+        col("n_ids").cast("long").as("n_ids"))
+      .groupBy(col("pack"), col("shard"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_ids")).as("ids"),
+        count(when(col("n_ids") < seqLen, 1)).as("short"),
+        sum(lit(seqLen) - col("n_ids")).as("waste"))
+    perShard.groupBy(col("pack"))
+      .agg(sum(col("n")).as("n_sequences"),
+        sum(col("ids")).as("n_ids"),
+        sum(col("short")).as("n_short"),
+        sum(col("waste")).as("padding_waste"),
+        // a shard with NO sequences has no row here: when a repair
+        // emptied one, the true minimum is 0, not the smallest
+        // present shard's count
+        when(count(lit(1)) < numShards, max(col("n")))
+          .otherwise(max(col("n")) - min(col("n")))
+          .as("shard_spread"))
+      .orderBy(col("pack").asc)
+  }
+
   /** KNOB-INERT append to a standing [[writeTrainingShards]] export —
     * the follow-the-corpus cron shape (`CorpusMain refresh
     * shards=<dir>`): seqLen / numShards / eos are read from the

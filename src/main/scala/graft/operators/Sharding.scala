@@ -180,6 +180,26 @@ object Sharding {
       .repartitionByRange(numParts, col("epoch_key"), col("seq_id"))
       .sortWithinPartitions(col("epoch_key"), col("seq_id"))
 
+  /** RESUME a crashed epoch mid-stream — the executable form of the
+    * [[epochOrder]] reproducibility claim: given the last consumed
+    * position `(lastKey, lastId)` (the epoch key and seq_id of the
+    * last sequence the training run checkpointed), return the
+    * sequences STRICTLY AFTER it in that epoch's total
+    * (epoch_key, seq_id) order. Because the permutation is a pure
+    * function of (data, epoch, salt), the cursor is two longs — no
+    * loader state, no index array, no affinity to the partitioning
+    * that produced it — and the same two longs resume the same
+    * position on any engine folding the same hash. Map-only: one
+    * projection + filter; compose with [[epochReorder]] to
+    * re-materialize only the remainder.
+    */
+  def epochResume(seqs: DataFrame, epoch: Int, lastKey: Long,
+      lastId: Long, salt: String = "ep",
+      id: Column = col("seq_id")): DataFrame =
+    epochOrder(seqs, epoch, salt, id)
+      .where(col("epoch_key") > lit(lastKey) ||
+        (col("epoch_key") === lit(lastKey) && id > lit(lastId)))
+
   /** Token-budget sharding: assign documents (in `doc_id` order) to
     * consecutive shards of ~`budget` tokens each — the pack-the-corpus
     * step before writing training shards. A document lands in shard

@@ -763,12 +763,15 @@ class CorpusRefreshSpec extends SparkSuite {
       .reconstructDocs(seqs, Some(Bpe.eosIdOf(model)))
       .count()
     assert(got === spark.read.parquet(s"$corpusDir/corpus").count())
-    // shards= without tokenizer= refuses (the model IS the id space)
+    // shards= without tokenizer= refuses BEFORE the refresh mutates:
+    // the batch must NOT publish and then leave the export lagging
+    val nBefore = spark.read.parquet(s"$corpusDir/corpus").count()
     intercept[IllegalArgumentException] {
       graft.CorpusMain.run(spark, List("refresh", writeTmpBatch(
           batchOf((20L, "lowest a3 b3 c3 d3 e3 f3 g3 h3 i3"))),
         idxRoot, corpusDir, s"shards=$exportDir"))
     }
+    assert(spark.read.parquet(s"$corpusDir/corpus").count() === nBefore)
     // appending to a dir with no standing export refuses with the
     // explicit-bootstrap recovery (seqLen is a training contract,
     // never a silently inherited default)

@@ -133,6 +133,20 @@ class ShardingSpec extends SparkSuite {
       .select($"seq_id").collect().map(_.getLong(0)).toSeq
     assert(mat === e2, "materialized epoch order must equal the " +
       "logical permutation")
+    // epochResume: a two-long cursor (the last consumed key+id)
+    // resumes the exact remainder of the epoch — no loader state
+    val keyed = Sharding.epochOrder(seqs, 2)
+      .orderBy($"epoch_key", $"seq_id")
+      .select($"epoch_key", $"seq_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val (ck, ci) = keyed(99) // crash after consuming 100 sequences
+    val resumed = Sharding.epochResume(seqs, 2, ck, ci)
+      .orderBy($"epoch_key", $"seq_id")
+      .select($"seq_id").collect().map(_.getLong(0)).toSeq
+    assert(resumed === keyed.drop(100).map(_._2).toSeq)
+    // resuming from the last position yields the empty remainder
+    val (lk, li) = keyed.last
+    assert(Sharding.epochResume(seqs, 2, lk, li).count() === 0L)
   }
 
   test("token shards: distributed prefix sum equals the single-window " +
@@ -1107,6 +1121,27 @@ class ShardingSpec extends SparkSuite {
     assert(ep.columns.contains("epoch_key"))
     graft.CorpusMain.run(spark, List("audit-shards", s"$root/shards",
       s"$root/model", s"$root/c"))
+    // the metadata-priced stats survey: one row per pack, totals
+    // agreeing with the frame, exactly one short tail per pack (the
+    // per-snapshot packing), waste = what a fixed-shape loader pads,
+    // round-robin shard spread <= 1
+    val stats = graft.Pipeline.statsTrainingShards(spark,
+      s"$root/shards").collect()
+    assert(stats.length === 2) // bootstrap + one append generation
+    assert(stats.map(_.getAs[Long]("n_sequences")).sum === seqs.count())
+    val want = seqs.select($"pack".cast("long").as("pack"),
+        $"n_ids".cast("long").as("n_ids")).collect()
+      .groupBy(_.getLong(0))
+    stats.foreach { s =>
+      val rows = want(s.getAs[Long]("pack")).map(_.getLong(1))
+      assert(s.getAs[Long]("n_ids") === rows.sum)
+      assert(s.getAs[Long]("n_short") === rows.count(_ < 4L).toLong)
+      assert(s.getAs[Long]("n_short") === 1L) // one tail per pack
+      assert(s.getAs[Long]("padding_waste") ===
+        rows.map(4L - _).sum)
+      assert(s.getAs[Long]("shard_spread") <= 1L)
+    }
+    graft.CorpusMain.run(spark, List("stats-shards", s"$root/shards"))
   }
 
   test("repair rebuilds many touched packs concurrently: the parallel " +

@@ -137,7 +137,7 @@ object CorpusMain {
         |       CorpusMain train-dsir <corpusDir> <targetDir> <modelDir> [buckets]
         |       CorpusMain export-shards <corpusDir> <bpeModelDir> <outDir> [seqLen] [numShards] [overwrite|append]
         |       CorpusMain repair-shards <corpusDir> <bpeModelDir> <outDir> [maxConcurrent]
-        |       CorpusMain epoch-stream <outDir> <epoch> <destDir> [salt]
+        |       CorpusMain epoch-stream <outDir> <epoch> <destDir> [salt] [numParts]
         |       CorpusMain audit-shards <outDir> <bpeModelDir> [corpusDir]
         |       CorpusMain stats-shards <outDir>
         |       CorpusMain migrate-shingles <indexRoot> [buckets]
@@ -188,13 +188,28 @@ object CorpusMain {
         if (legacy.length > 1 ||
           kvPairs.length != kv.size ||
           (legacy.nonEmpty && kv.contains("emb"))) usage()
-        // the shards= flag's contract is checked BEFORE the refresh
-        // mutates anything (the early-refusal discipline): a cron line
-        // that forgot the tokenizer must not publish a batch and THEN
-        // die, leaving the operator to notice the export lagging
-        require(!kv.contains("shards") || kv.contains("tokenizer"),
-          "refresh shards=<exportDir> requires tokenizer=<modelDir> " +
-            "— the export encodes under that model")
+        // the shards= flag's WHOLE contract is checked BEFORE the
+        // refresh mutates anything (the early-refusal discipline): a
+        // cron line that forgot the tokenizer, points at a typo'd or
+        // un-bootstrapped export dir, or carries a legacy merges-only
+        // model must not publish a batch and THEN die, leaving the
+        // export silently lagging the corpus
+        kv.get("shards").foreach { exportDir =>
+          require(kv.contains("tokenizer"),
+            "refresh shards=<exportDir> requires tokenizer=" +
+              "<modelDir> — the export encodes under that model")
+          val fs = new org.apache.hadoop.fs.Path(exportDir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          require(fs.exists(
+              new org.apache.hadoop.fs.Path(s"$exportDir/params")),
+            s"refresh shards=$exportDir: no standing export there — " +
+              "bootstrap explicitly first (CorpusMain export-shards), " +
+              "refusing BEFORE the batch publishes")
+          // the append needs the COMPLETE model (ids); a legacy
+          // merges-only model passes the refresh's own readModel but
+          // would die post-publish — refuse it here instead
+          graft.operators.Bpe.readFullModel(spark, kv("tokenizer"))
+        }
         val emb = legacy.headOption.orElse(kv.get("emb"))
           .map(spark.read.parquet(_))
         val out = Pipeline.refreshCorpus(spark,
@@ -349,7 +364,7 @@ object CorpusMain {
         Pipeline.statsTrainingShards(spark, outDir).collect()
           .foreach(r => println(r.json))
       case "epoch-stream" :: outDir :: epoch :: destDir :: rest
-          if rest.length <= 1 =>
+          if rest.length <= 2 =>
         // materialize ONE epoch's training order from a standing
         // export: strict read (the artifact must agree with its
         // params before a training run consumes it), the map-only
@@ -358,12 +373,21 @@ object CorpusMain {
         // bytes — re-run with the next epoch number.
         val (seqs, p) = Pipeline.readTrainingShards(spark, outDir,
           strict = true)
+        // range-partition count scales with the ARTIFACT, not a
+        // constant: ~128 MB of ids (4 B each) per partition, floor
+        // 32 — a fixed 32 would funnel a large export through
+        // multi-GB single-task sorts; override with the optional
+        // 5th arg when the loader wants its own resume granularity
+        val numParts = rest.drop(1).headOption.map(_.toInt).getOrElse(
+          math.max(32L,
+            p.getAs[Long]("n_ids_total") * 4L / (128L << 20)).toInt)
         graft.operators.Sharding.epochReorder(seqs, epoch.toInt,
-            salt = rest.headOption.getOrElse("ep"))
+            salt = rest.headOption.getOrElse("ep"),
+            numParts = numParts)
           .write.mode("overwrite").parquet(destDir)
         println(s"""{"out":"${jsonEsc(destDir)}","epoch":${
           epoch.toInt},"n_sequences":${
-          p.getAs[Long]("n_sequences")}}""")
+          p.getAs[Long]("n_sequences")},"num_parts":$numParts}""")
       case "audit-shards" :: outDir :: modelDir :: rest
           if rest.length <= 1 =>
         // read-back audit of the packed-id artifact: the strict +

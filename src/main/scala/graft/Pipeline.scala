@@ -1687,8 +1687,7 @@ object Pipeline {
     // scan either way.
     def artifactEmpty(df: DataFrame): Boolean =
       if (eosId.isDefined) df.isEmpty
-      else df.where(
-        size(graft.operators.Bpe.bpeTokens(col("text"))) > 0).isEmpty
+      else df.where(tokenBearing).isEmpty
     graft.operators.Lease.withLeases(spark, Seq(outDir, corpusDir),
       "writeTrainingShards") {
       if (mode == "append") {
@@ -1871,7 +1870,11 @@ object Pipeline {
       s"$outDir has no params/ — not a written shards export (or its " +
         "write crashed before the params commit); re-run " +
         "writeTrainingShards")
-    val p = spark.read.parquet(s"$outDir/params").head()
+    val pdf = spark.read.parquet(s"$outDir/params")
+    // a pre-pack-layout export has no pack dirs: the named upgrade
+    // refusal, not a raw unresolved-column error from the select below
+    requireAppendEraParams(pdf, outDir)
+    val p = pdf.head()
     val seqLen = p.getAs[Long]("seq_len")
     val numShards = p.getAs[Int]("num_shards")
     val perShard = spark.read.parquet(s"$outDir/sequences")
@@ -2124,8 +2127,7 @@ object Pipeline {
       val corpusDf = spark.read.parquet(s"$corpusDir/corpus")
       def noTokens(df: DataFrame): Boolean =
         if (eosId.isDefined) df.isEmpty
-        else df.where(
-          size(graft.operators.Bpe.bpeTokens(col("text"))) > 0).isEmpty
+        else df.where(tokenBearing).isEmpty
       // a corpus retracted EMPTY below the watermark would repair
       // every pack away, leaving sequences/ unreadable — refuse
       // before destroying anything
@@ -2162,8 +2164,7 @@ object Pipeline {
       val packable =
         if (eosId.isDefined)
           corpusDf.select(col("doc_id")).where(col("doc_id") <= prevMax)
-        else corpusDf.where(col("doc_id") <= prevMax &&
-            size(graft.operators.Bpe.bpeTokens(col("text"))) > 0)
+        else corpusDf.where(col("doc_id") <= prevMax && tokenBearing)
           .select(col("doc_id"))
       val holes = packable
         .join(packedDocs.select(col("doc_id")).distinct(),
@@ -2310,27 +2311,50 @@ object Pipeline {
     val corpus0 = spark.read.parquet(s"$corpusDir/corpus")
       .where(col("doc_id") <= prevMax)
     val want = (if (eosId.isDefined) corpus0
-      else corpus0.where(size(Bpe.bpeTokens(col("text"))) > 0))
+      else corpus0.where(tokenBearing))
       .select(col("doc_id"),
         array_join(Bpe.bpeTokens(col("text")), " ").as("want"))
-    val joined = dec.join(want, Seq("doc_id"), "full_outer")
-      .withColumn("mismatch",
-        col("decoded").isNull || col("want").isNull ||
-          col("decoded") =!= col("want"))
-    joined.agg(
-      count(lit(1)).as("n_docs"),
-      count(when(col("mismatch"), 1)).as("n_mismatched"),
-      // a bounded sample of the mismatched ids, sorted for stable
-      // reports (metadata-sized: 10 ids, never the doc contents)
-      expr("slice(array_sort(collect_list(CASE WHEN mismatch THEN " +
-        "doc_id END)), 1, 10)").as("mismatched_doc_ids"),
-      coalesce(sum(col("a.n_bad")), lit(0L)).as("n_bad"),
-      coalesce(sum(col("a.n_unk")), lit(0L)).as("n_unk"),
-      coalesce(sum(col("a.n_word_merge_risk")), lit(0L))
-        .as("n_word_merge_risk"),
-      coalesce(sum(col("a.n_unterminated")), lit(0L))
-        .as("n_unterminated"))
+    // the verdict columns only — the big decoded/want strings are
+    // dropped BEFORE the frame is persisted for its two consumers
+    // (the totals aggregate and the bounded id sample): a mass-drift
+    // artifact (wrong corpusDir, a re-normalized corpus) mismatches
+    // on nearly every doc, and an unbounded collect_list of the ids
+    // would OOM exactly when the audit matters most — the sample is
+    // a TakeOrdered limit instead, bounded at any damage volume
+    val slim = dec.join(want, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (col("decoded").isNull || col("want").isNull ||
+          col("decoded") =!= col("want")).as("mismatch"),
+        col("a"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val agg = slim.agg(
+        count(lit(1)),
+        count(when(col("mismatch"), 1)),
+        coalesce(sum(col("a.n_bad")), lit(0L)),
+        coalesce(sum(col("a.n_unk")), lit(0L)),
+        coalesce(sum(col("a.n_word_merge_risk")), lit(0L)),
+        coalesce(sum(col("a.n_unterminated")), lit(0L))).head()
+      val sample = slim.where(col("mismatch"))
+        .orderBy(col("doc_id").asc).limit(10)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      import spark.implicits._
+      Seq((agg.getLong(0), agg.getLong(1), sample, agg.getLong(2),
+          agg.getLong(3), agg.getLong(4), agg.getLong(5)))
+        .toDF("n_docs", "n_mismatched", "mismatched_doc_ids", "n_bad",
+          "n_unk", "n_word_merge_risk", "n_unterminated")
+    } finally slim.unpersist()
   }
+
+  /** The token-bearing-document predicate (on a `text` column) shared
+    * by the export's emptiness gate, the repair's noTokens/reverse
+    * hole checks, and the full audit's corpus side — ONE definition,
+    * because it DECIDES what counts as a hole vs legitimate emptiness
+    * under eos=false: a normalization tweak updating one copy would
+    * silently desynchronize the export watermark semantics from the
+    * repair's refusals and the audit's diff. */
+  private def tokenBearing: Column =
+    size(graft.operators.Bpe.bpeTokens(col("text"))) > 0
 
   /** The pack-layout (append-era) params gate shared by the export's
     * APPEND, the READ, and the REPAIR — a pre-append-era export lacks

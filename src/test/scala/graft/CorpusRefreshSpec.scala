@@ -772,6 +772,16 @@ class CorpusRefreshSpec extends SparkSuite {
         idxRoot, corpusDir, s"shards=$exportDir"))
     }
     assert(spark.read.parquet(s"$corpusDir/corpus").count() === nBefore)
+    // shards= at an un-bootstrapped dir ALSO refuses pre-mutation
+    // (a typo'd export path must not publish and then die)
+    val eb = intercept[IllegalArgumentException] {
+      graft.CorpusMain.run(spark, List("refresh", writeTmpBatch(
+          batchOf((21L, "lowest a4 b4 c4 d4 e4 f4 g4 h4 i4"))),
+        idxRoot, corpusDir, s"tokenizer=$modelDir",
+        s"shards=${tmp("shfc_nowhere")}"))
+    }
+    assert(eb.getMessage.contains("no standing export"), eb.getMessage)
+    assert(spark.read.parquet(s"$corpusDir/corpus").count() === nBefore)
     // appending to a dir with no standing export refuses with the
     // explicit-bootstrap recovery (seqLen is a training contract,
     // never a silently inherited default)

@@ -20,7 +20,11 @@ import org.apache.spark.sql.SparkSession
   *     [[graft.operators.QualityClassifier]] model whose score rides
   *     every published doc (probe-only), `tokenizer` = a persisted
   *     [[graft.operators.Bpe]] model whose subword count rides every
-  *     published doc (probe-only token accounting), `chunkrule` = the substring
+  *     published doc (probe-only token accounting), `shards` = a
+  *     standing training-shard export the published batch is folded
+  *     into after the refresh (knob-inert append; requires
+  *     `tokenizer`; whole contract pre-flighted before anything
+  *     publishes), `chunkrule` = the substring
   *     clean granularity for the FIRST batch (`grid` default, `cdc`,
   *     or `line` — once the chunk index exists its stored rule drives
   *     every later batch). Prints the one-row report.
@@ -75,6 +79,31 @@ import org.apache.spark.sql.SparkSession
   *     the bucket-weight table for
   *     [[graft.operators.Sharding.dsirScore]]'s per-batch scoring.
   *     Same cadence and lease discipline.
+  *   - `export-shards <corpusDir> <bpeModelDir> <outDir> [seqLen]
+  *     [numShards] [overwrite|append]` — [[Pipeline
+  *     .writeTrainingShards]]: bootstrap (or explicitly append to)
+  *     the packed-id training artifact. The weekly cadence usually
+  *     rides `refresh shards=<outDir>` instead ([[Pipeline
+  *     .appendTrainingShards]] — knob-inert, the export's own params
+  *     drive the append), keeping one cron line per batch.
+  *   - `repair-shards <corpusDir> <bpeModelDir> <outDir>
+  *     [maxConcurrent]` — [[Pipeline.repairTrainingShards]]: the
+  *     GDPR-cadence recovery after `retract`, rewriting ONLY the
+  *     pack generations whose spans touch retracted docs (bounded
+  *     concurrent rebuilds, per-pack staged swaps).
+  *   - `audit-shards <outDir> <bpeModelDir> [corpusDir]` — strict +
+  *     model-checked read plus one decoded sample; with `corpusDir`,
+  *     the FULL audit ([[Pipeline.auditTrainingShards]]): every doc
+  *     reconstructed from the artifact's spans, decoded, and diffed
+  *     against the corpus normalization — mismatched doc_ids and the
+  *     decode-damage counts reported, non-zero exit on mismatch.
+  *   - `stats-shards <outDir>` — [[Pipeline.statsTrainingShards]]:
+  *     metadata-priced per-pack survey (sizes, short tails, padding
+  *     waste, shard spread — the is-a-re-pack-due numbers).
+  *   - `epoch-stream <outDir> <epoch> <destDir> [salt] [numParts]` —
+  *     [[graft.operators.Sharding.epochReorder]]: materialize ONE
+  *     epoch's deterministic training order from a standing export
+  *     (strict read, map-only key, one size-scaled range exchange).
   *   - `break-lease <dir> [dir ...]` —
   *     [[graft.operators.Lease.breakLease]]: the STALE-lease takeover
   *     surface. Every mutating pass above holds `<dir>/_LEASE` while

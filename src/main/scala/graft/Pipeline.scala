@@ -1874,6 +1874,20 @@ object Pipeline {
     // a pre-pack-layout export has no pack dirs: the named upgrade
     // refusal, not a raw unresolved-column error from the select below
     requireAppendEraParams(pdf, outDir)
+    // a crashed repair's staged-swap aside is INVISIBLE to the scan
+    // (underscore prefix) — surveying around it would report the
+    // aside'd pack as absent with no signal, the silent-omission shape
+    // this survey must never have; refuse loudly with the recovery
+    if (fs.exists(new Path(s"$outDir/sequences"))) {
+      val asides = fs.listStatus(new Path(s"$outDir/sequences"))
+        .map(_.getPath.getName).filter(_.startsWith("_old_pack~"))
+      require(asides.isEmpty,
+        s"$outDir/sequences holds staged-swap residue " +
+          s"(${asides.sorted.mkString(", ")} — a crashed " +
+          "repairTrainingShards); stats would silently omit the " +
+          "aside'd pack — re-run the repair first (it heals the " +
+          "aside before detection)")
+    }
     val p = pdf.head()
     val seqLen = p.getAs[Long]("seq_len")
     val numShards = p.getAs[Int]("num_shards")

@@ -1142,6 +1142,15 @@ class ShardingSpec extends SparkSuite {
       assert(s.getAs[Long]("shard_spread") <= 1L)
     }
     graft.CorpusMain.run(spark, List("stats-shards", s"$root/shards"))
+    // a crashed repair's aside refuses the survey loudly (stats would
+    // otherwise silently omit the aside'd pack)
+    new java.io.File(s"$root/shards/sequences/_old_pack~0").mkdirs()
+    val ea = intercept[IllegalArgumentException] {
+      graft.Pipeline.statsTrainingShards(spark, s"$root/shards")
+    }
+    assert(ea.getMessage.contains("staged-swap residue"), ea.getMessage)
+    assert(new java.io.File(s"$root/shards/sequences/_old_pack~0")
+      .delete())
   }
 
   test("repair rebuilds many touched packs concurrently: the parallel " +

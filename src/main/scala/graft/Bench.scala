@@ -51,7 +51,13 @@ object Bench {
     // q119 = q104's score + q105's split + an MLlib LR fit + q118's
     // scoring plan; the training fit is a model-build (the q100
     // class), its per-pass scoring signal is already benched as q118
-    "q119_quality_classifier")
+    "q119_quality_classifier",
+    // q142 = bootstrap export + append + retraction + repair + strict
+    // read + per-doc reconstruction in ONE timer (the q100 composed-
+    // lifecycle class); its per-pass signals are already benched —
+    // materializeSequences as q138/q139, the decode tier as q141 —
+    // and the repair core is priced at sf1 (BENCH_SF1)
+    "q142_repaired_export")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -410,11 +410,20 @@ object CorpusMain {
         val numParts = rest.drop(1).headOption.map(_.toInt).getOrElse(
           math.max(32L,
             p.getAs[Long]("n_ids_total") * 4L / (128L << 20)).toInt)
-        graft.operators.Sharding.epochReorder(seqs, epoch.toInt,
-            salt = rest.headOption.getOrElse("ep"),
-            numParts = numParts)
-          .write.mode("overwrite").parquet(destDir)
-        println(s"""{"out":"${jsonEsc(destDir)}","epoch":${
+        // destDir is derived data under the single-writer discipline
+        // like every written family: two concurrent epoch-streams (or
+        // an epoch-stream racing its own cron re-run) must refuse,
+        // not interleave their overwrites. The rows land under
+        // destDir/data so the overwrite can never clobber the lease
+        // file at the leased root (the index families' layout rule).
+        graft.operators.Lease.withLeases(spark, Seq(destDir),
+          "epoch-stream") {
+          graft.operators.Sharding.epochReorder(seqs, epoch.toInt,
+              salt = rest.headOption.getOrElse("ep"),
+              numParts = numParts)
+            .write.mode("overwrite").parquet(s"$destDir/data")
+        }
+        println(s"""{"out":"${jsonEsc(destDir)}/data","epoch":${
           epoch.toInt},"n_sequences":${
           p.getAs[Long]("n_sequences")},"num_parts":$numParts}""")
       case "audit-shards" :: outDir :: modelDir :: rest

@@ -1116,9 +1116,16 @@ class ShardingSpec extends SparkSuite {
     // order, and the healthy full audit prints without exiting
     graft.CorpusMain.run(spark, List("epoch-stream", s"$root/shards",
       "1", s"$root/epoch1"))
-    val ep = spark.read.parquet(s"$root/epoch1")
+    val ep = spark.read.parquet(s"$root/epoch1/data")
     assert(ep.count() === seqs.count())
     assert(ep.columns.contains("epoch_key"))
+    // the write is leased (single-writer): a held dest lease refuses
+    graft.operators.Lease.acquire(spark, s"$root/epoch1", "someone")
+    intercept[IllegalStateException] {
+      graft.CorpusMain.run(spark, List("epoch-stream",
+        s"$root/shards", "2", s"$root/epoch1"))
+    }
+    graft.operators.Lease.release(spark, s"$root/epoch1")
     graft.CorpusMain.run(spark, List("audit-shards", s"$root/shards",
       s"$root/model", s"$root/c"))
     // the metadata-priced stats survey: one row per pack, totals

@@ -292,4 +292,50 @@ class PropertySpec extends SparkSuite {
       }
     }
   }
+
+  test("reconstructDocs inverts materializeSequences for random " +
+      "corpora, seqLens, and eos modes; epoch keys permute the same " +
+      "id set") {
+    import graft.operators.{Bpe, Sharding}
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      // variable-length docs (1..20 words) force a mix of mid-doc
+      // cuts, multi-doc sequences, and doc-spanning sequences; one
+      // deterministic tokenless doc rides along under eos ON
+      val docs = ((0 until 15).map { i =>
+        (i.toLong, Seq.fill(1 + rnd.nextInt(20))(
+          words(rnd.nextInt(words.length))).mkString(" "))
+      } :+ (15L, " ")).toDF("doc_id", "text")
+      val model = Bpe.trainModel(docs, numMerges = 4 + rnd.nextInt(8),
+        maxTypes = 100)
+      val seqLen = 3L + rnd.nextInt(10)
+      for (eos <- Seq(Some(Bpe.eosIdOf(model)), None)) {
+        val seqs = Sharding.materializeSequences(docs, model, seqLen,
+          eosId = eos)
+        val got = Sharding.reconstructDocs(seqs, eos)
+          .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+        val want = Bpe.encodeIds(docs, model)
+          .select($"doc_id", $"ids").collect()
+          .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+        // with eos OFF the tokenless doc packs nothing and is absent
+        // from the reconstruction; with eos ON it reconstructs empty
+        val expectIds =
+          if (eos.isDefined) want.keySet else want.filter(_._2.nonEmpty).keySet
+        assert(got.keySet === expectIds, s"seed $seed seqLen $seqLen eos $eos")
+        got.foreach { case (id, ids) =>
+          assert(ids === want(id),
+            s"seed $seed seqLen $seqLen eos $eos doc $id") }
+      }
+      // the epoch key is a permutation of whatever id set it is
+      // given, at any epoch (no collision-induced loss at the sort)
+      val ids = (0 until 50).map(_ => rnd.nextLong() & 0xffffffL)
+        .distinct.map(Tuple1(_)).toDF("seq_id")
+      val e = rnd.nextInt(100)
+      val ordered = Sharding.epochOrder(ids, e)
+        .orderBy($"epoch_key", $"seq_id")
+        .collect().map(_.getLong(0))
+      assert(ordered.sorted.toSeq ===
+        ids.collect().map(_.getLong(0)).sorted.toSeq, s"seed $seed epoch $e")
+    }
+  }
 }

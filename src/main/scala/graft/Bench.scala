@@ -57,7 +57,11 @@ object Bench {
     // lifecycle class); its per-pass signals are already benched —
     // materializeSequences as q138/q139, the decode tier as q141 —
     // and the repair core is priced at sf1 (BENCH_SF1)
-    "q142_repaired_export")
+    "q142_repaired_export",
+    // q145 = q141's encode+decode round trip through the streaming
+    // harness (staging + checkpoint + per-file micro-batches); its
+    // per-pass signal is the batch round trip, already benched as q141
+    "q145_stream_encode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

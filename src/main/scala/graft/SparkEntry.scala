@@ -1859,6 +1859,45 @@ object SparkEntry {
       require(q.awaitTermination(300000), "q131 stream did not finish")
       s.read.parquet(out).orderBy(col("doc_id").asc)
     }),
+    // streaming tokenize-at-ingest (the TENTH bridge, probe-only):
+    // the documents table streamed and encoded to vocabulary ids per
+    // micro-batch under a PERSISTED complete model, each trigger's
+    // ids decoded back to words in the sink — the streamed encode
+    // must land exactly on DuckDB's independent normalization (q141's
+    // round-trip statement, now through the streaming harness), so a
+    // bridge whose per-trigger model read drifted, dropped, or
+    // re-segmented anything hash-fails
+    "q145_stream_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val modelDir = ivfIndexDir(dir, "em145")
+      // full alphabet coverage (the q141 note): the round trip is a
+      // lifecycle statement, not a vocabulary-cap statement
+      Bpe.writeModel(s,
+        Bpe.trainModel(docs, numMerges = 64, maxTypes = 1 << 20),
+        modelDir)
+      val model = Bpe.readFullModel(s, modelDir)
+      val n = StreamScratch.seq.incrementAndGet()
+      val stage = stageTableForStream(dir, "documents", "q145_stage")
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .withColumn("ts",
+          lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+        .select(col("ts"), col("doc_id"), col("text"))
+      val out = ivfIndexDir(dir, s"q145_out_$n")
+      val q = graft.streaming.StreamingAgg
+        .encodeStreamIds(stream, modelDir) { (b, _) =>
+          b.select(col("doc_id"),
+              array_join(Bpe.decodeWords(
+                Bpe.decodeIds(col("ids"), model)), " ").as("decoded"))
+            .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ivfIndexDir(dir, s"q145_ckpt_$n"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000), "q145 stream did not finish")
+      s.read.parquet(out).orderBy(col("doc_id").asc)
+    }),
     // streaming retrieval (the ninth bridge, probe-only): the q129
     // query set streamed ONE QUERY PER MICRO-BATCH against a persisted
     // BM25 index over the documents corpus — disjoint query sets rank
@@ -2605,6 +2644,15 @@ object SparkEntry {
       // whitespace-class collapse, empties dropped) — DuckDB computes
       // the normalization independently, never seeing ids
       "q141_decode_roundtrip" ->
+        """SELECT doc_id,
+          |  array_to_string(list_filter(string_split_regex(
+          |    lower(coalesce(text, '')), '[ \t\n\r\f\x0B]+'),
+          |    x -> x != ''), ' ') AS decoded
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      // the STREAMED encode under the persisted model decodes to the
+      // same shared normalization, trigger by trigger — same oracle
+      // as q141 (the bridge adds nothing to the encode's semantics)
+      "q145_stream_encode" ->
         """SELECT doc_id,
           |  array_to_string(list_filter(string_split_regex(
           |    lower(coalesce(text, '')), '[ \t\n\r\f\x0B]+'),

@@ -730,6 +730,61 @@ object StreamingAgg {
     } finally b.unpersist()
   }
 
+  /** Streaming TOKENIZE-at-ingest — the tenth bridge, the
+    * [[scoreStreamQuality]]/[[scoreStreamDsir]] design applied to the
+    * token-ID tier: each micro-batch's documents gain `ids` and
+    * `n_ids` under a persisted COMPLETE
+    * [[graft.operators.Bpe.BpeModel]] — exactly the batch
+    * [[graft.operators.Bpe.encodeIds]] shape, bit-identical under the
+    * same model (the encode is MAP-ONLY, so unlike the scorers there
+    * is not even a join: per-trigger cost is one projection over the
+    * batch) — so a training-ingest stream arrives at the sink already
+    * in MODEL units: token budgets, shard cuts, and the rows a
+    * [[graft.Pipeline.writeTrainingShards]] append will pack are
+    * accounted in the ids a training run actually consumes, at
+    * arrival instead of at the export cadence.
+    *
+    * Stateless, probe-only, model re-read per trigger (model-sized —
+    * a season `train-bpe` retrain lands on the next batch without a
+    * restart, and the per-batch model is the one provenance truth a
+    * sink should stamp next to its rows); [[graft.operators.Bpe
+    * .readFullModel]]'s integrity checks refuse a missing, crashed,
+    * legacy merges-only, or content-drifted model on every batch,
+    * empty ones included. Input needs (ts, doc_id, text); extra
+    * columns ride along.
+    */
+  def encodeStreamIds(docs: DataFrame, modelDir: String,
+      horizon: String = "1 hour")(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs
+      .withWatermark("ts", horizon)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processEncodeIdsBatch(batch, modelDir, batchId)(sink)
+      }
+
+  /** [[encodeStreamIds]]' per-micro-batch body, factored like its
+    * eight siblings so the spec drives it directly. */
+  private[graft] def processEncodeIdsBatch(batch: DataFrame,
+      modelDir: String, batchId: Long)(
+      sink: (DataFrame, Long) => Unit): Unit = {
+    import graft.operators.Bpe
+    val spark = batch.sparkSession
+    // validate the model BEFORE touching the batch — readFullModel
+    // refuses missing/crashed/legacy/drifted dirs loudly
+    val model = Bpe.readFullModel(spark, modelDir)
+    val b = batch
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try if (b.isEmpty) {
+      // empty maintenance batch: keep the sink's schema, skip the jobs
+      sink(b.withColumn("ids", lit(null).cast("array<int>"))
+        .withColumn("n_ids", lit(null).cast("int")), batchId)
+    } else {
+      sink(Bpe.encodeIds(b, model), batchId)
+    } finally b.unpersist()
+  }
+
   /** Streaming RETRIEVAL — the ninth bridge: each micro-batch is a
     * set of QUERIES (ts, query_id, text) ranked against a persisted
     * [[graft.operators.Retrieval.writeBm25Index]] corpus — exactly
@@ -789,7 +844,7 @@ object StreamingAgg {
       }
 
   /** [[retrieveStream]]'s per-micro-batch body, factored like its
-    * eight siblings so the spec drives it directly. */
+    * nine siblings so the spec drives it directly. */
   private[graft] def processRetrieveBatch(batch: DataFrame,
       bm25Dir: String, ivfDir: Option[String], k: Int, kEach: Int,
       k1: Double, bParam: Double, c: Int, excludeSelf: Boolean,

@@ -987,6 +987,80 @@ class MultimodalStreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming tokenize-at-ingest equals the batch id encoder " +
+      "under the stored model; a retrain lands on the next trigger; " +
+      "empty batches keep schema; missing and legacy models refuse") {
+    import graft.operators.Bpe
+    val modelDir = java.nio.file.Files
+      .createTempDirectory("graft_streamenc").toString
+    val trainDocs = Seq((0L, "low low lower newest"),
+      (1L, "newest widest low")).toDF("doc_id", "text")
+    val mA = Bpe.trainModel(trainDocs, numMerges = 6, maxTypes = 100)
+    Bpe.writeModel(spark, mA, modelDir)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val batch = Seq(
+      (ts("2024-01-01 10:00:00"), 1L, "low lower newest"),
+      (ts("2024-01-01 10:00:01"), 2L, "widest low zow"),
+      (ts("2024-01-01 10:00:02"), 3L, ""))
+      .toDF("ts", "doc_id", "text")
+    var got: Map[Long, Seq[Int]] = Map.empty
+    StreamingAgg.processEncodeIdsBatch(batch, modelDir, 0L) { (out, _) =>
+      assert(out.columns.toSet ===
+        Set("ts", "doc_id", "text", "ids", "n_ids"))
+      got = out.collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[scala.collection.Seq[Int]]("ids").toSeq).toMap
+    }
+    val expect = Bpe.encodeIds(batch.select($"doc_id", $"text"), mA)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[scala.collection.Seq[Int]]("ids").toSeq).toMap
+    assert(got === expect)
+    assert(got(3L) === Seq.empty)          // token-free completeness
+    assert(got(2L).contains(0))            // OOV code point -> id 0
+    // a season retrain lands MID-STREAM: the next trigger encodes
+    // under the new model (re-read per trigger, never cached)
+    val mB = Bpe.trainModel(
+      Seq((0L, "zz zz zow zow low")).toDF("doc_id", "text"),
+      numMerges = 4, maxTypes = 100)
+    Bpe.writeModel(spark, mB, modelDir)
+    var got2: Map[Long, Seq[Int]] = Map.empty
+    StreamingAgg.processEncodeIdsBatch(batch, modelDir, 1L) { (out, _) =>
+      got2 = out.collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[scala.collection.Seq[Int]]("ids").toSeq).toMap
+    }
+    assert(got2 === Bpe.encodeIds(batch.select($"doc_id", $"text"), mB)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[scala.collection.Seq[Int]]("ids").toSeq).toMap)
+    assert(got2 !== got, "the retrain must be visible from the next " +
+      "trigger on")
+    // empty batch: schema preserved, no jobs
+    StreamingAgg.processEncodeIdsBatch(
+      Seq.empty[(java.sql.Timestamp, Long, String)]
+        .toDF("ts", "doc_id", "text"), modelDir, 2L) { (out, _) =>
+      assert(out.columns.toSet ===
+        Set("ts", "doc_id", "text", "ids", "n_ids"))
+      assert(out.isEmpty)
+    }
+    // a missing model refuses on every batch, empty included
+    intercept[IllegalArgumentException] {
+      StreamingAgg.processEncodeIdsBatch(
+        Seq.empty[(java.sql.Timestamp, Long, String)]
+          .toDF("ts", "doc_id", "text"), s"$modelDir/nope", 3L) {
+        (_, _) => ()
+      }
+    }
+    // a LEGACY merges-only model refuses (the id space needs the
+    // stored alphabet — readFullModel's contract, enforced per batch)
+    val legacy = java.nio.file.Files
+      .createTempDirectory("graft_streamenc_legacy").toString
+    Bpe.writeModel(spark, mA.merges, legacy)
+    val e = intercept[IllegalArgumentException] {
+      StreamingAgg.processEncodeIdsBatch(batch, legacy, 4L) {
+        (_, _) => ()
+      }
+    }
+    assert(e.getMessage.contains("legacy"), e.getMessage)
+  }
+
   test("streaming retrieval equals the batch probes under the stored " +
       "indexes (lexical and hybrid), keeps the top-k schema on empty " +
       "batches, refuses a missing index, and ranks a mid-stream " +

@@ -95,8 +95,10 @@ import org.apache.spark.sql.SparkSession
   *     model-checked read plus one decoded sample; with `corpusDir`,
   *     the FULL audit ([[Pipeline.auditTrainingShards]]): every doc
   *     reconstructed from the artifact's spans, decoded, and diffed
-  *     against the corpus normalization — mismatched doc_ids and the
-  *     decode-damage counts reported, non-zero exit on mismatch.
+  *     against the model's encode-then-decode image of the corpus
+  *     text (so a capped model's OOV never false-flags — n_unk
+  *     discloses it) — mismatched doc_ids and the decode-damage
+  *     counts reported, non-zero exit on mismatch.
   *   - `stats-shards <outDir>` — [[Pipeline.statsTrainingShards]]:
   *     metadata-priced per-pack survey (sizes, short tails, padding
   *     waste, shard spread — the is-a-re-pack-due numbers).
@@ -219,25 +221,24 @@ object CorpusMain {
           (legacy.nonEmpty && kv.contains("emb"))) usage()
         // the shards= flag's WHOLE contract is checked BEFORE the
         // refresh mutates anything (the early-refusal discipline): a
-        // cron line that forgot the tokenizer, points at a typo'd or
-        // un-bootstrapped export dir, or carries a legacy merges-only
-        // model must not publish a batch and THEN die, leaving the
-        // export silently lagging the corpus
+        // cron line that forgot the tokenizer, points at a typo'd,
+        // un-bootstrapped, or pre-append-era export dir, carries a
+        // legacy merges-only or RETRAINED tokenizer, or runs over a
+        // corpus retracted from since the export must not publish a
+        // batch and THEN die, leaving the export silently lagging
+        // the corpus
         kv.get("shards").foreach { exportDir =>
           require(kv.contains("tokenizer"),
             "refresh shards=<exportDir> requires tokenizer=" +
               "<modelDir> — the export encodes under that model")
-          val fs = new org.apache.hadoop.fs.Path(exportDir)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          require(fs.exists(
-              new org.apache.hadoop.fs.Path(s"$exportDir/params")),
-            s"refresh shards=$exportDir: no standing export there — " +
-              "bootstrap explicitly first (CorpusMain export-shards), " +
-              "refusing BEFORE the batch publishes")
-          // the append needs the COMPLETE model (ids); a legacy
-          // merges-only model passes the refresh's own readModel but
-          // would die post-publish — refuse it here instead
-          graft.operators.Bpe.readFullModel(spark, kv("tokenizer"))
+          // the rest of the contract — standing export, append-era
+          // layout, complete model with matching content digest,
+          // settled retraction ledger — is one metadata-priced call
+          // ([[Pipeline.preflightShardsAppend]]): each is a condition
+          // the append itself would refuse on POST-publish, the lag
+          // state this early refusal exists to prevent
+          Pipeline.preflightShardsAppend(spark, corpusDir,
+            kv("tokenizer"), exportDir)
         }
         val emb = legacy.headOption.orElse(kv.get("emb"))
           .map(spark.read.parquet(_))
@@ -403,13 +404,14 @@ object CorpusMain {
         val (seqs, p) = Pipeline.readTrainingShards(spark, outDir,
           strict = true)
         // range-partition count scales with the ARTIFACT, not a
-        // constant: ~128 MB of ids (4 B each) per partition, floor
-        // 32 — a fixed 32 would funnel a large export through
-        // multi-GB single-task sorts; override with the optional
+        // constant — the operator's own default rule
+        // ([[graft.operators.Sharding.epochPartitions]]), fed here
+        // from the params row (already read — saves the operator's
+        // Σ n_ids metadata aggregate); override with the optional
         // 5th arg when the loader wants its own resume granularity
         val numParts = rest.drop(1).headOption.map(_.toInt).getOrElse(
-          math.max(32L,
-            p.getAs[Long]("n_ids_total") * 4L / (128L << 20)).toInt)
+          graft.operators.Sharding.epochPartitions(
+            p.getAs[Long]("n_ids_total")))
         // destDir is derived data under the single-writer discipline
         // like every written family: two concurrent epoch-streams (or
         // an epoch-stream racing its own cron re-run) must refuse,

@@ -1928,6 +1928,64 @@ object Pipeline {
     * operator decision: seqLen is a training-run contract, not a
     * default to inherit silently).
     */
+  /** PRE-FLIGHT for the `refresh shards=` cron composition: every
+    * append gate that can be checked from metadata alone, checked
+    * BEFORE [[refreshCorpus]] publishes anything — a batch must never
+    * publish and THEN die in [[appendTrainingShards]], leaving the
+    * export silently lagging the corpus (recoverable — the watermark
+    * catches up next run — but exactly the publish-then-lag state a
+    * pre-flight exists to prevent). Checks, in refusal order:
+    *
+    *   1. a standing export exists (params/; the mid-swap aside gets
+    *      its ∝-0 rename diagnosis, not "bootstrap first");
+    *   2. the export is append-era (pre-append-era layouts refuse
+    *      with the one-time mode=overwrite upgrade);
+    *   3. the tokenizer is a COMPLETE model whose counts AND content
+    *      digest match the export's stamp (a season retrain since the
+    *      export would otherwise mix id spaces post-publish);
+    *   4. the corpus' retraction ledger total equals the stamped one
+    *      (a retraction since the export needs repairTrainingShards
+    *      first — the append's own gate, surfaced pre-publish).
+    *
+    * Metadata-priced: two params reads, the model read, one ledger
+    * sum — never a corpus or artifact scan. Advisory by design: the
+    * authoritative gates re-run inside the append under the leases
+    * (a retraction landing between this check and the append still
+    * refuses there — loudly, after the publish, the recoverable
+    * direction). */
+  def preflightShardsAppend(spark: SparkSession, corpusDir: String,
+      modelDir: String, outDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(s"$outDir/params"))) {
+      require(!fs.exists(new Path(s"$outDir/_old_params")),
+        s"$outDir/params is mid-swap (a crashed staged rename; " +
+          "_old_params holds the standing metadata) — rename " +
+          "_old_params back to params first")
+      require(false,
+        s"refresh shards=$outDir: no standing export there — " +
+          "bootstrap explicitly first (CorpusMain export-shards), " +
+          "refusing BEFORE the batch publishes")
+    }
+    val pdf = spark.read.parquet(s"$outDir/params")
+    requireAppendEraParams(pdf, outDir,
+      note = "; the shards= append works from there")
+    val model = graft.operators.Bpe.readFullModel(spark, modelDir)
+    requireModelProvenance(pdf, pdf.head(), model,
+      graft.operators.Bpe.modelDigest(model), outDir,
+      "the post-refresh append would refuse AFTER the batch " +
+        "published; re-export (mode=overwrite) under the current " +
+        "model first")
+    val rtNow = retractionLedgerTotal(spark, corpusDir)
+    val stamped = pdf.head().getAs[Long]("retraction_total")
+    require(rtNow == stamped,
+      s"$corpusDir was retracted from since the last export (ledger " +
+        s"total $rtNow vs the recorded $stamped) — run " +
+        "repairTrainingShards first; the post-refresh append would " +
+        "refuse AFTER the batch published")
+  }
+
   def appendTrainingShards(spark: SparkSession, corpusDir: String,
       modelDir: String, outDir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
@@ -2291,15 +2349,30 @@ object Pipeline {
     * from the artifact's spans ([[graft.operators.Sharding
     * .reconstructDocs]] — across pack boundaries and mid-doc cuts),
     * decoded ([[graft.operators.Bpe.decodeIds]]/[[graft.operators.Bpe
-    * .decodeWords]]), and diffed against the corpus' shared
-    * normalization ([[graft.operators.Bpe.bpeTokens]]) under a full
-    * outer join — a doc packed but retracted, retracted but packed,
-    * or decoding to different words all land in `n_mismatched`, and
-    * the decode-damage sums ([[graft.operators.Bpe.decodeAudit]] over
-    * the reconstructed streams) ride next to it. Returns ONE row:
+    * .decodeWords]]), and diffed against the corpus text's
+    * ENCODE-THEN-DECODE image under the SAME model (encode →
+    * [[graft.operators.Bpe.decodeIds]] → [[graft.operators.Bpe
+    * .decodeWords]]) under a full outer join — a doc packed but
+    * retracted, retracted but packed, or decoding to different words
+    * all land in `n_mismatched`, and the decode-damage sums
+    * ([[graft.operators.Bpe.decodeAudit]] over the reconstructed
+    * streams) ride next to it. The model's image, NOT the raw
+    * [[graft.operators.Bpe.bpeTokens]] normalization, is the
+    * comparison side on purpose: under a capped-alphabet model
+    * (the [[graft.operators.Bpe.trainBpeModel]] default) an OOV code
+    * point decodes to `<unk>` and can never equal its source token,
+    * so a raw-text diff would report a perfectly healthy export as
+    * damaged — a false verdict whose "recovery" is a needless
+    * corpus-scale re-export. Both sides pass through the same decode
+    * conventions, so OOV and the word-merge edge cancel exactly;
+    * what raw-text fidelity the model itself cannot promise is
+    * DISCLOSED, not hidden — `n_unk` counts every OOV occurrence
+    * (damage INSIDE an OOV position is invisible to any reader of
+    * the artifact, the audit included: the information is destroyed
+    * at encode time). Returns ONE row:
     * `(n_docs, n_mismatched, mismatched_doc_ids[≤10], n_bad, n_unk,
     * n_word_merge_risk, n_unterminated)` — healthy means 0 everywhere
-    * but n_docs.
+    * but n_docs and (under a capped model) n_unk.
     *
     * Cost: artifact-scale by necessity (the reconstruction reads every
     * pack's ids once, ONE groupBy(doc_id) shuffle) plus one corpus
@@ -2324,10 +2397,15 @@ object Pipeline {
         Bpe.decodeAudit(col("subs")).as("a"))
     val corpus0 = spark.read.parquet(s"$corpusDir/corpus")
       .where(col("doc_id") <= prevMax)
-    val want = (if (eosId.isDefined) corpus0
-      else corpus0.where(tokenBearing))
+    // the corpus side is the model's OWN image of the text (encode →
+    // decode, map-only): a capped model's OOV decodes to <unk> on
+    // BOTH sides and a healthy export diffs clean — see the scaladoc
+    val want = Bpe.encodeIds(
+        (if (eosId.isDefined) corpus0 else corpus0.where(tokenBearing))
+          .select(col("doc_id"), col("text")), model)
       .select(col("doc_id"),
-        array_join(Bpe.bpeTokens(col("text")), " ").as("want"))
+        array_join(Bpe.decodeWords(Bpe.decodeIds(col("ids"), model)),
+          " ").as("want"))
     // the verdict columns only — the big decoded/want strings are
     // dropped BEFORE the frame is persisted for its two consumers
     // (the totals aggregate and the bounded id sample): a mass-drift

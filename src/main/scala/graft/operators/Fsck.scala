@@ -275,9 +275,19 @@ object Fsck {
                     "heals the aside before detection) or rename the " +
                     "aside back to its pack= dir by hand")
               if (fields.contains("model_digest"))
+                // additive with the aside warn, but never "healthy"
+                // next to it: an aside'd pack is invisible to every
+                // reader, and tooling filtering on ok-level findings
+                // must not read the export as whole while it is
                 b += Finding(dir, "params", "ok",
-                  "healthy training-shards export (sequences/ + " +
-                    "params, model content digest stamped)")
+                  if (asides.isEmpty)
+                    "healthy training-shards export (sequences/ + " +
+                      "params, model content digest stamped)"
+                  else
+                    "digest-stamped training-shards export " +
+                      "(sequences/ + params) — see the staged-swap " +
+                      "warn; a pack is sitting aside, invisible to " +
+                      "readers")
               else
                 b += Finding(dir, "params", "warn",
                   "pre-digest-era training-shards export: params/ " +

@@ -173,12 +173,45 @@ object Sharding {
     * in-partition sort, and its volume is the artifact's own size —
     * the unavoidable floor of a global permutation (PlanSpec pins the
     * single-exchange shape; BENCH_SF1 prices it at sf1).
+    *
+    * `numParts` defaults to 0 = ARTIFACT-SCALED: the partition count
+    * is [[epochPartitions]] over the frame's own Σ `n_ids` (one
+    * column-pruned metadata aggregate — the id arrays are never
+    * deserialized), so a direct API caller at 100× the test artifact
+    * gets ~128 MB-of-ids sort tasks, not 32 multi-GB ones. A frame
+    * without an `n_ids` column falls back to `ids` lengths when
+    * present (same count, one size() pass) and to the 32 floor
+    * otherwise; pass an explicit count to override — a loader's
+    * resume granularity is the consumer's call.
     */
   def epochReorder(seqs: DataFrame, epoch: Int, salt: String = "ep",
-      numParts: Int = 32): DataFrame =
+      numParts: Int = 0): DataFrame = {
+    val parts =
+      if (numParts > 0) numParts
+      else {
+        val idCount =
+          if (seqs.columns.contains("n_ids"))
+            seqs.agg(coalesce(sum(col("n_ids").cast("long")), lit(0L)))
+              .head().getLong(0)
+          else if (seqs.columns.contains("ids"))
+            seqs.agg(coalesce(sum(size(col("ids")).cast("long")),
+              lit(0L))).head().getLong(0)
+          else 0L
+        epochPartitions(idCount)
+      }
     epochOrder(seqs, epoch, salt)
-      .repartitionByRange(numParts, col("epoch_key"), col("seq_id"))
+      .repartitionByRange(parts, col("epoch_key"), col("seq_id"))
       .sortWithinPartitions(col("epoch_key"), col("seq_id"))
+  }
+
+  /** THE range-partition sizing rule behind [[epochReorder]]'s
+    * default and `CorpusMain epoch-stream`'s metadata path — ONE
+    * definition so the two can never drift: ~128 MB of ids (4 B
+    * each) per partition, floor 32 (small artifacts still spread
+    * across the cluster's cores; a fixed count would funnel a large
+    * export through multi-GB single-task sorts). */
+  def epochPartitions(nIdsTotal: Long): Int =
+    math.max(32L, nIdsTotal * 4L / (128L << 20)).toInt
 
   /** RESUME a crashed epoch mid-stream — the executable form of the
     * [[epochOrder]] reproducibility claim: given the last consumed

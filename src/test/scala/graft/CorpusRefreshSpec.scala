@@ -782,6 +782,34 @@ class CorpusRefreshSpec extends SparkSuite {
     }
     assert(eb.getMessage.contains("no standing export"), eb.getMessage)
     assert(spark.read.parquet(s"$corpusDir/corpus").count() === nBefore)
+    // a RETRAINED tokenizer refuses pre-publish too: the append's
+    // digest gate would otherwise fire only after the batch published
+    // (the publish-then-lag state the pre-flight exists to prevent)
+    val retrained = tmp("shfc_retrained_model")
+    Bpe.writeModel(spark,
+      Bpe.BpeModel(Seq("e", "s", "t", "</w>"), Seq(("e", "s"))),
+      retrained)
+    val er = intercept[IllegalArgumentException] {
+      graft.CorpusMain.run(spark, List("refresh", writeTmpBatch(
+          batchOf((22L, "lowest a5 b5 c5 d5 e5 f5 g5 h5 i5"))),
+        idxRoot, corpusDir, s"tokenizer=$retrained",
+        s"shards=$exportDir"))
+    }
+    assert(er.getMessage.contains("different model"), er.getMessage)
+    assert(spark.read.parquet(s"$corpusDir/corpus").count() === nBefore)
+    // a retraction ledgered since the export refuses pre-publish with
+    // the repair recovery (the append's ledger gate, surfaced early)
+    Seq((1L, 1L)).toDF("n_requested", "n_retracted")
+      .write.parquet(s"$corpusDir/retractions/retraction_id=xshfc")
+    val el = intercept[IllegalArgumentException] {
+      graft.CorpusMain.run(spark, List("refresh", writeTmpBatch(
+          batchOf((23L, "lowest a6 b6 c6 d6 e6 f6 g6 h6 i6"))),
+        idxRoot, corpusDir, s"tokenizer=$modelDir",
+        s"shards=$exportDir"))
+    }
+    assert(el.getMessage.contains("retracted from since"),
+      el.getMessage)
+    assert(spark.read.parquet(s"$corpusDir/corpus").count() === nBefore)
     // appending to a dir with no standing export refuses with the
     // explicit-bootstrap recovery (seqLen is a training contract,
     // never a silently inherited default)

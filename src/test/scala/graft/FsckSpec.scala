@@ -289,10 +289,12 @@ class FsckSpec extends SparkSuite {
       x.level == "warn" && x.detail.contains("repairTrainingShards")),
       fa.mkString("\n"))
     // the aside warn is ADDITIVE: the digest classification still
-    // runs for the same dir (here: the healthy-export ok), so one
-    // finding never masks the other
+    // runs for the same dir, so one finding never masks the other —
+    // but it must not read "healthy" while a pack sits aside,
+    // invisible to every reader (tooling filters on ok-level text)
     assert(fa.exists(x => x.dir == s"$root/shards" &&
-      x.level == "ok" && x.detail.contains("training-shards")),
+      x.level == "ok" && x.detail.contains("training-shards") &&
+      !x.detail.contains("healthy")),
       fa.mkString("\n"))
     // ... and an aside'd PRE-digest export reports BOTH warns
     spark.read.parquet(s"$root/shards/sequences")

@@ -147,6 +147,16 @@ class ShardingSpec extends SparkSuite {
     // resuming from the last position yields the empty remainder
     val (lk, li) = keyed.last
     assert(Sharding.epochResume(seqs, 2, lk, li).count() === 0L)
+    // the DEFAULT partition count is artifact-scaled (the CLI rule,
+    // now in the operator): ~128 MB of ids per partition, floor 32 —
+    // a direct API caller at 100x scale must not get 32 multi-GB
+    // sort tasks
+    assert(Sharding.epochPartitions(0L) === 32)
+    assert(Sharding.epochPartitions(100L * (1L << 30)) === 3200,
+      "100 G ids at 4 B each = 400 GB -> 3200 x 128 MB partitions")
+    val withIds = seqs.withColumn("n_ids", lit(8))
+    assert(Sharding.epochReorder(withIds, 2).rdd.getNumPartitions
+      === 32, "small artifacts keep the 32 floor")
   }
 
   test("token shards: distributed prefix sum equals the single-window " +
@@ -1274,6 +1284,43 @@ class ShardingSpec extends SparkSuite {
     val m2 = audit()
     assert(m2.getAs[Long]("n_mismatched") === 1L)
     assert(m2.getSeq[Long](m2.fieldIndex("mismatched_doc_ids"))
+      === Seq(1L))
+  }
+
+  test("auditTrainingShards under a CAPPED-alphabet model: OOV " +
+      "decodes to <unk> on both sides, so a healthy export is " +
+      "n_mismatched=0 with the OOV volume disclosed as n_unk — " +
+      "never a false damage verdict") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_shauditoov").toString
+    Seq((0L, "low low low newest newest wide west"),
+        (1L, "newest low axe low"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$root/c/corpus/batch_id=1")
+    // maxTypes=2 keeps only {low, newest}: the alphabet misses
+    // a/d/e-only-in-wide/i/x — "wide west axe" encode partly to OOV
+    // id 0, and the pre-fix raw-text diff flagged both docs damaged
+    graft.Pipeline.trainBpeModel(spark, s"$root/c", s"$root/model",
+      numMerges = 2, maxTypes = 2)
+    graft.Pipeline.writeTrainingShards(spark, s"$root/c",
+      s"$root/model", s"$root/shards", seqLen = 4, numShards = 2)
+    val h = graft.Pipeline.auditTrainingShards(spark, s"$root/shards",
+      s"$root/model", s"$root/c").head()
+    assert(h.getAs[Long]("n_docs") === 2L)
+    assert(h.getAs[Long]("n_mismatched") === 0L,
+      "a capped model's OOV must not read as artifact damage")
+    assert(h.getSeq[Long](h.fieldIndex("mismatched_doc_ids")).isEmpty)
+    assert(h.getAs[Long]("n_unk") > 0L,
+      "the OOV volume must stay disclosed")
+    // real damage still lands: retract doc 1 from the corpus without
+    // a repair — the audit names it even under the capped model
+    Seq((0L, "low low low newest newest wide west"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$root/c/corpus/batch_id=1")
+    val m = graft.Pipeline.auditTrainingShards(spark, s"$root/shards",
+      s"$root/model", s"$root/c").head()
+    assert(m.getAs[Long]("n_mismatched") === 1L)
+    assert(m.getSeq[Long](m.fieldIndex("mismatched_doc_ids"))
       === Seq(1L))
   }
 

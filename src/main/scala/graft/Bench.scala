@@ -19,6 +19,12 @@ object Bench {
     "q32_minhash_candidates", "q34_simhash", "q37_ann_cosine_topk",
     "q42_langid", "q46_frame_sample", "q48_top_terms")
 
+  /** Sample count for [[OncePerRun]] entries (reported time = min of
+    * these): 1 was unfalsifiable — see the r15 q135 phantom — and the
+    * full 5-pass replication is exactly what OncePerRun exists to
+    * avoid; 2 is the cheapest count that can reject an outlier. */
+  val OncePasses = 2
+
   /** Composed-lifecycle entries timed [[OncePasses]] times per bench
     * run (reported min) instead of once per pass: their cost is the
     * sum of constituent operators that are each already benched
@@ -28,12 +34,6 @@ object Bench {
     * measured, still reported in `queries`, still error-poisoning —
     * just not 5-pass-replicated.
     */
-  /** Sample count for [[OncePerRun]] entries (reported time = min of
-    * these): 1 was unfalsifiable — see the r15 q135 phantom — and the
-    * full 5-pass replication is exactly what OncePerRun exists to
-    * avoid; 2 is the cheapest count that can reject an outlier. */
-  val OncePasses = 2
-
   val OncePerRun: Set[String] = Set("q100_corpus_refresh",
     // q110 = q101's screen THROUGH the streaming harness (staging +
     // checkpoint + per-file micro-batches — the q91 overhead shape);
@@ -58,6 +58,15 @@ object Bench {
     // materializeSequences as q138/q139, the decode tier as q141 —
     // and the repair core is priced at sf1 (BENCH_SF1)
     "q142_repaired_export",
+    // q144 = train + bootstrap export + strict read per invocation
+    // (the write-inside-the-timer convention made it the most
+    // expensive per-pass entry by r16); its per-pass signals are
+    // already benched — the export as q138/q139, the key as q143
+    "q144_epoch_shards",
+    // q146 = the q142 lifecycle closed by the full artifact audit
+    // (reconstruction + decode + corpus encode-image diff in the
+    // same timer) — the composed-lifecycle class by construction
+    "q146_audit_shards",
     // q145 = q141's encode+decode round trip through the streaming
     // harness (staging + checkpoint + per-file micro-batches); its
     // per-pass signal is the batch round trip, already benched as q141
@@ -166,9 +175,15 @@ object Bench {
       else headTimes.map(_._2.min).sum
     val sfLabel = sfDir.substring(sfDir.lastIndexOf('/') + 1)
     // full, never-trimmed detail to a file (the stdout line may drop
-    // cheap entries under the tail-capture budget — see renderJson)
+    // cheap entries under the tail-capture budget — see renderJson).
+    // SPARK_GRAFT_BENCH_FULL points it at a TRACKED per-round path
+    // (docs/BENCH_FULL_r<N>.json) so the dropped per-query times and
+    // the once-per-run sample arrays survive the round — the r16
+    // verdict's falsifiability gap: over half the inventory's
+    // round-over-round comparison lived in a git-ignored scratch file
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("target/bench_full.json"),
+      java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_FULL", "target/bench_full.json")),
       renderJson(results, errors, sfLabel, Int.MaxValue,
         Some(headlineMin), onceSamples).getBytes("UTF-8"))
     catch { case _: Throwable => () }

@@ -1369,6 +1369,94 @@ object SparkEntry {
         .where(col("seq_id") < probe)
         .orderBy(col("epoch_key").asc, col("seq_id").asc)
     }),
+    // the FULL artifact audit through the driver gate: the q142
+    // lifecycle (bootstrap + append + retraction + repair) closed by
+    // auditTrainingShards — DuckDB derives the surviving-doc count
+    // independently and every damage column must be zero (the sample
+    // array stringifies so the one-row schema stays oracle-hashable).
+    // maxTypes past any oracle-scale type count keeps n_unk at 0 so
+    // the zero is a statement about the lifecycle, not the vocabulary
+    "q146_audit_shards" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .where(col("doc_id") < 1000)
+        .select(col("doc_id"), col("text"))
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val mid = maxId / 2
+      val n = StreamScratch.seq.incrementAndGet()
+      val root = ivfIndexDir(dir, s"aud146_$n")
+      docs.where(col("doc_id") <= mid).write.mode("overwrite")
+        .parquet(s"$root/c/corpus/batch_id=$mid")
+      Pipeline.trainBpeModel(s, s"$root/c", s"$root/model",
+        numMerges = 64, maxTypes = 1 << 20)
+      Pipeline.writeTrainingShards(s, s"$root/c", s"$root/model",
+        s"$root/shards", seqLen = 64, numShards = 4)
+      docs.where(col("doc_id") > mid).write.mode("overwrite")
+        .parquet(s"$root/c/corpus/batch_id=$maxId")
+      Pipeline.writeTrainingShards(s, s"$root/c", s"$root/model",
+        s"$root/shards", seqLen = 64, numShards = 4, mode = "append")
+      docs.where(col("doc_id") > mid &&
+          pmod(col("doc_id"), lit(41)) =!= 0)
+        .write.mode("overwrite")
+        .parquet(s"$root/c/corpus/batch_id=$maxId")
+      val nRet = docs.where(col("doc_id") > mid &&
+        pmod(col("doc_id"), lit(41)) === 0).count()
+      Seq((nRet, nRet)).toDF("n_requested", "n_retracted")
+        .write.mode("overwrite")
+        .parquet(s"$root/c/retractions/retraction_id=xq146")
+      Pipeline.repairTrainingShards(s, s"$root/c", s"$root/model",
+        s"$root/shards")
+      Pipeline.auditTrainingShards(s, s"$root/shards", s"$root/model",
+          s"$root/c")
+        .select(col("n_docs"), col("n_mismatched"),
+          concat_ws(",", col("mismatched_doc_ids"))
+            .as("mismatched_doc_ids"),
+          col("n_bad"), col("n_unk"), col("n_word_merge_risk"),
+          col("n_unterminated"))
+    }),
+    // the metadata-priced export survey through the driver gate: a
+    // bootstrap export encoded under a PLANTED one-merge model whose
+    // merge can never fire on this corpus (trained symbol 'z' is
+    // absent from the documents text), so every word costs exactly
+    // len+1 ids (its code points + the end-of-word symbol; vocabulary
+    // membership never changes the COUNT, only the id) and one eos
+    // rides per doc — DuckDB reproduces the whole per-pack packing
+    // arithmetic (sizes, short tails, padding waste, shard spread)
+    // from the text alone, never seeing packs or ids
+    "q147_stats_shards" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .where(col("doc_id") < 1000)
+        .select(col("doc_id"), col("text"))
+      val n = StreamScratch.seq.incrementAndGet()
+      val root = ivfIndexDir(dir, s"st147_$n")
+      docs.write.mode("overwrite").parquet(s"$root/c/corpus")
+      Bpe.writeModel(s,
+        Bpe.BpeModel(Seq("z", graft.functions.BpeEncodeExpr.Eow),
+          Seq(("z", "z"))), s"$root/model")
+      Pipeline.writeTrainingShards(s, s"$root/c", s"$root/model",
+        s"$root/shards", seqLen = 64, numShards = 4)
+      Pipeline.statsTrainingShards(s, s"$root/shards")
+        .select(col("pack"), col("n_sequences"), col("n_ids"),
+          col("n_short"), col("padding_waste"), col("shard_spread"))
+        .orderBy(col("pack").asc)
+    }),
+    // epochResume through the driver gate: the strict remainder of
+    // q143's epoch-3 order after a REAL mid-order cursor — the
+    // (epoch_key, seq_id) of the median id, so the filter's equality
+    // tie-break is exercised at the cursor itself. DuckDB recomputes
+    // the cursor and the remainder from scratch (the q143 byte-fold +
+    // Lehmer mix); the artifact-side id domain is q144's claim, the
+    // two-long resume semantics is this one's
+    "q148_epoch_resume" -> ((s, dir) => {
+      val seqs = t(s, dir, "documents")
+        .select(col("doc_id").as("seq_id"))
+      val curId = seqs.agg(max(col("seq_id"))).head().getLong(0) / 2
+      val cur = Sharding.epochOrder(
+        seqs.where(col("seq_id") === curId), epoch = 3).head()
+      Sharding.epochResume(seqs, epoch = 3,
+          lastKey = cur.getAs[Long]("epoch_key"), lastId = curId)
+        .orderBy(col("epoch_key").asc, col("seq_id").asc)
+    }),
     "q123_dsir_weight" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Sharding.dsirScore(docs,
@@ -3028,6 +3116,77 @@ object SparkEntry {
           |    (acc, c) -> (acc * 257 + c) % 1000000007)
           |    * 48271) % 1000000007 AS BIGINT) AS epoch_key
           |FROM k ORDER BY epoch_key, seq_id""".stripMargin,
+      // the full artifact audit's healthy verdict: n_docs = the docs
+      // that SURVIVE the q142-style retraction, every damage column
+      // zero — DuckDB derives survival from the text alone, never
+      // seeing packs, spans, ids, or the model
+      "q146_audit_shards" ->
+        """WITH d AS (
+          |  SELECT doc_id FROM documents WHERE doc_id < 1000),
+          |m AS (
+          |  SELECT CAST(max(doc_id) AS BIGINT) // 2 AS mid FROM d)
+          |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+          |  0::BIGINT AS n_mismatched, '' AS mismatched_doc_ids,
+          |  0::BIGINT AS n_bad, 0::BIGINT AS n_unk,
+          |  0::BIGINT AS n_word_merge_risk,
+          |  0::BIGINT AS n_unterminated
+          |FROM d, m WHERE doc_id <= m.mid OR doc_id % 41 != 0"""
+          .stripMargin,
+      // the export survey's packing arithmetic: under the planted
+      // never-firing one-merge model every word costs len+1 ids
+      // (code points + end-of-word symbol) and each doc one eos, so
+      // the bootstrap pack's sizes/tails/waste/spread are integer
+      // arithmetic over the normalized text — the q141 normalization
+      // (lowercase, whitespace-class split, empties dropped)
+      "q147_stats_shards" ->
+        """WITH d AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+          |tok AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(
+          |      lower(coalesce(text, '')), '[ \t\n\r\f\x0B]+'),
+          |      x -> x != '') AS ts
+          |  FROM d),
+          |tot AS (
+          |  SELECT CAST(coalesce(sum(
+          |    coalesce(list_sum(list_transform(ts,
+          |      x -> length(x) + 1)), 0) + 1), 0) AS BIGINT) AS ids
+          |  FROM tok),
+          |sz AS (
+          |  SELECT ids, (ids + 63) // 64 AS nseq FROM tot)
+          |SELECT 0::BIGINT AS pack,
+          |  CAST(nseq AS BIGINT) AS n_sequences,
+          |  ids AS n_ids,
+          |  CAST(CASE WHEN ids % 64 = 0 THEN 0 ELSE 1 END
+          |    AS BIGINT) AS n_short,
+          |  CAST((64 - ids % 64) % 64 AS BIGINT) AS padding_waste,
+          |  CAST(CASE WHEN nseq % 4 = 0 THEN 0 ELSE 1 END
+          |    AS BIGINT) AS shard_spread
+          |FROM sz""".stripMargin,
+      // epochResume: the q143 order's strict remainder past the
+      // median id's (epoch_key, seq_id) cursor — same byte-fold +
+      // Lehmer mix, cursor recomputed from scratch, the tie-break
+      // exercised AT the cursor row (excluded) itself
+      "q148_epoch_resume" ->
+        """WITH k AS (
+          |  SELECT doc_id AS seq_id,
+          |    'ep:3:' || CAST(doc_id AS VARCHAR) AS key
+          |  FROM documents),
+          |h AS (
+          |  SELECT seq_id,
+          |    CAST((list_reduce(list_prepend(0::BIGINT,
+          |      [ascii(key[i])::BIGINT
+          |        FOR i IN range(1, length(key)+1)]),
+          |      (acc, c) -> (acc * 257 + c) % 1000000007)
+          |      * 48271) % 1000000007 AS BIGINT) AS epoch_key
+          |  FROM k),
+          |c AS (
+          |  SELECT epoch_key AS ck, seq_id AS ci FROM h
+          |  WHERE seq_id = (SELECT CAST(max(doc_id) AS BIGINT) // 2
+          |    FROM documents))
+          |SELECT seq_id, epoch_key FROM h, c
+          |WHERE epoch_key > c.ck OR (epoch_key = c.ck AND seq_id > c.ci)
+          |ORDER BY epoch_key, seq_id""".stripMargin,
       "q78_weighted_sample" ->
         // same byte-fold as q44/q65 over "ws1:<doc_id>", then the
         // Lehmer mixing step (h*48271 % p — see Sharding.weightedSample

@@ -67,6 +67,9 @@ object Bench {
     // (reconstruction + decode + corpus encode-image diff in the
     // same timer) — the composed-lifecycle class by construction
     "q146_audit_shards",
+    // q149 = bootstrap + four appends + compaction + reconstruction
+    // + decode in ONE timer — the same composed-lifecycle class
+    "q149_compacted_export",
     // q145 = q141's encode+decode round trip through the streaming
     // harness (staging + checkpoint + per-file micro-batches); its
     // per-pass signal is the batch round trip, already benched as q141

@@ -102,6 +102,12 @@ import org.apache.spark.sql.SparkSession
   *   - `stats-shards <outDir>` — [[Pipeline.statsTrainingShards]]:
   *     metadata-priced per-pack survey (sizes, short tails, padding
   *     waste, shard spread — the is-a-re-pack-due numbers).
+  *   - `compact-shards <outDir> [minFill]` —
+  *     [[Pipeline.compactTrainingShards]]: merge adjacent short /
+  *     repair-shrunk pack generations into dense ones by re-cutting
+  *     their id streams (never re-encoding) — the waste-proportional
+  *     re-pack the stats columns trigger, instead of a corpus-scale
+  *     mode=overwrite re-export.
   *   - `epoch-stream <outDir> <epoch> <destDir> [salt] [numParts]` —
   *     [[graft.operators.Sharding.epochReorder]]: materialize ONE
   *     epoch's deterministic training order from a standing export
@@ -171,6 +177,7 @@ object CorpusMain {
         |       CorpusMain epoch-stream <outDir> <epoch> <destDir> [salt] [numParts]
         |       CorpusMain audit-shards <outDir> <bpeModelDir> [corpusDir]
         |       CorpusMain stats-shards <outDir>
+        |       CorpusMain compact-shards <outDir> [minFill]
         |       CorpusMain migrate-shingles <indexRoot> [buckets]
         |       CorpusMain break-lease <dir> [dir ...]
         |       CorpusMain break-leases <root>
@@ -385,6 +392,17 @@ object CorpusMain {
           s""""n_ids_total":${r.getAs[Long]("n_ids_total")},""" +
           s""""retraction_total":${
             r.getAs[Long]("retraction_total")}}""")
+      case "compact-shards" :: outDir :: rest if rest.length <= 1 =>
+        // the waste-proportional re-pack stats-shards' padding_waste /
+        // n_short columns call for: adjacent short/repair-shrunk pack
+        // generations merge into dense ones (id streams re-cut, never
+        // re-encoded — no model, no corpus read), ∝ short packs
+        val r = Pipeline.compactTrainingShards(spark, outDir,
+          minFill = rest.headOption.map(_.toDouble).getOrElse(0.9))
+          .head()
+        println(s"""{"out":"${jsonEsc(outDir)}",""" +
+          s""""n_sequences":${r.getAs[Long]("n_sequences")},""" +
+          s""""n_ids_total":${r.getAs[Long]("n_ids_total")}}""")
       case "stats-shards" :: outDir :: Nil =>
         // metadata-priced survey of the export (n_ids/shard/pack only,
         // never the id arrays): pack sizes, repair-shrunk packs, the

@@ -1562,6 +1562,12 @@ object Pipeline {
     }
     val seqs = spark.read.parquet(s"$outDir/sequences")
     if (strict) {
+      // a crashed compaction's in-flight marker: the swap-then-delete
+      // window can leave MERGED docs duplicated next to their old
+      // packs — a count check alone would misdiagnose it as the
+      // crashed-append/foreign states below, whose recoveries don't
+      // converge it; the compaction re-run does
+      requireNoCompactMarker(spark, outDir, "re-read")
       val n = seqs.count()
       val recorded = p.getAs[Long]("n_sequences")
       // n > recorded is the crashed-append signature (a committed
@@ -1888,6 +1894,10 @@ object Pipeline {
           "aside'd pack — re-run the repair first (it heals the " +
           "aside before detection)")
     }
+    // the same silent-misreport argument for a crashed compaction's
+    // window: merged docs duplicated next to their old packs would
+    // survey as inflated sizes with no signal
+    requireNoCompactMarker(spark, outDir, "re-run the stats")
     val p = pdf.head()
     val seqLen = p.getAs[Long]("seq_len")
     val numShards = p.getAs[Int]("num_shards")
@@ -1911,6 +1921,276 @@ object Pipeline {
           .otherwise(max(col("n")) - min(col("n")))
           .as("shard_spread"))
       .orderBy(col("pack").asc)
+  }
+
+  /** PACK-TAIL COMPACTION for a [[writeTrainingShards]] export — the
+    * waste-proportional remedy [[statsTrainingShards]]' numbers call
+    * for, sitting between "live with it" and the corpus-scale
+    * `mode=overwrite` re-export (the same asymmetry argument that
+    * produced the pack-targeted repair): a season of weekly appends
+    * leaves one short-tail generation per batch, and repairs leave
+    * shrunken, multi-tail packs — padding waste and per-pack reader
+    * overhead that only a re-pack removes, but whose volume is ∝ the
+    * SHORT packs, never the corpus. Merges each maximal run of
+    * ADJACENT candidate packs (candidate: id fill below `minFill`,
+    * or more than one short sequence — a repair's re-cut signature)
+    * into ONE dense generation at the run's first base:
+    *
+    *   1. heals a crashed previous compaction (the `_compact~<base>`
+    *      in-flight marker: if the merged pack landed — its Σ n_ids
+    *      equals the marker's stamp, and ids are conserved exactly —
+    *      the remaining victims delete and the restamp completes;
+    *      a stale marker from a pre-swap crash is dropped) and any
+    *      staged-swap aside (the repair's step-1 rule); REFUSES a
+    *      crashed append's unrecorded pack (base past the stored
+    *      `next_seq_id`) with the run-repair-first recovery — a
+    *      possibly-partial pack must never be merged into a
+    *      legitimate generation;
+    *   2. re-packs WITHOUT re-encoding: the run's per-document id
+    *      streams reassemble from its own spans
+    *      ([[graft.operators.Sharding.reconstructDocs]], eos kept in
+    *      stream) and re-cut at the stored seqLen
+    *      ([[graft.operators.Sharding.packIdStreams]] — the
+    *      materialize path's pack half at the id level), so the id
+    *      space CANNOT drift: compaction never reads the model, the
+    *      corpus, or the text, and Σ n_ids is conserved bit-for-bit
+    *      (ShardingSpec pins reconstruction equality across it);
+    *   3. swaps the merged pack in atomically at the run's first
+    *      base (per-pack staged swap, the repair discipline), then
+    *      deletes the merged-away victims — the marker written FIRST
+    *      makes the two-step window loud and convergent: a crash
+    *      between swap and deletes leaves duplicate docs on disk,
+    *      but the marker refuses every strict read / stats / repair
+    *      with the re-run-compaction recovery, and the re-run
+    *      finishes the deletes;
+    *   4. restamps `params/` from the actual tree (count + Σ n_ids —
+    *      small columns only). The watermark, model provenance,
+    *      `retraction_total` (compaction never scans the corpus, so
+    *      it must not claim retraction reflection), and the
+    *      `next_seq_id` high-water mark all carry over unchanged —
+    *      bases never move, merged seq_ids stay strictly below the
+    *      old run ceiling (ceil(Σ ids / L) ≤ Σ ceil(ids_i / L)), so
+    *      future appends stay collision-free.
+    *
+    * Cost: the runs' own id bytes once through ONE reconstruct
+    * shuffle + one re-cut each — ∝ accumulated waste; untouched packs
+    * keep their files byte-identical. A no-candidate run returns the
+    * standing params untouched (two metadata reads, the cron-re-run
+    * discipline). Holds only `outDir`'s lease: the corpus is never
+    * read, and a retraction landing mid-compaction interacts only
+    * through the ledger gate, which the unchanged stamp keeps
+    * conservative. `CorpusMain compact-shards` is the cron line;
+    * trigger it on `stats-shards`' padding_waste / n_short columns.
+    */
+  def compactTrainingShards(spark: SparkSession, outDir: String,
+      minFill: Double = 0.9): DataFrame = {
+    require(minFill > 0.0 && minFill <= 1.0,
+      s"minFill must be in (0, 1], got $minFill")
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val fs = new Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.operators.Lease.withLeases(spark, Seq(outDir),
+      "compactTrainingShards") {
+      if (!fs.exists(new Path(s"$outDir/params"))) {
+        require(!fs.exists(new Path(s"$outDir/_old_params")),
+          s"$outDir/params is mid-swap (a crashed staged rename; " +
+            "_old_params holds the standing metadata) — rename " +
+            "_old_params back to params and re-run the compaction")
+        require(false,
+          s"$outDir has no standing export (params/) — nothing to " +
+            "compact; run writeTrainingShards (mode=overwrite) first")
+      }
+      val pdf = spark.read.parquet(s"$outDir/params")
+      requireAppendEraParams(pdf, outDir)
+      // the restamp carries the provenance stamp forward — a
+      // pre-digest export has none to carry (and appends/reads
+      // refuse it anyway); the one-time upgrade is the recovery
+      require(pdf.schema.fieldNames.contains("model_digest"),
+        s"$outDir is a pre-digest-era export (params/ records only " +
+          "model COUNTS) — re-export (mode=overwrite) once to stamp " +
+          "the model's content digest; compaction restamps params " +
+          "and must carry the stamp forward")
+      val p = pdf.head()
+      val seqLen = p.getAs[Long]("seq_len")
+      val numShards = p.getAs[Int]("num_shards")
+      val nextSeq0 =
+        if (pdf.schema.fieldNames.contains("next_seq_id"))
+          p.getAs[Long]("next_seq_id")
+        else p.getAs[Long]("n_sequences")
+      val seqRoot = new Path(s"$outDir/sequences")
+      require(fs.exists(seqRoot),
+        s"$outDir has params/ but no sequences/ — a crashed " +
+          "overwrite's torn state (fsck names it); re-run the export " +
+          "(mode=overwrite)")
+      // ---- step 1a: heal staged-swap residue (the repair's rule —
+      // an _old_pack~ aside whose dest is absent IS that pack)
+      fs.listStatus(seqRoot).foreach { st =>
+        val nm = st.getPath.getName
+        if (nm.startsWith("_old_pack~")) {
+          val dest = new Path(seqRoot,
+            nm.stripPrefix("_old_").replace('~', '='))
+          if (fs.exists(dest))
+            require(fs.delete(st.getPath, true),
+              s"compactTrainingShards: deleting completed aside $nm " +
+                "failed")
+          else require(fs.rename(st.getPath, dest),
+            s"compactTrainingShards: healing rename $nm -> " +
+              s"${dest.getName} failed")
+        } else if (nm.startsWith("pack=") &&
+            nm.stripPrefix("pack=").toLongOption
+              .exists(_ >= nextSeq0)) {
+          // a crashed APPEND's unrecorded, possibly-partial pack:
+          // merging it would legitimize bytes params never recorded —
+          // the repair owns that sweep (and the deadlock argument
+          // that makes sweeping correct THERE does not apply here:
+          // compaction is never a gate's prescribed recovery)
+          require(false,
+            s"$outDir/sequences holds unrecorded pack $nm (base past " +
+              s"the stored next_seq_id $nextSeq0 — a crashed " +
+              "append); run repairTrainingShards first (it sweeps " +
+              "it), then re-run the compaction")
+        }
+      }
+      // ---- step 1b: heal a crashed previous COMPACTION. Ids are
+      // conserved exactly by the re-cut, so the marker's Σ n_ids
+      // stamp decides whether the staged swap landed: equal ⇒ finish
+      // the victim deletes; anything else ⇒ the merge never swapped
+      // in (the aside heal above restored the original pack) and the
+      // marker is stale debris.
+      fs.listStatus(seqRoot).foreach { st =>
+        val nm = st.getPath.getName
+        if (nm.startsWith("_compact~")) {
+          val body = {
+            val in = fs.open(st.getPath)
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          }
+          // "<base>;<expected_ids>;<victim>,<victim>,..."
+          val parts = body.trim.split(";", 3)
+          val base = parts(0).toLong
+          val expectedIds = parts(1).toLong
+          val victims = parts(2).split(",").filter(_.nonEmpty)
+            .map(_.toLong).toSeq
+          val packDir = new Path(seqRoot, s"pack=$base")
+          val landed = fs.exists(packDir) && {
+            val got = spark.read.parquet(packDir.toString)
+              .agg(coalesce(sum(col("n_ids").cast("long")), lit(0L)))
+              .head().getLong(0)
+            got == expectedIds
+          }
+          if (landed) victims.foreach { v =>
+            val vp = new Path(seqRoot, s"pack=$v")
+            if (fs.exists(vp))
+              require(fs.delete(vp, true),
+                s"compactTrainingShards: deleting merged-away pack=" +
+                  s"$v failed")
+          }
+          require(fs.delete(st.getPath, true),
+            s"compactTrainingShards: deleting marker $nm failed")
+        }
+      }
+      // foreign-state refusal (the repair's rule): after healing,
+      // more sequences on disk than params record means rows the
+      // restamp below must not legitimize. FEWER is the healed
+      // crashed-compaction state (victims deleted, restamp pending) —
+      // fall through and restamp from the tree.
+      val nOnDisk = spark.read.parquet(s"$outDir/sequences").count()
+      require(nOnDisk <= p.getAs[Long]("n_sequences"),
+        s"$outDir holds $nOnDisk sequences but params records " +
+          s"${p.getAs[Long]("n_sequences")} — foreign rows inside " +
+          "recorded packs; re-run the export (mode=overwrite)")
+      // ---- step 2: candidate detection from metadata columns only
+      val packs = spark.read.parquet(s"$outDir/sequences")
+        .select(col("pack").cast("long").as("pack"),
+          col("n_ids").cast("long").as("n_ids"))
+        .groupBy(col("pack"))
+        .agg(count(lit(1)).as("n_seqs"), sum(col("n_ids")).as("ids"),
+          count(when(col("n_ids") < seqLen, 1)).as("n_short"))
+        .orderBy(col("pack").asc)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      def isCandidate(t: (Long, Long, Long, Long)): Boolean = {
+        val (_, nSeqs, ids, nShort) = t
+        ids.toDouble < minFill * (nSeqs * seqLen).toDouble ||
+          nShort > 1L
+      }
+      // maximal runs of packs ADJACENT in base order (merging across
+      // a healthy pack would interleave doc ranges — packs must keep
+      // partitioning the doc_id axis for the repair's range queries)
+      val runs = scala.collection.mutable.ArrayBuffer
+        .empty[Seq[(Long, Long, Long, Long)]]
+      var cur = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long)]
+      packs.foreach { t =>
+        if (isCandidate(t)) cur += t
+        else { if (cur.nonEmpty) runs += cur.toSeq; cur.clear() }
+      }
+      if (cur.nonEmpty) runs += cur.toSeq
+      // a run earns its rewrite: ≥ 2 generations consolidate, or a
+      // single multi-tail pack re-cuts to fewer sequences
+      val work = runs.toSeq.filter { run =>
+        val ids = run.map(_._3).sum
+        val nSeqs = run.map(_._2).sum
+        run.length >= 2 || (ids + seqLen - 1) / seqLen < nSeqs
+      }
+      if (work.isEmpty && nOnDisk == p.getAs[Long]("n_sequences")) pdf
+      else {
+        work.foreach { run =>
+          val base = run.head._1
+          val expectedIds = run.map(_._3).sum
+          val bases = run.map(_._1)
+          // marker FIRST: the swap-then-delete window below is
+          // two renames + k deletes, and every reader refuses on the
+          // marker until a re-run converges it
+          val marker = new Path(seqRoot, s"_compact~$base")
+          val outS = fs.create(marker, true)
+          try outS.write(
+            s"$base;$expectedIds;${bases.drop(1).mkString(",")}"
+              .getBytes("UTF-8"))
+          finally outS.close()
+          val seqsRun = spark.read.parquet(s"$outDir/sequences")
+            .where(col("pack").isin(bases: _*))
+          val merged = graft.operators.Sharding
+            .packIdStreams(graft.operators.Sharding
+              .reconstructDocs(seqsRun), seqLen)
+            .withColumn("seq_id", col("seq_id") + lit(base))
+            .withColumn("shard",
+              pmod(col("seq_id"), lit(numShards.toLong)).cast("int"))
+          stagedWrite(spark, merged, s"$outDir/sequences/pack=$base",
+            partitionCols = Seq("shard"))
+          bases.drop(1).foreach { v =>
+            require(fs.delete(new Path(seqRoot, s"pack=$v"), true),
+              s"compactTrainingShards: deleting merged-away pack=$v " +
+                "failed")
+          }
+          require(fs.delete(marker, true),
+            s"compactTrainingShards: deleting marker " +
+              s"${marker.getName} failed")
+        }
+        // ---- step 4: restamp from the actual tree (the repair rule)
+        val agg = spark.read.parquet(s"$outDir/sequences")
+          .agg(count(lit(1)), coalesce(sum(col("n_ids")), lit(0L)))
+          .head()
+        require(agg.getLong(1) == p.getAs[Long]("n_ids_total"),
+          "compactTrainingShards: id conservation violated (" +
+            s"${agg.getLong(1)} ids on disk vs the recorded " +
+            s"${p.getAs[Long]("n_ids_total")}) — refusing to restamp")
+        val report = Seq((seqLen, numShards, agg.getLong(0),
+            agg.getLong(1), p.getAs[Long]("n_merges"),
+            p.getAs[Long]("n_alphabet"),
+            p.getAs[String]("model_digest"),
+            Option(p.getAs[Integer]("eos_id")).map(_.intValue),
+            p.getAs[Long]("max_doc_id"),
+            p.getAs[Long]("retraction_total"), nextSeq0))
+          .toDF("seq_len", "num_shards", "n_sequences", "n_ids_total",
+            "n_merges", "n_alphabet", "model_digest", "eos_id",
+            "max_doc_id", "retraction_total", "next_seq_id")
+        stagedWrite(spark, report, s"$outDir/params")
+        report
+      }
+    }
   }
 
   /** KNOB-INERT append to a standing [[writeTrainingShards]] export —
@@ -2131,6 +2411,11 @@ object Pipeline {
       // not yet reflected, and the next append's gate forces another
       // repair rather than silently passing
       val rtNow = retractionLedgerTotal(spark, corpusDir)
+      // a crashed COMPACTION first: its duplicate-docs window would
+      // otherwise trip the foreign-rows refusal below with the
+      // corpus-scale re-export recovery — the wrong diagnosis; the
+      // compaction re-run converges it cheaply
+      requireNoCompactMarker(spark, outDir, "re-run the repair")
       // ---- step 1: heal a crashed previous repair's staged-swap
       // residue before ANY read of sequences/ (detection cannot see a
       // pack whose dir is sitting aside)
@@ -2454,6 +2739,30 @@ object Pipeline {
     * raw missing-column / mixed-depth-partition errors instead of
     * the upgrade recovery. ONE definition so the column list can
     * never drift between the three consumers. */
+  /** Refuse a crashed [[compactTrainingShards]]' in-flight marker —
+    * shared by the strict read, the stats survey, and the repair, so
+    * none of them can misread the marker's duplicate-docs window as
+    * their own crash states (whose recoveries would not converge
+    * it). ONE definition: the marker name and the recovery message
+    * must never drift between the consumers. */
+  private def requireNoCompactMarker(spark: SparkSession,
+      outDir: String, action: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val seqRoot = new Path(s"$outDir/sequences")
+    val fs = seqRoot
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(seqRoot)) {
+      val markers = fs.listStatus(seqRoot).map(_.getPath.getName)
+        .filter(_.startsWith("_compact~"))
+      require(markers.isEmpty,
+        s"$outDir/sequences holds a compaction in-flight marker " +
+          s"(${markers.sorted.mkString(", ")} — a crashed " +
+          "compactTrainingShards; merged docs may sit duplicated " +
+          "next to their old packs) — re-run the compaction (it " +
+          s"finishes or abandons the merge and restamps), then $action")
+    }
+  }
+
   private def requireAppendEraParams(pdf: DataFrame, outDir: String,
       note: String = ""): Unit =
     require(Seq("eos_id", "max_doc_id", "retraction_total")

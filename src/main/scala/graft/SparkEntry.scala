@@ -1440,6 +1440,45 @@ object SparkEntry {
           col("n_short"), col("padding_waste"), col("shard_spread"))
         .orderBy(col("pack").asc)
     }),
+    // pack-tail COMPACTION through the driver gate: bootstrap + four
+    // tiny weekly appends (each leaving a short-tail generation),
+    // compacted, then the artifact reconstructed and decoded — the
+    // merged export must still decode to every document's shared
+    // normalization (the q141/q142 oracle family). Compaction re-cuts
+    // id streams without re-encoding, so any drift (a lost piece, a
+    // mis-based seq_id, a broken span) lands in the hash
+    "q149_compacted_export" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .where(col("doc_id") < 1000)
+        .select(col("doc_id"), col("text"))
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val cut = math.max(0L, maxId - 8)
+      val n = StreamScratch.seq.incrementAndGet()
+      val root = ivfIndexDir(dir, s"cmp149_$n")
+      docs.where(col("doc_id") <= cut).write.mode("overwrite")
+        .parquet(s"$root/c/corpus/batch_id=$cut")
+      Pipeline.trainBpeModel(s, s"$root/c", s"$root/model",
+        numMerges = 64, maxTypes = 1 << 20)
+      Pipeline.writeTrainingShards(s, s"$root/c", s"$root/model",
+        s"$root/shards", seqLen = 64, numShards = 4)
+      (cut + 2 to maxId by 2).foreach { b =>
+        docs.where(col("doc_id") > b - 2 && col("doc_id") <= b)
+          .write.mode("overwrite")
+          .parquet(s"$root/c/corpus/batch_id=$b")
+        Pipeline.writeTrainingShards(s, s"$root/c", s"$root/model",
+          s"$root/shards", seqLen = 64, numShards = 4,
+          mode = "append")
+      }
+      Pipeline.compactTrainingShards(s, s"$root/shards")
+      val model = Bpe.readFullModel(s, s"$root/model")
+      val (seqs, _) = Pipeline.readTrainingShards(s, s"$root/shards",
+        strict = true, modelDir = Some(s"$root/model"))
+      Sharding.reconstructDocs(seqs, eosId = Some(Bpe.eosIdOf(model)))
+        .select(col("doc_id"),
+          array_join(Bpe.decodeWords(Bpe.decodeIds(col("ids"), model)),
+            " ").as("decoded"))
+        .orderBy(col("doc_id").asc)
+    }),
     // epochResume through the driver gate: the strict remainder of
     // q143's epoch-3 order after a REAL mid-order cursor — the
     // (epoch_key, seq_id) of the median id, so the filter's equality
@@ -3163,6 +3202,17 @@ object SparkEntry {
           |  CAST(CASE WHEN nseq % 4 = 0 THEN 0 ELSE 1 END
           |    AS BIGINT) AS shard_spread
           |FROM sz""".stripMargin,
+      // the compacted artifact still decodes every doc to the ONE
+      // shared normalization — DuckDB never sees packs, spans, ids,
+      // or the merge; compaction is pure re-cutting, so the q141
+      // statement holds verbatim over the slice
+      "q149_compacted_export" ->
+        """SELECT doc_id,
+          |  array_to_string(list_filter(string_split_regex(
+          |    lower(coalesce(text, '')), '[ \t\n\r\f\x0B]+'),
+          |    x -> x != ''), ' ') AS decoded
+          |FROM documents WHERE doc_id < 1000
+          |ORDER BY doc_id""".stripMargin,
       // epochResume: the q143 order's strict remainder past the
       // median id's (epoch_key, seq_id) cursor — same byte-fold +
       // Lehmer mix, cursor recomputed from scratch, the tie-break

@@ -274,20 +274,32 @@ object Fsck {
                     "repairTrainingShards; re-run the repair (it " +
                     "heals the aside before detection) or rename the " +
                     "aside back to its pack= dir by hand")
+              // a crashed compaction's in-flight marker: merged docs
+              // may sit duplicated next to their old packs, and every
+              // strict read / stats / repair refuses until the re-run
+              // converges it — name the state and its ONE recovery
+              val cmarks = ls(fs, s"$dir/sequences").map(_._1)
+                .filter(_.startsWith("_compact~"))
+              if (cmarks.nonEmpty)
+                b += Finding(dir, "sequences", "warn",
+                  s"compaction in-flight marker under sequences/ " +
+                    s"(${cmarks.sorted.mkString(", ")}) — a crashed " +
+                    "compactTrainingShards; re-run the compaction " +
+                    "(it finishes or abandons the merge, then " +
+                    "restamps params)")
               if (fields.contains("model_digest"))
                 // additive with the aside warn, but never "healthy"
                 // next to it: an aside'd pack is invisible to every
                 // reader, and tooling filtering on ok-level findings
                 // must not read the export as whole while it is
                 b += Finding(dir, "params", "ok",
-                  if (asides.isEmpty)
+                  if (asides.isEmpty && cmarks.isEmpty)
                     "healthy training-shards export (sequences/ + " +
                       "params, model content digest stamped)"
                   else
                     "digest-stamped training-shards export " +
-                      "(sequences/ + params) — see the staged-swap " +
-                      "warn; a pack is sitting aside, invisible to " +
-                      "readers")
+                      "(sequences/ + params) — see the residue " +
+                      "warn(s); the tree is mid-recovery, not whole")
               else
                 b += Finding(dir, "params", "warn",
                   "pre-digest-era training-shards export: params/ " +

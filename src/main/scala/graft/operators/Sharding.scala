@@ -602,10 +602,31 @@ object Sharding {
     }
     val rawIds = graft.functions.native.bpe_encode_ids(
       Bpe.bpeTokens(text), model.alphabet, model.merges)
-    val withIds = Barriers.barrier(
+    packIdStreams(
       docs.select(col("doc_id"),
         eosId.fold(rawIds)(e => concat(rawIds, array(lit(e))))
-          .as("ids")))
+          .as("ids")),
+      seqLen, numParts)
+  }
+
+  /** The pack half of [[materializeSequences]], factored at the id
+    * level: cut per-document id STREAMS (`(doc_id, ids)` — eos, when
+    * wanted, already appended by the caller) into fixed `seqLen`-id
+    * sequences in doc_id order, emitting the same
+    * `(seq_id, ids, spans, n_ids)` artifact shape. The id-level seam
+    * exists for consumers whose streams do NOT come from a fresh
+    * encode: [[graft.Pipeline.compactTrainingShards]] re-cuts the id
+    * streams [[reconstructDocs]] reassembles from standing packs —
+    * re-packing without re-encoding, so compaction never needs the
+    * model and can never drift the id space. Identity property
+    * (PropertySpec): packIdStreams ∘ reconstructDocs over one pack's
+    * own geometry reproduces a densely-packed equivalent bit-for-bit.
+    */
+  def packIdStreams(docIds: DataFrame, seqLen: Long,
+      numParts: Int = 32): DataFrame = {
+    require(seqLen > 0, s"seqLen must be > 0, got $seqLen")
+    val withIds = Barriers.barrier(
+      docIds.select(col("doc_id"), col("ids")))
     packSequences(withIds, seqLen, numParts,
         tokens = size(col("ids")))
       .join(withIds, Seq("doc_id"))

@@ -338,4 +338,43 @@ class PropertySpec extends SparkSuite {
         ids.collect().map(_.getLong(0)).sorted.toSeq, s"seed $seed epoch $e")
     }
   }
+
+  test("packIdStreams ∘ reconstructDocs is the identity re-cut of a " +
+      "dense artifact for random corpora, seqLens, and eos modes — " +
+      "the compaction invariant") {
+    import graft.operators.{Bpe, Sharding}
+    for (seed <- 11 to 13) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (0 until 12).map { i =>
+        (i.toLong, Seq.fill(1 + rnd.nextInt(16))(
+          words(rnd.nextInt(words.length))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val model = Bpe.trainModel(docs, numMerges = 4 + rnd.nextInt(6),
+        maxTypes = 100)
+      val seqLen = 3L + rnd.nextInt(8)
+      for (eos <- Seq(Some(Bpe.eosIdOf(model)), None)) {
+        val seqs = Sharding.materializeSequences(docs, model, seqLen,
+          eosId = eos)
+        // reconstruct with eos KEPT in stream (the compaction path),
+        // re-cut at the same seqLen: a dense artifact re-cuts to
+        // itself bit-for-bit — ids, spans, and n_ids
+        def img(df: org.apache.spark.sql.DataFrame) = df
+          .selectExpr("seq_id",
+            "md5(array_join(transform(ids, x -> cast(x as string)), " +
+              "' ')) AS ih",
+            "md5(array_join(transform(spans, x -> concat(" +
+              "cast(x.doc_id as string), ':', " +
+              "cast(x.seq_from as string), ':', " +
+              "cast(x.n_tokens as string))), ' ')) AS sh",
+            "n_ids")
+          .collect()
+          .map(r => r.getLong(0) ->
+            (r.getString(1), r.getString(2), r.getInt(3))).toMap
+        val want = img(seqs)
+        val got = img(Sharding.packIdStreams(
+          Sharding.reconstructDocs(seqs), seqLen))
+        assert(got === want, s"seed $seed seqLen $seqLen eos $eos")
+      }
+    }
+  }
 }

@@ -1170,6 +1170,258 @@ class ShardingSpec extends SparkSuite {
       .delete())
   }
 
+  test("compactTrainingShards merges adjacent short generations " +
+      "waste-proportionally: ids conserved, reconstruction identical, " +
+      "untouched packs byte-identical, appends continue after") {
+    import graft.operators.{Bpe, Sharding}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_compact").toString
+    def writeBatch(bid: Long)(rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$root/c/corpus/batch_id=$bid")
+    // bootstrap: long docs -> a dense pack 0 (fill ~1, NOT a
+    // candidate); two weekly appends each leave a tiny short-tail
+    // generation (fill << 0.9 -> adjacent candidates). The planted
+    // never-firing model (trained symbol 'z' absent from the text —
+    // the q147 device) makes every word cost exactly len+1 ids, so
+    // the pack arithmetic below is deterministic: "cat" + eos = 5
+    // ids -> 2 sequences of 4, slack 3.
+    writeBatch(2L)(
+      (0L, "low low newest widest lower lowest newest low"),
+      (1L, "newest widest lower low low lowest"),
+      (2L, "low newest low widest widest"))
+    val model = Bpe.BpeModel(
+      Seq("z", graft.functions.BpeEncodeExpr.Eow), Seq(("z", "z")))
+    Bpe.writeModel(spark, model, s"$root/model")
+    graft.Pipeline.writeTrainingShards(spark, s"$root/c",
+      s"$root/model", s"$root/shards", seqLen = 4, numShards = 2)
+    writeBatch(4L)((3L, "cat"))
+    graft.Pipeline.writeTrainingShards(spark, s"$root/c",
+      s"$root/model", s"$root/shards", seqLen = 4, numShards = 2,
+      mode = "append")
+    writeBatch(6L)((4L, "dog"))
+    graft.Pipeline.writeTrainingShards(spark, s"$root/c",
+      s"$root/model", s"$root/shards", seqLen = 4, numShards = 2,
+      mode = "append")
+    val p0 = spark.read.parquet(s"$root/shards/params").head()
+    val basesBefore = spark.read.parquet(s"$root/shards/sequences")
+      .select($"pack".cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(basesBefore.length === 3)
+    val pack0Files = new java.io.File(s"$root/shards/sequences/pack=0")
+      .listFiles().map(f => f.getPath -> f.lastModified()).toMap
+    val wantById = Bpe.encodeIds(
+        spark.read.parquet(s"$root/c/corpus"), model)
+      .select($"doc_id", $"ids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // the waste trigger is visible in stats, then the compaction
+    // merges ONLY the two adjacent short generations
+    val waste0 = graft.Pipeline
+      .statsTrainingShards(spark, s"$root/shards")
+      .agg(org.apache.spark.sql.functions.sum($"padding_waste"))
+      .head().getLong(0)
+    val rep = graft.Pipeline.compactTrainingShards(spark,
+      s"$root/shards").head()
+    assert(rep.getAs[Long]("n_ids_total") ===
+      p0.getAs[Long]("n_ids_total"), "ids are conserved bit-for-bit")
+    assert(rep.getAs[Long]("n_sequences") <
+      p0.getAs[Long]("n_sequences"), "the merge must consolidate")
+    assert(rep.getAs[Long]("next_seq_id") ===
+      p0.getAs[Long]("next_seq_id"), "the high-water mark never moves")
+    val basesAfter = spark.read.parquet(s"$root/shards/sequences")
+      .select($"pack".cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(basesAfter.toSeq === Seq(0L, basesBefore(1)),
+      "two adjacent short generations merge at the run's first base")
+    // the dense pack was never rewritten — same files, same mtimes
+    val pack0After = new java.io.File(s"$root/shards/sequences/pack=0")
+      .listFiles().map(f => f.getPath -> f.lastModified()).toMap
+    assert(pack0After === pack0Files)
+    // merged seq_ids are dense from the run's base
+    val mergedIds = spark.read
+      .parquet(s"$root/shards/sequences/pack=${basesBefore(1)}")
+      .select($"seq_id").collect().map(_.getLong(0)).sorted
+    assert(mergedIds.head === basesBefore(1))
+    assert(mergedIds.toSeq ===
+      (basesBefore(1) until basesBefore(1) + mergedIds.length))
+    // strict read green, reconstruction identical to the corpus image
+    val (seqs1, _) = graft.Pipeline.readTrainingShards(spark,
+      s"$root/shards", strict = true, modelDir = Some(s"$root/model"))
+    val got = Sharding.reconstructDocs(seqs1, Some(Bpe.eosIdOf(model)))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got.keySet === wantById.keySet)
+    got.foreach { case (id, ids) =>
+      assert(ids === wantById(id), s"doc $id") }
+    // padding waste strictly shrank (the whole point)
+    val waste1 = graft.Pipeline
+      .statsTrainingShards(spark, s"$root/shards")
+      .agg(org.apache.spark.sql.functions.sum($"padding_waste"))
+      .head().getLong(0)
+    assert(waste1 < waste0, s"waste $waste0 -> $waste1")
+    // a second run is the scan-free no-op (standing params returned)
+    val again = graft.Pipeline.compactTrainingShards(spark,
+      s"$root/shards").head()
+    assert(again.getAs[Long]("n_sequences") ===
+      rep.getAs[Long]("n_sequences"))
+    // appends CONTINUE: the untouched high-water mark keeps the next
+    // batch's pack base collision-free
+    writeBatch(8L)((5L, "lowest lowest newest low"),
+      (6L, "abcd efg"))
+    val p2 = graft.Pipeline.writeTrainingShards(spark, s"$root/c",
+      s"$root/model", s"$root/shards", seqLen = 4, numShards = 2,
+      mode = "append").head()
+    assert(p2.getAs[Long]("max_doc_id") === 6L)
+    graft.Pipeline.readTrainingShards(spark, s"$root/shards",
+      strict = true)
+    // ---- retraction + repair shrink the new pack, leaving TWO
+    // adjacent short generations again (the repaired pack next to the
+    // earlier merged one) — compaction composes with the repair and
+    // the survivors still reconstruct exactly
+    writeBatch(8L)((6L, "abcd efg"))
+    Seq((1L, 1L)).toDF("n_requested", "n_retracted")
+      .write.parquet(s"$root/c/retractions/retraction_id=xcmp1")
+    graft.Pipeline.repairTrainingShards(spark, s"$root/c",
+      s"$root/model", s"$root/shards")
+    val pr = spark.read.parquet(s"$root/shards/params").head()
+    val rep2 = graft.Pipeline.compactTrainingShards(spark,
+      s"$root/shards").head()
+    assert(rep2.getAs[Long]("n_ids_total") ===
+      pr.getAs[Long]("n_ids_total"))
+    assert(spark.read.parquet(s"$root/shards/sequences")
+      .select($"pack".cast("long")).distinct().count() === 2L,
+      "the repaired short pack re-merges with its short neighbor")
+    val (seqs2, _) = graft.Pipeline.readTrainingShards(spark,
+      s"$root/shards", strict = true, modelDir = Some(s"$root/model"))
+    val want2 = Bpe.encodeIds(
+        spark.read.parquet(s"$root/c/corpus"), model)
+      .select($"doc_id", $"ids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val got2 = Sharding
+      .reconstructDocs(seqs2, Some(Bpe.eosIdOf(model)))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got2.keySet === want2.keySet)
+    assert(!got2.keySet.contains(5L))
+    got2.foreach { case (id, ids) =>
+      assert(ids === want2(id), s"doc $id") }
+    // the cron line runs the same operator
+    graft.CorpusMain.run(spark,
+      List("compact-shards", s"$root/shards"))
+  }
+
+  test("compactTrainingShards crash contract: the in-flight marker " +
+      "refuses every reader with the re-run recovery, the re-run " +
+      "converges the duplicate window, a stale marker is dropped, " +
+      "an unrecorded pack refuses naming the repair") {
+    import graft.operators.{Bpe, Sharding}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_compactcrash").toString
+    def writeBatch(bid: Long)(rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$root/c/corpus/batch_id=$bid")
+    writeBatch(2L)(
+      (0L, "low low newest widest lower lowest newest low"),
+      (1L, "newest widest lower low low lowest"))
+    graft.Pipeline.trainBpeModel(spark, s"$root/c", s"$root/model",
+      numMerges = 8)
+    val model = Bpe.readFullModel(spark, s"$root/model")
+    graft.Pipeline.writeTrainingShards(spark, s"$root/c",
+      s"$root/model", s"$root/shards", seqLen = 4, numShards = 2)
+    writeBatch(4L)((2L, "widest lowest low"))
+    graft.Pipeline.writeTrainingShards(spark, s"$root/c",
+      s"$root/model", s"$root/shards", seqLen = 4, numShards = 2,
+      mode = "append")
+    writeBatch(6L)((3L, "newest newest lower"))
+    graft.Pipeline.writeTrainingShards(spark, s"$root/c",
+      s"$root/model", s"$root/shards", seqLen = 4, numShards = 2,
+      mode = "append")
+    val bases = spark.read.parquet(s"$root/shards/sequences")
+      .select($"pack".cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val (b1, b2) = (bases(1), bases(2))
+    // ---- fabricate the exact crash window: the merged pack has
+    // SWAPPED IN at b1 but the victim b2 was not yet deleted and the
+    // marker still stands (the operator's step-3 order)
+    val run = spark.read.parquet(s"$root/shards/sequences")
+      .where($"pack".isin(b1, b2))
+    val expectedIds = run
+      .agg(org.apache.spark.sql.functions.sum($"n_ids".cast("long")))
+      .head().getLong(0)
+    Sharding.packIdStreams(Sharding.reconstructDocs(run), seqLen = 4)
+      .withColumn("seq_id", $"seq_id" + b1)
+      .withColumn("shard",
+        org.apache.spark.sql.functions.pmod($"seq_id",
+          org.apache.spark.sql.functions.lit(2L)).cast("int"))
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$root/shards/sequences/pack=$b1")
+    val marker = new java.io.File(
+      s"$root/shards/sequences/_compact~$b1")
+    java.nio.file.Files.write(marker.toPath,
+      s"$b1;$expectedIds;$b2".getBytes("UTF-8"))
+    // every reader refuses with the ONE recovery
+    val er = intercept[IllegalArgumentException] {
+      graft.Pipeline.readTrainingShards(spark, s"$root/shards",
+        strict = true)
+    }
+    assert(er.getMessage.contains("compactTrainingShards"),
+      er.getMessage)
+    val es = intercept[IllegalArgumentException] {
+      graft.Pipeline.statsTrainingShards(spark, s"$root/shards")
+    }
+    assert(es.getMessage.contains("re-run the compaction"),
+      es.getMessage)
+    val ep = intercept[IllegalArgumentException] {
+      graft.Pipeline.repairTrainingShards(spark, s"$root/c",
+        s"$root/model", s"$root/shards")
+    }
+    assert(ep.getMessage.contains("re-run the compaction"),
+      ep.getMessage)
+    // fsck names the state; the ok finding drops "healthy"
+    val f = graft.operators.Fsck.check(spark, s"$root/shards")
+    assert(f.exists(x => x.level == "warn" &&
+      x.detail.contains("compactTrainingShards")), f.mkString("\n"))
+    assert(f.exists(x => x.level == "ok" &&
+      x.detail.contains("training-shards") &&
+      !x.detail.contains("healthy")), f.mkString("\n"))
+    // the re-run converges: victims deleted, marker gone, restamped
+    graft.Pipeline.compactTrainingShards(spark, s"$root/shards")
+    assert(!marker.exists())
+    assert(!new java.io.File(s"$root/shards/sequences/pack=$b2")
+      .exists())
+    val (seqs, _) = graft.Pipeline.readTrainingShards(spark,
+      s"$root/shards", strict = true, modelDir = Some(s"$root/model"))
+    val wantById = Bpe.encodeIds(
+        spark.read.parquet(s"$root/c/corpus"), model)
+      .select($"doc_id", $"ids").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val got = Sharding.reconstructDocs(seqs, Some(Bpe.eosIdOf(model)))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got.keySet === wantById.keySet)
+    got.foreach { case (id, ids) =>
+      assert(ids === wantById(id), s"doc $id") }
+    // ---- a STALE marker (pre-swap crash: the heal above restored
+    // the original pack, so the stamp can't match) is dropped and
+    // the artifact stays whole
+    java.nio.file.Files.write(marker.toPath,
+      s"$b1;1;$b2".getBytes("UTF-8"))
+    graft.Pipeline.compactTrainingShards(spark, s"$root/shards")
+    assert(!marker.exists())
+    graft.Pipeline.readTrainingShards(spark, s"$root/shards",
+      strict = true)
+    // ---- a crashed append's unrecorded pack refuses naming the
+    // repair (a possibly-partial pack must never merge)
+    val nextSeq = spark.read.parquet(s"$root/shards/params").head()
+      .getAs[Long]("next_seq_id")
+    val foreign = new java.io.File(
+      s"$root/shards/sequences/pack=${nextSeq + 7}")
+    assert(foreign.mkdirs())
+    val eu = intercept[IllegalArgumentException] {
+      graft.Pipeline.compactTrainingShards(spark, s"$root/shards")
+    }
+    assert(eu.getMessage.contains("repairTrainingShards"),
+      eu.getMessage)
+    assert(foreign.delete())
+  }
+
   test("repair rebuilds many touched packs concurrently: the parallel " +
       "result is bit-equal to the serial one, per-pack swaps intact") {
     import graft.operators.Bpe

@@ -70,6 +70,9 @@ object Bench {
     // q149 = bootstrap + four appends + compaction + reconstruction
     // + decode in ONE timer — the same composed-lifecycle class
     "q149_compacted_export",
+    // q150 = two CLI refreshes + bootstrap + knob-inert append + the
+    // full audit in ONE timer — the q100 composed-lifecycle class
+    "q150_refresh_shards",
     // q145 = q141's encode+decode round trip through the streaming
     // harness (staging + checkpoint + per-file micro-batches); its
     // per-pass signal is the batch round trip, already benched as q141

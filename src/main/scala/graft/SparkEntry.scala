@@ -1479,6 +1479,48 @@ object SparkEntry {
             " ").as("decoded"))
         .orderBy(col("doc_id").asc)
     }),
+    // the COMPOSED follow-the-corpus cron line end-to-end through the
+    // driver gate: batch 1 publishes via the CLI refresh and the
+    // export bootstraps; batch 2 rides `refresh shards=` (pre-flight,
+    // publish, knob-inert append in one line); then the FULL audit
+    // closes the loop — the standing export must exactly mirror the
+    // published corpus, doc by doc. The oracle pins the audit's
+    // damage columns at zero: they are invariant to whatever the
+    // refresh's dedup/cleaning drops (both audit sides are
+    // post-publish), so the hash is a statement about the cron
+    // composition, not about the dedup knobs. The tokenizer trains on
+    // the full slice so later batches stay in-alphabet (n_unk = 0 is
+    // part of the pinned row).
+    "q150_refresh_shards" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .where(col("doc_id") < 1000)
+        .select(col("doc_id"), col("text"))
+      val n = StreamScratch.seq.incrementAndGet()
+      val root = ivfIndexDir(dir, s"rs150_$n")
+      docs.write.mode("overwrite").parquet(s"$root/seed/corpus")
+      Pipeline.trainBpeModel(s, s"$root/seed", s"$root/model",
+        numMerges = 64, maxTypes = 1 << 20)
+      def batchDir(lo: Long, hi: Long): String = {
+        val d = s"$root/batch_$lo"
+        docs.where(col("doc_id") >= lo && col("doc_id") < hi)
+          .write.mode("overwrite").parquet(d)
+        d
+      }
+      CorpusMain.run(s, List("refresh", batchDir(0L, 150L),
+        s"$root/idx", s"$root/corpus", s"tokenizer=$root/model"))
+      Pipeline.writeTrainingShards(s, s"$root/corpus", s"$root/model",
+        s"$root/shards", seqLen = 64, numShards = 4)
+      CorpusMain.run(s, List("refresh", batchDir(150L, 300L),
+        s"$root/idx", s"$root/corpus", s"tokenizer=$root/model",
+        s"shards=$root/shards"))
+      Pipeline.auditTrainingShards(s, s"$root/shards", s"$root/model",
+          s"$root/corpus")
+        .select(col("n_mismatched"),
+          concat_ws(",", col("mismatched_doc_ids"))
+            .as("mismatched_doc_ids"),
+          col("n_bad"), col("n_unk"), col("n_word_merge_risk"),
+          col("n_unterminated"))
+    }),
     // epochResume through the driver gate: the strict remainder of
     // q143's epoch-3 order after a REAL mid-order cursor — the
     // (epoch_key, seq_id) of the median id, so the filter's equality
@@ -3213,6 +3255,16 @@ object SparkEntry {
           |    x -> x != ''), ' ') AS decoded
           |FROM documents WHERE doc_id < 1000
           |ORDER BY doc_id""".stripMargin,
+      // the composed refresh→append cron line leaves an export that
+      // audits clean against the published corpus — the damage
+      // columns are invariant to the refresh's dedup drops (both
+      // audit sides are post-publish), so the pinned zeros ARE the
+      // composition claim
+      "q150_refresh_shards" ->
+        """SELECT 0::BIGINT AS n_mismatched,
+          |  '' AS mismatched_doc_ids, 0::BIGINT AS n_bad,
+          |  0::BIGINT AS n_unk, 0::BIGINT AS n_word_merge_risk,
+          |  0::BIGINT AS n_unterminated""".stripMargin,
       // epochResume: the q143 order's strict remainder past the
       // median id's (epoch_key, seq_id) cursor — same byte-fold +
       // Lehmer mix, cursor recomputed from scratch, the tie-break

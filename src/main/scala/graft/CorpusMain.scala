@@ -177,7 +177,7 @@ object CorpusMain {
         |       CorpusMain epoch-stream <outDir> <epoch> <destDir> [salt] [numParts]
         |       CorpusMain audit-shards <outDir> <bpeModelDir> [corpusDir]
         |       CorpusMain stats-shards <outDir>
-        |       CorpusMain compact-shards <outDir> [minFill]
+        |       CorpusMain compact-shards <outDir> [minFill] [maxConcurrent]
         |       CorpusMain migrate-shingles <indexRoot> [buckets]
         |       CorpusMain break-lease <dir> [dir ...]
         |       CorpusMain break-leases <root>
@@ -392,13 +392,16 @@ object CorpusMain {
           s""""n_ids_total":${r.getAs[Long]("n_ids_total")},""" +
           s""""retraction_total":${
             r.getAs[Long]("retraction_total")}}""")
-      case "compact-shards" :: outDir :: rest if rest.length <= 1 =>
+      case "compact-shards" :: outDir :: rest if rest.length <= 2 =>
         // the waste-proportional re-pack stats-shards' padding_waste /
         // n_short columns call for: adjacent short/repair-shrunk pack
         // generations merge into dense ones (id streams re-cut, never
-        // re-encoded — no model, no corpus read), ∝ short packs
+        // re-encoded — no model, no corpus read), ∝ short packs; the
+        // optional 3rd arg bounds the concurrent run merges (default 4)
         val r = Pipeline.compactTrainingShards(spark, outDir,
-          minFill = rest.headOption.map(_.toDouble).getOrElse(0.9))
+          minFill = rest.headOption.map(_.toDouble).getOrElse(0.9),
+          maxConcurrentMerges =
+            rest.drop(1).headOption.map(_.toInt).getOrElse(4))
           .head()
         println(s"""{"out":"${jsonEsc(outDir)}",""" +
           s""""n_sequences":${r.getAs[Long]("n_sequences")},""" +

@@ -708,3 +708,90 @@ object RepairEpochBench {
     spark.stop()
   }
 }
+
+/** Dev-only scaling measurement for the round-17 pack-tail compaction
+  * ([[graft.Pipeline.compactTrainingShards]]): the DAILY-micro-batch
+  * regime — a large bootstrap generation plus 64 tiny appended
+  * generations (1–2 sequences each, every one a fill candidate) — is
+  * the accumulated-waste shape the stats survey's padding_waste /
+  * n_short columns flag. Timed: the compaction (cost claimed ∝ the
+  * SHORT packs' own id bytes) vs the `mode=overwrite` full re-export
+  * it replaces (corpus-scale re-encode). Stats are printed before and
+  * after so the waste collapse and generation count ride the log.
+  * Feeds the docs/BENCH_SF1.md round-17 appendix.
+  */
+object CompactBench {
+  def main(args: Array[String]): Unit = {
+    import graft.operators.Bpe
+    val sfDir = args.headOption.getOrElse("target/sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    println(s"corpus=${docs.count()}")
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    val modelDir = java.nio.file.Files
+      .createTempDirectory("cpb_model").toString
+    Bpe.writeModel(spark,
+      Bpe.trainModel(docs, numMerges = 1000, maxTypes = 20000),
+      modelDir)
+    // 64 daily micro-batches of 4 docs each ride on top of one big
+    // bootstrap — the year-of-daily-crons shape
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val cut = maxId - 64L * 4L
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("cpb_corpus").toString
+    docs.where(col("doc_id") <= cut).write.mode("overwrite")
+      .parquet(s"$corpusDir/corpus/batch_id=$cut")
+    val shards = java.nio.file.Files
+      .createTempDirectory("cpb_shards").toString
+    timed("export_bootstrap") {
+      graft.Pipeline.writeTrainingShards(spark, corpusDir, modelDir,
+        shards, seqLen = 2048, numShards = 64)
+    }
+    timed("export_64_tiny_appends") {
+      (1 to 64).foreach { i =>
+        val hi = cut + i * 4L
+        docs.where(col("doc_id") > hi - 4 && col("doc_id") <= hi)
+          .write.mode("overwrite")
+          .parquet(s"$corpusDir/corpus/batch_id=$hi")
+        graft.Pipeline.writeTrainingShards(spark, corpusDir, modelDir,
+          shards, seqLen = 2048, numShards = 64, mode = "append")
+      }
+    }
+    def statsLine(tag: String): Unit = {
+      val st = graft.Pipeline.statsTrainingShards(spark, shards)
+        .agg(count(lit(1)), sum(col("n_sequences")),
+          sum(col("n_short")), sum(col("padding_waste"))).head()
+      println(s"stats_$tag packs=${st.getLong(0)} " +
+        s"seqs=${st.getLong(1)} short=${st.getLong(2)} " +
+        s"waste_ids=${st.getLong(3)}")
+    }
+    statsLine("before")
+    timed("compact_64_tiny_packs") {
+      graft.Pipeline.compactTrainingShards(spark, shards)
+    }
+    statsLine("after")
+    // the corpus-scale remedy compaction replaces
+    val shardsFull = java.nio.file.Files
+      .createTempDirectory("cpb_full").toString
+    timed("export_overwrite_full") {
+      graft.Pipeline.writeTrainingShards(spark, corpusDir, modelDir,
+        shardsFull, seqLen = 2048, numShards = 64)
+    }
+    spark.stop()
+  }
+}

@@ -1974,7 +1974,12 @@ object Pipeline {
     *
     * Cost: the runs' own id bytes once through ONE reconstruct
     * shuffle + one re-cut each — ∝ accumulated waste; untouched packs
-    * keep their files byte-identical. A no-candidate run returns the
+    * keep their files byte-identical. Runs merge CONCURRENTLY on a
+    * bounded pool (`maxConcurrentMerges` — the repair's argument: at
+    * micro-batch cadence the per-run multi-job scheduling floors
+    * dominate the tiny data, so overlapping them is the wall-time
+    * lever; disjoint packs + per-run markers keep the crash contract
+    * per-run and unchanged). A no-candidate run returns the
     * standing params untouched (two metadata reads, the cron-re-run
     * discipline). Holds only `outDir`'s lease: the corpus is never
     * read, and a retraction landing mid-compaction interacts only
@@ -1983,9 +1988,11 @@ object Pipeline {
     * trigger it on `stats-shards`' padding_waste / n_short columns.
     */
   def compactTrainingShards(spark: SparkSession, outDir: String,
-      minFill: Double = 0.9): DataFrame = {
+      minFill: Double = 0.9, maxConcurrentMerges: Int = 4): DataFrame = {
     require(minFill > 0.0 && minFill <= 1.0,
       s"minFill must be in (0, 1], got $minFill")
+    require(maxConcurrentMerges > 0,
+      s"maxConcurrentMerges must be > 0, got $maxConcurrentMerges")
     import org.apache.hadoop.fs.Path
     import spark.implicits._
     val fs = new Path(outDir)
@@ -2137,7 +2144,7 @@ object Pipeline {
       }
       if (work.isEmpty && nOnDisk == p.getAs[Long]("n_sequences")) pdf
       else {
-        work.foreach { run =>
+        def mergeRun(run: Seq[(Long, Long, Long, Long)]): Unit = {
           val base = run.head._1
           val expectedIds = run.map(_._3).sum
           val bases = run.map(_._1)
@@ -2150,8 +2157,13 @@ object Pipeline {
             s"$base;$expectedIds;${bases.drop(1).mkString(",")}"
               .getBytes("UTF-8"))
           finally outS.close()
-          val seqsRun = spark.read.parquet(s"$outDir/sequences")
-            .where(col("pack").isin(bases: _*))
+          // read ONLY this run's pack dirs — a whole-tree read here
+          // would LIST sibling runs' dirs mid-delete under
+          // concurrency (FileNotFound on a vanished victim), and
+          // filtering after the fact never prunes the listing
+          val seqsRun = spark.read
+            .option("basePath", s"$outDir/sequences")
+            .parquet(bases.map(b => s"$outDir/sequences/pack=$b"): _*)
           val merged = graft.operators.Sharding
             .packIdStreams(graft.operators.Sharding
               .reconstructDocs(seqsRun), seqLen)
@@ -2168,6 +2180,31 @@ object Pipeline {
           require(fs.delete(marker, true),
             s"compactTrainingShards: deleting marker " +
               s"${marker.getName} failed")
+        }
+        // runs are INDEPENDENT (disjoint packs, disjoint doc ranges,
+        // per-run markers and staged names), so they submit on a
+        // bounded pool — the repairTrainingShards argument verbatim:
+        // a season of micro-batch appends yields many runs, and each
+        // serial run pays a fixed multi-job scheduling floor
+        // (detection reads, the manifest prefix sum, the gather, the
+        // swap) over tiny data, so the floors dominate wall time at
+        // exactly the scale compaction exists for. Concurrency
+        // changes WALL time only: every in-flight run settles before
+        // the first failure propagates (the restamp below must never
+        // run over landing writes, nor the lease release under them).
+        if (work.length <= 1 || maxConcurrentMerges <= 1)
+          work.foreach(mergeRun)
+        else {
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(maxConcurrentMerges, work.length))
+          try {
+            implicit val ec: scala.concurrent.ExecutionContext =
+              scala.concurrent.ExecutionContext.fromExecutor(pool)
+            work.map(r => scala.concurrent.Future(mergeRun(r)))
+              .map(f => scala.util.Try(scala.concurrent.Await
+                .result(f, scala.concurrent.duration.Duration.Inf)))
+              .foreach(_.get) // first failure rethrows, in run order
+          } finally pool.shutdown()
         }
         // ---- step 4: restamp from the actual tree (the repair rule)
         val agg = spark.read.parquet(s"$outDir/sequences")

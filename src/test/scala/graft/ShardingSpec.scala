@@ -1308,6 +1308,66 @@ class ShardingSpec extends SparkSuite {
       List("compact-shards", s"$root/shards"))
   }
 
+  test("compaction runs merge CONCURRENTLY on a bounded pool: the " +
+      "parallel result is bit-equal to the serial one across " +
+      "multiple disjoint runs, markers all gone") {
+    import graft.operators.Bpe
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_compactpar").toString
+    def writeBatch(bid: Long)(rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$root/c/corpus/batch_id=$bid")
+    // z-model arithmetic (the lifecycle test's device): "cat"+eos = 5
+    // ids -> a fill-0.625 candidate; "abc ab"+eos = 8 ids -> two FULL
+    // sequences, fill 1.0, NOT a candidate — it breaks the candidate
+    // sequence into TWO disjoint runs {p1,p2} and {p4,p5}
+    writeBatch(2L)(
+      (0L, "low low newest widest lower lowest newest low"),
+      (1L, "newest widest lower low low lowest"))
+    val model = Bpe.BpeModel(
+      Seq("z", graft.functions.BpeEncodeExpr.Eow), Seq(("z", "z")))
+    Bpe.writeModel(spark, model, s"$root/model")
+    graft.Pipeline.writeTrainingShards(spark, s"$root/c",
+      s"$root/model", s"$root/shardsA", seqLen = 4, numShards = 2)
+    Seq((2L, "cat"), (3L, "dog"), (4L, "abc ab"), (5L, "fox"),
+        (6L, "emu")).zipWithIndex.foreach { case ((id, txt), i) =>
+      writeBatch(4L + 2 * i)((id, txt))
+      graft.Pipeline.writeTrainingShards(spark, s"$root/c",
+        s"$root/model", s"$root/shardsA", seqLen = 4, numShards = 2,
+        mode = "append")
+    }
+    val fs = new org.apache.hadoop.fs.Path(s"$root/shardsA")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$root/shardsA"), fs,
+      new org.apache.hadoop.fs.Path(s"$root/shardsB"), false,
+      spark.sparkContext.hadoopConfiguration)
+    val rs = graft.Pipeline.compactTrainingShards(spark,
+      s"$root/shardsA", maxConcurrentMerges = 1).head()
+    val rp = graft.Pipeline.compactTrainingShards(spark,
+      s"$root/shardsB").head()
+    assert(rs === rp)
+    def img(dir: String) = spark.read.parquet(s"$dir/sequences")
+      .selectExpr("pack", "seq_id", "shard",
+        "md5(array_join(transform(ids, x -> cast(x as string)), " +
+          "' ')) AS ih")
+      .collect().map(r => (r.getAs[Long]("pack"), r.getLong(1),
+        r.getInt(2), r.getString(3))).toSet
+    assert(img(s"$root/shardsA") === img(s"$root/shardsB"))
+    // two runs actually merged (p1+p2 and p4+p5 around the full p3)
+    val packs = spark.read.parquet(s"$root/shardsA/sequences")
+      .select($"pack".cast("long")).distinct().count()
+    assert(packs === 4L, s"expected bootstrap + full + 2 merged runs")
+    Seq("shardsA", "shardsB").foreach { d =>
+      assert(!fs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$root/$d/sequences"))
+        .map(_.getPath.getName).exists(_.startsWith("_")),
+        "no markers or staged residue may survive")
+      graft.Pipeline.readTrainingShards(spark, s"$root/$d",
+        strict = true)
+    }
+  }
+
   test("compactTrainingShards crash contract: the in-flight marker " +
       "refuses every reader with the re-run recovery, the re-run " +
       "converges the duplicate window, a stale marker is dropped, " +

@@ -1506,8 +1506,17 @@ object SparkEntry {
           .write.mode("overwrite").parquet(d)
         d
       }
-      CorpusMain.run(s, List("refresh", batchDir(0L, 150L),
-        s"$root/idx", s"$root/corpus", s"tokenizer=$root/model"))
+      // batch 1 creates the index families at the q100 test-scale
+      // geometry (32 buckets; production-default 256-bucket creation
+      // pays ~8x the bench floor in empty-partition writes) — the
+      // knob-inert contract then drives batch 2's CLI refresh from
+      // the STANDING params, which is itself part of what this entry
+      // exercises (CorpusRefreshSpec pins the inheritance)
+      Pipeline.refreshCorpus(s,
+        s.read.parquet(batchDir(0L, 150L)), s"$root/idx",
+        s"$root/corpus", jaccardThreshold = 0.5, chunkTokens = 10,
+        bandBuckets = 32, pieceBuckets = 32, chunkBuckets = 32,
+        tokenizerModelDir = Some(s"$root/model"))
       Pipeline.writeTrainingShards(s, s"$root/corpus", s"$root/model",
         s"$root/shards", seqLen = 64, numShards = 4)
       CorpusMain.run(s, List("refresh", batchDir(150L, 300L),

@@ -1728,6 +1728,12 @@ object Pipeline {
         // read would throw names a symptom, not the recovery
         requireAppendEraParams(pdf, outDir,
           note = "; appends work from there")
+        // a crashed compaction's window: the append itself would be
+        // SAFE (watermark reads the corpus, the pack base reads the
+        // untouched high-water mark), but appending on top leaves
+        // the duplicate-docs state standing one operation longer —
+        // converge it first, the same one recovery every reader names
+        requireNoCompactMarker(spark, outDir, "re-run the append")
         val p = pdf.head()
         require(p.getAs[Long]("seq_len") == seqLen &&
             p.getAs[Int]("num_shards") == numShards,

@@ -1435,6 +1435,13 @@ class ShardingSpec extends SparkSuite {
     }
     assert(ep.getMessage.contains("re-run the compaction"),
       ep.getMessage)
+    val ea = intercept[IllegalArgumentException] {
+      graft.Pipeline.writeTrainingShards(spark, s"$root/c",
+        s"$root/model", s"$root/shards", seqLen = 4, numShards = 2,
+        mode = "append")
+    }
+    assert(ea.getMessage.contains("re-run the compaction"),
+      ea.getMessage)
     // fsck names the state; the ok finding drops "healthy"
     val f = graft.operators.Fsck.check(spark, s"$root/shards")
     assert(f.exists(x => x.level == "warn" &&

@@ -1414,27 +1414,37 @@ object SparkEntry {
           col("n_bad"), col("n_unk"), col("n_word_merge_risk"),
           col("n_unterminated"))
     }),
-    // the metadata-priced export survey through the driver gate: a
-    // bootstrap export encoded under a PLANTED one-merge model whose
-    // merge can never fire on this corpus (trained symbol 'z' is
-    // absent from the documents text), so every word costs exactly
-    // len+1 ids (its code points + the end-of-word symbol; vocabulary
-    // membership never changes the COUNT, only the id) and one eos
-    // rides per doc — DuckDB reproduces the whole per-pack packing
-    // arithmetic (sizes, short tails, padding waste, shard spread)
-    // from the text alone, never seeing packs or ids
+    // the metadata-priced export survey through the driver gate, over
+    // the REAL multi-generation shape (bootstrap + one appended
+    // pack): encoded under a PLANTED one-merge model whose merge can
+    // never fire on this corpus (trained symbol 'z' is absent from
+    // the documents text), so every word costs exactly len+1 ids (its
+    // code points + the end-of-word symbol; vocabulary membership
+    // never changes the COUNT, only the id) and one eos rides per
+    // doc — DuckDB reproduces the whole per-pack packing arithmetic
+    // (sizes, short tails, padding waste, shard spread) from the text
+    // alone, INCLUDING the appended generation's base (= the
+    // bootstrap's sequence count, the next_seq_id convention), never
+    // seeing packs or ids
     "q147_stats_shards" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .where(col("doc_id") < 1000)
         .select(col("doc_id"), col("text"))
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val mid = maxId / 2
       val n = StreamScratch.seq.incrementAndGet()
       val root = ivfIndexDir(dir, s"st147_$n")
-      docs.write.mode("overwrite").parquet(s"$root/c/corpus")
       Bpe.writeModel(s,
         Bpe.BpeModel(Seq("z", graft.functions.BpeEncodeExpr.Eow),
           Seq(("z", "z"))), s"$root/model")
+      docs.where(col("doc_id") <= mid).write.mode("overwrite")
+        .parquet(s"$root/c/corpus/batch_id=$mid")
       Pipeline.writeTrainingShards(s, s"$root/c", s"$root/model",
         s"$root/shards", seqLen = 64, numShards = 4)
+      docs.where(col("doc_id") > mid).write.mode("overwrite")
+        .parquet(s"$root/c/corpus/batch_id=$maxId")
+      Pipeline.writeTrainingShards(s, s"$root/c", s"$root/model",
+        s"$root/shards", seqLen = 64, numShards = 4, mode = "append")
       Pipeline.statsTrainingShards(s, s"$root/shards")
         .select(col("pack"), col("n_sequences"), col("n_ids"),
           col("n_short"), col("padding_waste"), col("shard_spread"))
@@ -3222,37 +3232,48 @@ object SparkEntry {
           |  0::BIGINT AS n_unterminated
           |FROM d, m WHERE doc_id <= m.mid OR doc_id % 41 != 0"""
           .stripMargin,
-      // the export survey's packing arithmetic: under the planted
-      // never-firing one-merge model every word costs len+1 ids
-      // (code points + end-of-word symbol) and each doc one eos, so
-      // the bootstrap pack's sizes/tails/waste/spread are integer
-      // arithmetic over the normalized text — the q141 normalization
-      // (lowercase, whitespace-class split, empties dropped)
+      // the export survey's packing arithmetic over BOTH generations:
+      // under the planted never-firing one-merge model every word
+      // costs len+1 ids (code points + end-of-word symbol) and each
+      // doc one eos, so each pack's sizes/tails/waste/spread — and
+      // the appended pack's BASE (the bootstrap's sequence count, the
+      // next_seq_id convention) — are integer arithmetic over the
+      // normalized text (the q141 normalization: lowercase,
+      // whitespace-class split, empties dropped)
       "q147_stats_shards" ->
         """WITH d AS (
           |  SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+          |m AS (
+          |  SELECT CAST(max(doc_id) AS BIGINT) // 2 AS mid FROM d),
           |tok AS (
           |  SELECT doc_id,
           |    list_filter(string_split_regex(
           |      lower(coalesce(text, '')), '[ \t\n\r\f\x0B]+'),
           |      x -> x != '') AS ts
           |  FROM d),
-          |tot AS (
-          |  SELECT CAST(coalesce(sum(
-          |    coalesce(list_sum(list_transform(ts,
-          |      x -> length(x) + 1)), 0) + 1), 0) AS BIGINT) AS ids
+          |per AS (
+          |  SELECT doc_id,
+          |    CAST(coalesce(list_sum(list_transform(ts,
+          |      x -> length(x) + 1)), 0) + 1 AS BIGINT) AS n
           |  FROM tok),
-          |sz AS (
-          |  SELECT ids, (ids + 63) // 64 AS nseq FROM tot)
-          |SELECT 0::BIGINT AS pack,
-          |  CAST(nseq AS BIGINT) AS n_sequences,
+          |g AS (
+          |  SELECT CASE WHEN doc_id <= m.mid THEN 0 ELSE 1 END AS grp,
+          |    CAST(sum(n) AS BIGINT) AS ids
+          |  FROM per, m GROUP BY 1),
+          |b AS (
+          |  SELECT (SELECT (ids + 63) // 64 FROM g WHERE grp = 0)
+          |    AS base)
+          |SELECT
+          |  CAST(CASE WHEN grp = 0 THEN 0 ELSE b.base END
+          |    AS BIGINT) AS pack,
+          |  CAST((ids + 63) // 64 AS BIGINT) AS n_sequences,
           |  ids AS n_ids,
           |  CAST(CASE WHEN ids % 64 = 0 THEN 0 ELSE 1 END
           |    AS BIGINT) AS n_short,
           |  CAST((64 - ids % 64) % 64 AS BIGINT) AS padding_waste,
-          |  CAST(CASE WHEN nseq % 4 = 0 THEN 0 ELSE 1 END
-          |    AS BIGINT) AS shard_spread
-          |FROM sz""".stripMargin,
+          |  CAST(CASE WHEN ((ids + 63) // 64) % 4 = 0 THEN 0 ELSE 1
+          |    END AS BIGINT) AS shard_spread
+          |FROM g, b ORDER BY pack""".stripMargin,
       // the compacted artifact still decodes every doc to the ONE
       // shared normalization — DuckDB never sees packs, spans, ids,
       // or the merge; compaction is pure re-cutting, so the q141

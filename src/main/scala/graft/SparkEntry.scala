@@ -522,12 +522,23 @@ object SparkEntry {
         gapMinutes = 60)
         .orderBy(col("user_id").asc, col("session_id").asc)),
     "q28_approx_distinct" -> ((s, dir) =>
-      // HLL sketch implementations differ across engines by design →
-      // rows-only check; the exact q04 family is the precision oracle
+      // HLL sketch VALUES differ across engines by design, so the
+      // sketch itself can never hash-compare — but its ERROR BOUND
+      // can: the entry emits the exact count (DuckDB-derivable) and
+      // the within-5% verdict (Spark's default rsd is 0.05, and the
+      // sketch is deterministic for a fixed dataset, so the verdict
+      // is a stable bit the oracle pins every round — a sketch
+      // regression or a broken grouping lands in the hash instead of
+      // hiding behind a rows-only shrug)
       t(s, dir, "events")
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        .agg(approx_count_distinct(col("user_id")).as("approx"),
           countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx").cast("double") -
+              col("exact_users").cast("double")) <=
+            col("exact_users").cast("double") * lit(0.05))
+            .as("within_5pct"))
         .orderBy(col("event_type").asc)),
     "q50_rollup" -> ((s, dir) =>
       t(s, dir, "events")
@@ -2400,6 +2411,16 @@ object SparkEntry {
           |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
           |GROUP BY l_returnflag, l_linestatus
           |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+      // the HLL sketch value never hash-compares across engines, but
+      // its error bound does: exact per-group distincts from DuckDB
+      // next to the pinned within-5% verdict (the sketch is
+      // deterministic for a fixed dataset, so the bit is stable)
+      "q28_approx_distinct" ->
+        """SELECT event_type,
+          |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+          |  true AS within_5pct
+          |FROM events GROUP BY event_type
+          |ORDER BY event_type""".stripMargin,
       "q27_sessionize" ->
         """SELECT user_id, session_id, min(ts) AS session_start,
           |       max(ts) AS session_end, count(*) AS n_events

@@ -2079,25 +2079,36 @@ object Pipeline {
             try scala.io.Source.fromInputStream(in, "UTF-8").mkString
             finally in.close()
           }
-          // "<base>;<expected_ids>;<victim>,<victim>,..."
-          val parts = body.trim.split(";", 3)
-          val base = parts(0).toLong
-          val expectedIds = parts(1).toLong
-          val victims = parts(2).split(",").filter(_.nonEmpty)
-            .map(_.toLong).toSeq
-          val packDir = new Path(seqRoot, s"pack=$base")
-          val landed = fs.exists(packDir) && {
-            val got = spark.read.parquet(packDir.toString)
-              .agg(coalesce(sum(col("n_ids").cast("long")), lit(0L)))
-              .head().getLong(0)
-            got == expectedIds
+          // "<base>;<expected_ids>;<victim>,<victim>,..." — a body
+          // that fails to parse is a crash DURING the marker write
+          // itself (fs.create succeeded, close never ran), and the
+          // marker's close strictly precedes stagedWrite, so an
+          // unparseable marker PROVABLY predates any swap: treat it
+          // as stale debris (delete, fall through to detection)
+          // instead of throwing the raw NumberFormatException that
+          // would wedge the one named recovery behind a manual
+          // marker delete
+          val parsed = scala.util.Try {
+            val parts = body.trim.split(";", 3)
+            (parts(0).toLong, parts(1).toLong,
+              parts(2).split(",").filter(_.nonEmpty)
+                .map(_.toLong).toSeq)
           }
-          if (landed) victims.foreach { v =>
-            val vp = new Path(seqRoot, s"pack=$v")
-            if (fs.exists(vp))
-              require(fs.delete(vp, true),
-                s"compactTrainingShards: deleting merged-away pack=" +
-                  s"$v failed")
+          parsed.toOption.foreach { case (base, expectedIds, victims) =>
+            val packDir = new Path(seqRoot, s"pack=$base")
+            val landed = fs.exists(packDir) && {
+              val got = spark.read.parquet(packDir.toString)
+                .agg(coalesce(sum(col("n_ids").cast("long")), lit(0L)))
+                .head().getLong(0)
+              got == expectedIds
+            }
+            if (landed) victims.foreach { v =>
+              val vp = new Path(seqRoot, s"pack=$v")
+              if (fs.exists(vp))
+                require(fs.delete(vp, true),
+                  s"compactTrainingShards: deleting merged-away pack=" +
+                    s"$v failed")
+            }
           }
           require(fs.delete(st.getPath, true),
             s"compactTrainingShards: deleting marker $nm failed")
@@ -2170,9 +2181,14 @@ object Pipeline {
           val seqsRun = spark.read
             .option("basePath", s"$outDir/sequences")
             .parquet(bases.map(b => s"$outDir/sequences/pack=$b"): _*)
+          // numParts from the run's own metadata sum (already on the
+          // driver) — the shared epochPartitions rule without an
+          // extra sizing pass over the reconstruction
           val merged = graft.operators.Sharding
             .packIdStreams(graft.operators.Sharding
-              .reconstructDocs(seqsRun), seqLen)
+              .reconstructDocs(seqsRun), seqLen,
+              numParts = graft.operators.Sharding
+                .epochPartitions(expectedIds))
             .withColumn("seq_id", col("seq_id") + lit(base))
             .withColumn("shard",
               pmod(col("seq_id"), lit(numShards.toLong)).cast("int"))
@@ -2262,7 +2278,9 @@ object Pipeline {
     *   1. a standing export exists (params/; the mid-swap aside gets
     *      its ∝-0 rename diagnosis, not "bootstrap first");
     *   2. the export is append-era (pre-append-era layouts refuse
-    *      with the one-time mode=overwrite upgrade);
+    *      with the one-time mode=overwrite upgrade), and no
+    *      compaction marker stands (the append's own refusal,
+    *      surfaced before the batch publishes);
     *   3. the tokenizer is a COMPLETE model whose counts AND content
     *      digest match the export's stamp (a season retrain since the
     *      export would otherwise mix id spaces post-publish);
@@ -2294,6 +2312,13 @@ object Pipeline {
     val pdf = spark.read.parquet(s"$outDir/params")
     requireAppendEraParams(pdf, outDir,
       note = "; the shards= append works from there")
+    // the append refuses a standing compaction marker
+    // (appendTrainingShards' own gate) — surfaced HERE, pre-publish,
+    // or a crashed compaction would let the batch publish and THEN
+    // refuse on every cron run until someone re-runs the compaction:
+    // exactly the publish-then-lag state this pre-flight exists to
+    // prevent. One listStatus, the other gates' price class.
+    requireNoCompactMarker(spark, outDir, "re-run the refresh")
     val model = graft.operators.Bpe.readFullModel(spark, modelDir)
     requireModelProvenance(pdf, pdf.head(), model,
       graft.operators.Bpe.modelDigest(model), outDir,
@@ -2797,12 +2822,17 @@ object Pipeline {
     if (fs.exists(seqRoot)) {
       val markers = fs.listStatus(seqRoot).map(_.getPath.getName)
         .filter(_.startsWith("_compact~"))
+      // "in-flight OR crashed": readers take no lease, so a marker
+      // standing here is most often a perfectly healthy compaction
+      // mid-merge — the refusal must not diagnose a crash that never
+      // happened (the r17 advice)
       require(markers.isEmpty,
-        s"$outDir/sequences holds a compaction in-flight marker " +
-          s"(${markers.sorted.mkString(", ")} — a crashed " +
-          "compactTrainingShards; merged docs may sit duplicated " +
-          "next to their old packs) — re-run the compaction (it " +
-          s"finishes or abandons the merge and restamps), then $action")
+        s"$outDir/sequences holds a compaction marker " +
+          s"(${markers.sorted.mkString(", ")} — an in-flight or " +
+          "crashed compactTrainingShards; merged docs may sit " +
+          "duplicated next to their old packs) — wait for it to " +
+          "finish or re-run it (a re-run finishes or abandons the " +
+          s"merge and restamps), then $action")
     }
   }
 

@@ -283,10 +283,11 @@ object Fsck {
               if (cmarks.nonEmpty)
                 b += Finding(dir, "sequences", "warn",
                   s"compaction in-flight marker under sequences/ " +
-                    s"(${cmarks.sorted.mkString(", ")}) — a crashed " +
-                    "compactTrainingShards; re-run the compaction " +
-                    "(it finishes or abandons the merge, then " +
-                    "restamps params)")
+                    s"(${cmarks.sorted.mkString(", ")}) — an " +
+                    "in-flight or crashed compactTrainingShards; " +
+                    "wait for it to finish or re-run it (a re-run " +
+                    "finishes or abandons the merge, then restamps " +
+                    "params)")
               if (fields.contains("model_digest"))
                 // additive with the aside warn, but never "healthy"
                 // next to it: an aside'd pack is invisible to every

@@ -589,9 +589,12 @@ object Sharding {
     *              rows as the ids, so the two can never disagree.
     */
   def materializeSequences(docs: DataFrame, model: Bpe.BpeModel,
-      seqLen: Long, numParts: Int = 32,
+      seqLen: Long, numParts: Int = 0,
       text: Column = col("text"),
       eosId: Option[Int] = None): DataFrame = {
+    // numParts 0 = artifact-scaled: threaded to [[packIdStreams]],
+    // whose sizing aggregate runs on the already-barriered encoded
+    // frame — the encode never re-runs for sizing
     require(seqLen > 0, s"seqLen must be > 0, got $seqLen")
     eosId.foreach { e =>
       val v = graft.functions.BpeEncodeExpr
@@ -621,13 +624,27 @@ object Sharding {
     * model and can never drift the id space. Identity property
     * (PropertySpec): packIdStreams ∘ reconstructDocs over one pack's
     * own geometry reproduces a densely-packed equivalent bit-for-bit.
+    *
+    * `numParts` defaults to 0 = ARTIFACT-SCALED via the shared
+    * [[epochPartitions]] rule over Σ size(ids) (one aggregate on the
+    * already-barriered input — the arrays themselves stay put), so a
+    * direct API caller re-cutting a large id stream gets ~128 MB-of-
+    * ids pack tasks, not a fixed 32 multi-GB ones; pass an explicit
+    * count to override (compaction passes its runs' metadata sums —
+    * already on the driver — so its reconstructions never re-run for
+    * sizing).
     */
   def packIdStreams(docIds: DataFrame, seqLen: Long,
-      numParts: Int = 32): DataFrame = {
+      numParts: Int = 0): DataFrame = {
     require(seqLen > 0, s"seqLen must be > 0, got $seqLen")
     val withIds = Barriers.barrier(
       docIds.select(col("doc_id"), col("ids")))
-    packSequences(withIds, seqLen, numParts,
+    val parts =
+      if (numParts > 0) numParts
+      else epochPartitions(
+        withIds.agg(coalesce(sum(size(col("ids")).cast("long")),
+          lit(0L))).head().getLong(0))
+    packSequences(withIds, seqLen, parts,
         tokens = size(col("ids")))
       .join(withIds, Seq("doc_id"))
       .select(col("seq_id"), col("seq_from"), col("doc_id"),

@@ -810,6 +810,25 @@ class CorpusRefreshSpec extends SparkSuite {
     assert(el.getMessage.contains("retracted from since"),
       el.getMessage)
     assert(spark.read.parquet(s"$corpusDir/corpus").count() === nBefore)
+    // a standing compaction marker refuses pre-publish too (the
+    // append's own gate, surfaced early): without it the batch would
+    // publish, the append would refuse post-publish, and the cron
+    // would re-hit the same wall every run until the compaction is
+    // re-run — the exact publish-then-lag recurrence the pre-flight
+    // exists to prevent. The marker gate precedes the ledger gate,
+    // so the still-planted retraction above does not mask it.
+    val cm = new java.io.File(s"$exportDir/sequences/_compact~0")
+    java.nio.file.Files.write(cm.toPath, "0;1;".getBytes("UTF-8"))
+    val ec = intercept[IllegalArgumentException] {
+      graft.CorpusMain.run(spark, List("refresh", writeTmpBatch(
+          batchOf((24L, "lowest a7 b7 c7 d7 e7 f7 g7 h7 i7"))),
+        idxRoot, corpusDir, s"tokenizer=$modelDir",
+        s"shards=$exportDir"))
+    }
+    assert(ec.getMessage.contains("compactTrainingShards") &&
+      ec.getMessage.contains("re-run the refresh"), ec.getMessage)
+    assert(spark.read.parquet(s"$corpusDir/corpus").count() === nBefore)
+    assert(cm.delete())
     // appending to a dir with no standing export refuses with the
     // explicit-bootstrap recovery (seqLen is a training contract,
     // never a silently inherited default)

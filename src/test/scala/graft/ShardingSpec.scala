@@ -1427,20 +1427,20 @@ class ShardingSpec extends SparkSuite {
     val es = intercept[IllegalArgumentException] {
       graft.Pipeline.statsTrainingShards(spark, s"$root/shards")
     }
-    assert(es.getMessage.contains("re-run the compaction"),
+    assert(es.getMessage.contains("wait for it to finish or re-run it"),
       es.getMessage)
     val ep = intercept[IllegalArgumentException] {
       graft.Pipeline.repairTrainingShards(spark, s"$root/c",
         s"$root/model", s"$root/shards")
     }
-    assert(ep.getMessage.contains("re-run the compaction"),
+    assert(ep.getMessage.contains("wait for it to finish or re-run it"),
       ep.getMessage)
     val ea = intercept[IllegalArgumentException] {
       graft.Pipeline.writeTrainingShards(spark, s"$root/c",
         s"$root/model", s"$root/shards", seqLen = 4, numShards = 2,
         mode = "append")
     }
-    assert(ea.getMessage.contains("re-run the compaction"),
+    assert(ea.getMessage.contains("wait for it to finish or re-run it"),
       ea.getMessage)
     // fsck names the state; the ok finding drops "healthy"
     val f = graft.operators.Fsck.check(spark, s"$root/shards")
@@ -1474,6 +1474,19 @@ class ShardingSpec extends SparkSuite {
     assert(!marker.exists())
     graft.Pipeline.readTrainingShards(spark, s"$root/shards",
       strict = true)
+    // ---- an UNPARSEABLE marker (crash DURING the marker write —
+    // fs.create ran, close never did; the close strictly precedes
+    // the staged swap, so the merge provably never landed) is stale
+    // debris too: the healing re-run deletes it and converges,
+    // instead of wedging the one named recovery behind a raw
+    // NumberFormatException only a manual delete would clear
+    Seq("", s"$b1", s"$b1;12", s"$b1;garbage;$b2").foreach { body =>
+      java.nio.file.Files.write(marker.toPath, body.getBytes("UTF-8"))
+      graft.Pipeline.compactTrainingShards(spark, s"$root/shards")
+      assert(!marker.exists(), s"body '$body' left the marker")
+      graft.Pipeline.readTrainingShards(spark, s"$root/shards",
+        strict = true)
+    }
     // ---- a crashed append's unrecorded pack refuses naming the
     // repair (a possibly-partial pack must never merge)
     val nextSeq = spark.read.parquet(s"$root/shards/params").head()

@@ -67,12 +67,21 @@ object Bench {
     // (reconstruction + decode + corpus encode-image diff in the
     // same timer) — the composed-lifecycle class by construction
     "q146_audit_shards",
+    // q147 builds its two-generation export INSIDE the timer (the
+    // oracle needs the planted-model artifact fresh) for a survey
+    // whose own read is metadata-priced — the q144 growth pattern,
+    // classified the q144 way
+    "q147_stats_shards",
     // q149 = bootstrap + four appends + compaction + reconstruction
     // + decode in ONE timer — the same composed-lifecycle class
     "q149_compacted_export",
     // q150 = two CLI refreshes + bootstrap + knob-inert append + the
     // full audit in ONE timer — the q100 composed-lifecycle class
     "q150_refresh_shards",
+    // q151 = a refresh publish + model train + bootstrap export +
+    // the four-surface fsck survey in ONE timer — the same composed-
+    // lifecycle class (the survey itself is metadata-priced)
+    "q151_fsck_lifecycle",
     // q145 = q141's encode+decode round trip through the streaming
     // harness (staging + checkpoint + per-file micro-batches); its
     // per-pass signal is the batch round trip, already benched as q141

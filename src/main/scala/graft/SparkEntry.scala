@@ -525,11 +525,18 @@ object SparkEntry {
       // HLL sketch VALUES differ across engines by design, so the
       // sketch itself can never hash-compare — but its ERROR BOUND
       // can: the entry emits the exact count (DuckDB-derivable) and
-      // the within-5% verdict (Spark's default rsd is 0.05, and the
-      // sketch is deterministic for a fixed dataset, so the verdict
-      // is a stable bit the oracle pins every round — a sketch
-      // regression or a broken grouping lands in the hash instead of
-      // hiding behind a rows-only shrug)
+      // an error-bound verdict bit (the sketch is deterministic for
+      // a fixed dataset, so the bit is stable and the oracle pins it
+      // every round — a sketch regression or a broken grouping lands
+      // in the hash instead of hiding behind a rows-only shrug).
+      // Margin 15% = 3x Spark's default rsd=0.05: rsd is a STANDARD
+      // DEVIATION of relative error, not a bound, so pinning 5%
+      // itself would turn a legitimate tail-of-distribution group
+      // (new dataset, new SF, an HLL++ impl change) into a phantom
+      // oracle failure; 3 sigma is margin the bit survives while a
+      // real sketch regression (wrong grouping, broken hashing,
+      // collapsed registers) still lands far outside it. Measured
+      // worst group error on the benched datasets is well under 5%.
       t(s, dir, "events")
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("approx"),
@@ -537,8 +544,8 @@ object SparkEntry {
         .select(col("event_type"), col("exact_users"),
           (abs(col("approx").cast("double") -
               col("exact_users").cast("double")) <=
-            col("exact_users").cast("double") * lit(0.05))
-            .as("within_5pct"))
+            col("exact_users").cast("double") * lit(0.15))
+            .as("within_3rsd"))
         .orderBy(col("event_type").asc)),
     "q50_rollup" -> ((s, dir) =>
       t(s, dir, "events")
@@ -897,15 +904,27 @@ object SparkEntry {
           multiAssign = 2)
         .select(col("vec_id"), col("label"))
         .orderBy(col("vec_id").asc)),
-    // the honesty gate: recall vs exact all-pairs + scored-pair
-    // fraction in ONE row at q75's exact parameters (DedupSpec floors
-    // the recall/scan concentration ratio); input capped like every
-    // all-pairs baseline
+    // the honesty gate at q75's exact parameters, ORACLE-CHECKED as
+    // q28-style verdict bits: the k-means cells are engine-specific,
+    // but n_exact is DuckDB's own all-pairs arithmetic (q63's oracle
+    // at the same threshold/cap) and the recall-floor / scan-ceiling
+    // verdicts are stable bits for a fixed dataset — an index-quality
+    // regression now FAILS the round instead of drifting a number
+    // nobody diffs. Floors from the measured values with margin:
+    // recall 0.368/0.372 at sf0.001/sf0.01 (isotropic embeddings, the
+    // ANN worst case — on clustered corpora DedupSpec proves ~1.0)
+    // vs floor 0.3; scan_frac 0.062 vs ceiling 0.12 — together they
+    // pin the honesty contract itself: 3x the recall of random
+    // scanning at that budget. Raw values stay DedupSpec-floored and
+    // readable via Dedup.semanticDedupRecall.
     "q77_semdedup_recall" -> ((s, dir) =>
       Dedup.semanticDedupRecall(
-        t(s, dir, "embeddings").where(col("vec_id") < 1000),
-        nlist = 64, threshold = 0.25, kmeansIters = 1,
-        multiAssign = 2)),
+          t(s, dir, "embeddings").where(col("vec_id") < 1000),
+          nlist = 64, threshold = 0.25, kmeansIters = 1,
+          multiAssign = 2)
+        .select(col("n_exact"), col("multi_assign"),
+          (col("recall") >= lit(0.3)).as("recall_ge_floor"),
+          (col("scan_frac") <= lit(0.12)).as("scan_le_ceiling"))),
     // ---- extension tier: similarity search ----
     "q36_ann_quantized_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -933,13 +952,20 @@ object SparkEntry {
           rerank = emb.count().toInt)
         .orderBy(col("query_id").asc, col("rank").asc)
     }),
-    // the SQ8 honesty row (q70's role for the quantized ranking):
-    // recall@10 of rerank = 0 vs the exact top-k, plus the measured
-    // per-vector byte columns — the storage trade, from the data
+    // the SQ8 honesty row (q70's role for the quantized ranking),
+    // ORACLE-CHECKED as a q28-style verdict bit: n_exact and the
+    // byte columns are DuckDB-derivable (count of exact top-k rows;
+    // dim from the arrays), and the recall floor is a stable bit for
+    // a fixed dataset — measured 0.98/1.0 at sf0.001/sf0.01 vs floor
+    // 0.9 (the SimilaritySpec floor, cleared with margin). The raw
+    // recall stays readable via Similarity.sq8RecallStats.
     "q107_sq8_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.sq8RecallStats(emb, emb.where(col("vec_id") < 5),
-        k = 10)
+          k = 10)
+        .select(col("n_exact"), col("dim"), col("f32_bytes_per_vec"),
+          col("code_bytes_per_vec"),
+          (col("recall_at_k") >= lit(0.9)).as("recall_ge_floor"))
     }),
     // nprobe=12/16: the synthetic embeddings are isotropic gaussian (no
     // cluster structure), so coarse cells carry little signal and recall
@@ -1064,8 +1090,11 @@ object SparkEntry {
     // the q109 production shape's honesty row (q70's role for the
     // fused probe): recall@10 of nprobe=8/64 + default 4·k re-rank
     // against brute force over the index's OWN f32 side, with the
-    // probe_frac and rerank budget disclosed beside it — rows-only
-    // (recall is geometry-specific), floor-gated in SimilaritySpec
+    // probe_frac and rerank budget disclosed beside it —
+    // ORACLE-CHECKED as a q28-style verdict bit (the index geometry
+    // is engine-specific, the floor verdict is a stable bit: measured
+    // 0.96/0.94 at sf0.001/sf0.01 vs the SimilaritySpec floor 0.9).
+    // The raw recall stays readable via sq8IndexedRecallStats.
     "q112_sq8_ivf_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val cents = Similarity.collectCentroids(
@@ -1074,7 +1103,10 @@ object SparkEntry {
       Similarity.writeIvfIndex(emb, idx, cents, storage = "sq8",
         vecBuckets = 16, multiAssign = 8)
       Similarity.sq8IndexedRecallStats(s, idx,
-        emb.where(col("vec_id") < 5), k = 10, nprobe = 8)
+          emb.where(col("vec_id") < 5), k = 10, nprobe = 8)
+        .select(col("n_exact"), col("probe_frac"),
+          col("rerank_per_query"),
+          (col("recall_at_k") >= lit(0.9)).as("recall_ge_floor"))
     }),
     // ---- extension tier: data mixing (temperature flattening) ----
     // the per-domain rate table the mix actually applies: counts →
@@ -1205,26 +1237,39 @@ object SparkEntry {
     }),
     // the materialized training shards: the q132 manifest gathered
     // into actual seqLen-id sequences (train → encode → pack → read,
-    // closed end to end; rows-only — ShardingSpec pins the
-    // concatenation and fixed-length invariants)
+    // closed end to end) — ORACLE-CHECKED under the q147 planted
+    // never-firing model (BpeModel(Seq("z", Eow), ("z","z")); 'z' is
+    // absent from the documents text, so every code point is OOV id
+    // 0, every word ends with the eow id 2, and the merge can never
+    // fire): the ENTIRE packed id stream — concatenation order, cut
+    // positions, fixed-length invariant, OOV/eow id assignment — is
+    // integer-and-string arithmetic over the normalized text, so
+    // ids_md5 itself hash-checks per sequence. The REAL-model encode
+    // and packing stay covered by q141/q145/q149's oracle-checked
+    // decode round trips and ShardingSpec's invariants.
     "q138_pack_ids" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val model = Bpe.trainModel(docs, numMerges = 64)
+      val model = Bpe.BpeModel(
+        Seq("z", graft.functions.BpeEncodeExpr.Eow), Seq(("z", "z")))
       Sharding.materializeSequences(docs, model, seqLen = 512)
         .select(col("seq_id"), col("n_ids"),
           expr("md5(array_join(transform(ids, " +
             "x -> cast(x as string)), ' '))").as("ids_md5"))
         .orderBy(col("seq_id").asc)
     }),
-    // the eos-marked packing (rows-only): every document contributes
-    // one trailing end-of-document id (vocabSize + 1, the GPT
-    // convention) before the cut, and each sequence carries its
-    // `spans` document boundaries — what a block-diagonal attention
-    // mask consumes; ShardingSpec pins the interleave and span
-    // partition invariants
+    // the eos-marked packing: every document contributes one trailing
+    // end-of-document id (vocabSize + 1 = 4 under the planted model,
+    // the GPT convention) before the cut, and each sequence carries
+    // its `spans` document boundaries — what a block-diagonal
+    // attention mask consumes. ORACLE-CHECKED like q138: the eos
+    // interleave, the per-sequence document-boundary COUNT, and the
+    // full id stream all hash against DuckDB's independent
+    // derivation from the text; ShardingSpec pins the span partition
+    // invariants for real models.
     "q139_pack_eos" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val model = Bpe.trainModel(docs, numMerges = 64)
+      val model = Bpe.BpeModel(
+        Seq("z", graft.functions.BpeEncodeExpr.Eow), Seq(("z", "z")))
       Sharding.materializeSequences(docs, model, seqLen = 512,
           eosId = Some(Bpe.eosIdOf(model)))
         .select(col("seq_id"), col("n_ids"),
@@ -1551,6 +1596,56 @@ object SparkEntry {
           col("n_bad"), col("n_unk"), col("n_word_merge_risk"),
           col("n_unterminated"))
     }),
+    // fsck through the driver gate — the operator you only ever run
+    // when trust is already in question, so its own honesty matters
+    // MORE than the read paths': a healthy composed lifecycle
+    // (refresh-published corpus + its index families + the tokenizer
+    // + the shard export) surveyed by Fsck must report all-ok, and
+    // the oracle pins the WHOLE classification: zero errors, zero
+    // warns, exactly the refresh's three standing index families
+    // consistent (a contract constant of these knobs), the model and
+    // export trees recognized healthy, and the corpus root SILENT (a
+    // healthy corpus is no-findings by design — pinned so an fsck
+    // that crashes into empty output cannot pass as "quiet"). The
+    // seeded-residue variants (asides, markers, foreign dirs) stay
+    // spec-level — ShardingSpec/FsckSpec plant each damage class.
+    "q151_fsck_lifecycle" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .where(col("doc_id") < 1000)
+        .select(col("doc_id"), col("text"))
+      val n = StreamScratch.seq.incrementAndGet()
+      val root = ivfIndexDir(dir, s"fk151_$n")
+      docs.write.mode("overwrite").parquet(s"$root/seed/corpus")
+      Pipeline.trainBpeModel(s, s"$root/seed", s"$root/model",
+        numMerges = 64, maxTypes = 1 << 20)
+      docs.where(col("doc_id") < 300).write.mode("overwrite")
+        .parquet(s"$root/batch_0")
+      Pipeline.refreshCorpus(s,
+        s.read.parquet(s"$root/batch_0"), s"$root/idx",
+        s"$root/corpus", jaccardThreshold = 0.5, chunkTokens = 10,
+        bandBuckets = 32, pieceBuckets = 32, chunkBuckets = 32,
+        tokenizerModelDir = Some(s"$root/model"))
+      Pipeline.writeTrainingShards(s, s"$root/corpus", s"$root/model",
+        s"$root/shards", seqLen = 64, numShards = 4)
+      Seq("idx", "corpus", "model", "shards")
+        .map(sub => graft.operators.Fsck.checkDf(s, s"$root/$sub")
+          .withColumn("surface", lit(sub)))
+        .reduce(_.unionByName(_))
+        .agg(
+          count(when(col("level") === "error", 1)).as("n_error"),
+          count(when(col("level") === "warn", 1)).as("n_warn"),
+          count(when(col("level") === "ok" &&
+            col("detail").contains("index: layout consistent"), 1))
+            .as("n_index_ok"),
+          (count(when(col("level") === "ok" && col("detail")
+            .contains("healthy complete BPE tokenizer model"), 1))
+            === 1).as("model_ok"),
+          (count(when(col("level") === "ok" && col("detail")
+            .contains("healthy training-shards export"), 1)) === 1)
+            .as("shards_ok"),
+          (count(when(col("surface") === "corpus", 1)) === 0)
+            .as("corpus_quiet"))
+    }),
     // epochResume through the driver gate: the strict remainder of
     // q143's epoch-3 order after a REAL mid-order cursor — the
     // (epoch_key, seq_id) of the median id, so the filter's equality
@@ -1768,14 +1863,22 @@ object SparkEntry {
         t(s, dir, "documents").where(col("doc_id") < 1000),
         threshold = 0.5)
         .orderBy(col("id_a").asc, col("id_b").asc)),
-    // the honesty gate: recall vs exact all-pairs + verified-pair
-    // fraction in ONE row at q82's exact parameters (DedupSpec floors
-    // recall on planted doc-in-doc duplicates); input capped like
-    // every all-pairs baseline
+    // the honesty gate at q82's exact parameters, ORACLE-CHECKED as
+    // q28-style verdict bits: n_exact is q81's already-hash-checked
+    // all-pairs containment arithmetic (counted), the knob columns
+    // are the contract's own constants, and the recall-floor /
+    // scan-ceiling verdicts are stable bits — measured recall 1.0 at
+    // sf0.001/sf0.01 (the candidate cuts drop nothing at these
+    // params) vs floor 0.95; scan_frac 0.092/0.096 vs ceiling 0.15.
+    // Raw values stay DedupSpec-floored via Dedup.containmentRecall.
     "q83_containment_recall" -> ((s, dir) =>
       Dedup.containmentRecall(
-        t(s, dir, "documents").where(col("doc_id") < 1000),
-        threshold = 0.5)),
+          t(s, dir, "documents").where(col("doc_id") < 1000),
+          threshold = 0.5)
+        .select(col("n_exact"), col("small_max"), col("max_doc_freq"),
+          col("sample_k"), col("sample_min_hits"),
+          (col("recall") >= lit(0.95)).as("recall_ge_floor"),
+          (col("scan_frac") <= lit(0.15)).as("scan_le_ceiling"))),
     // capped like every all-pairs oracle baseline (q62/q64/q69): O(n²)
     // by construction, it exists to validate the LSH path (q35) on a
     // sample — the sf1 scaling run measured the uncapped form at 98×
@@ -1819,20 +1922,27 @@ object SparkEntry {
           threshold = 0.5))
         .orderBy(col("id").asc)),
     // recall@10 of the IVF probe path against the exact brute-force
-    // baseline, as ONE aggregated row (rows-only: the IVF bucketing is
-    // engine-specific by design; the recall floor is SimilaritySpec-
-    // tested). nprobe/nlist = 8/64 — the partition-pruning ratio a
-    // written index reads, 1/8 of cells. The testdata embeddings are
-    // isotropic (no cluster structure), the ANN worst case, so earning
-    // recall >= 0.9 at that ratio needs multiAssign = 8 boundary
-    // replication; the row's scan_frac column discloses exactly what
-    // that costs (~0.65 of pairs scored) instead of hiding it. On
-    // clustered corpora the same gate passes at multiAssign = 1 with
-    // scan_frac ~ probe_frac — SimilaritySpec proves both regimes.
+    // baseline, ORACLE-CHECKED as q28-style verdict bits (the IVF
+    // bucketing is engine-specific by design; the floor/ceiling
+    // verdicts are stable bits for a fixed dataset, so the oracle
+    // pins them every round and an index-quality regression fails
+    // the round). nprobe/nlist = 8/64 — the partition-pruning ratio
+    // a written index reads, 1/8 of cells. The testdata embeddings
+    // are isotropic (no cluster structure), the ANN worst case, so
+    // earning recall >= 0.9 at that ratio needs multiAssign = 8
+    // boundary replication; the scan ceiling bit pins what that
+    // costs (measured ~0.65 of pairs scored vs ceiling 0.8) instead
+    // of hiding it. Measured recall 0.96 at sf0.001 AND sf0.01 vs
+    // floor 0.9. On clustered corpora the same gate passes at
+    // multiAssign = 1 with scan_frac ~ probe_frac — SimilaritySpec
+    // proves both regimes, and floors the raw values directly.
     "q70_ivf_recall" -> ((s, dir) =>
       Similarity.ivfRecallStats(t(s, dir, "embeddings"),
-        t(s, dir, "embeddings").where(col("vec_id") < 5),
-        k = 10, nlist = 64, nprobe = 8, multiAssign = 8)),
+          t(s, dir, "embeddings").where(col("vec_id") < 5),
+          k = 10, nlist = 64, nprobe = 8, multiAssign = 8)
+        .select(col("n_exact"), col("probe_frac"), col("multi_assign"),
+          (col("recall_at_k") >= lit(0.9)).as("recall_ge_floor"),
+          (col("scan_frac") <= lit(0.8)).as("scan_le_ceiling"))),
     // ---- extension tier: corpus preparation (splits + shards) ----
     "q65_hash_split" -> ((s, dir) =>
       Sharding.hashSplit(t(s, dir, "documents").select(col("doc_id")))
@@ -2413,12 +2523,12 @@ object SparkEntry {
           |ORDER BY l_returnflag, l_linestatus""".stripMargin,
       // the HLL sketch value never hash-compares across engines, but
       // its error bound does: exact per-group distincts from DuckDB
-      // next to the pinned within-5% verdict (the sketch is
-      // deterministic for a fixed dataset, so the bit is stable)
+      // next to the pinned 3-sigma (3x rsd=0.05) verdict bit — see
+      // the entry for why the margin is 15%, not the rsd itself
       "q28_approx_distinct" ->
         """SELECT event_type,
           |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
-          |  true AS within_5pct
+          |  true AS within_3rsd
           |FROM events GROUP BY event_type
           |ORDER BY event_type""".stripMargin,
       "q27_sessionize" ->
@@ -3120,6 +3230,86 @@ object SparkEntry {
            |  WHERE a.vec_id < 1000 AND b.vec_id < 1000)
            |SELECT * FROM p WHERE cosine >= 0.25
            |ORDER BY id_a, id_b""".stripMargin,
+      // the five recall gates, q28-style: the approximate structures
+      // (k-means cells, IVF buckets, posting cuts) are engine-specific
+      // by design, but each gate's n_exact is DuckDB's OWN exact
+      // arithmetic (counted) and the floor/ceiling verdicts are
+      // stable bits the oracle pins TRUE every round — an
+      // index-quality regression fails the round instead of drifting
+      // a number nobody diffs
+      "q70_ivf_recall" ->
+        s"""WITH $vecNormSql,
+           |scored AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id, ${cosineSql("q", "c")}
+           |  FROM v q JOIN v c ON q.vec_id < 5 AND q.vec_id != c.vec_id),
+           |ranked AS (
+           |  SELECT query_id,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cosine DESC, vec_id ASC) AS rank
+           |  FROM scored)
+           |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           |  CAST(0.125 AS DOUBLE) AS probe_frac,
+           |  CAST(8 AS INT) AS multi_assign,
+           |  true AS recall_ge_floor, true AS scan_le_ceiling
+           |FROM ranked WHERE rank <= 10""".stripMargin,
+      "q77_semdedup_recall" ->
+        s"""WITH $vecNormSql,
+           |p AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosineSql("a", "b")}
+           |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+           |  WHERE a.vec_id < 1000 AND b.vec_id < 1000)
+           |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           |  CAST(2 AS INT) AS multi_assign,
+           |  true AS recall_ge_floor, true AS scan_le_ceiling
+           |FROM p WHERE cosine >= 0.25""".stripMargin,
+      "q83_containment_recall" ->
+        s"""WITH $shingleSql,
+           |pairs AS (
+           |  SELECT len(list_intersect(a.shingles, b.shingles)) AS n_inter,
+           |    len(a.shingles) AS na, len(b.shingles) AS nb
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |    AND len(a.shingles) > 0 AND len(b.shingles) > 0)
+           |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           |  CAST(4096 AS INT) AS small_max,
+           |  CAST(1000 AS BIGINT) AS max_doc_freq,
+           |  CAST(0 AS INT) AS sample_k,
+           |  CAST(1 AS INT) AS sample_min_hits,
+           |  true AS recall_ge_floor, true AS scan_le_ceiling
+           |FROM pairs
+           |WHERE n_inter / least(na, nb) >= 0.5""".stripMargin,
+      "q107_sq8_recall" ->
+        s"""WITH $vecNormSql,
+           |scored AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id, ${cosineSql("q", "c")}
+           |  FROM v q JOIN v c ON q.vec_id < 5 AND q.vec_id != c.vec_id),
+           |ranked AS (
+           |  SELECT query_id,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cosine DESC, vec_id ASC) AS rank
+           |  FROM scored),
+           |d AS (SELECT max(len(embedding)) AS dim FROM embeddings)
+           |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           |  CAST(d.dim AS INT) AS dim,
+           |  CAST(d.dim * 4 AS INT) AS f32_bytes_per_vec,
+           |  CAST(d.dim AS INT) AS code_bytes_per_vec,
+           |  true AS recall_ge_floor
+           |FROM ranked, d WHERE rank <= 10
+           |GROUP BY d.dim""".stripMargin,
+      "q112_sq8_ivf_recall" ->
+        s"""WITH $vecNormSql,
+           |scored AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id, ${cosineSql("q", "c")}
+           |  FROM v q JOIN v c ON q.vec_id < 5 AND q.vec_id != c.vec_id),
+           |ranked AS (
+           |  SELECT query_id,
+           |    row_number() OVER (PARTITION BY query_id
+           |      ORDER BY cosine DESC, vec_id ASC) AS rank
+           |  FROM scored)
+           |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           |  CAST(0.125 AS DOUBLE) AS probe_frac,
+           |  CAST(40 AS INT) AS rerank_per_query,
+           |  true AS recall_ge_floor
+           |FROM ranked WHERE rank <= 10""".stripMargin,
       "q69_cluster_stars" ->
         // identical fixpoint to q64's oracle: stars and label-prop both
         // converge to component-minimum labels on the same edge set
@@ -3295,6 +3485,75 @@ object SparkEntry {
           |  CAST(CASE WHEN ((ids + 63) // 64) % 4 = 0 THEN 0 ELSE 1
           |    END AS BIGINT) AS shard_spread
           |FROM g, b ORDER BY pack""".stripMargin,
+      // q138/q139: the WHOLE packed id stream under the planted
+      // never-firing model — every code point is OOV id 0, every
+      // word ends with eow id 2 (vocabIds insertion order: z=1,
+      // </w>=2), docs (q139) end with eos id 4 = vocabSize+1 — so
+      // DuckDB rebuilds the global id stream from the text alone,
+      // cuts it at 512, and md5-hashes each sequence's ids: the
+      // concatenation order, cut positions, and id assignment all
+      // land in the hash
+      "q138_pack_ids" ->
+        """WITH tok AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(
+          |      lower(coalesce(text, '')), '[ \t\n\r\f\x0B]+'),
+          |      x -> x != '') AS ts
+          |  FROM documents),
+          |ids AS (
+          |  SELECT doc_id,
+          |    flatten(list_transform(ts, w ->
+          |      list_append([0 FOR i IN range(1, length(w)+1)], 2)))
+          |      AS l
+          |  FROM tok),
+          |g AS (SELECT flatten(list(l ORDER BY doc_id)) AS gl
+          |      FROM ids),
+          |t AS (SELECT CAST(len(gl) AS BIGINT) AS n FROM g),
+          |s AS (SELECT unnest([CAST(i AS BIGINT)
+          |        FOR i IN range(0, CAST((n + 511) // 512 AS INT))])
+          |        AS seq_id
+          |      FROM t)
+          |SELECT s.seq_id,
+          |  CAST(least((s.seq_id + 1) * 512, t.n) - s.seq_id * 512
+          |    AS INT) AS n_ids,
+          |  md5(array_to_string(list_slice(g.gl, s.seq_id * 512 + 1,
+          |    least((s.seq_id + 1) * 512, t.n)), ' ')) AS ids_md5
+          |FROM s, g, t ORDER BY s.seq_id""".stripMargin,
+      "q139_pack_eos" ->
+        """WITH tok AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(
+          |      lower(coalesce(text, '')), '[ \t\n\r\f\x0B]+'),
+          |      x -> x != '') AS ts
+          |  FROM documents),
+          |ids AS (
+          |  SELECT doc_id,
+          |    list_append(flatten(list_transform(ts, w ->
+          |      list_append([0 FOR i IN range(1, length(w)+1)], 2))),
+          |      4) AS l
+          |  FROM tok),
+          |o AS (
+          |  SELECT doc_id, CAST(len(l) AS BIGINT) AS nd,
+          |    CAST(coalesce(sum(len(l)) OVER (ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS BIGINT) AS st
+          |  FROM ids),
+          |g AS (SELECT flatten(list(l ORDER BY doc_id)) AS gl
+          |      FROM ids),
+          |t AS (SELECT CAST(len(gl) AS BIGINT) AS n FROM g),
+          |s AS (SELECT unnest([CAST(i AS BIGINT)
+          |        FOR i IN range(0, CAST((n + 511) // 512 AS INT))])
+          |        AS seq_id
+          |      FROM t)
+          |SELECT s.seq_id,
+          |  CAST(least((s.seq_id + 1) * 512, t.n) - s.seq_id * 512
+          |    AS INT) AS n_ids,
+          |  (SELECT CAST(count(*) AS INT) FROM o
+          |   WHERE o.st < least((s.seq_id + 1) * 512, t.n)
+          |     AND o.st + o.nd > s.seq_id * 512) AS n_docs,
+          |  md5(array_to_string(list_slice(g.gl, s.seq_id * 512 + 1,
+          |    least((s.seq_id + 1) * 512, t.n)), ' ')) AS ids_md5
+          |FROM s, g, t ORDER BY s.seq_id""".stripMargin,
       // the compacted artifact still decodes every doc to the ONE
       // shared normalization — DuckDB never sees packs, spans, ids,
       // or the merge; compaction is pure re-cutting, so the q141
@@ -3316,6 +3575,15 @@ object SparkEntry {
           |  '' AS mismatched_doc_ids, 0::BIGINT AS n_bad,
           |  0::BIGINT AS n_unk, 0::BIGINT AS n_word_merge_risk,
           |  0::BIGINT AS n_unterminated""".stripMargin,
+      // fsck over a healthy composed lifecycle classifies all-ok:
+      // zero errors/warns, the refresh's three standing index
+      // families (minhash + chunk + hamming at q151's knobs — a
+      // contract constant) each layout-consistent, the tokenizer and
+      // export trees recognized healthy, the corpus root silent
+      "q151_fsck_lifecycle" ->
+        """SELECT 0::BIGINT AS n_error, 0::BIGINT AS n_warn,
+          |  3::BIGINT AS n_index_ok, true AS model_ok,
+          |  true AS shards_ok, true AS corpus_quiet""".stripMargin,
       // epochResume: the q143 order's strict remainder past the
       // median id's (epoch_key, seq_id) cursor — same byte-fold +
       // Lehmer mix, cursor recomputed from scratch, the tie-break
@@ -3543,13 +3811,15 @@ object SparkEntry {
           |      FROM documents) t
           |GROUP BY token HAVING count(*) >= 500
           |ORDER BY token""".stripMargin
-      // q28, q32-q35, q38, q49, q70, q75-q77, q82-q83, q85: not
-      // DuckDB-reproducible BY DESIGN (xxhash64-based minhash/simhash
-      // signatures, random-hyperplane / IVF / k-means bucketing,
-      // df-dependent posting cuts, HLL sketch) → driver records
-      // rows-only checks; q62-q64/q69/q81 are their brute-force
-      // oracle-checked baselines, and q70/q77/q83 quantify the
-      // approx/exact gap as recall rows.
+      // q32-q35, q38, q49, q75-q76, q82, q85: not DuckDB-reproducible
+      // BY DESIGN (xxhash64-based minhash/simhash signatures,
+      // random-hyperplane / IVF / k-means bucketing, df-dependent
+      // posting cuts) → driver records rows-only checks;
+      // q62-q64/q69/q81 are their brute-force oracle-checked
+      // baselines, and the recall gates (q70/q77/q83/q107/q112, plus
+      // q28 for the HLL sketch) pin the approx/exact gap as
+      // oracle-checked verdict bits next to DuckDB's own exact
+      // counts.
     )
   }
 

@@ -204,18 +204,25 @@ class SimilaritySpec extends SparkSuite {
   }
 
   test("q70 gate: IVF recall@10 >= 0.9 at a 1/8 probe ratio, with the " +
-      "replication cost disclosed in the row") {
-    val row = SparkEntry.queries("q70_ivf_recall")(spark, sf()).collect()(0)
-    assert(row.getLong(1) === 50L) // 5 queries × k=10 exact rows
-    val recall = row.getDouble(0)
+      "replication cost disclosed in the row; the driver entry pins " +
+      "both as verdict bits") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val row = Similarity.ivfRecallStats(emb, emb.where($"vec_id" < 5),
+      k = 10, nlist = 64, nprobe = 8, multiAssign = 8).head()
+    assert(row.getAs[Long]("n_exact") === 50L) // 5 queries × k=10
+    val recall = row.getAs[Double]("recall_at_k")
     assert(recall >= 0.9, s"recall@10 $recall < 0.9")
     // the pruning ratio the gate is earned at: 8 of 64 cells
-    assert(row.getDouble(3) === 0.125)
+    assert(row.getAs[Double]("probe_frac") === 0.125)
     // isotropic data buys that recall with multi-assign replication —
     // the row must disclose the real scanned fraction, not hide it
-    val scanFrac = row.getDouble(2)
-    assert(scanFrac > 0.125 && scanFrac < 0.9, s"scan_frac $scanFrac")
-    assert(row.getInt(4) === 8)
+    val scanFrac = row.getAs[Double]("scan_frac")
+    assert(scanFrac > 0.125 && scanFrac < 0.8, s"scan_frac $scanFrac")
+    assert(row.getAs[Int]("multi_assign") === 8)
+    // the oracle-checked shape: the same floors as verdict bits
+    val bits = SparkEntry.queries("q70_ivf_recall")(spark, sf()).head()
+    assert(bits.getAs[Boolean]("recall_ge_floor"))
+    assert(bits.getAs[Boolean]("scan_le_ceiling"))
   }
 
   test("ivfRecallStats scan_frac is exact for external query sets: full " +

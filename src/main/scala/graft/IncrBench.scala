@@ -795,3 +795,69 @@ object CompactBench {
     spark.stop()
   }
 }
+
+/** Round-18 pricing: the FULL artifact audit ([[graft.Pipeline
+  * .auditTrainingShards]]) over a standing sf1 export — the one
+  * deliberate corpus-∝ read left in the export tier (reconstruct +
+  * decode every doc, diff against the model's image of the corpus).
+  * Priced NEXT TO the bootstrap export it mirrors and the
+  * metadata-priced stats survey, so the audit-cadence recommendation
+  * in docs/EXTENSIONS.md is a measured ratio, not vibes: the audit is
+  * the read-side twin of a full re-export and belongs at the same
+  * deliberate cadence (post-incident, post-repair spot checks,
+  * scheduled quiet windows), never per-cron — the per-cron trust
+  * surface is the append's own gates + statsTrainingShards.
+  */
+object AuditBench {
+  def main(args: Array[String]): Unit = {
+    import graft.operators.Bpe
+    val sfDir = args.headOption.getOrElse("target/sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    println(s"corpus=${docs.count()}")
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$label%-24s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    val modelDir = java.nio.file.Files
+      .createTempDirectory("adb_model").toString
+    Bpe.writeModel(spark,
+      Bpe.trainModel(docs, numMerges = 1000, maxTypes = 20000),
+      modelDir)
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("adb_corpus").toString
+    docs.write.mode("overwrite")
+      .parquet(s"$corpusDir/corpus/batch_id=$maxId")
+    val shards = java.nio.file.Files
+      .createTempDirectory("adb_shards").toString
+    timed("export_bootstrap") {
+      graft.Pipeline.writeTrainingShards(spark, corpusDir, modelDir,
+        shards, seqLen = 2048, numShards = 64)
+    }
+    timed("stats_survey") {
+      graft.Pipeline.statsTrainingShards(spark, shards)
+        .agg(count(lit(1)), sum(col("n_ids"))).head()
+    }
+    val verdict = timed("audit_full") {
+      graft.Pipeline.auditTrainingShards(spark, shards, modelDir,
+        corpusDir).head()
+    }
+    println(s"audit_row n_docs=${verdict.getAs[Long]("n_docs")} " +
+      s"n_mismatched=${verdict.getAs[Long]("n_mismatched")} " +
+      s"n_bad=${verdict.getAs[Long]("n_bad")} " +
+      s"n_unk=${verdict.getAs[Long]("n_unk")}")
+    spark.stop()
+  }
+}

@@ -1225,7 +1225,14 @@ object SparkEntry {
     // under a complete trained model — id 0 reserved for
     // out-of-vocabulary code points, ids deterministic (sorted
     // alphabet, then merges in rank order); n_ids ≡ q126's
-    // n_subwords (same segmentation — BpeSpec pins the bijection)
+    // n_subwords (same segmentation — BpeSpec pins the bijection).
+    // Deliberately NOT converted to the q138/q139 planted-model
+    // trick: this entry's claim IS the trained-vocabulary id
+    // assignment (real alphabet, real merges firing), which a
+    // never-firing model would vacate — under the planted model
+    // every id is 0/eow and nothing about trained-id encoding is
+    // exercised. The trained encode is oracle-covered from the
+    // outside by q141's decode round trip.
     "q137_bpe_ids" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val model = Bpe.trainModel(docs, numMerges = 64)

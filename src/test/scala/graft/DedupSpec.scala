@@ -1125,6 +1125,16 @@ class DedupSpec extends SparkSuite {
     assert(rep.getDouble(2) >= 1.7 * rep.getDouble(3), s"row: $rep")
     assert(rep.getDouble(2) >= 0.4, s"recall: $rep")
     assert(rep.getDouble(3) <= 0.3, s"scan_frac: $rep")
+    // the oracle-checked entry shape (q75's exact parameters, capped
+    // input): the same floors as verdict bits the DuckDB oracle pins
+    val bits = SparkEntry.queries("q77_semdedup_recall")(spark, sf())
+      .head()
+    assert(bits.getAs[Boolean]("recall_ge_floor"))
+    assert(bits.getAs[Boolean]("scan_le_ceiling"))
+    val cbits = SparkEntry.queries("q83_containment_recall")(spark,
+      sf()).head()
+    assert(cbits.getAs[Boolean]("recall_ge_floor"))
+    assert(cbits.getAs[Boolean]("scan_le_ceiling"))
   }
 
   test("maxBandFreq caps hot LSH bands: a planted template family's " +

@@ -346,6 +346,9 @@ class SimilaritySpec extends SparkSuite {
     val d = stats.getInt(2)
     assert(stats.getInt(3) === d * 4 &&
       stats.getInt(4) === d) // the 4× storage story, from the data
+    // the oracle-checked entry shape: the same floor as a verdict bit
+    val bits = SparkEntry.queries("q107_sq8_recall")(spark, sf()).head()
+    assert(bits.getAs[Boolean]("recall_ge_floor"))
   }
 
   test("SQ8-storage IVF index: quantized probed scan + bucket-pruned " +
@@ -493,6 +496,10 @@ class SimilaritySpec extends SparkSuite {
       s"recall ${r.getAs[Double]("recall_at_k")}")
     assert(r.getAs[Double]("probe_frac") === 0.125)
     assert(r.getAs[Int]("rerank_per_query") === 40)
+    // the oracle-checked entry shape: the same floor as a verdict bit
+    val bits = SparkEntry.queries("q112_sq8_ivf_recall")(spark, sf())
+      .head()
+    assert(bits.getAs[Boolean]("recall_ge_floor"))
   }
 
   test("f32→sq8 conversion rebuild inherits the WRITE-path vecBuckets " +

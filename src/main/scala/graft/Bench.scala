@@ -82,6 +82,9 @@ object Bench {
     // the four-surface fsck survey in ONE timer — the same composed-
     // lifecycle class (the survey itself is metadata-priced)
     "q151_fsck_lifecycle",
+    // q152 = a bootstrap export inside the timer feeding a map-only
+    // gated resume — the q144 write-inside-the-timer class
+    "q152_resume_gated",
     // q145 = q141's encode+decode round trip through the streaming
     // harness (staging + checkpoint + per-file micro-batches); its
     // per-pass signal is the batch round trip, already benched as q141

@@ -112,6 +112,16 @@ import org.apache.spark.sql.SparkSession
   *     [[graft.operators.Sharding.epochReorder]]: materialize ONE
   *     epoch's deterministic training order from a standing export
   *     (strict read, map-only key, one size-scaled range exchange).
+  *     The emitted JSON carries `layout_gen` — store it beside the
+  *     loader's checkpoint cursor; `epoch-resume` demands it back.
+  *   - `epoch-resume <outDir> <epoch> <lastKey> <lastId> <layoutGen>
+  *     <destDir> [salt] [numParts]` —
+  *     [[Pipeline.epochResumeShards]]: materialize the strict
+  *     REMAINDER of a crashed epoch past the loader's checkpointed
+  *     `(epoch_key, seq_id)` cursor — gated on the seq-id-space
+  *     generation the cursor was minted under, because a repair or
+  *     compaction since then REWROTE seq_ids and the old cursor
+  *     points at different data (the refusal names the restart).
   *   - `break-lease <dir> [dir ...]` —
   *     [[graft.operators.Lease.breakLease]]: the STALE-lease takeover
   *     surface. Every mutating pass above holds `<dir>/_LEASE` while
@@ -175,6 +185,7 @@ object CorpusMain {
         |       CorpusMain export-shards <corpusDir> <bpeModelDir> <outDir> [seqLen] [numShards] [overwrite|append]
         |       CorpusMain repair-shards <corpusDir> <bpeModelDir> <outDir> [maxConcurrent]
         |       CorpusMain epoch-stream <outDir> <epoch> <destDir> [salt] [numParts]
+        |       CorpusMain epoch-resume <outDir> <epoch> <lastKey> <lastId> <layoutGen> <destDir> [salt] [numParts]
         |       CorpusMain audit-shards <outDir> <bpeModelDir> [corpusDir]
         |       CorpusMain stats-shards <outDir>
         |       CorpusMain compact-shards <outDir> [minFill] [maxConcurrent]
@@ -446,9 +457,44 @@ object CorpusMain {
               numParts = numParts)
             .write.mode("overwrite").parquet(s"$destDir/data")
         }
+        // layout_gen rides the report: the loader stores it beside
+        // its checkpoint cursor, and epoch-resume demands it back —
+        // a repair/compaction since minting rewrote seq_ids and the
+        // resume must refuse, not silently skip/repeat sequences
         println(s"""{"out":"${jsonEsc(destDir)}/data","epoch":${
           epoch.toInt},"n_sequences":${
-          p.getAs[Long]("n_sequences")},"num_parts":$numParts}""")
+          p.getAs[Long]("n_sequences")},"num_parts":$numParts,${
+          ""}"layout_gen":${Pipeline.exportLayoutGen(spark, outDir)}}""")
+      case "epoch-resume" :: outDir :: epoch :: lastKey :: lastId ::
+          layoutGen :: destDir :: rest if rest.length <= 2 =>
+        // the crash-recovery sibling of epoch-stream: the strict
+        // REMAINDER of one epoch past the loader's checkpointed
+        // cursor, generation-gated (Pipeline.epochResumeShards
+        // refuses a cursor minted before a repair/compaction rewrote
+        // the seq-id space). Same lease + dest layout as
+        // epoch-stream; the remainder is written in consumable order
+        // with the same artifact-scaled range partitioning.
+        val remainder = Pipeline.epochResumeShards(spark, outDir,
+          epoch.toInt, lastKey.toLong, lastId.toLong,
+          layoutGen.toLong, salt = rest.headOption.getOrElse("ep"))
+        val p2 = spark.read.parquet(s"$outDir/params").head()
+        val numParts2 = rest.drop(1).headOption.map(_.toInt).getOrElse(
+          graft.operators.Sharding.epochPartitions(
+            p2.getAs[Long]("n_ids_total")))
+        graft.operators.Lease.withLeases(spark, Seq(destDir),
+          "epoch-resume") {
+          remainder
+            .repartitionByRange(numParts2, org.apache.spark.sql
+              .functions.col("epoch_key"), org.apache.spark.sql
+              .functions.col("seq_id"))
+            .sortWithinPartitions(org.apache.spark.sql.functions
+              .col("epoch_key"), org.apache.spark.sql.functions
+              .col("seq_id"))
+            .write.mode("overwrite").parquet(s"$destDir/data")
+        }
+        println(s"""{"out":"${jsonEsc(destDir)}/data","epoch":${
+          epoch.toInt},"resumed_after":[${lastKey.toLong},${
+          lastId.toLong}],"layout_gen":${layoutGen.toLong}}""")
       case "audit-shards" :: outDir :: modelDir :: rest
           if rest.length <= 1 =>
         // read-back audit of the packed-id artifact: the strict +

@@ -1679,14 +1679,23 @@ object Pipeline {
     // that collide with a standing pack's tail. Exports written
     // before the column have never been repaired, so count == next id
     // there (readers coalesce).
+    // `layout_gen` is the SEQ-ID-SPACE generation: bumped by every
+    // operation that REWRITES standing seq_ids (repair re-cuts
+    // touched packs, compaction re-bases merged runs), carried
+    // unchanged by appends (new ids only — standing ids never move).
+    // It exists for epoch-resume cursors: a (epoch_key, seq_id)
+    // cursor minted under one generation points at DIFFERENT data
+    // after a rewrite, and [[epochResumeShards]] refuses the stale
+    // cursor loudly instead of silently mis-resuming a training run.
     def paramsRow(nSeq: Long, nIds: Long, maxDoc: Long,
-        rt: Long, nextSeq: Long): DataFrame =
+        rt: Long, nextSeq: Long, layoutGen: Long): DataFrame =
       Seq((seqLen, numShards, nSeq, nIds, model.merges.size.toLong,
           model.alphabet.size.toLong, modelDig, eosId, maxDoc, rt,
-          nextSeq))
+          nextSeq, layoutGen))
         .toDF("seq_len", "num_shards", "n_sequences", "n_ids_total",
           "n_merges", "n_alphabet", "model_digest", "eos_id",
-          "max_doc_id", "retraction_total", "next_seq_id")
+          "max_doc_id", "retraction_total", "next_seq_id",
+          "layout_gen")
     // artifact emptiness: with eos ON every document emits at least
     // its separator id, so empty ⇔ no rows; with eos OFF a tokenless
     // doc emits nothing, so empty ⇔ no tokenizable row. One limit-1
@@ -1780,11 +1789,12 @@ object Pipeline {
         val delta = corpusDf
           .where(col("batch_id") > prevMax && col("doc_id") > prevMax)
           .select(col("doc_id"), col("text"))
+        val prevGen = layoutGenOf(p)
         if (artifactEmpty(delta)) {
           // nothing new: the cron re-run's no-op — the standing
           // export is untouched and nothing is written
           paramsRow(prevSeqs, p.getAs[Long]("n_ids_total"), prevMax,
-            rtNow, nextSeq0)
+            rtNow, nextSeq0, prevGen)
         } else {
           val packDir = s"$outDir/sequences/pack=$nextSeq0"
           graft.operators.Sharding
@@ -1796,9 +1806,12 @@ object Pipeline {
             .parquet(packDir)
           val (nSeq, nIds, packMax) =
             packStats(spark.read.parquet(packDir))
+          // appends never move a standing seq_id: the generation
+          // carries over and pre-append resume cursors stay valid
           val report = paramsRow(prevSeqs + nSeq,
             p.getAs[Long]("n_ids_total") + nIds,
-            math.max(prevMax, packMax), rtNow, nextSeq0 + nSeq)
+            math.max(prevMax, packMax), rtNow, nextSeq0 + nSeq,
+            prevGen)
           stagedWrite(spark, report, s"$outDir/params")
           report
         }
@@ -1839,7 +1852,8 @@ object Pipeline {
         // the spans doc ids) — never the id arrays
         val (nSeq, nIds, maxDoc) = packStats(
           spark.read.parquet(s"$outDir/sequences"))
-        val report = paramsRow(nSeq, nIds, maxDoc, rtBefore, nSeq)
+        val report = paramsRow(nSeq, nIds, maxDoc, rtBefore, nSeq,
+          layoutGen = 0L)
         stagedWrite(spark, report, s"$outDir/params")
         report
       }
@@ -2236,16 +2250,23 @@ object Pipeline {
           "compactTrainingShards: id conservation violated (" +
             s"${agg.getLong(1)} ids on disk vs the recorded " +
             s"${p.getAs[Long]("n_ids_total")}) — refusing to restamp")
+        // the restamp only runs when seq_ids WERE rewritten (fresh
+        // merges, or healing a crashed run whose merge landed — that
+        // run died before ITS restamp), so the seq-id-space
+        // generation always bumps here: standing epoch-resume
+        // cursors are stale and epochResumeShards must refuse them
         val report = Seq((seqLen, numShards, agg.getLong(0),
             agg.getLong(1), p.getAs[Long]("n_merges"),
             p.getAs[Long]("n_alphabet"),
             p.getAs[String]("model_digest"),
             Option(p.getAs[Integer]("eos_id")).map(_.intValue),
             p.getAs[Long]("max_doc_id"),
-            p.getAs[Long]("retraction_total"), nextSeq0))
+            p.getAs[Long]("retraction_total"), nextSeq0,
+            layoutGenOf(p) + 1L))
           .toDF("seq_len", "num_shards", "n_sequences", "n_ids_total",
             "n_merges", "n_alphabet", "model_digest", "eos_id",
-            "max_doc_id", "retraction_total", "next_seq_id")
+            "max_doc_id", "retraction_total", "next_seq_id",
+            "layout_gen")
         stagedWrite(spark, report, s"$outDir/params")
         report
       }
@@ -2680,13 +2701,19 @@ object Pipeline {
       val agg = spark.read.parquet(s"$outDir/sequences")
         .agg(count(lit(1)), coalesce(sum(col("n_ids")), lit(0L)))
         .head()
+      // generation bump iff packs were actually rewritten or
+      // deleted: a repair that found no touched packs left every
+      // seq_id in place, and bumping would churn valid resume
+      // cursors on a no-damage run
       val report = Seq((seqLen, numShards, agg.getLong(0),
           agg.getLong(1), model.merges.size.toLong,
           model.alphabet.size.toLong, modelDig, eosId, prevMax, rtNow,
-          nextSeq0))
+          nextSeq0,
+          layoutGenOf(p) + (if (touched.nonEmpty) 1L else 0L)))
         .toDF("seq_len", "num_shards", "n_sequences", "n_ids_total",
           "n_merges", "n_alphabet", "model_digest", "eos_id",
-          "max_doc_id", "retraction_total", "next_seq_id")
+          "max_doc_id", "retraction_total", "next_seq_id",
+          "layout_gen")
       stagedWrite(spark, report, s"$outDir/params")
       report
       }
@@ -2834,6 +2861,56 @@ object Pipeline {
           "finish or re-run it (a re-run finishes or abandons the " +
           s"merge and restamps), then $action")
     }
+  }
+
+  /** The export's seq-id-space generation from its params row — 0 for
+    * exports written before the column existed (they have never been
+    * repaired or compacted under the stamped discipline, so every
+    * cursor ever minted against them is generation-0). ONE definition
+    * for every reader and restamp: the bump rule (rewrites bump,
+    * appends carry) only means anything if all consumers read the
+    * same coalesce. */
+  private def layoutGenOf(p: org.apache.spark.sql.Row): Long =
+    if (p.schema.fieldNames.contains("layout_gen"))
+      p.getAs[Long]("layout_gen")
+    else 0L
+
+  /** The standing export's [[layoutGenOf seq-id-space generation]] —
+    * what an epoch consumer stores BESIDE its resume cursor (one
+    * params read, metadata-priced). Mint it when the epoch starts;
+    * hand it back to [[epochResumeShards]] with the cursor. */
+  def exportLayoutGen(spark: SparkSession, outDir: String): Long =
+    layoutGenOf(spark.read.parquet(s"$outDir/params").head())
+
+  /** RESUME an epoch against a standing export, GATED on the seq-id-
+    * space generation the cursor was minted under: repair and
+    * compaction REWRITE seq_ids (touched packs re-cut, merged runs
+    * re-based), so a pre-rewrite `(epoch_key, seq_id)` cursor points
+    * at different data afterwards — an ungated resume would silently
+    * skip and repeat training sequences, the exact corruption a
+    * resume exists to prevent. A generation mismatch refuses with the
+    * one honest recovery (restart the epoch: the order IS a new
+    * permutation); a match returns [[graft.operators.Sharding
+    * .epochResume]]'s strict remainder over the strict-read artifact.
+    * Appends never bump the generation — standing ids never move, so
+    * a pre-append cursor stays valid (the appended sequences join the
+    * epoch in key order after the cursor; a loader wanting pure
+    * snapshot semantics additionally bounds seq_id by the
+    * `next_seq_id` it read at epoch start). */
+  def epochResumeShards(spark: SparkSession, outDir: String,
+      epoch: Int, lastKey: Long, lastId: Long, cursorGen: Long,
+      salt: String = "ep"): DataFrame = {
+    val (seqs, p) = readTrainingShards(spark, outDir, strict = true)
+    val nowGen = layoutGenOf(p)
+    require(nowGen == cursorGen,
+      s"$outDir seq-id space is generation $nowGen but the cursor " +
+        s"was minted under generation $cursorGen — the export was " +
+        "repaired or compacted since (seq_ids were rewritten; the " +
+        "epoch order is a NEW permutation and the cursor points at " +
+        "different data) — restart the epoch from its beginning " +
+        "(epoch-stream) instead of resuming")
+    graft.operators.Sharding.epochResume(seqs, epoch, lastKey,
+      lastId, salt)
   }
 
   private def requireAppendEraParams(pdf: DataFrame, outDir: String,

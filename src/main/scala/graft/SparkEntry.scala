@@ -1670,6 +1670,45 @@ object SparkEntry {
           lastKey = cur.getAs[Long]("epoch_key"), lastId = curId)
         .orderBy(col("epoch_key").asc, col("seq_id").asc)
     }),
+    // the generation-GATED resume over a REAL export (q148 proves the
+    // remainder arithmetic, q144 the artifact id domain; this one
+    // composes both THROUGH Pipeline.epochResumeShards' layout-gen
+    // gate — the strict read, the gen comparison, and the remainder
+    // in one driver-checked pass). Under the q147 planted model the
+    // sequence COUNT is DuckDB-derivable from the text (every word
+    // costs len+1 ids + one eos per doc, cut at 64), ids are dense
+    // from 0 (ShardingSpec-pinned), and the epoch keys are the q143
+    // byte-fold — so the oracle rebuilds the id domain, recomputes
+    // the mid-order cursor, and derives the exact remainder without
+    // ever seeing packs, params, or the generation stamp. The
+    // REFUSAL half (a repair/compaction bumping the gen strands the
+    // cursor) is ShardingSpec's.
+    "q152_resume_gated" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .where(col("doc_id") < 1000)
+        .select(col("doc_id"), col("text"))
+      val n = StreamScratch.seq.incrementAndGet()
+      val root = ivfIndexDir(dir, s"rg152_$n")
+      Bpe.writeModel(s,
+        Bpe.BpeModel(Seq("z", graft.functions.BpeEncodeExpr.Eow),
+          Seq(("z", "z"))), s"$root/model")
+      docs.write.mode("overwrite").parquet(s"$root/c/corpus")
+      Pipeline.writeTrainingShards(s, s"$root/c", s"$root/model",
+        s"$root/shards", seqLen = 64, numShards = 4)
+      // the loader's mint: generation + cursor at the median seq_id
+      val gen = Pipeline.exportLayoutGen(s, s"$root/shards")
+      val nSeqs = s.read.parquet(s"$root/shards/params").head()
+        .getAs[Long]("n_sequences")
+      val curId = nSeqs / 2
+      import s.implicits._
+      val cur = Sharding.epochOrder(
+        Seq(curId).toDF("seq_id"), epoch = 3).head()
+      Pipeline.epochResumeShards(s, s"$root/shards", epoch = 3,
+          lastKey = cur.getAs[Long]("epoch_key"), lastId = curId,
+          cursorGen = gen)
+        .select(col("seq_id"), col("epoch_key"))
+        .orderBy(col("epoch_key").asc, col("seq_id").asc)
+    }),
     "q123_dsir_weight" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Sharding.dsirScore(docs,
@@ -3612,6 +3651,46 @@ object SparkEntry {
           |  SELECT epoch_key AS ck, seq_id AS ci FROM h
           |  WHERE seq_id = (SELECT CAST(max(doc_id) AS BIGINT) // 2
           |    FROM documents))
+          |SELECT seq_id, epoch_key FROM h, c
+          |WHERE epoch_key > c.ck OR (epoch_key = c.ck AND seq_id > c.ci)
+          |ORDER BY epoch_key, seq_id""".stripMargin,
+      // q152: the generation-gated resume over a real planted-model
+      // export — the id domain is range(n_sequences) with n derived
+      // from the TEXT (q147's packing arithmetic: len+1 ids per word
+      // + one eos per doc, cut at 64), the keys are q143's byte-fold,
+      // the cursor is the median id's key, the remainder strict
+      "q152_resume_gated" ->
+        """WITH d AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+          |tok AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(
+          |      lower(coalesce(text, '')), '[ \t\n\r\f\x0B]+'),
+          |      x -> x != '') AS ts
+          |  FROM d),
+          |per AS (
+          |  SELECT doc_id,
+          |    CAST(coalesce(list_sum(list_transform(ts,
+          |      x -> length(x) + 1)), 0) + 1 AS BIGINT) AS n
+          |  FROM tok),
+          |t AS (SELECT CAST((sum(n) + 63) // 64 AS BIGINT) AS nseq
+          |      FROM per),
+          |k AS (
+          |  SELECT seq_id, 'ep:3:' || CAST(seq_id AS VARCHAR) AS key
+          |  FROM (SELECT unnest([CAST(i AS BIGINT)
+          |          FOR i IN range(0, CAST(nseq AS INT))]) AS seq_id
+          |        FROM t)),
+          |h AS (
+          |  SELECT seq_id,
+          |    CAST((list_reduce(list_prepend(0::BIGINT,
+          |      [ascii(key[i])::BIGINT
+          |        FOR i IN range(1, length(key)+1)]),
+          |      (acc, c) -> (acc * 257 + c) % 1000000007)
+          |      * 48271) % 1000000007 AS BIGINT) AS epoch_key
+          |  FROM k),
+          |c AS (
+          |  SELECT epoch_key AS ck, seq_id AS ci FROM h, t
+          |  WHERE seq_id = t.nseq // 2)
           |SELECT seq_id, epoch_key FROM h, c
           |WHERE epoch_key > c.ck OR (epoch_key = c.ck AND seq_id > c.ci)
           |ORDER BY epoch_key, seq_id""".stripMargin,

@@ -1136,6 +1136,26 @@ class ShardingSpec extends SparkSuite {
         s"$root/shards", "2", s"$root/epoch1"))
     }
     graft.operators.Lease.release(spark, s"$root/epoch1")
+    // epoch-resume is the crash-recovery sibling: past a mid-order
+    // cursor it writes EXACTLY the stream's strict remainder, and a
+    // stale layout generation refuses with the restart recovery
+    val ordered = ep.orderBy($"epoch_key", $"seq_id")
+      .select($"epoch_key", $"seq_id").collect()
+      .map(r => (r.getAs[Long]("epoch_key"), r.getAs[Long]("seq_id")))
+    val mid = ordered(ordered.length / 2)
+    graft.CorpusMain.run(spark, List("epoch-resume", s"$root/shards",
+      "1", mid._1.toString, mid._2.toString, "0", s"$root/resume1"))
+    val rem = spark.read.parquet(s"$root/resume1/data")
+      .orderBy($"epoch_key", $"seq_id")
+      .select($"epoch_key", $"seq_id").collect()
+      .map(r => (r.getAs[Long]("epoch_key"), r.getAs[Long]("seq_id")))
+    assert(rem.toSeq === ordered.drop(ordered.length / 2 + 1).toSeq)
+    val eg = intercept[IllegalArgumentException] {
+      graft.CorpusMain.run(spark, List("epoch-resume",
+        s"$root/shards", "1", mid._1.toString, mid._2.toString, "7",
+        s"$root/resume2"))
+    }
+    assert(eg.getMessage.contains("restart the epoch"), eg.getMessage)
     graft.CorpusMain.run(spark, List("audit-shards", s"$root/shards",
       s"$root/model", s"$root/c"))
     // the metadata-priced stats survey: one row per pack, totals
@@ -1500,6 +1520,108 @@ class ShardingSpec extends SparkSuite {
     assert(eu.getMessage.contains("repairTrainingShards"),
       eu.getMessage)
     assert(foreign.delete())
+  }
+
+  test("layout generations gate epoch resume: appends carry the " +
+      "generation (pre-append cursors stay valid), repair and " +
+      "compaction bump it (a stale cursor refuses naming the " +
+      "restart), and no-op re-runs never churn it") {
+    import graft.operators.Bpe
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_layoutgen").toString
+    def writeBatch(bid: Long)(rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$root/c/corpus/batch_id=$bid")
+    writeBatch(3L)(
+      (0L, "low low newest widest lower lowest newest low"),
+      (1L, "newest widest lower low low lowest"),
+      (2L, "widest lowest low low newest"),
+      (3L, "lower newest widest low"))
+    graft.Pipeline.trainBpeModel(spark, s"$root/c", s"$root/model",
+      numMerges = 8)
+    graft.Pipeline.writeTrainingShards(spark, s"$root/c",
+      s"$root/model", s"$root/shards", seqLen = 4, numShards = 2)
+    val shards = s"$root/shards"
+    assert(graft.Pipeline.exportLayoutGen(spark, shards) === 0L)
+    // mint a cursor under generation 0, mid-order
+    val nSeqs0 = spark.read.parquet(s"$shards/params").head()
+      .getAs[Long]("n_sequences")
+    val curId = nSeqs0 / 2
+    val cur = Sharding.epochOrder(Seq(curId).toDF("seq_id"),
+      epoch = 3).head()
+    def resume(gen: Long) = graft.Pipeline.epochResumeShards(spark,
+      shards, epoch = 3, lastKey = cur.getAs[Long]("epoch_key"),
+      lastId = curId, cursorGen = gen)
+    val before = resume(0L).select($"seq_id")
+      .collect().map(_.getLong(0)).toSet
+    // ---- appends: generation carries, the cursor stays valid, and
+    // the old remainder is a subset of the new one (standing ids
+    // never move; appended ids join in key order). Two ONE-doc
+    // appends leave two adjacent underfilled pack generations — a
+    // guaranteed compaction run for the bump below.
+    writeBatch(5L)((4L, "low"))
+    graft.Pipeline.writeTrainingShards(spark, s"$root/c",
+      s"$root/model", shards, seqLen = 4, numShards = 2,
+      mode = "append")
+    assert(graft.Pipeline.exportLayoutGen(spark, shards) === 0L)
+    val after = resume(0L).select($"seq_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(before.subsetOf(after))
+    // a no-new-rows append re-run is a no-op: generation untouched
+    graft.Pipeline.writeTrainingShards(spark, s"$root/c",
+      s"$root/model", shards, seqLen = 4, numShards = 2,
+      mode = "append")
+    assert(graft.Pipeline.exportLayoutGen(spark, shards) === 0L)
+    writeBatch(7L)((5L, "lowest"))
+    graft.Pipeline.writeTrainingShards(spark, s"$root/c",
+      s"$root/model", shards, seqLen = 4, numShards = 2,
+      mode = "append")
+    assert(graft.Pipeline.exportLayoutGen(spark, shards) === 0L)
+    // ---- compaction (the two tiny appended packs are an adjacent
+    // candidate run): seq_ids rewrite, the generation bumps, and the
+    // generation-0 cursor refuses with the restart recovery
+    graft.Pipeline.compactTrainingShards(spark, shards)
+    assert(graft.Pipeline.exportLayoutGen(spark, shards) === 1L)
+    val ec = intercept[IllegalArgumentException] { resume(0L).count() }
+    assert(ec.getMessage.contains("generation") &&
+      ec.getMessage.contains("restart the epoch"), ec.getMessage)
+    // a re-minted cursor under the new generation resumes fine
+    resume(1L).count()
+    // a no-op compaction re-run never churns the generation
+    graft.Pipeline.compactTrainingShards(spark, shards)
+    assert(graft.Pipeline.exportLayoutGen(spark, shards) === 1L)
+    // ---- retraction repair: touched packs rewrite, generation bumps
+    writeBatch(3L)(
+      (0L, "low low newest widest lower lowest newest low"),
+      (1L, "newest widest lower low low lowest"),
+      (3L, "lower newest widest low"))
+    Seq((1L, 1L)).toDF("n_requested", "n_retracted")
+      .write.parquet(s"$root/c/retractions/retraction_id=xgen")
+    graft.Pipeline.repairTrainingShards(spark, s"$root/c",
+      s"$root/model", shards)
+    assert(graft.Pipeline.exportLayoutGen(spark, shards) === 2L)
+    val er = intercept[IllegalArgumentException] { resume(1L).count() }
+    assert(er.getMessage.contains("repaired or compacted"),
+      er.getMessage)
+    // the settled-ledger repair re-run short-circuits: no churn
+    graft.Pipeline.repairTrainingShards(spark, s"$root/c",
+      s"$root/model", shards)
+    assert(graft.Pipeline.exportLayoutGen(spark, shards) === 2L)
+    // ---- back-compat: an export whose params predate the column
+    // reads as generation 0 and gen-0 cursors resume against it
+    val pNew = spark.read.parquet(s"$shards/params")
+    pNew.drop("layout_gen").write.mode("overwrite")
+      .parquet(s"$root/legacy_params")
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$shards/params"),
+      true))
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$root/legacy_params"), fs,
+      new org.apache.hadoop.fs.Path(s"$shards/params"), false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(graft.Pipeline.exportLayoutGen(spark, shards) === 0L)
+    resume(0L).count()
   }
 
   test("repair rebuilds many touched packs concurrently: the parallel " +

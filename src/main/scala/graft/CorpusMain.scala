@@ -115,13 +115,23 @@ import org.apache.spark.sql.SparkSession
   *     The emitted JSON carries `layout_gen` — store it beside the
   *     loader's checkpoint cursor; `epoch-resume` demands it back.
   *   - `epoch-resume <outDir> <epoch> <lastKey> <lastId> <layoutGen>
-  *     <destDir> [salt] [numParts]` —
+  *     <destDir> [salt] [numParts] [snapshot=<nextSeqId>]` —
   *     [[Pipeline.epochResumeShards]]: materialize the strict
   *     REMAINDER of a crashed epoch past the loader's checkpointed
   *     `(epoch_key, seq_id)` cursor — gated on the seq-id-space
   *     generation the cursor was minted under, because a repair or
   *     compaction since then REWROTE seq_ids and the old cursor
   *     points at different data (the refusal names the restart).
+  *     `snapshot=` bounds the remainder to the `next_seq_id` the
+  *     loader read at epoch start (pure snapshot semantics under
+  *     mid-epoch appends; default = appended sequences join after
+  *     the cursor in key order).
+  *
+  *     Materialized epoch dirs are SNAPSHOTS: the stream's rows copy
+  *     the artifact's id streams, so a retraction repair can never
+  *     reach them — after `retract` + `repair-shards`, delete or
+  *     re-stream every standing epoch materialization (the same
+  *     discipline as any derived copy of retracted data).
   *   - `break-lease <dir> [dir ...]` —
   *     [[graft.operators.Lease.breakLease]]: the STALE-lease takeover
   *     surface. Every mutating pass above holds `<dir>/_LEASE` while
@@ -185,7 +195,7 @@ object CorpusMain {
         |       CorpusMain export-shards <corpusDir> <bpeModelDir> <outDir> [seqLen] [numShards] [overwrite|append]
         |       CorpusMain repair-shards <corpusDir> <bpeModelDir> <outDir> [maxConcurrent]
         |       CorpusMain epoch-stream <outDir> <epoch> <destDir> [salt] [numParts]
-        |       CorpusMain epoch-resume <outDir> <epoch> <lastKey> <lastId> <layoutGen> <destDir> [salt] [numParts]
+        |       CorpusMain epoch-resume <outDir> <epoch> <lastKey> <lastId> <layoutGen> <destDir> [salt] [numParts] [snapshot=<nextSeqId>]
         |       CorpusMain audit-shards <outDir> <bpeModelDir> [corpusDir]
         |       CorpusMain stats-shards <outDir>
         |       CorpusMain compact-shards <outDir> [minFill] [maxConcurrent]
@@ -466,7 +476,9 @@ object CorpusMain {
           p.getAs[Long]("n_sequences")},"num_parts":$numParts,${
           ""}"layout_gen":${Pipeline.exportLayoutGen(spark, outDir)}}""")
       case "epoch-resume" :: outDir :: epoch :: lastKey :: lastId ::
-          layoutGen :: destDir :: rest if rest.length <= 2 =>
+          layoutGen :: destDir :: allRest if allRest.length <= 3 =>
+        val (snapArgs, rest) =
+          allRest.partition(_.startsWith("snapshot="))
         // the crash-recovery sibling of epoch-stream: the strict
         // REMAINDER of one epoch past the loader's checkpointed
         // cursor, generation-gated (Pipeline.epochResumeShards
@@ -476,7 +488,9 @@ object CorpusMain {
         // with the same artifact-scaled range partitioning.
         val remainder = Pipeline.epochResumeShards(spark, outDir,
           epoch.toInt, lastKey.toLong, lastId.toLong,
-          layoutGen.toLong, salt = rest.headOption.getOrElse("ep"))
+          layoutGen.toLong, salt = rest.headOption.getOrElse("ep"),
+          snapshotNextSeqId = snapArgs.headOption
+            .map(_.stripPrefix("snapshot=").toLong))
         val p2 = spark.read.parquet(s"$outDir/params").head()
         val numParts2 = rest.drop(1).headOption.map(_.toInt).getOrElse(
           graft.operators.Sharding.epochPartitions(

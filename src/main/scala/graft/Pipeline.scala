@@ -2893,13 +2893,19 @@ object Pipeline {
     * permutation); a match returns [[graft.operators.Sharding
     * .epochResume]]'s strict remainder over the strict-read artifact.
     * Appends never bump the generation — standing ids never move, so
-    * a pre-append cursor stays valid (the appended sequences join the
-    * epoch in key order after the cursor; a loader wanting pure
-    * snapshot semantics additionally bounds seq_id by the
-    * `next_seq_id` it read at epoch start). */
+    * a pre-append cursor stays valid; by default the appended
+    * sequences join the epoch in key order after the cursor
+    * (follow-the-corpus semantics: new data trains this epoch), and
+    * `snapshotNextSeqId` — the `next_seq_id` the loader read when the
+    * epoch STARTED — bounds the remainder to exactly the sequences
+    * the epoch originally planned (pure snapshot semantics: data
+    * appended mid-epoch waits for the next one). The two are the only
+    * coherent mid-epoch-append policies; the parameter makes the
+    * choice explicit instead of implicit. */
   def epochResumeShards(spark: SparkSession, outDir: String,
       epoch: Int, lastKey: Long, lastId: Long, cursorGen: Long,
-      salt: String = "ep"): DataFrame = {
+      salt: String = "ep",
+      snapshotNextSeqId: Option[Long] = None): DataFrame = {
     val (seqs, p) = readTrainingShards(spark, outDir, strict = true)
     val nowGen = layoutGenOf(p)
     require(nowGen == cursorGen,
@@ -2909,7 +2915,9 @@ object Pipeline {
         "epoch order is a NEW permutation and the cursor points at " +
         "different data) — restart the epoch from its beginning " +
         "(epoch-stream) instead of resuming")
-    graft.operators.Sharding.epochResume(seqs, epoch, lastKey,
+    val bounded = snapshotNextSeqId.fold(seqs)(n =>
+      seqs.where(col("seq_id") < lit(n)))
+    graft.operators.Sharding.epochResume(bounded, epoch, lastKey,
       lastId, salt)
   }
 

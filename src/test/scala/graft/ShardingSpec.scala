@@ -1549,9 +1549,14 @@ class ShardingSpec extends SparkSuite {
     val curId = nSeqs0 / 2
     val cur = Sharding.epochOrder(Seq(curId).toDF("seq_id"),
       epoch = 3).head()
-    def resume(gen: Long) = graft.Pipeline.epochResumeShards(spark,
-      shards, epoch = 3, lastKey = cur.getAs[Long]("epoch_key"),
-      lastId = curId, cursorGen = gen)
+    def resume(gen: Long, snap: Option[Long] = None) =
+      graft.Pipeline.epochResumeShards(spark, shards, epoch = 3,
+        lastKey = cur.getAs[Long]("epoch_key"), lastId = curId,
+        cursorGen = gen, snapshotNextSeqId = snap)
+    // the loader's full epoch-start mint: generation + cursor +
+    // next_seq_id (the snapshot bound)
+    val mintNextSeq = spark.read.parquet(s"$shards/params").head()
+      .getAs[Long]("next_seq_id")
     val before = resume(0L).select($"seq_id")
       .collect().map(_.getLong(0)).toSet
     // ---- appends: generation carries, the cursor stays valid, and
@@ -1567,6 +1572,11 @@ class ShardingSpec extends SparkSuite {
     val after = resume(0L).select($"seq_id")
       .collect().map(_.getLong(0)).toSet
     assert(before.subsetOf(after))
+    // snapshot semantics: bounded by the minted next_seq_id, the
+    // remainder is EXACTLY the epoch as originally planned — data
+    // appended mid-epoch waits for the next one
+    assert(resume(0L, snap = Some(mintNextSeq)).select($"seq_id")
+      .collect().map(_.getLong(0)).toSet === before)
     // a no-new-rows append re-run is a no-op: generation untouched
     graft.Pipeline.writeTrainingShards(spark, s"$root/c",
       s"$root/model", shards, seqLen = 4, numShards = 2,

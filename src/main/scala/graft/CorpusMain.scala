@@ -470,11 +470,16 @@ object CorpusMain {
         // layout_gen rides the report: the loader stores it beside
         // its checkpoint cursor, and epoch-resume demands it back —
         // a repair/compaction since minting rewrote seq_ids and the
-        // resume must refuse, not silently skip/repeat sequences
+        // resume must refuse, not silently skip/repeat sequences.
+        // Minted from the SAME params row the strict read validated
+        // (`p`), never a second read: a compaction finishing between
+        // the stream and a later read would stamp the NEW generation
+        // onto old-generation data and the gate would wave the
+        // mismatch through.
         println(s"""{"out":"${jsonEsc(destDir)}/data","epoch":${
           epoch.toInt},"n_sequences":${
           p.getAs[Long]("n_sequences")},"num_parts":$numParts,${
-          ""}"layout_gen":${Pipeline.exportLayoutGen(spark, outDir)}}""")
+          ""}"layout_gen":${Pipeline.layoutGenOf(p)}}""")
       case "epoch-resume" :: outDir :: epoch :: lastKey :: lastId ::
           layoutGen :: destDir :: allRest if allRest.length <= 3 =>
         val (snapArgs, rest) =
@@ -486,15 +491,20 @@ object CorpusMain {
         // the seq-id space). Same lease + dest layout as
         // epoch-stream; the remainder is written in consumable order
         // with the same artifact-scaled range partitioning.
+        // sizing read BEFORE the gated resume: the sizing row is
+        // then same-or-older than the row the generation gate
+        // validates, so a rewrite landing in between refuses at the
+        // gate instead of sizing from a newer snapshot than the one
+        // the remainder was computed against
+        val p2 = spark.read.parquet(s"$outDir/params").head()
+        val numParts2 = rest.drop(1).headOption.map(_.toInt).getOrElse(
+          graft.operators.Sharding.epochPartitions(
+            p2.getAs[Long]("n_ids_total")))
         val remainder = Pipeline.epochResumeShards(spark, outDir,
           epoch.toInt, lastKey.toLong, lastId.toLong,
           layoutGen.toLong, salt = rest.headOption.getOrElse("ep"),
           snapshotNextSeqId = snapArgs.headOption
             .map(_.stripPrefix("snapshot=").toLong))
-        val p2 = spark.read.parquet(s"$outDir/params").head()
-        val numParts2 = rest.drop(1).headOption.map(_.toInt).getOrElse(
-          graft.operators.Sharding.epochPartitions(
-            p2.getAs[Long]("n_ids_total")))
         graft.operators.Lease.withLeases(spark, Seq(destDir),
           "epoch-resume") {
           remainder

@@ -1837,6 +1837,25 @@ object Pipeline {
         // also clears any pre-pack-layout export (bare shard= dirs),
         // whose survival would wedge the mixed-depth partition
         // discovery on the read-back
+        // layout_gen continuity (read BEFORE the delete below): a
+        // re-export rewrites EVERY seq_id, so the generation must
+        // move PAST the standing export's — resetting to 0 would let
+        // a pre-re-export resume cursor pass the generation gate
+        // against a completely rewritten id space. Fresh bootstrap
+        // (no standing artifact) starts at 0. A re-run over a
+        // CRASHED overwrite (params already deleted, sequences
+        // half-gone) cannot recover the old generation and restamps
+        // at 1 — every reader refused the crashed tree in between,
+        // and any cursor across a re-export needs an epoch restart
+        // regardless; 1 refuses the common gen-0 cursors where 0
+        // would accept them.
+        val hadArtifact = fs.exists(new Path(s"$outDir/params")) ||
+          fs.exists(new Path(s"$outDir/sequences"))
+        val nextGen =
+          if (!hadArtifact) 0L
+          else scala.util.Try(layoutGenOf(
+            spark.read.parquet(s"$outDir/params").head()))
+            .getOrElse(0L) + 1L
         Seq(s"$outDir/params", s"$outDir/sequences").foreach { d =>
           if (fs.exists(new Path(d))) fs.delete(new Path(d), true)
         }
@@ -1853,7 +1872,7 @@ object Pipeline {
         val (nSeq, nIds, maxDoc) = packStats(
           spark.read.parquet(s"$outDir/sequences"))
         val report = paramsRow(nSeq, nIds, maxDoc, rtBefore, nSeq,
-          layoutGen = 0L)
+          layoutGen = nextGen)
         stagedWrite(spark, report, s"$outDir/params")
         report
       }
@@ -2084,7 +2103,12 @@ object Pipeline {
       // stamp decides whether the staged swap landed: equal ⇒ finish
       // the victim deletes; anything else ⇒ the merge never swapped
       // in (the aside heal above restored the original pack) and the
-      // marker is stale debris.
+      // marker is stale debris. A LANDED heal is remembered: the
+      // crashed run's merge REWROTE sequence content even when it
+      // happened to conserve the sequence count, so the no-work
+      // short-circuit below must not skip the restamp (and its
+      // generation bump) on count equality alone.
+      var healedLanded = false
       fs.listStatus(seqRoot).foreach { st =>
         val nm = st.getPath.getName
         if (nm.startsWith("_compact~")) {
@@ -2116,12 +2140,15 @@ object Pipeline {
                 .head().getLong(0)
               got == expectedIds
             }
-            if (landed) victims.foreach { v =>
-              val vp = new Path(seqRoot, s"pack=$v")
-              if (fs.exists(vp))
-                require(fs.delete(vp, true),
-                  s"compactTrainingShards: deleting merged-away pack=" +
-                    s"$v failed")
+            if (landed) {
+              healedLanded = true
+              victims.foreach { v =>
+                val vp = new Path(seqRoot, s"pack=$v")
+                if (fs.exists(vp))
+                  require(fs.delete(vp, true),
+                    s"compactTrainingShards: deleting merged-away " +
+                      s"pack=$v failed")
+              }
             }
           }
           require(fs.delete(st.getPath, true),
@@ -2173,7 +2200,8 @@ object Pipeline {
         val nSeqs = run.map(_._2).sum
         run.length >= 2 || (ids + seqLen - 1) / seqLen < nSeqs
       }
-      if (work.isEmpty && nOnDisk == p.getAs[Long]("n_sequences")) pdf
+      if (work.isEmpty && nOnDisk == p.getAs[Long]("n_sequences") &&
+          !healedLanded) pdf
       else {
         def mergeRun(run: Seq[(Long, Long, Long, Long)]): Unit = {
           val base = run.head._1
@@ -2588,6 +2616,19 @@ object Pipeline {
       // read) left-joined to the corpus id column: per pack, its id
       // range and how many of its packed docs are gone.
       val packedDocs = packedSpanDocs(spark, outDir)
+      // per-pack id volume (ONE column-pruned metadata aggregate for
+      // the whole repair): feeds each rebuild's explicit partition
+      // count via the shared epochPartitions rule — the rebuilt pack
+      // is at most the old one, so sizing from the old volume never
+      // under-partitions, and materializeSequences' own default-0
+      // sizing job (one extra action PER touched pack — exactly the
+      // per-pack scheduling floor the concurrent rebuilds exist to
+      // cut) never runs here
+      val packIdVol = spark.read.parquet(s"$outDir/sequences")
+        .groupBy(col("pack").cast("long").as("pack"))
+        .agg(coalesce(sum(col("n_ids").cast("long")), lit(0L))
+          .as("ids"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val perPack = packedDocs
         .join(corpusDf.select(col("doc_id"))
           .withColumn("present", lit(1)), Seq("doc_id"), "left")
@@ -2661,6 +2702,8 @@ object Pipeline {
           stagedWrite(spark,
             graft.operators.Sharding
               .materializeSequences(remaining, model, seqLen,
+                numParts = graft.operators.Sharding.epochPartitions(
+                  packIdVol.getOrElse(base, 0L)),
                 eosId = eosId)
               .withColumn("seq_id", col("seq_id") + lit(base))
               .withColumn("shard",
@@ -2870,7 +2913,7 @@ object Pipeline {
     * for every reader and restamp: the bump rule (rewrites bump,
     * appends carry) only means anything if all consumers read the
     * same coalesce. */
-  private def layoutGenOf(p: org.apache.spark.sql.Row): Long =
+  private[graft] def layoutGenOf(p: org.apache.spark.sql.Row): Long =
     if (p.schema.fieldNames.contains("layout_gen"))
       p.getAs[Long]("layout_gen")
     else 0L

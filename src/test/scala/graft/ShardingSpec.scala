@@ -1469,8 +1469,18 @@ class ShardingSpec extends SparkSuite {
     assert(f.exists(x => x.level == "ok" &&
       x.detail.contains("training-shards") &&
       !x.detail.contains("healthy")), f.mkString("\n"))
-    // the re-run converges: victims deleted, marker gone, restamped
+    // the re-run converges: victims deleted, marker gone, restamped —
+    // and the seq-id-space generation BUMPS (the crashed run's merge
+    // rewrote sequence content; its own restamp never ran), so
+    // pre-crash epoch-resume cursors refuse. The healedLanded flag
+    // guarantees this even when the landed merge happened to
+    // conserve the sequence count (the no-work short-circuit must
+    // not swallow the bump on count equality alone).
+    val genBefore = graft.Pipeline.exportLayoutGen(spark,
+      s"$root/shards")
     graft.Pipeline.compactTrainingShards(spark, s"$root/shards")
+    assert(graft.Pipeline.exportLayoutGen(spark, s"$root/shards") ===
+      genBefore + 1L)
     assert(!marker.exists())
     assert(!new java.io.File(s"$root/shards/sequences/pack=$b2")
       .exists())
@@ -1490,8 +1500,13 @@ class ShardingSpec extends SparkSuite {
     // the artifact stays whole
     java.nio.file.Files.write(marker.toPath,
       s"$b1;1;$b2".getBytes("UTF-8"))
+    val genStale = graft.Pipeline.exportLayoutGen(spark,
+      s"$root/shards")
     graft.Pipeline.compactTrainingShards(spark, s"$root/shards")
     assert(!marker.exists())
+    // a stale (pre-swap) marker rewrote nothing: no generation churn
+    assert(graft.Pipeline.exportLayoutGen(spark, s"$root/shards") ===
+      genStale)
     graft.Pipeline.readTrainingShards(spark, s"$root/shards",
       strict = true)
     // ---- an UNPARSEABLE marker (crash DURING the marker write —
@@ -1632,6 +1647,20 @@ class ShardingSpec extends SparkSuite {
       spark.sparkContext.hadoopConfiguration)
     assert(graft.Pipeline.exportLayoutGen(spark, shards) === 0L)
     resume(0L).count()
+    // ---- mode=overwrite rewrites EVERY seq_id: the generation must
+    // move PAST the standing export's (here legacy gen 0 -> 1), so a
+    // pre-re-export cursor refuses instead of resuming against a
+    // fully re-cut id space — resetting to 0 would wave it through
+    graft.Pipeline.writeTrainingShards(spark, s"$root/c",
+      s"$root/model", shards, seqLen = 4, numShards = 2)
+    assert(graft.Pipeline.exportLayoutGen(spark, shards) === 1L)
+    val eo = intercept[IllegalArgumentException] { resume(0L).count() }
+    assert(eo.getMessage.contains("restart the epoch"), eo.getMessage)
+    // a FRESH bootstrap (no standing artifact) still starts at 0
+    graft.Pipeline.writeTrainingShards(spark, s"$root/c",
+      s"$root/model", s"$root/shards_fresh", seqLen = 4, numShards = 2)
+    assert(graft.Pipeline.exportLayoutGen(spark,
+      s"$root/shards_fresh") === 0L)
   }
 
   test("repair rebuilds many touched packs concurrently: the parallel " +

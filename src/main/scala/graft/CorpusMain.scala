@@ -491,15 +491,24 @@ object CorpusMain {
         // the seq-id space). Same lease + dest layout as
         // epoch-stream; the remainder is written in consumable order
         // with the same artifact-scaled range partitioning.
-        // sizing read BEFORE the gated resume: the sizing row is
+        // sizing read BEFORE the gated resume (the sizing row is
         // then same-or-older than the row the generation gate
         // validates, so a rewrite landing in between refuses at the
-        // gate instead of sizing from a newer snapshot than the one
-        // the remainder was computed against
-        val p2 = spark.read.parquet(s"$outDir/params").head()
-        val numParts2 = rest.drop(1).headOption.map(_.toInt).getOrElse(
-          graft.operators.Sharding.epochPartitions(
-            p2.getAs[Long]("n_ids_total")))
+        // gate instead of sizing from a newer snapshot) — and ONLY
+        // when no explicit count was passed; a missing/mid-swap
+        // params falls through to the resume, whose strict read
+        // raises the export tier's NAMED recovery instead of a raw
+        // path error here
+        val numParts2 = rest.drop(1).headOption.map(_.toInt)
+          .getOrElse {
+            val pp = new org.apache.hadoop.fs.Path(s"$outDir/params")
+            val pfs = pp.getFileSystem(
+              spark.sparkContext.hadoopConfiguration)
+            if (!pfs.exists(pp)) 32 // unreachable past the refusal
+            else graft.operators.Sharding.epochPartitions(
+              spark.read.parquet(s"$outDir/params").head()
+                .getAs[Long]("n_ids_total"))
+          }
         val remainder = Pipeline.epochResumeShards(spark, outDir,
           epoch.toInt, lastKey.toLong, lastId.toLong,
           layoutGen.toLong, salt = rest.headOption.getOrElse("ep"),

@@ -1851,11 +1851,36 @@ object Pipeline {
         // would accept them.
         val hadArtifact = fs.exists(new Path(s"$outDir/params")) ||
           fs.exists(new Path(s"$outDir/sequences"))
-        val nextGen =
+        // the persisted generation FLOOR closes the crashed-overwrite
+        // corner: params is the only place the generation lives, and
+        // the overwrite must delete it — so the intended next
+        // generation is written to _layout_gen_floor BEFORE the
+        // delete and removed only after the new params landed. A
+        // re-run over a crashed overwrite (params gone) reads the
+        // floor and restamps at the true generation instead of
+        // restarting at 1 under a lineage whose cursors may sit at
+        // any older generation. Underscore-prefixed: invisible to
+        // every Spark listing; debris next to live params is inert
+        // (the max() below absorbs it).
+        val floorPath = new Path(s"$outDir/_layout_gen_floor")
+        val floorGen =
+          if (!fs.exists(floorPath)) 0L
+          else scala.util.Try {
+            val in = fs.open(floorPath)
+            try scala.io.Source.fromInputStream(in, "UTF-8")
+              .mkString.trim.toLong
+            finally in.close()
+          }.getOrElse(0L)
+        val nextGen = math.max(floorGen,
           if (!hadArtifact) 0L
           else scala.util.Try(layoutGenOf(
             spark.read.parquet(s"$outDir/params").head()))
-            .getOrElse(0L) + 1L
+            .getOrElse(0L) + 1L)
+        if (nextGen > 0L) {
+          val out = fs.create(floorPath, true)
+          try out.write(nextGen.toString.getBytes("UTF-8"))
+          finally out.close()
+        }
         Seq(s"$outDir/params", s"$outDir/sequences").foreach { d =>
           if (fs.exists(new Path(d))) fs.delete(new Path(d), true)
         }
@@ -1874,6 +1899,12 @@ object Pipeline {
         val report = paramsRow(nSeq, nIds, maxDoc, rtBefore, nSeq,
           layoutGen = nextGen)
         stagedWrite(spark, report, s"$outDir/params")
+        // floor dropped only after the generation is durable in
+        // params (a crash in between leaves inert debris the next
+        // overwrite absorbs via max)
+        if (fs.exists(floorPath))
+          require(fs.delete(floorPath, true),
+            s"writeTrainingShards: deleting _layout_gen_floor failed")
         report
       }
     }
@@ -2241,9 +2272,13 @@ object Pipeline {
               s"compactTrainingShards: deleting merged-away pack=$v " +
                 "failed")
           }
-          require(fs.delete(marker, true),
-            s"compactTrainingShards: deleting marker " +
-              s"${marker.getName} failed")
+          // the marker is NOT deleted here: it survives until the
+          // restamp below has landed, so a crash in the all-merges-
+          // done-restamp-pending window can never leave a MARKER-LESS
+          // tree whose count-conserving merge would slip past the
+          // no-work short-circuit without a generation bump — the
+          // re-run heals the standing marker as landed, sets
+          // healedLanded, and restamps+bumps
         }
         // runs are INDEPENDENT (disjoint packs, disjoint doc ranges,
         // per-run markers and staged names), so they submit on a
@@ -2296,6 +2331,15 @@ object Pipeline {
             "max_doc_id", "retraction_total", "next_seq_id",
             "layout_gen")
         stagedWrite(spark, report, s"$outDir/params")
+        // markers drop LAST — readers refuse the whole merge+restamp
+        // window, and the generation bump is durable before any
+        // reader is let back in (a crash here just re-heals+re-bumps
+        // on the next run: churn, never silence)
+        fs.listStatus(seqRoot).map(_.getPath)
+          .filter(_.getName.startsWith("_compact~"))
+          .foreach(m => require(fs.delete(m, true),
+            s"compactTrainingShards: deleting marker ${m.getName} " +
+              "failed"))
         report
       }
     }
@@ -2617,14 +2661,15 @@ object Pipeline {
       // range and how many of its packed docs are gone.
       val packedDocs = packedSpanDocs(spark, outDir)
       // per-pack id volume (ONE column-pruned metadata aggregate for
-      // the whole repair): feeds each rebuild's explicit partition
-      // count via the shared epochPartitions rule — the rebuilt pack
-      // is at most the old one, so sizing from the old volume never
+      // the whole repair, LAZY — a no-damage restamp run never pays
+      // it): feeds each rebuild's explicit partition count via the
+      // shared epochPartitions rule — the rebuilt pack is at most
+      // the old one, so sizing from the old volume never
       // under-partitions, and materializeSequences' own default-0
       // sizing job (one extra action PER touched pack — exactly the
       // per-pack scheduling floor the concurrent rebuilds exist to
       // cut) never runs here
-      val packIdVol = spark.read.parquet(s"$outDir/sequences")
+      lazy val packIdVol = spark.read.parquet(s"$outDir/sequences")
         .groupBy(col("pack").cast("long").as("pack"))
         .agg(coalesce(sum(col("n_ids").cast("long")), lit(0L))
           .as("ids"))
@@ -2744,15 +2789,21 @@ object Pipeline {
       val agg = spark.read.parquet(s"$outDir/sequences")
         .agg(count(lit(1)), coalesce(sum(col("n_ids")), lit(0L)))
         .head()
-      // generation bump iff packs were actually rewritten or
-      // deleted: a repair that found no touched packs left every
-      // seq_id in place, and bumping would churn valid resume
-      // cursors on a no-damage run
+      // the generation bumps UNCONDITIONALLY at the repair restamp:
+      // this branch only runs when an unreflected retraction era (or
+      // count drift) is being settled, and a CRASHED predecessor's
+      // landed rebuilds are indistinguishable from a retraction that
+      // touched no packed doc (a rebuild can conserve the sequence
+      // count, and the crashed run's asides may all be healed away) —
+      // a touched-only bump would wave pre-crash cursors through
+      // against re-cut seq_ids. The safe direction costs one
+      // spurious epoch restart when a retraction touches no packed
+      // doc; the settled-ledger cron re-run still short-circuits
+      // above and never churns.
       val report = Seq((seqLen, numShards, agg.getLong(0),
           agg.getLong(1), model.merges.size.toLong,
           model.alphabet.size.toLong, modelDig, eosId, prevMax, rtNow,
-          nextSeq0,
-          layoutGenOf(p) + (if (touched.nonEmpty) 1L else 0L)))
+          nextSeq0, layoutGenOf(p) + 1L))
         .toDF("seq_len", "num_shards", "n_sequences", "n_ids_total",
           "n_merges", "n_alphabet", "model_digest", "eos_id",
           "max_doc_id", "retraction_total", "next_seq_id",
@@ -2958,6 +3009,35 @@ object Pipeline {
         "epoch order is a NEW permutation and the cursor points at " +
         "different data) — restart the epoch from its beginning " +
         "(epoch-stream) instead of resuming")
+    // cursor INTERNAL consistency: the key is fully derivable from
+    // (salt, epoch, lastId) — one single-row pass through the SAME
+    // epochOrder expression the remainder uses (never a second
+    // hand-rolled hash that could drift) — so a transposed or
+    // corrupted checkpoint pair refuses loudly instead of filtering
+    // against a key that matches no real position (nearly-all or
+    // nearly-no sequences back: silent skip/repeat)
+    import spark.implicits._
+    val expectKey = graft.operators.Sharding.epochOrder(
+        Seq(lastId).toDF("seq_id"), epoch, salt)
+      .head().getAs[Long]("epoch_key")
+    require(expectKey == lastKey,
+      s"inconsistent resume cursor: epoch_key $lastKey does not " +
+        s"belong to seq_id $lastId under epoch $epoch / salt " +
+        s"'$salt' (that id's key is $expectKey) — the checkpoint " +
+        "pair is corrupted or transposed; re-read the loader " +
+        "checkpoint (resuming on it would silently skip or repeat " +
+        "training sequences)")
+    // the snapshot bound must come from THIS export's id space: the
+    // next_seq_id read at epoch start can never exceed the standing
+    // high-water mark (appends only raise it, rewrites carry it)
+    val idCeiling =
+      if (p.schema.fieldNames.contains("next_seq_id"))
+        p.getAs[Long]("next_seq_id")
+      else p.getAs[Long]("n_sequences")
+    snapshotNextSeqId.foreach(n => require(n > 0 && n <= idCeiling,
+      s"snapshot bound $n is outside the export's id space (the " +
+        s"standing next_seq_id is $idCeiling) — pass the " +
+        "next_seq_id read when the epoch STARTED"))
     val bounded = snapshotNextSeqId.fold(seqs)(n =>
       seqs.where(col("seq_id") < lit(n)))
     graft.operators.Sharding.epochResume(bounded, epoch, lastKey,

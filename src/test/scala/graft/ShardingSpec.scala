@@ -1656,11 +1656,39 @@ class ShardingSpec extends SparkSuite {
     assert(graft.Pipeline.exportLayoutGen(spark, shards) === 1L)
     val eo = intercept[IllegalArgumentException] { resume(0L).count() }
     assert(eo.getMessage.contains("restart the epoch"), eo.getMessage)
+    // an internally-inconsistent cursor (key/id transposed) refuses
+    // loudly instead of filtering on a key no id owns
+    val ei = intercept[IllegalArgumentException] {
+      graft.Pipeline.epochResumeShards(spark, shards, epoch = 3,
+        lastKey = curId, lastId = cur.getAs[Long]("epoch_key"),
+        cursorGen = 1L).count()
+    }
+    assert(ei.getMessage.contains("inconsistent resume cursor"),
+      ei.getMessage)
+    // a snapshot bound outside the export's id space refuses too
+    val es2 = intercept[IllegalArgumentException] {
+      graft.Pipeline.epochResumeShards(spark, shards, epoch = 3,
+        lastKey = cur.getAs[Long]("epoch_key"), lastId = curId,
+        cursorGen = 1L, snapshotNextSeqId = Some(999999L)).count()
+    }
+    assert(es2.getMessage.contains("outside the export's id space"),
+      es2.getMessage)
     // a FRESH bootstrap (no standing artifact) still starts at 0
     graft.Pipeline.writeTrainingShards(spark, s"$root/c",
       s"$root/model", s"$root/shards_fresh", seqLen = 4, numShards = 2)
     assert(graft.Pipeline.exportLayoutGen(spark,
       s"$root/shards_fresh") === 0L)
+    // crashed-overwrite corner: the persisted floor carries the
+    // generation across the params-less window — simulate the crash
+    // (floor standing, params gone) and re-run the overwrite
+    val floor = new java.io.File(s"$shards/_layout_gen_floor")
+    java.nio.file.Files.write(floor.toPath, "7".getBytes("UTF-8"))
+    assert(fs.delete(
+      new org.apache.hadoop.fs.Path(s"$shards/params"), true))
+    graft.Pipeline.writeTrainingShards(spark, s"$root/c",
+      s"$root/model", shards, seqLen = 4, numShards = 2)
+    assert(graft.Pipeline.exportLayoutGen(spark, shards) === 7L)
+    assert(!floor.exists())
   }
 
   test("repair rebuilds many touched packs concurrently: the parallel " +

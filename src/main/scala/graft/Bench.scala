@@ -63,32 +63,41 @@ object Bench {
     // expensive per-pass entry by r16); its per-pass signals are
     // already benched — the export as q138/q139, the key as q143
     "q144_epoch_shards",
-    // q146 = the q142 lifecycle closed by the full artifact audit
-    // (reconstruction + decode + corpus encode-image diff in the
-    // same timer) — the composed-lifecycle class by construction
-    "q146_audit_shards",
-    // q147 builds its two-generation export INSIDE the timer (the
-    // oracle needs the planted-model artifact fresh) for a survey
-    // whose own read is metadata-priced — the q144 growth pattern,
-    // classified the q144 way
-    "q147_stats_shards",
-    // q149 = bootstrap + four appends + compaction + reconstruction
-    // + decode in ONE timer — the same composed-lifecycle class
-    "q149_compacted_export",
-    // q150 = two CLI refreshes + bootstrap + knob-inert append + the
-    // full audit in ONE timer — the q100 composed-lifecycle class
-    "q150_refresh_shards",
-    // q151 = a refresh publish + model train + bootstrap export +
-    // the four-surface fsck survey in ONE timer — the same composed-
-    // lifecycle class (the survey itself is metadata-priced)
-    "q151_fsck_lifecycle",
     // q152 = a bootstrap export inside the timer feeding a map-only
     // gated resume — the q144 write-inside-the-timer class
     "q152_resume_gated",
+    // q153 = the same bootstrap plus a knob-inert append feeding the
+    // snapshot-bounded CLI resume — the q152 class exactly
+    "q153_resume_snapshot",
+    // q154 = a planted-model bootstrap plus filesystem residue
+    // feeding a metadata-priced fsck — the q144 write-inside-the-
+    // timer class (the survey itself costs directory listings)
+    "q154_fsck_residue",
     // q145 = q141's encode+decode round trip through the streaming
     // harness (staging + checkpoint + per-file micro-batches); its
     // per-pass signal is the batch round trip, already benched as q141
     "q145_stream_encode")
+
+  /** Composed-lifecycle entries whose near-identical corpus+model+
+    * export builds are CONSOLIDATED into one shared fixture per
+    * sample ([[SparkEntry.buildBenchFixture]] — the r18 verdict's
+    * once-tier item): the five used to rebuild ~the same tree inside
+    * their own timers (~5× the build per sample, no extra signal).
+    * Bench times the build once per sample as `fixture_lifecycle`
+    * and each entry's SURFACE against the standing tree
+    * ([[SparkEntry.benchFixtureSurfaces]], mutation-safe order).
+    * Each sample gets a FRESH fixture so min-of-[[OncePasses]]
+    * compares like states. Verify still runs the self-contained
+    * oracle-checked entries — this consolidation changes what the
+    * bench TIMES, not what the oracle CHECKS, and the per-entry
+    * meaning ("the surface over a standing lifecycle tree") is the
+    * honest per-cron price each entry's claim is about. */
+  val FixtureTier: Set[String] = Set("q146_audit_shards",
+    "q147_stats_shards", "q149_compacted_export",
+    "q150_refresh_shards", "q151_fsck_lifecycle")
+
+  /** The fixture build's own entry name in the bench line. */
+  val FixtureKey = "fixture_lifecycle"
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -160,7 +169,8 @@ object Bench {
     // (2× every one of the 16 frozen headline queries per bench run)
     val (invRes, invErrs) =
       runQueries(spark, sfDir,
-        all.filterNot(q => Headline.contains(q._1) || OncePerRun(q._1)),
+        all.filterNot(q => Headline.contains(q._1) ||
+          OncePerRun(q._1) || FixtureTier(q._1)),
         passes)
     // OncePerRun entries run TWICE and report the MIN: a single sample
     // cannot tell a real regression from micro-batch scheduling
@@ -173,17 +183,55 @@ object Bench {
       runTimes(spark, sfDir, all.filter(q => OncePerRun(q._1)),
         passes = OncePasses)
     val onceRes = onceTimes.map { case (k, xs) => k -> xs.min }
-    val onceSamples = onceTimes
-      .map { case (k, xs) => k -> xs.reverse }.toMap
-    val errors = headErrs ++ invErrs ++ onceErrs
+    // ---- fixture tier: one shared lifecycle tree per sample
+    // ([[FixtureTier]]); the build is timed as its own entry, each
+    // member's surface timed against the standing tree in the
+    // declared mutation-safe order. A fresh fixture per sample keeps
+    // min-of-OncePasses comparing like states (a shared MUTABLE tree
+    // across samples would time different work each time).
+    val fixTimes =
+      scala.collection.mutable.Map.empty[String, List[Double]]
+    val fixErrs = scala.collection.mutable.SortedSet.empty[String]
+    for (_ <- 1 to OncePasses) {
+      SparkEntry.cleanIndexScratch()
+      val t0 = System.nanoTime()
+      val rootOpt =
+        try Some(SparkEntry.buildBenchFixture(spark, sfDir))
+        catch { case _: Throwable => fixErrs += FixtureKey; None }
+      fixTimes(FixtureKey) = (System.nanoTime() - t0) / 1e9 ::
+        fixTimes.getOrElse(FixtureKey, Nil)
+      rootOpt match {
+        case Some(root) =>
+          for ((name, fn) <- SparkEntry.benchFixtureSurfaces) {
+            val t1 = System.nanoTime()
+            try { fn(spark, sfDir, root).count() }
+            catch { case _: Throwable => fixErrs += name }
+            fixTimes(name) = (System.nanoTime() - t1) / 1e9 ::
+              fixTimes.getOrElse(name, Nil)
+            spark.sparkContext.getPersistentRDDs.values
+              .foreach(_.unpersist(blocking = false))
+          }
+        case None =>
+          // no tree to time against: every member is an error, not a
+          // phantom 0-second "speedup"
+          SparkEntry.benchFixtureSurfaces
+            .foreach { case (nm, _) => fixErrs += nm }
+      }
+    }
+    val fixRes = fixTimes.map { case (k, xs) => k -> xs.min }.toMap
+    val onceSamples = (onceTimes.map { case (k, xs) =>
+      k -> xs.reverse
+    } ++ fixTimes.map { case (k, xs) => k -> xs.reverse }).toMap
+    val errors = headErrs ++ invErrs ++ onceErrs ++ fixErrs
     val headMap = headTimes.map { case (k, xs) =>
       k -> median(xs)
     }.toMap
-    val invMap = (invRes ++ onceRes).toMap
+    val invMap = (invRes ++ onceRes).toMap ++ fixRes
     val results = all.map { case (k, _) =>
       k -> (if (errors(k)) -1.0
             else headMap.getOrElse(k, invMap(k)))
-    }
+    } :+ (FixtureKey ->
+      (if (errors(FixtureKey)) -1.0 else invMap(FixtureKey)))
     // secondary anchor: sum of per-query MINIMA over the isolated
     // passes — min-of-N is far less sensitive to GC/JIT outliers than
     // the median, so cross-round drift in this number is likelier to be

@@ -1990,6 +1990,11 @@ object Pipeline {
         when(count(lit(1)) < numShards, max(col("n")))
           .otherwise(max(col("n")) - min(col("n")))
           .as("shard_spread"))
+      // the seq-id-space generation rides every row: during incident
+      // triage ("is my epoch-resume cursor stale?") stats is the
+      // metadata-priced surface an operator already runs, and the
+      // generation is the one params field that answers it
+      .withColumn("layout_gen", lit(layoutGenOf(p)))
       .orderBy(col("pack").asc)
   }
 
@@ -2138,7 +2143,16 @@ object Pipeline {
       // crashed run's merge REWROTE sequence content even when it
       // happened to conserve the sequence count, so the no-work
       // short-circuit below must not skip the restamp (and its
-      // generation bump) on count equality alone.
+      // generation bump) on count equality alone. Markers drop LAST
+      // here too — only stale/unparseable debris (provably pre-swap)
+      // is deleted now; a LANDED marker stands until the post-restamp
+      // sweep, mirroring the fresh-merge path, so a crash between
+      // this heal and the restamp can never leave a marker-less tree
+      // whose count-conserving merge would slip past the no-work
+      // short-circuit without its generation bump (the victims may
+      // be deleted eagerly: the heal is idempotent — the re-run
+      // re-reads the standing marker, finds the merge landed, and
+      // restamps+bumps).
       var healedLanded = false
       fs.listStatus(seqRoot).foreach { st =>
         val nm = st.getPath.getName
@@ -2163,27 +2177,31 @@ object Pipeline {
               parts(2).split(",").filter(_.nonEmpty)
                 .map(_.toLong).toSeq)
           }
-          parsed.toOption.foreach { case (base, expectedIds, victims) =>
-            val packDir = new Path(seqRoot, s"pack=$base")
-            val landed = fs.exists(packDir) && {
-              val got = spark.read.parquet(packDir.toString)
-                .agg(coalesce(sum(col("n_ids").cast("long")), lit(0L)))
-                .head().getLong(0)
-              got == expectedIds
-            }
-            if (landed) {
-              healedLanded = true
-              victims.foreach { v =>
-                val vp = new Path(seqRoot, s"pack=$v")
-                if (fs.exists(vp))
-                  require(fs.delete(vp, true),
-                    s"compactTrainingShards: deleting merged-away " +
-                      s"pack=$v failed")
+          val landed = parsed.toOption.exists {
+            case (base, expectedIds, victims) =>
+              val packDir = new Path(seqRoot, s"pack=$base")
+              val l = fs.exists(packDir) && {
+                val got = spark.read.parquet(packDir.toString)
+                  .agg(coalesce(sum(col("n_ids").cast("long")),
+                    lit(0L)))
+                  .head().getLong(0)
+                got == expectedIds
               }
-            }
+              if (l) {
+                healedLanded = true
+                victims.foreach { v =>
+                  val vp = new Path(seqRoot, s"pack=$v")
+                  if (fs.exists(vp))
+                    require(fs.delete(vp, true),
+                      s"compactTrainingShards: deleting merged-away " +
+                        s"pack=$v failed")
+                }
+              }
+              l
           }
-          require(fs.delete(st.getPath, true),
-            s"compactTrainingShards: deleting marker $nm failed")
+          if (!landed)
+            require(fs.delete(st.getPath, true),
+              s"compactTrainingShards: deleting marker $nm failed")
         }
       }
       // foreign-state refusal (the repair's rule): after healing,
@@ -3034,10 +3052,24 @@ object Pipeline {
       if (p.schema.fieldNames.contains("next_seq_id"))
         p.getAs[Long]("next_seq_id")
       else p.getAs[Long]("n_sequences")
-    snapshotNextSeqId.foreach(n => require(n > 0 && n <= idCeiling,
-      s"snapshot bound $n is outside the export's id space (the " +
-        s"standing next_seq_id is $idCeiling) — pass the " +
-        "next_seq_id read when the epoch STARTED"))
+    snapshotNextSeqId.foreach { n =>
+      require(n > 0 && n <= idCeiling,
+        s"snapshot bound $n is outside the export's id space (the " +
+          s"standing next_seq_id is $idCeiling) — pass the " +
+          "next_seq_id read when the epoch STARTED")
+      // the cursor was minted INSIDE the snapshot-bounded epoch, so
+      // its id must lie under the bound — a cursor at/past it is the
+      // same corrupted/transposed-checkpoint state the key check
+      // refuses above, and silently filtering its id out of the
+      // bounded set would resume from a position that never existed
+      require(lastId < n,
+        s"inconsistent resume cursor: lastId $lastId cannot have " +
+          s"been minted inside a snapshot-bounded epoch over ids " +
+          s"[0, $n) — the checkpoint pair is corrupted or transposed " +
+          "(or the snapshot bound belongs to a different epoch); " +
+          "re-read the loader checkpoint (resuming on it would " +
+          "silently skip or repeat training sequences)")
+    }
     val bounded = snapshotNextSeqId.fold(seqs)(n =>
       seqs.where(col("seq_id") < lit(n)))
     graft.operators.Sharding.epochResume(bounded, epoch, lastKey,

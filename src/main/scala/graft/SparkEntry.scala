@@ -1510,7 +1510,11 @@ object SparkEntry {
         s"$root/shards", seqLen = 64, numShards = 4, mode = "append")
       Pipeline.statsTrainingShards(s, s"$root/shards")
         .select(col("pack"), col("n_sequences"), col("n_ids"),
-          col("n_short"), col("padding_waste"), col("shard_spread"))
+          col("n_short"), col("padding_waste"), col("shard_spread"),
+          // the seq-id-space generation rides the survey (triage:
+          // "is my cursor stale?") — bootstrap + append never bump,
+          // so the oracle pins 0 on both rows
+          col("layout_gen"))
         .orderBy(col("pack").asc)
     }),
     // pack-tail COMPACTION through the driver gate: bootstrap + four
@@ -1708,6 +1712,126 @@ object SparkEntry {
           cursorGen = gen)
         .select(col("seq_id"), col("epoch_key"))
         .orderBy(col("epoch_key").asc, col("seq_id").asc)
+    }),
+    // the OTHER coherent mid-epoch-append policy through the oracle
+    // (q152 gates the default follow-the-corpus path): a loader that
+    // checkpoints per-epoch PLANS mints (generation, next_seq_id,
+    // cursor) at epoch start; data appended mid-epoch must wait for
+    // the next one. Bootstrap a planted-model export, mint, append a
+    // second batch via the knob-inert path, then resume through the
+    // `snapshot=` CLI — the remainder is EXACTLY the epoch as
+    // originally planned (appended ids excluded), which DuckDB
+    // derives from the FIRST batch's text alone (q152's arithmetic
+    // restricted to doc_id <= mid): the append never enters the
+    // oracle at all, which IS the snapshot claim.
+    "q153_resume_snapshot" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .where(col("doc_id") < 1000)
+        .select(col("doc_id"), col("text"))
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val mid = maxId / 2
+      val n = StreamScratch.seq.incrementAndGet()
+      val root = ivfIndexDir(dir, s"sn153_$n")
+      Bpe.writeModel(s,
+        Bpe.BpeModel(Seq("z", graft.functions.BpeEncodeExpr.Eow),
+          Seq(("z", "z"))), s"$root/model")
+      docs.where(col("doc_id") <= mid).write.mode("overwrite")
+        .parquet(s"$root/c/corpus/batch_id=$mid")
+      Pipeline.writeTrainingShards(s, s"$root/c", s"$root/model",
+        s"$root/shards", seqLen = 64, numShards = 4)
+      // the loader's full epoch-start mint: generation + snapshot
+      // bound (the standing next_seq_id) + a mid-order cursor
+      val gen = Pipeline.exportLayoutGen(s, s"$root/shards")
+      val snap = s.read.parquet(s"$root/shards/params").head()
+        .getAs[Long]("next_seq_id")
+      val curId = snap / 2
+      import s.implicits._
+      val cur = Sharding.epochOrder(Seq(curId).toDF("seq_id"),
+        epoch = 3).head()
+      // mid-epoch, a second batch lands (knob-inert append: the
+      // generation carries, standing ids never move)
+      docs.where(col("doc_id") > mid).write.mode("overwrite")
+        .parquet(s"$root/c/corpus/batch_id=$maxId")
+      Pipeline.appendTrainingShards(s, s"$root/c", s"$root/model",
+        s"$root/shards")
+      CorpusMain.run(s, List("epoch-resume", s"$root/shards", "3",
+        cur.getAs[Long]("epoch_key").toString, curId.toString,
+        gen.toString, s"$root/resume", "ep", s"snapshot=$snap"))
+      s.read.parquet(s"$root/resume/data")
+        .select(col("seq_id"), col("epoch_key"))
+        .orderBy(col("epoch_key").asc, col("seq_id").asc)
+    }),
+    // fsck's UNHEALTHY half through the driver gate (q151 pins the
+    // healthy classification; the reason fsck exists is the crashed
+    // tree): deterministic residue planted over a real planted-model
+    // export — a crashed compaction's in-flight marker, a crashed
+    // repair's staged-swap aside (dest live: the completed-swap
+    // state), and a crashed model write (params/ gone after data
+    // landed) — and the oracle pins the WHOLE taxonomy an operator
+    // acts on: every finding's (surface, component, level, category),
+    // including the export's ok row demoted from "healthy" to
+    // mid-recovery and the sibling model staying healthy. The exotic
+    // shapes (torn overwrites, bucket drift, crashed rebuilds) stay
+    // spec-level (FsckSpec).
+    "q154_fsck_residue" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .where(col("doc_id") < 1000)
+        .select(col("doc_id"), col("text"))
+      val n = StreamScratch.seq.incrementAndGet()
+      val root = ivfIndexDir(dir, s"fr154_$n")
+      Bpe.writeModel(s,
+        Bpe.BpeModel(Seq("z", graft.functions.BpeEncodeExpr.Eow),
+          Seq(("z", "z"))), s"$root/model")
+      docs.write.mode("overwrite").parquet(s"$root/c/corpus")
+      Pipeline.writeTrainingShards(s, s"$root/c", s"$root/model",
+        s"$root/shards", seqLen = 64, numShards = 4)
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      // plant the residue, filesystem-level and deterministic:
+      // a (stale-bodied) compaction marker, a completed-swap aside
+      // next to its live pack=0, and a model data tree whose params/
+      // never committed
+      val out = fs.create(new org.apache.hadoop.fs.Path(
+        s"$root/shards/sequences/_compact~0"), true)
+      try out.write("0;1;".getBytes("UTF-8")) finally out.close()
+      fs.mkdirs(new org.apache.hadoop.fs.Path(
+        s"$root/shards/sequences/_old_pack~0"))
+      // a completed overwrite's generation-floor leftover (params
+      // live, only the floor's delete was lost) — the inert-debris
+      // half of the floor taxonomy; the do-NOT-delete error half
+      // (floor without params) is FsckSpec's
+      val fl = fs.create(new org.apache.hadoop.fs.Path(
+        s"$root/shards/_layout_gen_floor"), true)
+      try fl.write("7".getBytes("UTF-8")) finally fl.close()
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(s"$root/model"), fs,
+        new org.apache.hadoop.fs.Path(s"$root/model_crashed"), false,
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$root/model_crashed/params"), true)
+      Seq("model", "model_crashed", "shards")
+        .map(sub => graft.operators.Fsck.checkDf(s, s"$root/$sub")
+          .withColumn("surface", lit(sub)))
+        .reduce(_.unionByName(_))
+        .select(col("surface"), col("component"), col("level"),
+          // the detail strings carry absolute paths; classify them
+          // into the taxonomy the oracle pins instead
+          when(col("detail").contains("compaction in-flight marker"),
+              "compact_marker")
+            .when(col("detail").contains("staged-swap residue"),
+              "swap_residue")
+            .when(col("detail")
+              .contains("completed staged-write aside"), "aside_done")
+            .when(col("detail").contains("generation-floor leftover"),
+              "floor_done")
+            .when(col("detail").contains("with no params/"),
+              "crashed_write")
+            .when(col("detail").contains("mid-recovery"),
+              "mid_recovery")
+            .when(col("detail").contains("healthy"), "healthy")
+            .otherwise("other").as("category"))
+        .orderBy(col("surface").asc, col("component").asc,
+          col("level").asc, col("category").asc)
     }),
     "q123_dsir_weight" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -2417,6 +2541,171 @@ object SparkEntry {
       StandardCopyOption.REPLACE_EXISTING))
     st.toString
   }
+
+  // ------------------------------------------- shared bench fixture
+
+  /** ONE corpus+model+export lifecycle tree per bench SAMPLE, shared
+    * by the composed-lifecycle bench entries below (the r18 verdict's
+    * once-tier consolidation): q146/q147/q149/q150/q151 each used to
+    * bootstrap a near-identical tree INSIDE their own timers, so the
+    * once tier paid ~5× the same build per sample with no extra
+    * timing signal. [[graft.Bench]] now times this build once per
+    * sample (reported as its own `fixture_lifecycle` line) and then
+    * times each entry's SURFACE against the standing tree via
+    * [[benchFixtureSurfaces]]. Correctness is untouched: the entries
+    * in [[queries]] stay self-contained and oracle-checked by Verify.
+    *
+    * The tree is q151's lifecycle at q151's knobs: train the 64-merge
+    * tokenizer on the full slice (later batches stay in-alphabet),
+    * publish the first batch through the refresh (creating the three
+    * index families at the 32-bucket test geometry), bootstrap the
+    * shard export from the published corpus. */
+  def buildBenchFixture(s: SparkSession, dir: String): String = {
+    val docs = t(s, dir, "documents")
+      .where(col("doc_id") < 1000)
+      .select(col("doc_id"), col("text"))
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val b0 = math.min(300L, maxId / 2 + 1)
+    val n = StreamScratch.seq.incrementAndGet()
+    val root = ivfIndexDir(dir, s"fix_$n")
+    docs.write.mode("overwrite").parquet(s"$root/seed/corpus")
+    Pipeline.trainBpeModel(s, s"$root/seed", s"$root/model",
+      numMerges = 64, maxTypes = 1 << 20)
+    docs.where(col("doc_id") < b0).write.mode("overwrite")
+      .parquet(s"$root/batch_0")
+    Pipeline.refreshCorpus(s,
+      s.read.parquet(s"$root/batch_0"), s"$root/idx",
+      s"$root/corpus", jaccardThreshold = 0.5, chunkTokens = 10,
+      bandBuckets = 32, pieceBuckets = 32, chunkBuckets = 32,
+      tokenizerModelDir = Some(s"$root/model"))
+    Pipeline.writeTrainingShards(s, s"$root/corpus", s"$root/model",
+      s"$root/shards", seqLen = 64, numShards = 4)
+    // q149's compaction TARGET, built here so its surface times only
+    // the compaction + read-back: a second export over raw batch
+    // slices (the q149 entry's own corpus shape) — bootstrap, then
+    // two 2-doc cron appends whose short tail packs give the merge a
+    // guaranteed adjacent candidate run
+    val (_, t1, t2) = fixtureCuts(maxId)
+    docs.where(col("doc_id") < t1).write.mode("overwrite")
+      .parquet(s"$root/c2/corpus/batch_id=0")
+    Pipeline.writeTrainingShards(s, s"$root/c2", s"$root/model",
+      s"$root/shards_tails", seqLen = 64, numShards = 4)
+    Seq((t1, t2), (t2, maxId + 1)).foreach { case (lo, hi) =>
+      docs.where(col("doc_id") >= lo && col("doc_id") < hi)
+        .write.mode("overwrite")
+        .parquet(s"$root/c2/corpus/batch_id=$lo")
+      Pipeline.writeTrainingShards(s, s"$root/c2", s"$root/model",
+        s"$root/shards_tails", seqLen = 64, numShards = 4,
+        mode = "append")
+    }
+    root
+  }
+
+  /** The fixture batch cuts, ONE definition: the first publish covers
+    * `doc_id < b0`, the q150 surface appends `[b0, t1)`, and the q149
+    * surface appends the two 2-doc tails `[t1, t2)` / `[t2, maxId]`
+    * whose short packs give its compaction a guaranteed adjacent
+    * candidate run. */
+  private def fixtureCuts(maxId: Long): (Long, Long, Long) =
+    (math.min(300L, maxId / 2 + 1), maxId - 3, maxId - 1)
+
+  /** Surface-only bench passes over a [[buildBenchFixture]] tree, in
+    * MUTATION-SAFE order (the read-only surveys first, then the
+    * appending refresh, then the compaction that consumes the
+    * appended tails — the real cron order). Each surface's plan is
+    * its [[queries]] entry's final surface over the shared tree; the
+    * build cost those entries used to repay per-sample lives in the
+    * `fixture_lifecycle` line instead. Args: (session, sfDir,
+    * fixtureRoot). */
+  def benchFixtureSurfaces:
+      Seq[(String, (SparkSession, String, String) => DataFrame)] = Seq(
+    // q151's surface: the four-surface fsck survey (read-only,
+    // metadata-priced — exactly what the entry claims to price)
+    ("q151_fsck_lifecycle", (s: SparkSession, _: String,
+        root: String) =>
+      Seq("idx", "corpus", "model", "shards")
+        .map(sub => graft.operators.Fsck.checkDf(s, s"$root/$sub")
+          .withColumn("surface", lit(sub)))
+        .reduce(_.unionByName(_))
+        .agg(
+          count(when(col("level") === "error", 1)).as("n_error"),
+          count(when(col("level") === "warn", 1)).as("n_warn"),
+          count(when(col("level") === "ok" &&
+            col("detail").contains("index: layout consistent"), 1))
+            .as("n_index_ok"),
+          (count(when(col("level") === "ok" && col("detail")
+            .contains("healthy complete BPE tokenizer model"), 1))
+            === 1).as("model_ok"),
+          (count(when(col("level") === "ok" && col("detail")
+            .contains("healthy training-shards export"), 1)) === 1)
+            .as("shards_ok"),
+          (count(when(col("surface") === "corpus", 1)) === 0)
+            .as("corpus_quiet"))),
+    // q147's surface: the metadata-priced stats survey (read-only)
+    ("q147_stats_shards", (s: SparkSession, _: String,
+        root: String) =>
+      Pipeline.statsTrainingShards(s, s"$root/shards")
+        .select(col("pack"), col("n_sequences"), col("n_ids"),
+          col("n_short"), col("padding_waste"), col("shard_spread"),
+          col("layout_gen"))
+        .orderBy(col("pack").asc)),
+    // q146's surface: the FULL artifact audit (read-only; the
+    // corpus-∝ reconstruct+decode+diff that dominates its entry —
+    // the repair half of its lifecycle stays priced by q142's own
+    // tree and the sf1 appendix)
+    ("q146_audit_shards", (s: SparkSession, _: String,
+        root: String) =>
+      Pipeline.auditTrainingShards(s, s"$root/shards",
+          s"$root/model", s"$root/corpus")
+        .select(col("n_docs"), col("n_mismatched"),
+          concat_ws(",", col("mismatched_doc_ids"))
+            .as("mismatched_doc_ids"),
+          col("n_bad"), col("n_unk"), col("n_word_merge_risk"),
+          col("n_unterminated"))),
+    // q150's surface: ONE follow-the-corpus cron line (pre-flight +
+    // publish + knob-inert append) plus the audit that closes it —
+    // the honest incremental price of the composed refresh
+    ("q150_refresh_shards", (s: SparkSession, dir: String,
+        root: String) => {
+      val docs = t(s, dir, "documents")
+        .where(col("doc_id") < 1000)
+        .select(col("doc_id"), col("text"))
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val (b0, t1, _) = fixtureCuts(maxId)
+      docs.where(col("doc_id") >= b0 && col("doc_id") < t1)
+        .write.mode("overwrite").parquet(s"$root/batch_1")
+      CorpusMain.run(s, List("refresh", s"$root/batch_1",
+        s"$root/idx", s"$root/corpus", s"tokenizer=$root/model",
+        s"shards=$root/shards"))
+      Pipeline.auditTrainingShards(s, s"$root/shards",
+          s"$root/model", s"$root/corpus")
+        .select(col("n_mismatched"),
+          concat_ws(",", col("mismatched_doc_ids"))
+            .as("mismatched_doc_ids"),
+          col("n_bad"), col("n_unk"), col("n_word_merge_risk"),
+          col("n_unterminated"))
+    }),
+    // q149's surface: the compaction itself (minFill 0.97 makes the
+    // ~300-id-per-doc tail packs candidates — the default 0.9 is
+    // tuned for production pack sizes, and a no-op merge would time
+    // nothing) plus the read-back decode proof over the whole
+    // artifact; the target export with its two short tail packs is
+    // the fixture's (so the timer holds ONLY this entry's claim)
+    ("q149_compacted_export", (s: SparkSession, _: String,
+        root: String) => {
+      Pipeline.compactTrainingShards(s, s"$root/shards_tails",
+        minFill = 0.97)
+      val model = Bpe.readFullModel(s, s"$root/model")
+      val (seqs, _) = Pipeline.readTrainingShards(s,
+        s"$root/shards_tails", strict = true,
+        modelDir = Some(s"$root/model"))
+      Sharding.reconstructDocs(seqs,
+          eosId = Some(Bpe.eosIdOf(model)))
+        .select(col("doc_id"),
+          array_join(Bpe.decodeWords(
+            Bpe.decodeIds(col("ids"), model)), " ").as("decoded"))
+        .orderBy(col("doc_id").asc)
+    }))
 
   // ------------------------------------------------------------- oracle
 
@@ -3529,7 +3818,8 @@ object SparkEntry {
           |    AS BIGINT) AS n_short,
           |  CAST((64 - ids % 64) % 64 AS BIGINT) AS padding_waste,
           |  CAST(CASE WHEN ((ids + 63) // 64) % 4 = 0 THEN 0 ELSE 1
-          |    END AS BIGINT) AS shard_spread
+          |    END AS BIGINT) AS shard_spread,
+          |  0::BIGINT AS layout_gen
           |FROM g, b ORDER BY pack""".stripMargin,
       // q138/q139: the WHOLE packed id stream under the planted
       // never-firing model — every code point is OOV id 0, every
@@ -3694,6 +3984,68 @@ object SparkEntry {
           |SELECT seq_id, epoch_key FROM h, c
           |WHERE epoch_key > c.ck OR (epoch_key = c.ck AND seq_id > c.ci)
           |ORDER BY epoch_key, seq_id""".stripMargin,
+      // q153: the snapshot-bound resume — q152's derivation over the
+      // FIRST batch only (doc_id <= max//2): the snapshot bound is
+      // that batch's sequence count (the next_seq_id minted at epoch
+      // start), the cursor its median id, and the appended batch
+      // never appears — the oracle's blindness to it IS the snapshot
+      // semantics being pinned
+      "q153_resume_snapshot" ->
+        """WITH d0 AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+          |m AS (
+          |  SELECT CAST(max(doc_id) AS BIGINT) // 2 AS mid FROM d0),
+          |d AS (
+          |  SELECT doc_id, text FROM d0, m WHERE doc_id <= m.mid),
+          |tok AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(
+          |      lower(coalesce(text, '')), '[ \t\n\r\f\x0B]+'),
+          |      x -> x != '') AS ts
+          |  FROM d),
+          |per AS (
+          |  SELECT doc_id,
+          |    CAST(coalesce(list_sum(list_transform(ts,
+          |      x -> length(x) + 1)), 0) + 1 AS BIGINT) AS n
+          |  FROM tok),
+          |t AS (SELECT CAST((sum(n) + 63) // 64 AS BIGINT) AS nseq
+          |      FROM per),
+          |k AS (
+          |  SELECT seq_id, 'ep:3:' || CAST(seq_id AS VARCHAR) AS key
+          |  FROM (SELECT unnest([CAST(i AS BIGINT)
+          |          FOR i IN range(0, CAST(nseq AS INT))]) AS seq_id
+          |        FROM t)),
+          |h AS (
+          |  SELECT seq_id,
+          |    CAST((list_reduce(list_prepend(0::BIGINT,
+          |      [ascii(key[i])::BIGINT
+          |        FOR i IN range(1, length(key)+1)]),
+          |      (acc, c) -> (acc * 257 + c) % 1000000007)
+          |      * 48271) % 1000000007 AS BIGINT) AS epoch_key
+          |  FROM k),
+          |c AS (
+          |  SELECT epoch_key AS ck, seq_id AS ci FROM h, t
+          |  WHERE seq_id = t.nseq // 2)
+          |SELECT seq_id, epoch_key FROM h, c
+          |WHERE epoch_key > c.ck OR (epoch_key = c.ck AND seq_id > c.ci)
+          |ORDER BY epoch_key, seq_id""".stripMargin,
+      // q154: fsck's unhealthy taxonomy over planted residue — eight
+      // findings, each pinned by (surface, component, level,
+      // category): the crashed model write errors per data subdir,
+      // the export's marker/aside/floor warns, its ok row demoted to
+      // mid-recovery, and the untouched sibling model still healthy
+      "q154_fsck_residue" ->
+        """SELECT * FROM (VALUES
+          |  ('model', 'params', 'ok', 'healthy'),
+          |  ('model_crashed', 'alphabet', 'error', 'crashed_write'),
+          |  ('model_crashed', 'merges', 'error', 'crashed_write'),
+          |  ('shards', 'params', 'ok', 'mid_recovery'),
+          |  ('shards', 'sequences', 'warn', 'compact_marker'),
+          |  ('shards', 'sequences', 'warn', 'swap_residue'),
+          |  ('shards', 'staging', 'warn', 'aside_done'),
+          |  ('shards', 'staging', 'warn', 'floor_done'))
+          |  AS t(surface, component, level, category)
+          |ORDER BY surface, component, level, category""".stripMargin,
       "q78_weighted_sample" ->
         // same byte-fold as q44/q65 over "ws1:<doc_id>", then the
         // Lehmer mixing step (h*48271 % p — see Sharding.weightedSample

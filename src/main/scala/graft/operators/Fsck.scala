@@ -131,6 +131,29 @@ object Fsck {
             "destination's ONLY copy. Recover: rename it back to " +
             s"$dest, then re-run the interrupted pass. Do NOT delete")
     }
+    // the shard export's crashed-overwrite generation floor: while
+    // params/ is gone the floor holds the seq-id-space generation's
+    // ONLY copy (writeTrainingShards re-runs restamp PAST it so
+    // stale epoch-resume cursors keep refusing) — an operator
+    // sweeping "stray underscore files" mid-crash would silently
+    // reset the generation lineage, the exact cursor-acceptance
+    // hazard the floor exists to close. Next to live params it is
+    // inert debris (the next overwrite absorbs it via max()).
+    if (names.contains("_layout_gen_floor")) {
+      if (names.contains("params"))
+        b += Finding(s"$dir/_layout_gen_floor", "staging", "warn",
+          "completed overwrite's generation-floor leftover (params/ " +
+            "re-landed; only the floor's delete was lost) — inert: " +
+            "the next mode=overwrite absorbs it via max(); safe to " +
+            "delete")
+      else
+        b += Finding(s"$dir/_layout_gen_floor", "staging", "error",
+          "mid-overwrite crash: this floor holds the export's " +
+            "seq-id-space generation — its ONLY copy while params/ " +
+            "is gone. Do NOT delete; re-run the export " +
+            "(mode=overwrite) — it restamps PAST the floor so stale " +
+            "epoch-resume cursors keep refusing")
+    }
     entries.foreach {
       case (n, true) if n.endsWith("__compact_tmp") ||
           n.endsWith("__old") =>

@@ -326,6 +326,43 @@ class FsckSpec extends SparkSuite {
       x.detail.contains("writeTrainingShards")), f3.mkString("\n"))
   }
 
+  test("the shard export's crashed-overwrite generation floor: inert " +
+      "debris next to live params warns safe-to-delete; the floor " +
+      "WITHOUT params errors do-NOT-delete (it holds the " +
+      "generation's only copy)") {
+    import graft.operators.Bpe
+    val root = mkRoot()
+    val model = Bpe.BpeModel(Seq("e", "s", "t", "</w>"),
+      Seq(("e", "s")))
+    Bpe.writeModel(spark, model, s"$root/bpe")
+    Seq((0L, "test set tes")).toDF("doc_id", "text")
+      .write.parquet(s"$root/c/corpus")
+    graft.Pipeline.writeTrainingShards(spark, s"$root/c", s"$root/bpe",
+      s"$root/shards", seqLen = 4, numShards = 2)
+    // inert-debris half: the floor next to live params (a crash
+    // between the params commit and the floor delete) — warn only,
+    // the export classification stays intact
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      s"$root/shards/_layout_gen_floor"), "7".getBytes("UTF-8"))
+    val fw = Fsck.check(spark, root)
+    assert(fw.exists(x =>
+      x.dir == s"$root/shards/_layout_gen_floor" &&
+        x.level == "warn" && x.detail.contains("safe to delete")),
+      fw.mkString("\n"))
+    assert(!fw.exists(_.level == "error"), fw.mkString("\n"))
+    // mid-overwrite half: params gone, the floor holds the seq-id-
+    // space generation's ONLY copy — the error must say do NOT
+    // delete (an operator sweeping stray underscore files here would
+    // silently reset the generation lineage; ShardingSpec pins the
+    // re-run's restamp-past-the-floor arithmetic)
+    rm(s"$root/shards/params")
+    val fe = Fsck.check(spark, root)
+    assert(fe.exists(x =>
+      x.dir == s"$root/shards/_layout_gen_floor" &&
+        x.level == "error" && x.detail.contains("Do NOT delete")),
+      fe.mkString("\n"))
+  }
+
   test("a DSIR model dir surveys as a recognized healthy shape, and " +
       "its crashed write (params without ratios) errs") {
     val root = mkRoot()

@@ -167,7 +167,14 @@ class ShardingSpec extends SparkSuite {
     val budget = 100L
     val got = Sharding.tokenShards(docs, budget, numParts = 7)
       .orderBy($"doc_id").collect()
-    // reference: the naive global window (fine on test-sized data)
+    // reference: the naive global window (fine on test-sized data).
+    // NOTE this shape is the source of the expected `WindowExec: No
+    // Partition Defined` warnings in the test log — DELIBERATE here
+    // (the single-partition window IS the reference tokenShards is
+    // checked against) and test-only; main source has zero
+    // unpartitioned windows (PlanSpec pins the product plans), so a
+    // new occurrence of that warning from any OTHER site is a real
+    // regression, not this fixture.
     val ref = docs
       .select($"doc_id",
         TextAnalysis.tokenCount($"text").as("n_tokens"))
@@ -1177,6 +1184,9 @@ class ShardingSpec extends SparkSuite {
       assert(s.getAs[Long]("padding_waste") ===
         rows.map(4L - _).sum)
       assert(s.getAs[Long]("shard_spread") <= 1L)
+      // the seq-id-space generation rides every survey row (triage:
+      // "is my cursor stale?") — bootstrap + append never bump it
+      assert(s.getAs[Long]("layout_gen") === 0L)
     }
     graft.CorpusMain.run(spark, List("stats-shards", s"$root/shards"))
     // a crashed repair's aside refuses the survey loudly (stats would
@@ -1272,12 +1282,17 @@ class ShardingSpec extends SparkSuite {
     assert(got.keySet === wantById.keySet)
     got.foreach { case (id, ids) =>
       assert(ids === wantById(id), s"doc $id") }
-    // padding waste strictly shrank (the whole point)
-    val waste1 = graft.Pipeline
+    // padding waste strictly shrank (the whole point) — and the
+    // survey now reports the bumped seq-id-space generation
+    val stats1 = graft.Pipeline
       .statsTrainingShards(spark, s"$root/shards")
+    val waste1 = stats1
       .agg(org.apache.spark.sql.functions.sum($"padding_waste"))
       .head().getLong(0)
     assert(waste1 < waste0, s"waste $waste0 -> $waste1")
+    assert(stats1.select($"layout_gen").distinct().collect()
+      .map(_.getLong(0)).toSeq === Seq(1L),
+      "the compaction's generation bump must surface in stats")
     // a second run is the scan-free no-op (standing params returned)
     val again = graft.Pipeline.compactTrainingShards(spark,
       s"$root/shards").head()
@@ -1495,6 +1510,34 @@ class ShardingSpec extends SparkSuite {
     assert(got.keySet === wantById.keySet)
     got.foreach { case (id, ids) =>
       assert(ids === wantById(id), s"doc $id") }
+    // ---- the heal itself drops markers LAST: a crash inside the
+    // healing run (victims deleted, restamp done or pending, marker
+    // still standing) leaves exactly this state — a LANDED marker
+    // whose victims are already gone. The re-run must re-heal
+    // idempotently: converge, bump the generation once more (churn,
+    // never silence — it cannot tell whether the dead run's restamp
+    // landed), and only then sweep the marker. Deleting the marker
+    // BEFORE the restamp instead would open the window where a
+    // count-conserving merge slips past the no-work short-circuit
+    // with no bump and pre-crash cursors resume against rewritten
+    // seq_ids.
+    val landedIds = spark.read
+      .parquet(s"$root/shards/sequences/pack=$b1")
+      .agg(org.apache.spark.sql.functions.sum($"n_ids".cast("long")))
+      .head().getLong(0)
+    java.nio.file.Files.write(marker.toPath,
+      s"$b1;$landedIds;$b2".getBytes("UTF-8"))
+    val genReheal = graft.Pipeline.exportLayoutGen(spark,
+      s"$root/shards")
+    graft.Pipeline.compactTrainingShards(spark, s"$root/shards")
+    assert(!marker.exists())
+    assert(graft.Pipeline.exportLayoutGen(spark, s"$root/shards") ===
+      genReheal + 1L)
+    val (seqs2, _) = graft.Pipeline.readTrainingShards(spark,
+      s"$root/shards", strict = true, modelDir = Some(s"$root/model"))
+    val got2 = Sharding.reconstructDocs(seqs2, Some(Bpe.eosIdOf(model)))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got2 === wantById)
     // ---- a STALE marker (pre-swap crash: the heal above restored
     // the original pack, so the stamp can't match) is dropped and
     // the artifact stays whole
@@ -1673,6 +1716,16 @@ class ShardingSpec extends SparkSuite {
     }
     assert(es2.getMessage.contains("outside the export's id space"),
       es2.getMessage)
+    // a snapshot bound at/under the cursor's own id refuses too: the
+    // cursor cannot have been minted inside a snapshot-bounded epoch
+    // over ids [0, n) when lastId >= n — silently filtering the
+    // cursor's id out of the bounded set would "resume" from a
+    // position that never existed in that epoch
+    val es3 = intercept[IllegalArgumentException] {
+      resume(1L, snap = Some(curId)).count()
+    }
+    assert(es3.getMessage.contains("inconsistent resume cursor") &&
+      es3.getMessage.contains("snapshot-bounded"), es3.getMessage)
     // a FRESH bootstrap (no standing artifact) still starts at 0
     graft.Pipeline.writeTrainingShards(spark, s"$root/c",
       s"$root/model", s"$root/shards_fresh", seqLen = 4, numShards = 2)

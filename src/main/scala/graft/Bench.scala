@@ -76,7 +76,16 @@ object Bench {
     // q145 = q141's encode+decode round trip through the streaming
     // harness (staging + checkpoint + per-file micro-batches); its
     // per-pass signal is the batch round trip, already benched as q141
-    "q145_stream_encode")
+    "q145_stream_encode",
+    // q91 = the flagship dedup+count THROUGH the full structured-
+    // streaming harness (staging + sentinel construction + checkpoint
+    // + 3 stateful micro-batches): the same micro-batch-scheduling
+    // noise profile that put its streaming siblings (q110/q117/q135/
+    // q136/q145) in this tier, and its per-pass signal — the batch
+    // dedup+count plan — is already benched as q01/q03/q04 (r19
+    // optimization round: 5-pass replication of the harness floor
+    // added wall time without timing signal)
+    "q91_streaming_flagship")
 
   /** Composed-lifecycle entries whose near-identical corpus+model+
     * export builds are CONSOLIDATED into one shared fixture per

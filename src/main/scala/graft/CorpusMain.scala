@@ -540,12 +540,11 @@ object CorpusMain {
         // deserialize every sequence's id array — the artifact's
         // whole bulk — to print 24 words) and fetched by an equality
         // filter parquet stats can skip row groups on. (The model is
-        // read twice — once for the decode LUT, once inside the
-        // reader's provenance check; both driver-side and
-        // model-sized, the price of the reader's canonical refusals.)
+        // read ONCE and threaded through the reader's provenance
+        // check — readTrainingShardsWith.)
         val model = graft.operators.Bpe.readFullModel(spark, modelDir)
-        val (seqs, p) = Pipeline.readTrainingShards(spark, outDir,
-          strict = true, modelDir = Some(modelDir))
+        val (seqs, p) = Pipeline.readTrainingShardsWith(spark, outDir,
+          strict = true, model = Some(modelDir -> model))
         import org.apache.spark.sql.functions.{col, min}
         val minSeq = seqs.agg(min(col("seq_id"))).head().getLong(0)
         val sample = seqs.where(col("seq_id") === minSeq)

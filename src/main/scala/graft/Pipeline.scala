@@ -435,10 +435,20 @@ object Pipeline {
     // a misspelled or crashed model dir refuses here, not mid-publish
     val qualityModel = qualityModelDir.map(d =>
       graft.operators.QualityClassifier.readModel(spark, d))
-    // same up-front validation for the tokenizer model (readModel
-    // refuses crashed writes and rank holes before anything mutates)
-    val bpeMerges = tokenizerModelDir.map(d =>
-      graft.operators.Bpe.readModel(spark, d))
+    // same up-front validation for the tokenizer model (the readers
+    // refuse crashed writes and rank holes before anything mutates).
+    // ONE read per model form: readFullModel subsumes readModel's
+    // validation (it calls it), so the full-model path reads the model
+    // datasets once instead of three times (merges read + params
+    // schema probe + full read — ~6 metadata jobs per refresh at the
+    // old shape; guide §1.2 "don't compute things you throw away")
+    val bpeFull = tokenizerModelDir.map { d =>
+      if (spark.read.parquet(s"$d/params").schema.fieldNames
+          .contains("n_alphabet"))
+        Right(graft.operators.Bpe.readFullModel(spark, d))
+      else Left(graft.operators.Bpe.readModel(spark, d))
+    }
+    val bpeMerges = bpeFull.map(_.fold(identity, _.merges))
     // the FULL-model content digest for the report's provenance stamp
     // (None for legacy merges-only models — they store no alphabet, so
     // there is no full-model content to state): the id SPACE is
@@ -447,13 +457,8 @@ object Pipeline {
     // merges digest stays equal — without this column the refresh
     // ledger would say "same tokenizer" for a model the export gate
     // rightly refuses, and the two surfaces would disagree
-    val bpeModelDigest = tokenizerModelDir.flatMap { d =>
-      if (spark.read.parquet(s"$d/params").schema.fieldNames
-          .contains("n_alphabet"))
-        Some(graft.operators.Bpe.modelDigest(
-          graft.operators.Bpe.readFullModel(spark, d)))
-      else None
-    }
+    val bpeModelDigest = bpeFull.flatMap(
+      _.toOption.map(graft.operators.Bpe.modelDigest))
     import org.apache.hadoop.fs.Path
     val fs = new Path(corpusDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -660,11 +665,23 @@ object Pipeline {
               "containment", "containment"))
           }
           val allPairs = pairs.distinct()
+          // pairs/ lands FIRST and the cluster step consumes the
+          // READ-BACK: the probe lineage (LSH candidates + verify +
+          // the against-index probes, the batch's most expensive
+          // plans) used to execute twice — once materializing the
+          // cluster edges, once again inside the pairs write at the
+          // end. Writing the artifact once and deduping from it runs
+          // the probes exactly once (guide §1.2: remove passes). The
+          // crash contract is unchanged: stagedWrite is an atomic
+          // swap, and a crash before the corpus commit re-enters this
+          // block and overwrites pairs/ with identical content.
+          stagedWrite(spark, allPairs, pairsPart)
+          val pairsBack = spark.read.parquet(pairsPart)
 
           // ---- document-level drops: keep each duplicate cluster's
           // canonical min id — for a cross pair that is the indexed
           // (already published) doc, so the batch member drops
-          val survivors = Dedup.dedupByClusters(doc, allPairs)
+          val survivors = Dedup.dedupByClusters(doc, pairsBack)
 
           // ---- substring-level cleanup of the survivors' text
           val cleaned =
@@ -750,15 +767,19 @@ object Pipeline {
                 graft.operators.Bpe.bpeTokens(col("text")), m))
             case None => publishedQual
           }
-          stagedWrite(spark, allPairs, pairsPart)
           stagedWrite(spark, publishedTok, corpusPart) // the probe-stage commit
           pubPersisted.foreach(_.unpersist())
         }
 
-        // ---- append: survivors' ORIGINAL rows into all three families
+        // ---- append: survivors' ORIGINAL rows into all three families.
+        // survOrig is PERSISTED for the appends' duration: every family
+        // derives its rows from it, and without the persist each append
+        // re-ran the corpus-ids semi-join (3-6 recomputations of the
+        // same frame per refresh)
         val survOrig = doc.join(
-          spark.read.parquet(corpusPart).select(col("doc_id")),
-          Seq("doc_id"), "left_semi")
+            spark.read.parquet(corpusPart).select(col("doc_id")),
+            Seq("doc_id"), "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // append iff params/ stands; CREATE only when the family dir is
         // absent entirely. The third state — data present, params/
         // missing (a crash inside a previous append's params rewrite, the
@@ -785,22 +806,38 @@ object Pipeline {
                 "standing index)")
             "overwrite"
           }
-        mhParams match {
+        // The per-family appends below are mutually INDEPENDENT — each
+        // consumes the persisted survOrig (or the committed corpus
+        // partition) and mutates only its own directory with its own
+        // params-last scaffold — so they run CONCURRENTLY
+        // ([[graft.operators.Par]], guide §2.6): later appends'
+        // tasks back-fill the executors an earlier append's tail
+        // leaves idle, and the fixed per-action floors overlap. The
+        // crash/refusal contract is unchanged in kind: a run that
+        // stops mid-way (crash, or one family's append refusing)
+        // leaves SOME families appended and the report unwritten —
+        // exactly the state a sequential crash left — and the
+        // documented recovery (re-run to completion; retried appends'
+        // duplicate rows collapse at the probes and under
+        // compactIndex) applies as before.
+        val familyAppends = scala.collection.mutable.ArrayBuffer
+          .empty[() => Unit]
+        familyAppends += (() => mhParams match {
           case Some((nsw, nh, nb, bb)) => Dedup.writeMinhashIndex(
             survOrig, minhashDir, numShingleWords = nsw, numHashes = nh,
             bands = nb, bandBuckets = bb, mode = "append")
           case None => Dedup.writeMinhashIndex(survOrig, minhashDir,
             bandBuckets = bandBuckets, mode = mode(minhashDir))
-        }
-        hmParams match {
+        })
+        familyAppends += (() => hmParams match {
           case Some((radius, pb)) => Dedup.writeHammingIndex(
             Dedup.simhash(survOrig), hammingDir, maxHamming = radius,
             pieceBuckets = pb, mode = "append")
           case None => Dedup.writeHammingIndex(Dedup.simhash(survOrig),
             hammingDir, maxHamming = maxHamming,
             pieceBuckets = pieceBuckets, mode = mode(hammingDir))
-        }
-        chParams match {
+        })
+        familyAppends += (() => chParams match {
           case Some(("cdc", granularity, cb, _)) =>
             Dedup.writeChunkIndexCDC(survOrig, chunkDir,
               divisor = granularity, chunkBuckets = cb, mode = "append")
@@ -821,16 +858,16 @@ object Pipeline {
               chunkTokens = chunkTokens, chunkBuckets = chunkBuckets,
               mode = mode(chunkDir))
           }
-        }
+        })
         containmentThreshold.foreach { _ =>
           val ctDir = s"$indexRoot/containment"
-          ctParams match {
+          familyAppends += (() => ctParams match {
             case Some((nsw, pb)) => Dedup.writeContainmentIndex(survOrig,
               ctDir, numShingleWords = nsw, postingBuckets = pb,
               mode = "append")
             case None => Dedup.writeContainmentIndex(survOrig, ctDir,
               postingBuckets = postingBuckets, mode = mode(ctDir))
-          }
+          })
         }
         embeddings.foreach { embIn =>
           val ivfDir = s"$indexRoot/ivf"
@@ -838,23 +875,24 @@ object Pipeline {
             .join(spark.read.parquet(corpusPart)
               .select(col("doc_id").as("vec_id")), Seq("vec_id"),
               "left_semi")
-          if (exists(s"$ivfDir/params"))
-            Similarity.appendIvfIndex(survVecs, ivfDir)
-          else {
-            // the mode() refusal, IVF flavor: cells without params is a
-            // crashed write's refused state — re-training geometry over
-            // ONE batch and calling it the index would be silent loss
-            require(absentButLease(ivfDir),
-              s"$ivfDir exists without params/ — a crashed write; " +
-                "rebuild the index (rebuildIvfIndex) before refreshing")
-            // first batch: its survivors' centroids become the index's
-            // frozen geometry, under the same cells-∝-corpus auto rule
-            // as the inline scorer
-            Similarity.writeIvfIndex(survVecs, ivfDir,
-              Similarity.kmeansCentroids(survVecs,
-                Dedup.resolveNlist(survVecs, 0), iters = 1),
-              multiAssign = multiAssign)
-          }
+          familyAppends += (() =>
+            if (exists(s"$ivfDir/params"))
+              Similarity.appendIvfIndex(survVecs, ivfDir)
+            else {
+              // the mode() refusal, IVF flavor: cells without params is a
+              // crashed write's refused state — re-training geometry over
+              // ONE batch and calling it the index would be silent loss
+              require(absentButLease(ivfDir),
+                s"$ivfDir exists without params/ — a crashed write; " +
+                  "rebuild the index (rebuildIvfIndex) before refreshing")
+              // first batch: its survivors' centroids become the index's
+              // frozen geometry, under the same cells-∝-corpus auto rule
+              // as the inline scorer
+              Similarity.writeIvfIndex(survVecs, ivfDir,
+                Similarity.kmeansCentroids(survVecs,
+                  Dedup.resolveNlist(survVecs, 0), iters = 1),
+                multiAssign = multiAssign)
+            })
         }
 
         // ---- retrieval freshness: a standing bm25 index FOLLOWS the
@@ -883,13 +921,16 @@ object Pipeline {
                 "appending only this batch would leave silent holes; " +
                 "rebuild first (writeBm25Index over the published " +
                 "corpus) before refreshing")
-            graft.operators.Retrieval.writeBm25Index(
-              spark.read.parquet(corpusPart)
-                .select(col("doc_id"), col("text")),
-              s"$indexRoot/bm25", tokenBuckets = bp._1,
-              dlBuckets = bp._2, mode = "append")
+            familyAppends += (() =>
+              graft.operators.Retrieval.writeBm25Index(
+                spark.read.parquet(corpusPart)
+                  .select(col("doc_id"), col("text")),
+                s"$indexRoot/bm25", tokenBuckets = bp._1,
+                dlBuckets = bp._2, mode = "append"))
           }
         }
+        try graft.operators.Par.run(4)(familyAppends.toSeq)
+        finally survOrig.unpersist()
 
         // ---- report last: the completion marker (counts re-derivable
         // on a recovery run because they come from the published
@@ -1527,6 +1568,18 @@ object Pipeline {
   def readTrainingShards(spark: SparkSession, outDir: String,
       strict: Boolean = false,
       modelDir: Option[String] = None)
+      : (DataFrame, org.apache.spark.sql.Row) =
+    readTrainingShardsWith(spark, outDir, strict,
+      modelDir.map(md =>
+        md -> graft.operators.Bpe.readFullModel(spark, md)))
+
+  /** [[readTrainingShards]] with the provenance model ALREADY READ —
+    * the seam for callers that hold the full model anyway (the audit,
+    * the reconstruction entries): the gate compares the same digest
+    * without paying a second model read. */
+  private[graft] def readTrainingShardsWith(spark: SparkSession,
+      outDir: String, strict: Boolean,
+      model: Option[(String, graft.operators.Bpe.BpeModel)])
       : (DataFrame, org.apache.spark.sql.Row) = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(outDir)
@@ -1552,8 +1605,7 @@ object Pipeline {
     // return shape promises
     requireAppendEraParams(pdf, outDir)
     val p = pdf.head()
-    modelDir.foreach { md =>
-      val m = graft.operators.Bpe.readFullModel(spark, md)
+    model.foreach { case (md, m) =>
       requireModelProvenance(pdf, p, m,
         graft.operators.Bpe.modelDigest(m), outDir,
         s"its ids name other subwords under $md; re-export " +
@@ -2878,8 +2930,8 @@ object Pipeline {
       modelDir: String, corpusDir: String): DataFrame = {
     import graft.operators.{Bpe, Sharding}
     val model = Bpe.readFullModel(spark, modelDir)
-    val (seqs, p) = readTrainingShards(spark, outDir, strict = true,
-      modelDir = Some(modelDir))
+    val (seqs, p) = readTrainingShardsWith(spark, outDir, strict = true,
+      model = Some(modelDir -> model))
     val eosId = Option(p.getAs[Integer]("eos_id")).map(_.intValue)
     val prevMax = p.getAs[Long]("max_doc_id")
     val dec = Sharding.reconstructDocs(seqs, eosId)
@@ -2912,16 +2964,21 @@ object Pipeline {
         col("a"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val agg = slim.agg(
-        count(lit(1)),
-        count(when(col("mismatch"), 1)),
-        coalesce(sum(col("a.n_bad")), lit(0L)),
-        coalesce(sum(col("a.n_unk")), lit(0L)),
-        coalesce(sum(col("a.n_word_merge_risk")), lit(0L)),
-        coalesce(sum(col("a.n_unterminated")), lit(0L))).head()
-      val sample = slim.where(col("mismatch"))
-        .orderBy(col("doc_id").asc).limit(10)
-        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      // the totals aggregate and the bounded sample are independent
+      // reads of the persisted verdict frame — overlapped (Par)
+      var agg: org.apache.spark.sql.Row = null
+      var sample: Seq[Long] = Seq.empty
+      graft.operators.Par.run(2)(Seq(
+        () => agg = slim.agg(
+          count(lit(1)),
+          count(when(col("mismatch"), 1)),
+          coalesce(sum(col("a.n_bad")), lit(0L)),
+          coalesce(sum(col("a.n_unk")), lit(0L)),
+          coalesce(sum(col("a.n_word_merge_risk")), lit(0L)),
+          coalesce(sum(col("a.n_unterminated")), lit(0L))).head(),
+        () => sample = slim.where(col("mismatch"))
+          .orderBy(col("doc_id").asc).limit(10)
+          .select(col("doc_id")).collect().map(_.getLong(0)).toSeq))
       import spark.implicits._
       Seq((agg.getLong(0), agg.getLong(1), sample, agg.getLong(2),
           agg.getLong(3), agg.getLong(4), agg.getLong(5)))

@@ -199,34 +199,45 @@ object SparkEntry {
     // createTempDirectory per sentinel would leak two dirs per call
     // across bench passes and survive JVM exit
     val sentScratch = Paths.get(ivfIndexDir(dir, "stream_sent"))
-    def sentinel(name: String, daysAhead: Int): Unit = {
+    // ONE sentinel parquet (both far-future rows, 400 and 800 days
+    // past max ts) written in a single Spark job, then staged TWICE
+    // under ascending mtimes: each staged copy is its own later
+    // micro-batch, and the watermark only consumes the max event time
+    // per batch, so two two-row copies advance it exactly as the two
+    // distinct one-row files did (the second batch adds no new max —
+    // its role is purely to trigger the emit of the windows the first
+    // sentinel batch's watermark closed). Sentinel rows are dropped by
+    // the final null-safe filter either way; this halves the sentinel
+    // construction's Spark jobs (one write + one listing, not two).
+    def sentinelTs(daysAhead: Int): Column = {
       val tsMs = maxTs.getTime + daysAhead * 86400000L
-      val base = raw.limit(1).withColumn("event_type", lit("zz_sentinel"))
-      // the staged sentinel file is read back under raw.schema, so its
-      // ts must be written in the SOURCE encoding, whichever that was
-      val withTs = tsType match {
-        case org.apache.spark.sql.types.LongType =>
-          base.withColumn("ts", lit(tsMs * 1000000L))
+      tsType match {
+        case org.apache.spark.sql.types.LongType => lit(tsMs * 1000000L)
         case org.apache.spark.sql.types.TimestampNTZType =>
-          base.withColumn("ts", lit(new java.sql.Timestamp(tsMs))
-            .cast(org.apache.spark.sql.types.TimestampNTZType))
-        case _ =>
-          base.withColumn("ts", lit(new java.sql.Timestamp(tsMs)))
+          lit(new java.sql.Timestamp(tsMs))
+            .cast(org.apache.spark.sql.types.TimestampNTZType)
+        case _ => lit(new java.sql.Timestamp(tsMs))
       }
-      withTs.select(raw.columns.map(col).toIndexedSeq: _*).coalesce(1)
-        .write.mode("overwrite").parquet(sentScratch.toString)
+    }
+    raw.limit(1).withColumn("event_type", lit("zz_sentinel"))
+      .withColumn("__days", explode(array(lit(400), lit(800))))
+      .withColumn("ts",
+        when(col("__days") === 400, sentinelTs(400))
+          .otherwise(sentinelTs(800)))
+      .select(raw.columns.map(col).toIndexedSeq: _*).coalesce(1)
+      .write.mode("overwrite").parquet(sentScratch.toString)
+    val sentPart = {
       val l = Files.list(sentScratch)
-      val part =
-        try l.toArray.map(_.asInstanceOf[Path])
-          .filter(_.getFileName.toString.endsWith(".parquet")).head
-        finally l.close()
+      try l.toArray.map(_.asInstanceOf[Path])
+        .filter(_.getFileName.toString.endsWith(".parquet")).head
+      finally l.close()
+    }
+    Seq("zz1.parquet", "zz2.parquet").foreach { name =>
       mtime += 10000
       val dst = stage.resolve(name)
-      Files.copy(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      Files.copy(sentPart, dst, StandardCopyOption.REPLACE_EXISTING)
       dst.toFile.setLastModified(mtime)
     }
-    sentinel("zz1.parquet", 400)
-    sentinel("zz2.parquet", 800)
     val stream = normalizeTs(
       s.readStream.schema(raw.schema)
         .option("maxFilesPerTrigger", "1")
@@ -1378,8 +1389,8 @@ object SparkEntry {
       Pipeline.repairTrainingShards(s, s"$root/c", s"$root/model",
         s"$root/shards")
       val model = Bpe.readFullModel(s, s"$root/model")
-      val (seqs, _) = Pipeline.readTrainingShards(s, s"$root/shards",
-        strict = true, modelDir = Some(s"$root/model"))
+      val (seqs, _) = Pipeline.readTrainingShardsWith(s, s"$root/shards",
+        strict = true, model = Some(s"$root/model" -> model))
       // reassemble every doc's id stream from the repaired artifact
       // (the named operator — eos stripped), then decode ids ->
       // subwords -> words (the q141 path)
@@ -1548,8 +1559,8 @@ object SparkEntry {
       }
       Pipeline.compactTrainingShards(s, s"$root/shards")
       val model = Bpe.readFullModel(s, s"$root/model")
-      val (seqs, _) = Pipeline.readTrainingShards(s, s"$root/shards",
-        strict = true, modelDir = Some(s"$root/model"))
+      val (seqs, _) = Pipeline.readTrainingShardsWith(s, s"$root/shards",
+        strict = true, model = Some(s"$root/model" -> model))
       Sharding.reconstructDocs(seqs, eosId = Some(Bpe.eosIdOf(model)))
         .select(col("doc_id"),
           array_join(Bpe.decodeWords(Bpe.decodeIds(col("ids"), model)),
@@ -2571,33 +2582,45 @@ object SparkEntry {
     docs.write.mode("overwrite").parquet(s"$root/seed/corpus")
     Pipeline.trainBpeModel(s, s"$root/seed", s"$root/model",
       numMerges = 64, maxTypes = 1 << 20)
-    docs.where(col("doc_id") < b0).write.mode("overwrite")
-      .parquet(s"$root/batch_0")
-    Pipeline.refreshCorpus(s,
-      s.read.parquet(s"$root/batch_0"), s"$root/idx",
-      s"$root/corpus", jaccardThreshold = 0.5, chunkTokens = 10,
-      bandBuckets = 32, pieceBuckets = 32, chunkBuckets = 32,
-      tokenizerModelDir = Some(s"$root/model"))
-    Pipeline.writeTrainingShards(s, s"$root/corpus", s"$root/model",
-      s"$root/shards", seqLen = 64, numShards = 4)
-    // q149's compaction TARGET, built here so its surface times only
-    // the compaction + read-back: a second export over raw batch
-    // slices (the q149 entry's own corpus shape) — bootstrap, then
-    // two 2-doc cron appends whose short tail packs give the merge a
-    // guaranteed adjacent candidate run
+    // two INDEPENDENT lifecycle chains hang off the trained model —
+    // the refresh-published tree (q146/q147/q150/q151's surfaces) and
+    // q149's compaction target over its own raw-batch corpus — and
+    // they touch disjoint directories, so they run concurrently
+    // ([[graft.operators.Par]], guide §2.6): the second chain's jobs
+    // back-fill the executors the first chain's many small actions
+    // leave idle
     val (_, t1, t2) = fixtureCuts(maxId)
-    docs.where(col("doc_id") < t1).write.mode("overwrite")
-      .parquet(s"$root/c2/corpus/batch_id=0")
-    Pipeline.writeTrainingShards(s, s"$root/c2", s"$root/model",
-      s"$root/shards_tails", seqLen = 64, numShards = 4)
-    Seq((t1, t2), (t2, maxId + 1)).foreach { case (lo, hi) =>
-      docs.where(col("doc_id") >= lo && col("doc_id") < hi)
-        .write.mode("overwrite")
-        .parquet(s"$root/c2/corpus/batch_id=$lo")
-      Pipeline.writeTrainingShards(s, s"$root/c2", s"$root/model",
-        s"$root/shards_tails", seqLen = 64, numShards = 4,
-        mode = "append")
-    }
+    graft.operators.Par.run(2)(Seq(
+      () => {
+        docs.where(col("doc_id") < b0).write.mode("overwrite")
+          .parquet(s"$root/batch_0")
+        Pipeline.refreshCorpus(s,
+          s.read.parquet(s"$root/batch_0"), s"$root/idx",
+          s"$root/corpus", jaccardThreshold = 0.5, chunkTokens = 10,
+          bandBuckets = 32, pieceBuckets = 32, chunkBuckets = 32,
+          tokenizerModelDir = Some(s"$root/model"))
+        Pipeline.writeTrainingShards(s, s"$root/corpus", s"$root/model",
+          s"$root/shards", seqLen = 64, numShards = 4)
+      },
+      // q149's compaction TARGET, built here so its surface times only
+      // the compaction + read-back: a second export over raw batch
+      // slices (the q149 entry's own corpus shape) — bootstrap, then
+      // two 2-doc cron appends whose short tail packs give the merge a
+      // guaranteed adjacent candidate run
+      () => {
+        docs.where(col("doc_id") < t1).write.mode("overwrite")
+          .parquet(s"$root/c2/corpus/batch_id=0")
+        Pipeline.writeTrainingShards(s, s"$root/c2", s"$root/model",
+          s"$root/shards_tails", seqLen = 64, numShards = 4)
+        Seq((t1, t2), (t2, maxId + 1)).foreach { case (lo, hi) =>
+          docs.where(col("doc_id") >= lo && col("doc_id") < hi)
+            .write.mode("overwrite")
+            .parquet(s"$root/c2/corpus/batch_id=$lo")
+          Pipeline.writeTrainingShards(s, s"$root/c2", s"$root/model",
+            s"$root/shards_tails", seqLen = 64, numShards = 4,
+            mode = "append")
+        }
+      }))
     root
   }
 
@@ -2696,9 +2719,9 @@ object SparkEntry {
       Pipeline.compactTrainingShards(s, s"$root/shards_tails",
         minFill = 0.97)
       val model = Bpe.readFullModel(s, s"$root/model")
-      val (seqs, _) = Pipeline.readTrainingShards(s,
+      val (seqs, _) = Pipeline.readTrainingShardsWith(s,
         s"$root/shards_tails", strict = true,
-        modelDir = Some(s"$root/model"))
+        model = Some(s"$root/model" -> model))
       Sharding.reconstructDocs(seqs,
           eosId = Some(Bpe.eosIdOf(model)))
         .select(col("doc_id"),

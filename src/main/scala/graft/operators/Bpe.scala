@@ -499,7 +499,10 @@ object Bpe {
         rows.zipWithIndex.forall { case ((rk, _), i) => rk == i },
       s"$dir/alphabet rank sequence is broken (expected 0..${nA - 1})" +
         " — refusing to mis-assign ids; re-run writeModel")
-    val model = BpeModel(rows.map(_._2).toSeq, readModel(spark, dir))
+    // the merges half reuses THIS params row instead of re-reading it
+    // (readModel standalone pays its own params read)
+    val model = BpeModel(rows.map(_._2).toSeq,
+      readMerges(spark, dir, pRow.getAs[Long]("n_merges")))
     // storage-integrity check when the write stamped a digest (models
     // written before the column read it back absent — tolerated, the
     // id-bearing CONSUMERS recompute the digest from this returned
@@ -527,8 +530,15 @@ object Bpe {
     require(fs.exists(new Path(s"$dir/params")),
       s"$dir has no params/ — not a written BPE model (or its write " +
         "crashed before the params commit); re-run writeModel")
-    val n = spark.read.parquet(s"$dir/params").head()
-      .getAs[Long]("n_merges")
+    readMerges(spark, dir,
+      spark.read.parquet(s"$dir/params").head().getAs[Long]("n_merges"))
+  }
+
+  /** The merges half of [[readModel]] against an already-read params
+    * count — [[readFullModel]] reuses its own params row through this
+    * seam instead of paying a second params read. */
+  private def readMerges(spark: SparkSession, dir: String,
+      n: Long): Seq[(String, String)] = {
     val rows = spark.read.parquet(s"$dir/merges")
       .orderBy(col("rank").asc).collect()
       .map(r => (r.getAs[Int]("rank"), r.getAs[String]("left"),

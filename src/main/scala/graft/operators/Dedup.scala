@@ -592,16 +592,24 @@ object Dedup {
     } {
       val sh = shingleHashArrays(docs, numShingleWords)
         .where(size(col("sh")) > 0)
-      // shingles BEFORE postings — candidates come only from
-      // postings/, so a crash between the writes leaves unreferenced
-      // verify rows, never candidates whose verify side is missing
-      // (the minhash family's ordering rationale)
-      writeShingles(sh, dir, mode, effSb)
-      sh.select(col("doc_id"), size(col("sh")).as("n"),
+      // APPEND keeps shingles BEFORE postings — candidates come only
+      // from postings/, so a crash between the writes leaves
+      // unreferenced verify rows, never candidates whose verify side
+      // is missing (the minhash family's ordering rationale; on
+      // append the standing params stays valid throughout, so probes
+      // CAN run mid-write). On OVERWRITE the scaffold deleted params
+      // first and rewrites it last — no probe accepts the half-built
+      // layout whichever dataset lands first — so the two independent
+      // writes overlap (Par, guide §2.6).
+      def shinglesW(): Unit = writeShingles(sh, dir, mode, effSb)
+      def postingsW(): Unit = sh
+        .select(col("doc_id"), size(col("sh")).as("n"),
           explode(col("sh")).as("h"))
         .withColumn("bucket",
           pmod(col("h"), lit(postingBuckets.toLong)).cast("int"))
         .write.mode(mode).partitionBy("bucket").parquet(s"$dir/postings")
+      if (mode == "append") { shinglesW(); postingsW() }
+      else Par.run(2)(Seq(() => shinglesW(), () => postingsW()))
     } {
       val base = spark.range(1).select(
         lit(numShingleWords).as("num_shingle_words"),
@@ -1770,13 +1778,19 @@ object Dedup {
       require(p == asked,
         s"append with params $asked onto an index written with $p")
     } {
-      // shingles BEFORE bands: candidates come only from bands/, so a
-      // crash here leaves extra shingle rows nothing references
-      // (harmless) rather than band rows whose verify-side arrays are
-      // missing (the inner join would silently drop those pairs)
-      writeShingles(shingleHashArrays(docs, numShingleWords), dir,
-        mode, effSb)
-      lshBands(docs, numShingleWords, numHashes, bands)
+      // APPEND keeps shingles BEFORE bands: candidates come only from
+      // bands/, so a crash here leaves extra shingle rows nothing
+      // references (harmless) rather than band rows whose verify-side
+      // arrays are missing (the inner join would silently drop those
+      // pairs); the standing params stays valid during an append, so
+      // probes CAN run mid-write. On OVERWRITE the scaffold deleted
+      // params first and rewrites it last — no probe accepts the
+      // half-built layout — so the two independent writes overlap
+      // (Par, guide §2.6).
+      def shinglesW(): Unit = writeShingles(
+        shingleHashArrays(docs, numShingleWords), dir, mode, effSb)
+      def bandsW(): Unit = lshBands(docs, numShingleWords, numHashes,
+          bands)
         // INT bucket on both the written and the probe side: the
         // partition directory value is inferred back as int, and a type
         // mismatch would wrap the partition attribute in a cast at the
@@ -1785,6 +1799,8 @@ object Dedup {
         .withColumn("bucket",
           pmod(col("band_hash"), lit(bandBuckets.toLong)).cast("int"))
         .write.mode(mode).partitionBy("bucket").parquet(s"$dir/bands")
+      if (mode == "append") { shinglesW(); bandsW() }
+      else Par.run(2)(Seq(() => shinglesW(), () => bandsW()))
     } {
       val base = docs.sparkSession.range(1).select(
         lit(numShingleWords).as("num_shingle_words"),

@@ -1,0 +1,54 @@
+package graft.operators
+
+/** Driver-side overlap of INDEPENDENT Spark actions (optimization
+  * guide §2.6: Spark's scheduler happily runs several jobs at once
+  * inside one application; actions are sequential only because driver
+  * code calls them sequentially). Used where a composed operator
+  * performs several writes/appends that share no data dependency and
+  * target disjoint directories — e.g. [[graft.Pipeline.refreshCorpus]]'s
+  * per-family index appends, or one index family's two bucketed
+  * datasets. The later job's tasks back-fill executors freed by the
+  * earlier job's stragglers, and at bench scale the many fixed
+  * per-action floors (planning, codegen, commit) overlap instead of
+  * summing.
+  *
+  * Semantics vs the sequential original: each task is the SAME
+  * idempotent write it was, targeting its own directory; a failure in
+  * one no longer prevents the others from completing, which is a state
+  * the crash contract already covers (partial family appends re-run to
+  * completion; retried appends leave exact-duplicate rows that probes
+  * collapse). All tasks are awaited; the first failure is rethrown
+  * after every task has settled (never a dangling in-flight write).
+  */
+object Par {
+
+  /** Run `tasks` concurrently on a bounded pool, awaiting ALL of them;
+    * rethrows the first failure (suppressing the rest). Empty and
+    * single-task inputs run inline. `parallelism` bounds driver-side
+    * concurrency — 3-4 in-flight jobs is enough to fill a stage tail
+    * without starving any one job of executors (guide §2.6).
+    */
+  def run(parallelism: Int)(tasks: Seq[() => Unit]): Unit = {
+    require(parallelism > 0, s"parallelism must be > 0, got $parallelism")
+    if (tasks.size <= 1) { tasks.foreach(_()); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(parallelism, tasks.size))
+    try {
+      val futures = tasks.map(t =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = t()
+        }))
+      var failure: Throwable = null
+      futures.foreach { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            val cause = if (e.getCause != null) e.getCause else e
+            if (failure == null) failure = cause
+            else failure.addSuppressed(cause)
+        }
+      }
+      if (failure != null) throw failure
+    } finally pool.shutdown()
+  }
+}

@@ -188,18 +188,23 @@ object Retrieval {
         TextAnalysis.tokenStream(docs)
           .groupBy(col("doc_id"), col("token"))
           .agg(count(lit(1)).as("tf")))
-      nTokensB = tf.agg(coalesce(sum(col("tf")), lit(0L))).head()
-        .getLong(0)
-      tf.withColumn("bucket",
-          pmod(xxhash64(col("token")), lit(tokenBuckets.toLong))
-            .cast("int"))
-        .write.mode(mode).partitionBy("bucket")
-        .parquet(s"$dir/postings")
-      tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-        .withColumn("dbucket",
-          pmod(col("doc_id"), lit(dlBuckets.toLong)).cast("int"))
-        .write.mode(mode).partitionBy("dbucket")
-        .parquet(s"$dir/doclen")
+      // the three consumers are independent reads of the barrier'd tf
+      // targeting disjoint outputs, so they overlap (Par, guide §2.6)
+      // instead of summing three fixed job floors; params (which needs
+      // nTokensB) is written by the scaffold only after all three
+      Par.run(3)(Seq(
+        () => nTokensB = tf.agg(coalesce(sum(col("tf")), lit(0L)))
+          .head().getLong(0),
+        () => tf.withColumn("bucket",
+            pmod(xxhash64(col("token")), lit(tokenBuckets.toLong))
+              .cast("int"))
+          .write.mode(mode).partitionBy("bucket")
+          .parquet(s"$dir/postings"),
+        () => tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+          .withColumn("dbucket",
+            pmod(col("doc_id"), lit(dlBuckets.toLong)).cast("int"))
+          .write.mode(mode).partitionBy("dbucket")
+          .parquet(s"$dir/doclen")))
     } {
       import spark.implicits._
       Seq((tokenBuckets, dlBuckets, prev._1 + nDocsB,

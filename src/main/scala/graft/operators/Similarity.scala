@@ -599,19 +599,25 @@ object Similarity {
       // `vbucket = pmod(vec_id, vecBuckets)` so the exact re-rank
       // reads only the candidate ids' buckets (the dedup families'
       // bucketed-shingles economics applied to the re-rank side).
-      // vectors FIRST: a crash between the two data writes leaves
+      // the two data writes overlap (Par, guide §2.6): params was
+      // deleted above and is re-written LAST, so no reader consumes a
+      // half-written layout regardless of which dataset lands first —
+      // the append path below keeps its strict vectors-THEN-cells
+      // order instead, because there the standing params stays valid
+      // throughout and a crash between the two writes must leave
       // unreferenced f32 rows (harmless), never quantized candidates
       // whose exact re-rank rows are missing (the re-rank inner join
       // would silently drop those pairs)
-      corpus.select(col("vec_id"), col("embedding"))
-        .withColumn("vbucket", vecBucket(vecBuckets)(col("vec_id")))
-        .write.mode("overwrite").partitionBy("vbucket")
-        .parquet(s"$dir/vectors")
-      assignWith(quantizer, corpus, centroids, multiAssign)
-        .withColumn("code", native.sq8_encode(col("embedding")))
-        .drop("embedding")
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$dir/cells")
+      Par.run(2)(Seq(
+        () => corpus.select(col("vec_id"), col("embedding"))
+          .withColumn("vbucket", vecBucket(vecBuckets)(col("vec_id")))
+          .write.mode("overwrite").partitionBy("vbucket")
+          .parquet(s"$dir/vectors"),
+        () => assignWith(quantizer, corpus, centroids, multiAssign)
+          .withColumn("code", native.sq8_encode(col("embedding")))
+          .drop("embedding")
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$dir/cells")))
     } else {
       // an f32 overwrite of a previous sq8 layout must not leave a
       // stale vectors/ behind (params will say f32, so nothing reads

@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes through RAW (no sbt "[info] " prefix): the
+// driver machine-reads the bench's one-line JSON from stdout, and the
+// logger prefix broke that handshake every round (BENCH_r*.json
+// parsed: null back to r01).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

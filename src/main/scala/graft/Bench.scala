@@ -255,15 +255,28 @@ object Bench {
     // (docs/BENCH_FULL_r<N>.json) so the dropped per-query times and
     // the once-per-run sample arrays survive the round — the r16
     // verdict's falsifiability gap: over half the inventory's
-    // round-over-round comparison lived in a git-ignored scratch file
+    // round-over-round comparison lived in a git-ignored scratch file.
+    // The DEFAULT path is stamped with sf+cpus so the driver's 8-core
+    // scaling pass stops clobbering the 32-core detail (r19 verdict:
+    // the surviving bench_full.json held only the c8 run).
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse(
-        "SPARK_GRAFT_BENCH_FULL", "target/bench_full.json")),
+        "SPARK_GRAFT_BENCH_FULL",
+        s"target/bench_full_${sfLabel}_c$cpus.json")),
       renderJson(results, errors, sfLabel, Int.MaxValue,
         Some(headlineMin), onceSamples).getBytes("UTF-8"))
     catch { case _: Throwable => () }
-    println(renderJson(results, errors, sfLabel, LineBudget,
-      Some(headlineMin), onceSamples))
+    val benchLine = renderJson(results, errors, sfLabel, LineBudget,
+      Some(headlineMin), onceSamples)
+    // the machine-read line ALSO lands verbatim in a stable file: the
+    // stdout tail is a lossy channel (2000-char capture + sbt trailer)
+    // and the driver's parse of it failed every round before r20
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        s"target/bench_line_${sfLabel}_c$cpus.json"),
+      (benchLine + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(benchLine)
     spark.stop()
   }
 

@@ -443,6 +443,15 @@ object Pipeline {
     // schema probe + full read — ~6 metadata jobs per refresh at the
     // old shape; guide §1.2 "don't compute things you throw away")
     val bpeFull = tokenizerModelDir.map { d =>
+      // refusal contract FIRST: a crashed (params-less) model dir must
+      // raise the readers' IllegalArgumentException("…params…"), not
+      // leak Spark's AnalysisException out of the schema probe below
+      val paramsPath = new org.apache.hadoop.fs.Path(s"$d/params")
+      require(paramsPath
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(paramsPath),
+        s"$d has no params/ — not a written BPE model (or its write " +
+          "crashed before the params commit); re-run writeModel")
       if (spark.read.parquet(s"$d/params").schema.fieldNames
           .contains("n_alphabet"))
         Right(graft.operators.Bpe.readFullModel(spark, d))
@@ -675,6 +684,17 @@ object Pipeline {
           // crash contract is unchanged: stagedWrite is an atomic
           // swap, and a crash before the corpus commit re-enters this
           // block and overwrites pairs/ with identical content.
+          // WIDENED WINDOW, classified benign (the r19 advice item):
+          // committing pairs/ at the TOP of the publish block means any
+          // refusal or crash in the long tail below (chunk cleanup,
+          // quality/tokenizer gates, corpus commit) leaves a published
+          // pairs partition for a batch whose corpus partition never
+          // landed. That state is RECOVERABLE RESIDUE by construction —
+          // auditCorpus audits corpus↔index id sync and batch reports,
+          // never pairs/ (pairs is a derived per-batch artifact, not an
+          // id-bearing family), so it raises no finding; the batch's
+          // missing reports/ row is what flags the incomplete refresh,
+          // and the re-run overwrites this exact partition.
           stagedWrite(spark, allPairs, pairsPart)
           val pairsBack = spark.read.parquet(pairsPart)
 

@@ -39,16 +39,32 @@ object Par {
           def call(): Unit = t()
         }))
       var failure: Throwable = null
+      var interrupted = false
+      def record(t: Throwable): Unit =
+        if (failure == null) failure = t else failure.addSuppressed(t)
       futures.foreach { f =>
-        try f.get()
-        catch {
-          case e: java.util.concurrent.ExecutionException =>
-            val cause = if (e.getCause != null) e.getCause else e
-            if (failure == null) failure = cause
-            else failure.addSuppressed(cause)
+        var settled = false
+        while (!settled) {
+          try { f.get(); settled = true }
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              record(if (e.getCause != null) e.getCause else e)
+              settled = true
+            case e: java.util.concurrent.CancellationException =>
+              record(e); settled = true
+            case _: InterruptedException =>
+              // the scaladoc's no-dangling-write promise: an interrupt
+              // must NOT abandon in-flight writes on live pool threads
+              // — remember it, keep awaiting, re-assert the flag after
+              // every task has settled
+              interrupted = true
+          }
         }
       }
+      if (interrupted) Thread.currentThread().interrupt()
       if (failure != null) throw failure
+      if (interrupted) throw new InterruptedException(
+        "Par.run interrupted (all tasks were awaited first)")
     } finally pool.shutdown()
   }
 }

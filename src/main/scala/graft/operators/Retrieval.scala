@@ -189,22 +189,35 @@ object Retrieval {
           .groupBy(col("doc_id"), col("token"))
           .agg(count(lit(1)).as("tf")))
       // the three consumers are independent reads of the barrier'd tf
-      // targeting disjoint outputs, so they overlap (Par, guide §2.6)
-      // instead of summing three fixed job floors; params (which needs
-      // nTokensB) is written by the scaffold only after all three
-      Par.run(3)(Seq(
-        () => nTokensB = tf.agg(coalesce(sum(col("tf")), lit(0L)))
-          .head().getLong(0),
-        () => tf.withColumn("bucket",
-            pmod(xxhash64(col("token")), lit(tokenBuckets.toLong))
-              .cast("int"))
-          .write.mode(mode).partitionBy("bucket")
-          .parquet(s"$dir/postings"),
-        () => tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      // targeting disjoint outputs; params (which needs nTokensB) is
+      // written by the scaffold only after all three
+      val aggTask = () => nTokensB =
+        tf.agg(coalesce(sum(col("tf")), lit(0L))).head().getLong(0)
+      val postingsTask = () => tf.withColumn("bucket",
+          pmod(xxhash64(col("token")), lit(tokenBuckets.toLong))
+            .cast("int"))
+        .write.mode(mode).partitionBy("bucket")
+        .parquet(s"$dir/postings")
+      val doclenTask = () =>
+        tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
           .withColumn("dbucket",
             pmod(col("doc_id"), lit(dlBuckets.toLong)).cast("int"))
           .write.mode(mode).partitionBy("dbucket")
-          .parquet(s"$dir/doclen")))
+          .parquet(s"$dir/doclen")
+      if (mode == "append") {
+        // STRICT sequential order on append (the Dedup writers' rule:
+        // the standing params stays valid mid-append, so a concurrent
+        // probe can legally read both datasets) — doclen lands before
+        // postings, because the probe's re-join drops any candidate
+        // whose postings row has no doclen row yet (silently fewer
+        // results); the reverse interleaving only leaves unreferenced
+        // doclen rows, which no probe path reads
+        aggTask(); doclenTask(); postingsTask()
+      } else
+        // overwrite: the scaffold deleted params first, every reader
+        // refuses while we rewrite — the three overlap (Par, guide
+        // §2.6) instead of summing three fixed job floors
+        Par.run(3)(Seq(aggTask, postingsTask, doclenTask))
     } {
       import spark.implicits._
       Seq((tokenBuckets, dlBuckets, prev._1 + nDocsB,

@@ -255,18 +255,26 @@ object CorpusMain {
         // corpus retracted from since the export must not publish a
         // batch and THEN die, leaving the export silently lagging
         // the corpus
-        kv.get("shards").foreach { exportDir =>
+        // ONE full-model read threads the whole shards= cron line
+        // (pre-flight, refresh, append) instead of each step paying
+        // its own params+alphabet+merges read of the same model
+        // (guide §1.2); the read itself runs the full refusal chain,
+        // so every gate fires identically
+        val shardsModel = kv.get("shards").map { exportDir =>
           require(kv.contains("tokenizer"),
             "refresh shards=<exportDir> requires tokenizer=" +
               "<modelDir> — the export encodes under that model")
+          val m = graft.operators.Bpe.readFullModel(spark,
+            kv("tokenizer"))
           // the rest of the contract — standing export, append-era
           // layout, complete model with matching content digest,
           // settled retraction ledger — is one metadata-priced call
           // ([[Pipeline.preflightShardsAppend]]): each is a condition
           // the append itself would refuse on POST-publish, the lag
           // state this early refusal exists to prevent
-          Pipeline.preflightShardsAppend(spark, corpusDir,
-            kv("tokenizer"), exportDir)
+          Pipeline.preflightShardsAppendWith(spark, corpusDir,
+            kv("tokenizer"), exportDir, modelOpt = Some(m))
+          m
         }
         val emb = legacy.headOption.orElse(kv.get("emb"))
           .map(spark.read.parquet(_))
@@ -280,7 +288,8 @@ object CorpusMain {
           tokenizerModelDir = kv.get("tokenizer"),
           // first batch only — a standing chunk index's STORED rule
           // drives every later batch (the knob-inert contract)
-          chunkRule = kv.getOrElse("chunkrule", "grid"))
+          chunkRule = kv.getOrElse("chunkrule", "grid"),
+          tokenizerModel = shardsModel)
         println(out.report.head().json)
         // shards=<exportDir>: the TRAINING ARTIFACT follows the corpus
         // (the bm25 follow-the-corpus rule, via the cron surface) —
@@ -293,8 +302,8 @@ object CorpusMain {
         // ledger gate refuses post-retraction staleness naming
         // repair-shards, the digest refuses a retrained model).
         kv.get("shards").foreach { exportDir =>
-          val r = Pipeline.appendTrainingShards(spark, corpusDir,
-            kv("tokenizer"), exportDir).head()
+          val r = Pipeline.appendTrainingShardsWith(spark, corpusDir,
+            kv("tokenizer"), exportDir, modelOpt = shardsModel).head()
           println(s"""{"shards":"${jsonEsc(exportDir)}",""" +
             s""""n_sequences":${r.getAs[Long]("n_sequences")},""" +
             s""""n_ids_total":${r.getAs[Long]("n_ids_total")},""" +

@@ -420,7 +420,14 @@ object Pipeline {
       semanticEvalThreshold: Double = 0.9,
       qualityModelDir: Option[String] = None,
       qualityThreshold: Double = 0.5,
-      tokenizerModelDir: Option[String] = None): RefreshOutput = {
+      tokenizerModelDir: Option[String] = None,
+      // the tokenizer model ALREADY READ (the writeTrainingShardsWith
+      // seam): a cron line that pre-flighted the shards append has
+      // validated and read the same complete model one call earlier —
+      // passing it skips this refresh's own model re-read. Ignored
+      // without tokenizerModelDir (the dir names the modality).
+      tokenizerModel: Option[graft.operators.Bpe.BpeModel] = None)
+      : RefreshOutput = {
     require(semanticEvalDir.isEmpty || embeddings.isDefined,
       "refreshCorpus: semanticEvalDir screens the batch's VECTORS — " +
         "it requires the embeddings modality (pass embeddings too)")
@@ -443,19 +450,28 @@ object Pipeline {
     // schema probe + full read — ~6 metadata jobs per refresh at the
     // old shape; guide §1.2 "don't compute things you throw away")
     val bpeFull = tokenizerModelDir.map { d =>
-      // refusal contract FIRST: a crashed (params-less) model dir must
-      // raise the readers' IllegalArgumentException("…params…"), not
-      // leak Spark's AnalysisException out of the schema probe below
-      val paramsPath = new org.apache.hadoop.fs.Path(s"$d/params")
-      require(paramsPath
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .exists(paramsPath),
-        s"$d has no params/ — not a written BPE model (or its write " +
-          "crashed before the params commit); re-run writeModel")
-      if (spark.read.parquet(s"$d/params").schema.fieldNames
-          .contains("n_alphabet"))
-        Right(graft.operators.Bpe.readFullModel(spark, d))
-      else Left(graft.operators.Bpe.readModel(spark, d))
+      tokenizerModel match {
+        // pre-read complete model: its read already ran the refusal
+        // chain (params-less dir, rank holes, digest) — re-probing
+        // the same dir here would be the redundant pass the seam
+        // exists to remove
+        case Some(m) => Right(m)
+        case None =>
+          // refusal contract FIRST: a crashed (params-less) model dir
+          // must raise the readers' IllegalArgumentException("…params…"),
+          // not leak Spark's AnalysisException out of the schema probe
+          val paramsPath = new org.apache.hadoop.fs.Path(s"$d/params")
+          require(paramsPath
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .exists(paramsPath),
+            s"$d has no params/ — not a written BPE model (or its " +
+              "write crashed before the params commit); re-run " +
+              "writeModel")
+          if (spark.read.parquet(s"$d/params").schema.fieldNames
+              .contains("n_alphabet"))
+            Right(graft.operators.Bpe.readFullModel(spark, d))
+          else Left(graft.operators.Bpe.readModel(spark, d))
+      }
     }
     val bpeMerges = bpeFull.map(_.fold(identity, _.merges))
     // the FULL-model content digest for the report's provenance stamp
@@ -1551,7 +1567,19 @@ object Pipeline {
     */
   def trainBpeModel(spark: SparkSession, corpusDir: String,
       modelDir: String, numMerges: Int = 1000,
-      maxTypes: Int = 20000): Int = {
+      maxTypes: Int = 20000): Int =
+    trainBpeModelReturning(spark, corpusDir, modelDir, numMerges,
+      maxTypes).merges.size
+
+  /** [[trainBpeModel]] returning the trained model itself — the
+    * [[writeTrainingShardsWith]] seam at the source: a composed
+    * train→export lifecycle holds the model in memory the moment
+    * training ends, and re-reading it from disk one call later is the
+    * redundant pass (the public return type stays the cron line's
+    * merge count). */
+  private[graft] def trainBpeModelReturning(spark: SparkSession,
+      corpusDir: String, modelDir: String, numMerges: Int,
+      maxTypes: Int): graft.operators.Bpe.BpeModel = {
     import graft.operators.Bpe
     val corpus = spark.read.parquet(s"$corpusDir/corpus")
       .select(col("doc_id"), col("text"))
@@ -1565,7 +1593,7 @@ object Pipeline {
       "trainBpeModel") {
       Bpe.writeModel(spark, model, modelDir)
     }
-    model.merges.size
+    model
   }
 
   /** Read a [[writeTrainingShards]] export back: the sequences frame
@@ -1689,11 +1717,28 @@ object Pipeline {
   def writeTrainingShards(spark: SparkSession, corpusDir: String,
       modelDir: String, outDir: String, seqLen: Long = 2048,
       numShards: Int = 256, eos: Boolean = true,
-      mode: String = "overwrite"): DataFrame = {
+      mode: String = "overwrite"): DataFrame =
+    writeTrainingShardsWith(spark, corpusDir, modelDir, outDir, seqLen,
+      numShards, eos, mode, modelOpt = None)
+
+  /** [[writeTrainingShards]] with the tokenizer model ALREADY READ —
+    * the [[readTrainingShardsWith]] seam applied to the writer: a
+    * composed lifecycle (train → export → append → repair in one
+    * surface) otherwise pays one full model read (params head +
+    * alphabet + merges collects) PER STEP for the same model it just
+    * read or trained (guide §1.2: remove redundant passes). Callers
+    * passing `modelOpt` take over the read-time storage validation —
+    * every digest/provenance GATE below still runs against the passed
+    * model, so a wrong model refuses identically. */
+  private[graft] def writeTrainingShardsWith(spark: SparkSession,
+      corpusDir: String, modelDir: String, outDir: String,
+      seqLen: Long, numShards: Int, eos: Boolean, mode: String,
+      modelOpt: Option[graft.operators.Bpe.BpeModel]): DataFrame = {
     require(numShards > 0, s"numShards must be > 0, got $numShards")
     require(mode == "overwrite" || mode == "append",
       s"writeTrainingShards: unknown mode '$mode'")
-    val model = graft.operators.Bpe.readFullModel(spark, modelDir)
+    val model = modelOpt.getOrElse(
+      graft.operators.Bpe.readFullModel(spark, modelDir))
     // eos ON by default: a next-token training run must see the
     // document edge marked ([[graft.operators.Bpe.eosIdOf]] — one id
     // past the vocabulary), or packed sequences teach the model to
@@ -2478,7 +2523,15 @@ object Pipeline {
     * refuses there — loudly, after the publish, the recoverable
     * direction). */
   def preflightShardsAppend(spark: SparkSession, corpusDir: String,
-      modelDir: String, outDir: String): Unit = {
+      modelDir: String, outDir: String): Unit =
+    preflightShardsAppendWith(spark, corpusDir, modelDir, outDir,
+      modelOpt = None)
+
+  /** [[preflightShardsAppend]] with the model already read — the
+    * [[writeTrainingShardsWith]] seam at the cron pre-flight. */
+  private[graft] def preflightShardsAppendWith(spark: SparkSession,
+      corpusDir: String, modelDir: String, outDir: String,
+      modelOpt: Option[graft.operators.Bpe.BpeModel]): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2502,7 +2555,8 @@ object Pipeline {
     // exactly the publish-then-lag state this pre-flight exists to
     // prevent. One listStatus, the other gates' price class.
     requireNoCompactMarker(spark, outDir, "re-run the refresh")
-    val model = graft.operators.Bpe.readFullModel(spark, modelDir)
+    val model = modelOpt.getOrElse(
+      graft.operators.Bpe.readFullModel(spark, modelDir))
     requireModelProvenance(pdf, pdf.head(), model,
       graft.operators.Bpe.modelDigest(model), outDir,
       "the post-refresh append would refuse AFTER the batch " +
@@ -2518,7 +2572,15 @@ object Pipeline {
   }
 
   def appendTrainingShards(spark: SparkSession, corpusDir: String,
-      modelDir: String, outDir: String): DataFrame = {
+      modelDir: String, outDir: String): DataFrame =
+    appendTrainingShardsWith(spark, corpusDir, modelDir, outDir,
+      modelOpt = None)
+
+  /** [[appendTrainingShards]] with the model already read — the
+    * [[writeTrainingShardsWith]] seam at the knob-inert surface. */
+  private[graft] def appendTrainingShardsWith(spark: SparkSession,
+      corpusDir: String, modelDir: String, outDir: String,
+      modelOpt: Option[graft.operators.Bpe.BpeModel]): DataFrame = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2531,11 +2593,11 @@ object Pipeline {
     requireAppendEraParams(pdf, outDir, note = "; appends work from " +
       "there")
     val p = pdf.head()
-    writeTrainingShards(spark, corpusDir, modelDir, outDir,
+    writeTrainingShardsWith(spark, corpusDir, modelDir, outDir,
       seqLen = p.getAs[Long]("seq_len"),
       numShards = p.getAs[Int]("num_shards"),
       eos = p.getAs[Integer]("eos_id") != null,
-      mode = "append")
+      mode = "append", modelOpt = modelOpt)
   }
 
   /** Pack-targeted retraction REPAIR for a [[writeTrainingShards]]
@@ -2612,12 +2674,22 @@ object Pipeline {
     */
   def repairTrainingShards(spark: SparkSession, corpusDir: String,
       modelDir: String, outDir: String,
-      maxConcurrentRebuilds: Int = 4): DataFrame = {
+      maxConcurrentRebuilds: Int = 4): DataFrame =
+    repairTrainingShardsWith(spark, corpusDir, modelDir, outDir,
+      maxConcurrentRebuilds, modelOpt = None)
+
+  /** [[repairTrainingShards]] with the model already read — the
+    * [[writeTrainingShardsWith]] seam at the repair. */
+  private[graft] def repairTrainingShardsWith(spark: SparkSession,
+      corpusDir: String, modelDir: String, outDir: String,
+      maxConcurrentRebuilds: Int,
+      modelOpt: Option[graft.operators.Bpe.BpeModel]): DataFrame = {
     require(maxConcurrentRebuilds > 0,
       s"maxConcurrentRebuilds must be > 0, got $maxConcurrentRebuilds")
     import org.apache.hadoop.fs.Path
     import spark.implicits._
-    val model = graft.operators.Bpe.readFullModel(spark, modelDir)
+    val model = modelOpt.getOrElse(
+      graft.operators.Bpe.readFullModel(spark, modelDir))
     val modelDig = graft.operators.Bpe.modelDigest(model)
     val fs = new Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2947,9 +3019,17 @@ object Pipeline {
     * filtered from the corpus side (the repair's reverse-check rule).
     */
   def auditTrainingShards(spark: SparkSession, outDir: String,
-      modelDir: String, corpusDir: String): DataFrame = {
+      modelDir: String, corpusDir: String): DataFrame =
+    auditTrainingShardsWith(spark, outDir, modelDir, corpusDir,
+      modelOpt = None)
+
+  /** [[auditTrainingShards]] with the model already read — the
+    * [[writeTrainingShardsWith]] seam at the audit. */
+  private[graft] def auditTrainingShardsWith(spark: SparkSession,
+      outDir: String, modelDir: String, corpusDir: String,
+      modelOpt: Option[graft.operators.Bpe.BpeModel]): DataFrame = {
     import graft.operators.{Bpe, Sharding}
-    val model = Bpe.readFullModel(spark, modelDir)
+    val model = modelOpt.getOrElse(Bpe.readFullModel(spark, modelDir))
     val (seqs, p) = readTrainingShardsWith(spark, outDir, strict = true,
       model = Some(modelDir -> model))
     val eosId = Option(p.getAs[Integer]("eos_id")).map(_.intValue)

@@ -1365,15 +1365,21 @@ object SparkEntry {
         .parquet(s"$root/c/corpus/batch_id=$mid")
       // maxTypes past any oracle-scale type count (the q141 note:
       // full alphabet coverage keeps the decode hash a statement
-      // about the lifecycle, not about a vocabulary cap)
-      Pipeline.trainBpeModel(s, s"$root/c", s"$root/model",
-        numMerges = 64, maxTypes = 1 << 20)
-      Pipeline.writeTrainingShards(s, s"$root/c", s"$root/model",
-        s"$root/shards", seqLen = 64, numShards = 4)
+      // about the lifecycle, not about a vocabulary cap).
+      // ONE model for the whole lifecycle (the
+      // writeTrainingShardsWith seam, guide §1.2): training holds it
+      // in memory, and the export/append/repair/decode steps below
+      // used to re-read the same dir four times
+      val model = Pipeline.trainBpeModelReturning(s, s"$root/c",
+        s"$root/model", numMerges = 64, maxTypes = 1 << 20)
+      Pipeline.writeTrainingShardsWith(s, s"$root/c", s"$root/model",
+        s"$root/shards", seqLen = 64, numShards = 4, eos = true,
+        mode = "overwrite", modelOpt = Some(model))
       docs.where(col("doc_id") > mid).write.mode("overwrite")
         .parquet(s"$root/c/corpus/batch_id=$maxId")
-      Pipeline.writeTrainingShards(s, s"$root/c", s"$root/model",
-        s"$root/shards", seqLen = 64, numShards = 4, mode = "append")
+      Pipeline.writeTrainingShardsWith(s, s"$root/c", s"$root/model",
+        s"$root/shards", seqLen = 64, numShards = 4, eos = true,
+        mode = "append", modelOpt = Some(model))
       // the retraction (multiples of 41 in the appended batch):
       // partition rewrite + ledger row — exactly the two surfaces
       // retractCorpus leaves behind that the repair consumes
@@ -1386,9 +1392,9 @@ object SparkEntry {
       Seq((nRet, nRet)).toDF("n_requested", "n_retracted")
         .write.mode("overwrite")
         .parquet(s"$root/c/retractions/retraction_id=xq142")
-      Pipeline.repairTrainingShards(s, s"$root/c", s"$root/model",
-        s"$root/shards")
-      val model = Bpe.readFullModel(s, s"$root/model")
+      Pipeline.repairTrainingShardsWith(s, s"$root/c", s"$root/model",
+        s"$root/shards", maxConcurrentRebuilds = 4,
+        modelOpt = Some(model))
       val (seqs, _) = Pipeline.readTrainingShardsWith(s, s"$root/shards",
         strict = true, model = Some(s"$root/model" -> model))
       // reassemble every doc's id stream from the repaired artifact
@@ -1429,10 +1435,14 @@ object SparkEntry {
       val n = StreamScratch.seq.incrementAndGet()
       val root = ivfIndexDir(dir, s"ep144_$n")
       docs.write.mode("overwrite").parquet(s"$root/c/corpus")
-      Pipeline.trainBpeModel(s, s"$root/c", s"$root/model",
-        numMerges = 64)
-      Pipeline.writeTrainingShards(s, s"$root/c", s"$root/model",
-        s"$root/shards", seqLen = 64, numShards = 4)
+      // one model for train → export (the writeTrainingShardsWith
+      // seam — the re-read removed is the same-dir model training
+      // just held in memory)
+      val model144 = Pipeline.trainBpeModelReturning(s, s"$root/c",
+        s"$root/model", numMerges = 64, maxTypes = 20000)
+      Pipeline.writeTrainingShardsWith(s, s"$root/c", s"$root/model",
+        s"$root/shards", seqLen = 64, numShards = 4, eos = true,
+        mode = "overwrite", modelOpt = Some(model144))
       val (seqs, p) = Pipeline.readTrainingShards(s, s"$root/shards",
         strict = true)
       // adaptive window: 500 at every oracle-checked SF (sf0.01 packs
@@ -1461,14 +1471,18 @@ object SparkEntry {
       val root = ivfIndexDir(dir, s"aud146_$n")
       docs.where(col("doc_id") <= mid).write.mode("overwrite")
         .parquet(s"$root/c/corpus/batch_id=$mid")
-      Pipeline.trainBpeModel(s, s"$root/c", s"$root/model",
-        numMerges = 64, maxTypes = 1 << 20)
-      Pipeline.writeTrainingShards(s, s"$root/c", s"$root/model",
-        s"$root/shards", seqLen = 64, numShards = 4)
+      // one model for the whole lifecycle (the
+      // writeTrainingShardsWith seam — four disk re-reads removed)
+      val model146 = Pipeline.trainBpeModelReturning(s, s"$root/c",
+        s"$root/model", numMerges = 64, maxTypes = 1 << 20)
+      Pipeline.writeTrainingShardsWith(s, s"$root/c", s"$root/model",
+        s"$root/shards", seqLen = 64, numShards = 4, eos = true,
+        mode = "overwrite", modelOpt = Some(model146))
       docs.where(col("doc_id") > mid).write.mode("overwrite")
         .parquet(s"$root/c/corpus/batch_id=$maxId")
-      Pipeline.writeTrainingShards(s, s"$root/c", s"$root/model",
-        s"$root/shards", seqLen = 64, numShards = 4, mode = "append")
+      Pipeline.writeTrainingShardsWith(s, s"$root/c", s"$root/model",
+        s"$root/shards", seqLen = 64, numShards = 4, eos = true,
+        mode = "append", modelOpt = Some(model146))
       docs.where(col("doc_id") > mid &&
           pmod(col("doc_id"), lit(41)) =!= 0)
         .write.mode("overwrite")
@@ -1478,10 +1492,11 @@ object SparkEntry {
       Seq((nRet, nRet)).toDF("n_requested", "n_retracted")
         .write.mode("overwrite")
         .parquet(s"$root/c/retractions/retraction_id=xq146")
-      Pipeline.repairTrainingShards(s, s"$root/c", s"$root/model",
-        s"$root/shards")
-      Pipeline.auditTrainingShards(s, s"$root/shards", s"$root/model",
-          s"$root/c")
+      Pipeline.repairTrainingShardsWith(s, s"$root/c", s"$root/model",
+        s"$root/shards", maxConcurrentRebuilds = 4,
+        modelOpt = Some(model146))
+      Pipeline.auditTrainingShardsWith(s, s"$root/shards",
+          s"$root/model", s"$root/c", modelOpt = Some(model146))
         .select(col("n_docs"), col("n_mismatched"),
           concat_ws(",", col("mismatched_doc_ids"))
             .as("mismatched_doc_ids"),
@@ -1508,17 +1523,22 @@ object SparkEntry {
       val mid = maxId / 2
       val n = StreamScratch.seq.incrementAndGet()
       val root = ivfIndexDir(dir, s"st147_$n")
-      Bpe.writeModel(s,
+      // in-memory planted model for export and append (the
+      // writeTrainingShardsWith seam)
+      val model147 =
         Bpe.BpeModel(Seq("z", graft.functions.BpeEncodeExpr.Eow),
-          Seq(("z", "z"))), s"$root/model")
+          Seq(("z", "z")))
+      Bpe.writeModel(s, model147, s"$root/model")
       docs.where(col("doc_id") <= mid).write.mode("overwrite")
         .parquet(s"$root/c/corpus/batch_id=$mid")
-      Pipeline.writeTrainingShards(s, s"$root/c", s"$root/model",
-        s"$root/shards", seqLen = 64, numShards = 4)
+      Pipeline.writeTrainingShardsWith(s, s"$root/c", s"$root/model",
+        s"$root/shards", seqLen = 64, numShards = 4, eos = true,
+        mode = "overwrite", modelOpt = Some(model147))
       docs.where(col("doc_id") > mid).write.mode("overwrite")
         .parquet(s"$root/c/corpus/batch_id=$maxId")
-      Pipeline.writeTrainingShards(s, s"$root/c", s"$root/model",
-        s"$root/shards", seqLen = 64, numShards = 4, mode = "append")
+      Pipeline.writeTrainingShardsWith(s, s"$root/c", s"$root/model",
+        s"$root/shards", seqLen = 64, numShards = 4, eos = true,
+        mode = "append", modelOpt = Some(model147))
       Pipeline.statsTrainingShards(s, s"$root/shards")
         .select(col("pack"), col("n_sequences"), col("n_ids"),
           col("n_short"), col("padding_waste"), col("shard_spread"),
@@ -1545,20 +1565,22 @@ object SparkEntry {
       val root = ivfIndexDir(dir, s"cmp149_$n")
       docs.where(col("doc_id") <= cut).write.mode("overwrite")
         .parquet(s"$root/c/corpus/batch_id=$cut")
-      Pipeline.trainBpeModel(s, s"$root/c", s"$root/model",
-        numMerges = 64, maxTypes = 1 << 20)
-      Pipeline.writeTrainingShards(s, s"$root/c", s"$root/model",
-        s"$root/shards", seqLen = 64, numShards = 4)
+      // one model for train → export → appends → decode (the
+      // writeTrainingShardsWith seam)
+      val model = Pipeline.trainBpeModelReturning(s, s"$root/c",
+        s"$root/model", numMerges = 64, maxTypes = 1 << 20)
+      Pipeline.writeTrainingShardsWith(s, s"$root/c", s"$root/model",
+        s"$root/shards", seqLen = 64, numShards = 4, eos = true,
+        mode = "overwrite", modelOpt = Some(model))
       (cut + 2 to maxId by 2).foreach { b =>
         docs.where(col("doc_id") > b - 2 && col("doc_id") <= b)
           .write.mode("overwrite")
           .parquet(s"$root/c/corpus/batch_id=$b")
-        Pipeline.writeTrainingShards(s, s"$root/c", s"$root/model",
-          s"$root/shards", seqLen = 64, numShards = 4,
-          mode = "append")
+        Pipeline.writeTrainingShardsWith(s, s"$root/c", s"$root/model",
+          s"$root/shards", seqLen = 64, numShards = 4, eos = true,
+          mode = "append", modelOpt = Some(model))
       }
       Pipeline.compactTrainingShards(s, s"$root/shards")
-      val model = Bpe.readFullModel(s, s"$root/model")
       val (seqs, _) = Pipeline.readTrainingShardsWith(s, s"$root/shards",
         strict = true, model = Some(s"$root/model" -> model))
       Sharding.reconstructDocs(seqs, eosId = Some(Bpe.eosIdOf(model)))
@@ -1586,8 +1608,11 @@ object SparkEntry {
       val n = StreamScratch.seq.incrementAndGet()
       val root = ivfIndexDir(dir, s"rs150_$n")
       docs.write.mode("overwrite").parquet(s"$root/seed/corpus")
-      Pipeline.trainBpeModel(s, s"$root/seed", s"$root/model",
-        numMerges = 64, maxTypes = 1 << 20)
+      // one model for the bootstrap half and the closing audit (the
+      // writeTrainingShardsWith seam); the CLI refresh line reads it
+      // once itself — a separate process in the cron metaphor
+      val model150 = Pipeline.trainBpeModelReturning(s, s"$root/seed",
+        s"$root/model", numMerges = 64, maxTypes = 1 << 20)
       def batchDir(lo: Long, hi: Long): String = {
         val d = s"$root/batch_$lo"
         docs.where(col("doc_id") >= lo && col("doc_id") < hi)
@@ -1604,14 +1629,16 @@ object SparkEntry {
         s.read.parquet(batchDir(0L, 150L)), s"$root/idx",
         s"$root/corpus", jaccardThreshold = 0.5, chunkTokens = 10,
         bandBuckets = 32, pieceBuckets = 32, chunkBuckets = 32,
-        tokenizerModelDir = Some(s"$root/model"))
-      Pipeline.writeTrainingShards(s, s"$root/corpus", s"$root/model",
-        s"$root/shards", seqLen = 64, numShards = 4)
+        tokenizerModelDir = Some(s"$root/model"),
+        tokenizerModel = Some(model150))
+      Pipeline.writeTrainingShardsWith(s, s"$root/corpus",
+        s"$root/model", s"$root/shards", seqLen = 64, numShards = 4,
+        eos = true, mode = "overwrite", modelOpt = Some(model150))
       CorpusMain.run(s, List("refresh", batchDir(150L, 300L),
         s"$root/idx", s"$root/corpus", s"tokenizer=$root/model",
         s"shards=$root/shards"))
-      Pipeline.auditTrainingShards(s, s"$root/shards", s"$root/model",
-          s"$root/corpus")
+      Pipeline.auditTrainingShardsWith(s, s"$root/shards",
+          s"$root/model", s"$root/corpus", modelOpt = Some(model150))
         .select(col("n_mismatched"),
           concat_ws(",", col("mismatched_doc_ids"))
             .as("mismatched_doc_ids"),
@@ -1638,17 +1665,21 @@ object SparkEntry {
       val n = StreamScratch.seq.incrementAndGet()
       val root = ivfIndexDir(dir, s"fk151_$n")
       docs.write.mode("overwrite").parquet(s"$root/seed/corpus")
-      Pipeline.trainBpeModel(s, s"$root/seed", s"$root/model",
-        numMerges = 64, maxTypes = 1 << 20)
+      // one model for refresh + export (the writeTrainingShardsWith
+      // seam); the fsck survey below reads only the filesystem
+      val model151 = Pipeline.trainBpeModelReturning(s, s"$root/seed",
+        s"$root/model", numMerges = 64, maxTypes = 1 << 20)
       docs.where(col("doc_id") < 300).write.mode("overwrite")
         .parquet(s"$root/batch_0")
       Pipeline.refreshCorpus(s,
         s.read.parquet(s"$root/batch_0"), s"$root/idx",
         s"$root/corpus", jaccardThreshold = 0.5, chunkTokens = 10,
         bandBuckets = 32, pieceBuckets = 32, chunkBuckets = 32,
-        tokenizerModelDir = Some(s"$root/model"))
-      Pipeline.writeTrainingShards(s, s"$root/corpus", s"$root/model",
-        s"$root/shards", seqLen = 64, numShards = 4)
+        tokenizerModelDir = Some(s"$root/model"),
+        tokenizerModel = Some(model151))
+      Pipeline.writeTrainingShardsWith(s, s"$root/corpus",
+        s"$root/model", s"$root/shards", seqLen = 64, numShards = 4,
+        eos = true, mode = "overwrite", modelOpt = Some(model151))
       Seq("idx", "corpus", "model", "shards")
         .map(sub => graft.operators.Fsck.checkDf(s, s"$root/$sub")
           .withColumn("surface", lit(sub)))
@@ -1704,16 +1735,23 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
       val n = StreamScratch.seq.incrementAndGet()
       val root = ivfIndexDir(dir, s"rg152_$n")
-      Bpe.writeModel(s,
+      // the planted model stays in memory for the export (the
+      // writeTrainingShardsWith seam — no disk re-read of the model
+      // this entry itself just wrote)
+      val model152 =
         Bpe.BpeModel(Seq("z", graft.functions.BpeEncodeExpr.Eow),
-          Seq(("z", "z"))), s"$root/model")
+          Seq(("z", "z")))
+      Bpe.writeModel(s, model152, s"$root/model")
       docs.write.mode("overwrite").parquet(s"$root/c/corpus")
-      Pipeline.writeTrainingShards(s, s"$root/c", s"$root/model",
-        s"$root/shards", seqLen = 64, numShards = 4)
-      // the loader's mint: generation + cursor at the median seq_id
-      val gen = Pipeline.exportLayoutGen(s, s"$root/shards")
-      val nSeqs = s.read.parquet(s"$root/shards/params").head()
-        .getAs[Long]("n_sequences")
+      Pipeline.writeTrainingShardsWith(s, s"$root/c", s"$root/model",
+        s"$root/shards", seqLen = 64, numShards = 4, eos = true,
+        mode = "overwrite", modelOpt = Some(model152))
+      // the loader's mint: generation + cursor at the median seq_id —
+      // ONE params read feeds both fields (two reads before: the
+      // exportLayoutGen call plus the n_sequences head)
+      val p152 = s.read.parquet(s"$root/shards/params").head()
+      val gen = Pipeline.layoutGenOf(p152)
+      val nSeqs = p152.getAs[Long]("n_sequences")
       val curId = nSeqs / 2
       import s.implicits._
       val cur = Sharding.epochOrder(
@@ -1743,18 +1781,23 @@ object SparkEntry {
       val mid = maxId / 2
       val n = StreamScratch.seq.incrementAndGet()
       val root = ivfIndexDir(dir, s"sn153_$n")
-      Bpe.writeModel(s,
+      // in-memory planted model for export AND append (the
+      // writeTrainingShardsWith seam — two disk re-reads removed)
+      val model153 =
         Bpe.BpeModel(Seq("z", graft.functions.BpeEncodeExpr.Eow),
-          Seq(("z", "z"))), s"$root/model")
+          Seq(("z", "z")))
+      Bpe.writeModel(s, model153, s"$root/model")
       docs.where(col("doc_id") <= mid).write.mode("overwrite")
         .parquet(s"$root/c/corpus/batch_id=$mid")
-      Pipeline.writeTrainingShards(s, s"$root/c", s"$root/model",
-        s"$root/shards", seqLen = 64, numShards = 4)
+      Pipeline.writeTrainingShardsWith(s, s"$root/c", s"$root/model",
+        s"$root/shards", seqLen = 64, numShards = 4, eos = true,
+        mode = "overwrite", modelOpt = Some(model153))
       // the loader's full epoch-start mint: generation + snapshot
-      // bound (the standing next_seq_id) + a mid-order cursor
-      val gen = Pipeline.exportLayoutGen(s, s"$root/shards")
-      val snap = s.read.parquet(s"$root/shards/params").head()
-        .getAs[Long]("next_seq_id")
+      // bound (the standing next_seq_id) + a mid-order cursor —
+      // ONE params read feeds both fields
+      val p153 = s.read.parquet(s"$root/shards/params").head()
+      val gen = Pipeline.layoutGenOf(p153)
+      val snap = p153.getAs[Long]("next_seq_id")
       val curId = snap / 2
       import s.implicits._
       val cur = Sharding.epochOrder(Seq(curId).toDF("seq_id"),
@@ -1763,8 +1806,8 @@ object SparkEntry {
       // generation carries, standing ids never move)
       docs.where(col("doc_id") > mid).write.mode("overwrite")
         .parquet(s"$root/c/corpus/batch_id=$maxId")
-      Pipeline.appendTrainingShards(s, s"$root/c", s"$root/model",
-        s"$root/shards")
+      Pipeline.appendTrainingShardsWith(s, s"$root/c", s"$root/model",
+        s"$root/shards", modelOpt = Some(model153))
       CorpusMain.run(s, List("epoch-resume", s"$root/shards", "3",
         cur.getAs[Long]("epoch_key").toString, curId.toString,
         gen.toString, s"$root/resume", "ep", s"snapshot=$snap"))
@@ -1790,12 +1833,16 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
       val n = StreamScratch.seq.incrementAndGet()
       val root = ivfIndexDir(dir, s"fr154_$n")
-      Bpe.writeModel(s,
+      // in-memory planted model for the export (the
+      // writeTrainingShardsWith seam)
+      val model154 =
         Bpe.BpeModel(Seq("z", graft.functions.BpeEncodeExpr.Eow),
-          Seq(("z", "z"))), s"$root/model")
+          Seq(("z", "z")))
+      Bpe.writeModel(s, model154, s"$root/model")
       docs.write.mode("overwrite").parquet(s"$root/c/corpus")
-      Pipeline.writeTrainingShards(s, s"$root/c", s"$root/model",
-        s"$root/shards", seqLen = 64, numShards = 4)
+      Pipeline.writeTrainingShardsWith(s, s"$root/c", s"$root/model",
+        s"$root/shards", seqLen = 64, numShards = 4, eos = true,
+        mode = "overwrite", modelOpt = Some(model154))
       val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
         s.sparkContext.hadoopConfiguration)
       // plant the residue, filesystem-level and deterministic:
@@ -2361,11 +2408,13 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val modelDir = ivfIndexDir(dir, "em145")
       // full alphabet coverage (the q141 note): the round trip is a
-      // lifecycle statement, not a vocabulary-cap statement
-      Bpe.writeModel(s,
-        Bpe.trainModel(docs, numMerges = 64, maxTypes = 1 << 20),
-        modelDir)
-      val model = Bpe.readFullModel(s, modelDir)
+      // lifecycle statement, not a vocabulary-cap statement. The
+      // trained model stays in memory for the SINK's decode (§1.2);
+      // the bridge's own per-trigger model READ — the thing this
+      // entry's hash is about — is untouched inside encodeStreamIds
+      val model = Bpe.trainModel(docs, numMerges = 64,
+        maxTypes = 1 << 20)
+      Bpe.writeModel(s, model, modelDir)
       val n = StreamScratch.seq.incrementAndGet()
       val stage = stageTableForStream(dir, "documents", "q145_stage")
       val stream = s.readStream.schema(docs.schema)
@@ -2396,16 +2445,19 @@ object SparkEntry {
     "q135_stream_bm25" -> ((s, dir) => {
       import s.implicits._
       val idx = ivfIndexDir(dir, "bm135")
-      Retrieval.writeBm25Index(t(s, dir, "documents"), idx,
-        tokenBuckets = 32, dlBuckets = 32)
       val qdf = Seq(
         (0, "spark hash join"),
         (1, "window sort merge"),
         (2, "stream batch dup")).toDF("query_id", "text")
       val n = StreamScratch.seq.incrementAndGet()
       val stage = ivfIndexDir(dir, s"q135_stage_$n")
-      qdf.repartition(3, col("query_id"))
-        .write.mode("overwrite").parquet(stage)
+      // index build and query staging are independent (disjoint
+      // dirs) — overlap them (Par, guide §2.6)
+      graft.operators.Par.run(2)(Seq(
+        () => Retrieval.writeBm25Index(t(s, dir, "documents"), idx,
+          tokenBuckets = 32, dlBuckets = 32),
+        () => qdf.repartition(3, col("query_id"))
+          .write.mode("overwrite").parquet(stage)))
       val stream = s.readStream.schema(qdf.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(stage)
@@ -2430,20 +2482,25 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val emb = t(s, dir, "embeddings")
       val bmIdx = ivfIndexDir(dir, "bm136")
-      Retrieval.writeBm25Index(docs, bmIdx, tokenBuckets = 32,
-        dlBuckets = 32)
-      val cents = Similarity.collectCentroids(
-        Similarity.ivfCentroids(emb, nlist = 16))
       val ivfIdx = ivfIndexDir(dir, "ivf136")
-      Similarity.writeIvfIndex(emb, ivfIdx, cents)
       val qdf = docs.where(col("doc_id") < 3)
         .select(col("doc_id").as("query_id"), col("text"))
         .join(emb.select(col("vec_id").as("query_id"),
           col("embedding")), Seq("query_id"))
       val n = StreamScratch.seq.incrementAndGet()
       val stage = ivfIndexDir(dir, s"q136_stage_$n")
-      qdf.repartition(3, col("query_id"))
-        .write.mode("overwrite").parquet(stage)
+      // the two index builds and the query staging are INDEPENDENT
+      // (disjoint inputs-to-disjoint-dirs, no shared standing state),
+      // so they overlap (Par, guide §2.6) instead of summing three
+      // serial job-floor chains before the stream can even start
+      graft.operators.Par.run(3)(Seq(
+        () => Retrieval.writeBm25Index(docs, bmIdx, tokenBuckets = 32,
+          dlBuckets = 32),
+        () => Similarity.writeIvfIndex(emb, ivfIdx,
+          Similarity.collectCentroids(
+            Similarity.ivfCentroids(emb, nlist = 16))),
+        () => qdf.repartition(3, col("query_id"))
+          .write.mode("overwrite").parquet(stage)))
       val stream = s.readStream.schema(qdf.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(stage)
@@ -2580,8 +2637,12 @@ object SparkEntry {
     val n = StreamScratch.seq.incrementAndGet()
     val root = ivfIndexDir(dir, s"fix_$n")
     docs.write.mode("overwrite").parquet(s"$root/seed/corpus")
-    Pipeline.trainBpeModel(s, s"$root/seed", s"$root/model",
-      numMerges = 64, maxTypes = 1 << 20)
+    // ONE model threads both chains (the writeTrainingShardsWith
+    // seam): the five export/refresh steps below used to re-read the
+    // same just-trained model from disk. BpeModel is immutable, so
+    // sharing it across the Par threads is safe.
+    val model = Pipeline.trainBpeModelReturning(s, s"$root/seed",
+      s"$root/model", numMerges = 64, maxTypes = 1 << 20)
     // two INDEPENDENT lifecycle chains hang off the trained model —
     // the refresh-published tree (q146/q147/q150/q151's surfaces) and
     // q149's compaction target over its own raw-batch corpus — and
@@ -2598,9 +2659,11 @@ object SparkEntry {
           s.read.parquet(s"$root/batch_0"), s"$root/idx",
           s"$root/corpus", jaccardThreshold = 0.5, chunkTokens = 10,
           bandBuckets = 32, pieceBuckets = 32, chunkBuckets = 32,
-          tokenizerModelDir = Some(s"$root/model"))
-        Pipeline.writeTrainingShards(s, s"$root/corpus", s"$root/model",
-          s"$root/shards", seqLen = 64, numShards = 4)
+          tokenizerModelDir = Some(s"$root/model"),
+          tokenizerModel = Some(model))
+        Pipeline.writeTrainingShardsWith(s, s"$root/corpus",
+          s"$root/model", s"$root/shards", seqLen = 64, numShards = 4,
+          eos = true, mode = "overwrite", modelOpt = Some(model))
       },
       // q149's compaction TARGET, built here so its surface times only
       // the compaction + read-back: a second export over raw batch
@@ -2610,15 +2673,18 @@ object SparkEntry {
       () => {
         docs.where(col("doc_id") < t1).write.mode("overwrite")
           .parquet(s"$root/c2/corpus/batch_id=0")
-        Pipeline.writeTrainingShards(s, s"$root/c2", s"$root/model",
-          s"$root/shards_tails", seqLen = 64, numShards = 4)
+        Pipeline.writeTrainingShardsWith(s, s"$root/c2",
+          s"$root/model", s"$root/shards_tails", seqLen = 64,
+          numShards = 4, eos = true, mode = "overwrite",
+          modelOpt = Some(model))
         Seq((t1, t2), (t2, maxId + 1)).foreach { case (lo, hi) =>
           docs.where(col("doc_id") >= lo && col("doc_id") < hi)
             .write.mode("overwrite")
             .parquet(s"$root/c2/corpus/batch_id=$lo")
-          Pipeline.writeTrainingShards(s, s"$root/c2", s"$root/model",
-            s"$root/shards_tails", seqLen = 64, numShards = 4,
-            mode = "append")
+          Pipeline.writeTrainingShardsWith(s, s"$root/c2",
+            s"$root/model", s"$root/shards_tails", seqLen = 64,
+            numShards = 4, eos = true, mode = "append",
+            modelOpt = Some(model))
         }
       }))
     root

@@ -139,9 +139,18 @@ object SparkEntry {
     * append-mode output IS the batch dedup+count answer — which is why
     * this entry is ORACLE-checked, not rows-only: the DuckDB compare
     * hash-matches the streaming result against the batch SQL.
-    * maxFilesPerTrigger=1 + ascending mtimes make the sentinels arrive
-    * in their own later micro-batches (each batch emits the windows the
-    * PREVIOUS batch's watermark closed — the spec-proven shape).
+    * TWO micro-batches (maxFilesPerTrigger = data files + 1, ascending
+    * mtimes): the FIRST sentinel copy rides WITH the data batch — the
+    * watermark consumed during a batch is computed from the PREVIOUS
+    * batch's max event time, so advancing it inside batch 0 changes
+    * nothing about what batch 0 emits (nothing: its starting watermark
+    * is 0) — and the second copy arrives alone as batch 1, whose
+    * starting watermark (max sentinel ts − 365 d) passes every REAL
+    * window and emits them all. Identical output to the old
+    * one-file-per-trigger shape (each batch emits the windows the
+    * previous batch's watermark closed — the spec-proven rule), minus
+    * `n_data_files` micro-batch floors (guide §1.2;
+    * StreamingEquivalenceSpec's folded-shape test pins the equality).
     */
   private object StreamScratch {
     val seq = new java.util.concurrent.atomic.AtomicLong()
@@ -201,14 +210,14 @@ object SparkEntry {
     val sentScratch = Paths.get(ivfIndexDir(dir, "stream_sent"))
     // ONE sentinel parquet (both far-future rows, 400 and 800 days
     // past max ts) written in a single Spark job, then staged TWICE
-    // under ascending mtimes: each staged copy is its own later
-    // micro-batch, and the watermark only consumes the max event time
-    // per batch, so two two-row copies advance it exactly as the two
-    // distinct one-row files did (the second batch adds no new max —
-    // its role is purely to trigger the emit of the windows the first
-    // sentinel batch's watermark closed). Sentinel rows are dropped by
-    // the final null-safe filter either way; this halves the sentinel
-    // construction's Spark jobs (one write + one listing, not two).
+    // under ascending mtimes: the first copy rides with the data batch
+    // (see the scaladoc above — it advances the watermark at batch 0's
+    // END without changing batch 0's emissions), the second arrives as
+    // its own batch 1 and triggers the emit of every real window. Its
+    // rows land below the advanced watermark and are dropped as late —
+    // exactly the old third batch's role. Sentinel rows are dropped by
+    // the final null-safe filter either way; one write + one listing
+    // (not two), and two micro-batches total (not data-files + 2).
     def sentinelTs(daysAhead: Int): Column = {
       val tsMs = maxTs.getTime + daysAhead * 86400000L
       tsType match {
@@ -240,7 +249,9 @@ object SparkEntry {
     }
     val stream = normalizeTs(
       s.readStream.schema(raw.schema)
-        .option("maxFilesPerTrigger", "1")
+        // data + first sentinel in batch 0, second sentinel as batch 1
+        // (the folded two-batch shape — scaladoc above)
+        .option("maxFilesPerTrigger", (parts.length + 1).toString)
         .parquet(stage.toString))
       .select(col("ts"), col("user_id"), col("event_type"))
     val ckpt = ivfIndexDir(dir, s"stream_ckpt_$n")
@@ -1166,16 +1177,20 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val emb = t(s, dir, "embeddings")
       val bmIdx = ivfIndexDir(dir, "bm134")
-      Retrieval.writeBm25Index(docs, bmIdx, tokenBuckets = 32,
-        dlBuckets = 32)
+      val ivfIdx = ivfIndexDir(dir, "ivf134")
+      // the two index builds are INDEPENDENT (disjoint inputs to
+      // disjoint dirs) — overlap them (Par, guide §2.6) instead of
+      // summing two serial build chains before either probe can start
+      graft.operators.Par.run(2)(Seq(
+        () => Retrieval.writeBm25Index(docs, bmIdx, tokenBuckets = 32,
+          dlBuckets = 32),
+        () => Similarity.writeIvfIndex(emb, ivfIdx,
+          Similarity.collectCentroids(
+            Similarity.ivfCentroids(emb, nlist = 16)))))
       val qd = docs.where(col("doc_id") < 3)
         .select(col("doc_id").as("query_id"), col("text"))
       val lex = Retrieval.bm25TopKIndexed(s, qd, bmIdx, k = 20,
         excludeSelf = true)
-      val cents = Similarity.collectCentroids(
-        Similarity.ivfCentroids(emb, nlist = 16))
-      val ivfIdx = ivfIndexDir(dir, "ivf134")
-      Similarity.writeIvfIndex(emb, ivfIdx, cents)
       val sem = Similarity.ivfTopKIndexedSelf(s, ivfIdx,
           emb.where(col("vec_id") < 3), k = 20, nprobe = 16)
         .select(col("query_id"), col("vec_id").as("doc_id"),
@@ -2459,7 +2474,13 @@ object SparkEntry {
         () => qdf.repartition(3, col("query_id"))
           .write.mode("overwrite").parquet(stage)))
       val stream = s.readStream.schema(qdf.schema)
-        .option("maxFilesPerTrigger", "1")
+        // all three staged query files in ONE trigger (guide §1.2):
+        // the bridge's probe is per-query_id throughout
+        // (processRetrieveBatch: topk/fuse keyed by query_id), so the
+        // union over three one-file triggers is row-identical to one
+        // three-file trigger — minus two micro-batch floors, each a
+        // full per-trigger probe plan + index-params re-read
+        .option("maxFilesPerTrigger", "3")
         .parquet(stage)
         .withColumn("ts",
           lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
@@ -2475,9 +2496,10 @@ object SparkEntry {
       s.read.parquet(out).orderBy(col("query_id").asc, col("rank").asc)
     }),
     // streaming HYBRID retrieval: q134's fully-persisted path (stored
-    // BM25 probe + stored IVF at full probe, RRF-fused) driven one
-    // probe doc per micro-batch — each trigger fuses its own queries,
-    // so the union shares q130's brute-force oracle leg for leg
+    // BM25 probe + stored IVF at full probe, RRF-fused) driven through
+    // the file-source bridge — each trigger fuses its own queries
+    // per-query_id, so the union shares q130's brute-force oracle leg
+    // for leg regardless of how the staged files batch into triggers
     "q136_stream_hybrid" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val emb = t(s, dir, "embeddings")
@@ -2502,7 +2524,10 @@ object SparkEntry {
         () => qdf.repartition(3, col("query_id"))
           .write.mode("overwrite").parquet(stage)))
       val stream = s.readStream.schema(qdf.schema)
-        .option("maxFilesPerTrigger", "1")
+        // one three-file trigger, not three one-file triggers — the
+        // q135 fold note applies verbatim (per-query_id probe + fuse,
+        // union-identical output, two per-trigger hybrid plans saved)
+        .option("maxFilesPerTrigger", "3")
         .parquet(stage)
         .withColumn("ts",
           lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))

@@ -34,13 +34,32 @@ object Trace {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val jobLog = new java.util.concurrent.ConcurrentHashMap[
       Int, (String, Long)]()
+    // SQL actions run their jobs on a helper thread
+    // (withThreadLocalCaptured), so the stage-details stack has no
+    // graft frame — map job → SQL execution (via the job's
+    // spark.sql.execution.id property) and use the execution's
+    // DESCRIPTION (the user-thread call site) instead
+    val sqlDesc = new java.util.concurrent.ConcurrentHashMap[
+      Long, String]()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
+        override def onOtherEvent(
+            e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+          e match {
+            case s: org.apache.spark.sql.execution.ui
+                .SparkListenerSQLExecutionStart =>
+              sqlDesc.put(s.executionId, s.description)
+            case _ => ()
+          }
         override def onJobStart(
             js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           val det = js.stageInfos.headOption.map(_.details).getOrElse("")
-          val cs = det.split("\n")
+          val fromStack = det.split("\n")
             .find(l => l.contains("graft.") && !l.contains("graft.Trace"))
+          val fromSql = Option(js.properties)
+            .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
+            .flatMap(id => Option(sqlDesc.get(id.toLong)))
+          val cs = fromStack.orElse(fromSql)
             .getOrElse(js.stageInfos.headOption.map(_.name).getOrElse("?"))
             .trim
           jobLog.put(js.jobId, (cs, js.time))

@@ -590,17 +590,30 @@ object Dedup {
       require(p == asked,
         s"append with params $asked onto an index written with $p")
     } {
-      val sh = shingleHashArrays(docs, numShingleWords)
+      val sh0 = shingleHashArrays(docs, numShingleWords)
         .where(size(col("sh")) > 0)
+      // the overlapped writers below must NOT share the lazy `sh0`
+      // tree: both threads' plan optimization constant-folds the SAME
+      // tokenize-lambda expression instances when `docs` is a local
+      // relation (ConvertToLocalRelation evaluates on the driver, and
+      // a higher-order function's lambda variable is mutable state),
+      // and the loser of that race writes GARBAGE shingle hashes —
+      // a real corruption DedupSpec caught intermittently in r20.
+      // The barrier materializes the shingles ONCE, single-threaded;
+      // both writers then read the checkpointed rows (which also
+      // halves the tokenize+shingle work the two lazy consumers paid).
+      val sh = if (mode == "append") sh0 else Barriers.barrier(sh0)
       // APPEND keeps shingles BEFORE postings — candidates come only
       // from postings/, so a crash between the writes leaves
       // unreferenced verify rows, never candidates whose verify side
       // is missing (the minhash family's ordering rationale; on
       // append the standing params stays valid throughout, so probes
-      // CAN run mid-write). On OVERWRITE the scaffold deleted params
-      // first and rewrites it last — no probe accepts the half-built
-      // layout whichever dataset lands first — so the two independent
-      // writes overlap (Par, guide §2.6).
+      // CAN run mid-write; the sequential writes also make the shared
+      // lazy tree safe, so no barrier job is spent on the small-batch
+      // path). On OVERWRITE the scaffold deleted params first and
+      // rewrites it last — no probe accepts the half-built layout
+      // whichever dataset lands first — so the two independent writes
+      // overlap (Par, guide §2.6) over the barrier'd rows.
       def shinglesW(): Unit = writeShingles(sh, dir, mode, effSb)
       def postingsW(): Unit = sh
         .select(col("doc_id"), size(col("sh")).as("n"),
@@ -1425,9 +1438,18 @@ object Dedup {
       s.join(mins, Seq("u"))
         .withColumn("m", least(col("u"), col("mn")))
     }
-    var edges = Barriers.barrier(
-      sym(pairs.select(col("id_a").as("u"), col("id_b").as("v")))
+    // ONE materialization serves both the algorithm's edge set and the
+    // final all-nodes backfill: self-loops survive into the barrier (so
+    // a (a,a)-only node still appears in allNodes below) and are
+    // filtered lazily for the loop — deriving allNodes from `pairs`
+    // itself re-ran the ENTIRE upstream pair generator (for q69, the
+    // O(n²) all-pairs scoring join — a full second pass) after the
+    // components had already converged (guide §1.2).
+    val sym0 = Barriers.barrier(
+      pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+        .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
         .distinct())
+    var edges = sym0.where(col("u") =!= col("v"))
     var labels: DataFrame = null
     var prevLabels: DataFrame = null
     var iter = 0
@@ -1468,9 +1490,11 @@ object Dedup {
       prevLabels = labels
       iter += 1
     }
-    // nodes isolated by earlier rounds keep their own id
-    val allNodes = pairs.select(col("id_a").as("id"))
-      .union(pairs.select(col("id_b").as("id"))).distinct()
+    // nodes isolated by earlier rounds keep their own id — read from
+    // the barrier'd symmetric edge set (u alone covers every node of
+    // `pairs`: sym0 holds both directions), never from `pairs` (see
+    // the sym0 note above)
+    val allNodes = sym0.select(col("u").as("id")).distinct()
     allNodes
       .join(labels.withColumnRenamed("u", "id"), Seq("id"), "left")
       .select(col("id"),

@@ -19,6 +19,18 @@ package graft.operators
   * completion; retried appends leave exact-duplicate rows that probes
   * collapse). All tasks are awaited; the first failure is rethrown
   * after every task has settled (never a dangling in-flight write).
+  *
+  * USAGE CONTRACT — no shared un-materialized frame instances: two
+  * tasks must not both consume the SAME lazily-derived DataFrame
+  * object whose tree carries expressions with mutable evaluation
+  * state (higher-order-function lambda variables, stateful custom
+  * expressions). When the source is a local relation, each task's
+  * plan optimization constant-folds those SHARED expression instances
+  * on the driver concurrently (ConvertToLocalRelation), and the race
+  * corrupts the folded rows — observed as garbage shingle hashes in
+  * the containment index writer (r20). Either materialize the shared
+  * frame first ([[Barriers.barrier]] — what the index writers do) or
+  * have each task build its own tree from the raw input.
   */
 object Par {
 

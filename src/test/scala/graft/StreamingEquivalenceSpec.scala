@@ -130,6 +130,33 @@ class StreamingEquivalenceSpec extends SparkSuite {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("q91's PRODUCTION folded two-batch shape (first sentinel riding " +
+      "the data batch) equals the batch dedup+count plan") {
+    // the r20 fold: q91 stages data + sentinel-1 as micro-batch 0 and
+    // sentinel-2 alone as micro-batch 1 (maxFilesPerTrigger = data
+    // files + 1). The watermark consumed during a batch comes from the
+    // PREVIOUS batch's max event time, so batch 0 still emits nothing
+    // and batch 1 — starting at max-sentinel-ts − 365 d — emits every
+    // real window: row-identical to the spec's one-file-per-trigger
+    // mirror above, minus the per-data-file micro-batch floors.
+    val raw = spark.read.parquet(sf() + "/events.parquet")
+    val got = SparkEntry.queries("q91_streaming_flagship")(spark, sf())
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+      .sorted
+    val want = tsFixed(raw)
+      .select(date_trunc("day", $"ts").as("day"), $"user_id",
+        $"event_type")
+      .distinct()
+      .groupBy($"day", $"event_type")
+      .agg(count(lit(1)).as("count"))
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+      .sorted
+    assert(want.nonEmpty)
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("q110 streaming screen over the documents file source equals " +
       "q101's batch screen row-for-row (available-now trigger)") {
     // the same real-testdata anchor as the flagship: the bridge's

@@ -455,12 +455,19 @@ object Bpe {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new Path(s"$dir/params")))
       fs.delete(new Path(s"$dir/params"), true)
-    model.alphabet.zipWithIndex.map { case (s, i) => (i, s) }
-      .toDF("rank", "symbol")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/alphabet")
-    model.merges.zipWithIndex.map { case ((l, r), i) => (i, l, r) }
-      .toDF("rank", "left", "right")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/merges")
+    // alphabet/ and merges/ are independent driver-sized writes to
+    // disjoint dirs, and params (below) was deleted first and lands
+    // LAST — no reader accepts the layout whichever of the two lands
+    // first, so they overlap (Par, guide §2.6: two fixed job floors
+    // become one). Each thunk builds its OWN frame from the in-memory
+    // model (Par's no-shared-lazy-frame contract holds trivially).
+    Par.run(2)(Seq(
+      () => model.alphabet.zipWithIndex.map { case (s, i) => (i, s) }
+        .toDF("rank", "symbol")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/alphabet"),
+      () => model.merges.zipWithIndex.map { case ((l, r), i) => (i, l, r) }
+        .toDF("rank", "left", "right")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/merges")))
     // the params row carries the CONTENT digest next to the counts:
     // id-space provenance gates compare the digest (a same-count
     // retrain is the realistic silent-corruption path), humans read
